@@ -1,0 +1,36 @@
+"""kg — a PySpark-native knowledge-graph construction engine.
+
+Re-creates the computations of graphaware/neo4j-nlp-opennlp (reference at
+/root/reference, a single-JVM Neo4j plugin wiring OpenNLP annotators into an
+AnnotatedText/Sentence/Tag property graph) as a scale-out Spark DataFrame
+pipeline over a corpus of source-code repositories, emitting the graph as
+(subj, pred, obj) triple tables.
+
+Module map (mirrors SURVEY.md §7 build plan):
+
+- :mod:`kg.models`      deterministic lexicons/gazetteers (replaces the
+  reference's binary maxent models, OpenNLPPipeline.java:67-103)
+- :mod:`kg.annotate`    pure-Python annotator core + vectorized pandas UDF
+  (reference dataflow OpenNLPPipeline.java:231-330)
+- :mod:`kg.triples`     explode annotations into sentences/tags/occurrences
+  and the triple table (OpenNLPTextProcessor.java:106-132, 210-221)
+- :mod:`kg.extract`     code-payload NL extraction (comments/docstrings/
+  identifiers) feeding the annotator
+- :mod:`kg.pipeline`    PipelineSpec registry + processor API parity
+  (PipelineBuilder.java:13-125, OpenNLPTextProcessor.java:523-607)
+- :mod:`kg.link`        entity linking (broadcast dict join + MinHash-LSH)
+- :mod:`kg.canon`       connected-components canonicalization
+- :mod:`kg.materialize` salted partitioned triple write, checkpoint-resume,
+  per-partition lineage metrics
+- :mod:`kg.train`       gazetteer/lexicon fit + P/R/F eval
+  (NERModelTool.java, SentimentModelTool.java)
+- :mod:`kg.dedup`       corpus dedup: exact / minhash-LSH / simhash /
+  n-gram jaccard / embedding near-dup
+- :mod:`kg.similarity`  embedding ANN: brute-force cosine top-k + LSH buckets
+- :mod:`kg.textstats`   language-ID, quality scoring, token counts,
+  fingerprinting
+- :mod:`kg.corpus`      deterministic synthetic code-corpus generator with
+  the BASELINE.json input_hint schema
+"""
+
+__version__ = "0.1.0"

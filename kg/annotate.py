@@ -1,0 +1,411 @@
+"""The annotation dataflow — a deterministic, pure-function re-creation of the
+reference's `OpenNLPPipeline.annotate(document)` stage chain
+(OpenNLPPipeline.java:231-330):
+
+    sentence split → tokenize → POS tag → lemmatize → NER (7 detectors)
+    → NER-span token merge → stopword filter → per-sentence token dedup
+    → sentiment classify
+
+Two layers:
+
+1. **Pure core** (`split_sentences`, `tokenize`, `annotate_text_py`) — plain
+   Python over a single string.  Unit-testable against the reference's golden
+   assertions (TextProcessorTest.java:63-87, 190-231) without a SparkSession.
+2. **Vectorized Spark surface** (`annotate_df`) — a single
+   ``ArrayType(StructType)``-returning pandas UDF applying the core per Arrow
+   batch.  One UDF for the whole chain: the per-sentence loop never leaves the
+   Python worker, so there is exactly ONE JVM↔Python crossing per batch and
+   zero shuffles for the entire annotate stage (partial-aggregation analog of
+   the reference's per-sentence HashMap dedup, OpenNLPAnnotation.java:223-232).
+
+Scale notes (100 TB corpus): the annotator is embarrassingly parallel — cost
+is O(chars) per row with small constants; lexicons are broadcast once per
+executor; Arrow batch size should be tuned down for long documents
+(spark.sql.execution.arrow.maxRecordsPerBatch, see kg.session).  The stage
+neither shuffles nor collects; skew is handled upstream by salted
+repartitioning (kg.materialize).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from kg import models
+
+# ---------------------------------------------------------------------------
+# Pipeline specification — mirrors PipelineSpecification/PipelineBuilder
+# (PipelineBuilder.java:13-100): annotator gates, stopword list (default or
+# extension), sentiment threshold, custom NER gazetteers.
+# ---------------------------------------------------------------------------
+DEFAULT_ANNOTATORS = ("tokenize", "pos", "lemma", "ner", "stopword")
+
+
+@dataclass(frozen=True)
+class PipelineSpec:
+    name: str = "tokenizer"
+    annotators: tuple[str, ...] = DEFAULT_ANNOTATORS
+    stopwords: frozenset[str] = models.DEFAULT_STOPWORDS
+    sentiment_threshold: float = 0.7
+    ner_types: tuple[str, ...] = models.NER_TYPES
+    # extra gazetteer phrases: {type: (phrase, ...)} — the "customNEs" hook
+    # (PipelineBuilder.java:37-49)
+    custom_ner: tuple[tuple[str, tuple[str, ...]], ...] = ()
+    threads: int = 4  # plumbed-but-unused in the reference too
+    #   (OpenNLPTextProcessor.java:593-594); Spark task parallelism replaces it
+
+    def custom_tries(self) -> dict[str, dict] | None:
+        if not self.custom_ner:
+            return None
+        return {t: models._build_trie(ph) for t, ph in self.custom_ner}
+
+    @staticmethod
+    def with_stopwords(csv: str, name: str = "custom") -> "PipelineSpec":
+        """`+`-prefixed CSV extends the default list, otherwise replaces it
+        (PipelineBuilder.java:65-84)."""
+        if csv.startswith("+"):
+            sw = models.DEFAULT_STOPWORDS | frozenset(
+                w.strip().lower() for w in csv[1:].split(",") if w.strip())
+        else:
+            sw = frozenset(w.strip().lower() for w in csv.split(",") if w.strip())
+        return PipelineSpec(name=name, stopwords=sw)
+
+
+# ---------------------------------------------------------------------------
+# A1 — sentence split (replaces en-sent.bin maxent detection,
+# OpenNLPPipeline.java:234-235). Boundary = [.!?]+ run followed by whitespace
+# and an upper/digit/quote starter; abbreviation + initial + decimal guards.
+# Spans exclude trailing whitespace, include terminal punctuation.
+# ---------------------------------------------------------------------------
+_ABBREVIATIONS = frozenset(
+    "mr mrs ms dr prof sr jr st vs etc inc ltd co corp no fig al eg ie "
+    "e.g i.e u.s u.k".split()
+)
+_SENT_END = re.compile(r"[.!?]+")
+_STARTER = re.compile(r'[A-Z0-9"“‘(]')
+
+
+def split_sentences(text: str) -> list[tuple[int, int]]:
+    spans: list[tuple[int, int]] = []
+    n = len(text)
+    start = 0
+    # advance past leading whitespace
+    while start < n and text[start].isspace():
+        start += 1
+    for m in _SENT_END.finditer(text):
+        end = m.end()
+        if end >= n:
+            break  # terminal run handled after loop
+        # must be followed by whitespace then a sentence starter
+        k = end
+        while k < n and text[k].isspace():
+            k += 1
+        if k == end or k >= n or not _STARTER.match(text[k]):
+            continue
+        # abbreviation / initial guard: word immediately before the period
+        wstart = m.start()
+        j = wstart
+        while j > 0 and (text[j - 1].isalnum() or text[j - 1] == "."):
+            j -= 1
+        prev = text[j:wstart].lower().rstrip(".")
+        if prev in _ABBREVIATIONS or (len(prev) == 1 and prev.isalpha() and prev.isascii()):
+            continue
+        if start < end:
+            spans.append((start, end))
+        start = k
+    # trailing sentence (with or without terminal punctuation)
+    end = n
+    while end > start and text[end - 1].isspace():
+        end -= 1
+    if end > start:
+        spans.append((start, end))
+    return spans
+
+
+# ---------------------------------------------------------------------------
+# A2 — tokenize (replaces en-token.bin, OpenNLPPipeline.java:238-242).
+# Whitespace chunks; ASCII punctuation split into single-char tokens; curly
+# quotes stay ATTACHED to the word (reproducing the reference tokenizer quirk
+# whose “Pakistan / ”1 tokens later fail lemma-validity —
+# TextProcessorTest.java:81 comment); possessive ’s/'s split off.
+# Returns sentence-relative (start, end) char spans.
+# ---------------------------------------------------------------------------
+_ASCII_PUNCT = frozenset('.,!?;:()[]{}"')
+
+
+def tokenize(sent_text: str) -> list[tuple[int, int]]:
+    spans: list[tuple[int, int]] = []
+    i, n = 0, len(sent_text)
+    while i < n:
+        if sent_text[i].isspace():
+            i += 1
+            continue
+        j = i
+        while j < n and not sent_text[j].isspace():
+            j += 1
+        # chunk [i, j): split at ASCII punctuation chars
+        k = i
+        while k < j:
+            c = sent_text[k]
+            if c in _ASCII_PUNCT:
+                spans.append((k, k + 1))
+                k += 1
+            else:
+                r = k
+                while r < j and sent_text[r] not in _ASCII_PUNCT:
+                    r += 1
+                # possessive split: ...’s or ...'s at run end
+                if (r - k > 2 and sent_text[r - 1] in "sS"
+                        and sent_text[r - 2] in "’'"):
+                    spans.append((k, r - 2))
+                    spans.append((r - 2, r))
+                else:
+                    spans.append((k, r))
+                k = r
+        i = j
+    return spans
+
+
+# ---------------------------------------------------------------------------
+# A3-A11 — per-sentence annotation producing the token structs.
+# ---------------------------------------------------------------------------
+@dataclass
+class Token:
+    value: str
+    lemma: str
+    pos: list[str]
+    ne: list[str]
+    spans: list[tuple[int, int]] = field(default_factory=list)
+
+
+def _final_lemma(word: str, pos: str) -> str:
+    """Dict/rule lemma with the reference's lower(word) fallback on the "O"
+    sentinel (OpenNLPPipeline.java:461, 482)."""
+    lm = models.lemma_of(word, pos)
+    return word.lower() if lm == models.BACKGROUND_SYMBOL else lm
+
+
+def annotate_sentence(sent_text: str, spec: PipelineSpec) -> dict:
+    """One sentence → {words, word_spans, pos, tokens, sentiment}.
+
+    Mirrors the per-sentence body of OpenNLPPipeline.annotate
+    (OpenNLPPipeline.java:236-310) + processTokens (448-494)."""
+    tok_spans = tokenize(sent_text) if "tokenize" in spec.annotators else []
+    words = [sent_text[s:e] for s, e in tok_spans]
+    do_pos = "pos" in spec.annotators
+    pos_tags: list[str] = []
+    prev = None
+    for w in words:
+        t = models.pos_of(w, prev) if do_pos else "NN"
+        pos_tags.append(t)
+        prev = t
+
+    ner_spans: list[tuple[int, int, str]] = []
+    if "ner" in spec.annotators and words:
+        ner_spans = models.find_ner_spans(words, spec.ner_types, spec.custom_tries())
+    # group by start word index — OpenNLPPipeline.java:332-343
+    ner_by_start: dict[int, list[tuple[int, int, str]]] = {}
+    for s, e, t in ner_spans:
+        ner_by_start.setdefault(s, []).append((s, e, t))
+
+    use_stop = "stopword" in spec.annotators
+    stop = spec.stopwords
+
+    def stop_ok(lemma: str) -> bool:
+        return not (use_stop and lemma.lower() in stop)
+
+    # token dedup keyed by surface value, first-lemma-wins
+    # (OpenNLPAnnotation.java:223-232)
+    tokens: dict[str, Token] = {}
+
+    def add_token(value: str, lemma: str, pos: set[str], ne: set[str],
+                  span: tuple[int, int]) -> None:
+        tok = tokens.get(value)
+        if tok is None:
+            tokens[value] = Token(value, lemma, sorted(pos), sorted(ne), [span])
+        else:
+            tok.pos = sorted(set(tok.pos) | pos)
+            tok.ne = sorted(set(tok.ne) | ne)
+            tok.spans.append(span)
+
+    i, n = 0, len(words)
+    while i < n:
+        hits = ner_by_start.get(i)
+        if hits:
+            # merged entity token — OpenNLPPipeline.java:448-479: extent from
+            # the first detector's span (registration order), NE set = union
+            # of all types starting here
+            s0, e0, _ = hits[0]
+            e0 = min(e0, n)
+            value = " ".join(words[s0:e0])
+            lemma = " ".join(_final_lemma(words[k], pos_tags[k]) for k in range(s0, e0))
+            pos = {pos_tags[k] for k in range(s0, e0)}
+            ne = {t for _, _, t in hits}
+            span = (tok_spans[s0][0], tok_spans[e0 - 1][1])
+            if stop_ok(lemma):
+                add_token(value, lemma, pos, ne, span)
+            i = e0
+        else:
+            w = words[i]
+            lemma = _final_lemma(w, pos_tags[i]) if "lemma" in spec.annotators else w.lower()
+            if stop_ok(lemma):
+                add_token(w, lemma, {pos_tags[i]}, {models.BACKGROUND_SYMBOL},
+                          tok_spans[i])
+            i += 1
+
+    sentiment = -1
+    if "sentiment" in spec.annotators:
+        sentiment = int(models.classify_sentiment(words, spec.sentiment_threshold))
+
+    return {
+        "words": words,
+        "word_spans": tok_spans,
+        "pos": pos_tags,
+        "tokens": list(tokens.values()),
+        "sentiment": sentiment,
+    }
+
+
+# ---------------------------------------------------------------------------
+# A12 — lemma-validity filter (parent-framework checkLemmaIsValid, consumed at
+# OpenNLPTextProcessor.java:308-325): split lemma on spaces, keep parts that
+# contain no symbol characters, join; empty → no tag.  This is what drops
+# “pakistan / ”1 (quote-bearing tokens) and punctuation tokens.
+# ---------------------------------------------------------------------------
+_VALID_LEMMA_PART = re.compile(r"[A-Za-z0-9\-]+\Z")
+
+
+def clean_lemma(lemma: str) -> str | None:
+    parts = [p for p in lemma.split(" ") if p and _VALID_LEMMA_PART.match(p)]
+    if not parts:
+        return None
+    return " ".join(parts)
+
+
+def annotate_text_py(text: str, spec: PipelineSpec | None = None) -> list[dict]:
+    """Full pure-Python pipeline over one document → list of sentence dicts:
+
+        {sentence_number, start, end, text, sentiment,
+         tokens: [{value, lemma, pos, ne, spans: [(start, end)]}]}
+
+    Token offsets are sentence-relative chars, as asserted by the reference's
+    occurrence goldens (TextProcessorTest.java:190-231)."""
+    spec = spec or PipelineSpec()
+    out = []
+    for num, (s, e) in enumerate(split_sentences(text)):
+        ann = annotate_sentence(text[s:e], spec)
+        out.append({
+            "sentence_number": num,
+            "start": s,
+            "end": e,
+            "text": text[s:e],
+            "sentiment": ann["sentiment"],
+            "tokens": [
+                {"value": t.value, "lemma": t.lemma, "pos": t.pos, "ne": t.ne,
+                 "spans": [{"start": a, "end": b} for a, b in t.spans]}
+                for t in ann["tokens"]
+            ],
+        })
+    return out
+
+
+def sentence_tags(sentence: dict) -> list[dict]:
+    """A12+A13 — tokens → tags, dedup per sentence by cleaned lemma, Tag keeps
+    union pos/ne and all occurrences (OpenNLPTextProcessor.java:210-221,
+    308-325; parent Sentence.addTag dedup)."""
+    tags: dict[str, dict] = {}
+    for tok in sentence["tokens"]:
+        lemma = clean_lemma(tok["lemma"])
+        if lemma is None:
+            continue
+        t = tags.get(lemma)
+        if t is None:
+            tags[lemma] = {
+                "lemma": lemma,
+                "pos": list(tok["pos"]),
+                "ne": list(tok["ne"]),
+                "occurrences": [
+                    {"start": s["start"], "end": s["end"], "value": tok["value"]}
+                    for s in tok["spans"]
+                ],
+            }
+        else:
+            t["pos"] = sorted(set(t["pos"]) | set(tok["pos"]))
+            t["ne"] = sorted(set(t["ne"]) | set(tok["ne"]))
+            t["occurrences"].extend(
+                {"start": s["start"], "end": s["end"], "value": tok["value"]}
+                for s in tok["spans"])
+    return list(tags.values())
+
+
+def annotate_tag_py(text: str, spec: PipelineSpec | None = None) -> str | None:
+    """annotateTag parity (OpenNLPTextProcessor.java:276-297): one-sentence
+    text; exactly one token → its tag lemma; several → whole text as one tag."""
+    spec = spec or PipelineSpec()
+    sentences = annotate_text_py(text, spec)
+    if not sentences:
+        return None
+    tags = sentence_tags(sentences[0])
+    if not tags:
+        return None
+    toks = sentences[0]["tokens"]
+    if len(toks) == 1:
+        return tags[0]["lemma"]
+    return clean_lemma(" ".join(t["lemma"] for t in toks))
+
+
+# ---------------------------------------------------------------------------
+# Vectorized Spark surface — one pandas UDF for the whole chain.
+# ---------------------------------------------------------------------------
+import pandas as pd  # noqa: E402
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+from pyspark.sql.types import (  # noqa: E402
+    ArrayType, IntegerType, StringType, StructField, StructType)
+
+SPAN_TYPE = StructType([
+    StructField("start", IntegerType(), False),
+    StructField("end", IntegerType(), False),
+])
+TOKEN_TYPE = StructType([
+    StructField("value", StringType(), False),
+    StructField("lemma", StringType(), False),
+    StructField("pos", ArrayType(StringType(), False), False),
+    StructField("ne", ArrayType(StringType(), False), False),
+    StructField("spans", ArrayType(SPAN_TYPE, False), False),
+])
+SENTENCE_TYPE = StructType([
+    StructField("sentence_number", IntegerType(), False),
+    StructField("start", IntegerType(), False),
+    StructField("end", IntegerType(), False),
+    StructField("text", StringType(), False),
+    StructField("sentiment", IntegerType(), False),
+    StructField("tokens", ArrayType(TOKEN_TYPE, False), False),
+])
+ANNOTATION_TYPE = ArrayType(SENTENCE_TYPE, False)
+
+
+def make_annotate_udf(spec: PipelineSpec | None = None):
+    """Build the annotate pandas UDF.  ``spec`` is captured in the closure and
+    serialized with the task — cheap (it is a tiny dataclass; the heavy
+    lexicons live in kg.models, imported once per Python worker — the
+    broadcast-variable analog of the reference's per-pipeline model cache,
+    OpenNLPTextProcessor.java:42, 68-72)."""
+    from pyspark.sql.functions import pandas_udf
+
+    spec = spec or PipelineSpec()
+
+    @pandas_udf(ANNOTATION_TYPE)
+    def annotate_udf(content: pd.Series) -> pd.Series:
+        return content.map(
+            lambda text: annotate_text_py(text, spec) if text is not None else [])
+
+    return annotate_udf
+
+
+def annotate_df(df: DataFrame, text_col: str = "content",
+                spec: PipelineSpec | None = None,
+                out_col: str = "sentences") -> DataFrame:
+    """df + one nested `sentences` column.  Lazy — no job is triggered; the
+    UDF fuses into the enclosing stage (ArrowEvalPython node) with no shuffle."""
+    return df.withColumn(out_col, make_annotate_udf(spec)(F.col(text_col)))

@@ -1,0 +1,202 @@
+"""Golden-output tests ported from the reference's test suite
+(/root/reference/src/test/java/.../TextProcessorTest.java,
+OpenNLPPipelineTest.java, ProcedureTest.java) — the correctness anchor cited
+by BASELINE.json (triple P/R >= 0.95 vs reference golden outputs).
+
+Pure-Python layer only — no SparkSession needed (fast inner loop)."""
+
+from kg.annotate import (
+    PipelineSpec, annotate_tag_py, annotate_text_py, clean_lemma,
+    sentence_tags, split_sentences, tokenize)
+
+# TextProcessorTest.java:65-75 / ProcedureTest.java:39-49 — verbatim fixture
+PAKISTAN_TEXT = (
+    "On 8 May 2013, one week before the Pakistani election, the third author, "
+    "in his keynote address at the Sentiment Analysis Symposium, forecast the "
+    "winner of the Pakistani election. The chart in Figure 1 shows varying "
+    "sentiment on the candidates for prime minister of Pakistan in that "
+    "election. The next day, the BBC’s Owen Bennett Jones, reporting from "
+    "Islamabad, wrote an article titled “Pakistan Elections: Five Reasons "
+    "Why the Vote is Unpredictable,”1 in which he claimed that the "
+    "election was too close to call. It was not, and despite his being in "
+    "Pakistan, the outcome of the election was exactly as we predicted."
+)
+
+
+def occurrences(sentence):
+    """begin-offset → tag dict, as the reference's getTagOccurrence helper."""
+    out = {}
+    for tag in sentence_tags(sentence):
+        for occ in tag["occurrences"]:
+            out[occ["start"]] = {"lemma": tag["lemma"], "value": occ["value"]}
+    return out
+
+
+def test_pakistan_sentence_count():
+    # TextProcessorTest.java:78, 204
+    assert len(annotate_text_py(PAKISTAN_TEXT)) == 4
+
+
+def test_pakistan_tag_counts_per_sentence():
+    # TextProcessorTest.java:79-82 — distinct tags 15, 11, 22, 8
+    sentences = annotate_text_py(PAKISTAN_TEXT)
+    counts = [len(sentence_tags(s)) for s in sentences]
+    assert counts == [15, 11, 22, 8]
+
+
+def test_pakistan_tag_pos_ne():
+    # TextProcessorTest.java:84-85 — pakistan ne=[LOCATION], show pos=[VBZ]
+    sentences = annotate_text_py(PAKISTAN_TEXT)
+    all_tags = {}
+    for s in sentences:
+        for t in sentence_tags(s):
+            all_tags.setdefault(t["lemma"], {"pos": set(), "ne": set()})
+            all_tags[t["lemma"]]["pos"] |= set(t["pos"])
+            all_tags[t["lemma"]]["ne"] |= set(t["ne"])
+    assert "LOCATION" in all_tags["pakistan"]["ne"]
+    assert "VBZ" in all_tags["show"]["pos"]
+
+
+def test_pakistan_sentence0_offsets():
+    # TextProcessorTest.java:208-217
+    sentences = annotate_text_py(PAKISTAN_TEXT)
+    occ = occurrences(sentences[0])
+    assert 0 not in occ          # "On" is a stopword
+    assert occ[3]["lemma"] == "8"
+    assert occ[5]["lemma"] == "may 2013"      # merged DATE entity
+    assert occ[5]["value"] == "May 2013"
+    assert occ[15]["lemma"] == "one"
+    assert occ[24]["lemma"] == "before"
+    assert occ[59]["lemma"] == "third"
+    assert occ[133]["lemma"] == "forecast"
+    assert 184 not in occ
+
+
+def test_pakistan_sentence1_offsets():
+    # TextProcessorTest.java:220-221
+    sentences = annotate_text_py(PAKISTAN_TEXT)
+    occ = occurrences(sentences[1])
+    assert occ[22] == {"lemma": "show", "value": "shows"}
+
+
+def test_quote_bearing_tokens_dropped():
+    # TextProcessorTest.java:81 comment — “Pakistan and ”1 fail lemma validity
+    sentences = annotate_text_py(PAKISTAN_TEXT)
+    values = {t["value"] for t in sentences[2]["tokens"]}
+    assert "“Pakistan" in values        # tokenizer kept the quote attached
+    assert "”1" in values
+    lemmas = {t["lemma"] for t in sentence_tags(sentences[2])}
+    assert not any("“" in l or "”" in l for l in lemmas)
+    assert "owen bennett jones" in lemmas    # merged PERSON survives
+
+
+def test_lemma_lowercasing_collibra():
+    # TextProcessorTest.java:91-97
+    text = ("Collibra’s Data Governance Innovation: Enabling Data as a "
+            "Strategic Asset")
+    sentences = annotate_text_py(text)
+    assert len(sentences) == 1
+    occ = occurrences(sentences[0])
+    assert occ[16]["lemma"] == "governance"
+
+
+def test_annotate_tag_winners():
+    # TextProcessorTest.java:130-133
+    assert annotate_tag_py("winners") == "winner"
+
+
+def test_short_texts_single_sentence():
+    # TextProcessorTest.java:234-252
+    assert len(annotate_text_py("Fixing Batch Endpoint Logging Problem")) == 1
+    assert len(annotate_text_py("Importing CSV data does nothing")) == 1
+
+
+def test_obama_fixture_two_sentences_person_merge():
+    # OpenNLPPipelineTest.java:53, 74
+    text = ("Hello Dralyn. Barack Hussein Obama II  is the 44th and current "
+            "President of the United States, and the first African American "
+            "to hold the office.")
+    sentences = annotate_text_py(text)
+    assert len(sentences) == 2
+    tags = {t["lemma"]: t for t in sentence_tags(sentences[1])}
+    assert "barack hussein obama ii" in tags
+    assert "PERSON" in tags["barack hussein obama ii"]["ne"]
+    assert "united states" in tags
+    assert "LOCATION" in tags["united states"]["ne"]
+
+
+def test_custom_stopword_list():
+    # OpenNLPPipelineTest.java:143 — custom list hello,is,and,of,the,to
+    spec = PipelineSpec.with_stopwords("hello,is,and,of,the,to")
+    sentences = annotate_text_py("Hello Dralyn. The office is big.", spec)
+    lemmas = {t["lemma"] for s in sentences for t in sentence_tags(s)}
+    assert "hello" not in lemmas
+    assert "dralyn" in lemmas
+    assert "office" in lemmas
+    assert "the" not in lemmas
+
+
+def test_sentiment_five_classes():
+    # TextProcessorTest.java:163-188 (disabled in ref, goldens documented)
+    spec = PipelineSpec(annotators=DEFAULTS_PLUS_SENTIMENT)
+    fixtures = [
+        ("I really hate to study at Stanford, it was a waste of time, "
+         "I'll never be there again", 0),
+        ("It was really horrible to study at Stanford", 1),
+        ("I studied at Stanford", 2),
+        ("I liked to study at Stanford", 3),
+        ("I liked so much to study at Stanford, I enjoyed my time there, "
+         "I would recommend every body", 4),
+    ]
+    for text, expected in fixtures:
+        sentences = annotate_text_py(text, spec)
+        assert sentences[0]["sentiment"] == expected, text
+
+
+DEFAULTS_PLUS_SENTIMENT = (
+    "tokenize", "pos", "lemma", "ner", "stopword", "sentiment")
+
+
+def test_sentiment_threshold_forces_neutral():
+    # OpenNLPPipeline.java:300-307 — max prob < thr ⇒ class "2"
+    spec = PipelineSpec(annotators=DEFAULTS_PLUS_SENTIMENT,
+                        sentiment_threshold=0.95)
+    sentences = annotate_text_py("I liked to study at Stanford", spec)
+    assert sentences[0]["sentiment"] == 2
+
+
+def test_sentiment_absent_is_minus_one():
+    # OpenNLPTextProcessor.java:198-208 — default -1 when not computed
+    sentences = annotate_text_py("I liked to study at Stanford")
+    assert sentences[0]["sentiment"] == -1
+
+
+def test_token_dedup_first_lemma_wins_and_span_accumulation():
+    # OpenNLPAnnotation.java:223-232
+    sentences = annotate_text_py("run fast and run far")
+    toks = {t["value"]: t for t in sentences[0]["tokens"]}
+    assert len(toks["run"]["spans"]) == 2
+    assert toks["run"]["spans"][0]["start"] == 0
+    assert toks["run"]["spans"][1]["start"] == 13
+
+
+def test_tokenizer_quirks():
+    spans = tokenize("BBC’s Owen, “Pakistan Elections: done,”1 end.")
+    toks = ["BBC’s Owen, “Pakistan Elections: done,”1 end."[s:e]
+            for s, e in spans]
+    assert toks == ["BBC", "’s", "Owen", ",", "“Pakistan",
+                    "Elections", ":", "done", ",", "”1", "end", "."]
+
+
+def test_sentence_split_abbreviations_and_decimals():
+    assert len(split_sentences("Mr. Smith arrived. He sat down.")) == 2
+    assert len(split_sentences("Pi is 3.14 roughly. Yes.")) == 2
+    assert len(split_sentences("No terminal punctuation here")) == 1
+
+
+def test_clean_lemma():
+    assert clean_lemma("may 2013") == "may 2013"
+    assert clean_lemma("“pakistan") is None
+    assert clean_lemma(",") is None
+    assert clean_lemma("’s") is None
+    assert clean_lemma("good “bad") == "good"
