@@ -409,3 +409,68 @@ def annotate_df(df: DataFrame, text_col: str = "content",
     """df + one nested `sentences` column.  Lazy — no job is triggered; the
     UDF fuses into the enclosing stage (ArrowEvalPython node) with no shuffle."""
     return df.withColumn(out_col, make_annotate_udf(spec)(F.col(text_col)))
+
+
+# ---------------------------------------------------------------------------
+# Graph-shaped surface: sentences carrying pre-built TAGS (lemma-validity +
+# per-sentence dedup done in-row, the partial-aggregation analog of the
+# reference's Sentence.addTag).  This is what kg.triples consumes: tokens are
+# an intermediate the persisted graph never stores (the reference persists
+# only Tag/TagOccurrence — ProcedureTest.java:104-137), so shipping tags-only
+# halves the Arrow payload and keeps the whole annotate→triples pipeline
+# shuffle-free.
+# ---------------------------------------------------------------------------
+OCCURRENCE_TYPE = StructType([
+    StructField("start", IntegerType(), False),
+    StructField("end", IntegerType(), False),
+    StructField("value", StringType(), False),
+])
+TAG_TYPE = StructType([
+    StructField("lemma", StringType(), False),
+    StructField("pos", ArrayType(StringType(), False), False),
+    StructField("ne", ArrayType(StringType(), False), False),
+    StructField("occurrences", ArrayType(OCCURRENCE_TYPE, False), False),
+])
+GRAPH_SENTENCE_TYPE = StructType([
+    StructField("sentence_number", IntegerType(), False),
+    StructField("start", IntegerType(), False),
+    StructField("end", IntegerType(), False),
+    StructField("text", StringType(), False),
+    StructField("sentiment", IntegerType(), False),
+    StructField("tags", ArrayType(TAG_TYPE, False), False),
+])
+GRAPH_ANNOTATION_TYPE = ArrayType(GRAPH_SENTENCE_TYPE, False)
+
+
+def annotate_graph_py(text: str, spec: PipelineSpec | None = None) -> list[dict]:
+    """Pure core for the graph-shaped UDF: annotate + tag build per sentence."""
+    out = []
+    for s in annotate_text_py(text, spec):
+        out.append({
+            "sentence_number": s["sentence_number"],
+            "start": s["start"],
+            "end": s["end"],
+            "text": s["text"],
+            "sentiment": s["sentiment"],
+            "tags": sentence_tags(s),
+        })
+    return out
+
+
+def make_graph_udf(spec: PipelineSpec | None = None):
+    from pyspark.sql.functions import pandas_udf
+
+    spec = spec or PipelineSpec()
+
+    @pandas_udf(GRAPH_ANNOTATION_TYPE)
+    def annotate_graph_udf(content: pd.Series) -> pd.Series:
+        return content.map(
+            lambda text: annotate_graph_py(text, spec) if text is not None else [])
+
+    return annotate_graph_udf
+
+
+def annotate_graph_df(df: DataFrame, text_col: str = "content",
+                      spec: PipelineSpec | None = None,
+                      out_col: str = "sentences") -> DataFrame:
+    return df.withColumn(out_col, make_graph_udf(spec)(F.col(text_col)))

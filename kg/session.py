@@ -1,0 +1,44 @@
+"""SparkSession factory with the configs this engine assumes.
+
+Tuned for the 100 TB target (and harmless at test scale):
+
+- AQE on (runtime re-plan, skew-join splitting) — the north_rule's "explicit
+  repartition/AQE shuffle tuning".
+- Arrow batches capped low: annotate UDF rows carry whole source files, so
+  10k-row default batches would balloon Python-worker memory; 512 rows of
+  ~100 KB files ≈ 50 MB per batch.
+- maxPartitionBytes 128 MB: keeps scan partitions executor-memory-sized.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app: str = "kg", master: str | None = None,
+              shuffle_partitions: int | None = None,
+              extra: dict[str, str] | None = None) -> SparkSession:
+    master = master or os.environ.get("KG_MASTER", "local[*]")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master.startswith("local[") is False and master != "local" and cpus:
+        pass  # cluster master given explicitly; leave alone
+    b = (SparkSession.builder.appName(app).master(master)
+         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+         .config("spark.sql.parquet.compression.codec", "zstd")
+         .config("spark.ui.enabled", "false")
+         .config("spark.driver.memory",
+                 os.environ.get("KG_DRIVER_MEM", "8g")))
+    if shuffle_partitions is not None:
+        b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark

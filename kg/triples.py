@@ -1,0 +1,179 @@
+"""Graph materialization: annotated documents → relational tables → the
+(subj, pred, obj) triple table.
+
+Re-creates the reference's persisted Neo4j graph (AnnotatedText/Sentence/Tag
+nodes; HAS_ANNOTATED_TEXT/CONTAINS_SENTENCE/FIRST_SENTENCE/NEXT_SENTENCE/
+HAS_TAG relationships — ProcedureTest.java:104-137) with the predicate
+vocabulary fixed by BASELINE.json north_star:
+
+    PART_OF        sentence → document          (CONTAINS_SENTENCE inverse)
+    NEXT_SENTENCE  sentence → next sentence
+    HAS_TAG        sentence → tag
+    TAG_OCCURS     tag → sentence, with (start, end, value) side columns
+
+Node ids (FIXTURES.md §1.3): ``doc:<key>``, ``sent:<key>:<n>``,
+``tag:<lang>:<lemma>``.
+
+Scale design: every function here is a NARROW transformation — explode /
+select / filter / union over the nested `sentences` column produced by
+kg.annotate.  In particular NEXT_SENTENCE needs no window: the exploded
+ordinal plus the per-document sentence count (known before exploding) gives
+the successor id arithmetically, so the classic
+``lead().over(Window.partitionBy(doc))`` shuffle is avoided entirely.  The
+only shuffles in a full run are the (optional) global tag-node aggregation
+and the final partitioned write (kg.materialize).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from kg.annotate import PipelineSpec, annotate_graph_df
+
+TRIPLE_COLUMNS = ("subj", "pred", "obj", "start", "end", "value")
+
+
+def with_doc_key(df: DataFrame,
+                 id_cols: tuple[str, ...] = ("repo", "path", "commit"),
+                 out_col: str = "doc_key") -> DataFrame:
+    """Stable document key.  For the corpus input_hint schema this is
+    sha256(repo|path|commit) — computed JVM-side (whole-stage codegen), no
+    Python.  For tables that already carry a unique id pass
+    ``id_cols=("doc_id",)`` and the value is used as-is."""
+    if len(id_cols) == 1:
+        return df.withColumn(out_col, F.col(id_cols[0]).cast("string"))
+    return df.withColumn(
+        out_col, F.sha2(F.concat_ws("|", *[F.col(c) for c in id_cols]), 256))
+
+
+def with_content_sha(df: DataFrame, text_col: str = "content",
+                     out_col: str = "content_sha256") -> DataFrame:
+    """Per-row integrity invariant (input_hint): sha256 of the raw content,
+    comparable against the reference corpus column."""
+    return df.withColumn(out_col, F.sha2(F.col(text_col), 256))
+
+
+def _sent_uid(doc_key: Column, num: Column) -> Column:
+    return F.concat(F.lit("sent:"), doc_key, F.lit(":"), num.cast("string"))
+
+
+def explode_sentences(ann_df: DataFrame, doc_key_col: str = "doc_key",
+                      lang_col: str | None = "lang",
+                      sentences_col: str = "sentences") -> DataFrame:
+    """Nested annotations → flat `sentences` table.  One explode, no shuffle.
+
+    Columns: doc_key, lang, n_sentences, sentence_number, start, end, text,
+    sentiment, tags (still nested), sentence_id, doc_uid."""
+    lang = F.col(lang_col) if lang_col else F.lit("en")
+    s = (ann_df
+         .withColumn("n_sentences", F.size(F.col(sentences_col)))
+         .select(F.col(doc_key_col).alias("doc_key"),
+                 lang.alias("lang"),
+                 "n_sentences",
+                 F.explode(F.col(sentences_col)).alias("s"))
+         .select("doc_key", "lang", "n_sentences",
+                 F.col("s.sentence_number").alias("sentence_number"),
+                 F.col("s.start").alias("start"),
+                 F.col("s.end").alias("end"),
+                 F.col("s.text").alias("text"),
+                 F.col("s.sentiment").alias("sentiment"),
+                 F.col("s.tags").alias("tags")))
+    return (s.withColumn("sentence_id",
+                         _sent_uid(F.col("doc_key"), F.col("sentence_number")))
+             .withColumn("doc_uid", F.concat(F.lit("doc:"), F.col("doc_key"))))
+
+
+def explode_tags(sent_df: DataFrame) -> DataFrame:
+    """Sentences → flat `tags` table (one row per sentence-level distinct tag).
+
+    Columns: doc_key, lang, sentence_number, sentence_id, lemma, pos, ne,
+    occurrences (nested), tag_uid."""
+    return (sent_df
+            .select("doc_key", "lang", "sentence_number", "sentence_id",
+                    F.explode("tags").alias("t"))
+            .select("doc_key", "lang", "sentence_number", "sentence_id",
+                    F.col("t.lemma").alias("lemma"),
+                    F.col("t.pos").alias("pos"),
+                    F.col("t.ne").alias("ne"),
+                    F.col("t.occurrences").alias("occurrences"))
+            .withColumn("tag_uid", F.concat(F.lit("tag:"), F.col("lang"),
+                                            F.lit(":"), F.col("lemma"))))
+
+
+def explode_occurrences(tags_df: DataFrame) -> DataFrame:
+    """Tags → flat `tag_occurrences` table (one row per surface occurrence,
+    sentence-relative char offsets — TextProcessorTest.java:190-231)."""
+    return (tags_df
+            .select("doc_key", "lang", "sentence_number", "sentence_id",
+                    "lemma", "tag_uid", F.explode("occurrences").alias("o"))
+            .select("doc_key", "lang", "sentence_number", "sentence_id",
+                    "lemma", "tag_uid",
+                    F.col("o.start").alias("start"),
+                    F.col("o.end").alias("end"),
+                    F.col("o.value").alias("value")))
+
+
+def tag_nodes(tags_df: DataFrame) -> DataFrame:
+    """Global Tag nodes — the Neo4j graph merges Tag by (lemma, lang) across
+    the whole corpus with union'd pos/ne (TextProcessorTest.java:99-127).
+    This is the one genuine aggregation of the pipeline; it shuffles on
+    tag_uid, whose cardinality is the distinct-lemma space (≪ corpus size),
+    with map-side partial aggregation doing most of the work."""
+    return (tags_df.groupBy("tag_uid", "lang", "lemma")
+            .agg(F.array_sort(F.array_distinct(
+                     F.flatten(F.collect_list("pos")))).alias("pos"),
+                 F.array_sort(F.array_distinct(
+                     F.flatten(F.collect_list("ne")))).alias("ne"),
+                 F.sum(F.size("occurrences")).alias("tf")))
+
+
+def _as_triples(df: DataFrame, pred: str, subj: Column, obj: Column,
+                start: Column | None = None, end: Column | None = None,
+                value: Column | None = None) -> DataFrame:
+    return df.select(
+        subj.alias("subj"), F.lit(pred).alias("pred"), obj.alias("obj"),
+        (start if start is not None else F.lit(None).cast("int")).alias("start"),
+        (end if end is not None else F.lit(None).cast("int")).alias("end"),
+        (value if value is not None else F.lit(None).cast("string")).alias("value"))
+
+
+def build_triples(sent_df: DataFrame,
+                  include_first_sentence: bool = False) -> DataFrame:
+    """Flat sentences (from explode_sentences) → the triple table.
+
+    All four unioned branches are narrow; Catalyst plans them as one stage
+    over the annotate output (union of projections of the same child)."""
+    part_of = _as_triples(sent_df, "PART_OF",
+                          F.col("sentence_id"), F.col("doc_uid"))
+    next_sent = _as_triples(
+        sent_df.filter(F.col("sentence_number") < F.col("n_sentences") - 1),
+        "NEXT_SENTENCE",
+        F.col("sentence_id"),
+        _sent_uid(F.col("doc_key"), F.col("sentence_number") + 1))
+    tags = explode_tags(sent_df)
+    has_tag = _as_triples(tags, "HAS_TAG",
+                          F.col("sentence_id"), F.col("tag_uid"))
+    occ = explode_occurrences(tags)
+    tag_occurs = _as_triples(occ, "TAG_OCCURS",
+                             F.col("tag_uid"), F.col("sentence_id"),
+                             F.col("start"), F.col("end"), F.col("value"))
+    out = part_of.unionByName(next_sent).unionByName(has_tag).unionByName(tag_occurs)
+    if include_first_sentence:
+        first = _as_triples(sent_df.filter(F.col("sentence_number") == 0),
+                            "FIRST_SENTENCE",
+                            F.col("doc_uid"), F.col("sentence_id"))
+        out = out.unionByName(first)
+    return out
+
+
+def annotate_to_triples(df: DataFrame, text_col: str = "content",
+                        id_cols: tuple[str, ...] = ("repo", "path", "commit"),
+                        lang_col: str | None = "lang",
+                        spec: PipelineSpec | None = None,
+                        include_first_sentence: bool = False) -> DataFrame:
+    """End-to-end convenience: raw table → triples.  Single narrow pipeline:
+    scan → (sha/doc_key, codegen) → annotate UDF (one Arrow crossing) →
+    explode → union of projections."""
+    ann = annotate_graph_df(with_doc_key(df, id_cols), text_col, spec)
+    sent = explode_sentences(ann, lang_col=lang_col)
+    return build_triples(sent, include_first_sentence)

@@ -1,0 +1,113 @@
+"""Spark-level tests: annotate → triples end-to-end, graph-shape invariants
+from the reference's procedure tests (ProcedureTest.java:98-140), and
+determinism (the reference itself is nondeterministic across call order due
+to NER adaptive-data leakage, OpenNLPPipeline.java:312-325 — ours must not be)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from kg.triples import (annotate_to_triples, build_triples, explode_occurrences,
+                        explode_sentences, explode_tags, tag_nodes,
+                        with_content_sha, with_doc_key)
+from kg.annotate import annotate_graph_df
+from tests.test_annotate_goldens import PAKISTAN_TEXT
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        ("org/app", "src/readme.txt", "c" * 40, "en", PAKISTAN_TEXT),
+        ("org/app", "src/short.txt", "c" * 40, "en",
+         "Fixing Batch Endpoint Logging Problem"),
+        ("org/lib", "doc/note.txt", "d" * 40, "en",
+         "Hello Dralyn. Barack Hussein Obama II  is the 44th and current "
+         "President of the United States, and the first African American "
+         "to hold the office."),
+    ]
+    return spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string")
+
+
+@pytest.fixture(scope="module")
+def sent_df(corpus):
+    ann = annotate_graph_df(with_doc_key(corpus))
+    return explode_sentences(ann).cache()
+
+
+def test_sentence_explosion_counts(sent_df):
+    counts = {r["doc_key"][:8]: r["n"] for r in
+              sent_df.groupBy(F.col("doc_key")).agg(F.count("*").alias("n"))
+              .withColumn("doc_key", F.col("doc_key")).collect()}
+    assert sorted(counts.values()) == [1, 2, 4]
+
+
+def test_graph_shape_invariant(sent_df):
+    """ProcedureTest.java:114-137 — FIRST_SENTENCE|NEXT_SENTENCE* chain visits
+    exactly the CONTAINS_SENTENCE (here PART_OF) count: per doc,
+    #NEXT_SENTENCE == #PART_OF - 1."""
+    triples = build_triples(sent_df)
+    per_doc = (triples.filter(F.col("pred").isin("PART_OF", "NEXT_SENTENCE"))
+               .withColumn("doc", F.regexp_extract("subj", r"^sent:([0-9a-f]+):", 1))
+               .groupBy("doc")
+               .agg(F.sum(F.when(F.col("pred") == "PART_OF", 1).otherwise(0)).alias("p"),
+                    F.sum(F.when(F.col("pred") == "NEXT_SENTENCE", 1).otherwise(0)).alias("nx")))
+    for r in per_doc.collect():
+        assert r["nx"] == r["p"] - 1
+
+
+def test_tag_counts_through_spark(sent_df):
+    """The 15/11/22/8 golden through the full Spark path."""
+    tags = explode_tags(sent_df.filter(F.col("n_sentences") == 4))
+    counts = (tags.groupBy("sentence_number").count()
+              .orderBy("sentence_number").collect())
+    assert [r["count"] for r in counts] == [15, 11, 22, 8]
+
+
+def test_occurrence_offsets_through_spark(sent_df):
+    occ = explode_occurrences(explode_tags(
+        sent_df.filter((F.col("n_sentences") == 4) & (F.col("sentence_number") == 0))))
+    by_start = {r["start"]: r for r in occ.collect()}
+    assert by_start[5]["lemma"] == "may 2013"
+    assert by_start[5]["value"] == "May 2013"
+    assert by_start[133]["lemma"] == "forecast"
+    assert 0 not in by_start
+
+
+def test_tag_nodes_merge(sent_df):
+    nodes = tag_nodes(explode_tags(sent_df))
+    pak = nodes.filter(F.col("lemma") == "pakistan").collect()
+    assert len(pak) == 1
+    assert "LOCATION" in pak[0]["ne"]
+    # "pakistan" occurs in sentences 1 and 3 of the Pakistan text
+    assert pak[0]["tf"] == 2
+
+
+def test_triples_end_to_end_and_determinism(corpus):
+    t1 = annotate_to_triples(corpus).orderBy("subj", "pred", "obj", "start")
+    t2 = annotate_to_triples(corpus).orderBy("subj", "pred", "obj", "start")
+    rows1, rows2 = t1.collect(), t2.collect()
+    assert rows1 == rows2
+    preds = {r["pred"] for r in rows1}
+    assert preds == {"PART_OF", "NEXT_SENTENCE", "HAS_TAG", "TAG_OCCURS"}
+    assert len(rows1) > 50
+
+
+def test_content_sha_invariant(spark, corpus):
+    import hashlib
+    got = with_content_sha(corpus).select("content", "content_sha256").collect()
+    for r in got:
+        assert r["content_sha256"] == hashlib.sha256(
+            r["content"].encode()).hexdigest()
+
+
+def test_first_sentence_optional(sent_df):
+    t = build_triples(sent_df, include_first_sentence=True)
+    n_first = t.filter(F.col("pred") == "FIRST_SENTENCE").count()
+    assert n_first == 3  # one per document
+
+
+def test_plan_is_narrow_until_write(corpus):
+    """Scale guard: the annotate→triples plan must contain no Exchange
+    (shuffle) operators — the pipeline is narrow end-to-end."""
+    plan = annotate_to_triples(corpus)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
