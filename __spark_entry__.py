@@ -1,10 +1,21 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` — flagship: full annotate→triples KG construction on the
+sf0.001 documents table.
+
+`queries()` / `oracle_sql()` — one entry per implemented operator family
+(SURVEY.md §2): the KG annotation/triple pipeline, dedup suite, embedding
+similarity, text statistics, and the relational-primitive checklist (§2.4).
+
+Oracle notes: the driver's documents corpus is single-space-separated
+lowercase text with no sentence punctuation, so a `tokenize+stopword`
+pipeline (a legitimate reference pipeline config — annotator gating per
+PipelineBuilder.java:27-49) is exactly expressible in DuckDB SQL: one
+sentence per doc, whitespace tokens, lemma == token.  The full pipeline
+(POS/lemma/NER/sentiment) is covered by the pytest goldens and the rows-only
+`kg_annotate_full` query.  Money aggregations go through DECIMAL(18,2) so
+both engines sum exactly; timestamps compare via unix micros / formatted
+strings (session tz pinned to UTC in kg.session).
 """
 
 from __future__ import annotations
@@ -12,27 +23,461 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from kg.annotate import PipelineSpec
+from kg import dedup as kgdedup
+from kg import similarity as kgsim
+from kg import textstats as kgtext
+from kg.triples import (annotate_to_triples, explode_sentences, explode_tags,
+                        tag_nodes, with_doc_key)
+from kg.annotate import annotate_graph_df
+
+# tokenize+stopword pipeline: SQL-mirrorable on the punctuation-free corpus
+TOK_SPEC = PipelineSpec(name="tokenizer", annotators=("tokenize", "stopword"))
+FULL_SPEC = PipelineSpec(name="full",
+                         annotators=("tokenize", "pos", "lemma", "ner",
+                                     "stopword", "sentiment"))
+
+from kg import models as _kgmodels
+
+_SW = sorted(_kgmodels.DEFAULT_STOPWORDS)
+STOP_IN = "(" + ", ".join(f"'{w}'" for w in _SW) + ")"
+STOP_LIST_SQL = "[" + ", ".join(f"'{w}'" for w in _SW) + "]"
+
+
+def _docs(spark: SparkSession, sf_dir: str, lang: str | None = "en") -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return df.filter(F.col("lang") == lang) if lang else df
+
+
+def _read(name: str):
+    def load(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return load
+
+
+def _en_triples(spark: SparkSession, sf_dir: str, spec: PipelineSpec) -> DataFrame:
+    return annotate_to_triples(_docs(spark, sf_dir), text_col="text",
+                               id_cols=("doc_id",), lang_col="lang", spec=spec)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full KG construction (sentence split, tokenize, POS, lemma,
+    NER merge, stopword, sentiment → PART_OF/NEXT_SENTENCE/HAS_TAG/TAG_OCCURS
+    triples) over the sf0.001 documents table."""
+    return _en_triples(spark, "/root/testdata/sf0.001", FULL_SPEC)
+
+
+# ---------------------------------------------------------------------------
+# Spark-side query callables
+# ---------------------------------------------------------------------------
+def q_kg_part_of(spark, sf_dir):
+    return (_en_triples(spark, sf_dir, TOK_SPEC)
+            .filter(F.col("pred") == "PART_OF").select("subj", "pred", "obj"))
+
+
+def q_kg_has_tag(spark, sf_dir):
+    return (_en_triples(spark, sf_dir, TOK_SPEC)
+            .filter(F.col("pred") == "HAS_TAG").select("subj", "pred", "obj"))
+
+
+def q_kg_tag_occurs(spark, sf_dir):
+    return (_en_triples(spark, sf_dir, TOK_SPEC)
+            .filter(F.col("pred") == "TAG_OCCURS"))
+
+
+def q_kg_tag_tf(spark, sf_dir):
+    ann = annotate_graph_df(with_doc_key(_docs(spark, sf_dir), ("doc_id",)),
+                            "text", TOK_SPEC)
+    tags = explode_tags(explode_sentences(ann))
+    return tag_nodes(tags).select("tag_uid", "tf")
+
+
+def q_kg_sentences(spark, sf_dir):
+    ann = annotate_graph_df(with_doc_key(_docs(spark, sf_dir), ("doc_id",)),
+                            "text", TOK_SPEC)
+    s = explode_sentences(ann)
+    return s.select(F.col("doc_key").cast("bigint").alias("doc_id"),
+                    "sentence_number", "start", "end", "text")
+
+
+def q_kg_annotate_full(spark, sf_dir):
+    """Full pipeline incl. POS/lemma/NER/sentiment — rows-only check (the
+    annotator itself is not ANSI-SQL-expressible; goldens live in pytest)."""
+    return _en_triples(spark, sf_dir, FULL_SPEC)
+
+
+def q_dedup_exact(spark, sf_dir):
+    return kgdedup.exact_duplicates(_docs(spark, sf_dir, None), "text", "doc_id")
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return kgdedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=2, threshold=0.5,
+                                       text_col="text", id_col="doc_id")
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return kgdedup.minhash_lsh_pairs(_docs(spark, sf_dir), k=16, bands=4, n=2,
+                                     text_col="text", id_col="doc_id")
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """xxhash64 has no DuckDB twin — rows-only check; exactness covered by
+    unit tests."""
+    return kgdedup.simhash64(_docs(spark, sf_dir), "text", "doc_id")
+
+
+def q_embedding_near_pairs(spark, sf_dir):
+    emb = _read("embeddings")(spark, sf_dir)
+    a, b = emb.alias("a"), emb.alias("b")
+    return (a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+            .withColumn("cos", kgsim.cosine_sim(F.col("a.embedding"),
+                                                F.col("b.embedding")))
+            .filter(F.col("cos") >= 0.4)
+            .select(F.col("a.vec_id").alias("id_a"),
+                    F.col("b.vec_id").alias("id_b"),
+                    F.round("cos", 6).alias("cosine")))
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    emb = _read("embeddings")(spark, sf_dir)
+    queries = (emb.filter(F.col("vec_id") < 10)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return kgsim.cosine_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id", "rank")
+
+
+def q_text_token_stats(spark, sf_dir):
+    return kgtext.token_stats(_docs(spark, sf_dir, None), "text", "doc_id")
+
+
+def q_text_quality(spark, sf_dir):
+    return kgtext.quality_score(_docs(spark, sf_dir, None), "text", "doc_id")
+
+
+def q_text_language_id(spark, sf_dir):
+    return kgtext.language_id(_docs(spark, sf_dir, None), "text", "doc_id")
+
+
+def q_text_fingerprint(spark, sf_dir):
+    return kgtext.fingerprint(_docs(spark, sf_dir, None), "text", "doc_id")
+
+
+def q_text_bpe_count(spark, sf_dir):
+    return kgtext.bpe_ish_token_count(_docs(spark, sf_dir, None), "text", "doc_id")
+
+
+def _dec(c):
+    return F.col(c).cast("decimal(18,2)")
+
+
+def q_rel_q1_pricing(spark, sf_dir):
+    li = _read("lineitem")(spark, sf_dir)
+    return (li.filter(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+                 F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+                 F.sum((_dec("l_extendedprice") * _dec("l_discount")))
+                 .cast("double").alias("sum_disc"),
+                 F.count("*").alias("count_order")))
+
+
+def q_rel_q3_revenue(spark, sf_dir):
+    cu, od, li = (_read(n)(spark, sf_dir) for n in ("customer", "orders", "lineitem"))
+    rev = (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
+    return (li.join(od, li.l_orderkey == od.o_orderkey)
+            .join(F.broadcast(cu.filter(F.col("c_mktsegment") == "BUILDING")),
+                  od.o_custkey == F.col("c_custkey"))
+            .groupBy("o_orderkey")
+            .agg(F.sum(rev).cast("double").alias("revenue"),
+                 F.count("*").alias("n_items"))
+            .orderBy(F.desc("revenue"), F.asc("o_orderkey")).limit(10))
+
+
+def _micros(c):
+    """Parquet naive micros → bigint.  Spark 4 reads them as TIMESTAMP_NTZ;
+    cast via TIMESTAMP under the UTC session tz (kg.session) so the integer
+    equals DuckDB's epoch_us on the same naive value."""
+    return F.unix_micros(F.col(c).cast("timestamp"))
+
+
+def q_rel_events_gap(spark, sf_dir):
+    from pyspark.sql.window import Window
+    ev = _read("events")(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id", "event_id",
+        (F.unix_micros(F.lead(F.col("ts").cast("timestamp")).over(w))
+         - _micros("ts")).alias("gap_us"))
+
+
+def q_rel_events_hourly(spark, sf_dir):
+    ev = _read("events")(spark, sf_dir)
+    return (ev.groupBy(F.date_format("ts", "yyyy-MM-dd HH").alias("hour"),
+                       "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                 .alias("sum_value")))
+
+
+def q_rel_events_rollup(spark, sf_dir):
+    ev = _read("events")(spark, sf_dir)
+    return (ev.rollup(F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                      "event_type")
+            .agg(F.count("*").alias("n")))
+
+
+def q_rel_events_sessionize(spark, sf_dir):
+    from pyspark.sql.window import Window
+    ev = _read("events")(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = _micros("ts") - F.unix_micros(F.lag(F.col("ts").cast("timestamp")).over(w))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0))
+    return (flagged.groupBy("user_id")
+            .agg(F.sum("new_session").alias("n_sessions"),
+                 F.count("*").alias("n_events")))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "kg_part_of": q_kg_part_of,
+        "kg_has_tag": q_kg_has_tag,
+        "kg_tag_occurs": q_kg_tag_occurs,
+        "kg_tag_tf": q_kg_tag_tf,
+        "kg_sentences": q_kg_sentences,
+        "kg_annotate_full": q_kg_annotate_full,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "embedding_near_pairs": q_embedding_near_pairs,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "text_token_stats": q_text_token_stats,
+        "text_quality": q_text_quality,
+        "text_language_id": q_text_language_id,
+        "text_fingerprint": q_text_fingerprint,
+        "text_bpe_count": q_text_bpe_count,
+        "rel_q1_pricing": q_rel_q1_pricing,
+        "rel_q3_revenue": q_rel_q3_revenue,
+        "rel_events_gap": q_rel_events_gap,
+        "rel_events_hourly": q_rel_events_hourly,
+        "rel_events_rollup": q_rel_events_rollup,
+        "rel_events_sessionize": q_rel_events_sessionize,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL
+# ---------------------------------------------------------------------------
+_TOKS = "regexp_split_to_array(text, ' ')"
+
+_SHINGLES2 = f"""
+    SELECT DISTINCT doc_id, array_to_string(t[i:i+1], ' ') AS shingle
+    FROM (SELECT doc_id, {_TOKS} AS t, generate_subscripts({_TOKS}, 1) AS i
+          FROM documents WHERE lang = 'en')
+    WHERE i <= len(t) - 1
+"""
+
+_MINHASH_SIG = ("SELECT doc_id, "
+                + ", ".join(f"min(md5('{i}:' || shingle)) AS s{i}" for i in range(16))
+                + f" FROM ({_SHINGLES2}) GROUP BY doc_id")
+
+_BANDS = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, md5(s{b*4} || '|' || s{b*4+1} || '|' || s{b*4+2} || '|' || s{b*4+3}) AS bucket FROM sig"
+    for b in range(4))
+
+_LANG_SCORE = {
+    code: " + ".join(f"list_contains(list_distinct(t), '{m}')::int"
+                     for m in markers)
+    for code, markers in sorted(kgtext.LANG_MARKERS.items())
+}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sqls: dict[str, str] = {}
+
+    sqls["kg_part_of"] = """
+        SELECT 'sent:' || doc_id || ':0' AS subj, 'PART_OF' AS pred,
+               'doc:' || doc_id AS obj
+        FROM documents WHERE lang = 'en'"""
+
+    sqls["kg_has_tag"] = f"""
+        SELECT DISTINCT 'sent:' || doc_id || ':0' AS subj, 'HAS_TAG' AS pred,
+               'tag:en:' || tok AS obj
+        FROM (SELECT doc_id, unnest({_TOKS}) AS tok
+              FROM documents WHERE lang = 'en')
+        WHERE tok NOT IN {STOP_IN}"""
+
+    sqls["kg_tag_occurs"] = f"""
+        WITH t AS (
+          SELECT doc_id, unnest({_TOKS}) AS tok,
+                 generate_subscripts({_TOKS}, 1) AS i, {_TOKS} AS toks
+          FROM documents WHERE lang = 'en')
+        SELECT 'tag:en:' || tok AS subj, 'TAG_OCCURS' AS pred,
+               'sent:' || doc_id || ':0' AS obj,
+               CAST((i - 1) + coalesce(len(array_to_string(toks[1:i-1], '')), 0) AS INT) AS start,
+               CAST((i - 1) + coalesce(len(array_to_string(toks[1:i-1], '')), 0) + len(tok) AS INT) AS "end",
+               tok AS value
+        FROM t WHERE tok NOT IN {STOP_IN}"""
+
+    sqls["kg_tag_tf"] = f"""
+        SELECT 'tag:en:' || tok AS tag_uid, count(*) AS tf
+        FROM (SELECT doc_id, unnest({_TOKS}) AS tok
+              FROM documents WHERE lang = 'en')
+        WHERE tok NOT IN {STOP_IN}
+        GROUP BY 1"""
+
+    sqls["kg_sentences"] = """
+        SELECT doc_id, CAST(0 AS INT) AS sentence_number, CAST(0 AS INT) AS start,
+               CAST(length(text) AS INT) AS "end", text
+        FROM documents WHERE lang = 'en'"""
+
+    sqls["dedup_exact"] = """
+        SELECT sha256(text) AS content_sha256, count(*) AS n_dups,
+               min(doc_id) AS canonical_id
+        FROM documents GROUP BY 1"""
+
+    sqls["dedup_ngram_jaccard"] = f"""
+        WITH sh AS ({_SHINGLES2}),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, round(c / (sa.n + sb.n - c), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE c / (sa.n + sb.n - c) >= 0.5"""
+
+    sqls["dedup_minhash_lsh"] = f"""
+        WITH sig AS ({_MINHASH_SIG}),
+        buckets AS ({_BANDS})
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id"""
+
+    sqls["embedding_near_pairs"] = """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.4"""
+
+    sqls["ann_cosine_topk"] = """
+        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+          SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                 row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                   CAST(q.embedding AS DOUBLE[])) DESC,
+                            e.vec_id ASC) AS rank
+          FROM embeddings e, embeddings q
+          WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id)
+        WHERE rank <= 5"""
+
+    sqls["text_token_stats"] = f"""
+        SELECT doc_id,
+               CAST(len(t) AS INT) AS n_tokens,
+               CAST(len(list_distinct(t)) AS INT) AS n_distinct,
+               CAST(len(list_filter(list_distinct(t),
+                    x -> list_contains({STOP_LIST_SQL}, x))) AS INT) AS n_stop_distinct,
+               CAST(len(list_filter(t,
+                    x -> list_contains({STOP_LIST_SQL}, x))) AS INT) AS n_stop,
+               round(length(text) / len(t), 4) AS avg_token_len
+        FROM (SELECT doc_id, text, {_TOKS} AS t FROM documents)"""
+
+    sqls["text_quality"] = f"""
+        SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,
+               round(len(list_distinct(t)) / len(t), 4) AS diversity,
+               round(ns / len(t), 4) AS stop_ratio,
+               round((len(list_distinct(t)) / len(t))
+                     * (CASE WHEN len(t) BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.5 END)
+                     * (1.0 - (ns / len(t)) / 2.0), 4) AS quality
+        FROM (SELECT doc_id, text, {_TOKS} AS t,
+                     len(list_filter({_TOKS},
+                         x -> list_contains({STOP_LIST_SQL}, x))) AS ns
+              FROM documents)"""
+
+    lang_cases = []
+    for code in ("zh", "fr", "es", "en", "de"):  # descending code = tie winner
+        others = [c for c in ("zh", "fr", "es", "en", "de") if c != code]
+        cond = " AND ".join(f"s_{code} >= s_{o}" for o in others)
+        lang_cases.append(f"WHEN s_{code} > 0 AND {cond} THEN '{code}'")
+    sqls["text_language_id"] = f"""
+        SELECT doc_id,
+               CASE {' '.join(lang_cases)} ELSE 'und' END AS predicted_lang
+        FROM (SELECT doc_id,
+                {', '.join(f'({expr}) AS s_{code}' for code, expr in _LANG_SCORE.items())}
+              FROM (SELECT doc_id, {_TOKS} AS t FROM documents))"""
+
+    sqls["text_fingerprint"] = f"""
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fingerprint
+        FROM documents"""
+
+    sqls["text_bpe_count"] = r"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INT)
+               AS n_bpe_tokens
+        FROM documents"""
+
+    sqls["rel_q1_pricing"] = """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus"""
+
+    sqls["rel_q3_revenue"] = """
+        SELECT o_orderkey,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                    AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey
+        ORDER BY revenue DESC, o_orderkey ASC
+        LIMIT 10"""
+
+    sqls["rel_events_gap"] = """
+        SELECT user_id, event_id,
+               epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+               - epoch_us(ts) AS gap_us
+        FROM events"""
+
+    sqls["rel_events_hourly"] = """
+        SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2"""
+
+    sqls["rel_events_rollup"] = """
+        SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n
+        FROM events GROUP BY ROLLUP(day, event_type)"""
+
+    sqls["rel_events_sessionize"] = """
+        WITH flagged AS (
+          SELECT user_id,
+                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                           IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id))
+                         > 30 * 60 * 1000000
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events)
+        SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+        FROM flagged GROUP BY user_id"""
+
+    return sqls

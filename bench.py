@@ -1,0 +1,85 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32).
+
+Prints ONE JSON line:
+  {"metric": "headline_total", "value": <sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, "triples_per_sec": N, ...}
+
+Each query is forced to full materialization with the noop writer (no
+column-pruning shortcuts, no driver collect).  The flagship KG-construction
+query additionally reports triples/sec — the BASELINE.json target metric.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+HEADLINE = [
+    "kg_annotate_full",      # flagship: full annotate → triples
+    "kg_tag_occurs",
+    "kg_tag_tf",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_quality",
+    "text_fingerprint",
+    "ann_cosine_topk",
+    "rel_q1_pricing",
+    "rel_q3_revenue",
+    "rel_events_sessionize",
+]
+
+
+def run(sf_dir: str, cpus: int, names: list[str] | None = None) -> dict:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from kg.session import get_spark
+    import __spark_entry__ as E
+
+    spark = get_spark(app="kg-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 8))
+    qs = E.queries()
+    names = names or HEADLINE
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # warm the JVM + Python workers once (tiny job, not timed)
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    for name in names:
+        df = qs[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # flagship throughput: triples/sec end-to-end (count piggybacks on a
+    # second run so the timing above stays write-only)
+    t0 = time.perf_counter()
+    n_triples = qs["kg_annotate_full"](spark, sf_dir).count()
+    dt = time.perf_counter() - t0
+    extras["n_triples"] = n_triples
+    extras["triples_per_sec"] = round(n_triples / dt, 1)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    extras["docs_per_sec"] = round(n_docs / dt, 1)
+
+    spark.stop()
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    return {
+        "metric": "headline_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else None,
+        "cpus": cpus,
+        **extras,
+    }
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    only = sys.argv[1:] or None
+    print(json.dumps(run(sf_dir, cpus, only)))

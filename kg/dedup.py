@@ -1,0 +1,168 @@
+"""Deduplication operators for training-data pipelines over the corpus:
+
+- exact duplicate grouping (hash groupBy)
+- n-gram (shingle) Jaccard similarity pairs
+- MinHash signatures + banded LSH candidate pairs
+- SimHash (64-bit) near-dup fingerprints
+- embedding-cosine near-duplicate pairs (delegates to kg.similarity)
+
+Scale notes: the shingle-join is the classic workhorse — its cost is driven
+by shingle document frequency, so `max_df` caps hot shingles (a shingle in
+10^6 docs would otherwise create a 10^12-row join blowup; dropping it cannot
+create false positives above any threshold > 0 ... it only lowers recall on
+boilerplate, which is exactly what you want deduped by the exact/minhash
+passes instead).  MinHash uses md5-based hash families — portable across
+Spark and the DuckDB oracle, and free of RNG (seeded by the band index).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from kg.textstats import tokens_col
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Hash-groupBy exact dedup.  Returns one row per distinct content:
+    (content_sha256, n_dups, canonical_id = min id).  Map-side partial agg
+    keeps the shuffle at one (sha, partial) row per partition per key."""
+    return (df
+            .select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("content_sha256"))
+            .groupBy("content_sha256")
+            .agg(F.count("*").alias("n_dups"),
+                 F.min(id_col).alias("canonical_id")))
+
+
+def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+    Built-ins only: transform over a token-index sequence, then explode."""
+    toks = tokens_col(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return (df.select(F.col(id_col).alias("id"),
+                      F.explode(F.array_distinct(grams)).alias("shingle")))
+
+
+def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        max_df: int | None = None) -> DataFrame:
+    """All document pairs with shingle-Jaccard >= threshold.
+
+    inter(a,b) via self-join on shingle; union = |A| + |B| - inter.
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded for
+    cross-engine comparability."""
+    sh = word_shingles(df, n, text_col, id_col)
+    if max_df is not None:
+        hot = (sh.groupBy("shingle").count()
+               .filter(F.col("count") > max_df).select("shingle"))
+        sh = sh.join(hot, "shingle", "left_anti")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a.id") < F.col("b.id")))
+             .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+             .agg(F.count("*").alias("inter")))
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
+    return (inter.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("jaccard",
+                        F.round(F.col("inter")
+                                / (F.col("na") + F.col("nb") - F.col("inter")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH.  Hash family h_i(s) = md5(i || ':' || s) compared as
+# hex strings (lexicographic min ≡ min over a uniform 128-bit family).
+# Portable: identical in Spark and DuckDB, no RNG.
+# ---------------------------------------------------------------------------
+def minhash_signatures(df: DataFrame, k: int = 16, n: int = 3,
+                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, sig_0 .. sig_{k-1}) MinHash signature over word n-gram shingles.
+    One shuffle (groupBy id); the k mins are map-side partial-aggregated."""
+    sh = word_shingles(df, n, text_col, id_col)
+    aggs = [F.min(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("shingle"))))
+            .alias(f"sig_{i}") for i in range(k)]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(df: DataFrame, k: int = 16, bands: int = 4, n: int = 3,
+                      text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Candidate near-dup pairs: documents sharing any LSH band bucket.
+    k/bands signature rows per band; band key = md5 of the concatenated row
+    mins.  Returns distinct (id_a, id_b), id_a < id_b.
+
+    At scale the band-bucket join is shuffle-on-bucket; giant buckets (all-
+    identical boilerplate) are bounded upstream by exact dedup."""
+    assert k % bands == 0
+    rows_per_band = k // bands
+    sig = minhash_signatures(df, k, n, text_col, id_col)
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(F.struct(F.lit(b).alias("band"),
+                                  F.md5(F.concat_ws("|", *cols)).alias("bucket")))
+    buckets = (sig.select("id", F.explode(F.array(*band_cols)).alias("bb"))
+               .select("id", F.col("bb.band").alias("band"),
+                       F.col("bb.bucket").alias("bucket")))
+    a, b_ = buckets.alias("a"), buckets.alias("b")
+    return (a.join(b_, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct())
+
+
+# ---------------------------------------------------------------------------
+# SimHash — 64-bit fingerprint: sign-sum of per-token 64-bit hashes.
+# Expressed with built-ins: explode token→(id, hash), then for each bit
+# position sum ±1 and reassemble.  The bit loop is 64 JVM-side expressions,
+# not 64 shuffles: one groupBy(id) with 64 conditional sums.
+# ---------------------------------------------------------------------------
+def simhash64(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    toks = (df.select(F.col(id_col).alias("id"),
+                      F.explode(tokens_col(text_col)).alias("tok"))
+            .withColumn("h", F.xxhash64("tok")))
+    bit_sums = [
+        F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
+                     F.lit(1)).otherwise(F.lit(-1))).alias(f"b{i}")
+        for i in range(64)]
+    sums = toks.groupBy("id").agg(*bit_sums)
+    fp = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << i).cast("long") if i < 63 else \
+            F.when(F.col(f"b{i}") > 0, F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return sums.select("id", fp.alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
+                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Near-dup candidates by SimHash: block on 16-bit chunks (pigeonhole —
+    any pair within hamming distance 3 shares at least one of 4 chunks),
+    verify hamming distance exactly via bit_count(xor)."""
+    sh = simhash64(df, text_col, id_col)
+    chunks = F.array(*[
+        F.struct(F.lit(c).alias("chunk"),
+                 F.shiftrightunsigned(F.col("simhash"), c * 16)
+                 .bitwiseAND(F.lit(0xFFFF)).alias("key"))
+        for c in range(4)])
+    blocked = (sh.select("id", "simhash", F.explode(chunks).alias("cb"))
+               .select("id", "simhash", F.col("cb.chunk").alias("chunk"),
+                       F.col("cb.key").alias("key")))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+                    .alias("hamming"))
+            .distinct()
+            .filter(F.col("hamming") <= max_hamming))

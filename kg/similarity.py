@@ -1,0 +1,134 @@
+"""Approximate-nearest-neighbor search over an embedding column
+(array<float>), for similarity search and embedding-based near-dedup.
+
+- `cosine_topk`: exact brute-force baseline.  Query side is broadcast
+  (top-k against a bounded query set is the common shape); dot products run
+  JVM-side via zip_with/aggregate in double precision, sequential order —
+  bit-reproducible and portable to the DuckDB oracle
+  (list_cosine_similarity).
+- `lsh_topk`: the scale path — random-hyperplane (sign) LSH buckets computed
+  from a deterministic md5-seeded plane matrix; candidates only meet within
+  a bucket, turning the O(N·Q) scan into a bucket-local search.
+- `cosine_near_pairs`: all-pairs above a threshold (embedding near-dup).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct as _struct
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0).cast("double"), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0).cast("double"),
+                              lambda acc, v: acc + v * v))
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    return _dot(ad, bd) / (_norm(ad) * _norm(bd))
+
+
+def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                qid_col: str = "query_id", qvec_col: str = "embedding") -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    Plan shape: BroadcastNestedLoopJoin (queries broadcast — they are the
+    small side by construction) → JVM-side cosine → per-query window top-k.
+    The window shuffles on query_id: Q groups, each N rows — the unavoidable
+    exact-topk reduction; AQE coalesces the tiny partitions."""
+    q = F.broadcast(queries.select(F.col(qid_col).alias("query_id"),
+                                   F.col(qvec_col).alias("qvec")))
+    base = emb.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("vec"))
+    scored = (base.crossJoin(q)
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .withColumn("cos", cosine_sim(F.col("qvec"), F.col("vec"))))
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank",
+                    F.round(F.col("cos"), 6).alias("cosine")))
+
+
+def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
+    """Deterministic pseudo-random unit-free hyperplanes: components derived
+    from md5(plane,i) → signed ints.  No RNG state, reproducible across
+    sessions/executors."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"{p}:{i}".encode()).digest()[:4]
+            (v,) = _struct.unpack(">i", h)
+            row.append(float(v) / 2**31)
+        planes.append(row)
+    return planes
+
+
+def lsh_signature(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign-LSH bucket id: one bit per hyperplane (dot(v, plane) >= 0)."""
+    bits = []
+    for idx, plane in enumerate(planes):
+        pl = F.array(*[F.lit(c).cast("double") for c in plane])
+        d = _dot(F.transform(vec_col, lambda x: x.cast("double")), pl)
+        bits.append(F.when(d >= 0, F.lit(1 << idx)).otherwise(F.lit(0)))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return sig
+
+
+def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 5, n_planes: int = 8,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             qid_col: str = "query_id", qvec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's sign-LSH
+    bucket.  At 100 TB this is the difference between a full scan per query
+    and a bucket-pruned shuffle join on `bucket` (≈ N/2^planes candidates).
+    Recall is tunable via n_planes (fewer planes → bigger buckets)."""
+    dim = len(emb.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes)
+    e = emb.select(F.col(id_col).alias("neighbor_id"),
+                   F.col(vec_col).alias("vec"),
+                   lsh_signature(F.col(vec_col), planes).alias("bucket"))
+    q = queries.select(F.col(qid_col).alias("query_id"),
+                       F.col(qvec_col).alias("qvec"),
+                       lsh_signature(F.col(qvec_col), planes).alias("bucket"))
+    scored = (e.join(F.broadcast(q), "bucket")
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .withColumn("cos", cosine_sim(F.col("qvec"), F.col("vec"))))
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank",
+                    F.round(F.col("cos"), 6).alias("cosine")))
+
+
+def cosine_near_pairs(emb: DataFrame, threshold: float = 0.95,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      n_planes: int = 8) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine >= threshold), LSH-blocked:
+    only pairs sharing a sign-LSH bucket are scored.  For thresholds near 1
+    the bucket share probability is ≈ (1 - θ/π)^planes — high recall; exact
+    verification happens on the scored candidates."""
+    dim = len(emb.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes)
+    e = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+                   lsh_signature(F.col(vec_col), planes).alias("bucket"))
+    a, b = e.alias("a"), e.alias("b")
+    return (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .withColumn("cos", cosine_sim(F.col("a.vec"), F.col("b.vec")))
+            .filter(F.col("cos") >= threshold)
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    F.round(F.col("cos"), 6).alias("cosine")))

@@ -1,0 +1,113 @@
+"""Text-analysis operators for large-scale corpus curation: token stats,
+quality scoring, language ID, fingerprinting.
+
+All hot-path expressions are built-in pyspark.sql.functions (JVM-side,
+whole-stage codegen) — no Python UDFs anywhere in this module.  Every
+operator is a narrow per-row map; zero shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from kg import models
+
+# Portable whitespace tokenization (documents corpus is space-separated;
+# matches DuckDB regexp_split_to_array(text, ' +') for the oracle).
+def tokens_col(text_col: str = "text") -> Column:
+    return F.split(F.trim(F.col(text_col)), r" +")
+
+
+STOPWORD_ARRAY = sorted(models.DEFAULT_STOPWORDS)
+
+
+def token_stats(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Per-document token statistics: counts, distinct counts, stopword ratio,
+    average token length — the raw signals for quality filtering."""
+    toks = tokens_col(text_col)
+    sw = F.array(*[F.lit(w) for w in STOPWORD_ARRAY])
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.size(F.array_intersect(F.array_distinct(toks), sw)).alias("n_stop_distinct"),
+        F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).alias("n_stop"),
+        F.round(F.length(F.col(text_col)) / F.size(toks), 4).alias("avg_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Composite quality score in [0,1]: lexical diversity × length band ×
+    (1 - stopword excess).  Deterministic integer-ratio arithmetic, rounded."""
+    s = token_stats(df, text_col, id_col)
+    diversity = F.col("n_distinct") / F.col("n_tokens")
+    stop_ratio = F.col("n_stop") / F.col("n_tokens")
+    length_ok = F.when((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 10000),
+                       F.lit(1.0)).otherwise(F.lit(0.5))
+    return s.select(
+        id_col, "n_tokens",
+        F.round(diversity, 4).alias("diversity"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(diversity * length_ok * (1.0 - stop_ratio / 2.0), 4).alias("quality"),
+    )
+
+
+# Marker-word profiles for the rule-based language identifier.  At real scale
+# this would be a char-n-gram profile table; the operator shape (broadcast
+# profile, argmax over per-profile overlap scores) is identical.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "that", "for", "with"),
+    "fr": ("le", "la", "les", "et", "des", "une", "est", "que"),
+    "es": ("el", "los", "las", "una", "es", "por", "para", "como"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "zh": ("de", "shi", "bu", "wo", "zai", "le", "you", "ren"),
+}
+
+
+def language_id(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID: argmax over marker-word overlap, 'und' when no
+    profile scores.  Ties broken by language code order (deterministic)."""
+    toks = F.array_distinct(tokens_col(text_col))
+    scores = [
+        F.struct(
+            F.size(F.array_intersect(
+                toks, F.array(*[F.lit(m) for m in markers]))).alias("score"),
+            F.lit(code).alias("code"))
+        for code, markers in sorted(LANG_MARKERS.items())
+    ]
+    # greatest(...) on (score, code) structs: max score, then max code —
+    # invert code ordering for deterministic *ascending* tiebreak by negating
+    # via reverse alphabet is overkill; sorted() + greatest keeps ties stable.
+    best = F.greatest(*scores)
+    return df.select(
+        F.col(id_col),
+        F.when(best["score"] > 0, best["code"]).otherwise(F.lit("und"))
+        .alias("predicted_lang"))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Order-insensitive content fingerprint: md5 of the sorted distinct token
+    set — the canonical near-dup blocking key after token normalization
+    (cheap analog of a rolling-hash shingle sketch; md5 is portable to the
+    DuckDB oracle)."""
+    toks = F.array_sort(F.array_distinct(tokens_col(text_col)))
+    return df.select(
+        F.col(id_col),
+        F.md5(F.concat_ws(" ", toks)).alias("fingerprint"))
+
+
+_BPE_ISH = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def bpe_ish_token_count(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Sub-word-ish token count: alpha runs + digit runs + individual symbols,
+    a cheap proxy for BPE token budgeting in training-data pipelines."""
+    return df.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(_BPE_ISH), 0))
+        .alias("n_bpe_tokens"))

@@ -1,0 +1,104 @@
+"""Local mirror of the driver's correctness gate: run each __spark_entry__
+query on Spark AND its DuckDB oracle at a given sf dir, compare row count,
+column names, and an order-insensitive value hash.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+
+import duckdb
+
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+def norm_cell(v):
+    import datetime
+    import math
+    if v is None:
+        return "\\N"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(round(v, 9))
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    return str(v)
+
+
+def value_hash(rows, columns):
+    lines = sorted(
+        "\x01".join(norm_cell(r[c]) for c in sorted(columns)) for r in rows)
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from kg.session import get_spark
+    import __spark_entry__ as E
+
+    spark = get_spark(app="oracle-check", master="local[8]",
+                      shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = E.queries()
+    oracles = E.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = [r.asDict() for r in sdf.collect()]
+            scols = sdf.columns
+        except Exception as ex:
+            print(f"{name:28s} SPARK-ERROR {type(ex).__name__}: {str(ex)[:200]}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"{name:28s} rows-only  n={len(srows)}")
+            continue
+        try:
+            rel = con.execute(oracles[name])
+            dcols = [d[0] for d in rel.description]
+            drows = [dict(zip(dcols, row)) for row in rel.fetchall()]
+        except Exception as ex:
+            print(f"{name:28s} DUCK-ERROR {type(ex).__name__}: {str(ex)[:200]}")
+            failures.append(name)
+            continue
+        ok_n = len(srows) == len(drows)
+        ok_c = sorted(scols) == sorted(dcols)
+        sh, dh = value_hash(srows, scols), value_hash(drows, dcols)
+        ok_h = sh == dh
+        status = "OK " if (ok_n and ok_c and ok_h) else "FAIL"
+        print(f"{name:28s} {status} n={len(srows)}/{len(drows)} "
+              f"cols={'=' if ok_c else f'{scols} vs {dcols}'} hash={'=' if ok_h else f'{sh} vs {dh}'}")
+        if status == "FAIL":
+            failures.append(name)
+            if ok_c and not ok_h:
+                sset = {tuple(norm_cell(r[c]) for c in sorted(scols)) for r in srows}
+                dset = {tuple(norm_cell(r[c]) for c in sorted(dcols)) for r in drows}
+                for x in list(sset - dset)[:3]:
+                    print(f"    spark-only: {x}")
+                for x in list(dset - sset)[:3]:
+                    print(f"    duck-only:  {x}")
+    spark.stop()
+    print("FAILURES:", failures if failures else "none")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
