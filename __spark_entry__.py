@@ -168,6 +168,81 @@ def q_text_bpe_count(spark, sf_dir):
     return kgtext.bpe_ish_token_count(_docs(spark, sf_dir, None), "text", "doc_id")
 
 
+def q_dedup_components(spark, sf_dir):
+    """Near-dup clusters: connected components over the 2-gram-Jaccard>=0.5
+    pair graph (kg.canon hash-to-min fixpoint vs DuckDB recursive CTE)."""
+    from kg.canon import connected_components
+    pairs = kgdedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=2,
+                                        threshold=0.5, text_col="text",
+                                        id_col="doc_id")
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    return connected_components(edges).select("node", "component")
+
+
+def q_canon_part_of(spark, sf_dir):
+    """Canonicalized PART_OF triples: doc objects of near-duplicate documents
+    rewritten to the cluster-minimum doc id (entity-canonicalization shape
+    applied to the dedup graph)."""
+    from kg.canon import canonicalize_triples, connected_components
+    pairs = kgdedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=2,
+                                        threshold=0.5, text_col="text",
+                                        id_col="doc_id")
+    edges = pairs.select(F.concat(F.lit("doc:"), F.col("id_a")).alias("src"),
+                         F.concat(F.lit("doc:"), F.col("id_b")).alias("dst"))
+    labels = connected_components(edges)
+    part_of = (_en_triples(spark, sf_dir, TOK_SPEC)
+               .filter(F.col("pred") == "PART_OF")
+               .select("subj", "pred", "obj"))
+    return canonicalize_triples(part_of, labels)
+
+
+def q_extract_units(spark, sf_dir):
+    """Code-payload extraction: wrap each document text into a synthetic
+    python file (docstring + comment + def), run the extract UDF, return
+    typed unit spans — oracle predicts every span arithmetically."""
+    from kg.extract import extract_nl_units
+    docs = _docs(spark, sf_dir, None).select(
+        "doc_id",
+        F.lit("python").alias("lang"),
+        F.concat(F.lit('"""'), F.col("text"), F.lit('"""\n# note: en\n'),
+                 F.lit("def load_data(x):\n")).alias("content"))
+    units = extract_nl_units(docs, doc_key_col="doc_id")
+    return units.select("doc_id", "unit_number", "unit_type",
+                        "unit_start", "unit_end", "text")
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing: deterministic fake image per embedding row →
+    mapInPandas decode/feature UDF; oracle predicts dims/sizes from vec_id."""
+    import pandas as pd
+    from kg import multimodal as mm
+    emb = _read("embeddings")(spark, sf_dir).select("vec_id")
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["vec_id"].astype("int64"),
+                "kind": "image",
+                "format": "fake-png",
+                "payload": [mm.fake_png_bytes(int(i), 8 + int(i) % 5,
+                                              6 + int(i) % 4)
+                            for i in pdf["vec_id"]],
+            })
+
+    media = emb.mapInPandas(gen, mm.MEDIA_SCHEMA)
+    return (mm.extract_image_features(media)
+            .select("media_id", "width", "height", "n_bytes"))
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """Scale-path ANN (sign-LSH bucketed) — approximate by design, so
+    rows-only; exact-recall properties are pytest-verified."""
+    emb = _read("embeddings")(spark, sf_dir)
+    queries = (emb.filter(F.col("vec_id") < 10)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return kgsim.lsh_topk(emb, queries, k=5, n_planes=6)
+
+
 def _dec(c):
     return F.col(c).cast("decimal(18,2)")
 
@@ -253,6 +328,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_components": q_dedup_components,
+        "canon_part_of": q_canon_part_of,
+        "extract_units": q_extract_units,
+        "multimodal_features": q_multimodal_features,
+        "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_near_pairs": q_embedding_near_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "text_token_stats": q_text_token_stats,
@@ -359,6 +439,68 @@ def oracle_sql() -> dict[str, str]:
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM buckets a JOIN buckets b
           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id"""
+
+    _JPAIRS = f"""
+        WITH sh AS ({_SHINGLES2}),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE c / (sa.n + sb.n - c) >= 0.5"""
+
+    sqls["dedup_components"] = f"""
+        WITH RECURSIVE
+        jpairs AS ({_JPAIRS}),
+        pairs AS (SELECT id_a AS a, id_b AS b FROM jpairs
+                  UNION SELECT id_b, id_a FROM jpairs),
+        nodes AS (SELECT DISTINCT a AS node FROM pairs),
+        reach AS (
+          SELECT node, node AS r FROM nodes
+          UNION
+          SELECT reach.node, p.b AS r FROM reach JOIN pairs p ON p.a = reach.r)
+        SELECT node, min(r) AS component FROM reach GROUP BY node"""
+
+    sqls["canon_part_of"] = f"""
+        WITH RECURSIVE
+        jpairs AS ({_JPAIRS}),
+        pairs AS (SELECT 'doc:' || id_a AS a, 'doc:' || id_b AS b FROM jpairs
+                  UNION SELECT 'doc:' || id_b, 'doc:' || id_a FROM jpairs),
+        nodes AS (SELECT DISTINCT a AS node FROM pairs),
+        reach AS (
+          SELECT node, node AS r FROM nodes
+          UNION
+          SELECT reach.node, p.b AS r FROM reach JOIN pairs p ON p.a = reach.r),
+        comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+        SELECT 'sent:' || d.doc_id || ':0' AS subj, 'PART_OF' AS pred,
+               coalesce(c.component, 'doc:' || d.doc_id) AS obj
+        FROM documents d LEFT JOIN comp c ON c.node = 'doc:' || d.doc_id
+        WHERE d.lang = 'en'"""
+
+    sqls["extract_units"] = """
+        SELECT doc_id, unit_number, unit_type, unit_start, unit_end, text FROM (
+          SELECT doc_id, CAST(0 AS INT) AS unit_number,
+                 'docstring' AS unit_type, CAST(3 AS INT) AS unit_start,
+                 CAST(3 + length(text) AS INT) AS unit_end, text
+          FROM documents
+          UNION ALL
+          SELECT doc_id, 1, 'comment', CAST(length(text) + 8 AS INT),
+                 CAST(length(text) + 17 AS INT), 'note: en'
+          FROM documents
+          UNION ALL
+          SELECT doc_id, 2, 'identifier', CAST(length(text) + 22 AS INT),
+                 CAST(length(text) + 31 AS INT), 'load data'
+          FROM documents)"""
+
+    sqls["multimodal_features"] = """
+        SELECT vec_id AS media_id,
+               CAST(8 + vec_id % 5 AS INT) AS width,
+               CAST(6 + vec_id % 4 AS INT) AS height,
+               CAST(16 + (8 + vec_id % 5) * (6 + vec_id % 4) * 3 AS BIGINT) AS n_bytes
+        FROM embeddings"""
 
     sqls["embedding_near_pairs"] = """
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,

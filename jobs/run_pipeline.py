@@ -1,0 +1,117 @@
+"""spark-submit entrypoint: full KG-construction run over a code corpus.
+
+    spark-submit --py-files kg.zip jobs/run_pipeline.py \
+        --input <corpus parquet/iceberg path> --output <triples path> \
+        [--resume] [--salt-buckets 64] [--langs en] [--synthetic N]
+
+Stages (north_rule): scan → lang filter → sha256 invariant → NL-unit
+extraction → annotate (pandas UDF) → triples → entity linking →
+connected-components canonicalization → salted partitioned write with
+manifest-based checkpoint-resume and per-partition lineage metrics.
+
+`--synthetic N` generates the deterministic kg.corpus fixture instead of
+reading --input (benchmarks / smoke runs).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+
+def main(argv: list[str] | None = None) -> dict:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", default=None)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--resume", action="store_true",
+                    help="skip partitions already in the manifest")
+    ap.add_argument("--salt-buckets", type=int, default=64)
+    ap.add_argument("--langs", default="en,python,java,go")
+    ap.add_argument("--synthetic", type=int, default=0)
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--link-dictionary", default=None,
+                    help="parquet with (entity_id, name_norm) for linking")
+    args = ap.parse_args(argv)
+
+    from kg.session import get_spark
+    from kg.annotate import annotate_graph_df
+    from kg.canon import canonicalize_triples, co_mention_edges, connected_components
+    from kg.corpus import synthetic_corpus
+    from kg.extract import extract_nl_units
+    from kg.link import extract_mentions, link_mentions
+    from kg.materialize import (SALT_COL, resume_filter, run_partitioned,
+                                with_salt)
+    from kg.pipeline import language_filter
+    from kg.triples import (build_triples, explode_sentences, explode_tags,
+                            with_content_sha, with_doc_key)
+
+    t0 = time.time()
+    spark = get_spark(app="kg-run", master=args.master)
+
+    if args.synthetic:
+        corpus = synthetic_corpus(spark, n_files=args.synthetic)
+    else:
+        corpus = spark.read.parquet(args.input)
+
+    langs = tuple(x.strip() for x in args.langs.split(",") if x.strip())
+    corpus = language_filter(corpus, supported=langs)
+    corpus = with_content_sha(with_doc_key(corpus))
+    corpus = with_salt(corpus, ("repo", "path"), args.salt_buckets)
+
+    if args.resume:
+        corpus = resume_filter(corpus, spark, args.output,
+                               keys=("lang", SALT_COL))
+
+    # NL units from code payloads; each unit is an annotatable document
+    units = (extract_nl_units(corpus)
+             .withColumn("unit_key", F.concat_ws(":", "doc_key", "unit_number")))
+    # carry partition identity through (salt comes from the parent doc)
+    units = units.join(
+        corpus.select("doc_key", SALT_COL), "doc_key")
+
+    ann = annotate_graph_df(units, text_col="text")
+    sent = explode_sentences(
+        ann.withColumnRenamed("doc_key", "parent_doc")
+           .withColumnRenamed("unit_key", "doc_key"),
+        lang_col=None)
+    # annotated units are NL → lang tag 'en' for tag uids; partition lang is
+    # the source-file language
+    sent = sent.join(
+        units.select(F.col("unit_key").alias("doc_key"),
+                     F.col("lang").alias("src_lang"), SALT_COL),
+        "doc_key")
+
+    triples = build_triples(sent)
+
+    if args.link_dictionary:
+        dictionary = spark.read.parquet(args.link_dictionary)
+        mentions = extract_mentions(explode_tags(sent))
+        linked = link_mentions(mentions, dictionary)
+        labels = connected_components(co_mention_edges(linked))
+        triples = canonicalize_triples(triples, labels)
+
+    part = (triples
+            .join(sent.select(F.col("sentence_id").alias("subj"),
+                              F.col("src_lang").alias("lang"), SALT_COL)
+                  .distinct(),
+                  "subj", "left")
+            .withColumn("lang", F.coalesce("lang", F.lit("en")))
+            .withColumn(SALT_COL, F.coalesce(
+                F.col(SALT_COL),
+                F.pmod(F.xxhash64("subj"), F.lit(args.salt_buckets)).cast("int"))))
+
+    sent_keys = sent.select("doc_key", F.col("src_lang").alias("lang"),
+                            "sentence_id", SALT_COL)
+    summary = run_partitioned(sent_keys, part, args.output, spark,
+                              keys=("lang", SALT_COL))
+    summary["wall_sec"] = round(time.time() - t0, 2)
+    print(json.dumps(summary))
+    return summary
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,131 @@
+"""Canonicalization: connected components over the mention co-reference
+graph (north_star: "canonicalized by connected-components union-find over the
+mention co-reference graph before graph materialization").
+
+Spark has no recursion, so the fixpoint is a driver-side loop of DataFrame
+joins with `localCheckpoint()` per iteration to cut lineage (SURVEY.md §4).
+
+`connected_components` implements min-label propagation ("hash-to-min"):
+    comp(u) ← min(comp(u), min_{v∈N(u)} comp(v))
+iterated until no label changes.  Rounds = graph diameter; co-reference
+graphs are dense small-diameter clusters, so convergence is fast.  Each
+round: one join (labels ⋈ edges, shuffle on node id) + one groupBy(min).
+The `two_phase` variant (alternating large-star/small-star) lowers rounds to
+O(log n) for pathological chain graphs at the cost of edge-set rewrites —
+selectable for adversarial inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _symmetric(edges: DataFrame) -> DataFrame:
+    e = edges.select(F.col("src"), F.col("dst"))
+    return e.union(e.select(F.col("dst").alias("src"),
+                            F.col("src").alias("dst")))
+
+
+def connected_components(edges: DataFrame, max_iter: int = 50,
+                         algorithm: str = "hash_to_min") -> DataFrame:
+    """edges(src, dst) → labels(node, component) with component = min node id
+    of the component (string or numeric ids — min is type-generic).
+
+    Deterministic, resumable (pure function of the edge set)."""
+    if algorithm == "two_phase":
+        return _two_phase(edges, max_iter)
+    sym = _symmetric(edges).distinct()
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    labels = nodes.withColumn("component", F.col("node")).localCheckpoint()
+    for _ in range(max_iter):
+        # neighbor minimum: join edge dst's current label, take min per src
+        nbr_min = (sym.join(labels.withColumnRenamed("node", "dst"), "dst")
+                   .groupBy("src").agg(F.min("component").alias("nbr_comp")))
+        new_labels = (labels.join(nbr_min,
+                                  labels.node == nbr_min.src, "left")
+                      .select(F.col("node"),
+                              F.least(F.col("component"),
+                                      F.coalesce(F.col("nbr_comp"),
+                                                 F.col("component")))
+                              .alias("component")))
+        new_labels = new_labels.localCheckpoint()
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.component") != F.col("o.component"))
+                   .limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def _two_phase(edges: DataFrame, max_iter: int) -> DataFrame:
+    """Alternating large-star/small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") — O(log n) rounds on adversarial
+    chain graphs."""
+    e = _symmetric(edges).distinct().localCheckpoint()
+    for _ in range(max_iter):
+        # large-star: for every node u, attach its larger neighbors to
+        # m(u) = min(N(u) ∪ {u})
+        mins = (e.groupBy("src")
+                .agg(F.least(F.min("dst"), F.first("src")).alias("m")))
+        with_m = e.join(mins, "src")
+        large = (with_m.filter(F.col("dst") > F.col("src"))
+                 .select(F.col("dst").alias("src"), F.col("m").alias("dst")))
+        e1 = _symmetric(large).distinct().localCheckpoint()
+        # small-star: attach smaller-or-equal neighbors to m(u)
+        mins2 = (e1.groupBy("src")
+                 .agg(F.least(F.min("dst"), F.first("src")).alias("m")))
+        with_m2 = e1.join(mins2, "src")
+        small = (with_m2.filter(F.col("dst") <= F.col("src"))
+                 .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+                 .union(mins2.select(F.col("src"), F.col("m").alias("dst"))))
+        e_new = (_symmetric(small).filter(F.col("src") != F.col("dst"))
+                 .distinct().localCheckpoint())
+        # converged when a full large+small round leaves the edge set
+        # unchanged vs the PREVIOUS round's result (comparing against this
+        # round's intermediate e1 would stop early on non-flat stars)
+        stable = (e_new.exceptAll(e).limit(1).count() == 0
+                  and e.exceptAll(e_new).limit(1).count() == 0)
+        e = e_new
+        if stable:
+            break
+    comp = (e.groupBy("src").agg(F.min("dst").alias("m"))
+            .select(F.col("src").alias("node"),
+                    F.least(F.col("src"), F.col("m")).alias("component")))
+    isolated = (_symmetric(edges).select(F.col("src").alias("node")).distinct()
+                .join(comp, "node", "left_anti")
+                .withColumn("component", F.col("node")))
+    return comp.unionByName(isolated)
+
+
+def co_mention_edges(linked: DataFrame) -> DataFrame:
+    """Mention co-reference edges: two mentions linked to the same entity, or
+    sharing the same lemma in the same document, co-refer.  Edge list feeds
+    connected_components; component id becomes the canonical entity key."""
+    by_entity = (linked.filter(F.col("entity_id").isNotNull())
+                 .select(F.col("mention_id"),
+                         F.concat(F.lit("ent:"), F.col("entity_id")).alias("anchor")))
+    by_surface = linked.select(
+        "mention_id",
+        F.concat(F.lit("sf:"), F.col("doc_key"), F.lit(":"), F.col("lemma"))
+        .alias("anchor"))
+    both = by_entity.unionByName(by_surface)
+    return both.select(F.col("mention_id").alias("src"),
+                       F.col("anchor").alias("dst"))
+
+
+def canonicalize_triples(triples: DataFrame, labels: DataFrame) -> DataFrame:
+    """Rewrite triple subj/obj through the component map (two broadcast-or-
+    shuffle left joins; labels is usually ≪ triples, so Catalyst/AQE picks
+    broadcast when it fits)."""
+    sub = labels.select(F.col("node").alias("subj"),
+                        F.col("component").alias("subj_canon"))
+    obj = labels.select(F.col("node").alias("obj"),
+                        F.col("component").alias("obj_canon"))
+    return (triples.join(sub, "subj", "left").join(obj, "obj", "left")
+            .select(F.coalesce("subj_canon", "subj").alias("subj"),
+                    "pred",
+                    F.coalesce("obj_canon", "obj").alias("obj"),
+                    *[c for c in triples.columns
+                      if c not in ("subj", "pred", "obj")]))

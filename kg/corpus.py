@@ -1,0 +1,109 @@
+"""Deterministic synthetic code corpus with the BASELINE.json input_hint
+schema:  (repo:string, path:string, commit:string, lang:string,
+content:string).
+
+Generated ON THE EXECUTORS from `spark.range(n)` — the driver never holds the
+corpus (at 10^12 files a driver-side generator is a non-starter), and every
+row is a pure function of its index (seeded, no RNG state), so any subset can
+be regenerated for resume tests.
+
+Skew is built in on purpose: repo 0 is a "monorepo" holding `monorepo_share`
+of all files — the skew the salted (repo, lang) partitioning of
+kg.materialize exists to defuse.
+
+Golden fixture texts (FIXTURES.md §2) are embedded verbatim as docstrings of
+a deterministic subset of files, so end-to-end extraction → annotation can be
+asserted against known triples.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (StringType, StructField, StructType)
+
+GOLDEN_TEXTS = (
+    # TextProcessorTest.java:65-75
+    "On 8 May 2013, one week before the Pakistani election, the third author, "
+    "in his keynote address at the Sentiment Analysis Symposium, forecast the "
+    "winner of the Pakistani election. The chart in Figure 1 shows varying "
+    "sentiment on the candidates for prime minister of Pakistan in that "
+    "election. The next day, the BBC's Owen Bennett Jones, reporting from "
+    "Islamabad, wrote an article titled “Pakistan Elections: Five Reasons "
+    "Why the Vote is Unpredictable,”1 in which he claimed that the "
+    "election was too close to call. It was not, and despite his being in "
+    "Pakistan, the outcome of the election was exactly as we predicted.",
+    # TextProcessorTest.java:91-97
+    "Collibra’s Data Governance Innovation: Enabling Data as a Strategic Asset",
+    # TextProcessorTest.java:234-252
+    "Fixing Batch Endpoint Logging Problem",
+    "Importing CSV data does nothing",
+)
+
+_WORDS = ("parse build cache merge token lemma graph triple spark shuffle "
+          "partition broadcast executor salt skew checkpoint resume lineage "
+          "metric annotate sentence corpus iceberg parquet arrow batch "
+          "vector column").split()
+
+_LANGS = ("python", "java", "go", "en", "fr")
+
+
+def _make_file(i: int, n_repos: int, monorepo_share: float) -> tuple:
+    # deterministic pseudo-hash of the index (splitmix-ish, pure function)
+    h = (i * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    h ^= h >> 31
+    if (h % 1000) / 1000.0 < monorepo_share:
+        repo_idx = 0
+    else:
+        repo_idx = 1 + (h >> 10) % (n_repos - 1)
+    lang = _LANGS[(h >> 20) % len(_LANGS)]
+    golden = GOLDEN_TEXTS[i % len(GOLDEN_TEXTS)] if (i % 7) == 0 else None
+    w = lambda k: _WORDS[(h >> (k * 3)) % len(_WORDS)]  # noqa: E731
+    if lang == "python":
+        doc = golden or f"Compute the {w(1)} {w(2)} for each {w(3)} batch."
+        content = (f'"""{doc}"""\n\n'
+                   f"# builds the {w(4)} {w(5)} index\n"
+                   f"def {w(6)}_{w(7)}(x):\n"
+                   f"    return x  # trivial {w(8)} step\n")
+    elif lang in ("java", "go"):
+        doc = golden or f"Applies the {w(1)} {w(2)} transformation to {w(3)} rows."
+        content = (f"/* {doc} */\n"
+                   f"// caches the {w(4)} {w(5)} result\n"
+                   f"public void {w(6)}{w(7).capitalize()}() {{ }}\n")
+    else:  # natural-language file (en/fr): content IS the text
+        content = golden or (
+            f"The {w(1)} {w(2)} shows the {w(3)} of the {w(4)} pipeline. "
+            f"It was {w(5)} and the {w(6)} was exactly as we predicted.")
+        lang = "en" if lang == "en" or golden else lang
+    repo = f"org/repo{repo_idx}"
+    ext = {"python": "py", "java": "java", "go": "go"}.get(lang, "md")
+    path = f"src/m{(h >> 5) % 97}/f{i}.{ext}"
+    commit = format((repo_idx * 0x517CC1B727220A95) & (2**160 - 1), "040x")
+    return (repo, path, commit, lang, content)
+
+
+CORPUS_SCHEMA = StructType([
+    StructField("repo", StringType(), False),
+    StructField("path", StringType(), False),
+    StructField("commit", StringType(), False),
+    StructField("lang", StringType(), False),
+    StructField("content", StringType(), False),
+])
+
+
+def synthetic_corpus(spark: SparkSession, n_files: int = 1000,
+                     n_repos: int = 50, monorepo_share: float = 0.3,
+                     partitions: int | None = None) -> DataFrame:
+    """Distributed deterministic corpus: spark.range → mapInPandas.
+    `monorepo_share` of files land in org/repo0 (skew fixture)."""
+    schema = CORPUS_SCHEMA
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [_make_file(int(i), n_repos, monorepo_share)
+                    for i in pdf["id"]]
+            yield pd.DataFrame(rows, columns=schema.fieldNames())
+
+    rng = spark.range(n_files, numPartitions=partitions or max(
+        2, spark.sparkContext.defaultParallelism))
+    return rng.mapInPandas(gen, schema)

@@ -1,0 +1,139 @@
+"""Code-payload NL extraction (SURVEY.md §7 Phase 2): pull the natural-
+language units out of source-file `content` — comments, docstrings, string
+literals' neighborhoods are skipped; identifiers are split — producing
+document rows that feed kg.annotate.
+
+This is the corpus-specific front end the reference never needed (its texts
+arrived as Cypher parameters, README.md:46-51); BASELINE.json north_star
+makes it first-class: "sentence splitting ... over the content of
+source-code repositories (comments, docstrings, identifiers)".
+
+Implementation: one `ArrayType(Struct)`-returning pandas UDF per row
+(regex scanning per language family), then explode — same shuffle-free shape
+as the annotator.  Regexes are precompiled at module import (once per Python
+worker process, not per batch).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (ArrayType, IntegerType, StringType, StructField,
+                               StructType)
+
+# language family → comment syntax
+_HASH_LANGS = frozenset({"python", "ruby", "shell", "bash", "sh", "perl",
+                         "yaml", "toml", "makefile", "r"})
+_SLASH_LANGS = frozenset({"java", "c", "cpp", "c++", "go", "rust", "js",
+                          "javascript", "typescript", "ts", "scala", "kotlin",
+                          "swift", "csharp", "c#", "php"})
+
+_RE_PY_DOCSTRING = re.compile(r'("""|\'\'\')(.*?)\1', re.DOTALL)
+_RE_HASH_COMMENT = re.compile(r"(?:^|(?<=\s))#+([^\n]*)")
+_RE_LINE_COMMENT = re.compile(r"//+([^\n]*)")
+_RE_BLOCK_COMMENT = re.compile(r"/\*(.*?)\*/", re.DOTALL)
+_DECL_KEYWORDS = ("def", "class", "fn", "func", "function", "interface",
+                  "struct", "trait", "enum", "void", "var", "val", "let",
+                  "const")
+# declaration keyword → following identifier; the keyword set itself is
+# excluded from capture ("public void foo" must yield "foo", not "void")
+_RE_IDENTIFIER = re.compile(
+    r"\b(?:" + "|".join(_DECL_KEYWORDS) + r")\s+"
+    r"(?!(?:" + "|".join(_DECL_KEYWORDS) + r")\b)([A-Za-z_][A-Za-z0-9_]*)")
+_RE_CAMEL = re.compile(r"(?<=[a-z0-9])(?=[A-Z])|(?<=[A-Z])(?=[A-Z][a-z])")
+
+
+def split_identifier(name: str) -> str:
+    """camelCase / PascalCase / snake_case → space-separated lowercase words
+    (the tokenizer extension for code payloads)."""
+    parts: list[str] = []
+    for chunk in name.split("_"):
+        if not chunk:
+            continue
+        parts.extend(p for p in _RE_CAMEL.split(chunk) if p)
+    return " ".join(p.lower() for p in parts)
+
+
+def extract_units_py(content: str, lang: str) -> list[dict]:
+    """(unit_type, start, end, text) spans of NL units inside a source file.
+
+    unit_type ∈ {docstring, comment, identifier}.  `lang` values outside the
+    known families (incl. natural-language codes like 'en') are treated as
+    plain text: the whole content is one 'text' unit — mirroring the
+    reference's pass-through of raw text, and its refusal to annotate
+    unsupported languages is applied by the caller's lang filter
+    (ProcedureTest.java:332-346)."""
+    if content is None:
+        return []
+    ll = (lang or "").lower()
+    units: list[dict] = []
+    if ll in _HASH_LANGS:
+        if ll == "python":
+            for m in _RE_PY_DOCSTRING.finditer(content):
+                units.append({"unit_type": "docstring", "start": m.start(2),
+                              "end": m.end(2), "text": m.group(2).strip()})
+        for m in _RE_HASH_COMMENT.finditer(content):
+            units.append({"unit_type": "comment", "start": m.start(1),
+                          "end": m.end(1), "text": m.group(1).strip()})
+        for m in _RE_IDENTIFIER.finditer(content):
+            units.append({"unit_type": "identifier", "start": m.start(1),
+                          "end": m.end(1),
+                          "text": split_identifier(m.group(1))})
+    elif ll in _SLASH_LANGS:
+        for m in _RE_BLOCK_COMMENT.finditer(content):
+            units.append({"unit_type": "comment", "start": m.start(1),
+                          "end": m.end(1),
+                          "text": re.sub(r"^\s*\*", "", m.group(1).strip(),
+                                         flags=re.MULTILINE).strip()})
+        for m in _RE_LINE_COMMENT.finditer(content):
+            units.append({"unit_type": "comment", "start": m.start(1),
+                          "end": m.end(1), "text": m.group(1).strip()})
+        for m in _RE_IDENTIFIER.finditer(content):
+            units.append({"unit_type": "identifier", "start": m.start(1),
+                          "end": m.end(1),
+                          "text": split_identifier(m.group(1))})
+    else:
+        units.append({"unit_type": "text", "start": 0, "end": len(content),
+                      "text": content})
+    # drop empties, keep deterministic order by start offset
+    units = [u for u in units if u["text"]]
+    units.sort(key=lambda u: (u["start"], u["end"]))
+    return units
+
+
+UNIT_TYPE = StructType([
+    StructField("unit_type", StringType(), False),
+    StructField("start", IntegerType(), False),
+    StructField("end", IntegerType(), False),
+    StructField("text", StringType(), False),
+])
+
+
+def make_extract_udf():
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(ArrayType(UNIT_TYPE, False))
+    def extract_udf(content: pd.Series, lang: pd.Series) -> pd.Series:
+        return pd.Series([extract_units_py(c, l)
+                          for c, l in zip(content, lang)])
+
+    return extract_udf
+
+
+def extract_nl_units(df: DataFrame, text_col: str = "content",
+                     lang_col: str = "lang",
+                     doc_key_col: str = "doc_key") -> DataFrame:
+    """Corpus → one row per NL unit, keyed (doc_key, unit_number).  Narrow:
+    UDF + explode, no shuffle.  Output feeds kg.annotate with
+    text_col='text' and id derived from (doc_key, unit_number)."""
+    udf = make_extract_udf()
+    return (df.withColumn("units", udf(F.col(text_col), F.col(lang_col)))
+            .select(doc_key_col, lang_col,
+                    F.posexplode("units").alias("unit_number", "u"))
+            .select(doc_key_col, lang_col, "unit_number",
+                    F.col("u.unit_type").alias("unit_type"),
+                    F.col("u.start").alias("unit_start"),
+                    F.col("u.end").alias("unit_end"),
+                    F.col("u.text").alias("text")))

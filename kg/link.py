@@ -1,0 +1,134 @@
+"""Entity linking (SURVEY.md §7 Phase 3, north_star: "entity mentions are
+batch-scored and linked via broadcast dictionary + MinHash-LSH candidate
+blocking").
+
+Stages:
+1. mention extraction — tags with a non-background NE become mentions;
+2. exact linking — broadcast hash join mention.lemma == dict.name_norm
+   (the dictionary is the small side by construction: entity dictionaries
+   are millions of rows, mentions are trillions — broadcast is the only
+   sane join side);
+3. fuzzy linking — char-3-gram MinHash-LSH blocks unresolved mentions
+   against dictionary names, then exact Jaccard verification and best-match
+   selection (max jaccard, ties → min entity_id: deterministic).
+
+The LSH reuses the portable md5 hash family from kg.dedup — no RNG, same
+result on any executor count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from kg import models
+
+
+def extract_mentions(tags_df: DataFrame) -> DataFrame:
+    """Tag rows carrying a real NE type → mention table
+    (mention_id, sentence_id, lemma, ne_types)."""
+    return (tags_df
+            .filter(F.exists("ne", lambda t: t != F.lit(models.BACKGROUND_SYMBOL)))
+            .select(F.concat_ws("#", "sentence_id", "lemma").alias("mention_id"),
+                    "doc_key", "sentence_id", "lemma",
+                    F.array_sort(F.filter(
+                        "ne", lambda t: t != F.lit(models.BACKGROUND_SYMBOL)))
+                    .alias("ne_types")))
+
+
+def link_exact(mentions: DataFrame, dictionary: DataFrame,
+               name_col: str = "name_norm",
+               id_col: str = "entity_id") -> DataFrame:
+    """Broadcast dictionary hash join on the normalized surface.
+    Output: mentions + nullable entity_id."""
+    d = F.broadcast(dictionary.select(F.col(id_col).alias("entity_id"),
+                                      F.col(name_col).alias("lemma")))
+    return mentions.join(d, "lemma", "left")
+
+
+def _char_grams(col, n: int = 3):
+    """Distinct char n-grams of a padded string — built-ins only."""
+    padded = F.concat(F.lit("^"), col, F.lit("$"))
+    return F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.length(padded) - n),
+        lambda i: padded.substr(i + 1, F.lit(n))))
+
+
+def _gram_rows(df: DataFrame, key: str, text: str, n: int) -> DataFrame:
+    return (df.select(F.col(key), F.explode(_char_grams(F.col(text), n))
+                      .alias("gram")))
+
+
+def _minhash_band_buckets(grams: DataFrame, key: str, k: int, bands: int) -> DataFrame:
+    rows = k // bands
+    aggs = [F.min(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("gram"))))
+            .alias(f"s{i}") for i in range(k)]
+    sig = grams.groupBy(key).agg(*aggs)
+    band_structs = [
+        F.struct(F.lit(b).alias("band"),
+                 F.md5(F.concat_ws("|", *[F.col(f"s{b * rows + r}")
+                                          for r in range(rows)])).alias("bucket"))
+        for b in range(bands)]
+    return (sig.select(key, F.explode(F.array(*band_structs)).alias("bb"))
+            .select(key, F.col("bb.band").alias("band"),
+                    F.col("bb.bucket").alias("bucket")))
+
+
+def link_fuzzy(mentions: DataFrame, dictionary: DataFrame,
+               name_col: str = "name_norm", id_col: str = "entity_id",
+               n: int = 3, k: int = 8, bands: int = 4,
+               min_jaccard: float = 0.5) -> DataFrame:
+    """MinHash-LSH candidate blocking + exact char-gram Jaccard verification.
+
+    Returns (mention_id, entity_id, jaccard) — best entity per mention.
+    Shuffle profile: gram explode (narrow) → signature groupBy → band-bucket
+    join (shuffle on bucket) → jaccard verify on candidates only."""
+    m = mentions.select("mention_id", F.col("lemma").alias("m_name")).distinct()
+    d = dictionary.select(F.col(id_col).alias("entity_id"),
+                          F.col(name_col).alias("d_name"))
+
+    mg = _gram_rows(m, "mention_id", "m_name", n)
+    dg = _gram_rows(d, "entity_id", "d_name", n)
+    mb = _minhash_band_buckets(mg, "mention_id", k, bands)
+    db = _minhash_band_buckets(dg, "entity_id", k, bands)
+    cand = (mb.join(db, ["band", "bucket"])
+            .select("mention_id", "entity_id").distinct())
+
+    # exact jaccard on candidates via gram intersection counts
+    m_sizes = mg.groupBy("mention_id").agg(F.count("*").alias("nm"))
+    d_sizes = dg.groupBy("entity_id").agg(F.count("*").alias("nd"))
+    inter = (cand.join(mg, "mention_id").join(dg, ["entity_id", "gram"])
+             .groupBy("mention_id", "entity_id")
+             .agg(F.count("*").alias("inter")))
+    scored = (inter.join(m_sizes, "mention_id").join(d_sizes, "entity_id")
+              .withColumn("jaccard",
+                          F.col("inter") / (F.col("nm") + F.col("nd") - F.col("inter")))
+              .filter(F.col("jaccard") >= min_jaccard))
+    best = (scored.groupBy("mention_id")
+            .agg(F.max(F.struct(F.col("jaccard"),
+                                (-F.col("entity_id")).alias("neg_id"))).alias("b"))
+            .select("mention_id", (-F.col("b.neg_id")).cast("long").alias("entity_id"),
+                    F.round("b.jaccard", 6).alias("jaccard")))
+    return best
+
+
+def link_mentions(mentions: DataFrame, dictionary: DataFrame,
+                  name_col: str = "name_norm", id_col: str = "entity_id",
+                  min_jaccard: float = 0.5) -> DataFrame:
+    """Exact first, fuzzy for the remainder.  Output: mentions + entity_id
+    (+ link_method ∈ {exact, fuzzy, null})."""
+    exact = link_exact(mentions, dictionary, name_col, id_col)
+    hit = (exact.filter(F.col("entity_id").isNotNull())
+           .withColumn("link_method", F.lit("exact")))
+    miss = exact.filter(F.col("entity_id").isNull()).drop("entity_id")
+    fuzzy = link_fuzzy(miss, dictionary, name_col, id_col,
+                       min_jaccard=min_jaccard)
+    fuzzy_rows = (miss.join(fuzzy, "mention_id")
+                  .withColumn("link_method", F.lit("fuzzy")))
+    unlinked = (miss.join(fuzzy.select("mention_id"), "mention_id", "left_anti")
+                .withColumn("entity_id", F.lit(None).cast("long"))
+                .withColumn("link_method", F.lit(None).cast("string")))
+    cols = ["mention_id", "doc_key", "sentence_id", "lemma", "ne_types",
+            "entity_id", "link_method"]
+    return (hit.select(*cols)
+            .unionByName(fuzzy_rows.select(*cols))
+            .unionByName(unlinked.select(*cols)))

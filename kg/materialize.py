@@ -1,0 +1,111 @@
+"""Graph materialization, checkpoint-resume, and lineage metrics
+(SURVEY.md §7 Phase 4; north_rule: "resumable from checkpoint with
+per-partition lineage + metrics", "salted (repo, lang)" partitioning).
+
+Partition unit: (lang, salt) where salt = pmod(xxhash64(repo, path), S).
+Salting defuses monorepo skew — a repo holding 30% of all files would
+otherwise put 30% of the corpus in one partition/task; with S salt buckets
+its rows spread over S tasks while small repos still co-locate.
+
+Resume protocol: each completed partition writes one manifest row with its
+lineage counts.  On restart, `resume_filter` left-anti-joins the input
+against the manifest — only unfinished partitions are recomputed.  The
+manifest is also the metrics table (n_docs, n_sentences, n_triples,
+sha_ok count per partition).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+SALT_COL = "part_salt"
+
+
+def with_salt(df: DataFrame, cols: tuple[str, ...] = ("repo", "path"),
+              buckets: int = 64) -> DataFrame:
+    """Deterministic salt bucket from stable identity columns (JVM xxhash64,
+    no Python)."""
+    return df.withColumn(
+        SALT_COL, F.pmod(F.xxhash64(*[F.col(c) for c in cols]),
+                         F.lit(buckets)).cast("int"))
+
+
+def partition_keys(df: DataFrame,
+                   keys: tuple[str, ...] = ("lang", SALT_COL)) -> DataFrame:
+    return df.select(*keys).distinct()
+
+
+def manifest_path(out_path: str) -> str:
+    return out_path.rstrip("/") + "__manifest"
+
+
+def completed_partitions(spark: SparkSession, out_path: str,
+                         keys: tuple[str, ...]) -> DataFrame | None:
+    mp = manifest_path(out_path)
+    try:
+        return spark.read.parquet(mp).select(*keys).distinct()
+    except Exception:
+        return None  # first run: no manifest yet
+
+
+def resume_filter(df: DataFrame, spark: SparkSession, out_path: str,
+                  keys: tuple[str, ...] = ("lang", SALT_COL)) -> DataFrame:
+    """Drop rows of partitions already recorded in the manifest (left_anti on
+    the partition keys — broadcast: the manifest key set is tiny)."""
+    done = completed_partitions(spark, out_path, keys)
+    if done is None:
+        return df
+    return df.join(F.broadcast(done), list(keys), "left_anti")
+
+
+def lineage_metrics(sent_df: DataFrame, triples: DataFrame,
+                    keys: tuple[str, ...] = ("lang", SALT_COL)) -> DataFrame:
+    """Per-partition lineage row: document/sentence/tag-occurrence counts.
+    Two partial-aggregated groupBys joined on the partition key."""
+    s = (sent_df.groupBy(*keys)
+         .agg(F.countDistinct("doc_key").alias("n_docs"),
+              F.count("*").alias("n_sentences")))
+    t = triples.groupBy(*keys).agg(F.count("*").alias("n_triples"))
+    return (s.join(t, list(keys), "full")
+            .withColumn("completed_at_unix", F.lit(int(time.time()))))
+
+
+def write_triples(triples: DataFrame, out_path: str,
+                  keys: tuple[str, ...] = ("lang", SALT_COL),
+                  mode: str = "append") -> None:
+    """Partitioned write.  repartition on the partition keys first so each
+    Hive-style partition directory is written by the tasks that own its rows
+    (no small-files explosion: one shuffle, then partitioned parquet).  AQE
+    splits any skewed salt bucket at runtime."""
+    (triples.repartition(*[F.col(k) for k in keys])
+     .write.mode(mode).partitionBy(*keys).parquet(out_path))
+
+
+def run_partitioned(sent_df: DataFrame, triples: DataFrame, out_path: str,
+                    spark: SparkSession,
+                    keys: tuple[str, ...] = ("lang", SALT_COL)) -> dict:
+    """One checkpoint-resumable materialization step:
+
+    1. drop already-completed partitions (manifest anti-join),
+    2. write remaining triples partitioned by `keys`,
+    3. append lineage metrics rows to the manifest.
+
+    Returns summary counts.  Idempotent: re-running after success is a no-op
+    (everything filtered by the manifest); re-running after a crash redoes
+    only unfinished partitions.  NOTE: a partition appears in the manifest
+    only after its data write finished (write ordering = atomicity boundary;
+    with Iceberg both writes would share one transaction)."""
+    todo_t = resume_filter(triples, spark, out_path, keys)
+    todo_s = resume_filter(sent_df, spark, out_path, keys)
+    metrics = lineage_metrics(todo_s, todo_t, keys).cache()
+    n_parts = metrics.count()
+    if n_parts == 0:
+        return {"partitions_written": 0, "triples_written": 0}
+    write_triples(todo_t, out_path, keys)
+    metrics.write.mode("append").parquet(manifest_path(out_path))
+    n_triples = metrics.agg(F.sum("n_triples")).first()[0] or 0
+    metrics.unpersist()
+    return {"partitions_written": n_parts, "triples_written": int(n_triples)}

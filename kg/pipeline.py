@@ -1,0 +1,162 @@
+"""API-surface parity with the reference's processor/procedure layer
+(SURVEY.md §2.3): named-pipeline registry (P5), annotate_text (P1),
+annotate_tag/annotate_tags (P2/P3), sentiment re-annotation (P4), NE/value
+filter (P8), language gate (P9).
+
+The registry replaces PipelineBuilder/OpenNLPTextProcessor's name→pipeline
+map (OpenNLPTextProcessor.java:42, 523-607; PipelineBuilder.java:13-125);
+`threadNumber` is accepted-and-ignored exactly like the reference ignores it
+in annotate (OpenNLPTextProcessor.java:593-594) — Spark task parallelism is
+the real knob.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from kg import models
+from kg.annotate import (PipelineSpec, annotate_graph_df, annotate_tag_py,
+                         annotate_text_py, sentence_tags)
+from kg.triples import explode_sentences, explode_tags
+
+# Default named pipelines — README.md:58-62 ships tokenizer / sentiment /
+# tokenizerAndSentiment / phrase (phrase is unsupported in the reference:
+# chunker loaded but extraction disabled, OpenNLPPipeline.java:251-265).
+_BASE = ("tokenize", "pos", "lemma", "ner", "stopword")
+DEFAULT_PIPELINES: dict[str, PipelineSpec] = {
+    "tokenizer": PipelineSpec(name="tokenizer", annotators=_BASE),
+    "sentiment": PipelineSpec(name="sentiment",
+                              annotators=("tokenize", "sentiment")),
+    "tokenizerAndSentiment": PipelineSpec(
+        name="tokenizerAndSentiment", annotators=_BASE + ("sentiment",)),
+}
+
+
+class PipelineRegistry:
+    """create/remove/get/check named pipelines (P5)."""
+
+    def __init__(self) -> None:
+        self._pipelines: dict[str, PipelineSpec] = dict(DEFAULT_PIPELINES)
+
+    def create(self, name: str, annotators: tuple[str, ...] = _BASE,
+               stopwords: str | None = None, threads: int = 4,
+               custom_ner: tuple[tuple[str, tuple[str, ...]], ...] = (),
+               sentiment_threshold: float = 0.7) -> PipelineSpec:
+        if stopwords is not None:
+            base = PipelineSpec.with_stopwords(stopwords, name)
+            sw = base.stopwords
+        else:
+            sw = models.DEFAULT_STOPWORDS
+        spec = PipelineSpec(name=name, annotators=annotators, stopwords=sw,
+                            custom_ner=custom_ner, threads=threads,
+                            sentiment_threshold=sentiment_threshold)
+        self._pipelines[name] = spec
+        return spec
+
+    def remove(self, name: str) -> bool:
+        return self._pipelines.pop(name, None) is not None
+
+    def get(self, name: str) -> PipelineSpec:
+        if name not in self._pipelines:  # checkPipelineExistOrCreate analog
+            raise KeyError(f"pipeline {name!r} not registered")
+        return self._pipelines[name]
+
+    def names(self) -> list[str]:
+        return sorted(self._pipelines)
+
+    def check(self, name: str) -> bool:
+        return name in self._pipelines
+
+
+REGISTRY = PipelineRegistry()
+
+
+def annotate_text(df: DataFrame, pipeline: str = "tokenizer",
+                  text_col: str = "content") -> DataFrame:
+    """P1 — batch annotate with a named pipeline → nested sentences column."""
+    return annotate_graph_df(df, text_col, REGISTRY.get(pipeline))
+
+
+def annotate_tag(text: str, lang: str = "en",
+                 pipeline: str = "tokenizer") -> str | None:
+    """P2 — driver-side convenience on a single short text
+    (OpenNLPTextProcessor.java:276-297)."""
+    return annotate_tag_py(text, REGISTRY.get(pipeline))
+
+
+def annotate_tags(text: str, lang: str = "en",
+                  pipeline: str = "tokenizer") -> list[str]:
+    """P3 — one-sentence text → list of tag lemmas
+    (OpenNLPTextProcessor.java:327-356)."""
+    sentences = annotate_text_py(text, REGISTRY.get(pipeline))
+    if not sentences:
+        return []
+    return [t["lemma"] for t in sentence_tags(sentences[0])]
+
+
+def sentiment(sent_df: DataFrame, text_col: str = "text",
+              threshold: float = 0.7) -> DataFrame:
+    """P4 — re-annotate stored sentences with the sentiment pipeline and set
+    the score (OpenNLPTextProcessor.java:358-373).  Input: a flat sentences
+    table (e.g. from explode_sentences); output: same rows with `sentiment`
+    replaced.  Narrow: one pandas UDF pass, no join-back needed because the
+    row already carries its identity."""
+    spec = PipelineSpec(name="sentiment-re",
+                        annotators=("tokenize", "sentiment"),
+                        sentiment_threshold=threshold)
+    ann = annotate_graph_df(sent_df.drop("sentiment"), text_col, spec,
+                            out_col="_re")
+    # each row is one sentence → its re-annotation is _re[0]
+    return (ann.withColumn(
+        "sentiment",
+        F.coalesce(F.col("_re")[0]["sentiment"], F.lit(-1)))
+        .drop("_re"))
+
+
+def parse_filter_spec(spec: str) -> list[tuple[str, str | None]]:
+    """`value/NE, value, ...` → [(lowered value, NE|None)]
+    (ProcedureTest.java:348-383: "Owen Bennett Jones/PERSON, BBC, Pakistan/LOCATION")."""
+    out = []
+    for part in spec.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        if "/" in part:
+            v, ne = part.rsplit("/", 1)
+            out.append((v.strip().lower(), ne.strip().upper()))
+        else:
+            out.append((part.lower(), None))
+    return out
+
+
+def ne_filter(df: DataFrame, filter_spec: str, text_col: str = "content",
+              pipeline: str = "tokenizer") -> DataFrame:
+    """P8 — ga.nlp.filter: per document, does the annotated text contain ANY
+    of the filter items (matching on tag lemma, and NE when given)?  Adds a
+    boolean `filter_matched`.  Implemented as annotate → explode tags → per-
+    item predicate → max() — i.e. a semi-join against a tiny literal spec,
+    evaluated without any join (the spec is inlined as a disjunction)."""
+    items = parse_filter_spec(filter_spec)
+    ann = annotate_graph_df(df, text_col, REGISTRY.get(pipeline))
+    tag = F.expr("s.tags")
+    conds = []
+    for value, ne in items:
+        per_tag = (lambda v, n: (lambda t:
+                   (F.lower(t["lemma"]) == F.lit(v)) &
+                   (F.array_contains(t["ne"], F.lit(n)) if n else F.lit(True))
+                   ))(value, ne)
+        conds.append(
+            F.exists(F.col("sentences"),
+                     lambda s: F.exists(s["tags"], per_tag)))
+    matched = conds[0]
+    for c in conds[1:]:
+        matched = matched | c
+    return ann.withColumn("filter_matched", matched).drop("sentences")
+
+
+def language_filter(df: DataFrame, lang_col: str = "lang",
+                    supported: tuple[str, ...] = ("en",)) -> DataFrame:
+    """P9 — unsupported language aborts annotation
+    (ProcedureTest.java:332-346): pushdown-friendly filter on the lang
+    column the corpus already carries (input_hint)."""
+    return df.filter(F.col(lang_col).isin(*supported))

@@ -1,0 +1,209 @@
+"""Model lifecycle — train/test parity with the reference's
+`ga.nlp.processor.train` / `test` procedures (SURVEY.md §2.3 P6/P7;
+OpenNLPPipeline.java:345-437, NERModelTool.java, SentimentModelTool.java).
+
+The reference trains OpenNLP maxent models from text files; our deterministic
+analog fits *gazetteers/lexicons* from the same corpus formats and evaluates
+with the same metrics:
+
+- NER:   `<START:type> Phrase <END>` inline markup, one sentence per line
+         (README.md:135-149).  "Training" = collecting the marked phrases
+         per type into a gazetteer; evaluation = predicted-vs-gold span
+         matching → Precision/Recall/F1, computed as DataFrame joins.
+- Sentiment: `label<TAB>sentence`, labels 0-4 (README.md:150-157).
+         "Training" = per-class token log-odds lexicon; evaluation =
+         accuracy; k-fold cross-validation (default nFolds=10,
+         OpenNLPGenericModelTool.java:47) with deterministic fold
+         assignment hash(text) % nFolds.
+
+Fitted models persist as parquet tables (the reference writes
+import/<alg>-<id>.bin, OpenNLPPipeline.java:610-621) and plug back into the
+annotator as `custom_ner` gazetteer phrases (PipelineSpec.custom_ner — the
+customNEs hook, PipelineBuilder.java:37-49).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_RE_MARKUP = re.compile(r"<START:(\w+)>\s+(.*?)\s+<END>")
+
+
+def parse_ner_markup(line: str) -> tuple[str, list[tuple[str, str]]]:
+    """One training line → (plain sentence, [(type, phrase), ...]).
+    Markup requires surrounding spaces (README.md:139)."""
+    spans = [(m.group(1), m.group(2)) for m in _RE_MARKUP.finditer(line)]
+    plain = _RE_MARKUP.sub(lambda m: m.group(2), line)
+    plain = re.sub(r"\s+", " ", plain).strip()
+    return plain, spans
+
+
+def read_ner_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """`spark.read.text` (S6) → (line_no, sentence, spans) rows."""
+    from pyspark.sql.types import (ArrayType, StringType, StructField,
+                                   StructType)
+    import pandas as pd
+
+    schema = StructType([
+        StructField("sentence", StringType(), False),
+        StructField("spans", ArrayType(StructType([
+            StructField("type", StringType(), False),
+            StructField("phrase", StringType(), False)]), False), False),
+    ])
+
+    def parse(batches):
+        for pdf in batches:
+            rows = []
+            for line in pdf["value"]:
+                if not line.strip():
+                    continue
+                plain, spans = parse_ner_markup(line)
+                rows.append((plain, [{"type": t, "phrase": p}
+                                     for t, p in spans]))
+            yield pd.DataFrame(rows, columns=["sentence", "spans"])
+
+    return spark.read.text(path).mapInPandas(parse, schema)
+
+
+def fit_ner_gazetteer(corpus: DataFrame) -> DataFrame:
+    """Distinct (type, phrase) gazetteer with counts — the fitted "model"."""
+    return (corpus.select(F.explode("spans").alias("s"))
+            .groupBy(F.col("s.type").alias("type"),
+                     F.col("s.phrase").alias("phrase"))
+            .agg(F.count("*").alias("n")))
+
+
+def gazetteer_to_custom_ner(gaz: DataFrame) -> tuple[tuple[str, tuple[str, ...]], ...]:
+    """Fitted gazetteer → PipelineSpec.custom_ner phrases (driver-side
+    collect of the small model table)."""
+    by_type: dict[str, list[str]] = {}
+    for r in gaz.collect():
+        by_type.setdefault(r["type"], []).append(r["phrase"])
+    return tuple((t, tuple(sorted(ps))) for t, ps in sorted(by_type.items()))
+
+
+def evaluate_ner(corpus: DataFrame, gaz: DataFrame) -> dict:
+    """Span-level P/R/F1: predicted = gazetteer phrases found in the plain
+    sentence; gold = markup spans.  Pure DataFrame joins — the reference
+    reports the same trio from TokenNameFinderCrossValidator
+    (NERModelTool.java:64-90)."""
+    gold = (corpus.withColumn("sid", F.monotonically_increasing_id())
+            .select("sid", "sentence", F.explode_outer("spans").alias("s"))
+            .select("sid", "sentence",
+                    F.col("s.type").alias("type"),
+                    F.col("s.phrase").alias("phrase")))
+    sentences = gold.select("sid", "sentence").distinct()
+    pred = (sentences.crossJoin(F.broadcast(gaz.select("type", "phrase")))
+            .filter(F.expr("sentence LIKE CONCAT('% ', phrase, ' %') "
+                           "OR sentence LIKE CONCAT(phrase, ' %') "
+                           "OR sentence LIKE CONCAT('% ', phrase) "
+                           "OR sentence = phrase"))
+            .select("sid", "type", "phrase"))
+    gold_spans = gold.filter(F.col("phrase").isNotNull()) \
+                     .select("sid", "type", "phrase").distinct()
+    tp = pred.join(gold_spans, ["sid", "type", "phrase"]).count()
+    n_pred = pred.count()
+    n_gold = gold_spans.count()
+    precision = tp / n_pred if n_pred else 0.0
+    recall = tp / n_gold if n_gold else 0.0
+    f1 = (2 * precision * recall / (precision + recall)
+          if precision + recall else 0.0)
+    return {"precision": round(precision, 4), "recall": round(recall, 4),
+            "f1": round(f1, 4), "tp": tp, "n_pred": n_pred, "n_gold": n_gold}
+
+
+def cross_validate_ner(corpus: DataFrame, n_folds: int = 10) -> dict:
+    """K-fold CV with deterministic fold = pmod(xxhash64(sentence), k)
+    (reference default nFolds=10, OpenNLPGenericModelTool.java:47)."""
+    folded = corpus.withColumn(
+        "fold", F.pmod(F.xxhash64("sentence"), F.lit(n_folds)))
+    scores = []
+    for k in range(n_folds):
+        train = folded.filter(F.col("fold") != k)
+        test = folded.filter(F.col("fold") == k)
+        if test.limit(1).count() == 0:
+            continue
+        gaz = fit_ner_gazetteer(train)
+        scores.append(evaluate_ner(test, gaz))
+    n = len(scores)
+    agg = {m: round(sum(s[m] for s in scores) / n, 4)
+           for m in ("precision", "recall", "f1")} if n else {}
+    return {"folds": n, **agg}
+
+
+# ---------------------------------------------------------------------------
+# Sentiment (doccat analog)
+# ---------------------------------------------------------------------------
+def read_sentiment_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """`label<TAB>sentence` lines → (label int, text)."""
+    return (spark.read.text(path)
+            .filter(F.length(F.trim("value")) > 0)
+            .select(F.split("value", "\t").alias("p"))
+            .select(F.col("p")[0].cast("int").alias("label"),
+                    F.col("p")[1].alias("text"))
+            .filter(F.col("label").isNotNull() & F.col("text").isNotNull()))
+
+
+def fit_sentiment_lexicon(corpus: DataFrame, min_count: int = 2) -> DataFrame:
+    """Per-token class log-odds-ish weights: (token, class, weight) where
+    weight = count(token|class)/count(token).  min_count mirrors the
+    reference's CUTOFF_PARAM default 2 (SentimentModelTool.java:58)."""
+    toks = (corpus.select("label",
+                          F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
+            .filter(F.length("tok") > 0))
+    per_class = toks.groupBy("tok", "label").agg(F.count("*").alias("n"))
+    total = toks.groupBy("tok").agg(F.count("*").alias("n_tot"))
+    return (per_class.join(total, "tok")
+            .filter(F.col("n_tot") >= min_count)
+            .withColumn("weight", F.col("n") / F.col("n_tot"))
+            .select("tok", "label", "weight"))
+
+
+def score_sentiment(df: DataFrame, lexicon: DataFrame,
+                    text_col: str = "text") -> DataFrame:
+    """Classify each row: argmax over classes of sum of token weights; empty
+    evidence → class 2 (the reference's below-threshold Neutral forcing,
+    OpenNLPPipeline.java:300-307).  Broadcast lexicon join, ties → lower
+    class id (deterministic)."""
+    with_id = df.withColumn("_rid", F.monotonically_increasing_id())
+    toks = with_id.select(
+        "_rid", F.explode(F.split(F.lower(text_col), r"\s+")).alias("tok"))
+    scored = (toks.join(F.broadcast(lexicon), "tok")
+              .groupBy("_rid", "label").agg(F.sum("weight").alias("score")))
+    best = (scored.groupBy("_rid")
+            .agg(F.max(F.struct(F.col("score"), (-F.col("label")).alias("neg")))
+                 .alias("b"))
+            .select("_rid", (-F.col("b.neg")).cast("int").alias("predicted")))
+    return (with_id.join(best, "_rid", "left")
+            .withColumn("predicted", F.coalesce("predicted", F.lit(2)))
+            .drop("_rid"))
+
+
+def cross_validate_sentiment(corpus: DataFrame, n_folds: int = 10) -> dict:
+    """Accuracy via k-fold CV (reference reports "Accuracy",
+    SentimentModelTool.java:90-112)."""
+    folded = corpus.withColumn("fold", F.pmod(F.xxhash64("text"), F.lit(n_folds)))
+    correct = total = 0
+    for k in range(n_folds):
+        train = folded.filter(F.col("fold") != k)
+        test = folded.filter(F.col("fold") == k)
+        if test.limit(1).count() == 0:
+            continue
+        lex = fit_sentiment_lexicon(train)
+        pred = score_sentiment(test, lex)
+        c = pred.filter(F.col("predicted") == F.col("label")).count()
+        t = pred.count()
+        correct, total = correct + c, total + t
+    return {"folds": n_folds,
+            "accuracy": round(correct / total, 4) if total else 0.0}
+
+
+def save_model(df: DataFrame, path: str) -> None:
+    """Persist a fitted gazetteer/lexicon (S5 analog of saveModel → .bin)."""
+    df.write.mode("overwrite").parquet(path)
+
+
+def load_model(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)

@@ -1,0 +1,95 @@
+"""Code-payload extraction (kg.extract) + synthetic corpus (kg.corpus) tests,
+including the end-to-end chain corpus → extract → annotate → triples."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from kg.corpus import synthetic_corpus
+from kg.extract import extract_nl_units, extract_units_py, split_identifier
+from kg.triples import annotate_to_triples, with_doc_key
+
+
+def test_split_identifier():
+    assert split_identifier("parseHTTPResponse") == "parse http response"
+    assert split_identifier("snake_case_name") == "snake case name"
+    assert split_identifier("PascalCase") == "pascal case"
+
+
+def test_extract_python_units():
+    src = ('"""Builds the token index."""\n'
+           "# fast path for cache hits\n"
+           "def parse_response(x):\n"
+           "    return x\n")
+    units = extract_units_py(src, "python")
+    types = [u["unit_type"] for u in units]
+    assert "docstring" in types and "comment" in types and "identifier" in types
+    by_type = {u["unit_type"]: u["text"] for u in units}
+    assert by_type["docstring"] == "Builds the token index."
+    assert by_type["comment"] == "fast path for cache hits"
+    assert by_type["identifier"] == "parse response"
+
+
+def test_extract_java_units():
+    src = ("/* Applies the merge step. */\n"
+           "// caches the result\n"
+           "public void mergeCache() { }\n")
+    units = extract_units_py(src, "java")
+    texts = {u["text"] for u in units}
+    assert "Applies the merge step." in texts
+    assert "caches the result" in texts
+    assert "merge cache" in texts
+
+
+def test_extract_plaintext_passthrough():
+    units = extract_units_py("Just a sentence.", "en")
+    assert units == [{"unit_type": "text", "start": 0, "end": 16,
+                      "text": "Just a sentence."}]
+
+
+def test_extract_empty_and_none():
+    assert extract_units_py(None, "python") == []
+    assert extract_units_py("", "en") == []
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return synthetic_corpus(spark, n_files=200, n_repos=10,
+                            monorepo_share=0.3).cache()
+
+
+def test_corpus_schema_and_determinism(spark, corpus):
+    assert corpus.columns == ["repo", "path", "commit", "lang", "content"]
+    again = synthetic_corpus(spark, n_files=200, n_repos=10, monorepo_share=0.3)
+    a = sorted(corpus.collect())
+    b = sorted(again.collect())
+    assert a == b
+
+
+def test_corpus_is_skewed(corpus):
+    counts = dict(corpus.groupBy("repo").count().collect())
+    total = sum(counts.values())
+    assert counts["org/repo0"] / total > 0.2  # monorepo fixture
+
+
+def test_extract_df_end_to_end(spark, corpus):
+    units = extract_nl_units(with_doc_key(corpus))
+    rows = units.limit(50).collect()
+    assert rows and all(r["text"] for r in rows)
+    types = {r["unit_type"] for r in units.select("unit_type").distinct().collect()}
+    assert {"docstring", "comment", "identifier", "text"} <= types
+
+
+def test_corpus_to_triples_golden(spark, corpus):
+    """Full chain: code corpus → NL units → annotate → triples; the embedded
+    Pakistan golden docstring must yield its signature tags."""
+    units = extract_nl_units(with_doc_key(corpus))
+    docs = units.withColumn(
+        "unit_key", F.concat_ws(":", "doc_key", "unit_number"))
+    triples = annotate_to_triples(docs, text_col="text",
+                                  id_cols=("unit_key",), lang_col=None)
+    tags = (triples.filter(F.col("pred") == "HAS_TAG")
+            .select("obj").distinct().collect())
+    tagset = {r["obj"] for r in tags}
+    assert "tag:en:owen bennett jones" in tagset
+    assert "tag:en:may 2013" in tagset
+    assert "tag:en:governance" in tagset

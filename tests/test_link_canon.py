@@ -1,0 +1,111 @@
+"""Entity linking (kg.link) and connected-components canonicalization
+(kg.canon) tests, including a brute-force union-find cross-check."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from kg.canon import (canonicalize_triples, co_mention_edges,
+                      connected_components)
+from kg.link import extract_mentions, link_exact, link_fuzzy, link_mentions
+
+
+@pytest.fixture(scope="module")
+def dictionary(spark):
+    rows = [(1, "pakistan"), (2, "owen bennett jones"), (3, "bbc"),
+            (4, "islamabad"), (5, "united states")]
+    return spark.createDataFrame(rows, "entity_id long, name_norm string")
+
+
+@pytest.fixture(scope="module")
+def mentions(spark):
+    rows = [
+        ("m1", "d1", "sent:d1:0", "pakistan", ["LOCATION"]),
+        ("m2", "d1", "sent:d1:1", "owen bennett jones", ["PERSON"]),
+        ("m3", "d2", "sent:d2:0", "pakistn", ["LOCATION"]),      # typo → fuzzy
+        ("m4", "d2", "sent:d2:1", "zzz unknown zzz", ["PERSON"]),  # unlinkable
+    ]
+    return spark.createDataFrame(
+        rows, "mention_id string, doc_key string, sentence_id string, "
+              "lemma string, ne_types array<string>")
+
+
+def test_link_exact(mentions, dictionary):
+    out = link_exact(mentions, dictionary)
+    got = {r["mention_id"]: r["entity_id"] for r in out.collect()}
+    assert got["m1"] == 1 and got["m2"] == 2
+    assert got["m3"] is None and got["m4"] is None
+
+
+def test_link_fuzzy_typo(mentions, dictionary):
+    miss = mentions.filter(F.col("mention_id") == "m3")
+    out = link_fuzzy(miss, dictionary, min_jaccard=0.4).collect()
+    assert len(out) == 1
+    assert out[0]["entity_id"] == 1  # pakistn → pakistan
+    assert out[0]["jaccard"] >= 0.4
+
+
+def test_link_mentions_combined(mentions, dictionary):
+    out = link_mentions(mentions, dictionary, min_jaccard=0.4)
+    got = {r["mention_id"]: (r["entity_id"], r["link_method"])
+           for r in out.collect()}
+    assert got["m1"] == (1, "exact")
+    assert got["m2"] == (2, "exact")
+    assert got["m3"] == (1, "fuzzy")
+    assert got["m4"] == (None, None)
+    assert len(got) == 4  # no row loss/duplication
+
+
+def _uf_brute(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+EDGE_SETS = [
+    [("a", "b"), ("b", "c"), ("d", "e")],
+    [(f"n{i}", f"n{i+1}") for i in range(12)],           # chain
+    [("a", "b"), ("c", "d"), ("b", "c"), ("x", "y")],    # merge late
+    [("a", "a")],                                        # self loop
+]
+
+
+@pytest.mark.parametrize("algorithm", ["hash_to_min", "two_phase"])
+@pytest.mark.parametrize("edge_set", EDGE_SETS)
+def test_connected_components_vs_union_find(spark, algorithm, edge_set):
+    edges = spark.createDataFrame(edge_set, "src string, dst string")
+    got = {r["node"]: r["component"]
+           for r in connected_components(edges, algorithm=algorithm).collect()}
+    want = _uf_brute(edge_set)
+    assert got == want
+
+
+def test_canonicalize_triples(spark):
+    triples = spark.createDataFrame(
+        [("m1", "SAME_AS", "m3"), ("m1", "HAS_TAG", "t1")],
+        "subj string, pred string, obj string")
+    labels = spark.createDataFrame(
+        [("m1", "m0"), ("m3", "m0")], "node string, component string")
+    out = {(r["subj"], r["pred"], r["obj"])
+           for r in canonicalize_triples(triples, labels).collect()}
+    assert out == {("m0", "SAME_AS", "m0"), ("m0", "HAS_TAG", "t1")}
+
+
+def test_co_mention_edges_cluster(spark, mentions, dictionary):
+    linked = link_mentions(mentions, dictionary, min_jaccard=0.4)
+    edges = co_mention_edges(linked)
+    labels = connected_components(edges)
+    comp = {r["node"]: r["component"] for r in labels.collect()}
+    # m1 and m3 both link to entity 1 → same component
+    assert comp["m1"] == comp["m3"]
+    assert comp["m1"] != comp["m2"]

@@ -1,0 +1,76 @@
+"""Materialization / checkpoint-resume / lineage-metrics tests
+(kg.materialize)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from kg.annotate import annotate_graph_df
+from kg.corpus import synthetic_corpus
+from kg.materialize import (SALT_COL, lineage_metrics, manifest_path,
+                            resume_filter, run_partitioned, with_salt)
+from kg.triples import build_triples, explode_sentences, with_doc_key
+
+
+@pytest.fixture()
+def pipeline_frames(spark):
+    corpus = with_salt(with_doc_key(
+        synthetic_corpus(spark, n_files=60, n_repos=5)), buckets=4)
+    ann = annotate_graph_df(corpus)
+    sent = explode_sentences(ann).withColumn(
+        SALT_COL, F.pmod(F.xxhash64("doc_key"), F.lit(4)).cast("int"))
+    triples = (build_triples(sent)
+               .withColumn("lang", F.lit("en"))
+               .withColumn(SALT_COL,
+                           F.pmod(F.xxhash64("subj"), F.lit(4)).cast("int")))
+    sent = sent.select("doc_key", "lang", "sentence_id", SALT_COL)
+    return sent, triples
+
+
+def test_with_salt_deterministic_and_bounded(spark):
+    df = synthetic_corpus(spark, n_files=50, n_repos=5)
+    s1 = with_salt(df, buckets=8).select(SALT_COL).collect()
+    s2 = with_salt(df, buckets=8).select(SALT_COL).collect()
+    assert s1 == s2
+    assert all(0 <= r[SALT_COL] < 8 for r in s1)
+
+
+def test_lineage_metrics_counts(pipeline_frames):
+    sent, triples = pipeline_frames
+    m = lineage_metrics(sent, triples).collect()
+    assert sum(r["n_triples"] or 0 for r in m) == triples.count()
+    assert sum(r["n_sentences"] or 0 for r in m) == sent.count()
+
+
+def test_run_partitioned_and_resume(tmp_path, spark, pipeline_frames):
+    sent, triples = pipeline_frames
+    out = str(tmp_path / "triples")
+    r1 = run_partitioned(sent, triples, out, spark)
+    assert r1["partitions_written"] > 0
+    assert r1["triples_written"] == triples.count()
+
+    back = spark.read.parquet(out)
+    assert back.count() == triples.count()
+    assert SALT_COL in back.columns and "lang" in back.columns
+
+    # resume: everything already done → no-op
+    r2 = run_partitioned(sent, triples, out, spark)
+    assert r2 == {"partitions_written": 0, "triples_written": 0}
+    # and the data was not duplicated
+    assert spark.read.parquet(out).count() == triples.count()
+
+
+def test_resume_filter_partial(tmp_path, spark, pipeline_frames):
+    sent, triples = pipeline_frames
+    out = str(tmp_path / "triples2")
+    # simulate a crash after half the partitions: write manifest for salt<2
+    half_s = sent.filter(F.col(SALT_COL) < 2)
+    half_t = triples.filter(F.col(SALT_COL) < 2)
+    run_partitioned(half_s, half_t, out, spark)
+    # restart with full input: only salt>=2 remains todo
+    todo = resume_filter(triples, spark, out)
+    assert todo.filter(F.col(SALT_COL) < 2).count() == 0
+    assert todo.count() == triples.filter(F.col(SALT_COL) >= 2).count()
+    # completing the run writes exactly the remainder
+    r = run_partitioned(sent, triples, out, spark)
+    assert r["triples_written"] == triples.filter(F.col(SALT_COL) >= 2).count()
+    assert spark.read.parquet(out).count() == triples.count()

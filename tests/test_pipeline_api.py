@@ -1,0 +1,75 @@
+"""API-parity tests for kg.pipeline (reference procedures P1-P9)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from kg.pipeline import (REGISTRY, annotate_tag, annotate_tags, annotate_text,
+                         language_filter, ne_filter, parse_filter_spec,
+                         sentiment)
+from kg.triples import explode_sentences, with_doc_key
+from tests.test_annotate_goldens import PAKISTAN_TEXT
+
+
+def test_registry_defaults_and_crud():
+    assert REGISTRY.check("tokenizer")
+    assert REGISTRY.check("sentiment")
+    assert REGISTRY.check("tokenizerAndSentiment")
+    REGISTRY.create("custom1", stopwords="+hello,world")
+    assert REGISTRY.check("custom1")
+    assert "hello" in REGISTRY.get("custom1").stopwords
+    assert "the" in REGISTRY.get("custom1").stopwords  # '+' extends default
+    assert REGISTRY.remove("custom1")
+    assert not REGISTRY.check("custom1")
+    with pytest.raises(KeyError):
+        REGISTRY.get("nope")
+
+
+def test_annotate_tag_and_tags():
+    # TextProcessorTest.java:130-133
+    assert annotate_tag("winners") == "winner"
+    tags = annotate_tags("Importing CSV data does nothing")
+    assert "csv" in tags and "data" in tags
+
+
+def test_parse_filter_spec():
+    spec = parse_filter_spec("Owen Bennett Jones/PERSON, BBC, Pakistan/LOCATION")
+    assert spec == [("owen bennett jones", "PERSON"), ("bbc", None),
+                    ("pakistan", "LOCATION")]
+
+
+@pytest.fixture(scope="module")
+def pak_df(spark):
+    return spark.createDataFrame(
+        [(1, PAKISTAN_TEXT), (2, "China is mentioned nowhere here, only tea.")],
+        "id long, content string")
+
+
+def test_ne_filter_goldens(pak_df):
+    # ProcedureTest.java:348-383
+    out = {r["id"]: r["filter_matched"] for r in
+           ne_filter(pak_df, "Owen Bennett Jones/PERSON").collect()}
+    assert out[1] is True and out[2] is False
+    out2 = {r["id"]: r["filter_matched"] for r in
+            ne_filter(pak_df, "China/PERSON").collect()}
+    assert out2[1] is False
+    assert out2[2] is False  # China matches lemma but is LOCATION, not PERSON
+    out3 = {r["id"]: r["filter_matched"] for r in
+            ne_filter(pak_df, "BBC").collect()}
+    assert out3[1] is True
+
+
+def test_sentiment_reannotation(spark, pak_df):
+    ann = annotate_text(pak_df.filter("id=1"), "tokenizer")
+    sent = explode_sentences(with_doc_key(ann, ("id",)).withColumn(
+        "lang", F.lit("en")))
+    assert all(r["sentiment"] == -1 for r in sent.select("sentiment").collect())
+    re_ann = sentiment(sent)
+    vals = [r["sentiment"] for r in re_ann.select("sentiment").collect()]
+    assert all(v in (0, 1, 2, 3, 4) for v in vals)  # scored now
+
+
+def test_language_filter(spark):
+    df = spark.createDataFrame(
+        [("a", "en"), ("b", "it"), ("c", "fr")], "t string, lang string")
+    assert language_filter(df).count() == 1
+    assert language_filter(df, supported=("en", "fr")).count() == 2

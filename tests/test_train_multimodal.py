@@ -1,0 +1,142 @@
+"""Tests for the train/test model lifecycle (kg.train, reference P6/P7) and
+the multimodal binary-column plumbing (kg.multimodal)."""
+
+import pytest
+
+import pyspark.sql.functions as F
+
+from kg import multimodal as mm
+from kg.train import (cross_validate_sentiment, evaluate_ner,
+                      fit_ner_gazetteer, fit_sentiment_lexicon,
+                      gazetteer_to_custom_ner, parse_ner_markup,
+                      read_ner_corpus, read_sentiment_corpus, save_model,
+                      load_model, score_sentiment)
+
+NER_LINES = [
+    "<START:person> Theresa May <END> has said she will form a government .",
+    "Speaking after visiting <START:location> Buckingham Palace <END> , she said .",
+    "<START:person> Theresa May <END> met <START:person> John Smith <END> today .",
+    "The visit to <START:location> Buckingham Palace <END> went well .",
+]
+
+SENT_LINES = [
+    "3\tWatching a nice movie",
+    "1\tThe painting is ugly, will return it tomorrow...",
+    "4\tI love this great product",
+    "0\tI hate this terrible thing",
+    "2\tThe meeting happened on Tuesday",
+    "3\tWhat a nice day",
+    "1\tThe food was ugly and cold",
+    "4\tGreat game, I love it",
+]
+
+
+def test_parse_ner_markup():
+    plain, spans = parse_ner_markup(NER_LINES[0])
+    assert plain == "Theresa May has said she will form a government ."
+    assert spans == [("person", "Theresa May")]
+    plain2, spans2 = parse_ner_markup(NER_LINES[2])
+    assert spans2 == [("person", "Theresa May"), ("person", "John Smith")]
+    assert "<START" not in plain2
+
+
+@pytest.fixture(scope="module")
+def ner_corpus(spark, tmp_path_factory):
+    p = tmp_path_factory.mktemp("ner") / "train.txt"
+    p.write_text("\n".join(NER_LINES) + "\n")
+    return read_ner_corpus(spark, str(p)).cache()
+
+
+def test_fit_and_eval_ner(ner_corpus):
+    gaz = fit_ner_gazetteer(ner_corpus)
+    got = {(r["type"], r["phrase"]): r["n"] for r in gaz.collect()}
+    assert got[("person", "Theresa May")] == 2
+    assert got[("location", "Buckingham Palace")] == 2
+    assert got[("person", "John Smith")] == 1
+    # self-evaluation: gazetteer recalls every training span
+    m = evaluate_ner(ner_corpus, gaz)
+    assert m["recall"] == 1.0
+    assert m["precision"] > 0.5
+    assert 0 < m["f1"] <= 1.0
+
+
+def test_gazetteer_plugs_into_pipeline(ner_corpus):
+    from kg.annotate import PipelineSpec, annotate_text_py, sentence_tags
+    custom = gazetteer_to_custom_ner(fit_ner_gazetteer(ner_corpus))
+    spec = PipelineSpec(custom_ner=custom)
+    sentences = annotate_text_py("We saw Theresa May near Buckingham Palace.",
+                                 spec)
+    tags = {t["lemma"]: t for t in sentence_tags(sentences[0])}
+    assert "PERSON" in tags["theresa may"]["ne"]
+    assert "LOCATION" in tags["buckingham palace"]["ne"]
+
+
+@pytest.fixture(scope="module")
+def sent_corpus(spark, tmp_path_factory):
+    p = tmp_path_factory.mktemp("sent") / "train.txt"
+    p.write_text("\n".join(SENT_LINES) + "\n")
+    return read_sentiment_corpus(spark, str(p)).cache()
+
+
+def test_sentiment_fit_and_score(spark, sent_corpus):
+    assert sent_corpus.count() == len(SENT_LINES)
+    lex = fit_sentiment_lexicon(sent_corpus, min_count=1)
+    test = spark.createDataFrame(
+        [("a nice movie",), ("ugly painting",), ("nothing matches here",)],
+        "text string")
+    pred = {r["text"]: r["predicted"] for r in
+            score_sentiment(test, lex).collect()}
+    assert pred["a nice movie"] == 3
+    assert pred["ugly painting"] == 1
+    # no lexicon evidence → Neutral forcing (class 2)
+    assert pred["nothing matches here"] == 2
+
+
+def test_sentiment_cross_validation(sent_corpus):
+    m = cross_validate_sentiment(sent_corpus, n_folds=4)
+    assert 0.0 <= m["accuracy"] <= 1.0
+
+
+def test_model_save_load_roundtrip(tmp_path, spark, ner_corpus):
+    gaz = fit_ner_gazetteer(ner_corpus)
+    save_model(gaz, str(tmp_path / "gaz"))
+    back = load_model(spark, str(tmp_path / "gaz"))
+    assert sorted(back.collect()) == sorted(gaz.collect())
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+def test_fake_image_roundtrip():
+    b = mm.fake_png_bytes(7, 4, 3)
+    w, h, rgb = mm.decode_image_stub(b)
+    assert (w, h) == (4, 3)
+    assert len(rgb) == 4 * 3 * 3
+    with pytest.raises(NotImplementedError):
+        mm.decode_image_stub(b"\x89PNG\r\n\x1a\nreal-png-bytes")
+
+
+def test_extract_image_features(spark):
+    media = mm.synthetic_media(spark, n=12)
+    feats = mm.extract_image_features(media)
+    rows = feats.collect()
+    assert len(rows) == media.filter("kind = 'image'").count()
+    for r in rows:
+        assert r["width"] > 0 and r["height"] > 0
+        assert 0 <= r["mean_r"] <= 255
+        assert len(r["payload_sha256"]) == 64
+
+
+def test_resize_images(spark):
+    media = mm.synthetic_media(spark, n=6)
+    out = mm.resize_images(media, 16, 9)
+    for r in out.collect():
+        w, h, _ = mm.decode_image_stub(bytes(r["payload"]))
+        assert (w, h) == (16, 9)
+
+
+def test_frame_sample_plan(spark):
+    media = mm.synthetic_media(spark, n=9)
+    plan = mm.frame_sample_plan(media, every_n=10)
+    rows = plan.collect()
+    assert rows and all(r["frame_index"] % 10 == 0 for r in rows)
