@@ -267,6 +267,47 @@ def annotate_sentence(sent_text: str, spec: PipelineSpec) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# A5 — noun-phrase chunking.  The reference LOADS en-chunker.bin but the
+# extraction is commented out ("FIXME: this is wrong",
+# OpenNLPPipeline.java:251-265), so phrases are OFF by default and not on the
+# correctness-critical path; this regex-over-POS chunker (NP := DT? JJ* NN+)
+# provides the capability the dead code intended.
+# ---------------------------------------------------------------------------
+def noun_phrases(words: list[str], pos_tags: list[str],
+                 word_spans: list[tuple[int, int]]) -> list[dict]:
+    phrases = []
+    i, n = 0, len(words)
+    while i < n:
+        j = i
+        if j < n and pos_tags[j] == "DT":
+            j += 1
+        while j < n and pos_tags[j] in ("JJ", "JJR", "JJS"):
+            j += 1
+        k = j
+        while k < n and pos_tags[k] in ("NN", "NNS", "NNP", "NNPS"):
+            k += 1
+        if k > j and (k - i) >= 2:  # at least determiner/adj + noun or 2 nouns
+            phrases.append({"text": " ".join(words[i:k]),
+                            "start": word_spans[i][0],
+                            "end": word_spans[k - 1][1]})
+            i = k
+        else:
+            i = max(i + 1, k)
+    return phrases
+
+
+def extract_phrases_py(text: str, spec: PipelineSpec | None = None) -> list[dict]:
+    """Per-document noun phrases: [{sentence_number, text, start, end}]."""
+    spec = spec or PipelineSpec()
+    out = []
+    for num, (s, e) in enumerate(split_sentences(text)):
+        ann = annotate_sentence(text[s:e], spec)
+        for p in noun_phrases(ann["words"], ann["pos"], ann["word_spans"]):
+            out.append({"sentence_number": num, **p})
+    return out
+
+
+# ---------------------------------------------------------------------------
 # A12 — lemma-validity filter (parent-framework checkLemmaIsValid, consumed at
 # OpenNLPTextProcessor.java:308-325): split lemma on spaces, keep parts that
 # contain no symbol characters, join; empty → no tag.  This is what drops
@@ -474,3 +515,72 @@ def annotate_graph_df(df: DataFrame, text_col: str = "content",
                       spec: PipelineSpec | None = None,
                       out_col: str = "sentences") -> DataFrame:
     return df.withColumn(out_col, make_graph_udf(spec)(F.col(text_col)))
+
+
+# ---------------------------------------------------------------------------
+# Fused extract+annotate: ONE pandas UDF for code-payload extraction AND
+# annotation.  Each chained pandas UDF costs one extra Python worker process
+# per task (JVM ⇄ worker Arrow pipes per UDF); at local[32] two chained UDFs
+# already mean 64 Python workers + 32 JVM threads — measured to invert
+# scaling.  Fusing keeps exactly one Python worker per task regardless of
+# pipeline depth.
+# ---------------------------------------------------------------------------
+ANNOTATED_UNIT_TYPE = ArrayType(StructType([
+    StructField("unit_number", IntegerType(), False),
+    StructField("unit_type", StringType(), False),
+    StructField("unit_start", IntegerType(), False),
+    StructField("n_sentences", IntegerType(), False),
+    StructField("sentence_number", IntegerType(), False),
+    StructField("start", IntegerType(), False),
+    StructField("end", IntegerType(), False),
+    StructField("text", StringType(), False),
+    StructField("sentiment", IntegerType(), False),
+    StructField("tags", ArrayType(TAG_TYPE, False), False),
+]), False)
+
+
+def extract_annotate_py(content: str, lang: str,
+                        spec: PipelineSpec | None = None) -> list[dict]:
+    from kg.extract import extract_units_py
+
+    rows = []
+    for unum, unit in enumerate(extract_units_py(content, lang)):
+        sentences = annotate_graph_py(unit["text"], spec)
+        for s in sentences:
+            rows.append({
+                "unit_number": unum,
+                "unit_type": unit["unit_type"],
+                "unit_start": unit["start"],
+                "n_sentences": len(sentences),
+                "sentence_number": s["sentence_number"],
+                "start": s["start"],
+                "end": s["end"],
+                "text": s["text"],
+                "sentiment": s["sentiment"],
+                "tags": s["tags"],
+            })
+    return rows
+
+
+def make_extract_annotate_udf(spec: PipelineSpec | None = None):
+    from pyspark.sql.functions import pandas_udf
+
+    spec = spec or PipelineSpec()
+
+    @pandas_udf(ANNOTATED_UNIT_TYPE)
+    def extract_annotate_udf(content: pd.Series, lang: pd.Series) -> pd.Series:
+        return pd.Series([
+            extract_annotate_py(c, l, spec) if c is not None else []
+            for c, l in zip(content, lang)])
+
+    return extract_annotate_udf
+
+
+def extract_annotate_df(df: DataFrame, text_col: str = "content",
+                        lang_col: str = "lang",
+                        spec: PipelineSpec | None = None,
+                        out_col: str = "annotated") -> DataFrame:
+    """corpus → one nested column of annotated NL units (sentences+tags).
+    Single Arrow crossing for the entire extract→annotate chain."""
+    return df.withColumn(out_col, make_extract_annotate_udf(spec)(
+        F.col(text_col), F.col(lang_col)))

@@ -111,6 +111,25 @@ def link_fuzzy(mentions: DataFrame, dictionary: DataFrame,
     return best
 
 
+def concept_triples(tags_df: DataFrame, concepts: DataFrame,
+                    relation: str = "IS_RELATED_TO") -> DataFrame:
+    """Concept-enrichment placeholder for the reference's ConceptNet5 import
+    (P10 — fully commented out in the reference, ConceptNet5ImporterTest.java;
+    network access replaced by a broadcast concept dictionary):
+
+        concepts(term, related_term) ⨝ tags.lemma → (tag, IS_RELATED_TO, tag)
+
+    triples attaching concept tags to observed tags."""
+    c = F.broadcast(concepts.select(F.col("term").alias("lemma"),
+                                    F.col("related_term")))
+    return (tags_df.join(c, "lemma")
+            .select(F.col("tag_uid").alias("subj"),
+                    F.lit(relation).alias("pred"),
+                    F.concat(F.lit("tag:"), F.col("lang"), F.lit(":"),
+                             F.col("related_term")).alias("obj"))
+            .distinct())
+
+
 def link_mentions(mentions: DataFrame, dictionary: DataFrame,
                   name_col: str = "name_norm", id_col: str = "entity_id",
                   min_jaccard: float = 0.5) -> DataFrame:

@@ -4,9 +4,10 @@ Tuned for the 100 TB target (and harmless at test scale):
 
 - AQE on (runtime re-plan, skew-join splitting) — the north_rule's "explicit
   repartition/AQE shuffle tuning".
-- Arrow batches capped low: annotate UDF rows carry whole source files, so
-  10k-row default batches would balloon Python-worker memory; 512 rows of
-  ~100 KB files ≈ 50 MB per batch.
+- Arrow batches capped at 2048 rows (KG_ARROW_BATCH to override): annotate
+  UDF rows carry whole source files, so the 10k default would balloon
+  Python-worker memory on 100 KB files, while very small batches multiply
+  JVM⇄worker IPC (measured: 512-row batches cost ~20%% at local[8]).
 - maxPartitionBytes 128 MB: keeps scan partitions executor-memory-sized.
 """
 
@@ -30,7 +31,8 @@ def get_spark(app: str = "kg", master: str | None = None,
          .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
          .config("spark.sql.session.timeZone", "UTC")
          .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                 os.environ.get("KG_ARROW_BATCH", "2048"))
          .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
          .config("spark.sql.parquet.compression.codec", "zstd")
          .config("spark.ui.enabled", "false")

@@ -1,0 +1,63 @@
+"""Structured Streaming surface: continuous KG construction over an arriving
+corpus.
+
+The reference is strictly batch/request-driven (no streaming anywhere —
+SURVEY.md §2.4), so this module adds capability rather than parity: the same
+fused extract+annotate UDF and single-pass triple build run unchanged under
+`readStream`/`writeStream` — the pipeline is stateless per row, which is
+exactly why it streams for free (no watermarks or state stores needed; the
+only stateful op in the engine, connected components, stays batch).
+
+Typical use: micro-batch ingestion of newly-crawled repositories into the
+triple table, with `Trigger.AvailableNow` for catch-up runs and checkpoint
+directories for exactly-once file-source progress.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from kg.annotate import PipelineSpec
+from kg.corpus import CORPUS_SCHEMA
+from kg.triples import corpus_to_triples
+
+
+def read_corpus_stream(spark: SparkSession, path: str,
+                       max_files_per_trigger: int = 64) -> DataFrame:
+    """File-source stream over a corpus directory (parquet parts arriving
+    over time).  maxFilesPerTrigger bounds micro-batch size — the streaming
+    analog of maxPartitionBytes."""
+    return (spark.readStream
+            .schema(CORPUS_SCHEMA)
+            .option("maxFilesPerTrigger", str(max_files_per_trigger))
+            .parquet(path))
+
+
+def stream_triples(corpus_stream: DataFrame,
+                   spec: PipelineSpec | None = None) -> DataFrame:
+    """Streaming DataFrame of triples — identical plan to the batch path;
+    every transformation is narrow, so the stream needs no state store."""
+    return corpus_to_triples(corpus_stream, spec=spec)
+
+
+def start_triple_stream(corpus_stream: DataFrame, out_path: str,
+                        checkpoint: str,
+                        spec: PipelineSpec | None = None,
+                        available_now: bool = False) -> StreamingQuery:
+    """writeStream → partitioned parquet with exactly-once file tracking.
+
+    available_now=True drains everything currently in the source then stops
+    (catch-up/backfill mode); otherwise the query runs continuously."""
+    triples = stream_triples(corpus_stream, spec).withColumn(
+        "part_salt", F.pmod(F.xxhash64("subj"), F.lit(16)).cast("int"))
+    writer = (triples.writeStream
+              .format("parquet")
+              .option("path", out_path)
+              .option("checkpointLocation", checkpoint)
+              .partitionBy("part_salt")
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -207,3 +207,62 @@ def save_model(df: DataFrame, path: str) -> None:
 
 def load_model(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# Procedure-style dispatchers + model registry — parity with
+# `ga.nlp.processor.train/test` (OpenNLPPipeline.java:345-437) and the
+# import-dir model scan `findModelFiles` (OpenNLPPipeline.java:501-548),
+# which parses `<alg>-<modelId>.bin` names into custom model registries.
+# Our artifacts are parquet directories named `<alg>-<modelId>`.
+# ---------------------------------------------------------------------------
+import os as _os
+import re as _re
+
+_MODEL_DIR_RE = _re.compile(r"^(ner|sentiment)-([A-Za-z0-9_]+)$")
+
+
+def find_model_files(import_dir: str) -> dict[tuple[str, str], str]:
+    """Scan a model import directory → {(alg, model_id): path}."""
+    out: dict[tuple[str, str], str] = {}
+    if not _os.path.isdir(import_dir):
+        return out
+    for name in sorted(_os.listdir(import_dir)):
+        m = _MODEL_DIR_RE.match(name)
+        if m and _os.path.isdir(_os.path.join(import_dir, name)):
+            out[(m.group(1), m.group(2))] = _os.path.join(import_dir, name)
+    return out
+
+
+def train(spark: SparkSession, alg: str, model_id: str, input_file: str,
+          import_dir: str, n_folds: int = 10) -> dict:
+    """Train + cross-validate + persist, returning the validation metrics —
+    the reference returns an "F/Precision/Recall" or "Accuracy" string."""
+    dest = _os.path.join(import_dir, f"{alg}-{model_id}")
+    if alg == "ner":
+        corpus = read_ner_corpus(spark, input_file)
+        metrics = cross_validate_ner(corpus, n_folds)
+        save_model(fit_ner_gazetteer(corpus), dest)
+    elif alg == "sentiment":
+        corpus = read_sentiment_corpus(spark, input_file)
+        metrics = cross_validate_sentiment(corpus, n_folds)
+        save_model(fit_sentiment_lexicon(corpus), dest)
+    else:
+        raise ValueError(f"unknown alg {alg!r} (expected ner|sentiment)")
+    return {"alg": alg, "model_id": model_id, "path": dest, **metrics}
+
+
+def test(spark: SparkSession, alg: str, model_id: str, input_file: str,
+         import_dir: str) -> dict:
+    """Evaluate a registered model on a held-out file (P7)."""
+    path = find_model_files(import_dir).get((alg, model_id))
+    if path is None:
+        raise KeyError(f"model {alg}-{model_id} not found in {import_dir}")
+    model = load_model(spark, path)
+    if alg == "ner":
+        return evaluate_ner(read_ner_corpus(spark, input_file), model)
+    corpus = read_sentiment_corpus(spark, input_file)
+    pred = score_sentiment(corpus, model)
+    n = pred.count()
+    acc = pred.filter(F.col("predicted") == F.col("label")).count() / n if n else 0.0
+    return {"accuracy": round(acc, 4), "n": n}

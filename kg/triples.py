@@ -83,6 +83,46 @@ def explode_sentences(ann_df: DataFrame, doc_key_col: str = "doc_key",
              .withColumn("doc_uid", F.concat(F.lit("doc:"), F.col("doc_key"))))
 
 
+def explode_annotated_units(ann_df: DataFrame, doc_key_col: str = "doc_key",
+                            lang_col: str | None = None,
+                            annotated_col: str = "annotated") -> DataFrame:
+    """Fused extract+annotate output (kg.annotate.extract_annotate_df) →
+    the flat sentences shape build_triples consumes.  Each NL unit becomes
+    its own "document" (doc_key:unit_number); still one explode, no shuffle.
+    Tag-uid language defaults to 'en' (NL units are natural language even
+    when the source file is code)."""
+    lang = F.col(lang_col) if lang_col else F.lit("en")
+    s = (ann_df
+         .select(F.col(doc_key_col).alias("parent_key"), lang.alias("lang"),
+                 F.explode(F.col(annotated_col)).alias("s"))
+         .select("parent_key", "lang",
+                 F.concat_ws(":", "parent_key", F.col("s.unit_number"))
+                 .alias("doc_key"),
+                 F.col("s.unit_type").alias("unit_type"),
+                 F.col("s.n_sentences").alias("n_sentences"),
+                 F.col("s.sentence_number").alias("sentence_number"),
+                 F.col("s.start").alias("start"),
+                 F.col("s.end").alias("end"),
+                 F.col("s.text").alias("text"),
+                 F.col("s.sentiment").alias("sentiment"),
+                 F.col("s.tags").alias("tags")))
+    return (s.withColumn("sentence_id",
+                         _sent_uid(F.col("doc_key"), F.col("sentence_number")))
+             .withColumn("doc_uid", F.concat(F.lit("doc:"), F.col("doc_key"))))
+
+
+def corpus_to_triples(df: DataFrame, text_col: str = "content",
+                      lang_col: str = "lang",
+                      id_cols: tuple[str, ...] = ("repo", "path", "commit"),
+                      spec: PipelineSpec | None = None) -> DataFrame:
+    """Code corpus → triples via the FUSED extract+annotate UDF: exactly one
+    Python worker layer per task, one explode, single-pass triple build."""
+    from kg.annotate import extract_annotate_df
+    ann = extract_annotate_df(with_doc_key(df, id_cols), text_col, lang_col,
+                              spec)
+    return build_triples(explode_annotated_units(ann))
+
+
 def explode_tags(sent_df: DataFrame) -> DataFrame:
     """Sentences → flat `tags` table (one row per sentence-level distinct tag).
 
@@ -141,29 +181,57 @@ def build_triples(sent_df: DataFrame,
                   include_first_sentence: bool = False) -> DataFrame:
     """Flat sentences (from explode_sentences) → the triple table.
 
-    All four unioned branches are narrow; Catalyst plans them as one stage
-    over the annotate output (union of projections of the same child)."""
-    part_of = _as_triples(sent_df, "PART_OF",
-                          F.col("sentence_id"), F.col("doc_uid"))
-    next_sent = _as_triples(
-        sent_df.filter(F.col("sentence_number") < F.col("n_sentences") - 1),
-        "NEXT_SENTENCE",
-        F.col("sentence_id"),
-        _sent_uid(F.col("doc_key"), F.col("sentence_number") + 1))
-    tags = explode_tags(sent_df)
-    has_tag = _as_triples(tags, "HAS_TAG",
-                          F.col("sentence_id"), F.col("tag_uid"))
-    occ = explode_occurrences(tags)
-    tag_occurs = _as_triples(occ, "TAG_OCCURS",
-                             F.col("tag_uid"), F.col("sentence_id"),
-                             F.col("start"), F.col("end"), F.col("value"))
-    out = part_of.unionByName(next_sent).unionByName(has_tag).unionByName(tag_occurs)
+    SINGLE-PASS design: every sentence row builds the array of ALL its
+    triples (PART_OF + optional NEXT_SENTENCE + one HAS_TAG per tag + one
+    TAG_OCCURS per occurrence) with built-in collection functions, then ONE
+    explode emits the rows.  A union-of-4-projections formulation would make
+    Spark re-execute the upstream annotate UDF once per branch (unions do
+    not share a common child at runtime) — measured 4× the annotation cost;
+    this shape runs the UDF exactly once and stays narrow."""
+    null_i = F.lit(None).cast("int")
+    null_s = F.lit(None).cast("string")
+
+    def t(subj, pred, obj, start=null_i, end=null_i, value=null_s):
+        return F.struct(subj.alias("subj"), F.lit(pred).alias("pred"),
+                        obj.alias("obj"), start.cast("int").alias("start"),
+                        end.cast("int").alias("end"),
+                        value.cast("string").alias("value"))
+
+    sid = F.col("sentence_id")
+    tag_uid = lambda tg: F.concat(F.lit("tag:"), F.col("lang"),  # noqa: E731
+                                  F.lit(":"), tg["lemma"])
+    _T = ("array<struct<subj:string,pred:string,obj:string,"
+          "start:int,end:int,value:string>>")
+    part_of = F.array(t(sid, "PART_OF", F.col("doc_uid")))
+    next_sent = F.when(
+        F.col("sentence_number") < F.col("n_sentences") - 1,
+        F.array(t(sid, "NEXT_SENTENCE",
+                  _sent_uid(F.col("doc_key"), F.col("sentence_number") + 1)))
+    ).otherwise(F.array().cast(_T))
+    has_tag = F.transform(F.col("tags"), lambda tg: t(sid, "HAS_TAG", tag_uid(tg)))
+    occurs = F.flatten(F.transform(
+        F.col("tags"),
+        lambda tg: F.transform(
+            tg["occurrences"],
+            lambda o: t(tag_uid(tg), "TAG_OCCURS", sid,
+                        o["start"], o["end"], o["value"]))))
+    parts = [part_of, next_sent, has_tag, occurs]
     if include_first_sentence:
-        first = _as_triples(sent_df.filter(F.col("sentence_number") == 0),
-                            "FIRST_SENTENCE",
-                            F.col("doc_uid"), F.col("sentence_id"))
-        out = out.unionByName(first)
-    return out
+        parts.append(F.when(F.col("sentence_number") == 0,
+                            F.array(t(F.col("doc_uid"), "FIRST_SENTENCE", sid)))
+                     .otherwise(F.array().cast(_T)))
+    return (sent_df
+            .select(F.explode(F.concat(*parts)).alias("tr"))
+            .select([F.col(f"tr.{c}").alias(c) for c in TRIPLE_COLUMNS]))
+
+
+def dedupe_triples(triples: DataFrame) -> DataFrame:
+    """Global triple dedup — dropDuplicates on the identity columns
+    (TAG_OCCURS rows keep offset/value identity).  This is a write-side
+    operation: the construction pipeline itself never emits duplicates for a
+    given input row, so dedup is only needed when unioning reruns/sources.
+    Catalyst picks hash- or sort-based dedup; AQE handles skewed subjects."""
+    return triples.dropDuplicates(list(TRIPLE_COLUMNS))
 
 
 def annotate_to_triples(df: DataFrame, text_col: str = "content",

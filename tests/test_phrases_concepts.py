@@ -1,0 +1,64 @@
+"""Tests for the optional noun-phrase chunker (A5, dead code in the
+reference, capability here), concept enrichment (P10 placeholder), triple
+dedup, and the train/test procedure dispatchers."""
+
+import pyspark.sql.functions as F
+
+from kg.annotate import extract_phrases_py
+from kg.link import concept_triples
+from kg.triples import dedupe_triples
+
+
+def test_noun_phrases_pure():
+    phrases = extract_phrases_py("The quick election chart shows the clear outcome.")
+    texts = [p["text"] for p in phrases]
+    assert "The quick election chart" in texts
+    assert "the clear outcome" in texts
+    for p in phrases:
+        assert p["end"] > p["start"] >= 0
+
+
+def test_noun_phrases_empty_on_verbs():
+    assert extract_phrases_py("run walk jump") == [] or all(
+        " " in p["text"] for p in extract_phrases_py("run walk jump"))
+
+
+def test_concept_triples(spark):
+    tags = spark.createDataFrame(
+        [("d1", "en", "tag:en:election", "election"),
+         ("d1", "en", "tag:en:vote", "vote")],
+        "doc_key string, lang string, tag_uid string, lemma string")
+    concepts = spark.createDataFrame(
+        [("election", "democracy"), ("election", "ballot"),
+         ("unseen", "nothing")],
+        "term string, related_term string")
+    out = {(r["subj"], r["pred"], r["obj"])
+           for r in concept_triples(tags, concepts).collect()}
+    assert out == {("tag:en:election", "IS_RELATED_TO", "tag:en:democracy"),
+                   ("tag:en:election", "IS_RELATED_TO", "tag:en:ballot")}
+
+
+def test_dedupe_triples(spark):
+    t = spark.createDataFrame(
+        [("a", "HAS_TAG", "b", None, None, None),
+         ("a", "HAS_TAG", "b", None, None, None),
+         ("a", "TAG_OCCURS", "b", 1, 2, "x"),
+         ("a", "TAG_OCCURS", "b", 3, 4, "x")],
+        "subj string, pred string, obj string, start int, end int, value string")
+    out = dedupe_triples(t)
+    assert out.count() == 3  # identical HAS_TAG collapsed; distinct offsets kept
+
+
+def test_train_test_dispatch(tmp_path, spark):
+    from kg.train import find_model_files, test as test_model, train
+    ner_file = tmp_path / "ner.txt"
+    ner_file.write_text(
+        "<START:person> Ada Lovelace <END> wrote the first program .\n"
+        "The program ran at <START:location> Cambridge <END> fine .\n"
+        "<START:person> Ada Lovelace <END> visited <START:location> Cambridge <END> .\n")
+    imp = str(tmp_path / "import")
+    res = train(spark, "ner", "people", str(ner_file), imp, n_folds=2)
+    assert res["path"].endswith("ner-people")
+    assert ("ner", "people") in find_model_files(imp)
+    ev = test_model(spark, "ner", "people", str(ner_file), imp)
+    assert ev["recall"] == 1.0
