@@ -27,6 +27,8 @@ HEADLINE = [
     "dedup_simhash",
     "text_quality",
     "text_fingerprint",
+    "extract_units",
+    "multimodal_features",
     "ann_cosine_topk",
     "rel_q1_pricing",
     "rel_q3_revenue",

@@ -95,8 +95,14 @@ def extract_units_py(content: str, lang: str) -> list[dict]:
                           "end": m.end(1),
                           "text": split_identifier(m.group(1))})
     else:
-        units.append({"unit_type": "text", "start": 0, "end": len(content),
-                      "text": content})
+        s, e = 0, len(content)
+        while s < e and content[s].isspace():
+            s += 1
+        while e > s and content[e - 1].isspace():
+            e -= 1
+        if e > s:
+            units.append({"unit_type": "text", "start": s, "end": e,
+                          "text": content[s:e]})
     # drop empties, keep deterministic order by start offset
     units = [u for u in units if u["text"]]
     units.sort(key=lambda u: (u["start"], u["end"]))
@@ -129,9 +135,13 @@ def extract_nl_units(df: DataFrame, text_col: str = "content",
     UDF + explode, no shuffle.  Output feeds kg.annotate with
     text_col='text' and id derived from (doc_key, unit_number)."""
     udf = make_extract_udf()
+    # posexplode_outer + isNotNull: the inner form makes Catalyst infer
+    # size(units) > 0 and push it below the projection, duplicating the UDF
+    # (see kg.triples.explode_sentences).
     return (df.withColumn("units", udf(F.col(text_col), F.col(lang_col)))
             .select(doc_key_col, lang_col,
-                    F.posexplode("units").alias("unit_number", "u"))
+                    F.posexplode_outer("units").alias("unit_number", "u"))
+            .filter(F.col("u").isNotNull())
             .select(doc_key_col, lang_col, "unit_number",
                     F.col("u.unit_type").alias("unit_type"),
                     F.col("u.start").alias("unit_start"),

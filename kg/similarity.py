@@ -114,6 +114,63 @@ def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 5, n_planes: int = 8,
                     F.round(F.col("cos"), 6).alias("cosine")))
 
 
+def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
+             n_cells: int = 16, n_probe: int = 2, seed: int = 42,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             qid_col: str = "query_id", qvec_col: str = "embedding") -> DataFrame:
+    """IVF (inverted-file) ANN: seeded KMeans partitions vectors into cells;
+    each query scans only its `n_probe` nearest cells.
+
+    The scale path complement to sign-LSH: cells adapt to the data
+    distribution (LSH buckets don't), at the cost of a training pass.  The
+    KMeans fit is deterministic (fixed seed, fixed init steps).  Plan shape:
+    fit (sampled) → cell assignment (narrow model transform) → broadcast
+    query-to-cell routing → shuffle join on cell → per-query window top-k."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
+    from pyspark.sql.window import Window
+
+    base = emb.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("vec"),
+                      array_to_vector(F.transform(
+                          F.col(vec_col), lambda x: x.cast("double")))
+                      .alias("features"))
+    km = KMeans(k=n_cells, seed=seed, maxIter=10)
+    model = km.fit(base.select("features"))
+    assigned = model.transform(base).withColumnRenamed("prediction", "cell")
+
+    centers = model.clusterCenters()
+    center_rows = [(int(c), [float(x) for x in centers[c]])
+                   for c in range(len(centers))]
+    spark = emb.sparkSession
+    centers_df = spark.createDataFrame(center_rows,
+                                       "cell int, center array<double>")
+
+    q = queries.select(F.col(qid_col).alias("query_id"),
+                       F.col(qvec_col).alias("qvec"))
+    # route each query to its n_probe nearest cells (tiny cross join on the
+    # centroid table, then keep top n_probe by distance)
+    qd = (q.crossJoin(F.broadcast(centers_df))
+          .withColumn("dist", F.sqrt(F.aggregate(
+              F.zip_with(F.transform("qvec", lambda x: x.cast("double")),
+                         F.col("center"), lambda a, b: (a - b) * (a - b)),
+              F.lit(0.0), lambda acc, v: acc + v))))
+    wq = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("cell"))
+    routed = (qd.withColumn("r", F.row_number().over(wq))
+              .filter(F.col("r") <= n_probe)
+              .select("query_id", "qvec", "cell"))
+
+    scored = (assigned.select("neighbor_id", "vec", "cell")
+              .join(F.broadcast(routed), "cell")
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .withColumn("cos", cosine_sim(F.col("qvec"), F.col("vec"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank",
+                    F.round(F.col("cos"), 6).alias("cosine")))
+
+
 def cosine_near_pairs(emb: DataFrame, threshold: float = 0.95,
                       id_col: str = "vec_id", vec_col: str = "embedding",
                       n_planes: int = 8) -> DataFrame:

@@ -65,12 +65,17 @@ def explode_sentences(ann_df: DataFrame, doc_key_col: str = "doc_key",
     Columns: doc_key, lang, n_sentences, sentence_number, start, end, text,
     sentiment, tags (still nested), sentence_id, doc_uid."""
     lang = F.col(lang_col) if lang_col else F.lit("en")
+    # explode_outer + isNotNull instead of explode: the inner-explode form
+    # makes Catalyst infer a `size(col) > 0` predicate and push it below the
+    # projection, which DUPLICATES the annotate UDF (evaluated once for the
+    # filter, once for the output — visible as two ArrowEvalPython nodes).
     s = (ann_df
          .withColumn("n_sentences", F.size(F.col(sentences_col)))
          .select(F.col(doc_key_col).alias("doc_key"),
                  lang.alias("lang"),
                  "n_sentences",
-                 F.explode(F.col(sentences_col)).alias("s"))
+                 F.explode_outer(F.col(sentences_col)).alias("s"))
+         .filter(F.col("s").isNotNull())
          .select("doc_key", "lang", "n_sentences",
                  F.col("s.sentence_number").alias("sentence_number"),
                  F.col("s.start").alias("start"),
@@ -92,9 +97,12 @@ def explode_annotated_units(ann_df: DataFrame, doc_key_col: str = "doc_key",
     Tag-uid language defaults to 'en' (NL units are natural language even
     when the source file is code)."""
     lang = F.col(lang_col) if lang_col else F.lit("en")
+    # explode_outer + isNotNull: see explode_sentences — avoids the inferred
+    # size()>0 pushdown that would run the fused UDF twice.
     s = (ann_df
          .select(F.col(doc_key_col).alias("parent_key"), lang.alias("lang"),
-                 F.explode(F.col(annotated_col)).alias("s"))
+                 F.explode_outer(F.col(annotated_col)).alias("s"))
+         .filter(F.col("s").isNotNull())
          .select("parent_key", "lang",
                  F.concat_ws(":", "parent_key", F.col("s.unit_number"))
                  .alias("doc_key"),

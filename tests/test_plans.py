@@ -1,0 +1,86 @@
+"""Physical-plan guards: the optimizations this engine relies on at 100 TB
+must be visible in the executed plan, not assumed.  Each test inspects
+`.explain`-level output for the specific operator shape."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from kg.corpus import synthetic_corpus
+from kg.link import link_exact
+from kg.pipeline import language_filter
+from kg.triples import annotate_to_triples, with_doc_key
+
+
+@pytest.fixture(scope="module")
+def corpus_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("plans") / "corpus")
+    synthetic_corpus(spark, n_files=300).write.parquet(p)
+    return p
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_lang_filter_pushes_to_scan(spark, corpus_path):
+    df = language_filter(spark.read.parquet(corpus_path))
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    assert "lang" in plan.split("PushedFilters")[1][:200]
+
+
+def test_column_pruning_reaches_scan(spark, corpus_path):
+    df = spark.read.parquet(corpus_path).select("lang", "content")
+    plan = _plan(df)
+    read_schema = plan.split("ReadSchema")[1][:200]
+    assert "content" in read_schema and "lang" in read_schema
+    assert "commit" not in read_schema  # unused column pruned at the scan
+
+
+def test_triples_plan_narrow_and_pruned(spark, corpus_path):
+    """The full annotate→triples pipeline over a parquet scan: no Exchange,
+    single ArrowEvalPython (one UDF execution), pruned scan."""
+    df = spark.read.parquet(corpus_path)
+    triples = annotate_to_triples(df)
+    plan = _plan(triples)
+    assert "Exchange" not in plan
+    assert plan.count("ArrowEvalPython") == 1
+
+
+def test_link_exact_broadcasts_dictionary(spark):
+    mentions = spark.createDataFrame(
+        [("m1", "d", "s", "pakistan", ["LOCATION"])],
+        "mention_id string, doc_key string, sentence_id string, "
+        "lemma string, ne_types array<string>")
+    dictionary = spark.createDataFrame([(1, "pakistan")],
+                                       "entity_id long, name_norm string")
+    plan = _plan(link_exact(mentions, dictionary))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_sha_and_dockey_stay_in_codegen(spark, corpus_path):
+    """Integrity hashing must be JVM-side inside WholeStageCodegen — not a
+    Python round-trip."""
+    from kg.triples import with_content_sha
+    df = with_content_sha(with_doc_key(spark.read.parquet(corpus_path)))
+    plan = _plan(df)
+    # codegen'd stages print with the "*(n)" prefix in plan toString
+    assert "*(" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_monorepo_skew_balanced_by_salt(spark):
+    """The skew defense must actually balance: with 30% of files in one repo,
+    per-(repo) partitioning would put 30% of rows in one task; salted
+    buckets keep the max bucket near the mean."""
+    from kg.materialize import SALT_COL, with_salt
+    df = with_salt(synthetic_corpus(spark, n_files=2000, monorepo_share=0.4),
+                   ("repo", "path"), buckets=16)
+    sizes = [r["n"] for r in
+             df.groupBy(SALT_COL).agg(F.count("*").alias("n")).collect()]
+    assert len(sizes) == 16
+    assert max(sizes) < 2.0 * (sum(sizes) / len(sizes))

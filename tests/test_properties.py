@@ -1,0 +1,78 @@
+"""Property-based tests (hypothesis) for the pure annotator core: structural
+invariants that must hold on ARBITRARY text, not just goldens — the fuzz
+layer the reference lacks entirely."""
+
+from hypothesis import given, settings, strategies as st
+
+from kg.annotate import (annotate_text_py, clean_lemma, sentence_tags,
+                         split_sentences, tokenize)
+from kg.extract import extract_units_py, split_identifier
+
+TEXT = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FFF),
+    max_size=400)
+
+
+@given(TEXT)
+@settings(max_examples=200, deadline=None)
+def test_sentence_spans_are_sane(text):
+    spans = split_sentences(text)
+    prev_end = -1
+    for s, e in spans:
+        assert 0 <= s < e <= len(text)
+        assert s > prev_end or prev_end == -1
+        prev_end = e
+        assert not text[s].isspace()           # no leading whitespace
+        assert not text[e - 1].isspace()       # no trailing whitespace
+
+
+@given(TEXT)
+@settings(max_examples=200, deadline=None)
+def test_token_spans_tile_non_whitespace(text):
+    spans = tokenize(text)
+    covered = set()
+    for s, e in spans:
+        assert 0 <= s < e <= len(text)
+        assert not any(text[i].isspace() for i in range(s, e))
+        for i in range(s, e):
+            assert i not in covered            # no overlaps
+            covered.add(i)
+    # every non-whitespace char is inside exactly one token
+    for i, c in enumerate(text):
+        if not c.isspace():
+            assert i in covered
+
+
+@given(TEXT)
+@settings(max_examples=100, deadline=None)
+def test_annotate_deterministic_and_well_formed(text):
+    a = annotate_text_py(text)
+    b = annotate_text_py(text)
+    assert a == b                              # bit-identical reruns
+    for s in a:
+        assert s["text"] == text[s["start"]:s["end"]]
+        for tok in s["tokens"]:
+            for span in tok["spans"]:
+                surface = s["text"][span["start"]:span["end"]]
+                assert surface == tok["value"] or " " in tok["value"]
+        for tag in sentence_tags(s):
+            assert clean_lemma(tag["lemma"]) == tag["lemma"]  # idempotent
+            assert tag["occurrences"]
+
+
+@given(TEXT, st.sampled_from(["python", "java", "go", "en", "zz"]))
+@settings(max_examples=100, deadline=None)
+def test_extract_units_spans_in_bounds(text, lang):
+    for u in extract_units_py(text, lang):
+        assert 0 <= u["start"] <= u["end"] <= len(text)
+        assert u["text"].strip() == u["text"]
+        assert u["unit_type"] in ("docstring", "comment", "identifier", "text")
+
+
+@given(st.text(alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd"),
+                                      whitelist_characters="_"), max_size=60))
+@settings(max_examples=100, deadline=None)
+def test_split_identifier_lowercase_no_underscores(name):
+    out = split_identifier(name)
+    assert out == out.lower()
+    assert "_" not in out

@@ -1,0 +1,74 @@
+"""Similarity-search tests: exact top-k ground truth vs the LSH and IVF
+approximate paths (recall floors), and near-pair blocking recall."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from kg.similarity import (cosine_near_pairs, cosine_topk, ivf_topk, lsh_topk)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def queries(spark, emb):
+    return (emb.filter(F.col("vec_id") < 8)
+            .select(F.col("vec_id").alias("query_id"), "embedding").cache())
+
+
+def _pairs(df):
+    return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+
+def test_exact_topk_shape(emb, queries):
+    out = cosine_topk(emb, queries, k=5)
+    rows = out.collect()
+    assert len(rows) == 8 * 5
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        ranks = sorted(x["rank"] for x in rs)
+        assert ranks == [1, 2, 3, 4, 5]
+        cosines = [x["cosine"] for x in sorted(rs, key=lambda x: x["rank"])]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(x["neighbor_id"] != q for x in rs)
+
+
+def test_lsh_topk_recall(emb, queries):
+    exact = _pairs(cosine_topk(emb, queries, k=5))
+    approx = _pairs(lsh_topk(emb, queries, k=5, n_planes=2))
+    # sign-LSH recall on random vectors: p(same bucket) ≈ (1-θ/π)^planes;
+    # top-5 neighbors here sit near cos≈0.4 (θ≈66°) → ≈0.4 with 2 planes
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, recall
+    # and everything it returns must be well-formed
+    assert all(q != n for q, n in approx)
+
+
+def test_ivf_topk_recall_and_determinism(emb, queries):
+    exact = _pairs(cosine_topk(emb, queries, k=5))
+    a = ivf_topk(emb, queries, k=5, n_cells=8, n_probe=4)
+    b = ivf_topk(emb, queries, k=5, n_cells=8, n_probe=4)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    recall = len(exact & _pairs(a)) / len(exact)
+    assert recall >= 0.3, recall
+
+
+def test_near_pairs_blocked_vs_exact(spark, emb):
+    thr = 0.35
+    a, b = emb.alias("a"), emb.alias("b")
+    from kg.similarity import cosine_sim
+    exact = (a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+             .withColumn("cos", cosine_sim(F.col("a.embedding"),
+                                           F.col("b.embedding")))
+             .filter(F.col("cos") >= thr))
+    n_exact = exact.count()
+    blocked = cosine_near_pairs(emb, threshold=thr, n_planes=2)
+    n_blocked = blocked.count()
+    assert n_blocked <= n_exact          # blocking can only lose pairs
+    if n_exact:
+        assert n_blocked / n_exact >= 0.25   # but must keep useful recall
