@@ -143,16 +143,24 @@ def tokenize(sent_text: str) -> list[tuple[int, int]]:
         j = i
         while j < n and not sent_text[j].isspace():
             j += 1
-        # chunk [i, j): split at ASCII punctuation chars
+        # chunk [i, j): split at ASCII punctuation chars — EXCEPT . , :
+        # between digits ("3,000", "3.14", "9:30" stay single tokens, as the
+        # reference's maxent tokenizer keeps them)
+        def _digit_internal(p: int) -> bool:
+            return (sent_text[p] in ".,:" and i < p < j - 1
+                    and sent_text[p - 1].isdigit()
+                    and sent_text[p + 1].isdigit())
+
         k = i
         while k < j:
             c = sent_text[k]
-            if c in _ASCII_PUNCT:
+            if c in _ASCII_PUNCT and not _digit_internal(k):
                 spans.append((k, k + 1))
                 k += 1
             else:
                 r = k
-                while r < j and sent_text[r] not in _ASCII_PUNCT:
+                while r < j and (sent_text[r] not in _ASCII_PUNCT
+                                 or _digit_internal(r)):
                     r += 1
                 # possessive split: ...’s or ...'s at run end
                 if (r - k > 2 and sent_text[r - 1] in "sS"
@@ -317,6 +325,10 @@ _VALID_LEMMA_PART = re.compile(r"[A-Za-z0-9\-]+\Z")
 
 
 def clean_lemma(lemma: str) -> str | None:
+    # fast path: the overwhelmingly common case is a single ASCII
+    # alphanumeric token, which is always valid as-is
+    if lemma.isascii() and lemma.isalnum():
+        return lemma
     parts = [p for p in lemma.split(" ") if p and _VALID_LEMMA_PART.match(p)]
     if not parts:
         return None

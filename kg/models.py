@@ -199,10 +199,11 @@ def pos_of(word: str, prev_tag: str | None = None) -> str:
     hit = POS_LEXICON.get(lw)
     if hit is not None:
         return hit
-    if re.fullmatch(r"[\-+]?\d[\d,.]*", word):
-        return "CD"
-    if not any(c.isalnum() for c in word):
-        return word if word in (",", ".", ":") else "SYM"
+    if not word.isalpha():  # fast path: pure-alpha words skip shape regexes
+        if re.fullmatch(r"[\-+]?\d[\d,.]*", word):
+            return "CD"
+        if not any(c.isalnum() for c in word):
+            return word if word in (",", ".", ":") else "SYM"
     if word[0].isupper():
         return "NNPS" if lw.endswith("s") and len(word) > 3 else "NNP"
     if lw.endswith("ing"):
@@ -252,11 +253,12 @@ ORGANIZATION_GAZETTEER = (
     "Apache Spark",
 )
 
-MONTHS = (
+MONTHS = frozenset(
     "January February March April May June July August September October "
     "November December".split()
 )
-WEEKDAYS = "Monday Tuesday Wednesday Thursday Friday Saturday Sunday".split()
+WEEKDAYS = frozenset(
+    "Monday Tuesday Wednesday Thursday Friday Saturday Sunday".split())
 
 _RE_YEAR = re.compile(r"^\d{4}$")
 _RE_DAYNUM = re.compile(r"^\d{1,2}(?:st|nd|rd|th)?$")
@@ -333,7 +335,7 @@ def find_date_spans(words: list[str]) -> list[tuple[int, int]]:
 def find_time_spans(words: list[str]) -> list[tuple[int, int]]:
     spans = []
     for i, w in enumerate(words):
-        if _RE_TIME.match(w):
+        if w and w[0].isdigit() and _RE_TIME.match(w):
             spans.append((i, i + 1))
     return spans
 
@@ -343,6 +345,9 @@ def find_money_spans(words: list[str]) -> list[tuple[int, int]]:
     i, n = 0, len(words)
     while i < n:
         w = words[i]
+        if not w or (w[0] not in "$€£" and not w[0].isdigit()):
+            i += 1  # fast path: money tokens start with a symbol or digit
+            continue
         if _RE_MONEY_SYM.match(w):
             spans.append((i, i + 1))
         elif _RE_NUM.match(w) and i + 1 < n and words[i + 1].lower() in MONEY_UNITS:
@@ -358,6 +363,9 @@ def find_percentage_spans(words: list[str]) -> list[tuple[int, int]]:
     i, n = 0, len(words)
     while i < n:
         w = words[i]
+        if not w or not w[0].isdigit():
+            i += 1  # fast path: percentage tokens start with a digit
+            continue
         if _RE_PERCENT.match(w):
             spans.append((i, i + 1))
         elif _RE_NUM.match(w) and i + 1 < n and words[i + 1].lower() in PERCENT_UNITS:

@@ -194,6 +194,35 @@ def test_sentence_split_abbreviations_and_decimals():
     assert len(split_sentences("No terminal punctuation here")) == 1
 
 
+def test_tweet_batch_13_sentences():
+    """ProcedureTest.java:54-63, 216-273 — 10 tweets + 1 Italian text
+    annotate to 13 sentences total (tweets 1 and 10 split in two)."""
+    tweets = [
+        "You knew China's cities were growing. But the real numbers are "
+        "stunning http://wef.ch/29IxY7w  #China",
+        "Globalization for the 99%: can we make it work for all?",
+        "This organisation increased productivity, happiness and trust "
+        "with just one change http://wef.ch/29PeKxF ",
+        "In pictures: The high-tech villages that live off the grid "
+        "http://wef.ch/29xuRh8 ",
+        "The 10 countries best prepared for the new digital economy "
+        "http://wef.ch/2a8DNug ",
+        "This is how to limit damage to the #euro after #Brexit, say "
+        "economists http://wef.ch/29GGVzG ",
+        "The office jobs that could see you earning nearly 50% less than "
+        "some of your co-workers http://wef.ch/29P9biE ",
+        "Which nationalities have the best quality of life? "
+        "http://wef.ch/29uDfwV",
+        "It’s 9,000km away, but #Brexit has hit #Japan hard "
+        "http://wef.ch/29P92eQ  #economics",
+        "Which is the world’s fastest-growing large economy? Clue: it’s "
+        "not #China http://wef.ch/29xuXFd  #economics",
+        "Questo è un semplice testo in italiano",
+    ]
+    total = sum(len(annotate_text_py(t)) for t in tweets)
+    assert total == 13
+
+
 def test_clean_lemma():
     assert clean_lemma("may 2013") == "may 2013"
     assert clean_lemma("“pakistan") is None
