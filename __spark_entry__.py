@@ -103,8 +103,13 @@ def q_kg_sentences(spark, sf_dir):
 
 
 def q_kg_annotate_full(spark, sf_dir):
-    """Full pipeline incl. POS/lemma/NER/sentiment — rows-only check (the
-    annotator itself is not ANSI-SQL-expressible; goldens live in pytest)."""
+    """Full pipeline incl. POS/lemma/NER/sentiment.  Oracle-checkable on THIS
+    corpus: the vocabulary is 31 lowercase words, none of which trigger
+    lemma rules/dict or NER (verified), so full-pipeline triples equal the
+    tokenize+stopword closed form — while the Spark side still executes the
+    complete annotator (POS/lemma/NER/sentiment all run).  The annotator's
+    lemma/NER/sentiment behaviors themselves are pinned by the pytest
+    goldens (reference fixture texts)."""
     return _en_triples(spark, sf_dir, FULL_SPEC)
 
 
@@ -414,6 +419,27 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, CAST(0 AS INT) AS sentence_number, CAST(0 AS INT) AS start,
                CAST(length(text) AS INT) AS "end", text
         FROM documents WHERE lang = 'en'"""
+
+    sqls["kg_annotate_full"] = f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_TOKS}) AS tok,
+                 generate_subscripts({_TOKS}, 1) AS i, {_TOKS} AS all_toks
+          FROM documents WHERE lang = 'en'),
+        kept AS (SELECT * FROM toks WHERE tok NOT IN {STOP_IN})
+        SELECT 'sent:' || doc_id || ':0' AS subj, 'PART_OF' AS pred,
+               'doc:' || doc_id AS obj, CAST(NULL AS INT) AS start,
+               CAST(NULL AS INT) AS "end", CAST(NULL AS VARCHAR) AS value
+        FROM documents WHERE lang = 'en'
+        UNION ALL
+        SELECT DISTINCT 'sent:' || doc_id || ':0', 'HAS_TAG',
+               'tag:en:' || tok, NULL, NULL, NULL
+        FROM kept
+        UNION ALL
+        SELECT 'tag:en:' || tok, 'TAG_OCCURS', 'sent:' || doc_id || ':0',
+               CAST((i - 1) + coalesce(len(array_to_string(all_toks[1:i-1], '')), 0) AS INT),
+               CAST((i - 1) + coalesce(len(array_to_string(all_toks[1:i-1], '')), 0) + len(tok) AS INT),
+               tok
+        FROM kept"""
 
     sqls["dedup_exact"] = """
         SELECT sha256(text) AS content_sha256, count(*) AS n_dups,
