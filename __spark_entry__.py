@@ -113,6 +113,19 @@ def q_kg_annotate_full(spark, sf_dir):
     return _en_triples(spark, sf_dir, FULL_SPEC)
 
 
+def q_kg_next_sentence(spark, sf_dir):
+    """Two-sentence documents built from each text ("<text>. A <text>")
+    exercise the sentence-boundary detector and the windowless
+    NEXT_SENTENCE derivation; the oracle predicts the whole edge set."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.lit("en").alias("lang"),
+        F.concat(F.col("text"), F.lit(". A "), F.col("text")).alias("text"))
+    t = annotate_to_triples(docs, text_col="text", id_cols=("doc_id",),
+                            lang_col="lang", spec=TOK_SPEC)
+    return (t.filter(F.col("pred").isin("PART_OF", "NEXT_SENTENCE"))
+            .select("subj", "pred", "obj"))
+
+
 def q_dedup_exact(spark, sf_dir):
     return kgdedup.exact_duplicates(_docs(spark, sf_dir, None), "text", "doc_id")
 
@@ -329,6 +342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_tag_tf": q_kg_tag_tf,
         "kg_sentences": q_kg_sentences,
         "kg_annotate_full": q_kg_annotate_full,
+        "kg_next_sentence": q_kg_next_sentence,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -440,6 +454,27 @@ def oracle_sql() -> dict[str, str]:
                CAST((i - 1) + coalesce(len(array_to_string(all_toks[1:i-1], '')), 0) + len(tok) AS INT),
                tok
         FROM kept"""
+
+    # the splitter's abbreviation/initial guard refuses a boundary when the
+    # word before the period is a single letter or a known abbreviation
+    # (kg.annotate.split_sentences) — the oracle models the guard on the
+    # text's last token
+    _SPLITS = (f"(SELECT doc_id, list_extract({_TOKS}, len({_TOKS})) AS lw "
+               "FROM documents WHERE lang = 'en')")
+    _GUARD = ("len(lw) > 1 AND lw NOT IN ('mr','mrs','ms','dr','prof','sr',"
+              "'jr','st','vs','etc','inc','ltd','co','corp','no','fig','al',"
+              "'eg','ie')")
+    sqls["kg_next_sentence"] = f"""
+        WITH lastw AS {_SPLITS}
+        SELECT 'sent:' || doc_id || ':0' AS subj, 'PART_OF' AS pred,
+               'doc:' || doc_id AS obj FROM lastw
+        UNION ALL
+        SELECT 'sent:' || doc_id || ':1', 'PART_OF', 'doc:' || doc_id
+        FROM lastw WHERE {_GUARD}
+        UNION ALL
+        SELECT 'sent:' || doc_id || ':0', 'NEXT_SENTENCE',
+               'sent:' || doc_id || ':1'
+        FROM lastw WHERE {_GUARD}"""
 
     sqls["dedup_exact"] = """
         SELECT sha256(text) AS content_sha256, count(*) AS n_dups,
