@@ -488,11 +488,12 @@ def oracle_sql() -> dict[str, str]:
           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
-        SELECT id_a, id_b, round(c / (sa.n + sb.n - c), 6) AS jaccard
+        SELECT id_a, id_b,
+               (c * 1000000) // (sa.n + sb.n - c) AS jaccard_micro
         FROM inter
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
-        WHERE c / (sa.n + sb.n - c) >= 0.5"""
+        WHERE c * 1000000 >= 500000 * (sa.n + sb.n - c)"""
 
     sqls["dedup_minhash_lsh"] = f"""
         WITH sig AS ({_MINHASH_SIG}),
@@ -591,16 +592,17 @@ def oracle_sql() -> dict[str, str]:
                     x -> list_contains({STOP_LIST_SQL}, x))) AS INT) AS n_stop_distinct,
                CAST(len(list_filter(t,
                     x -> list_contains({STOP_LIST_SQL}, x))) AS INT) AS n_stop,
-               round(length(text) / len(t), 4) AS avg_token_len
+               (length(text) * 1000000) // len(t) AS avg_token_len_micro
         FROM (SELECT doc_id, text, {_TOKS} AS t FROM documents)"""
 
     sqls["text_quality"] = f"""
         SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,
-               round(len(list_distinct(t)) / len(t), 4) AS diversity,
-               round(ns / len(t), 4) AS stop_ratio,
-               round((len(list_distinct(t)) / len(t))
-                     * (CASE WHEN len(t) BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.5 END)
-                     * (1.0 - (ns / len(t)) / 2.0), 4) AS quality
+               (len(list_distinct(t)) * 1000000) // len(t) AS diversity_micro,
+               (ns * 1000000) // len(t) AS stop_ratio_micro,
+               (len(list_distinct(t)) * (2 * len(t) - ns) * 1000000)
+                 // (2 * len(t) * len(t)
+                     * (CASE WHEN len(t) BETWEEN 10 AND 10000 THEN 1 ELSE 2 END))
+               AS quality_micro
         FROM (SELECT doc_id, text, {_TOKS} AS t,
                      len(list_filter({_TOKS},
                          x -> list_contains({STOP_LIST_SQL}, x))) AS ns

@@ -68,12 +68,17 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
              .agg(F.count("*").alias("inter")))
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
+    # jaccard emitted in integer micro-units and thresholded with integer
+    # arithmetic — float rounding at half-boundaries is not portable across
+    # engines (see kg.textstats)
+    thr_micro = int(round(threshold * 1_000_000))
     return (inter.join(sa, "id_a").join(sb, "id_b")
-            .withColumn("jaccard",
-                        F.round(F.col("inter")
-                                / (F.col("na") + F.col("nb") - F.col("inter")), 6))
-            .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard"))
+            .withColumn("union_sh", F.col("na") + F.col("nb") - F.col("inter"))
+            .withColumn("jaccard_micro",
+                        F.expr("(cast(inter as bigint) * 1000000) div "
+                               "cast(union_sh as bigint)"))
+            .filter(F.col("inter") * 1_000_000 >= F.lit(thr_micro) * F.col("union_sh"))
+            .select("id_a", "id_b", "jaccard_micro"))
 
 
 # ---------------------------------------------------------------------------

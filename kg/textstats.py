@@ -27,14 +27,22 @@ def token_stats(df: DataFrame, text_col: str = "text",
     average token length — the raw signals for quality filtering."""
     toks = tokens_col(text_col)
     sw = F.array(*[F.lit(w) for w in STOPWORD_ARRAY])
+    # ratios are emitted as INTEGER micro-units (floor of value*1e6): float
+    # rounding at a half-boundary differs between engines by 1 ulp (Spark
+    # BigDecimal HALF_UP vs DuckDB value*10^k + std::round), observed on
+    # real data; integer floor division is exact and portable.
     return df.select(
         F.col(id_col),
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct"),
         F.size(F.array_intersect(F.array_distinct(toks), sw)).alias("n_stop_distinct"),
         F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).alias("n_stop"),
-        F.round(F.length(F.col(text_col)) / F.size(toks), 4).alias("avg_token_len"),
-    )
+        (F.length(F.col(text_col)).cast("long") * 1_000_000)
+        .alias("_len_micro"),
+    ).withColumn(
+        "avg_token_len_micro",
+        F.expr("_len_micro div cast(n_tokens as bigint)")
+    ).drop("_len_micro")
 
 
 def quality_score(df: DataFrame, text_col: str = "text",
@@ -42,15 +50,21 @@ def quality_score(df: DataFrame, text_col: str = "text",
     """Composite quality score in [0,1]: lexical diversity × length band ×
     (1 - stopword excess).  Deterministic integer-ratio arithmetic, rounded."""
     s = token_stats(df, text_col, id_col)
-    diversity = F.col("n_distinct") / F.col("n_tokens")
-    stop_ratio = F.col("n_stop") / F.col("n_tokens")
-    length_ok = F.when((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 10000),
-                       F.lit(1.0)).otherwise(F.lit(0.5))
+    # quality = (d/n) * lf * (1 - (ns/n)/2)  with lf = 1 (length in band)
+    # or 1/2 = d * (2n - ns) / (2 n^2 * lf_den), computed entirely with
+    # BIGINT `div` in micro-units (exact, engine-portable)
     return s.select(
         id_col, "n_tokens",
-        F.round(diversity, 4).alias("diversity"),
-        F.round(stop_ratio, 4).alias("stop_ratio"),
-        F.round(diversity * length_ok * (1.0 - stop_ratio / 2.0), 4).alias("quality"),
+        F.expr("(cast(n_distinct as bigint) * 1000000) div "
+               "cast(n_tokens as bigint)").alias("diversity_micro"),
+        F.expr("(cast(n_stop as bigint) * 1000000) div "
+               "cast(n_tokens as bigint)").alias("stop_ratio_micro"),
+        F.expr(
+            "(cast(n_distinct as bigint) * (2 * cast(n_tokens as bigint) "
+            " - cast(n_stop as bigint)) * 1000000) div "
+            "(2 * cast(n_tokens as bigint) * cast(n_tokens as bigint) * "
+            " (case when n_tokens between 10 and 10000 then 1 else 2 end))"
+        ).alias("quality_micro"),
     )
 
 

@@ -1,0 +1,81 @@
+"""Dedup-operator correctness: exact grouping, Jaccard math, MinHash-LSH
+collision behavior on true near-dups, SimHash pigeonhole completeness."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from kg.dedup import (exact_duplicates, minhash_lsh_pairs, ngram_jaccard_pairs,
+                      simhash64, simhash_near_pairs, word_shingles)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the old river bank"
+    rows = [
+        (1, base),
+        (2, base),                                    # exact dup of 1
+        (3, base.replace("lazy", "sleepy")),          # near dup (1 token)
+        (4, "completely different words about spark shuffles and parquet files"),
+        (5, base.replace("quick", "fast").replace("old", "new")),  # 2 edits
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_duplicates_grouping(docs):
+    out = {r["canonical_id"]: r["n_dups"]
+           for r in exact_duplicates(docs).collect()}
+    assert out[1] == 2          # docs 1 and 2 collapse
+    assert out[3] == 1 and out[4] == 1 and out[5] == 1
+
+
+def test_word_shingles_counts(docs):
+    sh = word_shingles(docs.filter("doc_id = 1"), n=3)
+    n_tokens = 14
+    assert sh.count() == n_tokens - 3 + 1  # all shingles distinct here
+
+
+def test_ngram_jaccard_math(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard_micro"]
+             for r in ngram_jaccard_pairs(docs, n=3, threshold=0.0).collect()}
+    assert pairs[(1, 2)] == 1_000_000               # identical
+    assert 400_000 < pairs[(1, 3)] < 1_000_000      # one-token edit
+    assert (1, 4) not in pairs or pairs[(1, 4)] == 0
+
+
+def test_minhash_lsh_finds_exact_and_near(docs):
+    got = {(r["id_a"], r["id_b"])
+           for r in minhash_lsh_pairs(docs, k=16, bands=8, n=3).collect()}
+    assert (1, 2) in got                            # identical always collide
+    assert (1, 3) in got                            # near dup with 8 bands
+    assert (1, 4) not in got                        # unrelated never
+
+
+def test_simhash_pigeonhole_completeness(docs):
+    """Any pair within hamming distance 3 shares one of four 16-bit chunks
+    (pigeonhole) — the blocking may never lose such a pair."""
+    fps = {r["id"]: r["simhash"] for r in simhash64(docs).collect()}
+    want = set()
+    ids = sorted(fps)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if bin((fps[a] ^ fps[b]) & (2**64 - 1)).count("1") <= 3:
+                want.add((a, b))
+    got = {(r["id_a"], r["id_b"])
+           for r in simhash_near_pairs(docs, max_hamming=3).collect()}
+    assert got == want
+    assert (1, 2) in got                            # identical docs: distance 0
+
+
+def test_extract_annotate_equals_plain_annotate_on_text(spark):
+    """Layer equivalence: for natural-language rows the fused
+    extract+annotate path must produce the same tags as annotate alone."""
+    from kg.annotate import annotate_graph_py, extract_annotate_py
+    text = ("On 8 May 2013, one week before the Pakistani election, the "
+            "third author forecast the winner. The outcome was exact.")
+    plain = annotate_graph_py(text)
+    fused = extract_annotate_py(text, "en")
+    assert len(fused) == len(plain)
+    for f, p in zip(fused, plain):
+        assert f["unit_type"] == "text" and f["unit_number"] == 0
+        assert f["text"] == p["text"]
+        assert f["tags"] == p["tags"]
