@@ -321,6 +321,22 @@ def q_rel_events_rollup(spark, sf_dir):
             .agg(F.count("*").alias("n")))
 
 
+def q_rel_events_cube(spark, sf_dir):
+    ev = _read("events")(spark, sf_dir)
+    return (ev.cube(F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                    "event_type")
+            .agg(F.count("*").alias("n")))
+
+
+def q_rel_customers_without_orders(spark, sf_dir):
+    """Anti-join: customers with no URGENT order."""
+    cu = _read("customer")(spark, sf_dir)
+    od = (_read("orders")(spark, sf_dir)
+          .filter(F.col("o_orderpriority") == "1-URGENT"))
+    return (cu.join(od, cu.c_custkey == od.o_custkey, "left_anti")
+            .select("c_custkey", "c_mktsegment"))
+
+
 def q_rel_events_sessionize(spark, sf_dir):
     from pyspark.sql.window import Window
     ev = _read("events")(spark, sf_dir)
@@ -364,6 +380,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_events_gap": q_rel_events_gap,
         "rel_events_hourly": q_rel_events_hourly,
         "rel_events_rollup": q_rel_events_rollup,
+        "rel_events_cube": q_rel_events_cube,
+        "rel_customers_without_orders": q_rel_customers_without_orders,
         "rel_events_sessionize": q_rel_events_sessionize,
     }
 
@@ -671,6 +689,16 @@ def oracle_sql() -> dict[str, str]:
     sqls["rel_events_rollup"] = """
         SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n
         FROM events GROUP BY ROLLUP(day, event_type)"""
+
+    sqls["rel_events_cube"] = """
+        SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n
+        FROM events GROUP BY CUBE(day, event_type)"""
+
+    sqls["rel_customers_without_orders"] = """
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')"""
 
     sqls["rel_events_sessionize"] = """
         WITH flagged AS (
