@@ -182,6 +182,10 @@ def q_text_fingerprint(spark, sf_dir):
     return kgtext.fingerprint(_docs(spark, sf_dir, None), "text", "doc_id")
 
 
+def q_text_term_freq(spark, sf_dir):
+    return kgtext.term_frequencies(_docs(spark, sf_dir, None), "text", "doc_id")
+
+
 def q_text_bpe_count(spark, sf_dir):
     return kgtext.bpe_ish_token_count(_docs(spark, sf_dir, None), "text", "doc_id")
 
@@ -375,6 +379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_language_id": q_text_language_id,
         "text_fingerprint": q_text_fingerprint,
         "text_bpe_count": q_text_bpe_count,
+        "text_term_freq": q_text_term_freq,
         "rel_q1_pricing": q_rel_q1_pricing,
         "rel_q3_revenue": q_rel_q3_revenue,
         "rel_events_gap": q_rel_events_gap,
@@ -642,6 +647,14 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fingerprint
         FROM documents"""
+
+    sqls["text_term_freq"] = f"""
+        WITH toks AS (SELECT doc_id AS doc, unnest({_TOKS}) AS term
+                      FROM documents),
+        tf AS (SELECT doc, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        dfreq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY 1)
+        SELECT doc, tf.term AS term, tf, doc_freq
+        FROM tf JOIN dfreq ON tf.term = dfreq.term"""
 
     sqls["text_bpe_count"] = r"""
         SELECT doc_id,

@@ -114,6 +114,30 @@ def fingerprint(df: DataFrame, text_col: str = "text",
         F.md5(F.concat_ws(" ", toks)).alias("fingerprint"))
 
 
+def term_frequencies(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(doc, term, tf, doc_freq) — the integer core of TF-IDF.  Two hash
+    aggregations (per-doc term counts, then per-term document frequency)
+    joined on term; the doc-frequency side is the distinct-term table
+    (vocabulary-sized, broadcast-friendly)."""
+    toks = (df.select(F.col(id_col).alias("doc"),
+                      F.explode(tokens_col(text_col)).alias("term")))
+    tf = toks.groupBy("doc", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    return tf.join(dfreq, "term").select("doc", "term", "tf", "doc_freq")
+
+
+def tfidf(df: DataFrame, text_col: str = "text",
+          id_col: str = "doc_id") -> DataFrame:
+    """TF-IDF scores: tf * ln(N / df).  The float score is for ranking
+    inside the engine; cross-engine comparisons should use the integer
+    (tf, doc_freq) pair from term_frequencies."""
+    n_docs = df.count()
+    base = term_frequencies(df, text_col, id_col)
+    return base.withColumn(
+        "tfidf", F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("doc_freq")), 6))
+
+
 _BPE_ISH = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
 
 
