@@ -2,12 +2,19 @@
 
     spark-submit --py-files kg.zip jobs/run_pipeline.py \
         --input <corpus parquet/iceberg path> --output <triples path> \
-        [--resume] [--salt-buckets 64] [--langs en] [--synthetic N]
+        [--resume] [--salt-buckets 64] [--langs en,python,...] \
+        [--link-dictionary dict.parquet] [--synthetic N]
 
-Stages (north_rule): scan → lang filter → sha256 invariant → NL-unit
-extraction → annotate (pandas UDF) → triples → entity linking →
-connected-components canonicalization → salted partitioned write with
-manifest-based checkpoint-resume and per-partition lineage metrics.
+Stages (north_rule): scan → lang filter → sha256 invariant → FUSED NL-unit
+extraction + annotation (ONE pandas UDF — see CLAUDE.md perf rules) →
+single-pass triple build → optional entity linking + connected-components
+canonicalization → salted partitioned write with manifest-based
+checkpoint-resume and per-partition lineage metrics.
+
+Partition identity (src lang, salt bucket) is THREADED through the narrow
+pipeline via keep_cols — the whole corpus→triples path has zero joins and
+zero shuffles; the first shuffles are linking/canonicalization (optional)
+and the final partitioned write.
 
 `--synthetic N` generates the deterministic kg.corpus fixture instead of
 reading --input (benchmarks / smoke runs).
@@ -38,16 +45,16 @@ def main(argv: list[str] | None = None) -> dict:
     args = ap.parse_args(argv)
 
     from kg.session import get_spark
-    from kg.annotate import annotate_graph_df
-    from kg.canon import canonicalize_triples, co_mention_edges, connected_components
+    from kg.annotate import extract_annotate_df
+    from kg.canon import (canonicalize_triples, co_mention_edges,
+                          connected_components)
     from kg.corpus import synthetic_corpus
-    from kg.extract import extract_nl_units
     from kg.link import extract_mentions, link_mentions
     from kg.materialize import (SALT_COL, resume_filter, run_partitioned,
                                 with_salt)
     from kg.pipeline import language_filter
-    from kg.triples import (build_triples, explode_sentences, explode_tags,
-                            with_content_sha, with_doc_key)
+    from kg.triples import (build_triples, explode_annotated_units,
+                            explode_tags, with_content_sha, with_doc_key)
 
     t0 = time.time()
     spark = get_spark(app="kg-run", master=args.master)
@@ -58,55 +65,35 @@ def main(argv: list[str] | None = None) -> dict:
         corpus = spark.read.parquet(args.input)
 
     langs = tuple(x.strip() for x in args.langs.split(",") if x.strip())
-    corpus = language_filter(corpus, supported=langs)
-    corpus = with_content_sha(with_doc_key(corpus))
+    corpus = language_filter(corpus, supported=langs)          # pushdown
+    corpus = with_content_sha(with_doc_key(corpus))            # JVM codegen
     corpus = with_salt(corpus, ("repo", "path"), args.salt_buckets)
+    corpus = corpus.withColumn("src_lang", F.col("lang"))
 
     if args.resume:
+        # partition identity = (source-file lang, salt) — corpus.lang IS the
+        # partition lang, so the manifest anti-join applies directly
         corpus = resume_filter(corpus, spark, args.output,
                                keys=("lang", SALT_COL))
 
-    # NL units from code payloads; each unit is an annotatable document
-    units = (extract_nl_units(corpus)
-             .withColumn("unit_key", F.concat_ws(":", "doc_key", "unit_number")))
-    # carry partition identity through (salt comes from the parent doc)
-    units = units.join(
-        corpus.select("doc_key", SALT_COL), "doc_key")
-
-    ann = annotate_graph_df(units, text_col="text")
-    sent = explode_sentences(
-        ann.withColumnRenamed("doc_key", "parent_doc")
-           .withColumnRenamed("unit_key", "doc_key"),
-        lang_col=None)
-    # annotated units are NL → lang tag 'en' for tag uids; partition lang is
-    # the source-file language
-    sent = sent.join(
-        units.select(F.col("unit_key").alias("doc_key"),
-                     F.col("lang").alias("src_lang"), SALT_COL),
-        "doc_key")
-
-    triples = build_triples(sent)
+    # fused extract+annotate: one Python worker per task, no joins — salt and
+    # source language ride along as keep_cols
+    ann = extract_annotate_df(corpus)
+    sent = explode_annotated_units(ann, keep_cols=("src_lang", SALT_COL))
+    triples = build_triples(sent, keep_cols=("src_lang", SALT_COL)) \
+        .withColumnRenamed("src_lang", "lang")
 
     if args.link_dictionary:
         dictionary = spark.read.parquet(args.link_dictionary)
         mentions = extract_mentions(explode_tags(sent))
         linked = link_mentions(mentions, dictionary)
         labels = connected_components(co_mention_edges(linked))
+        # canonicalize_triples passes non-triple columns (lang, salt) through
         triples = canonicalize_triples(triples, labels)
-
-    part = (triples
-            .join(sent.select(F.col("sentence_id").alias("subj"),
-                              F.col("src_lang").alias("lang"), SALT_COL)
-                  .distinct(),
-                  "subj", "left")
-            .withColumn("lang", F.coalesce("lang", F.lit("en")))
-            .withColumn(SALT_COL, F.coalesce(
-                F.col(SALT_COL),
-                F.pmod(F.xxhash64("subj"), F.lit(args.salt_buckets)).cast("int"))))
 
     sent_keys = sent.select("doc_key", F.col("src_lang").alias("lang"),
                             "sentence_id", SALT_COL)
-    summary = run_partitioned(sent_keys, part, args.output, spark,
+    summary = run_partitioned(sent_keys, triples, args.output, spark,
                               keys=("lang", SALT_COL))
     summary["wall_sec"] = round(time.time() - t0, 2)
     print(json.dumps(summary))

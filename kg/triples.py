@@ -90,7 +90,8 @@ def explode_sentences(ann_df: DataFrame, doc_key_col: str = "doc_key",
 
 def explode_annotated_units(ann_df: DataFrame, doc_key_col: str = "doc_key",
                             lang_col: str | None = None,
-                            annotated_col: str = "annotated") -> DataFrame:
+                            annotated_col: str = "annotated",
+                            keep_cols: tuple[str, ...] = ()) -> DataFrame:
     """Fused extract+annotate output (kg.annotate.extract_annotate_df) →
     the flat sentences shape build_triples consumes.  Each NL unit becomes
     its own "document" (doc_key:unit_number); still one explode, no shuffle.
@@ -99,11 +100,12 @@ def explode_annotated_units(ann_df: DataFrame, doc_key_col: str = "doc_key",
     lang = F.col(lang_col) if lang_col else F.lit("en")
     # explode_outer + isNotNull: see explode_sentences — avoids the inferred
     # size()>0 pushdown that would run the fused UDF twice.
+    keep = [F.col(c) for c in keep_cols]
     s = (ann_df
          .select(F.col(doc_key_col).alias("parent_key"), lang.alias("lang"),
-                 F.explode_outer(F.col(annotated_col)).alias("s"))
+                 *keep, F.explode_outer(F.col(annotated_col)).alias("s"))
          .filter(F.col("s").isNotNull())
-         .select("parent_key", "lang",
+         .select("parent_key", "lang", *keep_cols,
                  F.concat_ws(":", "parent_key", F.col("s.unit_number"))
                  .alias("doc_key"),
                  F.col("s.unit_type").alias("unit_type"),
@@ -186,7 +188,8 @@ def _as_triples(df: DataFrame, pred: str, subj: Column, obj: Column,
 
 
 def build_triples(sent_df: DataFrame,
-                  include_first_sentence: bool = False) -> DataFrame:
+                  include_first_sentence: bool = False,
+                  keep_cols: tuple[str, ...] = ()) -> DataFrame:
     """Flat sentences (from explode_sentences) → the triple table.
 
     SINGLE-PASS design: every sentence row builds the array of ALL its
@@ -229,8 +232,9 @@ def build_triples(sent_df: DataFrame,
                             F.array(t(F.col("doc_uid"), "FIRST_SENTENCE", sid)))
                      .otherwise(F.array().cast(_T)))
     return (sent_df
-            .select(F.explode(F.concat(*parts)).alias("tr"))
-            .select([F.col(f"tr.{c}").alias(c) for c in TRIPLE_COLUMNS]))
+            .select(*keep_cols, F.explode(F.concat(*parts)).alias("tr"))
+            .select([F.col(f"tr.{c}").alias(c) for c in TRIPLE_COLUMNS]
+                    + [F.col(c) for c in keep_cols]))
 
 
 def dedupe_triples(triples: DataFrame) -> DataFrame:
