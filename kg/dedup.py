@@ -86,18 +86,31 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
 # hex strings (lexicographic min ≡ min over a uniform 128-bit family).
 # Portable: identical in Spark and DuckDB, no RNG.
 # ---------------------------------------------------------------------------
+def _minhash_expr(i: int, hash_fn: str):
+    if hash_fn == "xxhash64":
+        # scale path: 8-byte long signatures instead of 32-char hex strings —
+        # ~4x lighter shuffle/aggregation payload; same uniform-min semantics.
+        # Not DuckDB-portable (no xxhash64 there), so the oracle-checked
+        # queries keep md5.
+        return F.xxhash64(F.lit(str(i)), F.col("shingle"))
+    return F.md5(F.concat_ws(":", F.lit(str(i)), F.col("shingle")))
+
+
 def minhash_signatures(df: DataFrame, k: int = 16, n: int = 3,
-                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                       text_col: str = "text", id_col: str = "doc_id",
+                       hash_fn: str = "md5") -> DataFrame:
     """(id, sig_0 .. sig_{k-1}) MinHash signature over word n-gram shingles.
-    One shuffle (groupBy id); the k mins are map-side partial-aggregated."""
+    One shuffle (groupBy id); the k mins are map-side partial-aggregated.
+    hash_fn: "md5" (portable, default) or "xxhash64" (scale path)."""
     sh = word_shingles(df, n, text_col, id_col)
-    aggs = [F.min(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("shingle"))))
-            .alias(f"sig_{i}") for i in range(k)]
+    aggs = [F.min(_minhash_expr(i, hash_fn)).alias(f"sig_{i}")
+            for i in range(k)]
     return sh.groupBy("id").agg(*aggs)
 
 
 def minhash_lsh_pairs(df: DataFrame, k: int = 16, bands: int = 4, n: int = 3,
-                      text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                      text_col: str = "text", id_col: str = "doc_id",
+                      hash_fn: str = "md5") -> DataFrame:
     """Candidate near-dup pairs: documents sharing any LSH band bucket.
     k/bands signature rows per band; band key = md5 of the concatenated row
     mins.  Returns distinct (id_a, id_b), id_a < id_b.
@@ -106,12 +119,14 @@ def minhash_lsh_pairs(df: DataFrame, k: int = 16, bands: int = 4, n: int = 3,
     identical boilerplate) are bounded upstream by exact dedup."""
     assert k % bands == 0
     rows_per_band = k // bands
-    sig = minhash_signatures(df, k, n, text_col, id_col)
+    sig = minhash_signatures(df, k, n, text_col, id_col, hash_fn)
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        bucket = (F.xxhash64(*cols) if hash_fn == "xxhash64"
+                  else F.md5(F.concat_ws("|", *cols)))
         band_cols.append(F.struct(F.lit(b).alias("band"),
-                                  F.md5(F.concat_ws("|", *cols)).alias("bucket")))
+                                  bucket.alias("bucket")))
     buckets = (sig.select("id", F.explode(F.array(*band_cols)).alias("bb"))
                .select("id", F.col("bb.band").alias("band"),
                        F.col("bb.bucket").alias("bucket")))

@@ -50,6 +50,16 @@ def test_minhash_lsh_finds_exact_and_near(docs):
     assert (1, 4) not in got                        # unrelated never
 
 
+def test_minhash_xxhash64_scale_variant(docs):
+    """The long-typed scale-path hash family behaves like the portable md5
+    family on the fixture (identical docs always collide; unrelated never)."""
+    got = {(r["id_a"], r["id_b"])
+           for r in minhash_lsh_pairs(docs, k=16, bands=8, n=3,
+                                      hash_fn="xxhash64").collect()}
+    assert (1, 2) in got
+    assert (1, 4) not in got
+
+
 def test_simhash_pigeonhole_completeness(docs):
     """Any pair within hamming distance 3 shares one of four 16-bit chunks
     (pigeonhole) — the blocking may never lose such a pair."""
