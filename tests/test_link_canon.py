@@ -90,6 +90,28 @@ def test_connected_components_vs_union_find(spark, algorithm, edge_set):
     assert got == want
 
 
+def test_mentions_from_real_annotations(spark, dictionary):
+    """End-to-end: golden text → annotate → tags → extract_mentions →
+    link_mentions — the real pipeline seam, not synthetic mention rows."""
+    from kg.annotate import annotate_graph_df
+    from kg.triples import explode_sentences, explode_tags, with_doc_key
+    from tests.test_annotate_goldens import PAKISTAN_TEXT
+    df = spark.createDataFrame([("d1", "en", PAKISTAN_TEXT)],
+                               "id string, lang string, content string")
+    tags = explode_tags(explode_sentences(
+        annotate_graph_df(with_doc_key(df, ("id",)))))
+    mentions = extract_mentions(tags)
+    rows = {r["lemma"]: r["ne_types"] for r in mentions.collect()}
+    assert rows["pakistan"] == ["LOCATION"]
+    assert rows["owen bennett jones"] == ["PERSON"]
+    assert rows["bbc"] == ["ORGANIZATION"]
+    assert "election" not in rows            # plain tokens are not mentions
+    linked = link_mentions(mentions, dictionary)
+    got = {r["lemma"]: r["entity_id"] for r in linked.collect()}
+    assert got["pakistan"] == 1 and got["owen bennett jones"] == 2
+    assert got["bbc"] == 3
+
+
 def test_canonicalize_triples(spark):
     triples = spark.createDataFrame(
         [("m1", "SAME_AS", "m3"), ("m1", "HAS_TAG", "t1")],
