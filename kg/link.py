@@ -99,16 +99,21 @@ def link_fuzzy(mentions: DataFrame, dictionary: DataFrame,
     inter = (cand.join(mg, "mention_id").join(dg, ["entity_id", "gram"])
              .groupBy("mention_id", "entity_id")
              .agg(F.count("*").alias("inter")))
+    from pyspark.sql.window import Window
+
     scored = (inter.join(m_sizes, "mention_id").join(d_sizes, "entity_id")
               .withColumn("jaccard",
                           F.col("inter") / (F.col("nm") + F.col("nd") - F.col("inter")))
               .filter(F.col("jaccard") >= min_jaccard))
-    best = (scored.groupBy("mention_id")
-            .agg(F.max(F.struct(F.col("jaccard"),
-                                (-F.col("entity_id")).alias("neg_id"))).alias("b"))
-            .select("mention_id", (-F.col("b.neg_id")).cast("long").alias("entity_id"),
-                    F.round("b.jaccard", 6).alias("jaccard")))
-    return best
+    # best entity per mention: max jaccard, ties → min entity_id.  Window
+    # row_number is type-generic (string or numeric entity ids) and its
+    # partition count is bounded by the candidate set, not the corpus.
+    w = Window.partitionBy("mention_id").orderBy(F.desc("jaccard"),
+                                                 F.asc("entity_id"))
+    return (scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .select("mention_id", "entity_id",
+                    F.round("jaccard", 6).alias("jaccard")))
 
 
 def concept_triples(tags_df: DataFrame, concepts: DataFrame,
