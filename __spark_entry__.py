@@ -349,8 +349,11 @@ def q_rel_events_sessionize(spark, sf_dir):
     flagged = ev.withColumn(
         "new_session",
         F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0))
+    # n_sessions cast to bigint explicitly: DuckDB's integer SUM returns
+    # HUGEINT (int128), which some fetch paths coerce to double ("150.0" vs
+    # "150" in the value hash) — both engines cast to BIGINT for parity.
     return (flagged.groupBy("user_id")
-            .agg(F.sum("new_session").alias("n_sessions"),
+            .agg(F.sum("new_session").cast("bigint").alias("n_sessions"),
                  F.count("*").alias("n_events")))
 
 
@@ -723,7 +726,8 @@ def oracle_sql() -> dict[str, str]:
                          > 30 * 60 * 1000000
                       THEN 1 ELSE 0 END AS new_session
           FROM events)
-        SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+        SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+               count(*) AS n_events
         FROM flagged GROUP BY user_id"""
 
     return sqls

@@ -87,9 +87,22 @@ def main(argv: list[str] | None = None) -> dict:
         dictionary = spark.read.parquet(args.link_dictionary)
         mentions = extract_mentions(explode_tags(sent))
         linked = link_mentions(mentions, dictionary)
-        labels = connected_components(co_mention_edges(linked))
+        mention_labels = connected_components(co_mention_edges(linked))
+        # BRIDGE: component labels are keyed by mention ids ('sent:…#lemma')
+        # and 'ent:'/'sf:' anchors, while triples carry tag:/sent:/doc: node
+        # uids — project each mention's component onto its Tag node.  Only
+        # entity-anchored components ('ent:<id>' sorts below every 'sent…'/
+        # 'sf…' uid, so min-label == the canonical entity uid iff one exists)
+        # rewrite the graph; unlinked tags stay untouched.
+        node_labels = (linked
+                       .join(mention_labels,
+                             linked.mention_id == mention_labels.node)
+                       .filter(F.col("component").startswith("ent:"))
+                       .groupBy("tag_uid")
+                       .agg(F.min("component").alias("component"))
+                       .select(F.col("tag_uid").alias("node"), "component"))
         # canonicalize_triples passes non-triple columns (lang, salt) through
-        triples = canonicalize_triples(triples, labels)
+        triples = canonicalize_triples(triples, node_labels)
 
     sent_keys = sent.select("doc_key", F.col("src_lang").alias("lang"),
                             "sentence_id", SALT_COL)

@@ -37,23 +37,35 @@ def exact_duplicates(df: DataFrame, text_col: str = "text",
 def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle).
-    Built-ins only: transform over a token-index sequence, then explode."""
+    Built-ins only: transform over a token-index sequence, then explode.
+
+    Documents shorter than n tokens yield no shingles (the CASE guard is
+    required: F.sequence(0, size-n) with size < n produces a DESCENDING
+    sequence and F.slice then throws INVALID_PARAMETER_VALUE.START — a
+    one-word document would abort the whole job)."""
     toks = tokens_col(text_col)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - n + 1),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    ).otherwise(F.array().cast("array<string>"))
     return (df.select(F.col(id_col).alias("id"),
                       F.explode(F.array_distinct(grams)).alias("shingle")))
 
 
 def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
                         text_col: str = "text", id_col: str = "doc_id",
-                        max_df: int | None = None) -> DataFrame:
+                        max_df: int | None = 100_000) -> DataFrame:
     """All document pairs with shingle-Jaccard >= threshold.
 
     inter(a,b) via self-join on shingle; union = |A| + |B| - inter.
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded for
-    cross-engine comparability."""
+    cross-engine comparability.
+
+    `max_df` defaults FINITE (100k): a shingle present in 10^6 docs creates a
+    10^12-row self-join at scale, so hot shingles are dropped by default.
+    Dropping a shingle only lowers the measured Jaccard (no false positives);
+    callers wanting exact all-shingle semantics pass max_df=None explicitly."""
     sh = word_shingles(df, n, text_col, id_col)
     if max_df is not None:
         hot = (sh.groupBy("shingle").count()

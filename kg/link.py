@@ -25,11 +25,14 @@ from kg import models
 
 def extract_mentions(tags_df: DataFrame) -> DataFrame:
     """Tag rows carrying a real NE type → mention table
-    (mention_id, sentence_id, lemma, ne_types)."""
+    (mention_id, doc_key, sentence_id, lemma, tag_uid, ne_types).
+
+    tag_uid is carried through so linked-mention components can be bridged
+    back onto the persisted graph's Tag node ids (kg.canon / run_pipeline)."""
     return (tags_df
             .filter(F.exists("ne", lambda t: t != F.lit(models.BACKGROUND_SYMBOL)))
             .select(F.concat_ws("#", "sentence_id", "lemma").alias("mention_id"),
-                    "doc_key", "sentence_id", "lemma",
+                    "doc_key", "sentence_id", "lemma", "tag_uid",
                     F.array_sort(F.filter(
                         "ne", lambda t: t != F.lit(models.BACKGROUND_SYMBOL)))
                     .alias("ne_types")))
@@ -46,11 +49,18 @@ def link_exact(mentions: DataFrame, dictionary: DataFrame,
 
 
 def _char_grams(col, n: int = 3):
-    """Distinct char n-grams of a padded string — built-ins only."""
+    """Distinct char n-grams of a padded string — built-ins only.
+
+    Guarded like kg.dedup.word_shingles: names shorter than n-2 chars would
+    make F.sequence descend and substr run with non-positive positions,
+    silently yielding spurious/duplicate grams — return an empty set instead."""
     padded = F.concat(F.lit("^"), col, F.lit("$"))
-    return F.array_distinct(F.transform(
-        F.sequence(F.lit(0), F.length(padded) - n),
-        lambda i: padded.substr(i + 1, F.lit(n))))
+    return F.when(
+        F.length(padded) >= n,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(0), F.length(padded) - n),
+            lambda i: padded.substr(i + 1, F.lit(n))))
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def _gram_rows(df: DataFrame, key: str, text: str, n: int) -> DataFrame:
@@ -148,11 +158,17 @@ def link_mentions(mentions: DataFrame, dictionary: DataFrame,
                        min_jaccard=min_jaccard)
     fuzzy_rows = (miss.join(fuzzy, "mention_id")
                   .withColumn("link_method", F.lit("fuzzy")))
+    # the unlinked branch's null entity_id must carry the DICTIONARY's id
+    # type (string ids like 'Q843' would otherwise force a string→bigint
+    # cast that fails under ANSI mode in the unionByName)
+    id_type = dictionary.schema[id_col].dataType
     unlinked = (miss.join(fuzzy.select("mention_id"), "mention_id", "left_anti")
-                .withColumn("entity_id", F.lit(None).cast("long"))
+                .withColumn("entity_id", F.lit(None).cast(id_type))
                 .withColumn("link_method", F.lit(None).cast("string")))
-    cols = ["mention_id", "doc_key", "sentence_id", "lemma", "ne_types",
-            "entity_id", "link_method"]
+    # pass every mention column through (tag_uid etc. ride along so callers
+    # can bridge mention components back to graph node ids)
+    cols = [c for c in mentions.columns if c != "entity_id"] + [
+        "entity_id", "link_method"]
     return (hit.select(*cols)
             .unionByName(fuzzy_rows.select(*cols))
             .unionByName(unlinked.select(*cols)))

@@ -90,12 +90,19 @@ def lsh_signature(vec_col: Column, planes: list[list[float]]) -> Column:
 
 def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 5, n_planes: int = 8,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             qid_col: str = "query_id", qvec_col: str = "embedding") -> DataFrame:
+             qid_col: str = "query_id", qvec_col: str = "embedding",
+             dim: int | None = None) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's sign-LSH
     bucket.  At 100 TB this is the difference between a full scan per query
     and a bucket-pruned shuffle join on `bucket` (≈ N/2^planes candidates).
-    Recall is tunable via n_planes (fewer planes → bigger buckets)."""
-    dim = len(emb.select(vec_col).first()[0])
+    Recall is tunable via n_planes (fewer planes → bigger buckets).
+
+    Pass `dim` (the embedding width, a schema-level contract) — the
+    `.first()` fallback triggers a driver-side Spark job during PLAN
+    construction, a collect-in-the-pipeline smell kept only for
+    compatibility."""
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_planes)
     e = emb.select(F.col(id_col).alias("neighbor_id"),
                    F.col(vec_col).alias("vec"),
@@ -173,12 +180,15 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
 
 def cosine_near_pairs(emb: DataFrame, threshold: float = 0.95,
                       id_col: str = "vec_id", vec_col: str = "embedding",
-                      n_planes: int = 8) -> DataFrame:
+                      n_planes: int = 8, dim: int | None = None) -> DataFrame:
     """Embedding near-duplicate pairs (cosine >= threshold), LSH-blocked:
     only pairs sharing a sign-LSH bucket are scored.  For thresholds near 1
     the bucket share probability is ≈ (1 - θ/π)^planes — high recall; exact
-    verification happens on the scored candidates."""
-    dim = len(emb.select(vec_col).first()[0])
+    verification happens on the scored candidates.
+
+    Pass `dim` explicitly (see lsh_topk) — the fallback runs a driver job."""
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_planes)
     e = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
                    lsh_signature(F.col(vec_col), planes).alias("bucket"))

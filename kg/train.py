@@ -95,12 +95,22 @@ def evaluate_ner(corpus: DataFrame, gaz: DataFrame) -> dict:
                     F.col("s.type").alias("type"),
                     F.col("s.phrase").alias("phrase")))
     sentences = gold.select("sid", "sentence").distinct()
-    pred = (sentences.crossJoin(F.broadcast(gaz.select("type", "phrase")))
-            .filter(F.expr("sentence LIKE CONCAT('% ', phrase, ' %') "
-                           "OR sentence LIKE CONCAT(phrase, ' %') "
-                           "OR sentence LIKE CONCAT('% ', phrase) "
-                           "OR sentence = phrase"))
-            .select("sid", "type", "phrase"))
+    # candidate blocking: equi-join on the phrase's FIRST token instead of a
+    # crossJoin + LIKE scan — O(S·G) string scans would not survive a large
+    # gazetteer, and LIKE also treats % and _ in phrases as wildcards.
+    # locate() on space-padded strings is metacharacter-safe and exact.
+    first_tok = (sentences
+                 .select("sid", "sentence",
+                         F.explode(F.array_distinct(
+                             F.split("sentence", " "))).alias("w0")))
+    gaz_keyed = F.broadcast(
+        gaz.select("type", "phrase",
+                   F.split(F.col("phrase"), " ")[0].alias("w0")))
+    pred = (first_tok.join(gaz_keyed, "w0")
+            .filter(F.expr("locate(concat(' ', phrase, ' '), "
+                           "concat(' ', sentence, ' ')) > 0"))
+            .select("sid", "type", "phrase")
+            .distinct())
     gold_spans = gold.filter(F.col("phrase").isNotNull()) \
                      .select("sid", "type", "phrase").distinct()
     tp = pred.join(gold_spans, ["sid", "type", "phrase"]).count()

@@ -89,3 +89,31 @@ def test_extract_annotate_equals_plain_annotate_on_text(spark):
         assert f["unit_type"] == "text" and f["unit_number"] == 0
         assert f["text"] == p["text"]
         assert f["tags"] == p["tags"]
+
+
+def test_short_docs_do_not_crash(spark):
+    """ADVICE r1 (high): sub-n-token documents must yield ZERO shingles —
+    the unguarded F.sequence(0, size-n) descends for size < n and F.slice
+    then throws INVALID_PARAMETER_VALUE.START, aborting the whole job."""
+    rows = [(1, "word"), (2, "two words"), (3, "now three tokens here ok"),
+            (4, "now three tokens here ok")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert word_shingles(df, n=3).filter("id in (1, 2)").count() == 0
+    pairs = {(r["id_a"], r["id_b"])
+             for r in ngram_jaccard_pairs(df, n=3, threshold=0.5).collect()}
+    assert pairs == {(3, 4)}        # long docs still pair; short ones inert
+    lsh = {(r["id_a"], r["id_b"])
+           for r in minhash_lsh_pairs(df, k=8, bands=4, n=3).collect()}
+    assert lsh == {(3, 4)}
+
+
+def test_hot_shingle_cap_bounds_join(spark):
+    """The default-finite max_df drops shingles hotter than the cap, so one
+    boilerplate shingle shared by every doc cannot explode the self-join."""
+    rows = [(i, f"common boiler plate unique{i} tail{i} end{i}")
+            for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = ngram_jaccard_pairs(df, n=3, threshold=0.0, max_df=None)
+    capped = ngram_jaccard_pairs(df, n=3, threshold=0.0, max_df=5)
+    assert uncapped.count() == 45   # the hot shingle pairs all 10 docs
+    assert capped.count() == 0      # dropped -> remaining shingles unique

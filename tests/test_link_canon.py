@@ -131,3 +131,27 @@ def test_co_mention_edges_cluster(spark, mentions, dictionary):
     # m1 and m3 both link to entity 1 → same component
     assert comp["m1"] == comp["m3"]
     assert comp["m1"] != comp["m2"]
+
+
+def test_link_mentions_string_entity_ids(spark, mentions):
+    """ADVICE r1: string entity ids (e.g. wikidata 'Q843') must survive the
+    unlinked branch's typed-null union — F.lit(None).cast('long') used to
+    force a string->bigint cast that fails under ANSI mode."""
+    d = spark.createDataFrame([("Q843", "pakistan")],
+                              "entity_id string, name_norm string")
+    got = {r["mention_id"]: r["entity_id"]
+           for r in link_mentions(mentions, d, min_jaccard=0.4).collect()}
+    assert got["m1"] == "Q843"
+    assert got["m4"] is None
+    assert len(got) == 4
+
+
+def test_char_grams_short_names(spark):
+    """Names shorter than n-2 chars yield an EMPTY gram set — the unclamped
+    F.sequence used to go negative and emit spurious/duplicate grams."""
+    from kg.link import _char_grams
+    df = spark.createDataFrame([(1, ""), (2, "a"), (3, "ab")],
+                               "i long, s string")
+    out = {r["i"]: r["n"] for r in df.select(
+        "i", F.size(_char_grams(F.col("s"))).alias("n")).collect()}
+    assert out == {1: 0, 2: 1, 3: 2}   # "^$"=none, "^a$", "^ab"+"ab$"

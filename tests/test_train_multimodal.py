@@ -140,3 +140,17 @@ def test_frame_sample_plan(spark):
     plan = mm.frame_sample_plan(media, every_n=10)
     rows = plan.collect()
     assert rows and all(r["frame_index"] % 10 == 0 for r in rows)
+
+
+def test_evaluate_ner_metachars_not_wildcards(spark):
+    """ADVICE r1: % / _ in gazetteer phrases must match literally — the old
+    LIKE-based matcher treated them as wildcards, inflating precision."""
+    corpus = spark.createDataFrame(
+        [("the a%z marker fired", [{"type": "x", "phrase": "a%z"}]),
+         ("the aqqz marker fired", [])],
+        "sentence string, spans array<struct<type:string,phrase:string>>")
+    gaz = spark.createDataFrame([("x", "a%z", 1)],
+                                "type string, phrase string, n long")
+    m = evaluate_ner(corpus, gaz)
+    # wildcard matching would also hit "aqqz" -> n_pred 2, precision 0.5
+    assert m["n_pred"] == 1 and m["precision"] == 1.0 and m["recall"] == 1.0
