@@ -126,6 +126,61 @@ def q_kg_next_sentence(spark, sf_dir):
             .select("subj", "pred", "obj"))
 
 
+# Suffix exercising the FULL annotator in an oracle-predictable way: known
+# lemma-dict forms (shows→show, elections→election, winners→winner,
+# TextProcessorTest.java:190-231), a gazetteer LOCATION (Pakistan), a merged
+# DATE span ("May 2013", TextProcessorTest.java:208-217), and a token the
+# lemma-validity filter must DROP ("3,000" — clean_lemma rejects the comma).
+# None of these surfaces or lemmas collide with the 31-word corpus
+# vocabulary (verified against /root/testdata), so the oracle adds exactly
+# five tags per document at arithmetic offsets.
+ANN_SUFFIX = " shows elections Pakistan May 2013 3,000 winners"
+
+
+def _suffixed_docs(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", "lang",
+        F.concat(F.col("text"), F.lit(ANN_SUFFIX)).alias("text"))
+
+
+def q_kg_annotate_lemma_ner(spark, sf_dir):
+    """Driver-oracle row for the annotator's behavioral heart: POS-gated
+    dict lemmatization, NER span merge, and lemma-validity filtering —
+    the output provably DIFFERS from the tokenize closed form
+    (tag:en:show carries surface "shows"; "May 2013" is one merged
+    occurrence; "3,000" emits no tag at all)."""
+    return annotate_to_triples(_suffixed_docs(spark, sf_dir), text_col="text",
+                               id_cols=("doc_id",), lang_col="lang",
+                               spec=FULL_SPEC)
+
+
+def q_kg_tag_pos_ne(spark, sf_dir):
+    """Global Tag nodes with POS and NE arrays (CSV-joined for portable
+    value hashing) over the suffixed corpus — pins pos_of and the NE-type
+    union at the driver-oracle level (TextProcessorTest.java:84-87)."""
+    ann = annotate_graph_df(
+        with_doc_key(_suffixed_docs(spark, sf_dir), ("doc_id",)),
+        "text", FULL_SPEC)
+    tags = explode_tags(explode_sentences(ann))
+    return tag_nodes(tags).select(
+        "tag_uid", F.array_join("pos", ",").alias("pos_tags"),
+        F.array_join("ne", ",").alias("ne_types"), "tf")
+
+
+def q_kg_first_sentence(spark, sf_dir):
+    """FIRST_SENTENCE edges (persisted by the reference,
+    ProcedureTest.java:128) on the two-sentence concat docs, alongside the
+    NEXT_SENTENCE chain."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.lit("en").alias("lang"),
+        F.concat(F.col("text"), F.lit(". A "), F.col("text")).alias("text"))
+    t = annotate_to_triples(docs, text_col="text", id_cols=("doc_id",),
+                            lang_col="lang", spec=TOK_SPEC,
+                            include_first_sentence=True)
+    return (t.filter(F.col("pred").isin("FIRST_SENTENCE", "NEXT_SENTENCE"))
+            .select("subj", "pred", "obj"))
+
+
 def q_dedup_exact(spark, sf_dir):
     return kgdedup.exact_duplicates(_docs(spark, sf_dir, None), "text", "doc_id")
 
@@ -141,8 +196,18 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """xxhash64 has no DuckDB twin — rows-only check; exactness covered by
-    unit tests."""
+    """Portable md5-bit SimHash (hex fingerprint) — fully oracle-checked.
+    The xxhash64 long-typed variant (kg.dedup.simhash64) remains the
+    Spark-only scale path (~4x cheaper hashing), exercised by the unit
+    tests and benched as dedup_simhash_fast."""
+    return kgdedup.simhash_portable(_docs(spark, sf_dir), "text", "doc_id")
+
+
+def q_dedup_simhash_fast(spark, sf_dir):
+    """Scale-path SimHash (xxhash64 int64 fingerprints) — rows-only by
+    design: xxhash64 has no DuckDB twin.  Its SEMANTICS are pinned by the
+    oracle-checked md5 variant (dedup_simhash, same bit-sign construction)
+    and the pytest pigeonhole/blocking suite."""
     return kgdedup.simhash64(_docs(spark, sf_dir), "text", "doc_id")
 
 
@@ -218,6 +283,27 @@ def q_canon_part_of(spark, sf_dir):
     return canonicalize_triples(part_of, labels)
 
 
+def q_link_mentions(spark, sf_dir):
+    """Entity linking end-to-end (north_star: broadcast dictionary +
+    MinHash-LSH candidate blocking): every suffixed en document carries a
+    Pakistan LOCATION mention and a merged "May 2013" DATE mention.  The
+    dictionary spells Pakistan as "pakistn", so the exact join misses it and
+    the FUZZY path must recover it — char-3-gram MinHash band 0 collides for
+    this pair under the deterministic md5 family (verified), and the exact
+    char-gram Jaccard is 5/10 = 0.5 == min_jaccard, so the oracle predicts
+    the full outcome: pakistan→Q843 (fuzzy), may 2013→Q145 (exact)."""
+    from kg.link import extract_mentions, link_mentions
+    ann = annotate_graph_df(
+        with_doc_key(_suffixed_docs(spark, sf_dir), ("doc_id",)),
+        "text", FULL_SPEC)
+    mentions = extract_mentions(explode_tags(explode_sentences(ann)))
+    dictionary = spark.createDataFrame(
+        [("Q843", "pakistn"), ("Q145", "may 2013"), ("Q0", "zzznever")],
+        "entity_id string, name_norm string")
+    return link_mentions(mentions, dictionary).select(
+        "mention_id", "lemma", "entity_id", "link_method")
+
+
 def q_extract_units(spark, sf_dir):
     """Code-payload extraction: wrap each document text into a synthetic
     python file (docstring + comment + def), run the extract UDF, return
@@ -256,13 +342,20 @@ def q_multimodal_features(spark, sf_dir):
             .select("media_id", "width", "height", "n_bytes"))
 
 
+EMB_DIM = 64  # embeddings.parquet schema contract (same at every sf)
+
+
 def q_ann_lsh_topk(spark, sf_dir):
-    """Scale-path ANN (sign-LSH bucketed) — approximate by design, so
-    rows-only; exact-recall properties are pytest-verified."""
+    """Scale-path ANN (sign-LSH bucketed).  "Approximate by design" does not
+    mean "not oracle-able": the md5-seeded plane matrix is deterministic, so
+    the DuckDB oracle mirrors bucket assignment and in-bucket ranking
+    exactly (plane constants inlined as literals)."""
     emb = _read("embeddings")(spark, sf_dir)
     queries = (emb.filter(F.col("vec_id") < 10)
                .select(F.col("vec_id").alias("query_id"), "embedding"))
-    return kgsim.lsh_topk(emb, queries, k=5, n_planes=6)
+    return kgsim.lsh_topk(emb, queries, k=5, n_planes=6,
+                          dim=EMB_DIM).select(
+        "query_id", "neighbor_id", "rank")
 
 
 def _dec(c):
@@ -365,13 +458,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_tag_tf": q_kg_tag_tf,
         "kg_sentences": q_kg_sentences,
         "kg_annotate_full": q_kg_annotate_full,
+        "kg_annotate_lemma_ner": q_kg_annotate_lemma_ner,
+        "kg_tag_pos_ne": q_kg_tag_pos_ne,
         "kg_next_sentence": q_kg_next_sentence,
+        "kg_first_sentence": q_kg_first_sentence,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_fast": q_dedup_simhash_fast,
         "dedup_components": q_dedup_components,
         "canon_part_of": q_canon_part_of,
+        "link_mentions": q_link_mentions,
         "extract_units": q_extract_units,
         "multimodal_features": q_multimodal_features,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -419,6 +517,76 @@ _LANG_SCORE = {
                      for m in markers)
     for code, markers in sorted(kgtext.LANG_MARKERS.items())
 }
+
+
+def _pos_case_sql(tok: str) -> str:
+    """DuckDB mirror of kg.models.pos_of for LOWERCASE ALPHA tokens (the
+    documents corpus shape): lexicon lookup first, then the suffix rules in
+    the model's order.  The capitalization/digit/symbol branches are
+    irrelevant for this corpus and omitted."""
+    lex = " ".join(f"WHEN '{w}' THEN '{t}'"
+                   for w, t in sorted(_kgmodels.POS_LEXICON.items()))
+    vb = ", ".join(f"'{w}'" for w in sorted(_kgmodels._VERB_BASES))
+    return f"""coalesce(CASE {tok} {lex} END, CASE
+      WHEN {tok} LIKE '%ing' THEN 'VBG'
+      WHEN {tok} LIKE '%ed' THEN 'VBD'
+      WHEN {tok} LIKE '%ly' THEN 'RB'
+      WHEN {tok} LIKE '%s' AND length({tok}) > 3
+           AND NOT ({tok} LIKE '%ss' OR {tok} LIKE '%us' OR {tok} LIKE '%is')
+        THEN CASE WHEN substr({tok}, 1, length({tok}) - 1) IN ({vb})
+                    OR substr({tok}, 1, length({tok}) - 2) IN ({vb})
+                  THEN 'VBZ' ELSE 'NNS' END
+      WHEN {tok} LIKE '%able' OR {tok} LIKE '%ible' OR {tok} LIKE '%al'
+           OR {tok} LIKE '%ous' OR {tok} LIKE '%ful' OR {tok} LIKE '%ive'
+           OR {tok} LIKE '%ic' THEN 'JJ'
+      ELSE 'NN' END)"""
+
+
+# ANN_SUFFIX token facts for the annotate-lemma-ner oracle: (lemma,
+# occurrence start/end offsets RELATIVE to the original text length, surface
+# value).  "3,000" is deliberately absent — clean_lemma drops it.
+_SUF_OCC = ("(VALUES ('show', 1, 6, 'shows'), "
+            "('election', 7, 16, 'elections'), "
+            "('pakistan', 17, 25, 'Pakistan'), "
+            "('may 2013', 26, 34, 'May 2013'), "
+            "('winner', 41, 48, 'winners')) s(lemma, so, eo, v)")
+_SUF_TAGS = ("(VALUES ('show', 'VBZ', 'O'), ('election', 'NNS', 'O'), "
+             "('pakistan', 'NNP', 'LOCATION'), ('may 2013', 'CD,MD', 'DATE'), "
+             "('winner', 'NNS', 'O')) s(lemma, pos, ne)")
+
+
+def _simhash_sums_sql() -> str:
+    """64 ±1 bit sums over md5(token): bit i lives in hex digit i//4 at
+    in-digit position i%4 (mirrors kg.dedup.simhash_portable)."""
+    terms = []
+    for i in range(64):
+        p, s = i // 4 + 1, i % 4
+        terms.append(
+            f"sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, {p}, 1)) "
+            f"- 1) >> {s}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}")
+    return ", ".join(terms)
+
+
+def _simhash_hex_sql() -> str:
+    digits = []
+    for k in range(16):
+        v = " + ".join(f"(CASE WHEN b{4 * k + j} > 0 THEN {1 << j} ELSE 0 END)"
+                       for j in range(4))
+        digits.append(f"substr('0123456789abcdef', ({v}) + 1, 1)")
+    return " || ".join(digits)
+
+
+def _lsh_bucket_sql(n_planes: int, dim: int) -> str:
+    """Sign-LSH bucket expression with the deterministic md5-seeded plane
+    matrix (kg.similarity._hyperplanes) inlined as DOUBLE[] literals."""
+    from kg.similarity import _hyperplanes
+    planes = _hyperplanes(dim, n_planes)
+    terms = []
+    for idx, row in enumerate(planes):
+        lit = "[" + ", ".join(repr(x) for x in row) + "]"
+        terms.append(f"(CASE WHEN list_inner_product(v, {lit}) >= 0 "
+                     f"THEN {1 << idx} ELSE 0 END)")
+    return " + ".join(terms)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -481,6 +649,52 @@ def oracle_sql() -> dict[str, str]:
                tok
         FROM kept"""
 
+    sqls["kg_annotate_lemma_ner"] = f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_TOKS}) AS tok,
+                 generate_subscripts({_TOKS}, 1) AS i, {_TOKS} AS all_toks
+          FROM documents WHERE lang = 'en'),
+        kept AS (SELECT * FROM toks WHERE tok NOT IN {STOP_IN}),
+        docs AS (SELECT doc_id, length(text) AS L
+                 FROM documents WHERE lang = 'en')
+        SELECT 'sent:' || doc_id || ':0' AS subj, 'PART_OF' AS pred,
+               'doc:' || doc_id AS obj, CAST(NULL AS INT) AS start,
+               CAST(NULL AS INT) AS "end", CAST(NULL AS VARCHAR) AS value
+        FROM docs
+        UNION ALL
+        SELECT DISTINCT 'sent:' || doc_id || ':0', 'HAS_TAG',
+               'tag:en:' || tok, NULL, NULL, NULL
+        FROM kept
+        UNION ALL
+        SELECT 'sent:' || doc_id || ':0', 'HAS_TAG', 'tag:en:' || s.lemma,
+               NULL, NULL, NULL
+        FROM docs, {_SUF_OCC}
+        UNION ALL
+        SELECT 'tag:en:' || tok, 'TAG_OCCURS', 'sent:' || doc_id || ':0',
+               CAST((i - 1) + coalesce(len(array_to_string(all_toks[1:i-1], '')), 0) AS INT),
+               CAST((i - 1) + coalesce(len(array_to_string(all_toks[1:i-1], '')), 0) + len(tok) AS INT),
+               tok
+        FROM kept
+        UNION ALL
+        SELECT 'tag:en:' || s.lemma, 'TAG_OCCURS', 'sent:' || d.doc_id || ':0',
+               CAST(d.L + s.so AS INT), CAST(d.L + s.eo AS INT), s.v
+        FROM docs d, {_SUF_OCC}"""
+
+    sqls["kg_tag_pos_ne"] = f"""
+        WITH kept AS (
+          SELECT doc_id, tok FROM (
+            SELECT doc_id, unnest({_TOKS}) AS tok
+            FROM documents WHERE lang = 'en')
+          WHERE tok NOT IN {STOP_IN}),
+        n AS (SELECT count(*) AS nd FROM documents WHERE lang = 'en')
+        SELECT 'tag:en:' || tok AS tag_uid,
+               {_pos_case_sql('tok')} AS pos_tags,
+               'O' AS ne_types, count(*) AS tf
+        FROM kept GROUP BY tok
+        UNION ALL
+        SELECT 'tag:en:' || s.lemma, s.pos, s.ne, (SELECT nd FROM n)
+        FROM {_SUF_TAGS}"""
+
     # the splitter's abbreviation/initial guard refuses a boundary when the
     # word before the period is a single letter or a known abbreviation
     # (kg.annotate.split_sentences) — the oracle models the guard on the
@@ -501,6 +715,36 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'sent:' || doc_id || ':0', 'NEXT_SENTENCE',
                'sent:' || doc_id || ':1'
         FROM lastw WHERE {_GUARD}"""
+
+    sqls["kg_first_sentence"] = f"""
+        WITH lastw AS {_SPLITS}
+        SELECT 'doc:' || doc_id AS subj, 'FIRST_SENTENCE' AS pred,
+               'sent:' || doc_id || ':0' AS obj FROM lastw
+        UNION ALL
+        SELECT 'sent:' || doc_id || ':0', 'NEXT_SENTENCE',
+               'sent:' || doc_id || ':1'
+        FROM lastw WHERE {_GUARD}"""
+
+    sqls["dedup_simhash"] = f"""
+        WITH t AS (
+          SELECT doc_id AS id, md5(tok) AS h FROM (
+            SELECT doc_id, unnest({_TOKS}) AS tok
+            FROM documents WHERE lang = 'en')),
+        sums AS (SELECT id, {_simhash_sums_sql()} FROM t GROUP BY id)
+        SELECT id, {_simhash_hex_sql()} AS simhash_hex FROM sums"""
+
+    sqls["ann_lsh_topk"] = f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        b AS (SELECT vec_id, v, {_lsh_bucket_sql(6, 64)} AS bucket FROM e)
+        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+          SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(n.v, q.v) DESC,
+                            n.vec_id ASC) AS rank
+          FROM b q JOIN b n ON q.bucket = n.bucket AND n.vec_id <> q.vec_id
+          WHERE q.vec_id < 10)
+        WHERE rank <= 5"""
 
     sqls["dedup_exact"] = """
         SELECT sha256(text) AS content_sha256, count(*) AS n_dups,
@@ -568,6 +812,15 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d LEFT JOIN comp c ON c.node = 'doc:' || d.doc_id
         WHERE d.lang = 'en'"""
 
+    sqls["link_mentions"] = """
+        SELECT 'sent:' || doc_id || ':0#pakistan' AS mention_id,
+               'pakistan' AS lemma, 'Q843' AS entity_id,
+               'fuzzy' AS link_method
+        FROM documents WHERE lang = 'en'
+        UNION ALL
+        SELECT 'sent:' || doc_id || ':0#may 2013', 'may 2013', 'Q145', 'exact'
+        FROM documents WHERE lang = 'en'"""
+
     sqls["extract_units"] = """
         SELECT doc_id, unit_number, unit_type, unit_start, unit_end, text FROM (
           SELECT doc_id, CAST(0 AS INT) AS unit_number,
@@ -634,9 +887,13 @@ def oracle_sql() -> dict[str, str]:
                          x -> list_contains({STOP_LIST_SQL}, x))) AS ns
               FROM documents)"""
 
+    # descending code order = tie winner (mirrors greatest() on
+    # (score, code) structs); generated from LANG_MARKERS so new profiles
+    # (e.g. "it", ProcedureTest.java:313-326) stay in sync automatically
+    _codes = sorted(kgtext.LANG_MARKERS, reverse=True)
     lang_cases = []
-    for code in ("zh", "fr", "es", "en", "de"):  # descending code = tie winner
-        others = [c for c in ("zh", "fr", "es", "en", "de") if c != code]
+    for code in _codes:
+        others = [c for c in _codes if c != code]
         cond = " AND ".join(f"s_{code} >= s_{o}" for o in others)
         lang_cases.append(f"WHEN s_{code} > 0 AND {cond} THEN '{code}'")
     sqls["text_language_id"] = f"""

@@ -24,7 +24,10 @@ HEADLINE = [
     "kg_tag_tf",
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_simhash",
+    "dedup_simhash",         # portable md5 variant (oracle-checked)
+    "dedup_simhash_fast",    # xxhash64 scale path (r1's dedup_simhash)
+    "dedup_components",      # connected components over the near-dup graph
+    "link_mentions",         # broadcast-exact + MinHash-LSH fuzzy linking
     "text_quality",
     "text_fingerprint",
     "extract_units",

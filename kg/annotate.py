@@ -51,6 +51,12 @@ class PipelineSpec:
     # extra gazetteer phrases: {type: (phrase, ...)} — the "customNEs" hook
     # (PipelineBuilder.java:37-49)
     custom_ner: tuple[tuple[str, tuple[str, ...]], ...] = ()
+    # fitted sentiment lexicon rows (token, label, weight) — the
+    # "customSentiment" hook: a TRAINED model registered into the pipeline
+    # replaces the default classifier (OpenNLPPipeline.java:193-229;
+    # OpenNLPTextProcessor.java:585-591).  Produce with
+    # kg.train.lexicon_to_custom_sentiment(fit_sentiment_lexicon(...)).
+    custom_sentiment: tuple[tuple[str, int, float], ...] = ()
     threads: int = 4  # plumbed-but-unused in the reference too
     #   (OpenNLPTextProcessor.java:593-594); Spark task parallelism replaces it
 
@@ -193,11 +199,30 @@ def _final_lemma(word: str, pos: str) -> str:
     return word.lower() if lm == models.BACKGROUND_SYMBOL else lm
 
 
-def annotate_sentence(sent_text: str, spec: PipelineSpec) -> dict:
+from functools import lru_cache
+
+
+@lru_cache(maxsize=32)
+def _sentiment_lexicon(rows: tuple[tuple[str, int, float], ...]) -> dict:
+    """Fitted lexicon rows → {token: {label: weight}}, built once per worker
+    per spec (the tuple is hashable; the cache is the model-reuse analog of
+    the reference's per-pipeline model registry)."""
+    d: dict[str, dict[int, float]] = {}
+    for tok, label, weight in rows:
+        d.setdefault(tok, {})[int(label)] = float(weight)
+    return d
+
+
+def annotate_sentence(sent_text: str, spec: PipelineSpec,
+                      sentiment_threshold: float | None = None) -> dict:
     """One sentence → {words, word_spans, pos, tokens, sentiment}.
 
     Mirrors the per-sentence body of OpenNLPPipeline.annotate
-    (OpenNLPPipeline.java:236-310) + processTokens (448-494)."""
+    (OpenNLPPipeline.java:236-310) + processTokens (448-494).
+
+    `sentiment_threshold` overrides the spec's threshold for this call —
+    the reference's per-request sentimentProbabilityThr otherParam
+    (OpenNLPAnnotation.java:20-58)."""
     tok_spans = tokenize(sent_text) if "tokenize" in spec.annotators else []
     words = [sent_text[s:e] for s, e in tok_spans]
     do_pos = "pos" in spec.annotators
@@ -263,7 +288,13 @@ def annotate_sentence(sent_text: str, spec: PipelineSpec) -> dict:
 
     sentiment = -1
     if "sentiment" in spec.annotators:
-        sentiment = int(models.classify_sentiment(words, spec.sentiment_threshold))
+        thr = (spec.sentiment_threshold if sentiment_threshold is None
+               else sentiment_threshold)
+        if spec.custom_sentiment:
+            sentiment = int(models.classify_sentiment_lexicon(
+                words, _sentiment_lexicon(spec.custom_sentiment), thr))
+        else:
+            sentiment = int(models.classify_sentiment(words, thr))
 
     return {
         "words": words,
@@ -335,18 +366,21 @@ def clean_lemma(lemma: str) -> str | None:
     return " ".join(parts)
 
 
-def annotate_text_py(text: str, spec: PipelineSpec | None = None) -> list[dict]:
+def annotate_text_py(text: str, spec: PipelineSpec | None = None,
+                     sentiment_threshold: float | None = None) -> list[dict]:
     """Full pure-Python pipeline over one document → list of sentence dicts:
 
         {sentence_number, start, end, text, sentiment,
          tokens: [{value, lemma, pos, ne, spans: [(start, end)]}]}
 
     Token offsets are sentence-relative chars, as asserted by the reference's
-    occurrence goldens (TextProcessorTest.java:190-231)."""
+    occurrence goldens (TextProcessorTest.java:190-231).
+    `sentiment_threshold` is the per-document sentimentProbabilityThr
+    override (OpenNLPAnnotation.java:20-58); None → the spec's value."""
     spec = spec or PipelineSpec()
     out = []
     for num, (s, e) in enumerate(split_sentences(text)):
-        ann = annotate_sentence(text[s:e], spec)
+        ann = annotate_sentence(text[s:e], spec, sentiment_threshold)
         out.append({
             "sentence_number": num,
             "start": s,
@@ -495,10 +529,11 @@ GRAPH_SENTENCE_TYPE = StructType([
 GRAPH_ANNOTATION_TYPE = ArrayType(GRAPH_SENTENCE_TYPE, False)
 
 
-def annotate_graph_py(text: str, spec: PipelineSpec | None = None) -> list[dict]:
+def annotate_graph_py(text: str, spec: PipelineSpec | None = None,
+                      sentiment_threshold: float | None = None) -> list[dict]:
     """Pure core for the graph-shaped UDF: annotate + tag build per sentence."""
     out = []
-    for s in annotate_text_py(text, spec):
+    for s in annotate_text_py(text, spec, sentiment_threshold):
         out.append({
             "sentence_number": s["sentence_number"],
             "start": s["start"],
@@ -510,10 +545,26 @@ def annotate_graph_py(text: str, spec: PipelineSpec | None = None) -> list[dict]
     return out
 
 
-def make_graph_udf(spec: PipelineSpec | None = None):
+def make_graph_udf(spec: PipelineSpec | None = None,
+                   with_threshold: bool = False):
     from pyspark.sql.functions import pandas_udf
 
     spec = spec or PipelineSpec()
+
+    if with_threshold:
+        # two-arg variant: a per-row sentimentProbabilityThr column — the
+        # reference's otherParams override (OpenNLPAnnotation.java:20-58).
+        # Still ONE pandas UDF / one Arrow crossing.
+        @pandas_udf(GRAPH_ANNOTATION_TYPE)
+        def annotate_graph_thr_udf(content: pd.Series,
+                                   thr: pd.Series) -> pd.Series:
+            return pd.Series([
+                annotate_graph_py(t, spec,
+                                  None if pd.isna(h) else float(h))
+                if t is not None else []
+                for t, h in zip(content, thr)])
+
+        return annotate_graph_thr_udf
 
     @pandas_udf(GRAPH_ANNOTATION_TYPE)
     def annotate_graph_udf(content: pd.Series) -> pd.Series:
@@ -525,7 +576,13 @@ def make_graph_udf(spec: PipelineSpec | None = None):
 
 def annotate_graph_df(df: DataFrame, text_col: str = "content",
                       spec: PipelineSpec | None = None,
-                      out_col: str = "sentences") -> DataFrame:
+                      out_col: str = "sentences",
+                      threshold_col: str | None = None) -> DataFrame:
+    """`threshold_col`: optional double column carrying a per-document
+    sentiment-probability-threshold override (null → spec default)."""
+    if threshold_col is not None:
+        return df.withColumn(out_col, make_graph_udf(spec, True)(
+            F.col(text_col), F.col(threshold_col).cast("double")))
     return df.withColumn(out_col, make_graph_udf(spec)(F.col(text_col)))
 
 

@@ -175,6 +175,42 @@ def simhash64(df: DataFrame, text_col: str = "text",
     return sums.select("id", fp.alias("simhash"))
 
 
+_HEX = "0123456789abcdef"
+
+
+def simhash_portable(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash with an md5-derived per-token hash, emitted as a
+    16-hex-char string — bit-for-bit reproducible in any engine with md5()
+    (the DuckDB oracle mirrors it exactly), unlike the xxhash64 scale path
+    (`simhash64`, ~4x cheaper hashing, Spark-only).
+
+    Bit i of the fingerprint is the sign of the per-token sums of bit i of
+    md5(token): bit i lives in hex digit i//4 at in-digit position i%4.
+    Same plan shape as simhash64: one explode, one groupBy(id) carrying 64
+    conditional sums (JVM codegen, map-side partial agg)."""
+    toks = (df.select(F.col(id_col).alias("id"),
+                      F.explode(tokens_col(text_col)).alias("tok"))
+            .withColumn("h", F.md5("tok")))
+    digit = [F.conv(F.substring("h", k + 1, 1), 16, 10).cast("int")
+             for k in range(16)]
+    bit_sums = [
+        F.sum(F.when(F.shiftright(digit[i // 4], i % 4)
+                     .bitwiseAND(F.lit(1)) == 1,
+                     F.lit(1)).otherwise(F.lit(-1))).alias(f"b{i}")
+        for i in range(64)]
+    sums = toks.groupBy("id").agg(*bit_sums)
+    hex_chars = F.array(*[F.lit(c) for c in _HEX])
+    digits = []
+    for k in range(16):
+        v = None
+        for j in range(4):
+            b = F.when(F.col(f"b{4 * k + j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            v = b if v is None else v + b
+        digits.append(F.element_at(hex_chars, v + 1))
+    return sums.select("id", F.concat(*digits).alias("simhash_hex"))
+
+
 def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Near-dup candidates by SimHash: block on 16-bit chunks (pigeonhole —

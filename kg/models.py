@@ -449,3 +449,30 @@ def classify_sentiment(words: list[str], threshold: float = 0.7) -> str:
     if scores[best] < threshold:
         return "2"
     return str(best)
+
+
+def classify_sentiment_lexicon(words: list[str],
+                               lexicon: dict[str, dict[int, float]],
+                               threshold: float = 0.7) -> str:
+    """Custom-sentiment-model analog: the reference registers a TRAINED
+    doccat model into the pipeline and categorizes with it instead of the
+    default (OpenNLPPipeline.java:193-229; OpenNLPTextProcessor.java:585-591).
+    Here the fitted artifact is the per-token class-weight lexicon from
+    kg.train.fit_sentiment_lexicon; per-class score = sum of token weights,
+    normalized to a distribution, with the same below-threshold Neutral
+    forcing.  Ties break to the lower class id (deterministic)."""
+    raw = [0.0] * 5
+    for w in words:
+        hit = lexicon.get(w.lower())
+        if hit:
+            for label, weight in hit.items():
+                if 0 <= label <= 4:
+                    raw[label] += weight
+    total = sum(raw)
+    if total <= 0:
+        return "2"  # no evidence → Neutral, like the empty-lexicon default
+    probs = [r / total for r in raw]
+    best = max(range(5), key=lambda i: (probs[i], -i))
+    if probs[best] < threshold:
+        return "2"
+    return str(best)

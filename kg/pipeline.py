@@ -41,6 +41,7 @@ class PipelineRegistry:
     def create(self, name: str, annotators: tuple[str, ...] = _BASE,
                stopwords: str | None = None, threads: int = 4,
                custom_ner: tuple[tuple[str, tuple[str, ...]], ...] = (),
+               custom_sentiment: tuple[tuple[str, int, float], ...] = (),
                sentiment_threshold: float = 0.7) -> PipelineSpec:
         if stopwords is not None:
             base = PipelineSpec.with_stopwords(stopwords, name)
@@ -48,7 +49,9 @@ class PipelineRegistry:
         else:
             sw = models.DEFAULT_STOPWORDS
         spec = PipelineSpec(name=name, annotators=annotators, stopwords=sw,
-                            custom_ner=custom_ner, threads=threads,
+                            custom_ner=custom_ner,
+                            custom_sentiment=custom_sentiment,
+                            threads=threads,
                             sentiment_threshold=sentiment_threshold)
         self._pipelines[name] = spec
         return spec

@@ -76,6 +76,7 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "fr": ("le", "la", "les", "et", "des", "une", "est", "que"),
     "es": ("el", "los", "las", "una", "es", "por", "para", "como"),
     "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "it": ("il", "che", "di", "non", "per", "con", "sono", "della"),
     "zh": ("de", "shi", "bu", "wo", "zai", "le", "you", "ren"),
 }
 

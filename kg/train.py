@@ -171,6 +171,14 @@ def fit_sentiment_lexicon(corpus: DataFrame, min_count: int = 2) -> DataFrame:
             .select("tok", "label", "weight"))
 
 
+def lexicon_to_custom_sentiment(lex: DataFrame) -> tuple[tuple[str, int, float], ...]:
+    """Fitted sentiment lexicon → PipelineSpec.custom_sentiment rows
+    (driver-side collect of the small model table — the customSentiment
+    registration hook, OpenNLPPipeline.java:193-229)."""
+    return tuple(sorted((r["tok"], int(r["label"]), float(r["weight"]))
+                        for r in lex.collect()))
+
+
 def score_sentiment(df: DataFrame, lexicon: DataFrame,
                     text_col: str = "text") -> DataFrame:
     """Classify each row: argmax over classes of sum of token weights; empty

@@ -117,3 +117,33 @@ def test_hot_shingle_cap_bounds_join(spark):
     capped = ngram_jaccard_pairs(df, n=3, threshold=0.0, max_df=5)
     assert uncapped.count() == 45   # the hot shingle pairs all 10 docs
     assert capped.count() == 0      # dropped -> remaining shingles unique
+
+
+def test_simhash_portable_matches_python_reference(spark):
+    """The md5-bit portable SimHash (oracle-checked in the driver gate) is
+    bit-identical to a direct Python computation of the same definition."""
+    import hashlib
+    from kg.dedup import simhash_portable
+
+    def py_simhash(text):
+        bits = [0] * 64
+        for tok in text.split(" "):
+            h = hashlib.md5(tok.encode()).hexdigest()
+            for i in range(64):
+                v = int(h[i // 4], 16)
+                bits[i] += 1 if (v >> (i % 4)) & 1 else -1
+        out = []
+        for k in range(16):
+            d = 0
+            for j in range(4):
+                if bits[4 * k + j] > 0:
+                    d |= 1 << j
+            out.append("0123456789abcdef"[d])
+        return "".join(out)
+
+    rows = [(1, "the quick brown fox"), (2, "lazy dog sleeps"), (3, "a")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r["simhash_hex"]
+           for r in simhash_portable(df).collect()}
+    for i, t in rows:
+        assert got[i] == py_simhash(t), (i, t)

@@ -73,3 +73,60 @@ def test_language_filter(spark):
         [("a", "en"), ("b", "it"), ("c", "fr")], "t string, lang string")
     assert language_filter(df).count() == 1
     assert language_filter(df, supported=("en", "fr")).count() == 2
+
+
+def test_custom_sentiment_model_drives_annotation(spark):
+    """customSentiment hook (OpenNLPPipeline.java:193-229;
+    OpenNLPTextProcessor.java:585-591): a TRAINED lexicon registered into a
+    named pipeline replaces the default classifier, end-to-end through
+    annotate_text."""
+    from kg.train import fit_sentiment_lexicon, lexicon_to_custom_sentiment
+    corpus = spark.createDataFrame(
+        [(4, "zorp zorp wonderful"), (0, "blarg blarg awful"),
+         (4, "zorp fine"), (0, "blarg bad")], "label int, text string")
+    custom = lexicon_to_custom_sentiment(
+        fit_sentiment_lexicon(corpus, min_count=1))
+    REGISTRY.create("custom-sent", annotators=("tokenize", "sentiment"),
+                    custom_sentiment=custom)
+    try:
+        df = spark.createDataFrame(
+            [("d1", "zorp zorp"), ("d2", "blarg blarg"),
+             ("d3", "unseen words")], "id string, content string")
+        out = annotate_text(df, "custom-sent")
+        got = {r["id"]: r["sentences"][0]["sentiment"] for r in out.collect()}
+        # the DEFAULT classifier knows none of these tokens (all would be 2);
+        # the trained lexicon separates them
+        assert got["d1"] == 4
+        assert got["d2"] == 0
+        assert got["d3"] == 2          # no evidence → forced Neutral
+    finally:
+        REGISTRY.remove("custom-sent")
+
+
+def test_per_document_sentiment_threshold_override(spark):
+    """Per-request sentimentProbabilityThr otherParam
+    (OpenNLPAnnotation.java:20-58): a weak positive (confidence 0.75)
+    clears the default 0.7 but not a per-document 0.8."""
+    from kg.annotate import PipelineSpec, annotate_graph_df
+    spec = PipelineSpec(name="s", annotators=("tokenize", "sentiment"))
+    df = spark.createDataFrame(
+        [("d1", "nice day today", None), ("d2", "nice day today", 0.8)],
+        "id string, content string, thr double")
+    out = annotate_graph_df(df, "content", spec, threshold_col="thr")
+    got = {r["id"]: r["sentences"][0]["sentiment"] for r in out.collect()}
+    assert got["d1"] == 3              # spec default applies on null
+    assert got["d2"] == 2              # stricter per-doc threshold → Neutral
+
+
+def test_language_id_it_fr(spark):
+    """ProcedureTest.java:313-326 asserts Italian and French detection."""
+    from kg.textstats import language_id
+    df = spark.createDataFrame(
+        [(1, "il senso che non conta di per sono della vita"),
+         (2, "le sens de la vie est que les des une"),
+         (3, "hello world it is the best of days")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["predicted_lang"] for r in language_id(df).collect()}
+    assert got[1] == "it"
+    assert got[2] == "fr"
+    assert got[3] == "en"
