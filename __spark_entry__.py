@@ -11,11 +11,15 @@ Oracle notes: the driver's documents corpus is single-space-separated
 lowercase text with no sentence punctuation, so a `tokenize+stopword`
 pipeline (a legitimate reference pipeline config — annotator gating per
 PipelineBuilder.java:27-49) is exactly expressible in DuckDB SQL: one
-sentence per doc, whitespace tokens, lemma == token.  The full pipeline
-(POS/lemma/NER/sentiment) is covered by the pytest goldens and the rows-only
-`kg_annotate_full` query.  Money aggregations go through DECIMAL(18,2) so
-both engines sum exactly; timestamps compare via unix micros / formatted
-strings (session tz pinned to UTC in kg.session).
+sentence per doc, whitespace tokens, lemma == token.  The FULL pipeline
+(POS/lemma/NER/sentiment) is oracle-checked too: `kg_annotate_lemma_ner`
+and `kg_tag_pos_ne` append a suffix of lemma-dict forms / gazetteer /
+mergeable-DATE / validity-reject tokens to every document so the oracle
+predicts dictionary lemmatization, NER span merging, POS tags, and the
+lemma-validity filter at arithmetic offsets (the pytest goldens pin the
+same behaviors on the reference fixture texts).  Money aggregations go
+through DECIMAL(18,2) so both engines sum exactly; timestamps compare via
+unix micros / formatted strings (session tz pinned to UTC in kg.session).
 """
 
 from __future__ import annotations

@@ -54,21 +54,30 @@ def run(sf_dir: str, cpus: int, names: list[str] | None = None) -> dict:
     # warm the JVM + Python workers once (tiny job, not timed)
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    for name in names:
-        df = qs[name](spark, sf_dir)
+    # flagship throughput FIRST, in clean JVM state (the query sweep below
+    # leaves checkpoint blocks + GC pressure that depress a trailing
+    # measurement by 2-3x); best of 2 trials
+    best_dt, n_triples = None, 0
+    for trial in range(2):
         t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-
-    # flagship throughput: triples/sec end-to-end (count piggybacks on a
-    # second run so the timing above stays write-only)
-    t0 = time.perf_counter()
-    n_triples = qs["kg_annotate_full"](spark, sf_dir).count()
-    dt = time.perf_counter() - t0
+        n_triples = qs["kg_annotate_full"](spark, sf_dir).count()
+        dt = time.perf_counter() - t0
+        best_dt = dt if best_dt is None else min(best_dt, dt)
     extras["n_triples"] = n_triples
-    extras["triples_per_sec"] = round(n_triples / dt, 1)
+    extras["triples_per_sec"] = round(n_triples / best_dt, 1)
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
-    extras["docs_per_sec"] = round(n_docs / dt, 1)
+    extras["docs_per_sec"] = round(n_docs / best_dt, 1)
+
+    # interleaved repeated trials, best run kept: this VM shows ~10% CPU
+    # steal and multi-x wall-time swings (BENCH/BASELINE.md protocol), so a
+    # single trial regularly misreports a query by 2-4x
+    for trial in range(2):
+        for name in names:
+            df = qs[name](spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            dt = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
 
     spark.stop()
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

@@ -137,18 +137,27 @@ def split_sentences(text: str) -> list[tuple[int, int]]:
 # Returns sentence-relative (start, end) char spans.
 # ---------------------------------------------------------------------------
 _ASCII_PUNCT = frozenset('.,!?;:()[]{}"')
+_CHUNK_RE = re.compile(r"\S+")
+_PUNCT_SEARCH = re.compile(r'[.,!?;:()\[\]{}"]')
 
 
 def tokenize(sent_text: str) -> list[tuple[int, int]]:
     spans: list[tuple[int, int]] = []
-    i, n = 0, len(sent_text)
-    while i < n:
-        if sent_text[i].isspace():
-            i += 1
+    for m in _CHUNK_RE.finditer(sent_text):
+        i, j = m.start(), m.end()
+        chunk = m.group()
+        if _PUNCT_SEARCH.search(chunk) is None:
+            # fast path (the overwhelmingly common chunk shape): no ASCII
+            # punctuation anywhere, so only the possessive split can apply —
+            # identical semantics to the scan below, one regex probe per
+            # chunk instead of a char-wise Python loop
+            if j - i > 2 and chunk[-1] in "sS" and chunk[-2] in "’'":
+                spans.append((i, j - 2))
+                spans.append((j - 2, j))
+            else:
+                spans.append((i, j))
             continue
-        j = i
-        while j < n and not sent_text[j].isspace():
-            j += 1
+
         # chunk [i, j): split at ASCII punctuation chars — EXCEPT . , :
         # between digits ("3,000", "3.14", "9:30" stay single tokens, as the
         # reference's maxent tokenizer keeps them)
@@ -176,7 +185,6 @@ def tokenize(sent_text: str) -> list[tuple[int, int]]:
                 else:
                     spans.append((k, r))
                 k = r
-        i = j
     return spans
 
 
@@ -192,9 +200,13 @@ class Token:
     spans: list[tuple[int, int]] = field(default_factory=list)
 
 
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=1 << 16)
 def _final_lemma(word: str, pos: str) -> str:
     """Dict/rule lemma with the reference's lower(word) fallback on the "O"
-    sentinel (OpenNLPPipeline.java:461, 482)."""
+    sentinel (OpenNLPPipeline.java:461, 482).  Memoized per worker (pure)."""
     lm = models.lemma_of(word, pos)
     return word.lower() if lm == models.BACKGROUND_SYMBOL else lm
 

@@ -17,6 +17,7 @@ replacing the reference's per-pipeline model loading
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 
 # ---------------------------------------------------------------------------
 # Stopwords — the reference's default 38-word list, PipelineBuilder.java:15.
@@ -132,11 +133,16 @@ def rule_lemma(word_lower: str, pos: str) -> str:
     return BACKGROUND_SYMBOL
 
 
+@lru_cache(maxsize=1 << 16)
 def lemma_of(word: str, pos: str) -> str:
     """Dictionary lookup first, then POS-gated rules, else the "O" sentinel.
 
     The *caller* applies the reference's fallback lemma = lower(word) when the
-    sentinel comes back (OpenNLPPipeline.java:461, 482)."""
+    sentinel comes back (OpenNLPPipeline.java:461, 482).
+
+    Memoized: a pure function of (word, pos), and corpora are Zipfian — the
+    per-worker cache turns the per-token dict+rule walk into one hash probe
+    for the hot vocabulary (the analog of OpenNLP's per-model caches)."""
     w = word.lower()
     hit = LEMMA_DICT.get(w)
     if hit is not None:
@@ -190,11 +196,13 @@ _VERB_BASES = frozenset(
 )
 
 
+@lru_cache(maxsize=1 << 16)
 def pos_of(word: str, prev_tag: str | None = None) -> str:
     """Shape/suffix tagger. Deterministic, order-independent except for the
     previous-tag heuristic used to disambiguate VBZ vs NNS after pronouns/nouns
     (the reference's maxent tagger uses full context; our assertion surface
-    needs only stable, plausible Penn tags)."""
+    needs only stable, plausible Penn tags).  Memoized per worker — pure
+    function of its arguments (see lemma_of)."""
     lw = word.lower()
     hit = POS_LEXICON.get(lw)
     if hit is not None:

@@ -42,6 +42,65 @@ def stream_triples(corpus_stream: DataFrame,
     return corpus_to_triples(corpus_stream, spec=spec)
 
 
+def stream_dedup(corpus_stream: DataFrame, ts_col: str = "ingest_ts",
+                 watermark: str = "2 hours",
+                 text_col: str = "content") -> DataFrame:
+    """Streaming exactly-once content dedup: drop rows whose sha256 was
+    already seen, with a watermark bounding the dedup state (late arrivals
+    beyond the watermark may re-emit — the standard streaming-dedup
+    trade-off; at 100 TB an unbounded seen-set is not an option).
+
+    State shape: one (sha, ts) entry per distinct content inside the
+    watermark horizon, partitioned by sha — skew-free because sha is
+    uniform."""
+    return (corpus_stream
+            .withColumn("content_sha256", F.sha2(F.col(text_col), 256))
+            .withWatermark(ts_col, watermark)
+            .dropDuplicates(["content_sha256"]))
+
+
+SESSION_SCHEMA = "user_id bigint, n_sessions bigint, n_events bigint"
+_SESSION_STATE = "last_ts_us bigint, n_sessions bigint, n_events bigint"
+
+
+def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState: the
+    streaming twin of the batch rel_events_sessionize query (gap-based
+    session counting per user).  Per-user state = (last event micros,
+    session count, event count); a batch's events are sorted by (ts,
+    event_id) inside the group, so a single availableNow pass over a static
+    source reproduces the batch window-function result exactly.
+
+    Scale: state is O(active users) and partitioned by user_id; each
+    micro-batch shuffles only its own rows to their state partitions."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def update(key, pdfs, state):
+        if state.exists:
+            last_ts, n_sess, n_ev = state.get
+        else:
+            last_ts, n_sess, n_ev = None, 0, 0
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        for ts in rows["ts"]:
+            ts_us = int(ts.value // 1_000)  # pandas ns → micros
+            if last_ts is None or ts_us - last_ts > gap_us:
+                n_sess += 1
+            last_ts = ts_us
+            n_ev += 1
+        state.update((last_ts, n_sess, n_ev))
+        yield pd.DataFrame({"user_id": [key[0]], "n_sessions": [n_sess],
+                            "n_events": [n_ev]})
+
+    return (events
+            .groupBy("user_id")
+            .applyInPandasWithState(update, SESSION_SCHEMA, _SESSION_STATE,
+                                    "update", GroupStateTimeout.NoTimeout))
+
+
 def start_triple_stream(corpus_stream: DataFrame, out_path: str,
                         checkpoint: str,
                         spec: PipelineSpec | None = None,

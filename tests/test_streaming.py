@@ -33,3 +33,51 @@ def test_stream_matches_batch(tmp_path, spark):
     q2.awaitTermination(300)
     n_all = spark.read.parquet(out).count()
     assert n_all == corpus_to_triples(spark.read.parquet(src)).count()
+
+
+def test_sessionize_stream_matches_batch(tmp_path, spark):
+    """applyInPandasWithState sessionization: one availableNow pass over a
+    static source reproduces the batch window-function result exactly."""
+    from kg.streaming import sessionize_stream
+    src = str(tmp_path / "events")
+    batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    batch.write.parquet(src)
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (sessionize_stream(stream).writeStream.format("memory")
+         .queryName("sess_t").outputMode("update")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    got = {r["user_id"]: (r["n_sessions"], r["n_events"])
+           for r in spark.sql("SELECT * FROM sess_t").collect()}
+
+    import __spark_entry__ as E
+    want = {r["user_id"]: (r["n_sessions"], r["n_events"])
+            for r in E.q_rel_events_sessionize(
+                spark, "/root/testdata/sf0.001").collect()}
+    assert got == want
+
+
+def test_stream_dedup_drops_repeat_content(tmp_path, spark):
+    """Watermarked streaming dedup: same sha256 emitted once."""
+    import datetime
+    from kg.streaming import stream_dedup
+    src = str(tmp_path / "src")
+    base = datetime.datetime(2024, 1, 1)
+    rows = [("r", "p1", "c", "en", "dup text", base),
+            ("r", "p2", "c", "en", "dup text",
+             base + datetime.timedelta(minutes=1)),
+            ("r", "p3", "c", "en", "unique", base +
+             datetime.timedelta(minutes=2))]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string, ingest_ts timestamp")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (stream_dedup(stream).writeStream.format("memory")
+         .queryName("dedup_t").outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    out = spark.sql("SELECT content FROM dedup_t").collect()
+    assert len(out) == 2
+    assert {r["content"] for r in out} == {"dup text", "unique"}
