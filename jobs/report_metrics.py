@@ -1,0 +1,64 @@
+"""P/R + triple-count metrics report (BASELINE.json: "triple P/R >= 0.95 vs
+reference golden outputs").
+
+Runs the DISTRIBUTED pipeline over the reference golden fixture texts (the
+TextProcessorTest / OpenNLPPipelineTest corpus embedded in kg.corpus) and
+over the driver documents table, compares against the pure-Python
+reference-behavior construction (kg.metrics), and prints one JSON line.
+
+Usage: python jobs/report_metrics.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+from pyspark.sql import functions as F
+
+
+def main(argv: list[str] | None = None) -> dict:
+    args = argv if argv is not None else sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+
+    from kg.session import get_spark
+    from kg.corpus import GOLDEN_TEXTS
+    from kg.metrics import expected_triples, predicate_counts, triple_prf
+    from kg.triples import annotate_to_triples
+
+    spark = get_spark(app="kg-metrics")
+
+    # 1. reference golden fixtures through the distributed pipeline
+    fixture_rows = [(str(i), "en", t) for i, t in enumerate(GOLDEN_TEXTS)]
+    docs = spark.createDataFrame(fixture_rows,
+                                 "doc_id string, lang string, text string")
+    produced = annotate_to_triples(docs, text_col="text", id_cols=("doc_id",),
+                                   lang_col="lang")
+    expected = expected_triples(spark, fixture_rows)
+    fixture_prf = triple_prf(produced, expected)
+
+    # 2. driver documents table (wider input diversity, same invariant)
+    d = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+         .filter(F.col("lang") == "en"))
+    corpus_rows = [(str(r["doc_id"]), "en", r["text"]) for r in d.collect()]
+    corpus_produced = annotate_to_triples(
+        d, text_col="text", id_cols=("doc_id",), lang_col="lang")
+    corpus_prf = triple_prf(corpus_produced,
+                            expected_triples(spark, corpus_rows))
+
+    out = {
+        "fixture_prf": fixture_prf,
+        "corpus_prf": corpus_prf,
+        "fixture_predicates": predicate_counts(produced),
+        "meets_baseline": (fixture_prf["precision"] >= 0.95
+                           and fixture_prf["recall"] >= 0.95
+                           and corpus_prf["precision"] >= 0.95
+                           and corpus_prf["recall"] >= 0.95),
+    }
+    print(json.dumps(out))
+    spark.stop()
+    return out
+
+
+if __name__ == "__main__":
+    main()

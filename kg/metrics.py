@@ -1,0 +1,94 @@
+"""Triple-level metrics reporters (SURVEY.md §7 Phase 4; BASELINE.json
+criterion "triple P/R >= 0.95 vs reference golden outputs").
+
+Evidence chain for the P/R number:
+
+1. The reference's DOCUMENTED golden assertions (TextProcessorTest.java:
+   63-87, 190-231; OpenNLPPipelineTest.java; ProcedureTest.java) pin the
+   pure-Python annotator layer — tests/test_annotate_goldens.py.
+2. `triples_py` mirrors the triple-shaping semantics of kg.triples
+   (PART_OF / NEXT_SENTENCE / HAS_TAG / TAG_OCCURS / FIRST_SENTENCE) as a
+   driver-side pure function of one document.
+3. `triple_prf` compares the DISTRIBUTED pipeline's output (pandas-UDF
+   annotate → explode → single-pass triple build, across partitions) with
+   that verified per-document construction: multiset precision / recall /
+   F1 over full (subj, pred, obj, start, end, value) rows.
+
+So P/R measures exactly the end-to-end risk the golden unit tests cannot:
+Arrow batch shapes, explode semantics, cross-partition behavior.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from kg.annotate import PipelineSpec, annotate_graph_py
+from kg.triples import TRIPLE_COLUMNS
+
+TRIPLE_DDL = ("subj string, pred string, obj string, "
+              "start int, end int, value string")
+
+
+def triples_py(doc_key: str, lang: str, text: str,
+               spec: PipelineSpec | None = None,
+               include_first_sentence: bool = False) -> list[tuple]:
+    """Pure-Python triple construction for ONE document — the reference
+    semantics (ProcedureTest.java:104-137 relationship set) as a driver-side
+    function, independent of the Spark dataflow under test."""
+    sents = annotate_graph_py(text, spec)
+    n = len(sents)
+    doc_uid = f"doc:{doc_key}"
+    rows: list[tuple] = []
+    for s in sents:
+        num = s["sentence_number"]
+        sid = f"sent:{doc_key}:{num}"
+        rows.append((sid, "PART_OF", doc_uid, None, None, None))
+        if num < n - 1:
+            rows.append((sid, "NEXT_SENTENCE", f"sent:{doc_key}:{num + 1}",
+                         None, None, None))
+        if include_first_sentence and num == 0:
+            rows.append((doc_uid, "FIRST_SENTENCE", sid, None, None, None))
+        for t in s["tags"]:
+            tag = f"tag:{lang}:{t['lemma']}"
+            rows.append((sid, "HAS_TAG", tag, None, None, None))
+            for o in t["occurrences"]:
+                rows.append((tag, "TAG_OCCURS", sid,
+                             o["start"], o["end"], o["value"]))
+    return rows
+
+
+def expected_triples(spark: SparkSession, docs: list[tuple[str, str, str]],
+                     spec: PipelineSpec | None = None,
+                     include_first_sentence: bool = False) -> DataFrame:
+    """(doc_key, lang, text) rows → expected triple DataFrame (driver-built,
+    golden-fixture scale only — NOT a distributed path)."""
+    rows: list[tuple] = []
+    for doc_key, lang, text in docs:
+        rows.extend(triples_py(doc_key, lang, text, spec,
+                               include_first_sentence))
+    return spark.createDataFrame(rows, TRIPLE_DDL)
+
+
+def triple_prf(produced: DataFrame, expected: DataFrame) -> dict:
+    """Multiset precision/recall/F1 over full triple rows.  intersectAll
+    treats NULLs as equal (SQL set-op semantics), so offset-less PART_OF /
+    HAS_TAG rows compare exactly; duplicates count once per occurrence."""
+    p = produced.select(*TRIPLE_COLUMNS)
+    e = expected.select(*TRIPLE_COLUMNS)
+    tp = p.intersectAll(e).count()
+    n_p, n_e = p.count(), e.count()
+    precision = tp / n_p if n_p else 0.0
+    recall = tp / n_e if n_e else 0.0
+    f1 = (2 * precision * recall / (precision + recall)
+          if precision + recall else 0.0)
+    return {"tp": tp, "n_produced": n_p, "n_expected": n_e,
+            "precision": round(precision, 6), "recall": round(recall, 6),
+            "f1": round(f1, 6)}
+
+
+def predicate_counts(triples: DataFrame) -> dict:
+    """Triple-count reporter: rows per predicate (the lineage-level metric
+    the reference exposes as per-label node/relationship counts)."""
+    rows = (triples.groupBy("pred").agg(F.count("*").alias("n"))
+            .orderBy("pred").collect())
+    return {r["pred"]: r["n"] for r in rows}

@@ -1,0 +1,65 @@
+"""Triple-level P/R reporter (kg.metrics): the distributed pipeline must
+reproduce the pure-Python reference-behavior construction exactly on the
+golden fixtures (BASELINE.json: P/R >= 0.95; we assert 1.0), and the metric
+itself must be sensitive to real divergence."""
+
+import pyspark.sql.functions as F
+
+from kg.metrics import expected_triples, predicate_counts, triple_prf
+from kg.triples import annotate_to_triples
+
+
+def _fixture_frames(spark):
+    from kg.corpus import GOLDEN_TEXTS
+    rows = [(str(i), "en", t) for i, t in enumerate(GOLDEN_TEXTS)]
+    docs = spark.createDataFrame(rows,
+                                 "doc_id string, lang string, text string")
+    produced = annotate_to_triples(docs, text_col="text", id_cols=("doc_id",),
+                                   lang_col="lang")
+    return produced, expected_triples(spark, rows)
+
+
+def test_fixture_prf_is_perfect(spark):
+    produced, expected = _fixture_frames(spark)
+    m = triple_prf(produced, expected)
+    assert m["precision"] == 1.0 and m["recall"] == 1.0, m
+    assert m["n_produced"] == m["n_expected"] > 0
+
+
+def test_prf_detects_divergence(spark):
+    """Drop one expected row and corrupt one produced row: precision and
+    recall must both fall below 1 — the reporter is not vacuous."""
+    produced, expected = _fixture_frames(spark)
+    short_expected = expected.limit(expected.count() - 5)
+    m = triple_prf(produced, short_expected)
+    assert m["precision"] < 1.0 and m["recall"] == 1.0
+
+    corrupted = produced.withColumn(
+        "obj", F.when(F.col("pred") == "PART_OF",
+                      F.lit("doc:WRONG")).otherwise(F.col("obj")))
+    m2 = triple_prf(corrupted, expected)
+    assert m2["precision"] < 1.0 and m2["recall"] < 1.0
+
+
+def test_predicate_counts_match_goldens(spark):
+    """Pakistan fixture: 4 sentences -> 4 PART_OF, 3 NEXT_SENTENCE,
+    15+11+22+8 = 56 HAS_TAG (TextProcessorTest.java:78-82)."""
+    from tests.test_annotate_goldens import PAKISTAN_TEXT
+    docs = spark.createDataFrame([("p", "en", PAKISTAN_TEXT)],
+                                 "doc_id string, lang string, text string")
+    t = annotate_to_triples(docs, text_col="text", id_cols=("doc_id",),
+                            lang_col="lang")
+    counts = predicate_counts(t)
+    assert counts["PART_OF"] == 4
+    assert counts["NEXT_SENTENCE"] == 3
+    assert counts["HAS_TAG"] == 56
+
+
+def test_report_metrics_job(tmp_path, spark):
+    """The spark-submit metrics reporter meets the BASELINE criterion on
+    both the fixtures and the sf0.001 documents corpus."""
+    from jobs.report_metrics import main
+    out = main(["/root/testdata/sf0.001"])
+    assert out["meets_baseline"] is True
+    assert out["fixture_prf"]["f1"] == 1.0
+    assert out["corpus_prf"]["f1"] == 1.0
