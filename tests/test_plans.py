@@ -84,3 +84,14 @@ def test_monorepo_skew_balanced_by_salt(spark):
              df.groupBy(SALT_COL).agg(F.count("*").alias("n")).collect()]
     assert len(sizes) == 16
     assert max(sizes) < 2.0 * (sum(sizes) / len(sizes))
+
+
+def test_annotate_lemma_ner_query_single_udf(spark, corpus_path):
+    """The flagship full-annotator ORACLE query (suffixed docs) keeps the
+    one-ArrowEvalPython / no-Exchange shape — the concat suffix must not
+    break the narrow single-UDF pipeline."""
+    import __spark_entry__ as E
+    df = E.q_kg_annotate_lemma_ner(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    assert plan.count("ArrowEvalPython") == 1

@@ -80,3 +80,52 @@ def test_split_identifier_lowercase_no_underscores(name):
     out = split_identifier(name)
     assert out == out.lower()
     assert "_" not in out
+
+
+def _tokenize_reference(sent_text):
+    """The pre-optimization char-wise tokenizer, kept verbatim as the
+    semantic reference for the fast-path rewrite in kg.annotate.tokenize."""
+    _PUNCT = frozenset('.,!?;:()[]{}"')
+    spans = []
+    i, n = 0, len(sent_text)
+    while i < n:
+        if sent_text[i].isspace():
+            i += 1
+            continue
+        j = i
+        while j < n and not sent_text[j].isspace():
+            j += 1
+
+        def _digit_internal(p):
+            return (sent_text[p] in ".,:" and i < p < j - 1
+                    and sent_text[p - 1].isdigit()
+                    and sent_text[p + 1].isdigit())
+
+        k = i
+        while k < j:
+            c = sent_text[k]
+            if c in _PUNCT and not _digit_internal(k):
+                spans.append((k, k + 1))
+                k += 1
+            else:
+                r = k
+                while r < j and (sent_text[r] not in _PUNCT
+                                 or _digit_internal(r)):
+                    r += 1
+                if (r - k > 2 and sent_text[r - 1] in "sS"
+                        and sent_text[r - 2] in "’'"):
+                    spans.append((k, r - 2))
+                    spans.append((r - 2, r))
+                else:
+                    spans.append((k, r))
+                k = r
+        i = j
+    return spans
+
+
+@given(TEXT)
+@settings(max_examples=300, deadline=None, derandomize=True)
+def test_tokenize_fastpath_equals_reference_scan(text):
+    """The regex-chunk fast path must be span-for-span identical to the
+    original character-wise scan on arbitrary text."""
+    assert tokenize(text) == _tokenize_reference(text)
