@@ -42,6 +42,9 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--master", default=None)
     ap.add_argument("--link-dictionary", default=None,
                     help="parquet with (entity_id, name_norm) for linking")
+    ap.add_argument("--no-first-sentence", action="store_true",
+                    help="omit FIRST_SENTENCE edges (the reference always "
+                         "persists them — ProcedureTest.java:128)")
     args = ap.parse_args(argv)
 
     from kg.session import get_spark
@@ -80,7 +83,9 @@ def main(argv: list[str] | None = None) -> dict:
     # source language ride along as keep_cols
     ann = extract_annotate_df(corpus)
     sent = explode_annotated_units(ann, keep_cols=("src_lang", SALT_COL))
-    triples = build_triples(sent, keep_cols=("src_lang", SALT_COL)) \
+    triples = build_triples(sent,
+                            include_first_sentence=not args.no_first_sentence,
+                            keep_cols=("src_lang", SALT_COL)) \
         .withColumnRenamed("src_lang", "lang")
 
     if args.link_dictionary:

@@ -36,3 +36,23 @@ def test_link_dictionary_canonicalizes_written_graph(tmp_path, spark):
                          | (F.col("obj") == "tag:en:pakistan")).count() == 0
     # row counts match: canonicalization rewrites, never drops/duplicates
     assert linked.count() == plain.count()
+
+
+def test_first_sentence_edges_written_by_default(tmp_path, spark):
+    """The reference always persists FIRST_SENTENCE (ProcedureTest.java:128);
+    run_pipeline now emits it by default, --no-first-sentence opts out."""
+    out = str(tmp_path / "t_fs")
+    main(["--synthetic", "40", "--output", out])
+    t = spark.read.parquet(out)
+    n_docs = t.filter(F.col("pred") == "FIRST_SENTENCE").count()
+    assert n_docs > 0
+    # exactly one FIRST_SENTENCE per NL-unit document, each targeting :0
+    fs = t.filter(F.col("pred") == "FIRST_SENTENCE")
+    assert fs.filter(~F.col("obj").endswith(":0")).count() == 0
+    assert fs.select("subj").distinct().count() == n_docs
+
+    out2 = str(tmp_path / "t_nofs")
+    main(["--synthetic", "40", "--output", out2, "--no-first-sentence"])
+    t2 = spark.read.parquet(out2)
+    assert t2.filter(F.col("pred") == "FIRST_SENTENCE").count() == 0
+    assert t.count() == t2.count() + n_docs
