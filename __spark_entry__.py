@@ -31,6 +31,7 @@ import pyspark.sql.functions as F
 
 from kg.annotate import PipelineSpec
 from kg import dedup as kgdedup
+from kg import sampling as kgsampling
 from kg import similarity as kgsim
 from kg import textstats as kgtext
 from kg.triples import (annotate_to_triples, explode_sentences, explode_tags,
@@ -362,6 +363,27 @@ def q_ann_lsh_topk(spark, sf_dir):
         "query_id", "neighbor_id", "rank")
 
 
+def q_corpus_sample(spark, sf_dir):
+    """Deterministic md5-threshold sampling — reproducible training-mix
+    holdouts (df.sample is partition-RNG and not reproducible across
+    cluster layouts; this is)."""
+    return kgsampling.hash_sample(_docs(spark, sf_dir, None), 0.25).select(
+        "doc_id", "lang")
+
+
+def q_corpus_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment from the same
+    uniform hash; a document's split is stable under corpus growth."""
+    return kgsampling.split_assign(_docs(spark, sf_dir, None)).select(
+        "doc_id", "split")
+
+
+def q_text_pack_shards(spark, sf_dir):
+    """Greedy token-budget shard packing within md5 hash buckets (the
+    scale-honest alternative to a global single-partition window)."""
+    return kgsampling.pack_shards(_docs(spark, sf_dir, None), max_tokens=256)
+
+
 def _dec(c):
     return F.col(c).cast("decimal(18,2)")
 
@@ -485,6 +507,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_bpe_count": q_text_bpe_count,
         "text_term_freq": q_text_term_freq,
+        "corpus_sample": q_corpus_sample,
+        "corpus_split": q_corpus_split,
+        "text_pack_shards": q_text_pack_shards,
         "rel_q1_pricing": q_rel_q1_pricing,
         "rel_q3_revenue": q_rel_q3_revenue,
         "rel_events_gap": q_rel_events_gap,
@@ -925,6 +950,36 @@ def oracle_sql() -> dict[str, str]:
                CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INT)
                AS n_bpe_tokens
         FROM documents"""
+
+    from kg.sampling import rate_to_hex as _r2h
+    _MD5KEY = "md5(CAST(doc_id AS VARCHAR))"
+    sqls["corpus_sample"] = f"""
+        SELECT doc_id, lang FROM documents
+        WHERE {_MD5KEY} < '{_r2h(0.25)}'"""
+
+    sqls["corpus_split"] = f"""
+        SELECT doc_id,
+               CASE WHEN {_MD5KEY} < '{_r2h(0.8)}' THEN 'train'
+                    WHEN {_MD5KEY} < '{_r2h(0.9)}' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents"""
+
+    # bucket = value of the first two md5 hex digits mod 16 (mirrors
+    # kg.sampling._md5_bucket); running token sum per bucket ordered by doc
+    sqls["text_pack_shards"] = f"""
+        WITH base AS (
+          SELECT doc_id AS doc,
+                 CAST(((strpos('0123456789abcdef', substr({_MD5KEY}, 1, 1)) - 1) * 16
+                  + strpos('0123456789abcdef', substr({_MD5KEY}, 2, 1)) - 1) % 16 AS INT)
+                   AS bucket,
+                 CAST(len({_TOKS}) AS INT) AS n_tokens
+          FROM documents)
+        SELECT doc, bucket,
+               CAST((run - n_tokens) // 256 AS INT) AS shard_seq, n_tokens
+        FROM (SELECT *, sum(n_tokens) OVER (
+                PARTITION BY bucket ORDER BY doc
+                ROWS UNBOUNDED PRECEDING) AS run
+              FROM base)"""
 
     sqls["rel_q1_pricing"] = """
         SELECT l_returnflag, l_linestatus,

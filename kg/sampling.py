@@ -1,0 +1,104 @@
+"""Deterministic sampling / splitting / shard-packing for training-data
+pipelines — the reproducibility layer a 100 TB corpus build needs: the same
+document must land in the same split/sample/shard on every run, on any
+cluster size, with no RNG state anywhere (CLAUDE.md conventions).
+
+All three operators are narrow per-row maps plus (for packing) one
+bucket-local window — no global ordering, no driver state:
+
+- `hash_sample`: keep a row iff md5(key) < threshold.  The md5 hex string
+  COMPARES lexicographically exactly as the 128-bit integer compares
+  numerically, so the threshold is a precomputed hex literal and the
+  filter is a plain string comparison — portable to any engine with md5
+  (the DuckDB oracle runs the identical predicate).
+- `split_assign`: train/val/test assignment from the same uniform hash —
+  fractions become hex boundaries; a document's split never depends on
+  which other documents are present (stable under corpus growth).
+- `pack_shards`: greedy fixed-budget packing of documents into
+  ~max_tokens training shards.  A GLOBAL greedy pack needs a total order
+  (single-partition window — a non-starter at scale), so documents are
+  hash-bucketed first and packed within buckets: every bucket's running
+  sum is an independent window partition, horizontally parallel.
+  shard = (bucket, running_tokens_before div max_tokens).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from kg.textstats import tokens_col
+
+_HEX_WIDTH = 32  # md5 hex chars; 16^32 = 2^128 key space
+
+
+def rate_to_hex(rate: float) -> str:
+    """Fraction in [0,1] → inclusive-exclusive md5-hex threshold literal."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    return format(int(rate * (16 ** _HEX_WIDTH)), f"0{_HEX_WIDTH}x")[:_HEX_WIDTH]
+
+
+def _key_hash(key_col: str) -> Column:
+    return F.md5(F.col(key_col).cast("string"))
+
+
+def hash_sample(df: DataFrame, rate: float,
+                key_col: str = "doc_id") -> DataFrame:
+    """Deterministic Bernoulli(rate) sample keyed on md5(key): reproducible
+    across runs/engines/cluster sizes, unlike df.sample (partition-RNG)."""
+    return df.filter(_key_hash(key_col) < F.lit(rate_to_hex(rate)))
+
+
+def split_assign(df: DataFrame,
+                 weights: tuple[float, ...] = (0.8, 0.1, 0.1),
+                 names: tuple[str, ...] = ("train", "val", "test"),
+                 key_col: str = "doc_id",
+                 out_col: str = "split") -> DataFrame:
+    """Deterministic split assignment: cumulative weight boundaries over the
+    same uniform md5 hash.  weights must sum to 1 (±1e-9)."""
+    if len(weights) != len(names):
+        raise ValueError("weights and names must align")
+    if abs(sum(weights) - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {sum(weights)}")
+    h = _key_hash(key_col)
+    acc = 0.0
+    expr = None
+    for w, name in zip(weights[:-1], names[:-1]):
+        acc += w
+        cond = h < F.lit(rate_to_hex(acc))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (F.lit(names[0]) if expr is None else expr.otherwise(names[-1]))
+    return df.withColumn(out_col, expr)
+
+
+def _md5_bucket(key_col: str, buckets: int) -> Column:
+    """Bucket in [0, buckets) from the first two md5 hex digits (256 values;
+    portable — DuckDB mirrors with strpos arithmetic).  buckets <= 256."""
+    b = (F.conv(F.substring(_key_hash(key_col), 1, 2), 16, 10)
+         .cast("int") % buckets)
+    return b
+
+
+def pack_shards(df: DataFrame, max_tokens: int = 1024,
+                text_col: str = "text", id_col: str = "doc_id",
+                buckets: int = 16) -> DataFrame:
+    """(doc, bucket, shard_seq, n_tokens): greedy token-budget packing
+    within hash buckets.  Shards are ~max_tokens (a document may straddle a
+    boundary — fixed-budget offset packing, the standard pretraining-shard
+    contract).  Window is per bucket: max parallelism = buckets; pick
+    buckets ≈ cluster cores at scale."""
+    if not 1 <= buckets <= 256:
+        raise ValueError("buckets must be in [1, 256]")
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        _md5_bucket(id_col, buckets).alias("bucket"),
+        F.size(tokens_col(text_col)).alias("n_tokens"))
+    w = (Window.partitionBy("bucket").orderBy("doc")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (base
+            .withColumn("_run", F.sum("n_tokens").over(w))
+            .withColumn("shard_seq",
+                        F.expr(f"cast((_run - n_tokens) div {int(max_tokens)}"
+                               " as int)"))
+            .select("doc", "bucket", "shard_seq", "n_tokens"))

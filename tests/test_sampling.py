@@ -1,0 +1,83 @@
+"""Deterministic sampling / splitting / shard-packing (kg.sampling):
+reproducibility invariants plus a brute-force Python cross-check of the
+packing arithmetic."""
+
+import hashlib
+
+import pytest
+
+from kg.sampling import (hash_sample, pack_shards, rate_to_hex, split_assign)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, f"tok{i} " * (3 + i % 7)) for i in range(300)]
+    return spark.createDataFrame(
+        [(i, t.strip()) for i, t in rows], "doc_id long, text string").cache()
+
+
+def test_hash_sample_deterministic_and_calibrated(docs):
+    a = {r["doc_id"] for r in hash_sample(docs, 0.25).collect()}
+    b = {r["doc_id"] for r in hash_sample(docs, 0.25).collect()}
+    assert a == b                       # identical across runs
+    assert 40 <= len(a) <= 110          # ~75 expected of 300
+    # monotone: a smaller rate selects a subset of a larger rate
+    small = {r["doc_id"] for r in hash_sample(docs, 0.1).collect()}
+    assert small <= a
+
+
+def test_hash_sample_matches_python_md5(docs):
+    got = {r["doc_id"] for r in hash_sample(docs, 0.25).collect()}
+    thr = rate_to_hex(0.25)
+    want = {i for i in range(300)
+            if hashlib.md5(str(i).encode()).hexdigest() < thr}
+    assert got == want
+
+
+def test_split_assign_partitions_everything(docs):
+    out = split_assign(docs).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["split"], set()).add(r["doc_id"])
+    assert set(by) == {"train", "val", "test"}
+    assert sum(len(v) for v in by.values()) == 300
+    assert len(by["train"]) > len(by["val"])
+    # stability under corpus growth: the first 100 docs keep their split
+    sub = split_assign(docs.filter("doc_id < 100")).collect()
+    for r in sub:
+        assert r["doc_id"] in by[r["split"]]
+
+
+def test_split_assign_validates_weights(docs):
+    with pytest.raises(ValueError):
+        split_assign(docs, weights=(0.5, 0.2), names=("a", "b", "c"))
+    with pytest.raises(ValueError):
+        split_assign(docs, weights=(0.5, 0.2, 0.2), names=("a", "b", "c"))
+
+
+def test_pack_shards_matches_bruteforce(docs):
+    got = {r["doc"]: (r["bucket"], r["shard_seq"], r["n_tokens"])
+           for r in pack_shards(docs, max_tokens=50, buckets=8).collect()}
+    # brute force: same bucket fn, same per-bucket running sums
+    rows = []
+    for i in range(300):
+        h = hashlib.md5(str(i).encode()).hexdigest()
+        bucket = (int(h[0], 16) * 16 + int(h[1], 16)) % 8
+        rows.append((i, bucket, 3 + i % 7))
+    by_bucket: dict[int, list] = {}
+    for doc, bucket, n in rows:
+        by_bucket.setdefault(bucket, []).append((doc, n))
+    want = {}
+    for bucket, items in by_bucket.items():
+        run = 0
+        for doc, n in sorted(items):
+            want[doc] = (bucket, run // 50, n)
+            run += n
+    assert got == want
+
+
+def test_pack_shards_bucket_bound(docs):
+    with pytest.raises(ValueError):
+        pack_shards(docs, buckets=0)
+    with pytest.raises(ValueError):
+        pack_shards(docs, buckets=257)
