@@ -31,6 +31,11 @@ Module map (mirrors SURVEY.md §7 build plan):
   fingerprinting
 - :mod:`kg.corpus`      deterministic synthetic code-corpus generator with
   the BASELINE.json input_hint schema
+- :mod:`kg.sampling`    deterministic hash sampling / split assignment /
+  token-budget shard packing (reproducible training-data mixes)
+- :mod:`kg.streaming`   structured-streaming surface: triples stream,
+  watermarked dedup, applyInPandasWithState sessionization
+- :mod:`kg.metrics`     triple-level P/R + predicate-count reporters
 """
 
 __version__ = "0.1.0"
