@@ -363,6 +363,19 @@ def q_ann_lsh_topk(spark, sf_dir):
         "query_id", "neighbor_id", "rank")
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN with deterministic md5-seeded anchors — the whole pipeline
+    (anchor choice, cell assignment, query routing, in-cell ranking) is
+    mirrored exactly by the DuckDB oracle; the KMeans-trained ivf_topk
+    keeps its pytest recall check (training can't be mirrored in SQL)."""
+    emb = _read("embeddings")(spark, sf_dir)
+    queries = (emb.filter(F.col("vec_id") < 10)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return kgsim.ivf_hash_topk(emb, queries, k=5, n_cells=8,
+                               n_probe=2).select(
+        "query_id", "neighbor_id", "rank")
+
+
 def q_corpus_sample(spark, sf_dir):
     """Deterministic md5-threshold sampling — reproducible training-mix
     holdouts (df.sample is partition-RNG and not reproducible across
@@ -499,6 +512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_units": q_extract_units,
         "multimodal_features": q_multimodal_features,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_pairs": q_embedding_near_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "text_token_stats": q_text_token_stats,
@@ -950,6 +964,34 @@ def oracle_sql() -> dict[str, str]:
                CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INT)
                AS n_bpe_tokens
         FROM documents"""
+
+    sqls["ann_ivf_topk"] = """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        anchors AS (SELECT vec_id AS cell_id, v AS center FROM e
+                    ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8),
+        assigned AS (
+          SELECT vec_id, v, cell_id FROM (
+            SELECT e.vec_id, e.v, a.cell_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY list_distance(e.v, a.center) ASC,
+                              a.cell_id ASC) AS rn
+            FROM e, anchors a) WHERE rn = 1),
+        routed AS (
+          SELECT query_id, qv, cell_id FROM (
+            SELECT q.vec_id AS query_id, q.v AS qv, a.cell_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY list_distance(q.v, a.center) ASC,
+                              a.cell_id ASC) AS rn
+            FROM e q, anchors a WHERE q.vec_id < 10) WHERE rn <= 2)
+        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+          SELECT r.query_id, s.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY r.query_id
+                   ORDER BY list_cosine_similarity(s.v, r.qv) DESC,
+                            s.vec_id ASC) AS rank
+          FROM routed r JOIN assigned s ON s.cell_id = r.cell_id
+          WHERE s.vec_id <> r.query_id)
+        WHERE rank <= 5"""
 
     from kg.sampling import rate_to_hex as _r2h
     _MD5KEY = "md5(CAST(doc_id AS VARCHAR))"

@@ -178,6 +178,64 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
                     F.round(F.col("cos"), 6).alias("cosine")))
 
 
+def _sqdist_lit(vec: Column, center: list[float]) -> Column:
+    c = F.array(*[F.lit(float(x)) for x in center])
+    return F.aggregate(
+        F.zip_with(F.transform(vec, lambda x: x.cast("double")), c,
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0).cast("double"), lambda acc, v: acc + v)
+
+
+def ivf_hash_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
+                  n_cells: int = 8, n_probe: int = 2,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  qid_col: str = "query_id",
+                  qvec_col: str = "embedding") -> DataFrame:
+    """IVF ANN with deterministic hash-seeded anchors: the n_cells vectors
+    with the smallest md5(id) act as cell anchors.  A deterministic,
+    engine-portable stand-in for trained centroids — the DuckDB oracle
+    mirrors anchor choice, assignment, routing, and ranking exactly —
+    with the SAME plan shape as `ivf_topk` (KMeans cells adapt better to
+    the data; this variant trades that for cross-engine reproducibility).
+
+    Plan: one tiny driver action collects the anchors (the "training" step,
+    like KMeans.fit); assignment and routing are then NARROW JVM
+    expressions over inlined anchor literals (argmin over an
+    array_sort'ed struct array — no join, no shuffle); candidates meet in
+    a broadcast join on cell; per-query window top-k."""
+    from pyspark.sql.window import Window
+
+    anchors = (emb.select(F.col(id_col).alias("cell_id"),
+                          F.col(vec_col).alias("center"),
+                          F.md5(F.col(id_col).cast("string")).alias("h"))
+               .orderBy("h").limit(n_cells).drop("h").collect())
+
+    def _cells(vec: Column) -> Column:
+        cands = F.array(*[
+            F.struct(_sqdist_lit(vec, list(r["center"])).alias("dist"),
+                     F.lit(int(r["cell_id"])).alias("cell_id"))
+            for r in anchors])
+        return F.array_sort(cands)  # (dist asc, cell_id asc) lexicographic
+
+    assigned = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec"),
+        _cells(F.col(vec_col))[0]["cell_id"].alias("cell"))
+    routed = (queries.select(
+        F.col(qid_col).alias("query_id"), F.col(qvec_col).alias("qvec"),
+        F.explode(F.slice(_cells(F.col(qvec_col)), 1, n_probe)).alias("c"))
+        .select("query_id", "qvec", F.col("c.cell_id").alias("cell")))
+
+    scored = (assigned.join(F.broadcast(routed), "cell")
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .withColumn("cos", cosine_sim(F.col("qvec"), F.col("vec"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank",
+                    F.round(F.col("cos"), 6).alias("cosine")))
+
+
 def cosine_near_pairs(emb: DataFrame, threshold: float = 0.95,
                       id_col: str = "vec_id", vec_col: str = "embedding",
                       n_planes: int = 8, dim: int | None = None) -> DataFrame:

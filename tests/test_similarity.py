@@ -92,3 +92,15 @@ def test_dim_param_avoids_driver_job(spark, monkeypatch):
     monkeypatch.undo()
     assert topk.count() >= 1
     assert pairs.count() >= 1
+
+
+def test_ivf_hash_topk_recall_and_determinism(emb, queries):
+    """Deterministic-anchor IVF (oracle-checked in the driver gate): same
+    recall/determinism contract as the KMeans variant."""
+    from kg.similarity import ivf_hash_topk
+    exact = _pairs(cosine_topk(emb, queries, k=5))
+    a = ivf_hash_topk(emb, queries, k=5, n_cells=8, n_probe=4)
+    b = ivf_hash_topk(emb, queries, k=5, n_cells=8, n_probe=4)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    recall = len(exact & _pairs(a)) / len(exact)
+    assert recall >= 0.3, recall
