@@ -248,6 +248,13 @@ def q_text_language_id(spark, sf_dir):
     return kgtext.language_id(_docs(spark, sf_dir, None), "text", "doc_id")
 
 
+def q_text_gopher(spark, sf_dir):
+    """Gopher-style rule flags (word-count band, mean word length,
+    alpha-word ratio, stopword-kind floor) — the filter-style quality
+    complement; integer micro-unit arithmetic only."""
+    return kgtext.gopher_rules(_docs(spark, sf_dir, None), "text", "doc_id")
+
+
 def q_text_fingerprint(spark, sf_dir):
     return kgtext.fingerprint(_docs(spark, sf_dir, None), "text", "doc_id")
 
@@ -517,6 +524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
+        "text_gopher": q_text_gopher,
         "text_language_id": q_text_language_id,
         "text_fingerprint": q_text_fingerprint,
         "text_bpe_count": q_text_bpe_count,
@@ -934,6 +942,26 @@ def oracle_sql() -> dict[str, str]:
     # (score, code) structs); generated from LANG_MARKERS so new profiles
     # (e.g. "it", ProcedureTest.java:313-326) stay in sync automatically
     _codes = sorted(kgtext.LANG_MARKERS, reverse=True)
+    sqls["text_gopher"] = f"""
+        WITH base AS (
+          SELECT doc_id,
+                 len(t) AS n_words,
+                 len(array_to_string(t, '')) AS chars,
+                 len(list_filter(t, x -> regexp_matches(x, '^[A-Za-z]+$')))
+                   AS alpha,
+                 len(list_filter(list_distinct(t),
+                     x -> list_contains({STOP_LIST_SQL}, x))) AS n_stop_kinds
+          FROM (SELECT doc_id, {_TOKS} AS t FROM documents))
+        SELECT doc_id, CAST(n_words AS INT) AS n_words,
+               (chars * 1000000) // n_words AS mean_word_len_micro,
+               (alpha * 1000000) // n_words AS alpha_ratio_micro,
+               CAST(n_stop_kinds AS INT) AS n_stop_kinds,
+               (n_words BETWEEN 5 AND 100000
+                AND (chars * 1000000) // n_words BETWEEN 3000000 AND 10000000
+                AND (alpha * 1000000) // n_words >= 800000
+                AND n_stop_kinds >= 2) AS passes
+        FROM base"""
+
     lang_cases = []
     for code in _codes:
         others = [c for c in _codes if c != code]

@@ -59,6 +59,26 @@ def stream_dedup(corpus_stream: DataFrame, ts_col: str = "ingest_ts",
             .dropDuplicates(["content_sha256"]))
 
 
+def stream_windowed_counts(events: DataFrame, ts_col: str = "ts",
+                           window: str = "1 hour",
+                           watermark: str = "2 hours") -> DataFrame:
+    """Event-time windowed aggregation with late-data semantics: counts per
+    (tumbling window, event_type).  The watermark bounds both state (only
+    open windows are kept) and lateness (rows later than the watermark are
+    dropped); in append mode a window emits exactly once, when the
+    watermark passes its end.
+
+    Watermarks require TIMESTAMP (parquet naive micros arrive as
+    TIMESTAMP_NTZ in Spark 4) — cast under the UTC-pinned session
+    (kg.session) is value-faithful."""
+    return (events
+            .withColumn("_ts", F.col(ts_col).cast("timestamp"))
+            .withWatermark("_ts", watermark)
+            .groupBy(F.window(F.col("_ts"), window).alias("w"), "event_type")
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("window_start"), "event_type", "n"))
+
+
 SESSION_SCHEMA = "user_id bigint, n_sessions bigint, n_events bigint"
 _SESSION_STATE = "last_ts_us bigint, n_sessions bigint, n_events bigint"
 

@@ -68,6 +68,41 @@ def quality_score(df: DataFrame, text_col: str = "text",
     )
 
 
+def gopher_rules(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 min_words: int = 5, max_words: int = 100_000) -> DataFrame:
+    """Rule-based quality FLAGS in the style of the published Gopher corpus
+    filters (word-count band, mean word length 3-10 chars, alpha-word ratio
+    >= 0.8, >= 2 distinct common stopwords present) — the filter-style
+    complement to the composite quality_score.  Every value is integer
+    micro-unit arithmetic (engine-portable); `passes` is the conjunction.
+    Narrow per-row map, zero shuffles, zero Python."""
+    toks = tokens_col(text_col)
+    sw = F.array(*[F.lit(w) for w in STOPWORD_ARRAY])
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_words"),
+        F.aggregate(F.transform(toks, F.length),
+                    F.lit(0), lambda acc, v: acc + v).alias("_chars"),
+        F.size(F.filter(toks, lambda t: t.rlike("^[A-Za-z]+$")))
+        .alias("_alpha"),
+        F.size(F.array_intersect(F.array_distinct(toks), sw))
+        .alias("n_stop_kinds"))
+    return base.select(
+        id_col, "n_words",
+        F.expr("(cast(_chars as bigint) * 1000000) div "
+               "cast(n_words as bigint)").alias("mean_word_len_micro"),
+        F.expr("(cast(_alpha as bigint) * 1000000) div "
+               "cast(n_words as bigint)").alias("alpha_ratio_micro"),
+        "n_stop_kinds",
+        ((F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
+         & F.expr("(cast(_chars as bigint) * 1000000) div "
+                  "cast(n_words as bigint) between 3000000 and 10000000")
+         & F.expr("(cast(_alpha as bigint) * 1000000) div "
+                  "cast(n_words as bigint) >= 800000")
+         & (F.col("n_stop_kinds") >= 2)).alias("passes"))
+
+
 # Marker-word profiles for the rule-based language identifier.  At real scale
 # this would be a char-n-gram profile table; the operator shape (broadcast
 # profile, argmax over per-profile overlap scores) is identical.

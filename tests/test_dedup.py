@@ -147,3 +147,22 @@ def test_simhash_portable_matches_python_reference(spark):
            for r in simhash_portable(df).collect()}
     for i, t in rows:
         assert got[i] == py_simhash(t), (i, t)
+
+
+def test_gopher_rules_flags(spark):
+    """Rule flags fire independently: too short, non-alpha heavy, and a
+    healthy doc (kg.textstats.gopher_rules)."""
+    from kg.textstats import gopher_rules
+    rows = [
+        (1, "too short"),                                      # n_words < 5
+        (2, "the 111 222 333 444 555 666 777 888 of ok"),      # alpha < 0.8
+        (3, "the quick brown fox jumps over a lazy dog today"),  # passes
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in gopher_rules(df).collect()}
+    assert got[1]["passes"] is False and got[1]["n_words"] == 2
+    assert got[2]["passes"] is False
+    assert got[2]["alpha_ratio_micro"] < 800_000
+    assert got[3]["passes"] is True
+    assert 3_000_000 <= got[3]["mean_word_len_micro"] <= 10_000_000
+    assert got[3]["n_stop_kinds"] >= 2

@@ -81,3 +81,35 @@ def test_stream_dedup_drops_repeat_content(tmp_path, spark):
     out = spark.sql("SELECT content FROM dedup_t").collect()
     assert len(out) == 2
     assert {r["content"] for r in out} == {"dup text", "unique"}
+
+
+def test_windowed_counts_watermark_semantics(tmp_path, spark):
+    """Append-mode windowed agg: exactly the windows CLOSED by the final
+    watermark (max_ts - 2h) emit, with counts equal to the batch result."""
+    import datetime
+    from kg.streaming import stream_windowed_counts
+    src = str(tmp_path / "events")
+    batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    batch.write.parquet(src)
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (stream_windowed_counts(stream).writeStream.format("memory")
+         .queryName("win_t").outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    got = {(r["window_start"], r["event_type"]): r["n"]
+           for r in spark.sql("SELECT * FROM win_t").collect()}
+    assert got, "no closed windows emitted"
+
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    horizon = max_ts - datetime.timedelta(hours=2)
+    b = batch.withColumn("_ts", F.col("ts").cast("timestamp"))
+    want_all = {(r["window_start"], r["event_type"]): r["n"]
+                for r in (b.groupBy(
+                    F.window("_ts", "1 hour").alias("w"), "event_type")
+                    .agg(F.count("*").alias("n"))
+                    .select(F.col("w.start").alias("window_start"),
+                            "event_type", "n").collect())}
+    want = {k: v for k, v in want_all.items()
+            if k[0] + datetime.timedelta(hours=1) <= horizon}
+    assert got == want
