@@ -21,11 +21,17 @@ def main(argv: list[str] | None = None) -> dict:
     args = argv if argv is not None else sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
 
+    from pyspark.sql import SparkSession
+
     from kg.session import get_spark
     from kg.corpus import GOLDEN_TEXTS
     from kg.metrics import expected_triples, predicate_counts, triple_prf
     from kg.triples import annotate_to_triples
 
+    # Only stop the session on exit if this job created it — under pytest
+    # get_spark getOrCreate()s the suite's shared session, and stopping THAT
+    # kills every later test in the run.
+    owns_session = SparkSession.getActiveSession() is None
     spark = get_spark(app="kg-metrics")
 
     # 1. reference golden fixtures through the distributed pipeline
@@ -56,7 +62,8 @@ def main(argv: list[str] | None = None) -> dict:
                            and corpus_prf["recall"] >= 0.95),
     }
     print(json.dumps(out))
-    spark.stop()
+    if owns_session:
+        spark.stop()
     return out
 
 

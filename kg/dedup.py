@@ -211,6 +211,35 @@ def simhash_portable(df: DataFrame, text_col: str = "text",
     return sums.select("id", F.concat(*digits).alias("simhash_hex"))
 
 
+def ngram_contamination(docs: DataFrame, benchmark: DataFrame, n: int = 8,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        bench_text_col: str | None = None,
+                        bench_id_col: str | None = None) -> DataFrame:
+    """Benchmark decontamination: training documents sharing any word
+    n-gram with an eval/benchmark corpus (the GPT-3-style 13-gram overlap
+    check; `n` is configurable — use smaller n for short documents).
+
+    Returns (doc_id, n_hits): one row per CONTAMINATED training document
+    with the number of distinct benchmark n-grams it contains.  Clean
+    documents are absent (anti-join against this output to keep them).
+
+    Scale shape: the benchmark side is eval sets — tiny next to a 100 TB
+    train corpus — so its distinct shingle set is broadcast and the train
+    side stays a narrow explode + broadcast-hash semi join + one
+    groupBy(doc).  No shuffle touches the full corpus except the final
+    per-doc count (map-side partial agg over doc keys)."""
+    bench_sh = F.broadcast(
+        word_shingles(benchmark, n, bench_text_col or text_col,
+                      bench_id_col or id_col)
+        .select("shingle").distinct())
+    doc_sh = word_shingles(docs, n, text_col, id_col)
+    # word_shingles emits DISTINCT shingles per doc, so count(*) == count
+    # of distinct matched benchmark n-grams
+    return (doc_sh.join(bench_sh, "shingle")
+            .groupBy(F.col("id").alias(id_col))
+            .agg(F.count("*").alias("n_hits")))
+
+
 def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Near-dup candidates by SimHash: block on 16-bit chunks (pigeonhole —

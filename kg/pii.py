@@ -1,0 +1,62 @@
+"""PII detection and redaction over a text column — a standard curation
+stage in large-scale training-data pipelines (strip emails / IPs / phone
+numbers before a corpus ships to pretraining).
+
+Everything here is built-in `regexp_count` / `regexp_replace` (JVM-side,
+whole-stage codegen) — narrow per-row maps, zero shuffles, no Python UDFs.
+The patterns are deliberately restricted to the syntax subset shared by
+Java regex (Spark) and RE2 (the DuckDB oracle): character classes, bounded
+repetition, `\\b` word boundaries — no backreferences or lookaround — so
+the oracle mirrors matches and replacements byte-for-byte.
+
+Reference scope note: the reference engine (graphaware/neo4j-nlp-opennlp)
+has no PII stage; this module is part of the task-mandated training-data
+pipeline operators (like kg.dedup / kg.sampling), not reference parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Order matters for redaction: emails first (their domain contains dots a
+# looser pattern could clip), then IPv4, then phone.
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", EMAIL_RE, "<EMAIL>"),
+    ("ipv4", IPV4_RE, "<IP>"),
+    ("phone", PHONE_RE, "<PHONE>"),
+)
+
+
+def pii_counts(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Per-document counts of each PII pattern:
+    (id, n_email, n_ipv4, n_phone, n_pii).  Counts are non-overlapping
+    leftmost matches — identical semantics in Java regex and RE2."""
+    cols = [F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{name}")
+            for name, pat, _ in PII_PATTERNS]
+    out = df.select(F.col(id_col), *cols)
+    total = None
+    for name, _, _ in PII_PATTERNS:
+        c = F.col(f"n_{name}")
+        total = c if total is None else total + c
+    return out.withColumn("n_pii", total)
+
+
+def redacted_col(text_col: str = "text") -> Column:
+    """The text with every PII match replaced by its typed placeholder,
+    applied in PII_PATTERNS order (email → ipv4 → phone)."""
+    col = F.col(text_col)
+    for _, pat, rep in PII_PATTERNS:
+        col = F.regexp_replace(col, pat, rep)
+    return col
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               out_col: str = "text_redacted") -> DataFrame:
+    """All input columns plus the redacted text.  Narrow map; the original
+    column is retained so a lineage-preserving sink can write both."""
+    return df.withColumn(out_col, redacted_col(text_col))

@@ -1,0 +1,126 @@
+"""Temporal relational primitives Spark lacks as built-ins, composed from
+single-shuffle DataFrame ops:
+
+- `asof_join`: for each left row, the latest right row with
+  right_ts <= left_ts per key (direction="backward"; "forward" mirrors it).
+  The naive formulation is an inequality join — Spark plans those as a
+  per-key sort-merge with a quadratic post-filter (or worse, a nested-loop
+  broadcast).  This implementation is the union-tagged running-window
+  trick: union both sides ordered by (ts, side, seq) and carry the right
+  payload forward with last(ignorenulls) — ONE shuffle on the key, linear
+  per key, no row-pair blowup, skew-tolerant under AQE.
+
+- `bucketed_interval_join`: point-in-interval join (event ∈ [start, end))
+  via time-bucket replication: intervals explode to the buckets they
+  cover, points map to one bucket, both sides meet in an EQUI-join on
+  (key, bucket) and the exact range predicate filters locally.  Bucket
+  width trades interval replication against join selectivity; each
+  (interval, point) pair meets in exactly one bucket (the point's), so no
+  post-dedup is needed.
+
+No Python UDFs, no driver collects; every op is built-ins + one or two
+hash shuffles.  Determinism: ties are broken by an explicit `seq_col`
+(CLAUDE.md conventions — no nondeterministic window orders).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str,
+              left_ts: str = "ts", right_ts: str | None = None,
+              value_cols: tuple[str, ...] = (), seq_col: str | None = None,
+              direction: str = "backward",
+              suffix: str = "_asof") -> DataFrame:
+    """As-of join: every left row, plus `value_cols` from the latest right
+    row with right_ts <= left_ts (backward) or the earliest with
+    right_ts >= left_ts (forward), matched per `on` key.  Unmatched left
+    rows keep NULL values (left-outer as-of semantics).
+
+    `seq_col` (a right-side column, e.g. its primary key) breaks ties
+    among right rows sharing a timestamp — highest wins for backward,
+    lowest for forward — making the result a pure function of the data.
+
+    Output: all left columns + f"{c}{suffix}" per value col +
+    f"{right_ts}{suffix}" (the matched right timestamp, for tolerance
+    filtering by the caller).
+
+    Plan shape: union (no shuffle) → window over (key) ordered by
+    (ts, side, seq) → filter side=left.  ONE hash shuffle on the key;
+    within a partition the sort is (ts, side, seq) — linear scan, state is
+    one row of carried values.  This is the same shape Flink's event-time
+    temporal join and DuckDB/Pandas ASOF execute, expressed in DataFrame
+    ops."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
+    rts = right_ts or left_ts
+    if seq_col is None:
+        seq_col = value_cols[0] if value_cols else rts
+
+    lcols = left.columns
+    vnames = [f"{c}{suffix}" for c in value_cols] + [f"{rts}{suffix}"]
+    rvals = [F.col(c).alias(f"{c}{suffix}") for c in value_cols] + [
+        F.col(rts).alias(f"{rts}{suffix}")]
+
+    r = right.select(
+        F.col(on).alias("_k"), F.col(rts).alias("_ts"),
+        F.lit(0).alias("_side"), F.col(seq_col).alias("_seq"),
+        *rvals,
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
+          for c in lcols])
+    l = left.select(
+        F.col(on).alias("_k"), F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(right.schema[seq_col].dataType).alias("_seq"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}")
+          for c in value_cols],
+        F.lit(None).cast(right.schema[rts].dataType).alias(f"{rts}{suffix}"),
+        *[F.col(c).alias(f"_l_{c}") for c in lcols])
+
+    u = r.unionByName(l)
+    if direction == "backward":
+        order = [F.asc("_ts"), F.asc("_side"), F.asc("_seq")]
+    else:
+        order = [F.desc("_ts"), F.asc("_side"), F.desc("_seq")]
+    w = (Window.partitionBy("_k").orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = u.select(
+        "_side",
+        *[F.col(f"_l_{c}").alias(c) for c in lcols],
+        *[F.last(v, ignorenulls=True).over(w).alias(v) for v in vnames])
+    return carried.filter(F.col("_side") == 1).drop("_side")
+
+
+def bucketed_interval_join(points: DataFrame, intervals: DataFrame, on: str,
+                           point_ts: str = "ts", start_ts: str = "start",
+                           end_ts: str = "end",
+                           bucket_seconds: int = 3600) -> DataFrame:
+    """Inner point-in-interval join: rows = (interval columns + point
+    columns) for every point with start <= point_ts < end and matching
+    `on` key.  Column name collisions between the two inputs are the
+    caller's to resolve (select/alias first).
+
+    Spark plans a raw `p.ts >= i.start AND p.ts < i.end` join as
+    sort-merge on the equi-key with a per-key quadratic filter — fatal
+    when one key holds millions of rows.  Bucketing makes the time
+    predicate part of the JOIN KEY: replication factor is
+    ceil(interval_length / bucket_seconds), and the equi-join on
+    (key, bucket) shuffles both sides once, hash-partitioned, AQE-skew
+    splittable."""
+    pb = points.withColumn(
+        "_bucket", (F.unix_micros(F.col(point_ts).cast("timestamp"))
+                    / F.lit(bucket_seconds * 1_000_000)).cast("long"))
+    ib = intervals.withColumn(
+        "_bucket",
+        F.explode(F.sequence(
+            (F.unix_micros(F.col(start_ts).cast("timestamp"))
+             / F.lit(bucket_seconds * 1_000_000)).cast("long"),
+            (F.unix_micros(F.col(end_ts).cast("timestamp"))
+             / F.lit(bucket_seconds * 1_000_000)).cast("long"))))
+    joined = pb.join(ib, [on, "_bucket"])
+    return (joined
+            .filter((F.col(point_ts) >= F.col(start_ts))
+                    & (F.col(point_ts) < F.col(end_ts)))
+            .drop("_bucket"))

@@ -33,10 +33,17 @@ _HEX_WIDTH = 32  # md5 hex chars; 16^32 = 2^128 key space
 
 
 def rate_to_hex(rate: float) -> str:
-    """Fraction in [0,1] → inclusive-exclusive md5-hex threshold literal."""
+    """Fraction in [0,1] → inclusive-exclusive md5-hex threshold literal.
+
+    rate=1.0 returns "g", which sorts after every hex digest (keep-all) —
+    formatting 16^32 would need 33 hex chars and truncating it to 32
+    yields "1000…0", silently keeping only ~1/16 of rows."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0,1], got {rate}")
-    return format(int(rate * (16 ** _HEX_WIDTH)), f"0{_HEX_WIDTH}x")[:_HEX_WIDTH]
+    v = int(rate * (16 ** _HEX_WIDTH))
+    if v >= 16 ** _HEX_WIDTH:
+        return "g"
+    return format(v, f"0{_HEX_WIDTH}x")
 
 
 def _key_hash(key_col: str) -> Column:
@@ -70,6 +77,32 @@ def split_assign(df: DataFrame,
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     expr = (F.lit(names[0]) if expr is None else expr.otherwise(names[-1]))
     return df.withColumn(out_col, expr)
+
+
+def mixture_sample(df: DataFrame, rates: dict[str, float],
+                   domain_col: str = "source", default_rate: float = 0.0,
+                   key_col: str = "doc_id") -> DataFrame:
+    """Domain-weighted mixture sampling: keep each row with a per-domain
+    rate (the training-mix knob — e.g. keep 100% of wiki, 25% of web,
+    1% of logs).  Domains absent from `rates` get `default_rate`.
+
+    Same uniform md5(key) as `hash_sample`, so samples NEST: raising a
+    domain's rate strictly grows its kept set (no re-shuffling of which
+    documents survive) — the property that makes mix re-weighting cheap
+    and reproducible across corpus rebuilds.
+
+    Narrow per-row filter, zero shuffles: the rate table is inlined as a
+    CASE expression over hex-threshold literals (a broadcast join would
+    work too, but for the typical O(10-100) domain list the literal CASE
+    keeps the plan join-free and fully codegen'd)."""
+    thr = None
+    for dom, rate in sorted(rates.items()):
+        cond = F.col(domain_col) == dom
+        lit = F.lit(rate_to_hex(rate))
+        thr = F.when(cond, lit) if thr is None else thr.when(cond, lit)
+    thr = (F.lit(rate_to_hex(default_rate)) if thr is None
+           else thr.otherwise(F.lit(rate_to_hex(default_rate))))
+    return df.filter(_key_hash(key_col) < thr)
 
 
 def _md5_bucket(key_col: str, buckets: int) -> Column:

@@ -166,3 +166,22 @@ def test_gopher_rules_flags(spark):
     assert got[3]["passes"] is True
     assert 3_000_000 <= got[3]["mean_word_len_micro"] <= 10_000_000
     assert got[3]["n_stop_kinds"] >= 2
+
+
+def test_ngram_contamination(spark):
+    """Decontamination: only docs sharing an n-gram with the benchmark are
+    flagged, with the distinct-overlap count (kg.dedup.ngram_contamination)."""
+    from kg.dedup import ngram_contamination
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "unrelated words entirely here now"),
+         (3, "prefix alpha beta gamma delta suffix tail"),
+         (4, "tiny")],                      # shorter than n: never flagged
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta nothing else")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["n_hits"]
+           for r in ngram_contamination(train, bench, n=4).collect()}
+    # bench 4-grams: {alpha beta gamma delta, beta gamma delta nothing, ...}
+    assert out == {1: 1, 3: 1}

@@ -1,0 +1,72 @@
+"""PII detection/redaction (kg.pii): golden counts, redaction output,
+idempotence, and a DuckDB portability check that mirrors the driver
+oracle's regex semantics (Java regex vs RE2 on the shared subset)."""
+
+import duckdb
+import pyspark.sql.functions as F
+import pytest
+
+from kg.pii import PII_PATTERNS, pii_counts, redact_pii
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "contact alice@example.com or bob.smith@mail.co today"),
+        (2, "server 10.0.42.7 answered then 192.168.1.1 timed out"),
+        (3, "call 555-123-4567 re invoice"),
+        (4, "mixed bag: eve@corp.io at 172.16.0.9 dial 800-555-0199 now"),
+        (5, "no pii here just plain words"),
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_pii_counts_golden(docs):
+    out = {r["doc_id"]: (r["n_email"], r["n_ipv4"], r["n_phone"], r["n_pii"])
+           for r in pii_counts(docs).collect()}
+    assert out[1] == (2, 0, 0, 2)
+    assert out[2] == (0, 2, 0, 2)
+    assert out[3] == (0, 0, 1, 1)
+    assert out[4] == (1, 1, 1, 3)
+    assert out[5] == (0, 0, 0, 0)
+    assert out[6] == (0, 0, 0, 0)
+
+
+def test_redaction_golden(docs):
+    out = {r["doc_id"]: r["text_redacted"]
+           for r in redact_pii(docs).collect()}
+    assert out[1] == "contact <EMAIL> or <EMAIL> today"
+    assert out[4] == "mixed bag: <EMAIL> at <IP> dial <PHONE> now"
+    assert out[5] == "no pii here just plain words"
+
+
+def test_redaction_idempotent(spark, docs):
+    once = redact_pii(docs).select("doc_id",
+                                   F.col("text_redacted").alias("text"))
+    twice = redact_pii(once).collect()
+    for r in twice:
+        assert r["text_redacted"] == r["text"]
+
+
+def test_patterns_portable_to_duckdb(docs):
+    """The exact driver-oracle construction: DuckDB regexp_extract_all /
+    regexp_replace(..., 'g') must agree with Spark on counts AND redacted
+    text for every pattern."""
+    rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+    con = duckdb.connect()
+    spark_out = {r["doc_id"]: (r["n_email"], r["n_ipv4"], r["n_phone"])
+                 for r in pii_counts(docs).collect()}
+    spark_red = {r["doc_id"]: r["text_redacted"]
+                 for r in redact_pii(docs).collect()}
+    for doc_id, text in rows:
+        counts = []
+        red = text
+        for _, pat, rep in PII_PATTERNS:
+            (c,) = con.execute(
+                "SELECT len(regexp_extract_all(?, ?))", [text, pat]).fetchone()
+            counts.append(c)
+            (red,) = con.execute(
+                "SELECT regexp_replace(?, ?, ?, 'g')", [red, pat, rep]).fetchone()
+        assert tuple(counts) == spark_out[doc_id], doc_id
+        assert red == spark_red[doc_id], doc_id

@@ -1,0 +1,120 @@
+"""Temporal relational primitives (kg.relops): as-of join golden cases,
+brute-force cross-checks against the inequality-join definition, and
+bucketed interval join vs the naive cross-filter."""
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+import pytest
+
+from kg.relops import asof_join, bucketed_interval_join
+
+
+def _ts(sec):
+    return dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(seconds=sec)
+
+
+@pytest.fixture(scope="module")
+def sides(spark):
+    left = spark.createDataFrame(
+        [("L1", "u1", _ts(10)), ("L2", "u1", _ts(5)), ("L3", "u2", _ts(7))],
+        "lid string, user string, ts timestamp")
+    right = spark.createDataFrame(
+        [("R1", "u1", _ts(5), 100), ("R2", "u1", _ts(8), 200),
+         ("R3", "u1", _ts(8), 300), ("R4", "u2", _ts(9), 400)],
+        "rid string, user string, ts timestamp, amount int")
+    return left.cache(), right.cache()
+
+
+def test_asof_backward_golden(sides):
+    left, right = sides
+    out = {r["lid"]: (r["rid_asof"], r["amount_asof"])
+           for r in asof_join(left, right, on="user",
+                              value_cols=("rid", "amount"),
+                              seq_col="rid").collect()}
+    assert len(out) == 3                      # every left row survives
+    # latest right at ts<=10 is ts=8; tie R2/R3 broken by seq desc -> R3
+    assert out["L1"] == ("R3", 300)
+    assert out["L2"] == ("R1", 100)           # ts==ts is a match (<=)
+    assert out["L3"] == (None, None)          # u2 has no purchase before 7
+
+
+def test_asof_forward_golden(sides):
+    left, right = sides
+    out = {r["lid"]: r["rid_asof"]
+           for r in asof_join(left, right, on="user", value_cols=("rid",),
+                              seq_col="rid", direction="forward").collect()}
+    assert out["L2"] == "R1"                  # earliest >= 5 is ts=5 itself
+    assert out["L1"] is None                  # nothing at/after ts=10
+    assert out["L3"] == "R4"
+
+
+def test_asof_matched_ts_exposed(sides):
+    left, right = sides
+    row = (asof_join(left, right, on="user", value_cols=("rid",),
+                     seq_col="rid")
+           .filter(F.col("lid") == "L1").first())
+    assert row["ts_asof"] == _ts(8)
+
+
+def test_asof_matches_bruteforce_inequality_join(spark):
+    """On a deterministic hash-generated workload, the windowed as-of equals
+    the row-number-over-inequality-join definition exactly."""
+    n_l, n_r = 120, 80
+    left = spark.range(n_l).select(
+        F.col("id").alias("lid"), (F.col("id") % 7).alias("k"),
+        F.timestamp_seconds(1_700_000_000
+                            + (F.xxhash64("id") % 3600)).alias("ts"))
+    right = spark.range(n_r).select(
+        F.col("id").alias("rid"), (F.col("id") % 7).alias("k"),
+        F.timestamp_seconds(1_700_000_000
+                            + (F.xxhash64("id", F.lit(1)) % 3600)).alias("ts"))
+    got = {(r["lid"], r["rid_asof"])
+           for r in asof_join(left, right, on="k", value_cols=("rid",),
+                              seq_col="rid").collect()}
+
+    left.createOrReplaceTempView("bf_l")
+    right.createOrReplaceTempView("bf_r")
+    want = {(r["lid"], r["rid"]) for r in spark.sql("""
+        SELECT l.lid, m.rid FROM bf_l l LEFT JOIN (
+          SELECT l.lid AS mlid, r.rid,
+                 row_number() OVER (PARTITION BY l.lid
+                                    ORDER BY r.ts DESC, r.rid DESC) AS rn
+          FROM bf_l l JOIN bf_r r ON l.k = r.k AND r.ts <= l.ts
+        ) m ON m.mlid = l.lid AND m.rn = 1""").collect()}
+    assert got == want
+
+
+def test_interval_join_matches_bruteforce(spark):
+    points = spark.range(200).select(
+        F.col("id").alias("pid"), (F.col("id") % 5).alias("k"),
+        F.timestamp_seconds(1_700_000_000
+                            + (F.xxhash64("id") % 86400)).alias("ts"))
+    intervals = spark.range(30).select(
+        F.col("id").alias("iid"), (F.col("id") % 5).alias("k"),
+        F.timestamp_seconds(1_700_000_000
+                            + (F.xxhash64("id", F.lit(2)) % 80000))
+        .alias("start"))
+    intervals = intervals.withColumn(
+        "end", F.col("start") + F.make_interval(secs=F.lit(7200)))
+
+    got = {(r["iid"], r["pid"])
+           for r in bucketed_interval_join(points, intervals, on="k",
+                                           bucket_seconds=3600).collect()}
+    want = {(r["iid"], r["pid"])
+            for r in points.join(intervals, "k")
+            .filter((F.col("ts") >= F.col("start"))
+                    & (F.col("ts") < F.col("end"))).collect()}
+    assert got == want and len(got) > 0
+
+
+def test_interval_join_boundary_semantics(spark):
+    points = spark.createDataFrame(
+        [(1, "k", _ts(0)), (2, "k", _ts(3600)), (3, "k", _ts(3599))],
+        "pid int, k string, ts timestamp")
+    intervals = spark.createDataFrame(
+        [(10, "k", _ts(0), _ts(3600))],
+        "iid int, k string, start timestamp, end timestamp")
+    got = {r["pid"] for r in bucketed_interval_join(
+        points, intervals, on="k", bucket_seconds=600).collect()}
+    assert got == {1, 3}        # start inclusive, end exclusive

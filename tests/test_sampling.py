@@ -81,3 +81,35 @@ def test_pack_shards_bucket_bound(docs):
         pack_shards(docs, buckets=0)
     with pytest.raises(ValueError):
         pack_shards(docs, buckets=257)
+
+
+def test_mixture_sample_per_domain_rates(spark):
+    """Per-domain keep decisions equal the python md5 threshold per source;
+    unknown domains get the default rate (kg.sampling.mixture_sample)."""
+    from kg.sampling import mixture_sample
+    rows = [(i, f"src{i % 4}", f"text {i}") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    rates = {"src0": 1.0, "src1": 0.5, "src2": 0.1}
+    got = {r["doc_id"]
+           for r in mixture_sample(df, rates, default_rate=0.0).collect()}
+    want = set()
+    for i, src, _ in rows:
+        rate = rates.get(src, 0.0)
+        if hashlib.md5(str(i).encode()).hexdigest() < rate_to_hex(rate):
+            want.add(i)
+    assert got == want
+    assert {i for i in got if i % 4 == 0} == {i for i in range(400) if i % 4 == 0}
+    assert not any(i % 4 == 3 for i in got)       # default_rate=0 drops src3
+
+
+def test_mixture_sample_nests_with_hash_sample(spark):
+    """A domain at rate r keeps exactly hash_sample(r)'s rows for that
+    domain — mix re-weighting never reshuffles survivors."""
+    from kg.sampling import mixture_sample
+    rows = [(i, f"src{i % 4}", f"text {i}") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    mixed = {r["doc_id"] for r in mixture_sample(
+        df, {"src1": 0.25}, default_rate=0.0).collect()}
+    plain = {r["doc_id"] for r in hash_sample(
+        df.filter("source = 'src1'"), 0.25).collect()}
+    assert mixed == plain
