@@ -496,6 +496,80 @@ def q_rel_events_sessionize(spark, sf_dir):
                  F.count("*").alias("n_events")))
 
 
+def _pii_docs(spark, sf_dir):
+    """Documents with deterministically synthesized PII appended — the
+    corpus vocabulary has none, so (like the kg_annotate_lemma_ner suffix
+    trick) each doc gets one email / IPv4 / phone derived from doc_id."""
+    return _docs(spark, sf_dir, None).withColumn("text", F.concat(
+        F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com ip 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit("."), (F.col("doc_id") % 250).cast("string"),
+        F.lit(" call 555-123-4567")))
+
+
+def q_text_pii(spark, sf_dir):
+    """PII counts + md5 of the redacted text, one narrow JVM-side pass
+    (kg.pii; regex subset shared by Java regex and RE2)."""
+    from kg import pii as kgpii
+    d = kgpii.redact_pii(_pii_docs(spark, sf_dir))
+    counts = [F.regexp_count(F.col("text"), F.lit(pat)).alias(f"n_{name}")
+              for name, pat, _ in kgpii.PII_PATTERNS]
+    return d.select(F.col("doc_id"), *counts,
+                    F.md5("text_redacted").alias("redacted_md5"))
+
+
+def q_dedup_contamination(spark, sf_dir):
+    """Benchmark decontamination (kg.dedup.ngram_contamination): docs with
+    doc_id % 97 == 0 act as the held-out eval set; n=3 at this corpus size
+    (production uses 13-gram overlap on real text)."""
+    d = _docs(spark, sf_dir)
+    return kgdedup.ngram_contamination(
+        d.filter(F.col("doc_id") % 97 != 0),
+        d.filter(F.col("doc_id") % 97 == 0), n=3)
+
+
+def q_corpus_mixture(spark, sf_dir):
+    """Domain-weighted mixture sampling (kg.sampling.mixture_sample):
+    per-source keep rates incl. the rate-1.0 keep-all path."""
+    return kgsampling.mixture_sample(
+        _docs(spark, sf_dir, None),
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_rate=0.05).select("doc_id", "source")
+
+
+def q_rel_events_asof(spark, sf_dir):
+    """As-of join (kg.relops.asof_join): each click's latest preceding
+    purchase by the same user — one shuffle on user_id, no inequality-join
+    row blowup."""
+    from kg.relops import asof_join
+    ev = _read("events")(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts")
+    return (asof_join(clicks, purch, on="user_id",
+                      value_cols=("purchase_id",), seq_col="purchase_id")
+            .select("event_id", "user_id",
+                    F.col("purchase_id_asof").alias("last_purchase_id")))
+
+
+def q_rel_events_window_join(spark, sf_dir):
+    """Point-in-interval join (kg.relops.bucketed_interval_join): clicks
+    landing in the 2h window after each signup, counted per signup.  The
+    range predicate rides an equi-join on (user, time-bucket)."""
+    from kg.relops import bucketed_interval_join
+    ev = _read("events")(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"), "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end"))
+    return (bucketed_interval_join(clicks, signups, on="user_id",
+                                   bucket_seconds=3600)
+            .groupBy("signup_id").agg(F.count("*").alias("n_clicks")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_part_of": q_kg_part_of,
@@ -540,6 +614,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_events_cube": q_rel_events_cube,
         "rel_customers_without_orders": q_rel_customers_without_orders,
         "rel_events_sessionize": q_rel_events_sessionize,
+        "text_pii": q_text_pii,
+        "dedup_contamination": q_dedup_contamination,
+        "corpus_mixture": q_corpus_mixture,
+        "rel_events_asof": q_rel_events_asof,
+        "rel_events_window_join": q_rel_events_window_join,
     }
 
 
@@ -1115,5 +1194,62 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
                count(*) AS n_events
         FROM flagged GROUP BY user_id"""
+
+    # --- PII: built by concatenation (regex patterns contain {m,n} braces
+    # that would fight f-string syntax); patterns shared verbatim with
+    # kg.pii so both engines run the identical RE2/Java-portable regexes.
+    from kg.pii import PII_PATTERNS as _PIIP
+    _pii_text = ("text || ' contact user' || doc_id || '@example.com ip 10.0.'"
+                 " || (doc_id % 256) || '.' || (doc_id % 250)"
+                 " || ' call 555-123-4567'")
+    _pii_counts = []
+    _red = "t"
+    for _name, _pat, _rep in _PIIP:
+        _pii_counts.append("CAST(len(regexp_extract_all(t, '" + _pat
+                           + "')) AS INT) AS n_" + _name)
+        _red = ("regexp_replace(" + _red + ", '" + _pat + "', '" + _rep
+                + "', 'g')")
+    sqls["text_pii"] = (
+        "WITH p AS (SELECT doc_id, " + _pii_text + " AS t FROM documents)\n"
+        "SELECT doc_id, " + ", ".join(_pii_counts)
+        + ", md5(" + _red + ") AS redacted_md5 FROM p")
+
+    sqls["dedup_contamination"] = f"""
+        WITH sh AS (
+          SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+          FROM (SELECT doc_id, {_TOKS} AS t,
+                       generate_subscripts({_TOKS}, 1) AS i
+                FROM documents WHERE lang = 'en')
+          WHERE i <= len(t) - 2),
+        bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+        train AS (SELECT * FROM sh WHERE doc_id % 97 <> 0)
+        SELECT train.doc_id AS doc_id, count(*) AS n_hits
+        FROM train JOIN bench USING (shingle)
+        GROUP BY train.doc_id"""
+
+    sqls["corpus_mixture"] = f"""
+        SELECT doc_id, source FROM documents
+        WHERE {_MD5KEY} < CASE source
+          WHEN 'src0' THEN 'g'
+          WHEN 'src1' THEN '{_r2h(0.5)}'
+          WHEN 'src2' THEN '{_r2h(0.25)}'
+          ELSE '{_r2h(0.05)}' END"""
+
+    sqls["rel_events_asof"] = """
+        SELECT c.event_id, c.user_id,
+               (SELECT p.event_id FROM events p
+                WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+                  AND p.ts <= c.ts
+                ORDER BY p.ts DESC, p.event_id DESC LIMIT 1)
+                 AS last_purchase_id
+        FROM events c WHERE c.event_type = 'click'"""
+
+    sqls["rel_events_window_join"] = """
+        SELECT s.event_id AS signup_id, count(*) AS n_clicks
+        FROM events s JOIN events c
+          ON c.user_id = s.user_id AND c.event_type = 'click'
+         AND c.ts >= s.ts AND c.ts < s.ts + INTERVAL 2 HOUR
+        WHERE s.event_type = 'signup'
+        GROUP BY 1"""
 
     return sqls

@@ -36,6 +36,9 @@ HEADLINE = [
     "rel_q1_pricing",
     "rel_q3_revenue",
     "rel_events_sessionize",
+    "rel_events_asof",       # union-tagged as-of join (kg.relops)
+    "text_pii",              # regex PII counts + redaction, narrow JVM pass
+    "dedup_contamination",   # broadcast benchmark-shingle overlap
 ]
 
 

@@ -95,3 +95,55 @@ def test_annotate_lemma_ner_query_single_udf(spark, corpus_path):
     plan = _plan(df)
     assert "Exchange" not in plan
     assert plan.count("ArrowEvalPython") == 1
+
+
+def test_asof_join_single_shuffle(spark):
+    """kg.relops.asof_join compiles to exactly ONE Exchange (the key
+    shuffle feeding the window) — the whole point of the union-tagged
+    formulation vs an inequality join's per-key quadratic sort-merge."""
+    from kg.relops import asof_join
+    left = spark.range(100).select(
+        F.col("id").alias("lid"), (F.col("id") % 5).alias("k"),
+        F.timestamp_seconds(F.col("id") * 60).alias("ts"))
+    right = spark.range(100).select(
+        F.col("id").alias("rid"), (F.col("id") % 5).alias("k"),
+        F.timestamp_seconds(F.col("id") * 45).alias("ts"))
+    plan = _plan(asof_join(left, right, on="k", value_cols=("rid",),
+                           seq_col="rid"))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_interval_join_is_equi_hash_join(spark):
+    """kg.relops.bucketed_interval_join must plan as a hash/sort-merge
+    EQUI-join on (key, bucket) — never a BroadcastNestedLoopJoin, which is
+    what Spark does with raw range predicates."""
+    from kg.relops import bucketed_interval_join
+    points = spark.range(100).select(
+        F.col("id").alias("pid"), (F.col("id") % 5).alias("k"),
+        F.timestamp_seconds(F.col("id") * 60).alias("ts"))
+    iv = spark.range(20).select(
+        F.col("id").alias("iid"), (F.col("id") % 5).alias("k"),
+        F.timestamp_seconds(F.col("id") * 300).alias("start"),
+        F.timestamp_seconds(F.col("id") * 300 + 3600).alias("end"))
+    plan = _plan(bucketed_interval_join(points, iv, on="k",
+                                        bucket_seconds=600))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) \
+        or ("BroadcastHashJoin" in plan)
+
+
+def test_pii_and_mixture_stay_narrow(spark, corpus_path):
+    """PII counts/redaction and mixture sampling are pure per-row maps:
+    zero Exchange, zero Python UDFs (ArrowEval/BatchEval) in the plan."""
+    from kg.pii import pii_counts, redact_pii
+    from kg.sampling import mixture_sample
+    df = (spark.read.parquet(corpus_path)
+          .withColumnRenamed("content", "text")
+          .withColumnRenamed("path", "doc_id")
+          .withColumn("source", F.col("repo")))
+    for out in (pii_counts(df), redact_pii(df),
+                mixture_sample(df, {"r0": 0.5}, key_col="doc_id")):
+        plan = _plan(out)
+        assert "Exchange" not in plan
+        assert "ArrowEval" not in plan and "BatchEval" not in plan
