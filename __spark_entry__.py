@@ -537,6 +537,12 @@ def q_corpus_mixture(spark, sf_dir):
         default_rate=0.05).select("doc_id", "source")
 
 
+def q_text_repetition(spark, sf_dir):
+    """Repetition signals (kg.textstats.repetition_stats): duplicated- and
+    top-bigram fractions via the shuffle-free sorted-scan fold."""
+    return kgtext.repetition_stats(_docs(spark, sf_dir, None))
+
+
 def q_rel_events_asof(spark, sf_dir):
     """As-of join (kg.relops.asof_join): each click's latest preceding
     purchase by the same user — one shuffle on user_id, no inequality-join
@@ -615,6 +621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_customers_without_orders": q_rel_customers_without_orders,
         "rel_events_sessionize": q_rel_events_sessionize,
         "text_pii": q_text_pii,
+        "text_repetition": q_text_repetition,
         "dedup_contamination": q_dedup_contamination,
         "corpus_mixture": q_corpus_mixture,
         "rel_events_asof": q_rel_events_asof,
@@ -1213,6 +1220,29 @@ def oracle_sql() -> dict[str, str]:
         "WITH p AS (SELECT doc_id, " + _pii_text + " AS t FROM documents)\n"
         "SELECT doc_id, " + ", ".join(_pii_counts)
         + ", md5(" + _red + ") AS redacted_md5 FROM p")
+
+    # repetition: the oracle uses the plain relational definition
+    # (unnest → per-(doc,gram) counts) — deliberately a DIFFERENT algorithm
+    # from Spark's sorted-scan fold, so agreement checks semantics, not a
+    # shared implementation.
+    sqls["text_repetition"] = f"""
+        WITH g AS (
+          SELECT doc_id, array_to_string(t[i:i+1], ' ') AS gram
+          FROM (SELECT doc_id, {_TOKS} AS t,
+                       generate_subscripts({_TOKS}, 1) AS i FROM documents)
+          WHERE i <= len(t) - 1),
+        cnt AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+        agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS nb,
+                       CAST(max(c) AS INT) AS topc,
+                       CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+                         AS dup
+                FROM cnt GROUP BY 1)
+        SELECT d.doc_id, CAST(coalesce(a.nb, 0) AS INT) AS n_bigrams,
+               coalesce(a.topc, 0) AS top_bigram_count,
+               CASE WHEN coalesce(a.nb, 0) > 0
+                    THEN (coalesce(a.dup, 0) * 1000000) // a.nb
+                    ELSE CAST(0 AS BIGINT) END AS dup_bigram_micro
+        FROM documents d LEFT JOIN agg a USING (doc_id)"""
 
     sqls["dedup_contamination"] = f"""
         WITH sh AS (

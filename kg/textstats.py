@@ -103,6 +103,58 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
          & (F.col("n_stop_kinds") >= 2)).alias("passes"))
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals per document: bigram duplication.
+
+    (id, n_bigrams, top_bigram_count, dup_bigram_micro) where
+    `top_bigram_count` is the highest occurrence count of any single
+    bigram and `dup_bigram_micro` the fraction (micro-units) of bigram
+    occurrences belonging to bigrams that occur more than once — the
+    published repetition-removal signals (duplicated n-gram fraction /
+    top n-gram fraction) at n=2.
+
+    Scale shape: ZERO shuffles.  The naive formulation is
+    explode→groupBy(doc, bigram)→groupBy(doc) — two shuffles keyed on the
+    corpus's biggest key space.  Instead the bigram array is array_sort'ed
+    per row and run-lengths are folded in ONE F.aggregate scan with a
+    struct accumulator (prev, run, top, dup) — O(n log n) per document,
+    whole-stage codegen, narrow."""
+    toks = tokens_col(text_col)
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
+    ).otherwise(F.array().cast("array<string>"))
+    zero = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                    F.lit(0).alias("top"), F.lit(0).alias("dup"))
+
+    def step(acc, x):
+        same = acc["prev"] == x
+        run = F.when(same, acc["run"] + 1).otherwise(F.lit(1))
+        closed_dup = F.when(~same & (acc["run"] > 1), acc["run"]).otherwise(F.lit(0))
+        return F.struct(x.alias("prev"), run.alias("run"),
+                        F.greatest(acc["top"], run).alias("top"),
+                        (acc["dup"] + closed_dup).alias("dup"))
+
+    def finish(acc):
+        dup = acc["dup"] + F.when(acc["run"] > 1, acc["run"]).otherwise(F.lit(0))
+        return F.struct(acc["top"].alias("top"), dup.alias("dup"))
+
+    folded = F.aggregate(F.array_sort(grams), zero, step, finish)
+    return df.select(
+        F.col(id_col),
+        F.size(grams).alias("n_bigrams"),
+        folded["top"].alias("top_bigram_count"),
+        (folded["dup"].cast("bigint") * 1_000_000).alias("_dup_occ_micro"),
+    ).select(
+        id_col, "n_bigrams", "top_bigram_count",
+        F.expr("case when n_bigrams > 0 then _dup_occ_micro div "
+               "cast(n_bigrams as bigint) else cast(0 as bigint) end")
+        .alias("dup_bigram_micro"),
+    )
+
+
 # Marker-word profiles for the rule-based language identifier.  At real scale
 # this would be a char-n-gram profile table; the operator shape (broadcast
 # profile, argmax over per-profile overlap scores) is identical.

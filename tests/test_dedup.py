@@ -185,3 +185,32 @@ def test_ngram_contamination(spark):
            for r in ngram_contamination(train, bench, n=4).collect()}
     # bench 4-grams: {alpha beta gamma delta, beta gamma delta nothing, ...}
     assert out == {1: 1, 3: 1}
+
+
+def test_repetition_stats_bruteforce(spark):
+    """The shuffle-free sorted-scan fold equals the brute-force Python
+    bigram-count definition (kg.textstats.repetition_stats)."""
+    from collections import Counter
+
+    from kg.textstats import repetition_stats
+    rows = [
+        (1, "a b a b a b c"),            # heavy repetition
+        (2, "x y z w v u t"),            # no repeats
+        (3, "one"),                      # no bigrams
+        (4, ""),                         # empty
+        (5, "p q p q p q p q p q"),      # pure repeat
+        (6, "m n m o m n m o m n"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_bigrams"], r["top_bigram_count"],
+                         r["dup_bigram_micro"])
+           for r in repetition_stats(df).collect()}
+    for doc_id, text in rows:
+        toks = text.split(" ") if text else [""]
+        grams = [" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)]
+        c = Counter(grams)
+        n = len(grams)
+        top = max(c.values()) if c else 0
+        dup = sum(v for v in c.values() if v > 1)
+        want = (n, top, (dup * 1_000_000) // n if n else 0)
+        assert got[doc_id] == want, (doc_id, got[doc_id], want)
