@@ -537,6 +537,15 @@ def q_corpus_mixture(spark, sf_dir):
         default_rate=0.05).select("doc_id", "source")
 
 
+def q_kg_tag_pagerank(spark, sf_dir):
+    """TextRank tag centrality (kg.graphrank): annotate → co-occurrence
+    edges → 10 rounds of integer-micro weighted PageRank.  The oracle
+    replays the identical rounds as a generated CTE chain — fixed-point
+    float PageRank would NOT be portable; integer `div` arithmetic is."""
+    from kg.graphrank import textrank_tags
+    return textrank_tags(_docs(spark, sf_dir), spec=TOK_SPEC, iterations=10)
+
+
 def q_text_repetition(spark, sf_dir):
     """Repetition signals (kg.textstats.repetition_stats): duplicated- and
     top-bigram fractions via the shuffle-free sorted-scan fold."""
@@ -557,6 +566,18 @@ def q_rel_events_asof(spark, sf_dir):
                       value_cols=("purchase_id",), seq_col="purchase_id")
             .select("event_id", "user_id",
                     F.col("purchase_id_asof").alias("last_purchase_id")))
+
+
+def q_rel_events_quantiles(spark, sf_dir):
+    """Exact nearest-rank quantiles per event_type
+    (kg.relops.nearest_rank_quantiles): member values, no interpolation —
+    the only quantile definition that hashes identically across engines.
+    (approx_percentile is the documented 100 TB path; this is its
+    verification oracle.)"""
+    from kg.relops import nearest_rank_quantiles
+    ev = _read("events")(spark, sf_dir)
+    return nearest_rank_quantiles(ev, "value", ("event_type",),
+                                  (50, 95, 99), seq_col="event_id")
 
 
 def q_rel_events_window_join(spark, sf_dir):
@@ -622,10 +643,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_events_sessionize": q_rel_events_sessionize,
         "text_pii": q_text_pii,
         "text_repetition": q_text_repetition,
+        "kg_tag_pagerank": q_kg_tag_pagerank,
         "dedup_contamination": q_dedup_contamination,
         "corpus_mixture": q_corpus_mixture,
         "rel_events_asof": q_rel_events_asof,
         "rel_events_window_join": q_rel_events_window_join,
+        "rel_events_quantiles": q_rel_events_quantiles,
     }
 
 
@@ -1221,6 +1244,38 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, " + ", ".join(_pii_counts)
         + ", md5(" + _red + ") AS redacted_md5 FROM p")
 
+    # PageRank: iteration unrolled as a generated CTE chain (a recursive
+    # CTE can reference the working table only once, but each round needs
+    # ranks joined through edges AND re-anchored on the full node set).
+    _pr = f"""
+        WITH kept AS (
+          SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id, unnest({_TOKS}) AS tok
+            FROM documents WHERE lang = 'en')
+          WHERE tok NOT IN {STOP_IN}),
+        edges AS (
+          SELECT a.tok AS src, b.tok AS dst, count(*) AS w
+          FROM kept a JOIN kept b USING (doc_id) WHERE a.tok <> b.tok
+          GROUP BY 1, 2),
+        deg AS (SELECT src, CAST(sum(w) AS BIGINT) AS wsum
+                FROM edges GROUP BY 1),
+        nodes AS (SELECT DISTINCT src AS node FROM edges
+                  UNION SELECT DISTINCT dst FROM edges),
+        r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes)"""
+    for _i in range(1, 11):
+        _pr += f""",
+        r{_i} AS (
+          SELECT n.node,
+                 CAST(150000 + (850000 * coalesce(s.s, 0)) // 1000000
+                      AS BIGINT) AS rank
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, sum((p.rank * e.w) // d.wsum) AS s
+            FROM r{_i - 1} p JOIN deg d ON d.src = p.node
+                          JOIN edges e ON e.src = p.node
+            GROUP BY e.dst) s ON s.node = n.node)"""
+    sqls["kg_tag_pagerank"] = _pr + """
+        SELECT node, rank AS rank_micro FROM r10"""
+
     # repetition: the oracle uses the plain relational definition
     # (unnest → per-(doc,gram) counts) — deliberately a DIFFERENT algorithm
     # from Spark's sorted-scan fold, so agreement checks semantics, not a
@@ -1273,6 +1328,19 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY p.ts DESC, p.event_id DESC LIMIT 1)
                  AS last_purchase_id
         FROM events c WHERE c.event_type = 'click'"""
+
+    sqls["rel_events_quantiles"] = """
+        WITH ranked AS (
+          SELECT event_type, value,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY value, event_id) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM events)
+        SELECT event_type,
+               max(CASE WHEN rn = (50 * n + 99) // 100 THEN value END) AS q50,
+               max(CASE WHEN rn = (95 * n + 99) // 100 THEN value END) AS q95,
+               max(CASE WHEN rn = (99 * n + 99) // 100 THEN value END) AS q99
+        FROM ranked GROUP BY 1"""
 
     sqls["rel_events_window_join"] = """
         SELECT s.event_id AS signup_id, count(*) AS n_clicks

@@ -39,6 +39,7 @@ HEADLINE = [
     "rel_events_asof",       # union-tagged as-of join (kg.relops)
     "text_pii",              # regex PII counts + redaction, narrow JVM pass
     "dedup_contamination",   # broadcast benchmark-shingle overlap
+    "kg_tag_pagerank",       # 10 iterative join-agg rounds (kg.graphrank)
 ]
 
 

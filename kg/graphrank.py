@@ -1,0 +1,108 @@
+"""Graph centrality over the constructed knowledge graph: weighted
+PageRank / TextRank on the tag co-occurrence graph.
+
+The reference persists tags into Neo4j where users run graph algorithms
+over them (the GraphAware NLP framework's keyword-extraction layer runs
+TextRank on exactly this co-occurrence structure); here the same
+computation is expressed as iterative DataFrame join-aggregate rounds —
+the canonical Pregel-on-DataFrame shape.
+
+Determinism & portability (CLAUDE.md conventions): ranks are BIGINT
+micro-units (1_000_000 == 1.0) and every iteration is integer `div`
+arithmetic, so the fixed-iteration result is bit-identical across
+engines — the DuckDB oracle replays the same rounds as a generated CTE
+chain.  TextRank formulation: r_0 = 1.0; r_{i+1}(v) = (1-d) + d * Σ_u
+r_i(u) * w(u,v) / wsum(u) over in-neighbors u.
+
+Scale shape: each iteration is one shuffle on the node key (edges joined
+to ranks, grouped by dst) — unavoidable for global propagation.  The
+edge table is reused every round (cache it); lineage is cut with
+localCheckpoint every few rounds, the same pattern kg.canon uses for its
+connected-components fixpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+MICRO = 1_000_000
+
+
+def pagerank(edges: DataFrame, iterations: int = 10,
+             damping_micro: int = 850_000,
+             src_col: str = "src", dst_col: str = "dst",
+             weight_col: str | None = "weight",
+             checkpoint_every: int = 3) -> DataFrame:
+    """Weighted PageRank, fixed iteration count.  Returns
+    (node, rank_micro).  Pass symmetric edges for the undirected TextRank
+    semantics; `weight_col=None` treats every edge as weight 1.
+
+    Dangling nodes (no out-edges) appear if they occur as a dst; they
+    contribute nothing onward (simplified TextRank, matching the
+    published formulation)."""
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
+        (F.col(weight_col) if weight_col else F.lit(1))
+        .cast("bigint").alias("w"))
+    wsum = e.groupBy("src").agg(F.sum("w").alias("wsum"))
+    e = e.join(wsum, "src").persist()
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct().persist())
+
+    base_micro = MICRO - damping_micro
+    ranks = nodes.withColumn("rank_micro", F.lit(MICRO).cast("bigint"))
+    for i in range(iterations):
+        contrib = (e.join(ranks, e.src == ranks.node)
+                   .select(F.col("dst").alias("node"),
+                           F.expr("(rank_micro * w) div wsum").alias("c")))
+        sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = (nodes.join(sums, "node", "left")
+                 .select("node",
+                         (F.lit(base_micro)
+                          + F.expr(f"({damping_micro} * coalesce(s, 0)) "
+                                   f"div {MICRO}"))
+                         .cast("bigint").alias("rank_micro")))
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint()
+    return ranks
+
+
+def tag_cooccurrence_edges(tags: DataFrame, doc_col: str = "doc_key",
+                           tag_col: str = "lemma") -> DataFrame:
+    """Symmetric weighted co-occurrence edges between tags sharing a
+    document/sentence: (src, dst, weight = number of shared contexts).
+    Input is one row per (context, tag) — e.g. kg.triples HAS_TAG rows.
+
+    Self-join on the context key; weight is the co-occurrence count.  At
+    scale the context key is the natural partitioner; extremely long
+    documents (hot contexts) are the classic quadratic risk — cap tags
+    per context upstream (distinct-per-context input keeps pairs at
+    O(k²) for k distinct tags in a context)."""
+    t = tags.select(F.col(doc_col).alias("ctx"),
+                    F.col(tag_col).alias("tag")).distinct()
+    a, b = t.alias("a"), t.alias("b")
+    return (a.join(b, "ctx")
+            .filter(F.col("a.tag") != F.col("b.tag"))
+            .groupBy(F.col("a.tag").alias("src"), F.col("b.tag").alias("dst"))
+            .agg(F.count("*").alias("weight")))
+
+
+def textrank_tags(docs: DataFrame, spec=None, iterations: int = 10,
+                  text_col: str = "text",
+                  id_cols: tuple[str, ...] = ("doc_id",)) -> DataFrame:
+    """TextRank keyword importance over the corpus: annotate → distinct
+    tags per document → co-occurrence edges → weighted PageRank.
+    Returns (node, rank_micro), highest = most central tag.
+
+    Mirrors the GraphAware NLP framework's keyword extraction run against
+    the graph the reference engine persists (tags + co-occurrence)."""
+    from kg.annotate import PipelineSpec, annotate_graph_df
+    from kg.triples import explode_sentences, explode_tags, with_doc_key
+
+    spec = spec or PipelineSpec(name="textrank",
+                                annotators=("tokenize", "stopword"))
+    ann = annotate_graph_df(with_doc_key(docs, id_cols), text_col, spec)
+    tags = explode_tags(explode_sentences(ann))
+    edges = tag_cooccurrence_edges(tags, doc_col="doc_key", tag_col="lemma")
+    return pagerank(edges, iterations=iterations)

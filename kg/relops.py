@@ -93,6 +93,39 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     return carried.filter(F.col("_side") == 1).drop("_side")
 
 
+def nearest_rank_quantiles(df: DataFrame, value_col: str, group_cols: tuple[str, ...],
+                           quantiles: tuple[int, ...] = (50, 95, 99),
+                           seq_col: str | None = None) -> DataFrame:
+    """Exact per-group quantiles by the NEAREST-RANK definition: the p-th
+    quantile is the element at sorted position ceil(p*n/100).  Entirely
+    integer arithmetic — no interpolation — so any engine reproduces the
+    same member value bit-for-bit (interpolated percentile_cont differs
+    across engines at the ulp level and is not hash-portable).
+
+    Output: group cols + one column per requested quantile (q{p}).
+
+    Scale note: this is the exact path — ONE window sort per group key,
+    the standard exact-quantile reduce; it holds while each group fits a
+    partition (AQE skew-split helps).  For 100 TB cardinalities use
+    Spark's approx_percentile/t-digest sketch instead and treat this as
+    its verification oracle on samples."""
+    from pyspark.sql.window import Window
+
+    order = [F.asc(value_col)] + ([F.asc(seq_col)] if seq_col else [])
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    ranked = (df
+              .withColumn("_rn", F.row_number().over(w))
+              .withColumn("_n", F.count("*").over(
+                  Window.partitionBy(*group_cols))))
+    aggs = []
+    for p in quantiles:
+        # ceil(p*n/100) in integer arithmetic: (p*n + 99) div 100
+        target = F.expr(f"({p} * _n + 99) div 100")
+        aggs.append(F.max(F.when(F.col("_rn") == target,
+                                 F.col(value_col))).alias(f"q{p}"))
+    return ranked.groupBy(*group_cols).agg(*aggs)
+
+
 def bucketed_interval_join(points: DataFrame, intervals: DataFrame, on: str,
                            point_ts: str = "ts", start_ts: str = "start",
                            end_ts: str = "end",

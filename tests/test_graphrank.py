@@ -1,0 +1,82 @@
+"""Weighted PageRank / TextRank (kg.graphrank): exact integer-arithmetic
+cross-check against a pure-Python replay, structural sanity (star hub
+dominates), and the end-to-end textrank_tags pipeline."""
+
+import collections
+
+import pytest
+
+from kg.graphrank import pagerank, tag_cooccurrence_edges, textrank_tags
+
+MICRO = 1_000_000
+
+
+def py_pagerank(edges, iters=10, d=850_000):
+    wsum = collections.Counter()
+    for s, t, w in edges:
+        wsum[s] += w
+    nodes = {s for s, _, _ in edges} | {t for _, t, _ in edges}
+    rank = {n: MICRO for n in nodes}
+    for _ in range(iters):
+        acc = collections.defaultdict(int)
+        for u, v, w in edges:
+            acc[v] += (rank[u] * w) // wsum[u]
+        rank = {n: (MICRO - d) + (d * acc.get(n, 0)) // MICRO for n in nodes}
+    return rank
+
+
+@pytest.fixture(scope="module")
+def star_edges():
+    # symmetric weighted star: hub h <-> leaves a..d, plus one a<->b link
+    und = [("h", "a", 3), ("h", "b", 1), ("h", "c", 2), ("h", "d", 1),
+           ("a", "b", 1)]
+    return und + [(t, s, w) for s, t, w in und]
+
+
+def test_pagerank_matches_python_replay(spark, star_edges):
+    df = spark.createDataFrame(star_edges, "src string, dst string, weight long")
+    got = {r["node"]: r["rank_micro"]
+           for r in pagerank(df, iterations=10).collect()}
+    assert got == py_pagerank(star_edges, iters=10)
+
+
+def test_pagerank_star_hub_dominates(spark, star_edges):
+    df = spark.createDataFrame(star_edges, "src string, dst string, weight long")
+    got = {r["node"]: r["rank_micro"]
+           for r in pagerank(df, iterations=10).collect()}
+    assert got["h"] == max(got.values())
+    assert got["a"] > got["d"]            # heavier + extra edge beats leaf
+
+
+def test_pagerank_unweighted_and_dangling(spark):
+    # c is dangling (only a dst): present in output, contributes nothing on
+    edges = [("a", "b", 1), ("b", "a", 1), ("a", "c", 1)]
+    df = spark.createDataFrame(edges, "src string, dst string, weight long")
+    got = {r["node"]: r["rank_micro"]
+           for r in pagerank(df, iterations=4, weight_col=None).collect()}
+    assert set(got) == {"a", "b", "c"}
+    assert got == py_pagerank(edges, iters=4)
+
+
+def test_cooccurrence_edges_symmetric_weighted(spark):
+    tags = spark.createDataFrame(
+        [("d1", "x"), ("d1", "y"), ("d2", "x"), ("d2", "y"), ("d2", "z"),
+         ("d2", "z")],                      # duplicate collapses via distinct
+        "doc_key string, lemma string")
+    got = {(r["src"], r["dst"]): r["weight"]
+           for r in tag_cooccurrence_edges(tags).collect()}
+    assert got[("x", "y")] == 2 and got[("y", "x")] == 2
+    assert got[("x", "z")] == 1 and got[("z", "y")] == 1
+    assert ("x", "x") not in got
+
+
+def test_textrank_end_to_end(spark):
+    docs = spark.createDataFrame(
+        [(1, "en", "spark shuffle join"), (2, "en", "spark shuffle sort"),
+         (3, "en", "spark join merge"), (4, "en", "window sort merge")],
+        "doc_id long, lang string, text string")
+    got = {r["node"]: r["rank_micro"]
+           for r in textrank_tags(docs, iterations=8).collect()}
+    # "spark" co-occurs with the most distinct terms across the most docs
+    assert got["spark"] == max(got.values())
+    assert all(v > 0 for v in got.values())

@@ -118,3 +118,26 @@ def test_interval_join_boundary_semantics(spark):
     got = {r["pid"] for r in bucketed_interval_join(
         points, intervals, on="k", bucket_seconds=600).collect()}
     assert got == {1, 3}        # start inclusive, end exclusive
+
+
+def test_nearest_rank_quantiles_golden(spark):
+    """Nearest-rank definition: p-th quantile = element at sorted position
+    ceil(p*n/100), cross-checked against a python replay with dup values."""
+    import math
+
+    from kg.relops import nearest_rank_quantiles
+    rows = []
+    for g, vals in (("a", [5, 1, 3, 2, 4, 2, 9, 7, 8, 6]),
+                    ("b", [10]), ("c", [2, 2, 2, 2])):
+        rows += [(g, float(v), i) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "grp string, value double, seq long")
+    out = {r["grp"]: (r["q50"], r["q95"], r["q99"])
+           for r in nearest_rank_quantiles(
+               df, "value", ("grp",), (50, 95, 99), seq_col="seq").collect()}
+    by_g = {}
+    for g, v, _ in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, vals in by_g.items():
+        s = sorted(vals)
+        want = tuple(s[math.ceil(p * len(s) / 100) - 1] for p in (50, 95, 99))
+        assert out[g] == want, (g, out[g], want)
