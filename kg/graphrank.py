@@ -69,7 +69,8 @@ def pagerank(edges: DataFrame, iterations: int = 10,
 
 
 def tag_cooccurrence_edges(tags: DataFrame, doc_col: str = "doc_key",
-                           tag_col: str = "lemma") -> DataFrame:
+                           tag_col: str = "lemma",
+                           materialize: bool = True) -> DataFrame:
     """Symmetric weighted co-occurrence edges between tags sharing a
     document/sentence: (src, dst, weight = number of shared contexts).
     Input is one row per (context, tag) — e.g. kg.triples HAS_TAG rows.
@@ -81,6 +82,11 @@ def tag_cooccurrence_edges(tags: DataFrame, doc_col: str = "doc_key",
     O(k²) for k distinct tags in a context)."""
     t = tags.select(F.col(doc_col).alias("ctx"),
                     F.col(tag_col).alias("tag")).distinct()
+    if materialize:
+        # a self-join branches the lineage: if `tags` is rooted in the
+        # annotate pandas UDF, each branch would RE-EXECUTE it (CLAUDE.md
+        # perf rule 7, measured 43s -> 9s on link_mentions).  Cut once.
+        t = t.localCheckpoint()
     a, b = t.alias("a"), t.alias("b")
     return (a.join(b, "ctx")
             .filter(F.col("a.tag") != F.col("b.tag"))

@@ -147,3 +147,22 @@ def test_pii_and_mixture_stay_narrow(spark, corpus_path):
         plan = _plan(out)
         assert "Exchange" not in plan
         assert "ArrowEval" not in plan and "BatchEval" not in plan
+
+
+def test_textrank_cooccurrence_single_udf_execution(spark, corpus_path):
+    """The co-occurrence self-join must NOT re-execute the annotate UDF per
+    branch (perf rule 7): after the localCheckpoint cut the executed plan
+    contains ZERO ArrowEvalPython nodes (lineage starts at the
+    checkpointed RDD)."""
+    from kg.annotate import PipelineSpec, annotate_graph_df
+    from kg.graphrank import tag_cooccurrence_edges
+    from kg.triples import explode_sentences, explode_tags, with_doc_key
+    docs = (spark.read.parquet(corpus_path).limit(50)
+            .withColumnRenamed("content", "text"))
+    ann = annotate_graph_df(
+        with_doc_key(docs, ("path",)), "text",
+        PipelineSpec(name="tr", annotators=("tokenize", "stopword")))
+    tags = explode_tags(explode_sentences(ann))
+    edges = tag_cooccurrence_edges(tags)
+    plan = _plan(edges)
+    assert plan.count("ArrowEvalPython") == 0
