@@ -1,0 +1,136 @@
+"""End-to-end training-data curation pipeline: the LLM-corpus counterpart
+to jobs/run_pipeline.py (which builds the knowledge graph).
+
+    documents.parquet
+      → language filter (en)
+      → quality gate (Gopher-style rule flags)
+      → exact dedup (sha256 canonical winner)
+      → MinHash-LSH near-dedup (keep the min doc_id of each candidate pair)
+      → benchmark decontamination (optional --benchmark parquet)
+      → PII redaction
+      → domain mixture sampling (optional --rates "src0=1.0,src1=0.5")
+      → train/val/test split + token-budget shard packing
+      → parquet partitioned by split, one JSON stats line on stdout
+
+Usage:
+  python jobs/run_curation.py <docs.parquet> <out_dir>
+      [--benchmark bench.parquet] [--rates src0=1.0,...]
+      [--max-tokens 1024] [--contamination-n 8]
+
+Every stage is one of the kg operators (kg.textstats / kg.dedup / kg.pii /
+kg.sampling) — deterministic, RNG-free, shuffle-bounded; the pipeline adds
+no new semantics, only composition.  The filter stages are anti-joins
+against small flagged-id sets (dedup losers, contaminated ids), so the
+surviving corpus never re-shuffles on content.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+from pyspark.sql import SparkSession, functions as F
+
+
+def parse_rates(s: str | None) -> dict[str, float] | None:
+    if not s:
+        return None
+    out = {}
+    for part in s.split(","):
+        k, v = part.split("=")
+        out[k.strip()] = float(v)
+    return out
+
+
+def curate(spark: SparkSession, docs_path: str, out_dir: str,
+           benchmark_path: str | None = None,
+           rates: dict[str, float] | None = None,
+           max_tokens: int = 1024, contamination_n: int = 8) -> dict:
+    from kg.dedup import (exact_duplicates, minhash_lsh_pairs,
+                          ngram_contamination)
+    from kg.pii import redact_pii
+    from kg.sampling import mixture_sample, pack_shards, split_assign
+    from kg.textstats import gopher_rules
+
+    stats: dict = {}
+    docs = spark.read.parquet(docs_path)
+    stats["n_input"] = docs.count()
+
+    # 1. language + quality gate (both narrow)
+    docs = docs.filter(F.col("lang") == "en")
+    passing = gopher_rules(docs).filter(F.col("passes")).select("doc_id")
+    docs = docs.join(passing, "doc_id", "left_semi")
+
+    # 2. exact dedup: keep each content group's canonical (min) id
+    winners = exact_duplicates(docs).select(
+        F.col("canonical_id").alias("doc_id"))
+    docs = docs.join(winners, "doc_id", "left_semi")
+
+    # 3. near-dedup: candidate pairs are id_a < id_b; dropping every id_b
+    # keeps the least id of each near-dup chain (documented greedy policy —
+    # a components pass (kg.canon) is the exhaustive alternative)
+    # bands=8 (2 signature rows per band) — the high-recall setting: a
+    # one-token edit on a ~25-token doc has ~0.77 shingle Jaccard, which
+    # 4-row bands miss with noticeable probability
+    losers = (minhash_lsh_pairs(docs, k=16, bands=8)
+              .select(F.col("id_b").alias("doc_id")).distinct())
+    docs = docs.join(losers, "doc_id", "left_anti")
+
+    # 4. decontamination against a held-out benchmark corpus
+    if benchmark_path:
+        bench = spark.read.parquet(benchmark_path)
+        contaminated = ngram_contamination(docs, bench, n=contamination_n)
+        docs = docs.join(contaminated.select("doc_id"), "doc_id", "left_anti")
+
+    # 5. PII redaction (redacted text REPLACES text in the shipped corpus)
+    docs = (redact_pii(docs)
+            .drop("text").withColumnRenamed("text_redacted", "text"))
+
+    # 6. domain mixture
+    if rates:
+        docs = mixture_sample(docs, rates, default_rate=1.0)
+
+    # 7. split + shard pack; checkpoint once — docs is reused by the pack
+    # join AND the final write (branching would re-run the filter chain)
+    docs = split_assign(docs).localCheckpoint()
+    shards = pack_shards(docs, max_tokens=max_tokens).select(
+        F.col("doc").alias("doc_id"), "bucket", "shard_seq")
+    out = docs.join(shards, "doc_id")
+    out.write.mode("overwrite").partitionBy("split").parquet(out_dir)
+
+    written = spark.read.parquet(out_dir)
+    stats["n_output"] = written.count()
+    stats["by_split"] = {r["split"]: r["n"] for r in
+                         written.groupBy("split").agg(
+                             F.count("*").alias("n")).collect()}
+    stats["n_shards"] = written.select("bucket", "shard_seq").distinct().count()
+    print(json.dumps(stats))
+    return stats
+
+
+def main(argv: list[str] | None = None) -> dict:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("docs")
+    ap.add_argument("out_dir")
+    ap.add_argument("--benchmark", default=None)
+    ap.add_argument("--rates", default=None)
+    ap.add_argument("--max-tokens", type=int, default=1024)
+    ap.add_argument("--contamination-n", type=int, default=8)
+    args = ap.parse_args(argv)
+
+    from kg.session import get_spark
+    owns = SparkSession.getActiveSession() is None
+    spark = get_spark(app="kg-curate")
+    try:
+        return curate(spark, args.docs, args.out_dir, args.benchmark,
+                      parse_rates(args.rates), args.max_tokens,
+                      args.contamination_n)
+    finally:
+        if owns:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    main()

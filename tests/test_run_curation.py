@@ -1,0 +1,84 @@
+"""End-to-end curation pipeline (jobs/run_curation.py): stage semantics
+verified on the sf0.001 documents table plus crafted dup/contaminated
+fixtures."""
+
+import pyspark.sql.functions as F
+import pytest
+
+
+@pytest.fixture(scope="module")
+def fixture_docs(spark, tmp_path_factory):
+    base = ("the quick brown fox jumps over the lazy dog near the old river "
+            "bank today again and then some more words to pass the gate")
+    rows = [
+        (1, base, "en", "src0"),
+        (2, base, "en", "src0"),                       # exact dup of 1
+        (3, base.replace("today", "tonight"), "en", "src0"),  # near dup
+        (4, "totally different words about spark shuffles parquet files "
+            "and many other things that also pass the quality gate fine",
+         "en", "src1"),
+        (5, base, "fr", "src0"),                       # language-filtered
+        (6, "too short", "en", "src0"),                # gopher-filtered
+        (7, "contact me alice@example.com about the quick brown fox story "
+            "and the lazy dog legend from the old river bank region",
+         "en", "src1"),
+    ]
+    p = str(tmp_path_factory.mktemp("curate") / "docs.parquet")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.parquet(p)
+    return p
+
+
+def test_curation_end_to_end(spark, fixture_docs, tmp_path):
+    from jobs.run_curation import curate
+    out_dir = str(tmp_path / "out")
+    stats = curate(spark, fixture_docs, out_dir, max_tokens=30)
+    written = spark.read.parquet(out_dir)
+    ids = {r["doc_id"] for r in written.select("doc_id").collect()}
+    assert stats["n_input"] == 7
+    assert 2 not in ids                      # exact-dup loser dropped
+    assert 1 in ids                          # canonical winner kept
+    assert 3 not in ids                      # near-dup loser dropped
+    assert 5 not in ids and 6 not in ids     # lang + quality gates
+    assert 4 in ids and 7 in ids
+    # PII redacted in the shipped text
+    t7 = written.filter("doc_id = 7").select("text").first()["text"]
+    assert "alice@example.com" not in t7 and "<EMAIL>" in t7
+    # every surviving row has a split and a shard assignment
+    assert written.filter(F.col("split").isNull()).count() == 0
+    assert written.filter(F.col("shard_seq").isNull()).count() == 0
+    assert stats["n_output"] == len(ids)
+
+
+def test_curation_decontamination(spark, fixture_docs, tmp_path):
+    from jobs.run_curation import curate
+    # benchmark shares doc 4's exact phrasing -> doc 4 must be dropped
+    bench_p = str(tmp_path / "bench.parquet")
+    spark.createDataFrame(
+        [(100, "words about spark shuffles parquet files and many")],
+        "doc_id long, text string").write.parquet(bench_p)
+    out_dir = str(tmp_path / "out2")
+    curate(spark, fixture_docs, out_dir, benchmark_path=bench_p,
+           contamination_n=4, max_tokens=30)
+    ids = {r["doc_id"]
+           for r in spark.read.parquet(out_dir).select("doc_id").collect()}
+    assert 4 not in ids and 7 in ids
+
+
+def test_curation_sf0001_corpus(spark, tmp_path):
+    """The real driver table runs through the full chain; output is a
+    deterministic function of the input (two runs identical)."""
+    from jobs.run_curation import curate
+    d1, d2 = str(tmp_path / "o1"), str(tmp_path / "o2")
+    s1 = curate(spark, "/root/testdata/sf0.001/documents.parquet", d1,
+                rates={"src0": 1.0, "src1": 0.5}, max_tokens=256)
+    s2 = curate(spark, "/root/testdata/sf0.001/documents.parquet", d2,
+                rates={"src0": 1.0, "src1": 0.5}, max_tokens=256)
+    assert s1 == s2
+    assert 0 < s1["n_output"] <= s1["n_input"]
+    a = sorted(tuple(sorted(r.asDict().items()))
+               for r in spark.read.parquet(d1).collect())
+    b = sorted(tuple(sorted(r.asDict().items()))
+               for r in spark.read.parquet(d2).collect())
+    assert a == b
