@@ -19,9 +19,10 @@ Usage:
 
 Every stage is one of the kg operators (kg.textstats / kg.dedup / kg.pii /
 kg.sampling) — deterministic, RNG-free, shuffle-bounded; the pipeline adds
-no new semantics, only composition.  The filter stages are anti-joins
-against small flagged-id sets (dedup losers, contaminated ids), so the
-surviving corpus never re-shuffles on content.
+no new semantics, only composition.  Gates (language, quality) are inline
+per-row predicates; the dedup/contamination stages anti-join against
+small flagged-id sets (dedup losers, contaminated ids) — the surviving
+corpus itself never shuffles on content.
 """
 
 from __future__ import annotations
@@ -50,16 +51,16 @@ def curate(spark: SparkSession, docs_path: str, out_dir: str,
                           ngram_contamination)
     from kg.pii import redact_pii
     from kg.sampling import mixture_sample, pack_shards, split_assign
-    from kg.textstats import gopher_rules
+    from kg.textstats import gopher_passes
 
     stats: dict = {}
     docs = spark.read.parquet(docs_path)
     stats["n_input"] = docs.count()
 
-    # 1. language + quality gate (both narrow)
-    docs = docs.filter(F.col("lang") == "en")
-    passing = gopher_rules(docs).filter(F.col("passes")).select("doc_id")
-    docs = docs.join(passing, "doc_id", "left_semi")
+    # 1. language + quality gate: both inline per-row predicates — the
+    # gate must NOT become a self-semi-join (that re-scans and shuffles
+    # the full corpus on doc_id just to apply a narrow filter)
+    docs = docs.filter(F.col("lang") == "en").filter(gopher_passes())
 
     # 2. exact dedup: keep each content group's canonical (min) id
     winners = exact_duplicates(docs).select(
@@ -90,20 +91,26 @@ def curate(spark: SparkSession, docs_path: str, out_dir: str,
     if rates:
         docs = mixture_sample(docs, rates, default_rate=1.0)
 
-    # 7. split + shard pack; checkpoint once — docs is reused by the pack
-    # join AND the final write (branching would re-run the filter chain)
+    # 7. split + shard pack (shard_seq scoped per split — a training shard
+    # must never straddle a split boundary); checkpoint once — docs is
+    # reused by the pack join AND the final write (branching would re-run
+    # the filter chain)
     docs = split_assign(docs).localCheckpoint()
-    shards = pack_shards(docs, max_tokens=max_tokens).select(
+    shards = pack_shards(docs, max_tokens=max_tokens,
+                         extra_group_cols=("split",)).select(
         F.col("doc").alias("doc_id"), "bucket", "shard_seq")
     out = docs.join(shards, "doc_id")
     out.write.mode("overwrite").partitionBy("split").parquet(out_dir)
 
-    written = spark.read.parquet(out_dir)
-    stats["n_output"] = written.count()
-    stats["by_split"] = {r["split"]: r["n"] for r in
-                         written.groupBy("split").agg(
-                             F.count("*").alias("n")).collect()}
-    stats["n_shards"] = written.select("bucket", "shard_seq").distinct().count()
+    # all bookkeeping in ONE aggregation pass over the written output
+    per_split = (spark.read.parquet(out_dir)
+                 .groupBy("split")
+                 .agg(F.count("*").alias("n"),
+                      F.countDistinct("bucket", "shard_seq").alias("sh"))
+                 .collect())
+    stats["by_split"] = {r["split"]: r["n"] for r in per_split}
+    stats["n_output"] = sum(r["n"] for r in per_split)
+    stats["n_shards"] = sum(r["sh"] for r in per_split)
     print(json.dumps(stats))
     return stats
 

@@ -1,11 +1,14 @@
 """Graph centrality over the constructed knowledge graph: weighted
 PageRank / TextRank on the tag co-occurrence graph.
 
-The reference persists tags into Neo4j where users run graph algorithms
-over them (the GraphAware NLP framework's keyword-extraction layer runs
-TextRank on exactly this co-occurrence structure); here the same
-computation is expressed as iterative DataFrame join-aggregate rounds —
-the canonical Pregel-on-DataFrame shape.
+The reference persists tags into Neo4j where users run graph queries and
+centrality over them — the (AnnotatedText)-[:CONTAINS_SENTENCE]->
+(Sentence)-[:HAS_TAG]->(Tag) structure asserted in
+ProcedureTest.java:114-124 is exactly the tag/co-occurrence graph this
+module ranks (the GraphAware NLP framework's keyword-extraction layer
+runs TextRank over it); here the same computation is expressed as
+iterative DataFrame join-aggregate rounds — the canonical
+Pregel-on-DataFrame shape.
 
 Determinism & portability (CLAUDE.md conventions): ranks are BIGINT
 micro-units (1_000_000 == 1.0) and every iteration is integer `div`
@@ -65,6 +68,13 @@ def pagerank(edges: DataFrame, iterations: int = 10,
                          .cast("bigint").alias("rank_micro")))
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint()
+    # materialize the result, then release the loop caches — without the
+    # eager checkpoint the returned lazy plan would recompute e/nodes
+    # uncached; without the unpersist every pagerank() call leaks cached
+    # partitions into the long-lived session (bench/pytest share one)
+    ranks = ranks.localCheckpoint()
+    e.unpersist()
+    nodes.unpersist()
     return ranks
 
 

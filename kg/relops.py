@@ -25,7 +25,7 @@ hash shuffles.  Determinism: ties are broken by an explicit `seq_col`
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F, types as T
 from pyspark.sql.window import Window
 
 
@@ -61,22 +61,30 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
 
     lcols = left.columns
     vnames = [f"{c}{suffix}" for c in value_cols] + [f"{rts}{suffix}"]
-    rvals = [F.col(c).alias(f"{c}{suffix}") for c in value_cols] + [
-        F.col(rts).alias(f"{rts}{suffix}")]
+    # ALL carried values ride in ONE struct under ONE last(ignorenulls):
+    # independent per-column lasts would stitch values from DIFFERENT right
+    # rows whenever a value column is NULL in the true latest match
+    # (synthesizing rows that never existed).  The struct itself is NULL on
+    # left rows, non-NULL on every right row (even if every member is
+    # NULL), so last() always lands on exactly one right row.
+    vtype = T.StructType(
+        [T.StructField(f"{c}{suffix}", right.schema[c].dataType)
+         for c in value_cols]
+        + [T.StructField(f"{rts}{suffix}", right.schema[rts].dataType)])
 
     r = right.select(
         F.col(on).alias("_k"), F.col(rts).alias("_ts"),
         F.lit(0).alias("_side"), F.col(seq_col).alias("_seq"),
-        *rvals,
+        F.struct(*[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+                 F.col(rts).alias(f"{rts}{suffix}"))
+        .cast(vtype).alias("_vals"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
           for c in lcols])
     l = left.select(
         F.col(on).alias("_k"), F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         F.lit(None).cast(right.schema[seq_col].dataType).alias("_seq"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}")
-          for c in value_cols],
-        F.lit(None).cast(right.schema[rts].dataType).alias(f"{rts}{suffix}"),
+        F.lit(None).cast(vtype).alias("_vals"),
         *[F.col(c).alias(f"_l_{c}") for c in lcols])
 
     u = r.unionByName(l)
@@ -89,8 +97,9 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     carried = u.select(
         "_side",
         *[F.col(f"_l_{c}").alias(c) for c in lcols],
-        *[F.last(v, ignorenulls=True).over(w).alias(v) for v in vnames])
-    return carried.filter(F.col("_side") == 1).drop("_side")
+        F.last("_vals", ignorenulls=True).over(w).alias("_vals"))
+    return (carried.filter(F.col("_side") == 1)
+            .select(*lcols, *[F.col(f"_vals.{v}").alias(v) for v in vnames]))
 
 
 def nearest_rank_quantiles(df: DataFrame, value_col: str, group_cols: tuple[str, ...],
@@ -109,8 +118,6 @@ def nearest_rank_quantiles(df: DataFrame, value_col: str, group_cols: tuple[str,
     partition (AQE skew-split helps).  For 100 TB cardinalities use
     Spark's approx_percentile/t-digest sketch instead and treat this as
     its verification oracle on samples."""
-    from pyspark.sql.window import Window
-
     order = [F.asc(value_col)] + ([F.asc(seq_col)] if seq_col else [])
     w = Window.partitionBy(*group_cols).orderBy(*order)
     ranked = (df

@@ -115,23 +115,31 @@ def _md5_bucket(key_col: str, buckets: int) -> Column:
 
 def pack_shards(df: DataFrame, max_tokens: int = 1024,
                 text_col: str = "text", id_col: str = "doc_id",
-                buckets: int = 16) -> DataFrame:
-    """(doc, bucket, shard_seq, n_tokens): greedy token-budget packing
-    within hash buckets.  Shards are ~max_tokens (a document may straddle a
-    boundary — fixed-budget offset packing, the standard pretraining-shard
-    contract).  Window is per bucket: max parallelism = buckets; pick
-    buckets ≈ cluster cores at scale."""
+                buckets: int = 16,
+                extra_group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """(doc, [extra groups], bucket, shard_seq, n_tokens): greedy
+    token-budget packing within hash buckets.  Shards are ~max_tokens (a
+    document may straddle a boundary — fixed-budget offset packing, the
+    standard pretraining-shard contract).  Window is per
+    (extra_group_cols, bucket): max parallelism = groups × buckets; pick
+    buckets ≈ cluster cores at scale.
+
+    `extra_group_cols` scopes shard_seq inside e.g. a train/val/test
+    split so no shard ever straddles a split boundary
+    (jobs/run_curation.py packs per split)."""
     if not 1 <= buckets <= 256:
         raise ValueError("buckets must be in [1, 256]")
     base = df.select(
         F.col(id_col).alias("doc"),
+        *[F.col(c) for c in extra_group_cols],
         _md5_bucket(id_col, buckets).alias("bucket"),
         F.size(tokens_col(text_col)).alias("n_tokens"))
-    w = (Window.partitionBy("bucket").orderBy("doc")
+    w = (Window.partitionBy(*extra_group_cols, "bucket").orderBy("doc")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return (base
             .withColumn("_run", F.sum("n_tokens").over(w))
             .withColumn("shard_seq",
                         F.expr(f"cast((_run - n_tokens) div {int(max_tokens)}"
                                " as int)"))
-            .select("doc", "bucket", "shard_seq", "n_tokens"))
+            .select("doc", *extra_group_cols, "bucket", "shard_seq",
+                    "n_tokens"))

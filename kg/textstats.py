@@ -103,6 +103,32 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
          & (F.col("n_stop_kinds") >= 2)).alias("passes"))
 
 
+def gopher_passes(text_col: str = "text", min_words: int = 5,
+                  max_words: int = 100_000) -> Column:
+    """The `passes` conjunction of `gopher_rules` as a single inline
+    Column — for pipelines that only gate (jobs/run_curation.py) and must
+    stay a zero-shuffle per-row filter instead of computing the stats
+    projection and semi-joining it back.
+
+    The micro-unit div thresholds are replaced by exact integer
+    inequality algebra (all operands positive, so floor(x/n) >= L ⇔
+    x >= L*n and floor(x/n) <= U ⇔ x < (U+1)*n) — bit-identical to
+    gopher_rules.passes (pinned by test)."""
+    toks = tokens_col(text_col)
+    sw = F.array(*[F.lit(w) for w in STOPWORD_ARRAY])
+    n = F.size(toks).cast("bigint")
+    chars = F.aggregate(F.transform(toks, F.length),
+                        F.lit(0), lambda acc, v: acc + v).cast("bigint")
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("^[A-Za-z]+$"))) \
+        .cast("bigint")
+    stop_kinds = F.size(F.array_intersect(F.array_distinct(toks), sw))
+    m = chars * 1_000_000
+    return ((n >= min_words) & (n <= max_words)
+            & (m >= 3_000_000 * n) & (m < 10_000_001 * n)
+            & (alpha * 1_000_000 >= 800_000 * n)
+            & (stop_kinds >= 2))
+
+
 def repetition_stats(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Gopher-style repetition signals per document: bigram duplication.

@@ -214,3 +214,26 @@ def test_repetition_stats_bruteforce(spark):
         dup = sum(v for v in c.values() if v > 1)
         want = (n, top, (dup * 1_000_000) // n if n else 0)
         assert got[doc_id] == want, (doc_id, got[doc_id], want)
+
+
+def test_gopher_passes_equals_gopher_rules(spark):
+    """The inline gate column is bit-identical to gopher_rules.passes,
+    including div-threshold boundary cases (mean len exactly 3.0/10.0,
+    alpha ratio exactly 0.8)."""
+    from kg.textstats import gopher_passes, gopher_rules
+    rows = [
+        (1, "too short"),
+        (2, "the 111 222 333 444 555 666 777 888 of ok"),
+        (3, "the quick brown fox jumps over a lazy dog today"),
+        (4, "aaa bbb ccc the and"),                    # mean len exactly 3.0
+        (5, "aaaaaaaaaa bbbbbbbbbb cccccccccc the and x"),
+        (6, "the and of to is"),                       # all stopwords, passes?
+        (7, "w1 w2 w3 w4 the and"),                    # alpha 2/6 < 0.8
+        (8, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {r["doc_id"]: r["passes"] for r in gopher_rules(df).collect()}
+    got = {r["doc_id"]: r["p"]
+           for r in df.select("doc_id",
+                              gopher_passes().alias("p")).collect()}
+    assert got == want

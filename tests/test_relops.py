@@ -141,3 +141,19 @@ def test_nearest_rank_quantiles_golden(spark):
         s = sorted(vals)
         want = tuple(s[math.ceil(p * len(s) / 100) - 1] for p in (50, 95, 99))
         assert out[g] == want, (g, out[g], want)
+
+
+def test_asof_null_value_in_latest_match(spark):
+    """A NULL value column in the TRUE latest right row must come through
+    as NULL — not silently stitched from an older right row (regression:
+    per-column last(ignorenulls) mixed values across right rows)."""
+    left = spark.createDataFrame([("L1", "u1", _ts(10))],
+                                 "lid string, user string, ts timestamp")
+    right = spark.createDataFrame(
+        [("R1", "u1", _ts(5), 100), ("R2", "u1", _ts(8), None)],
+        "rid string, user string, ts timestamp, amount int")
+    row = asof_join(left, right, on="user", value_cols=("rid", "amount"),
+                    seq_col="rid").first()
+    assert row["rid_asof"] == "R2"
+    assert row["amount_asof"] is None       # R2's NULL, not R1's 100
+    assert row["ts_asof"] == _ts(8)
