@@ -133,6 +133,20 @@ def nearest_rank_quantiles(df: DataFrame, value_col: str, group_cols: tuple[str,
     return ranked.groupBy(*group_cols).agg(*aggs)
 
 
+def approx_quantiles(df: DataFrame, value_col: str,
+                     group_cols: tuple[str, ...],
+                     quantiles: tuple[int, ...] = (50, 95, 99),
+                     accuracy: int = 10_000) -> DataFrame:
+    """The 100 TB quantile path: Spark's mergeable Greenwald-Khanna-style
+    sketch (percentile_approx) — map-side partial sketches merge in one
+    reduction, no per-group sort, rank error bounded by n/accuracy.
+    Same output shape as `nearest_rank_quantiles` (q{p} columns), which
+    serves as its exactness oracle on samples (rank-error-bound test)."""
+    aggs = [F.percentile_approx(value_col, p / 100.0, accuracy)
+            .alias(f"q{p}") for p in quantiles]
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
 def bucketed_interval_join(points: DataFrame, intervals: DataFrame, on: str,
                            point_ts: str = "ts", start_ts: str = "start",
                            end_ts: str = "end",

@@ -121,6 +121,62 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
                                     "update", GroupStateTimeout.NoTimeout))
 
 
+ASOF_SCHEMA = "event_id bigint, user_id bigint, last_match_id bigint"
+_ASOF_STATE = "best_ts_us bigint, best_id bigint"
+
+
+def stream_asof(events: DataFrame, left_type: str = "click",
+                right_type: str = "purchase") -> DataFrame:
+    """Streaming as-of join via applyInPandasWithState: for every arriving
+    `left_type` event, the latest `right_type` event by the same user at
+    or before its timestamp — the streaming twin of
+    kg.relops.asof_join / the batch rel_events_asof query.
+
+    Per-user state = (ts_micros, id) of the best right row seen so far —
+    O(active keys), independent of history length, the property that
+    makes this stream at 100 TB where the batch union-window cannot run
+    continuously.  Within a micro-batch rows are ordered (ts, side, seq)
+    with right rows first at equal ts — identical tie semantics to the
+    batch operator, so one availableNow pass over a static source
+    reproduces the batch result exactly (parity-tested).  Across
+    micro-batches a right row arriving LATER than an already-emitted left
+    row cannot retro-correct it (the inherent streaming trade-off;
+    watermark-ordered sources avoid it)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        best_ts, best_id = state.get if state.exists else (None, None)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows["_side"] = (rows["event_type"] == left_type).astype(int)
+        rows = rows.sort_values(["ts", "_side", "event_id"])
+        out_eid, out_val = [], []
+        for ts, side, eid in zip(rows["ts"], rows["_side"],
+                                 rows["event_id"]):
+            ts_us = int(ts.value // 1_000)  # pandas ns → micros
+            if side == 0:
+                # guard against cross-batch out-of-order right rows: only
+                # advance the state, never regress it
+                if best_ts is None or (ts_us, int(eid)) > (best_ts, best_id):
+                    best_ts, best_id = ts_us, int(eid)
+            else:
+                out_eid.append(int(eid))
+                out_val.append(best_id)
+        if best_ts is not None:
+            state.update((best_ts, best_id))
+        yield pd.DataFrame({"event_id": pd.array(out_eid, dtype="Int64"),
+                            "user_id": pd.array([key[0]] * len(out_eid),
+                                                dtype="Int64"),
+                            "last_match_id": pd.array(out_val,
+                                                      dtype="Int64")})
+
+    return (events
+            .filter(F.col("event_type").isin(left_type, right_type))
+            .groupBy("user_id")
+            .applyInPandasWithState(update, ASOF_SCHEMA, _ASOF_STATE,
+                                    "update", GroupStateTimeout.NoTimeout))
+
+
 def start_triple_stream(corpus_stream: DataFrame, out_path: str,
                         checkpoint: str,
                         spec: PipelineSpec | None = None,

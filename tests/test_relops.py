@@ -157,3 +157,29 @@ def test_asof_null_value_in_latest_match(spark):
     assert row["rid_asof"] == "R2"
     assert row["amount_asof"] is None       # R2's NULL, not R1's 100
     assert row["ts_asof"] == _ts(8)
+
+
+def test_approx_quantiles_rank_error_bound(spark):
+    """percentile_approx path: each approximate quantile's RANK in the
+    exact sorted values is within n/accuracy (+1 slack) of the exact
+    nearest-rank target, per group — the documented sketch guarantee."""
+    import bisect
+
+    from kg.relops import approx_quantiles
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    acc = 1000
+    approx = {r["event_type"]: (r["q50"], r["q95"], r["q99"])
+              for r in approx_quantiles(ev, "value", ("event_type",),
+                                        (50, 95, 99), acc).collect()}
+    vals = {}
+    for r in ev.select("event_type", "value").collect():
+        vals.setdefault(r["event_type"], []).append(r["value"])
+    for et, s in vals.items():
+        s.sort()
+        n = len(s)
+        for p, got in zip((50, 95, 99), approx[et]):
+            target = -(-p * n // 100)               # ceil
+            lo = bisect.bisect_left(s, got) + 1
+            hi = bisect.bisect_right(s, got)
+            dist = min(abs(lo - target), abs(hi - target))
+            assert dist <= n // acc + 1, (et, p, dist, n)

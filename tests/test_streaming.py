@@ -113,3 +113,27 @@ def test_windowed_counts_watermark_semantics(tmp_path, spark):
     want = {k: v for k, v in want_all.items()
             if k[0] + datetime.timedelta(hours=1) <= horizon}
     assert got == want
+
+
+def test_stream_asof_matches_batch(tmp_path, spark):
+    """Streaming as-of (applyInPandasWithState): one availableNow pass over
+    a static source reproduces the batch union-window as-of join exactly,
+    including ties and never-matched left rows."""
+    from kg.streaming import stream_asof
+    src = str(tmp_path / "asof_events")
+    batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    batch.write.parquet(src)
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (stream_asof(stream).writeStream.format("memory")
+         .queryName("asof_t").outputMode("update")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    got = {r["event_id"]: r["last_match_id"]
+           for r in spark.sql("SELECT * FROM asof_t").collect()}
+
+    import __spark_entry__ as E
+    want = {r["event_id"]: r["last_purchase_id"]
+            for r in E.q_rel_events_asof(spark,
+                                         "/root/testdata/sf0.001").collect()}
+    assert got == want and len(got) > 0
