@@ -537,6 +537,26 @@ def q_corpus_mixture(spark, sf_dir):
         default_rate=0.05).select("doc_id", "source")
 
 
+def q_kg_reannotate_merge(spark, sf_dir):
+    """Incremental maintenance (kg.triples.reannotate_merge): docs with
+    doc_id % 10 == 0 are re-annotated with a text suffix; the merged graph
+    must equal a full recompute over the modified corpus — which is
+    exactly what the oracle computes, so the stale sweep + union is
+    semantically pinned, not just row-counted."""
+    from kg.triples import annotate_to_triples, reannotate_merge
+    docs = _docs(spark, sf_dir)
+    upd = F.col("doc_id") % 10 == 0
+    existing = _en_triples(spark, sf_dir, TOK_SPEC)
+    fresh = annotate_to_triples(
+        docs.filter(upd).withColumn(
+            "text", F.concat("text", F.lit(" merged marker"))),
+        text_col="text", id_cols=("doc_id",), lang_col="lang", spec=TOK_SPEC)
+    keys = docs.filter(upd).select(
+        F.col("doc_id").cast("string").alias("doc_key"))
+    return reannotate_merge(existing, fresh, keys).select(
+        "subj", "pred", "obj", "start", "end", "value")
+
+
 def q_kg_tag_pagerank(spark, sf_dir):
     """TextRank tag centrality (kg.graphrank): annotate → co-occurrence
     edges → 10 rounds of integer-micro weighted PageRank.  The oracle
@@ -644,6 +664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii": q_text_pii,
         "text_repetition": q_text_repetition,
         "kg_tag_pagerank": q_kg_tag_pagerank,
+        "kg_reannotate_merge": q_kg_reannotate_merge,
         "dedup_contamination": q_dedup_contamination,
         "corpus_mixture": q_corpus_mixture,
         "rel_events_asof": q_rel_events_asof,
@@ -1243,6 +1264,36 @@ def oracle_sql() -> dict[str, str]:
         "WITH p AS (SELECT doc_id, " + _pii_text + " AS t FROM documents)\n"
         "SELECT doc_id, " + ", ".join(_pii_counts)
         + ", md5(" + _red + ") AS redacted_md5 FROM p")
+
+    # reannotate-merge: the oracle is a FULL RECOMPUTE over the modified
+    # corpus — the merge (stale sweep + union) must be indistinguishable
+    # from it.  Same closed form as kg_annotate_full over a docs2 CTE.
+    _TOKS2 = "regexp_split_to_array(text, ' ')"
+    sqls["kg_reannotate_merge"] = f"""
+        WITH docs2 AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 10 = 0 THEN text || ' merged marker'
+                      ELSE text END AS text
+          FROM documents WHERE lang = 'en'),
+        toks AS (
+          SELECT doc_id, unnest({_TOKS2}) AS tok,
+                 generate_subscripts({_TOKS2}, 1) AS i, {_TOKS2} AS all_toks
+          FROM docs2),
+        kept AS (SELECT * FROM toks WHERE tok NOT IN {STOP_IN})
+        SELECT 'sent:' || doc_id || ':0' AS subj, 'PART_OF' AS pred,
+               'doc:' || doc_id AS obj, CAST(NULL AS INT) AS start,
+               CAST(NULL AS INT) AS "end", CAST(NULL AS VARCHAR) AS value
+        FROM docs2
+        UNION ALL
+        SELECT DISTINCT 'sent:' || doc_id || ':0', 'HAS_TAG',
+               'tag:en:' || tok, NULL, NULL, NULL
+        FROM kept
+        UNION ALL
+        SELECT 'tag:en:' || tok, 'TAG_OCCURS', 'sent:' || doc_id || ':0',
+               CAST((i - 1) + coalesce(len(array_to_string(all_toks[1:i-1], '')), 0) AS INT),
+               CAST((i - 1) + coalesce(len(array_to_string(all_toks[1:i-1], '')), 0) + len(tok) AS INT),
+               tok
+        FROM kept"""
 
     # PageRank: iteration unrolled as a generated CTE chain (a recursive
     # CTE can reference the working table only once, but each round needs

@@ -255,6 +255,40 @@ def dedupe_triples(triples: DataFrame) -> DataFrame:
     return triples.dropDuplicates(list(TRIPLE_COLUMNS))
 
 
+def uid_doc_key(c: Column) -> Column:
+    """The document key a node uid belongs to: 'doc:<key>' and
+    'sent:<key>:<n>' parse to <key>; global nodes ('tag:…') are NULL.
+    Every triple the builder emits references exactly ONE document
+    (PART_OF/NEXT_SENTENCE/FIRST_SENTENCE: both ends same doc; HAS_TAG
+    subj, TAG_OCCURS obj), so coalesce(subj_key, obj_key) is total."""
+    doc = F.regexp_extract(c, r"^doc:(.*)$", 1)
+    sent = F.regexp_extract(c, r"^sent:(.*):[0-9]+$", 1)
+    k = (F.when(c.startswith("doc:"), doc)
+         .when(c.startswith("sent:"), sent))
+    return F.nullif(k, F.lit(""))
+
+
+def reannotate_merge(existing: DataFrame, new_triples: DataFrame,
+                     updated_keys: DataFrame,
+                     key_col: str = "doc_key") -> DataFrame:
+    """Incremental graph maintenance: replace every triple belonging to a
+    re-annotated document with its fresh triples, leaving the rest of the
+    graph untouched — the graph-level analog of the reference's
+    re-annotation flows (annotateText on an existing id / sentiment
+    re-processing, OpenNLPTextProcessor.java sentiment path; SURVEY P4).
+
+    `updated_keys` is the (small) set of re-annotated doc keys; the stale
+    sweep is ONE broadcast anti-join on the triple's derived doc key —
+    the full graph never shuffles.  `new_triples` must be the complete
+    fresh output for exactly those documents."""
+    ref = F.coalesce(uid_doc_key(F.col("subj")), uid_doc_key(F.col("obj")))
+    keys = F.broadcast(updated_keys.select(
+        F.col(key_col).cast("string").alias("_ref")).distinct())
+    keep = (existing.withColumn("_ref", ref)
+            .join(keys, "_ref", "left_anti").drop("_ref"))
+    return keep.unionByName(new_triples, allowMissingColumns=False)
+
+
 def annotate_to_triples(df: DataFrame, text_col: str = "content",
                         id_cols: tuple[str, ...] = ("repo", "path", "commit"),
                         lang_col: str | None = "lang",

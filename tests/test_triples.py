@@ -111,3 +111,33 @@ def test_plan_is_narrow_until_write(corpus):
     (shuffle) operators — the pipeline is narrow end-to-end."""
     plan = annotate_to_triples(corpus)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_reannotate_merge_replaces_only_updated_doc(spark):
+    """Incremental maintenance: merging re-annotated docs swaps exactly
+    their triples; untouched docs' rows are byte-identical; stale tag
+    occurrences of the updated doc vanish."""
+    from kg.triples import annotate_to_triples, reannotate_merge
+    docs = spark.createDataFrame(
+        [("A", "en", "spark shuffle join"), ("B", "en", "window sort merge")],
+        "doc_id string, lang string, text string")
+    existing = annotate_to_triples(docs, text_col="text",
+                                   id_cols=("doc_id",), lang_col="lang")
+    updated = spark.createDataFrame(
+        [("B", "en", "broadcast hash rewrite")],
+        "doc_id string, lang string, text string")
+    fresh = annotate_to_triples(updated, text_col="text",
+                                id_cols=("doc_id",), lang_col="lang")
+    keys = spark.createDataFrame([("B",)], "doc_key string")
+    merged = reannotate_merge(existing, fresh, keys)
+
+    rows = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
+    a_before = rows(existing.filter(F.col("subj").contains(":A") |
+                                    F.col("obj").contains(":A") |
+                                    F.col("obj").startswith("doc:A")))
+    got = rows(merged)
+    want = a_before | rows(fresh)
+    assert got == want
+    # stale B content gone, fresh B content present
+    assert not any("sort" in (r[5] or "") for r in got)
+    assert any("broadcast" in (r[5] or "") for r in got)
