@@ -600,6 +600,18 @@ def q_rel_events_quantiles(spark, sf_dir):
                                   (50, 95, 99), seq_col="event_id")
 
 
+def q_rel_events_quantiles_approx(spark, sf_dir):
+    """Sketch-path quantiles (kg.relops.approx_quantiles,
+    percentile_approx).  NO oracle_sql by design: the GK-sketch result
+    depends on partial-sketch merge order, so it is not hash-portable
+    across engines — its n/accuracy rank-error bound is pinned by pytest
+    against the exact nearest-rank operator instead (rows-only driver
+    check)."""
+    from kg.relops import approx_quantiles
+    ev = _read("events")(spark, sf_dir)
+    return approx_quantiles(ev, "value", ("event_type",), (50, 95, 99))
+
+
 def q_rel_events_window_join(spark, sf_dir):
     """Point-in-interval join (kg.relops.bucketed_interval_join): clicks
     landing in the 2h window after each signup, counted per signup.  The
@@ -670,6 +682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_events_asof": q_rel_events_asof,
         "rel_events_window_join": q_rel_events_window_join,
         "rel_events_quantiles": q_rel_events_quantiles,
+        "rel_events_quantiles_approx": q_rel_events_quantiles_approx,
     }
 
 

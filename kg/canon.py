@@ -37,7 +37,7 @@ def connected_components(edges: DataFrame, max_iter: int = 50,
     # checkpoint the edge set ONCE: every fixpoint round joins against
     # `sym`, and without the cut each round re-executes the entire
     # upstream edge-construction lineage (for the near-dup graph that is
-    # the full MinHash-LSH pipeline — measured 30.4s -> 4.3s at sf0.1)
+    # the full MinHash-LSH pipeline — measured 30.4s -> ~8-13s at sf0.1; the surviving cost is the one-time ~4s edge build plus 2-3 rounds)
     sym = _symmetric(edges).distinct().localCheckpoint()
     nodes = sym.select(F.col("src").alias("node")).distinct()
     labels = nodes.withColumn("component", F.col("node")).localCheckpoint()

@@ -125,6 +125,36 @@ ASOF_SCHEMA = "event_id bigint, user_id bigint, last_match_id bigint"
 _ASOF_STATE = "best_ts_us bigint, best_id bigint"
 
 
+def _asof_walk(rows: list[tuple[int, int, int]],
+               st: tuple[int, int] | None) -> tuple[
+                   list[tuple[int, int | None]], tuple[int, int] | None]:
+    """Pure as-of walk over one micro-batch group (unit-testable without a
+    streaming query).  `rows` = (ts_us, side, id) sorted ascending by
+    (ts, side, id) with side 0 = right, 1 = left; `st` = persisted
+    (best_ts_us, best_id) or None.
+
+    For each left row the match is the max of (a) the batch-LOCAL best
+    right row at/before it — the ascending walk makes that the running
+    last right row — and (b) the persisted best, eligible ONLY when its
+    timestamp is at/before the left row (a stored future purchase must
+    not match an older click).  Returns (emissions, new_state) with
+    new_state = max(state, batch-local best)."""
+    loc: tuple[int, int] | None = None
+    out: list[tuple[int, int | None]] = []
+    for ts_us, side, eid in rows:
+        if side == 0:
+            loc = (ts_us, eid)          # ascending: always >= previous loc
+        else:
+            cand = loc
+            if st is not None and st[0] <= ts_us:
+                if cand is None or st > cand:
+                    cand = st
+            out.append((eid, cand[1] if cand is not None else None))
+    new_state = max(st, loc) if (st is not None and loc is not None) \
+        else (st if loc is None else loc)
+    return out, new_state
+
+
 def stream_asof(events: DataFrame, left_type: str = "click",
                 right_type: str = "purchase") -> DataFrame:
     """Streaming as-of join via applyInPandasWithState: for every arriving
@@ -138,36 +168,34 @@ def stream_asof(events: DataFrame, left_type: str = "click",
     continuously.  Within a micro-batch rows are ordered (ts, side, seq)
     with right rows first at equal ts — identical tie semantics to the
     batch operator, so one availableNow pass over a static source
-    reproduces the batch result exactly (parity-tested).  Across
-    micro-batches a right row arriving LATER than an already-emitted left
-    row cannot retro-correct it (the inherent streaming trade-off;
-    watermark-ordered sources avoid it)."""
+    reproduces the batch result exactly (parity-tested).
+
+    Out-of-order semantics (the inherent single-value-state trade-off):
+    a left row NEVER matches a right row with a LATER timestamp — the
+    stored best is only eligible when state_ts <= left_ts; in-batch right
+    rows older than the state still serve in-batch left rows (the walk
+    keeps a batch-local track).  What IS lost across batches: right rows
+    older than the stored best are forgotten, so a late left row whose
+    true match was forgotten emits NULL rather than a wrong row."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     def update(key, pdfs, state):
-        best_ts, best_id = state.get if state.exists else (None, None)
+        st = state.get if state.exists else None
         rows = pd.concat(list(pdfs), ignore_index=True)
         rows["_side"] = (rows["event_type"] == left_type).astype(int)
         rows = rows.sort_values(["ts", "_side", "event_id"])
-        out_eid, out_val = [], []
-        for ts, side, eid in zip(rows["ts"], rows["_side"],
-                                 rows["event_id"]):
-            ts_us = int(ts.value // 1_000)  # pandas ns → micros
-            if side == 0:
-                # guard against cross-batch out-of-order right rows: only
-                # advance the state, never regress it
-                if best_ts is None or (ts_us, int(eid)) > (best_ts, best_id):
-                    best_ts, best_id = ts_us, int(eid)
-            else:
-                out_eid.append(int(eid))
-                out_val.append(best_id)
-        if best_ts is not None:
-            state.update((best_ts, best_id))
-        yield pd.DataFrame({"event_id": pd.array(out_eid, dtype="Int64"),
-                            "user_id": pd.array([key[0]] * len(out_eid),
+        walk = [(int(ts.value // 1_000), int(side), int(eid))  # ns → micros
+                for ts, side, eid in zip(rows["ts"], rows["_side"],
+                                         rows["event_id"])]
+        out, new_state = _asof_walk(walk, st)
+        if new_state is not None:
+            state.update(new_state)
+        yield pd.DataFrame({"event_id": pd.array([e for e, _ in out],
+                                                 dtype="Int64"),
+                            "user_id": pd.array([key[0]] * len(out),
                                                 dtype="Int64"),
-                            "last_match_id": pd.array(out_val,
+                            "last_match_id": pd.array([v for _, v in out],
                                                       dtype="Int64")})
 
     return (events

@@ -128,7 +128,8 @@ def test_stream_asof_matches_batch(tmp_path, spark):
     q = (stream_asof(stream).writeStream.format("memory")
          .queryName("asof_t").outputMode("update")
          .trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    assert q.awaitTermination(600), "stream did not drain in time"
+    q.stop()
     got = {r["event_id"]: r["last_match_id"]
            for r in spark.sql("SELECT * FROM asof_t").collect()}
 
@@ -137,3 +138,31 @@ def test_stream_asof_matches_batch(tmp_path, spark):
             for r in E.q_rel_events_asof(spark,
                                          "/root/testdata/sf0.001").collect()}
     assert got == want and len(got) > 0
+
+
+def test_asof_walk_out_of_order_semantics():
+    """Cross-batch out-of-order cases for the pure as-of walk: a stored
+    FUTURE right row never matches an older left row; in-batch right rows
+    older than the state still serve in-batch left rows; forgotten
+    history emits NULL, never a wrong row."""
+    from kg.streaming import _asof_walk
+
+    # state holds purchase id=9 @ t=100; batch delivers click id=5 @ t=90
+    out, st = _asof_walk([(90, 1, 5)], (100, 9))
+    assert out == [(5, None)]            # future purchase must NOT match
+    assert st == (100, 9)
+
+    # same, plus an in-batch purchase id=7 @ t=80: click matches 7, and
+    # the state never regresses to the older purchase
+    out, st = _asof_walk([(80, 0, 7), (90, 1, 5)], (100, 9))
+    assert out == [(5, 7)]
+    assert st == (100, 9)
+
+    # state at/before the left row wins over an older in-batch right
+    out, st = _asof_walk([(80, 0, 7), (90, 1, 5)], (85, 3))
+    assert out == [(5, 3)]
+    assert st == (85, 3)
+
+    # tie at equal ts: right processed first (side order) -> matches
+    out, st = _asof_walk([(90, 0, 2), (90, 1, 5)], None)
+    assert out == [(5, 2)] and st == (90, 2)
