@@ -84,6 +84,25 @@ def write_triples(triples: DataFrame, out_path: str,
      .write.mode(mode).partitionBy(*keys).parquet(out_path))
 
 
+def write_bucketed(df: DataFrame, table: str, bucket_col: str = "subj",
+                   buckets: int = 64, sort_col: str | None = None,
+                   mode: str = "overwrite") -> None:
+    """Bucketed (and optionally sorted) managed-table write — the
+    co-located-join layout for the 100 TB graph: two tables bucketed the
+    same way on the join key join with ZERO Exchange (Catalyst reads the
+    bucketing from the catalog and skips the shuffle entirely), the
+    canonical answer to repeated joins on subj/obj at scale.  Iceberg's
+    bucket partition transform is the same idea; parquet+catalog is the
+    in-container stand-in (SURVEY §1.2 note).
+
+    A graph serving repeated canonicalize/enrich joins should be written
+    once through this instead of paying a subj shuffle per query."""
+    w = df.write.mode(mode).format("parquet").bucketBy(buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)
+
+
 def run_partitioned(sent_df: DataFrame, triples: DataFrame, out_path: str,
                     spark: SparkSession,
                     keys: tuple[str, ...] = ("lang", SALT_COL)) -> dict:

@@ -74,3 +74,35 @@ def test_resume_filter_partial(tmp_path, spark, pipeline_frames):
     r = run_partitioned(sent, triples, out, spark)
     assert r["triples_written"] == triples.filter(F.col(SALT_COL) >= 2).count()
     assert spark.read.parquet(out).count() == triples.count()
+
+
+def test_bucketed_write_joins_without_exchange(spark, tmp_path):
+    """Two tables bucketed identically on the join key must join with ZERO
+    Exchange (the co-located-join layout): the shuffle is paid once at
+    write time, never again per query (kg.materialize.write_bucketed)."""
+    import pyspark.sql.functions as F
+
+    from kg.materialize import write_bucketed
+    a = spark.range(500).select(
+        F.concat(F.lit("tag:en:t"), (F.col("id") % 40)).alias("subj"),
+        F.col("id").alias("payload_a"))
+    b = spark.range(300).select(
+        F.concat(F.lit("tag:en:t"), (F.col("id") % 40)).alias("subj"),
+        F.col("id").alias("payload_b"))
+    write_bucketed(a, "bkt_a", "subj", buckets=8, sort_col="subj")
+    write_bucketed(b, "bkt_b", "subj", buckets=8, sort_col="subj")
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ta, tb = spark.table("bkt_a"), spark.table("bkt_b")
+        joined = ta.join(tb, "subj")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        # and it computes the right thing
+        want = a.join(b, "subj").count()
+        assert joined.count() == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
