@@ -43,39 +43,40 @@ def pagerank(edges: DataFrame, iterations: int = 10,
     Dangling nodes (no out-edges) appear if they occur as a dst; they
     contribute nothing onward (simplified TextRank, matching the
     published formulation)."""
-    e = edges.select(
+    raw = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
         (F.col(weight_col) if weight_col else F.lit(1))
         .cast("bigint").alias("w"))
-    wsum = e.groupBy("src").agg(F.sum("w").alias("wsum"))
-    e = e.join(wsum, "src").persist()
-    nodes = (e.select(F.col("src").alias("node"))
-             .union(e.select(F.col("dst").alias("node")))
-             .distinct().persist())
+    wsum = raw.groupBy("src").agg(F.sum("w").alias("wsum"))
+    nodes = (raw.select(F.col("src").alias("node"))
+             .union(raw.select(F.col("dst").alias("node"))).distinct())
+    # zero-weight self-loop per node: every node then appears as a dst in
+    # the contribution aggregate (contributing exactly 0), which deletes
+    # the dangling-node left-join — one fewer shuffle in EVERY round
+    loops = nodes.select(F.col("node").alias("src"),
+                         F.col("node").alias("dst"),
+                         F.lit(0).cast("bigint").alias("w"),
+                         F.lit(1).cast("bigint").alias("wsum"))
+    e = raw.join(wsum, "src").unionByName(loops).localCheckpoint()
 
     base_micro = MICRO - damping_micro
-    ranks = nodes.withColumn("rank_micro", F.lit(MICRO).cast("bigint"))
+    ranks = e.select(F.col("src").alias("node")).distinct().withColumn(
+        "rank_micro", F.lit(MICRO).cast("bigint"))
     for i in range(iterations):
         contrib = (e.join(ranks, e.src == ranks.node)
                    .select(F.col("dst").alias("node"),
                            F.expr("(rank_micro * w) div wsum").alias("c")))
-        sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
-        ranks = (nodes.join(sums, "node", "left")
-                 .select("node",
-                         (F.lit(base_micro)
-                          + F.expr(f"({damping_micro} * coalesce(s, 0)) "
-                                   f"div {MICRO}"))
-                         .cast("bigint").alias("rank_micro")))
+        ranks = (contrib.groupBy("node")
+                 .agg((F.lit(base_micro)
+                       + F.expr(f"({damping_micro} * sum(c)) div {MICRO}"))
+                      .cast("bigint").alias("rank_micro")))
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint()
-    # materialize the result, then release the loop caches — without the
-    # eager checkpoint the returned lazy plan would recompute e/nodes
-    # uncached; without the unpersist every pagerank() call leaks cached
-    # partitions into the long-lived session (bench/pytest share one)
-    ranks = ranks.localCheckpoint()
-    e.unpersist()
-    nodes.unpersist()
-    return ranks
+    # materialize the result so the returned frame no longer references
+    # the loop lineage; the edge checkpoint's blocks are released by the
+    # ContextCleaner once this function's frames are garbage-collected
+    # (localCheckpoint, unlike persist(), needs no manual unpersist)
+    return ranks.localCheckpoint()
 
 
 def tag_cooccurrence_edges(tags: DataFrame, doc_col: str = "doc_key",
