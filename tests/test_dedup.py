@@ -237,3 +237,52 @@ def test_gopher_passes_equals_gopher_rules(spark):
            for r in df.select("doc_id",
                               gopher_passes().alias("p")).collect()}
     assert got == want
+
+
+def test_repetition_and_gopher_fuzz_200_docs(spark):
+    """One Spark job over 200 hash-derived pseudo-random docs (varied
+    length, vocab size, repetition levels, empties): repetition_stats and
+    gopher_passes both equal their Python brute-force replays row-for-row."""
+    import hashlib
+    from collections import Counter
+
+    from kg.models import DEFAULT_STOPWORDS
+    from kg.textstats import gopher_passes, repetition_stats
+
+    vocab = ["the", "and", "of", "spark", "join", "w1", "222", "zz",
+             "aaaaaaaaaaaa", "b"]
+
+    def h(i, j):
+        return int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:8], 16)
+
+    rows = []
+    for i in range(200):
+        n = h(i, 0) % 40                      # 0..39 tokens
+        v = 1 + h(i, 1) % len(vocab)          # effective vocab size
+        toks = [vocab[h(i, 2 + j) % v] for j in range(n)]
+        rows.append((i, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got_rep = {r["doc_id"]: (r["n_bigrams"], r["top_bigram_count"],
+                             r["dup_bigram_micro"])
+               for r in repetition_stats(df).collect()}
+    got_gop = {r["doc_id"]: r["p"]
+               for r in df.select("doc_id",
+                                  gopher_passes().alias("p")).collect()}
+    sw = set(DEFAULT_STOPWORDS)
+    for i, text in rows:
+        toks = text.split(" ") if text else [""]
+        grams = [" ".join(toks[j:j + 2]) for j in range(len(toks) - 1)]
+        c = Counter(grams)
+        nb = len(grams)
+        dup = sum(x for x in c.values() if x > 1)
+        assert got_rep[i] == (nb, max(c.values()) if c else 0,
+                              (dup * 1_000_000) // nb if nb else 0), i
+        n = len(toks)
+        chars = sum(len(t) for t in toks)
+        alpha = sum(1 for t in toks if t.isalpha() and t.isascii())
+        kinds = len({t for t in toks if t in sw})
+        passes = (5 <= n <= 100_000
+                  and 3_000_000 <= (chars * 1_000_000) // n <= 10_000_000
+                  and (alpha * 1_000_000) // n >= 800_000 and kinds >= 2)
+        assert got_gop[i] == passes, (i, text)
