@@ -408,6 +408,23 @@ def _dec(c):
     return F.col(c).cast("decimal(18,2)")
 
 
+def q_corpus_curated(spark, sf_dir):
+    """The curation pipeline's selection semantics under the driver gate
+    (jobs/run_curation.py stages 1-3 + split): gopher quality gate →
+    exact-dup canonical winners → 8-band MinHash-LSH near-dup losers
+    dropped → deterministic split.  Returns (doc_id, split)."""
+    from kg.sampling import split_assign
+    from kg.textstats import gopher_passes
+    docs = _docs(spark, sf_dir).filter(gopher_passes())
+    winners = kgdedup.exact_duplicates(docs).select(
+        F.col("canonical_id").alias("doc_id"))
+    docs = docs.join(winners, "doc_id", "left_semi")
+    losers = (kgdedup.minhash_lsh_pairs(docs, k=16, bands=8)
+              .select(F.col("id_b").alias("doc_id")).distinct())
+    docs = docs.join(losers, "doc_id", "left_anti")
+    return split_assign(docs).select("doc_id", "split")
+
+
 def q_rel_q1_pricing(spark, sf_dir):
     li = _read("lineitem")(spark, sf_dir)
     return (li.filter(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp"))
@@ -683,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_events_window_join": q_rel_events_window_join,
         "rel_events_quantiles": q_rel_events_quantiles,
         "rel_events_quantiles_approx": q_rel_events_quantiles_approx,
+        "corpus_curated": q_corpus_curated,
     }
 
 
@@ -1375,6 +1393,54 @@ def oracle_sql() -> dict[str, str]:
         SELECT train.doc_id AS doc_id, count(*) AS n_hits
         FROM train JOIN bench USING (shingle)
         GROUP BY train.doc_id"""
+
+    # curation gate chain: gopher pass (original text) -> exact-dup
+    # winners -> 8-band/2-row MinHash-LSH losers dropped -> hash split.
+    # Band layout mirrors kg.dedup.minhash_lsh_pairs(k=16, bands=8):
+    # band b = md5(sig_{2b} || '|' || sig_{2b+1}).
+    _cur_sigs = ", ".join(f"min(md5('{i}:' || shingle)) AS s{i}"
+                          for i in range(16))
+    _cur_bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(s{2*b} || '|' || s{2*b+1}) AS bucket"
+        " FROM csig" for b in range(8))
+    sqls["corpus_curated"] = f"""
+        WITH pass AS (
+          SELECT doc_id, text,
+                 {_TOKS} AS t
+          FROM documents WHERE lang = 'en'),
+        gate AS (
+          SELECT doc_id, text, t FROM pass
+          WHERE len(t) BETWEEN 5 AND 100000
+            AND (len(array_to_string(t, '')) * 1000000) // len(t)
+                BETWEEN 3000000 AND 10000000
+            AND (len(list_filter(t, x -> regexp_matches(x, '^[A-Za-z]+$')))
+                 * 1000000) // len(t) >= 800000
+            AND len(list_filter(list_distinct(t),
+                    x -> list_contains({STOP_LIST_SQL}, x))) >= 2),
+        win AS (
+          SELECT doc_id, t FROM (
+            SELECT doc_id, t,
+                   min(doc_id) OVER (PARTITION BY sha256(text)) AS w
+            FROM gate)
+          WHERE doc_id = w),
+        csh AS (
+          SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+          FROM (SELECT doc_id, t, generate_subscripts(t, 1) AS i FROM win)
+          WHERE i <= len(t) - 2),
+        csig AS (SELECT doc_id, {_cur_sigs} FROM csh GROUP BY doc_id),
+        cbands AS ({_cur_bands}),
+        losers AS (
+          SELECT DISTINCT b.doc_id
+          FROM cbands a JOIN cbands b
+            ON a.band = b.band AND a.bucket = b.bucket
+           AND a.doc_id < b.doc_id),
+        kept AS (SELECT doc_id FROM win
+                 WHERE doc_id NOT IN (SELECT doc_id FROM losers))
+        SELECT doc_id,
+               CASE WHEN {_MD5KEY} < '{_r2h(0.8)}' THEN 'train'
+                    WHEN {_MD5KEY} < '{_r2h(0.9)}' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM kept"""
 
     sqls["corpus_mixture"] = f"""
         SELECT doc_id, source FROM documents
