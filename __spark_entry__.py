@@ -605,6 +605,23 @@ def q_rel_events_asof(spark, sf_dir):
                     F.col("purchase_id_asof").alias("last_purchase_id")))
 
 
+def q_rel_events_asof_fwd(spark, sf_dir):
+    """Forward as-of (kg.relops.asof_join direction='forward'): each
+    click's EARLIEST purchase at/after it — ties at equal ts to the
+    lowest id (mirrored in the oracle's ORDER BY ts, event_id LIMIT 1)."""
+    from kg.relops import asof_join
+    ev = _read("events")(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts")
+    return (asof_join(clicks, purch, on="user_id",
+                      value_cols=("purchase_id",), seq_col="purchase_id",
+                      direction="forward")
+            .select("event_id", "user_id",
+                    F.col("purchase_id_asof").alias("next_purchase_id")))
+
+
 def q_rel_events_quantiles(spark, sf_dir):
     """Exact nearest-rank quantiles per event_type
     (kg.relops.nearest_rank_quantiles): member values, no interpolation —
@@ -697,6 +714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_contamination": q_dedup_contamination,
         "corpus_mixture": q_corpus_mixture,
         "rel_events_asof": q_rel_events_asof,
+        "rel_events_asof_fwd": q_rel_events_asof_fwd,
         "rel_events_window_join": q_rel_events_window_join,
         "rel_events_quantiles": q_rel_events_quantiles,
         "rel_events_quantiles_approx": q_rel_events_quantiles_approx,
@@ -1457,6 +1475,15 @@ def oracle_sql() -> dict[str, str]:
                   AND p.ts <= c.ts
                 ORDER BY p.ts DESC, p.event_id DESC LIMIT 1)
                  AS last_purchase_id
+        FROM events c WHERE c.event_type = 'click'"""
+
+    sqls["rel_events_asof_fwd"] = """
+        SELECT c.event_id, c.user_id,
+               (SELECT p.event_id FROM events p
+                WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+                  AND p.ts >= c.ts
+                ORDER BY p.ts ASC, p.event_id ASC LIMIT 1)
+                 AS next_purchase_id
         FROM events c WHERE c.event_type = 'click'"""
 
     sqls["rel_events_quantiles"] = """

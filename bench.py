@@ -40,6 +40,7 @@ HEADLINE = [
     "text_pii",              # regex PII counts + redaction, narrow JVM pass
     "dedup_contamination",   # broadcast benchmark-shingle overlap
     "kg_tag_pagerank",       # 10 iterative join-agg rounds (kg.graphrank)
+    "corpus_curated",        # end-to-end curation gate chain
 ]
 
 
