@@ -409,19 +409,12 @@ def _dec(c):
 
 
 def q_corpus_curated(spark, sf_dir):
-    """The curation pipeline's selection semantics under the driver gate
-    (jobs/run_curation.py stages 1-3 + split): gopher quality gate →
-    exact-dup canonical winners → 8-band MinHash-LSH near-dup losers
-    dropped → deterministic split.  Returns (doc_id, split)."""
+    """The curation pipeline's selection semantics under the driver gate:
+    kg.curate.gate_and_dedupe — THE function jobs/run_curation.py runs —
+    followed by the deterministic split.  Returns (doc_id, split)."""
+    from kg.curate import gate_and_dedupe
     from kg.sampling import split_assign
-    from kg.textstats import gopher_passes
-    docs = _docs(spark, sf_dir).filter(gopher_passes())
-    winners = kgdedup.exact_duplicates(docs).select(
-        F.col("canonical_id").alias("doc_id"))
-    docs = docs.join(winners, "doc_id", "left_semi")
-    losers = (kgdedup.minhash_lsh_pairs(docs, k=16, bands=8)
-              .select(F.col("id_b").alias("doc_id")).distinct())
-    docs = docs.join(losers, "doc_id", "left_anti")
+    docs = gate_and_dedupe(_docs(spark, sf_dir, None))
     return split_assign(docs).select("doc_id", "split")
 
 

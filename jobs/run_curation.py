@@ -47,35 +47,21 @@ def curate(spark: SparkSession, docs_path: str, out_dir: str,
            benchmark_path: str | None = None,
            rates: dict[str, float] | None = None,
            max_tokens: int = 1024, contamination_n: int = 8) -> dict:
-    from kg.dedup import (exact_duplicates, minhash_lsh_pairs,
-                          ngram_contamination)
+    from kg.curate import gate_and_dedupe
+    from kg.dedup import ngram_contamination
     from kg.pii import redact_pii
     from kg.sampling import mixture_sample, pack_shards, split_assign
-    from kg.textstats import gopher_passes
 
     stats: dict = {}
     docs = spark.read.parquet(docs_path)
     stats["n_input"] = docs.count()
 
-    # 1. language + quality gate: both inline per-row predicates — the
-    # gate must NOT become a self-semi-join (that re-scans and shuffles
-    # the full corpus on doc_id just to apply a narrow filter)
-    docs = docs.filter(F.col("lang") == "en").filter(gopher_passes())
-
-    # 2. exact dedup: keep each content group's canonical (min) id
-    winners = exact_duplicates(docs).select(
-        F.col("canonical_id").alias("doc_id"))
-    docs = docs.join(winners, "doc_id", "left_semi")
-
-    # 3. near-dedup: candidate pairs are id_a < id_b; dropping every id_b
-    # keeps the least id of each near-dup chain (documented greedy policy —
-    # a components pass (kg.canon) is the exhaustive alternative)
-    # bands=8 (2 signature rows per band) — the high-recall setting: a
-    # one-token edit on a ~25-token doc has ~0.77 shingle Jaccard, which
-    # 4-row bands miss with noticeable probability
-    losers = (minhash_lsh_pairs(docs, k=16, bands=8)
-              .select(F.col("id_b").alias("doc_id")).distinct())
-    docs = docs.join(losers, "doc_id", "left_anti")
+    # 1-3. language + quality gate, exact dedup (canonical winner),
+    # 8-band near-dedup (id_b dropped = least id of each near-dup chain;
+    # a components pass (kg.canon) is the exhaustive alternative).
+    # Shared with the corpus_curated driver query so the DuckDB oracle
+    # pins THIS code path.
+    docs = gate_and_dedupe(docs)
 
     # 4. decontamination against a held-out benchmark corpus
     if benchmark_path:

@@ -1,0 +1,40 @@
+"""The curation SELECTION chain as one shared function: language filter →
+Gopher quality gate → exact-dup canonical winners → MinHash-LSH near-dup
+loser sweep.
+
+Both jobs/run_curation.py (the production pipeline, which continues with
+decontamination / PII / mixture / split / shard-pack) and the
+`corpus_curated` driver query (whose DuckDB oracle replays the identical
+chain) call THIS function — so the oracle pins the job's actual code
+path, not a copy that could silently diverge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from kg.dedup import exact_duplicates, minhash_lsh_pairs
+from kg.textstats import gopher_passes
+
+
+def gate_and_dedupe(docs: DataFrame, lang: str | None = "en",
+                    k: int = 16, bands: int = 8,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Surviving documents (all input columns) after the selection chain.
+
+    Gates are inline per-row predicates (zero shuffle); the dedup stages
+    are semi/anti-joins against small flagged-id sets.  bands=8 (2
+    signature rows per band) is the high-recall near-dup setting — a
+    one-token edit on a ~25-token doc has ~0.77 shingle Jaccard, which
+    4-row bands miss with noticeable probability."""
+    if lang is not None:
+        docs = docs.filter(F.col("lang") == lang)
+    docs = docs.filter(gopher_passes(text_col))
+    winners = exact_duplicates(docs, text_col, id_col).select(
+        F.col("canonical_id").alias(id_col))
+    docs = docs.join(winners, id_col, "left_semi")
+    losers = (minhash_lsh_pairs(docs, k=k, bands=bands,
+                                text_col=text_col, id_col=id_col)
+              .select(F.col("id_b").alias(id_col)).distinct())
+    return docs.join(losers, id_col, "left_anti")

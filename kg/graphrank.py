@@ -57,7 +57,10 @@ def pagerank(edges: DataFrame, iterations: int = 10,
                          F.col("node").alias("dst"),
                          F.lit(0).cast("bigint").alias("w"),
                          F.lit(1).cast("bigint").alias("wsum"))
-    e = raw.join(wsum, "src").unionByName(loops).localCheckpoint()
+    # persist (not localCheckpoint): persist gives a DETERMINISTIC release
+    # point — the unpersist below — where checkpoint blocks would linger
+    # until ContextCleaner GC in the long-lived shared session
+    e = raw.join(wsum, "src").unionByName(loops).persist()
 
     base_micro = MICRO - damping_micro
     ranks = e.select(F.col("src").alias("node")).distinct().withColumn(
@@ -72,11 +75,12 @@ def pagerank(edges: DataFrame, iterations: int = 10,
                       .cast("bigint").alias("rank_micro")))
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint()
-    # materialize the result so the returned frame no longer references
-    # the loop lineage; the edge checkpoint's blocks are released by the
-    # ContextCleaner once this function's frames are garbage-collected
-    # (localCheckpoint, unlike persist(), needs no manual unpersist)
-    return ranks.localCheckpoint()
+    # eagerly materialize the result (consuming the cached edges), then
+    # release the cache — every pagerank() call leaves zero storage
+    # residue in the session
+    ranks = ranks.localCheckpoint()
+    e.unpersist()
+    return ranks
 
 
 def tag_cooccurrence_edges(tags: DataFrame, doc_col: str = "doc_key",
