@@ -29,15 +29,16 @@ from pyspark.sql import DataFrame, functions as F, types as T
 from pyspark.sql.window import Window
 
 
-def asof_join(left: DataFrame, right: DataFrame, on: str,
+def asof_join(left: DataFrame, right: DataFrame, on: str | tuple[str, ...],
               left_ts: str = "ts", right_ts: str | None = None,
               value_cols: tuple[str, ...] = (), seq_col: str | None = None,
               direction: str = "backward",
               suffix: str = "_asof") -> DataFrame:
     """As-of join: every left row, plus `value_cols` from the latest right
     row with right_ts <= left_ts (backward) or the earliest with
-    right_ts >= left_ts (forward), matched per `on` key.  Unmatched left
-    rows keep NULL values (left-outer as-of semantics).
+    right_ts >= left_ts (forward), matched per `on` key (a column name or
+    a tuple for composite keys).  Unmatched left rows keep NULL values
+    (left-outer as-of semantics).
 
     `seq_col` (a right-side column, e.g. its primary key) breaks ties
     among right rows sharing a timestamp — highest wins for backward,
@@ -55,6 +56,7 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     ops."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction}")
+    keys = [on] if isinstance(on, str) else list(on)
     rts = right_ts or left_ts
     if seq_col is None:
         seq_col = value_cols[0] if value_cols else rts
@@ -72,8 +74,10 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
          for c in value_cols]
         + [T.StructField(f"{rts}{suffix}", right.schema[rts].dataType)])
 
+    kcols = [f"_k{i}" for i in range(len(keys))]
     r = right.select(
-        F.col(on).alias("_k"), F.col(rts).alias("_ts"),
+        *[F.col(k).alias(kc) for k, kc in zip(keys, kcols)],
+        F.col(rts).alias("_ts"),
         F.lit(0).alias("_side"), F.col(seq_col).alias("_seq"),
         F.struct(*[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
                  F.col(rts).alias(f"{rts}{suffix}"))
@@ -81,7 +85,8 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
           for c in lcols])
     l = left.select(
-        F.col(on).alias("_k"), F.col(left_ts).alias("_ts"),
+        *[F.col(k).alias(kc) for k, kc in zip(keys, kcols)],
+        F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         F.lit(None).cast(right.schema[seq_col].dataType).alias("_seq"),
         F.lit(None).cast(vtype).alias("_vals"),
@@ -92,7 +97,7 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
         order = [F.asc("_ts"), F.asc("_side"), F.asc("_seq")]
     else:
         order = [F.desc("_ts"), F.asc("_side"), F.desc("_seq")]
-    w = (Window.partitionBy("_k").orderBy(*order)
+    w = (Window.partitionBy(*kcols).orderBy(*order)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     carried = u.select(
         "_side",

@@ -183,3 +183,32 @@ def test_approx_quantiles_rank_error_bound(spark):
             hi = bisect.bisect_right(s, got)
             dist = min(abs(lo - target), abs(hi - target))
             assert dist <= n // acc + 1, (et, p, dist, n)
+
+
+def test_asof_composite_key_matches_bruteforce(spark):
+    """asof_join with a (k1, k2) composite key equals the inequality-join
+    definition — keys must never cross-match."""
+    left = spark.range(90).select(
+        F.col("id").alias("lid"), (F.col("id") % 3).alias("k1"),
+        (F.col("id") % 2).alias("k2"),
+        F.timestamp_seconds(1_700_000_000
+                            + (F.xxhash64("id") % 3600)).alias("ts"))
+    right = spark.range(60).select(
+        F.col("id").alias("rid"), (F.col("id") % 3).alias("k1"),
+        (F.col("id") % 2).alias("k2"),
+        F.timestamp_seconds(1_700_000_000
+                            + (F.xxhash64("id", F.lit(7)) % 3600)).alias("ts"))
+    got = {(r["lid"], r["rid_asof"])
+           for r in asof_join(left, right, on=("k1", "k2"),
+                              value_cols=("rid",), seq_col="rid").collect()}
+    left.createOrReplaceTempView("ck_l")
+    right.createOrReplaceTempView("ck_r")
+    want = {(r["lid"], r["rid"]) for r in spark.sql("""
+        SELECT l.lid, m.rid FROM ck_l l LEFT JOIN (
+          SELECT l.lid AS mlid, r.rid,
+                 row_number() OVER (PARTITION BY l.lid
+                                    ORDER BY r.ts DESC, r.rid DESC) AS rn
+          FROM ck_l l JOIN ck_r r
+            ON l.k1 = r.k1 AND l.k2 = r.k2 AND r.ts <= l.ts
+        ) m ON m.mlid = l.lid AND m.rn = 1""").collect()}
+    assert got == want
