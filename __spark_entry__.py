@@ -278,6 +278,20 @@ def q_dedup_components(spark, sf_dir):
     return connected_components(edges).select("node", "component")
 
 
+def q_dedup_components_twophase(spark, sf_dir):
+    """Same component semantics, DIFFERENT algorithm: the alternating
+    large-star/small-star variant (Kiveris et al.; O(log n) rounds on
+    adversarial chain graphs) must produce exactly the hash-to-min /
+    recursive-CTE result — a three-way algorithm cross-check."""
+    from kg.canon import connected_components
+    pairs = kgdedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=2,
+                                        threshold=0.5, text_col="text",
+                                        id_col="doc_id")
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    return (connected_components(edges, algorithm="two_phase")
+            .select("node", "component"))
+
+
 def q_canon_part_of(spark, sf_dir):
     """Canonicalized PART_OF triples: doc objects of near-duplicate documents
     rewritten to the cluster-minimum doc id (entity-canonicalization shape
@@ -674,6 +688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_fast": q_dedup_simhash_fast,
         "dedup_components": q_dedup_components,
+        "dedup_components_twophase": q_dedup_components_twophase,
         "canon_part_of": q_canon_part_of,
         "link_mentions": q_link_mentions,
         "extract_units": q_extract_units,
@@ -1018,6 +1033,10 @@ def oracle_sql() -> dict[str, str]:
           UNION
           SELECT reach.node, p.b AS r FROM reach JOIN pairs p ON p.a = reach.r)
         SELECT node, min(r) AS component FROM reach GROUP BY node"""
+
+    # same oracle, different Spark algorithm (large-star/small-star) —
+    # three-way cross-check of the component semantics
+    sqls["dedup_components_twophase"] = sqls["dedup_components"]
 
     sqls["canon_part_of"] = f"""
         WITH RECURSIVE
