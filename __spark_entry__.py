@@ -561,6 +561,20 @@ def q_corpus_mixture(spark, sf_dir):
         default_rate=0.05).select("doc_id", "source")
 
 
+def q_kg_tag_cooccur(spark, sf_dir):
+    """The weighted tag co-occurrence edge table itself
+    (kg.graphrank.tag_cooccurrence_edges) — the graph users query for tag
+    associations over the reference's persisted Sentence-HAS_TAG-Tag
+    structure (ProcedureTest.java:114-124), and PageRank's input."""
+    from kg.annotate import annotate_graph_df
+    from kg.graphrank import tag_cooccurrence_edges
+    from kg.triples import explode_sentences, explode_tags, with_doc_key
+    ann = annotate_graph_df(with_doc_key(_docs(spark, sf_dir), ("doc_id",)),
+                            "text", TOK_SPEC)
+    tags = explode_tags(explode_sentences(ann))
+    return tag_cooccurrence_edges(tags).select("src", "dst", "weight")
+
+
 def q_kg_reannotate_merge(spark, sf_dir):
     """Incremental maintenance (kg.triples.reannotate_merge): docs with
     doc_id % 10 == 0 are re-annotated with a text suffix; the merged graph
@@ -718,6 +732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii": q_text_pii,
         "text_repetition": q_text_repetition,
         "kg_tag_pagerank": q_kg_tag_pagerank,
+        "kg_tag_cooccur": q_kg_tag_cooccur,
         "kg_reannotate_merge": q_kg_reannotate_merge,
         "dedup_contamination": q_dedup_contamination,
         "corpus_mixture": q_corpus_mixture,
@@ -1387,6 +1402,16 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY e.dst) s ON s.node = n.node)"""
     sqls["kg_tag_pagerank"] = _pr + """
         SELECT node, rank AS rank_micro FROM r10"""
+
+    sqls["kg_tag_cooccur"] = f"""
+        WITH kept AS (
+          SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id, unnest({_TOKS}) AS tok
+            FROM documents WHERE lang = 'en')
+          WHERE tok NOT IN {STOP_IN})
+        SELECT a.tok AS src, b.tok AS dst, count(*) AS weight
+        FROM kept a JOIN kept b USING (doc_id) WHERE a.tok <> b.tok
+        GROUP BY 1, 2"""
 
     # repetition: the oracle uses the plain relational definition
     # (unnest → per-(doc,gram) counts) — deliberately a DIFFERENT algorithm
