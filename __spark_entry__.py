@@ -267,28 +267,34 @@ def q_text_bpe_count(spark, sf_dir):
     return kgtext.bpe_ish_token_count(_docs(spark, sf_dir, None), "text", "doc_id")
 
 
+def _neardup_edges(spark, sf_dir):
+    """THE near-dup edge set (2-gram Jaccard >= 0.5 pairs) shared by both
+    connected-components queries — the three-way algorithm cross-check is
+    only meaningful over the identical graph."""
+    pairs = kgdedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=2,
+                                        threshold=0.5, text_col="text",
+                                        id_col="doc_id")
+    return pairs.select(F.col("id_a").alias("src"),
+                        F.col("id_b").alias("dst"))
+
+
 def q_dedup_components(spark, sf_dir):
     """Near-dup clusters: connected components over the 2-gram-Jaccard>=0.5
     pair graph (kg.canon hash-to-min fixpoint vs DuckDB recursive CTE)."""
     from kg.canon import connected_components
-    pairs = kgdedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=2,
-                                        threshold=0.5, text_col="text",
-                                        id_col="doc_id")
-    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    return connected_components(edges).select("node", "component")
+    return (connected_components(_neardup_edges(spark, sf_dir))
+            .select("node", "component"))
 
 
 def q_dedup_components_twophase(spark, sf_dir):
     """Same component semantics, DIFFERENT algorithm: the alternating
     large-star/small-star variant (Kiveris et al.; O(log n) rounds on
     adversarial chain graphs) must produce exactly the hash-to-min /
-    recursive-CTE result — a three-way algorithm cross-check."""
+    recursive-CTE result — a three-way algorithm cross-check over the
+    shared _neardup_edges graph."""
     from kg.canon import connected_components
-    pairs = kgdedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=2,
-                                        threshold=0.5, text_col="text",
-                                        id_col="doc_id")
-    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    return (connected_components(edges, algorithm="two_phase")
+    return (connected_components(_neardup_edges(spark, sf_dir),
+                                 algorithm="two_phase")
             .select("node", "component"))
 
 
@@ -1371,19 +1377,24 @@ def oracle_sql() -> dict[str, str]:
                tok
         FROM kept"""
 
+    # shared tag/co-occurrence CTE text: kg_tag_pagerank and
+    # kg_tag_cooccur MUST see the identical graph — one string, two users
+    _kept_sql = f"""kept AS (
+          SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id, unnest({_TOKS}) AS tok
+            FROM documents WHERE lang = 'en')
+          WHERE tok NOT IN {STOP_IN})"""
+    _cooccur_sql = """edges AS (
+          SELECT a.tok AS src, b.tok AS dst, count(*) AS w
+          FROM kept a JOIN kept b USING (doc_id) WHERE a.tok <> b.tok
+          GROUP BY 1, 2)"""
+
     # PageRank: iteration unrolled as a generated CTE chain (a recursive
     # CTE can reference the working table only once, but each round needs
     # ranks joined through edges AND re-anchored on the full node set).
     _pr = f"""
-        WITH kept AS (
-          SELECT DISTINCT doc_id, tok FROM (
-            SELECT doc_id, unnest({_TOKS}) AS tok
-            FROM documents WHERE lang = 'en')
-          WHERE tok NOT IN {STOP_IN}),
-        edges AS (
-          SELECT a.tok AS src, b.tok AS dst, count(*) AS w
-          FROM kept a JOIN kept b USING (doc_id) WHERE a.tok <> b.tok
-          GROUP BY 1, 2),
+        WITH {_kept_sql},
+        {_cooccur_sql},
         deg AS (SELECT src, CAST(sum(w) AS BIGINT) AS wsum
                 FROM edges GROUP BY 1),
         nodes AS (SELECT DISTINCT src AS node FROM edges
@@ -1404,14 +1415,9 @@ def oracle_sql() -> dict[str, str]:
         SELECT node, rank AS rank_micro FROM r10"""
 
     sqls["kg_tag_cooccur"] = f"""
-        WITH kept AS (
-          SELECT DISTINCT doc_id, tok FROM (
-            SELECT doc_id, unnest({_TOKS}) AS tok
-            FROM documents WHERE lang = 'en')
-          WHERE tok NOT IN {STOP_IN})
-        SELECT a.tok AS src, b.tok AS dst, count(*) AS weight
-        FROM kept a JOIN kept b USING (doc_id) WHERE a.tok <> b.tok
-        GROUP BY 1, 2"""
+        WITH {_kept_sql},
+        {_cooccur_sql}
+        SELECT src, dst, w AS weight FROM edges"""
 
     # repetition: the oracle uses the plain relational definition
     # (unnest → per-(doc,gram) counts) — deliberately a DIFFERENT algorithm

@@ -75,6 +75,12 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | tuple[str, ...],
         + [T.StructField(f"{rts}{suffix}", right.schema[rts].dataType)])
 
     kcols = [f"_k{i}" for i in range(len(keys))]
+    # equi-join NULL semantics: a right row with any NULL key can never
+    # match (Window.partitionBy would otherwise group NULLs together and
+    # hand null-key left rows a phantom match); null-key LEFT rows stay —
+    # left-outer — and emit NULL values
+    for k in keys:
+        right = right.filter(F.col(k).isNotNull())
     r = right.select(
         *[F.col(k).alias(kc) for k, kc in zip(keys, kcols)],
         F.col(rts).alias("_ts"),

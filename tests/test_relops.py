@@ -212,3 +212,18 @@ def test_asof_composite_key_matches_bruteforce(spark):
             ON l.k1 = r.k1 AND l.k2 = r.k2 AND r.ts <= l.ts
         ) m ON m.mlid = l.lid AND m.rn = 1""").collect()}
     assert got == want
+
+
+def test_asof_null_keys_never_match(spark):
+    """Equi-join NULL semantics: a NULL key on either side never matches
+    (left NULL-key rows survive with NULL values — left-outer)."""
+    left = spark.createDataFrame(
+        [("L1", None, _ts(10)), ("L2", "u1", _ts(10))],
+        "lid string, user string, ts timestamp")
+    right = spark.createDataFrame(
+        [("R1", None, _ts(5)), ("R2", "u1", _ts(5))],
+        "rid string, user string, ts timestamp")
+    out = {r["lid"]: r["rid_asof"]
+           for r in asof_join(left, right, on="user", value_cols=("rid",),
+                              seq_col="rid").collect()}
+    assert out == {"L1": None, "L2": "R2"}
