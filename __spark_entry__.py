@@ -424,6 +424,24 @@ def q_text_pack_shards(spark, sf_dir):
     return kgsampling.pack_shards(_docs(spark, sf_dir, None), max_tokens=256)
 
 
+def q_text_emit_shards(spark, sf_dir):
+    """Materialized packed shards (kg.sampling.emit_shards): the actual
+    training samples, text md5'd to keep the compare row small — the md5
+    pins member ORDER, not just membership."""
+    out = kgsampling.emit_shards(_docs(spark, sf_dir, None), max_tokens=256)
+    return out.select("bucket", "shard_seq", "n_docs", "shard_tokens",
+                      F.md5("text").alias("text_md5"))
+
+
+def q_ann_knn_classify(spark, sf_dir):
+    """Majority-vote k-NN over exact cosine top-5
+    (kg.similarity.knn_classify) against the embeddings label column."""
+    emb = _read("embeddings")(spark, sf_dir)
+    queries = (emb.filter(F.col("vec_id") < 20)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return kgsim.knn_classify(emb, queries, k=5)
+
+
 def _dec(c):
     return F.col(c).cast("decimal(18,2)")
 
@@ -727,6 +745,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample": q_corpus_sample,
         "corpus_split": q_corpus_split,
         "text_pack_shards": q_text_pack_shards,
+        "text_emit_shards": q_text_emit_shards,
+        "ann_knn_classify": q_ann_knn_classify,
         "rel_q1_pricing": q_rel_q1_pricing,
         "rel_q3_revenue": q_rel_q3_revenue,
         "rel_events_gap": q_rel_events_gap,
@@ -1262,6 +1282,48 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY bucket ORDER BY doc
                 ROWS UNBOUNDED PRECEDING) AS run
               FROM base)"""
+
+    sqls["text_emit_shards"] = f"""
+        WITH base AS (
+          SELECT doc_id AS doc, text,
+                 CAST(((strpos('0123456789abcdef', substr({_MD5KEY}, 1, 1)) - 1) * 16
+                  + strpos('0123456789abcdef', substr({_MD5KEY}, 2, 1)) - 1) % 16 AS INT)
+                   AS bucket,
+                 CAST(len({_TOKS}) AS INT) AS n_tokens
+          FROM documents),
+        a AS (
+          SELECT *, CAST((run - n_tokens) // 256 AS INT) AS shard_seq
+          FROM (SELECT *, sum(n_tokens) OVER (
+                  PARTITION BY bucket ORDER BY doc
+                  ROWS UNBOUNDED PRECEDING) AS run
+                FROM base))
+        SELECT bucket, shard_seq, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+               md5(string_agg(text, ' ' ORDER BY doc)) AS text_md5
+        FROM a GROUP BY 1, 2"""
+
+    sqls["ann_knn_classify"] = """
+        WITH topk AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY list_cosine_similarity(
+                                CAST(e.embedding AS DOUBLE[]),
+                                CAST(q.embedding AS DOUBLE[])) DESC,
+                              e.vec_id ASC) AS rank
+            FROM embeddings e, embeddings q
+            WHERE q.vec_id < 20 AND e.vec_id <> q.vec_id)
+          WHERE rank <= 5),
+        votes AS (
+          SELECT t.query_id, l.label AS nbr_label, count(*) AS votes
+          FROM topk t JOIN embeddings l ON l.vec_id = t.neighbor_id
+          GROUP BY 1, 2)
+        SELECT query_id, nbr_label AS predicted_label, votes FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY votes DESC, nbr_label ASC) AS r
+          FROM votes)
+        WHERE r = 1"""
 
     sqls["rel_q1_pricing"] = """
         SELECT l_returnflag, l_linestatus,

@@ -79,6 +79,36 @@ def split_assign(df: DataFrame,
     return df.withColumn(out_col, expr)
 
 
+def emit_shards(df: DataFrame, max_tokens: int = 1024,
+                text_col: str = "text", id_col: str = "doc_id",
+                buckets: int = 16, extra_group_cols: tuple[str, ...] = (),
+                sep: str = " ") -> DataFrame:
+    """Materialize the packed training samples: one row per shard with the
+    member documents' text concatenated in doc-id order —
+    (*extra_group_cols, bucket, shard_seq, n_docs, shard_tokens, text).
+
+    Determinism: collect_list order is NOT deterministic under Spark's
+    execution, so members are collected as (doc, text) structs and
+    array_sort'ed before joining — the shard text is a pure function of
+    the data.  Shuffle shape: the pack window (per bucket) plus one
+    groupBy on (group, bucket, shard_seq); shard groups are budget-bounded
+    (~max_tokens), so no group exceeds executor memory."""
+    assigned = pack_shards(df, max_tokens, text_col, id_col, buckets,
+                           extra_group_cols)
+    docs = df.select(F.col(id_col).alias("doc"),
+                     F.col(text_col).alias("_t"))
+    return (assigned.join(docs, "doc")
+            .groupBy(*extra_group_cols, "bucket", "shard_seq")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("shard_tokens"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.struct(F.col("doc"), F.col("_t")))),
+                         lambda s: s["_t"]),
+                     sep).alias("text")))
+
+
 def mixture_sample(df: DataFrame, rates: dict[str, float],
                    domain_col: str = "source", default_rate: float = 0.0,
                    key_col: str = "doc_id") -> DataFrame:

@@ -60,6 +60,34 @@ def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
                     F.round(F.col("cos"), 6).alias("cosine")))
 
 
+def knn_classify(emb: DataFrame, queries: DataFrame, k: int = 5,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 label_col: str = "label", qid_col: str = "query_id",
+                 qvec_col: str = "embedding") -> DataFrame:
+    """Majority-vote k-NN classification: each query's label is the most
+    common label among its exact cosine top-k neighbors (ties broken by
+    the smallest label — deterministic).  Returns
+    (query_id, predicted_label, votes).
+
+    The classification layer over `cosine_topk`; at scale swap the
+    neighbor source for `lsh_topk`/`ivf_topk` (same output contract) and
+    the vote aggregation is unchanged."""
+    from pyspark.sql.window import Window
+
+    top = cosine_topk(emb, queries, k, id_col, vec_col, qid_col, qvec_col)
+    labels = emb.select(F.col(id_col).alias("neighbor_id"),
+                        F.col(label_col).alias("nbr_label"))
+    votes = (top.join(labels, "neighbor_id")
+             .groupBy("query_id", "nbr_label")
+             .agg(F.count("*").alias("votes")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("votes"),
+                                               F.asc("nbr_label"))
+    return (votes.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .select("query_id", F.col("nbr_label").alias("predicted_label"),
+                    "votes"))
+
+
 def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
     """Deterministic pseudo-random unit-free hyperplanes: components derived
     from md5(plane,i) → signed ints.  No RNG state, reproducible across

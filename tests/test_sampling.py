@@ -113,3 +113,38 @@ def test_mixture_sample_nests_with_hash_sample(spark):
     plain = {r["doc_id"] for r in hash_sample(
         df.filter("source = 'src1'"), 0.25).collect()}
     assert mixed == plain
+
+
+def test_emit_shards_text_and_budget(spark):
+    """Packed shard text equals the doc-id-ordered concatenation of its
+    members; token sums match; every doc lands in exactly one shard."""
+    import hashlib
+
+    from kg.sampling import emit_shards
+    rows = [(i, " ".join(f"t{i}x{j}" for j in range(3 + i % 5)))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = emit_shards(df, max_tokens=20, buckets=4).collect()
+    # python replay of bucket/pack then concat
+    by_bucket = {}
+    for i, text in rows:
+        h = hashlib.md5(str(i).encode()).hexdigest()
+        b = (int(h[0], 16) * 16 + int(h[1], 16)) % 4
+        by_bucket.setdefault(b, []).append((i, text))
+    want = {}
+    for b, items in by_bucket.items():
+        run = 0
+        for doc, text in sorted(items):
+            seq = run // 20
+            key = (b, seq)
+            n = len(text.split(" "))
+            if key in want:
+                d, t, tok = want[key]
+                want[key] = (d + 1, t + " " + text, tok + n)
+            else:
+                want[key] = (1, text, n)
+            run += n
+    got = {(r["bucket"], r["shard_seq"]):
+           (r["n_docs"], r["text"], r["shard_tokens"]) for r in out}
+    assert got == want
+    assert sum(r["n_docs"] for r in out) == 60

@@ -104,3 +104,20 @@ def test_ivf_hash_topk_recall_and_determinism(emb, queries):
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
     recall = len(exact & _pairs(a)) / len(exact)
     assert recall >= 0.3, recall
+
+
+def test_knn_classify_majority_and_ties(spark):
+    """Majority vote over exact top-k; vote ties resolve to the smallest
+    label (kg.similarity.knn_classify)."""
+    from kg.similarity import knn_classify
+    # 1-d embeddings: three tight clusters with labels 0/1/2
+    rows = ([(i, [1.0, 0.0], 0) for i in range(4)]
+            + [(10 + i, [0.0, 1.0], 1) for i in range(4)]
+            + [(20 + i, [0.70710678, 0.70710678], 2) for i in range(2)])
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<float>, label int")
+    q = spark.createDataFrame([(0, [1.0, 0.0]), (10, [0.0, 1.0])],
+                              "query_id long, embedding array<float>")
+    out = {r["query_id"]: r["predicted_label"]
+           for r in knn_classify(emb, q, k=3).collect()}
+    assert out == {0: 0, 10: 1}
