@@ -41,6 +41,7 @@ HEADLINE = [
     "dedup_contamination",   # broadcast benchmark-shingle overlap
     "kg_tag_pagerank",       # 10 iterative join-agg rounds (kg.graphrank)
     "corpus_curated",        # end-to-end curation gate chain
+    "text_emit_shards",      # packed training-sample emission
 ]
 
 

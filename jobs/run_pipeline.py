@@ -22,6 +22,13 @@ reading --input (benchmarks / smoke runs).
 
 from __future__ import annotations
 
+import os
+import sys
+
+# runnable as `python jobs/<job>.py` and via spark-submit: the repo root
+# (kg/) is this file's parent directory, not sys.path[0] (= jobs/)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import json
 import sys
