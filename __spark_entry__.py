@@ -1318,6 +1318,7 @@ def oracle_sql() -> dict[str, str]:
         votes AS (
           SELECT t.query_id, l.label AS nbr_label, count(*) AS votes
           FROM topk t JOIN embeddings l ON l.vec_id = t.neighbor_id
+          WHERE l.label IS NOT NULL
           GROUP BY 1, 2)
         SELECT query_id, nbr_label AS predicted_label, votes FROM (
           SELECT *, row_number() OVER (PARTITION BY query_id

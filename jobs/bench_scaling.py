@@ -26,9 +26,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import json
-import os
 import subprocess
-import sys
 
 _GEN = r"""
 import sys

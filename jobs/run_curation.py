@@ -35,7 +35,6 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import json
-import sys
 
 from pyspark.sql import SparkSession, functions as F
 

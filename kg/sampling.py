@@ -91,21 +91,22 @@ def emit_shards(df: DataFrame, max_tokens: int = 1024,
     execution, so members are collected as (doc, text) structs and
     array_sort'ed before joining — the shard text is a pure function of
     the data.  Shuffle shape: the pack window (per bucket) plus one
-    groupBy on (group, bucket, shard_seq); shard groups are budget-bounded
+    groupBy on (group, bucket, shard_seq) — text rides THROUGH the pack
+    window (keep_cols), not via a join back to the corpus, which would
+    add a full-corpus shuffle + second scan and silently drop NULL-id
+    rows the window keeps.  Shard groups are budget-bounded
     (~max_tokens), so no group exceeds executor memory."""
     assigned = pack_shards(df, max_tokens, text_col, id_col, buckets,
-                           extra_group_cols)
-    docs = df.select(F.col(id_col).alias("doc"),
-                     F.col(text_col).alias("_t"))
-    return (assigned.join(docs, "doc")
+                           extra_group_cols, keep_cols=(text_col,))
+    return (assigned
             .groupBy(*extra_group_cols, "bucket", "shard_seq")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n_tokens").alias("shard_tokens"),
                  F.array_join(
                      F.transform(
                          F.array_sort(F.collect_list(
-                             F.struct(F.col("doc"), F.col("_t")))),
-                         lambda s: s["_t"]),
+                             F.struct(F.col("doc"), F.col(text_col)))),
+                         lambda s: s[text_col]),
                      sep).alias("text")))
 
 
@@ -146,7 +147,8 @@ def _md5_bucket(key_col: str, buckets: int) -> Column:
 def pack_shards(df: DataFrame, max_tokens: int = 1024,
                 text_col: str = "text", id_col: str = "doc_id",
                 buckets: int = 16,
-                extra_group_cols: tuple[str, ...] = ()) -> DataFrame:
+                extra_group_cols: tuple[str, ...] = (),
+                keep_cols: tuple[str, ...] = ()) -> DataFrame:
     """(doc, [extra groups], bucket, shard_seq, n_tokens): greedy
     token-budget packing within hash buckets.  Shards are ~max_tokens (a
     document may straddle a boundary — fixed-budget offset packing, the
@@ -163,7 +165,8 @@ def pack_shards(df: DataFrame, max_tokens: int = 1024,
         F.col(id_col).alias("doc"),
         *[F.col(c) for c in extra_group_cols],
         _md5_bucket(id_col, buckets).alias("bucket"),
-        F.size(tokens_col(text_col)).alias("n_tokens"))
+        F.size(tokens_col(text_col)).alias("n_tokens"),
+        *[F.col(c) for c in keep_cols])
     w = (Window.partitionBy(*extra_group_cols, "bucket").orderBy("doc")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return (base
@@ -172,4 +175,4 @@ def pack_shards(df: DataFrame, max_tokens: int = 1024,
                         F.expr(f"cast((_run - n_tokens) div {int(max_tokens)}"
                                " as int)"))
             .select("doc", *extra_group_cols, "bucket", "shard_seq",
-                    "n_tokens"))
+                    "n_tokens", *keep_cols))

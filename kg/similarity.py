@@ -75,8 +75,12 @@ def knn_classify(emb: DataFrame, queries: DataFrame, k: int = 5,
     from pyspark.sql.window import Window
 
     top = cosine_topk(emb, queries, k, id_col, vec_col, qid_col, qvec_col)
-    labels = emb.select(F.col(id_col).alias("neighbor_id"),
-                        F.col(label_col).alias("nbr_label"))
+    # unlabeled neighbors carry no vote: a classifier must never predict
+    # NULL, and NULL ordering differs across engines (Spark NULLS FIRST
+    # vs DuckDB NULLS LAST) so dropping them keeps the oracle exact
+    labels = (emb.filter(F.col(label_col).isNotNull())
+              .select(F.col(id_col).alias("neighbor_id"),
+                      F.col(label_col).alias("nbr_label")))
     votes = (top.join(labels, "neighbor_id")
              .groupBy("query_id", "nbr_label")
              .agg(F.count("*").alias("votes")))

@@ -121,3 +121,30 @@ def test_knn_classify_majority_and_ties(spark):
     out = {r["query_id"]: r["predicted_label"]
            for r in knn_classify(emb, q, k=3).collect()}
     assert out == {0: 0, 10: 1}
+
+
+def test_knn_classify_actual_tie_breaks_to_smallest_label(spark):
+    """A genuine 2-2 vote split must resolve to the SMALLEST label."""
+    from kg.similarity import knn_classify
+    rows = [(1, [1.0, 0.0], 7), (2, [0.99, 0.14], 3),
+            (3, [0.98, 0.19], 7), (4, [0.97, 0.24], 3),
+            (9, [0.0, 1.0], 5)]
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<float>, label int")
+    q = spark.createDataFrame([(100, [1.0, 0.0])],
+                              "query_id long, embedding array<float>")
+    row = knn_classify(emb, q, k=4).first()
+    assert row["predicted_label"] == 3 and row["votes"] == 2
+
+
+def test_knn_classify_null_labels_carry_no_vote(spark):
+    """Unlabeled neighbors are excluded: the prediction is never NULL."""
+    from kg.similarity import knn_classify
+    rows = [(1, [1.0, 0.0], None), (2, [0.99, 0.14], None),
+            (3, [0.98, 0.19], 4), (9, [0.0, 1.0], 5)]
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<float>, label int")
+    q = spark.createDataFrame([(100, [1.0, 0.0])],
+                              "query_id long, embedding array<float>")
+    row = knn_classify(emb, q, k=3).first()
+    assert row["predicted_label"] == 4 and row["votes"] == 1
