@@ -599,6 +599,48 @@ def q_kg_tag_cooccur(spark, sf_dir):
     return tag_cooccurrence_edges(tags).select("src", "dst", "weight")
 
 
+def q_kg_path_doc_tag(spark, sf_dir):
+    """Cypher-traversal parity (kg.query.expand_path): the reference's
+    AnnotatedText→Sentence→Tag walk (ProcedureTest.java:104-137) as a
+    two-hop path pattern over the triple table — doc ←PART_OF─ sentence
+    ─HAS_TAG→ tag."""
+    from kg.query import expand_path
+    # the two hops branch the triple frame; it is annotate-UDF-rooted here
+    # (not parquet-backed), so cut the lineage once (perf rule 7)
+    t = _en_triples(spark, sf_dir, TOK_SPEC).localCheckpoint()
+    return expand_path(t, [("PART_OF", "<"), "HAS_TAG"]).select(
+        F.col("n0").alias("doc_uid"), F.col("n1").alias("sentence_id"),
+        F.col("n2").alias("tag_uid"))
+
+
+def q_kg_node_degree(spark, sf_dir):
+    """Graph profiling (kg.query.node_degrees): per-node out/in degree over
+    the full constructed triple set — the hub-detection query that feeds
+    traversal fan-out caps and materialization salt decisions."""
+    from kg.query import node_degrees
+    return node_degrees(_en_triples(spark, sf_dir, TOK_SPEC))
+
+
+def q_kg_tag_communities(spark, sf_dir):
+    """Deterministic label-propagation communities
+    (kg.graphrank.label_propagation) over the SAME tag co-occurrence
+    graph kg_tag_pagerank ranks: 4 synchronous rounds, (max weight, min
+    label) tie-break, no RNG — the oracle replays the identical rounds
+    as a generated CTE chain."""
+    from kg.graphrank import label_propagation, tag_cooccurrence_edges
+    ann = annotate_graph_df(with_doc_key(_docs(spark, sf_dir), ("doc_id",)),
+                            "text", TOK_SPEC)
+    tags = explode_tags(explode_sentences(ann))
+    return label_propagation(tag_cooccurrence_edges(tags), iterations=4)
+
+
+def q_text_lm_surprisal(spark, sf_dir):
+    """Unigram-LM surprisal quality score (kg.textstats.lm_surprisal):
+    the CCNet-style perplexity-proxy curation filter, with an integer
+    floor-log2 surrogate so the score is exactly engine-portable."""
+    return kgtext.lm_surprisal(_docs(spark, sf_dir, None), "text", "doc_id")
+
+
 def q_kg_reannotate_merge(spark, sf_dir):
     """Incremental maintenance (kg.triples.reannotate_merge): docs with
     doc_id % 10 == 0 are re-annotated with a text suffix; the merged graph
@@ -759,6 +801,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "kg_tag_pagerank": q_kg_tag_pagerank,
         "kg_tag_cooccur": q_kg_tag_cooccur,
+        "kg_tag_communities": q_kg_tag_communities,
+        "kg_path_doc_tag": q_kg_path_doc_tag,
+        "kg_node_degree": q_kg_node_degree,
+        "text_lm_surprisal": q_text_lm_surprisal,
         "kg_reannotate_merge": q_kg_reannotate_merge,
         "dedup_contamination": q_dedup_contamination,
         "corpus_mixture": q_corpus_mixture,
@@ -1481,6 +1527,74 @@ def oracle_sql() -> dict[str, str]:
         WITH {_kept_sql},
         {_cooccur_sql}
         SELECT src, dst, w AS weight FROM edges"""
+
+    # label propagation: same graph, same unrolled-rounds pattern as
+    # pagerank; per round the (dst, label) weight sums feed a windowed
+    # argmax with the (weight DESC, label ASC) tie-break.
+    _lpa = f"""
+        WITH {_kept_sql},
+        {_cooccur_sql},
+        nodes AS (SELECT DISTINCT src AS node FROM edges
+                  UNION SELECT DISTINCT dst FROM edges),
+        e2 AS (SELECT src, dst, CAST(w AS BIGINT) AS w FROM edges
+               UNION ALL SELECT node, node, 0 FROM nodes),
+        l0 AS (SELECT node, node AS label FROM nodes)"""
+    for _i in range(1, 5):
+        _lpa += f""",
+        l{_i} AS (
+          SELECT node, label FROM (
+            SELECT dst AS node, label,
+                   row_number() OVER (PARTITION BY dst
+                                      ORDER BY s DESC, label) AS rn
+            FROM (SELECT e.dst, p.label, sum(e.w) AS s
+                  FROM l{_i - 1} p JOIN e2 e ON e.src = p.node
+                  GROUP BY 1, 2))
+          WHERE rn = 1)"""
+    sqls["kg_tag_communities"] = _lpa + """
+        SELECT node, label AS community FROM l4"""
+
+    sqls["kg_path_doc_tag"] = f"""
+        SELECT DISTINCT 'doc:' || doc_id AS doc_uid,
+               'sent:' || doc_id || ':0' AS sentence_id,
+               'tag:en:' || tok AS tag_uid
+        FROM (SELECT doc_id, unnest({_TOKS}) AS tok
+              FROM documents WHERE lang = 'en')
+        WHERE tok NOT IN {STOP_IN}"""
+
+    # degree over the full TOK_SPEC triple set: PART_OF + HAS_TAG (distinct
+    # per sentence) + TAG_OCCURS (one per occurrence); the corpus is
+    # single-sentence-per-doc so no NEXT_SENTENCE rows exist.
+    sqls["kg_node_degree"] = f"""
+        WITH occ AS (
+          SELECT doc_id, tok
+          FROM (SELECT doc_id, unnest({_TOKS}) AS tok
+                FROM documents WHERE lang = 'en')
+          WHERE tok NOT IN {STOP_IN}),
+        tr AS (
+          SELECT 'sent:' || doc_id || ':0' AS subj, 'doc:' || doc_id AS obj
+          FROM documents WHERE lang = 'en'
+          UNION ALL
+          SELECT DISTINCT 'sent:' || doc_id || ':0', 'tag:en:' || tok FROM occ
+          UNION ALL
+          SELECT 'tag:en:' || tok, 'sent:' || doc_id || ':0' FROM occ)
+        SELECT node, CAST(sum(o) AS BIGINT) AS out_degree,
+               CAST(sum(i) AS BIGINT) AS in_degree
+        FROM (SELECT subj AS node, 1 AS o, 0 AS i FROM tr
+              UNION ALL SELECT obj, 0, 1 FROM tr)
+        GROUP BY node"""
+
+    sqls["text_lm_surprisal"] = f"""
+        WITH tok AS (SELECT doc_id AS doc, unnest({_TOKS}) AS term
+                     FROM documents),
+        tf AS (SELECT doc, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        cnt AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY 1),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt)
+        SELECT doc, CAST(sum(tf) AS BIGINT) AS n_tokens,
+               CAST(sum(tf * length(bin(n // c))) AS BIGINT) AS total_bits,
+               (CAST(sum(tf * length(bin(n // c))) AS BIGINT) * 1000000)
+                 // CAST(sum(tf) AS BIGINT) AS avg_bits_micro
+        FROM tf JOIN cnt USING (term) CROSS JOIN tot
+        GROUP BY doc"""
 
     # repetition: the oracle uses the plain relational definition
     # (unnest → per-(doc,gram) counts) — deliberately a DIFFERENT algorithm

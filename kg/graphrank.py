@@ -83,6 +83,58 @@ def pagerank(edges: DataFrame, iterations: int = 10,
     return ranks
 
 
+def label_propagation(edges: DataFrame, iterations: int = 4,
+                      src_col: str = "src", dst_col: str = "dst",
+                      weight_col: str | None = "weight",
+                      checkpoint_every: int = 3) -> DataFrame:
+    """Community detection: synchronous weighted label propagation with the
+    published LPA's random visit order replaced by deterministic rules —
+    fixed synchronous rounds, candidate = neighbor label with the highest
+    incident weight sum, ties to the smallest label.  No RNG (CLAUDE.md
+    conventions); the DuckDB oracle replays the identical rounds as a
+    generated CTE chain, like pagerank above.
+
+    Returns (node, community) after `iterations` rounds; nodes initialise
+    to their own id, so a community is named by one of its members.
+
+    The reference side of this: the GraphAware NLP framework clusters the
+    persisted Tag co-occurrence graph for topic grouping (the same graph
+    ProcedureTest.java:114-124 asserts); pagerank ranks it, this groups it.
+
+    Scale shape: two shuffles per round, both keyed on the node —
+    (dst, label) weight sums, then the per-dst argmax (the second
+    aggregate's input is community-sized, far smaller than the edge
+    table).  The zero-weight self-loop trick (see pagerank) keeps every
+    node present as a dst — an isolated node's only candidate is its own
+    label at weight 0, so it keeps it; real neighbors (w >= 1) always
+    outvote the self loop."""
+    raw = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
+        (F.col(weight_col) if weight_col else F.lit(1))
+        .cast("bigint").alias("w"))
+    nodes = (raw.select(F.col("src").alias("node"))
+             .union(raw.select(F.col("dst").alias("node"))).distinct())
+    loops = nodes.select(F.col("node").alias("src"),
+                         F.col("node").alias("dst"),
+                         F.lit(0).cast("bigint").alias("w"))
+    e = raw.unionByName(loops).persist()
+    labels = nodes.withColumn("label", F.col("node"))
+    for i in range(iterations):
+        cand = (e.join(labels, e.src == labels.node)
+                .groupBy("dst", "label").agg(F.sum("w").alias("s")))
+        # argmax by (weight desc, label asc): min over (-s, label) structs
+        labels = (cand.groupBy("dst")
+                  .agg(F.min(F.struct((-F.col("s")).alias("ns"),
+                                      F.col("label").alias("l"))).alias("b"))
+                  .select(F.col("dst").alias("node"),
+                          F.col("b.l").alias("label")))
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            labels = labels.localCheckpoint()
+    labels = labels.localCheckpoint()
+    e.unpersist()
+    return labels.select("node", F.col("label").alias("community"))
+
+
 def tag_cooccurrence_edges(tags: DataFrame, doc_col: str = "doc_key",
                            tag_col: str = "lemma",
                            materialize: bool = True) -> DataFrame:

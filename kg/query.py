@@ -1,0 +1,115 @@
+"""Graph-query operators over the materialized (subj, pred, obj) triple
+table: n-hop path-pattern expansion and node degrees.
+
+Reference parity: the reference persists its graph into Neo4j and users
+consume it with Cypher traversals — ProcedureTest.java:104-137 asserts
+the (AnnotatedText)-[:CONTAINS_SENTENCE]->(Sentence)-[:HAS_TAG]->(Tag)
+shape and queries walk it.  Here the same traversals are expressed as
+equi-join pipelines over the triple DataFrame: one pred-filtered edge
+frame per hop, joined on the frontier node.
+
+Scale shape: each hop is a shuffle join keyed on the frontier node — the
+minimum for a distributed traversal (successive hops key on different
+columns, so their exchanges cannot be reused).  The pred filter reaches
+the scan (partition-prune on a pred-partitioned triple table, see
+kg.materialize); hub nodes (a tag in millions of sentences) are the
+fan-out risk — `max_fanout` caps a node's out-edges per hop
+deterministically (lowest-sorting neighbors kept), the same guard shape
+as kg.dedup's `max_df`.  All built-ins, zero Python UDFs, zero collects.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+Step = "str | tuple[str, str]"
+
+
+def step_edges(triples: DataFrame, pred: str,
+               reverse: bool = False) -> DataFrame:
+    """(a, b) edge frame for one predicate; reverse=True walks the edge
+    backwards (Cypher's `<-[:PRED]-`)."""
+    src, dst = ("obj", "subj") if reverse else ("subj", "obj")
+    return (triples.filter(F.col("pred") == pred)
+            .select(F.col(src).alias("a"), F.col(dst).alias("b")))
+
+
+def _parse(step) -> tuple[str, bool]:
+    if isinstance(step, str):
+        return step, False
+    pred, direction = step
+    if direction not in ("<", ">"):
+        raise ValueError(f"step direction must be '<' or '>', got {direction!r}")
+    return pred, direction == "<"
+
+
+def expand_path(triples: DataFrame, steps: Sequence,
+                distinct: bool = True,
+                max_fanout: int | None = None) -> DataFrame:
+    """Match a fixed-length path pattern; returns (n0, n1, ..., nk).
+
+    `steps` is a sequence of predicate names or (pred, '<'|'>') tuples;
+    '<' walks the triple obj→subj (inverse direction).  E.g. the
+    reference's document→tag traversal over this engine's inverted
+    PART_OF edges:
+
+        expand_path(t, [("PART_OF", "<"), "HAS_TAG"])
+        # n0=doc ←PART_OF─ n1=sentence ─HAS_TAG→ n2=tag
+
+    `distinct` collapses duplicate paths (TAG_OCCURS emits one row per
+    occurrence; traversals usually want the reachability set).
+    `max_fanout` keeps only that many out-edges per frontier node per hop
+    (deterministic: lowest-sorting destinations), bounding hub blow-up.
+
+    Each step filters `triples` again — k steps = k pred-filtered branches
+    of the input.  Over a parquet/Iceberg-backed triple table that is the
+    RIGHT plan (k pruned scans, pred pushed down); over an
+    annotate-UDF-rooted frame it re-executes the UDF per branch
+    (CLAUDE.md perf rule 7) — localCheckpoint such inputs first, as
+    q_kg_path_doc_tag does."""
+    if not steps:
+        raise ValueError("expand_path needs at least one step")
+    pred0, rev0 = _parse(steps[0])
+    frontier = step_edges(triples, pred0, rev0)
+    if max_fanout is not None:
+        frontier = _cap_fanout(frontier, max_fanout)
+    frontier = frontier.select(F.col("a").alias("n0"), F.col("b").alias("n1"))
+    for k, step in enumerate(steps[1:], start=2):
+        pred, rev = _parse(step)
+        hop = step_edges(triples, pred, rev)
+        if max_fanout is not None:
+            hop = _cap_fanout(hop, max_fanout)
+        frontier = (frontier
+                    .join(hop, frontier[f"n{k - 1}"] == hop["a"])
+                    .drop("a").withColumnRenamed("b", f"n{k}"))
+    return frontier.distinct() if distinct else frontier
+
+
+def _cap_fanout(edges: DataFrame, max_fanout: int) -> DataFrame:
+    w = Window.partitionBy("a").orderBy("b")
+    return (edges.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_fanout).drop("_rn"))
+
+
+def node_degrees(triples: DataFrame) -> DataFrame:
+    """(node, out_degree, in_degree) over the whole graph — the first
+    profiling query on any constructed KG (hub detection feeds
+    `max_fanout` above and the salting decisions in kg.materialize).
+
+    ONE pass + one hash aggregate with map-side partial combine — the two
+    endpoints are emitted as an in-row array + explode, NOT a union of
+    two projections: a union branches the input lineage, which re-executes
+    an annotate-UDF-rooted child once per branch (CLAUDE.md perf rule 3/7);
+    the explode keeps a single scan whatever the lineage."""
+    ends = (triples.select(F.explode(F.array(
+        F.struct(F.col("subj").alias("node"),
+                 F.lit(1).alias("o"), F.lit(0).alias("i")),
+        F.struct(F.col("obj").alias("node"),
+                 F.lit(0).alias("o"), F.lit(1).alias("i")))).alias("e"))
+        .select("e.*"))
+    return (ends.groupBy("node")
+            .agg(F.sum("o").cast("bigint").alias("out_degree"),
+                 F.sum("i").cast("bigint").alias("in_degree")))

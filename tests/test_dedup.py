@@ -286,3 +286,23 @@ def test_repetition_and_gopher_fuzz_200_docs(spark):
                   and 3_000_000 <= (chars * 1_000_000) // n <= 10_000_000
                   and (alpha * 1_000_000) // n >= 800_000 and kinds >= 2)
         assert got_gop[i] == passes, (i, text)
+
+
+def test_lm_surprisal_hand_computed(spark):
+    """bits = length(bin(N div c)); N=5: a→(5 div 3)=1→1 bit, b/c→5→'101'→3."""
+    from kg.textstats import lm_surprisal
+    docs = spark.createDataFrame([(1, "a a b"), (2, "a c")],
+                                 "doc_id long, text string")
+    got = {r["doc"]: (r["n_tokens"], r["total_bits"], r["avg_bits_micro"])
+           for r in lm_surprisal(docs).collect()}
+    assert got[1] == (3, 2 * 1 + 3, (5 * 1_000_000) // 3)
+    assert got[2] == (2, 1 + 3, 2_000_000)
+
+
+def test_lm_surprisal_rare_scores_above_boilerplate(spark):
+    from kg.textstats import lm_surprisal
+    common = [(i, "the cat sat on the mat") for i in range(20)]
+    rare = [(100, "zyzzyva quokka axolotl")]
+    docs = spark.createDataFrame(common + rare, "doc_id long, text string")
+    got = {r["doc"]: r["avg_bits_micro"] for r in lm_surprisal(docs).collect()}
+    assert got[100] > got[0]

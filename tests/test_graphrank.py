@@ -80,3 +80,59 @@ def test_textrank_end_to_end(spark):
     # "spark" co-occurs with the most distinct terms across the most docs
     assert got["spark"] == max(got.values())
     assert all(v > 0 for v in got.values())
+
+
+def py_lpa(edges, iters=4):
+    """Pure-Python replay of kg.graphrank.label_propagation semantics."""
+    nodes = {s for s, _, _ in edges} | {t for _, t, _ in edges}
+    label = {n: n for n in nodes}
+    full = edges + [(n, n, 0) for n in nodes]
+    for _ in range(iters):
+        acc = collections.defaultdict(int)
+        for u, v, w in full:
+            acc[(v, label[u])] += w
+        nxt = {}
+        for (v, l), s in acc.items():
+            cur = nxt.get(v)
+            if cur is None or (-s, l) < cur:
+                nxt[v] = (-s, l)
+        label = {v: l for v, (_, l) in nxt.items()}
+    return label
+
+
+def test_label_propagation_matches_python_replay(spark):
+    from kg.graphrank import label_propagation
+    # two triangles bridged by one weak edge
+    und = [("a", "b", 2), ("b", "c", 2), ("a", "c", 2),
+           ("x", "y", 2), ("y", "z", 2), ("x", "z", 2),
+           ("c", "x", 1)]
+    edges = und + [(t, s, w) for s, t, w in und]
+    df = spark.createDataFrame(edges, "src string, dst string, weight long")
+    got = {r["node"]: r["community"]
+           for r in label_propagation(df, iterations=4).collect()}
+    assert got == py_lpa(edges, iters=4)
+    # the two triangles end in different communities
+    assert len({got["a"], got["b"], got["c"]}) == 1
+    assert len({got["x"], got["y"], got["z"]}) == 1
+    assert got["a"] != got["x"]
+
+
+def test_label_propagation_isolated_self_loop_keeps_label(spark):
+    from kg.graphrank import label_propagation
+    # q only ever appears as a src: its self-loop is its only in-candidate
+    edges = [("q", "a", 1), ("a", "b", 3), ("b", "a", 3)]
+    df = spark.createDataFrame(edges, "src string, dst string, weight long")
+    got = {r["node"]: r["community"]
+           for r in label_propagation(df, iterations=3).collect()}
+    assert got["q"] == "q"
+    assert got == py_lpa(edges, iters=3)
+
+
+def test_label_propagation_tie_breaks_to_smallest_label(spark):
+    from kg.graphrank import label_propagation
+    # v gets equal-weight votes from m and z: smallest label wins round 1
+    edges = [("m", "v", 5), ("z", "v", 5)]
+    df = spark.createDataFrame(edges, "src string, dst string, weight long")
+    got = {r["node"]: r["community"]
+           for r in label_propagation(df, iterations=1).collect()}
+    assert got["v"] == "m"

@@ -166,3 +166,40 @@ def test_textrank_cooccurrence_single_udf_execution(spark, corpus_path):
     edges = tag_cooccurrence_edges(tags)
     plan = _plan(edges)
     assert plan.count("ArrowEvalPython") == 0
+
+
+def test_node_degrees_single_udf_no_union(spark, corpus_path):
+    """Degree profiling over UDF-rooted triples must not branch the
+    lineage: one ArrowEvalPython, no Union in the plan."""
+    from kg.query import node_degrees
+    df = spark.read.parquet(corpus_path)
+    plan = _plan(node_degrees(annotate_to_triples(df)))
+    assert plan.count("ArrowEvalPython") == 1
+    assert "Union" not in plan
+
+
+def test_expand_path_pushes_pred_filter_to_scan(spark, corpus_path, tmp_path):
+    """Over a parquet-backed triple table each hop is a pruned scan with
+    the pred filter pushed down — the 100 TB shape."""
+    from kg.query import expand_path
+    tp = str(tmp_path / "triples")
+    annotate_to_triples(spark.read.parquet(corpus_path)) \
+        .select("subj", "pred", "obj").write.parquet(tp)
+    t = spark.read.parquet(tp)
+    plan = _plan(expand_path(t, [("PART_OF", "<"), "HAS_TAG"]))
+    assert plan.count("PushedFilters") >= 2
+    assert "pred" in plan.split("PushedFilters")[1][:200]
+    assert "ArrowEvalPython" not in plan
+
+
+def test_lm_surprisal_broadcasts_total_and_prunes_scan(spark, corpus_path):
+    """The corpus-total N must ride in via a broadcast of a single-row
+    aggregate (no shuffle for the scalar), and the scan reads only the
+    two referenced columns."""
+    from kg.textstats import lm_surprisal
+    df = spark.read.parquet(corpus_path).withColumnRenamed("content", "text") \
+        .withColumnRenamed("path", "doc_id")
+    plan = _plan(lm_surprisal(df))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    read_schema = plan.split("ReadSchema")[-1][:200]
+    assert "commit" not in read_schema

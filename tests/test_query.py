@@ -1,0 +1,79 @@
+"""Graph-query operators (kg.query): path-pattern expansion over the
+triple table, fan-out capping, node degrees — the Cypher-traversal
+parity surface (ProcedureTest.java:104-137 walks
+AnnotatedText→Sentence→Tag; here [("PART_OF", "<"), "HAS_TAG"])."""
+
+import pytest
+
+from kg.query import expand_path, node_degrees, step_edges
+
+TRIPLES_SCHEMA = "subj string, pred string, obj string"
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    rows = [
+        ("sent:1:0", "PART_OF", "doc:1"),
+        ("sent:1:1", "PART_OF", "doc:1"),
+        ("sent:2:0", "PART_OF", "doc:2"),
+        ("sent:1:0", "NEXT_SENTENCE", "sent:1:1"),
+        ("sent:1:0", "HAS_TAG", "tag:en:alpha"),
+        ("sent:1:1", "HAS_TAG", "tag:en:beta"),
+        ("sent:2:0", "HAS_TAG", "tag:en:alpha"),
+        # duplicate edge (occurrence-style): distinct must collapse it
+        ("sent:2:0", "HAS_TAG", "tag:en:alpha"),
+    ]
+    return spark.createDataFrame(rows, TRIPLES_SCHEMA)
+
+
+def test_doc_to_tag_two_hop(spark, graph):
+    got = {(r["n0"], r["n1"], r["n2"]) for r in
+           expand_path(graph, [("PART_OF", "<"), "HAS_TAG"]).collect()}
+    assert got == {
+        ("doc:1", "sent:1:0", "tag:en:alpha"),
+        ("doc:1", "sent:1:1", "tag:en:beta"),
+        ("doc:2", "sent:2:0", "tag:en:alpha"),
+    }
+
+
+def test_single_forward_hop_and_duplicates(spark, graph):
+    out = expand_path(graph, ["HAS_TAG"])
+    assert out.count() == 3  # distinct collapses the doubled edge
+    assert expand_path(graph, ["HAS_TAG"], distinct=False).count() == 4
+
+
+def test_three_hop_through_next_sentence(spark, graph):
+    # doc <-PART_OF- sent -NEXT_SENTENCE-> sent2 -HAS_TAG-> tag
+    got = {(r["n0"], r["n3"]) for r in expand_path(
+        graph, [("PART_OF", "<"), "NEXT_SENTENCE", "HAS_TAG"]).collect()}
+    assert got == {("doc:1", "tag:en:beta")}
+
+
+def test_max_fanout_keeps_lowest_sorting(spark):
+    rows = [("h", "HAS_TAG", f"tag:en:{c}") for c in "dcba"]
+    t = spark.createDataFrame(rows, TRIPLES_SCHEMA)
+    got = sorted(r["n1"] for r in
+                 expand_path(t, ["HAS_TAG"], max_fanout=2).collect())
+    assert got == ["tag:en:a", "tag:en:b"]
+
+
+def test_step_edges_reverse(spark, graph):
+    fwd = {(r["a"], r["b"]) for r in
+           step_edges(graph, "PART_OF").collect()}
+    rev = {(r["a"], r["b"]) for r in
+           step_edges(graph, "PART_OF", reverse=True).collect()}
+    assert rev == {(b, a) for a, b in fwd}
+
+
+def test_bad_direction_raises(graph):
+    with pytest.raises(ValueError):
+        expand_path(graph, [("PART_OF", "^")])
+
+
+def test_node_degrees(spark, graph):
+    got = {r["node"]: (r["out_degree"], r["in_degree"])
+           for r in node_degrees(graph).collect()}
+    assert got["sent:1:0"] == (3, 0)   # PART_OF + NEXT_SENTENCE + HAS_TAG out
+    assert got["doc:1"] == (0, 2)
+    assert got["tag:en:alpha"] == (0, 3)  # includes the duplicate edge
+    assert got["sent:1:1"] == (2, 1)
