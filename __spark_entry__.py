@@ -641,6 +641,48 @@ def q_text_lm_surprisal(spark, sf_dir):
     return kgtext.lm_surprisal(_docs(spark, sf_dir, None), "text", "doc_id")
 
 
+def q_kg_doc_sentiment(spark, sf_dir):
+    """A11 sentiment through the FULL annotator (kg.annotate sentiment
+    branch; threshold rule OpenNLPPipeline.java:300-307): deterministic
+    trigger words are appended per doc so the class distribution is
+    non-trivial, and the oracle replays classify_sentiment's closed form —
+    class = 2 when pos == neg (zero signal ⇒ conf 0.5 < 0.7 ⇒ forced
+    Neutral) else clip(pos−neg, −2, 2) + 2."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "text", F.concat(
+            "text",
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" good great wonderful"))
+            .when(F.col("doc_id") % 5 == 1, F.lit(" bad"))
+            .when(F.col("doc_id") % 5 == 2, F.lit(" good"))
+            .when(F.col("doc_id") % 5 == 3, F.lit(" bad horrible awful"))
+            .otherwise(F.lit(" love hate"))))
+    ann = annotate_graph_df(with_doc_key(docs, ("doc_id",)), "text",
+                            FULL_SPEC)
+    return explode_sentences(ann).select("doc_uid", "sentiment")
+
+
+def q_dedup_canonical(spark, sf_dir):
+    """Representative selection (kg.dedup.canonical_docs): per near-dup
+    component keep the doc with the most tokens, ties to smallest id —
+    the decision layer that turns the dedup graph (the SAME 2-gram
+    Jaccard graph as dedup_components) into a keep/drop list."""
+    from kg.canon import connected_components
+    labels = connected_components(_neardup_edges(spark, sf_dir))
+    return kgdedup.canonical_docs(_docs(spark, sf_dir), labels)
+
+
+def q_corpus_topk_quality(spark, sf_dir):
+    """Budgeted selection (kg.sampling.top_k_per_group): the 3 highest-
+    quality docs per language under the (quality desc, doc_id) total
+    order — the per-domain keep list a curation budget ends with."""
+    docs = _docs(spark, sf_dir, None)
+    q = kgtext.quality_score(docs, "text", "doc_id")
+    scored = q.join(docs.select("doc_id", "lang"), "doc_id")
+    return kgsampling.top_k_per_group(
+        scored, ("lang",), (("quality_micro", "desc"), ("doc_id", "asc")),
+        3).select("lang", "doc_id", "quality_micro")
+
+
 def q_kg_reannotate_merge(spark, sf_dir):
     """Incremental maintenance (kg.triples.reannotate_merge): docs with
     doc_id % 10 == 0 are re-annotated with a text suffix; the merged graph
@@ -805,6 +847,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_path_doc_tag": q_kg_path_doc_tag,
         "kg_node_degree": q_kg_node_degree,
         "text_lm_surprisal": q_text_lm_surprisal,
+        "kg_doc_sentiment": q_kg_doc_sentiment,
+        "dedup_canonical": q_dedup_canonical,
+        "corpus_topk_quality": q_corpus_topk_quality,
         "kg_reannotate_merge": q_kg_reannotate_merge,
         "dedup_contamination": q_dedup_contamination,
         "corpus_mixture": q_corpus_mixture,
@@ -1125,6 +1170,25 @@ def oracle_sql() -> dict[str, str]:
     # three-way cross-check of the component semantics
     sqls["dedup_components_twophase"] = sqls["dedup_components"]
 
+    sqls["dedup_canonical"] = f"""
+        WITH RECURSIVE
+        jpairs AS ({_JPAIRS}),
+        pairs AS (SELECT id_a AS a, id_b AS b FROM jpairs
+                  UNION SELECT id_b, id_a FROM jpairs),
+        nodes AS (SELECT DISTINCT a AS node FROM pairs),
+        reach AS (
+          SELECT node, node AS r FROM nodes
+          UNION
+          SELECT reach.node, p.b AS r FROM reach JOIN pairs p ON p.a = reach.r),
+        comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+        tc AS (SELECT doc_id, CAST(len({_TOKS}) AS INT) AS n_tokens
+               FROM documents WHERE lang = 'en')
+        SELECT node AS doc_id, component, n_tokens,
+               row_number() OVER (PARTITION BY component
+                                  ORDER BY n_tokens DESC, node) = 1
+                 AS is_canonical
+        FROM comp JOIN tc ON tc.doc_id = comp.node"""
+
     sqls["canon_part_of"] = f"""
         WITH RECURSIVE
         jpairs AS ({_JPAIRS}),
@@ -1215,6 +1279,44 @@ def oracle_sql() -> dict[str, str]:
                      len(list_filter({_TOKS},
                          x -> list_contains({STOP_LIST_SQL}, x))) AS ns
               FROM documents)"""
+
+    sqls["corpus_topk_quality"] = f"""
+        WITH q AS ({sqls["text_quality"]})
+        SELECT d.lang, q.doc_id, q.quality_micro
+        FROM q JOIN documents d USING (doc_id)
+        QUALIFY row_number() OVER (PARTITION BY d.lang
+                                   ORDER BY q.quality_micro DESC,
+                                            q.doc_id) <= 3"""
+
+    # A11 sentiment closed form: pos/neg lists generated from kg.models so
+    # the oracle stays in sync; clip(pos-neg) == 0 ⇔ pos == neg, and only
+    # the zero-signal conf (0.5) falls below the 0.7 threshold.
+    _pos_list = "[" + ", ".join(
+        f"'{w}'" for w in sorted(_kgmodels.POSITIVE_WORDS)) + "]"
+    _neg_list = "[" + ", ".join(
+        f"'{w}'" for w in sorted(_kgmodels.NEGATIVE_WORDS)) + "]"
+    sqls["kg_doc_sentiment"] = f"""
+        WITH d AS (
+          SELECT doc_id,
+                 text || CASE doc_id % 5
+                           WHEN 0 THEN ' good great wonderful'
+                           WHEN 1 THEN ' bad'
+                           WHEN 2 THEN ' good'
+                           WHEN 3 THEN ' bad horrible awful'
+                           ELSE ' love hate' END AS text
+          FROM documents WHERE lang = 'en'),
+        cnts AS (
+          SELECT doc_id,
+                 len(list_filter({_TOKS},
+                     x -> list_contains({_pos_list}, x))) AS p,
+                 len(list_filter({_TOKS},
+                     x -> list_contains({_neg_list}, x))) AS n
+          FROM d)
+        SELECT 'doc:' || doc_id AS doc_uid,
+               CAST(CASE WHEN p = n THEN 2
+                         ELSE greatest(-2, least(2, p - n)) + 2
+                    END AS INT) AS sentiment
+        FROM cnts"""
 
     # descending code order = tie winner (mirrors greatest() on
     # (score, code) structs); generated from LANG_MARKERS so new profiles

@@ -40,6 +40,9 @@ HEADLINE = [
     "text_pii",              # regex PII counts + redaction, narrow JVM pass
     "dedup_contamination",   # broadcast benchmark-shingle overlap
     "kg_tag_pagerank",       # 10 iterative join-agg rounds (kg.graphrank)
+    "kg_tag_communities",    # 4 LPA rounds over the same graph
+    "kg_path_doc_tag",       # 2-hop traversal over UDF-rooted triples
+    "text_lm_surprisal",     # unigram-LM perplexity-proxy score
     "corpus_curated",        # end-to-end curation gate chain
     "text_emit_shards",      # packed training-sample emission
 ]
@@ -57,8 +60,12 @@ def run(sf_dir: str, cpus: int, names: list[str] | None = None) -> dict:
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
-    # warm the JVM + Python workers once (tiny job, not timed)
+    # warm the JVM + Python workers once (tiny jobs, not timed): the second
+    # line forces a pandas-UDF execution so the Python worker fork + pandas
+    # import (~0.6s/worker) is paid before the first timed flagship trial,
+    # not inside it
     spark.range(1000).selectExpr("sum(id)").collect()
+    qs["kg_annotate_full"](spark, sf_dir).limit(64).count()
 
     # flagship throughput FIRST, in clean JVM state (the query sweep below
     # leaves checkpoint blocks + GC pressure that depress a trailing

@@ -263,3 +263,30 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
                     .alias("hamming"))
             .distinct()
             .filter(F.col("hamming") <= max_hamming))
+
+
+def canonical_docs(df: DataFrame, labels: DataFrame,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Representative selection per near-dup component: the decision layer
+    that turns a dedup graph into a keep/drop list.  For every doc that
+    belongs to a component (labels = kg.canon.connected_components output:
+    (node, component)), keep the doc with the MOST tokens; ties go to the
+    smallest id.  Returns (doc_id, component, n_tokens, is_canonical).
+
+    Scale shape: `labels` is component-graph-sized (only near-dup members,
+    ≪ corpus), so the join prunes the corpus to the contested rows first;
+    the window partitions by component, and near-dup components are small
+    by construction (a giant component means the upstream threshold is
+    wrong, not that this operator should handle it)."""
+    from pyspark.sql.window import Window
+    sized = (labels
+             .join(df.select(F.col(id_col).alias("node"),
+                             F.size(tokens_col(text_col)).alias("n_tokens")),
+                   "node"))
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_tokens").desc(), F.col("node").asc())
+    return (sized
+            .withColumn("is_canonical", F.row_number().over(w) == 1)
+            .select(F.col("node").alias(id_col), "component", "n_tokens",
+                    "is_canonical"))

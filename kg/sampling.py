@@ -176,3 +176,23 @@ def pack_shards(df: DataFrame, max_tokens: int = 1024,
                                " as int)"))
             .select("doc", *extra_group_cols, "bucket", "shard_seq",
                     "n_tokens", *keep_cols))
+
+
+def top_k_per_group(df: DataFrame, group_cols: tuple[str, ...],
+                    order_cols: tuple[tuple[str, str], ...],
+                    k: int) -> DataFrame:
+    """Deterministic budgeted selection: the top-k rows per group under a
+    total order — the "best docs per domain" picker every curation budget
+    ends with.  `order_cols` is ((col, 'asc'|'desc'), ...) and must reach
+    a total order (end with a unique key) or the selection is not a pure
+    function of the data.
+
+    One shuffle on the group key; rank + filter, no joins."""
+    cols = []
+    for c, d in order_cols:
+        if d not in ("asc", "desc"):
+            raise ValueError(f"order direction must be asc|desc, got {d!r}")
+        cols.append(F.col(c).desc() if d == "desc" else F.col(c).asc())
+    w = Window.partitionBy(*group_cols).orderBy(*cols)
+    return (df.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k).drop("_rk"))

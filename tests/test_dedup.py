@@ -306,3 +306,17 @@ def test_lm_surprisal_rare_scores_above_boilerplate(spark):
     docs = spark.createDataFrame(common + rare, "doc_id long, text string")
     got = {r["doc"]: r["avg_bits_micro"] for r in lm_surprisal(docs).collect()}
     assert got[100] > got[0]
+
+
+def test_canonical_docs_longest_wins_tie_to_smallest_id(spark):
+    from kg.dedup import canonical_docs
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c d"), (3, "x y"), (4, "x y"), (9, "solo")],
+        "doc_id long, text string")
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 3)], "node long, component long")
+    got = {r["doc_id"]: (r["component"], r["n_tokens"], r["is_canonical"])
+           for r in canonical_docs(docs, labels).collect()}
+    assert got[2] == (1, 4, True) and got[1] == (1, 3, False)  # longest wins
+    assert got[3] == (3, 2, True) and got[4] == (3, 2, False)  # tie → min id
+    assert 9 not in got  # docs outside any component are not contested

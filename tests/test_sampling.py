@@ -148,3 +148,21 @@ def test_emit_shards_text_and_budget(spark):
            (r["n_docs"], r["text"], r["shard_tokens"]) for r in out}
     assert got == want
     assert sum(r["n_docs"] for r in out) == 60
+
+
+def test_top_k_per_group_deterministic_order(spark):
+    from kg.sampling import top_k_per_group
+    rows = [("en", 1, 50), ("en", 2, 90), ("en", 3, 90), ("en", 4, 10),
+            ("fr", 5, 70)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, score long")
+    got = {(r["lang"], r["doc_id"]) for r in top_k_per_group(
+        df, ("lang",), (("score", "desc"), ("doc_id", "asc")), 2).collect()}
+    assert got == {("en", 2), ("en", 3), ("fr", 5)}
+
+
+def test_top_k_per_group_bad_direction_raises(spark):
+    import pytest as _pytest
+    from kg.sampling import top_k_per_group
+    df = spark.createDataFrame([("en", 1)], "lang string, doc_id long")
+    with _pytest.raises(ValueError):
+        top_k_per_group(df, ("lang",), (("doc_id", "down"),), 1)
