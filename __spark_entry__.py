@@ -641,6 +641,25 @@ def q_text_lm_surprisal(spark, sf_dir):
     return kgtext.lm_surprisal(_docs(spark, sf_dir, None), "text", "doc_id")
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental batch-vs-corpus dedup (kg.dedup.incremental_dedup_flags):
+    docs with doc_id % 7 == 0 play the incoming crawl batch, the rest the
+    existing corpus; each new doc is flagged exact_dup (sha) / near_dup
+    (shared MinHash band bucket) — key semi-joins, never all-pairs."""
+    docs = _docs(spark, sf_dir)
+    new = docs.filter(F.col("doc_id") % 7 == 0)
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    return kgdedup.incremental_dedup_flags(new, corpus, k=16, bands=4, n=2)
+
+
+def q_dedup_crossdoc(spark, sf_dir):
+    """Cross-document duplication coverage (kg.dedup.cross_doc_duplication):
+    fraction of each doc's 3-gram positions whose shingle occurs in at
+    least one other document — the practical DataFrame form of the
+    published exact-substring dedup signal."""
+    return kgdedup.cross_doc_duplication(_docs(spark, sf_dir, None), n=3)
+
+
 def q_kg_doc_sentiment(spark, sf_dir):
     """A11 sentiment through the FULL annotator (kg.annotate sentiment
     branch; threshold rule OpenNLPPipeline.java:300-307): deterministic
@@ -850,6 +869,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_doc_sentiment": q_kg_doc_sentiment,
         "dedup_canonical": q_dedup_canonical,
         "corpus_topk_quality": q_corpus_topk_quality,
+        "dedup_incremental": q_dedup_incremental,
+        "dedup_crossdoc": q_dedup_crossdoc,
         "kg_reannotate_merge": q_kg_reannotate_merge,
         "dedup_contamination": q_dedup_contamination,
         "corpus_mixture": q_corpus_mixture,
@@ -1169,6 +1190,44 @@ def oracle_sql() -> dict[str, str]:
     # same oracle, different Spark algorithm (large-star/small-star) —
     # three-way cross-check of the component semantics
     sqls["dedup_components_twophase"] = sqls["dedup_components"]
+
+    # incremental dedup mirrors _MINHASH_SIG/_BANDS at n=2 over the en
+    # docs, with the batch/corpus split on doc_id % 7
+    sqls["dedup_incremental"] = f"""
+        WITH sig AS ({_MINHASH_SIG}),
+        bb AS ({_BANDS}),
+        newdocs AS (SELECT doc_id, text FROM documents
+                    WHERE lang = 'en' AND doc_id % 7 = 0),
+        corpus AS (SELECT doc_id, text FROM documents
+                   WHERE lang = 'en' AND doc_id % 7 <> 0),
+        ex AS (SELECT DISTINCT n.doc_id FROM newdocs n
+               JOIN corpus c ON sha256(n.text) = sha256(c.text)),
+        nr AS (SELECT DISTINCT nb.doc_id
+               FROM bb nb JOIN newdocs USING (doc_id)
+               JOIN (SELECT DISTINCT band, bucket FROM bb
+                     JOIN corpus USING (doc_id)) cb
+                 ON nb.band = cb.band AND nb.bucket = cb.bucket)
+        SELECT n.doc_id,
+               (ex.doc_id IS NOT NULL) AS exact_dup,
+               (nr.doc_id IS NOT NULL) AS near_dup
+        FROM newdocs n
+        LEFT JOIN ex ON ex.doc_id = n.doc_id
+        LEFT JOIN nr ON nr.doc_id = n.doc_id"""
+
+    sqls["dedup_crossdoc"] = f"""
+        WITH pos AS (
+          SELECT doc_id AS doc, array_to_string(t[i:i+2], ' ') AS shingle
+          FROM (SELECT doc_id, {_TOKS} AS t,
+                       generate_subscripts({_TOKS}, 1) AS i FROM documents)
+          WHERE i <= len(t) - 2),
+        dfreq AS (SELECT shingle, count(DISTINCT doc) AS df
+                  FROM pos GROUP BY 1)
+        SELECT doc, CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum((df >= 2)::int) AS BIGINT) AS n_dup_grams,
+               CAST((CAST(sum((df >= 2)::int) AS BIGINT) * 1000000)
+                    // count(*) AS BIGINT) AS dup_gram_micro
+        FROM pos JOIN dfreq USING (shingle)
+        GROUP BY doc"""
 
     sqls["dedup_canonical"] = f"""
         WITH RECURSIVE

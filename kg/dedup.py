@@ -120,6 +120,24 @@ def minhash_signatures(df: DataFrame, k: int = 16, n: int = 3,
     return sh.groupBy("id").agg(*aggs)
 
 
+def _band_buckets(sig: DataFrame, k: int, bands: int,
+                  hash_fn: str = "md5") -> DataFrame:
+    """(id, band, bucket) LSH band buckets from a signature frame — the
+    shared blocking key of minhash_lsh_pairs and incremental_dedup_flags."""
+    rows_per_band = k // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"sig_{b * rows_per_band + r}")
+                for r in range(rows_per_band)]
+        bucket = (F.xxhash64(*cols) if hash_fn == "xxhash64"
+                  else F.md5(F.concat_ws("|", *cols)))
+        band_cols.append(F.struct(F.lit(b).alias("band"),
+                                  bucket.alias("bucket")))
+    return (sig.select("id", F.explode(F.array(*band_cols)).alias("bb"))
+            .select("id", F.col("bb.band").alias("band"),
+                    F.col("bb.bucket").alias("bucket")))
+
+
 def minhash_lsh_pairs(df: DataFrame, k: int = 16, bands: int = 4, n: int = 3,
                       text_col: str = "text", id_col: str = "doc_id",
                       hash_fn: str = "md5") -> DataFrame:
@@ -130,18 +148,8 @@ def minhash_lsh_pairs(df: DataFrame, k: int = 16, bands: int = 4, n: int = 3,
     At scale the band-bucket join is shuffle-on-bucket; giant buckets (all-
     identical boilerplate) are bounded upstream by exact dedup."""
     assert k % bands == 0
-    rows_per_band = k // bands
     sig = minhash_signatures(df, k, n, text_col, id_col, hash_fn)
-    band_cols = []
-    for b in range(bands):
-        cols = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        bucket = (F.xxhash64(*cols) if hash_fn == "xxhash64"
-                  else F.md5(F.concat_ws("|", *cols)))
-        band_cols.append(F.struct(F.lit(b).alias("band"),
-                                  bucket.alias("bucket")))
-    buckets = (sig.select("id", F.explode(F.array(*band_cols)).alias("bb"))
-               .select("id", F.col("bb.band").alias("band"),
-                       F.col("bb.bucket").alias("bucket")))
+    buckets = _band_buckets(sig, k, bands, hash_fn)
     a, b_ = buckets.alias("a"), buckets.alias("b")
     return (a.join(b_, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.bucket") == F.col("b.bucket"))
@@ -290,3 +298,84 @@ def canonical_docs(df: DataFrame, labels: DataFrame,
             .withColumn("is_canonical", F.row_number().over(w) == 1)
             .select(F.col("node").alias(id_col), "component", "n_tokens",
                     "is_canonical"))
+
+
+def incremental_dedup_flags(new_df: DataFrame, corpus_df: DataFrame,
+                            k: int = 16, bands: int = 4, n: int = 3,
+                            text_col: str = "text", id_col: str = "doc_id",
+                            hash_fn: str = "md5") -> DataFrame:
+    """Incremental curation: flag each NEW document that duplicates the
+    EXISTING corpus — `exact_dup` (content sha equality) and `near_dup`
+    (shares any MinHash LSH band bucket with a corpus doc).  The
+    production crawl-ingest shape: dedupe the incoming batch against the
+    corpus WITHOUT re-pairing the corpus with itself.
+
+    Returns one row per new doc: (doc_id, exact_dup, near_dup).
+
+    Scale shape: two key semi-joins (sha; (band, bucket)) — O(batch +
+    corpus-keys), never all-pairs.  The corpus side reduces to distinct
+    keys/buckets; in production those are precomputed once and persisted
+    as tables, so each batch costs O(batch) plus two key-table joins
+    (here they are derived from `corpus_df` inline).  Documents shorter
+    than `n` tokens have no shingles and cannot near-dup — exactly the
+    minhash_lsh_pairs semantics."""
+    sha_new = new_df.select(F.col(id_col),
+                            F.sha2(F.col(text_col), 256).alias("_sha"))
+    sha_corpus = (corpus_df
+                  .select(F.sha2(F.col(text_col), 256).alias("_sha"))
+                  .distinct())
+    exact = (sha_new.join(sha_corpus, "_sha", "left_semi")
+             .select(id_col).withColumn("_e", F.lit(True)))
+    nb = _band_buckets(
+        minhash_signatures(new_df, k, n, text_col, id_col, hash_fn),
+        k, bands, hash_fn)
+    cb = (_band_buckets(
+        minhash_signatures(corpus_df, k, n, text_col, id_col, hash_fn),
+        k, bands, hash_fn).select("band", "bucket").distinct())
+    near = (nb.join(cb, ["band", "bucket"], "left_semi")
+            .select(F.col("id").alias(id_col)).distinct()
+            .withColumn("_n", F.lit(True)))
+    return (new_df.select(id_col)
+            .join(exact, id_col, "left").join(near, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce(F.col("_e"), F.lit(False)).alias("exact_dup"),
+                    F.coalesce(F.col("_n"), F.lit(False)).alias("near_dup")))
+
+
+def cross_doc_duplication(df: DataFrame, n: int = 3,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Per-document CROSS-document duplication coverage — the practical
+    DataFrame approximation of suffix-array substring dedup (the
+    published "Deduplicating Training Data" exact-substring signal):
+    the fraction of a doc's n-gram positions whose shingle also occurs
+    in at least one OTHER document.  High values mark boilerplate /
+    mirrored content that per-pair dedup misses when no single pair
+    clears a Jaccard threshold.
+
+    Returns (doc, n_grams, n_dup_grams, dup_gram_micro) for docs with at
+    least `n` tokens (shorter docs have no n-gram positions).
+
+    Scale shape: position explode → shingle doc-frequency aggregate
+    (distinct (doc, shingle) pairs, map-side combine) → one join back on
+    shingle → groupBy(doc).  No self-join, no pair blowup: the join is
+    position-row × one dfreq row.  Hot shingles stay (they ARE the
+    signal here, unlike the pair-join in ngram_jaccard_pairs)."""
+    toks = tokens_col(text_col)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - n + 1),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    ).otherwise(F.array().cast("array<string>"))
+    pos = (df.select(F.col(id_col).alias("doc"),
+                     F.explode(grams).alias("shingle")))
+    dfreq = (pos.select("doc", "shingle").distinct()
+             .groupBy("shingle")
+             .agg(F.count("*").alias("_df")))
+    return (pos.join(dfreq, "shingle")
+            .groupBy("doc")
+            .agg(F.count("*").cast("bigint").alias("n_grams"),
+                 F.sum(F.when(F.col("_df") >= 2, 1).otherwise(0))
+                 .cast("bigint").alias("n_dup_grams"))
+            .withColumn("dup_gram_micro",
+                        F.expr("(n_dup_grams * 1000000) div n_grams")))

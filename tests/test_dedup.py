@@ -320,3 +320,53 @@ def test_canonical_docs_longest_wins_tie_to_smallest_id(spark):
     assert got[2] == (1, 4, True) and got[1] == (1, 3, False)  # longest wins
     assert got[3] == (3, 2, True) and got[4] == (3, 2, False)  # tie → min id
     assert 9 not in got  # docs outside any component are not contested
+
+
+def test_incremental_dedup_flags(spark):
+    from kg.dedup import incremental_dedup_flags
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog every day"),
+         (2, "completely different corpus content here")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog every day"),  # exact
+         (11, "the quick brown fox jumps over the lazy dog every night"),  # near
+         (12, "unrelated novel text about spark partitions and shuffles"),
+         (13, "hi")],  # too short for shingles: cannot near-dup
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["exact_dup"], r["near_dup"])
+           for r in incremental_dedup_flags(new, corpus, n=3).collect()}
+    assert got[10] == (True, True)
+    assert got[11] == (False, True)
+    assert got[12] == (False, False)
+    assert got[13] == (False, False)
+    assert len(got) == 4  # one row per new doc, corpus never in output
+
+
+def test_cross_doc_duplication_coverage(spark):
+    from kg.dedup import cross_doc_duplication
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"),      # grams: abc bcd cde
+         (2, "a b c x y"),      # grams: abc bcx cxy -> shares abc with 1
+         (3, "p q r s"),        # no overlap
+         (4, "zz")],            # too short: no rows
+        "doc_id long, text string")
+    got = {r["doc"]: (r["n_grams"], r["n_dup_grams"], r["dup_gram_micro"])
+           for r in cross_doc_duplication(docs, n=3).collect()}
+    assert got[1] == (3, 1, 333333)
+    assert got[2] == (3, 1, 333333)
+    assert got[3] == (2, 0, 0)
+    assert 4 not in got
+
+
+def test_cross_doc_duplication_counts_positions_not_types(spark):
+    """A shingle repeated WITHIN a doc counts once per position."""
+    from kg.dedup import cross_doc_duplication
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c"),    # grams: abc bca cab abc -> abc twice
+         (2, "a b c")],
+        "doc_id long, text string")
+    got = {r["doc"]: (r["n_grams"], r["n_dup_grams"])
+           for r in cross_doc_duplication(docs, n=3).collect()}
+    assert got[1] == (4, 2)     # both 'a b c' positions are cross-doc dups
+    assert got[2] == (1, 1)
