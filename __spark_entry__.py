@@ -641,6 +641,35 @@ def q_text_lm_surprisal(spark, sf_dir):
     return kgtext.lm_surprisal(_docs(spark, sf_dir, None), "text", "doc_id")
 
 
+def q_ann_centroids(spark, sf_dir):
+    """Centroid-classifier fit (kg.similarity.label_centroids): per-label
+    exact integer-micro mean embedding over the labeled seed rows —
+    deterministic because components are quantized BEFORE summing."""
+    return kgsim.label_centroids(_read("embeddings")(spark, sf_dir))
+
+
+def q_ann_nearest_centroid(spark, sf_dir):
+    """Centroid-classifier inference (kg.similarity.nearest_centroid):
+    every vector classified by max cosine against the fitted centroids;
+    rank-only output (the cosine float stays engine-internal, like
+    ann_cosine_topk)."""
+    emb = _read("embeddings")(spark, sf_dir)
+    cents = kgsim.label_centroids(emb)
+    return kgsim.nearest_centroid(emb, cents).select(
+        "vec_id", "predicted_label")
+
+
+def q_kg_tag_triangles(spark, sf_dir):
+    """Per-node triangle counts (kg.graphrank.triangle_counts) over the
+    SAME tag co-occurrence graph pagerank/LPA use — the clustering-
+    coefficient numerator on the persisted Tag graph."""
+    from kg.graphrank import tag_cooccurrence_edges, triangle_counts
+    ann = annotate_graph_df(with_doc_key(_docs(spark, sf_dir), ("doc_id",)),
+                            "text", TOK_SPEC)
+    tags = explode_tags(explode_sentences(ann))
+    return triangle_counts(tag_cooccurrence_edges(tags))
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Incremental batch-vs-corpus dedup (kg.dedup.incremental_dedup_flags):
     docs with doc_id % 7 == 0 play the incoming crawl batch, the rest the
@@ -871,6 +900,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_topk_quality": q_corpus_topk_quality,
         "dedup_incremental": q_dedup_incremental,
         "dedup_crossdoc": q_dedup_crossdoc,
+        "ann_centroids": q_ann_centroids,
+        "ann_nearest_centroid": q_ann_nearest_centroid,
+        "kg_tag_triangles": q_kg_tag_triangles,
         "kg_reannotate_merge": q_kg_reannotate_merge,
         "dedup_contamination": q_dedup_contamination,
         "corpus_mixture": q_corpus_mixture,
@@ -1315,6 +1347,38 @@ def oracle_sql() -> dict[str, str]:
           WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id)
         WHERE rank <= 5"""
 
+    # centroid classifier: quantize-then-sum makes the fit exact integer
+    # arithmetic; inference is rank-only (float cosine stays internal)
+    _CENTROIDS = """
+        SELECT label, CAST(min(c) AS BIGINT) AS n_members,
+               list(s // c ORDER BY pos) AS centroid_micro
+        FROM (
+          SELECT label, pos,
+                 CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))
+                      AS BIGINT) AS s,
+                 count(*) AS c
+          FROM (SELECT label, generate_subscripts(embedding, 1) AS pos,
+                       unnest(embedding) AS v
+                FROM embeddings WHERE label IS NOT NULL)
+          GROUP BY 1, 2)
+        GROUP BY label"""
+    sqls["ann_centroids"] = _CENTROIDS
+    sqls["ann_nearest_centroid"] = f"""
+        WITH cent AS ({_CENTROIDS}),
+        cv AS (SELECT label,
+                      list_transform(centroid_micro,
+                                     x -> CAST(x AS DOUBLE) / 1000000) AS c
+               FROM cent)
+        SELECT vec_id, label AS predicted_label FROM (
+          SELECT e.vec_id, cv.label,
+                 row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(
+                              CAST(e.embedding AS DOUBLE[]), cv.c) DESC,
+                            cv.label ASC) AS rn
+          FROM embeddings e CROSS JOIN cv)
+        WHERE rn = 1"""
+
     sqls["text_token_stats"] = f"""
         SELECT doc_id,
                CAST(len(t) AS INT) AS n_tokens,
@@ -1713,6 +1777,22 @@ def oracle_sql() -> dict[str, str]:
           WHERE rn = 1)"""
     sqls["kg_tag_communities"] = _lpa + """
         SELECT node, label AS community FROM l4"""
+
+    sqls["kg_tag_triangles"] = f"""
+        WITH {_kept_sql},
+        {_cooccur_sql},
+        e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM edges WHERE src <> dst),
+        tri AS (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM e e1
+          JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+          JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
+        SELECT node, CAST(count(*) AS BIGINT) AS triangles
+        FROM (SELECT x AS node FROM tri
+              UNION ALL SELECT y FROM tri
+              UNION ALL SELECT z FROM tri)
+        GROUP BY node"""
 
     sqls["kg_path_doc_tag"] = f"""
         SELECT DISTINCT 'doc:' || doc_id AS doc_uid,

@@ -179,3 +179,32 @@ def textrank_tags(docs: DataFrame, spec=None, iterations: int = 10,
     tags = explode_tags(explode_sentences(ann))
     edges = tag_cooccurrence_edges(tags, doc_col="doc_key", tag_col="lemma")
     return pagerank(edges, iterations=iterations)
+
+
+def triangle_counts(edges: DataFrame, src_col: str = "src",
+                    dst_col: str = "dst") -> DataFrame:
+    """Per-node triangle membership counts over an undirected graph — the
+    clustering-coefficient numerator, the standard cohesion probe on the
+    tag co-occurrence graph.  Returns (node, triangles).
+
+    Node-iterator shape: edges oriented low→high (halves the edge set and
+    kills duplicate wedges), wedges built by a self-join on the low
+    endpoint, closed by a join against the oriented edge set.  Three
+    shuffles total.  At web scale the classic refinement is orienting by
+    (degree, id) instead of id so hub wedges collapse to the sparse side
+    (the  "compact-forward" trick); id-orientation keeps the oracle
+    expressible and is exact on the same graph."""
+    e = (edges.select(F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+                      F.greatest(F.col(src_col), F.col(dst_col)).alias("b"))
+         .filter(F.col("a") != F.col("b"))
+         .distinct())
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (e1.join(e2, (F.col("e1.a") == F.col("e2.a"))
+                   & (F.col("e1.b") < F.col("e2.b")))
+           .join(e3, (F.col("e3.a") == F.col("e1.b"))
+                 & (F.col("e3.b") == F.col("e2.b")))
+           .select(F.col("e1.a").alias("x"), F.col("e1.b").alias("y"),
+                   F.col("e2.b").alias("z")))
+    member = tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+    return member.groupBy("node").agg(F.count("*").cast("bigint")
+                                      .alias("triangles"))

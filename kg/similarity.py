@@ -289,3 +289,64 @@ def cosine_near_pairs(emb: DataFrame, threshold: float = 0.95,
             .filter(F.col("cos") >= threshold)
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
                     F.round(F.col("cos"), 6).alias("cosine")))
+
+
+def label_centroids(emb: DataFrame, id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    label_col: str = "label") -> DataFrame:
+    """Per-label mean embedding — the fitted artifact of a centroid
+    classifier (the seed-labeled, fastText-style quality/domain filter
+    shape: label a seed set, average per class, classify the corpus with
+    nearest_centroid below).
+
+    Components are quantized to integer micro-units BEFORE summing, so
+    the mean is exact integer arithmetic: float sums commute only
+    approximately (partition order would leak into the result), integer
+    sums exactly — the same determinism rule as kg.textstats.  Truncating
+    `div` matches DuckDB `//` on negatives (both toward zero).
+    Returns (label, n_members, centroid_micro: array<bigint>).
+
+    Scale shape: posexplode (N·dim rows, narrow) → groupBy(label, pos)
+    with map-side partial sums → groupBy(label) sorted re-assembly; the
+    output is (labels · dim) rows — broadcast-sized by construction."""
+    base = (emb.filter(F.col(label_col).isNotNull())
+            .select(F.col(label_col).alias("label"),
+                    F.posexplode(F.col(vec_col)).alias("pos", "v")))
+    comp = (base.groupBy("label", "pos")
+            .agg(F.sum(F.expr("cast(round(cast(v as double) * 1000000) "
+                              "as bigint)")).alias("s"),
+                 F.count("*").alias("c")))
+    return (comp.groupBy("label")
+            .agg(F.min("c").alias("n_members"),
+                 F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct(F.col("pos"),
+                                  F.expr("s div c").alias("m")))),
+                     lambda x: x["m"]).alias("centroid_micro")))
+
+
+def nearest_centroid(emb: DataFrame, centroids: DataFrame,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     label_col: str = "label",
+                     cvec_col: str = "centroid_micro") -> DataFrame:
+    """Classify every vector by maximum cosine against the (broadcast)
+    centroid table from label_centroids; ties break to the smallest
+    label.  Returns (vec_id, predicted_label, cosine).
+
+    One broadcast nested-loop pass (centroids are labels-sized) + a
+    per-vector window argmax — the inference half of the centroid
+    classifier; no shuffle touches the corpus-sized side except the
+    argmax window on vec_id."""
+    from pyspark.sql.window import Window
+    c = F.broadcast(centroids.select(
+        F.col(label_col).alias("_clabel"),
+        F.transform(F.col(cvec_col),
+                    lambda x: x.cast("double") / 1_000_000.0).alias("_cvec")))
+    scored = (emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
+              .crossJoin(c)
+              .withColumn("cos", cosine_sim(F.col("_v"), F.col("_cvec"))))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("_clabel"))
+    return (scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("vec_id", F.col("_clabel").alias("predicted_label"),
+                    F.round(F.col("cos"), 6).alias("cosine")))

@@ -136,3 +136,20 @@ def test_label_propagation_tie_breaks_to_smallest_label(spark):
     got = {r["node"]: r["community"]
            for r in label_propagation(df, iterations=1).collect()}
     assert got["v"] == "m"
+
+
+def test_triangle_counts(spark):
+    from kg.graphrank import triangle_counts
+    # triangle a-b-c, pendant c-d, plus symmetric duplicates of a-b
+    und = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("b", "a")]
+    df = spark.createDataFrame(und, "src string, dst string")
+    got = {r["node"]: r["triangles"] for r in triangle_counts(df).collect()}
+    assert got == {"a": 1, "b": 1, "c": 1}  # d is in no triangle
+
+
+def test_triangle_counts_two_triangles_sharing_edge(spark):
+    from kg.graphrank import triangle_counts
+    und = [("a", "b"), ("b", "c"), ("a", "c"), ("b", "d"), ("c", "d")]
+    df = spark.createDataFrame(und, "src string, dst string")
+    got = {r["node"]: r["triangles"] for r in triangle_counts(df).collect()}
+    assert got == {"a": 1, "b": 2, "c": 2, "d": 1}

@@ -148,3 +148,32 @@ def test_knn_classify_null_labels_carry_no_vote(spark):
                               "query_id long, embedding array<float>")
     row = knn_classify(emb, q, k=3).first()
     assert row["predicted_label"] == 4 and row["votes"] == 1
+
+
+def test_label_centroids_exact_integer_means(spark):
+    from kg.similarity import label_centroids
+    rows = [(1, [1.0, -1.0], 0), (2, [2.0, -2.0], 0), (3, [0.5, 0.5], 1),
+            (9, [9.0, 9.0], None)]  # unlabeled rows are not part of the fit
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<float>, label int")
+    got = {r["label"]: (r["n_members"], r["centroid_micro"])
+           for r in label_centroids(emb).collect()}
+    # (-1e6 + -2e6) div 2 = -1500000 (toward zero, matches DuckDB //)
+    assert got[0] == (2, [1500000, -1500000])
+    assert got[1] == (1, [500000, 500000])
+    assert None not in got and len(got) == 2
+
+
+def test_nearest_centroid_classifies_and_breaks_ties(spark):
+    from kg.similarity import label_centroids, nearest_centroid
+    seed = [(1, [1.0, 0.0], 0), (2, [0.0, 1.0], 1)]
+    emb = spark.createDataFrame(seed,
+                                "vec_id long, embedding array<float>, label int")
+    cents = label_centroids(emb)
+    probe = spark.createDataFrame(
+        [(10, [0.9, 0.1]), (11, [0.1, 0.9]), (12, [1.0, 1.0])],  # 12 ties
+        "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r["predicted_label"]
+           for r in nearest_centroid(probe, cents).collect()}
+    assert got[10] == 0 and got[11] == 1
+    assert got[12] == 0  # exact tie -> smallest label
