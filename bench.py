@@ -45,6 +45,8 @@ HEADLINE = [
     "text_lm_surprisal",     # unigram-LM perplexity-proxy score
     "corpus_curated",        # end-to-end curation gate chain
     "text_emit_shards",      # packed training-sample emission
+    "dedup_crossdoc",        # position-level cross-doc duplication coverage
+    "ann_nearest_centroid",  # centroid-classifier inference (broadcast NLJ)
 ]
 
 
@@ -65,7 +67,10 @@ def run(sf_dir: str, cpus: int, names: list[str] | None = None) -> dict:
     # import (~0.6s/worker) is paid before the first timed flagship trial,
     # not inside it
     spark.range(1000).selectExpr("sum(id)").collect()
-    qs["kg_annotate_full"](spark, sf_dir).limit(64).count()
+    # noop write, NOT .count(): count prunes the UDF column (CLAUDE.md
+    # rule 6) and would warm nothing
+    (qs["kg_annotate_full"](spark, sf_dir).limit(64)
+     .write.format("noop").mode("overwrite").save())
 
     # flagship throughput FIRST, in clean JVM state (the query sweep below
     # leaves checkpoint blocks + GC pressure that depress a trailing

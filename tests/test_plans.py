@@ -203,3 +203,15 @@ def test_lm_surprisal_broadcasts_total_and_prunes_scan(spark, corpus_path):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     read_schema = plan.split("ReadSchema")[-1][:200]
     assert "commit" not in read_schema
+
+
+def test_nearest_centroid_broadcasts_centroids(spark):
+    """Inference must broadcast the label-sized centroid table — a shuffle
+    join against the corpus-sized embedding side would be wrong."""
+    from kg.similarity import label_centroids, nearest_centroid
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.0, 1.0], 1)],
+        "vec_id long, embedding array<float>, label int")
+    plan = _plan(nearest_centroid(emb, label_centroids(emb)))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
