@@ -670,6 +670,17 @@ def q_kg_tag_triangles(spark, sf_dir):
     return triangle_counts(tag_cooccurrence_edges(tags))
 
 
+def q_kg_tag_clustering(spark, sf_dir):
+    """Local clustering coefficients (kg.graphrank.clustering_coefficients)
+    over the tag co-occurrence graph — 2·tri/(deg·(deg−1)) in micro-units,
+    deg < 2 ⇒ 0."""
+    from kg.graphrank import clustering_coefficients, tag_cooccurrence_edges
+    ann = annotate_graph_df(with_doc_key(_docs(spark, sf_dir), ("doc_id",)),
+                            "text", TOK_SPEC)
+    tags = explode_tags(explode_sentences(ann))
+    return clustering_coefficients(tag_cooccurrence_edges(tags))
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Incremental batch-vs-corpus dedup (kg.dedup.incremental_dedup_flags):
     docs with doc_id % 7 == 0 play the incoming crawl batch, the rest the
@@ -903,6 +914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_centroids": q_ann_centroids,
         "ann_nearest_centroid": q_ann_nearest_centroid,
         "kg_tag_triangles": q_kg_tag_triangles,
+        "kg_tag_clustering": q_kg_tag_clustering,
         "kg_reannotate_merge": q_kg_reannotate_merge,
         "dedup_contamination": q_dedup_contamination,
         "corpus_mixture": q_corpus_mixture,
@@ -1793,6 +1805,32 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT y FROM tri
               UNION ALL SELECT z FROM tri)
         GROUP BY node"""
+
+    sqls["kg_tag_clustering"] = f"""
+        WITH {_kept_sql},
+        {_cooccur_sql},
+        e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM edges WHERE src <> dst),
+        deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+                FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+                GROUP BY node),
+        tri AS (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM e e1
+          JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+          JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+        tcnt AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles
+                 FROM (SELECT x AS node FROM tri
+                       UNION ALL SELECT y FROM tri
+                       UNION ALL SELECT z FROM tri)
+                 GROUP BY node)
+        SELECT d.node, d.deg,
+               CAST(coalesce(t.triangles, 0) AS BIGINT) AS triangles,
+               CASE WHEN d.deg >= 2
+                    THEN (2 * CAST(coalesce(t.triangles, 0) AS BIGINT)
+                          * 1000000) // (d.deg * (d.deg - 1))
+                    ELSE CAST(0 AS BIGINT) END AS clustering_micro
+        FROM deg d LEFT JOIN tcnt t ON t.node = d.node"""
 
     sqls["kg_path_doc_tag"] = f"""
         SELECT DISTINCT 'doc:' || doc_id AS doc_uid,

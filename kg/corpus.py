@@ -107,3 +107,34 @@ def synthetic_corpus(spark: SparkSession, n_files: int = 1000,
     rng = spark.range(n_files, numPartitions=partitions or max(
         2, spark.sparkContext.defaultParallelism))
     return rng.mapInPandas(gen, schema)
+
+
+def read_corpus(spark: SparkSession, path: str,
+                fmt: str = "parquet") -> DataFrame:
+    """Format-pluggable corpus source with the input-contract schema
+    (repo, path, commit, lang, content) ENFORCED, never inferred:
+    schema inference on json/csv reads the data an extra time and can
+    drift between files — a silent schema fork at 10^12-file scale.
+
+    Formats: parquet (columnar scan — pushdown + pruning reach the
+    scan), jsonl (newline-delimited JSON), csv (header optional, the
+    schema decides types).  The reference's file-walk source
+    (findModelFiles / pipeline input, OpenNLPPipeline.java) maps to
+    whichever format the lake holds; downstream operators only see the
+    contract schema."""
+    if fmt == "parquet":
+        return spark.read.schema(CORPUS_SCHEMA).parquet(path)
+    if fmt == "jsonl":
+        return spark.read.schema(CORPUS_SCHEMA).json(path)
+    if fmt == "csv":
+        # content carries newlines: multiLine + RFC-4180 quote doubling
+        # (escape == quote); the file is then not line-splittable, which
+        # is WHY csv is the worst of the three at scale.  Known lossiness:
+        # the parser strips ONE trailing newline from a quoted final
+        # field — content ending in "\n" does not round-trip (pinned by
+        # test); a corpus whose sha256 invariant matters must use
+        # parquet or jsonl.
+        return (spark.read.schema(CORPUS_SCHEMA)
+                .option("header", "true").option("multiLine", "true")
+                .option("escape", '"').csv(path))
+    raise ValueError(f"unsupported corpus format: {fmt!r}")

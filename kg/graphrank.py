@@ -208,3 +208,32 @@ def triangle_counts(edges: DataFrame, src_col: str = "src",
     member = tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
     return member.groupBy("node").agg(F.count("*").cast("bigint")
                                       .alias("triangles"))
+
+
+def clustering_coefficients(edges: DataFrame, src_col: str = "src",
+                            dst_col: str = "dst") -> DataFrame:
+    """Local clustering coefficient per node, integer micro-units:
+    2·triangles / (deg·(deg−1)) over the simple undirected graph (deg =
+    distinct-neighbor count); nodes with deg < 2 close no wedges and get
+    0.  Together with triangle_counts/node degrees this completes the
+    standard cohesion profile of the tag graph.
+
+    Plan: the simple edge set is built once and reused by the degree
+    aggregate and the triangle join (localCheckpoint cuts the shared
+    lineage — perf rule 7 applies to any branched input)."""
+    e = (edges.select(F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+                      F.greatest(F.col(src_col), F.col(dst_col)).alias("b"))
+         .filter(F.col("a") != F.col("b"))
+         .distinct()
+         .localCheckpoint())
+    deg = (e.select(F.explode(F.array("a", "b")).alias("node"))
+           .groupBy("node").agg(F.count("*").cast("bigint").alias("deg")))
+    tri = triangle_counts(e, "a", "b")
+    return (deg.join(tri, "node", "left")
+            .select("node", "deg",
+                    F.coalesce(F.col("triangles"), F.lit(0)).cast("bigint")
+                    .alias("triangles"))
+            .withColumn(
+                "clustering_micro",
+                F.expr("case when deg >= 2 then (2 * triangles * 1000000) "
+                       "div (deg * (deg - 1)) else cast(0 as bigint) end")))

@@ -128,3 +128,26 @@ def run_partitioned(sent_df: DataFrame, triples: DataFrame, out_path: str,
     n_triples = metrics.agg(F.sum("n_triples")).first()[0] or 0
     metrics.unpersist()
     return {"partitions_written": n_parts, "triples_written": int(n_triples)}
+
+
+def write_samples(df: DataFrame, out_path: str, fmt: str = "jsonl",
+                  partition_cols: tuple[str, ...] = (),
+                  mode: str = "overwrite") -> None:
+    """Training-sample sink for packed shards (kg.sampling.emit_shards)
+    and curated corpora: jsonl (the standard pretraining-shard exchange
+    format) or parquet.  Partition columns (e.g. split, bucket) become
+    Hive-style directories so a trainer consumes one directory per
+    split; the repartition keeps one writer task per partition directory
+    (same no-small-files rule as write_triples)."""
+    w = df
+    if partition_cols:
+        w = df.repartition(*[F.col(c) for c in partition_cols])
+    writer = w.write.mode(mode)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    if fmt == "jsonl":
+        writer.json(out_path)
+    elif fmt == "parquet":
+        writer.parquet(out_path)
+    else:
+        raise ValueError(f"unsupported sample format: {fmt!r}")

@@ -153,3 +153,16 @@ def test_triangle_counts_two_triangles_sharing_edge(spark):
     df = spark.createDataFrame(und, "src string, dst string")
     got = {r["node"]: r["triangles"] for r in triangle_counts(df).collect()}
     assert got == {"a": 1, "b": 2, "c": 2, "d": 1}
+
+
+def test_clustering_coefficients(spark):
+    from kg.graphrank import clustering_coefficients
+    # triangle a-b-c plus pendant c-d
+    und = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]
+    df = spark.createDataFrame(und, "src string, dst string")
+    got = {r["node"]: (r["deg"], r["triangles"], r["clustering_micro"])
+           for r in clustering_coefficients(df).collect()}
+    assert got["a"] == (2, 1, 1000000)
+    assert got["b"] == (2, 1, 1000000)
+    assert got["c"] == (3, 1, 333333)   # 2*1e6 // (3*2)
+    assert got["d"] == (1, 0, 0)
