@@ -129,3 +129,31 @@ def test_tokenize_fastpath_equals_reference_scan(text):
     """The regex-chunk fast path must be span-for-span identical to the
     original character-wise scan on arbitrary text."""
     assert tokenize(text) == _tokenize_reference(text)
+
+
+def test_triangle_counts_invariant_to_orientation_and_duplication(spark):
+    """Property: triangle counts depend only on the simple undirected
+    graph — reversing and duplicating edges changes nothing."""
+    from kg.graphrank import triangle_counts
+    base = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e"),
+            ("c", "e"), ("b", "d")]
+    noisy = base + [(y, x) for x, y in base] + base[:3]
+    d1 = spark.createDataFrame(base, "src string, dst string")
+    d2 = spark.createDataFrame(noisy, "src string, dst string")
+    t1 = sorted(map(tuple, triangle_counts(d1).collect()))
+    t2 = sorted(map(tuple, triangle_counts(d2).collect()))
+    assert t1 == t2 and len(t1) > 0
+
+
+def test_cross_doc_duplication_bounds(spark):
+    """Property: 0 <= n_dup_grams <= n_grams and the micro fraction is
+    exactly their integer ratio, for arbitrary corpora."""
+    from kg.dedup import cross_doc_duplication
+    import itertools
+    vocab = ["red", "blue", "green", "x"]
+    rows = [(i, " ".join(p)) for i, p in enumerate(
+        itertools.islice(itertools.product(vocab, repeat=4), 40))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for r in cross_doc_duplication(df, n=3).collect():
+        assert 0 <= r["n_dup_grams"] <= r["n_grams"]
+        assert r["dup_gram_micro"] == (r["n_dup_grams"] * 1_000_000) // r["n_grams"]

@@ -166,3 +166,23 @@ def test_asof_walk_out_of_order_semantics():
     # tie at equal ts: right processed first (side order) -> matches
     out, st = _asof_walk([(90, 0, 2), (90, 1, 5)], None)
     assert out == [(5, 2)] and st == (90, 2)
+
+
+def test_streaming_quality_gate_matches_batch(tmp_path, spark):
+    """Stateless curation gates work unchanged on a stream: filtering a
+    document stream with kg.textstats.gopher_passes through availableNow
+    keeps exactly the docs the batch filter keeps."""
+    from kg.textstats import gopher_passes
+    src = str(tmp_path / "docs")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (stream.filter(gopher_passes("text"))
+         .writeStream.format("memory").queryName("gated")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    got = {r["doc_id"] for r in spark.sql(
+        "SELECT doc_id FROM gated").collect()}
+    want = {r["doc_id"] for r in
+            docs.filter(gopher_passes("text")).collect()}
+    assert got == want and 0 < len(got) < docs.count()
