@@ -6,6 +6,7 @@ to jobs/run_pipeline.py (which builds the knowledge graph).
       → quality gate (Gopher-style rule flags)
       → exact dedup (sha256 canonical winner)
       → MinHash-LSH near-dedup (keep the min doc_id of each candidate pair)
+      → cross-doc duplication cap (optional --max-crossdup-micro)
       → benchmark decontamination (optional --benchmark parquet)
       → PII redaction
       → domain mixture sampling (optional --rates "src0=1.0,src1=0.5")
@@ -16,6 +17,7 @@ Usage:
   python jobs/run_curation.py <docs.parquet> <out_dir>
       [--benchmark bench.parquet] [--rates src0=1.0,...]
       [--max-tokens 1024] [--contamination-n 8]
+      [--max-crossdup-micro 500000] [--crossdup-n 3]
 
 Every stage is one of the kg operators (kg.textstats / kg.dedup / kg.pii /
 kg.sampling) — deterministic, RNG-free, shuffle-bounded; the pipeline adds
@@ -52,9 +54,11 @@ def parse_rates(s: str | None) -> dict[str, float] | None:
 def curate(spark: SparkSession, docs_path: str, out_dir: str,
            benchmark_path: str | None = None,
            rates: dict[str, float] | None = None,
-           max_tokens: int = 1024, contamination_n: int = 8) -> dict:
+           max_tokens: int = 1024, contamination_n: int = 8,
+           max_crossdup_micro: int | None = None,
+           crossdup_n: int = 3) -> dict:
     from kg.curate import gate_and_dedupe
-    from kg.dedup import ngram_contamination
+    from kg.dedup import cross_doc_duplication, ngram_contamination
     from kg.pii import redact_pii
     from kg.sampling import mixture_sample, pack_shards, split_assign
 
@@ -68,6 +72,16 @@ def curate(spark: SparkSession, docs_path: str, out_dir: str,
     # Shared with the corpus_curated driver query so the DuckDB oracle
     # pins THIS code path.
     docs = gate_and_dedupe(docs)
+
+    # 3b. optional cross-doc duplication cap: drop boilerplate-heavy docs
+    # whose n-gram positions are mostly shared with OTHER documents (the
+    # exact-substring dedup signal) — pairwise dedup misses these when no
+    # single pair clears a Jaccard threshold
+    if max_crossdup_micro is not None:
+        heavy = (cross_doc_duplication(docs, n=crossdup_n)
+                 .filter(F.col("dup_gram_micro") > max_crossdup_micro)
+                 .select(F.col("doc").alias("doc_id")))
+        docs = docs.join(heavy, "doc_id", "left_anti")
 
     # 4. decontamination against a held-out benchmark corpus
     if benchmark_path:
@@ -117,6 +131,8 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--rates", default=None)
     ap.add_argument("--max-tokens", type=int, default=1024)
     ap.add_argument("--contamination-n", type=int, default=8)
+    ap.add_argument("--max-crossdup-micro", type=int, default=None)
+    ap.add_argument("--crossdup-n", type=int, default=3)
     args = ap.parse_args(argv)
 
     from kg.session import get_spark
@@ -125,7 +141,8 @@ def main(argv: list[str] | None = None) -> dict:
     try:
         return curate(spark, args.docs, args.out_dir, args.benchmark,
                       parse_rates(args.rates), args.max_tokens,
-                      args.contamination_n)
+                      args.contamination_n, args.max_crossdup_micro,
+                      args.crossdup_n)
     finally:
         if owns:
             spark.stop()

@@ -82,3 +82,34 @@ def test_curation_sf0001_corpus(spark, tmp_path):
     b = sorted(tuple(sorted(r.asDict().items()))
                for r in spark.read.parquet(d2).collect())
     assert a == b
+
+
+def test_curation_crossdup_cap(spark, tmp_path):
+    """--max-crossdup-micro drops boilerplate-heavy docs that pairwise
+    dedup misses: a chain of docs each sharing a different license-style
+    segment with its neighbor never collides in the 8-band LSH pass
+    (pairwise Jaccard ~0.1), yet carries 26-52% cross-doc n-gram
+    coverage; the cap removes the whole chain."""
+    from jobs.run_curation import curate
+    shared = ["the license and the warranty of this file",
+              "the copyright is for the original author only",
+              "the terms that apply to the binary form",
+              "the notice with the conditions for the source"]
+    uniq = ["apple banana cherry date elderberry fig grape melon kiwi",
+            "house tree river mountain valley ocean cloud stone field",
+            "red orange yellow green blue indigo violet amber coral"]
+    rows = [(i + 1, "en", f"{shared[i]} {uniq[i]} {shared[i + 1]}")
+            for i in range(3)]
+    rows.append((9, "en", "this is an original document that talks about "
+                 "spark plans with catalyst and tungsten for arrow batches"))
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, lang string, text string") \
+        .write.parquet(p)
+    out_with = str(tmp_path / "with")
+    out_without = str(tmp_path / "without")
+    kept_without = curate(spark, p, out_without, max_tokens=64)["n_output"]
+    curate(spark, p, out_with, max_tokens=64, max_crossdup_micro=250_000)
+    ids = {r["doc_id"] for r in
+           spark.read.parquet(out_with).select("doc_id").collect()}
+    assert kept_without == 4        # gates + pairwise dedup keep all four
+    assert ids == {9}               # the cap drops the boilerplate chain
