@@ -670,6 +670,23 @@ def q_kg_tag_triangles(spark, sf_dir):
     return triangle_counts(tag_cooccurrence_edges(tags))
 
 
+def q_kg_sentence_chain(spark, sf_dir):
+    """Variable-length traversal (kg.query.expand_var — Cypher's
+    [:NEXT_SENTENCE*1..2]): three-sentence documents built from each
+    text ("<text>. A <text>. A <text>") give NEXT_SENTENCE chains, and
+    the oracle enumerates the closed-form reachability using the same
+    sentence-boundary guard as kg_next_sentence (both '. A ' boundaries
+    share the doc's last word, so a doc splits into 3 sentences or 1)."""
+    from kg.query import expand_var
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.lit("en").alias("lang"),
+        F.concat(F.col("text"), F.lit(". A "), F.col("text"),
+                 F.lit(". A "), F.col("text")).alias("text"))
+    t = annotate_to_triples(docs, text_col="text", id_cols=("doc_id",),
+                            lang_col="lang", spec=TOK_SPEC).localCheckpoint()
+    return expand_var(t, "NEXT_SENTENCE", min_hops=1, max_hops=2)
+
+
 def q_kg_tag_clustering(spark, sf_dir):
     """Local clustering coefficients (kg.graphrank.clustering_coefficients)
     over the tag co-occurrence graph — 2·tri/(deg·(deg−1)) in micro-units,
@@ -915,6 +932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_nearest_centroid": q_ann_nearest_centroid,
         "kg_tag_triangles": q_kg_tag_triangles,
         "kg_tag_clustering": q_kg_tag_clustering,
+        "kg_sentence_chain": q_kg_sentence_chain,
         "kg_reannotate_merge": q_kg_reannotate_merge,
         "dedup_contamination": q_dedup_contamination,
         "corpus_mixture": q_corpus_mixture,
@@ -1149,6 +1167,18 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT 'sent:' || doc_id || ':0', 'NEXT_SENTENCE',
                'sent:' || doc_id || ':1'
+        FROM lastw WHERE {_GUARD}"""
+
+    sqls["kg_sentence_chain"] = f"""
+        WITH lastw AS {_SPLITS}
+        SELECT 'sent:' || doc_id || ':0' AS src,
+               'sent:' || doc_id || ':1' AS dst, CAST(1 AS INT) AS hops
+        FROM lastw WHERE {_GUARD}
+        UNION ALL
+        SELECT 'sent:' || doc_id || ':1', 'sent:' || doc_id || ':2', 1
+        FROM lastw WHERE {_GUARD}
+        UNION ALL
+        SELECT 'sent:' || doc_id || ':0', 'sent:' || doc_id || ':2', 2
         FROM lastw WHERE {_GUARD}"""
 
     sqls["kg_first_sentence"] = f"""

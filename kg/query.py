@@ -113,3 +113,35 @@ def node_degrees(triples: DataFrame) -> DataFrame:
     return (ends.groupBy("node")
             .agg(F.sum("o").cast("bigint").alias("out_degree"),
                  F.sum("i").cast("bigint").alias("in_degree")))
+
+
+def expand_var(triples: DataFrame, pred: str, min_hops: int = 1,
+               max_hops: int = 2, reverse: bool = False,
+               max_fanout: int | None = None) -> DataFrame:
+    """Variable-length traversal — Cypher's `-[:PRED*min..max]->` over one
+    predicate.  Returns (src, dst, hops): every node pair connected by a
+    path of exactly `hops` edges, for each hops in [min_hops, max_hops],
+    deduplicated per (src, dst, hops).
+
+    `max_hops` bounds the join depth (k−1 self-joins on the pred-filtered
+    edge frame), so cycles cannot run away; the edge frame is branched
+    once per hop count — over parquet that is k pruned scans, over a
+    UDF-rooted frame localCheckpoint first (see expand_path)."""
+    if not (1 <= min_hops <= max_hops):
+        raise ValueError("need 1 <= min_hops <= max_hops")
+    e = step_edges(triples, pred, reverse)
+    if max_fanout is not None:
+        e = _cap_fanout(e, max_fanout)
+    hop = e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    parts = []
+    for k in range(1, max_hops + 1):
+        if k >= min_hops:
+            parts.append(hop.withColumn("hops", F.lit(k)))
+        if k < max_hops:
+            nxt = e.select(F.col("a").alias("dst"), F.col("b").alias("_nb"))
+            hop = (hop.join(nxt, "dst").select(
+                "src", F.col("_nb").alias("dst")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()

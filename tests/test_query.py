@@ -77,3 +77,41 @@ def test_node_degrees(spark, graph):
     assert got["doc:1"] == (0, 2)
     assert got["tag:en:alpha"] == (0, 3)  # includes the duplicate edge
     assert got["sent:1:1"] == (2, 1)
+
+
+def test_expand_var_chain_and_dedup(spark):
+    from kg.query import expand_var
+    rows = [("s0", "NEXT_SENTENCE", "s1"), ("s1", "NEXT_SENTENCE", "s2"),
+            ("s2", "NEXT_SENTENCE", "s3"),
+            # diamond: two length-2 paths s0->x->s2 collapse to one row
+            ("s0", "NEXT_SENTENCE", "x"), ("x", "NEXT_SENTENCE", "s2")]
+    t = spark.createDataFrame(rows, TRIPLES_SCHEMA)
+    got = {(r["src"], r["dst"], r["hops"]) for r in
+           expand_var(t, "NEXT_SENTENCE", 1, 3).collect()}
+    assert ("s0", "s2", 2) in got and ("s0", "s3", 3) in got
+    assert ("s0", "s1", 1) in got and ("s0", "x", 1) in got
+    assert sum(1 for s, d, h in got if (s, d) == ("s0", "s2")) == 1
+    # min_hops prunes the short paths
+    got2 = {(r["src"], r["dst"], r["hops"]) for r in
+            expand_var(t, "NEXT_SENTENCE", 2, 3).collect()}
+    assert all(h >= 2 for _, _, h in got2) and ("s0", "s3", 3) in got2
+
+
+def test_expand_var_cycle_bounded(spark):
+    from kg.query import expand_var
+    t = spark.createDataFrame([("a", "P", "b"), ("b", "P", "a")],
+                              TRIPLES_SCHEMA)
+    got = {(r["src"], r["dst"], r["hops"]) for r in
+           expand_var(t, "P", 1, 4).collect()}
+    assert ("a", "a", 2) in got and ("a", "b", 3) in got
+    assert max(h for _, _, h in got) == 4  # bounded, no runaway
+
+
+def test_expand_var_bad_bounds(spark):
+    import pytest as _pytest
+    from kg.query import expand_var
+    t = spark.createDataFrame([("a", "P", "b")], TRIPLES_SCHEMA)
+    with _pytest.raises(ValueError):
+        expand_var(t, "P", 0, 2)
+    with _pytest.raises(ValueError):
+        expand_var(t, "P", 3, 2)
