@@ -25,8 +25,6 @@ from typing import Sequence
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-Step = "str | tuple[str, str]"
-
 
 def step_edges(triples: DataFrame, pred: str,
                reverse: bool = False) -> DataFrame:

@@ -157,3 +157,19 @@ def test_cross_doc_duplication_bounds(spark):
     for r in cross_doc_duplication(df, n=3).collect():
         assert 0 <= r["n_dup_grams"] <= r["n_grams"]
         assert r["dup_gram_micro"] == (r["n_dup_grams"] * 1_000_000) // r["n_grams"]
+
+
+def test_lm_surprisal_bounds_and_exact_ratio(spark):
+    """Property: every token carries >= 1 bit, so total_bits >= n_tokens
+    and avg_bits_micro >= 1e6; the micro average is the exact integer
+    ratio."""
+    from kg.textstats import lm_surprisal
+    import itertools
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    rows = [(i, " ".join(p)) for i, p in enumerate(
+        itertools.islice(itertools.product(vocab, repeat=3), 30))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for r in lm_surprisal(df).collect():
+        assert r["total_bits"] >= r["n_tokens"]
+        assert r["avg_bits_micro"] >= 1_000_000
+        assert r["avg_bits_micro"] == (r["total_bits"] * 1_000_000) // r["n_tokens"]
