@@ -717,6 +717,14 @@ def q_dedup_crossdoc(spark, sf_dir):
     return kgdedup.cross_doc_duplication(_docs(spark, sf_dir, None), n=3)
 
 
+def q_text_chunk_windows(spark, sf_dir):
+    """Sliding-window chunking (kg.sampling.chunk_windows): 16-token
+    windows every 8 tokens — the long-document counterpart of shard
+    packing; zero-shuffle map stage."""
+    return kgsampling.chunk_windows(_docs(spark, sf_dir, None),
+                                    size=16, stride=8)
+
+
 def q_kg_doc_sentiment(spark, sf_dir):
     """A11 sentiment through the FULL annotator (kg.annotate sentiment
     branch; threshold rule OpenNLPPipeline.java:300-307): deterministic
@@ -933,6 +941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_tag_triangles": q_kg_tag_triangles,
         "kg_tag_clustering": q_kg_tag_clustering,
         "kg_sentence_chain": q_kg_sentence_chain,
+        "text_chunk_windows": q_text_chunk_windows,
         "kg_reannotate_merge": q_kg_reannotate_merge,
         "dedup_contamination": q_dedup_contamination,
         "corpus_mixture": q_corpus_mixture,
@@ -1444,6 +1453,17 @@ def oracle_sql() -> dict[str, str]:
                      len(list_filter({_TOKS},
                          x -> list_contains({STOP_LIST_SQL}, x))) AS ns
               FROM documents)"""
+
+    sqls["text_chunk_windows"] = f"""
+        WITH base AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        g AS (SELECT doc_id, t,
+                     unnest(range(0, ((greatest(len(t) - 16, 0) + 7) // 8)
+                                     + 1)) AS i
+              FROM base)
+        SELECT doc_id AS doc, CAST(i AS INT) AS chunk_seq,
+               CAST(len(t[i*8+1 : i*8+16]) AS INT) AS n_tokens,
+               array_to_string(t[i*8+1 : i*8+16], ' ') AS text
+        FROM g"""
 
     sqls["corpus_topk_quality"] = f"""
         WITH q AS ({sqls["text_quality"]})

@@ -196,3 +196,41 @@ def top_k_per_group(df: DataFrame, group_cols: tuple[str, ...],
     w = Window.partitionBy(*group_cols).orderBy(*cols)
     return (df.withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") <= k).drop("_rk"))
+
+
+def chunk_windows(df: DataFrame, size: int = 128, stride: int = 64,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Sliding-window chunking of long documents into model-sized training
+    sequences: windows of `size` tokens starting every `stride` tokens —
+    the standard long-document pretraining treatment, complementing
+    pack_shards (which packs SHORT docs up; this cuts LONG docs down).
+
+    Chunk count = ceil(max(n−size, 0)/stride) + 1, so every token is
+    covered and the final window may be shorter; a doc at or under
+    `size` yields exactly one chunk.  Returns
+    (doc, chunk_seq, n_tokens, text).
+
+    Narrow per-row transform + one posexplode — ZERO shuffles; chunking
+    10^12 docs is a pure map stage."""
+    if size < 1 or not (1 <= stride <= size):
+        raise ValueError("need size >= 1 and 1 <= stride <= size")
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    # ceil(a/b) == (a + b - 1) div b for a >= 0 — integer, engine-portable
+    n_chunks = F.expr(
+        f"(greatest(size({_TOKS_SQL(text_col)}) - {size}, 0) + {stride - 1}) "
+        f"div {stride} + 1")
+    starts = F.transform(F.sequence(F.lit(0), n_chunks - 1),
+                         lambda i: i * stride + 1)
+    base = df.select(F.col(id_col).alias("doc"), toks.alias("_t"),
+                     F.posexplode(starts).alias("chunk_seq", "_start"))
+    win = F.expr(f"slice(_t, _start, {size})")
+    return base.select(
+        "doc", "chunk_seq",
+        F.size(win).alias("n_tokens"),
+        F.concat_ws(" ", win).alias("text"))
+
+
+def _TOKS_SQL(text_col: str) -> str:
+    return f"split(trim({text_col}), ' +')"

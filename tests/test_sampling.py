@@ -166,3 +166,28 @@ def test_top_k_per_group_bad_direction_raises(spark):
     df = spark.createDataFrame([("en", 1)], "lang string, doc_id long")
     with _pytest.raises(ValueError):
         top_k_per_group(df, ("lang",), (("doc_id", "down"),), 1)
+
+
+def test_chunk_windows_hand_computed(spark):
+    from kg.sampling import chunk_windows
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"),   # n=7, size=4, stride=2 -> ceil(3/2)+1 = 3
+         (2, "x y")],            # n <= size -> one chunk
+        "doc_id long, text string")
+    got = {(r["doc"], r["chunk_seq"]): (r["n_tokens"], r["text"])
+           for r in chunk_windows(docs, size=4, stride=2).collect()}
+    assert got[(1, 0)] == (4, "a b c d")
+    assert got[(1, 1)] == (4, "c d e f")
+    assert got[(1, 2)] == (3, "e f g")      # final window shorter
+    assert got[(2, 0)] == (2, "x y")
+    assert len(got) == 4
+
+
+def test_chunk_windows_bad_params(spark):
+    import pytest as _pytest
+    from kg.sampling import chunk_windows
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        chunk_windows(docs, size=4, stride=5)
+    with _pytest.raises(ValueError):
+        chunk_windows(docs, size=0, stride=1)
