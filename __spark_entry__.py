@@ -717,6 +717,24 @@ def q_dedup_crossdoc(spark, sf_dir):
     return kgdedup.cross_doc_duplication(_docs(spark, sf_dir, None), n=3)
 
 
+def q_dedup_containment(spark, sf_dir):
+    """Directed containment pairs (kg.dedup.containment_pairs): the
+    embedded-document signal symmetric Jaccard misses — |A∩B|/|A| over
+    the same 2-gram shingles as dedup_ngram_jaccard."""
+    return kgdedup.containment_pairs(_docs(spark, sf_dir), n=2,
+                                     threshold=0.5)
+
+
+def q_text_normalize(spark, sf_dir):
+    """Pre-dedup text normalization (kg.dedup.normalize_text): a
+    mixed-case punctuated suffix is appended per doc so the op provably
+    differs from identity; the oracle replays lower + strip + collapse
+    in SQL."""
+    docs = _docs(spark, sf_dir, None).withColumn(
+        "text", F.concat("text", F.lit("  Mixed-CASE!! 42,000\tEnd.")))
+    return kgdedup.normalize_text(docs).select("doc_id", "text_norm")
+
+
 def q_text_chunk_windows(spark, sf_dir):
     """Sliding-window chunking (kg.sampling.chunk_windows): 16-token
     windows every 8 tokens — the long-document counterpart of shard
@@ -942,6 +960,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_tag_clustering": q_kg_tag_clustering,
         "kg_sentence_chain": q_kg_sentence_chain,
         "text_chunk_windows": q_text_chunk_windows,
+        "dedup_containment": q_dedup_containment,
+        "text_normalize": q_text_normalize,
         "kg_reannotate_merge": q_kg_reannotate_merge,
         "dedup_contamination": q_dedup_contamination,
         "corpus_mixture": q_corpus_mixture,
@@ -1257,6 +1277,28 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE c / (sa.n + sb.n - c) >= 0.5"""
+
+    sqls["dedup_containment"] = f"""
+        WITH sh AS ({_SHINGLES2}),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS id_small, b.doc_id AS id_big, count(*) AS c
+          FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_small, id_big,
+               (c * 1000000) // s.n AS containment_micro
+        FROM inter JOIN sizes s ON s.doc_id = id_small
+        WHERE c * 1000000 >= 500000 * s.n"""
+
+    sqls["text_normalize"] = f"""
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(
+                      lower(text || '  Mixed-CASE!! 42,000' || chr(9)
+                            || 'End.'),
+                      '[^a-z0-9]+', ' ', 'g'),
+                    ' +', ' ', 'g')) AS text_norm
+        FROM documents"""
 
     sqls["dedup_components"] = f"""
         WITH RECURSIVE

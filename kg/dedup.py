@@ -379,3 +379,58 @@ def cross_doc_duplication(df: DataFrame, n: int = 3,
                  .cast("bigint").alias("n_dup_grams"))
             .withColumn("dup_gram_micro",
                         F.expr("(n_dup_grams * 1000000) div n_grams")))
+
+
+def containment_pairs(df: DataFrame, n: int = 3, threshold: float = 0.8,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      max_df: int | None = 100_000) -> DataFrame:
+    """Directed containment near-dup pairs: |A ∩ B| / |A| >= threshold —
+    the signal symmetric Jaccard MISSES when a short document is embedded
+    inside a much longer one (quoted articles, README copies inside
+    monorepos): J = |A|/|B| can be arbitrarily small while containment of
+    A is 1.0.
+
+    Returns (id_small, id_big, containment_micro): the contained side
+    first, both directions examined, self-pairs and the degenerate
+    |A| = 0 side excluded.  Same shingle self-join shape and `max_df`
+    hot-shingle cap as ngram_jaccard_pairs (dropping a hot shingle only
+    lowers the measured containment)."""
+    sh = word_shingles(df, n, text_col, id_col)
+    if max_df is not None:
+        hot = (sh.groupBy("shingle").count()
+               .filter(F.col("count") > max_df).select("shingle"))
+        sh = sh.join(hot, "shingle", "left_anti")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a.id") != F.col("b.id")))
+             .groupBy(F.col("a.id").alias("id_small"),
+                      F.col("b.id").alias("id_big"))
+             .agg(F.count("*").alias("inter")))
+    thr_micro = int(round(threshold * 1_000_000))
+    sa = sizes.select(F.col("id").alias("id_small"),
+                      F.col("n_sh").alias("n_small"))
+    return (inter.join(sa, "id_small")
+            .filter(F.col("inter") * 1_000_000
+                    >= F.lit(thr_micro) * F.col("n_small"))
+            .select("id_small", "id_big",
+                    F.expr("(cast(inter as bigint) * 1000000) div "
+                           "cast(n_small as bigint)")
+                    .alias("containment_micro")))
+
+
+def normalize_text(df: DataFrame, text_col: str = "text",
+                   out_col: str = "text_norm") -> DataFrame:
+    """Canonical pre-dedup text normalization: lowercase, strip
+    non-alphanumeric characters to spaces, collapse whitespace runs, trim.
+    Exact duplicates that differ only in case/punctuation/spacing then
+    collide under the SAME sha/shingle keys.
+
+    All JVM built-ins (lower + two regexp_replace + trim), zero shuffles;
+    portable 1:1 to the DuckDB oracle.  Unicode NFC folding would need a
+    Python UDF on the Spark side (no built-in normalizer) — out of scope
+    here, noted for corpora that need it."""
+    norm = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "),
+        " +", " "))
+    return df.withColumn(out_col, norm)

@@ -370,3 +370,31 @@ def test_cross_doc_duplication_counts_positions_not_types(spark):
            for r in cross_doc_duplication(docs, n=3).collect()}
     assert got[1] == (4, 2)     # both 'a b c' positions are cross-doc dups
     assert got[2] == (1, 1)
+
+
+def test_containment_catches_embedded_doc_jaccard_misses(spark):
+    from kg.dedup import containment_pairs, ngram_jaccard_pairs
+    short = "alpha beta gamma delta epsilon"
+    long = ("zero one two three four five six seven eight nine ten "
+            + short + " eleven twelve thirteen fourteen fifteen sixteen "
+            "seventeen eighteen nineteen twenty")
+    docs = spark.createDataFrame(
+        [(1, short), (2, long), (3, "unrelated text entirely different")],
+        "doc_id long, text string")
+    got = {(r["id_small"], r["id_big"]): r["containment_micro"]
+           for r in containment_pairs(docs, n=3, threshold=0.8).collect()}
+    assert got[(1, 2)] == 1_000_000          # short fully contained
+    assert (2, 1) not in got                 # big side not contained
+    # symmetric Jaccard at the same bar misses it entirely
+    assert ngram_jaccard_pairs(docs, n=3, threshold=0.8).count() == 0
+
+
+def test_normalize_text(spark):
+    from kg.dedup import normalize_text
+    docs = spark.createDataFrame(
+        [(1, "Hello,   World!"), (2, "hello world"), (3, "  A--B  ")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["text_norm"]
+           for r in normalize_text(docs).collect()}
+    assert got[1] == got[2] == "hello world"
+    assert got[3] == "a b"
