@@ -528,6 +528,14 @@ def q_rel_customers_without_orders(spark, sf_dir):
             .select("c_custkey", "c_mktsegment"))
 
 
+def q_rel_events_cohort(spark, sf_dir):
+    """Cohort-retention rollup (kg.relops.cohort_retention): users
+    cohorted by first-activity date, distinct active users per
+    (cohort_day, day_offset)."""
+    from kg.relops import cohort_retention
+    return cohort_retention(_read("events")(spark, sf_dir))
+
+
 def q_rel_events_sessionize(spark, sf_dir):
     from pyspark.sql.window import Window
     ev = _read("events")(spark, sf_dir)
@@ -941,6 +949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_events_cube": q_rel_events_cube,
         "rel_customers_without_orders": q_rel_customers_without_orders,
         "rel_events_sessionize": q_rel_events_sessionize,
+        "rel_events_cohort": q_rel_events_cohort,
         "text_pii": q_text_pii,
         "text_repetition": q_text_repetition,
         "kg_tag_pagerank": q_kg_tag_pagerank,
@@ -1751,6 +1760,17 @@ def oracle_sql() -> dict[str, str]:
         WHERE NOT EXISTS (SELECT 1 FROM orders
                           WHERE o_custkey = c_custkey
                             AND o_orderpriority = '1-URGENT')"""
+
+    sqls["rel_events_cohort"] = """
+        WITH d AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day
+                   FROM events),
+        f AS (SELECT u, min(day) AS cohort_day FROM d GROUP BY 1)
+        SELECT f.cohort_day,
+               CAST(date_diff('day', f.cohort_day, d.day) AS INT)
+                 AS day_offset,
+               CAST(count(DISTINCT d.u) AS BIGINT) AS n_users
+        FROM d JOIN f USING (u)
+        GROUP BY 1, 2"""
 
     sqls["rel_events_sessionize"] = """
         WITH flagged AS (

@@ -189,3 +189,25 @@ def bucketed_interval_join(points: DataFrame, intervals: DataFrame, on: str,
             .filter((F.col(point_ts) >= F.col(start_ts))
                     & (F.col(point_ts) < F.col(end_ts)))
             .drop("_bucket"))
+
+
+def cohort_retention(events: DataFrame, ts_col: str = "ts",
+                     user_col: str = "user_id") -> DataFrame:
+    """Classic cohort-retention rollup: users cohorted by first-activity
+    date; for each (cohort_day, day_offset) the distinct users active
+    that many days later.  Returns (cohort_day, day_offset, n_users).
+
+    Shape: distinct (user, day) → per-user min day (map-side combinable)
+    → join back on user → count-distinct per (cohort, offset).  Both
+    shuffles key on the user / cohort-day columns; no window over the
+    raw event stream, so a 100 TB event table reduces to
+    users × active-days before anything expensive runs."""
+    d = (events.select(F.col(user_col).alias("user"),
+                       F.to_date(F.col(ts_col)).alias("day"))
+         .distinct())
+    first = d.groupBy("user").agg(F.min("day").alias("cohort_day"))
+    return (d.join(first, "user")
+            .groupBy("cohort_day",
+                     F.datediff(F.col("day"), F.col("cohort_day"))
+                     .cast("int").alias("day_offset"))
+            .agg(F.countDistinct("user").cast("bigint").alias("n_users")))

@@ -224,3 +224,57 @@ def start_triple_stream(corpus_stream: DataFrame, out_path: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_incremental_dedup(corpus_stream: DataFrame, corpus: DataFrame,
+                             text_col: str = "content",
+                             k: int = 16, bands: int = 4,
+                             n: int = 3) -> DataFrame:
+    """Streaming form of kg.dedup.incremental_dedup_flags: drop incoming
+    documents that duplicate the EXISTING static corpus — exact (sha) or
+    near (shared MinHash band bucket) — as they arrive.
+
+    Shape: 1 + `bands` chained STREAM-STATIC LEFT ANTI joins (sha, then
+    one per band — a doc survives only if every probe misses).  The
+    static side reduces once to distinct sha / per-band bucket key
+    tables; stream-static joins are append-safe and keep ZERO streaming
+    state — the corpus IS the state, which is exactly why this beats
+    stream_dedup's watermark trade-off for batch-vs-corpus dedup.
+
+    The stream side computes its band buckets IN-ROW (array_min over the
+    shingle array per hash index, same md5 family as the batch op): a
+    streaming groupBy-min would be an illegal pre-join aggregation in
+    append mode, and is unnecessary.  Docs shorter than `n` tokens have
+    no shingles → NULL buckets → never match (anti-join keeps them),
+    mirroring the batch semantics."""
+    from kg.dedup import _band_buckets, minhash_signatures
+    sha_corpus = (corpus
+                  .select(F.sha2(F.col(text_col), 256).alias("content_sha256"))
+                  .distinct())
+    cb = (_band_buckets(
+        minhash_signatures(corpus, k, n, text_col, "doc_id"),
+        k, bands).select("band", "bucket").distinct())
+    out = (corpus_stream
+           .withColumn("content_sha256", F.sha2(F.col(text_col), 256))
+           .join(sha_corpus, "content_sha256", "left_anti")
+           .drop("content_sha256"))
+    toks = F.split(F.trim(F.col(text_col)), r" +")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - n + 1),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    ).otherwise(F.array().cast("array<string>"))
+    sigs = [F.array_min(F.transform(
+        grams, lambda s: F.md5(F.concat_ws(":", F.lit(str(i)), s))))
+        for i in range(k)]
+    rows_per_band = k // bands
+    for b in range(bands):
+        bucket = F.md5(F.concat_ws(
+            "|", *[sigs[b * rows_per_band + r]
+                   for r in range(rows_per_band)]))
+        probe = (cb.filter(F.col("band") == b)
+                 .select(F.col("bucket").alias(f"_bucket_{b}")))
+        out = (out.withColumn(f"_bucket_{b}", bucket)
+               .join(probe, f"_bucket_{b}", "left_anti")
+               .drop(f"_bucket_{b}"))
+    return out

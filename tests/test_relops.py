@@ -227,3 +227,20 @@ def test_asof_null_keys_never_match(spark):
            for r in asof_join(left, right, on="user", value_cols=("rid",),
                               seq_col="rid").collect()}
     assert out == {"L1": None, "L2": "R2"}
+
+
+def test_cohort_retention_hand_computed(spark):
+    from kg.relops import cohort_retention
+    rows = [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 11:00:00"),
+            (1, "2024-01-03 09:00:00"),
+            (2, "2024-01-01 12:00:00"),
+            (3, "2024-01-02 08:00:00"), (3, "2024-01-03 08:00:00")]
+    ev = spark.createDataFrame(rows, "user_id long, ts string") \
+        .selectExpr("user_id", "cast(ts as timestamp) AS ts")
+    got = {(str(r["cohort_day"]), r["day_offset"]): r["n_users"]
+           for r in cohort_retention(ev).collect()}
+    assert got[("2024-01-01", 0)] == 2       # users 1 and 2 start Jan 1
+    assert got[("2024-01-01", 2)] == 1       # only user 1 returns day+2
+    assert got[("2024-01-02", 0)] == 1       # user 3's cohort
+    assert got[("2024-01-02", 1)] == 1
+    assert len(got) == 4

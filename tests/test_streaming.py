@@ -186,3 +186,34 @@ def test_streaming_quality_gate_matches_batch(tmp_path, spark):
     want = {r["doc_id"] for r in
             docs.filter(gopher_passes("text")).collect()}
     assert got == want and 0 < len(got) < docs.count()
+
+
+def test_stream_incremental_dedup_matches_batch(tmp_path, spark):
+    """Stream-static incremental dedup: the surviving stream rows are
+    exactly the batch incremental_dedup_flags survivors (neither exact-
+    nor near-dup of the static corpus)."""
+    from kg.dedup import incremental_dedup_flags
+    from kg.streaming import stream_incremental_dedup
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog every day"),
+         (2, "completely different corpus content right here")],
+        "doc_id long, content string")
+    new_rows = [
+        (10, "the quick brown fox jumps over the lazy dog every day"),   # exact
+        (11, "the quick brown fox jumps over the lazy dog every night"), # near
+        (12, "unrelated novel text about spark partitions and shuffles"),
+        (13, "hi")]
+    new = spark.createDataFrame(new_rows, "doc_id long, content string")
+    src = str(tmp_path / "new")
+    new.write.parquet(src)
+    stream = spark.readStream.schema(new.schema).parquet(src)
+    q = (stream_incremental_dedup(stream, corpus)
+         .writeStream.format("memory").queryName("inc_dedup")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    got = {r["doc_id"] for r in spark.sql(
+        "SELECT doc_id FROM inc_dedup").collect()}
+    flags = incremental_dedup_flags(new, corpus, n=3, text_col="content")
+    want = {r["doc_id"] for r in flags.collect()
+            if not r["exact_dup"] and not r["near_dup"]}
+    assert got == want == {12, 13}
