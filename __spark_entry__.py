@@ -614,8 +614,14 @@ def q_kg_path_doc_tag(spark, sf_dir):
     ─HAS_TAG→ tag."""
     from kg.query import expand_path
     # the two hops branch the triple frame; it is annotate-UDF-rooted here
-    # (not parquet-backed), so cut the lineage once (perf rule 7)
-    t = _en_triples(spark, sf_dir, TOK_SPEC).localCheckpoint()
+    # (not parquet-backed), so cut the lineage once (perf rule 7) — AFTER
+    # pruning to the two predicates the walk reads: checkpointing the
+    # unfiltered set would materialize the (largest) TAG_OCCURS payload
+    # rows only to filter them back out per hop
+    t = (_en_triples(spark, sf_dir, TOK_SPEC)
+         .filter(F.col("pred").isin("PART_OF", "HAS_TAG"))
+         .select("subj", "pred", "obj")
+         .localCheckpoint())
     return expand_path(t, [("PART_OF", "<"), "HAS_TAG"]).select(
         F.col("n0").alias("doc_uid"), F.col("n1").alias("sentence_id"),
         F.col("n2").alias("tag_uid"))

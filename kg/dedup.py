@@ -34,23 +34,33 @@ def exact_duplicates(df: DataFrame, text_col: str = "text",
                  F.min(id_col).alias("canonical_id")))
 
 
-def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text",
-                  id_col: str = "doc_id") -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle).
-    Built-ins only: transform over a token-index sequence, then explode.
+def gram_positions(text_col: str = "text", n: int = 3):
+    """Word n-gram array WITH positional multiplicity — THE single
+    definition of guarded gram construction, shared by word_shingles,
+    cross_doc_duplication, and kg.streaming.stream_incremental_dedup
+    (divergent copies would silently disagree between stream and batch
+    dedup flags).
 
-    Documents shorter than n tokens yield no shingles (the CASE guard is
-    required: F.sequence(0, size-n) with size < n produces a DESCENDING
-    sequence and F.slice then throws INVALID_PARAMETER_VALUE.START — a
-    one-word document would abort the whole job)."""
+    The CASE guard is required: for docs shorter than n tokens,
+    F.sequence produces a DESCENDING sequence and F.slice then throws
+    INVALID_PARAMETER_VALUE.START — a one-word document would abort the
+    whole job; such docs yield an empty array instead."""
     toks = tokens_col(text_col)
-    grams = F.when(
+    return F.when(
         F.size(toks) >= n,
         F.transform(F.sequence(F.lit(1), F.size(toks) - n + 1),
                     lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
     ).otherwise(F.array().cast("array<string>"))
+
+
+def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+    Built-ins only: transform over a token-index sequence, then explode
+    (guard semantics: see gram_positions)."""
     return (df.select(F.col(id_col).alias("id"),
-                      F.explode(F.array_distinct(grams)).alias("shingle")))
+                      F.explode(F.array_distinct(
+                          gram_positions(text_col, n))).alias("shingle")))
 
 
 def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
@@ -361,14 +371,8 @@ def cross_doc_duplication(df: DataFrame, n: int = 3,
     shingle → groupBy(doc).  No self-join, no pair blowup: the join is
     position-row × one dfreq row.  Hot shingles stay (they ARE the
     signal here, unlike the pair-join in ngram_jaccard_pairs)."""
-    toks = tokens_col(text_col)
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(F.sequence(F.lit(1), F.size(toks) - n + 1),
-                    lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    ).otherwise(F.array().cast("array<string>"))
     pos = (df.select(F.col(id_col).alias("doc"),
-                     F.explode(grams).alias("shingle")))
+                     F.explode(gram_positions(text_col, n)).alias("shingle")))
     dfreq = (pos.select("doc", "shingle").distinct()
              .groupBy("shingle")
              .agg(F.count("*").alias("_df")))

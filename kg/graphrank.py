@@ -194,10 +194,24 @@ def triangle_counts(edges: DataFrame, src_col: str = "src",
     (degree, id) instead of id so hub wedges collapse to the sparse side
     (the  "compact-forward" trick); id-orientation keeps the oracle
     expressible and is exact on the same graph."""
-    e = (edges.select(F.least(F.col(src_col), F.col(dst_col)).alias("a"),
-                      F.greatest(F.col(src_col), F.col(dst_col)).alias("b"))
-         .filter(F.col("a") != F.col("b"))
-         .distinct())
+    e = _simple_edges(edges, src_col, dst_col)
+    return _triangles_of_simple(e)
+
+
+def _simple_edges(edges: DataFrame, src_col: str = "src",
+                  dst_col: str = "dst") -> DataFrame:
+    """(a, b) with a < b, no loops, distinct — the simple undirected
+    edge set both triangle operators run on."""
+    return (edges.select(F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+                         F.greatest(F.col(src_col), F.col(dst_col)).alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct())
+
+
+def _triangles_of_simple(e: DataFrame) -> DataFrame:
+    """Triangle counts over an ALREADY simple (a < b, distinct) edge set —
+    callers that have normalized (clustering_coefficients) skip the
+    redundant second normalization shuffle."""
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (e1.join(e2, (F.col("e1.a") == F.col("e2.a"))
                    & (F.col("e1.b") < F.col("e2.b")))
@@ -219,16 +233,14 @@ def clustering_coefficients(edges: DataFrame, src_col: str = "src",
     standard cohesion profile of the tag graph.
 
     Plan: the simple edge set is built once and reused by the degree
-    aggregate and the triangle join (localCheckpoint cuts the shared
-    lineage — perf rule 7 applies to any branched input)."""
-    e = (edges.select(F.least(F.col(src_col), F.col(dst_col)).alias("a"),
-                      F.greatest(F.col(src_col), F.col(dst_col)).alias("b"))
-         .filter(F.col("a") != F.col("b"))
-         .distinct()
-         .localCheckpoint())
+    aggregate and the triangle join — via _triangles_of_simple, NOT the
+    public triangle_counts, which would re-normalize the already-simple
+    set with a second full distinct shuffle (localCheckpoint cuts the
+    shared lineage — perf rule 7 applies to any branched input)."""
+    e = _simple_edges(edges, src_col, dst_col).localCheckpoint()
     deg = (e.select(F.explode(F.array("a", "b")).alias("node"))
            .groupBy("node").agg(F.count("*").cast("bigint").alias("deg")))
-    tri = triangle_counts(e, "a", "b")
+    tri = _triangles_of_simple(e)
     return (deg.join(tri, "node", "left")
             .select("node", "deg",
                     F.coalesce(F.col("triangles"), F.lit(0)).cast("bigint")

@@ -137,8 +137,12 @@ def expand_var(triples: DataFrame, pred: str, min_hops: int = 1,
             parts.append(hop.withColumn("hops", F.lit(k)))
         if k < max_hops:
             nxt = e.select(F.col("a").alias("dst"), F.col("b").alias("_nb"))
+            # distinct per extension: the output is per-(src, dst, hops),
+            # so carrying one row per PATH (not per pair) through the next
+            # join is pure blowup — diamond-dense graphs multiply paths
+            # exponentially while the pair frontier stays <= |V|^2
             hop = (hop.join(nxt, "dst").select(
-                "src", F.col("_nb").alias("dst")))
+                "src", F.col("_nb").alias("dst")).distinct())
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

@@ -206,8 +206,12 @@ def cohort_retention(events: DataFrame, ts_col: str = "ts",
                        F.to_date(F.col(ts_col)).alias("day"))
          .distinct())
     first = d.groupBy("user").agg(F.min("day").alias("cohort_day"))
+    # count(*), not countDistinct: `d` is distinct (user, day) and
+    # day_offset is a pure function of (user, day), so each user appears
+    # at most once per group — identical result without the extra
+    # partial-distinct expansion over users × active-days
     return (d.join(first, "user")
             .groupBy("cohort_day",
                      F.datediff(F.col("day"), F.col("cohort_day"))
                      .cast("int").alias("day_offset"))
-            .agg(F.countDistinct("user").cast("bigint").alias("n_users")))
+            .agg(F.count("*").cast("bigint").alias("n_users")))

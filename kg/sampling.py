@@ -215,22 +215,20 @@ def chunk_windows(df: DataFrame, size: int = 128, stride: int = 64,
     10^12 docs is a pure map stage."""
     if size < 1 or not (1 <= stride <= size):
         raise ValueError("need size >= 1 and 1 <= stride <= size")
-    toks = tokens_col(text_col)
-    n = F.size(toks)
+    # tokenize ONCE (tokens_col is the single definition); n_chunks and the
+    # windows both derive from the same `_t` column — a second parallel
+    # encoding of the tokenizer would silently diverge if it ever changes
+    base = df.select(F.col(id_col).alias("doc"),
+                     tokens_col(text_col).alias("_t"))
     # ceil(a/b) == (a + b - 1) div b for a >= 0 — integer, engine-portable
     n_chunks = F.expr(
-        f"(greatest(size({_TOKS_SQL(text_col)}) - {size}, 0) + {stride - 1}) "
-        f"div {stride} + 1")
+        f"(greatest(size(_t) - {size}, 0) + {stride - 1}) div {stride} + 1")
     starts = F.transform(F.sequence(F.lit(0), n_chunks - 1),
                          lambda i: i * stride + 1)
-    base = df.select(F.col(id_col).alias("doc"), toks.alias("_t"),
-                     F.posexplode(starts).alias("chunk_seq", "_start"))
     win = F.expr(f"slice(_t, _start, {size})")
-    return base.select(
-        "doc", "chunk_seq",
-        F.size(win).alias("n_tokens"),
-        F.concat_ws(" ", win).alias("text"))
-
-
-def _TOKS_SQL(text_col: str) -> str:
-    return f"split(trim({text_col}), ' +')"
+    return (base
+            .select("doc", "_t",
+                    F.posexplode(starts).alias("chunk_seq", "_start"))
+            .select("doc", "chunk_seq",
+                    F.size(win).alias("n_tokens"),
+                    F.concat_ws(" ", win).alias("text")))

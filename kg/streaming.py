@@ -239,39 +239,45 @@ def stream_incremental_dedup(corpus_stream: DataFrame, corpus: DataFrame,
     static side reduces once to distinct sha / per-band bucket key
     tables; stream-static joins are append-safe and keep ZERO streaming
     state — the corpus IS the state, which is exactly why this beats
-    stream_dedup's watermark trade-off for batch-vs-corpus dedup.
+    stream_dedup's watermark trade-off for batch-vs-corpus dedup.  The
+    static corpus needs no id column: signatures are keyed by content
+    sha, so any corpus schema with `text_col` works (incl. the contract
+    (repo, path, commit, lang, content) schema).
 
     The stream side computes its band buckets IN-ROW (array_min over the
-    shingle array per hash index, same md5 family as the batch op): a
+    gram_positions array per hash index — THE shared gram definition
+    from kg.dedup, so stream and batch flags cannot diverge): a
     streaming groupBy-min would be an illegal pre-join aggregation in
-    append mode, and is unnecessary.  Docs shorter than `n` tokens have
-    no shingles → NULL buckets → never match (anti-join keeps them),
-    mirroring the batch semantics."""
-    from kg.dedup import _band_buckets, minhash_signatures
+    append mode, and is unnecessary.  Docs shorter than `n` tokens get
+    explicitly NULL buckets (guarded below, NOT concat_ws of NULL sigs,
+    which would silently become the constant md5('') bucket), and a NULL
+    equi-join key never matches — the anti-join keeps them, whatever the
+    corpus side emits."""
+    from kg.dedup import _band_buckets, gram_positions, minhash_signatures
     sha_corpus = (corpus
                   .select(F.sha2(F.col(text_col), 256).alias("content_sha256"))
                   .distinct())
+    corpus_keyed = corpus.select(
+        F.sha2(F.col(text_col), 256).alias("_cid"),
+        F.col(text_col).alias("_ctext"))
     cb = (_band_buckets(
-        minhash_signatures(corpus, k, n, text_col, "doc_id"),
+        minhash_signatures(corpus_keyed, k, n, "_ctext", "_cid"),
         k, bands).select("band", "bucket").distinct())
     out = (corpus_stream
            .withColumn("content_sha256", F.sha2(F.col(text_col), 256))
            .join(sha_corpus, "content_sha256", "left_anti")
            .drop("content_sha256"))
-    toks = F.split(F.trim(F.col(text_col)), r" +")
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(F.sequence(F.lit(1), F.size(toks) - n + 1),
-                    lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    ).otherwise(F.array().cast("array<string>"))
+    grams = gram_positions(text_col, n)
+    has_grams = F.size(grams) >= 1
     sigs = [F.array_min(F.transform(
         grams, lambda s: F.md5(F.concat_ws(":", F.lit(str(i)), s))))
         for i in range(k)]
     rows_per_band = k // bands
     for b in range(bands):
-        bucket = F.md5(F.concat_ws(
+        bucket = F.when(has_grams, F.md5(F.concat_ws(
             "|", *[sigs[b * rows_per_band + r]
-                   for r in range(rows_per_band)]))
+                   for r in range(rows_per_band)]))) \
+            .otherwise(F.lit(None).cast("string"))
         probe = (cb.filter(F.col("band") == b)
                  .select(F.col("bucket").alias(f"_bucket_{b}")))
         out = (out.withColumn(f"_bucket_{b}", bucket)

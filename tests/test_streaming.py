@@ -217,3 +217,49 @@ def test_stream_incremental_dedup_matches_batch(tmp_path, spark):
     want = {r["doc_id"] for r in flags.collect()
             if not r["exact_dup"] and not r["near_dup"]}
     assert got == want == {12, 13}
+
+
+def test_stream_incremental_dedup_contract_schema(tmp_path, spark):
+    """The static corpus side works with the contract (repo, path,
+    commit, lang, content) schema — no doc_id column required (corpus
+    signatures are keyed by content sha)."""
+    from kg.corpus import synthetic_corpus
+    from kg.streaming import stream_incremental_dedup
+    corpus = synthetic_corpus(spark, n_files=20)
+    src = str(tmp_path / "incoming")
+    # re-ingest 5 corpus files (dups) + 1 genuinely new file
+    incoming = corpus.limit(5).unionByName(
+        spark.createDataFrame(
+            [("org/new", "new.py", "c0", "python",
+              "def truly_novel(): return 42")],
+            corpus.schema))
+    incoming.write.parquet(src)
+    stream = spark.readStream.schema(corpus.schema).parquet(src)
+    q = (stream_incremental_dedup(stream, corpus)
+         .writeStream.format("memory").queryName("inc_contract")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    got = {r["path"] for r in spark.sql(
+        "SELECT path FROM inc_contract").collect()}
+    assert got == {"new.py"}
+
+
+def test_stream_incremental_dedup_short_docs_survive(tmp_path, spark):
+    """Docs with < n tokens get NULL band buckets and must SURVIVE the
+    near-dup probes even when the corpus also contains short docs (the
+    md5('') constant-bucket trap)."""
+    from kg.streaming import stream_incremental_dedup
+    corpus = spark.createDataFrame(
+        [(1, "hi"), (2, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, content string")
+    new = spark.createDataFrame([(10, "yo")], "doc_id long, content string")
+    src = str(tmp_path / "short")
+    new.write.parquet(src)
+    stream = spark.readStream.schema(new.schema).parquet(src)
+    q = (stream_incremental_dedup(stream, corpus)
+         .writeStream.format("memory").queryName("inc_short")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    got = {r["doc_id"] for r in spark.sql(
+        "SELECT doc_id FROM inc_short").collect()}
+    assert got == {10}
