@@ -684,6 +684,32 @@ def q_kg_tag_triangles(spark, sf_dir):
     return triangle_counts(tag_cooccurrence_edges(tags))
 
 
+def q_kg_adjacency(spark, sf_dir):
+    """Sorted adjacency-list export (kg.query.adjacency_lists) of the
+    HAS_TAG predicate — the GNN-training / k-hop-serving shape."""
+    from kg.query import adjacency_lists
+    return adjacency_lists(_en_triples(spark, sf_dir, TOK_SPEC), "HAS_TAG")
+
+
+def q_kg_tag_quality(spark, sf_dir):
+    """KG x curation composition: per tag, the number of containing docs
+    and their mean quality score (integer micro) — the join of the
+    HAS_TAG edge set with kg.textstats.quality_score that ranks tags by
+    the quality of the text they come from."""
+    docs = _docs(spark, sf_dir)
+    q = kgtext.quality_score(docs, "text", "doc_id").select(
+        F.concat(F.lit("sent:"), F.col("doc_id"), F.lit(":0"))
+        .alias("subj"), "quality_micro")
+    has_tag = (_en_triples(spark, sf_dir, TOK_SPEC)
+               .filter(F.col("pred") == "HAS_TAG")
+               .select("subj", F.col("obj").alias("tag_uid")))
+    return (has_tag.join(q, "subj")
+            .groupBy("tag_uid")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.expr("sum(quality_micro) div count(*)")
+                 .cast("bigint").alias("avg_quality_micro")))
+
+
 def q_kg_sentence_chain(spark, sf_dir):
     """Variable-length traversal (kg.query.expand_var — Cypher's
     [:NEXT_SENTENCE*1..2]): three-sentence documents built from each
@@ -974,6 +1000,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_tag_triangles": q_kg_tag_triangles,
         "kg_tag_clustering": q_kg_tag_clustering,
         "kg_sentence_chain": q_kg_sentence_chain,
+        "kg_adjacency": q_kg_adjacency,
+        "kg_tag_quality": q_kg_tag_quality,
         "text_chunk_windows": q_text_chunk_windows,
         "dedup_containment": q_dedup_containment,
         "text_normalize": q_text_normalize,
@@ -1118,6 +1146,39 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT doc_id, unnest({_TOKS}) AS tok
               FROM documents WHERE lang = 'en')
         WHERE tok NOT IN {STOP_IN}
+        GROUP BY 1"""
+
+    sqls["kg_adjacency"] = f"""
+        SELECT 'sent:' || doc_id || ':0' AS node,
+               CAST(count(*) AS BIGINT) AS degree,
+               list('tag:en:' || tok ORDER BY 'tag:en:' || tok) AS neighbors
+        FROM (SELECT DISTINCT doc_id, tok
+              FROM (SELECT doc_id, unnest({_TOKS}) AS tok
+                    FROM documents WHERE lang = 'en')
+              WHERE tok NOT IN {STOP_IN})
+        GROUP BY 1"""
+
+    sqls["kg_tag_quality"] = f"""
+        WITH q AS (
+          SELECT doc_id,
+                 (len(list_distinct(t)) * (2 * len(t) - ns) * 1000000)
+                   // (2 * len(t) * len(t)
+                       * (CASE WHEN len(t) BETWEEN 10 AND 10000
+                          THEN 1 ELSE 2 END)) AS quality_micro
+          FROM (SELECT doc_id, {_TOKS} AS t,
+                       len(list_filter({_TOKS},
+                           x -> list_contains({STOP_LIST_SQL}, x))) AS ns
+                FROM documents WHERE lang = 'en')),
+        ht AS (
+          SELECT DISTINCT doc_id, tok
+          FROM (SELECT doc_id, unnest({_TOKS}) AS tok
+                FROM documents WHERE lang = 'en')
+          WHERE tok NOT IN {STOP_IN})
+        SELECT 'tag:en:' || ht.tok AS tag_uid,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(CAST(sum(q.quality_micro) AS BIGINT) // count(*)
+                    AS BIGINT) AS avg_quality_micro
+        FROM ht JOIN q USING (doc_id)
         GROUP BY 1"""
 
     sqls["kg_sentences"] = """

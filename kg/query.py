@@ -147,3 +147,20 @@ def expand_var(triples: DataFrame, pred: str, min_hops: int = 1,
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.distinct()
+
+
+def adjacency_lists(triples: DataFrame, pred: str,
+                    reverse: bool = False) -> DataFrame:
+    """Sorted adjacency-list export for one predicate — the standard
+    input shape for downstream graph learning (GNN neighbor sampling)
+    and for serving k-hop lookups without joins:
+    (node, degree, neighbors sorted ascending).
+
+    One groupBy on the source node with collect_list + array_sort —
+    deterministic regardless of shuffle order.  Hub nodes make single
+    giant rows; cap upstream with expand-side `max_fanout` semantics or
+    salt the export if a node's neighbor list exceeds row-size budgets."""
+    e = step_edges(triples, pred, reverse).distinct()
+    return (e.groupBy(F.col("a").alias("node"))
+            .agg(F.count("*").cast("bigint").alias("degree"),
+                 F.array_sort(F.collect_list("b")).alias("neighbors")))

@@ -173,3 +173,19 @@ def test_lm_surprisal_bounds_and_exact_ratio(spark):
         assert r["total_bits"] >= r["n_tokens"]
         assert r["avg_bits_micro"] >= 1_000_000
         assert r["avg_bits_micro"] == (r["total_bits"] * 1_000_000) // r["n_tokens"]
+
+
+def test_chunk_windows_partition_property(spark):
+    """Property: with stride == size the chunks exactly partition the
+    token stream — re-concatenation reproduces the tokenized text."""
+    from kg.sampling import chunk_windows
+    texts = ["a b c d e f g", "one", "x y z w", "p q r s t u v w x y z"]
+    docs = spark.createDataFrame(list(enumerate(texts)),
+                                 "doc_id long, text string")
+    chunks = chunk_windows(docs, size=3, stride=3).collect()
+    by_doc = {}
+    for r in sorted(chunks, key=lambda r: (r["doc"], r["chunk_seq"])):
+        by_doc.setdefault(r["doc"], []).append(r["text"])
+    for i, t in enumerate(texts):
+        assert " ".join(by_doc[i]) == t
+        assert sum(len(c.split()) for c in by_doc[i]) == len(t.split())

@@ -115,3 +115,14 @@ def test_expand_var_bad_bounds(spark):
         expand_var(t, "P", 0, 2)
     with _pytest.raises(ValueError):
         expand_var(t, "P", 3, 2)
+
+
+def test_adjacency_lists_sorted_and_deduped(spark, graph):
+    from kg.query import adjacency_lists
+    got = {r["node"]: (r["degree"], r["neighbors"]) for r in
+           adjacency_lists(graph, "HAS_TAG").collect()}
+    assert got["sent:2:0"] == (1, ["tag:en:alpha"])  # duplicate edge collapsed
+    assert got["sent:1:0"] == (1, ["tag:en:alpha"])
+    rev = {r["node"]: r["neighbors"] for r in
+           adjacency_lists(graph, "HAS_TAG", reverse=True).collect()}
+    assert rev["tag:en:alpha"] == ["sent:1:0", "sent:2:0"]
