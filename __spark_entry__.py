@@ -775,6 +775,13 @@ def q_text_normalize(spark, sf_dir):
     return kgdedup.normalize_text(docs).select("doc_id", "text_norm")
 
 
+def q_text_skipgrams(spark, sf_dir):
+    """Skip-gram training-pair emission (kg.textstats.skipgram_pairs):
+    ±2-window (center, context) pairs — the zero-shuffle map stage of an
+    embedding-training pipeline."""
+    return kgtext.skipgram_pairs(_docs(spark, sf_dir, None), window=2)
+
+
 def q_text_chunk_windows(spark, sf_dir):
     """Sliding-window chunking (kg.sampling.chunk_windows): 16-token
     windows every 8 tokens — the long-document counterpart of shard
@@ -1003,6 +1010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_adjacency": q_kg_adjacency,
         "kg_tag_quality": q_kg_tag_quality,
         "text_chunk_windows": q_text_chunk_windows,
+        "text_skipgrams": q_text_skipgrams,
         "dedup_containment": q_dedup_containment,
         "text_normalize": q_text_normalize,
         "kg_reannotate_merge": q_kg_reannotate_merge,
@@ -1571,6 +1579,17 @@ def oracle_sql() -> dict[str, str]:
                      len(list_filter({_TOKS},
                          x -> list_contains({STOP_LIST_SQL}, x))) AS ns
               FROM documents)"""
+
+    sqls["text_skipgrams"] = f"""
+        SELECT doc_id AS doc, CAST(i AS INT) AS center_pos,
+               CAST(j AS INT) AS context_pos, t[i] AS center,
+               t[j] AS context
+        FROM (SELECT doc_id, t, i,
+                     unnest(generate_series(greatest(1, i - 2),
+                                            least(len(t), i + 2))) AS j
+              FROM (SELECT doc_id, t, generate_subscripts(t, 1) AS i
+                    FROM (SELECT doc_id, {_TOKS} AS t FROM documents)))
+        WHERE j <> i"""
 
     sqls["text_chunk_windows"] = f"""
         WITH base AS (SELECT doc_id, {_TOKS} AS t FROM documents),

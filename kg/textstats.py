@@ -302,3 +302,35 @@ def bpe_ish_token_count(df: DataFrame, text_col: str = "text",
         F.col(id_col),
         F.size(F.regexp_extract_all(F.col(text_col), F.lit(_BPE_ISH), 0))
         .alias("n_bpe_tokens"))
+
+
+def skipgram_pairs(df: DataFrame, window: int = 2,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """(doc, center_pos, context_pos, center, context) skip-gram training
+    pairs within a ±window token distance — the pair-emission stage of
+    word2vec/fastText-style embedding training over the curated corpus.
+
+    Built entirely in-row (nested transform over position sequences,
+    flatten, one explode): ZERO shuffles, so emitting pairs for 10^12
+    docs is a pure map stage feeding the shuffle-heavy training step
+    downstream."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    pairs = F.flatten(F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.filter(
+            F.transform(
+                F.sequence(F.greatest(F.lit(1), i - window),
+                           F.least(n, i + window)),
+                lambda j: F.struct(i.alias("i"), j.alias("j"))),
+            lambda p: p["j"] != p["i"])))
+    return (df.select(F.col(id_col).alias("doc"), toks.alias("_t"),
+                      F.explode(pairs).alias("p"))
+            .select("doc",
+                    F.col("p.i").cast("int").alias("center_pos"),
+                    F.col("p.j").cast("int").alias("context_pos"),
+                    F.element_at("_t", F.col("p.i")).alias("center"),
+                    F.element_at("_t", F.col("p.j")).alias("context")))

@@ -398,3 +398,17 @@ def test_normalize_text(spark):
            for r in normalize_text(docs).collect()}
     assert got[1] == got[2] == "hello world"
     assert got[3] == "a b"
+
+
+def test_skipgram_pairs_hand_computed(spark):
+    from kg.textstats import skipgram_pairs
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    got = {(r["center_pos"], r["context_pos"], r["center"], r["context"])
+           for r in skipgram_pairs(docs, window=1).collect()}
+    assert got == {(1, 2, "a", "b"), (2, 1, "b", "a"),
+                   (2, 3, "b", "c"), (3, 2, "c", "b")}
+    # window=2 adds the (a,c)/(c,a) pairs
+    assert skipgram_pairs(docs, window=2).count() == 6
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        skipgram_pairs(docs, window=0)
