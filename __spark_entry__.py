@@ -852,6 +852,30 @@ def q_kg_reannotate_merge(spark, sf_dir):
         "subj", "pred", "obj", "start", "end", "value")
 
 
+def q_kg_tag_pmi(spark, sf_dir):
+    """Tag-pair association ratio (kg.graphrank.cooccurrence_pmi):
+    exp(PMI) in exact integer micro-units over the same co-occurrence
+    graph — collocation / related-tag strength with no float anywhere."""
+    from kg.graphrank import cooccurrence_pmi, tag_cooccurrence_edges
+    ann = annotate_graph_df(with_doc_key(_docs(spark, sf_dir), ("doc_id",)),
+                            "text", TOK_SPEC)
+    tags = explode_tags(explode_sentences(ann))
+    # one UDF execution: checkpoint the distinct (ctx, tag) frame BEFORE
+    # branching into the edge build and the per-tag counts (perf rule 7)
+    t = (tags.select(F.col("doc_key").alias("ctx"),
+                     F.col("lemma").alias("tag"))
+         .distinct().localCheckpoint())
+    edges = tag_cooccurrence_edges(t, doc_col="ctx", tag_col="tag",
+                                   materialize=False)
+    return cooccurrence_pmi(edges, t)
+
+
+def q_text_length_hist(spark, sf_dir):
+    """Corpus length profile (kg.textstats.length_histogram): log2-bucket
+    token-count histogram over all docs."""
+    return kgtext.length_histogram(_docs(spark, sf_dir, None))
+
+
 def q_kg_tag_pagerank(spark, sf_dir):
     """TextRank tag centrality (kg.graphrank): annotate → co-occurrence
     edges → 10 rounds of integer-micro weighted PageRank.  The oracle
@@ -992,6 +1016,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii": q_text_pii,
         "text_repetition": q_text_repetition,
         "kg_tag_pagerank": q_kg_tag_pagerank,
+        "kg_tag_pmi": q_kg_tag_pmi,
+        "text_length_hist": q_text_length_hist,
         "kg_tag_cooccur": q_kg_tag_cooccur,
         "kg_tag_communities": q_kg_tag_communities,
         "kg_path_doc_tag": q_kg_path_doc_tag,
@@ -1955,6 +1981,28 @@ def oracle_sql() -> dict[str, str]:
             FROM r{_i - 1} p JOIN deg d ON d.src = p.node
                           JOIN edges e ON e.src = p.node
             GROUP BY e.dst) s ON s.node = n.node)"""
+    sqls["kg_tag_pmi"] = f"""
+        WITH {_kept_sql},
+        {_cooccur_sql},
+        cx AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+               FROM kept GROUP BY 1),
+        tot AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_ctx
+                FROM kept)
+        SELECT src, dst, CAST(w AS BIGINT) AS c_xy,
+               (CAST(w AS BIGINT) * n_ctx * 1000000) // (cx1.c * cx2.c)
+                 AS ratio_micro
+        FROM edges
+        JOIN cx cx1 ON cx1.tok = edges.src
+        JOIN cx cx2 ON cx2.tok = edges.dst
+        CROSS JOIN tot"""
+
+    sqls["text_length_hist"] = f"""
+        SELECT CAST(length(bin(CAST(len({_TOKS}) AS BIGINT))) AS INT)
+                 AS len_bits,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents
+        GROUP BY 1"""
+
     sqls["kg_tag_pagerank"] = _pr + """
         SELECT node, rank AS rank_micro FROM r10"""
 

@@ -249,3 +249,36 @@ def clustering_coefficients(edges: DataFrame, src_col: str = "src",
                 "clustering_micro",
                 F.expr("case when deg >= 2 then (2 * triangles * 1000000) "
                        "div (deg * (deg - 1)) else cast(0 as bigint) end")))
+
+
+def cooccurrence_pmi(edges: DataFrame, contexts: DataFrame,
+                     src_col: str = "src", dst_col: str = "dst",
+                     weight_col: str = "weight",
+                     ctx_tag_col: str = "tag") -> DataFrame:
+    """Collocation strength for tag pairs: the association ratio
+    p(x,y) / (p(x)·p(y)) — exp(PMI) — in EXACT integer micro-units:
+
+        ratio_micro = (c_xy · N · 1_000_000) div (c_x · c_y)
+
+    over the co-occurrence graph (c_xy = shared contexts of x,y from
+    `edges`; c_x = contexts containing x from `contexts`, one row per
+    (context, tag); N = distinct contexts).  >1_000_000 means x and y
+    co-occur more than independence predicts — the standard collocation
+    /  related-tag score over the persisted Tag graph, with no log and
+    therefore no float anywhere (monotone in PMI, which is all ranking
+    uses).
+
+    Two broadcast-friendly joins on the tag key + one 1-row total via
+    crossJoin(broadcast(agg)); no shuffle touches the edge table twice."""
+    t = contexts.select(F.col(ctx_tag_col).alias("tag"), "ctx").distinct()
+    cx = t.groupBy("tag").agg(F.count("*").cast("bigint").alias("c"))
+    total = t.select("ctx").distinct().agg(
+        F.count("*").cast("bigint").alias("n_ctx"))
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
+                     F.col(weight_col).cast("bigint").alias("c_xy"))
+    return (e.join(cx.withColumnsRenamed({"tag": "src", "c": "c_x"}), "src")
+            .join(cx.withColumnsRenamed({"tag": "dst", "c": "c_y"}), "dst")
+            .crossJoin(F.broadcast(total))
+            .select("src", "dst", "c_xy",
+                    F.expr("(c_xy * n_ctx * 1000000) div (c_x * c_y)")
+                    .alias("ratio_micro")))

@@ -334,3 +334,14 @@ def skipgram_pairs(df: DataFrame, window: int = 2,
                     F.col("p.j").cast("int").alias("context_pos"),
                     F.element_at("_t", F.col("p.i")).alias("center"),
                     F.element_at("_t", F.col("p.j")).alias("context")))
+
+
+def length_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Log2-bucketed token-count histogram: (len_bits, n_docs) where
+    len_bits = bit length of the doc's token count (the same exact
+    integer floor-log2 surrogate as lm_surprisal) — the first corpus
+    profile before choosing chunking/packing budgets.  One map-side
+    combinable aggregate over ~60 tiny buckets."""
+    bits = F.length(F.bin(F.size(tokens_col(text_col)).cast("bigint")))
+    return (df.groupBy(bits.cast("int").alias("len_bits"))
+            .agg(F.count("*").cast("bigint").alias("n_docs")))

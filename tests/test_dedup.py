@@ -412,3 +412,13 @@ def test_skipgram_pairs_hand_computed(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         skipgram_pairs(docs, window=0)
+
+
+def test_length_histogram(spark):
+    from kg.textstats import length_histogram
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "a b"), (3, "a b c"), (4, "a b c d e f g h")],
+        "doc_id long, text string")
+    got = {r["len_bits"]: r["n_docs"]
+           for r in length_histogram(docs).collect()}
+    assert got == {1: 1, 2: 2, 4: 1}   # 1->1 bit, 2/3->2 bits, 8->4 bits

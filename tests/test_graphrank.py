@@ -166,3 +166,17 @@ def test_clustering_coefficients(spark):
     assert got["b"] == (2, 1, 1000000)
     assert got["c"] == (3, 1, 333333)   # 2*1e6 // (3*2)
     assert got["d"] == (1, 0, 0)
+
+
+def test_cooccurrence_pmi_hand_computed(spark):
+    from kg.graphrank import cooccurrence_pmi
+    # 4 contexts; x,y co-occur in 2; x in 3, y in 2; z alone in 1
+    ctx = spark.createDataFrame(
+        [("c1", "x"), ("c1", "y"), ("c2", "x"), ("c2", "y"),
+         ("c3", "x"), ("c4", "z")], "ctx string, tag string")
+    edges = spark.createDataFrame([("x", "y", 2), ("y", "x", 2)],
+                                  "src string, dst string, weight long")
+    got = {(r["src"], r["dst"]): r["ratio_micro"]
+           for r in cooccurrence_pmi(edges, ctx).collect()}
+    # (2 * 4 * 1e6) div (3 * 2) = 1_333_333 > 1e6: positive association
+    assert got[("x", "y")] == 1_333_333 == got[("y", "x")]
