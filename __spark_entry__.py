@@ -867,7 +867,7 @@ def q_kg_tag_pmi(spark, sf_dir):
          .distinct().localCheckpoint())
     edges = tag_cooccurrence_edges(t, doc_col="ctx", tag_col="tag",
                                    materialize=False)
-    return cooccurrence_pmi(edges, t)
+    return cooccurrence_pmi(edges, t, materialize=False)
 
 
 def q_text_length_hist(spark, sf_dir):

@@ -254,7 +254,8 @@ def clustering_coefficients(edges: DataFrame, src_col: str = "src",
 def cooccurrence_pmi(edges: DataFrame, contexts: DataFrame,
                      src_col: str = "src", dst_col: str = "dst",
                      weight_col: str = "weight",
-                     ctx_tag_col: str = "tag") -> DataFrame:
+                     ctx_col: str = "ctx", ctx_tag_col: str = "tag",
+                     materialize: bool = True) -> DataFrame:
     """Collocation strength for tag pairs: the association ratio
     p(x,y) / (p(x)·p(y)) — exp(PMI) — in EXACT integer micro-units:
 
@@ -269,8 +270,18 @@ def cooccurrence_pmi(edges: DataFrame, contexts: DataFrame,
     uses).
 
     Two broadcast-friendly joins on the tag key + one 1-row total via
-    crossJoin(broadcast(agg)); no shuffle touches the edge table twice."""
-    t = contexts.select(F.col(ctx_tag_col).alias("tag"), "ctx").distinct()
+    crossJoin(broadcast(agg)); no shuffle touches the edge table twice.
+
+    `materialize` (default on) distincts + localCheckpoints the contexts
+    frame BEFORE it branches into the per-tag counts and the context
+    total — an annotate-UDF-rooted input would otherwise re-execute the
+    UDF once per branch (CLAUDE.md perf rule 7, same guard as
+    tag_cooccurrence_edges).  Pass False only for an already-distinct,
+    already-materialized (ctx, tag) frame (q_kg_tag_pmi does)."""
+    t = contexts.select(F.col(ctx_col).alias("ctx"),
+                        F.col(ctx_tag_col).alias("tag"))
+    if materialize:
+        t = t.distinct().localCheckpoint()
     cx = t.groupBy("tag").agg(F.count("*").cast("bigint").alias("c"))
     total = t.select("ctx").distinct().agg(
         F.count("*").cast("bigint").alias("n_ctx"))

@@ -180,3 +180,18 @@ def test_cooccurrence_pmi_hand_computed(spark):
            for r in cooccurrence_pmi(edges, ctx).collect()}
     # (2 * 4 * 1e6) div (3 * 2) = 1_333_333 > 1e6: positive association
     assert got[("x", "y")] == 1_333_333 == got[("y", "x")]
+
+
+def test_cooccurrence_pmi_natural_frame_columns(spark):
+    """The natural explode_tags shape (doc_key/lemma) works via ctx_col/
+    ctx_tag_col with the default materialize guard — no pre-rename."""
+    from kg.graphrank import cooccurrence_pmi
+    ctx = spark.createDataFrame(
+        [("c1", "x"), ("c1", "y"), ("c2", "x"), ("c2", "y"),
+         ("c3", "x"), ("c4", "z")], "doc_key string, lemma string")
+    edges = spark.createDataFrame([("x", "y", 2), ("y", "x", 2)],
+                                  "src string, dst string, weight long")
+    got = {(r["src"], r["dst"]): r["ratio_micro"]
+           for r in cooccurrence_pmi(edges, ctx, ctx_col="doc_key",
+                                     ctx_tag_col="lemma").collect()}
+    assert got[("x", "y")] == 1_333_333
