@@ -810,6 +810,38 @@ def q_kg_doc_sentiment(spark, sf_dir):
     return explode_sentences(ann).select("doc_uid", "sentiment")
 
 
+def q_kg_tag_sentiment(spark, sf_dir):
+    """KG x sentiment composition: per tag, the count and integer-micro
+    mean sentiment class of the sentences containing it — over the same
+    trigger-word corpus as kg_doc_sentiment so the distribution is
+    non-trivial; one annotate pass, tags and sentiment ride the same
+    exploded sentence rows (no join back, no second UDF)."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "text", F.concat(
+            "text",
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" good great wonderful"))
+            .when(F.col("doc_id") % 5 == 1, F.lit(" bad"))
+            .when(F.col("doc_id") % 5 == 2, F.lit(" good"))
+            .when(F.col("doc_id") % 5 == 3, F.lit(" bad horrible awful"))
+            .otherwise(F.lit(" love hate"))))
+    ann = annotate_graph_df(with_doc_key(docs, ("doc_id",)), "text",
+                            FULL_SPEC)
+    sent = explode_sentences(ann)
+    # explode_outer + isNotNull, NOT explode: the inner explode makes
+    # Catalyst infer size(tags) > 0 and push it below the projection,
+    # which executes the annotate UDF TWICE (perf rule 2; plan-checked)
+    tags = (sent.select("lang", "sentiment",
+                        F.explode_outer("tags").alias("t"))
+            .filter(F.col("t").isNotNull())
+            .select(F.concat(F.lit("tag:"), F.col("lang"), F.lit(":"),
+                             F.col("t.lemma")).alias("tag_uid"),
+                    "sentiment"))
+    return (tags.groupBy("tag_uid")
+            .agg(F.count("*").cast("bigint").alias("n_sents"),
+                 F.expr("(sum(sentiment) * 1000000) div count(*)")
+                 .cast("bigint").alias("avg_sentiment_micro")))
+
+
 def q_dedup_canonical(spark, sf_dir):
     """Representative selection (kg.dedup.canonical_docs): per near-dup
     component keep the doc with the most tokens, ties to smallest id —
@@ -1024,6 +1056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_node_degree": q_kg_node_degree,
         "text_lm_surprisal": q_text_lm_surprisal,
         "kg_doc_sentiment": q_kg_doc_sentiment,
+        "kg_tag_sentiment": q_kg_tag_sentiment,
         "dedup_canonical": q_dedup_canonical,
         "corpus_topk_quality": q_corpus_topk_quality,
         "dedup_incremental": q_dedup_incremental,
@@ -1665,6 +1698,40 @@ def oracle_sql() -> dict[str, str]:
                          ELSE greatest(-2, least(2, p - n)) + 2
                     END AS INT) AS sentiment
         FROM cnts"""
+
+    # per-tag sentiment: same trigger corpus + closed form, joined to the
+    # distinct non-stopword token (= tag) set of each single-sentence doc
+    sqls["kg_tag_sentiment"] = f"""
+        WITH d AS (
+          SELECT doc_id,
+                 text || CASE doc_id % 5
+                           WHEN 0 THEN ' good great wonderful'
+                           WHEN 1 THEN ' bad'
+                           WHEN 2 THEN ' good'
+                           WHEN 3 THEN ' bad horrible awful'
+                           ELSE ' love hate' END AS text
+          FROM documents WHERE lang = 'en'),
+        sent AS (
+          SELECT doc_id,
+                 CAST(CASE WHEN p = n THEN 2
+                           ELSE greatest(-2, least(2, p - n)) + 2
+                      END AS INT) AS sentiment
+          FROM (SELECT doc_id,
+                  len(list_filter({_TOKS},
+                      x -> list_contains({_pos_list}, x))) AS p,
+                  len(list_filter({_TOKS},
+                      x -> list_contains({_neg_list}, x))) AS n
+                FROM d)),
+        tg AS (
+          SELECT DISTINCT doc_id, tok
+          FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM d)
+          WHERE tok NOT IN {STOP_IN})
+        SELECT 'tag:en:' || tg.tok AS tag_uid,
+               CAST(count(*) AS BIGINT) AS n_sents,
+               CAST((CAST(sum(sent.sentiment) AS BIGINT) * 1000000)
+                    // count(*) AS BIGINT) AS avg_sentiment_micro
+        FROM tg JOIN sent USING (doc_id)
+        GROUP BY 1"""
 
     # descending code order = tie winner (mirrors greatest() on
     # (score, code) structs); generated from LANG_MARKERS so new profiles
