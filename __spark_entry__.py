@@ -998,7 +998,44 @@ def q_rel_events_window_join(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # NOTE on ordering: the driver's CORRECTNESS artifact covers roughly the
+    # first 50 registered queries.  Rounds 1-2 driver-checked the original
+    # first 50 (kg_part_of .. kg_tag_pmi, all green in CORRECTNESS_r02.json);
+    # the 32 entries that had no driver row yet are therefore registered FIRST
+    # here so every operator family earns a driver-green row.
     return {
+        "text_length_hist": q_text_length_hist,
+        "kg_tag_cooccur": q_kg_tag_cooccur,
+        "kg_tag_communities": q_kg_tag_communities,
+        "kg_path_doc_tag": q_kg_path_doc_tag,
+        "kg_node_degree": q_kg_node_degree,
+        "text_lm_surprisal": q_text_lm_surprisal,
+        "kg_doc_sentiment": q_kg_doc_sentiment,
+        "kg_tag_sentiment": q_kg_tag_sentiment,
+        "dedup_canonical": q_dedup_canonical,
+        "corpus_topk_quality": q_corpus_topk_quality,
+        "dedup_incremental": q_dedup_incremental,
+        "dedup_crossdoc": q_dedup_crossdoc,
+        "ann_centroids": q_ann_centroids,
+        "ann_nearest_centroid": q_ann_nearest_centroid,
+        "kg_tag_triangles": q_kg_tag_triangles,
+        "kg_tag_clustering": q_kg_tag_clustering,
+        "kg_sentence_chain": q_kg_sentence_chain,
+        "kg_adjacency": q_kg_adjacency,
+        "kg_tag_quality": q_kg_tag_quality,
+        "text_chunk_windows": q_text_chunk_windows,
+        "text_skipgrams": q_text_skipgrams,
+        "dedup_containment": q_dedup_containment,
+        "text_normalize": q_text_normalize,
+        "kg_reannotate_merge": q_kg_reannotate_merge,
+        "dedup_contamination": q_dedup_contamination,
+        "corpus_mixture": q_corpus_mixture,
+        "rel_events_asof": q_rel_events_asof,
+        "rel_events_asof_fwd": q_rel_events_asof_fwd,
+        "rel_events_window_join": q_rel_events_window_join,
+        "rel_events_quantiles": q_rel_events_quantiles,
+        "rel_events_quantiles_approx": q_rel_events_quantiles_approx,
+        "corpus_curated": q_corpus_curated,
         "kg_part_of": q_kg_part_of,
         "kg_has_tag": q_kg_has_tag,
         "kg_tag_occurs": q_kg_tag_occurs,
@@ -1049,38 +1086,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "kg_tag_pagerank": q_kg_tag_pagerank,
         "kg_tag_pmi": q_kg_tag_pmi,
-        "text_length_hist": q_text_length_hist,
-        "kg_tag_cooccur": q_kg_tag_cooccur,
-        "kg_tag_communities": q_kg_tag_communities,
-        "kg_path_doc_tag": q_kg_path_doc_tag,
-        "kg_node_degree": q_kg_node_degree,
-        "text_lm_surprisal": q_text_lm_surprisal,
-        "kg_doc_sentiment": q_kg_doc_sentiment,
-        "kg_tag_sentiment": q_kg_tag_sentiment,
-        "dedup_canonical": q_dedup_canonical,
-        "corpus_topk_quality": q_corpus_topk_quality,
-        "dedup_incremental": q_dedup_incremental,
-        "dedup_crossdoc": q_dedup_crossdoc,
-        "ann_centroids": q_ann_centroids,
-        "ann_nearest_centroid": q_ann_nearest_centroid,
-        "kg_tag_triangles": q_kg_tag_triangles,
-        "kg_tag_clustering": q_kg_tag_clustering,
-        "kg_sentence_chain": q_kg_sentence_chain,
-        "kg_adjacency": q_kg_adjacency,
-        "kg_tag_quality": q_kg_tag_quality,
-        "text_chunk_windows": q_text_chunk_windows,
-        "text_skipgrams": q_text_skipgrams,
-        "dedup_containment": q_dedup_containment,
-        "text_normalize": q_text_normalize,
-        "kg_reannotate_merge": q_kg_reannotate_merge,
-        "dedup_contamination": q_dedup_contamination,
-        "corpus_mixture": q_corpus_mixture,
-        "rel_events_asof": q_rel_events_asof,
-        "rel_events_asof_fwd": q_rel_events_asof_fwd,
-        "rel_events_window_join": q_rel_events_window_join,
-        "rel_events_quantiles": q_rel_events_quantiles,
-        "rel_events_quantiles_approx": q_rel_events_quantiles_approx,
-        "corpus_curated": q_corpus_curated,
     }
 
 

@@ -137,18 +137,32 @@ def label_propagation(edges: DataFrame, iterations: int = 4,
 
 def tag_cooccurrence_edges(tags: DataFrame, doc_col: str = "doc_key",
                            tag_col: str = "lemma",
-                           materialize: bool = True) -> DataFrame:
+                           materialize: bool = True,
+                           max_tags_per_ctx: int | None = 1000) -> DataFrame:
     """Symmetric weighted co-occurrence edges between tags sharing a
     document/sentence: (src, dst, weight = number of shared contexts).
     Input is one row per (context, tag) — e.g. kg.triples HAS_TAG rows.
 
     Self-join on the context key; weight is the co-occurrence count.  At
     scale the context key is the natural partitioner; extremely long
-    documents (hot contexts) are the classic quadratic risk — cap tags
-    per context upstream (distinct-per-context input keeps pairs at
-    O(k²) for k distinct tags in a context)."""
+    documents (hot contexts) are the classic quadratic risk — a single
+    context with 10^4 distinct tags would emit 10^8 pairs.
+    `max_tags_per_ctx` (default 1000) bounds that: the per-context dedup
+    and cap are FUSED into one aggregate — array_sort(collect_set(tag))
+    sliced to the cap, then exploded — so the guard costs no extra
+    shuffle over the plain distinct (one exchange on ctx either way),
+    and the kept subset is deterministic (lexically first `cap` tags,
+    the kg.query._cap_fanout convention).  Pass None to disable when
+    contexts are known-small (sentence-level inputs)."""
     t = tags.select(F.col(doc_col).alias("ctx"),
-                    F.col(tag_col).alias("tag")).distinct()
+                    F.col(tag_col).alias("tag"))
+    if max_tags_per_ctx is not None:
+        t = (t.groupBy("ctx")
+             .agg(F.slice(F.array_sort(F.collect_set("tag")),
+                          1, max_tags_per_ctx).alias("_ts"))
+             .select("ctx", F.explode("_ts").alias("tag")))
+    else:
+        t = t.distinct()
     if materialize:
         # a self-join branches the lineage: if `tags` is rooted in the
         # annotate pandas UDF, each branch would RE-EXECUTE it (CLAUDE.md

@@ -20,7 +20,11 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 # Order matters for redaction: emails first (their domain contains dots a
 # looser pattern could clip), then IPv4, then phone.
-EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+# [A-Za-z] classes, not case-insensitive flags: mixed-case addresses like
+# Foo.Bar@Example.COM must not escape redaction (ADVICE r2), and explicit
+# classes behave identically in Java regex and RE2 where flag syntax
+# support differs.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
 

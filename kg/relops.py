@@ -40,9 +40,12 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | tuple[str, ...],
     a tuple for composite keys).  Unmatched left rows keep NULL values
     (left-outer as-of semantics).
 
-    `seq_col` (a right-side column, e.g. its primary key) breaks ties
-    among right rows sharing a timestamp — highest wins for backward,
-    lowest for forward — making the result a pure function of the data.
+    `seq_col` (a right-side column that is UNIQUE per (key, ts), e.g. its
+    primary key) breaks ties among right rows sharing a timestamp —
+    highest wins for backward, lowest for forward — making the result a
+    pure function of the data.  It is REQUIRED: the r2 default
+    (value_cols[0]) was generally not unique per (key, ts), so tie
+    results depended on shuffle/sort stability (ADVICE r2).
 
     Output: all left columns + f"{c}{suffix}" per value col +
     f"{right_ts}{suffix}" (the matched right timestamp, for tolerance
@@ -59,7 +62,10 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | tuple[str, ...],
     keys = [on] if isinstance(on, str) else list(on)
     rts = right_ts or left_ts
     if seq_col is None:
-        seq_col = value_cols[0] if value_cols else rts
+        raise ValueError(
+            "asof_join requires an explicit seq_col (a right-side column "
+            "unique per (key, ts)) — deterministic tie-breaking cannot be "
+            "inferred from value_cols")
 
     lcols = left.columns
     vnames = [f"{c}{suffix}" for c in value_cols] + [f"{rts}{suffix}"]

@@ -120,21 +120,19 @@ def lsh_signature(vec_col: Column, planes: list[list[float]]) -> Column:
     return sig
 
 
-def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 5, n_planes: int = 8,
+def lsh_topk(emb: DataFrame, queries: DataFrame, dim: int, k: int = 5,
+             n_planes: int = 8,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             qid_col: str = "query_id", qvec_col: str = "embedding",
-             dim: int | None = None) -> DataFrame:
+             qid_col: str = "query_id",
+             qvec_col: str = "embedding") -> DataFrame:
     """Approximate top-k: candidates restricted to the query's sign-LSH
     bucket.  At 100 TB this is the difference between a full scan per query
     and a bucket-pruned shuffle join on `bucket` (≈ N/2^planes candidates).
     Recall is tunable via n_planes (fewer planes → bigger buckets).
 
-    Pass `dim` (the embedding width, a schema-level contract) — the
-    `.first()` fallback triggers a driver-side Spark job during PLAN
-    construction, a collect-in-the-pipeline smell kept only for
-    compatibility."""
-    if dim is None:
-        dim = len(emb.select(vec_col).first()[0])
+    `dim` (the embedding width) is REQUIRED — it is a schema-level
+    contract the caller knows statically; the r1 `.first()` fallback ran
+    a driver-side Spark job during plan construction and is gone."""
     planes = _hyperplanes(dim, n_planes)
     e = emb.select(F.col(id_col).alias("neighbor_id"),
                    F.col(vec_col).alias("vec"),
@@ -244,8 +242,11 @@ def ivf_hash_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
 
     def _cells(vec: Column) -> Column:
         cands = F.array(*[
+            # F.lit passes the id through at its native type (str or int);
+            # an int() cast here would crash string-id embedding tables at
+            # plan-build time (ADVICE r2)
             F.struct(_sqdist_lit(vec, list(r["center"])).alias("dist"),
-                     F.lit(int(r["cell_id"])).alias("cell_id"))
+                     F.lit(r["cell_id"]).alias("cell_id"))
             for r in anchors])
         return F.array_sort(cands)  # (dist asc, cell_id asc) lexicographic
 
@@ -268,17 +269,15 @@ def ivf_hash_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
                     F.round(F.col("cos"), 6).alias("cosine")))
 
 
-def cosine_near_pairs(emb: DataFrame, threshold: float = 0.95,
+def cosine_near_pairs(emb: DataFrame, dim: int, threshold: float = 0.95,
                       id_col: str = "vec_id", vec_col: str = "embedding",
-                      n_planes: int = 8, dim: int | None = None) -> DataFrame:
+                      n_planes: int = 8) -> DataFrame:
     """Embedding near-duplicate pairs (cosine >= threshold), LSH-blocked:
     only pairs sharing a sign-LSH bucket are scored.  For thresholds near 1
     the bucket share probability is ≈ (1 - θ/π)^planes — high recall; exact
     verification happens on the scored candidates.
 
-    Pass `dim` explicitly (see lsh_topk) — the fallback runs a driver job."""
-    if dim is None:
-        dim = len(emb.select(vec_col).first()[0])
+    `dim` is REQUIRED (see lsh_topk) — the old fallback ran a driver job."""
     planes = _hyperplanes(dim, n_planes)
     e = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
                    lsh_signature(F.col(vec_col), planes).alias("bucket"))
@@ -329,24 +328,33 @@ def nearest_centroid(emb: DataFrame, centroids: DataFrame,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      label_col: str = "label",
                      cvec_col: str = "centroid_micro") -> DataFrame:
-    """Classify every vector by maximum cosine against the (broadcast)
-    centroid table from label_centroids; ties break to the smallest
-    label.  Returns (vec_id, predicted_label, cosine).
+    """Classify every vector by maximum cosine against the centroid table
+    from label_centroids; ties break to the smallest label.  Returns
+    (vec_id, predicted_label, cosine).
 
-    One broadcast nested-loop pass (centroids are labels-sized) + a
-    per-vector window argmax — the inference half of the centroid
-    classifier; no shuffle touches the corpus-sized side except the
-    argmax window on vec_id."""
-    from pyspark.sql.window import Window
-    c = F.broadcast(centroids.select(
-        F.col(label_col).alias("_clabel"),
-        F.transform(F.col(cvec_col),
-                    lambda x: x.cast("double") / 1_000_000.0).alias("_cvec")))
-    scored = (emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
-              .crossJoin(c)
-              .withColumn("cos", cosine_sim(F.col("_v"), F.col("_cvec"))))
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("_clabel"))
-    return (scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("vec_id", F.col("_clabel").alias("predicted_label"),
-                    F.round(F.col("cos"), 6).alias("cosine")))
+    ZERO-shuffle inference: the centroid table is labels-sized by
+    construction, so it is collected once (a tiny driver action, the
+    "load the fitted model" step — same shape as ivf_hash_topk's anchor
+    collect) and inlined as array literals; the per-vector argmax is then
+    an in-row `array_sort(struct)[0]` over the candidate structs — a
+    NARROW map over the corpus with no join, no exchange, no window.
+    The r2 version's broadcast-NLJ + row_number window shuffled
+    corpus×labels rows just to pick a per-row max; at 100 TB that window
+    exchange is the whole cost of inference."""
+    rows = sorted(centroids.select(F.col(label_col).alias("l"),
+                                   F.col(cvec_col).alias("c")).collect(),
+                  key=lambda r: r["l"])
+    v = F.col("_v")
+    cands = F.array(*[
+        F.struct(
+            (-cosine_sim(v, F.array(*[F.lit(float(x) / 1_000_000.0)
+                                      for x in r["c"]]))).alias("negcos"),
+            F.lit(r["l"]).alias("label"))
+        for r in rows])
+    # lexicographic array_sort: (negcos asc = cosine desc, label asc)
+    best = F.array_sort(cands)[0]
+    return (emb.select(F.col(id_col).alias("vec_id"),
+                       F.col(vec_col).alias("_v"))
+            .withColumn("_b", best)
+            .select("vec_id", F.col("_b.label").alias("predicted_label"),
+                    F.round(-F.col("_b.negcos"), 6).alias("cosine")))

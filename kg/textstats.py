@@ -245,11 +245,19 @@ def tfidf(df: DataFrame, text_col: str = "text",
           id_col: str = "doc_id") -> DataFrame:
     """TF-IDF scores: tf * ln(N / df).  The float score is for ranking
     inside the engine; cross-engine comparisons should use the integer
-    (tf, doc_freq) pair from term_frequencies."""
-    n_docs = df.count()
+    (tf, doc_freq) pair from term_frequencies.
+
+    The corpus size N rides in via crossJoin(broadcast(single-row agg))
+    — the lm_surprisal pattern — so the plan stays lazy end-to-end; a
+    driver-side df.count() here would run a job at plan-construction
+    time."""
+    total = df.agg(F.count("*").cast("double").alias("n_docs"))
     base = term_frequencies(df, text_col, id_col)
-    return base.withColumn(
-        "tfidf", F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("doc_freq")), 6))
+    return (base.crossJoin(F.broadcast(total))
+            .withColumn("tfidf",
+                        F.round(F.col("tf") * F.log(F.col("n_docs")
+                                                    / F.col("doc_freq")), 6))
+            .drop("n_docs"))
 
 
 def lm_surprisal(df: DataFrame, text_col: str = "text",

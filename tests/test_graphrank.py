@@ -195,3 +195,38 @@ def test_cooccurrence_pmi_natural_frame_columns(spark):
            for r in cooccurrence_pmi(edges, ctx, ctx_col="doc_key",
                                      ctx_tag_col="lemma").collect()}
     assert got[("x", "y")] == 1_333_333
+
+
+def test_cooccurrence_hot_context_cap(spark):
+    """A hot context (many distinct tags) must not blow up quadratically:
+    max_tags_per_ctx keeps the lexically-first cap tags, so the pair count
+    is bounded at cap*(cap-1) per context, deterministically."""
+    from kg.graphrank import tag_cooccurrence_edges
+    rows = [("hot", f"t{i:03d}") for i in range(50)] + [("cold", "t001"),
+                                                        ("cold", "t002")]
+    tags = spark.createDataFrame(rows, "doc_key string, lemma string")
+    capped = tag_cooccurrence_edges(tags, max_tags_per_ctx=10,
+                                    materialize=False)
+    got = capped.collect()
+    # hot contributes 10*9 ordered pairs among t000..t009; cold adds the
+    # t001<->t002 pair, and t001/t002 also co-occur in hot
+    assert len(got) == 90
+    w = {(r["src"], r["dst"]): r["weight"] for r in got}
+    assert w[("t001", "t002")] == 2          # hot + cold
+    assert ("t042", "t043") not in w         # beyond the cap: dropped
+    # uncapped for comparison: full quadratic
+    full = tag_cooccurrence_edges(tags, max_tags_per_ctx=None,
+                                  materialize=False)
+    assert full.count() == 50 * 49
+
+
+def test_cooccurrence_cap_single_exchange(spark):
+    """The fused dedup+cap aggregate must cost exactly the one ctx
+    exchange the plain distinct already paid — no extra window shuffle."""
+    from kg.graphrank import tag_cooccurrence_edges
+    tags = spark.createDataFrame([("c1", "x"), ("c1", "y")],
+                                 "doc_key string, lemma string")
+    capped = tag_cooccurrence_edges(tags, max_tags_per_ctx=100,
+                                    materialize=False)
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan

@@ -18,6 +18,7 @@ def docs(spark):
         (4, "mixed bag: eve@corp.io at 172.16.0.9 dial 800-555-0199 now"),
         (5, "no pii here just plain words"),
         (6, ""),
+        (7, "Upper Foo.Bar@Example.COM and MIXED@X.Io must redact"),
     ]
     return spark.createDataFrame(rows, "doc_id long, text string").cache()
 
@@ -31,6 +32,7 @@ def test_pii_counts_golden(docs):
     assert out[4] == (1, 1, 1, 3)
     assert out[5] == (0, 0, 0, 0)
     assert out[6] == (0, 0, 0, 0)
+    assert out[7] == (2, 0, 0, 2)  # mixed/upper-case emails (ADVICE r2)
 
 
 def test_redaction_golden(docs):
@@ -39,6 +41,7 @@ def test_redaction_golden(docs):
     assert out[1] == "contact <EMAIL> or <EMAIL> today"
     assert out[4] == "mixed bag: <EMAIL> at <IP> dial <PHONE> now"
     assert out[5] == "no pii here just plain words"
+    assert out[7] == "Upper <EMAIL> and <EMAIL> must redact"
 
 
 def test_redaction_idempotent(spark, docs):

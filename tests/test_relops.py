@@ -244,3 +244,14 @@ def test_cohort_retention_hand_computed(spark):
     assert got[("2024-01-02", 0)] == 1       # user 3's cohort
     assert got[("2024-01-02", 1)] == 1
     assert len(got) == 4
+
+
+def test_asof_requires_seq_col(spark):
+    """seq_col is mandatory (ADVICE r2): without a per-(key, ts)-unique
+    tie-breaker the result depends on shuffle/sort stability."""
+    left = spark.createDataFrame([("L1", "u1", _ts(10))],
+                                 "lid string, user string, ts timestamp")
+    right = spark.createDataFrame([("R1", "u1", _ts(5))],
+                                  "rid string, user string, ts timestamp")
+    with pytest.raises(ValueError, match="seq_col"):
+        asof_join(left, right, on="user", value_cols=("rid",))

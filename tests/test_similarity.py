@@ -40,7 +40,7 @@ def test_exact_topk_shape(emb, queries):
 
 def test_lsh_topk_recall(emb, queries):
     exact = _pairs(cosine_topk(emb, queries, k=5))
-    approx = _pairs(lsh_topk(emb, queries, k=5, n_planes=2))
+    approx = _pairs(lsh_topk(emb, queries, dim=64, k=5, n_planes=2))
     # sign-LSH recall on random vectors: p(same bucket) ≈ (1-θ/π)^planes;
     # top-5 neighbors here sit near cos≈0.4 (θ≈66°) → ≈0.4 with 2 planes
     recall = len(exact & approx) / len(exact)
@@ -67,7 +67,7 @@ def test_near_pairs_blocked_vs_exact(spark, emb):
                                            F.col("b.embedding")))
              .filter(F.col("cos") >= thr))
     n_exact = exact.count()
-    blocked = cosine_near_pairs(emb, threshold=thr, n_planes=2)
+    blocked = cosine_near_pairs(emb, dim=64, threshold=thr, n_planes=2)
     n_blocked = blocked.count()
     assert n_blocked <= n_exact          # blocking can only lose pairs
     if n_exact:
