@@ -37,6 +37,9 @@ HEADLINE = [
     "rel_q3_revenue",
     "rel_events_sessionize",
     "rel_events_asof",       # union-tagged as-of join (kg.relops)
+    "rel_events_window_join",  # bucketed point-in-interval equi-join
+    "rel_events_quantiles",  # exact nearest-rank per-group quantiles
+    "corpus_mixture",        # domain-mixture resampling gate
     "text_pii",              # regex PII counts + redaction, narrow JVM pass
     "dedup_contamination",   # broadcast benchmark-shingle overlap
     "kg_tag_pagerank",       # 10 iterative join-agg rounds (kg.graphrank)
@@ -46,7 +49,7 @@ HEADLINE = [
     "corpus_curated",        # end-to-end curation gate chain
     "text_emit_shards",      # packed training-sample emission
     "dedup_crossdoc",        # position-level cross-doc duplication coverage
-    "ann_nearest_centroid",  # centroid-classifier inference (broadcast NLJ)
+    "ann_nearest_centroid",  # centroid inference (zero-shuffle narrow map)
 ]
 
 

@@ -1,0 +1,186 @@
+"""Data-bound scaling evidence for the iterative graph operators.
+
+The per-round bench numbers in bench.py run PageRank/LPA/CC over the
+sf0.1 tag graph — 29 nodes — so they measure per-round SCHEDULING, not
+data movement (BENCH/BASELINE.md says so).  This job supplies the
+missing evidence: the SAME operators over a synthetic co-occurrence
+graph at production-like size (default 10^6 nodes, 8×10^6 directed
+edges), run at two parallelism levels (default local[2] vs local[8], the
+in-capacity N/4N pair on this 16-physical-core host) on the SAME
+deterministic input, reporting per-round wall time, edge-throughput, and
+scaling efficiency = (thr_4N / thr_N) / 4.
+
+Reference anchor: these operators rank/cluster the persisted Tag
+co-occurrence graph the reference builds (ProcedureTest.java:114-124);
+at web scale that graph has 10^6-10^8 tag nodes, which is the regime
+this job measures.
+
+Graph shape: deterministic hash-generated (no RNG — CLAUDE.md
+conventions).  src ~ uniform via xxhash64, dst ~ uniform with a 3%
+hub-bias slice (every 32nd edge lands on one of 64 hub nodes) so the
+shuffle sees realistic key skew; weights 1..5.  Both levels read the
+SAME parquet, produce identical checksums (asserted in the output).
+
+Usage: python jobs/bench_graph_scaling.py [n_nodes] [levels...]
+Env: KG_GSCALE_TRIALS (default 2, interleaved best-of — this VM has ~10%
+CPU steal), KG_GSCALE_EDGES_PER_NODE (default 8).
+Writes BENCH/graph_scaling_run.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import json
+import subprocess
+
+_GEN = r"""
+import sys
+n_nodes, n_edges, path, cores = (int(sys.argv[1]), int(sys.argv[2]),
+                                 sys.argv[3], int(sys.argv[4]))
+from pyspark.sql import functions as F
+from kg.session import get_spark
+spark = get_spark(app="gscale-gen", master=f"local[{cores}]",
+                  shuffle_partitions=cores * 4)
+e = (spark.range(n_edges)
+     .select(F.pmod(F.xxhash64("id"), F.lit(n_nodes)).alias("src"),
+             F.when(F.col("id") % 32 == 0,
+                    F.pmod(F.xxhash64("id", F.lit(7)), F.lit(64)))
+             .otherwise(F.pmod(F.xxhash64("id", F.lit(1)),
+                               F.lit(n_nodes))).alias("dst"),
+             (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(5)) + 1)
+             .alias("weight"))
+     .filter(F.col("src") != F.col("dst")))
+e.repartition(cores * 4).write.mode("overwrite").parquet(path)
+spark.stop()
+"""
+
+_CHILD = r"""
+import json, sys, time
+cores, path, op = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+from pyspark.sql import functions as F
+from kg.session import get_spark
+spark = get_spark(app=f"gscale-{op}-{cores}", master=f"local[{cores}]",
+                  shuffle_partitions=cores * 2)
+edges = spark.read.parquet(path)
+n_edges = edges.count()
+
+# warm-up (JIT, shuffle services) on a small slice, untimed
+from kg.graphrank import pagerank, label_propagation
+from kg.canon import connected_components
+pagerank(edges.limit(50_000), iterations=2).count()
+
+def checksum(df, cols):
+    return df.select(F.sum(F.crc32(F.concat_ws(",", *[
+        F.col(c).cast("string") for c in cols]))).alias("s")).first()["s"]
+
+t0 = time.perf_counter()
+if op == "pagerank":
+    rounds = 5
+    out = pagerank(edges, iterations=rounds)
+    n, chk = out.count(), checksum(out, ["node", "rank_micro"])
+elif op == "lpa":
+    rounds = 4
+    out = label_propagation(edges, iterations=rounds)
+    n, chk = out.count(), checksum(out, ["node", "community"])
+elif op == "cc":
+    # hash_to_min iterates to fixpoint (rounds = component diameter + 1,
+    # identical at both levels since the input is identical); the round
+    # count isn't exposed, so report total time and per-edge throughput
+    out = connected_components(edges, max_iter=15)
+    rounds = 0
+    n, chk = out.count(), checksum(out, ["node", "component"])
+else:
+    raise SystemExit(f"unknown op {op}")
+dt = time.perf_counter() - t0
+spark.stop()
+print(json.dumps({
+    "op": op, "cores": cores, "sec": round(dt, 2), "rounds": rounds,
+    "sec_per_round": round(dt / rounds, 2) if rounds else None,
+    "n_edges": n_edges, "n_out": n, "checksum": chk,
+    "edge_rounds_per_sec": round(n_edges * rounds / dt) if rounds else
+                           round(n_edges / dt)}))
+"""
+
+_ENV = dict(os.environ,
+            PYTHONPATH=os.path.dirname(os.path.abspath(__file__)) + "/..")
+OPS = ("pagerank", "lpa", "cc")
+
+
+def run_child(cores: int, path: str, op: str) -> dict:
+    out = subprocess.run([sys.executable, "-c", _CHILD, str(cores), path, op],
+                         capture_output=True, text=True, env=_ENV, check=True)
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> dict:
+    n_nodes = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    levels = [int(x) for x in sys.argv[2:]] or [2, 8]
+    epn = int(os.environ.get("KG_GSCALE_EDGES_PER_NODE", "8"))
+    trials = int(os.environ.get("KG_GSCALE_TRIALS", "2"))
+    path = os.environ.get("KG_GSCALE_GRAPH", "/tmp/kg_gscale_graph.parquet")
+
+    subprocess.run([sys.executable, "-c", _GEN, str(n_nodes),
+                    str(n_nodes * epn), path, "16"],
+                   capture_output=True, text=True, check=True)
+
+    best: dict[tuple[str, int], dict] = {}
+    for _ in range(trials):          # interleaved best-of (CPU-steal VM)
+        for op in OPS:
+            for c in levels:
+                r = run_child(c, path, op)
+                key = (op, c)
+                if key not in best or r["sec"] < best[key]["sec"]:
+                    best[key] = r
+
+    lo_c, hi_c = levels[0], levels[-1]
+    ratio = hi_c / lo_c
+    rows, effs, parity = [], {}, True
+    for op in OPS:
+        lo, hi = best[(op, lo_c)], best[(op, hi_c)]
+        eff = round((hi["edge_rounds_per_sec"]
+                     / lo["edge_rounds_per_sec"]) / ratio, 3)
+        effs[op] = eff
+        parity = parity and (lo["checksum"] == hi["checksum"]
+                             and lo["n_out"] == hi["n_out"])
+        rows.append((op, lo, hi, eff))
+
+    lines = [
+        "# BENCH/graph_scaling_run.md — iterative graph ops at data-bound size",
+        "",
+        f"Synthetic co-occurrence graph: {n_nodes:,} nodes, "
+        f"~{n_nodes * epn:,} directed hash-generated edges (3% hub-biased "
+        "onto 64 nodes for realistic skew), identical parquet input at "
+        "both levels; fresh JVM per run, warm-up excluded, interleaved "
+        f"best-of-{trials}.",
+        "",
+        "| op | rounds | local[%d] sec | local[%d] sec | sec/round @%d | "
+        "efficiency |" % (lo_c, hi_c, hi_c),
+        "|---|---|---|---|---|---|",
+    ]
+    for op, lo, hi, eff in rows:
+        lines.append(
+            f"| {op} | {lo['rounds'] or 'to-fixpoint'} | {lo['sec']} | "
+            f"{hi['sec']} | {hi['sec_per_round'] or '-'} | {eff} |")
+    lines += [
+        "",
+        f"Efficiency = (edge·rounds/sec at {hi_c}c ÷ at {lo_c}c) ÷ "
+        f"{ratio:g}.  Output checksums identical across levels: {parity}.",
+    ]
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/graph_scaling_run.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    summary = {"n_nodes": n_nodes, "n_edges": n_nodes * epn,
+               "levels": levels, "efficiency": effs, "parity": parity,
+               "results": {f"{op}@{c}": best[(op, c)]
+                           for op in OPS for c in levels}}
+    print(json.dumps(summary))
+    return summary
+
+
+if __name__ == "__main__":
+    main()

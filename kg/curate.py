@@ -38,3 +38,36 @@ def gate_and_dedupe(docs: DataFrame, lang: str | None = "en",
                                 text_col=text_col, id_col=id_col)
               .select(F.col("id_b").alias(id_col)).distinct())
     return docs.join(losers, id_col, "left_anti")
+
+
+def c4_line_clean(docs: DataFrame, text_col: str = "text",
+                  min_words_per_line: int = 3,
+                  out_col: str = "text_clean") -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2, the published
+    rules behind the C4 corpus): keep only lines that (a) end in terminal
+    punctuation (. ! ? or closing quote after one), (b) contain at least
+    `min_words_per_line` words, (c) do not contain curly braces (code
+    leakage) or the phrases "lorem ipsum" / "javascript" (boilerplate).
+    The reference engine has no cleaning stage; this is part of the
+    task-mandated training-data pipeline layer (like gopher_rules).
+
+    Everything is in-row array algebra on the line split — F.filter over
+    split(text, '\\n') with JVM lambdas, zero shuffles, zero UDFs; the
+    DuckDB oracle mirrors it with list_filter.  Returns all input columns
+    plus `out_col` (kept lines re-joined), n_lines, n_kept_lines.
+
+    At 100 TB this is a narrow map stage fused into the scan by
+    whole-stage codegen — the cheapest possible curation gate, which is
+    why C4 runs it before any dedup."""
+    lines = F.split(F.col(text_col), "\n")
+    word_n = lambda ln: F.size(F.split(F.trim(ln), r" +"))
+    keep = F.filter(lines, lambda ln: (
+        ln.rlike(r'[.!?]["”]?\s*$')
+        & (word_n(ln) >= min_words_per_line)
+        & ~F.lower(ln).contains("lorem ipsum")
+        & ~F.lower(ln).contains("javascript")
+        & ~ln.contains("{") & ~ln.contains("}")))
+    return (docs
+            .withColumn("n_lines", F.size(lines))
+            .withColumn("n_kept_lines", F.size(keep))
+            .withColumn(out_col, F.array_join(keep, "\n")))

@@ -307,3 +307,33 @@ def cooccurrence_pmi(edges: DataFrame, contexts: DataFrame,
             .select("src", "dst", "c_xy",
                     F.expr("(c_xy * n_ctx * 1000000) div (c_x * c_y)")
                     .alias("ratio_micro")))
+
+
+def kcore(edges: DataFrame, k: int = 2, rounds: int = 4,
+          src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Fixed-round k-core peeling over the simple undirected graph: each
+    round removes every node whose remaining degree is < k (and its
+    incident edges).  After enough rounds this converges to the k-core —
+    the standard density filter on the tag co-occurrence graph (drop
+    weakly-connected fringe tags before community detection / ranking);
+    the fixed `rounds` keeps the result a pure function of (edges, k,
+    rounds) so the DuckDB oracle replays it as an unrolled CTE chain
+    (the pagerank/LPA convention — CLAUDE.md).
+
+    Returns (node, deg) for surviving nodes with their residual degree.
+
+    Scale shape per round: one degree aggregate (map-side partial
+    combine) + two semi-joins of the edge set against the
+    surviving-node set (broadcast-sized once peeling bites) — 2-3
+    shuffles/round, same budget as LPA.  localCheckpoint per round cuts
+    the growing join lineage."""
+    e = _simple_edges(edges, src_col, dst_col).localCheckpoint()
+    for _ in range(rounds):
+        deg = (e.select(F.explode(F.array("a", "b")).alias("node"))
+               .groupBy("node").agg(F.count("*").cast("bigint").alias("deg")))
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        e = (e.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+             .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+             .select("a", "b").localCheckpoint())
+    return (e.select(F.explode(F.array("a", "b")).alias("node"))
+            .groupBy("node").agg(F.count("*").cast("bigint").alias("deg")))

@@ -299,6 +299,47 @@ def lm_surprisal(df: DataFrame, text_col: str = "text",
                         F.expr("(total_bits * 1000000) div n_tokens")))
 
 
+def bigram_surprisal(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Bigram-LM surprisal — the conditional-probability upgrade of
+    lm_surprisal (KenLM-style quality filters score with n-gram LMs, not
+    unigram): per bigram, bits = length(bin(C(w1·) div C(w1,w2))), the
+    integer floor-log2 surrogate of −log2 p(w2|w1) (same engine-portable
+    rationale as lm_surprisal: no float ln, no order-dependent float
+    sums).  C(w1·) counts bigram occurrences starting with w1, so the
+    ratio is an exact conditional MLE.  Returns
+    (doc, n_bigrams, total_bits, avg_bits_micro); single-token and empty
+    docs emit no row (no bigram evidence).
+
+    Scale shape: bigrams are built IN-ROW (transform over the token
+    array with the index lambda — no window, no self-join), then one
+    groupBy(doc, w1, w2) → bigram-count groupBy(w1, w2)
+    (vocabulary²-sized) → context counts as a further aggregate of that
+    (vocabulary-sized) → two joins back on the small side → groupBy(doc).
+    Exactly the lm_surprisal plan plus one more vocabulary-sized agg."""
+    toks = tokens_col(text_col)
+    bigr = F.filter(
+        F.transform(toks, lambda x, i: F.struct(
+            x.alias("w1"), F.get(toks, i + 1).alias("w2"))),
+        lambda s: s["w2"].isNotNull())
+    pairs = (df.select(F.col(id_col).alias("doc"),
+                       F.explode(bigr).alias("b"))
+             .select("doc", "b.w1", "b.w2"))
+    tf = pairs.groupBy("doc", "w1", "w2").agg(F.count("*").alias("tf"))
+    c12 = tf.groupBy("w1", "w2").agg(F.sum("tf").cast("bigint").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
+    scored = (tf.join(c12, ["w1", "w2"]).join(c1, "w1")
+              .withColumn("bits",
+                          F.length(F.bin(F.expr("c1 div c12")))
+                          .cast("bigint")))
+    return (scored.groupBy("doc")
+            .agg(F.sum("tf").cast("bigint").alias("n_bigrams"),
+                 F.sum(F.col("tf") * F.col("bits")).cast("bigint")
+                 .alias("total_bits"))
+            .withColumn("avg_bits_micro",
+                        F.expr("(total_bits * 1000000) div n_bigrams")))
+
+
 _BPE_ISH = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
 
 

@@ -1,0 +1,24 @@
+
+
+def test_c4_line_clean_goldens(spark):
+    """One golden per published C4 rule: terminal punctuation, min words,
+    lorem-ipsum / javascript phrases, curly braces."""
+    from kg.curate import c4_line_clean
+    text = "\n".join([
+        "Good line here.",
+        "short.",
+        "no punct line at all",
+        "This has lorem ipsum inside.",
+        "code { x } here.",
+        "Uses JavaScript heavily today.",
+        "Another fine line!",
+        "Quote ends well.”",
+    ])
+    docs = spark.createDataFrame([(1, text), (2, "")],
+                                 "doc_id long, text string")
+    out = {r["doc_id"]: r for r in c4_line_clean(docs).collect()}
+    assert out[1]["n_lines"] == 8
+    assert out[1]["n_kept_lines"] == 3
+    assert out[1]["text_clean"] == (
+        "Good line here.\nAnother fine line!\nQuote ends well.”")
+    assert out[2]["n_kept_lines"] == 0 and out[2]["text_clean"] == ""

@@ -109,3 +109,29 @@ def test_extract_annotate_textless_shape_matches(spark):
     assert "text" not in slim_ann.schema["annotated"].dataType.elementType.names
     slim = build_triples(explode_annotated_units(slim_ann))
     assert sorted(map(tuple, full.collect())) == sorted(map(tuple, slim.collect()))
+
+
+def test_triples_survive_adversarial_unicode_corpus(spark):
+    """100 TB robustness (VERDICT r2 #8): the fused extract+annotate UDF and
+    the triple build must survive Arrow round-trips of astral-plane emoji,
+    RTL text, combining marks, NULs, an empty doc, and a 100k-char doc —
+    no crash, offsets in bounds, deterministic across two runs."""
+    from kg.triples import corpus_to_triples
+    rows = [
+        ("r", "p1", "c", "en", "Hello \U0001F600\U0001F3FD world. Second́ sentence."),
+        ("r", "p2", "c", "en", "‮right-to-left‬ and שלום here."),
+        ("r", "p3", "c", "en", "nul\x00byte and tab\tok."),
+        ("r", "p4", "c", "en", ""),
+        ("r", "p5", "c", "en", ("long token " * 9000) + "end."),
+        ("r", "p6", "c", "en", "\U0010FFFF max codepoint � replacement"),
+    ]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string")
+    out = corpus_to_triples(df)
+    got = out.collect()
+    assert len(got) > 0
+    for r in got:
+        if r["start"] is not None:
+            assert 0 <= r["start"] <= r["end"]
+    assert sorted(map(tuple, got)) == sorted(map(tuple, out.collect()))

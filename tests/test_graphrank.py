@@ -230,3 +230,18 @@ def test_cooccurrence_cap_single_exchange(spark):
                                     materialize=False)
     plan = capped._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_kcore_peels_fringe(spark):
+    """Path a-b-c-d dissolves entirely under k=2 (iterative peel — a
+    single-pass degree filter would wrongly keep b, c); the triangle
+    x-y-z survives with residual degree 2; pendant w drops round 1."""
+    from kg.graphrank import kcore
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"),
+         ("x", "y"), ("y", "z"), ("z", "x"), ("z", "w")],
+        "src string, dst string")
+    got = {r["node"]: r["deg"] for r in kcore(edges, k=2, rounds=3).collect()}
+    assert got == {"x": 2, "y": 2, "z": 2}
+    # k=3: even the triangle dissolves
+    assert kcore(edges, k=3, rounds=3).count() == 0

@@ -1,0 +1,14 @@
+
+
+def test_bigram_surprisal_hand_computed(spark):
+    """c1(a)=3, c12(a,b)=2,(b,a)=1,(a,c)=1 → bits 1/1/2; exact integer
+    ratios; single-token and empty docs emit no row."""
+    from kg.textstats import bigram_surprisal
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a c"), (2, "z"), (3, "")],
+        "doc_id long, text string")
+    got = {r["doc"]: (r["n_bigrams"], r["total_bits"], r["avg_bits_micro"])
+           for r in bigram_surprisal(docs).collect()}
+    assert got[0] == (3, 3, 1_000_000)
+    assert got[1] == (1, 2, 2_000_000)
+    assert 2 not in got and 3 not in got

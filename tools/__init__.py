@@ -1,0 +1,1 @@
+"""Repo tooling: oracle construction + the local correctness gate."""

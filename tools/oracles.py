@@ -1,0 +1,1357 @@
+"""DuckDB oracle SQL for the __spark_entry__ driver contract.
+
+One ANSI-SQL mirror per queries() entry, runnable by DuckDB over the same
+parquet tables (pre-registered views: region nation customer supplier part
+orders lineitem events documents embeddings).  Split out of
+__spark_entry__.py (which delegates its oracle_sql() here) so the driver
+contract stays readable; see that module's docstring for the oracle-design
+notes (closed forms, integer micro-units, unrolled CTE chains for
+fixed-round iteration, portability facts in CLAUDE.md).
+"""
+
+from __future__ import annotations
+
+from kg import models as _kgmodels
+from kg import textstats as kgtext
+
+# stopword predicate fragments shared by many oracles; derived from the
+# same single source of truth the Spark side uses (kg.models)
+_SW = sorted(_kgmodels.DEFAULT_STOPWORDS)
+STOP_IN = "(" + ", ".join(f"'{w}'" for w in _SW) + ")"
+STOP_LIST_SQL = "[" + ", ".join(f"'{w}'" for w in _SW) + "]"
+
+_TOKS = "regexp_split_to_array(text, ' ')"
+
+_SHINGLES2 = f"""
+    SELECT DISTINCT doc_id, array_to_string(t[i:i+1], ' ') AS shingle
+    FROM (SELECT doc_id, {_TOKS} AS t, generate_subscripts({_TOKS}, 1) AS i
+          FROM documents WHERE lang = 'en')
+    WHERE i <= len(t) - 1
+"""
+
+_MINHASH_SIG = ("SELECT doc_id, "
+                + ", ".join(f"min(md5('{i}:' || shingle)) AS s{i}" for i in range(16))
+                + f" FROM ({_SHINGLES2}) GROUP BY doc_id")
+
+_BANDS = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, md5(s{b*4} || '|' || s{b*4+1} || '|' || s{b*4+2} || '|' || s{b*4+3}) AS bucket FROM sig"
+    for b in range(4))
+
+_LANG_SCORE = {
+    code: " + ".join(f"list_contains(list_distinct(t), '{m}')::int"
+                     for m in markers)
+    for code, markers in sorted(kgtext.LANG_MARKERS.items())
+}
+
+
+def _pos_case_sql(tok: str) -> str:
+    """DuckDB mirror of kg.models.pos_of for LOWERCASE ALPHA tokens (the
+    documents corpus shape): lexicon lookup first, then the suffix rules in
+    the model's order.  The capitalization/digit/symbol branches are
+    irrelevant for this corpus and omitted."""
+    lex = " ".join(f"WHEN '{w}' THEN '{t}'"
+                   for w, t in sorted(_kgmodels.POS_LEXICON.items()))
+    vb = ", ".join(f"'{w}'" for w in sorted(_kgmodels._VERB_BASES))
+    return f"""coalesce(CASE {tok} {lex} END, CASE
+      WHEN {tok} LIKE '%ing' THEN 'VBG'
+      WHEN {tok} LIKE '%ed' THEN 'VBD'
+      WHEN {tok} LIKE '%ly' THEN 'RB'
+      WHEN {tok} LIKE '%s' AND length({tok}) > 3
+           AND NOT ({tok} LIKE '%ss' OR {tok} LIKE '%us' OR {tok} LIKE '%is')
+        THEN CASE WHEN substr({tok}, 1, length({tok}) - 1) IN ({vb})
+                    OR substr({tok}, 1, length({tok}) - 2) IN ({vb})
+                  THEN 'VBZ' ELSE 'NNS' END
+      WHEN {tok} LIKE '%able' OR {tok} LIKE '%ible' OR {tok} LIKE '%al'
+           OR {tok} LIKE '%ous' OR {tok} LIKE '%ful' OR {tok} LIKE '%ive'
+           OR {tok} LIKE '%ic' THEN 'JJ'
+      ELSE 'NN' END)"""
+
+
+# ANN_SUFFIX token facts for the annotate-lemma-ner oracle: (lemma,
+# occurrence start/end offsets RELATIVE to the original text length, surface
+# value).  "3,000" is deliberately absent — clean_lemma drops it.
+_SUF_OCC = ("(VALUES ('show', 1, 6, 'shows'), "
+            "('election', 7, 16, 'elections'), "
+            "('pakistan', 17, 25, 'Pakistan'), "
+            "('may 2013', 26, 34, 'May 2013'), "
+            "('winner', 41, 48, 'winners')) s(lemma, so, eo, v)")
+_SUF_TAGS = ("(VALUES ('show', 'VBZ', 'O'), ('election', 'NNS', 'O'), "
+             "('pakistan', 'NNP', 'LOCATION'), ('may 2013', 'CD,MD', 'DATE'), "
+             "('winner', 'NNS', 'O')) s(lemma, pos, ne)")
+
+
+def _simhash_sums_sql() -> str:
+    """64 ±1 bit sums over md5(token): bit i lives in hex digit i//4 at
+    in-digit position i%4 (mirrors kg.dedup.simhash_portable)."""
+    terms = []
+    for i in range(64):
+        p, s = i // 4 + 1, i % 4
+        terms.append(
+            f"sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, {p}, 1)) "
+            f"- 1) >> {s}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}")
+    return ", ".join(terms)
+
+
+def _simhash_hex_sql() -> str:
+    digits = []
+    for k in range(16):
+        v = " + ".join(f"(CASE WHEN b{4 * k + j} > 0 THEN {1 << j} ELSE 0 END)"
+                       for j in range(4))
+        digits.append(f"substr('0123456789abcdef', ({v}) + 1, 1)")
+    return " || ".join(digits)
+
+
+def _lsh_bucket_sql(n_planes: int, dim: int) -> str:
+    """Sign-LSH bucket expression with the deterministic md5-seeded plane
+    matrix (kg.similarity._hyperplanes) inlined as DOUBLE[] literals."""
+    from kg.similarity import _hyperplanes
+    planes = _hyperplanes(dim, n_planes)
+    terms = []
+    for idx, row in enumerate(planes):
+        lit = "[" + ", ".join(repr(x) for x in row) + "]"
+        terms.append(f"(CASE WHEN list_inner_product(v, {lit}) >= 0 "
+                     f"THEN {1 << idx} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def build_oracle_sql() -> dict[str, str]:
+    sqls: dict[str, str] = {}
+
+    sqls["kg_part_of"] = """
+        SELECT 'sent:' || doc_id || ':0' AS subj, 'PART_OF' AS pred,
+               'doc:' || doc_id AS obj
+        FROM documents WHERE lang = 'en'"""
+
+    sqls["kg_has_tag"] = f"""
+        SELECT DISTINCT 'sent:' || doc_id || ':0' AS subj, 'HAS_TAG' AS pred,
+               'tag:en:' || tok AS obj
+        FROM (SELECT doc_id, unnest({_TOKS}) AS tok
+              FROM documents WHERE lang = 'en')
+        WHERE tok NOT IN {STOP_IN}"""
+
+    sqls["kg_tag_occurs"] = f"""
+        WITH t AS (
+          SELECT doc_id, unnest({_TOKS}) AS tok,
+                 generate_subscripts({_TOKS}, 1) AS i, {_TOKS} AS toks
+          FROM documents WHERE lang = 'en')
+        SELECT 'tag:en:' || tok AS subj, 'TAG_OCCURS' AS pred,
+               'sent:' || doc_id || ':0' AS obj,
+               CAST((i - 1) + coalesce(len(array_to_string(toks[1:i-1], '')), 0) AS INT) AS start,
+               CAST((i - 1) + coalesce(len(array_to_string(toks[1:i-1], '')), 0) + len(tok) AS INT) AS "end",
+               tok AS value
+        FROM t WHERE tok NOT IN {STOP_IN}"""
+
+    sqls["kg_tag_tf"] = f"""
+        SELECT 'tag:en:' || tok AS tag_uid, count(*) AS tf
+        FROM (SELECT doc_id, unnest({_TOKS}) AS tok
+              FROM documents WHERE lang = 'en')
+        WHERE tok NOT IN {STOP_IN}
+        GROUP BY 1"""
+
+    sqls["kg_adjacency"] = f"""
+        SELECT 'sent:' || doc_id || ':0' AS node,
+               CAST(count(*) AS BIGINT) AS degree,
+               list('tag:en:' || tok ORDER BY 'tag:en:' || tok) AS neighbors
+        FROM (SELECT DISTINCT doc_id, tok
+              FROM (SELECT doc_id, unnest({_TOKS}) AS tok
+                    FROM documents WHERE lang = 'en')
+              WHERE tok NOT IN {STOP_IN})
+        GROUP BY 1"""
+
+    sqls["kg_tag_quality"] = f"""
+        WITH q AS (
+          SELECT doc_id,
+                 (len(list_distinct(t)) * (2 * len(t) - ns) * 1000000)
+                   // (2 * len(t) * len(t)
+                       * (CASE WHEN len(t) BETWEEN 10 AND 10000
+                          THEN 1 ELSE 2 END)) AS quality_micro
+          FROM (SELECT doc_id, {_TOKS} AS t,
+                       len(list_filter({_TOKS},
+                           x -> list_contains({STOP_LIST_SQL}, x))) AS ns
+                FROM documents WHERE lang = 'en')),
+        ht AS (
+          SELECT DISTINCT doc_id, tok
+          FROM (SELECT doc_id, unnest({_TOKS}) AS tok
+                FROM documents WHERE lang = 'en')
+          WHERE tok NOT IN {STOP_IN})
+        SELECT 'tag:en:' || ht.tok AS tag_uid,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(CAST(sum(q.quality_micro) AS BIGINT) // count(*)
+                    AS BIGINT) AS avg_quality_micro
+        FROM ht JOIN q USING (doc_id)
+        GROUP BY 1"""
+
+    sqls["kg_sentences"] = """
+        SELECT doc_id, CAST(0 AS INT) AS sentence_number, CAST(0 AS INT) AS start,
+               CAST(length(text) AS INT) AS "end", text
+        FROM documents WHERE lang = 'en'"""
+
+    sqls["kg_annotate_full"] = f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_TOKS}) AS tok,
+                 generate_subscripts({_TOKS}, 1) AS i, {_TOKS} AS all_toks
+          FROM documents WHERE lang = 'en'),
+        kept AS (SELECT * FROM toks WHERE tok NOT IN {STOP_IN})
+        SELECT 'sent:' || doc_id || ':0' AS subj, 'PART_OF' AS pred,
+               'doc:' || doc_id AS obj, CAST(NULL AS INT) AS start,
+               CAST(NULL AS INT) AS "end", CAST(NULL AS VARCHAR) AS value
+        FROM documents WHERE lang = 'en'
+        UNION ALL
+        SELECT DISTINCT 'sent:' || doc_id || ':0', 'HAS_TAG',
+               'tag:en:' || tok, NULL, NULL, NULL
+        FROM kept
+        UNION ALL
+        SELECT 'tag:en:' || tok, 'TAG_OCCURS', 'sent:' || doc_id || ':0',
+               CAST((i - 1) + coalesce(len(array_to_string(all_toks[1:i-1], '')), 0) AS INT),
+               CAST((i - 1) + coalesce(len(array_to_string(all_toks[1:i-1], '')), 0) + len(tok) AS INT),
+               tok
+        FROM kept"""
+
+    sqls["kg_annotate_lemma_ner"] = f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_TOKS}) AS tok,
+                 generate_subscripts({_TOKS}, 1) AS i, {_TOKS} AS all_toks
+          FROM documents WHERE lang = 'en'),
+        kept AS (SELECT * FROM toks WHERE tok NOT IN {STOP_IN}),
+        docs AS (SELECT doc_id, length(text) AS L
+                 FROM documents WHERE lang = 'en')
+        SELECT 'sent:' || doc_id || ':0' AS subj, 'PART_OF' AS pred,
+               'doc:' || doc_id AS obj, CAST(NULL AS INT) AS start,
+               CAST(NULL AS INT) AS "end", CAST(NULL AS VARCHAR) AS value
+        FROM docs
+        UNION ALL
+        SELECT DISTINCT 'sent:' || doc_id || ':0', 'HAS_TAG',
+               'tag:en:' || tok, NULL, NULL, NULL
+        FROM kept
+        UNION ALL
+        SELECT 'sent:' || doc_id || ':0', 'HAS_TAG', 'tag:en:' || s.lemma,
+               NULL, NULL, NULL
+        FROM docs, {_SUF_OCC}
+        UNION ALL
+        SELECT 'tag:en:' || tok, 'TAG_OCCURS', 'sent:' || doc_id || ':0',
+               CAST((i - 1) + coalesce(len(array_to_string(all_toks[1:i-1], '')), 0) AS INT),
+               CAST((i - 1) + coalesce(len(array_to_string(all_toks[1:i-1], '')), 0) + len(tok) AS INT),
+               tok
+        FROM kept
+        UNION ALL
+        SELECT 'tag:en:' || s.lemma, 'TAG_OCCURS', 'sent:' || d.doc_id || ':0',
+               CAST(d.L + s.so AS INT), CAST(d.L + s.eo AS INT), s.v
+        FROM docs d, {_SUF_OCC}"""
+
+    sqls["kg_tag_pos_ne"] = f"""
+        WITH kept AS (
+          SELECT doc_id, tok FROM (
+            SELECT doc_id, unnest({_TOKS}) AS tok
+            FROM documents WHERE lang = 'en')
+          WHERE tok NOT IN {STOP_IN}),
+        n AS (SELECT count(*) AS nd FROM documents WHERE lang = 'en')
+        SELECT 'tag:en:' || tok AS tag_uid,
+               {_pos_case_sql('tok')} AS pos_tags,
+               'O' AS ne_types, count(*) AS tf
+        FROM kept GROUP BY tok
+        UNION ALL
+        SELECT 'tag:en:' || s.lemma, s.pos, s.ne, (SELECT nd FROM n)
+        FROM {_SUF_TAGS}"""
+
+    # the splitter's abbreviation/initial guard refuses a boundary when the
+    # word before the period is a single letter or a known abbreviation
+    # (kg.annotate.split_sentences) — the oracle models the guard on the
+    # text's last token
+    _SPLITS = (f"(SELECT doc_id, list_extract({_TOKS}, len({_TOKS})) AS lw "
+               "FROM documents WHERE lang = 'en')")
+    _GUARD = ("len(lw) > 1 AND lw NOT IN ('mr','mrs','ms','dr','prof','sr',"
+              "'jr','st','vs','etc','inc','ltd','co','corp','no','fig','al',"
+              "'eg','ie')")
+    sqls["kg_next_sentence"] = f"""
+        WITH lastw AS {_SPLITS}
+        SELECT 'sent:' || doc_id || ':0' AS subj, 'PART_OF' AS pred,
+               'doc:' || doc_id AS obj FROM lastw
+        UNION ALL
+        SELECT 'sent:' || doc_id || ':1', 'PART_OF', 'doc:' || doc_id
+        FROM lastw WHERE {_GUARD}
+        UNION ALL
+        SELECT 'sent:' || doc_id || ':0', 'NEXT_SENTENCE',
+               'sent:' || doc_id || ':1'
+        FROM lastw WHERE {_GUARD}"""
+
+    sqls["kg_sentence_chain"] = f"""
+        WITH lastw AS {_SPLITS}
+        SELECT 'sent:' || doc_id || ':0' AS src,
+               'sent:' || doc_id || ':1' AS dst, CAST(1 AS INT) AS hops
+        FROM lastw WHERE {_GUARD}
+        UNION ALL
+        SELECT 'sent:' || doc_id || ':1', 'sent:' || doc_id || ':2', 1
+        FROM lastw WHERE {_GUARD}
+        UNION ALL
+        SELECT 'sent:' || doc_id || ':0', 'sent:' || doc_id || ':2', 2
+        FROM lastw WHERE {_GUARD}"""
+
+    sqls["kg_first_sentence"] = f"""
+        WITH lastw AS {_SPLITS}
+        SELECT 'doc:' || doc_id AS subj, 'FIRST_SENTENCE' AS pred,
+               'sent:' || doc_id || ':0' AS obj FROM lastw
+        UNION ALL
+        SELECT 'sent:' || doc_id || ':0', 'NEXT_SENTENCE',
+               'sent:' || doc_id || ':1'
+        FROM lastw WHERE {_GUARD}"""
+
+    sqls["dedup_simhash"] = f"""
+        WITH t AS (
+          SELECT doc_id AS id, md5(tok) AS h FROM (
+            SELECT doc_id, unnest({_TOKS}) AS tok
+            FROM documents WHERE lang = 'en')),
+        sums AS (SELECT id, {_simhash_sums_sql()} FROM t GROUP BY id)
+        SELECT id, {_simhash_hex_sql()} AS simhash_hex FROM sums"""
+
+    sqls["ann_lsh_topk"] = f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        b AS (SELECT vec_id, v, {_lsh_bucket_sql(6, 64)} AS bucket FROM e)
+        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+          SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(n.v, q.v) DESC,
+                            n.vec_id ASC) AS rank
+          FROM b q JOIN b n ON q.bucket = n.bucket AND n.vec_id <> q.vec_id
+          WHERE q.vec_id < 10)
+        WHERE rank <= 5"""
+
+    sqls["dedup_exact"] = """
+        SELECT sha256(text) AS content_sha256, count(*) AS n_dups,
+               min(doc_id) AS canonical_id
+        FROM documents GROUP BY 1"""
+
+    sqls["dedup_ngram_jaccard"] = f"""
+        WITH sh AS ({_SHINGLES2}),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               (c * 1000000) // (sa.n + sb.n - c) AS jaccard_micro
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE c * 1000000 >= 500000 * (sa.n + sb.n - c)"""
+
+    sqls["dedup_minhash_lsh"] = f"""
+        WITH sig AS ({_MINHASH_SIG}),
+        buckets AS ({_BANDS})
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id"""
+
+    _JPAIRS = f"""
+        WITH sh AS ({_SHINGLES2}),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE c / (sa.n + sb.n - c) >= 0.5"""
+
+    sqls["dedup_containment"] = f"""
+        WITH sh AS ({_SHINGLES2}),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS id_small, b.doc_id AS id_big, count(*) AS c
+          FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_small, id_big,
+               (c * 1000000) // s.n AS containment_micro
+        FROM inter JOIN sizes s ON s.doc_id = id_small
+        WHERE c * 1000000 >= 500000 * s.n"""
+
+    sqls["text_normalize"] = f"""
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(
+                      lower(text || '  Mixed-CASE!! 42,000' || chr(9)
+                            || 'End.'),
+                      '[^a-z0-9]+', ' ', 'g'),
+                    ' +', ' ', 'g')) AS text_norm
+        FROM documents"""
+
+    sqls["dedup_components"] = f"""
+        WITH RECURSIVE
+        jpairs AS ({_JPAIRS}),
+        pairs AS (SELECT id_a AS a, id_b AS b FROM jpairs
+                  UNION SELECT id_b, id_a FROM jpairs),
+        nodes AS (SELECT DISTINCT a AS node FROM pairs),
+        reach AS (
+          SELECT node, node AS r FROM nodes
+          UNION
+          SELECT reach.node, p.b AS r FROM reach JOIN pairs p ON p.a = reach.r)
+        SELECT node, min(r) AS component FROM reach GROUP BY node"""
+
+    # same oracle, different Spark algorithm (large-star/small-star) —
+    # three-way cross-check of the component semantics
+    sqls["dedup_components_twophase"] = sqls["dedup_components"]
+
+    # incremental dedup mirrors _MINHASH_SIG/_BANDS at n=2 over the en
+    # docs, with the batch/corpus split on doc_id % 7
+    sqls["dedup_incremental"] = f"""
+        WITH sig AS ({_MINHASH_SIG}),
+        bb AS ({_BANDS}),
+        newdocs AS (SELECT doc_id, text FROM documents
+                    WHERE lang = 'en' AND doc_id % 7 = 0),
+        corpus AS (SELECT doc_id, text FROM documents
+                   WHERE lang = 'en' AND doc_id % 7 <> 0),
+        ex AS (SELECT DISTINCT n.doc_id FROM newdocs n
+               JOIN corpus c ON sha256(n.text) = sha256(c.text)),
+        nr AS (SELECT DISTINCT nb.doc_id
+               FROM bb nb JOIN newdocs USING (doc_id)
+               JOIN (SELECT DISTINCT band, bucket FROM bb
+                     JOIN corpus USING (doc_id)) cb
+                 ON nb.band = cb.band AND nb.bucket = cb.bucket)
+        SELECT n.doc_id,
+               (ex.doc_id IS NOT NULL) AS exact_dup,
+               (nr.doc_id IS NOT NULL) AS near_dup
+        FROM newdocs n
+        LEFT JOIN ex ON ex.doc_id = n.doc_id
+        LEFT JOIN nr ON nr.doc_id = n.doc_id"""
+
+    sqls["dedup_crossdoc"] = f"""
+        WITH pos AS (
+          SELECT doc_id AS doc, array_to_string(t[i:i+2], ' ') AS shingle
+          FROM (SELECT doc_id, {_TOKS} AS t,
+                       generate_subscripts({_TOKS}, 1) AS i FROM documents)
+          WHERE i <= len(t) - 2),
+        dfreq AS (SELECT shingle, count(DISTINCT doc) AS df
+                  FROM pos GROUP BY 1)
+        SELECT doc, CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum((df >= 2)::int) AS BIGINT) AS n_dup_grams,
+               CAST((CAST(sum((df >= 2)::int) AS BIGINT) * 1000000)
+                    // count(*) AS BIGINT) AS dup_gram_micro
+        FROM pos JOIN dfreq USING (shingle)
+        GROUP BY doc"""
+
+    sqls["dedup_canonical"] = f"""
+        WITH RECURSIVE
+        jpairs AS ({_JPAIRS}),
+        pairs AS (SELECT id_a AS a, id_b AS b FROM jpairs
+                  UNION SELECT id_b, id_a FROM jpairs),
+        nodes AS (SELECT DISTINCT a AS node FROM pairs),
+        reach AS (
+          SELECT node, node AS r FROM nodes
+          UNION
+          SELECT reach.node, p.b AS r FROM reach JOIN pairs p ON p.a = reach.r),
+        comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+        tc AS (SELECT doc_id, CAST(len({_TOKS}) AS INT) AS n_tokens
+               FROM documents WHERE lang = 'en')
+        SELECT node AS doc_id, component, n_tokens,
+               row_number() OVER (PARTITION BY component
+                                  ORDER BY n_tokens DESC, node) = 1
+                 AS is_canonical
+        FROM comp JOIN tc ON tc.doc_id = comp.node"""
+
+    sqls["canon_part_of"] = f"""
+        WITH RECURSIVE
+        jpairs AS ({_JPAIRS}),
+        pairs AS (SELECT 'doc:' || id_a AS a, 'doc:' || id_b AS b FROM jpairs
+                  UNION SELECT 'doc:' || id_b, 'doc:' || id_a FROM jpairs),
+        nodes AS (SELECT DISTINCT a AS node FROM pairs),
+        reach AS (
+          SELECT node, node AS r FROM nodes
+          UNION
+          SELECT reach.node, p.b AS r FROM reach JOIN pairs p ON p.a = reach.r),
+        comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+        SELECT 'sent:' || d.doc_id || ':0' AS subj, 'PART_OF' AS pred,
+               coalesce(c.component, 'doc:' || d.doc_id) AS obj
+        FROM documents d LEFT JOIN comp c ON c.node = 'doc:' || d.doc_id
+        WHERE d.lang = 'en'"""
+
+    sqls["link_mentions"] = """
+        SELECT 'sent:' || doc_id || ':0#pakistan' AS mention_id,
+               'pakistan' AS lemma, 'Q843' AS entity_id,
+               'fuzzy' AS link_method
+        FROM documents WHERE lang = 'en'
+        UNION ALL
+        SELECT 'sent:' || doc_id || ':0#may 2013', 'may 2013', 'Q145', 'exact'
+        FROM documents WHERE lang = 'en'"""
+
+    sqls["extract_units"] = """
+        SELECT doc_id, unit_number, unit_type, unit_start, unit_end, text FROM (
+          SELECT doc_id, CAST(0 AS INT) AS unit_number,
+                 'docstring' AS unit_type, CAST(3 AS INT) AS unit_start,
+                 CAST(3 + length(text) AS INT) AS unit_end, text
+          FROM documents
+          UNION ALL
+          SELECT doc_id, 1, 'comment', CAST(length(text) + 8 AS INT),
+                 CAST(length(text) + 17 AS INT), 'note: en'
+          FROM documents
+          UNION ALL
+          SELECT doc_id, 2, 'identifier', CAST(length(text) + 22 AS INT),
+                 CAST(length(text) + 31 AS INT), 'load data'
+          FROM documents)"""
+
+    sqls["multimodal_features"] = """
+        SELECT vec_id AS media_id,
+               CAST(8 + vec_id % 5 AS INT) AS width,
+               CAST(6 + vec_id % 4 AS INT) AS height,
+               CAST(16 + (8 + vec_id % 5) * (6 + vec_id % 4) * 3 AS BIGINT) AS n_bytes
+        FROM embeddings"""
+
+    sqls["embedding_near_pairs"] = """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.4"""
+
+    sqls["ann_cosine_topk"] = """
+        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+          SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                 row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                   CAST(q.embedding AS DOUBLE[])) DESC,
+                            e.vec_id ASC) AS rank
+          FROM embeddings e, embeddings q
+          WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id)
+        WHERE rank <= 5"""
+
+    # centroid classifier: quantize-then-sum makes the fit exact integer
+    # arithmetic; inference is rank-only (float cosine stays internal)
+    _CENTROIDS = """
+        SELECT label, CAST(min(c) AS BIGINT) AS n_members,
+               list(s // c ORDER BY pos) AS centroid_micro
+        FROM (
+          SELECT label, pos,
+                 CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))
+                      AS BIGINT) AS s,
+                 count(*) AS c
+          FROM (SELECT label, generate_subscripts(embedding, 1) AS pos,
+                       unnest(embedding) AS v
+                FROM embeddings WHERE label IS NOT NULL)
+          GROUP BY 1, 2)
+        GROUP BY label"""
+    sqls["ann_centroids"] = _CENTROIDS
+    sqls["ann_nearest_centroid"] = f"""
+        WITH cent AS ({_CENTROIDS}),
+        cv AS (SELECT label,
+                      list_transform(centroid_micro,
+                                     x -> CAST(x AS DOUBLE) / 1000000) AS c
+               FROM cent)
+        SELECT vec_id, label AS predicted_label FROM (
+          SELECT e.vec_id, cv.label,
+                 row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(
+                              CAST(e.embedding AS DOUBLE[]), cv.c) DESC,
+                            cv.label ASC) AS rn
+          FROM embeddings e CROSS JOIN cv)
+        WHERE rn = 1"""
+
+    sqls["text_token_stats"] = f"""
+        SELECT doc_id,
+               CAST(len(t) AS INT) AS n_tokens,
+               CAST(len(list_distinct(t)) AS INT) AS n_distinct,
+               CAST(len(list_filter(list_distinct(t),
+                    x -> list_contains({STOP_LIST_SQL}, x))) AS INT) AS n_stop_distinct,
+               CAST(len(list_filter(t,
+                    x -> list_contains({STOP_LIST_SQL}, x))) AS INT) AS n_stop,
+               (length(text) * 1000000) // len(t) AS avg_token_len_micro
+        FROM (SELECT doc_id, text, {_TOKS} AS t FROM documents)"""
+
+    sqls["text_quality"] = f"""
+        SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,
+               (len(list_distinct(t)) * 1000000) // len(t) AS diversity_micro,
+               (ns * 1000000) // len(t) AS stop_ratio_micro,
+               (len(list_distinct(t)) * (2 * len(t) - ns) * 1000000)
+                 // (2 * len(t) * len(t)
+                     * (CASE WHEN len(t) BETWEEN 10 AND 10000 THEN 1 ELSE 2 END))
+               AS quality_micro
+        FROM (SELECT doc_id, text, {_TOKS} AS t,
+                     len(list_filter({_TOKS},
+                         x -> list_contains({STOP_LIST_SQL}, x))) AS ns
+              FROM documents)"""
+
+    sqls["text_skipgrams"] = f"""
+        SELECT doc_id AS doc, CAST(i AS INT) AS center_pos,
+               CAST(j AS INT) AS context_pos, t[i] AS center,
+               t[j] AS context
+        FROM (SELECT doc_id, t, i,
+                     unnest(generate_series(greatest(1, i - 2),
+                                            least(len(t), i + 2))) AS j
+              FROM (SELECT doc_id, t, generate_subscripts(t, 1) AS i
+                    FROM (SELECT doc_id, {_TOKS} AS t FROM documents)))
+        WHERE j <> i"""
+
+    sqls["text_chunk_windows"] = f"""
+        WITH base AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        g AS (SELECT doc_id, t,
+                     unnest(range(0, ((greatest(len(t) - 16, 0) + 7) // 8)
+                                     + 1)) AS i
+              FROM base)
+        SELECT doc_id AS doc, CAST(i AS INT) AS chunk_seq,
+               CAST(len(t[i*8+1 : i*8+16]) AS INT) AS n_tokens,
+               array_to_string(t[i*8+1 : i*8+16], ' ') AS text
+        FROM g"""
+
+    sqls["corpus_topk_quality"] = f"""
+        WITH q AS ({sqls["text_quality"]})
+        SELECT d.lang, q.doc_id, q.quality_micro
+        FROM q JOIN documents d USING (doc_id)
+        QUALIFY row_number() OVER (PARTITION BY d.lang
+                                   ORDER BY q.quality_micro DESC,
+                                            q.doc_id) <= 3"""
+
+    # A11 sentiment closed form: pos/neg lists generated from kg.models so
+    # the oracle stays in sync; clip(pos-neg) == 0 ⇔ pos == neg, and only
+    # the zero-signal conf (0.5) falls below the 0.7 threshold.
+    _pos_list = "[" + ", ".join(
+        f"'{w}'" for w in sorted(_kgmodels.POSITIVE_WORDS)) + "]"
+    _neg_list = "[" + ", ".join(
+        f"'{w}'" for w in sorted(_kgmodels.NEGATIVE_WORDS)) + "]"
+    sqls["kg_doc_sentiment"] = f"""
+        WITH d AS (
+          SELECT doc_id,
+                 text || CASE doc_id % 5
+                           WHEN 0 THEN ' good great wonderful'
+                           WHEN 1 THEN ' bad'
+                           WHEN 2 THEN ' good'
+                           WHEN 3 THEN ' bad horrible awful'
+                           ELSE ' love hate' END AS text
+          FROM documents WHERE lang = 'en'),
+        cnts AS (
+          SELECT doc_id,
+                 len(list_filter({_TOKS},
+                     x -> list_contains({_pos_list}, x))) AS p,
+                 len(list_filter({_TOKS},
+                     x -> list_contains({_neg_list}, x))) AS n
+          FROM d)
+        SELECT 'doc:' || doc_id AS doc_uid,
+               CAST(CASE WHEN p = n THEN 2
+                         ELSE greatest(-2, least(2, p - n)) + 2
+                    END AS INT) AS sentiment
+        FROM cnts"""
+
+    # per-tag sentiment: same trigger corpus + closed form, joined to the
+    # distinct non-stopword token (= tag) set of each single-sentence doc
+    sqls["kg_tag_sentiment"] = f"""
+        WITH d AS (
+          SELECT doc_id,
+                 text || CASE doc_id % 5
+                           WHEN 0 THEN ' good great wonderful'
+                           WHEN 1 THEN ' bad'
+                           WHEN 2 THEN ' good'
+                           WHEN 3 THEN ' bad horrible awful'
+                           ELSE ' love hate' END AS text
+          FROM documents WHERE lang = 'en'),
+        sent AS (
+          SELECT doc_id,
+                 CAST(CASE WHEN p = n THEN 2
+                           ELSE greatest(-2, least(2, p - n)) + 2
+                      END AS INT) AS sentiment
+          FROM (SELECT doc_id,
+                  len(list_filter({_TOKS},
+                      x -> list_contains({_pos_list}, x))) AS p,
+                  len(list_filter({_TOKS},
+                      x -> list_contains({_neg_list}, x))) AS n
+                FROM d)),
+        tg AS (
+          SELECT DISTINCT doc_id, tok
+          FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM d)
+          WHERE tok NOT IN {STOP_IN})
+        SELECT 'tag:en:' || tg.tok AS tag_uid,
+               CAST(count(*) AS BIGINT) AS n_sents,
+               CAST((CAST(sum(sent.sentiment) AS BIGINT) * 1000000)
+                    // count(*) AS BIGINT) AS avg_sentiment_micro
+        FROM tg JOIN sent USING (doc_id)
+        GROUP BY 1"""
+
+    # descending code order = tie winner (mirrors greatest() on
+    # (score, code) structs); generated from LANG_MARKERS so new profiles
+    # (e.g. "it", ProcedureTest.java:313-326) stay in sync automatically
+    _codes = sorted(kgtext.LANG_MARKERS, reverse=True)
+    sqls["text_gopher"] = f"""
+        WITH base AS (
+          SELECT doc_id,
+                 len(t) AS n_words,
+                 len(array_to_string(t, '')) AS chars,
+                 len(list_filter(t, x -> regexp_matches(x, '^[A-Za-z]+$')))
+                   AS alpha,
+                 len(list_filter(list_distinct(t),
+                     x -> list_contains({STOP_LIST_SQL}, x))) AS n_stop_kinds
+          FROM (SELECT doc_id, {_TOKS} AS t FROM documents))
+        SELECT doc_id, CAST(n_words AS INT) AS n_words,
+               (chars * 1000000) // n_words AS mean_word_len_micro,
+               (alpha * 1000000) // n_words AS alpha_ratio_micro,
+               CAST(n_stop_kinds AS INT) AS n_stop_kinds,
+               (n_words BETWEEN 5 AND 100000
+                AND (chars * 1000000) // n_words BETWEEN 3000000 AND 10000000
+                AND (alpha * 1000000) // n_words >= 800000
+                AND n_stop_kinds >= 2) AS passes
+        FROM base"""
+
+    lang_cases = []
+    for code in _codes:
+        others = [c for c in _codes if c != code]
+        cond = " AND ".join(f"s_{code} >= s_{o}" for o in others)
+        lang_cases.append(f"WHEN s_{code} > 0 AND {cond} THEN '{code}'")
+    sqls["text_language_id"] = f"""
+        SELECT doc_id,
+               CASE {' '.join(lang_cases)} ELSE 'und' END AS predicted_lang
+        FROM (SELECT doc_id,
+                {', '.join(f'({expr}) AS s_{code}' for code, expr in _LANG_SCORE.items())}
+              FROM (SELECT doc_id, {_TOKS} AS t FROM documents))"""
+
+    sqls["text_fingerprint"] = f"""
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fingerprint
+        FROM documents"""
+
+    sqls["text_term_freq"] = f"""
+        WITH toks AS (SELECT doc_id AS doc, unnest({_TOKS}) AS term
+                      FROM documents),
+        tf AS (SELECT doc, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        dfreq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY 1)
+        SELECT doc, tf.term AS term, tf, doc_freq
+        FROM tf JOIN dfreq ON tf.term = dfreq.term"""
+
+    sqls["text_bpe_count"] = r"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INT)
+               AS n_bpe_tokens
+        FROM documents"""
+
+    sqls["ann_ivf_topk"] = """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        anchors AS (SELECT vec_id AS cell_id, v AS center FROM e
+                    ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8),
+        assigned AS (
+          SELECT vec_id, v, cell_id FROM (
+            SELECT e.vec_id, e.v, a.cell_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY list_distance(e.v, a.center) ASC,
+                              a.cell_id ASC) AS rn
+            FROM e, anchors a) WHERE rn = 1),
+        routed AS (
+          SELECT query_id, qv, cell_id FROM (
+            SELECT q.vec_id AS query_id, q.v AS qv, a.cell_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY list_distance(q.v, a.center) ASC,
+                              a.cell_id ASC) AS rn
+            FROM e q, anchors a WHERE q.vec_id < 10) WHERE rn <= 2)
+        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+          SELECT r.query_id, s.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY r.query_id
+                   ORDER BY list_cosine_similarity(s.v, r.qv) DESC,
+                            s.vec_id ASC) AS rank
+          FROM routed r JOIN assigned s ON s.cell_id = r.cell_id
+          WHERE s.vec_id <> r.query_id)
+        WHERE rank <= 5"""
+
+    from kg.sampling import rate_to_hex as _r2h
+    _MD5KEY = "md5(CAST(doc_id AS VARCHAR))"
+    sqls["corpus_sample"] = f"""
+        SELECT doc_id, lang FROM documents
+        WHERE {_MD5KEY} < '{_r2h(0.25)}'"""
+
+    sqls["corpus_split"] = f"""
+        SELECT doc_id,
+               CASE WHEN {_MD5KEY} < '{_r2h(0.8)}' THEN 'train'
+                    WHEN {_MD5KEY} < '{_r2h(0.9)}' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents"""
+
+    # bucket = value of the first two md5 hex digits mod 16 (mirrors
+    # kg.sampling._md5_bucket); running token sum per bucket ordered by doc
+    sqls["text_pack_shards"] = f"""
+        WITH base AS (
+          SELECT doc_id AS doc,
+                 CAST(((strpos('0123456789abcdef', substr({_MD5KEY}, 1, 1)) - 1) * 16
+                  + strpos('0123456789abcdef', substr({_MD5KEY}, 2, 1)) - 1) % 16 AS INT)
+                   AS bucket,
+                 CAST(len({_TOKS}) AS INT) AS n_tokens
+          FROM documents)
+        SELECT doc, bucket,
+               CAST((run - n_tokens) // 256 AS INT) AS shard_seq, n_tokens
+        FROM (SELECT *, sum(n_tokens) OVER (
+                PARTITION BY bucket ORDER BY doc
+                ROWS UNBOUNDED PRECEDING) AS run
+              FROM base)"""
+
+    sqls["text_emit_shards"] = f"""
+        WITH base AS (
+          SELECT doc_id AS doc, text,
+                 CAST(((strpos('0123456789abcdef', substr({_MD5KEY}, 1, 1)) - 1) * 16
+                  + strpos('0123456789abcdef', substr({_MD5KEY}, 2, 1)) - 1) % 16 AS INT)
+                   AS bucket,
+                 CAST(len({_TOKS}) AS INT) AS n_tokens
+          FROM documents),
+        a AS (
+          SELECT *, CAST((run - n_tokens) // 256 AS INT) AS shard_seq
+          FROM (SELECT *, sum(n_tokens) OVER (
+                  PARTITION BY bucket ORDER BY doc
+                  ROWS UNBOUNDED PRECEDING) AS run
+                FROM base))
+        SELECT bucket, shard_seq, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+               md5(string_agg(text, ' ' ORDER BY doc)) AS text_md5
+        FROM a GROUP BY 1, 2"""
+
+    sqls["ann_knn_classify"] = """
+        WITH topk AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY list_cosine_similarity(
+                                CAST(e.embedding AS DOUBLE[]),
+                                CAST(q.embedding AS DOUBLE[])) DESC,
+                              e.vec_id ASC) AS rank
+            FROM embeddings e, embeddings q
+            WHERE q.vec_id < 20 AND e.vec_id <> q.vec_id)
+          WHERE rank <= 5),
+        votes AS (
+          SELECT t.query_id, l.label AS nbr_label, count(*) AS votes
+          FROM topk t JOIN embeddings l ON l.vec_id = t.neighbor_id
+          WHERE l.label IS NOT NULL
+          GROUP BY 1, 2)
+        SELECT query_id, nbr_label AS predicted_label, votes FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY votes DESC, nbr_label ASC) AS r
+          FROM votes)
+        WHERE r = 1"""
+
+    sqls["rel_q1_pricing"] = """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus"""
+
+    sqls["rel_q3_revenue"] = """
+        SELECT o_orderkey,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                    AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey
+        ORDER BY revenue DESC, o_orderkey ASC
+        LIMIT 10"""
+
+    sqls["rel_events_gap"] = """
+        SELECT user_id, event_id,
+               epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+               - epoch_us(ts) AS gap_us
+        FROM events"""
+
+    sqls["rel_events_hourly"] = """
+        SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2"""
+
+    sqls["rel_events_rollup"] = """
+        SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n
+        FROM events GROUP BY ROLLUP(day, event_type)"""
+
+    sqls["rel_events_cube"] = """
+        SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n
+        FROM events GROUP BY CUBE(day, event_type)"""
+
+    sqls["rel_customers_without_orders"] = """
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')"""
+
+    sqls["rel_events_cohort"] = """
+        WITH d AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day
+                   FROM events),
+        f AS (SELECT u, min(day) AS cohort_day FROM d GROUP BY 1)
+        SELECT f.cohort_day,
+               CAST(date_diff('day', f.cohort_day, d.day) AS INT)
+                 AS day_offset,
+               CAST(count(DISTINCT d.u) AS BIGINT) AS n_users
+        FROM d JOIN f USING (u)
+        GROUP BY 1, 2"""
+
+    sqls["rel_events_sessionize"] = """
+        WITH flagged AS (
+          SELECT user_id,
+                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                           IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id))
+                         > 30 * 60 * 1000000
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events)
+        SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+               count(*) AS n_events
+        FROM flagged GROUP BY user_id"""
+
+    # --- PII: built by concatenation (regex patterns contain {m,n} braces
+    # that would fight f-string syntax); patterns shared verbatim with
+    # kg.pii so both engines run the identical RE2/Java-portable regexes.
+    from kg.pii import PII_PATTERNS as _PIIP
+    _pii_text = ("text || ' contact user' || doc_id || '@example.com ip 10.0.'"
+                 " || (doc_id % 256) || '.' || (doc_id % 250)"
+                 " || ' call 555-123-4567'")
+    _pii_counts = []
+    _red = "t"
+    for _name, _pat, _rep in _PIIP:
+        _pii_counts.append("CAST(len(regexp_extract_all(t, '" + _pat
+                           + "')) AS INT) AS n_" + _name)
+        _red = ("regexp_replace(" + _red + ", '" + _pat + "', '" + _rep
+                + "', 'g')")
+    sqls["text_pii"] = (
+        "WITH p AS (SELECT doc_id, " + _pii_text + " AS t FROM documents)\n"
+        "SELECT doc_id, " + ", ".join(_pii_counts)
+        + ", md5(" + _red + ") AS redacted_md5 FROM p")
+
+    # reannotate-merge: the oracle is a FULL RECOMPUTE over the modified
+    # corpus — the merge (stale sweep + union) must be indistinguishable
+    # from it.  Same closed form as kg_annotate_full over a docs2 CTE.
+    _TOKS2 = "regexp_split_to_array(text, ' ')"
+    sqls["kg_reannotate_merge"] = f"""
+        WITH docs2 AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 10 = 0 THEN text || ' merged marker'
+                      ELSE text END AS text
+          FROM documents WHERE lang = 'en'),
+        toks AS (
+          SELECT doc_id, unnest({_TOKS2}) AS tok,
+                 generate_subscripts({_TOKS2}, 1) AS i, {_TOKS2} AS all_toks
+          FROM docs2),
+        kept AS (SELECT * FROM toks WHERE tok NOT IN {STOP_IN})
+        SELECT 'sent:' || doc_id || ':0' AS subj, 'PART_OF' AS pred,
+               'doc:' || doc_id AS obj, CAST(NULL AS INT) AS start,
+               CAST(NULL AS INT) AS "end", CAST(NULL AS VARCHAR) AS value
+        FROM docs2
+        UNION ALL
+        SELECT DISTINCT 'sent:' || doc_id || ':0', 'HAS_TAG',
+               'tag:en:' || tok, NULL, NULL, NULL
+        FROM kept
+        UNION ALL
+        SELECT 'tag:en:' || tok, 'TAG_OCCURS', 'sent:' || doc_id || ':0',
+               CAST((i - 1) + coalesce(len(array_to_string(all_toks[1:i-1], '')), 0) AS INT),
+               CAST((i - 1) + coalesce(len(array_to_string(all_toks[1:i-1], '')), 0) + len(tok) AS INT),
+               tok
+        FROM kept"""
+
+    # shared tag/co-occurrence CTE text: kg_tag_pagerank and
+    # kg_tag_cooccur MUST see the identical graph — one string, two users
+    _kept_sql = f"""kept AS (
+          SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id, unnest({_TOKS}) AS tok
+            FROM documents WHERE lang = 'en')
+          WHERE tok NOT IN {STOP_IN})"""
+    _cooccur_sql = """edges AS (
+          SELECT a.tok AS src, b.tok AS dst, count(*) AS w
+          FROM kept a JOIN kept b USING (doc_id) WHERE a.tok <> b.tok
+          GROUP BY 1, 2)"""
+
+    # PageRank: iteration unrolled as a generated CTE chain (a recursive
+    # CTE can reference the working table only once, but each round needs
+    # ranks joined through edges AND re-anchored on the full node set).
+    _pr = f"""
+        WITH {_kept_sql},
+        {_cooccur_sql},
+        deg AS (SELECT src, CAST(sum(w) AS BIGINT) AS wsum
+                FROM edges GROUP BY 1),
+        nodes AS (SELECT DISTINCT src AS node FROM edges
+                  UNION SELECT DISTINCT dst FROM edges),
+        r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes)"""
+    for _i in range(1, 11):
+        _pr += f""",
+        r{_i} AS (
+          SELECT n.node,
+                 CAST(150000 + (850000 * coalesce(s.s, 0)) // 1000000
+                      AS BIGINT) AS rank
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, sum((p.rank * e.w) // d.wsum) AS s
+            FROM r{_i - 1} p JOIN deg d ON d.src = p.node
+                          JOIN edges e ON e.src = p.node
+            GROUP BY e.dst) s ON s.node = n.node)"""
+    sqls["kg_tag_pmi"] = f"""
+        WITH {_kept_sql},
+        {_cooccur_sql},
+        cx AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+               FROM kept GROUP BY 1),
+        tot AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_ctx
+                FROM kept)
+        SELECT src, dst, CAST(w AS BIGINT) AS c_xy,
+               (CAST(w AS BIGINT) * n_ctx * 1000000) // (cx1.c * cx2.c)
+                 AS ratio_micro
+        FROM edges
+        JOIN cx cx1 ON cx1.tok = edges.src
+        JOIN cx cx2 ON cx2.tok = edges.dst
+        CROSS JOIN tot"""
+
+    sqls["text_length_hist"] = f"""
+        SELECT CAST(length(bin(CAST(len({_TOKS}) AS BIGINT))) AS INT)
+                 AS len_bits,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents
+        GROUP BY 1"""
+
+    sqls["kg_tag_pagerank"] = _pr + """
+        SELECT node, rank AS rank_micro FROM r10"""
+
+    sqls["kg_tag_cooccur"] = f"""
+        WITH {_kept_sql},
+        {_cooccur_sql}
+        SELECT src, dst, w AS weight FROM edges"""
+
+    # label propagation: same graph, same unrolled-rounds pattern as
+    # pagerank; per round the (dst, label) weight sums feed a windowed
+    # argmax with the (weight DESC, label ASC) tie-break.
+    _lpa = f"""
+        WITH {_kept_sql},
+        {_cooccur_sql},
+        nodes AS (SELECT DISTINCT src AS node FROM edges
+                  UNION SELECT DISTINCT dst FROM edges),
+        e2 AS (SELECT src, dst, CAST(w AS BIGINT) AS w FROM edges
+               UNION ALL SELECT node, node, 0 FROM nodes),
+        l0 AS (SELECT node, node AS label FROM nodes)"""
+    for _i in range(1, 5):
+        _lpa += f""",
+        l{_i} AS (
+          SELECT node, label FROM (
+            SELECT dst AS node, label,
+                   row_number() OVER (PARTITION BY dst
+                                      ORDER BY s DESC, label) AS rn
+            FROM (SELECT e.dst, p.label, sum(e.w) AS s
+                  FROM l{_i - 1} p JOIN e2 e ON e.src = p.node
+                  GROUP BY 1, 2))
+          WHERE rn = 1)"""
+    sqls["kg_tag_communities"] = _lpa + """
+        SELECT node, label AS community FROM l4"""
+
+    sqls["kg_tag_triangles"] = f"""
+        WITH {_kept_sql},
+        {_cooccur_sql},
+        e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM edges WHERE src <> dst),
+        tri AS (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM e e1
+          JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+          JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
+        SELECT node, CAST(count(*) AS BIGINT) AS triangles
+        FROM (SELECT x AS node FROM tri
+              UNION ALL SELECT y FROM tri
+              UNION ALL SELECT z FROM tri)
+        GROUP BY node"""
+
+    sqls["kg_tag_clustering"] = f"""
+        WITH {_kept_sql},
+        {_cooccur_sql},
+        e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM edges WHERE src <> dst),
+        deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+                FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+                GROUP BY node),
+        tri AS (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM e e1
+          JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+          JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+        tcnt AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles
+                 FROM (SELECT x AS node FROM tri
+                       UNION ALL SELECT y FROM tri
+                       UNION ALL SELECT z FROM tri)
+                 GROUP BY node)
+        SELECT d.node, d.deg,
+               CAST(coalesce(t.triangles, 0) AS BIGINT) AS triangles,
+               CASE WHEN d.deg >= 2
+                    THEN (2 * CAST(coalesce(t.triangles, 0) AS BIGINT)
+                          * 1000000) // (d.deg * (d.deg - 1))
+                    ELSE CAST(0 AS BIGINT) END AS clustering_micro
+        FROM deg d LEFT JOIN tcnt t ON t.node = d.node"""
+
+    sqls["kg_path_doc_tag"] = f"""
+        SELECT DISTINCT 'doc:' || doc_id AS doc_uid,
+               'sent:' || doc_id || ':0' AS sentence_id,
+               'tag:en:' || tok AS tag_uid
+        FROM (SELECT doc_id, unnest({_TOKS}) AS tok
+              FROM documents WHERE lang = 'en')
+        WHERE tok NOT IN {STOP_IN}"""
+
+    # degree over the full TOK_SPEC triple set: PART_OF + HAS_TAG (distinct
+    # per sentence) + TAG_OCCURS (one per occurrence); the corpus is
+    # single-sentence-per-doc so no NEXT_SENTENCE rows exist.
+    sqls["kg_node_degree"] = f"""
+        WITH occ AS (
+          SELECT doc_id, tok
+          FROM (SELECT doc_id, unnest({_TOKS}) AS tok
+                FROM documents WHERE lang = 'en')
+          WHERE tok NOT IN {STOP_IN}),
+        tr AS (
+          SELECT 'sent:' || doc_id || ':0' AS subj, 'doc:' || doc_id AS obj
+          FROM documents WHERE lang = 'en'
+          UNION ALL
+          SELECT DISTINCT 'sent:' || doc_id || ':0', 'tag:en:' || tok FROM occ
+          UNION ALL
+          SELECT 'tag:en:' || tok, 'sent:' || doc_id || ':0' FROM occ)
+        SELECT node, CAST(sum(o) AS BIGINT) AS out_degree,
+               CAST(sum(i) AS BIGINT) AS in_degree
+        FROM (SELECT subj AS node, 1 AS o, 0 AS i FROM tr
+              UNION ALL SELECT obj, 0, 1 FROM tr)
+        GROUP BY node"""
+
+    sqls["text_lm_surprisal"] = f"""
+        WITH tok AS (SELECT doc_id AS doc, unnest({_TOKS}) AS term
+                     FROM documents),
+        tf AS (SELECT doc, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        cnt AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY 1),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt)
+        SELECT doc, CAST(sum(tf) AS BIGINT) AS n_tokens,
+               CAST(sum(tf * length(bin(n // c))) AS BIGINT) AS total_bits,
+               (CAST(sum(tf * length(bin(n // c))) AS BIGINT) * 1000000)
+                 // CAST(sum(tf) AS BIGINT) AS avg_bits_micro
+        FROM tf JOIN cnt USING (term) CROSS JOIN tot
+        GROUP BY doc"""
+
+    # repetition: the oracle uses the plain relational definition
+    # (unnest → per-(doc,gram) counts) — deliberately a DIFFERENT algorithm
+    # from Spark's sorted-scan fold, so agreement checks semantics, not a
+    # shared implementation.
+    sqls["text_repetition"] = f"""
+        WITH g AS (
+          SELECT doc_id, array_to_string(t[i:i+1], ' ') AS gram
+          FROM (SELECT doc_id, {_TOKS} AS t,
+                       generate_subscripts({_TOKS}, 1) AS i FROM documents)
+          WHERE i <= len(t) - 1),
+        cnt AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+        agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS nb,
+                       CAST(max(c) AS INT) AS topc,
+                       CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+                         AS dup
+                FROM cnt GROUP BY 1)
+        SELECT d.doc_id, CAST(coalesce(a.nb, 0) AS INT) AS n_bigrams,
+               coalesce(a.topc, 0) AS top_bigram_count,
+               CASE WHEN coalesce(a.nb, 0) > 0
+                    THEN (coalesce(a.dup, 0) * 1000000) // a.nb
+                    ELSE CAST(0 AS BIGINT) END AS dup_bigram_micro
+        FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
+    sqls["dedup_contamination"] = f"""
+        WITH sh AS (
+          SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+          FROM (SELECT doc_id, {_TOKS} AS t,
+                       generate_subscripts({_TOKS}, 1) AS i
+                FROM documents WHERE lang = 'en')
+          WHERE i <= len(t) - 2),
+        bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+        train AS (SELECT * FROM sh WHERE doc_id % 97 <> 0)
+        SELECT train.doc_id AS doc_id, count(*) AS n_hits
+        FROM train JOIN bench USING (shingle)
+        GROUP BY train.doc_id"""
+
+    # curation gate chain: gopher pass (original text) -> exact-dup
+    # winners -> 8-band/2-row MinHash-LSH losers dropped -> hash split.
+    # Band layout mirrors kg.dedup.minhash_lsh_pairs(k=16, bands=8):
+    # band b = md5(sig_{2b} || '|' || sig_{2b+1}).
+    _cur_sigs = ", ".join(f"min(md5('{i}:' || shingle)) AS s{i}"
+                          for i in range(16))
+    _cur_bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(s{2*b} || '|' || s{2*b+1}) AS bucket"
+        " FROM csig" for b in range(8))
+    sqls["corpus_curated"] = f"""
+        WITH pass AS (
+          SELECT doc_id, text,
+                 {_TOKS} AS t
+          FROM documents WHERE lang = 'en'),
+        gate AS (
+          SELECT doc_id, text, t FROM pass
+          WHERE len(t) BETWEEN 5 AND 100000
+            AND (len(array_to_string(t, '')) * 1000000) // len(t)
+                BETWEEN 3000000 AND 10000000
+            AND (len(list_filter(t, x -> regexp_matches(x, '^[A-Za-z]+$')))
+                 * 1000000) // len(t) >= 800000
+            AND len(list_filter(list_distinct(t),
+                    x -> list_contains({STOP_LIST_SQL}, x))) >= 2),
+        win AS (
+          SELECT doc_id, t FROM (
+            SELECT doc_id, t,
+                   min(doc_id) OVER (PARTITION BY sha256(text)) AS w
+            FROM gate)
+          WHERE doc_id = w),
+        csh AS (
+          SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+          FROM (SELECT doc_id, t, generate_subscripts(t, 1) AS i FROM win)
+          WHERE i <= len(t) - 2),
+        csig AS (SELECT doc_id, {_cur_sigs} FROM csh GROUP BY doc_id),
+        cbands AS ({_cur_bands}),
+        losers AS (
+          SELECT DISTINCT b.doc_id
+          FROM cbands a JOIN cbands b
+            ON a.band = b.band AND a.bucket = b.bucket
+           AND a.doc_id < b.doc_id),
+        kept AS (SELECT doc_id FROM win
+                 WHERE doc_id NOT IN (SELECT doc_id FROM losers))
+        SELECT doc_id,
+               CASE WHEN {_MD5KEY} < '{_r2h(0.8)}' THEN 'train'
+                    WHEN {_MD5KEY} < '{_r2h(0.9)}' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM kept"""
+
+    sqls["corpus_mixture"] = f"""
+        SELECT doc_id, source FROM documents
+        WHERE {_MD5KEY} < CASE source
+          WHEN 'src0' THEN 'g'
+          WHEN 'src1' THEN '{_r2h(0.5)}'
+          WHEN 'src2' THEN '{_r2h(0.25)}'
+          ELSE '{_r2h(0.05)}' END"""
+
+    sqls["rel_events_asof"] = """
+        SELECT c.event_id, c.user_id,
+               (SELECT p.event_id FROM events p
+                WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+                  AND p.ts <= c.ts
+                ORDER BY p.ts DESC, p.event_id DESC LIMIT 1)
+                 AS last_purchase_id
+        FROM events c WHERE c.event_type = 'click'"""
+
+    sqls["rel_events_asof_fwd"] = """
+        SELECT c.event_id, c.user_id,
+               (SELECT p.event_id FROM events p
+                WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+                  AND p.ts >= c.ts
+                ORDER BY p.ts ASC, p.event_id ASC LIMIT 1)
+                 AS next_purchase_id
+        FROM events c WHERE c.event_type = 'click'"""
+
+    sqls["rel_events_quantiles"] = """
+        WITH ranked AS (
+          SELECT event_type, value,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY value, event_id) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM events)
+        SELECT event_type,
+               max(CASE WHEN rn = (50 * n + 99) // 100 THEN value END) AS q50,
+               max(CASE WHEN rn = (95 * n + 99) // 100 THEN value END) AS q95,
+               max(CASE WHEN rn = (99 * n + 99) // 100 THEN value END) AS q99
+        FROM ranked GROUP BY 1"""
+
+    sqls["rel_events_window_join"] = """
+        SELECT s.event_id AS signup_id, count(*) AS n_clicks
+        FROM events s JOIN events c
+          ON c.user_id = s.user_id AND c.event_type = 'click'
+         AND c.ts >= s.ts AND c.ts < s.ts + INTERVAL 2 HOUR
+        WHERE s.event_type = 'signup'
+        GROUP BY 1"""
+
+
+    sqls["text_bigram_bits"] = f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS t
+                      FROM documents WHERE lang = 'en'),
+        big AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+                FROM (SELECT doc_id, t, generate_subscripts(t, 1) AS i
+                      FROM toks)
+                WHERE i <= len(t) - 1),
+        tf AS (SELECT doc_id, w1, w2, count(*) AS tf
+               FROM big GROUP BY 1, 2, 3),
+        c12 AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c12
+                FROM tf GROUP BY 1, 2),
+        c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
+               FROM c12 GROUP BY 1),
+        per AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+                       CAST(sum(tf * length(bin(c1 // tf2.c12))) AS BIGINT)
+                         AS total_bits
+                FROM tf JOIN c12 tf2 USING (w1, w2) JOIN c1 USING (w1)
+                GROUP BY 1)
+        SELECT doc_id AS doc, n_bigrams, total_bits,
+               (total_bits * 1000000) // n_bigrams AS avg_bits_micro
+        FROM per"""
+
+    # C4 line cleaning over the line-ified corpus (5-token lines, even
+    # lines get '.', constant adversarial tail) — mirrors
+    # __spark_entry__._c4_docs + kg.curate.c4_line_clean exactly.
+    _c4_keep = ("""x -> regexp_matches(x, '[.!?]["\u201d]?\\s*$')"""
+                r""" AND len(regexp_split_to_array(trim(x), ' +')) >= 3"""
+                r""" AND NOT contains(lower(x), 'lorem ipsum')"""
+                r""" AND NOT contains(lower(x), 'javascript')"""
+                r""" AND NOT contains(x, '{') AND NOT contains(x, '}')""")
+    sqls["corpus_c4_clean"] = f"""
+        WITH base AS (SELECT doc_id, {_TOKS} AS t
+                      FROM documents WHERE lang = 'en'),
+        ln AS (SELECT doc_id, i,
+                      array_to_string(t[(i*5+1):(i*5+5)], ' ')
+                        || CASE WHEN i % 2 = 0 THEN '.' ELSE '' END AS line
+               FROM (SELECT doc_id, t,
+                            unnest(range(CAST(ceil(len(t) / 5.0) AS INT)))
+                              AS i
+                     FROM base)),
+        doc2 AS (SELECT doc_id,
+                        string_agg(line, chr(10) ORDER BY i) || chr(10)
+                        || 'lorem ipsum filler sentence here.' || chr(10)
+                        || 'bad brace {{ line }} here.' || chr(10)
+                        || 'Short.' || chr(10)
+                        || 'tail line is fine!' AS text
+                 FROM ln GROUP BY doc_id),
+        split AS (SELECT doc_id, string_split(text, chr(10)) AS ls
+                  FROM doc2),
+        filt AS (SELECT doc_id, ls,
+                        list_filter(ls, {_c4_keep}) AS kept
+                 FROM split)
+        SELECT doc_id, CAST(len(ls) AS INT) AS n_lines,
+               CAST(len(kept) AS INT) AS n_kept_lines,
+               md5(coalesce(array_to_string(kept, chr(10)), ''))
+                 AS clean_md5
+        FROM filt"""
+
+    # k-core: strong-tie subgraph (weight >= 63%% of context count),
+    # 4 unrolled peel rounds at k=8 (fixed-round convention, like
+    # pagerank/LPA above).
+    sqls["kg_tag_kcore"] = f"""
+        WITH {_kept_sql},
+        {_cooccur_sql},
+        nd AS MATERIALIZED (SELECT count(DISTINCT doc_id) AS n FROM kept),
+        f0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+                               greatest(src, dst) AS b
+               FROM edges CROSS JOIN nd
+               WHERE w * 100 >= 63 * n AND src <> dst),
+        d1 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+                   SELECT a AS node FROM f0
+                   UNION ALL SELECT b FROM f0) GROUP BY 1),
+        k1 AS MATERIALIZED (SELECT node FROM d1 WHERE deg >= 8),
+        f1 AS MATERIALIZED (SELECT a, b FROM f0
+                 WHERE a IN (SELECT node FROM k1)
+                   AND b IN (SELECT node FROM k1)),
+        d2 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+                   SELECT a AS node FROM f1
+                   UNION ALL SELECT b FROM f1) GROUP BY 1),
+        k2 AS MATERIALIZED (SELECT node FROM d2 WHERE deg >= 8),
+        f2 AS MATERIALIZED (SELECT a, b FROM f1
+                 WHERE a IN (SELECT node FROM k2)
+                   AND b IN (SELECT node FROM k2)),
+        d3 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+                   SELECT a AS node FROM f2
+                   UNION ALL SELECT b FROM f2) GROUP BY 1),
+        k3 AS MATERIALIZED (SELECT node FROM d3 WHERE deg >= 8),
+        f3 AS MATERIALIZED (SELECT a, b FROM f2
+                 WHERE a IN (SELECT node FROM k3)
+                   AND b IN (SELECT node FROM k3)),
+        d4 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+                   SELECT a AS node FROM f3
+                   UNION ALL SELECT b FROM f3) GROUP BY 1),
+        k4 AS MATERIALIZED (SELECT node FROM d4 WHERE deg >= 8),
+        f4 AS MATERIALIZED (SELECT a, b FROM f3
+                 WHERE a IN (SELECT node FROM k4)
+                   AND b IN (SELECT node FROM k4))
+        SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+          SELECT a AS node FROM f4 UNION ALL SELECT b FROM f4)
+        GROUP BY 1"""
+
+    return sqls
