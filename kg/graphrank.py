@@ -337,3 +337,135 @@ def kcore(edges: DataFrame, k: int = 2, rounds: int = 4,
              .select("a", "b").localCheckpoint())
     return (e.select(F.explode(F.array("a", "b")).alias("node"))
             .groupBy("node").agg(F.count("*").cast("bigint").alias("deg")))
+
+
+def bfs_levels(edges: DataFrame, sources: DataFrame, max_depth: int = 4,
+               src_col: str = "src", dst_col: str = "dst",
+               node_col: str = "node") -> DataFrame:
+    """Multi-source BFS over the undirected graph: (node, level) with
+    level = minimum hop count from any source node, up to `max_depth`.
+    The DataFrame rendering of Cypher's shortestPath over the persisted
+    Tag graph (the reference's users run exactly this against Neo4j —
+    ProcedureTest.java:114-124's structure).
+
+    Frontier expansion with an anti-join against the visited set, so
+    each node is settled exactly once at its minimal level — a pure
+    function of (edges, sources, max_depth); the DuckDB oracle unrolls
+    the same rounds as MATERIALIZED CTEs.
+
+    Scale shape per round: one join frontier⋈edges (shuffle on the
+    node key, frontier is the small side early on), one distinct, one
+    anti-join against visited — the standard Pregel BFS budget.
+    localCheckpoint per round cuts the growing lineage."""
+    sym = (edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+           .union(edges.select(F.col(dst_col).alias("a"),
+                               F.col(src_col).alias("b")))
+           .filter(F.col("a") != F.col("b")).distinct().localCheckpoint())
+    visited = (sources.select(F.col(node_col).alias("node")).distinct()
+               .withColumn("level", F.lit(0)).localCheckpoint())
+    frontier = visited.select("node")
+    for depth in range(1, max_depth + 1):
+        nxt = (frontier.join(sym, frontier.node == sym.a)
+               .select(F.col("b").alias("node")).distinct()
+               .join(visited, "node", "left_anti")
+               .withColumn("level", F.lit(depth)).localCheckpoint())
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select("node")
+    return visited
+
+
+def personalized_pagerank(edges: DataFrame, sources: DataFrame,
+                          iterations: int = 10,
+                          damping_micro: int = 850_000,
+                          src_col: str = "src", dst_col: str = "dst",
+                          weight_col: str | None = "weight",
+                          node_col: str = "node",
+                          checkpoint_every: int = 3) -> DataFrame:
+    """Personalized (topic-sensitive) PageRank: the teleport mass lands
+    only on the `sources` seed set, so ranks measure proximity to the
+    seeds — the standard related-entity / recommendation query over the
+    persisted Tag graph (GDS pageRank with sourceNodes).  Same integer
+    micro-unit arithmetic, plan shape, and oracle convention as
+    `pagerank`; r0(v) = 1e6·1[v ∈ S], base term (1−d)·1e6 on seeds only.
+
+    The seed set is broadcast (it is small by definition), so the
+    per-round cost stays the ONE contribution shuffle of plain
+    pagerank plus a broadcast-join — no extra exchange."""
+    raw = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
+        (F.col(weight_col) if weight_col else F.lit(1))
+        .cast("bigint").alias("w"))
+    wsum = raw.groupBy("src").agg(F.sum("w").alias("wsum"))
+    nodes = (raw.select(F.col("src").alias("node"))
+             .union(raw.select(F.col("dst").alias("node"))).distinct())
+    loops = nodes.select(F.col("node").alias("src"),
+                         F.col("node").alias("dst"),
+                         F.lit(0).cast("bigint").alias("w"),
+                         F.lit(1).cast("bigint").alias("wsum"))
+    e = raw.join(wsum, "src").unionByName(loops).persist()
+
+    base_micro = MICRO - damping_micro
+    seeds = (sources.select(F.col(node_col).alias("node")).distinct()
+             .withColumn("_seed", F.lit(1)).localCheckpoint())
+    def with_base(df, rank_expr):
+        return (df.join(F.broadcast(seeds), "node", "left")
+                .select("node",
+                        (F.when(F.col("_seed") == 1, F.lit(base_micro))
+                         .otherwise(F.lit(0)) + rank_expr)
+                        .cast("bigint").alias("rank_micro")))
+
+    ranks = (e.select(F.col("src").alias("node")).distinct()
+             .join(F.broadcast(seeds), "node", "left")
+             .select("node",
+                     F.when(F.col("_seed") == 1, F.lit(MICRO))
+                     .otherwise(F.lit(0)).cast("bigint").alias("rank_micro")))
+    for i in range(iterations):
+        contrib = (e.join(ranks, e.src == ranks.node)
+                   .select(F.col("dst").alias("node"),
+                           F.expr("(rank_micro * w) div wsum").alias("c")))
+        agg = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = with_base(agg,
+                          F.expr(f"({damping_micro} * s) div {MICRO}"))
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint()
+    ranks = ranks.localCheckpoint()
+    e.unpersist()
+    return ranks
+
+
+def neighbor_jaccard(edges: DataFrame, src_col: str = "src",
+                     dst_col: str = "dst",
+                     max_neighbors_per_node: int | None = 1000) -> DataFrame:
+    """Node-pair similarity by neighbor-set Jaccard over the undirected
+    graph (GDS nodeSimilarity): for every pair sharing ≥1 neighbor,
+    jaccard_micro = |N(a)∩N(b)|·1e6 div (|N(a)|+|N(b)|−|∩|).  The
+    related-tag / entity-resolution scorer on the co-occurrence graph.
+
+    Shape: wedge self-join on the shared-neighbor key → pair intersect
+    counts → degree join.  Hub neighbors create the quadratic wedge
+    risk (a neighbor of degree d emits d² wedges), so
+    `max_neighbors_per_node` caps each hub's emitted neighbor list
+    deterministically (lexically-first, the tag_cooccurrence_edges
+    convention) — the same degree-cutoff GDS applies."""
+    sym = (edges.select(F.col(src_col).alias("n"), F.col(dst_col).alias("v"))
+           .union(edges.select(F.col(dst_col).alias("n"),
+                               F.col(src_col).alias("v")))
+           .filter(F.col("n") != F.col("v")).distinct())
+    if max_neighbors_per_node is not None:
+        sym = (sym.groupBy("n")
+               .agg(F.slice(F.array_sort(F.collect_set("v")), 1,
+                            max_neighbors_per_node).alias("_vs"))
+               .select("n", F.explode("_vs").alias("v")))
+    sym = sym.localCheckpoint()
+    deg = sym.groupBy("v").agg(F.count("*").cast("bigint").alias("deg"))
+    s1, s2 = sym.alias("s1"), sym.alias("s2")
+    inter = (s1.join(s2, (F.col("s1.n") == F.col("s2.n"))
+                     & (F.col("s1.v") < F.col("s2.v")))
+             .groupBy(F.col("s1.v").alias("a"), F.col("s2.v").alias("b"))
+             .agg(F.count("*").cast("bigint").alias("inter")))
+    return (inter
+            .join(deg.withColumnsRenamed({"v": "a", "deg": "deg_a"}), "a")
+            .join(deg.withColumnsRenamed({"v": "b", "deg": "deg_b"}), "b")
+            .select("a", "b", "inter",
+                    F.expr("(inter * 1000000) div (deg_a + deg_b - inter)")
+                    .alias("jaccard_micro")))

@@ -245,3 +245,74 @@ def test_kcore_peels_fringe(spark):
     assert got == {"x": 2, "y": 2, "z": 2}
     # k=3: even the triangle dissolves
     assert kcore(edges, k=3, rounds=3).count() == 0
+
+
+def test_bfs_levels_path_and_multisource(spark):
+    from kg.graphrank import bfs_levels
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")],
+        "src string, dst string")
+    one = spark.createDataFrame([("a",)], "node string")
+    got = {r["node"]: r["level"]
+           for r in bfs_levels(edges, one, max_depth=3).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3}   # e beyond max_depth
+    multi = spark.createDataFrame([("a",), ("e",)], "node string")
+    got2 = {r["node"]: r["level"]
+            for r in bfs_levels(edges, multi, max_depth=3).collect()}
+    assert got2 == {"a": 0, "e": 0, "b": 1, "d": 1, "c": 2}
+
+
+def _ppr_replay(und_edges, seeds, iterations=10, damping=850_000):
+    """Exact integer replay of personalized_pagerank (same div order)."""
+    adj = {}
+    for u, v, w in und_edges:
+        adj.setdefault(u, []).append((v, w))
+    nodes = set(adj) | {v for u, vs in adj.items() for v, _ in vs}
+    wsum = {u: sum(w for _, w in vs) for u, vs in adj.items()}
+    r = {n: 1_000_000 if n in seeds else 0 for n in nodes}
+    for _ in range(iterations):
+        s = {n: 0 for n in nodes}
+        for u, vs in adj.items():
+            for v, w in vs:
+                s[v] += (r[u] * w) // wsum[u]
+        r = {n: (150_000 if n in seeds else 0)
+             + (damping * s[n]) // 1_000_000 for n in nodes}
+    return r
+
+
+def test_personalized_pagerank_matches_exact_replay(spark):
+    """Bit-exact vs the pure-Python integer replay (repo convention for
+    iterative ops), on a weighted graph with an off-seed component; the
+    seed ends up ranked highest and unreachable nodes at 0."""
+    from kg.graphrank import personalized_pagerank
+    und = [("a", "b", 2), ("b", "c", 1), ("c", "d", 3), ("x", "y", 1)]
+    sym = und + [(v, u, w) for u, v, w in und]
+    edges = spark.createDataFrame(sym, "src string, dst string, weight int")
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r["node"]: r["rank_micro"]
+           for r in personalized_pagerank(edges, seeds, iterations=10).collect()}
+    want = _ppr_replay(sym, {"a"}, iterations=10)
+    assert got == want
+    assert got["a"] == max(got.values())
+    assert got["x"] == got["y"] == 0          # unreachable from the seed
+
+
+def test_neighbor_jaccard_square(spark):
+    from kg.graphrank import neighbor_jaccard
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")],
+        "src string, dst string")
+    got = {(r["a"], r["b"]): (r["inter"], r["jaccard_micro"])
+           for r in neighbor_jaccard(edges).collect()}
+    # opposite corners share BOTH neighbors -> jaccard 1.0; adjacent
+    # corners share none -> no row
+    assert got == {("a", "c"): (2, 1_000_000), ("b", "d"): (2, 1_000_000)}
+
+
+def test_neighbor_jaccard_hub_cap(spark):
+    from kg.graphrank import neighbor_jaccard
+    rows = [("hub", f"x{i:02d}") for i in range(20)]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    # uncapped: hub emits C(20,2) pairs; capped at 5 neighbors: C(5,2)
+    assert neighbor_jaccard(edges, max_neighbors_per_node=None).count() == 190
+    assert neighbor_jaccard(edges, max_neighbors_per_node=5).count() == 10

@@ -236,3 +236,26 @@ def test_nearest_centroid_zero_shuffle(spark):
     assert "Exchange" not in plan
     assert "Window" not in plan
     assert "Join" not in plan
+
+
+def test_bigram_surprisal_no_window_no_python(spark, corpus_path):
+    """Bigrams are built in-row (transform + index lambda): the plan must
+    contain no Window, no Python eval, and exactly the lm_surprisal
+    aggregate/join skeleton."""
+    from kg.textstats import bigram_surprisal
+    df = spark.read.parquet(corpus_path).withColumnRenamed("content", "text") \
+        .withColumnRenamed("path", "doc_id")
+    plan = _plan(bigram_surprisal(df))
+    assert "Window" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_c4_line_clean_narrow(spark, corpus_path):
+    """C4 cleaning is a pure narrow map — fused into the scan by codegen:
+    no exchange, no join, no Python."""
+    from kg.curate import c4_line_clean
+    df = spark.read.parquet(corpus_path).withColumnRenamed("content", "text")
+    plan = _plan(c4_line_clean(df))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -1354,4 +1354,138 @@ def build_oracle_sql() -> dict[str, str]:
           SELECT a AS node FROM f4 UNION ALL SELECT b FROM f4)
         GROUP BY 1"""
 
+
+    # BFS levels over the strong-tie graph: unrolled frontier rounds
+    # (MATERIALIZED — every CTE is referenced more than once per round).
+    sqls["kg_tag_bfs"] = f"""
+        WITH {_kept_sql},
+        {_cooccur_sql},
+        nd AS MATERIALIZED (SELECT count(DISTINCT doc_id) AS n FROM kept),
+        f0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+                               greatest(src, dst) AS b
+               FROM edges CROSS JOIN nd
+               WHERE w * 100 >= 63 * n AND src <> dst),
+        sym AS MATERIALIZED (SELECT a, b FROM f0
+               UNION SELECT b AS a, a AS b FROM f0),
+        v0 AS MATERIALIZED (SELECT min(a) AS node, 0 AS level FROM sym),
+        fr0 AS MATERIALIZED (SELECT node FROM v0),
+        n1 AS MATERIALIZED (
+          SELECT DISTINCT s.b AS node
+          FROM fr0 f JOIN sym s ON s.a = f.node
+          WHERE s.b NOT IN (SELECT node FROM v0)),
+        v1 AS MATERIALIZED (SELECT * FROM v0
+                 UNION ALL SELECT node, 1 FROM n1),
+        fr1 AS MATERIALIZED (SELECT node FROM n1),
+        n2 AS MATERIALIZED (
+          SELECT DISTINCT s.b AS node
+          FROM fr1 f JOIN sym s ON s.a = f.node
+          WHERE s.b NOT IN (SELECT node FROM v1)),
+        v2 AS MATERIALIZED (SELECT * FROM v1
+                 UNION ALL SELECT node, 2 FROM n2),
+        fr2 AS MATERIALIZED (SELECT node FROM n2),
+        n3 AS MATERIALIZED (
+          SELECT DISTINCT s.b AS node
+          FROM fr2 f JOIN sym s ON s.a = f.node
+          WHERE s.b NOT IN (SELECT node FROM v2)),
+        v3 AS MATERIALIZED (SELECT * FROM v2
+                 UNION ALL SELECT node, 3 FROM n3),
+        fr3 AS MATERIALIZED (SELECT node FROM n3)
+        SELECT node, CAST(level AS INT) AS level FROM v3"""
+
+    # Personalized PageRank: pagerank's unrolled chain with the teleport
+    # mass restricted to the two lexically-first tags (GDS sourceNodes).
+    sqls["kg_tag_ppr"] = f"""
+        WITH {_kept_sql},
+        {_cooccur_sql},
+        deg AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS wsum
+                FROM edges GROUP BY 1),
+        nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges
+                  UNION SELECT DISTINCT dst FROM edges),
+        seeds AS MATERIALIZED (SELECT DISTINCT tok AS node FROM kept
+                  ORDER BY node LIMIT 2),
+        r0 AS MATERIALIZED (
+          SELECT node, CAST(CASE WHEN node IN (SELECT node FROM seeds)
+                            THEN 1000000 ELSE 0 END AS BIGINT) AS rank
+          FROM nodes),
+        r1 AS MATERIALIZED (
+          SELECT n.node,
+                 CAST((CASE WHEN n.node IN (SELECT node FROM seeds)
+                            THEN 150000 ELSE 0 END)
+                      + (850000 * coalesce(s.s, 0)) // 1000000
+                      AS BIGINT) AS rank
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, sum((p.rank * e.w) // d.wsum) AS s
+            FROM r0 p JOIN deg d ON d.src = p.node
+                          JOIN edges e ON e.src = p.node
+            GROUP BY e.dst) s ON s.node = n.node),
+        r2 AS MATERIALIZED (
+          SELECT n.node,
+                 CAST((CASE WHEN n.node IN (SELECT node FROM seeds)
+                            THEN 150000 ELSE 0 END)
+                      + (850000 * coalesce(s.s, 0)) // 1000000
+                      AS BIGINT) AS rank
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, sum((p.rank * e.w) // d.wsum) AS s
+            FROM r1 p JOIN deg d ON d.src = p.node
+                          JOIN edges e ON e.src = p.node
+            GROUP BY e.dst) s ON s.node = n.node),
+        r3 AS MATERIALIZED (
+          SELECT n.node,
+                 CAST((CASE WHEN n.node IN (SELECT node FROM seeds)
+                            THEN 150000 ELSE 0 END)
+                      + (850000 * coalesce(s.s, 0)) // 1000000
+                      AS BIGINT) AS rank
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, sum((p.rank * e.w) // d.wsum) AS s
+            FROM r2 p JOIN deg d ON d.src = p.node
+                          JOIN edges e ON e.src = p.node
+            GROUP BY e.dst) s ON s.node = n.node),
+        r4 AS MATERIALIZED (
+          SELECT n.node,
+                 CAST((CASE WHEN n.node IN (SELECT node FROM seeds)
+                            THEN 150000 ELSE 0 END)
+                      + (850000 * coalesce(s.s, 0)) // 1000000
+                      AS BIGINT) AS rank
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, sum((p.rank * e.w) // d.wsum) AS s
+            FROM r3 p JOIN deg d ON d.src = p.node
+                          JOIN edges e ON e.src = p.node
+            GROUP BY e.dst) s ON s.node = n.node),
+        r5 AS MATERIALIZED (
+          SELECT n.node,
+                 CAST((CASE WHEN n.node IN (SELECT node FROM seeds)
+                            THEN 150000 ELSE 0 END)
+                      + (850000 * coalesce(s.s, 0)) // 1000000
+                      AS BIGINT) AS rank
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, sum((p.rank * e.w) // d.wsum) AS s
+            FROM r4 p JOIN deg d ON d.src = p.node
+                          JOIN edges e ON e.src = p.node
+            GROUP BY e.dst) s ON s.node = n.node)
+        SELECT node, rank AS rank_micro FROM r5"""
+
+    # Neighbor-set Jaccard similarity over the strong-tie graph: wedge
+    # self-join on the shared neighbor, exact integer micro ratio.
+    sqls["kg_tag_jaccard"] = f"""
+        WITH {_kept_sql},
+        {_cooccur_sql},
+        nd AS MATERIALIZED (SELECT count(DISTINCT doc_id) AS n FROM kept),
+        f0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+                               greatest(src, dst) AS b
+               FROM edges CROSS JOIN nd
+               WHERE w * 100 >= 63 * n AND src <> dst),
+        sym AS MATERIALIZED (SELECT a AS n, b AS v FROM f0
+               UNION SELECT b AS n, a AS v FROM f0),
+        dg AS MATERIALIZED (SELECT v, CAST(count(*) AS BIGINT) AS deg
+               FROM sym GROUP BY 1),
+        inter AS MATERIALIZED (
+          SELECT s1.v AS a, s2.v AS b, CAST(count(*) AS BIGINT) AS inter
+          FROM sym s1 JOIN sym s2 ON s1.n = s2.n AND s1.v < s2.v
+          GROUP BY 1, 2)
+        SELECT a, b, inter,
+               (inter * 1000000) // (da.deg + db.deg - inter)
+                 AS jaccard_micro
+        FROM inter JOIN dg da ON da.v = inter.a
+                   JOIN dg db ON db.v = inter.b"""
+
     return sqls
