@@ -50,6 +50,11 @@ HEADLINE = [
     "text_emit_shards",      # packed training-sample emission
     "dedup_crossdoc",        # position-level cross-doc duplication coverage
     "ann_nearest_centroid",  # centroid inference (zero-shuffle narrow map)
+    "text_bigram_bits",      # bigram-LM surprisal (in-row bigram build)
+    "corpus_c4_clean",       # C4 line rules, narrow zero-shuffle map
+    "kg_tag_kcore",          # fixed-round k-core peel, strong-tie graph
+    "kg_tag_ppr",            # personalized PageRank, 5 seeded rounds
+    "kg_tag_jaccard",        # neighbor-set Jaccard node similarity
 ]
 
 

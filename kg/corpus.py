@@ -116,14 +116,18 @@ def read_corpus(spark: SparkSession, path: str,
     schema inference on json/csv reads the data an extra time and can
     drift between files — a silent schema fork at 10^12-file scale.
 
-    Formats: parquet (columnar scan — pushdown + pruning reach the
-    scan), jsonl (newline-delimited JSON), csv (header optional, the
+    Formats: parquet / orc (columnar scans — pushdown + pruning reach
+    the scan), jsonl (newline-delimited JSON), csv (header optional, the
     schema decides types).  The reference's file-walk source
     (findModelFiles / pipeline input, OpenNLPPipeline.java) maps to
     whichever format the lake holds; downstream operators only see the
     contract schema."""
     if fmt == "parquet":
         return spark.read.schema(CORPUS_SCHEMA).parquet(path)
+    if fmt == "orc":
+        # columnar like parquet: pushdown + pruning reach the scan; the
+        # common lake format outside the parquet world
+        return spark.read.schema(CORPUS_SCHEMA).orc(path)
     if fmt == "jsonl":
         return spark.read.schema(CORPUS_SCHEMA).json(path)
     if fmt == "csv":

@@ -284,3 +284,22 @@ def stream_incremental_dedup(corpus_stream: DataFrame, corpus: DataFrame,
                .join(probe, f"_bucket_{b}", "left_anti")
                .drop(f"_bucket_{b}"))
     return out
+
+
+def stream_quality_gate(docs_stream: DataFrame, text_col: str = "text",
+                        min_words_per_line: int = 3) -> DataFrame:
+    """Streaming curation gate: Gopher quality rules + C4 line cleaning
+    over an arriving document stream.  Both gates are stateless per-row
+    predicates/maps (kg.textstats.gopher_passes, kg.curate.c4_line_clean),
+    so they run unchanged under readStream — no watermark, no state
+    store; the crawl-ingest front door before the stateful dedup stages
+    (stream_dedup / stream_incremental_dedup) downstream.
+
+    Returns the surviving rows plus text_clean/n_lines/n_kept_lines.
+    Batch parity is exact by construction (same Column expressions) and
+    pinned by test."""
+    from kg.curate import c4_line_clean
+    from kg.textstats import gopher_passes
+    gated = docs_stream.filter(gopher_passes(text_col))
+    return c4_line_clean(gated, text_col=text_col,
+                         min_words_per_line=min_words_per_line)

@@ -115,10 +115,14 @@ def test_read_corpus_formats_round_trip(spark, tmp_path):
     from kg.corpus import read_corpus, synthetic_corpus
     src = synthetic_corpus(spark, n_files=40)
     p_par, p_json, p_csv = (str(tmp_path / x) for x in ("p", "j", "c"))
+    p_orc = str(tmp_path / "o")
     src.write.parquet(p_par)
+    src.write.orc(p_orc)
     src.write.json(p_json)
     src.write.option("header", "true").option("escape", '"').csv(p_csv)
     base = {tuple(r) for r in read_corpus(spark, p_par).collect()}
+    assert base == {tuple(r) for r in
+                    read_corpus(spark, p_orc, "orc").collect()}
     assert base == {tuple(r) for r in
                     read_corpus(spark, p_json, "jsonl").collect()}
     # csv strips ONE trailing newline from a quoted final field (see

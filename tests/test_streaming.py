@@ -263,3 +263,30 @@ def test_stream_incremental_dedup_short_docs_survive(tmp_path, spark):
     got = {r["doc_id"] for r in spark.sql(
         "SELECT doc_id FROM inc_short").collect()}
     assert got == {10}
+
+
+def test_stream_quality_gate_matches_batch(tmp_path, spark):
+    """kg.streaming.stream_quality_gate (gopher + C4 line cleaning
+    composed): the streamed result is row-identical to applying the same
+    gates in batch."""
+    from kg.curate import c4_line_clean
+    from kg.streaming import stream_quality_gate
+    from kg.textstats import gopher_passes
+    src = str(tmp_path / "docs")
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id",
+                    F.concat(F.col("text"), F.lit(".\nshort."))
+                    .alias("text")))
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (stream_quality_gate(stream)
+         .writeStream.format("memory").queryName("qgate")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    got = {(r["doc_id"], r["n_kept_lines"], r["text_clean"])
+           for r in spark.sql(
+               "SELECT doc_id, n_kept_lines, text_clean FROM qgate").collect()}
+    want = {(r["doc_id"], r["n_kept_lines"], r["text_clean"])
+            for r in c4_line_clean(docs.filter(gopher_passes("text")))
+            .collect()}
+    assert got == want and len(got) > 0
