@@ -44,13 +44,6 @@ FULL_SPEC = PipelineSpec(name="full",
                          annotators=("tokenize", "pos", "lemma", "ner",
                                      "stopword", "sentiment"))
 
-from kg import models as _kgmodels
-
-_SW = sorted(_kgmodels.DEFAULT_STOPWORDS)
-STOP_IN = "(" + ", ".join(f"'{w}'" for w in _SW) + ")"
-STOP_LIST_SQL = "[" + ", ".join(f"'{w}'" for w in _SW) + "]"
-
-
 def _docs(spark: SparkSession, sf_dir: str, lang: str | None = "en") -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return df.filter(F.col("lang") == lang) if lang else df
@@ -1033,30 +1026,14 @@ def q_corpus_c4_clean(spark, sf_dir):
 
 
 def q_kg_tag_kcore(spark, sf_dir):
-    """k-core of the strong-tie tag graph (kg.graphrank.kcore): edges kept
-    when their co-occurrence weight reaches 63% of the context count
-    (scale-relative, so the subgraph stays comparable across sf), then 4
-    peel rounds at k=8 — the density filter run before community
-    detection on the persisted Tag graph (ProcedureTest.java:114-124)."""
-    from kg.graphrank import kcore, tag_cooccurrence_edges
-    from kg.annotate import annotate_graph_df
-    from kg.triples import explode_sentences, explode_tags, with_doc_key
-    ann = annotate_graph_df(with_doc_key(_docs(spark, sf_dir), ("doc_id",)),
-                            "text", TOK_SPEC)
-    tags = explode_tags(explode_sentences(ann))
-    # checkpoint before branching into edges AND the context total
-    # (UDF-rooted lineage — CLAUDE.md perf rule 7)
-    t = (tags.select(F.col("doc_key").alias("ctx"),
-                     F.col("lemma").alias("tag"))
-         .distinct().localCheckpoint())
-    edges = tag_cooccurrence_edges(t, doc_col="ctx", tag_col="tag",
-                                   materialize=False)
-    total = t.select("ctx").distinct().agg(F.count("*").alias("n_ctx"))
-    strong = (edges.crossJoin(F.broadcast(total))
-              .filter(F.col("weight") * 100 >= 63 * F.col("n_ctx"))
-              .select("src", "dst"))
-    return kcore(strong, k=8, rounds=4).select("node", "deg")
-
+    """k-core of the strong-tie tag graph (kg.graphrank.kcore): 4 peel
+    rounds at k=8 over the shared _strong_tie_edges subgraph (ONE
+    builder for kcore/bfs/jaccard, mirrored by one shared oracle CTE) —
+    the density filter run before community detection on the persisted
+    Tag graph (ProcedureTest.java:114-124)."""
+    from kg.graphrank import kcore
+    return kcore(_strong_tie_edges(spark, sf_dir),
+                 k=8, rounds=4).select("node", "deg")
 
 def _tag_contexts(spark, sf_dir):
     """(ctx, tag) distinct frame off the annotate UDF, checkpointed before

@@ -174,11 +174,17 @@ def main() -> dict:
     with open("BENCH/graph_scaling_run.md", "w") as f:
         f.write("\n".join(lines) + "\n")
 
-    summary = {"n_nodes": n_nodes, "n_edges": n_nodes * epn,
+    summary = {"n_nodes": n_nodes,
+               "n_edges": best[(OPS[0], lo_c)]["n_edges"],
                "levels": levels, "efficiency": effs, "parity": parity,
                "results": {f"{op}@{c}": best[(op, c)]
                            for op in OPS for c in levels}}
     print(json.dumps(summary))
+    # parity is the precondition for the whole run being evidence: a
+    # parallelism-dependent output must fail loudly, not be recorded
+    if not parity:
+        raise SystemExit("cross-level output checksums diverged — "
+                         "scaling numbers discarded as evidence")
     return summary
 
 

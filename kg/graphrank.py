@@ -35,10 +35,21 @@ def pagerank(edges: DataFrame, iterations: int = 10,
              damping_micro: int = 850_000,
              src_col: str = "src", dst_col: str = "dst",
              weight_col: str | None = "weight",
-             checkpoint_every: int = 3) -> DataFrame:
+             checkpoint_every: int = 3,
+             seeds: DataFrame | None = None,
+             node_col: str = "node") -> DataFrame:
     """Weighted PageRank, fixed iteration count.  Returns
     (node, rank_micro).  Pass symmetric edges for the undirected TextRank
     semantics; `weight_col=None` treats every edge as weight 1.
+
+    `seeds=None` (default) is classic PageRank: uniform teleport, base
+    term (1−d)·1e6 at every node.  A `seeds` DataFrame restricts the
+    teleport mass to that set (personalized / topic-sensitive PageRank —
+    see `personalized_pagerank`): r0(v) = 1e6·1[v ∈ S] and the base term
+    lands on seeds only, via a broadcast join (the seed set is small by
+    definition, so the per-round shuffle budget is unchanged).  ONE loop
+    serves both so the integer `div` order the DuckDB oracles replay
+    bit-exactly cannot fork between the variants.
 
     Dangling nodes (no out-edges) appear if they occur as a dst; they
     contribute nothing onward (simplified TextRank, matching the
@@ -63,16 +74,29 @@ def pagerank(edges: DataFrame, iterations: int = 10,
     e = raw.join(wsum, "src").unionByName(loops).persist()
 
     base_micro = MICRO - damping_micro
-    ranks = e.select(F.col("src").alias("node")).distinct().withColumn(
-        "rank_micro", F.lit(MICRO).cast("bigint"))
+    nodes_r = e.select(F.col("src").alias("node")).distinct()
+    if seeds is None:
+        init = F.lit(MICRO)
+        base = F.lit(base_micro)
+        with_seed = lambda df: df
+    else:
+        seed_set = (seeds.select(F.col(node_col).alias("node")).distinct()
+                    .withColumn("_seed", F.lit(1)).localCheckpoint())
+        init = F.when(F.col("_seed") == 1, F.lit(MICRO)).otherwise(F.lit(0))
+        base = (F.when(F.col("_seed") == 1, F.lit(base_micro))
+                .otherwise(F.lit(0)))
+        with_seed = lambda df: df.join(F.broadcast(seed_set), "node", "left")
+    ranks = with_seed(nodes_r).select(
+        "node", init.cast("bigint").alias("rank_micro"))
     for i in range(iterations):
         contrib = (e.join(ranks, e.src == ranks.node)
                    .select(F.col("dst").alias("node"),
                            F.expr("(rank_micro * w) div wsum").alias("c")))
-        ranks = (contrib.groupBy("node")
-                 .agg((F.lit(base_micro)
-                       + F.expr(f"({damping_micro} * sum(c)) div {MICRO}"))
-                      .cast("bigint").alias("rank_micro")))
+        agg = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = with_seed(agg).select(
+            "node",
+            (base + F.expr(f"({damping_micro} * s) div {MICRO}"))
+            .cast("bigint").alias("rank_micro"))
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint()
     # eagerly materialize the result (consuming the cached edges), then
@@ -314,8 +338,11 @@ def kcore(edges: DataFrame, k: int = 2, rounds: int = 4,
     """Fixed-round k-core peeling over the simple undirected graph: each
     round removes every node whose remaining degree is < k (and its
     incident edges).  After enough rounds this converges to the k-core —
-    the standard density filter on the tag co-occurrence graph (drop
-    weakly-connected fringe tags before community detection / ranking);
+    the standard density filter on the tag co-occurrence graph the
+    reference persists (ProcedureTest.java:114-124's
+    Sentence-HAS_TAG-Tag structure; GDS kCore is the graph-library
+    rendering) — drop weakly-connected fringe tags before community
+    detection / ranking;
     the fixed `rounds` keeps the result a pure function of (edges, k,
     rounds) so the DuckDB oracle replays it as an unrolled CTE chain
     (the pagerank/LPA convention — CLAUDE.md).
@@ -355,11 +382,15 @@ def bfs_levels(edges: DataFrame, sources: DataFrame, max_depth: int = 4,
 
     Scale shape per round: one join frontier⋈edges (shuffle on the
     node key, frontier is the small side early on), one distinct, one
-    anti-join against visited — the standard Pregel BFS budget.
-    localCheckpoint per round cuts the growing lineage."""
-    sym = (edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-           .union(edges.select(F.col(dst_col).alias("a"),
-                               F.col(src_col).alias("b")))
+    anti-join against visited — the standard Pregel BFS budget.  Only
+    the NEW frontier is checkpointed per round; the visited union's
+    inputs are all already-checkpointed frames, so its lineage stays
+    flat without re-materializing the settled set every round."""
+    # cut the input lineage ONCE before the symmetrize union branches it
+    # (perf rule 7: each union branch re-executes the upstream pipeline)
+    e0 = edges.select(F.col(src_col).alias("a"),
+                      F.col(dst_col).alias("b")).localCheckpoint()
+    sym = (e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
            .filter(F.col("a") != F.col("b")).distinct().localCheckpoint())
     visited = (sources.select(F.col(node_col).alias("node")).distinct()
                .withColumn("level", F.lit(0)).localCheckpoint())
@@ -369,7 +400,7 @@ def bfs_levels(edges: DataFrame, sources: DataFrame, max_depth: int = 4,
                .select(F.col("b").alias("node")).distinct()
                .join(visited, "node", "left_anti")
                .withColumn("level", F.lit(depth)).localCheckpoint())
-        visited = visited.unionByName(nxt).localCheckpoint()
+        visited = visited.unionByName(nxt)
         frontier = nxt.select("node")
     return visited
 
@@ -384,53 +415,16 @@ def personalized_pagerank(edges: DataFrame, sources: DataFrame,
     """Personalized (topic-sensitive) PageRank: the teleport mass lands
     only on the `sources` seed set, so ranks measure proximity to the
     seeds — the standard related-entity / recommendation query over the
-    persisted Tag graph (GDS pageRank with sourceNodes).  Same integer
-    micro-unit arithmetic, plan shape, and oracle convention as
-    `pagerank`; r0(v) = 1e6·1[v ∈ S], base term (1−d)·1e6 on seeds only.
-
-    The seed set is broadcast (it is small by definition), so the
-    per-round cost stays the ONE contribution shuffle of plain
-    pagerank plus a broadcast-join — no extra exchange."""
-    raw = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
-        (F.col(weight_col) if weight_col else F.lit(1))
-        .cast("bigint").alias("w"))
-    wsum = raw.groupBy("src").agg(F.sum("w").alias("wsum"))
-    nodes = (raw.select(F.col("src").alias("node"))
-             .union(raw.select(F.col("dst").alias("node"))).distinct())
-    loops = nodes.select(F.col("node").alias("src"),
-                         F.col("node").alias("dst"),
-                         F.lit(0).cast("bigint").alias("w"),
-                         F.lit(1).cast("bigint").alias("wsum"))
-    e = raw.join(wsum, "src").unionByName(loops).persist()
-
-    base_micro = MICRO - damping_micro
-    seeds = (sources.select(F.col(node_col).alias("node")).distinct()
-             .withColumn("_seed", F.lit(1)).localCheckpoint())
-    def with_base(df, rank_expr):
-        return (df.join(F.broadcast(seeds), "node", "left")
-                .select("node",
-                        (F.when(F.col("_seed") == 1, F.lit(base_micro))
-                         .otherwise(F.lit(0)) + rank_expr)
-                        .cast("bigint").alias("rank_micro")))
-
-    ranks = (e.select(F.col("src").alias("node")).distinct()
-             .join(F.broadcast(seeds), "node", "left")
-             .select("node",
-                     F.when(F.col("_seed") == 1, F.lit(MICRO))
-                     .otherwise(F.lit(0)).cast("bigint").alias("rank_micro")))
-    for i in range(iterations):
-        contrib = (e.join(ranks, e.src == ranks.node)
-                   .select(F.col("dst").alias("node"),
-                           F.expr("(rank_micro * w) div wsum").alias("c")))
-        agg = contrib.groupBy("node").agg(F.sum("c").alias("s"))
-        ranks = with_base(agg,
-                          F.expr(f"({damping_micro} * s) div {MICRO}"))
-        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
-            ranks = ranks.localCheckpoint()
-    ranks = ranks.localCheckpoint()
-    e.unpersist()
-    return ranks
+    persisted Tag graph (GDS pageRank with sourceNodes;
+    ProcedureTest.java:114-124's persisted structure).  Thin wrapper over
+    `pagerank(seeds=...)` — one shared loop keeps the integer micro-unit
+    arithmetic (which the DuckDB oracle replays bit-exactly) from forking
+    between the classic and personalized variants."""
+    return pagerank(edges, iterations=iterations,
+                    damping_micro=damping_micro,
+                    src_col=src_col, dst_col=dst_col, weight_col=weight_col,
+                    checkpoint_every=checkpoint_every,
+                    seeds=sources, node_col=node_col)
 
 
 def neighbor_jaccard(edges: DataFrame, src_col: str = "src",
@@ -447,9 +441,11 @@ def neighbor_jaccard(edges: DataFrame, src_col: str = "src",
     `max_neighbors_per_node` caps each hub's emitted neighbor list
     deterministically (lexically-first, the tag_cooccurrence_edges
     convention) — the same degree-cutoff GDS applies."""
-    sym = (edges.select(F.col(src_col).alias("n"), F.col(dst_col).alias("v"))
-           .union(edges.select(F.col(dst_col).alias("n"),
-                               F.col(src_col).alias("v")))
+    # cut the input lineage ONCE before the symmetrize union branches it
+    # (perf rule 7) — callers pass pipeline-rooted edge frames
+    e0 = edges.select(F.col(src_col).alias("n"),
+                      F.col(dst_col).alias("v")).localCheckpoint()
+    sym = (e0.union(e0.select(F.col("v").alias("n"), F.col("n").alias("v")))
            .filter(F.col("n") != F.col("v")).distinct())
     if max_neighbors_per_node is not None:
         sym = (sym.groupBy("n")

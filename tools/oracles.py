@@ -1314,14 +1314,19 @@ def build_oracle_sql() -> dict[str, str]:
     # k-core: strong-tie subgraph (weight >= 63%% of context count),
     # 4 unrolled peel rounds at k=8 (fixed-round convention, like
     # pagerank/LPA above).
-    sqls["kg_tag_kcore"] = f"""
-        WITH {_kept_sql},
-        {_cooccur_sql},
-        nd AS MATERIALIZED (SELECT count(DISTINCT doc_id) AS n FROM kept),
+    # strong-tie subgraph CTE: ONE string, three users (kcore/bfs/jaccard)
+    # — the _kept_sql/_cooccur_sql convention, so the three oracles can
+    # never see different graphs (mirrors __spark_entry__._strong_tie_edges)
+    _strong_sql = """nd AS MATERIALIZED (SELECT count(DISTINCT doc_id) AS n FROM kept),
         f0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
                                greatest(src, dst) AS b
                FROM edges CROSS JOIN nd
-               WHERE w * 100 >= 63 * n AND src <> dst),
+               WHERE w * 100 >= 63 * n AND src <> dst)"""
+
+    sqls["kg_tag_kcore"] = f"""
+        WITH {_kept_sql},
+        {_cooccur_sql},
+        {_strong_sql},
         d1 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
                    SELECT a AS node FROM f0
                    UNION ALL SELECT b FROM f0) GROUP BY 1),
@@ -1360,11 +1365,7 @@ def build_oracle_sql() -> dict[str, str]:
     sqls["kg_tag_bfs"] = f"""
         WITH {_kept_sql},
         {_cooccur_sql},
-        nd AS MATERIALIZED (SELECT count(DISTINCT doc_id) AS n FROM kept),
-        f0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
-                               greatest(src, dst) AS b
-               FROM edges CROSS JOIN nd
-               WHERE w * 100 >= 63 * n AND src <> dst),
+        {_strong_sql},
         sym AS MATERIALIZED (SELECT a, b FROM f0
                UNION SELECT b AS a, a AS b FROM f0),
         v0 AS MATERIALIZED (SELECT min(a) AS node, 0 AS level FROM sym),
@@ -1469,11 +1470,7 @@ def build_oracle_sql() -> dict[str, str]:
     sqls["kg_tag_jaccard"] = f"""
         WITH {_kept_sql},
         {_cooccur_sql},
-        nd AS MATERIALIZED (SELECT count(DISTINCT doc_id) AS n FROM kept),
-        f0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
-                               greatest(src, dst) AS b
-               FROM edges CROSS JOIN nd
-               WHERE w * 100 >= 63 * n AND src <> dst),
+        {_strong_sql},
         sym AS MATERIALIZED (SELECT a AS n, b AS v FROM f0
                UNION SELECT b AS n, a AS v FROM f0),
         dg AS MATERIALIZED (SELECT v, CAST(count(*) AS BIGINT) AS deg
