@@ -15,6 +15,7 @@
 from __future__ import annotations
 
 import hashlib
+import math
 import struct as _struct
 
 from pyspark.sql import Column, DataFrame, functions as F
@@ -358,3 +359,109 @@ def nearest_centroid(emb: DataFrame, centroids: DataFrame,
             .withColumn("_b", best)
             .select("vec_id", F.col("_b.label").alias("predicted_label"),
                     F.round(-F.col("_b.negcos"), 6).alias("cosine")))
+
+
+def _micro_vec(col: Column) -> Column:
+    """array<float> → array<bigint> micro-units (round ties-away-from-zero,
+    identical in Spark and DuckDB — CLAUDE.md portability facts)."""
+    return F.transform(
+        col, lambda x: F.round(x.cast("double") * 1_000_000, 0).cast("bigint"))
+
+
+def _sqdist_int(a: Column, b: list[int]) -> Column:
+    """Exact integer squared distance between a micro-int array column and
+    a literal micro-int vector.  (2e6)² × 64 dims ≈ 2.6e14 — well inside
+    bigint."""
+    lit = F.array(*[F.lit(int(x)).cast("bigint") for x in b])
+    return F.aggregate(F.zip_with(a, lit, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0).cast("bigint"), lambda acc, v: acc + v)
+
+
+def pq_topk(emb: DataFrame, queries: DataFrame, dim: int, k: int = 5,
+            n_subspaces: int = 8, n_codes: int = 8,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            qid_col: str = "query_id",
+            qvec_col: str = "embedding") -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (Jégou et al. 2011) — THE billion-scale ANN compression: each vector
+    is stored as `n_subspaces` small codes (here 4 codes of 2 bits ≈ 1
+    byte vs 256 bytes of floats), and each query scores candidates with
+    `n_subspaces` table lookups instead of a full-dimension dot product.
+    At 100 TB the corpus-side memory drop (×100-250) is what makes
+    in-memory ANN possible at all; this is the scale path beyond
+    lsh_topk/ivf_topk.
+
+    Deterministic, engine-portable variant (the repo convention for
+    approximate ops): codebook anchors are the `n_codes` vectors with
+    the smallest md5(id) (the ivf_hash_topk "training" step), and ALL
+    distance math runs in exact integer micro-units — encode, table
+    build, and ADC scoring are bit-identical in Spark and the DuckDB
+    oracle (float PQ trains k-means codebooks; the operator shape —
+    narrow encode map, broadcast query tables, lookup-sum scoring,
+    per-query top-k — is identical).
+
+    Returns (query_id, neighbor_id, rank, adc_dist_micro2) ranked by
+    (ADC distance asc, neighbor_id asc).  Vectors sharing all codes tie
+    at identical ADC distance by construction (that IS the compression);
+    recall on uniform-random vectors is PQ's worst case — production
+    corpora have cluster structure and use trained (k-means) codebooks,
+    which slot into `amicro` unchanged.
+
+    Plan shape: one tiny driver collect (anchors) → corpus encode is a
+    NARROW map to an int-array codes column (this is the artifact a
+    production pipeline persists) → crossJoin(broadcast(queries+tables))
+    → per-row lookup-sum → per-query window top-k."""
+    assert dim % n_subspaces == 0, "dim must divide evenly into subspaces"
+    sub = dim // n_subspaces
+    anchors = (emb.select(F.col(vec_col).alias("v"),
+                          F.md5(F.col(id_col).cast("string")).alias("h"))
+               .orderBy("h").limit(n_codes).collect())
+
+    def away(x: float) -> int:
+        # ties away from zero — Spark/DuckDB round(), NOT Python's
+        # banker's round; the anchor literals must quantize exactly like
+        # the corpus side's F.round or codes drift on .5 boundaries
+        v = float(x) * 1_000_000
+        return int(math.floor(v + 0.5)) if v >= 0 else int(math.ceil(v - 0.5))
+
+    # anchor subvectors in micro-ints, [code][subspace][dim]
+    amicro = [[
+        [away(x) for x in r["v"][j * sub:(j + 1) * sub]]
+        for j in range(n_subspaces)] for r in anchors]
+
+    def sub_slice(vm: Column, j: int) -> Column:
+        return F.slice(vm, j * sub + 1, sub)
+
+    def encode(vm: Column) -> Column:
+        codes = []
+        for j in range(n_subspaces):
+            cands = F.array(*[
+                F.struct(_sqdist_int(sub_slice(vm, j), amicro[c][j])
+                         .alias("d"), F.lit(c).alias("code"))
+                for c in range(n_codes)])
+            codes.append(F.array_sort(cands)[0]["code"])
+        return F.array(*codes)
+
+    def tables(qm: Column) -> Column:
+        return F.array(*[
+            F.array(*[_sqdist_int(sub_slice(qm, j), amicro[c][j])
+                      for c in range(n_codes)])
+            for j in range(n_subspaces)])
+
+    assigned = emb.select(F.col(id_col).alias("neighbor_id"),
+                          encode(_micro_vec(F.col(vec_col))).alias("codes"))
+    q = queries.select(F.col(qid_col).alias("query_id"),
+                       tables(_micro_vec(F.col(qvec_col))).alias("tabs"))
+    scored = (assigned.crossJoin(F.broadcast(q))
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .withColumn("adc", F.aggregate(
+                  F.zip_with(F.col("codes"), F.col("tabs"),
+                             lambda c, t: F.element_at(t, c + F.lit(1))),
+                  F.lit(0).cast("bigint"), lambda acc, v: acc + v)))
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank",
+                    F.col("adc").alias("adc_dist_micro2")))

@@ -177,3 +177,66 @@ def test_nearest_centroid_classifies_and_breaks_ties(spark):
            for r in nearest_centroid(probe, cents).collect()}
     assert got[10] == 0 and got[11] == 1
     assert got[12] == 0  # exact tie -> smallest label
+
+
+def test_pq_topk_shape_and_determinism(emb, queries):
+    from kg.similarity import pq_topk
+    out = pq_topk(emb, queries, dim=64, k=5)
+    rows = out.collect()
+    assert len(rows) == 8 * 5
+    by_q = {}
+    for r in rows:
+        assert r["query_id"] != r["neighbor_id"]
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        assert sorted(x["rank"] for x in rs) == [1, 2, 3, 4, 5]
+        dists = [x["adc_dist_micro2"]
+                 for x in sorted(rs, key=lambda x: x["rank"])]
+        assert dists == sorted(dists)
+    assert {tuple(r) for r in rows} == {tuple(r) for r in out.collect()}
+
+
+def test_pq_topk_finds_exact_duplicate(spark, emb):
+    """A corpus vector identical to the query shares all PQ codes, so its
+    ADC distance equals the query's own residual — rank 1 among
+    candidates that differ anywhere."""
+    from kg.similarity import pq_topk
+    import pyspark.sql.functions as F
+    dup = (emb.filter(F.col("vec_id") == 3)
+           .select(F.lit(90001).cast("long").alias("vec_id"), "embedding"))
+    emb2 = emb.select("vec_id", "embedding").unionByName(dup)
+    q = (emb.filter(F.col("vec_id") == 3)
+         .select(F.col("vec_id").alias("query_id"), "embedding"))
+    rows = pq_topk(emb2, q, dim=64, k=5).collect()
+    best = min(r["adc_dist_micro2"] for r in rows)
+    dup = [r for r in rows if r["neighbor_id"] == 90001]
+    # the duplicate ties at the MINIMAL distance (same codes == same ADC
+    # — that is the compression); id tie-break decides its exact rank
+    assert dup and dup[0]["adc_dist_micro2"] == best
+
+
+def test_pq_topk_recall_vs_bruteforce(emb, queries):
+    """Coarse 4x4 codebook on random 64-dim vectors: ADC must still beat
+    chance decisively on euclidean top-5 (chance recall at N≈500 is
+    ~1%; require ≥10%)."""
+    from kg.similarity import pq_topk
+    import pyspark.sql.functions as F
+    ed = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0), lambda acc, v: acc + v)
+    from pyspark.sql.window import Window
+    base = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    qs = queries.select("query_id", F.col("embedding").alias("qv"))
+    exact = (base.crossJoin(qs)
+             .filter(F.col("neighbor_id") != F.col("query_id"))
+             .withColumn("d", ed(F.col("embedding"), F.col("qv")))
+             .withColumn("rn", F.row_number().over(
+                 Window.partitionBy("query_id")
+                 .orderBy(F.asc("d"), F.asc("neighbor_id"))))
+             .filter(F.col("rn") <= 5))
+    want = _pairs(exact)
+    got = _pairs(pq_topk(emb, queries, dim=64, k=5))
+    # uniform-random vectors are PQ's worst case; chance recall at
+    # N≈500 is ~1% — require 8x chance
+    assert len(got & want) / len(want) >= 0.08

@@ -1485,4 +1485,52 @@ def build_oracle_sql() -> dict[str, str]:
         FROM inter JOIN dg da ON da.v = inter.a
                    JOIN dg db ON db.v = inter.b"""
 
+
+    # Product-quantization ANN: fully set-based mirror — anchors = the 8
+    # smallest-md5(vec_id) vectors, 8 subspaces of 8 dims, ALL math in
+    # exact integer micro-units (encode, tables, ADC) so codes and
+    # rankings replay bit-for-bit.
+    sqls["ann_pq_topk"] = """
+        WITH em AS MATERIALIZED (
+          SELECT vec_id,
+                 list_transform(embedding,
+                     x -> CAST(round(CAST(x AS DOUBLE) * 1000000)
+                               AS BIGINT)) AS v
+          FROM embeddings),
+        anch AS MATERIALIZED (
+          SELECT CAST(row_number() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS INT)
+                   AS code, v
+          FROM em ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8),
+        sd AS MATERIALIZED (
+          SELECT e.vec_id, a.code, jj.j,
+                 sum((e.v[jj.j * 8 + ii.i] - a.v[jj.j * 8 + ii.i])
+                     * (e.v[jj.j * 8 + ii.i] - a.v[jj.j * 8 + ii.i])) AS d
+          FROM em e
+          CROSS JOIN anch a
+          CROSS JOIN (SELECT unnest(range(8)) AS j) jj
+          CROSS JOIN (SELECT unnest(range(1, 9)) AS i) ii
+          GROUP BY 1, 2, 3),
+        codes AS MATERIALIZED (
+          SELECT vec_id, j, code FROM (
+            SELECT vec_id, j, code,
+                   row_number() OVER (PARTITION BY vec_id, j
+                                      ORDER BY d, code) AS rn
+            FROM sd) WHERE rn = 1),
+        qt AS MATERIALIZED (
+          SELECT vec_id AS query_id, j, code, d FROM sd WHERE vec_id < 10),
+        scored AS MATERIALIZED (
+          SELECT q.query_id, c.vec_id AS neighbor_id,
+                 CAST(sum(q.d) AS BIGINT) AS adc
+          FROM codes c JOIN qt q ON q.j = c.j AND q.code = c.code
+          WHERE c.vec_id <> q.query_id
+          GROUP BY 1, 2)
+        SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank,
+               adc AS adc_dist_micro2
+        FROM (SELECT query_id, neighbor_id, adc,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY adc, neighbor_id) AS rn
+              FROM scored)
+        WHERE rn <= 5"""
+
     return sqls
