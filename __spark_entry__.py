@@ -1110,6 +1110,17 @@ def q_ann_pq_topk(spark, sf_dir):
     return kgsim.pq_topk(emb, queries, dim=EMB_DIM, k=5)
 
 
+def q_corpus_temperature(spark, sf_dir):
+    """Temperature (alpha=0.5) domain sampling over the full multilingual
+    documents table (kg.sampling.temperature_mixture): the published
+    training-mix flattening rule, integer-micro rates + md5-prefix keep
+    decision so the oracle replays row membership exactly."""
+    from kg.sampling import temperature_mixture
+    docs = _docs(spark, sf_dir, None).select("doc_id", "lang")
+    return temperature_mixture(docs, domain_col="lang", key_col="doc_id",
+                               alpha=0.5, budget_micro=500_000)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS artifact covers roughly the
     # first 50 registered queries.  Rounds 1-2 driver-checked the original
@@ -1157,6 +1168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_tag_ppr": q_kg_tag_ppr,
         "kg_tag_jaccard": q_kg_tag_jaccard,
         "ann_pq_topk": q_ann_pq_topk,
+        "corpus_temperature": q_corpus_temperature,
         "kg_part_of": q_kg_part_of,
         "kg_has_tag": q_kg_has_tag,
         "kg_tag_occurs": q_kg_tag_occurs,

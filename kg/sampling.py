@@ -232,3 +232,60 @@ def chunk_windows(df: DataFrame, size: int = 128, stride: int = 64,
             .select("doc", "chunk_seq",
                     F.size(win).alias("n_tokens"),
                     F.concat_ws(" ", win).alias("text")))
+
+
+def temperature_mixture(df: DataFrame, domain_col: str = "lang",
+                        key_col: str = "doc_id", alpha: float = 0.5,
+                        budget_micro: int = 500_000) -> DataFrame:
+    """Temperature-based domain sampling — the published multilingual
+    training-mix rule (mBERT/XLM-R style alpha-sampling): sample domains
+    with probability ∝ p_d^alpha, flattening the head so low-resource
+    domains keep representation.  `budget_micro` is the target corpus
+    fraction in micro-units (500_000 = keep ~50% of rows overall).
+
+    Engine-portable by construction (every step mirrored in the DuckDB
+    oracle): alpha ∈ {1.0, 0.5, 0.25} — expressible as sqrt chains,
+    which are IEEE-correctly-rounded and thus bit-identical across
+    engines, unlike pow() — weights quantized to integer micro
+    (floor), per-domain keep rate as exact bigint arithmetic
+    rate = min(1e6, budget·N·w_d div (W·c_d)), and the keep decision
+    compares the first 5 md5 hex chars against the integer-derived
+    threshold hex (16^5 granularity ≈ 1e-6) — no float ever reaches
+    the row filter.  Samples NEST across budget increases (same md5
+    uniform as hash_sample).
+
+    Plan shape: domain counts (one tiny agg) → weight/rate columns via
+    two broadcast crossJoins (no driver collect, fully lazy) →
+    broadcast join back on the domain → narrow filter."""
+    if alpha not in (1.0, 0.5, 0.25):
+        raise ValueError("portable alpha set is {1.0, 0.5, 0.25} "
+                         "(sqrt chains are IEEE-exact; pow is not)")
+    counts = df.groupBy(F.col(domain_col).alias("_dom")).agg(
+        F.count("*").cast("bigint").alias("_c"))
+    total = counts.agg(F.sum("_c").cast("bigint").alias("_n"))
+    share = F.col("_c").cast("double") / F.col("_n").cast("double")
+    w = share
+    if alpha <= 0.5:
+        w = F.sqrt(w)
+    if alpha <= 0.25:
+        w = F.sqrt(w)
+    weighted = (counts.crossJoin(F.broadcast(total))
+                .withColumn("_w", F.floor(w * 1_000_000).cast("bigint")))
+    wsum = weighted.agg(F.sum("_w").cast("bigint").alias("_wsum"))
+    rates = (weighted.crossJoin(F.broadcast(wsum))
+             .withColumn(
+                 "_rate",
+                 F.least(F.lit(1_000_000).cast("bigint"),
+                         F.expr(f"({budget_micro} * _n * _w) "
+                                "div (_wsum * _c)")))
+             .withColumn(
+                 "_thr",
+                 F.lpad(F.lower(F.hex(
+                     F.expr("(_rate * 1048576) div 1000000"))), 5, "0"))
+             .select("_dom", "_rate", "_thr"))
+    return (df.join(F.broadcast(rates),
+                    df[domain_col] == rates["_dom"], "left")
+            .filter((F.col("_rate") >= 1_000_000)
+                    | (F.substring(_key_hash(key_col), 1, 5)
+                       < F.col("_thr")))
+            .drop("_dom", "_rate", "_thr"))

@@ -191,3 +191,32 @@ def test_chunk_windows_bad_params(spark):
         chunk_windows(docs, size=4, stride=5)
     with _pytest.raises(ValueError):
         chunk_windows(docs, size=0, stride=1)
+
+
+def test_temperature_mixture_flattens_head(spark):
+    """alpha=0.5 with a 50% budget: the head domain is downsampled well
+    below its natural share while the tail keeps (nearly) everything;
+    kept rows nest under a larger budget; alpha outside the portable
+    set raises."""
+    from kg.sampling import temperature_mixture
+    rows = ([(i, "big") for i in range(900)]
+            + [(i + 1000, "small") for i in range(100)])
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = temperature_mixture(df, budget_micro=500_000).collect()
+    by = {}
+    for r in kept:
+        by[r["lang"]] = by.get(r["lang"], 0) + 1
+    # weights: sqrt(.9)=.9487, sqrt(.1)=.3162 -> big's rate ~0.417,
+    # small's ~1.0 (capped): tail keeps ~everything, head cut in half+
+    assert by["small"] >= 95
+    assert 300 <= by["big"] <= 500
+    small_set = {r["doc_id"] for r in kept}
+    bigger = {r["doc_id"] for r in
+              temperature_mixture(df, budget_micro=700_000).collect()}
+    assert small_set <= bigger                     # nesting
+    rerun = {r["doc_id"] for r in
+             temperature_mixture(df, budget_micro=500_000).collect()}
+    assert rerun == small_set                      # deterministic
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        temperature_mixture(df, alpha=0.3)

@@ -1533,4 +1533,32 @@ def build_oracle_sql() -> dict[str, str]:
               FROM scored)
         WHERE rn <= 5"""
 
+
+    # Temperature-mixture sampling: integer-micro weights/rates, md5
+    # 5-hex-prefix keep decision — full row-membership replay.
+    sqls["corpus_temperature"] = """
+        WITH c AS MATERIALIZED (
+          SELECT lang AS dom, CAST(count(*) AS BIGINT) AS c
+          FROM documents GROUP BY 1),
+        n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c),
+        w AS MATERIALIZED (
+          SELECT dom, c, n,
+                 CAST(floor(sqrt(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                            * 1000000) AS BIGINT) AS w
+          FROM c CROSS JOIN n),
+        ws AS (SELECT CAST(sum(w) AS BIGINT) AS wsum FROM w),
+        r AS MATERIALIZED (
+          SELECT dom,
+                 least(CAST(1000000 AS BIGINT),
+                       (500000 * n * w) // (wsum * c)) AS rate
+          FROM w CROSS JOIN ws),
+        t AS (SELECT dom, rate,
+                     printf('%05x', CAST((rate * 1048576) // 1000000
+                                         AS BIGINT)) AS thr
+              FROM r)
+        SELECT d.doc_id, d.lang
+        FROM documents d JOIN t ON t.dom = d.lang
+        WHERE rate >= 1000000
+           OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 5) < thr"""
+
     return sqls
