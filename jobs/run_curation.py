@@ -3,6 +3,8 @@ to jobs/run_pipeline.py (which builds the knowledge graph).
 
     documents.parquet
       → language filter (en)
+      → C4 line-level cleaning (optional --c4-min-words; kept lines
+        replace the text before any gating/dedup, the C4 ordering)
       → quality gate (Gopher-style rule flags)
       → exact dedup (sha256 canonical winner)
       → MinHash-LSH near-dedup (keep the min doc_id of each candidate pair)
@@ -10,6 +12,7 @@ to jobs/run_pipeline.py (which builds the knowledge graph).
       → benchmark decontamination (optional --benchmark parquet)
       → PII redaction
       → domain mixture sampling (optional --rates "src0=1.0,src1=0.5")
+        or temperature alpha-sampling (optional --temperature-budget-micro)
       → train/val/test split + token-budget shard packing
       → parquet partitioned by split, one JSON stats line on stdout
 
@@ -18,6 +21,7 @@ Usage:
       [--benchmark bench.parquet] [--rates src0=1.0,...]
       [--max-tokens 1024] [--contamination-n 8]
       [--max-crossdup-micro 500000] [--crossdup-n 3]
+      [--c4-min-words 3] [--temperature-budget-micro 500000]
 
 Every stage is one of the kg operators (kg.textstats / kg.dedup / kg.pii /
 kg.sampling) — deterministic, RNG-free, shuffle-bounded; the pipeline adds
@@ -56,15 +60,26 @@ def curate(spark: SparkSession, docs_path: str, out_dir: str,
            rates: dict[str, float] | None = None,
            max_tokens: int = 1024, contamination_n: int = 8,
            max_crossdup_micro: int | None = None,
-           crossdup_n: int = 3) -> dict:
-    from kg.curate import gate_and_dedupe
+           crossdup_n: int = 3,
+           c4_min_words: int | None = None,
+           temperature_budget_micro: int | None = None) -> dict:
+    from kg.curate import c4_line_clean, gate_and_dedupe
     from kg.dedup import cross_doc_duplication, ngram_contamination
     from kg.pii import redact_pii
-    from kg.sampling import mixture_sample, pack_shards, split_assign
+    from kg.sampling import (mixture_sample, pack_shards, split_assign,
+                             temperature_mixture)
 
     stats: dict = {}
     docs = spark.read.parquet(docs_path)
     stats["n_input"] = docs.count()
+
+    # 0. optional C4 line-level cleaning BEFORE any gating/dedup (the C4
+    # ordering: cheap narrow map first, so later stages — quality rules,
+    # shingles, PII — see only the surviving lines)
+    if c4_min_words is not None:
+        docs = (c4_line_clean(docs, min_words_per_line=c4_min_words)
+                .drop("text", "n_lines", "n_kept_lines")
+                .withColumnRenamed("text_clean", "text"))
 
     # 1-3. language + quality gate, exact dedup (canonical winner),
     # 8-band near-dedup (id_b dropped = least id of each near-dup chain;
@@ -93,9 +108,15 @@ def curate(spark: SparkSession, docs_path: str, out_dir: str,
     docs = (redact_pii(docs)
             .drop("text").withColumnRenamed("text_redacted", "text"))
 
-    # 6. domain mixture
+    # 6. domain mixture — explicit per-domain rates, or the temperature
+    # alpha-sampling rule computing rates from the observed distribution
     if rates:
         docs = mixture_sample(docs, rates, default_rate=1.0)
+    elif temperature_budget_micro is not None:
+        # same domain column as the explicit-rates path: the source/domain
+        # label (the corpus is single-language after the en gate)
+        docs = temperature_mixture(docs, domain_col="source",
+                                   budget_micro=temperature_budget_micro)
 
     # 7. split + shard pack (shard_seq scoped per split — a training shard
     # must never straddle a split boundary); checkpoint once — docs is
@@ -133,6 +154,8 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--contamination-n", type=int, default=8)
     ap.add_argument("--max-crossdup-micro", type=int, default=None)
     ap.add_argument("--crossdup-n", type=int, default=3)
+    ap.add_argument("--c4-min-words", type=int, default=None)
+    ap.add_argument("--temperature-budget-micro", type=int, default=None)
     args = ap.parse_args(argv)
 
     from kg.session import get_spark
@@ -142,7 +165,8 @@ def main(argv: list[str] | None = None) -> dict:
         return curate(spark, args.docs, args.out_dir, args.benchmark,
                       parse_rates(args.rates), args.max_tokens,
                       args.contamination_n, args.max_crossdup_micro,
-                      args.crossdup_n)
+                      args.crossdup_n, args.c4_min_words,
+                      args.temperature_budget_micro)
     finally:
         if owns:
             spark.stop()

@@ -259,3 +259,41 @@ def test_c4_line_clean_narrow(spark, corpus_path):
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_pq_topk_narrow_encode_single_window(spark):
+    """PQ: corpus encode must be a narrow literal map (no exchange before
+    the broadcast join), scoring one broadcast join + exactly one window
+    for the per-query top-k — and no Python in the plan."""
+    from kg.similarity import pq_topk
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 10) for j in range(16)])
+         for i in range(40)], "vec_id long, embedding array<float>")
+    q = (emb.limit(2)
+         .select(F.col("vec_id").alias("query_id"), "embedding"))
+    plan = _plan(pq_topk(emb, q, dim=16, k=3, n_subspaces=4, n_codes=4))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # exactly one Window operator; WindowGroupLimit nodes are the top-k
+    # pushdown (rank filter applied before the exchange) and are welcome
+    assert plan.count("Window [") == 1
+    assert "SortMergeJoin" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_temperature_mixture_lazy_broadcast(spark):
+    """Temperature sampling: fully lazy (no job at construction), rates
+    ride in via broadcast joins, the row filter is a narrow string
+    comparison — no Python, no sort-merge join."""
+    from kg.sampling import temperature_mixture
+    df = spark.createDataFrame(
+        [(i, "a" if i % 3 else "b") for i in range(60)],
+        "doc_id long, lang string")
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    out = temperature_mixture(df)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before
+    plan = _plan(out)
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

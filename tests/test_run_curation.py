@@ -113,3 +113,60 @@ def test_curation_crossdup_cap(spark, tmp_path):
            spark.read.parquet(out_with).select("doc_id").collect()}
     assert kept_without == 4        # gates + pairwise dedup keep all four
     assert ids == {9}               # the cap drops the boilerplate chain
+
+
+def test_curation_c4_stage(spark, tmp_path):
+    """--c4-min-words: line cleaning runs BEFORE gating, so a doc whose
+    boilerplate lines are stripped down to too-few words no longer
+    passes the Gopher gate, while a doc with enough clean lines ships
+    with only its kept lines."""
+    from jobs.run_curation import curate
+    good = ("this document has a first proper line with plenty of words "
+            "inside it.\nplus a second fine line that also carries many "
+            "words along nicely.")
+    bad = ("lorem ipsum dolor sit amet is classic filler text here.\n"
+           "short line\nanother stub")
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, good, "en", "s"), (2, bad, "en", "s")],
+        "doc_id long, text string, lang string, source string"
+    ).write.parquet(p)
+    out_dir = str(tmp_path / "out")
+    stats = curate(spark, p, out_dir, max_tokens=64, c4_min_words=3)
+    written = spark.read.parquet(out_dir)
+    ids = {r["doc_id"] for r in written.collect()}
+    assert ids == {1}
+    t1 = written.first()["text"]
+    assert "\n" in t1 and "lorem" not in t1
+
+
+def test_curation_temperature_stage(spark, tmp_path):
+    """--temperature-budget-micro replaces explicit rates: the head
+    SOURCE domain is cut, the tail survives ~whole, deterministically.
+    Texts are pairwise-distinct word soups (vocab rotations) so the
+    near-dup sweep keeps them all and the stage under test is isolated."""
+    from jobs.run_curation import curate
+    # each doc draws a DISJOINT 12-word slice of a synthetic syllable
+    # vocabulary: zero shingle overlap between docs (the near-dup sweep
+    # keeps everything), all-alpha 6-char words + two stopword kinds so
+    # the Gopher gate passes — the stage under test is fully isolated
+    syl = [c + v for c in "bdfglmnprst" for v in "aeiou"]
+    def word(k):
+        return syl[k % 55] + syl[(k // 55) % 55] + syl[(k // 3025) % 55]
+    def text(i):
+        ws = [word(i * 12 + j) for j in range(12)]
+        return "the " + " ".join(ws[:6]) + " of " + " ".join(ws[6:])
+    rows = ([(i, text(i), "en", "web") for i in range(150)]
+            + [(1000 + i, text(300 + i), "en", "books")
+               for i in range(15)])
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.parquet(p)
+    out_dir = str(tmp_path / "out")
+    curate(spark, p, out_dir, max_tokens=64,
+           temperature_budget_micro=500_000)
+    by = {r["source"]: r["n"] for r in spark.read.parquet(out_dir)
+          .groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert by.get("books", 0) >= 10       # tail kept ~whole
+    assert by["web"] < 0.8 * 150          # head downsampled
