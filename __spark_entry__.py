@@ -1121,6 +1121,17 @@ def q_corpus_temperature(spark, sf_dir):
                                alpha=0.5, budget_micro=500_000)
 
 
+def q_kg_tag_closeness(spark, sf_dir):
+    """Pivot-sampled harmonic/closeness centrality
+    (kg.graphrank.pivot_closeness): 4 md5-chosen pivots, one keyed
+    multi_bfs over the strong-tie graph — ranks tags by proximity to the
+    graph core in exact integer micro-units."""
+    from kg.graphrank import pivot_closeness
+    edges = _strong_tie_edges(spark, sf_dir)
+    return pivot_closeness(edges, n_pivots=4, max_depth=3).select(
+        "node", "n_reached", "total_dist", "harmonic_micro")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS artifact covers roughly the
     # first 50 registered queries.  Rounds 1-2 driver-checked the original
@@ -1169,6 +1180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_tag_jaccard": q_kg_tag_jaccard,
         "ann_pq_topk": q_ann_pq_topk,
         "corpus_temperature": q_corpus_temperature,
+        "kg_tag_closeness": q_kg_tag_closeness,
         "kg_part_of": q_kg_part_of,
         "kg_has_tag": q_kg_has_tag,
         "kg_tag_occurs": q_kg_tag_occurs,

@@ -465,3 +465,67 @@ def neighbor_jaccard(edges: DataFrame, src_col: str = "src",
             .select("a", "b", "inter",
                     F.expr("(inter * 1000000) div (deg_a + deg_b - inter)")
                     .alias("jaccard_micro")))
+
+
+def multi_bfs(edges: DataFrame, sources: DataFrame, max_depth: int = 4,
+              src_col: str = "src", dst_col: str = "dst",
+              pivot_col: str = "pivot",
+              node_col: str = "node") -> DataFrame:
+    """Keyed multi-source BFS: `sources` carries (pivot, node) rows and
+    every pivot's BFS runs CONCURRENTLY in one frontier frame keyed by
+    pivot — no per-pivot driver loop, so 100 pivots cost the same round
+    count as one.  Returns (pivot, node, level), level = min hops from
+    that pivot's seed, up to max_depth.
+
+    Same per-round budget as bfs_levels (join + distinct + anti-join,
+    now on the composite (pivot, node) key); the settled set is only
+    ever unioned from checkpointed frames."""
+    e0 = edges.select(F.col(src_col).alias("a"),
+                      F.col(dst_col).alias("b")).localCheckpoint()
+    sym = (e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
+           .filter(F.col("a") != F.col("b")).distinct().localCheckpoint())
+    visited = (sources.select(F.col(pivot_col).alias("pivot"),
+                              F.col(node_col).alias("node")).distinct()
+               .withColumn("level", F.lit(0)).localCheckpoint())
+    frontier = visited.select("pivot", "node")
+    for depth in range(1, max_depth + 1):
+        nxt = (frontier.join(sym, frontier.node == sym.a)
+               .select("pivot", F.col("b").alias("node")).distinct()
+               .join(visited, ["pivot", "node"], "left_anti")
+               .withColumn("level", F.lit(depth)).localCheckpoint())
+        visited = visited.unionByName(nxt)
+        frontier = nxt.select("pivot", "node")
+    return visited
+
+
+def pivot_closeness(edges: DataFrame, n_pivots: int = 4,
+                    max_depth: int = 4, src_col: str = "src",
+                    dst_col: str = "dst") -> DataFrame:
+    """Pivot-sampled closeness/harmonic centrality (the standard
+    approximation of all-pairs closeness — exact needs |V| BFS runs):
+    distances are measured from the `n_pivots` nodes with the smallest
+    md5(node) (hash-uniform, deterministic — no RNG, CLAUDE.md), via ONE
+    keyed multi_bfs.  Per node over the pivots that reach it within
+    max_depth:
+
+        (node, n_reached, total_dist, harmonic_micro)
+
+    harmonic_micro = Σ 1e6 div d over pivot distances d ≥ 1 — harmonic
+    centrality handles disconnection gracefully (unreached pivots add
+    0) and stays in exact integer micro-units; ranks tags by how close
+    they sit to the graph's core (ProcedureTest.java:114-124's persisted
+    Tag graph is the reference-side structure this profiles)."""
+    nodes = (edges.select(F.col(src_col).alias("node"))
+             .union(edges.select(F.col(dst_col).alias("node")))
+             .distinct())
+    pivots = (nodes.orderBy(F.md5(F.col("node").cast("string")))
+              .limit(n_pivots)
+              .select(F.col("node").alias("pivot"), "node"))
+    levels = multi_bfs(edges, pivots, max_depth=max_depth,
+                       src_col=src_col, dst_col=dst_col)
+    return (levels.filter(F.col("level") >= 1)
+            .groupBy("node")
+            .agg(F.count("*").cast("bigint").alias("n_reached"),
+                 F.sum("level").cast("bigint").alias("total_dist"),
+                 F.sum(F.expr("1000000 div level")).cast("bigint")
+                 .alias("harmonic_micro")))

@@ -316,3 +316,54 @@ def test_neighbor_jaccard_hub_cap(spark):
     # uncapped: hub emits C(20,2) pairs; capped at 5 neighbors: C(5,2)
     assert neighbor_jaccard(edges, max_neighbors_per_node=None).count() == 190
     assert neighbor_jaccard(edges, max_neighbors_per_node=5).count() == 10
+
+
+def test_multi_bfs_two_pivots_concurrent(spark):
+    from kg.graphrank import multi_bfs
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string")
+    seeds = spark.createDataFrame([("a", "a"), ("d", "d")],
+                                  "pivot string, node string")
+    got = {(r["pivot"], r["node"]): r["level"]
+           for r in multi_bfs(edges, seeds, max_depth=3).collect()}
+    assert got[("a", "b")] == 1 and got[("a", "d")] == 3
+    assert got[("d", "c")] == 1 and got[("d", "a")] == 3
+    assert got[("a", "a")] == 0 and got[("d", "d")] == 0
+
+
+def test_pivot_closeness_hand_computed(spark):
+    """Path a-b-c-d plus isolated pair x-y: harmonic sums replay by hand
+    for whichever pivots the md5 order picks (asserted exactly)."""
+    import hashlib
+    from kg.graphrank import pivot_closeness
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")],
+        "src string, dst string")
+    nodes = ["a", "b", "c", "d", "x", "y"]
+    pivots = sorted(nodes,
+                    key=lambda n: hashlib.md5(n.encode()).hexdigest())[:2]
+    # replay: for each non-pivot-distance, dist along the path / pair
+    import collections
+    adj = collections.defaultdict(set)
+    for s, d in [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")]:
+        adj[s].add(d); adj[d].add(s)
+    def bfs(start):
+        lev, frontier = {start: 0}, [start]
+        while frontier:
+            nxt = []
+            for u in frontier:
+                for v in adj[u]:
+                    if v not in lev:
+                        lev[v] = lev[u] + 1; nxt.append(v)
+            frontier = nxt
+        return lev
+    want = collections.defaultdict(lambda: [0, 0, 0])
+    for p in pivots:
+        for n, d in bfs(p).items():
+            if 1 <= d <= 4:
+                want[n][0] += 1
+                want[n][1] += d
+                want[n][2] += 1_000_000 // d
+    got = {r["node"]: (r["n_reached"], r["total_dist"], r["harmonic_micro"])
+           for r in pivot_closeness(edges, n_pivots=2, max_depth=4).collect()}
+    assert got == {n: tuple(v) for n, v in want.items()}

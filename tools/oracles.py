@@ -1561,4 +1561,49 @@ def build_oracle_sql() -> dict[str, str]:
         WHERE rate >= 1000000
            OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 5) < thr"""
 
+
+    # Pivot-sampled closeness: keyed multi-source BFS unrolled — all 4
+    # pivots advance in the same round CTEs (keyed EXCEPT = the
+    # per-pivot anti-join), then one per-node aggregate.
+    sqls["kg_tag_closeness"] = f"""
+        WITH {_kept_sql},
+        {_cooccur_sql},
+        {_strong_sql},
+        sym AS MATERIALIZED (SELECT a, b FROM f0
+               UNION SELECT b AS a, a AS b FROM f0),
+        nds AS MATERIALIZED (SELECT DISTINCT a AS node FROM sym),
+        pv AS MATERIALIZED (SELECT node AS pvt FROM nds
+               ORDER BY md5(node) LIMIT 4),
+        v0 AS MATERIALIZED (SELECT pvt, pvt AS node, 0 AS level
+               FROM pv),
+        fr0 AS MATERIALIZED (SELECT pvt, node FROM v0),
+        n1 AS MATERIALIZED (
+          SELECT pvt, node FROM (
+            SELECT DISTINCT f.pvt, s.b AS node
+            FROM fr0 f JOIN sym s ON s.a = f.node)
+          EXCEPT SELECT pvt, node FROM v0),
+        v1 AS MATERIALIZED (SELECT * FROM v0
+                 UNION ALL SELECT pvt, node, 1 FROM n1),
+        fr1 AS MATERIALIZED (SELECT pvt, node FROM n1),
+        n2 AS MATERIALIZED (
+          SELECT pvt, node FROM (
+            SELECT DISTINCT f.pvt, s.b AS node
+            FROM fr1 f JOIN sym s ON s.a = f.node)
+          EXCEPT SELECT pvt, node FROM v1),
+        v2 AS MATERIALIZED (SELECT * FROM v1
+                 UNION ALL SELECT pvt, node, 2 FROM n2),
+        fr2 AS MATERIALIZED (SELECT pvt, node FROM n2),
+        n3 AS MATERIALIZED (
+          SELECT pvt, node FROM (
+            SELECT DISTINCT f.pvt, s.b AS node
+            FROM fr2 f JOIN sym s ON s.a = f.node)
+          EXCEPT SELECT pvt, node FROM v2),
+        v3 AS MATERIALIZED (SELECT * FROM v2
+                 UNION ALL SELECT pvt, node, 3 FROM n3),
+        fr3 AS MATERIALIZED (SELECT pvt, node FROM n3)
+        SELECT node, CAST(count(*) AS BIGINT) AS n_reached,
+               CAST(sum(level) AS BIGINT) AS total_dist,
+               CAST(sum(1000000 // level) AS BIGINT) AS harmonic_micro
+        FROM v3 WHERE level >= 1 GROUP BY node"""
+
     return sqls
