@@ -126,7 +126,7 @@ def main() -> dict:
                      f"{r['triples_per_sec']:,} | {r['files_per_sec']:,} |")
     lines += [
         "",
-        f"**Scaling efficiency (T_{hi['cores']} / T_{lo['cores']}) / "
+        f"**Scaling efficiency (thr_{hi['cores']} / thr_{lo['cores']}) / "
         f"{ratio:g} = {efficiency}** (target ≥ 0.8, BASELINE.json).",
         "",
         f"Triples produced: {hi['n_triples']:,} (identical at both levels: "

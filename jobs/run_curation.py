@@ -113,6 +113,12 @@ def curate(spark: SparkSession, docs_path: str, out_dir: str,
     if rates:
         docs = mixture_sample(docs, rates, default_rate=1.0)
     elif temperature_budget_micro is not None:
+        # cut lineage FIRST: temperature_mixture's rate side branches its
+        # input several times (counts -> weighted -> wsum plus the probe
+        # side) and the chain above it contains the LSH self-joins and
+        # PII pass — re-execution per branch is the measured 43s->9s
+        # regression class (CLAUDE.md perf rule 7)
+        docs = docs.localCheckpoint()
         # same domain column as the explicit-rates path: the source/domain
         # label (the corpus is single-language after the en gate)
         docs = temperature_mixture(docs, domain_col="source",

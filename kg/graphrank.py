@@ -515,6 +515,10 @@ def pivot_closeness(edges: DataFrame, n_pivots: int = 4,
     0) and stays in exact integer micro-units; ranks tags by how close
     they sit to the graph's core (ProcedureTest.java:114-124's persisted
     Tag graph is the reference-side structure this profiles)."""
+    # cut the input lineage ONCE: the nodes union branches edges twice
+    # and multi_bfs scans it again — a pipeline-rooted edge frame (the
+    # strong-tie build) would otherwise re-execute per branch (rule 7)
+    edges = edges.select(src_col, dst_col).localCheckpoint()
     nodes = (edges.select(F.col(src_col).alias("node"))
              .union(edges.select(F.col(dst_col).alias("node")))
              .distinct())

@@ -272,19 +272,28 @@ def temperature_mixture(df: DataFrame, domain_col: str = "lang",
     weighted = (counts.crossJoin(F.broadcast(total))
                 .withColumn("_w", F.floor(w * 1_000_000).cast("bigint")))
     wsum = weighted.agg(F.sum("_w").cast("bigint").alias("_wsum"))
+    # DECIMAL(38,0) intermediates: budget·N·w overflows bigint near
+    # 2e7 rows (ANSI mode would throw; non-ANSI would wrap negative and
+    # silently drop the head domain); div on decimals is exact integral
+    # division in both engines (DuckDB mirrors via HUGEINT)
     rates = (weighted.crossJoin(F.broadcast(wsum))
              .withColumn(
                  "_rate",
                  F.least(F.lit(1_000_000).cast("bigint"),
-                         F.expr(f"({budget_micro} * _n * _w) "
-                                "div (_wsum * _c)")))
+                         F.expr(f"CAST((CAST({budget_micro} AS "
+                                "DECIMAL(38,0)) * _n * _w) div "
+                                "(CAST(_wsum AS DECIMAL(38,0)) * _c) "
+                                "AS BIGINT)")))
              .withColumn(
                  "_thr",
                  F.lpad(F.lower(F.hex(
                      F.expr("(_rate * 1048576) div 1000000"))), 5, "0"))
              .select("_dom", "_rate", "_thr"))
+    # eqNullSafe: a NULL domain is its own group (counts includes the
+    # NULL group) — a plain equality join would NULL the rate and
+    # silently drop every NULL-domain row
     return (df.join(F.broadcast(rates),
-                    df[domain_col] == rates["_dom"], "left")
+                    df[domain_col].eqNullSafe(rates["_dom"]), "left")
             .filter((F.col("_rate") >= 1_000_000)
                     | (F.substring(_key_hash(key_col), 1, 5)
                        < F.col("_thr")))

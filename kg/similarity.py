@@ -384,8 +384,8 @@ def pq_topk(emb: DataFrame, queries: DataFrame, dim: int, k: int = 5,
             qvec_col: str = "embedding") -> DataFrame:
     """Product-quantization ANN with asymmetric distance computation
     (Jégou et al. 2011) — THE billion-scale ANN compression: each vector
-    is stored as `n_subspaces` small codes (here 4 codes of 2 bits ≈ 1
-    byte vs 256 bytes of floats), and each query scores candidates with
+    is stored as `n_subspaces` small codes (the 8×8 default: 8 codes of
+    3 bits ≈ 3 bytes vs 256 bytes of floats), and each query scores candidates with
     `n_subspaces` table lookups instead of a full-dimension dot product.
     At 100 TB the corpus-side memory drop (×100-250) is what makes
     in-memory ANN possible at all; this is the scale path beyond

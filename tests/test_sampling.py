@@ -220,3 +220,16 @@ def test_temperature_mixture_flattens_head(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         temperature_mixture(df, alpha=0.3)
+
+
+def test_temperature_mixture_null_domain_survives(spark):
+    """A NULL domain is its own group (eqNullSafe join): its rows must be
+    sampled at the NULL group's rate, never silently dropped."""
+    from kg.sampling import temperature_mixture
+    rows = ([(i, "a") for i in range(40)]
+            + [(100 + i, None) for i in range(40)])
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = temperature_mixture(df, budget_micro=1_000_000).collect()
+    langs = {r["lang"] for r in kept}
+    assert None in langs                      # NULL rows kept
+    assert len(kept) == 80                    # full budget keeps all

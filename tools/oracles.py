@@ -1550,14 +1550,16 @@ def build_oracle_sql() -> dict[str, str]:
         r AS MATERIALIZED (
           SELECT dom,
                  least(CAST(1000000 AS BIGINT),
-                       (500000 * n * w) // (wsum * c)) AS rate
+                       CAST((CAST(500000 AS HUGEINT) * n * w)
+                            // (CAST(wsum AS HUGEINT) * c) AS BIGINT))
+                   AS rate
           FROM w CROSS JOIN ws),
         t AS (SELECT dom, rate,
                      printf('%05x', CAST((rate * 1048576) // 1000000
                                          AS BIGINT)) AS thr
               FROM r)
         SELECT d.doc_id, d.lang
-        FROM documents d JOIN t ON t.dom = d.lang
+        FROM documents d JOIN t ON t.dom IS NOT DISTINCT FROM d.lang
         WHERE rate >= 1000000
            OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 5) < thr"""
 
