@@ -1132,6 +1132,14 @@ def q_kg_tag_closeness(spark, sf_dir):
         "node", "n_reached", "total_dist", "harmonic_micro")
 
 
+def q_dedup_boilerplate(spark, sf_dir):
+    """Corpus-level boilerplate n-gram mining (kg.dedup.boilerplate_ngrams):
+    the support-thresholded duplicated-substring table a curation team
+    reviews — complements dedup_crossdoc's per-document coverage score."""
+    return kgdedup.boilerplate_ngrams(_docs(spark, sf_dir), n=3,
+                                      min_docs=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS artifact covers roughly the
     # first 50 registered queries.  Rounds 1-2 driver-checked the original
@@ -1181,6 +1189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": q_ann_pq_topk,
         "corpus_temperature": q_corpus_temperature,
         "kg_tag_closeness": q_kg_tag_closeness,
+        "dedup_boilerplate": q_dedup_boilerplate,
         "kg_part_of": q_kg_part_of,
         "kg_has_tag": q_kg_has_tag,
         "kg_tag_occurs": q_kg_tag_occurs,

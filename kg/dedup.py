@@ -438,3 +438,28 @@ def normalize_text(df: DataFrame, text_col: str = "text",
         F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "),
         " +", " "))
     return df.withColumn(out_col, norm)
+
+
+def boilerplate_ngrams(df: DataFrame, n: int = 3, min_docs: int = 2,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """The corpus-level boilerplate TABLE: every n-gram occurring in at
+    least `min_docs` distinct documents, with its document frequency —
+    the "what ARE the duplicated strings" view that complements
+    cross_doc_duplication's per-document coverage score (same
+    exact-substring signal, surfaced as the mined artifact a curation
+    team reviews and turns into drop rules).
+
+    Returns (shingle, doc_freq), doc_freq = distinct documents containing
+    the n-gram.
+
+    Scale shape: position explode → distinct (doc, shingle) → ONE
+    hash aggregate with map-side partial combine → threshold filter.
+    Output is support-thresholded, so it is review-sized by
+    construction; no join, no self-join."""
+    pos = (df.select(F.col(id_col).alias("doc"),
+                     F.explode(gram_positions(text_col, n)).alias("shingle")))
+    return (pos.select("doc", "shingle").distinct()
+            .groupBy("shingle")
+            .agg(F.count("*").cast("bigint").alias("doc_freq"))
+            .filter(F.col("doc_freq") >= min_docs))

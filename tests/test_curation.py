@@ -22,3 +22,17 @@ def test_c4_line_clean_goldens(spark):
     assert out[1]["text_clean"] == (
         "Good line here.\nAnother fine line!\nQuote ends well.”")
     assert out[2]["n_kept_lines"] == 0 and out[2]["text_clean"] == ""
+
+
+def test_boilerplate_ngrams_hand_computed(spark):
+    from kg.dedup import boilerplate_ngrams
+    docs = spark.createDataFrame(
+        [(1, "all rights reserved here"), (2, "all rights reserved now"),
+         (3, "something else entirely different"), (4, "all rights")],
+        "doc_id long, text string")
+    got = {r["shingle"]: r["doc_freq"]
+           for r in boilerplate_ngrams(docs, n=3, min_docs=2).collect()}
+    assert got == {"all rights reserved": 2}
+    # support threshold 1 exposes every distinct trigram (docs 1-3
+    # contribute 2 each, sharing one; the 2-token doc contributes none)
+    assert boilerplate_ngrams(docs, n=3, min_docs=1).count() == 5

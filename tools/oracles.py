@@ -1608,4 +1608,16 @@ def build_oracle_sql() -> dict[str, str]:
                CAST(sum(1000000 // level) AS BIGINT) AS harmonic_micro
         FROM v3 WHERE level >= 1 GROUP BY node"""
 
+
+    sqls["dedup_boilerplate"] = f"""
+        WITH pos AS (
+          SELECT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+          FROM (SELECT doc_id, {_TOKS} AS t,
+                       generate_subscripts({_TOKS}, 1) AS i
+                FROM documents WHERE lang = 'en')
+          WHERE i <= len(t) - 2)
+        SELECT shingle, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+        FROM pos GROUP BY 1
+        HAVING count(DISTINCT doc_id) >= 3"""
+
     return sqls
