@@ -651,8 +651,15 @@ def q_text_lm_surprisal(spark, sf_dir):
 def q_ann_centroids(spark, sf_dir):
     """Centroid-classifier fit (kg.similarity.label_centroids): per-label
     exact integer-micro mean embedding over the labeled seed rows —
-    deterministic because components are quantized BEFORE summing."""
-    return kgsim.label_centroids(_read("embeddings")(spark, sf_dir))
+    deterministic because components are quantized BEFORE summing.
+    The centroid array is projected to a CSV string: the driver's
+    canonicalizer hashes scalar cells only (array cells crash its pandas
+    sort_values — CORRECTNESS_r03) and concat_ws is order-preserving and
+    deterministic, so the stringified column pins the identical content."""
+    cents = kgsim.label_centroids(_read("embeddings")(spark, sf_dir))
+    return cents.select(
+        "label", "n_members",
+        F.concat_ws(",", F.col("centroid_micro")).alias("centroid_csv"))
 
 
 def q_ann_nearest_centroid(spark, sf_dir):
@@ -679,9 +686,15 @@ def q_kg_tag_triangles(spark, sf_dir):
 
 def q_kg_adjacency(spark, sf_dir):
     """Sorted adjacency-list export (kg.query.adjacency_lists) of the
-    HAS_TAG predicate — the GNN-training / k-hop-serving shape."""
+    HAS_TAG predicate — the GNN-training / k-hop-serving shape.  The
+    neighbor array is projected to a CSV string for the driver gate
+    (scalar-cell canonicalizer — see q_ann_centroids); the array is
+    already array_sort'ed so the CSV is deterministic."""
     from kg.query import adjacency_lists
-    return adjacency_lists(_en_triples(spark, sf_dir, TOK_SPEC), "HAS_TAG")
+    adj = adjacency_lists(_en_triples(spark, sf_dir, TOK_SPEC), "HAS_TAG")
+    return adj.select(
+        "node", "degree",
+        F.concat_ws(",", F.col("neighbors")).alias("neighbors_csv"))
 
 
 def q_kg_tag_quality(spark, sf_dir):
@@ -963,14 +976,40 @@ def q_rel_events_quantiles(spark, sf_dir):
 
 def q_rel_events_quantiles_approx(spark, sf_dir):
     """Sketch-path quantiles (kg.relops.approx_quantiles,
-    percentile_approx).  NO oracle_sql by design: the GK-sketch result
-    depends on partial-sketch merge order, so it is not hash-portable
-    across engines — its n/accuracy rank-error bound is pinned by pytest
-    against the exact nearest-rank operator instead (rows-only driver
-    check)."""
+    percentile_approx) under a BOUNDED driver check: the raw sketch value
+    depends on partial-sketch merge order so it is not hash-portable, but
+    its GK rank-error guarantee (±n/accuracy of the target rank) IS a
+    portable contract.  The query therefore computes the sketch AND
+    verifies it in-engine — for each (event_type, pct) it counts the
+    exact rank interval the returned value occupies and emits whether
+    that interval touches target_rank ± (n div accuracy + 1) — and the
+    oracle asserts the contract (every group `true`).  A broken sketch
+    emits `false` and the value hash mismatches (r3 verdict #10: this
+    row graduates from `no_oracle` to a bounded check)."""
     from kg.relops import approx_quantiles
-    ev = _read("events")(spark, sf_dir)
-    return approx_quantiles(ev, "value", ("event_type",), (50, 95, 99))
+    ev = _read("events")(spark, sf_dir).select("event_type", "value")
+    aq = approx_quantiles(ev, "value", ("event_type",), (50, 95, 99),
+                          accuracy=10_000)
+    long = aq.select(
+        "event_type",
+        F.explode(F.array(*[
+            F.struct(F.lit(p).alias("pct"), F.col(f"q{p}").alias("qv"))
+            for p in (50, 95, 99)])).alias("s")
+    ).select("event_type", "s.pct", "s.qv")
+    # exact rank interval of qv inside its group: [lo+1, hi]
+    ranks = (ev.join(F.broadcast(long), "event_type")
+             .groupBy("event_type", "pct", "qv")
+             .agg(F.count("*").cast("bigint").alias("n"),
+                  F.sum(F.when(F.col("value") < F.col("qv"), 1)
+                        .otherwise(0)).cast("bigint").alias("lo"),
+                  F.sum(F.when(F.col("value") <= F.col("qv"), 1)
+                        .otherwise(0)).cast("bigint").alias("hi")))
+    target = F.ceil(F.col("pct") * F.col("n") / 100.0).cast("bigint")
+    err = (F.col("n") / F.lit(10_000)).cast("bigint") + 1
+    ok = ((F.col("lo") + 1 <= target + err)
+          & (F.col("hi") >= target - err))
+    return ranks.select("event_type", "pct",
+                        ok.alias("rank_err_ok"))
 
 
 def q_rel_events_window_join(spark, sf_dir):
@@ -1132,6 +1171,23 @@ def q_kg_tag_closeness(spark, sf_dir):
         "node", "n_reached", "total_dist", "harmonic_micro")
 
 
+def q_kg_tag_pagerank_full(spark, sf_dir):
+    """Canonical (dangling-mass-redistributing) PageRank
+    (kg.graphrank.pagerank redistribute_dangling=True) over the DIRECTED
+    sentence→tag HAS_TAG graph — every tag is a dangling node there, so
+    this exercises the GDS-parity mass loop the symmetric co-occurrence
+    graph never can; 5 integer-micro rounds, oracle replays the chain
+    with per-round dangling-sum scalar CTEs."""
+    from kg.graphrank import pagerank
+    edges = (_en_triples(spark, sf_dir, TOK_SPEC)
+             .filter(F.col("pred") == "HAS_TAG")
+             .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+             # UDF-rooted + branched many ways inside pagerank (rule 7)
+             .localCheckpoint())
+    return pagerank(edges, iterations=5, weight_col=None,
+                    redistribute_dangling=True)
+
+
 def q_dedup_boilerplate(spark, sf_dir):
     """Corpus-level boilerplate n-gram mining (kg.dedup.boilerplate_ngrams):
     the support-thresholded duplicated-substring table a curation team
@@ -1190,6 +1246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_temperature": q_corpus_temperature,
         "kg_tag_closeness": q_kg_tag_closeness,
         "dedup_boilerplate": q_dedup_boilerplate,
+        "kg_tag_pagerank_full": q_kg_tag_pagerank_full,
         "kg_part_of": q_kg_part_of,
         "kg_has_tag": q_kg_has_tag,
         "kg_tag_occurs": q_kg_tag_occurs,

@@ -148,6 +148,17 @@ def main() -> dict:
                              and lo["n_out"] == hi["n_out"])
         rows.append((op, lo, hi, eff))
 
+    # parity is the precondition for the whole run being evidence: check
+    # BEFORE writing the results file, so a diverged run leaves a FAILED
+    # marker on disk instead of numbers that look valid (ADVICE r3)
+    if not parity:
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/graph_scaling_run.md", "w") as f:
+            f.write("# FAILED — cross-level output checksums diverged; "
+                    "scaling numbers discarded as evidence\n")
+        raise SystemExit("cross-level output checksums diverged — "
+                         "scaling numbers discarded as evidence")
+
     lines = [
         "# BENCH/graph_scaling_run.md — iterative graph ops at data-bound size",
         "",
@@ -180,11 +191,6 @@ def main() -> dict:
                "results": {f"{op}@{c}": best[(op, c)]
                            for op in OPS for c in levels}}
     print(json.dumps(summary))
-    # parity is the precondition for the whole run being evidence: a
-    # parallelism-dependent output must fail loudly, not be recorded
-    if not parity:
-        raise SystemExit("cross-level output checksums diverged — "
-                         "scaling numbers discarded as evidence")
     return summary
 
 

@@ -37,7 +37,8 @@ def pagerank(edges: DataFrame, iterations: int = 10,
              weight_col: str | None = "weight",
              checkpoint_every: int = 3,
              seeds: DataFrame | None = None,
-             node_col: str = "node") -> DataFrame:
+             node_col: str = "node",
+             redistribute_dangling: bool = False) -> DataFrame:
     """Weighted PageRank, fixed iteration count.  Returns
     (node, rank_micro).  Pass symmetric edges for the undirected TextRank
     semantics; `weight_col=None` treats every edge as weight 1.
@@ -51,9 +52,34 @@ def pagerank(edges: DataFrame, iterations: int = 10,
     serves both so the integer `div` order the DuckDB oracles replay
     bit-exactly cannot fork between the variants.
 
-    Dangling nodes (no out-edges) appear if they occur as a dst; they
-    contribute nothing onward (simplified TextRank, matching the
-    published formulation)."""
+    Seed contract: seeds must be NODES OF THE GRAPH (appear in at least
+    one edge endpoint).  The rank frame is anchored on the edge-derived
+    node set, so an out-of-graph seed is silently absent from the output
+    and its teleport mass vanishes — union such seeds into the edge set
+    as zero-weight self-loops first if isolated seeds must be ranked
+    (ADVICE r3: defined behavior, documented here).
+
+    Dangling nodes (no out-edges) appear if they occur as a dst; by
+    default they contribute nothing onward (simplified TextRank, matching
+    the published formulation — fine on the symmetric co-occurrence graph,
+    which has no dangling nodes).  `redistribute_dangling=True` is the
+    GDS/canonical-PageRank variant for DIRECTED graphs (doc→tag edges
+    leave every tag dangling): each round the summed rank of dangling
+    nodes is spread uniformly, r_{i+1}(v) = (1−d)·1e6 + d·(Σ contrib +
+    dm div N) div 1e6 with dm = Σ_dangling r_i — total mass then stays
+    ≈ N·1e6 (mass-conservation pytest) instead of draining.  Integer
+    `div` throughout, so the DuckDB oracle replays it bit-exactly
+    (per-round dm is a scalar subquery over a MATERIALIZED rank CTE).
+    Seeded + redistribute is not supported (teleport-weighted dangling
+    redistribution would fork the arithmetic; raise instead of guessing).
+
+    Scale cost of redistribute: one |V|-row semi-join + 1-row aggregate
+    per round, crossJoin(broadcast) back — the per-round shuffle budget
+    gains no edge-sized stage; ranks are localCheckpointed each round
+    because dm branches the rank lineage (perf rule 7)."""
+    if redistribute_dangling and seeds is not None:
+        raise ValueError("redistribute_dangling supports classic "
+                         "(unseeded) PageRank only")
     raw = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
         (F.col(weight_col) if weight_col else F.lit(1))
@@ -88,11 +114,30 @@ def pagerank(edges: DataFrame, iterations: int = 10,
         with_seed = lambda df: df.join(F.broadcast(seed_set), "node", "left")
     ranks = with_seed(nodes_r).select(
         "node", init.cast("bigint").alias("rank_micro"))
+    if redistribute_dangling:
+        # dangling = nodes with no REAL out-edge (their only `e` row is the
+        # zero-weight self-loop); both small frames materialized once
+        dangling = (nodes.join(raw.select(F.col("src").alias("node"))
+                               .distinct(), "node", "left_anti")
+                    .localCheckpoint())
+        n_frame = (nodes_r.agg(F.count("*").cast("bigint").alias("n_nodes"))
+                   .localCheckpoint())
     for i in range(iterations):
+        if redistribute_dangling:
+            # ranks branches below (contrib AND the dangling sum): cut the
+            # lineage first or the round's aggregate runs twice (rule 7)
+            ranks = ranks.localCheckpoint()
+            dm = (ranks.join(dangling, "node", "left_semi")
+                  .agg(F.coalesce(F.sum("rank_micro"), F.lit(0))
+                       .cast("bigint").alias("dm")))
         contrib = (e.join(ranks, e.src == ranks.node)
                    .select(F.col("dst").alias("node"),
                            F.expr("(rank_micro * w) div wsum").alias("c")))
         agg = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        if redistribute_dangling:
+            agg = (agg.crossJoin(F.broadcast(dm))
+                   .crossJoin(F.broadcast(n_frame))
+                   .select("node", F.expr("s + dm div n_nodes").alias("s")))
         ranks = with_seed(agg).select(
             "node",
             (base + F.expr(f"({damping_micro} * s) div {MICRO}"))

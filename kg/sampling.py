@@ -286,8 +286,16 @@ def temperature_mixture(df: DataFrame, domain_col: str = "lang",
                                 "AS BIGINT)")))
              .withColumn(
                  "_thr",
-                 F.lpad(F.lower(F.hex(
-                     F.expr("(_rate * 1048576) div 1000000"))), 5, "0"))
+                 # 'g' keep-all sentinel at rate >= 1e6 (the rate_to_hex
+                 # convention): every md5 hex prefix is < 'g', so the
+                 # threshold column is self-consistent on its own —
+                 # lpad(hex(1048576), 5) would TRUNCATE '100000' to
+                 # '10000' (a 1/16-keep threshold) and correctness would
+                 # rest entirely on the `_rate >= 1e6` filter disjunct
+                 # (the exact rate_to_hex trap class, CLAUDE.md)
+                 F.when(F.col("_rate") >= 1_000_000, F.lit("g"))
+                 .otherwise(F.lpad(F.lower(F.hex(
+                     F.expr("(_rate * 1048576) div 1000000"))), 5, "0")))
              .select("_dom", "_rate", "_thr"))
     # eqNullSafe: a NULL domain is its own group (counts includes the
     # NULL group) — a plain equality join would NULL the rate and

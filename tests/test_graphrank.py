@@ -58,6 +58,60 @@ def test_pagerank_unweighted_and_dangling(spark):
     assert got == py_pagerank(edges, iters=4)
 
 
+def py_pagerank_full(edges, n_iters, d=850_000):
+    """Pure-Python replay of redistribute_dangling=True (unweighted)."""
+    wsum = collections.Counter()
+    for s, t, _ in edges:
+        wsum[s] += 1
+    nodes = {s for s, _, _ in edges} | {t for _, t, _ in edges}
+    dang = {n for n in nodes if wsum[n] == 0}
+    n = len(nodes)
+    rank = {v: MICRO for v in nodes}
+    for _ in range(n_iters):
+        dm = sum(rank[v] for v in dang)
+        acc = collections.defaultdict(int)
+        for u, v, _ in edges:
+            acc[v] += rank[u] // wsum[u]
+        rank = {v: (MICRO - d) + (d * (acc.get(v, 0) + dm // n)) // MICRO
+                for v in nodes}
+    return rank
+
+
+def test_pagerank_redistribute_dangling_matches_replay(spark):
+    # b and d are dangling (dst-only); a chain feeds them
+    edges = [("a", "b", 1), ("a", "c", 1), ("c", "d", 1), ("c", "a", 1)]
+    df = spark.createDataFrame(edges, "src string, dst string, weight long")
+    got = {r["node"]: r["rank_micro"]
+           for r in pagerank(df, iterations=6, weight_col=None,
+                             redistribute_dangling=True).collect()}
+    assert got == py_pagerank_full(edges, n_iters=6)
+
+
+def test_pagerank_redistribute_conserves_mass(spark):
+    # dangling-heavy directed star: hub -> 9 dangling leaves.  With
+    # redistribution total mass stays ~= N * 1e6 (integer truncation only);
+    # without it the dangling mass drains every round.
+    edges = [("hub", f"leaf{i}", 1) for i in range(9)]
+    df = spark.createDataFrame(edges, "src string, dst string, weight long")
+    n = 10
+    full = pagerank(df, iterations=10, weight_col=None,
+                    redistribute_dangling=True)
+    total_full = sum(r["rank_micro"] for r in full.collect())
+    # truncation loses < 1 micro per div; generous bound: 0.1% of N*1e6
+    assert abs(total_full - n * MICRO) <= n * MICRO // 1000
+    drained = pagerank(df, iterations=10, weight_col=None)
+    total_drained = sum(r["rank_micro"] for r in drained.collect())
+    assert total_drained < total_full * 0.7
+
+
+def test_pagerank_redistribute_rejects_seeds(spark):
+    edges = [("a", "b", 1)]
+    df = spark.createDataFrame(edges, "src string, dst string, weight long")
+    seeds = spark.createDataFrame([("a",)], "node string")
+    with pytest.raises(ValueError, match="redistribute_dangling"):
+        pagerank(df, seeds=seeds, redistribute_dangling=True)
+
+
 def test_cooccurrence_edges_symmetric_weighted(spark):
     tags = spark.createDataFrame(
         [("d1", "x"), ("d1", "y"), ("d2", "x"), ("d2", "y"), ("d2", "z"),

@@ -35,6 +35,15 @@ def norm_cell(v):
     return str(v)
 
 
+def _nonscalar_columns(schema):
+    """Top-level ArrayType/MapType/StructType output columns — types the
+    driver's pandas-based canonicalizer cannot hash (sort_values raises
+    `unhashable type: 'list'`)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+    return [f.name for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))]
+
+
 def value_hash(rows, columns):
     lines = sorted(
         "\x01".join(norm_cell(r[c]) for c in sorted(columns)) for r in rows)
@@ -67,6 +76,18 @@ def main():
             continue
         try:
             sdf = fn(spark, sf_dir)
+            bad = _nonscalar_columns(sdf.schema)
+            if bad:
+                # gate-parity guard: the DRIVER's canonicalizer hashes
+                # scalar cells only — pandas sort_values crashes on list/
+                # dict cells (CORRECTNESS_r03 ann_centroids/kg_adjacency)
+                # while this mirror's str(v) would silently pass them.
+                # Fail pre-driver and force a concat_ws/to_json projection.
+                print(f"{name:28s} SCHEMA-ERROR array/map-typed output "
+                      f"columns {bad} are not driver-hashable; project "
+                      "them to strings (concat_ws/to_json)")
+                failures.append(name)
+                continue
             srows = [r.asDict() for r in sdf.collect()]
             scols = sdf.columns
         except Exception as ex:

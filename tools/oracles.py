@@ -148,10 +148,14 @@ def build_oracle_sql() -> dict[str, str]:
         WHERE tok NOT IN {STOP_IN}
         GROUP BY 1"""
 
+    # neighbors projected to CSV: the driver canonicalizer hashes scalar
+    # cells only (list cells crash its pandas sort_values — r3 verdict #1)
     sqls["kg_adjacency"] = f"""
         SELECT 'sent:' || doc_id || ':0' AS node,
                CAST(count(*) AS BIGINT) AS degree,
-               list('tag:en:' || tok ORDER BY 'tag:en:' || tok) AS neighbors
+               array_to_string(
+                 list('tag:en:' || tok ORDER BY 'tag:en:' || tok),
+                 ',') AS neighbors_csv
         FROM (SELECT DISTINCT doc_id, tok
               FROM (SELECT doc_id, unnest({_TOKS}) AS tok
                     FROM documents WHERE lang = 'en')
@@ -531,7 +535,13 @@ def build_oracle_sql() -> dict[str, str]:
                 FROM embeddings WHERE label IS NOT NULL)
           GROUP BY 1, 2)
         GROUP BY label"""
-    sqls["ann_centroids"] = _CENTROIDS
+    # centroid array projected to CSV for the driver gate (scalar-cell
+    # canonicalizer — see kg_adjacency); the inner list is ORDER BY pos
+    # so the CSV is deterministic
+    sqls["ann_centroids"] = f"""
+        SELECT label, n_members,
+               array_to_string(centroid_micro, ',') AS centroid_csv
+        FROM ({_CENTROIDS})"""
     sqls["ann_nearest_centroid"] = f"""
         WITH cent AS ({_CENTROIDS}),
         cv AS (SELECT label,
@@ -981,6 +991,50 @@ def build_oracle_sql() -> dict[str, str]:
             FROM r{_i - 1} p JOIN deg d ON d.src = p.node
                           JOIN edges e ON e.src = p.node
             GROUP BY e.dst) s ON s.node = n.node)"""
+    # Canonical PageRank with dangling-mass redistribution over the
+    # DIRECTED sent→tag HAS_TAG graph (every tag is dangling).  Each
+    # round references the previous rank CTE TWICE (contribution join +
+    # dangling scalar sum) → AS MATERIALIZED is mandatory (DuckDB 1.0
+    # inlines plain CTEs; the chain re-expands multiplicatively —
+    # CLAUDE.md kcore trap).  Arithmetic mirrors kg.graphrank.pagerank
+    # redistribute_dangling=True: s' = s + dm // N, rank = 150000 +
+    # (850000 * s') // 1e6, all BIGINT.
+    _prf = f"""
+        WITH {_kept_sql},
+        e AS MATERIALIZED (
+          SELECT DISTINCT 'sent:' || doc_id || ':0' AS src,
+                          'tag:en:' || tok AS dst
+          FROM kept),
+        deg AS MATERIALIZED (
+          SELECT src, CAST(count(*) AS BIGINT) AS wsum FROM e GROUP BY 1),
+        nodes AS MATERIALIZED (
+          SELECT DISTINCT src AS node FROM e
+          UNION SELECT DISTINCT dst FROM e),
+        dang AS MATERIALIZED (
+          SELECT node FROM nodes
+          WHERE node NOT IN (SELECT src FROM e)),
+        nn AS MATERIALIZED (
+          SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        f0 AS MATERIALIZED (
+          SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes)"""
+    for _i in range(1, 6):
+        _prf += f""",
+        d{_i} AS MATERIALIZED (
+          SELECT CAST(coalesce(sum(rank), 0) AS BIGINT) AS dm
+          FROM f{_i - 1} JOIN dang USING (node)),
+        f{_i} AS MATERIALIZED (
+          SELECT n.node,
+                 CAST(150000 + (850000 * (coalesce(s.s, 0) + dm // nn.n))
+                      // 1000000 AS BIGINT) AS rank
+          FROM nodes n CROSS JOIN d{_i} CROSS JOIN nn
+          LEFT JOIN (
+            SELECT e.dst AS node, sum(p.rank // d.wsum) AS s
+            FROM f{_i - 1} p JOIN deg d ON d.src = p.node
+                             JOIN e ON e.src = p.node
+            GROUP BY e.dst) s ON s.node = n.node)"""
+    sqls["kg_tag_pagerank_full"] = _prf + """
+        SELECT node, CAST(rank AS BIGINT) AS rank_micro FROM f5"""
+
     sqls["kg_tag_pmi"] = f"""
         WITH {_kept_sql},
         {_cooccur_sql},
@@ -1230,6 +1284,15 @@ def build_oracle_sql() -> dict[str, str]:
                 ORDER BY p.ts ASC, p.event_id ASC LIMIT 1)
                  AS next_purchase_id
         FROM events c WHERE c.event_type = 'click'"""
+
+    # Bounded contract for the sketch path: the GK sketch value itself is
+    # merge-order-dependent (not hash-portable), but its rank-error bound
+    # is — the Spark side VERIFIES the bound in-engine and emits booleans;
+    # the oracle asserts the contract holds for every (event_type, pct).
+    sqls["rel_events_quantiles_approx"] = """
+        SELECT event_type, CAST(pct AS INT) AS pct, true AS rank_err_ok
+        FROM (SELECT DISTINCT event_type FROM events)
+        CROSS JOIN (VALUES (50), (95), (99)) AS p(pct)"""
 
     sqls["rel_events_quantiles"] = """
         WITH ranked AS (
@@ -1555,8 +1618,10 @@ def build_oracle_sql() -> dict[str, str]:
                    AS rate
           FROM w CROSS JOIN ws),
         t AS (SELECT dom, rate,
-                     printf('%05x', CAST((rate * 1048576) // 1000000
-                                         AS BIGINT)) AS thr
+                     CASE WHEN rate >= 1000000 THEN 'g'
+                          ELSE printf('%05x', CAST((rate * 1048576)
+                                                   // 1000000 AS BIGINT))
+                     END AS thr
               FROM r)
         SELECT d.doc_id, d.lang
         FROM documents d JOIN t ON t.dom IS NOT DISTINCT FROM d.lang
