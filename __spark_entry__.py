@@ -367,6 +367,39 @@ def q_multimodal_features(spark, sf_dir):
             .select("media_id", "width", "height", "n_bytes"))
 
 
+def q_multimodal_decode(spark, sf_dir):
+    """REAL image decode (kg.multimodal.decode_image /
+    decode_image_features): deterministic 24-bit BMP, binary PPM, and
+    IHDR-only PNG payloads are generated per embedding row (vec_id % 3
+    picks the format) and decoded by the real pure-Python parsers —
+    dims for all three, exact channel means where pixels decode, −1 for
+    the PNG header-only path.  The fixture generator is its own
+    mapInPandas stage, localCheckpointed before the decode stage (one
+    pandas UDF per task — CLAUDE.md perf rule 1).  Every output cell is
+    an arithmetic function of vec_id, so the DuckDB oracle replays the
+    whole thing (BMP row padding and the PPM header length included)."""
+    import pandas as pd
+    from kg import multimodal as mm
+    emb = _read("embeddings")(spark, sf_dir).select("vec_id")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for v in pdf["vec_id"]:
+                i = int(v)
+                w, h = 4 + i % 5, 3 + i % 4
+                fmt = ("bmp", "ppm", "png")[i % 3]
+                payload = (mm.bmp_bytes(i, w, h) if fmt == "bmp"
+                           else mm.ppm_bytes(i, w, h) if fmt == "ppm"
+                           else mm.png_ihdr_bytes(w, h))
+                rows.append((i, "image", fmt, payload))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "format", "payload"])
+
+    media = emb.mapInPandas(gen, mm.MEDIA_SCHEMA).localCheckpoint()
+    return mm.decode_image_features(media)
+
+
 EMB_DIM = 64  # embeddings.parquet schema contract (same at every sf)
 
 
@@ -779,6 +812,29 @@ def q_text_normalize(spark, sf_dir):
     docs = _docs(spark, sf_dir, None).withColumn(
         "text", F.concat("text", F.lit("  Mixed-CASE!! 42,000\tEnd.")))
     return kgdedup.normalize_text(docs).select("doc_id", "text_norm")
+
+
+# Mixed-normalization unicode suffix: decomposed e+COMBINING ACUTE (NFC
+# composes to é), ANGSTROM SIGN U+212B (NFC singleton-maps to Å U+00C5),
+# and a pre-composed é that must pass through unchanged.  Appended per doc
+# so the op provably differs from identity on every row.
+NFC_SUFFIX = " cafe\u0301 \u212b \u00e9"
+
+
+def q_text_normalize_nfc(spark, sf_dir):
+    """Unicode NFC normalization (kg.dedup.normalize_text_nfc, scalar
+    pandas UDF — Spark has no built-in normalizer): composed and
+    decomposed renderings of the same visible text must collide under
+    the same dedup keys.  Fully oracle-checked via DuckDB's
+    nfc_normalize; the codepoint-count drop (composition shortens the
+    string) and the md5 of the composed text pin the behavior."""
+    docs = _docs(spark, sf_dir, None).withColumn(
+        "text", F.concat("text", F.lit(NFC_SUFFIX)))
+    out = kgdedup.normalize_text_nfc(docs)
+    return out.select(
+        "doc_id", F.length("text").alias("n_chars_raw"),
+        F.length("text_nfc").alias("n_chars_nfc"),
+        F.md5("text_nfc").alias("nfc_md5"))
 
 
 def q_text_skipgrams(spark, sf_dir):
@@ -1197,64 +1253,20 @@ def q_dedup_boilerplate(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # NOTE on ordering: the driver's CORRECTNESS artifact covers roughly the
-    # first 50 registered queries.  Rounds 1-2 driver-checked the original
-    # first 50 (kg_part_of .. kg_tag_pmi, all green in CORRECTNESS_r02.json);
-    # the 32 entries that had no driver row yet are therefore registered FIRST
-    # here so every operator family earns a driver-green row.
+    # WINDOW-ROTATION RULE (STATUS.md §rotation): the driver's CORRECTNESS
+    # artifact covers roughly the FIRST 50 registered queries per round, so
+    # each round the dict is reordered to put, in priority order:
+    #   1. queries whose driver evidence is OLDEST (or red last round),
+    #   2. this round's NEW queries,
+    # inside the window; queries with a fresh green row from last round
+    # rotate to the tail.  No query's newest driver row may be more than
+    # one round old.  r4 window: the 42 queries last checked in r2
+    # (CORRECTNESS_r02), then the two r3-ERR fixes (ann_centroids,
+    # kg_adjacency), the graduated rel_events_quantiles_approx, and the
+    # three r4-new queries — 48 of ~50.  Tail: the 44 queries green in
+    # CORRECTNESS_r03.
     return {
-        "text_length_hist": q_text_length_hist,
-        "kg_tag_cooccur": q_kg_tag_cooccur,
-        "kg_tag_communities": q_kg_tag_communities,
-        "kg_path_doc_tag": q_kg_path_doc_tag,
-        "kg_node_degree": q_kg_node_degree,
-        "text_lm_surprisal": q_text_lm_surprisal,
-        "kg_doc_sentiment": q_kg_doc_sentiment,
-        "kg_tag_sentiment": q_kg_tag_sentiment,
-        "dedup_canonical": q_dedup_canonical,
-        "corpus_topk_quality": q_corpus_topk_quality,
-        "dedup_incremental": q_dedup_incremental,
-        "dedup_crossdoc": q_dedup_crossdoc,
-        "ann_centroids": q_ann_centroids,
-        "ann_nearest_centroid": q_ann_nearest_centroid,
-        "kg_tag_triangles": q_kg_tag_triangles,
-        "kg_tag_clustering": q_kg_tag_clustering,
-        "kg_sentence_chain": q_kg_sentence_chain,
-        "kg_adjacency": q_kg_adjacency,
-        "kg_tag_quality": q_kg_tag_quality,
-        "text_chunk_windows": q_text_chunk_windows,
-        "text_skipgrams": q_text_skipgrams,
-        "dedup_containment": q_dedup_containment,
-        "text_normalize": q_text_normalize,
-        "kg_reannotate_merge": q_kg_reannotate_merge,
-        "dedup_contamination": q_dedup_contamination,
-        "corpus_mixture": q_corpus_mixture,
-        "rel_events_asof": q_rel_events_asof,
-        "rel_events_asof_fwd": q_rel_events_asof_fwd,
-        "rel_events_window_join": q_rel_events_window_join,
-        "rel_events_quantiles": q_rel_events_quantiles,
-        "rel_events_quantiles_approx": q_rel_events_quantiles_approx,
-        "corpus_curated": q_corpus_curated,
-        # round-3 additions (kept inside the driver's ~50-query window)
-        "text_bigram_bits": q_text_bigram_bits,
-        "corpus_c4_clean": q_corpus_c4_clean,
-        "kg_tag_kcore": q_kg_tag_kcore,
-        "kg_tag_bfs": q_kg_tag_bfs,
-        "kg_tag_ppr": q_kg_tag_ppr,
-        "kg_tag_jaccard": q_kg_tag_jaccard,
-        "ann_pq_topk": q_ann_pq_topk,
-        "corpus_temperature": q_corpus_temperature,
-        "kg_tag_closeness": q_kg_tag_closeness,
-        "dedup_boilerplate": q_dedup_boilerplate,
-        "kg_tag_pagerank_full": q_kg_tag_pagerank_full,
-        "kg_part_of": q_kg_part_of,
-        "kg_has_tag": q_kg_has_tag,
-        "kg_tag_occurs": q_kg_tag_occurs,
-        "kg_tag_tf": q_kg_tag_tf,
-        "kg_sentences": q_kg_sentences,
-        "kg_annotate_full": q_kg_annotate_full,
-        "kg_annotate_lemma_ner": q_kg_annotate_lemma_ner,
-        "kg_tag_pos_ne": q_kg_tag_pos_ne,
+        # --- 42 × last driver row = r2 ------------------------------------
         "kg_next_sentence": q_kg_next_sentence,
         "kg_first_sentence": q_kg_first_sentence,
         "dedup_exact": q_dedup_exact,
@@ -1297,6 +1309,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "kg_tag_pagerank": q_kg_tag_pagerank,
         "kg_tag_pmi": q_kg_tag_pmi,
+        # --- r3 ERR, fixed this round (array outputs stringified) ----------
+        "ann_centroids": q_ann_centroids,
+        "kg_adjacency": q_kg_adjacency,
+        # --- graduated from rows-only to a bounded oracle this round -------
+        "rel_events_quantiles_approx": q_rel_events_quantiles_approx,
+        # --- r4 new ---------------------------------------------------------
+        "kg_tag_pagerank_full": q_kg_tag_pagerank_full,
+        "text_normalize_nfc": q_text_normalize_nfc,
+        "multimodal_decode": q_multimodal_decode,
+        # ==== tail: fresh green rows in CORRECTNESS_r03 =====================
+        "text_length_hist": q_text_length_hist,
+        "kg_tag_cooccur": q_kg_tag_cooccur,
+        "kg_tag_communities": q_kg_tag_communities,
+        "kg_path_doc_tag": q_kg_path_doc_tag,
+        "kg_node_degree": q_kg_node_degree,
+        "text_lm_surprisal": q_text_lm_surprisal,
+        "kg_doc_sentiment": q_kg_doc_sentiment,
+        "kg_tag_sentiment": q_kg_tag_sentiment,
+        "dedup_canonical": q_dedup_canonical,
+        "corpus_topk_quality": q_corpus_topk_quality,
+        "dedup_incremental": q_dedup_incremental,
+        "dedup_crossdoc": q_dedup_crossdoc,
+        "ann_nearest_centroid": q_ann_nearest_centroid,
+        "kg_tag_triangles": q_kg_tag_triangles,
+        "kg_tag_clustering": q_kg_tag_clustering,
+        "kg_sentence_chain": q_kg_sentence_chain,
+        "kg_tag_quality": q_kg_tag_quality,
+        "text_chunk_windows": q_text_chunk_windows,
+        "text_skipgrams": q_text_skipgrams,
+        "dedup_containment": q_dedup_containment,
+        "text_normalize": q_text_normalize,
+        "kg_reannotate_merge": q_kg_reannotate_merge,
+        "dedup_contamination": q_dedup_contamination,
+        "corpus_mixture": q_corpus_mixture,
+        "rel_events_asof": q_rel_events_asof,
+        "rel_events_asof_fwd": q_rel_events_asof_fwd,
+        "rel_events_window_join": q_rel_events_window_join,
+        "rel_events_quantiles": q_rel_events_quantiles,
+        "corpus_curated": q_corpus_curated,
+        "text_bigram_bits": q_text_bigram_bits,
+        "corpus_c4_clean": q_corpus_c4_clean,
+        "kg_tag_kcore": q_kg_tag_kcore,
+        "kg_tag_bfs": q_kg_tag_bfs,
+        "kg_tag_ppr": q_kg_tag_ppr,
+        "kg_tag_jaccard": q_kg_tag_jaccard,
+        "ann_pq_topk": q_ann_pq_topk,
+        "corpus_temperature": q_corpus_temperature,
+        "kg_tag_closeness": q_kg_tag_closeness,
+        "dedup_boilerplate": q_dedup_boilerplate,
+        "kg_part_of": q_kg_part_of,
+        "kg_has_tag": q_kg_has_tag,
+        "kg_tag_occurs": q_kg_tag_occurs,
+        "kg_tag_tf": q_kg_tag_tf,
+        "kg_sentences": q_kg_sentences,
+        "kg_annotate_full": q_kg_annotate_full,
+        "kg_annotate_lemma_ner": q_kg_annotate_lemma_ner,
+        "kg_tag_pos_ne": q_kg_tag_pos_ne,
     }
 
 

@@ -17,6 +17,11 @@ Spark and the DuckDB oracle, and free of RNG (seeded by the band index).
 
 from __future__ import annotations
 
+# module-level: pandas_udf resolves the stringified `pd.Series` hints
+# (PEP 563 via the __future__ import above) against MODULE globals — a
+# function-local import fails hint resolution (kg.annotate gotcha)
+import pandas as pd
+
 from pyspark.sql import DataFrame, functions as F
 
 from kg.textstats import tokens_col
@@ -65,17 +70,23 @@ def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text",
 
 def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
                         text_col: str = "text", id_col: str = "doc_id",
-                        max_df: int | None = 100_000) -> DataFrame:
+                        max_df: int | None = 10_000) -> DataFrame:
     """All document pairs with shingle-Jaccard >= threshold.
 
     inter(a,b) via self-join on shingle; union = |A| + |B| - inter.
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded for
     cross-engine comparability.
 
-    `max_df` defaults FINITE (100k): a shingle present in 10^6 docs creates a
-    10^12-row self-join at scale, so hot shingles are dropped by default.
-    Dropping a shingle only lowers the measured Jaccard (no false positives);
-    callers wanting exact all-shingle semantics pass max_df=None explicitly."""
+    `max_df` defaults FINITE at 10k: a shingle at the cap still emits
+    C(max_df, 2) ≈ max_df²/2 self-join pairs, so the guard itself must be
+    sized against the pair blowup, not just "finite" — at 10k that is
+    ≤ 5·10⁷ pairs per hot shingle (one task's work), while the r3 default
+    of 100k allowed 5·10⁹ pairs per shingle, which is a straggler/OOM at
+    100 TB even though it is finite (r3 verdict #3).  A shingle shared by
+    >10k documents is boilerplate, not a near-dup signal (mine those with
+    boilerplate_ngrams); dropping it only lowers the measured Jaccard (no
+    false positives).  Exact all-shingle semantics: max_df=None; the
+    LSH path (minhash_lsh_pairs) is the actual 100 TB route."""
     sh = word_shingles(df, n, text_col, id_col)
     if max_df is not None:
         hot = (sh.groupBy("shingle").count()
@@ -387,7 +398,7 @@ def cross_doc_duplication(df: DataFrame, n: int = 3,
 
 def containment_pairs(df: DataFrame, n: int = 3, threshold: float = 0.8,
                       text_col: str = "text", id_col: str = "doc_id",
-                      max_df: int | None = 100_000) -> DataFrame:
+                      max_df: int | None = 10_000) -> DataFrame:
     """Directed containment near-dup pairs: |A ∩ B| / |A| >= threshold —
     the signal symmetric Jaccard MISSES when a short document is embedded
     inside a much longer one (quoted articles, README copies inside
@@ -397,8 +408,10 @@ def containment_pairs(df: DataFrame, n: int = 3, threshold: float = 0.8,
     Returns (id_small, id_big, containment_micro): the contained side
     first, both directions examined, self-pairs and the degenerate
     |A| = 0 side excluded.  Same shingle self-join shape and `max_df`
-    hot-shingle cap as ngram_jaccard_pairs (dropping a hot shingle only
-    lowers the measured containment)."""
+    hot-shingle cap as ngram_jaccard_pairs (10k: bounds each hot
+    shingle's pair emission at ~5·10⁷ — see that docstring's 100 TB
+    arithmetic; dropping a hot shingle only lowers the measured
+    containment)."""
     sh = word_shingles(df, n, text_col, id_col)
     if max_df is not None:
         hot = (sh.groupBy("shingle").count()
@@ -431,13 +444,44 @@ def normalize_text(df: DataFrame, text_col: str = "text",
     collide under the SAME sha/shingle keys.
 
     All JVM built-ins (lower + two regexp_replace + trim), zero shuffles;
-    portable 1:1 to the DuckDB oracle.  Unicode NFC folding would need a
-    Python UDF on the Spark side (no built-in normalizer) — out of scope
-    here, noted for corpora that need it."""
+    portable 1:1 to the DuckDB oracle.  Unicode NFC composition is the
+    separate, optional `normalize_text_nfc` stage below (it needs a
+    Python UDF); this default path stays zero-UDF."""
     norm = F.trim(F.regexp_replace(
         F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "),
         " +", " "))
     return df.withColumn(out_col, norm)
+
+
+def normalize_text_nfc(df: DataFrame, text_col: str = "text",
+                       out_col: str = "text_nfc") -> DataFrame:
+    """Unicode NFC normalization — the optional pre-dedup stage real
+    multilingual corpora need before any hash/shingle key is cut: the
+    same visible string arrives composed ("é" U+00E9) from some sources
+    and decomposed ("e"+U+0301) from others, and sha/MinHash keys split
+    unless both are composed first (singletons like ANGSTROM SIGN
+    U+212B → Å U+00C5 too).  Reference-side: the lemma path lowercases
+    through the curly-quote handling (TextProcessorTest.java:89-97
+    "Collibra’s") but folds nothing beyond that — this stage is the
+    corpus-scale generalization.
+
+    Spark has no NFC built-in, so this is a scalar Arrow-batched pandas
+    UDF over Python's unicodedata (C-accelerated, table-driven).  It is
+    a standalone narrow stage — do NOT chain it into the same stage as
+    the annotate UDF (one pandas UDF per task, CLAUDE.md perf rule 1);
+    run it as a separate materialized pass (or fuse the normalize into a
+    future combined UDF) when both are needed.  The default dedup path
+    (`normalize_text`) stays zero-UDF.  DuckDB mirrors via
+    nfc_normalize(), so the op is fully oracle-checked."""
+    import unicodedata
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        return s.map(lambda x: None if x is None
+                     else unicodedata.normalize("NFC", x))
+
+    return df.withColumn(out_col, _nfc(F.col(text_col)))
 
 
 def boilerplate_ngrams(df: DataFrame, n: int = 3, min_docs: int = 2,

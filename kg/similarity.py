@@ -380,8 +380,8 @@ def _sqdist_int(a: Column, b: list[int]) -> Column:
 def pq_topk(emb: DataFrame, queries: DataFrame, dim: int, k: int = 5,
             n_subspaces: int = 8, n_codes: int = 8,
             id_col: str = "vec_id", vec_col: str = "embedding",
-            qid_col: str = "query_id",
-            qvec_col: str = "embedding") -> DataFrame:
+            qid_col: str = "query_id", qvec_col: str = "embedding",
+            codebook: str = "hash", seed: int = 42) -> DataFrame:
     """Product-quantization ANN with asymmetric distance computation
     (Jégou et al. 2011) — THE billion-scale ANN compression: each vector
     is stored as `n_subspaces` small codes (the 8×8 default: 8 codes of
@@ -391,14 +391,25 @@ def pq_topk(emb: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     in-memory ANN possible at all; this is the scale path beyond
     lsh_topk/ivf_topk.
 
-    Deterministic, engine-portable variant (the repo convention for
-    approximate ops): codebook anchors are the `n_codes` vectors with
-    the smallest md5(id) (the ivf_hash_topk "training" step), and ALL
-    distance math runs in exact integer micro-units — encode, table
-    build, and ADC scoring are bit-identical in Spark and the DuckDB
-    oracle (float PQ trains k-means codebooks; the operator shape —
-    narrow encode map, broadcast query tables, lookup-sum scoring,
-    per-query top-k — is identical).
+    Two codebooks, ONE arithmetic path (everything downstream of the
+    codebook literals — encode, table build, ADC — is identical integer
+    micro-unit math, so both variants are exactly replayable given their
+    codebook):
+
+    - `codebook="hash"` (default, the repo convention for approximate
+      ops): anchors are the `n_codes` vectors with the smallest md5(id)
+      (the ivf_hash_topk "training" step) — fully engine-portable, the
+      DuckDB oracle mirrors codes and rankings bit-for-bit.
+    - `codebook="kmeans"`: the PRODUCTION variant — one seeded
+      pyspark.ml KMeans fit per subspace over that subspace's
+      subvectors (classic PQ training, Jégou et al. §III); centroids
+      are away()-quantized to micro-ints so ADC stays exact integer.
+      Adapts to cluster structure (pytest demonstrates the recall win
+      on clustered fixtures where hash anchors collapse); the training
+      pass is not SQL-mirrorable, so its correctness evidence is the
+      recall test + the shared downstream arithmetic.  At billion scale
+      fit on a hash_sample of the corpus — centroids are the only
+      artifact, the fit never touches the full table again.
 
     Returns (query_id, neighbor_id, rank, adc_dist_micro2) ranked by
     (ADC distance asc, neighbor_id asc).  Vectors sharing all codes tie
@@ -413,9 +424,6 @@ def pq_topk(emb: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     → per-row lookup-sum → per-query window top-k."""
     assert dim % n_subspaces == 0, "dim must divide evenly into subspaces"
     sub = dim // n_subspaces
-    anchors = (emb.select(F.col(vec_col).alias("v"),
-                          F.md5(F.col(id_col).cast("string")).alias("h"))
-               .orderBy("h").limit(n_codes).collect())
 
     def away(x: float) -> int:
         # ties away from zero — Spark/DuckDB round(), NOT Python's
@@ -424,10 +432,33 @@ def pq_topk(emb: DataFrame, queries: DataFrame, dim: int, k: int = 5,
         v = float(x) * 1_000_000
         return int(math.floor(v + 0.5)) if v >= 0 else int(math.ceil(v - 0.5))
 
-    # anchor subvectors in micro-ints, [code][subspace][dim]
-    amicro = [[
-        [away(x) for x in r["v"][j * sub:(j + 1) * sub]]
-        for j in range(n_subspaces)] for r in anchors]
+    # codebook → micro-int anchor subvectors, [code][subspace][dim]
+    if codebook == "hash":
+        anchors = (emb.select(F.col(vec_col).alias("v"),
+                              F.md5(F.col(id_col).cast("string")).alias("h"))
+                   .orderBy("h").limit(n_codes).collect())
+        amicro = [[
+            [away(x) for x in r["v"][j * sub:(j + 1) * sub]]
+            for j in range(n_subspaces)] for r in anchors]
+    elif codebook == "kmeans":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+        amicro = [[None] * n_subspaces for _ in range(n_codes)]
+        for j in range(n_subspaces):
+            feats = emb.select(array_to_vector(F.transform(
+                F.slice(F.col(vec_col), j * sub + 1, sub),
+                lambda x: x.cast("double"))).alias("features"))
+            model = KMeans(k=n_codes, seed=seed, maxIter=10).fit(feats)
+            centers = sorted(([float(x) for x in c]
+                              for c in model.clusterCenters()))
+            # sorted: cluster order from a distributed fit is not
+            # deterministic across layouts; the lexicographic sort makes
+            # the codebook a pure function of (data, seed)
+            for c in range(n_codes):
+                amicro[c][j] = [away(x) for x in centers[c]]
+    else:
+        raise ValueError(f"codebook must be 'hash' or 'kmeans', got "
+                         f"{codebook!r}")
 
     def sub_slice(vm: Column, j: int) -> Column:
         return F.slice(vm, j * sub + 1, sub)

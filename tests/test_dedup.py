@@ -119,6 +119,52 @@ def test_hot_shingle_cap_bounds_join(spark):
     assert capped.count() == 0      # dropped -> remaining shingles unique
 
 
+def test_hot_shingle_cap_pair_count_bound(spark):
+    """The cap is sized against the PAIR blowup, not just finiteness: a
+    shingle at df == max_df emits exactly C(max_df, 2) join pairs, and
+    anything hotter emits zero (r4: defaults tightened 100k -> 10k so a
+    cap-hot shingle is <= 5e7 pairs at scale, one task's work)."""
+    import inspect
+    from kg.dedup import containment_pairs
+    # defaults pinned: re-loosening them re-introduces the 5e9-pair guard
+    # hole the r3 verdict flagged
+    assert inspect.signature(ngram_jaccard_pairs).parameters["max_df"].default == 10_000
+    assert inspect.signature(containment_pairs).parameters["max_df"].default == 10_000
+    # at-cap shingle (df == 4 == max_df) survives: exactly C(4,2) pairs;
+    # over-cap shingle (df == 5) is dropped entirely
+    rows = ([(i, f"at cap gram x{i} y{i} z{i}") for i in range(4)]
+            + [(10 + i, f"over the cap w{i} v{i} u{i}") for i in range(5)])
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = ngram_jaccard_pairs(df, n=3, threshold=0.0, max_df=4).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert ids == {(a, b) for a in range(4) for b in range(4) if a < b}
+
+
+def test_normalize_text_nfc_goldens(spark):
+    """Composed/decomposed renderings collide after NFC; singletons map
+    (U+212B -> U+00C5); already-NFC text and None pass through; the op is
+    idempotent."""
+    from kg.dedup import normalize_text_nfc
+    rows = [(1, "cafe\u0301"),      # decomposed e+COMBINING ACUTE
+            (2, "caf\u00e9"),       # composed: unchanged
+            (3, "\u212bngstro\u0308m"),  # ANGSTROM sign + o+diaeresis
+            (4, None),
+            (5, "plain ascii")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["text_nfc"]
+           for r in normalize_text_nfc(df).collect()}
+    assert got[1] == got[2] == "caf\u00e9"
+    assert got[3] == "\u00c5ngstr\u00f6m"
+    assert got[4] is None
+    assert got[5] == "plain ascii"
+    # idempotent: a second pass is the identity
+    again = normalize_text_nfc(
+        df.filter("text is not null").withColumnRenamed("text", "orig")
+        .withColumnRenamed("doc_id", "d"), text_col="orig", out_col="n1")
+    twice = normalize_text_nfc(again, text_col="n1", out_col="n2")
+    assert twice.filter("n1 <> n2").count() == 0
+
+
 def test_simhash_portable_matches_python_reference(spark):
     """The md5-bit portable SimHash (oracle-checked in the driver gate) is
     bit-identical to a direct Python computation of the same definition."""

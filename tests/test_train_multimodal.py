@@ -116,6 +116,62 @@ def test_fake_image_roundtrip():
         mm.decode_image_stub(b"\x89PNG\r\n\x1a\nreal-png-bytes")
 
 
+def test_bmp_decode_roundtrip():
+    """Real 24-bit BMP: encode→decode recovers dims and the exact constant
+    RGB color; width 5 forces a padded row (rowsize 16 != 15), so the
+    unpadding path is exercised."""
+    b = mm.bmp_bytes(300, 5, 3)
+    assert b[:2] == b"BM"
+    assert len(b) == 54 + 3 * 16          # padded rows
+    w, h, rgb = mm.decode_image(b)
+    assert (w, h) == (5, 3) == mm.image_dims(b)
+    r, g, bl = 300 % 251, (300 * 7) % 251, (300 * 13) % 251
+    assert rgb == bytes((r, g, bl)) * 15   # BGR->RGB swap verified
+    # top-down BMP (negative height) decodes identically for constant color
+    import struct
+    neg = bytearray(b)
+    neg[22:26] = struct.pack("<i", -3)
+    w2, h2, rgb2 = mm.decode_image(bytes(neg))
+    assert (w2, h2, rgb2) == (w, h, rgb)
+
+
+def test_ppm_decode_roundtrip_and_comments():
+    b = mm.ppm_bytes(9, 4, 2)
+    w, h, rgb = mm.decode_image(b)
+    assert (w, h) == (4, 2) == mm.image_dims(b)
+    assert rgb == bytes((9, 63, 117)) * 8
+    # comment lines inside the header parse correctly
+    commented = b"P6\n# a comment\n4 2\n# more\n255\n" + rgb[:24]
+    assert mm.image_dims(commented) == (4, 2)
+    assert mm.decode_image(commented)[2] == rgb[:24]
+
+
+def test_png_dims_only():
+    b = mm.png_ihdr_bytes(640, 480)
+    assert len(b) == 33
+    assert mm.image_dims(b) == (640, 480)
+    with pytest.raises(NotImplementedError, match="IDAT"):
+        mm.decode_image(b)
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"\xff\xd8\xffJPEG-ish")
+
+
+def test_decode_image_features_mixed_formats(spark):
+    rows = [(1, "image", "bmp", bytearray(mm.bmp_bytes(1, 4, 3))),
+            (2, "image", "ppm", bytearray(mm.ppm_bytes(2, 5, 2))),
+            (3, "image", "png", bytearray(mm.png_ihdr_bytes(32, 16))),
+            (4, "video", "fake-png", bytearray(mm.fake_png_bytes(4, 2, 2)))]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in mm.decode_image_features(df).collect()}
+    assert set(got) == {1, 2, 3}           # video row filtered out
+    assert (got[1]["width"], got[1]["height"]) == (4, 3)
+    assert got[1]["mean_r"] == 1 and got[1]["mean_g"] == 7
+    assert (got[2]["width"], got[2]["height"]) == (5, 2)
+    assert got[2]["mean_b"] == 26
+    assert (got[3]["width"], got[3]["height"]) == (32, 16)
+    assert got[3]["mean_r"] == -1          # header-only decode
+
+
 def test_extract_image_features(spark):
     media = mm.synthetic_media(spark, n=12)
     feats = mm.extract_image_features(media)

@@ -380,6 +380,21 @@ def build_oracle_sql() -> dict[str, str]:
                     ' +', ' ', 'g')) AS text_norm
         FROM documents"""
 
+    # Unicode NFC normalization (kg.dedup.normalize_text_nfc pandas UDF
+    # vs DuckDB's utf8proc nfc_normalize): the suffix is __spark_entry__'s
+    # NFC_SUFFIX — decomposed e+U+0301, ANGSTROM U+212B, composed U+00E9 —
+    # built from chr() so the SQL text stays ASCII; length() counts
+    # codepoints in both engines.
+    sqls["text_normalize_nfc"] = """
+        SELECT doc_id,
+               CAST(length(t) AS INT) AS n_chars_raw,
+               CAST(length(nfc_normalize(t)) AS INT) AS n_chars_nfc,
+               md5(nfc_normalize(t)) AS nfc_md5
+        FROM (SELECT doc_id,
+                     text || ' cafe' || chr(769) || ' ' || chr(8491)
+                          || ' ' || chr(233) AS t
+              FROM documents)"""
+
     sqls["dedup_components"] = f"""
         WITH RECURSIVE
         jpairs AS ({_JPAIRS}),
@@ -492,6 +507,33 @@ def build_oracle_sql() -> dict[str, str]:
           SELECT doc_id, 2, 'identifier', CAST(length(text) + 22 AS INT),
                  CAST(length(text) + 31 AS INT), 'load data'
           FROM documents)"""
+
+    # Real-format decode: every output cell is an arithmetic function of
+    # vec_id — BMP size = 54 + h·(4-byte-padded 3w); PPM size = header
+    # ('P6\\n{w} {h}\\n255\\n') + 3wh; PNG = 33-byte sig+IHDR, means -1
+    # (header-only).  Constant-color fixtures make channel means exact.
+    sqls["multimodal_decode"] = """
+        SELECT vec_id AS media_id,
+               CASE vec_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
+                    ELSE 'png' END AS format,
+               CAST(4 + vec_id % 5 AS INT) AS width,
+               CAST(3 + vec_id % 4 AS INT) AS height,
+               CAST(CASE vec_id % 3
+                    WHEN 0 THEN 54 + (3 + vec_id % 4)
+                                * (((3 * (4 + vec_id % 5) + 3) // 4) * 4)
+                    WHEN 1 THEN 3
+                                + length(CAST(4 + vec_id % 5 AS VARCHAR)) + 1
+                                + length(CAST(3 + vec_id % 4 AS VARCHAR)) + 1
+                                + 4
+                                + 3 * (4 + vec_id % 5) * (3 + vec_id % 4)
+                    ELSE 33 END AS BIGINT) AS n_bytes,
+               CAST(CASE WHEN vec_id % 3 = 2 THEN -1
+                         ELSE vec_id % 251 END AS INT) AS mean_r,
+               CAST(CASE WHEN vec_id % 3 = 2 THEN -1
+                         ELSE (vec_id * 7) % 251 END AS INT) AS mean_g,
+               CAST(CASE WHEN vec_id % 3 = 2 THEN -1
+                         ELSE (vec_id * 13) % 251 END AS INT) AS mean_b
+        FROM embeddings"""
 
     sqls["multimodal_features"] = """
         SELECT vec_id AS media_id,
@@ -964,9 +1006,17 @@ def build_oracle_sql() -> dict[str, str]:
             SELECT doc_id, unnest({_TOKS}) AS tok
             FROM documents WHERE lang = 'en')
           WHERE tok NOT IN {STOP_IN})"""
-    _cooccur_sql = """edges AS (
+    # capped: mirrors tag_cooccurrence_edges' max_tags_per_ctx=1000 hot-
+    # context guard (lexically-first 1000 tags per context) so the checked
+    # contract matches the executed one on ANY corpus, not just ones where
+    # no context exceeds the cap (ADVICE r3).  No-op at testdata scale.
+    _cooccur_sql = """capped AS (
+          SELECT doc_id, unnest(ts[1:1000]) AS tok FROM (
+            SELECT doc_id, list_sort(list(DISTINCT tok)) AS ts
+            FROM kept GROUP BY doc_id)),
+        edges AS (
           SELECT a.tok AS src, b.tok AS dst, count(*) AS w
-          FROM kept a JOIN kept b USING (doc_id) WHERE a.tok <> b.tok
+          FROM capped a JOIN capped b USING (doc_id) WHERE a.tok <> b.tok
           GROUP BY 1, 2)"""
 
     # PageRank: iteration unrolled as a generated CTE chain (a recursive
@@ -1534,8 +1584,14 @@ def build_oracle_sql() -> dict[str, str]:
         WITH {_kept_sql},
         {_cooccur_sql},
         {_strong_sql},
-        sym AS MATERIALIZED (SELECT a AS n, b AS v FROM f0
+        sym0 AS (SELECT a AS n, b AS v FROM f0
                UNION SELECT b AS n, a AS v FROM f0),
+        -- mirrors neighbor_jaccard's max_neighbors_per_node=1000 hub cap
+        -- (lexically-first 1000 per node; ADVICE r3) — no-op at testdata
+        sym AS MATERIALIZED (
+          SELECT n, unnest(vs[1:1000]) AS v FROM (
+            SELECT n, list_sort(list(DISTINCT v)) AS vs
+            FROM sym0 GROUP BY n)),
         dg AS MATERIALIZED (SELECT v, CAST(count(*) AS BIGINT) AS deg
                FROM sym GROUP BY 1),
         inter AS MATERIALIZED (
