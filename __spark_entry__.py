@@ -369,15 +369,18 @@ def q_multimodal_features(spark, sf_dir):
 
 def q_multimodal_decode(spark, sf_dir):
     """REAL image decode (kg.multimodal.decode_image /
-    decode_image_features): deterministic 24-bit BMP, binary PPM, and
-    IHDR-only PNG payloads are generated per embedding row (vec_id % 3
-    picks the format) and decoded by the real pure-Python parsers —
-    dims for all three, exact channel means where pixels decode, −1 for
-    the PNG header-only path.  The fixture generator is its own
-    mapInPandas stage, localCheckpointed before the decode stage (one
-    pandas UDF per task — CLAUDE.md perf rule 1).  Every output cell is
-    an arithmetic function of vec_id, so the DuckDB oracle replays the
-    whole thing (BMP row padding and the PPM header length included)."""
+    decode_image_features): deterministic 24-bit BMP, binary PPM, FULL
+    zlib-compressed PNG (filter predictor cycling over all five spec
+    filters via vec_id % 5, RGB/RGBA alternating), and IHDR-only PNG
+    payloads are generated per embedding row (vec_id % 4 picks the
+    format) and decoded by the real pure-Python parsers — dims for all
+    four, exact channel means + decoded-RGB byte count where pixels
+    decode, −1 for the header-only path.  The fixture generator is its
+    own mapInPandas stage, localCheckpointed before the decode stage
+    (one pandas UDF per task — CLAUDE.md perf rule 1).  Every output
+    cell is an arithmetic function of vec_id (compressed payload SIZE is
+    not, which is why the oracle checks the decoded n_rgb_bytes = 3wh
+    instead), so the DuckDB oracle replays the whole thing."""
     import pandas as pd
     from kg import multimodal as mm
     emb = _read("embeddings")(spark, sf_dir).select("vec_id")
@@ -388,16 +391,21 @@ def q_multimodal_decode(spark, sf_dir):
             for v in pdf["vec_id"]:
                 i = int(v)
                 w, h = 4 + i % 5, 3 + i % 4
-                fmt = ("bmp", "ppm", "png")[i % 3]
+                fmt = ("bmp", "ppm", "png", "png-hdr")[i % 4]
                 payload = (mm.bmp_bytes(i, w, h) if fmt == "bmp"
                            else mm.ppm_bytes(i, w, h) if fmt == "ppm"
+                           else mm.png_bytes(i, w, h, filter_type=i % 5,
+                                             alpha=bool(i % 2))
+                           if fmt == "png"
                            else mm.png_ihdr_bytes(w, h))
                 rows.append((i, "image", fmt, payload))
             yield pd.DataFrame(
                 rows, columns=["media_id", "kind", "format", "payload"])
 
     media = emb.mapInPandas(gen, mm.MEDIA_SCHEMA).localCheckpoint()
-    return mm.decode_image_features(media)
+    return mm.decode_image_features(media).select(
+        "media_id", "format", "width", "height", "n_rgb_bytes",
+        "mean_r", "mean_g", "mean_b")
 
 
 EMB_DIM = 64  # embeddings.parquet schema contract (same at every sf)
@@ -1068,6 +1076,24 @@ def q_rel_events_quantiles_approx(spark, sf_dir):
                         ok.alias("rank_err_ok"))
 
 
+def q_rel_events_distinct_approx(spark, sf_dir):
+    """HLL++ distinct users per event_type (kg.relops.approx_distinct)
+    under the bounded-contract pattern (like rel_events_quantiles_approx):
+    the sketch estimate is not hash-portable, but its error contract is —
+    Spark joins the exact distinct count back in and emits whether the
+    relative error is within 5·rsd; the oracle asserts the contract for
+    every group.  A broken sketch emits false → hash mismatch."""
+    from kg.relops import approx_distinct
+    ev = _read("events")(spark, sf_dir).select("event_type", "user_id")
+    approx = approx_distinct(ev, "user_id", ("event_type",), rsd=0.02)
+    exact = (ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n_exact")))
+    ok = (F.abs(F.col("approx_distinct") - F.col("n_exact"))
+          * F.lit(1000) <= F.lit(100) * F.col("n_exact"))  # 5*0.02 = 10%
+    return (approx.join(exact, "event_type")
+            .select("event_type", ok.alias("rel_err_ok")))
+
+
 def q_rel_events_window_join(spark, sf_dir):
     """Point-in-interval join (kg.relops.bucketed_interval_join): clicks
     landing in the 2h window after each signup, counted per signup.  The
@@ -1205,6 +1231,19 @@ def q_ann_pq_topk(spark, sf_dir):
     return kgsim.pq_topk(emb, queries, dim=EMB_DIM, k=5)
 
 
+def q_ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ composed ANN (kg.similarity.ivfpq_topk — FAISS IVFADC
+    shape): md5-deterministic coarse anchors route queries to 2 of 8
+    cells; candidates are scored by asymmetric distance over 8×8
+    RESIDUAL product-quantization codes.  Exact integer micro math end
+    to end, so the DuckDB oracle replays assignment, residuals, codes,
+    tables, and rankings bit-for-bit."""
+    emb = _read("embeddings")(spark, sf_dir)
+    queries = (emb.filter(F.col("vec_id") < 10)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return kgsim.ivfpq_topk(emb, queries, dim=EMB_DIM, k=5)
+
+
 def q_corpus_temperature(spark, sf_dir):
     """Temperature (alpha=0.5) domain sampling over the full multilingual
     documents table (kg.sampling.temperature_mixture): the published
@@ -1318,6 +1357,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_tag_pagerank_full": q_kg_tag_pagerank_full,
         "text_normalize_nfc": q_text_normalize_nfc,
         "multimodal_decode": q_multimodal_decode,
+        "rel_events_distinct_approx": q_rel_events_distinct_approx,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
         # ==== tail: fresh green rows in CORRECTNESS_r03 =====================
         "text_length_hist": q_text_length_hist,
         "kg_tag_cooccur": q_kg_tag_cooccur,

@@ -56,8 +56,9 @@ HEADLINE = [
     "kg_tag_ppr",            # personalized PageRank, 5 seeded rounds
     "kg_tag_jaccard",        # neighbor-set Jaccard node similarity
     "kg_tag_pagerank_full",  # dangling-mass PageRank, directed HAS_TAG graph
-    "multimodal_decode",     # real BMP/PPM decode + PNG dims, mapInPandas
+    "multimodal_decode",     # real BMP/PPM/PNG decode, mapInPandas
     "text_normalize_nfc",    # unicode NFC, scalar pandas UDF
+    "ann_ivfpq_topk",        # composed IVFADC: cell-pruned residual-PQ ADC
 ]
 
 

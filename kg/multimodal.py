@@ -4,15 +4,16 @@ with typed metadata, processed by Arrow-batched pandas UDFs over
 
 The Spark-side machinery — schemas, partition-preserving batch iteration,
 UDF signatures, metadata propagation — is fully real and tested.  Decoding
-(r4): REAL pure-Python decoders for the uncompressed raster formats —
-24-bit BI_RGB **BMP** (full pixel decode) and binary **PPM** (P6, full
-pixel decode) — plus a **PNG** IHDR header parse (dimensions without pixel
-data; inflating PNG IDAT needs zlib-over-scanline filters, deliberately out
-of scope).  Compressed formats (JPEG, PNG pixels, audio/video codecs) still
-raise NotImplementedError with the integration point marked: swap
-`decode_image`'s fallthrough for PIL/opencv and nothing else changes (this
-container ships no imaging libraries).  `fake_png_bytes` stays as the
-lightest-weight deterministic fixture format.
+(r4): REAL pure-Python decoders — 24-bit BI_RGB **BMP** (full pixel
+decode), binary **PPM** (P6, full pixel decode), and full **PNG** for the
+dominant web case (8-bit RGB/RGBA non-interlaced: stdlib-zlib IDAT
+inflate + per-scanline unfiltering with all five predictors, validated
+against third-party-encoded PNGs) plus an IHDR dims-only path for
+truncated payloads.  JPEG, palette/16-bit/Adam7 PNG, and audio/video
+codecs still raise NotImplementedError with the integration point marked:
+swap `decode_image`'s fallthrough for PIL/opencv and nothing else changes
+(this container ships no imaging libraries).  `fake_png_bytes` stays as
+the lightest-weight deterministic fixture format.
 
 At scale: media rows are large and variable — batch memory is bounded by
 rows-per-batch (kg.session caps Arrow batches at 512) and by processing
@@ -99,6 +100,131 @@ def png_ihdr_bytes(width: int, height: int) -> bytes:
             + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF))
 
 
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def png_encode(width: int, height: int, pixels: bytes,
+               filter_type: int = 0, alpha: bool = False) -> bytes:
+    """REAL PNG encoder: 8-bit color type 2 (RGB) / 6 (RGBA),
+    non-interlaced, one zlib-compressed IDAT, every scanline carrying
+    `filter_type` (0..4 — None/Sub/Up/Average/Paeth, applied per spec).
+    Exists so fixtures exercise the full decode path, all five filter
+    predictors included."""
+    bpp = 4 if alpha else 3
+    ct = 6 if alpha else 2
+    ihdr = struct.pack(">II", width, height) + bytes((8, ct, 0, 0, 0))
+    stride = width * bpp
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        line = pixels[y * stride:(y + 1) * stride]
+        raw.append(filter_type)
+        for i in range(stride):
+            x = line[i]
+            a = line[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if filter_type == 0:
+                raw.append(x)
+            elif filter_type == 1:
+                raw.append((x - a) & 0xFF)
+            elif filter_type == 2:
+                raw.append((x - b) & 0xFF)
+            elif filter_type == 3:
+                raw.append((x - (a + b) // 2) & 0xFF)
+            elif filter_type == 4:
+                raw.append((x - _paeth(a, b, c)) & 0xFF)
+            else:
+                raise ValueError(f"filter_type must be 0..4, got {filter_type}")
+        prev = line
+    return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b""))
+
+
+def png_bytes(media_id: int, width: int, height: int,
+              filter_type: int = 0, alpha: bool = False) -> bytes:
+    """Constant-color real PNG fixture (same color rule as bmp_bytes, so
+    channel means stay an arithmetic function of media_id; alpha=255)."""
+    r, g, b = media_id % 251, (media_id * 7) % 251, (media_id * 13) % 251
+    px = (bytes((r, g, b, 255)) if alpha else bytes((r, g, b)))
+    return png_encode(width, height, px * (width * height),
+                      filter_type=filter_type, alpha=alpha)
+
+
+def _png_decode(payload: bytes) -> tuple[int, int, bytes]:
+    """Full PNG pixel decode — pure Python + stdlib zlib: IDAT inflate,
+    per-scanline unfilter (all five predictors), RGBA→RGB alpha drop.
+    Supports 8-bit color types 2/6, non-interlaced (the overwhelmingly
+    common web case; palette/16-bit/interlaced raise with the PIL
+    integration point marked).  Validated against third-party-encoded
+    PNGs (adaptive filters) in addition to the round-trip tests."""
+    pos, w = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos:pos + 4])
+        tag = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h = struct.unpack(">II", data[:8])
+            depth, ct, _comp, _flt, inter = data[8:13]
+            if depth != 8 or ct not in (2, 6) or inter != 0:
+                raise NotImplementedError(
+                    "PNG variant beyond 8-bit RGB/RGBA non-interlaced "
+                    "(palette/16-bit/Adam7) — integration point: PIL")
+            bpp = 4 if ct == 6 else 3
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None or not idat:
+        raise NotImplementedError(
+            "PNG without IDAT (header-only payload) — dims via image_dims")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * bpp
+    out = bytearray()
+    prev = bytearray(stride)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
+        for i in range(stride):
+            a = line[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                continue
+            if ft == 1:
+                line[i] = (line[i] + a) & 0xFF
+            elif ft == 2:
+                line[i] = (line[i] + b) & 0xFF
+            elif ft == 3:
+                line[i] = (line[i] + (a + b) // 2) & 0xFF
+            elif ft == 4:
+                line[i] = (line[i] + _paeth(a, b, c)) & 0xFF
+            else:
+                raise ValueError(f"invalid PNG scanline filter {ft}")
+        out += line
+        prev = line
+    if bpp == 4:
+        rgb = bytearray(w * h * 3)
+        rgb[0::3] = out[0::4]
+        rgb[1::3] = out[1::4]
+        rgb[2::3] = out[2::4]
+        return w, h, bytes(rgb)
+    return w, h, bytes(out)
+
+
 # --- real decoders -----------------------------------------------------------
 
 def image_dims(payload: bytes) -> tuple[int, int]:
@@ -141,12 +267,12 @@ def _ppm_header(payload: bytes) -> tuple[int, int, int, int]:
 
 
 def decode_image(payload: bytes) -> tuple[int, int, bytes]:
-    """REAL decode → (width, height, top-down RGB bytes) for the
-    uncompressed formats: fake fixture, 24-bit BI_RGB BMP (bottom-up rows
-    flipped, BGR swapped, row padding stripped), binary PPM/P6.  PNG has
-    dims via `image_dims` but no pixel path (IDAT inflate + scanline
-    filters = a real codec; use an imaging library — marked integration
-    point)."""
+    """REAL decode → (width, height, top-down RGB bytes): fake fixture,
+    24-bit BI_RGB BMP (bottom-up rows flipped, BGR swapped, row padding
+    stripped), binary PPM/P6, and full PNG (8-bit RGB/RGBA
+    non-interlaced: stdlib-zlib IDAT inflate + all five scanline filter
+    predictors — see _png_decode).  JPEG/palette-PNG/16-bit remain the
+    marked PIL integration point."""
     if payload[:8] == _MAGIC:
         return decode_image_stub(payload)
     if payload[:2] == b"BM":
@@ -175,9 +301,7 @@ def decode_image(payload: bytes) -> tuple[int, int, bytes]:
             raise NotImplementedError("PPM maxval must be 255")
         return w, h, payload[off:off + 3 * w * h]
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
-        raise NotImplementedError(
-            "PNG pixel decode needs IDAT inflate + scanline filters; dims "
-            "are available via image_dims — integration point for PIL")
+        return _png_decode(payload)
     raise NotImplementedError(
         "unsupported image format — integration point: PIL.Image.open")
 
@@ -217,7 +341,8 @@ DECODE_SCHEMA = StructType([
     StructField("width", IntegerType(), False),
     StructField("height", IntegerType(), False),
     StructField("n_bytes", LongType(), False),
-    StructField("mean_r", IntegerType(), False),   # -1 = pixels undecodable
+    StructField("n_rgb_bytes", LongType(), False),  # -1 = pixels undecodable
+    StructField("mean_r", IntegerType(), False),    # -1 = pixels undecodable
     StructField("mean_g", IntegerType(), False),
     StructField("mean_b", IntegerType(), False),
 ])
@@ -241,11 +366,13 @@ def decode_image_features(df: DataFrame) -> DataFrame:
                 try:
                     _, _, rgb = decode_image(p)
                     n = max(1, w * h)
+                    n_rgb = len(rgb)
                     means = (sum(rgb[0::3]) // n, sum(rgb[1::3]) // n,
                              sum(rgb[2::3]) // n)
                 except NotImplementedError:
-                    means = (-1, -1, -1)
-                rows.append((int(mid), str(fmt), w, h, len(p), *means))
+                    n_rgb, means = -1, (-1, -1, -1)
+                rows.append((int(mid), str(fmt), w, h, len(p), n_rgb,
+                             *means))
             yield pd.DataFrame(rows, columns=DECODE_SCHEMA.fieldNames())
 
     return (df.filter(F.col("kind") == "image")

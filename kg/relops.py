@@ -164,6 +164,21 @@ def approx_quantiles(df: DataFrame, value_col: str,
     return df.groupBy(*group_cols).agg(*aggs)
 
 
+def approx_distinct(df: DataFrame, value_col: str,
+                    group_cols: tuple[str, ...],
+                    rsd: float = 0.02) -> DataFrame:
+    """The 100 TB distinct-count path: Spark's HyperLogLog++ sketch
+    (approx_count_distinct) — map-side partial sketches merge in one
+    reduction, constant memory per group vs the expand-then-dedup cost
+    of exact countDistinct.  `rsd` is the target relative standard
+    deviation.  Like the GK quantile sketch, the estimate is not
+    hash-portable across engines, so the driver check is the BOUNDED
+    contract (see q_rel_events_distinct_approx): exact count joined in,
+    relative error asserted within 5·rsd."""
+    return df.groupBy(*group_cols).agg(
+        F.approx_count_distinct(value_col, rsd).alias("approx_distinct"))
+
+
 def bucketed_interval_join(points: DataFrame, intervals: DataFrame, on: str,
                            point_ts: str = "ts", start_ts: str = "start",
                            end_ts: str = "end",

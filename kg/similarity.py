@@ -377,6 +377,42 @@ def _sqdist_int(a: Column, b: list[int]) -> Column:
                        F.lit(0).cast("bigint"), lambda acc, v: acc + v)
 
 
+def _away(x: float) -> int:
+    """float → micro-int, ties away from zero — Spark/DuckDB round(), NOT
+    Python's banker's round; driver-side literals must quantize exactly
+    like the corpus side's F.round or codes drift on .5 boundaries."""
+    v = float(x) * 1_000_000
+    return int(math.floor(v + 0.5)) if v >= 0 else int(math.ceil(v - 0.5))
+
+
+def _sub_slice(vm: Column, j: int, sub: int) -> Column:
+    return F.slice(vm, j * sub + 1, sub)
+
+
+def _encode_codes(vm: Column, amicro: list[list[list[int]]],
+                  n_subspaces: int, n_codes: int, sub: int) -> Column:
+    """Per-subspace argmin code array vs a [code][subspace][dim] micro-int
+    codebook — ties (equal distance) break to the lower code via the
+    lexicographic array_sort, matching the oracle's (d, code) order."""
+    codes = []
+    for j in range(n_subspaces):
+        cands = F.array(*[
+            F.struct(_sqdist_int(_sub_slice(vm, j, sub), amicro[c][j])
+                     .alias("d"), F.lit(c).alias("code"))
+            for c in range(n_codes)])
+        codes.append(F.array_sort(cands)[0]["code"])
+    return F.array(*codes)
+
+
+def _adc_tables(qm: Column, amicro: list[list[list[int]]],
+                n_subspaces: int, n_codes: int, sub: int) -> Column:
+    """[subspace][code] lookup table of exact integer sqdists for ADC."""
+    return F.array(*[
+        F.array(*[_sqdist_int(_sub_slice(qm, j, sub), amicro[c][j])
+                  for c in range(n_codes)])
+        for j in range(n_subspaces)])
+
+
 def pq_topk(emb: DataFrame, queries: DataFrame, dim: int, k: int = 5,
             n_subspaces: int = 8, n_codes: int = 8,
             id_col: str = "vec_id", vec_col: str = "embedding",
@@ -425,20 +461,13 @@ def pq_topk(emb: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     assert dim % n_subspaces == 0, "dim must divide evenly into subspaces"
     sub = dim // n_subspaces
 
-    def away(x: float) -> int:
-        # ties away from zero — Spark/DuckDB round(), NOT Python's
-        # banker's round; the anchor literals must quantize exactly like
-        # the corpus side's F.round or codes drift on .5 boundaries
-        v = float(x) * 1_000_000
-        return int(math.floor(v + 0.5)) if v >= 0 else int(math.ceil(v - 0.5))
-
     # codebook → micro-int anchor subvectors, [code][subspace][dim]
     if codebook == "hash":
         anchors = (emb.select(F.col(vec_col).alias("v"),
                               F.md5(F.col(id_col).cast("string")).alias("h"))
                    .orderBy("h").limit(n_codes).collect())
         amicro = [[
-            [away(x) for x in r["v"][j * sub:(j + 1) * sub]]
+            [_away(x) for x in r["v"][j * sub:(j + 1) * sub]]
             for j in range(n_subspaces)] for r in anchors]
     elif codebook == "kmeans":
         from pyspark.ml.clustering import KMeans
@@ -455,35 +484,127 @@ def pq_topk(emb: DataFrame, queries: DataFrame, dim: int, k: int = 5,
             # deterministic across layouts; the lexicographic sort makes
             # the codebook a pure function of (data, seed)
             for c in range(n_codes):
-                amicro[c][j] = [away(x) for x in centers[c]]
+                amicro[c][j] = [_away(x) for x in centers[c]]
     else:
         raise ValueError(f"codebook must be 'hash' or 'kmeans', got "
                          f"{codebook!r}")
 
-    def sub_slice(vm: Column, j: int) -> Column:
-        return F.slice(vm, j * sub + 1, sub)
-
-    def encode(vm: Column) -> Column:
-        codes = []
-        for j in range(n_subspaces):
-            cands = F.array(*[
-                F.struct(_sqdist_int(sub_slice(vm, j), amicro[c][j])
-                         .alias("d"), F.lit(c).alias("code"))
-                for c in range(n_codes)])
-            codes.append(F.array_sort(cands)[0]["code"])
-        return F.array(*codes)
-
-    def tables(qm: Column) -> Column:
-        return F.array(*[
-            F.array(*[_sqdist_int(sub_slice(qm, j), amicro[c][j])
-                      for c in range(n_codes)])
-            for j in range(n_subspaces)])
-
-    assigned = emb.select(F.col(id_col).alias("neighbor_id"),
-                          encode(_micro_vec(F.col(vec_col))).alias("codes"))
-    q = queries.select(F.col(qid_col).alias("query_id"),
-                       tables(_micro_vec(F.col(qvec_col))).alias("tabs"))
+    assigned = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        _encode_codes(_micro_vec(F.col(vec_col)), amicro,
+                      n_subspaces, n_codes, sub).alias("codes"))
+    q = queries.select(
+        F.col(qid_col).alias("query_id"),
+        _adc_tables(_micro_vec(F.col(qvec_col)), amicro,
+                    n_subspaces, n_codes, sub).alias("tabs"))
     scored = (assigned.crossJoin(F.broadcast(q))
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .withColumn("adc", F.aggregate(
+                  F.zip_with(F.col("codes"), F.col("tabs"),
+                             lambda c, t: F.element_at(t, c + F.lit(1))),
+                  F.lit(0).cast("bigint"), lambda acc, v: acc + v)))
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank",
+                    F.col("adc").alias("adc_dist_micro2")))
+
+
+def ivfpq_topk(emb: DataFrame, queries: DataFrame, dim: int, k: int = 5,
+               n_cells: int = 8, n_probe: int = 2,
+               n_subspaces: int = 8, n_codes: int = 8,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               qid_col: str = "query_id",
+               qvec_col: str = "embedding") -> DataFrame:
+    """IVF-PQ — the composed billion-scale ANN index (FAISS IVFADC;
+    Jégou et al. 2011 §IV): a coarse inverted file prunes the search to
+    `n_probe` cells AND product quantization compresses what remains —
+    vectors are stored as (cell, codes) where codes quantize the RESIDUAL
+    v − anchor(cell), so the codebook spends its bits on the
+    within-cell detail instead of re-describing the coarse structure.
+    At 100 TB this pairs the two scale levers: candidate count drops
+    ~n_probe/n_cells (IVF) and candidate bytes drop ×100-250 (PQ);
+    (cell, codes) is the artifact a production pipeline persists,
+    partitioned BY cell — each query touches n_probe partitions.
+
+    Deterministic, engine-portable variant (repo convention): coarse
+    anchors are the `n_cells` smallest-md5(id) vectors; the residual
+    codebook comes from the residuals of the NEXT `n_codes` md5-ordered
+    vectors (disjoint, so no degenerate zero-residual codebook entry);
+    ALL math — assignment, residuals, encode, tables, ADC — is exact
+    integer micro-units, so the DuckDB oracle replays codes and rankings
+    bit-for-bit.  Production swaps k-means coarse + per-cell-trained
+    codebooks into the same literals (the pq_topk codebook="kmeans"
+    path shows the trained-fit shape).
+
+    Asymmetric distance: per routed (query, cell) the query residual
+    (qm − anchor(cell)) builds its own lookup table — residual tables
+    are cell-specific, which is exactly what IVFADC prescribes.
+
+    Plan: one tiny driver collect (anchors + codebook rows, the "load
+    the trained index" step) → corpus encode is a NARROW map (no
+    shuffle) → queries×cells routing explode (Q·n_probe rows, broadcast)
+    → broadcast join on cell → per-row lookup-sum → per-query top-k.
+
+    Returns (query_id, neighbor_id, rank, adc_dist_micro2)."""
+    assert dim % n_subspaces == 0, "dim must divide evenly into subspaces"
+    sub = dim // n_subspaces
+
+    head = (emb.select(F.col(vec_col).alias("v"),
+                       F.md5(F.col(id_col).cast("string")).alias("h"))
+            .orderBy("h").limit(n_cells + n_codes).collect())
+    amicro_full = [[_away(x) for x in r["v"]] for r in head[:n_cells]]
+
+    def _sqd_py(a: list[int], b: list[int]) -> int:
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    # residual codebook rows: driver-side replay of the SAME integer
+    # assignment rule ((dist, cell-index) lexicographic min) the corpus
+    # map below applies
+    rmicro = [[None] * n_subspaces for _ in range(n_codes)]
+    for code, r in enumerate(head[n_cells:]):
+        vm = [_away(x) for x in r["v"]]
+        cell = min(range(n_cells),
+                   key=lambda c: (_sqd_py(vm, amicro_full[c]), c))
+        res = [vm[i] - amicro_full[cell][i] for i in range(dim)]
+        for j in range(n_subspaces):
+            rmicro[code][j] = res[j * sub:(j + 1) * sub]
+
+    anch_lit = F.array(*[F.array(*[F.lit(int(x)).cast("bigint") for x in a])
+                         for a in amicro_full])
+
+    def cell_sorted(vm: Column) -> Column:
+        return F.array_sort(F.array(*[
+            F.struct(_sqdist_int(vm, amicro_full[c]).alias("d"),
+                     F.lit(c).alias("cell"))
+            for c in range(n_cells)]))
+
+    def residual(vm: Column, cell: Column) -> Column:
+        return F.zip_with(vm, F.element_at(anch_lit, cell + F.lit(1)),
+                          lambda x, y: x - y)
+
+    vm = _micro_vec(F.col(vec_col))
+    assigned = (emb.select(F.col(id_col).alias("neighbor_id"),
+                           vm.alias("_vm"),
+                           cell_sorted(vm)[0]["cell"].alias("cell"))
+                .select("neighbor_id", "cell",
+                        _encode_codes(residual(F.col("_vm"), F.col("cell")),
+                                      rmicro, n_subspaces, n_codes, sub)
+                        .alias("codes")))
+
+    qm = _micro_vec(F.col(qvec_col))
+    routed = (queries.select(F.col(qid_col).alias("query_id"),
+                             qm.alias("_qm"),
+                             F.explode(F.slice(cell_sorted(qm), 1, n_probe))
+                             .alias("c"))
+              .select("query_id", F.col("c.cell").alias("cell"),
+                      _adc_tables(residual(F.col("_qm"), F.col("c.cell")),
+                                  rmicro, n_subspaces, n_codes, sub)
+                      .alias("tabs")))
+
+    scored = (assigned.join(F.broadcast(routed), "cell")
               .filter(F.col("neighbor_id") != F.col("query_id"))
               .withColumn("adc", F.aggregate(
                   F.zip_with(F.col("codes"), F.col("tabs"),

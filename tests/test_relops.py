@@ -185,6 +185,23 @@ def test_approx_quantiles_rank_error_bound(spark):
             assert dist <= n // acc + 1, (et, p, dist, n)
 
 
+def test_approx_distinct_error_bound(spark):
+    """HLL++ path: per-group approx_count_distinct is within 5·rsd of the
+    exact distinct count on the real events table (deterministic: HLL is
+    a pure function of the value set)."""
+    from kg.relops import approx_distinct
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    approx = {r["event_type"]: r["approx_distinct"]
+              for r in approx_distinct(ev, "user_id", ("event_type",),
+                                       rsd=0.02).collect()}
+    exact = {r["event_type"]: r["n"]
+             for r in ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    assert set(approx) == set(exact)
+    for et, n in exact.items():
+        assert abs(approx[et] - n) <= 0.10 * n, (et, approx[et], n)
+
+
 def test_asof_composite_key_matches_bruteforce(spark):
     """asof_join with a (k1, k2) composite key equals the inequality-join
     definition — keys must never cross-match."""

@@ -309,3 +309,66 @@ def test_pq_codebook_validation(emb, queries):
     from kg.similarity import pq_topk
     with pytest.raises(ValueError, match="codebook"):
         pq_topk(emb, queries, dim=64, codebook="nope")
+
+
+def test_ivfpq_topk_shape_and_determinism(emb, queries):
+    from kg.similarity import ivfpq_topk
+    out = ivfpq_topk(emb, queries, dim=64, k=5)
+    rows = out.collect()
+    assert len(rows) == 8 * 5
+    by_q = {}
+    for r in rows:
+        assert r["query_id"] != r["neighbor_id"]
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        assert sorted(x["rank"] for x in rs) == [1, 2, 3, 4, 5]
+        dists = [x["adc_dist_micro2"]
+                 for x in sorted(rs, key=lambda x: x["rank"])]
+        assert dists == sorted(dists)
+    assert {tuple(r) for r in rows} == {tuple(r) for r in out.collect()}
+
+
+def test_ivfpq_finds_exact_duplicate(spark, emb):
+    """A duplicate of the query lands in the query's own cell with
+    identical residual codes — minimal ADC among differing candidates
+    (the IVF routing always probes the query's own cell first)."""
+    from kg.similarity import ivfpq_topk
+    dup = (emb.filter(F.col("vec_id") == 3)
+           .select(F.lit(90001).cast("long").alias("vec_id"), "embedding"))
+    emb2 = emb.select("vec_id", "embedding").unionByName(dup)
+    q = (emb.filter(F.col("vec_id") == 3)
+         .select(F.col("vec_id").alias("query_id"), "embedding"))
+    rows = ivfpq_topk(emb2, q, dim=64, k=5).collect()
+    best = min(r["adc_dist_micro2"] for r in rows)
+    dup_rows = [r for r in rows if r["neighbor_id"] == 90001]
+    assert dup_rows and dup_rows[0]["adc_dist_micro2"] == best
+
+
+def test_ivfpq_recall_on_clustered_data(spark):
+    """IVFADC earns its keep on structured data: on the 4-cluster fixture
+    the coarse routing sends each query to its own cluster's cells and
+    the residual codes rank within it — measured recall 0.6 vs ~4%
+    chance (uniform-random data is the documented worst case: residuals
+    are noise and an 8-entry hash codebook cannot rank them)."""
+    from kg.similarity import ivfpq_topk
+    from pyspark.sql.window import Window
+    emb = _clustered_emb(spark).cache()
+    queries = (emb.filter(F.col("vec_id") % 17 == 3)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    ed = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0), lambda acc, v: acc + v)
+    base = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    qs = queries.select("query_id", F.col("embedding").alias("qv"))
+    exact = (base.crossJoin(qs)
+             .filter(F.col("neighbor_id") != F.col("query_id"))
+             .withColumn("d", ed(F.col("embedding"), F.col("qv")))
+             .withColumn("rn", F.row_number().over(
+                 Window.partitionBy("query_id")
+                 .orderBy(F.asc("d"), F.asc("neighbor_id"))))
+             .filter(F.col("rn") <= 5))
+    want = _pairs(exact)
+    got = _pairs(ivfpq_topk(emb, queries, dim=64, k=5))
+    assert len(got & want) / len(want) >= 0.5
+    emb.unpersist()

@@ -151,9 +151,41 @@ def test_png_dims_only():
     assert len(b) == 33
     assert mm.image_dims(b) == (640, 480)
     with pytest.raises(NotImplementedError, match="IDAT"):
-        mm.decode_image(b)
+        mm.decode_image(b)          # header-only: dims yes, pixels no
     with pytest.raises(NotImplementedError):
         mm.decode_image(b"\xff\xd8\xffJPEG-ish")
+
+
+def test_png_full_decode_all_filters():
+    """Full PNG decode: gradient pixels (exercise every predictor branch
+    non-trivially) round-trip through all five scanline filter types, in
+    both RGB and RGBA (alpha dropped on decode)."""
+    w, h = 7, 5
+    for alpha in (False, True):
+        bpp = 4 if alpha else 3
+        px = bytes(((x * 37 + y * 91 + ch * 13) % 256)
+                   for y in range(h) for x in range(w) for ch in range(bpp))
+        want = bytes(b for i in range(0, len(px), bpp) for b in px[i:i + 3])
+        for ft in range(5):
+            enc = mm.png_encode(w, h, px, filter_type=ft, alpha=alpha)
+            gw, gh, got = mm.decode_image(enc)
+            assert (gw, gh) == (w, h)
+            assert got == want, f"filter {ft} alpha {alpha}"
+            assert mm.image_dims(enc) == (w, h)
+    # constant-color fixture: means are the bmp_bytes color rule
+    cb = mm.png_bytes(42, 4, 3, filter_type=4, alpha=True)
+    _, _, rgb = mm.decode_image(cb)
+    assert rgb == bytes((42, 294 % 251, 546 % 251)) * 12
+    # unsupported PNG variants raise at the marked integration point
+    import struct as st
+    bad = bytearray(mm.png_bytes(1, 2, 2))
+    bad[24] = 3                     # color type 3 = palette
+    # fix the IHDR crc so the parse reaches the color-type check honestly
+    import zlib as zl
+    ihdr = bytes(bad[12:29])
+    bad[29:33] = st.pack(">I", zl.crc32(ihdr) & 0xFFFFFFFF)
+    with pytest.raises(NotImplementedError, match="palette|PIL"):
+        mm.decode_image(bytes(bad))
 
 
 def test_decode_image_features_mixed_formats(spark):

@@ -509,29 +509,26 @@ def build_oracle_sql() -> dict[str, str]:
           FROM documents)"""
 
     # Real-format decode: every output cell is an arithmetic function of
-    # vec_id — BMP size = 54 + h·(4-byte-padded 3w); PPM size = header
-    # ('P6\\n{w} {h}\\n255\\n') + 3wh; PNG = 33-byte sig+IHDR, means -1
-    # (header-only).  Constant-color fixtures make channel means exact.
+    # vec_id.  Payload SIZE of a zlib-compressed PNG is not arithmetic,
+    # so the check pins the DECODED size (n_rgb_bytes = 3wh) instead —
+    # which is exactly the decode contract.  vec_id % 4 = bmp / ppm /
+    # full png (all 5 scanline filters via vec_id % 5, RGB/RGBA
+    # alternating) / header-only png (dims parse, -1 means).
+    # Constant-color fixtures make channel means exact.
     sqls["multimodal_decode"] = """
         SELECT vec_id AS media_id,
-               CASE vec_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
-                    ELSE 'png' END AS format,
+               CASE vec_id % 4 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
+                    WHEN 2 THEN 'png' ELSE 'png-hdr' END AS format,
                CAST(4 + vec_id % 5 AS INT) AS width,
                CAST(3 + vec_id % 4 AS INT) AS height,
-               CAST(CASE vec_id % 3
-                    WHEN 0 THEN 54 + (3 + vec_id % 4)
-                                * (((3 * (4 + vec_id % 5) + 3) // 4) * 4)
-                    WHEN 1 THEN 3
-                                + length(CAST(4 + vec_id % 5 AS VARCHAR)) + 1
-                                + length(CAST(3 + vec_id % 4 AS VARCHAR)) + 1
-                                + 4
-                                + 3 * (4 + vec_id % 5) * (3 + vec_id % 4)
-                    ELSE 33 END AS BIGINT) AS n_bytes,
-               CAST(CASE WHEN vec_id % 3 = 2 THEN -1
+               CAST(CASE WHEN vec_id % 4 = 3 THEN -1
+                    ELSE 3 * (4 + vec_id % 5) * (3 + vec_id % 4)
+                    END AS BIGINT) AS n_rgb_bytes,
+               CAST(CASE WHEN vec_id % 4 = 3 THEN -1
                          ELSE vec_id % 251 END AS INT) AS mean_r,
-               CAST(CASE WHEN vec_id % 3 = 2 THEN -1
+               CAST(CASE WHEN vec_id % 4 = 3 THEN -1
                          ELSE (vec_id * 7) % 251 END AS INT) AS mean_g,
-               CAST(CASE WHEN vec_id % 3 = 2 THEN -1
+               CAST(CASE WHEN vec_id % 4 = 3 THEN -1
                          ELSE (vec_id * 13) % 251 END AS INT) AS mean_b
         FROM embeddings"""
 
@@ -1344,6 +1341,11 @@ def build_oracle_sql() -> dict[str, str]:
         FROM (SELECT DISTINCT event_type FROM events)
         CROSS JOIN (VALUES (50), (95), (99)) AS p(pct)"""
 
+    # Same bounded-contract pattern for the HLL++ distinct sketch.
+    sqls["rel_events_distinct_approx"] = """
+        SELECT event_type, true AS rel_err_ok
+        FROM (SELECT DISTINCT event_type FROM events)"""
+
     sqls["rel_events_quantiles"] = """
         WITH ranked AS (
           SELECT event_type, value,
@@ -1652,6 +1654,91 @@ def build_oracle_sql() -> dict[str, str]:
               FROM scored)
         WHERE rn <= 5"""
 
+
+    # IVF-PQ (FAISS IVFADC): set-based mirror of kg.similarity.ivfpq_topk —
+    # coarse anchors = 8 smallest-md5 vectors, residual codebook = the
+    # residuals of the NEXT 8 md5-ordered vectors, queries routed to their
+    # 2 nearest cells, residual-PQ codes + per-(query, cell) residual
+    # tables, all exact integer micro.  Every rank CTE is MATERIALIZED
+    # (multiply-referenced — CLAUDE.md DuckDB CTE trap).
+    sqls["ann_ivfpq_topk"] = """
+        WITH em AS MATERIALIZED (
+          SELECT vec_id,
+                 list_transform(embedding,
+                     x -> CAST(round(CAST(x AS DOUBLE) * 1000000)
+                               AS BIGINT)) AS v
+          FROM embeddings),
+        head AS MATERIALIZED (
+          SELECT CAST(row_number() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS INT)
+                   AS rn, vec_id, v
+          FROM em ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+        canch AS MATERIALIZED (SELECT rn AS cell, v FROM head WHERE rn < 8),
+        cbrows AS MATERIALIZED (
+          SELECT rn - 8 AS code, vec_id FROM head WHERE rn >= 8),
+        dims AS (SELECT unnest(range(1, 65)) AS i),
+        cd AS MATERIALIZED (
+          SELECT e.vec_id, a.cell,
+                 sum((e.v[dims.i] - a.v[dims.i])
+                     * (e.v[dims.i] - a.v[dims.i])) AS d
+          FROM em e CROSS JOIN canch a CROSS JOIN dims
+          GROUP BY 1, 2),
+        cell AS MATERIALIZED (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d, cell) AS rn
+            FROM cd) WHERE rn = 1),
+        rdim AS MATERIALIZED (
+          SELECT e.vec_id, dims.i, e.v[dims.i] - a.v[dims.i] AS rv
+          FROM em e JOIN cell c USING (vec_id)
+                    JOIN canch a ON a.cell = c.cell
+          CROSS JOIN dims),
+        cbdim AS MATERIALIZED (
+          SELECT cb.code, r.i, r.rv
+          FROM cbrows cb JOIN rdim r ON r.vec_id = cb.vec_id),
+        sdr AS MATERIALIZED (
+          SELECT r.vec_id, c.code, CAST((r.i - 1) // 8 AS INT) AS j,
+                 sum((r.rv - c.rv) * (r.rv - c.rv)) AS d
+          FROM rdim r JOIN cbdim c ON c.i = r.i
+          GROUP BY 1, 2, 3),
+        codes AS MATERIALIZED (
+          SELECT vec_id, j, code FROM (
+            SELECT vec_id, j, code,
+                   row_number() OVER (PARTITION BY vec_id, j
+                                      ORDER BY d, code) AS rn
+            FROM sdr) WHERE rn = 1),
+        qroute AS MATERIALIZED (
+          SELECT vec_id AS query_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d, cell) AS rn
+            FROM cd WHERE vec_id < 10) WHERE rn <= 2),
+        qrdim AS MATERIALIZED (
+          SELECT q.query_id, q.cell, dims.i, e.v[dims.i] - a.v[dims.i] AS rv
+          FROM qroute q JOIN em e ON e.vec_id = q.query_id
+                        JOIN canch a ON a.cell = q.cell
+          CROSS JOIN dims),
+        qtab AS MATERIALIZED (
+          SELECT r.query_id, r.cell, CAST((r.i - 1) // 8 AS INT) AS j,
+                 c.code, sum((r.rv - c.rv) * (r.rv - c.rv)) AS d
+          FROM qrdim r JOIN cbdim c ON c.i = r.i
+          GROUP BY 1, 2, 3, 4),
+        scored AS MATERIALIZED (
+          SELECT q.query_id, k.vec_id AS neighbor_id,
+                 CAST(sum(q.d) AS BIGINT) AS adc
+          FROM codes k
+          JOIN cell cl ON cl.vec_id = k.vec_id
+          JOIN qtab q ON q.cell = cl.cell AND q.j = k.j AND q.code = k.code
+          WHERE k.vec_id <> q.query_id
+          GROUP BY 1, 2)
+        SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank,
+               adc AS adc_dist_micro2
+        FROM (SELECT query_id, neighbor_id, adc,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY adc, neighbor_id) AS rn
+              FROM scored)
+        WHERE rn <= 5"""
 
     # Temperature-mixture sampling: integer-micro weights/rates, md5
     # 5-hex-prefix keep decision — full row-membership replay.
