@@ -108,7 +108,11 @@ def run(sf_dir: str, cpus: int, names: list[str] | None = None) -> dict:
     # execution only.
     prebuild = {"ann_nearest_centroid"}
 
-    for trial in range(2):
+    # best-of-3 since r4 (was 2): the host's ~10% steal band put 1.3-1.7x
+    # swings on individual queries even across interleaved pairs; a third
+    # interleaved trial measurably tightens the min
+    trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "3"))
+    for trial in range(trials):
         for name in names:
             # construction INSIDE the timer for everything else: iterative
             # operators (connected components, PageRank) run their

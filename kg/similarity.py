@@ -385,32 +385,60 @@ def _away(x: float) -> int:
     return int(math.floor(v + 0.5)) if v >= 0 else int(math.ceil(v - 0.5))
 
 
-def _sub_slice(vm: Column, j: int, sub: int) -> Column:
-    return F.slice(vm, j * sub + 1, sub)
+# SQL-string literal builders: a [codes][subspaces][dim] codebook inlined
+# through the Python Column API costs tens of thousands of py4j calls at
+# PLAN-CONSTRUCTION time (measured: 18-31 s per query build) and unrolls
+# into a codegen-hostile expression forest; ONE F.expr string with runtime
+# higher-order functions (transform/zip_with/aggregate over the literal
+# arrays) builds in milliseconds, keeps the serialized plan small, and
+# computes the identical integer math (oracles unchanged).
+
+def _lit2_sql(a: list[list[int]]) -> str:
+    return "array(" + ",".join(
+        "array(" + ",".join(f"{int(x)}L" for x in row) + ")"
+        for row in a) + ")"
 
 
-def _encode_codes(vm: Column, amicro: list[list[list[int]]],
+def _lit3_sql(a: list[list[list[int]]]) -> str:
+    return "array(" + ",".join(_lit2_sql(c) for c in a) + ")"
+
+
+_SQD = ("aggregate(zip_with({v}, {w}, (x, y) -> (x - y) * (x - y)), "
+        "0L, (acc, d) -> acc + d)")
+
+
+def _encode_codes(res_col: str, amicro: list[list[list[int]]],
                   n_subspaces: int, n_codes: int, sub: int) -> Column:
-    """Per-subspace argmin code array vs a [code][subspace][dim] micro-int
-    codebook — ties (equal distance) break to the lower code via the
-    lexicographic array_sort, matching the oracle's (d, code) order."""
-    codes = []
-    for j in range(n_subspaces):
-        cands = F.array(*[
-            F.struct(_sqdist_int(_sub_slice(vm, j, sub), amicro[c][j])
-                     .alias("d"), F.lit(c).alias("code"))
-            for c in range(n_codes)])
-        codes.append(F.array_sort(cands)[0]["code"])
-    return F.array(*codes)
+    """Per-subspace argmin code array (array<int>) vs a
+    [code][subspace][dim] micro-int codebook — ties break to the lower
+    code via the lexicographic array_sort, matching the oracle's
+    (d, code) order.  `res_col` is a COLUMN NAME (the caller stages the
+    micro/residual vector into a named column first)."""
+    sqd = _SQD.format(v=f"slice({res_col}, CAST(j * {sub} + 1 AS INT), {sub})",
+                      w="element_at(cv, CAST(j + 1 AS INT))")
+    return F.expr(
+        f"transform(sequence(0, {n_subspaces - 1}), j -> "
+        f"element_at(array_sort(transform({_lit3_sql(amicro)}, (cv, c) -> "
+        f"struct({sqd} AS d, c AS code))), 1).code)")
 
 
-def _adc_tables(qm: Column, amicro: list[list[list[int]]],
+def _adc_tables(qm_col: str, amicro: list[list[list[int]]],
                 n_subspaces: int, n_codes: int, sub: int) -> Column:
     """[subspace][code] lookup table of exact integer sqdists for ADC."""
-    return F.array(*[
-        F.array(*[_sqdist_int(_sub_slice(qm, j, sub), amicro[c][j])
-                  for c in range(n_codes)])
-        for j in range(n_subspaces)])
+    sqd = _SQD.format(v=f"slice({qm_col}, CAST(j * {sub} + 1 AS INT), {sub})",
+                      w="element_at(cv, CAST(j + 1 AS INT))")
+    return F.expr(
+        f"transform(sequence(0, {n_subspaces - 1}), j -> "
+        f"transform({_lit3_sql(amicro)}, (cv, c) -> {sqd}))")
+
+
+def _cells_sorted(vm_col: str, anchors: list[list[int]]) -> Column:
+    """array of (d, cell) structs sorted ascending — full-dim integer
+    sqdist of the named micro-vector column against every coarse anchor."""
+    sqd = _SQD.format(v=vm_col, w="av")
+    return F.expr(
+        f"array_sort(transform({_lit2_sql(anchors)}, (av, c) -> "
+        f"struct({sqd} AS d, c AS cell)))")
 
 
 def pq_topk(emb: DataFrame, queries: DataFrame, dim: int, k: int = 5,
@@ -489,14 +517,17 @@ def pq_topk(emb: DataFrame, queries: DataFrame, dim: int, k: int = 5,
         raise ValueError(f"codebook must be 'hash' or 'kmeans', got "
                          f"{codebook!r}")
 
-    assigned = emb.select(
-        F.col(id_col).alias("neighbor_id"),
-        _encode_codes(_micro_vec(F.col(vec_col)), amicro,
-                      n_subspaces, n_codes, sub).alias("codes"))
-    q = queries.select(
-        F.col(qid_col).alias("query_id"),
-        _adc_tables(_micro_vec(F.col(qvec_col)), amicro,
-                    n_subspaces, n_codes, sub).alias("tabs"))
+    assigned = (emb.select(F.col(id_col).alias("neighbor_id"),
+                           _micro_vec(F.col(vec_col)).alias("_vm"))
+                .select("neighbor_id",
+                        _encode_codes("_vm", amicro,
+                                      n_subspaces, n_codes, sub)
+                        .alias("codes")))
+    q = (queries.select(F.col(qid_col).alias("query_id"),
+                        _micro_vec(F.col(qvec_col)).alias("_qm"))
+         .select("query_id",
+                 _adc_tables("_qm", amicro,
+                             n_subspaces, n_codes, sub).alias("tabs")))
     scored = (assigned.crossJoin(F.broadcast(q))
               .filter(F.col("neighbor_id") != F.col("query_id"))
               .withColumn("adc", F.aggregate(
@@ -572,37 +603,36 @@ def ivfpq_topk(emb: DataFrame, queries: DataFrame, dim: int, k: int = 5,
         for j in range(n_subspaces):
             rmicro[code][j] = res[j * sub:(j + 1) * sub]
 
-    anch_lit = F.array(*[F.array(*[F.lit(int(x)).cast("bigint") for x in a])
-                         for a in amicro_full])
+    anch_sql = _lit2_sql(amicro_full)
 
-    def cell_sorted(vm: Column) -> Column:
-        return F.array_sort(F.array(*[
-            F.struct(_sqdist_int(vm, amicro_full[c]).alias("d"),
-                     F.lit(c).alias("cell"))
-            for c in range(n_cells)]))
+    def residual(vm_col: str) -> Column:
+        # anchor row picked by the staged `cell` column
+        return F.expr(f"zip_with({vm_col}, element_at({anch_sql}, "
+                      f"cell + 1), (x, y) -> x - y)")
 
-    def residual(vm: Column, cell: Column) -> Column:
-        return F.zip_with(vm, F.element_at(anch_lit, cell + F.lit(1)),
-                          lambda x, y: x - y)
-
-    vm = _micro_vec(F.col(vec_col))
+    # STAGED projections, one expensive array expression per step (_vm →
+    # cell → _res → codes): the encode references its input n_codes times
+    # per subspace, so each step lands in its own named column; the
+    # literal codebooks ride in as single SQL strings (construction-time
+    # py4j economy — see _lit2_sql note).
     assigned = (emb.select(F.col(id_col).alias("neighbor_id"),
-                           vm.alias("_vm"),
-                           cell_sorted(vm)[0]["cell"].alias("cell"))
+                           _micro_vec(F.col(vec_col)).alias("_vm"))
+                .withColumn("cell", _cells_sorted("_vm", amicro_full)[0]["cell"])
+                .withColumn("_res", residual("_vm"))
                 .select("neighbor_id", "cell",
-                        _encode_codes(residual(F.col("_vm"), F.col("cell")),
-                                      rmicro, n_subspaces, n_codes, sub)
+                        _encode_codes("_res", rmicro,
+                                      n_subspaces, n_codes, sub)
                         .alias("codes")))
 
-    qm = _micro_vec(F.col(qvec_col))
     routed = (queries.select(F.col(qid_col).alias("query_id"),
-                             qm.alias("_qm"),
-                             F.explode(F.slice(cell_sorted(qm), 1, n_probe))
-                             .alias("c"))
-              .select("query_id", F.col("c.cell").alias("cell"),
-                      _adc_tables(residual(F.col("_qm"), F.col("c.cell")),
-                                  rmicro, n_subspaces, n_codes, sub)
-                      .alias("tabs")))
+                             _micro_vec(F.col(qvec_col)).alias("_qm"))
+              .withColumn("c", F.explode(
+                  F.slice(_cells_sorted("_qm", amicro_full), 1, n_probe)))
+              .withColumn("cell", F.col("c.cell"))
+              .withColumn("_res", residual("_qm"))
+              .select("query_id", "cell",
+                      _adc_tables("_res", rmicro,
+                                  n_subspaces, n_codes, sub).alias("tabs")))
 
     scored = (assigned.join(F.broadcast(routed), "cell")
               .filter(F.col("neighbor_id") != F.col("query_id"))

@@ -297,3 +297,38 @@ def test_temperature_mixture_lazy_broadcast(spark):
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_ivfpq_corpus_encode_narrow_and_broadcast_join(spark):
+    """IVF-PQ plan contract: the corpus side (assign cell + encode
+    residual codes) is a NARROW map over inlined anchor/codebook literals
+    — no Exchange may appear below the candidate join; the routed query
+    side arrives via BroadcastExchange; the only shuffle Exchange in the
+    whole plan is the final per-query top-k window.  At 100 TB the corpus
+    encode being shuffle-free is the entire point of the design."""
+    from kg.similarity import ivfpq_topk
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + d) % 5) for d in range(8)]) for i in range(40)],
+        "vec_id long, embedding array<float>")
+    q = (emb.filter(F.col("vec_id") < 3)
+         .select(F.col("vec_id").alias("query_id"), "embedding"))
+    plan = _plan(ivfpq_topk(emb, q, dim=8, k=3, n_cells=4, n_probe=2,
+                            n_subspaces=2, n_codes=4))
+    assert "BroadcastExchange" in plan          # routed queries broadcast
+    assert "SortMergeJoin" not in plan          # candidate join is hash/bcast
+    # exactly ONE shuffle exchange: the top-k window on query_id
+    shuffles = [ln for ln in plan.splitlines()
+                if "Exchange" in ln and "Broadcast" not in ln
+                and "Reused" not in ln]
+    assert len(shuffles) == 1, shuffles
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_multimodal_decode_stages_not_chained(spark):
+    """Fixture generation and decode are SEPARATE mapInPandas stages (one
+    pandas UDF per task, CLAUDE.md rule 1): the decode query plan must
+    contain exactly one MapInPandas over the checkpointed media frame."""
+    from kg import multimodal as mm
+    media = mm.synthetic_media(spark, n=6).localCheckpoint()
+    plan = _plan(mm.decode_image_features(media))
+    assert plan.count("MapInPandas") == 1
