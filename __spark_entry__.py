@@ -1291,6 +1291,66 @@ def q_dedup_boilerplate(spark, sf_dir):
                                       min_docs=3)
 
 
+def q_dedup_paragraph(spark, sf_dir):
+    """Corpus-wide exact duplicated-SPAN removal (kg.dedup.span_dedup):
+    every 5-token chunk occurring more than once anywhere in the corpus
+    is cut from all but its first occurrence and each document's text is
+    rebuilt — the exact-substring dedup REWRITE (C4 / "Deduplicating
+    Training Data") that per-document pair dedup cannot express."""
+    return (kgdedup.span_dedup(_docs(spark, sf_dir, None), w=5)
+            .select("doc_id", "n_chunks", "n_kept", "text_dedup"))
+
+
+def q_kg_tag_hits(spark, sf_dir):
+    """HITS hubs/authorities (kg.graphrank.hits) over the DIRECTED
+    sentence→tag HAS_TAG graph: sentences rank as hubs, tags as
+    authorities — 3 synchronous integer-micro rounds with L∞
+    normalization, oracle replays the rounds as MATERIALIZED CTE chains
+    with scalar max subqueries."""
+    from kg.graphrank import hits
+    edges = (_en_triples(spark, sf_dir, TOK_SPEC)
+             .filter(F.col("pred") == "HAS_TAG")
+             .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+             # UDF-rooted + branched every round inside hits (rule 7)
+             .localCheckpoint())
+    return hits(edges, iterations=3)
+
+
+def q_rel_events_funnel(spark, sf_dir):
+    """Ordered-stage funnel view→click→purchase (kg.relops.funnel): each
+    user's earliest IN-ORDER completion time per stage — stage i+1
+    counts only at/after stage i's completion, ties broken on (ts,
+    event_id); all stage frames are user-sized and share one hash
+    partitioning."""
+    from kg.relops import funnel
+    return funnel(_read("events")(spark, sf_dir),
+                  ("view", "click", "purchase"))
+
+
+def q_ann_sq_topk(spark, sf_dir):
+    """Scalar-quantization ANN (kg.similarity.sq_topk — FAISS SQ8): per-
+    dimension 256-level uniform quantization between corpus min/max,
+    1 byte/dim; codes, dequantize, and asymmetric distances are exact
+    integer micro math, so the oracle replays rankings bit-for-bit."""
+    emb = _read("embeddings")(spark, sf_dir)
+    queries = (emb.filter(F.col("vec_id") < 10)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return kgsim.sq_topk(emb, queries, dim=EMB_DIM, k=5)
+
+
+def q_kg_node_index(spark, sf_dir):
+    """Contiguous-id GNN export (kg.query.node_index): HAS_TAG edges
+    relabeled to integer ids assigned by global lexicographic node
+    order via the scalable two-phase numbering (range partition + local
+    rank + offsets — no single-partition global window)."""
+    from kg.query import node_index
+    triples = (_en_triples(spark, sf_dir, TOK_SPEC)
+               .filter(F.col("pred") == "HAS_TAG")
+               # UDF-rooted + branched 3× inside node_index (rule 7)
+               .localCheckpoint())
+    return node_index(triples, "HAS_TAG")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # WINDOW-ROTATION RULE (STATUS.md §rotation): the driver's CORRECTNESS
     # artifact covers roughly the FIRST 50 registered queries per round, so
@@ -1359,6 +1419,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "rel_events_distinct_approx": q_rel_events_distinct_approx,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        # --- r4 late additions: first in line for the r5 window (the r4
+        # window above is full at ~50; these five are oracle-checked by the
+        # local gate now and rotate into the driver window next round) -----
+        "dedup_paragraph": q_dedup_paragraph,
+        "kg_tag_hits": q_kg_tag_hits,
+        "rel_events_funnel": q_rel_events_funnel,
+        "ann_sq_topk": q_ann_sq_topk,
+        "kg_node_index": q_kg_node_index,
         # ==== tail: fresh green rows in CORRECTNESS_r03 =====================
         "text_length_hist": q_text_length_hist,
         "kg_tag_cooccur": q_kg_tag_cooccur,

@@ -436,6 +436,64 @@ def containment_pairs(df: DataFrame, n: int = 3, threshold: float = 0.8,
                     .alias("containment_micro")))
 
 
+def span_dedup(df: DataFrame, w: int = 5, text_col: str = "text",
+               id_col: str = "doc_id", out_col: str = "text_dedup",
+               max_chunks_per_doc: int = 100_000) -> DataFrame:
+    """Corpus-wide exact duplicated-SPAN removal — the C4/“Deduplicating
+    Training Data” exact-substring dedup applied as a REWRITE, not a
+    per-document drop: every `w`-token chunk that occurs more than once
+    anywhere in the corpus is removed from all but its first occurrence
+    (first = smallest (doc_id, chunk_index)), and each document's text is
+    rebuilt from its surviving chunks.  This deletes boilerplate
+    (headers, navboxes, license blocks) that per-pair document dedup
+    never touches because no whole-document pair clears a threshold —
+    cross_doc_duplication SCORES that signal; this op acts on it.
+
+    Chunks are non-overlapping `w`-token windows (trailing partial chunk
+    included), so every token belongs to exactly one chunk and the
+    rebuild is a disjoint re-join — the published span dedup uses suffix
+    arrays for arbitrary 50-token overlaps; fixed chunking is the
+    shuffle-friendly DataFrame form of the same signal (a duplicated run
+    of length L ≥ 2w always shares ≥ 1 full chunk).
+
+    Returns all input columns minus `text_col`, plus (n_chunks, n_kept,
+    `out_col`).  First-occurrence order is encoded as
+    `doc_id * max_chunks_per_doc + idx`, exact while every doc has fewer
+    than `max_chunks_per_doc` chunks (500k tokens at w=5 — far past any
+    sane document; raise the cap for book-length inputs).
+
+    Scale shape: narrow chunk explode → ONE hash aggregate on the chunk
+    string (map-side combine; this is the global dedup table — the
+    artifact to persist) → join back on chunk → groupBy(doc) rebuild.
+    Two shuffles + one join, no self-join, no pair blowup; hot chunks
+    cost one aggregate row each.  At 100 TB the chunk aggregate is the
+    same cost class as the shingle doc-frequency pass in
+    cross_doc_duplication."""
+    toks = F.split(F.col(text_col), " ")
+    n_chunks = F.floor((F.size(toks) + (w - 1)) / w).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(toks, i * w + 1, w), " "))
+    pos = (df.select(F.col(id_col), F.posexplode(chunks)
+                     .alias("idx", "chunk"))
+           .withColumn("ord", F.col(id_col) * max_chunks_per_doc
+                       + F.col("idx")))
+    first = pos.groupBy("chunk").agg(F.min("ord").alias("first_ord"))
+    kept = (pos.join(first, "chunk")
+            .withColumn("_keep", F.col("ord") == F.col("first_ord")))
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.count("*").cast("bigint").alias("n_chunks"),
+                    F.sum(F.col("_keep").cast("int")).cast("bigint")
+                    .alias("n_kept"),
+                    F.array_join(
+                        F.transform(
+                            F.sort_array(F.collect_list(
+                                F.when(F.col("_keep"),
+                                       F.struct("idx", "chunk")))),
+                            lambda s: s["chunk"]), " ").alias(out_col)))
+    return df.drop(text_col).join(rebuilt, id_col)
+
+
 def normalize_text(df: DataFrame, text_col: str = "text",
                    out_col: str = "text_norm") -> DataFrame:
     """Canonical pre-dedup text normalization: lowercase, strip

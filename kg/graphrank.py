@@ -578,3 +578,59 @@ def pivot_closeness(edges: DataFrame, n_pivots: int = 4,
                  F.sum("level").cast("bigint").alias("total_dist"),
                  F.sum(F.expr("1000000 div level")).cast("bigint")
                  .alias("harmonic_micro")))
+
+
+def hits(edges: DataFrame, iterations: int = 3,
+         src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999; the GDS `gds.alpha.hits`
+    procedure over the persisted tag graph) on a DIRECTED edge set —
+    natural on the bipartite sentence→tag HAS_TAG graph the reference
+    stores (ProcedureTest.java:114-124): sentences score as hubs (they
+    point at many good tags), tags as authorities.
+
+    Fixed synchronous rounds in exact BIGINT micro-units:
+        a'(t) = Σ_{s→t} h(s);   a = a' · 1e6 div max(a')
+        h'(s) = Σ_{s→t} a(t);   h = h' · 1e6 div max(h')
+    Normalizing by the max (L∞) instead of the published L2 keeps every
+    step integer `div` arithmetic, bit-identical across engines (same
+    micro-unit convention as pagerank above — the DuckDB oracle replays
+    the rounds as MATERIALIZED CTEs with scalar max subqueries); the
+    ranking is identical, only the scale factor differs.  Scores start
+    at 1e6; multi-edges are collapsed (unweighted HITS).
+
+    Returns (node, side, score_micro) with side ∈ ('hub','auth').  A
+    node appearing on both sides of edges gets a row per side.
+
+    Scale shape: two join-aggregate shuffles per round on the node keys
+    (the Pregel-on-DataFrame shape of pagerank), max via a 1-row
+    broadcast; score frames are node-sized and localCheckpointed every
+    round because each branches twice (the next join AND its max —
+    rule 7)."""
+    e = (edges.select(F.col(src_col).alias("src"),
+                      F.col(dst_col).alias("dst"))
+         .distinct().persist())
+    h = (e.select(F.col("src").alias("node")).distinct()
+         .withColumn("s", F.lit(MICRO).cast("bigint")).localCheckpoint())
+    a = None
+    for _ in range(iterations):
+        araw = (e.join(h.withColumnRenamed("node", "src"), "src")
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum("s").alias("s")))
+        amax = araw.agg(F.max("s").alias("mx"))
+        a = (araw.crossJoin(F.broadcast(amax))
+             .select("node", F.expr(f"(s * {MICRO}) div mx")
+                     .cast("bigint").alias("s")).localCheckpoint())
+        hraw = (e.join(a.withColumnRenamed("node", "dst"), "dst")
+                .groupBy(F.col("src").alias("node"))
+                .agg(F.sum("s").alias("s")))
+        hmax = hraw.agg(F.max("s").alias("mx"))
+        h = (hraw.crossJoin(F.broadcast(hmax))
+             .select("node", F.expr(f"(s * {MICRO}) div mx")
+                     .cast("bigint").alias("s")).localCheckpoint())
+    out = (h.select("node", F.lit("hub").alias("side"),
+                    F.col("s").alias("score_micro"))
+           .unionByName(a.select("node", F.lit("auth").alias("side"),
+                                 F.col("s").alias("score_micro")))
+           .localCheckpoint())
+    e.unpersist()
+    return out

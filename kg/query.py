@@ -164,3 +164,61 @@ def adjacency_lists(triples: DataFrame, pred: str,
     return (e.groupBy(F.col("a").alias("node"))
             .agg(F.count("*").cast("bigint").alias("degree"),
                  F.array_sort(F.collect_list("b")).alias("neighbors")))
+
+
+def node_index(triples: DataFrame, pred: str,
+               reverse: bool = False) -> DataFrame:
+    """Contiguous-integer node relabeling + relabeled edge list for one
+    predicate — the export shape every GNN/embedding toolchain (PyG /
+    DGL / node2vec trainers) expects: node ids 0..|V|−1 with edges as
+    integer pairs.  Complements adjacency_lists (same consumers, COO
+    edge-index form instead of per-node lists).
+
+    Ids are assigned by GLOBAL LEXICOGRAPHIC ORDER of the string node
+    uid — a pure function of the node set, so the mapping is
+    deterministic across engines/runs (a zipWithIndex-style first-seen
+    numbering is partition-layout-dependent and would never oracle).
+    Returns (src_idx, dst_idx, src, dst): the integer edge list with the
+    string uids alongside (project them away for the tensor; keep them
+    as the id↔uid mapping table).
+
+    Scale shape: distinct endpoints → TWO-PHASE global numbering (the
+    scalable zipWithIndex): range-repartition on the sort key + sort
+    within partitions, rank locally per partition, then add per-partition
+    offsets (a #partitions-row cumulative sum broadcast back).  A bare
+    `row_number() OVER (ORDER BY node)` would collapse |V| rows into ONE
+    partition — the classic global-window scale-killer; this form never
+    materializes more than a partition per task.  The numbering is
+    independent of where the range boundaries land (boundary sampling
+    only moves rows between partitions, offset + local rank still equals
+    the global rank), so the result stays a pure function of the node
+    set.  The edge relabeling is two plain hash joins; |V| ≪ |E| for KG
+    exports, so that is where the bytes move."""
+    from pyspark.sql.window import Window
+    e = step_edges(triples, pred, reverse).distinct()
+    ranked = (e.select(F.explode(F.array("a", "b")).alias("node"))
+              .distinct()
+              .repartitionByRange(F.col("node"))
+              .sortWithinPartitions("node")
+              .withColumn("_pid", F.spark_partition_id())
+              .withColumn("_lr", F.row_number().over(
+                  Window.partitionBy("_pid").orderBy("node")))
+              .localCheckpoint())  # branched below (counts + join): rule 7
+    counts = ranked.groupBy("_pid").agg(F.max("_lr").alias("_n")).collect()
+    offs = {}
+    acc = 0
+    for r in sorted(counts, key=lambda r: r["_pid"]):
+        offs[r["_pid"]] = acc
+        acc += r["_n"]
+    off_map = F.map_from_arrays(
+        F.array(*[F.lit(p) for p in offs]).cast("array<int>"),
+        F.array(*[F.lit(o) for o in offs.values()]).cast("array<bigint>"))
+    nodes = ranked.select(
+        "node", (F.col("_lr") - 1 + off_map[F.col("_pid")])
+        .cast("bigint").alias("idx"))
+    return (e.join(nodes.select(F.col("node").alias("a"),
+                                F.col("idx").alias("src_idx")), "a")
+            .join(nodes.select(F.col("node").alias("b"),
+                               F.col("idx").alias("dst_idx")), "b")
+            .select("src_idx", "dst_idx", F.col("a").alias("src"),
+                    F.col("b").alias("dst")))

@@ -236,3 +236,57 @@ def cohort_retention(events: DataFrame, ts_col: str = "ts",
                      F.datediff(F.col("day"), F.col("cohort_day"))
                      .cast("int").alias("day_offset"))
             .agg(F.count("*").cast("bigint").alias("n_users")))
+
+
+def funnel(events: DataFrame, stages: tuple[str, ...],
+           ts_col: str = "ts", user_col: str = "user_id",
+           type_col: str = "event_type",
+           seq_col: str = "event_id") -> DataFrame:
+    """Ordered-stage funnel: for each user, the earliest time each stage
+    was completed IN ORDER — stage i+1 counts only at/after the user's
+    stage-i completion time (the product-analytics "did view → click →
+    purchase happen in sequence" query; unordered per-type mins
+    overcount users who purchased before ever viewing).
+
+    Returns one row per distinct user:
+        (user_id, t1_us … tN_us, stage)
+    t{i}_us = unix micros of the earliest in-order completion of
+    stages[i-1] (NULL once the chain breaks), stage = number of stages
+    completed in order.  "At/after" is `>=` on (ts, seq_col) pairs
+    compared lexicographically — a same-timestamp chain counts, in
+    `seq_col` order, so ties are deterministic.
+
+    Scale shape: the event table is filtered to funnel types at the scan
+    (pushdown), then each stage is one min-aggregate + one join, ALL
+    keyed on the user column — after the first shuffle every later stage
+    reuses the same hash partitioning (co-partitioned joins, no
+    re-shuffle of the big side), and each stage's frame is user-sized,
+    not event-sized.  No windows over the raw stream, no per-user event
+    collection, so per-user event counts are unbounded safely."""
+    ev = (events.select(F.col(user_col).alias("user"),
+                        F.col(type_col).alias("typ"),
+                        F.unix_micros(F.col(ts_col).cast("timestamp"))
+                        .alias("us"),
+                        F.col(seq_col).cast("bigint").alias("seq"))
+          .filter(F.col("typ").isin(*stages)))
+    users = ev.select("user").distinct()
+    out = users
+    prev = None  # (us_col, seq_col) of the previous stage, once joined
+    for i, st in enumerate(stages, start=1):
+        cur = ev.filter(F.col("typ") == st)
+        if prev is not None:
+            cur = (cur.join(prev, "user")
+                   .filter((F.col("us") > F.col("_pus"))
+                           | ((F.col("us") == F.col("_pus"))
+                              & (F.col("seq") >= F.col("_pseq")))))
+        reached = (cur.groupBy("user")
+                   .agg(F.min(F.struct("us", "seq")).alias("_m"))
+                   .select("user", F.col("_m.us").alias(f"t{i}_us"),
+                           F.col("_m.seq").alias(f"_seq{i}")))
+        out = out.join(reached.drop(f"_seq{i}"), "user", "left")
+        prev = reached.select("user", F.col(f"t{i}_us").alias("_pus"),
+                              F.col(f"_seq{i}").alias("_pseq"))
+    ts_cols = [f"t{i}_us" for i in range(1, len(stages) + 1)]
+    stage_n = sum(F.col(c).isNotNull().cast("int") for c in ts_cols)
+    return out.select(F.col("user").alias(user_col), *ts_cols,
+                      stage_n.cast("int").alias("stage"))

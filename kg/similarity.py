@@ -647,3 +647,83 @@ def ivfpq_topk(emb: DataFrame, queries: DataFrame, dim: int, k: int = 5,
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank",
                     F.col("adc").alias("adc_dist_micro2")))
+
+
+def _lit1_sql(a: list[int]) -> str:
+    return "array(" + ",".join(f"{int(x)}L" for x in a) + ")"
+
+
+def sq_topk(emb: DataFrame, queries: DataFrame, dim: int, k: int = 5,
+            levels: int = 256,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            qid_col: str = "query_id",
+            qvec_col: str = "embedding") -> DataFrame:
+    """Scalar-quantization ANN (the FAISS SQ8 index): each dimension is
+    quantized independently to `levels` uniform steps between that
+    dimension's corpus min and max — 1 byte/dim at the default 256, a
+    ×4 memory drop vs float32 with near-exact recall (SQ8 recall ≫ PQ at
+    the same byte budget when dims are informative; PQ wins below
+    1 byte/dim).  Completes the quantization family next to pq_topk /
+    ivfpq_topk: brute → LSH → IVF → SQ → PQ → IVF-PQ.
+
+    Fit is the per-dimension (min, max) over the corpus — ONE
+    whole-table partial-aggregate pass collected as a single driver row
+    (2·dim bigints; the "trained index" artifact).  Codes, dequantize,
+    and distances are exact integer micro-unit arithmetic throughout:
+
+        code_d  = ((v_d − mn_d) · (levels−1)) div (mx_d − mn_d)
+        recon_d = mn_d + (code_d · (mx_d − mn_d)) div (levels−1)
+        dist    = Σ_d (q_d − recon_d)²     (asymmetric: query unquantized)
+
+    so the DuckDB oracle replays codes and rankings bit-for-bit.  A
+    constant dimension (mx = mn) encodes as code 0 / recon mn.
+
+    Returns (query_id, neighbor_id, rank, sq_dist_micro2) ranked by
+    (distance asc, neighbor_id asc).
+
+    Plan shape: fit aggregate (map-side combined, 1-row collect) →
+    corpus encode is a NARROW map to an int-array codes column (the
+    persistable artifact) → crossJoin(broadcast(queries)) → per-row
+    zip_with sum → per-query window top-k.  The (mn, span) vectors ride
+    into the plan as single SQL-string literals (_lit2_sql note: the
+    Column-API form costs thousands of py4j calls)."""
+    lm1 = levels - 1
+    mv = emb.select(_micro_vec(F.col(vec_col)).alias("vm"))
+    row = mv.agg(
+        *[F.min(F.element_at("vm", d + 1)).alias(f"mn{d}")
+          for d in range(dim)],
+        *[F.max(F.element_at("vm", d + 1)).alias(f"mx{d}")
+          for d in range(dim)]).collect()[0]
+    mn = [int(row[f"mn{d}"]) for d in range(dim)]
+    span = [int(row[f"mx{d}"]) - mn[d] for d in range(dim)]
+    mn_sql, span_sql = _lit1_sql(mn), _lit1_sql(span)
+
+    # codes then recon as STAGED named columns (CollapseProject keeps
+    # non-cheap multiply-referenced aliases apart — repo perf note)
+    codes_expr = F.expr(
+        f"zip_with(zip_with(_vm, {mn_sql}, (x, m) -> x - m), {span_sql}, "
+        f"(dx, s) -> CASE WHEN s = 0 THEN 0L "
+        f"ELSE (dx * {lm1}) div s END)")
+    recon_expr = F.expr(
+        f"zip_with(zip_with(codes, {span_sql}, (c, s) -> "
+        f"(c * s) div {lm1}), {mn_sql}, (r, m) -> r + m)")
+    assigned = (emb.select(F.col(id_col).alias("neighbor_id"),
+                           _micro_vec(F.col(vec_col)).alias("_vm"))
+                .withColumn("codes", codes_expr)
+                .withColumn("recon", recon_expr)
+                .select("neighbor_id", "codes", "recon"))
+    q = queries.select(F.col(qid_col).alias("query_id"),
+                       _micro_vec(F.col(qvec_col)).alias("_qm"))
+    scored = (assigned.crossJoin(F.broadcast(q))
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .withColumn("dist", F.aggregate(
+                  F.zip_with(F.col("_qm"), F.col("recon"),
+                             lambda x, y: (x - y) * (x - y)),
+                  F.lit(0).cast("bigint"), lambda acc, v: acc + v)))
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank",
+                    F.col("dist").alias("sq_dist_micro2")))

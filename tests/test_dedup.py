@@ -468,3 +468,34 @@ def test_length_histogram(spark):
     got = {r["len_bits"]: r["n_docs"]
            for r in length_histogram(docs).collect()}
     assert got == {1: 1, 2: 2, 4: 1}   # 1->1 bit, 2/3->2 bits, 8->4 bits
+
+
+def test_span_dedup_first_occurrence_wins(spark):
+    """Corpus-global chunk dedup: a 3-token chunk repeated across docs
+    (and again inside a doc) survives only at its smallest
+    (doc_id, chunk_idx); texts rebuild from surviving chunks in order."""
+    from kg.dedup import span_dedup
+    docs = spark.createDataFrame(
+        [(1, "a b c x y z"),          # chunks: "a b c", "x y z"
+         (2, "a b c p q r a b c"),    # dup chunk at idx 0 AND 2
+         (3, "p q r")],               # dup of doc 2's middle chunk
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_chunks"], r["n_kept"], r["text_dedup"])
+           for r in span_dedup(docs, w=3).collect()}
+    assert got[1] == (2, 2, "a b c x y z")          # owns both firsts
+    assert got[2] == (3, 1, "p q r")                # both "a b c" cut
+    assert got[3] == (1, 0, "")                     # fully boilerplate
+    # determinism: second run bit-identical
+    assert got == {r["doc_id"]: (r["n_chunks"], r["n_kept"], r["text_dedup"])
+                   for r in span_dedup(docs, w=3).collect()}
+
+
+def test_span_dedup_trailing_partial_chunk(spark):
+    from kg.dedup import span_dedup
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "c d")],  # doc1 chunks: "a b c", "d"; doc2: "c d"
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["text_dedup"]
+           for r in span_dedup(docs, w=3).collect()}
+    assert got[1] == "a b c d"
+    assert got[2] == "c d"   # "c d" != chunk "d": no cross-chunk match

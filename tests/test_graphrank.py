@@ -421,3 +421,22 @@ def test_pivot_closeness_hand_computed(spark):
     got = {r["node"]: (r["n_reached"], r["total_dist"], r["harmonic_micro"])
            for r in pivot_closeness(edges, n_pivots=2, max_depth=4).collect()}
     assert got == {n: tuple(v) for n, v in want.items()}
+
+
+def test_hits_hand_computed(spark):
+    """2 rounds on s1→{t1,t2}, s2→t1, s3→t3, integer micro replay:
+    a2 = (1e6, 600000, 199999), h2 = (1e6, 625000, 124999)."""
+    from kg.graphrank import hits
+    edges = spark.createDataFrame(
+        [("s1", "t1"), ("s1", "t2"), ("s2", "t1"), ("s3", "t3"),
+         ("s1", "t1")],  # multi-edge collapses (unweighted HITS)
+        ["src", "dst"])
+    got = {(r["side"], r["node"]): r["score_micro"]
+           for r in hits(edges, iterations=2).collect()}
+    assert got[("auth", "t1")] == 1_000_000
+    assert got[("auth", "t2")] == 600_000
+    assert got[("auth", "t3")] == 199_999
+    assert got[("hub", "s1")] == 1_000_000
+    assert got[("hub", "s2")] == 625_000
+    assert got[("hub", "s3")] == 124_999
+    assert len(got) == 6

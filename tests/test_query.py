@@ -126,3 +126,22 @@ def test_adjacency_lists_sorted_and_deduped(spark, graph):
     rev = {r["node"]: r["neighbors"] for r in
            adjacency_lists(graph, "HAS_TAG", reverse=True).collect()}
     assert rev["tag:en:alpha"] == ["sent:1:0", "sent:2:0"]
+
+
+def test_node_index_lexicographic_contiguous(spark):
+    """Ids are 0..|V|-1 in global lexicographic node order, regardless of
+    the two-phase numbering's partition layout; edges relabel exactly."""
+    from kg.query import node_index
+    tr = spark.createDataFrame(
+        [("b", "P", "x"), ("a", "P", "x"), ("a", "P", "y"),
+         ("b", "P", "x"),                      # dup edge collapses
+         ("a", "Q", "z")],                     # other predicate ignored
+        ["subj", "pred", "obj"])
+    rows = node_index(tr, "P").collect()
+    assert len(rows) == 3
+    idx = {}
+    for r in rows:
+        idx[r["src"]] = r["src_idx"]
+        idx[r["dst"]] = r["dst_idx"]
+    assert idx == {"a": 0, "b": 1, "x": 2, "y": 3}  # sorted node order
+    assert "z" not in idx

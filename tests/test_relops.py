@@ -272,3 +272,37 @@ def test_asof_requires_seq_col(spark):
                                   "rid string, user string, ts timestamp")
     with pytest.raises(ValueError, match="seq_col"):
         asof_join(left, right, on="user", value_cols=("rid",))
+
+
+def test_funnel_order_matters(spark):
+    """Stage i+1 counts only at/after stage i: a user who purchases
+    BEFORE ever viewing gets stage 2, not 3; in-order users complete."""
+    from kg.relops import funnel
+    rows = [
+        # user 1: view@10 click@20 purchase@30  -> stage 3
+        (1, 1, "view", "2024-01-01 00:00:10"),
+        (2, 1, "click", "2024-01-01 00:00:20"),
+        (3, 1, "purchase", "2024-01-01 00:00:30"),
+        # user 2: purchase@5 view@10 click@20   -> stage 2 (no purchase after)
+        (4, 2, "purchase", "2024-01-01 00:00:05"),
+        (5, 2, "view", "2024-01-01 00:00:10"),
+        (6, 2, "click", "2024-01-01 00:00:20"),
+        # user 3: click only                    -> stage 0
+        (7, 3, "click", "2024-01-01 00:00:10"),
+        # user 4: same-ts chain, seq order      -> stage 3
+        (8, 4, "view", "2024-01-01 00:00:10"),
+        (9, 4, "click", "2024-01-01 00:00:10"),
+        (10, 4, "purchase", "2024-01-01 00:00:10"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r["user_id"]: r for r in
+           funnel(ev, ("view", "click", "purchase")).collect()}
+    assert got[1]["stage"] == 3
+    assert got[2]["stage"] == 2 and got[2]["t3_us"] is None
+    assert got[3]["stage"] == 0 and got[3]["t1_us"] is None
+    assert got[4]["stage"] == 3
+    # earliest in-order times, not global mins
+    assert got[2]["t1_us"] < got[2]["t2_us"]
+    assert len(got) == 4

@@ -372,3 +372,24 @@ def test_ivfpq_recall_on_clustered_data(spark):
     got = _pairs(ivfpq_topk(emb, queries, dim=64, k=5))
     assert len(got & want) / len(want) >= 0.5
     emb.unpersist()
+
+
+def test_sq_topk_codes_and_constant_dim(spark):
+    """SQ8 dequantization error ≤ span/255 per dim: on well-separated
+    vectors the top-1 neighbor matches brute force; a constant dimension
+    (span 0) must not divide by zero and reconstructs exactly."""
+    from kg.similarity import sq_topk
+    rows = [
+        (0, [0.0, 5.0, 1.0, 1.0]),
+        (1, [0.01, 5.0, 1.0, 1.0]),   # near-identical to 0
+        (2, [1.0, 5.0, 0.0, 1.0]),
+        (3, [0.5, 5.0, 0.5, 0.0]),
+    ]  # dim 1 constant at 5.0; dim 3 constant except row 3
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    got = sq_topk(emb, q, dim=4, k=3).collect()
+    assert [r["neighbor_id"] for r in got] == [1, 3, 2]
+    assert got[0]["rank"] == 1
+    # constant dim contributes 0 to every distance (exact reconstruction)
+    assert got[0]["sq_dist_micro2"] < (0.02 * 1_000_000) ** 2

@@ -1828,4 +1828,151 @@ def build_oracle_sql() -> dict[str, str]:
         FROM pos GROUP BY 1
         HAVING count(DISTINCT doc_id) >= 3"""
 
+    # span_dedup: non-overlapping 5-token chunks, corpus-global first
+    # occurrence (ord = doc_id * 100000 + idx) keeps, text rebuilt from
+    # survivors.  Empty rebuilt list → array_to_string is NULL → coalesce
+    # (CLAUDE.md oracle fact); all langs (the Spark side passes lang=None).
+    sqls["dedup_paragraph"] = f"""
+        WITH ch AS (
+          SELECT doc_id, i,
+                 array_to_string(toks[(i * 5 + 1):(i * 5 + 5)], ' ')
+                   AS chunk,
+                 doc_id * 100000 + i AS ord
+          FROM (SELECT doc_id, {_TOKS} AS toks,
+                       unnest(range((len({_TOKS}) + 4) // 5)) AS i
+                FROM documents)),
+        fst AS (SELECT chunk, min(ord) AS first_ord FROM ch GROUP BY 1),
+        k AS (SELECT doc_id, i, chunk, (ord = first_ord) AS keep
+              FROM ch JOIN fst USING (chunk))
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(keep::int) AS BIGINT) AS n_kept,
+               coalesce(array_to_string(
+                 list(chunk ORDER BY i) FILTER (WHERE keep), ' '), '')
+                 AS text_dedup
+        FROM k GROUP BY doc_id"""
+
+    # HITS over the directed sent→tag graph: 3 unrolled rounds of
+    # a' = Σ h over in-edges / h' = Σ a over out-edges, each L∞-normalized
+    # by its scalar max — every score CTE is referenced twice (next join +
+    # its max subquery) → AS MATERIALIZED is mandatory (kcore trap).
+    _hits = f"""
+        WITH {_kept_sql},
+        e AS MATERIALIZED (
+          SELECT DISTINCT 'sent:' || doc_id || ':0' AS src,
+                          'tag:en:' || tok AS dst
+          FROM kept),
+        h0 AS MATERIALIZED (
+          SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS s
+          FROM e)"""
+    for _i in range(1, 4):
+        _hits += f""",
+        a{_i}r AS MATERIALIZED (
+          SELECT e.dst AS node, CAST(sum(h.s) AS BIGINT) AS s
+          FROM e JOIN h{_i - 1} h ON h.node = e.src GROUP BY 1),
+        a{_i} AS MATERIALIZED (
+          SELECT node, CAST((s * 1000000) // (SELECT max(s) FROM a{_i}r)
+                 AS BIGINT) AS s
+          FROM a{_i}r),
+        h{_i}r AS MATERIALIZED (
+          SELECT e.src AS node, CAST(sum(a.s) AS BIGINT) AS s
+          FROM e JOIN a{_i} a ON a.node = e.dst GROUP BY 1),
+        h{_i} AS MATERIALIZED (
+          SELECT node, CAST((s * 1000000) // (SELECT max(s) FROM h{_i}r)
+                 AS BIGINT) AS s
+          FROM h{_i}r)"""
+    sqls["kg_tag_hits"] = _hits + """
+        SELECT node, 'hub' AS side, s AS score_micro FROM h3
+        UNION ALL
+        SELECT node, 'auth' AS side, s AS score_micro FROM a3"""
+
+    # Ordered funnel: stage i+1's earliest event at/after stage i's
+    # completion, (us, seq) lexicographic — row_number mirrors the Spark
+    # side's min(struct(us, seq)).
+    sqls["rel_events_funnel"] = """
+        WITH ev AS (
+          SELECT user_id AS u, event_type AS typ, epoch_us(ts) AS us,
+                 event_id AS seq
+          FROM events
+          WHERE event_type IN ('view', 'click', 'purchase')),
+        users AS (SELECT DISTINCT u FROM ev),
+        s1 AS (SELECT u, us, seq FROM (
+                 SELECT u, us, seq,
+                        row_number() OVER (PARTITION BY u
+                                           ORDER BY us, seq) AS rn
+                 FROM ev WHERE typ = 'view') WHERE rn = 1),
+        s2 AS (SELECT u, us, seq FROM (
+                 SELECT e.u, e.us, e.seq,
+                        row_number() OVER (PARTITION BY e.u
+                                           ORDER BY e.us, e.seq) AS rn
+                 FROM ev e JOIN s1 ON s1.u = e.u
+                 WHERE e.typ = 'click'
+                   AND (e.us > s1.us OR (e.us = s1.us AND e.seq >= s1.seq)))
+               WHERE rn = 1),
+        s3 AS (SELECT u, us, seq FROM (
+                 SELECT e.u, e.us, e.seq,
+                        row_number() OVER (PARTITION BY e.u
+                                           ORDER BY e.us, e.seq) AS rn
+                 FROM ev e JOIN s2 ON s2.u = e.u
+                 WHERE e.typ = 'purchase'
+                   AND (e.us > s2.us OR (e.us = s2.us AND e.seq >= s2.seq)))
+               WHERE rn = 1)
+        SELECT users.u AS user_id, s1.us AS t1_us, s2.us AS t2_us,
+               s3.us AS t3_us,
+               CAST((s1.u IS NOT NULL)::int + (s2.u IS NOT NULL)::int
+                    + (s3.u IS NOT NULL)::int AS INT) AS stage
+        FROM users
+        LEFT JOIN s1 ON s1.u = users.u
+        LEFT JOIN s2 ON s2.u = users.u
+        LEFT JOIN s3 ON s3.u = users.u"""
+
+    # SQ8: per-dimension (min, max) over corpus micro-ints, 255-step
+    # uniform codes, integer dequantize, asymmetric distance — mirrors
+    # kg.similarity.sq_topk arithmetic exactly (// == div on the
+    # non-negative operands here).
+    sqls["ann_sq_topk"] = """
+        WITH ev AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+                 CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0)
+                      AS BIGINT) AS xm
+          FROM embeddings),
+        mm AS (SELECT d, min(xm) AS mn, max(xm) AS mx FROM ev GROUP BY d),
+        recon AS (
+          SELECT vec_id, d,
+                 mn + (CASE WHEN mx = mn THEN 0
+                       ELSE ((xm - mn) * 255) // (mx - mn) END
+                       * (mx - mn)) // 255 AS r
+          FROM ev JOIN mm USING (d)),
+        qm AS (SELECT vec_id, d, xm FROM ev WHERE vec_id < 10),
+        dist AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 CAST(sum((q.xm - c.r) * (q.xm - c.r)) AS BIGINT) AS dist
+          FROM qm q JOIN recon c USING (d)
+          WHERE q.vec_id != c.vec_id
+          GROUP BY 1, 2)
+        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+               dist AS sq_dist_micro2
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY dist, neighbor_id)
+                AS rank FROM dist)
+        WHERE rank <= 5"""
+
+    # node_index: ids by global lexicographic node order (row_number over
+    # the sorted distinct endpoint set — the oracle can afford the global
+    # window; the Spark side uses the two-phase scalable numbering that
+    # computes the identical ranks).
+    sqls["kg_node_index"] = f"""
+        WITH {_kept_sql},
+        e AS MATERIALIZED (
+          SELECT DISTINCT 'sent:' || doc_id || ':0' AS a,
+                          'tag:en:' || tok AS b
+          FROM kept),
+        n AS MATERIALIZED (
+          SELECT node, row_number() OVER (ORDER BY node) - 1 AS idx
+          FROM (SELECT a AS node FROM e UNION SELECT b FROM e))
+        SELECT na.idx AS src_idx, nb.idx AS dst_idx,
+               e.a AS src, e.b AS dst
+        FROM e
+        JOIN n na ON na.node = e.a
+        JOIN n nb ON nb.node = e.b"""
+
     return sqls
