@@ -1351,6 +1351,27 @@ def q_kg_node_index(spark, sf_dir):
     return node_index(triples, "HAS_TAG")
 
 
+def q_kg_tag_walks(spark, sf_dir):
+    """Deterministic DeepWalk corpus (kg.graphrank.random_walks) over the
+    strong-tie tag graph: 2 walks × 4 steps per node, each hop
+    conv(md5(walk_id ':' step)[:6],16,10) % degree over the sorted
+    neighbor list — the graph-embedding sampling stage; the oracle
+    replays every hop over the shared strong-tie CTE."""
+    from kg.graphrank import random_walks
+    return random_walks(_strong_tie_edges(spark, sf_dir),
+                        walks_per_node=2, walk_length=4)
+
+
+def q_kg_tag_wl(spark, sf_dir):
+    """Weisfeiler-Lehman structural signatures (kg.graphrank
+    .wl_signatures): 2 rounds of 1-WL color refinement over the
+    strong-tie tag graph — md5-of-sorted-neighbor-multiset relabeling,
+    bit-portable, so structurally indistinguishable tag neighborhoods
+    collapse to equal labels (the graph-dedup companion)."""
+    from kg.graphrank import wl_signatures
+    return wl_signatures(_strong_tie_edges(spark, sf_dir), rounds=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # WINDOW-ROTATION RULE (STATUS.md §rotation): the driver's CORRECTNESS
     # artifact covers roughly the FIRST 50 registered queries per round, so
@@ -1427,6 +1448,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_events_funnel": q_rel_events_funnel,
         "ann_sq_topk": q_ann_sq_topk,
         "kg_node_index": q_kg_node_index,
+        "kg_tag_walks": q_kg_tag_walks,
+        "kg_tag_wl": q_kg_tag_wl,
         # ==== tail: fresh green rows in CORRECTNESS_r03 =====================
         "text_length_hist": q_text_length_hist,
         "kg_tag_cooccur": q_kg_tag_cooccur,

@@ -634,3 +634,121 @@ def hits(edges: DataFrame, iterations: int = 3,
            .localCheckpoint())
     e.unpersist()
     return out
+
+
+def random_walks(edges: DataFrame, walks_per_node: int = 2,
+                 walk_length: int = 4,
+                 max_neighbors_per_node: int = 1000,
+                 src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Deterministic random-walk corpus over the directed edge set — the
+    DeepWalk / node2vec (p=q=1) sampling stage that turns the persisted
+    tag graph (ProcedureTest.java:114-124 structure) into skip-gram
+    training sequences for graph embeddings; pairs with
+    kg.query.node_index as the GNN/embedding export surface.
+
+    No RNG (repo convention): step `s` of walk `w` picks neighbor index
+        conv(md5(w || ':' || s)[:6], 16, 10)  %  degree(cur)
+    over the node's LEXICALLY SORTED neighbor list — a pure function of
+    (walk_id, step, graph), so runs and engines agree bit-for-bit and
+    the DuckDB oracle replays every hop.  Walks start at every distinct
+    source node (`walks_per_node` each, walk_id = node || '#' || i) and
+    die at sinks (no out-edges).
+
+    Returns (walk_id, step, node), step 0-based; feed to
+    kg.textstats.skipgram_pairs after a groupBy(walk_id) sort for
+    training pairs.
+
+    Scale shape: adjacency = ONE groupBy(src) building the capped sorted
+    neighbor array (`max_neighbors_per_node` is the hub guard — same
+    deterministic lexically-first cap as tag_cooccurrence_edges; ~8 KB
+    per hub row at the default, broadcast-sized per node not per edge).
+    Each step is ONE hash join frontier×adjacency on the current node —
+    walk state is (walk_id, cur), never the path — and the per-step
+    frontier is localCheckpointed because it branches (output union +
+    next hop; perf rule 7).  Total cost: walk_length joins over
+    |V|·walks_per_node rows; no shuffle grows with |E| after the
+    adjacency build."""
+    adj = (edges.select(F.col(src_col).alias("node"),
+                        F.col(dst_col).alias("nbr"))
+           .groupBy("node")
+           .agg(F.slice(F.array_sort(F.collect_set("nbr")), 1,
+                        max_neighbors_per_node).alias("nbrs"))
+           .withColumn("deg", F.size("nbrs").cast("bigint"))
+           .localCheckpoint())  # reused every step (rule 7)
+    frontier = (adj.select("node")
+                .select(F.explode(F.sequence(
+                    F.lit(0), F.lit(walks_per_node - 1))).alias("i"),
+                    F.col("node").alias("cur"))
+                .select(F.concat_ws("#", "cur", "i").alias("walk_id"),
+                        "cur")
+                .localCheckpoint())
+    out = frontier.select("walk_id", F.lit(0).alias("step"),
+                          F.col("cur").alias("node"))
+    for s in range(1, walk_length):
+        idx = (F.conv(F.substring(F.md5(F.concat_ws(
+            ":", F.col("walk_id"), F.lit(str(s)))), 1, 6), 16, 10)
+            .cast("bigint") % F.col("deg"))
+        frontier = (frontier.join(adj, frontier["cur"] == adj["node"])
+                    .select("walk_id",
+                            F.element_at("nbrs", (idx + 1).cast("int"))
+                            .alias("cur"))
+                    .localCheckpoint())
+        out = out.unionByName(
+            frontier.select("walk_id", F.lit(s).alias("step"),
+                            F.col("cur").alias("node")))
+    return out.withColumn("step", F.col("step").cast("int"))
+
+
+def wl_signatures(edges: DataFrame, rounds: int = 2,
+                  max_neighbors_per_node: int = 1000,
+                  src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Weisfeiler-Lehman iterative relabeling over the undirected graph —
+    per-node structural signatures after `rounds` of neighborhood
+    hashing (the 1-WL color-refinement test; Shervashidze et al. 2011
+    WL-kernel relabeling).  Two nodes get equal labels iff 1-WL cannot
+    distinguish their r-hop neighborhoods: the structural-role /
+    graph-dedup companion to the content dedup family (near-isomorphic
+    subgraph regions collapse to equal signatures).
+
+    label_0(v) = CAST(capped_degree(v) AS STRING);
+    label_{i+1}(v) = md5(label_i(v) || '|' ||
+                         ',' -joined SORTED MULTISET of neighbor
+                         label_i)[:16]
+    All strings are ASCII hex/digits so Spark's binary array_sort and
+    DuckDB's default varchar ORDER BY agree; md5-of-UTF8 is identical in
+    both engines, making the refinement bit-portable (oracle unrolls
+    rounds as MATERIALIZED CTEs — each round's label set is referenced
+    twice, the kcore trap).
+
+    Returns (node, wl_label).  Isolated nodes never appear (the node set
+    is edge-derived, the pagerank convention).
+
+    Scale shape: symmetrize once (+ the deterministic lexically-first
+    hub cap of neighbor_jaccard, mirrored in the oracle), then per round
+    ONE join labels→neighbors + ONE groupBy(node) sorted-multiset
+    aggregate + ONE self-label join — all keyed on the node column, and
+    the label frame (node-sized, ~25 B/row) is localCheckpointed per
+    round because it feeds both the neighbor and self sides (rule 7)."""
+    e0 = edges.select(F.col(src_col).alias("n"),
+                      F.col(dst_col).alias("v")).localCheckpoint()
+    sym = (e0.union(e0.select(F.col("v").alias("n"), F.col("n").alias("v")))
+           .filter(F.col("n") != F.col("v")))
+    sym = (sym.groupBy("n")
+           .agg(F.slice(F.array_sort(F.collect_set("v")), 1,
+                        max_neighbors_per_node).alias("_vs"))
+           .select("n", F.explode("_vs").alias("v"))
+           .localCheckpoint())  # branched every round (rule 7)
+    labels = (sym.groupBy(F.col("n").alias("node"))
+              .agg(F.count("*").cast("string").alias("lbl"))
+              .localCheckpoint())
+    for _ in range(rounds):
+        nbr = (sym.join(labels.withColumnRenamed("node", "v"), "v")
+               .groupBy(F.col("n").alias("node"))
+               .agg(F.array_join(F.array_sort(F.collect_list("lbl")), ",")
+                    .alias("_nl")))
+        labels = (nbr.join(labels, "node")
+                  .select("node",
+                          F.substring(F.md5(F.concat_ws("|", "lbl", "_nl")),
+                                      1, 16).alias("lbl"))
+                  .localCheckpoint())
+    return labels.select("node", F.col("lbl").alias("wl_label"))

@@ -440,3 +440,55 @@ def test_hits_hand_computed(spark):
     assert got[("hub", "s2")] == 625_000
     assert got[("hub", "s3")] == 124_999
     assert len(got) == 6
+
+
+def test_random_walks_deterministic_md5_steps(spark):
+    """Every hop is conv(md5(walk_id ':' step)[:6],16,10) % degree over
+    the sorted neighbor list; sinks end walks; bit-identical re-run."""
+    import hashlib
+    from kg.graphrank import random_walks
+    E = [("a", "b"), ("a", "c"), ("b", "a"), ("c", "d")]  # d is a sink
+    edges = spark.createDataFrame(E, ["src", "dst"])
+    adj = {}
+    for s, d in E:
+        adj.setdefault(s, set()).add(d)
+    adj = {k: sorted(v) for k, v in adj.items()}
+    want = {}
+    for n in adj:
+        for i in range(2):
+            wid, cur = f"{n}#{i}", n
+            want[(wid, 0)] = cur
+            for st in range(1, 4):
+                if cur not in adj:
+                    break
+                h = hashlib.md5(f"{wid}:{st}".encode()).hexdigest()
+                cur = adj[cur][int(h[:6], 16) % len(adj[cur])]
+                want[(wid, st)] = cur
+    got = {(r["walk_id"], r["step"]): r["node"]
+           for r in random_walks(edges, walks_per_node=2,
+                                 walk_length=4).collect()}
+    assert got == want
+    assert got == {(r["walk_id"], r["step"]): r["node"]
+                   for r in random_walks(edges, 2, 4).collect()}
+
+
+def test_wl_signatures_distinguish_structure(spark):
+    """1-WL after 2 rounds: leaves hanging off the same-degree hub get
+    equal labels, the hub differs; matches the md5 replay exactly."""
+    import hashlib
+    from kg.graphrank import wl_signatures
+    E = [("a", "b"), ("a", "c")]   # star: hub a, leaves b, c
+    edges = spark.createDataFrame(E, ["src", "dst"])
+    sym = {}
+    for s, d in E:
+        sym.setdefault(s, set()).add(d)
+        sym.setdefault(d, set()).add(s)
+    lbl = {n: str(len(v)) for n, v in sym.items()}
+    for _ in range(2):
+        nl = {n: ",".join(sorted(lbl[v] for v in vs))
+              for n, vs in sym.items()}
+        lbl = {n: hashlib.md5(f"{lbl[n]}|{nl[n]}".encode()).hexdigest()[:16]
+               for n in sym}
+    got = {r["node"]: r["wl_label"] for r in wl_signatures(edges, 2).collect()}
+    assert got == lbl
+    assert got["b"] == got["c"] != got["a"]

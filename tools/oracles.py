@@ -1975,4 +1975,65 @@ def build_oracle_sql() -> dict[str, str]:
         JOIN n na ON na.node = e.a
         JOIN n nb ON nb.node = e.b"""
 
+    # Deterministic random walks over the strong-tie graph: the shared
+    # symmetrized capped adjacency (sorted lists, the Spark-side cap
+    # convention), then each hop replayed as
+    # hex6(md5(walk_id ':' step)) % degree into the sorted list.  Every
+    # step CTE is referenced twice (output union + next hop) ->
+    # MATERIALIZED (kcore trap).
+    _wadj = """sy AS MATERIALIZED (
+          SELECT a AS node, b AS nbr FROM f0
+          UNION SELECT b, a FROM f0),
+        adj AS MATERIALIZED (
+          SELECT node, ns, len(ns) AS deg FROM (
+            SELECT node, list_sort(list(nbr))[1:1000] AS ns
+            FROM sy GROUP BY 1))"""
+    _wk = f"""
+        WITH {_kept_sql},
+        {_cooccur_sql},
+        {_strong_sql},
+        {_wadj},
+        w0 AS MATERIALIZED (
+          SELECT node || '#' || i AS walk_id, node AS cur
+          FROM adj, (SELECT unnest(range(2)) AS i))"""
+    for _s in range(1, 4):
+        _wk += f""",
+        w{_s} AS MATERIALIZED (
+          SELECT walk_id, ns[CAST(hv % deg AS INT) + 1] AS cur
+          FROM (SELECT walk_id, ns, deg, ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1) * 1) AS hv
+                FROM (SELECT w.walk_id, a.ns, a.deg,
+                             md5(w.walk_id || ':{_s}') AS h
+                      FROM w{_s - 1} w JOIN adj a ON a.node = w.cur)))"""
+    sqls["kg_tag_walks"] = _wk + """
+        SELECT walk_id, CAST(0 AS INT) AS step, cur AS node FROM w0
+        UNION ALL SELECT walk_id, 1, cur FROM w1
+        UNION ALL SELECT walk_id, 2, cur FROM w2
+        UNION ALL SELECT walk_id, 3, cur FROM w3"""
+
+    # Weisfeiler-Lehman: 2 refinement rounds over the same capped
+    # adjacency; label = md5(own '|' sorted neighbor multiset)[:16];
+    # every label CTE feeds both the neighbor and self joins of the next
+    # round -> MATERIALIZED.
+    _wl = f"""
+        WITH {_kept_sql},
+        {_cooccur_sql},
+        {_strong_sql},
+        {_wadj},
+        sx AS MATERIALIZED (SELECT node, unnest(ns) AS v FROM adj),
+        l0 AS MATERIALIZED (
+          SELECT node, CAST(len(ns) AS VARCHAR) AS lbl FROM adj)"""
+    for _i in range(1, 3):
+        _wl += f""",
+        l{_i} AS MATERIALIZED (
+          SELECT sx.node,
+                 substr(md5(ln.lbl || '|' ||
+                            string_agg(lv.lbl, ',' ORDER BY lv.lbl)),
+                        1, 16) AS lbl
+          FROM sx
+          JOIN l{_i - 1} lv ON lv.node = sx.v
+          JOIN l{_i - 1} ln ON ln.node = sx.node
+          GROUP BY sx.node, ln.lbl)"""
+    sqls["kg_tag_wl"] = _wl + """
+        SELECT node, lbl AS wl_label FROM l2"""
+
     return sqls
