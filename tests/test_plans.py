@@ -332,3 +332,52 @@ def test_multimodal_decode_stages_not_chained(spark):
     media = mm.synthetic_media(spark, n=6).localCheckpoint()
     plan = _plan(mm.decode_image_features(media))
     assert plan.count("MapInPandas") == 1
+
+
+def test_span_dedup_no_python_no_pairs(spark):
+    """Span dedup is pure built-in array algebra + two hash aggregates:
+    no Python eval anywhere, and — the design point vs pairwise dedup —
+    no self-join pair blowup (no nested-loop/cartesian in the plan)."""
+    from kg.dedup import span_dedup
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 13 + j) % 7}" for j in range(20)))
+         for i in range(30)], "doc_id long, text string")
+    plan = _plan(span_dedup(docs, w=5))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_funnel_pushes_type_filter_to_scan(spark, tmp_path):
+    """The funnel's event-type restriction must reach the parquet scan
+    (PushedFilters In(event_type..)) so a 100-TB event table is pruned
+    at the source; no nested-loop joins anywhere in the stage chain."""
+    from kg.relops import funnel
+    p = str(tmp_path / "ev")
+    spark.createDataFrame(
+        [(i, i % 7, ("view", "click", "purchase", "other")[i % 4],
+          f"2024-01-01 00:00:{i % 60:02d}") for i in range(200)],
+        "event_id long, user_id long, event_type string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts")).write.parquet(p)
+    plan = _plan(funnel(spark.read.parquet(p),
+                        ("view", "click", "purchase")))
+    pushed = plan.split("PushedFilters")[1][:200]
+    assert "event_type" in pushed and "In(" in pushed
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_sq_topk_narrow_encode_single_window(spark):
+    """SQ8: corpus encode is a narrow literal zip_with map — the only
+    hash exchange is the per-query top-k window; scoring is the
+    broadcast-queries join; no Python in the plan."""
+    from kg.similarity import sq_topk
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 10) for j in range(8)])
+         for i in range(40)], "vec_id long, embedding array<float>")
+    q = (emb.limit(2)
+         .select(F.col("vec_id").alias("query_id"), "embedding"))
+    plan = _plan(sq_topk(emb, q, dim=8, k=3))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert plan.count("Exchange hashpartitioning") == 1   # the top-k window
+    assert plan.count("Window [") == 1
+    assert "SortMergeJoin" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
