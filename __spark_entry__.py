@@ -1404,25 +1404,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_pairs": q_embedding_near_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
-        "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "text_gopher": q_text_gopher,
         "text_language_id": q_text_language_id,
-        "text_fingerprint": q_text_fingerprint,
-        "text_bpe_count": q_text_bpe_count,
         "text_term_freq": q_text_term_freq,
-        "corpus_sample": q_corpus_sample,
-        "corpus_split": q_corpus_split,
         "text_pack_shards": q_text_pack_shards,
         "text_emit_shards": q_text_emit_shards,
         "ann_knn_classify": q_ann_knn_classify,
         "rel_q1_pricing": q_rel_q1_pricing,
         "rel_q3_revenue": q_rel_q3_revenue,
         "rel_events_gap": q_rel_events_gap,
-        "rel_events_hourly": q_rel_events_hourly,
         "rel_events_rollup": q_rel_events_rollup,
         "rel_events_cube": q_rel_events_cube,
-        "rel_customers_without_orders": q_rel_customers_without_orders,
         "rel_events_sessionize": q_rel_events_sessionize,
         "rel_events_cohort": q_rel_events_cohort,
         "text_pii": q_text_pii,
@@ -1440,9 +1433,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "rel_events_distinct_approx": q_rel_events_distinct_approx,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
-        # --- r4 late additions: first in line for the r5 window (the r4
-        # window above is full at ~50; these five are oracle-checked by the
-        # local gate now and rotate into the driver window next round) -----
+        # --- r4 late additions, rotated INTO the first-50 window (CLAUDE.md
+        # rotation rule: new queries never ship outside the window); seven
+        # low-risk stale rows below were demoted to make room ---------------
         "dedup_paragraph": q_dedup_paragraph,
         "kg_tag_hits": q_kg_tag_hits,
         "rel_events_funnel": q_rel_events_funnel,
@@ -1450,6 +1443,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_node_index": q_kg_node_index,
         "kg_tag_walks": q_kg_tag_walks,
         "kg_tag_wl": q_kg_tag_wl,
+        # --- demoted to make window room for the 7 r4-late queries: these
+        # seven are the lowest-risk stale rows (simple zero/one-shuffle ops,
+        # untouched since r2, pytest-anchored) — first in line for r5 ------
+        "text_token_stats": q_text_token_stats,
+        "text_fingerprint": q_text_fingerprint,
+        "text_bpe_count": q_text_bpe_count,
+        "corpus_sample": q_corpus_sample,
+        "corpus_split": q_corpus_split,
+        "rel_events_hourly": q_rel_events_hourly,
+        "rel_customers_without_orders": q_rel_customers_without_orders,
         # ==== tail: fresh green rows in CORRECTNESS_r03 =====================
         "text_length_hist": q_text_length_hist,
         "kg_tag_cooccur": q_kg_tag_cooccur,

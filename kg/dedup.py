@@ -438,7 +438,8 @@ def containment_pairs(df: DataFrame, n: int = 3, threshold: float = 0.8,
 
 def span_dedup(df: DataFrame, w: int = 5, text_col: str = "text",
                id_col: str = "doc_id", out_col: str = "text_dedup",
-               max_chunks_per_doc: int = 100_000) -> DataFrame:
+               max_chunks_per_doc: int = 100_000,
+               materialize: bool = False) -> DataFrame:
     """Corpus-wide exact duplicated-SPAN removal — the C4/“Deduplicating
     Training Data” exact-substring dedup applied as a REWRITE, not a
     per-document drop: every `w`-token chunk that occurs more than once
@@ -468,7 +469,16 @@ def span_dedup(df: DataFrame, w: int = 5, text_col: str = "text",
     Two shuffles + one join, no self-join, no pair blowup; hot chunks
     cost one aggregate row each.  At 100 TB the chunk aggregate is the
     same cost class as the shingle doc-frequency pass in
-    cross_doc_duplication."""
+    cross_doc_duplication.
+
+    `df` branches twice (the chunk subtree + the final column re-join):
+    pass materialize=True to localCheckpoint it first when the input is
+    rooted in a pandas UDF (e.g. normalize_text_nfc — rule 7: each
+    branch re-executes a UDF-rooted lineage); leave False for plain
+    scans, where re-reading the parquet is cheaper than materializing
+    the corpus."""
+    if materialize:
+        df = df.localCheckpoint()
     toks = F.split(F.col(text_col), " ")
     n_chunks = F.floor((F.size(toks) + (w - 1)) / w).cast("int")
     chunks = F.transform(

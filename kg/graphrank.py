@@ -603,9 +603,13 @@ def hits(edges: DataFrame, iterations: int = 3,
 
     Scale shape: two join-aggregate shuffles per round on the node keys
     (the Pregel-on-DataFrame shape of pagerank), max via a 1-row
-    broadcast; score frames are node-sized and localCheckpointed every
-    round because each branches twice (the next join AND its max —
-    rule 7)."""
+    broadcast; it is the RAW join-aggregate that gets localCheckpointed
+    each half-round, because that is the frame that branches (its max
+    subquery AND the normalize select — rule 7; ReusedExchange is not
+    guaranteed for identical subtrees), so each aggregate executes
+    exactly once."""
+    if iterations < 1:
+        raise ValueError("hits: iterations must be >= 1")
     e = (edges.select(F.col(src_col).alias("src"),
                       F.col(dst_col).alias("dst"))
          .distinct().persist())
@@ -615,18 +619,20 @@ def hits(edges: DataFrame, iterations: int = 3,
     for _ in range(iterations):
         araw = (e.join(h.withColumnRenamed("node", "src"), "src")
                 .groupBy(F.col("dst").alias("node"))
-                .agg(F.sum("s").alias("s")))
+                .agg(F.sum("s").alias("s"))
+                .localCheckpoint())
         amax = araw.agg(F.max("s").alias("mx"))
         a = (araw.crossJoin(F.broadcast(amax))
              .select("node", F.expr(f"(s * {MICRO}) div mx")
-                     .cast("bigint").alias("s")).localCheckpoint())
+                     .cast("bigint").alias("s")))
         hraw = (e.join(a.withColumnRenamed("node", "dst"), "dst")
                 .groupBy(F.col("src").alias("node"))
-                .agg(F.sum("s").alias("s")))
+                .agg(F.sum("s").alias("s"))
+                .localCheckpoint())
         hmax = hraw.agg(F.max("s").alias("mx"))
         h = (hraw.crossJoin(F.broadcast(hmax))
              .select("node", F.expr(f"(s * {MICRO}) div mx")
-                     .cast("bigint").alias("s")).localCheckpoint())
+                     .cast("bigint").alias("s")))
     out = (h.select("node", F.lit("hub").alias("side"),
                     F.col("s").alias("score_micro"))
            .unionByName(a.select("node", F.lit("auth").alias("side"),

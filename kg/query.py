@@ -15,7 +15,9 @@ the scan (partition-prune on a pred-partitioned triple table, see
 kg.materialize); hub nodes (a tag in millions of sentences) are the
 fan-out risk — `max_fanout` caps a node's out-edges per hop
 deterministically (lowest-sorting neighbors kept), the same guard shape
-as kg.dedup's `max_df`.  All built-ins, zero Python UDFs, zero collects.
+as kg.dedup's `max_df`.  All built-ins, zero Python UDFs; the one
+driver-side action in the module is node_index's #partitions-row offset
+collect (a scalar per partition, not data).
 """
 
 from __future__ import annotations
@@ -194,12 +196,14 @@ def node_index(triples: DataFrame, pred: str,
     the global rank), so the result stays a pure function of the node
     set.  The edge relabeling is two plain hash joins; |V| ≪ |E| for KG
     exports, so that is where the bytes move."""
-    from pyspark.sql.window import Window
     e = step_edges(triples, pred, reverse).distinct()
+    # no sortWithinPartitions: the row_number window below re-sorts each
+    # _pid group anyway (its exchange on _pid discards any prior order) —
+    # range partitioning alone fixes WHICH partition a node lands in,
+    # which is all the offset math needs
     ranked = (e.select(F.explode(F.array("a", "b")).alias("node"))
               .distinct()
               .repartitionByRange(F.col("node"))
-              .sortWithinPartitions("node")
               .withColumn("_pid", F.spark_partition_id())
               .withColumn("_lr", F.row_number().over(
                   Window.partitionBy("_pid").orderBy("node")))

@@ -268,7 +268,11 @@ def funnel(events: DataFrame, stages: tuple[str, ...],
                         F.unix_micros(F.col(ts_col).cast("timestamp"))
                         .alias("us"),
                         F.col(seq_col).cast("bigint").alias("seq"))
-          .filter(F.col("typ").isin(*stages)))
+          .filter(F.col("typ").isin(*stages))
+          # NULL ts would sort FIRST under min(struct(us, seq)) but LAST
+          # under an ORDER BY — an engine-divergence trap; untimed events
+          # cannot complete a stage (oracle mirrors the drop)
+          .filter(F.col("us").isNotNull()))
     users = ev.select("user").distinct()
     out = users
     prev = None  # (us_col, seq_col) of the previous stage, once joined

@@ -393,10 +393,12 @@ def _away(x: float) -> int:
 # arrays) builds in milliseconds, keeps the serialized plan small, and
 # computes the identical integer math (oracles unchanged).
 
+def _lit1_sql(a: list[int]) -> str:
+    return "array(" + ",".join(f"{int(x)}L" for x in a) + ")"
+
+
 def _lit2_sql(a: list[list[int]]) -> str:
-    return "array(" + ",".join(
-        "array(" + ",".join(f"{int(x)}L" for x in row) + ")"
-        for row in a) + ")"
+    return "array(" + ",".join(_lit1_sql(row) for row in a) + ")"
 
 
 def _lit3_sql(a: list[list[list[int]]]) -> str:
@@ -647,10 +649,6 @@ def ivfpq_topk(emb: DataFrame, queries: DataFrame, dim: int, k: int = 5,
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank",
                     F.col("adc").alias("adc_dist_micro2")))
-
-
-def _lit1_sql(a: list[int]) -> str:
-    return "array(" + ",".join(f"{int(x)}L" for x in a) + ")"
 
 
 def sq_topk(emb: DataFrame, queries: DataFrame, dim: int, k: int = 5,

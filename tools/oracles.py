@@ -1893,7 +1893,8 @@ def build_oracle_sql() -> dict[str, str]:
           SELECT user_id AS u, event_type AS typ, epoch_us(ts) AS us,
                  event_id AS seq
           FROM events
-          WHERE event_type IN ('view', 'click', 'purchase')),
+          WHERE event_type IN ('view', 'click', 'purchase')
+            AND ts IS NOT NULL),
         users AS (SELECT DISTINCT u FROM ev),
         s1 AS (SELECT u, us, seq FROM (
                  SELECT u, us, seq,
