@@ -1372,6 +1372,17 @@ def q_kg_tag_wl(spark, sf_dir):
     return wl_signatures(_strong_tie_edges(spark, sf_dir), rounds=2)
 
 
+def q_kg_tag_betweenness(spark, sf_dir):
+    """Pivot-sampled Brandes betweenness (kg.graphrank
+    .pivot_betweenness): 2 md5-chosen pivots, depth 3, over the
+    strong-tie tag graph — shortest-path broker scores in exact integer
+    micro-units; the oracle replays the forward σ levels and the
+    backward δ accumulation as unrolled CTEs."""
+    from kg.graphrank import pivot_betweenness
+    return pivot_betweenness(_strong_tie_edges(spark, sf_dir),
+                             n_pivots=2, max_depth=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # WINDOW-ROTATION RULE (STATUS.md §rotation): the driver's CORRECTNESS
     # artifact covers roughly the FIRST 50 registered queries per round, so
@@ -1415,7 +1426,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_q3_revenue": q_rel_q3_revenue,
         "rel_events_gap": q_rel_events_gap,
         "rel_events_rollup": q_rel_events_rollup,
-        "rel_events_cube": q_rel_events_cube,
         "rel_events_sessionize": q_rel_events_sessionize,
         "rel_events_cohort": q_rel_events_cohort,
         "text_pii": q_text_pii,
@@ -1443,9 +1453,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_node_index": q_kg_node_index,
         "kg_tag_walks": q_kg_tag_walks,
         "kg_tag_wl": q_kg_tag_wl,
-        # --- demoted to make window room for the 7 r4-late queries: these
-        # seven are the lowest-risk stale rows (simple zero/one-shuffle ops,
+        "kg_tag_betweenness": q_kg_tag_betweenness,
+        # --- demoted to make window room for the 8 r4-late queries: these
+        # eight are the lowest-risk stale rows (simple zero/one-shuffle ops,
         # untouched since r2, pytest-anchored) — first in line for r5 ------
+        "rel_events_cube": q_rel_events_cube,
         "text_token_stats": q_text_token_stats,
         "text_fingerprint": q_text_fingerprint,
         "text_bpe_count": q_text_bpe_count,

@@ -758,3 +758,87 @@ def wl_signatures(edges: DataFrame, rounds: int = 2,
                                       1, 16).alias("lbl"))
                   .localCheckpoint())
     return labels.select("node", F.col("lbl").alias("wl_label"))
+
+
+def pivot_betweenness(edges: DataFrame, n_pivots: int = 2,
+                      max_depth: int = 3, src_col: str = "src",
+                      dst_col: str = "dst") -> DataFrame:
+    """Pivot-sampled betweenness centrality — Brandes (2001) restricted
+    to the `n_pivots` sources with the smallest md5(node) (the
+    pivot_closeness convention; the standard |V|-BFS → k-pivot
+    approximation, Brandes/Pich 2007).  Completes the centrality family
+    (degree / closeness / pagerank / HITS) over the persisted Tag graph
+    (ProcedureTest.java:114-124): brokers that sit ON shortest paths
+    rank high even when they are not themselves well-connected.
+
+    Forward pass: keyed multi-source BFS (the multi_bfs shape) carrying
+    shortest-path COUNTS — σ(v) = Σ σ(u) over v's neighbors at the
+    previous level (the BFS-DAG predecessor property).  Backward pass,
+    deepest level first, in exact BIGINT micro-units:
+
+        δ(v) = Σ_{w ∈ succ(v)} σ(v) · (1e6 + δ(w)) div σ(w)
+
+    bc_micro(node) = Σ over pivots δ — a pure integer function of the
+    graph, replayed bit-for-bit by the oracle's unrolled CTE chain.
+    Unreached / leaf nodes score 0 (every node of the graph appears in
+    the output).  Undirected (edges symmetrized), pivot rows themselves
+    excluded from their own accumulation (level ≥ 1 only).
+
+    Scale shape: one (pivot, node)-keyed join + aggregate per level in
+    each direction — 2·max_depth shuffle rounds total regardless of
+    n_pivots (all pivots ride one composite-keyed frame); per-level
+    frames are localCheckpointed because each feeds the next level AND
+    the final union (rule 7)."""
+    edges = edges.select(src_col, dst_col).localCheckpoint()
+    sym = (edges.select(F.col(src_col).alias("a"),
+                        F.col(dst_col).alias("b"))
+           .union(edges.select(F.col(dst_col).alias("a"),
+                               F.col(src_col).alias("b")))
+           .filter(F.col("a") != F.col("b")).distinct().localCheckpoint())
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    pivots = (nodes.orderBy(F.md5(F.col("node").cast("string")))
+              .limit(n_pivots)
+              .select(F.col("node").alias("pivot"), "node"))
+    lv = [(pivots.withColumn("sigma", F.lit(1).cast("bigint"))
+           .localCheckpoint())]                    # lv[d]: pivot,node,sigma
+    visited = lv[0].select("pivot", "node")
+    for _d in range(1, max_depth + 1):
+        nxt = (lv[-1].join(sym, lv[-1]["node"] == sym["a"])
+               .select("pivot", F.col("b").alias("node"), "sigma")
+               .join(visited, ["pivot", "node"], "left_anti")
+               .groupBy("pivot", "node")
+               .agg(F.sum("sigma").alias("sigma"))
+               .localCheckpoint())
+        lv.append(nxt)
+        visited = visited.unionByName(nxt.select("pivot", "node"))
+    # backward: delta[d] keyed (pivot, node); deepest level scores 0
+    delta = lv[max_depth].select(
+        "pivot", "node", F.lit(0).cast("bigint").alias("delta"))
+    out = [delta]
+    for _d in range(max_depth - 1, 0, -1):
+        w = (lv[_d + 1].join(delta, ["pivot", "node"])
+             .select("pivot", F.col("node").alias("b"),
+                     F.col("sigma").alias("sigma_w"),
+                     F.col("delta").alias("delta_w")))
+        contrib = (lv[_d].join(sym, lv[_d]["node"] == sym["a"])
+                   .select("pivot", "node", "sigma",
+                           F.col("b"))
+                   .join(w, ["pivot", "b"])
+                   .groupBy("pivot", "node")
+                   .agg(F.sum(F.expr(
+                       "(sigma * (1000000 + delta_w)) div sigma_w"))
+                       .cast("bigint").alias("delta")))
+        delta = (lv[_d].select("pivot", "node")
+                 .join(contrib, ["pivot", "node"], "left")
+                 .select("pivot", "node",
+                         F.coalesce(F.col("delta"), F.lit(0))
+                         .cast("bigint").alias("delta"))
+                 .localCheckpoint())
+        out.append(delta)
+    acc = out[0]
+    for d in out[1:]:
+        acc = acc.unionByName(d)
+    return (nodes.join(acc.groupBy("node")
+                       .agg(F.sum("delta").alias("bc")), ["node"], "left")
+            .select("node", F.coalesce(F.col("bc"), F.lit(0))
+                    .cast("bigint").alias("betweenness_micro")))

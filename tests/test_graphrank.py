@@ -492,3 +492,62 @@ def test_wl_signatures_distinguish_structure(spark):
     got = {r["node"]: r["wl_label"] for r in wl_signatures(edges, 2).collect()}
     assert got == lbl
     assert got["b"] == got["c"] != got["a"]
+
+
+def test_pivot_betweenness_matches_brandes_replay(spark):
+    """All-pivot run == exact integer Brandes; the path broker (b in
+    x-a-b-{c,d}-e) ranks top; leaves and endpoints score 0."""
+    import hashlib
+    from collections import deque
+    from kg.graphrank import pivot_betweenness
+    E = [("a", "b"), ("b", "c"), ("c", "d"), ("b", "d"), ("d", "e"),
+         ("x", "a")]
+    edges = spark.createDataFrame(E, ["src", "dst"])
+
+    def replay(n_pivots, max_depth):
+        sym = {}
+        for s, d in E:
+            sym.setdefault(s, set()).add(d)
+            sym.setdefault(d, set()).add(s)
+        nodes = sorted(sym)
+        pivots = sorted(
+            nodes, key=lambda n: hashlib.md5(n.encode()).hexdigest()
+        )[:n_pivots]
+        bc = {n: 0 for n in nodes}
+        for s in pivots:
+            level, sigma, order = {s: 0}, {s: 1}, [s]
+            q = deque([s])
+            while q:
+                u = q.popleft()
+                if level[u] >= max_depth:
+                    continue
+                for v in sorted(sym[u]):
+                    if v not in level:
+                        level[v] = level[u] + 1
+                        sigma[v] = 0
+                        q.append(v)
+                        order.append(v)
+                    if level[v] == level[u] + 1:
+                        sigma[v] += sigma[u]
+            delta = {n: 0 for n in level}
+            for v in sorted(order, key=lambda n: -level[n]):
+                for u in sym[v]:
+                    if u in level and level[u] == level[v] - 1:
+                        delta[u] += (sigma[u] * (1_000_000 + delta[v])
+                                     ) // sigma[v]
+            for v in level:
+                if v != s:
+                    bc[v] += delta[v]
+        return bc
+
+    got = {r["node"]: r["betweenness_micro"]
+           for r in pivot_betweenness(edges, n_pivots=6,
+                                      max_depth=4).collect()}
+    assert got == replay(6, 4)
+    assert max(got, key=got.get) == "b"
+    assert got["e"] == 0 and got["x"] == 0
+    # pivot-sampled variant equals the same-pivot-subset replay
+    got2 = {r["node"]: r["betweenness_micro"]
+            for r in pivot_betweenness(edges, n_pivots=2,
+                                       max_depth=3).collect()}
+    assert got2 == replay(2, 3)

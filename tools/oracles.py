@@ -2037,4 +2037,83 @@ def build_oracle_sql() -> dict[str, str]:
     sqls["kg_tag_wl"] = _wl + """
         SELECT node, lbl AS wl_label FROM l2"""
 
+    # Pivot-sampled Brandes betweenness: 2 md5-smallest pivots, depth 3.
+    # Forward: per-level shortest-path counts sigma (BFS-DAG predecessor
+    # sums, NOT EXISTS anti vs the visited union); backward: delta in
+    # integer micro-units, deepest level 0, then
+    #   delta(v) = sum sigma_v * (1e6 + delta_w) // sigma_w
+    # over successors w one level deeper.  Every CTE is referenced by the
+    # next level AND the final union -> MATERIALIZED throughout.
+    sqls["kg_tag_betweenness"] = f"""
+        WITH {_kept_sql},
+        {_cooccur_sql},
+        {_strong_sql},
+        sym AS MATERIALIZED (SELECT a, b FROM f0
+               UNION SELECT b AS a, a AS b FROM f0),
+        nds AS MATERIALIZED (SELECT DISTINCT a AS node FROM sym),
+        pv AS MATERIALIZED (SELECT node AS pvt FROM nds
+               ORDER BY md5(node) LIMIT 2),
+        s0 AS MATERIALIZED (SELECT pvt, pvt AS node,
+               CAST(1 AS BIGINT) AS sigma FROM pv),
+        s1 AS MATERIALIZED (
+          SELECT pvt, node, CAST(sum(sigma) AS BIGINT) AS sigma FROM (
+            SELECT f.pvt, s.b AS node, f.sigma
+            FROM s0 f JOIN sym s ON s.a = f.node) t
+          WHERE NOT EXISTS (SELECT 1 FROM s0 p
+                            WHERE p.pvt = t.pvt AND p.node = t.node)
+          GROUP BY pvt, node),
+        s2 AS MATERIALIZED (
+          SELECT pvt, node, CAST(sum(sigma) AS BIGINT) AS sigma FROM (
+            SELECT f.pvt, s.b AS node, f.sigma
+            FROM s1 f JOIN sym s ON s.a = f.node) t
+          WHERE NOT EXISTS (SELECT 1 FROM s0 p
+                            WHERE p.pvt = t.pvt AND p.node = t.node)
+            AND NOT EXISTS (SELECT 1 FROM s1 p
+                            WHERE p.pvt = t.pvt AND p.node = t.node)
+          GROUP BY pvt, node),
+        s3 AS MATERIALIZED (
+          SELECT pvt, node, CAST(sum(sigma) AS BIGINT) AS sigma FROM (
+            SELECT f.pvt, s.b AS node, f.sigma
+            FROM s2 f JOIN sym s ON s.a = f.node) t
+          WHERE NOT EXISTS (SELECT 1 FROM s0 p
+                            WHERE p.pvt = t.pvt AND p.node = t.node)
+            AND NOT EXISTS (SELECT 1 FROM s1 p
+                            WHERE p.pvt = t.pvt AND p.node = t.node)
+            AND NOT EXISTS (SELECT 1 FROM s2 p
+                            WHERE p.pvt = t.pvt AND p.node = t.node)
+          GROUP BY pvt, node),
+        d3 AS MATERIALIZED (SELECT pvt, node,
+               CAST(0 AS BIGINT) AS delta FROM s3),
+        d2 AS MATERIALIZED (
+          SELECT f.pvt, f.node,
+                 CAST(coalesce(sum((f.sigma * (1000000 + w.delta))
+                                   // w.sigma), 0) AS BIGINT) AS delta
+          FROM s2 f
+          LEFT JOIN sym s ON s.a = f.node
+          LEFT JOIN (SELECT d.pvt, d.node, d.delta, x.sigma
+                     FROM d3 d JOIN s3 x
+                       ON x.pvt = d.pvt AND x.node = d.node) w
+            ON w.pvt = f.pvt AND w.node = s.b
+          GROUP BY f.pvt, f.node),
+        d1 AS MATERIALIZED (
+          SELECT f.pvt, f.node,
+                 CAST(coalesce(sum((f.sigma * (1000000 + w.delta))
+                                   // w.sigma), 0) AS BIGINT) AS delta
+          FROM s1 f
+          LEFT JOIN sym s ON s.a = f.node
+          LEFT JOIN (SELECT d.pvt, d.node, d.delta, x.sigma
+                     FROM d2 d JOIN s2 x
+                       ON x.pvt = d.pvt AND x.node = d.node) w
+            ON w.pvt = f.pvt AND w.node = s.b
+          GROUP BY f.pvt, f.node),
+        agg AS MATERIALIZED (
+          SELECT node, CAST(sum(delta) AS BIGINT) AS bc FROM (
+            SELECT pvt, node, delta FROM d1
+            UNION ALL SELECT pvt, node, delta FROM d2
+            UNION ALL SELECT pvt, node, delta FROM d3)
+          GROUP BY node)
+        SELECT n.node,
+               CAST(coalesce(a.bc, 0) AS BIGINT) AS betweenness_micro
+        FROM nds n LEFT JOIN agg a USING (node)"""
+
     return sqls
