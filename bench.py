@@ -59,6 +59,14 @@ HEADLINE = [
     "multimodal_decode",     # real BMP/PPM/PNG decode, mapInPandas
     "text_normalize_nfc",    # unicode NFC, scalar pandas UDF
     "ann_ivfpq_topk",        # composed IVFADC: cell-pruned residual-PQ ADC
+    "dedup_paragraph",       # corpus-global span dedup + text rebuild
+    "rel_events_funnel",     # ordered-stage funnel, user-co-partitioned
+    "ann_sq_topk",           # SQ8 scalar-quantization ANN
+    "kg_node_index",         # two-phase contiguous GNN node numbering
+    "kg_tag_hits",           # HITS hubs/authorities, directed HAS_TAG
+    "kg_tag_walks",          # deterministic DeepWalk corpus, md5 hops
+    "kg_tag_wl",             # 1-WL structural signatures
+    "kg_tag_betweenness",    # pivot-sampled Brandes betweenness
 ]
 
 
