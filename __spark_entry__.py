@@ -1383,6 +1383,43 @@ def q_kg_tag_betweenness(spark, sf_dir):
                              n_pivots=2, max_depth=3)
 
 
+def q_text_inverted_index(spark, sf_dir):
+    """Positional inverted index (kg.retrieval.inverted_index): per term,
+    exact doc_freq / n_occurrences plus the first 1000 "doc:pos"
+    postings in (doc, pos) order as a CSV string — the cap is the skew
+    contract (hot terms bound the collected list; the stats stay
+    exact) and is mirrored in the oracle's windowed FILTER."""
+    from kg.retrieval import inverted_index
+    return inverted_index(_docs(spark, sf_dir), max_postings=1000)
+
+
+def q_text_bm25_topk(spark, sf_dir):
+    """BM25 top-k retrieval (kg.retrieval.bm25_topk) for a literal
+    3-query bag-of-words set: exact integer milli-unit scoring
+    (floor-log2 idf surrogate, k1/b rationals folded into BIGINT div),
+    so scores AND ranks replay bit-for-bit in the oracle."""
+    from kg.retrieval import bm25_topk
+    q = spark.createDataFrame(BM25_QUERIES, "query_id string, term string")
+    return bm25_topk(_docs(spark, sf_dir), q, k=10)
+
+
+def q_text_heavy_hitters(spark, sf_dir):
+    """Misra–Gries heavy hitters over corpus tokens (kg.sketch
+    .heavy_hitters_contract) under the bounded-contract pattern:
+    sketch content depends on partition layout (not hash-portable), so
+    Spark emits one row of exact stats + the MG guarantees as booleans
+    (every term above N/(k+1) present; estimates never overshoot;
+    undershoot within (N−M)/(k+1)); the oracle recomputes the exact
+    side and asserts true.  k=27 < |vocab| forces real decrements."""
+    from kg.sketch import heavy_hitters_contract
+    return heavy_hitters_contract(_docs(spark, sf_dir), k=27)
+
+
+# literal bag-of-words query set for bm25: rare ("dup") vs common terms
+BM25_QUERIES = [("q1", "dup"), ("q1", "table"), ("q2", "spark"),
+                ("q2", "join"), ("q3", "window")]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # WINDOW-ROTATION RULE (STATUS.md §rotation): the driver's CORRECTNESS
     # artifact covers roughly the FIRST 50 registered queries per round, so
@@ -1394,7 +1431,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # one round old.  r4 window: the 42 queries last checked in r2
     # (CORRECTNESS_r02), then the two r3-ERR fixes (ann_centroids,
     # kg_adjacency), the graduated rel_events_quantiles_approx, and the
-    # three r4-new queries — 48 of ~50.  Tail: the 44 queries green in
+    # r4-new queries (with 11 lowest-risk stale rows demoted to make
+    # room — see the demoted block).  Tail: the queries green in
     # CORRECTNESS_r03.
     return {
         # --- 42 × last driver row = r2 ------------------------------------
@@ -1419,13 +1457,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gopher": q_text_gopher,
         "text_language_id": q_text_language_id,
         "text_term_freq": q_text_term_freq,
-        "text_pack_shards": q_text_pack_shards,
         "text_emit_shards": q_text_emit_shards,
         "ann_knn_classify": q_ann_knn_classify,
         "rel_q1_pricing": q_rel_q1_pricing,
         "rel_q3_revenue": q_rel_q3_revenue,
-        "rel_events_gap": q_rel_events_gap,
-        "rel_events_rollup": q_rel_events_rollup,
         "rel_events_sessionize": q_rel_events_sessionize,
         "rel_events_cohort": q_rel_events_cohort,
         "text_pii": q_text_pii,
@@ -1454,9 +1489,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_tag_walks": q_kg_tag_walks,
         "kg_tag_wl": q_kg_tag_wl,
         "kg_tag_betweenness": q_kg_tag_betweenness,
-        # --- demoted to make window room for the 8 r4-late queries: these
-        # eight are the lowest-risk stale rows (simple zero/one-shuffle ops,
-        # untouched since r2, pytest-anchored) — first in line for r5 ------
+        # --- r4 retrieval/sketch additions (rotated into the window) ------
+        "text_inverted_index": q_text_inverted_index,
+        "text_bm25_topk": q_text_bm25_topk,
+        "text_heavy_hitters": q_text_heavy_hitters,
+        # --- demoted to make window room for the 11 r4-late queries: these
+        # eleven are the lowest-risk stale rows (simple zero/one-shuffle
+        # ops, untouched since r2, pytest-anchored) — first in line for r5 -
+        "text_pack_shards": q_text_pack_shards,
+        "rel_events_gap": q_rel_events_gap,
+        "rel_events_rollup": q_rel_events_rollup,
         "rel_events_cube": q_rel_events_cube,
         "text_token_stats": q_text_token_stats,
         "text_fingerprint": q_text_fingerprint,

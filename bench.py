@@ -67,6 +67,9 @@ HEADLINE = [
     "kg_tag_walks",          # deterministic DeepWalk corpus, md5 hops
     "kg_tag_wl",             # 1-WL structural signatures
     "kg_tag_betweenness",    # pivot-sampled Brandes betweenness
+    "text_inverted_index",   # positional postings, window-capped skew
+    "text_bm25_topk",        # integer-exact BM25 retrieval
+    "text_heavy_hitters",    # Misra–Gries sketch, bounded contract
 ]
 
 

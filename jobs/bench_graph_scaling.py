@@ -93,6 +93,21 @@ elif op == "cc":
     out = connected_components(edges, max_iter=15)
     rounds = 0
     n, chk = out.count(), checksum(out, ["node", "component"])
+elif op == "hits":
+    from kg.graphrank import hits
+    rounds = 3
+    out = hits(edges, iterations=rounds)
+    n, chk = out.count(), checksum(out, ["node", "side", "score_micro"])
+elif op == "walks":
+    from kg.graphrank import random_walks
+    rounds = 4                      # walk_length: one frontier join per step
+    out = random_walks(edges, walks_per_node=1, walk_length=rounds)
+    n, chk = out.count(), checksum(out, ["walk_id", "step", "node"])
+elif op == "betweenness":
+    from kg.graphrank import pivot_betweenness
+    rounds = 6                      # 2 * max_depth keyed join rounds
+    out = pivot_betweenness(edges, n_pivots=4, max_depth=3)
+    n, chk = out.count(), checksum(out, ["node", "betweenness_micro"])
 else:
     raise SystemExit(f"unknown op {op}")
 dt = time.perf_counter() - t0
@@ -107,7 +122,7 @@ print(json.dumps({
 
 _ENV = dict(os.environ,
             PYTHONPATH=os.path.dirname(os.path.abspath(__file__)) + "/..")
-OPS = ("pagerank", "lpa", "cc")
+OPS = ("pagerank", "lpa", "cc", "hits", "walks", "betweenness")
 
 
 def run_child(cores: int, path: str, op: str) -> dict:

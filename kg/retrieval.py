@@ -1,0 +1,158 @@
+"""Corpus retrieval operators: positional inverted index and BM25 top-k.
+
+LLM-pipeline extension family (the reference's query surface stops at
+annotated Tag-node lookups — OpenNLPTextProcessor.java:179 `annotateText`
+materializes tags, retrieval is delegated to the graph database): these
+are the retrieval ops a training-data pipeline runs against the raw
+corpus itself — targeted corpus audits, benchmark decontamination
+search (find the documents that mention a benchmark answer string),
+nearest-document inspection for dedup-cluster review.
+
+Engine-portability: scores use the house integer conventions
+(CLAUDE.md) — idf is the exact floor-log2 surrogate
+`length(bin(n_docs div df))` (same rationale as kg.textstats
+.lm_surprisal: float ln differs between engines at the ulp and float
+sums are order-dependent, the integer surrogate is bit-identical and
+monotone in rarity, which is all ranking uses), and the BM25
+tf-saturation rational is evaluated entirely with BIGINT `div`
+(verified Spark `div` == DuckDB `//`, truncate toward zero).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from kg.textstats import tokens_col
+
+
+def _positions(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc, pos, term) rows; pos is the 0-based token ordinal."""
+    return df.select(F.col(id_col).alias("doc"),
+                     F.posexplode(tokens_col(text_col))
+                     .alias("pos", "term"))
+
+
+def inverted_index(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   max_postings: int = 1000) -> DataFrame:
+    """Positional inverted index: one row per term with exact corpus
+    stats and a bounded posting list.
+
+    Returns (term, doc_freq, n_occurrences, postings) where postings is
+    the first `max_postings` "doc:pos" entries in (doc, pos) order as a
+    CSV string (array outputs are not driver-hashable — CLAUDE.md).
+    doc_freq / n_occurrences are EXACT over all occurrences; only the
+    materialized list is capped, and the cap is part of the contract
+    (mirrored in the DuckDB oracle).
+
+    Scale shape: one hash-partitioning on term end-to-end.  The exact
+    stats come from a hash aggregate with map-side partials; the posting
+    LIST is capped behind a sort-based window *before* any collect, so a
+    degenerate hot term (a stopword at 100 TB) spills in the sort
+    instead of OOMing a collect_list, and the collected array is
+    bounded by `max_postings`.  Stats and postings then join on the
+    partitioning they already share.
+    """
+    toks = _positions(df, text_col, id_col)
+    stats = toks.groupBy("term").agg(
+        F.countDistinct("doc").cast("bigint").alias("doc_freq"),
+        F.count("*").cast("bigint").alias("n_occurrences"))
+    w = Window.partitionBy("term").orderBy("doc", "pos")
+    postings = (toks.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= max_postings)
+                .groupBy("term")
+                .agg(F.concat_ws(",", F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc", "pos"))),
+                    lambda s: F.concat(s["doc"].cast("string"), F.lit(":"),
+                                       s["pos"].cast("string"))))
+                    .alias("postings")))
+    return stats.join(postings, "term").select(
+        "term", "doc_freq", "n_occurrences", "postings")
+
+
+def _muldiv_sql(x: str, m: int, d: str) -> str:
+    """SQL for floor(x * m / d) without the x*m intermediate:
+    (x div d)*m + ((x % d)*m) div d.  Exact for non-negative x
+    (x = q·d + r ⇒ x·m/d = q·m + r·m/d with q·m integral), and
+    overflow-safe as long as (d-1)*m fits in BIGINT — the corpus-total
+    multiplications here (avgdl, dl·k1·b·1e6) would overflow 2^63 at
+    100-TB token counts if formed directly.  Emitted as SQL text so the
+    same fragment builds the Spark expression and the DuckDB oracle
+    (`div` == `//`, verified truncate-toward-zero parity)."""
+    return (f"(({x}) div ({d})) * {m} + ((({x}) % ({d})) * {m}) div ({d})")
+
+
+def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
+              text_col: str = "text", id_col: str = "doc_id",
+              k1_milli: int = 1200, b_milli: int = 750) -> DataFrame:
+    """BM25 top-k retrieval in exact integer milli-units.
+
+    `queries` holds exploded query terms: (query_id, term) — duplicate
+    terms contribute twice, per classical BM25 over a bag-of-words
+    query.  Per matched (doc, term):
+
+        score_milli = (idf_bits * tf * (k1+1000) * 1_000_000)
+                      div (tf*1_000_000 + k1*(1000-b)
+                           + (dl * k1*b * 1_000_000) div avgdl_micro)
+
+    with k1, b carried in milli-units so every coefficient is an
+    integer (k1*(1000-b) and k1*b land in micro-units exactly), and
+    idf_bits = length(bin(n_docs div df)) — the floor-log2 idf
+    surrogate (module docstring).  Per-(query, doc) scores are integer
+    sums, so ranking is bit-portable; ties break on doc id.
+
+    Returns (query_id, doc_id, score_milli, rank), rank <= k.
+
+    Scale shape: tf/dl/df are plain hash aggregates of one token
+    explode; the query set and the df rows for query terms are tiny →
+    broadcast, so the candidate set is the docs containing a query term
+    (a broadcast semi-filter of tf, no full-corpus score).  One shuffle
+    joins dl back on doc; the final per-query top-k window partitions
+    on query_id — bounded by the candidate count; for web-scale
+    candidate sets insert a groupBy(query_id, salt) partial top-k
+    first.  avgdl and dl/avgdl use the split mul-div (`_muldiv`) so no
+    intermediate exceeds BIGINT at 100-TB token totals.  Overflow
+    bound of the numerator: idf_bits*tf*(k1+1000)*1e6 < 2^63 ⇒
+    tf < 6.5e7 per (doc, term) — beyond any non-degenerate document.
+    """
+    c0_micro = k1_milli * (1000 - b_milli)     # k1*(1-b) in micro-units
+    c1 = k1_milli * b_milli                    # k1*b: micro when * dl/avgdl
+    toks = _positions(docs, text_col, id_col).drop("pos")
+    tf = toks.groupBy("doc", "term").agg(
+        F.count("*").cast("bigint").alias("tf"))
+    dl = tf.groupBy("doc").agg(F.sum("tf").cast("bigint").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    totals = dl.agg(F.count("*").cast("bigint").alias("n_docs"),
+                    F.sum("dl").cast("bigint").alias("n_tokens"))
+
+    q = queries.select("query_id", "term")
+    dfq = dfreq.join(F.broadcast(q.select("term").distinct()), "term")
+    cand = (tf.join(F.broadcast(q), "term")
+            .join(F.broadcast(dfq), "term")
+            .join(dl, "doc")
+            .crossJoin(F.broadcast(totals)))
+
+    # integer-exact scoring, staged as named columns (CLAUDE.md: keep
+    # multiply-referenced non-cheap expressions out of CollapseProject)
+    scored = (cand
+              .withColumn("_avgdl",
+                          F.expr(_muldiv_sql("n_tokens", 1_000_000,
+                                             "n_docs")))
+              .withColumn("_idf",
+                          F.expr("cast(length(bin(n_docs div df)) "
+                                 "as bigint)"))
+              .withColumn("_dln",
+                          F.expr(_muldiv_sql(f"dl * {c1}", 1_000_000,
+                                             "_avgdl")))
+              .withColumn("_s",
+                          F.expr(f"(_idf * tf * {k1_milli + 1000} * "
+                                 "1000000) div (tf * 1000000 + "
+                                 f"{c0_micro} + _dln)"))
+              .groupBy("query_id", "doc")
+              .agg(F.sum("_s").cast("bigint").alias("score_milli")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_milli").desc(), F.col("doc"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", F.col("doc").alias("doc_id"),
+                    "score_milli", "rank"))

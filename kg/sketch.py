@@ -1,0 +1,113 @@
+"""Mergeable frequency sketches Spark lacks natively: Misra–Gries
+heavy hitters.
+
+The other sketch families ship as JVM built-ins and live where their
+data does (HLL++ `approx_distinct` and GK quantiles in kg.relops);
+this module holds the one that needs per-partition imperative state,
+implemented as ONE Arrow-batched mapInPandas summarizer per partition
+merged by a plain hash aggregate — the mergeable-summaries pattern
+(Agarwal et al., PODS'12: combining two MG summaries by adding
+counters, subtracting the (k+1)-th largest count, and dropping
+non-positives preserves the MG error bound).
+
+Like the HLL/GK ops, MG estimates are not value-hash-portable across
+engines (they depend on partition/batch layout), so the driver query
+uses the BOUNDED-CONTRACT pattern (CLAUDE.md): Spark joins the exact
+counts back in and emits the sketch's guarantees as booleans; the
+DuckDB oracle recomputes the exact side and asserts `true`.  A broken
+sketch emits false → hash mismatch.
+
+LLM-pipeline extension family — no counterpart in the reference (its
+frequency surface is the per-annotation tag tf, OpenNLPTextProcessor
+.java:272); corpus-scale heavy hitters are the standard first pass of
+vocabulary builds and boilerplate triage at 100 TB, where an exact
+full groupBy is a vocabulary-sized shuffle and the sketch is one
+narrow map + a k·n_partitions-row aggregate.
+"""
+
+from __future__ import annotations
+
+import pandas as pd  # module level: PEP 563 hint resolution (CLAUDE.md)
+from pyspark.sql import DataFrame, functions as F
+
+from kg.textstats import tokens_col
+
+
+def mg_summaries(df: DataFrame, col: str = "term",
+                 k: int = 64) -> DataFrame:
+    """Per-partition Misra–Gries summaries: ≤ k (value, est) rows per
+    input partition, est always an UNDERestimate of the partition-local
+    true count.
+
+    Batches are absorbed vectorized (one value_counts per Arrow batch,
+    then the mergeable-summaries combine: subtract the (k+1)-th largest
+    count, drop non-positives) — no per-token Python loop."""
+
+    def summarize(batches):
+        state: dict = {}
+        for pdf in batches:
+            for v, c in pdf[col].value_counts().items():
+                state[v] = state.get(v, 0) + int(c)
+            if len(state) > k:
+                dec = sorted(state.values(), reverse=True)[k]
+                state = {v: n - dec for v, n in state.items() if n > dec}
+        yield pd.DataFrame({col: list(state.keys()),
+                            "est": list(state.values())},
+                           columns=[col, "est"])
+
+    return df.mapInPandas(summarize, f"{col} string, est long")
+
+
+def mg_heavy_hitters(df: DataFrame, col: str = "term",
+                     k: int = 64) -> DataFrame:
+    """Merged corpus-wide MG sketch: (value, est_count).
+
+    est_count ≤ true count, and true − est ≤ (N − M) div (k+1) where
+    N = total input rows and M = Σ est_count (each partial's decrement
+    total d_i satisfies (k+1)·d_i ≤ n_i − m_i; the underestimate of any
+    value is ≤ Σ d_i).  In particular every value with true count
+    > N div (k+1) is present in the output."""
+    return (mg_summaries(df, col, k)
+            .groupBy(col)
+            .agg(F.sum("est").cast("bigint").alias("est_count")))
+
+
+def heavy_hitters_contract(docs: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           k: int = 64) -> DataFrame:
+    """Single-row bounded-contract frame for the corpus-token MG sketch.
+
+    Columns: (n_tokens, k, n_heavy_exact, heavy_all_present,
+    est_le_exact, err_within_bound).  The first three are exact and
+    deterministic (oracle recomputes them); the booleans assert the MG
+    guarantees against the exact counts and hold for ANY partition
+    layout, so the row is hash-stable even though the sketch content
+    is not."""
+    toks = docs.select(F.explode(tokens_col(text_col)).alias("term"))
+    exact = toks.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("n_exact"))
+    # the sketch frame is branched below (join + mass total): checkpoint
+    # the ≤ k·n_partitions-row merge so mapInPandas runs once (rule 7)
+    sketch = mg_heavy_hitters(toks, "term", k).localCheckpoint()
+    totals = (exact.agg(F.sum("n_exact").cast("bigint").alias("n_tokens"))
+              .crossJoin(F.broadcast(
+                  sketch.agg(F.coalesce(F.sum("est_count"), F.lit(0))
+                             .cast("bigint").alias("m_total")))))
+    j = (exact.join(sketch, "term", "left")
+         .crossJoin(F.broadcast(totals)))
+    return (j.groupBy()
+            .agg(F.first("n_tokens").alias("n_tokens"),
+                 F.lit(k).cast("bigint").alias("k"),
+                 F.sum(F.expr(f"cast(n_exact > n_tokens div {k + 1} "
+                              "as bigint)")).alias("n_heavy_exact"),
+                 F.bool_and(F.expr(
+                     f"n_exact <= n_tokens div {k + 1} "
+                     "or est_count is not null")).alias(
+                     "heavy_all_present"),
+                 F.bool_and(F.coalesce(
+                     F.col("est_count") <= F.col("n_exact"),
+                     F.lit(True))).alias("est_le_exact"),
+                 F.bool_and(F.expr(
+                     "n_exact - coalesce(est_count, 0) <= "
+                     f"(n_tokens - m_total) div {k + 1}")).alias(
+                     "err_within_bound")))

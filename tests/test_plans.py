@@ -381,3 +381,45 @@ def test_sq_topk_narrow_encode_single_window(spark):
     assert plan.count("Window [") == 1
     assert "SortMergeJoin" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_inverted_index_one_key_no_python(spark):
+    """Inverted index: the posting list is capped by a sort-based window
+    BEFORE any collect (hot-term skew spills, never OOMs), every
+    exchange is the term hash-partitioning (stats + postings + their
+    join share it), and nothing drops to Python."""
+    from kg.retrieval import inverted_index
+    docs = spark.createDataFrame([(i, "a b c a") for i in range(20)],
+                                 "doc_id long, text string")
+    plan = _plan(inverted_index(docs))
+    assert "Window [" in plan                      # cap precedes collect
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for frag in plan.split("Exchange hashpartitioning")[1:]:
+        assert frag[:40].lstrip("(").startswith("term")
+
+
+def test_bm25_broadcasts_small_sides(spark):
+    """BM25: the query set, the query-term df rows, and the corpus
+    totals all ride in as broadcasts — the only sort-merge-free
+    shuffles are the tf/dl aggregates and the final per-query top-k
+    window; no Python."""
+    from kg.retrieval import bm25_topk
+    docs = spark.createDataFrame([(i, "a b c a") for i in range(20)],
+                                 "doc_id long, text string")
+    q = spark.createDataFrame([("q", "a")], "query_id string, term string")
+    plan = _plan(bm25_topk(docs, q, k=3))
+    assert plan.count("BroadcastHashJoin") >= 2    # queries + dfq
+    assert "BroadcastNestedLoopJoin" in plan       # single-row totals
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_heavy_hitters_single_mapinpandas(spark):
+    """The MG sketch is ONE Arrow-batched Python stage (MapInPandas),
+    not re-executed per branch: the contract frame checkpoints the
+    merged sketch before branching (rule 7)."""
+    from kg.sketch import heavy_hitters_contract
+    docs = spark.createDataFrame([(i, "a b c a") for i in range(20)],
+                                 "doc_id long, text string")
+    plan = _plan(heavy_hitters_contract(docs, k=2))
+    assert "MapInPandas" not in plan     # checkpointed: scan, not re-eval

@@ -1,0 +1,136 @@
+"""kg.retrieval (inverted index, BM25) and kg.sketch (Misra–Gries)
+behavioral tests: hand-computed integer scores, cap contracts, and the
+MG guarantees under forced multi-partition decrements."""
+
+import pyspark.sql.functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# --- inverted index -----------------------------------------------------
+
+def test_inverted_index_hand_computed(spark):
+    from kg.retrieval import inverted_index
+    docs = _docs(spark, [(0, "a b a"), (1, "b c")])
+    got = {r["term"]: (r["doc_freq"], r["n_occurrences"], r["postings"])
+           for r in inverted_index(docs).collect()}
+    assert got == {"a": (1, 2, "0:0,0:2"),
+                   "b": (2, 2, "0:1,1:0"),
+                   "c": (1, 1, "1:1")}
+
+
+def test_inverted_index_cap_bounds_postings_not_stats(spark):
+    from kg.retrieval import inverted_index
+    docs = _docs(spark, [(0, "a b a"), (1, "b c")])
+    got = {r["term"]: (r["doc_freq"], r["n_occurrences"], r["postings"])
+           for r in inverted_index(docs, max_postings=1).collect()}
+    # stats stay exact; only the materialized list is capped
+    assert got["a"] == (1, 2, "0:0")
+    assert got["b"] == (2, 2, "0:1")
+
+
+# --- bm25 ---------------------------------------------------------------
+
+_CORPUS = [(0, "x x y"), (1, "y z"), (2, "z z z z")]
+# N=3 docs, T=9 tokens, avgdl_micro=3_000_000; hand-computed milli scores
+# (floor-log2 idf, k1=1.2, b=0.75): see each test
+
+
+def _bm25(spark, qrows, **kw):
+    from kg.retrieval import bm25_topk
+    q = spark.createDataFrame(qrows, "query_id string, term string")
+    return {(r["query_id"], r["doc_id"]): (r["score_milli"], r["rank"])
+            for r in bm25_topk(_docs(spark, _CORPUS), q, **kw).collect()}
+
+
+def test_bm25_single_term_hand_computed(spark):
+    # doc0: tf=2, dl=3, df(x)=1, idf=len(bin(3))=2, dln=900000,
+    # denom=3_200_000, num=2*2*2200e6 → 8_800_000_000 div 3_200_000=2750
+    assert _bm25(spark, [("q", "x")]) == {("q", 0): (2750, 1)}
+
+
+def test_bm25_tf_and_length_normalization(spark):
+    # z: df=2, idf=len(bin(1))=1.  doc1 (tf=1, dl=2): 1157;
+    # doc2 (tf=4, dl=4): 1600 — higher tf wins despite longer doc
+    got = _bm25(spark, [("q2", "z")])
+    assert got == {("q2", 2): (1600, 1), ("q2", 1): (1157, 2)}
+
+
+def test_bm25_multi_term_sum_and_k(spark):
+    got = _bm25(spark, [("q3", "x"), ("q3", "z")])
+    assert got == {("q3", 0): (2750, 1), ("q3", 2): (1600, 2),
+                   ("q3", 1): (1157, 3)}
+    assert _bm25(spark, [("q3", "x"), ("q3", "z")], k=1) == {
+        ("q3", 0): (2750, 1)}
+
+
+def test_bm25_rare_term_dominates(spark):
+    """idf surrogate still orders rarity: a doc matching the rare term
+    outranks docs matching only the common term."""
+    corpus = [(i, "common filler words here") for i in range(8)]
+    corpus.append((99, "common rareword filler"))
+    from kg.retrieval import bm25_topk
+    q = [("q", "rareword"), ("q", "common")]
+    out = bm25_topk(_docs(spark, corpus),
+                    spark.createDataFrame(q, "query_id string, term string"),
+                    k=3).collect()
+    assert out[0]["doc_id"] == 99 and out[0]["rank"] == 1
+
+
+# --- Misra–Gries --------------------------------------------------------
+
+def test_mg_exact_when_k_covers_vocab(spark):
+    from kg.sketch import mg_heavy_hitters
+    toks = (spark.createDataFrame([("a",)] * 5 + [("b",)] * 3 + [("c",)],
+                                  "term string").coalesce(1))
+    got = {r["term"]: r["est_count"]
+           for r in mg_heavy_hitters(toks, k=8).collect()}
+    assert got == {"a": 5, "b": 3, "c": 1}
+
+
+def test_mg_guarantees_under_decrements(spark):
+    """k=2 over a skewed 4-value stream across several partitions: every
+    estimate is an underestimate within (N−M)/(k+1), and the heavy
+    value (freq > N/(k+1)) is always present."""
+    from kg.sketch import mg_heavy_hitters
+    rows = ([("hot",)] * 60 + [("warm",)] * 20 + [("c1",)] * 10
+            + [("c2",)] * 10)
+    toks = spark.createDataFrame(rows, "term string").repartition(4)
+    est = {r["term"]: r["est_count"]
+           for r in mg_heavy_hitters(toks, k=2).collect()}
+    exact = {"hot": 60, "warm": 20, "c1": 10, "c2": 10}
+    n, m = 100, sum(est.values())
+    bound = (n - m) // 3
+    assert "hot" in est            # 60 > 100/3
+    for t, e in est.items():
+        assert e <= exact[t]
+        assert exact[t] - e <= bound
+    for t, c in exact.items():
+        if c > n // 3:
+            assert t in est
+
+
+def test_heavy_hitters_contract_all_true(spark):
+    from kg.sketch import heavy_hitters_contract
+    docs = _docs(spark, [(i, "hot hot hot tail%d" % (i % 7))
+                         for i in range(40)]).repartition(5)
+    row = heavy_hitters_contract(docs, k=3).collect()[0]
+    # N=160 tokens; hot=120 > 160//4=40 → exactly one heavy term
+    assert row["n_tokens"] == 160 and row["k"] == 3
+    assert row["n_heavy_exact"] == 1
+    assert row["heavy_all_present"] and row["est_le_exact"]
+    assert row["err_within_bound"]
+
+
+def test_heavy_hitters_contract_partition_invariant(spark):
+    """The contract row is identical under different partition layouts
+    even though the sketch content is not (the hash-portability story
+    the driver oracle relies on)."""
+    from kg.sketch import heavy_hitters_contract
+    docs = _docs(spark, [(i, "hot hot mid tail%d" % (i % 11))
+                         for i in range(30)])
+    a = heavy_hitters_contract(docs.coalesce(1), k=4).collect()[0]
+    b = heavy_hitters_contract(docs.repartition(8), k=4).collect()[0]
+    assert a == b

@@ -2116,4 +2116,92 @@ def build_oracle_sql() -> dict[str, str]:
                CAST(coalesce(a.bc, 0) AS BIGINT) AS betweenness_micro
         FROM nds n LEFT JOIN agg a USING (node)"""
 
+    # positional inverted index: exact stats over ALL occurrences; the
+    # posting list capped at 1000 via the same windowed rank the Spark
+    # side applies before its collect (cap is part of the contract)
+    sqls["text_inverted_index"] = f"""
+        WITH tok AS (
+          SELECT doc_id AS doc, i - 1 AS pos, t[i] AS term
+          FROM (SELECT doc_id, {_TOKS} AS t,
+                       generate_subscripts({_TOKS}, 1) AS i
+                FROM documents WHERE lang = 'en')),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY term
+                                       ORDER BY doc, pos) AS rn
+          FROM tok)
+        SELECT term,
+               CAST(count(DISTINCT doc) AS BIGINT) AS doc_freq,
+               CAST(count(*) AS BIGINT) AS n_occurrences,
+               string_agg(doc || ':' || pos, ',' ORDER BY doc, pos)
+                 FILTER (WHERE rn <= 1000) AS postings
+        FROM ranked GROUP BY term"""
+
+    # BM25 in exact integer milli-units: floor-log2 idf surrogate
+    # length(bin(n_docs // df)), k1=1.2 / b=0.75 folded into integer
+    # coefficients (2200 milli numerator, 300000 + 900000·dl/avgdl
+    # micro denominator), split mul-div for the avgdl ratios (same
+    # overflow-safe form as kg.retrieval._muldiv_sql)
+    _bm25_q = " UNION ALL ".join(
+        f"SELECT '{qid}' AS query_id, '{t}' AS term"
+        for qid, t in [("q1", "dup"), ("q1", "table"), ("q2", "spark"),
+                       ("q2", "join"), ("q3", "window")])
+    sqls["text_bm25_topk"] = f"""
+        WITH tok AS (
+          SELECT doc_id AS doc, unnest({_TOKS}) AS term
+          FROM documents WHERE lang = 'en'),
+        tf AS (SELECT doc, term, CAST(count(*) AS BIGINT) AS tf
+               FROM tok GROUP BY doc, term),
+        dl AS (SELECT doc, CAST(sum(tf) AS BIGINT) AS dl
+               FROM tf GROUP BY doc),
+        dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                  FROM tf GROUP BY term),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(dl) AS BIGINT) AS n_tokens FROM dl),
+        q AS ({_bm25_q}),
+        cand AS (
+          SELECT q.query_id, tf.doc, tf.tf, dl.dl, dfreq.df,
+                 tot.n_docs, tot.n_tokens
+          FROM tf JOIN q USING (term) JOIN dfreq USING (term)
+                  JOIN dl USING (doc), tot),
+        staged AS (
+          SELECT *,
+            CAST(length(bin(n_docs // df)) AS BIGINT) AS idf,
+            ((dl * 900000) // avgdl) * 1000000
+              + (((dl * 900000) % avgdl) * 1000000) // avgdl AS dln
+          FROM (SELECT *,
+                  (n_tokens // n_docs) * 1000000
+                    + ((n_tokens % n_docs) * 1000000) // n_docs AS avgdl
+                FROM cand)),
+        sc AS (
+          SELECT query_id, doc,
+                 CAST(sum((idf * tf * 2200 * 1000000)
+                          // (tf * 1000000 + 300000 + dln))
+                      AS BIGINT) AS score_milli
+          FROM staged GROUP BY query_id, doc)
+        SELECT query_id, doc AS doc_id, score_milli,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY score_milli DESC, doc) AS INT) AS rank
+        FROM sc
+        QUALIFY rank <= 10"""
+
+    # Misra–Gries heavy hitters, bounded-contract pattern (like
+    # rel_events_distinct_approx): the exact columns are recomputed
+    # here, the sketch guarantees are asserted `true` — a broken sketch
+    # emits false in-engine and the hash diverges.  k = 27.
+    sqls["text_heavy_hitters"] = f"""
+        WITH tok AS (
+          SELECT unnest({_TOKS}) AS term
+          FROM documents WHERE lang = 'en'),
+        exact AS (SELECT term, CAST(count(*) AS BIGINT) AS n
+                  FROM tok GROUP BY term),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_tokens FROM exact)
+        SELECT tot.n_tokens,
+               CAST(27 AS BIGINT) AS k,
+               (SELECT CAST(count(*) AS BIGINT) FROM exact
+                WHERE n > tot.n_tokens // 28) AS n_heavy_exact,
+               true AS heavy_all_present,
+               true AS est_le_exact,
+               true AS err_within_bound
+        FROM tot"""
+
     return sqls
