@@ -103,14 +103,16 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
 
     Returns (query_id, doc_id, score_milli, rank), rank <= k.
 
-    Scale shape: tf/dl/df are plain hash aggregates of one token
-    explode; the query set and the df rows for query terms are tiny →
-    broadcast, so the candidate set is the docs containing a query term
-    (a broadcast semi-filter of tf, no full-corpus score).  One shuffle
-    joins dl back on doc; the final per-query top-k window partitions
-    on query_id — bounded by the candidate count; for web-scale
-    candidate sets insert a groupBy(query_id, salt) partial top-k
-    first.  avgdl and dl/avgdl use the split mul-div (`_muldiv`) so no
+    Scale shape: tf/df are hash aggregates of one token explode; dl is
+    a ZERO-shuffle narrow map over the source (size(tokens) == sum(tf)
+    per doc).  The query set and the df rows for query terms are tiny
+    → broadcast, so the candidate set is the docs containing a query
+    term (a broadcast semi-filter of tf, no full-corpus score); the dl
+    join then pairs the full narrow dl frame against that small
+    candidate side — AQE converts it to a broadcast of the candidates
+    at runtime.  The final per-query top-k window partitions on
+    query_id — bounded by the candidate count; for web-scale candidate
+    sets insert a groupBy(query_id, salt) partial top-k first.  avgdl and dl/avgdl use the split mul-div (`_muldiv`) so no
     intermediate exceeds BIGINT at 100-TB token totals.  Overflow
     bound of the numerator: idf_bits*tf*(k1+1000)*1e6 < 2^63 ⇒
     tf < 6.5e7 per (doc, term) — beyond any non-degenerate document.
@@ -120,7 +122,10 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
     toks = _positions(docs, text_col, id_col).drop("pos")
     tf = toks.groupBy("doc", "term").agg(
         F.count("*").cast("bigint").alias("tf"))
-    dl = tf.groupBy("doc").agg(F.sum("tf").cast("bigint").alias("dl"))
+    # dl is a zero-shuffle narrow map over the source (size == sum(tf)
+    # per doc by construction), not a second aggregate of tf
+    dl = docs.select(F.col(id_col).alias("doc"),
+                     F.size(tokens_col(text_col)).cast("bigint").alias("dl"))
     dfreq = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
     totals = dl.agg(F.count("*").cast("bigint").alias("n_docs"),
                     F.sum("dl").cast("bigint").alias("n_tokens"))
