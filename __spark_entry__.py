@@ -1415,6 +1415,17 @@ def q_text_heavy_hitters(spark, sf_dir):
     return heavy_hitters_contract(_docs(spark, sf_dir), k=27)
 
 
+def q_text_phrase_near(spark, sf_dir):
+    """Proximity search (kg.retrieval.phrase_near): per doc, counts of
+    the rare term "dup" and common term "table" plus their minimum
+    token distance, flagged within a 5-token window — the exact-phrase
+    decontamination primitive as a ZERO-shuffle in-row map (position
+    lists + pairwise min gap via higher-order functions; plan-tested
+    no Exchange/Join)."""
+    from kg.retrieval import phrase_near
+    return phrase_near(_docs(spark, sf_dir), "dup", "table", window=5)
+
+
 # literal bag-of-words query set for bm25: rare ("dup") vs common terms
 BM25_QUERIES = [("q1", "dup"), ("q1", "table"), ("q2", "spark"),
                 ("q2", "join"), ("q3", "window")]
@@ -1457,7 +1468,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gopher": q_text_gopher,
         "text_language_id": q_text_language_id,
         "text_term_freq": q_text_term_freq,
-        "text_emit_shards": q_text_emit_shards,
         "ann_knn_classify": q_ann_knn_classify,
         "rel_q1_pricing": q_rel_q1_pricing,
         "rel_q3_revenue": q_rel_q3_revenue,
@@ -1493,9 +1503,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_inverted_index": q_text_inverted_index,
         "text_bm25_topk": q_text_bm25_topk,
         "text_heavy_hitters": q_text_heavy_hitters,
-        # --- demoted to make window room for the 11 r4-late queries: these
-        # eleven are the lowest-risk stale rows (simple zero/one-shuffle
+        "text_phrase_near": q_text_phrase_near,
+        # --- demoted to make window room for the 12 r4-late queries: these
+        # twelve are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored) — first in line for r5 -
+        "text_emit_shards": q_text_emit_shards,
         "text_pack_shards": q_text_pack_shards,
         "rel_events_gap": q_rel_events_gap,
         "rel_events_rollup": q_rel_events_rollup,

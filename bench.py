@@ -70,6 +70,7 @@ HEADLINE = [
     "text_inverted_index",   # positional postings, window-capped skew
     "text_bm25_topk",        # integer-exact BM25 retrieval
     "text_heavy_hitters",    # Misra–Gries sketch, bounded contract
+    "text_phrase_near",      # zero-shuffle proximity search
 ]
 
 

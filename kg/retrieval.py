@@ -70,6 +70,47 @@ def inverted_index(df: DataFrame, text_col: str = "text",
         "term", "doc_freq", "n_occurrences", "postings")
 
 
+def phrase_near(df: DataFrame, term_a: str, term_b: str, window: int = 5,
+                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Proximity search: per document, the occurrence counts of two
+    literal terms and the minimum token distance between them —
+    `within` flags docs where they co-occur inside `window` tokens.
+    The phrase/proximity primitive of benchmark decontamination (find
+    the documents where the answer string's terms co-occur) and of
+    targeted corpus audits.
+
+    Returns (doc_id, n_a, n_b, min_gap, within); min_gap is NULL when
+    either term is absent, within is then false.
+
+    Scale shape: a ZERO-shuffle narrow map — both position lists and
+    their pairwise minimum gap are computed in-row with higher-order
+    functions (transform/filter/flatten/array_min), so the operator
+    fuses into the scan under whole-stage codegen and the cost is
+    O(n_a·n_b) per row on the (tiny) position lists, never a join.
+    """
+    toks = tokens_col(text_col)
+
+    def positions(term: str):
+        return F.filter(
+            F.transform(toks, lambda x, i: F.when(x == F.lit(term), i)),
+            lambda p: p.isNotNull())
+
+    staged = df.select(
+        F.col(id_col),
+        positions(term_a).alias("_pa"),
+        positions(term_b).alias("_pb"))
+    gap = F.array_min(F.flatten(F.transform(
+        F.col("_pa"),
+        lambda a: F.transform(F.col("_pb"), lambda b: F.abs(a - b)))))
+    return (staged
+            .withColumn("n_a", F.size("_pa").cast("bigint"))
+            .withColumn("n_b", F.size("_pb").cast("bigint"))
+            .withColumn("min_gap", gap.cast("bigint"))
+            .withColumn("within",
+                        F.coalesce(F.col("min_gap") <= window, F.lit(False)))
+            .select(id_col, "n_a", "n_b", "min_gap", "within"))
+
+
 def _muldiv_sql(x: str, m: int, d: str) -> str:
     """SQL for floor(x * m / d) without the x*m intermediate:
     (x div d)*m + ((x % d)*m) div d.  Exact for non-negative x

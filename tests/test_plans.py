@@ -423,3 +423,15 @@ def test_heavy_hitters_single_mapinpandas(spark):
                                  "doc_id long, text string")
     plan = _plan(heavy_hitters_contract(docs, k=2))
     assert "MapInPandas" not in plan     # checkpointed: scan, not re-eval
+
+
+def test_phrase_near_zero_shuffle(spark):
+    """Proximity search is a pure narrow map: position lists and the
+    pairwise min gap are in-row higher-order functions — no exchange,
+    no join, no Python, fused into the scan."""
+    from kg.retrieval import phrase_near
+    docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    plan = _plan(phrase_near(docs, "a", "c"))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

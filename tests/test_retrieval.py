@@ -134,3 +134,26 @@ def test_heavy_hitters_contract_partition_invariant(spark):
     a = heavy_hitters_contract(docs.coalesce(1), k=4).collect()[0]
     b = heavy_hitters_contract(docs.repartition(8), k=4).collect()[0]
     assert a == b
+
+
+# --- phrase/proximity search --------------------------------------------
+
+def test_phrase_near_hand_computed(spark):
+    from kg.retrieval import phrase_near
+    docs = _docs(spark, [(0, "a x x b a"), (1, "a a a"), (2, "b"),
+                         (3, "c c"), (4, "")])
+    got = {r["doc_id"]: (r["n_a"], r["n_b"], r["min_gap"], r["within"])
+           for r in phrase_near(docs, "a", "b", window=2).collect()}
+    assert got[0] == (2, 1, 1, True)       # positions a:0,4 b:3 → gap 1
+    assert got[1] == (3, 0, None, False)   # b absent
+    assert got[2] == (0, 1, None, False)   # a absent
+    assert got[3] == (0, 0, None, False)
+    assert got[4] == (0, 0, None, False)   # empty text
+
+
+def test_phrase_near_window_boundary(spark):
+    from kg.retrieval import phrase_near
+    docs = _docs(spark, [(0, "a x x x b")])
+    within = {w: phrase_near(docs, "a", "b", window=w).collect()[0]["within"]
+              for w in (3, 4)}
+    assert within == {3: False, 4: True}   # gap is exactly 4

@@ -2184,6 +2184,34 @@ def build_oracle_sql() -> dict[str, str]:
         FROM sc
         QUALIFY rank <= 10"""
 
+    # proximity search: per doc, counts + min token distance of a rare
+    # and a common term; DuckDB positions are 1-based but only the
+    # DIFFERENCE enters min_gap, so the base cancels against Spark's
+    # 0-based posexplode
+    sqls["text_phrase_near"] = f"""
+        WITH tok AS (
+          SELECT doc_id, t[i] AS term, i
+          FROM (SELECT doc_id, {_TOKS} AS t,
+                       generate_subscripts({_TOKS}, 1) AS i
+                FROM documents WHERE lang = 'en')),
+        gaps AS (
+          SELECT a.doc_id, min(abs(a.i - b.i)) AS g
+          FROM (SELECT doc_id, i FROM tok WHERE term = 'dup') a
+          JOIN (SELECT doc_id, i FROM tok WHERE term = 'table') b
+            USING (doc_id)
+          GROUP BY a.doc_id),
+        counts AS (
+          SELECT doc_id,
+                 CAST(count(*) FILTER (WHERE term = 'dup') AS BIGINT)
+                   AS n_a,
+                 CAST(count(*) FILTER (WHERE term = 'table') AS BIGINT)
+                   AS n_b
+          FROM tok GROUP BY doc_id)
+        SELECT c.doc_id, c.n_a, c.n_b,
+               CAST(g AS BIGINT) AS min_gap,
+               coalesce(g <= 5, false) AS within
+        FROM counts c LEFT JOIN gaps USING (doc_id)"""
+
     # Misra–Gries heavy hitters, bounded-contract pattern (like
     # rel_events_distinct_approx): the exact columns are recomputed
     # here, the sketch guarantees are asserted `true` — a broken sketch
