@@ -1442,7 +1442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # one round old.  r4 window: the 42 queries last checked in r2
     # (CORRECTNESS_r02), then the two r3-ERR fixes (ann_centroids,
     # kg_adjacency), the graduated rel_events_quantiles_approx, and the
-    # r4-new queries (with 11 lowest-risk stale rows demoted to make
+    # r4-new queries (with 12 lowest-risk stale rows demoted to make
     # room — see the demoted block).  Tail: the queries green in
     # CORRECTNESS_r03.
     return {

@@ -100,12 +100,16 @@ elif op == "hits":
     n, chk = out.count(), checksum(out, ["node", "side", "score_micro"])
 elif op == "walks":
     from kg.graphrank import random_walks
-    rounds = 4                      # walk_length: one frontier join per step
-    out = random_walks(edges, walks_per_node=1, walk_length=rounds)
+    # walk_length=4 → 3 frontier joins (step 0 is a free projection;
+    # the loop is range(1, walk_length))
+    rounds = 3
+    out = random_walks(edges, walks_per_node=1, walk_length=4)
     n, chk = out.count(), checksum(out, ["walk_id", "step", "node"])
 elif op == "betweenness":
     from kg.graphrank import pivot_betweenness
-    rounds = 6                      # 2 * max_depth keyed join rounds
+    # max_depth=3 → 3 forward σ levels + 2 backward δ joins (the deepest
+    # level's delta is a join-free init)
+    rounds = 5
     out = pivot_betweenness(edges, n_pivots=4, max_depth=3)
     n, chk = out.count(), checksum(out, ["node", "betweenness_micro"])
 else:

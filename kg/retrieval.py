@@ -125,7 +125,8 @@ def _muldiv_sql(x: str, m: int, d: str) -> str:
 
 def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
               text_col: str = "text", id_col: str = "doc_id",
-              k1_milli: int = 1200, b_milli: int = 750) -> DataFrame:
+              k1_milli: int = 1200, b_milli: int = 750,
+              materialize: bool = True) -> DataFrame:
     """BM25 top-k retrieval in exact integer milli-units.
 
     `queries` holds exploded query terms: (query_id, term) — duplicate
@@ -144,37 +145,49 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
 
     Returns (query_id, doc_id, score_milli, rank), rank <= k.
 
-    Scale shape: tf/df are hash aggregates of one token explode; dl is
-    a ZERO-shuffle narrow map over the source (size(tokens) == sum(tf)
-    per doc).  The query set and the df rows for query terms are tiny
-    → broadcast, so the candidate set is the docs containing a query
-    term (a broadcast semi-filter of tf, no full-corpus score); the dl
-    join then pairs the full narrow dl frame against that small
-    candidate side — AQE converts it to a broadcast of the candidates
-    at runtime.  The final per-query top-k window partitions on
-    query_id — bounded by the candidate count; for web-scale candidate
-    sets insert a groupBy(query_id, salt) partial top-k first.  avgdl and dl/avgdl use the split mul-div (`_muldiv`) so no
+    Scale shape: the token explode is broadcast-semi-filtered to QUERY
+    TERMS before any aggregate, so tf and df are query-sized hash
+    aggregates and no vocabulary-sized frame ever materializes; dl is a
+    ZERO-shuffle narrow map over the source (size(tokens) == sum(tf
+    over all terms) per doc).  tf branches into df and the candidate
+    join, so it is localCheckpointed (query-terms-only — tiny) rather
+    than re-running the corpus scan per branch (materialize=False
+    restores full laziness).  The dl join pairs the full narrow dl
+    frame against the small candidate side — AQE converts it to a
+    broadcast of the candidates at runtime.  The final per-query top-k
+    window partitions on query_id — bounded by the candidate count;
+    for web-scale candidate sets insert a groupBy(query_id, salt)
+    partial top-k first.  avgdl and dl/avgdl use the split mul-div (`_muldiv`) so no
     intermediate exceeds BIGINT at 100-TB token totals.  Overflow
     bound of the numerator: idf_bits*tf*(k1+1000)*1e6 < 2^63 ⇒
     tf < 6.5e7 per (doc, term) — beyond any non-degenerate document.
     """
     c0_micro = k1_milli * (1000 - b_milli)     # k1*(1-b) in micro-units
     c1 = k1_milli * b_milli                    # k1*b: micro when * dl/avgdl
-    toks = _positions(docs, text_col, id_col).drop("pos")
-    tf = toks.groupBy("doc", "term").agg(
+    q = queries.select("query_id", "term")
+    # restrict to query terms BEFORE any aggregate: the only full-corpus
+    # passes are this broadcast semi-filter and the narrow dl map below —
+    # no vocabulary-sized aggregate ever materializes
+    toks_q = (_positions(docs, text_col, id_col).drop("pos")
+              .join(F.broadcast(q.select("term").distinct()), "term"))
+    tf = toks_q.groupBy("doc", "term").agg(
         F.count("*").cast("bigint").alias("tf"))
-    # dl is a zero-shuffle narrow map over the source (size == sum(tf)
-    # per doc by construction), not a second aggregate of tf
+    if materialize:
+        # tf branches into dfreq and cand below; it is query-terms-only
+        # (tiny), so cut the lineage once rather than re-running the
+        # corpus scan per branch (CLAUDE.md rule 7)
+        tf = tf.localCheckpoint()
+    # dl is a zero-shuffle narrow map over the source (size == sum(tf
+    # over ALL terms) per doc by construction), not an aggregate of tf
     dl = docs.select(F.col(id_col).alias("doc"),
                      F.size(tokens_col(text_col)).cast("bigint").alias("dl"))
+    # df per query term == rows of the (doc, term) tf frame
     dfreq = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
     totals = dl.agg(F.count("*").cast("bigint").alias("n_docs"),
                     F.sum("dl").cast("bigint").alias("n_tokens"))
 
-    q = queries.select("query_id", "term")
-    dfq = dfreq.join(F.broadcast(q.select("term").distinct()), "term")
     cand = (tf.join(F.broadcast(q), "term")
-            .join(F.broadcast(dfq), "term")
+            .join(F.broadcast(dfreq), "term")
             .join(dl, "doc")
             .crossJoin(F.broadcast(totals)))
 

@@ -89,7 +89,13 @@ def heavy_hitters_contract(docs: DataFrame, text_col: str = "text",
     # the sketch frame is branched below (join + mass total): checkpoint
     # the ≤ k·n_partitions-row merge so mapInPandas runs once (rule 7)
     sketch = mg_heavy_hitters(toks, "term", k).localCheckpoint()
-    totals = (exact.agg(F.sum("n_exact").cast("bigint").alias("n_tokens"))
+    # n_tokens as a ZERO-shuffle narrow map over docs (== sum of the
+    # exact counts by construction) so the corpus explode + vocab agg
+    # (`exact`) feeds only the join and is never executed twice
+    totals = (docs.select(F.size(tokens_col(text_col)).cast("bigint")
+                          .alias("_n"))
+              .agg(F.coalesce(F.sum("_n"), F.lit(0)).cast("bigint")
+                   .alias("n_tokens"))
               .crossJoin(F.broadcast(
                   sketch.agg(F.coalesce(F.sum("est_count"), F.lit(0))
                              .cast("bigint").alias("m_total")))))
