@@ -1426,6 +1426,17 @@ def q_text_phrase_near(spark, sf_dir):
     return phrase_near(_docs(spark, sf_dir), "dup", "table", window=5)
 
 
+def q_corpus_quality_strata(spark, sf_dir):
+    """Quality-stratified sampling (kg.sampling.quality_strata_sample):
+    exact nearest-rank quartile strata of lexical diversity (value-
+    histogram cumulative — the window is bounded by metric granularity,
+    never corpus size) with per-stratum deterministic md5 keeps
+    (0.125/0.25/0.5/1.0 — the top stratum exercises the 'g' keep-all
+    sentinel).  Emits every doc with (stratum, kept) for auditability."""
+    from kg.sampling import quality_strata_sample
+    return quality_strata_sample(_docs(spark, sf_dir))
+
+
 # literal bag-of-words query set for bm25: rare ("dup") vs common terms
 BM25_QUERIES = [("q1", "dup"), ("q1", "table"), ("q2", "spark"),
                 ("q2", "join"), ("q3", "window")]
@@ -1442,7 +1453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # one round old.  r4 window: the 42 queries last checked in r2
     # (CORRECTNESS_r02), then the two r3-ERR fixes (ann_centroids,
     # kg_adjacency), the graduated rel_events_quantiles_approx, and the
-    # r4-new queries (with 12 lowest-risk stale rows demoted to make
+    # r4-new queries (with 13 lowest-risk stale rows demoted to make
     # room — see the demoted block).  Tail: the queries green in
     # CORRECTNESS_r03.
     return {
@@ -1458,7 +1469,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components_twophase": q_dedup_components_twophase,
         "canon_part_of": q_canon_part_of,
         "link_mentions": q_link_mentions,
-        "extract_units": q_extract_units,
         "multimodal_features": q_multimodal_features,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1504,9 +1514,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25_topk": q_text_bm25_topk,
         "text_heavy_hitters": q_text_heavy_hitters,
         "text_phrase_near": q_text_phrase_near,
-        # --- demoted to make window room for the 12 r4-late queries: these
-        # twelve are the lowest-risk stale rows (simple zero/one-shuffle
+        "corpus_quality_strata": q_corpus_quality_strata,
+        # --- demoted to make window room for the 13 r4-late queries: these
+        # thirteen are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored) — first in line for r5 -
+        "extract_units": q_extract_units,
         "text_emit_shards": q_text_emit_shards,
         "text_pack_shards": q_text_pack_shards,
         "rel_events_gap": q_rel_events_gap,

@@ -71,6 +71,7 @@ HEADLINE = [
     "text_bm25_topk",        # integer-exact BM25 retrieval
     "text_heavy_hitters",    # Misra–Gries sketch, bounded contract
     "text_phrase_near",      # zero-shuffle proximity search
+    "corpus_quality_strata", # histogram-quantile stratified sampling
 ]
 
 

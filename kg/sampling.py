@@ -306,3 +306,59 @@ def temperature_mixture(df: DataFrame, domain_col: str = "lang",
                     | (F.substring(_key_hash(key_col), 1, 5)
                        < F.col("_thr")))
             .drop("_dom", "_rate", "_thr"))
+
+
+def quality_strata_sample(df: DataFrame,
+                          rates: tuple[float, ...] = (0.125, 0.25, 0.5, 1.0),
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Quality-stratified sampling: split the corpus into len(rates)
+    equal-population strata by lexical-diversity rank and keep each
+    stratum at its own deterministic rate — the "keep more of the good
+    text" curation sampler (DCLM/FineWeb-style quality-weighted
+    selection), with rates[0] applied to the LOWEST-diversity stratum.
+
+    Returns every doc as (doc_id, diversity_micro, stratum, kept) so
+    the selection is auditable; filter on `kept` to materialize.
+
+    Stratum boundaries are EXACT nearest-rank quantiles computed from a
+    value histogram of the metric: diversity_micro has at most 1e6+1
+    distinct values, so the cumulative window runs over a bounded
+    histogram (never over the corpus — the single-partition window is
+    capped by metric granularity, not data size, documented contract).
+    Thresholds land in one broadcast row of min-over-case aggregates;
+    stratum assignment and the md5 keep are then narrow in-row maps, so
+    the whole operator is: one histogram aggregate + narrow maps.
+    Determinism: ties on the metric always fall to the lower stratum,
+    and the keep hash is the same md5-threshold literal hash_sample
+    uses (rate 1.0 → the "g" keep-all sentinel).
+    """
+    n = len(rates)
+    toks = tokens_col(text_col)
+    m = (df.select(F.col(id_col),
+                   F.size(F.array_distinct(toks)).cast("bigint")
+                   .alias("_d"),
+                   F.size(toks).cast("bigint").alias("_s"))
+         .select(F.col(id_col),
+                 F.expr("(_d * 1000000) div _s").alias("diversity_micro")))
+    hist = m.groupBy("diversity_micro").agg(F.count("*").alias("_c"))
+    w = (Window.orderBy("diversity_micro")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (hist.withColumn("_cum", F.sum("_c").over(w))
+           .crossJoin(F.broadcast(m.agg(F.count("*").alias("_n")))))
+    thr = cum.agg(*[
+        F.min(F.when(F.col("_cum") >= F.expr(f"({i} * _n + {n - 1}) "
+                                             f"div {n}"),
+                     F.col("diversity_micro"))).alias(f"_t{i}")
+        for i in range(1, n)])
+    keep_hex = F.array(*[F.lit(rate_to_hex(r)) for r in rates])
+    tarr = F.array(*[F.col(f"_t{i}") for i in range(1, n)])
+    return (m.crossJoin(F.broadcast(thr))
+            .withColumn("stratum",
+                        F.size(F.filter(tarr,
+                                        lambda t: F.col("diversity_micro")
+                                        > t)))
+            .withColumn("kept",
+                        _key_hash(id_col)
+                        < F.element_at(keep_hex, F.col("stratum") + 1))
+            .select(id_col, "diversity_micro", "stratum", "kept"))

@@ -233,3 +233,54 @@ def test_temperature_mixture_null_domain_survives(spark):
     langs = {r["lang"] for r in kept}
     assert None in langs                      # NULL rows kept
     assert len(kept) == 80                    # full budget keeps all
+
+
+def test_quality_strata_sample_assignment(spark):
+    """Hand-computed quartiles: 8 docs with diversity 1e6*k/4 for
+    k=1..4 (two each) land one pair per stratum; ties fall to the
+    lower stratum; the top stratum (rate 1.0, 'g' sentinel) keeps
+    everything."""
+    from kg.sampling import quality_strata_sample
+    texts = {250_000: "a a a a", 500_000: "a b a b",
+             750_000: "a b c a", 1_000_000: "a b c d"}
+    rows = [(10 * k + j, t) for k, (_, t) in enumerate(texts.items())
+            for j in range(2)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = quality_strata_sample(df).collect()
+    strat = {r["doc_id"]: (r["diversity_micro"], r["stratum"], r["kept"])
+             for r in out}
+    assert len(strat) == 8                      # every doc emitted
+    # thresholds (nearest-rank quartiles over N=8): t1=250k t2=500k t3=750k
+    for k, met in enumerate((250_000, 500_000, 750_000, 1_000_000)):
+        for j in range(2):
+            assert strat[10 * k + j][0] == met
+            assert strat[10 * k + j][1] == k    # ties → lower stratum
+    assert all(strat[30 + j][2] for j in range(2))   # rate 1.0 keeps all
+
+
+def test_quality_strata_sample_partition_invariant(spark):
+    from kg.sampling import quality_strata_sample
+    rows = [(i, " ".join(f"w{j % (1 + i % 7)}" for j in range(12)))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, quality_strata_sample(df.coalesce(1)).collect()))
+    b = sorted(map(tuple, quality_strata_sample(df.repartition(8)).collect()))
+    assert a == b
+
+
+def test_quality_strata_monotone_rates(spark):
+    """Higher strata keep a (statistically) larger share — with the
+    default 0.125..1.0 rates the top stratum keep-ratio must exceed the
+    bottom stratum's on any reasonably sized corpus."""
+    from kg.sampling import quality_strata_sample
+    rows = [(i, " ".join(f"w{(i * 7 + j) % (1 + i % 13)}"
+                         for j in range(20))) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = quality_strata_sample(df).collect()
+    import collections
+    tot, kept = collections.Counter(), collections.Counter()
+    for r in out:
+        tot[r["stratum"]] += 1
+        kept[r["stratum"]] += int(r["kept"])
+    assert kept[3] == tot[3]                       # 'g' sentinel
+    assert kept[0] / tot[0] < kept[3] / tot[3]

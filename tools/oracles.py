@@ -2184,6 +2184,45 @@ def build_oracle_sql() -> dict[str, str]:
         FROM sc
         QUALIFY rank <= 10"""
 
+    # quality-stratified sampling: exact nearest-rank quartile thresholds
+    # over the diversity-value histogram, ties to the lower stratum,
+    # per-stratum md5 keeps (top stratum = the 'g' keep-all sentinel)
+    _strata_hex = [_r2h(r) for r in (0.125, 0.25, 0.5, 1.0)]
+    sqls["corpus_quality_strata"] = f"""
+        WITH m AS (
+          SELECT doc_id,
+                 (len(list_distinct(t)) * 1000000) // len(t)
+                   AS diversity_micro
+          FROM (SELECT doc_id, {_TOKS} AS t
+                FROM documents WHERE lang = 'en')),
+        hist AS (SELECT diversity_micro, count(*) AS c
+                 FROM m GROUP BY diversity_micro),
+        cum AS (SELECT diversity_micro,
+                       sum(c) OVER (ORDER BY diversity_micro
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+                FROM hist),
+        tot AS (SELECT count(*) AS n FROM m),
+        thr AS (SELECT
+            min(CASE WHEN cum >= (1 * n + 3) // 4
+                     THEN diversity_micro END) AS t1,
+            min(CASE WHEN cum >= (2 * n + 3) // 4
+                     THEN diversity_micro END) AS t2,
+            min(CASE WHEN cum >= (3 * n + 3) // 4
+                     THEN diversity_micro END) AS t3
+          FROM cum, tot)
+        SELECT doc_id, diversity_micro, stratum,
+               md5(CAST(doc_id AS VARCHAR)) <
+                 CASE stratum WHEN 0 THEN '{_strata_hex[0]}'
+                              WHEN 1 THEN '{_strata_hex[1]}'
+                              WHEN 2 THEN '{_strata_hex[2]}'
+                              ELSE '{_strata_hex[3]}' END AS kept
+        FROM (SELECT m.doc_id, m.diversity_micro,
+                     CAST((m.diversity_micro > t1)::int
+                          + (m.diversity_micro > t2)::int
+                          + (m.diversity_micro > t3)::int AS INT)
+                       AS stratum
+              FROM m, thr)"""
+
     # proximity search: per doc, counts + min token distance of a rare
     # and a common term; DuckDB positions are 1-based but only the
     # DIFFERENCE enters min_gap, so the base cancels against Spark's
