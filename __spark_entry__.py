@@ -1426,6 +1426,17 @@ def q_text_phrase_near(spark, sf_dir):
     return phrase_near(_docs(spark, sf_dir), "dup", "table", window=5)
 
 
+def q_text_bpe_train(spark, sf_dir):
+    """Distributed BPE tokenizer training (kg.train.bpe_train): 3
+    adaptive merge rounds — corpus-wide pair counts, struct-max argmax
+    (count, then lexicographically largest pair), doubled-space
+    replace() rewrite whose greedy leftmost-non-overlapping semantics
+    match DuckDB's replace exactly; the oracle replays the rounds as
+    unrolled MATERIALIZED CTEs with scalar-subquery merge rules."""
+    from kg.train import bpe_train
+    return bpe_train(_docs(spark, sf_dir), n_merges=3)
+
+
 def q_corpus_quality_strata(spark, sf_dir):
     """Quality-stratified sampling (kg.sampling.quality_strata_sample):
     exact nearest-rank quartile strata of lexical diversity (value-
@@ -1453,7 +1464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # one round old.  r4 window: the 42 queries last checked in r2
     # (CORRECTNESS_r02), then the two r3-ERR fixes (ann_centroids,
     # kg_adjacency), the graduated rel_events_quantiles_approx, and the
-    # r4-new queries (with 13 lowest-risk stale rows demoted to make
+    # r4-new queries (with 14 lowest-risk stale rows demoted to make
     # room — see the demoted block).  Tail: the queries green in
     # CORRECTNESS_r03.
     return {
@@ -1469,7 +1480,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components_twophase": q_dedup_components_twophase,
         "canon_part_of": q_canon_part_of,
         "link_mentions": q_link_mentions,
-        "multimodal_features": q_multimodal_features,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_pairs": q_embedding_near_pairs,
@@ -1515,9 +1525,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_heavy_hitters": q_text_heavy_hitters,
         "text_phrase_near": q_text_phrase_near,
         "corpus_quality_strata": q_corpus_quality_strata,
-        # --- demoted to make window room for the 13 r4-late queries: these
-        # thirteen are the lowest-risk stale rows (simple zero/one-shuffle
+        "text_bpe_train": q_text_bpe_train,
+        # --- demoted to make window room for the 14 r4-late queries: these
+        # fourteen are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored) — first in line for r5 -
+        "multimodal_features": q_multimodal_features,
         "extract_units": q_extract_units,
         "text_emit_shards": q_text_emit_shards,
         "text_pack_shards": q_text_pack_shards,

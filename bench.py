@@ -72,6 +72,7 @@ HEADLINE = [
     "text_heavy_hitters",    # Misra–Gries sketch, bounded contract
     "text_phrase_near",      # zero-shuffle proximity search
     "corpus_quality_strata", # histogram-quantile stratified sampling
+    "text_bpe_train",        # 3-round adaptive BPE merge learning
 ]
 
 

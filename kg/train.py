@@ -284,3 +284,61 @@ def test(spark: SparkSession, alg: str, model_id: str, input_file: str,
     n = pred.count()
     acc = pred.filter(F.col("predicted") == F.col("label")).count() / n if n else 0.0
     return {"accuracy": round(acc, 4), "n": n}
+
+
+def bpe_train(df: DataFrame, n_merges: int = 3, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Distributed BPE-style tokenizer training: learn `n_merges` merge
+    rules by repeatedly (1) counting adjacent token pairs across the
+    whole corpus, (2) picking the most frequent pair (ties: the
+    struct-max pair — highest count, then lexicographically LARGEST
+    (w1, w2)), (3) rewriting every document with that pair merged as
+    "w1_w2".  The training-data-pipeline op that BUILDS the tokenizer —
+    the reference only consumes pre-trained OpenNLP tokenizer models
+    (OpenNLPPipeline.java:112-229); this is its training counterpart at
+    corpus scale.
+
+    Returns the learned merge table (merge_round, w1, w2, pair_count) —
+    a driver-sized model artifact (like fit_ner_gazetteer), persistable
+    via save_model.
+
+    Engine-portable merge semantics: the rewrite is string `replace`
+    (leftmost, non-overlapping — exactly BPE's greedy left-to-right
+    scan) in a doubled-space frame: every ' ' becomes '  ', the pattern
+    ' w1  w2 ' is replaced by ' w1_w2 ', then doubles collapse back —
+    so "a a a" merges once under pair (a, a), and both occurrences in
+    "a b a b" merge, identically in Spark and DuckDB (the oracle
+    replays the rounds as unrolled MATERIALIZED CTEs with the same
+    replace chain).  Tokens must not contain '_' or quotes (the corpus
+    contract); merged symbols may.
+
+    Scale shape: per round, ONE in-row bigram build (transform + index
+    lambda, the bigram_surprisal pattern — no window, no self-join) →
+    one vocabulary²-bounded pair count → a single-row struct-max argmax
+    collected to the driver (the learned rule), and the state rewrite
+    is a narrow per-row map.  The corpus never leaves the cluster; the
+    driver sees one row per round — the same coordination shape as an
+    iterative KMeans fit."""
+    state = df.select(F.col(id_col).alias("doc"),
+                      F.col(text_col).alias("text"))
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(1, n_merges + 1):
+        toks = F.split(F.trim(F.col("text")), r" +")
+        bigr = F.filter(
+            F.transform(toks, lambda x, i: F.struct(
+                x.alias("w1"), F.get(toks, i + 1).alias("w2"))),
+            lambda s: s["w2"].isNotNull())
+        top = (state.select(F.explode(bigr).alias("b"))
+               .groupBy("b.w1", "b.w2")
+               .agg(F.count("*").cast("bigint").alias("c"))
+               .agg(F.max(F.struct("c", "w1", "w2")).alias("m"))
+               .first()["m"])
+        if top is None or top["c"] is None:
+            break                       # corpus exhausted of pairs
+        w1, w2 = top["w1"], top["w2"]
+        merges.append((r, w1, w2, int(top["c"])))
+        state = state.withColumn("text", F.expr(
+            "trim(replace(replace(concat(' ', replace(text, ' ', '  '), "
+            f"' '), ' {w1}  {w2} ', ' {w1}_{w2} '), '  ', ' '))"))
+    return df.sparkSession.createDataFrame(
+        merges, "merge_round int, w1 string, w2 string, pair_count bigint")

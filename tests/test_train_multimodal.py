@@ -242,3 +242,37 @@ def test_evaluate_ner_metachars_not_wildcards(spark):
     m = evaluate_ner(corpus, gaz)
     # wildcard matching would also hit "aqqz" -> n_pred 2, precision 0.5
     assert m["n_pred"] == 1 and m["precision"] == 1.0 and m["recall"] == 1.0
+
+
+def test_bpe_train_hand_computed(spark):
+    """3 merge rounds on a 2-doc corpus: (a,b) count 2 wins round 1;
+    round 2 ties at count 1 and the lexicographically LARGEST pair
+    (b,c) beats (a_b,a_b); round 3 merges the remaining pair."""
+    from kg.train import bpe_train
+    docs = spark.createDataFrame([(0, "a b a b"), (1, "b c")],
+                                 "doc_id long, text string")
+    got = [tuple(r) for r in bpe_train(docs, 3).collect()]
+    assert got == [(1, "a", "b", 2), (2, "b", "c", 1),
+                   (3, "a_b", "a_b", 1)]
+
+
+def test_bpe_train_greedy_nonoverlapping(spark):
+    """BPE's leftmost greedy scan: 'a a a' contains pair (a,a) twice
+    overlapping but merges only once per pass."""
+    from kg.train import bpe_train
+    docs = spark.createDataFrame([(0, "a a a")], "doc_id long, text string")
+    got = [tuple(r) for r in bpe_train(docs, 2).collect()]
+    assert got == [(1, "a", "a", 2), (2, "a_a", "a", 1)]
+
+
+def test_bpe_train_partition_invariant_and_exhaustion(spark):
+    from kg.train import bpe_train
+    rows = [(i, "x y z w"[: 2 * (1 + i % 4) - 1]) for i in range(24)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = [tuple(r) for r in bpe_train(docs.coalesce(1), 3).collect()]
+    b = [tuple(r) for r in bpe_train(docs.repartition(7), 3).collect()]
+    assert a == b and len(a) == 3
+    # single-token corpus: no pairs → empty merge table, no crash
+    single = spark.createDataFrame([(0, "x"), (1, "")],
+                                   "doc_id long, text string")
+    assert bpe_train(single, 2).count() == 0

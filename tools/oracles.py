@@ -2184,6 +2184,52 @@ def build_oracle_sql() -> dict[str, str]:
         FROM sc
         QUALIFY rank <= 10"""
 
+    # BPE tokenizer training: 3 adaptive merge rounds unrolled; each
+    # round's argmax feeds the next round's string-replace rewrite via
+    # scalar subqueries.  State/argmax CTEs are referenced 2-3× per
+    # round → MATERIALIZED (CLAUDE.md kcore rule).  The doubled-space
+    # replace frame reproduces BPE's greedy leftmost-non-overlapping
+    # merge identically to Spark's replace().
+    def _bpe_pairs(state: str) -> str:
+        t = "regexp_split_to_array(trim(text), ' +')"
+        return f"""(
+          SELECT t[i] AS w1, t[i + 1] AS w2,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM (SELECT {t} AS t, generate_subscripts({t}, 1) AS i
+                FROM {state})
+          WHERE i < len(t)
+          GROUP BY 1, 2)"""
+
+    def _bpe_rewrite(state: str, m: str) -> str:
+        return f"""(
+          SELECT doc_id,
+                 trim(replace(replace(' ' || replace(text, ' ', '  ')
+                        || ' ',
+                        (SELECT ' ' || w1 || '  ' || w2 || ' ' FROM {m}),
+                        (SELECT ' ' || w1 || '_' || w2 || ' ' FROM {m})),
+                      '  ', ' ')) AS text
+          FROM {state})"""
+
+    _bpe_m = ("(SELECT w1, w2, c FROM {p} "
+              "ORDER BY c DESC, w1 DESC, w2 DESC LIMIT 1)")
+    sqls["text_bpe_train"] = f"""
+        WITH s0 AS MATERIALIZED (
+          SELECT doc_id, text FROM documents WHERE lang = 'en'),
+        p1 AS {_bpe_pairs('s0')},
+        m1 AS MATERIALIZED {_bpe_m.format(p='p1')},
+        s1 AS MATERIALIZED {_bpe_rewrite('s0', 'm1')},
+        p2 AS {_bpe_pairs('s1')},
+        m2 AS MATERIALIZED {_bpe_m.format(p='p2')},
+        s2 AS MATERIALIZED {_bpe_rewrite('s1', 'm2')},
+        p3 AS {_bpe_pairs('s2')},
+        m3 AS MATERIALIZED {_bpe_m.format(p='p3')}
+        SELECT CAST(1 AS INT) AS merge_round, w1, w2,
+               c AS pair_count FROM m1
+        UNION ALL
+        SELECT CAST(2 AS INT), w1, w2, c FROM m2
+        UNION ALL
+        SELECT CAST(3 AS INT), w1, w2, c FROM m3"""
+
     # quality-stratified sampling: exact nearest-rank quartile thresholds
     # over the diversity-value histogram, ties to the lower stratum,
     # per-stratum md5 keeps (top stratum = the 'g' keep-all sentinel)
