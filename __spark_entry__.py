@@ -1448,6 +1448,70 @@ def q_corpus_quality_strata(spark, sf_dir):
     return quality_strata_sample(_docs(spark, sf_dir))
 
 
+def q_kg_tag_modularity(spark, sf_dir):
+    """Newman modularity of the LPA partition (kg.graphrank
+    .community_modularity) over the SAME tag co-occurrence graph
+    kg_tag_communities clusters: per community, exact integer-micro
+    q = in/W − (deg/W)² with staged BIGINT divs — the partition-quality
+    audit of the community detection step.  The oracle replays the LPA
+    round (shared CTE chain, l1) then the identical truncation order."""
+    from kg.graphrank import (community_modularity, label_propagation,
+                              tag_cooccurrence_edges)
+    ann = annotate_graph_df(with_doc_key(_docs(spark, sf_dir), ("doc_id",)),
+                            "text", TOK_SPEC)
+    tags = explode_tags(explode_sentences(ann))
+    # edges feed BOTH label_propagation and the modularity score — cut
+    # the lineage once so the co-occurrence aggregate runs once
+    edges = tag_cooccurrence_edges(tags).localCheckpoint()
+    # ONE round: later rounds collapse this dense graph to a single
+    # community (q = 0 everywhere) — round 1 keeps 7 communities, so the
+    # contract exercises mixed in/deg sums and negative q_micro
+    return community_modularity(edges, label_propagation(edges,
+                                                         iterations=1))
+
+
+def q_text_rake_keywords(spark, sf_dir):
+    """Corpus-level RAKE keyword extraction (kg.textstats.rake_keywords):
+    stopword-delimited candidate phrases from a ZERO-shuffle in-row
+    split, word deg/freq stats, integer-micro phrase scores —
+    score_micro = Σ (deg·1e6 div freq) replays bit-for-bit."""
+    from kg.textstats import rake_keywords
+    return rake_keywords(_docs(spark, sf_dir))
+
+
+def q_text_rrf_fusion(spark, sf_dir):
+    """Hybrid retrieval via reciprocal-rank fusion (kg.retrieval
+    .rrf_fuse): BM25 top-10 and the boolean-coverage ranker top-10 for
+    the shared 3-query set, fused with 1e6 div (60+rank) integer RRF —
+    ranks and fused scores replay exactly (both input rankers are
+    integer-exact)."""
+    from kg.retrieval import bm25_topk, coverage_topk, rrf_fuse
+    docs = _docs(spark, sf_dir)
+    q = spark.createDataFrame(BM25_QUERIES, "query_id string, term string")
+    return rrf_fuse([bm25_topk(docs, q, k=10),
+                     coverage_topk(docs, q, k=10)], k0=60, k=10)
+
+
+def q_text_lm_kn(spark, sf_dir):
+    """Interpolated Kneser–Ney bigram LM estimation (kg.textstats
+    .kneser_ney_bigram, d=0.75): per observed bigram the exact
+    quarter-micro p_kn and interpolation weight — the distributed
+    LM-training counterpart of text_bigram_bits' scoring."""
+    from kg.textstats import kneser_ney_bigram
+    return kneser_ney_bigram(_docs(spark, sf_dir))
+
+
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup embedding near-dup removal (kg.dedup.semantic_dedup):
+    hash-anchor cells bound the pairwise cosine to within-cell pairs;
+    a vector is dropped iff a smaller-id cell-mate is within the
+    threshold (0.4 — exercises both verdicts on this corpus).  The
+    oracle replays anchors, assignment, and verdicts exactly."""
+    from kg.dedup import semantic_dedup
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semantic_dedup(emb, n_cells=8, threshold=0.4)
+
+
 # literal bag-of-words query set for bm25: rare ("dup") vs common terms
 BM25_QUERIES = [("q1", "dup"), ("q1", "table"), ("q2", "spark"),
                 ("q2", "join"), ("q3", "window")]
@@ -1468,7 +1532,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # room — see the demoted block).  Tail: the queries green in
     # CORRECTNESS_r03.
     return {
-        # --- 42 × last driver row = r2 ------------------------------------
+        # --- 37 × last driver row = r2 (5 more of the original 42 demoted
+        # for the session-4 additions — see the demoted block) --------------
         "kg_next_sentence": q_kg_next_sentence,
         "kg_first_sentence": q_kg_first_sentence,
         "dedup_exact": q_dedup_exact,
@@ -1487,14 +1552,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_gopher": q_text_gopher,
         "text_language_id": q_text_language_id,
-        "text_term_freq": q_text_term_freq,
         "ann_knn_classify": q_ann_knn_classify,
-        "rel_q1_pricing": q_rel_q1_pricing,
-        "rel_q3_revenue": q_rel_q3_revenue,
         "rel_events_sessionize": q_rel_events_sessionize,
         "rel_events_cohort": q_rel_events_cohort,
-        "text_pii": q_text_pii,
-        "text_repetition": q_text_repetition,
         "kg_tag_pagerank": q_kg_tag_pagerank,
         "kg_tag_pmi": q_kg_tag_pmi,
         # --- r3 ERR, fixed this round (array outputs stringified) ----------
@@ -1526,9 +1586,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_phrase_near": q_text_phrase_near,
         "corpus_quality_strata": q_corpus_quality_strata,
         "text_bpe_train": q_text_bpe_train,
-        # --- demoted to make window room for the 14 r4-late queries: these
-        # fourteen are the lowest-risk stale rows (simple zero/one-shuffle
+        # --- r4 session-4 additions (rotated into the window) --------------
+        "kg_tag_modularity": q_kg_tag_modularity,
+        "text_rake_keywords": q_text_rake_keywords,
+        "text_rrf_fusion": q_text_rrf_fusion,
+        "text_lm_kn": q_text_lm_kn,
+        "dedup_semantic": q_dedup_semantic,
+        # --- demoted to make window room for the 19 r4-late queries: these
+        # nineteen are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored) — first in line for r5 -
+        "rel_q1_pricing": q_rel_q1_pricing,
+        "rel_q3_revenue": q_rel_q3_revenue,
+        "text_term_freq": q_text_term_freq,
+        "text_repetition": q_text_repetition,
+        "text_pii": q_text_pii,
         "multimodal_features": q_multimodal_features,
         "extract_units": q_extract_units,
         "text_emit_shards": q_text_emit_shards,

@@ -73,6 +73,11 @@ HEADLINE = [
     "text_phrase_near",      # zero-shuffle proximity search
     "corpus_quality_strata", # histogram-quantile stratified sampling
     "text_bpe_train",        # 3-round adaptive BPE merge learning
+    "kg_tag_modularity",     # Newman modularity of the LPA partition
+    "text_rake_keywords",    # RAKE phrases, zero-shuffle extraction
+    "text_rrf_fusion",       # BM25 + coverage reciprocal-rank fusion
+    "text_lm_kn",            # Kneser–Ney bigram LM estimation
+    "dedup_semantic",        # SemDeDup within-cell embedding dedup
 ]
 
 

@@ -575,3 +575,60 @@ def boilerplate_ngrams(df: DataFrame, n: int = 3, min_docs: int = 2,
             .groupBy("shingle")
             .agg(F.count("*").cast("bigint").alias("doc_freq"))
             .filter(F.col("doc_freq") >= min_docs))
+
+
+def semantic_dedup(emb: DataFrame, n_cells: int = 8,
+                   threshold: float = 0.95, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): embedding-space near-dup
+    removal — cluster the embeddings, compare pairs only WITHIN a
+    cluster, and inside every group of semantically-identical items
+    (cosine >= threshold) keep one representative.
+
+    This variant keeps a vector iff no SMALLER-id vector in its cell is
+    within the threshold (the paper keeps one item per similarity group;
+    min-id is its deterministic stand-in — no RNG, engine-portable).
+    Cells come from the deterministic hash-anchor assignment the IVF
+    family uses (kg.similarity.ivf_hash_topk: the n_cells vectors with
+    the smallest md5(id) are anchors, assignment is a NARROW in-row
+    argmin over inlined anchor literals — the oracle replays anchors,
+    assignment, and verdicts exactly; swap in KMeans centroids for
+    production recall, same plan).
+
+    Returns one row per vector: (vec_id, cell, kept).
+
+    Scale shape: the O(N²) cosine comparison collapses to within-cell
+    pairs — one shuffle on cell for the self-join (at real scale
+    n_cells scales with N so cells stay ~constant-sized; the paper runs
+    50k clusters for 5B embeddings), then a LEFT SEMI join marks ids
+    with a smaller near-identical neighbor.  No global sort, no window
+    over the pair set."""
+    from kg.similarity import _sqdist_lit, cosine_sim
+
+    anchors = (emb.select(F.col(id_col).alias("cell_id"),
+                          F.col(vec_col).alias("center"),
+                          F.md5(F.col(id_col).cast("string")).alias("h"))
+               .orderBy("h").limit(n_cells).drop("h").collect())
+
+    def _cell(vec):
+        cands = F.array(*[
+            F.struct(_sqdist_lit(vec, list(r["center"])).alias("dist"),
+                     F.lit(r["cell_id"]).alias("cell_id"))
+            for r in anchors])
+        return F.array_sort(cands)[0]["cell_id"]
+
+    assigned = emb.select(F.col(id_col).alias("vec_id"),
+                          F.col(vec_col).alias("vec"),
+                          _cell(F.col(vec_col)).alias("cell"))
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dup_of_smaller = (a.join(b, (F.col("a.cell") == F.col("b.cell"))
+                             & (F.col("b.vec_id") < F.col("a.vec_id")))
+                      .filter(cosine_sim(F.col("a.vec"), F.col("b.vec"))
+                              >= threshold)
+                      .select(F.col("a.vec_id").alias("vec_id"))
+                      .distinct())
+    return (assigned.join(dup_of_smaller.withColumn("_dup", F.lit(True)),
+                          "vec_id", "left")
+            .select("vec_id", "cell",
+                    F.coalesce(~F.col("_dup"), F.lit(True)).alias("kept")))

@@ -842,3 +842,72 @@ def pivot_betweenness(edges: DataFrame, n_pivots: int = 2,
                        .agg(F.sum("delta").alias("bc")), ["node"], "left")
             .select("node", F.coalesce(F.col("bc"), F.lit(0))
                     .cast("bigint").alias("betweenness_micro")))
+
+
+def community_modularity(edges: DataFrame, communities: DataFrame,
+                         src_col: str = "src", dst_col: str = "dst",
+                         weight_col: str = "weight",
+                         node_col: str = "node",
+                         community_col: str = "community") -> DataFrame:
+    """Per-community Newman modularity contribution in exact integer
+    micro-units — the partition-quality metric over the persisted tag
+    co-occurrence graph (the graph the GraphAware framework clusters for
+    topic grouping; LPA gives the partition, this scores it.  Reference
+    parity anchor: the co-occurrence graph of ProcedureTest.java:114-124).
+
+    `edges` is the SYMMETRIC directed-double representation (both (a,b)
+    and (b,a) present, as kg.graphrank.tag_cooccurrence_edges emits), so
+    W = sum(weight) equals 2m and for each community c
+
+        q_micro(c) = (in_c * 1e6) div W
+                     - (((d_c * 1e6) div W)^2) div 1e6
+
+    with in_c = total weight of edges with BOTH ends in c and d_c = total
+    weight of edges whose SOURCE is in c (the weighted degree sum).  The
+    corpus modularity Q is sum(q_micro)/1e6.  All BIGINT: the squared
+    term stages (d_c*1e6) div W first (a ratio <= 1e6) so nothing
+    approaches 2^63 even at W ~ 1e12 (d_c*1e6 <= 1e18 < 2^63).
+    Truncation order is part of the contract and mirrored in the oracle
+    (Spark div == DuckDB //, verified).
+
+    Returns (community, n_nodes, in_w, deg_w, q_micro) — one row per
+    community in `communities` (singletons included with zero weights).
+
+    Scale shape: two hash joins of the edge table against the node→
+    community map (node-keyed — at scale both sides partition on node;
+    at testdata scale AQE broadcasts the map), then ONE community-keyed
+    aggregate; the scalar W rides a broadcast crossJoin.  No self-joins,
+    no windows over the edge table.
+    """
+    comm = communities.select(F.col(node_col).alias("_n"),
+                              F.col(community_col).alias("community"))
+    e = edges.select(F.col(src_col).alias("_src"),
+                     F.col(dst_col).alias("_dst"),
+                     F.col(weight_col).cast("bigint").alias("_w"))
+    # the edge table branches into the total, the degree sum, and the
+    # inner-edge sum; it is an aggregate output upstream (co-occurrence
+    # weights), so cut the lineage once rather than re-running the
+    # producer per branch (CLAUDE.md rule 7)
+    e = e.localCheckpoint()
+    wtot = e.agg(F.sum("_w").cast("bigint").alias("_W"))
+    labeled = (e.join(comm.withColumnRenamed("community", "_cs"),
+                      e["_src"] == comm["_n"]).drop("_n")
+               .join(comm.withColumnRenamed("community", "_cd"),
+                     F.col("_dst") == comm["_n"]).drop("_n"))
+    per_c = (labeled.groupBy(F.col("_cs").alias("community"))
+             .agg(F.sum("_w").cast("bigint").alias("deg_w"),
+                  F.sum(F.when(F.col("_cs") == F.col("_cd"), F.col("_w"))
+                        .otherwise(F.lit(0)))
+                  .cast("bigint").alias("in_w")))
+    sizes = comm.groupBy("community").agg(
+        F.count("*").cast("bigint").alias("n_nodes"))
+    return (sizes.join(per_c, "community", "left")
+            .crossJoin(F.broadcast(wtot))
+            .withColumn("in_w", F.coalesce(F.col("in_w"), F.lit(0))
+                        .cast("bigint"))
+            .withColumn("deg_w", F.coalesce(F.col("deg_w"), F.lit(0))
+                        .cast("bigint"))
+            .withColumn("_dr", F.expr("(deg_w * 1000000) div _W"))
+            .select("community", "n_nodes", "in_w", "deg_w",
+                    F.expr("(in_w * 1000000) div _W - (_dr * _dr) "
+                           "div 1000000").cast("bigint").alias("q_micro")))

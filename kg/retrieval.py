@@ -215,3 +215,70 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
             .filter(F.col("rank") <= k)
             .select("query_id", F.col("doc").alias("doc_id"),
                     "score_milli", "rank"))
+
+
+def coverage_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Boolean-coverage-then-tf ranking: documents rank first by how many
+    DISTINCT query terms they contain, then by the summed floor-log2 of
+    each matched term's tf — the classic "AND-ish" lexical ranker that
+    complements BM25's tf-idf weighting (BM25 lets one very frequent
+    term outvote term coverage; this ranker cannot).
+
+        score_milli = n_terms_matched * 1_000_000
+                      + sum(length(bin(tf)))   -- per matched term
+
+    Integer-exact and bit-portable (module docstring).  Returns
+    (query_id, doc_id, score_milli, rank), rank <= k.
+
+    Scale shape: same as bm25_topk — a broadcast semi-filter to query
+    terms bounds every aggregate to candidate size; one per-query
+    window tops off."""
+    q = queries.select("query_id", "term")
+    toks_q = (_positions(docs, text_col, id_col).drop("pos")
+              .join(F.broadcast(q.select("term").distinct()), "term"))
+    tf = toks_q.groupBy("doc", "term").agg(
+        F.count("*").cast("bigint").alias("tf"))
+    scored = (tf.join(F.broadcast(q), "term")
+              .groupBy("query_id", "doc")
+              .agg((F.countDistinct("term") * F.lit(1_000_000)
+                    + F.sum(F.expr("cast(length(bin(tf)) as bigint)")))
+                   .cast("bigint").alias("score_milli")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_milli").desc(), F.col("doc"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", F.col("doc").alias("doc_id"),
+                    "score_milli", "rank"))
+
+
+def rrf_fuse(rankings: list[DataFrame], k0: int = 60,
+             k: int = 10) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of any
+    number of per-query rankings — the standard hybrid-retrieval
+    combiner (lexical BM25 + a second ranker; at scale, BM25 + dense
+    ANN lists from kg.similarity).  Each input holds
+    (query_id, doc_id, rank); a document absent from one ranking simply
+    contributes nothing there (the RRF convention).
+
+        rrf_micro = sum over rankings of 1_000_000 div (k0 + rank)
+
+    Integer-exact, so fused scores and ranks replay in the oracle.
+    Returns (query_id, doc_id, rrf_micro, rank), rank <= k, ties broken
+    by doc_id.
+
+    Scale shape: a union of already-top-k'd inputs (each bounded at
+    k·|queries| rows) → one tiny hash aggregate → one per-query window.
+    The expensive work lives in the input rankers; fusion itself is
+    candidate-sized regardless of corpus size."""
+    fused = rankings[0].select("query_id", "doc_id", "rank")
+    for r in rankings[1:]:
+        fused = fused.unionByName(r.select("query_id", "doc_id", "rank"))
+    agg = (fused.groupBy("query_id", "doc_id")
+           .agg(F.sum(F.expr(f"1000000 div ({k0} + rank)"))
+                .cast("bigint").alias("rrf_micro")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_micro").desc(), F.col("doc_id"))
+    return (agg.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "doc_id", "rrf_micro", "rank"))

@@ -394,3 +394,142 @@ def length_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
     bits = F.length(F.bin(F.size(tokens_col(text_col)).cast("bigint")))
     return (df.groupBy(bits.cast("int").alias("len_bits"))
             .agg(F.count("*").cast("bigint").alias("n_docs")))
+
+
+def rake_phrases(text_col: str = "text",
+                 stopwords: tuple[str, ...] | None = None) -> Column:
+    """Candidate RAKE keyphrases of one document as an in-row array:
+    maximal runs of non-stopword tokens (Rose et al. 2010, "Automatic
+    Keyword Extraction from Individual Documents").  ZERO-shuffle —
+    stopword tokens become a '|' separator, the joined string splits on
+    it, and empty pieces (adjacent stopwords, leading/trailing) drop.
+    The stopword list is the reference's own
+    (StopListHolder — the same kg.models.DEFAULT_STOPWORDS the A9 tag
+    filter uses), so candidate phrases never contain a '|' by
+    construction (the corpus is space-separated lowercase words)."""
+    stops = list(stopwords) if stopwords is not None else STOPWORD_ARRAY
+    marked = F.array_join(
+        F.transform(tokens_col(text_col),
+                    lambda t: F.when(t.isin(stops), F.lit("|"))
+                    .otherwise(t)), " ")
+    return F.filter(F.transform(F.split(marked, r"\|"),
+                                lambda p: F.trim(p)),
+                    lambda p: p != "")
+
+
+def rake_keywords(df: DataFrame, text_col: str = "text",
+                  stopwords: tuple[str, ...] | None = None,
+                  min_occurrences: int = 1) -> DataFrame:
+    """Corpus-level RAKE keyword scoring: phrase candidates are stopword-
+    delimited runs (rake_phrases), each member word scores
+    deg(w)/freq(w) where freq(w) counts the word's phrase occurrences
+    and deg(w) sums the lengths of the phrases it occurs in (degree in
+    the word co-occurrence graph, self included), and a phrase scores
+    the sum of its member word scores — duplicated member words count
+    with multiplicity, per the paper.
+
+    Integer-exact: score_micro = sum over member words of
+    (deg(w) * 1e6) div freq(w) — each term a BIGINT div, the sum
+    order-independent, so the DuckDB oracle replays it bit-for-bit.
+
+    Returns (phrase, n_words, n_occurrences, score_micro).
+
+    Scale shape: phrase extraction is a zero-shuffle narrow map; word
+    stats are one hash aggregate on word with map-side partials; phrase
+    stats one on phrase; the score join re-explodes only DISTINCT
+    phrases (vocabulary-sized, not corpus-sized) against the word-stat
+    table — both sides word/phrase-keyed hash joins, no windows, no
+    self-joins.
+    """
+    occ = df.select(F.explode(rake_phrases(text_col, stopwords))
+                    .alias("phrase"))
+    occ = occ.withColumn("_ws", F.split(F.col("phrase"), " "))
+    words = occ.select("phrase",
+                       F.size("_ws").cast("bigint").alias("_plen"),
+                       F.explode("_ws").alias("word"))
+    wstats = words.groupBy("word").agg(
+        F.count("*").cast("bigint").alias("freq"),
+        F.sum("_plen").cast("bigint").alias("deg"))
+    pstats = (occ.groupBy("phrase")
+              .agg(F.count("*").cast("bigint").alias("n_occurrences"))
+              .filter(F.col("n_occurrences") >= min_occurrences))
+    members = (pstats.select("phrase")
+               .withColumn("word", F.explode(F.split("phrase", " "))))
+    scores = (members.join(wstats, "word")
+              .groupBy("phrase")
+              .agg(F.sum(F.expr("(deg * 1000000) div freq"))
+                   .cast("bigint").alias("score_micro")))
+    return (pstats.join(scores, "phrase")
+            .select("phrase",
+                    F.size(F.split("phrase", " ")).cast("int")
+                    .alias("n_words"),
+                    "n_occurrences", "score_micro"))
+
+
+def kneser_ney_bigram(df: DataFrame, text_col: str = "text",
+                      discount_quarters: int = 3,
+                      materialize: bool = True) -> DataFrame:
+    """Distributed interpolated Kneser–Ney bigram LM estimation (Kneser &
+    Ney 1995; Chen & Goodman 1999 eq. 18) — the LM-training counterpart
+    of bigram_surprisal's scoring: for every OBSERVED bigram,
+
+        p_kn(w2|w1) = max(c(w1 w2) - d, 0) / c(w1 ·)
+                      + d·N1+(w1 ·)/c(w1 ·) · N1+(· w2)/N1+(· ·)
+
+    with discount d = discount_quarters/4 (default 0.75, the standard
+    fixed discount), N1+ the continuation-type counts, and c(w1 ·) the
+    bigram-context total.  Carried exactly in quarter-units so every
+    term is a BIGINT rational:
+
+        p_micro = ((4·c12 - dq)·1e6) div (4·c1)
+                  + ( ((dq·n1p_l·1e6) div (4·c1))
+                      · ((n1p_r·1e6) div B) ) div 1e6
+
+    (dq = discount_quarters, n1p_l = N1+(w1 ·), n1p_r = N1+(· w2),
+    B = N1+(· ·) = total distinct bigram types).  The nested-div order
+    is the contract; the DuckDB oracle replays it bit-for-bit.
+    Overflow bound: 4·c12·1e6 < 2^63 ⇒ c12 < 2.3e11 — beyond any
+    single bigram count at 100 TB (the entire corpus is ~1.5e13
+    tokens; one bigram owning 1.5% of them is degenerate boilerplate
+    the dedup stage removes first).
+
+    Returns (w1, w2, c12, lambda_micro, p_kn_micro) per observed
+    bigram; lambda_micro is the interpolation weight d·N1+(w1·)/c(w1·)
+    — exposing it makes the backoff mass auditable (sum of p over
+    observed w2 plus lambda·(unseen continuation mass) telescopes
+    to 1).
+
+    Scale shape: bigrams build IN-ROW (no window), then ONE
+    vocabulary²-sized aggregate on (w1, w2); everything downstream
+    (c1, the two continuation-type counts, the scalar B) aggregates
+    THAT frame — each is strictly smaller, and the scalar rides a
+    broadcast crossJoin.  The c12 frame branches four ways, so it is
+    localCheckpointed once (CLAUDE.md rule 7; materialize=False
+    restores laziness)."""
+    dq = int(discount_quarters)
+    if not 0 < dq <= 4:
+        raise ValueError("discount_quarters must be in 1..4")
+    toks = tokens_col(text_col)
+    bigr = F.filter(
+        F.transform(toks, lambda x, i: F.struct(
+            x.alias("w1"), F.get(toks, i + 1).alias("w2"))),
+        lambda s: s["w2"].isNotNull())
+    c12 = (df.select(F.explode(bigr).alias("b"))
+           .groupBy(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+           .agg(F.count("*").cast("bigint").alias("c12")))
+    if materialize:
+        c12 = c12.localCheckpoint()
+    c1 = c12.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"),
+                               F.count("*").cast("bigint").alias("n1p_l"))
+    n1p_r = c12.groupBy("w2").agg(F.count("*").cast("bigint")
+                                  .alias("n1p_r"))
+    btot = c12.agg(F.count("*").cast("bigint").alias("_B"))
+    return (c12.join(c1, "w1").join(n1p_r, "w2")
+            .crossJoin(F.broadcast(btot))
+            .withColumn("lambda_micro",
+                        F.expr(f"(({dq} * n1p_l) * 1000000) div (4 * c1)"))
+            .select("w1", "w2", "c12", "lambda_micro",
+                    F.expr(f"((4 * c12 - {dq}) * 1000000) div (4 * c1)"
+                           " + (lambda_micro * ((n1p_r * 1000000) div _B))"
+                           " div 1000000")
+                    .cast("bigint").alias("p_kn_micro")))

@@ -499,3 +499,32 @@ def test_span_dedup_trailing_partial_chunk(spark):
            for r in span_dedup(docs, w=3).collect()}
     assert got[1] == "a b c d"
     assert got[2] == "c d"   # "c d" != chunk "d": no cross-chunk match
+
+
+# --- SemDeDup (embedding semantic dedup) -------------------------------------
+
+def test_semantic_dedup_keeps_min_id_of_identical_group(spark):
+    from kg.dedup import semantic_dedup
+    rows = [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [1.0, 0.0]),
+            (4, [0.0, 1.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r for r in
+           semantic_dedup(emb, n_cells=2, threshold=0.95).collect()}
+    assert got[1]["kept"] and not got[2]["kept"] and not got[3]["kept"]
+    assert got[4]["kept"]
+    # identical vectors share a cell by construction
+    assert got[1]["cell"] == got[2]["cell"] == got[3]["cell"]
+
+
+def test_semantic_dedup_threshold_gates_drop(spark):
+    """Nearly-orthogonal cellmates survive a high threshold; a scaled
+    copy (cosine exactly 1) never does."""
+    from kg.dedup import semantic_dedup
+    rows = [(1, [1.0, 0.0, 0.0]), (2, [2.0, 0.0, 0.0]),
+            (3, [0.9, 0.1, 0.0]), (4, [0.0, 0.0, 1.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r["kept"] for r in
+           semantic_dedup(emb, n_cells=2, threshold=0.9999).collect()}
+    assert got[1] and not got[2]      # scaled copy: cosine == 1
+    assert got[3]                     # cos(v1, v3) ≈ 0.994 < 0.9999
+    assert got[4]

@@ -551,3 +551,60 @@ def test_pivot_betweenness_matches_brandes_replay(spark):
             for r in pivot_betweenness(edges, n_pivots=2,
                                        max_depth=3).collect()}
     assert got2 == replay(2, 3)
+
+
+# --- community modularity ---------------------------------------------------
+
+def test_modularity_two_cliques(spark):
+    """Two triangles joined by one edge, unit weights: the natural
+    partition's Q is known in closed form.  W = 2m = 14 directed edges.
+    Per clique: in = 6, deg = 7 → q = 6/14 - (7/14)^2, micro-truncated:
+    (6*1e6)//14 - ((7*1e6)//14)^2//1e6 = 428571 - 250000 = 178571."""
+    from kg.graphrank import community_modularity
+    und = [("a", "b"), ("b", "c"), ("a", "c"),
+           ("x", "y"), ("y", "z"), ("x", "z"), ("c", "x")]
+    edges = und + [(t, s) for s, t in und]
+    e = spark.createDataFrame([(s, t, 1) for s, t in edges],
+                              "src string, dst string, weight long")
+    comm = spark.createDataFrame(
+        [("a", "L"), ("b", "L"), ("c", "L"),
+         ("x", "R"), ("y", "R"), ("z", "R")], "node string, community string")
+    rows = {r["community"]: r for r in community_modularity(e, comm).collect()}
+    for c in ("L", "R"):
+        assert rows[c]["n_nodes"] == 3
+        assert rows[c]["in_w"] == 6
+        assert rows[c]["deg_w"] == 7
+        assert rows[c]["q_micro"] == 178571
+
+
+def test_modularity_trivial_partition_scores_zero(spark):
+    """All nodes in ONE community: in = deg = W so q = 1 - 1 = 0 — and a
+    singleton-per-node partition of a clique scores negative."""
+    from kg.graphrank import community_modularity
+    und = [("a", "b"), ("b", "c"), ("a", "c")]
+    edges = und + [(t, s) for s, t in und]
+    e = spark.createDataFrame([(s, t, 1) for s, t in edges],
+                              "src string, dst string, weight long")
+    one = spark.createDataFrame([(n, "all") for n in "abc"],
+                                "node string, community string")
+    [r] = community_modularity(e, one).collect()
+    assert (r["in_w"], r["deg_w"], r["q_micro"]) == (6, 6, 0)
+    singles = spark.createDataFrame([(n, n) for n in "abc"],
+                                    "node string, community string")
+    got = community_modularity(e, singles).collect()
+    assert all(r["in_w"] == 0 and r["q_micro"] < 0 for r in got)
+
+
+def test_modularity_singleton_isolated_node(spark):
+    """A community with no edges at all (node absent from the edge set)
+    still emits a row with zero weights."""
+    from kg.graphrank import community_modularity
+    e = spark.createDataFrame([("a", "b", 2), ("b", "a", 2)],
+                              "src string, dst string, weight long")
+    comm = spark.createDataFrame([("a", "c1"), ("b", "c1"), ("lone", "c2")],
+                                 "node string, community string")
+    rows = {r["community"]: r for r in community_modularity(e, comm).collect()}
+    assert rows["c2"]["n_nodes"] == 1
+    assert rows["c2"]["in_w"] == 0 and rows["c2"]["deg_w"] == 0
+    assert rows["c2"]["q_micro"] == 0
+    assert rows["c1"]["q_micro"] == 0     # everything internal

@@ -435,3 +435,61 @@ def test_phrase_near_zero_shuffle(spark):
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_rake_phrase_extraction_in_row(spark, corpus_path):
+    """RAKE candidate phrases are a zero-shuffle in-row split (mark →
+    join → split → trim-filter): the phrase-occurrence frame before any
+    aggregate must contain no Exchange, Window, Join, or Python; the
+    full operator must stay Python-free."""
+    from pyspark.sql import functions as F2
+    from kg.textstats import rake_keywords, rake_phrases
+    df = spark.read.parquet(corpus_path).withColumnRenamed("content", "text")
+    occ = df.select(F2.explode(rake_phrases("text")).alias("phrase"))
+    pre = _plan(occ)
+    assert "Exchange" not in pre and "Window" not in pre
+    assert "Join" not in pre
+    full = _plan(rake_keywords(df))
+    assert "ArrowEvalPython" not in full and "BatchEvalPython" not in full
+    assert "Window" not in full
+
+
+def test_kneser_ney_no_window_scalar_broadcast(spark, corpus_path):
+    """KN estimation: bigrams in-row (no Window, no Python), and the
+    scalar type-total B rides a broadcast, never a shuffle."""
+    from kg.textstats import kneser_ney_bigram
+    df = spark.read.parquet(corpus_path).withColumnRenamed("content", "text")
+    plan = _plan(kneser_ney_bigram(df, materialize=False))
+    assert "Window" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_rrf_and_coverage_broadcast_query_side(spark):
+    """The query-term table must reach the corpus via broadcast (the
+    semi-filter that bounds every aggregate to candidate size), and
+    fusion itself adds exactly one aggregate + one window over the
+    already-top-k'd union."""
+    from kg.retrieval import coverage_topk, rrf_fuse
+    docs = spark.createDataFrame([(1, "x y"), (2, "y z")],
+                                 "doc_id long, text string")
+    q = spark.createDataFrame([("q", "x")], "query_id string, term string")
+    cov = coverage_topk(docs, q, k=5)
+    assert "BroadcastExchange" in _plan(cov)
+    fused = rrf_fuse([cov, cov], k0=60, k=5)
+    tail = _plan(fused)
+    assert "ArrowEvalPython" not in tail and "BatchEvalPython" not in tail
+
+
+def test_semantic_dedup_assignment_narrow(spark):
+    """SemDeDup cell assignment is an in-row argmin over inlined anchor
+    literals — before the within-cell self-join there must be no
+    Exchange beyond the anchor collect; the full plan shuffles only on
+    cell (the self-join) and vec_id (the verdict join)."""
+    from kg.dedup import semantic_dedup
+    from kg.similarity import _sqdist_lit  # noqa: F401 (assignment dep)
+    rows = [(i, [float(i % 3), float(i % 5)]) for i in range(12)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    plan = _plan(semantic_dedup(emb, n_cells=2, threshold=0.9))
+    assert "Window" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

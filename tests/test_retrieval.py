@@ -157,3 +157,45 @@ def test_phrase_near_window_boundary(spark):
     within = {w: phrase_near(docs, "a", "b", window=w).collect()[0]["within"]
               for w in (3, 4)}
     assert within == {3: False, 4: True}   # gap is exactly 4
+
+
+# --- coverage ranker + RRF fusion -------------------------------------------
+
+def test_coverage_ranks_term_breadth_over_tf(spark):
+    """A doc matching BOTH query terms outranks a doc with any tf of
+    one term — the property BM25 does not guarantee."""
+    from kg.retrieval import coverage_topk
+    docs = spark.createDataFrame(
+        [(1, "x x x x x x x x"), (2, "x y")], "doc_id long, text string")
+    q = spark.createDataFrame([("q", "x"), ("q", "y")],
+                              "query_id string, term string")
+    got = coverage_topk(docs, q, k=10).collect()
+    by_doc = {r["doc_id"]: r for r in got}
+    assert by_doc[2]["rank"] == 1 and by_doc[1]["rank"] == 2
+    # score = n_terms*1e6 + sum(bitlen(tf)): doc2 = 2e6+2, doc1 = 1e6+4
+    assert by_doc[2]["score_milli"] == 2_000_002
+    assert by_doc[1]["score_milli"] == 1_000_004
+
+
+def test_rrf_fuse_hand_values(spark):
+    from kg.retrieval import rrf_fuse
+    r1 = spark.createDataFrame([("q", 1, 1), ("q", 2, 2)],
+                               "query_id string, doc_id long, rank int")
+    r2 = spark.createDataFrame([("q", 2, 1), ("q", 3, 2)],
+                               "query_id string, doc_id long, rank int")
+    got = {r["doc_id"]: r for r in rrf_fuse([r1, r2], k0=60, k=10).collect()}
+    assert got[2]["rrf_micro"] == 1_000_000 // 61 + 1_000_000 // 62
+    assert got[1]["rrf_micro"] == 1_000_000 // 61
+    assert got[3]["rrf_micro"] == 1_000_000 // 62
+    assert [got[d]["rank"] for d in (2, 1, 3)] == [1, 2, 3]
+
+
+def test_rrf_tie_breaks_on_doc_id(spark):
+    from kg.retrieval import rrf_fuse
+    r1 = spark.createDataFrame([("q", 9, 1), ("q", 3, 2)],
+                               "query_id string, doc_id long, rank int")
+    r2 = spark.createDataFrame([("q", 3, 1), ("q", 9, 2)],
+                               "query_id string, doc_id long, rank int")
+    got = rrf_fuse([r1, r2], k0=60, k=10).collect()
+    assert [(r["doc_id"], r["rank"]) for r in
+            sorted(got, key=lambda r: r["rank"])] == [(3, 1), (9, 2)]

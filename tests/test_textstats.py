@@ -12,3 +12,95 @@ def test_bigram_surprisal_hand_computed(spark):
     assert got[0] == (3, 3, 1_000_000)
     assert got[1] == (1, 2, 2_000_000)
     assert 2 not in got and 3 not in got
+
+
+# --- RAKE keyword extraction -------------------------------------------------
+
+def test_rake_hand_scores(spark):
+    """Paper example shape: phrases split at stopwords, word score =
+    deg/freq, phrase score = sum of member scores (micro-truncated)."""
+    from kg.textstats import rake_keywords
+    df = spark.createDataFrame([(1, "red apple and green apple pie")],
+                               "doc_id long, text string")
+    got = {r["phrase"]: r for r in
+           rake_keywords(df, stopwords=("and",)).collect()}
+    assert set(got) == {"red apple", "green apple pie"}
+    # freq: red 1, apple 2, green 1, pie 1; deg: red 2, apple 5, green 3, pie 3
+    assert got["red apple"]["score_micro"] == 2_000_000 + 2_500_000
+    assert got["green apple pie"]["score_micro"] == (3_000_000 + 2_500_000
+                                                     + 3_000_000)
+    assert got["red apple"]["n_words"] == 2
+    assert got["green apple pie"]["n_occurrences"] == 1
+
+
+def test_rake_duplicate_member_words_and_adjacent_stops(spark):
+    """Duplicate words inside a phrase count with multiplicity; runs of
+    adjacent/leading/trailing stopwords produce no empty phrases."""
+    from kg.textstats import rake_keywords
+    df = spark.createDataFrame([(1, "and fast fast and and fast and")],
+                               "doc_id long, text string")
+    got = {r["phrase"]: r for r in
+           rake_keywords(df, stopwords=("and",)).collect()}
+    assert set(got) == {"fast fast", "fast"}
+    # freq(fast)=3, deg(fast)=2+2+1=5 → word score 1666666
+    assert got["fast fast"]["score_micro"] == 2 * 1_666_666
+    assert got["fast"]["score_micro"] == 1_666_666
+    assert got["fast fast"]["n_occurrences"] == 1
+
+
+def test_rake_min_occurrences_filter(spark):
+    from kg.textstats import rake_keywords
+    df = spark.createDataFrame(
+        [(1, "big data and big data"), (2, "small data")],
+        "doc_id long, text string")
+    got = rake_keywords(df, stopwords=("and",), min_occurrences=2)
+    assert [r["phrase"] for r in got.collect()] == ["big data"]
+    [r] = got.collect()
+    assert r["n_occurrences"] == 2
+
+
+# --- Kneser–Ney bigram LM ----------------------------------------------------
+
+def test_kneser_ney_hand_values(spark):
+    """Hand replay on a 2-doc corpus: c12/(c1,N1+) arithmetic and the
+    exact nested-div truncation order."""
+    from kg.textstats import kneser_ney_bigram
+    df = spark.createDataFrame([(1, "a b a b c"), (2, "b a")],
+                               "doc_id long, text string")
+    got = {(r["w1"], r["w2"]): r for r in kneser_ney_bigram(df).collect()}
+    assert set(got) == {("a", "b"), ("b", "a"), ("b", "c")}
+    # c12: ab=2 ba=2 bc=1; c1: a=2 b=3; N1+l: a=1 b=2; N1+r: a=1 b=1 c=1; B=3
+    ab = got[("a", "b")]
+    assert ab["c12"] == 2 and ab["lambda_micro"] == 375_000
+    assert ab["p_kn_micro"] == 625_000 + (375_000 * 333_333) // 1_000_000
+    ba = got[("b", "a")]
+    assert ba["lambda_micro"] == 500_000
+    assert ba["p_kn_micro"] == 416_666 + (500_000 * 333_333) // 1_000_000
+    bc = got[("b", "c")]
+    assert bc["p_kn_micro"] == 83_333 + (500_000 * 333_333) // 1_000_000
+
+
+def test_kneser_ney_probability_mass(spark):
+    """Per context w1, observed-p mass plus the backoff mass
+    lambda · (unseen continuation share) telescopes to ~1 (within
+    truncation slack: each div loses < 1 micro per term)."""
+    from kg.textstats import kneser_ney_bigram
+    df = spark.createDataFrame(
+        [(1, "x y z x y w z x"), (2, "y x w w z y")],
+        "doc_id long, text string")
+    rows = kneser_ney_bigram(df).collect()
+    by_w1 = {}
+    for r in rows:
+        by_w1.setdefault(r["w1"], []).append(r)
+    # continuation shares over ALL words
+    n1p_r = {}
+    for r in rows:
+        n1p_r[r["w2"]] = n1p_r.get(r["w2"], 0) + 1
+    B = len(rows)
+    for w1, rs in by_w1.items():
+        seen = {r["w2"] for r in rs}
+        lam = rs[0]["lambda_micro"]
+        unseen_share = sum(v for w, v in n1p_r.items() if w not in seen)
+        mass = (sum(r["p_kn_micro"] for r in rs)
+                + (lam * ((unseen_share * 1_000_000) // B)) // 1_000_000)
+        assert 1_000_000 - 5 * (len(rs) + 1) <= mass <= 1_000_000

@@ -2317,4 +2317,178 @@ def build_oracle_sql() -> dict[str, str]:
                true AS err_within_bound
         FROM tot"""
 
+    # Newman modularity of the LPA partition: the shared 4-round LPA
+    # chain names the communities, then in/deg weight sums per community
+    # feed the exact staged-div q_micro (truncation order mirrors
+    # kg.graphrank.community_modularity: (deg*1e6)//W first — a ratio
+    # <= 1e6 — then squared, then //1e6)
+    sqls["kg_tag_modularity"] = _lpa + """,
+        comm AS (SELECT node, label AS community FROM l1),
+        wtot AS (SELECT CAST(sum(w) AS BIGINT) AS wt FROM edges),
+        degc AS (
+          SELECT cs.community,
+                 CAST(sum(e.w) AS BIGINT) AS deg_w,
+                 CAST(sum(CASE WHEN cs.community = cd.community
+                               THEN e.w ELSE 0 END) AS BIGINT) AS in_w
+          FROM edges e
+          JOIN comm cs ON cs.node = e.src
+          JOIN comm cd ON cd.node = e.dst
+          GROUP BY 1),
+        nn AS (SELECT community, CAST(count(*) AS BIGINT) AS n_nodes
+               FROM comm GROUP BY 1)
+        SELECT n.community, n.n_nodes,
+               coalesce(d.in_w, 0) AS in_w,
+               coalesce(d.deg_w, 0) AS deg_w,
+               CAST((coalesce(d.in_w, 0) * 1000000) // wt
+                    - (((coalesce(d.deg_w, 0) * 1000000) // wt)
+                       * ((coalesce(d.deg_w, 0) * 1000000) // wt))
+                      // 1000000 AS BIGINT) AS q_micro
+        FROM nn n LEFT JOIN degc d USING (community), wtot"""
+
+    # RAKE: stopword tokens become '|' separators, phrases are the
+    # trimmed non-empty split pieces; word deg/freq over phrase
+    # occurrences (with multiplicity), phrase score = sum of
+    # (deg*1e6)//freq over member words (multiplicity kept)
+    _RAKE_MARK = (f"array_to_string(list_transform({_TOKS}, "
+                  f"t -> CASE WHEN t IN {STOP_IN} THEN '|' ELSE t END), ' ')")
+    sqls["text_rake_keywords"] = f"""
+        WITH ph AS (
+          SELECT trim(p) AS phrase
+          FROM (SELECT unnest(regexp_split_to_array({_RAKE_MARK}, '\\|'))
+                         AS p
+                FROM documents WHERE lang = 'en')
+          WHERE trim(p) <> ''),
+        words AS (
+          SELECT phrase,
+                 unnest(regexp_split_to_array(phrase, ' ')) AS word,
+                 len(regexp_split_to_array(phrase, ' ')) AS plen
+          FROM ph),
+        wstats AS (SELECT word, CAST(count(*) AS BIGINT) AS freq,
+                          CAST(sum(plen) AS BIGINT) AS deg
+                   FROM words GROUP BY 1),
+        pstats AS (SELECT phrase, CAST(count(*) AS BIGINT)
+                            AS n_occurrences
+                   FROM ph GROUP BY 1),
+        members AS (
+          SELECT phrase, unnest(regexp_split_to_array(phrase, ' ')) AS word
+          FROM (SELECT phrase FROM pstats)),
+        scores AS (
+          SELECT m.phrase,
+                 CAST(sum((w.deg * 1000000) // w.freq) AS BIGINT)
+                   AS score_micro
+          FROM members m JOIN wstats w USING (word) GROUP BY 1)
+        SELECT p.phrase,
+               CAST(len(regexp_split_to_array(p.phrase, ' ')) AS INT)
+                 AS n_words,
+               p.n_occurrences, s.score_micro
+        FROM pstats p JOIN scores s USING (phrase)"""
+
+    # hybrid retrieval: BM25 (identical CTEs to text_bm25_topk) and the
+    # boolean-coverage ranker, each top-10, fused with integer RRF
+    # 1e6 // (60 + rank)
+    sqls["text_rrf_fusion"] = f"""
+        WITH tok AS (
+          SELECT doc_id AS doc, unnest({_TOKS}) AS term
+          FROM documents WHERE lang = 'en'),
+        tf AS (SELECT doc, term, CAST(count(*) AS BIGINT) AS tf
+               FROM tok GROUP BY doc, term),
+        dl AS (SELECT doc, CAST(sum(tf) AS BIGINT) AS dl
+               FROM tf GROUP BY doc),
+        dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                  FROM tf GROUP BY term),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(dl) AS BIGINT) AS n_tokens FROM dl),
+        q AS ({_bm25_q}),
+        cand AS (
+          SELECT q.query_id, tf.doc, tf.tf, dl.dl, dfreq.df,
+                 tot.n_docs, tot.n_tokens
+          FROM tf JOIN q USING (term) JOIN dfreq USING (term)
+                  JOIN dl USING (doc), tot),
+        staged AS (
+          SELECT *,
+            CAST(length(bin(n_docs // df)) AS BIGINT) AS idf,
+            ((dl * 900000) // avgdl) * 1000000
+              + (((dl * 900000) % avgdl) * 1000000) // avgdl AS dln
+          FROM (SELECT *,
+                  (n_tokens // n_docs) * 1000000
+                    + ((n_tokens % n_docs) * 1000000) // n_docs AS avgdl
+                FROM cand)),
+        bm AS (
+          SELECT query_id, doc,
+                 CAST(sum((idf * tf * 2200 * 1000000)
+                          // (tf * 1000000 + 300000 + dln))
+                      AS BIGINT) AS s
+          FROM staged GROUP BY query_id, doc),
+        cov AS (
+          SELECT q.query_id, tf.doc,
+                 CAST(count(DISTINCT tf.term) * 1000000
+                      + sum(length(bin(tf.tf))) AS BIGINT) AS s
+          FROM tf JOIN q USING (term) GROUP BY 1, 2),
+        r1 AS (SELECT query_id, doc,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY s DESC, doc) AS rank FROM bm),
+        r2 AS (SELECT query_id, doc,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY s DESC, doc) AS rank FROM cov),
+        u AS (SELECT query_id, doc, rank FROM r1 WHERE rank <= 10
+              UNION ALL
+              SELECT query_id, doc, rank FROM r2 WHERE rank <= 10),
+        f AS (SELECT query_id, doc,
+                     CAST(sum(1000000 // (60 + rank)) AS BIGINT)
+                       AS rrf_micro
+              FROM u GROUP BY 1, 2)
+        SELECT query_id, doc AS doc_id, rrf_micro,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY rrf_micro DESC, doc) AS INT) AS rank
+        FROM f
+        QUALIFY rank <= 10"""
+
+    # interpolated Kneser–Ney bigram LM, d = 3/4 in exact quarter-micro
+    # units; nested-div order mirrors kg.textstats.kneser_ney_bigram
+    sqls["text_lm_kn"] = f"""
+        WITH big AS (
+          SELECT t[i] AS w1, t[i + 1] AS w2
+          FROM (SELECT {_TOKS} AS t,
+                       generate_subscripts({_TOKS}, 1) AS i
+                FROM documents WHERE lang = 'en')
+          WHERE i < len(t)),
+        cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+               FROM big GROUP BY 1, 2),
+        c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+                      CAST(count(*) AS BIGINT) AS n1p_l
+               FROM cb GROUP BY 1),
+        nr AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1p_r
+               FROM cb GROUP BY 1),
+        bt AS (SELECT CAST(count(*) AS BIGINT) AS bb FROM cb)
+        SELECT cb.w1, cb.w2, cb.c12,
+               CAST(((3 * n1p_l) * 1000000) // (4 * c1) AS BIGINT)
+                 AS lambda_micro,
+               CAST(((4 * cb.c12 - 3) * 1000000) // (4 * c1)
+                    + ((((3 * n1p_l) * 1000000) // (4 * c1))
+                       * ((n1p_r * 1000000) // bb)) // 1000000
+                    AS BIGINT) AS p_kn_micro
+        FROM cb JOIN c1 USING (w1) JOIN nr USING (w2), bt"""
+
+    # SemDeDup: same hash-anchor cells as ann_ivf_topk; kept iff no
+    # smaller-id cell-mate has cosine >= 0.4 (list_distance orders
+    # identically to Spark's squared-distance argmin — monotone)
+    sqls["dedup_semantic"] = """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        anchors AS (SELECT vec_id AS cell_id, v AS center FROM e
+                    ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8),
+        assigned AS (
+          SELECT vec_id, v, cell_id AS cell FROM (
+            SELECT e.vec_id, e.v, a.cell_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY list_distance(e.v, a.center) ASC,
+                              a.cell_id ASC) AS rn
+            FROM e, anchors a) WHERE rn = 1),
+        dup AS (SELECT DISTINCT a.vec_id
+                FROM assigned a JOIN assigned b
+                  ON a.cell = b.cell AND b.vec_id < a.vec_id
+                WHERE list_cosine_similarity(a.v, b.v) >= 0.4)
+        SELECT s.vec_id, s.cell, (d.vec_id IS NULL) AS kept
+        FROM assigned s LEFT JOIN dup d USING (vec_id)"""
+
     return sqls
