@@ -1517,6 +1517,61 @@ BM25_QUERIES = [("q1", "dup"), ("q1", "table"), ("q2", "spark"),
                 ("q2", "join"), ("q3", "window")]
 
 
+def q_text_lm_kn_score(spark, sf_dir):
+    """KN-LM document scoring (kg.textstats.kn_doc_bits): rank every
+    document by cross-entropy against the corpus's own Kneser–Ney
+    bigram model — train + score as ONE oracled pipeline (the oracle
+    rebuilds the identical model CTEs, then replays the floor-log2
+    inverse-probability bits and the closed 20-bit OOV contract)."""
+    from kg.textstats import kn_doc_bits
+    return kn_doc_bits(_docs(spark, sf_dir))
+
+
+def q_text_winnow(spark, sf_dir):
+    """Winnowing fingerprints (kg.textstats.winnow_fingerprints,
+    MOSS k=3 w=4): md5 3-gram shingle hashes, per-window-of-4 minima,
+    sorted distinct CSV — fully in-row, replayed cell-exactly."""
+    from kg.textstats import winnow_fingerprints
+    return winnow_fingerprints(_docs(spark, sf_dir), k=3, w=4)
+
+
+def q_kg_textrank_keywords(spark, sf_dir):
+    """Per-document TextRank keywords (kg.graphrank.textrank_keywords):
+    window-2 co-occurrence word graphs as one disjoint union on
+    'doc|word' composite nodes, the SAME integer pagerank loop the tag
+    graph uses (4 rounds), top-5 per document.  The oracle unrolls the
+    identical chain over the identical edges."""
+    from kg.graphrank import textrank_keywords
+    return textrank_keywords(_docs(spark, sf_dir), window=2,
+                             iterations=4, top_k=5)
+
+
+def q_text_prf_search(spark, sf_dir):
+    """Pseudo-relevance-feedback retrieval (kg.retrieval.prf_expand):
+    BM25 round 1, top-3 feedback docs per query, 2 expansion terms by
+    feedback tf (stopwords/originals excluded), BM25 round 2 — the full
+    two-stage loop is integer-exact and the oracle replays both rounds
+    plus the mining window bit-for-bit."""
+    from kg.retrieval import prf_expand
+    q = spark.createDataFrame(BM25_QUERIES, "query_id string, term string")
+    return prf_expand(_docs(spark, sf_dir), q, n_feedback=3,
+                      n_expand=2, k=10)
+
+
+def q_ann_recall_ivf(spark, sf_dir):
+    """In-engine ANN quality audit (kg.similarity.topk_recall):
+    recall@5 of the md5-anchor IVF index against exact brute cosine,
+    per query — both rankers are the already-oracled ann_ivf_topk /
+    ann_cosine_topk pipelines, embedded verbatim in the oracle."""
+    import kg.similarity as kgsim
+    emb = _read("embeddings")(spark, sf_dir)
+    qs = (emb.filter(F.col("vec_id") < 10)
+          .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return kgsim.topk_recall(
+        kgsim.ivf_hash_topk(emb, qs, k=5, n_cells=8, n_probe=2),
+        kgsim.cosine_topk(emb, qs, k=5), k=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # WINDOW-ROTATION RULE (STATUS.md §rotation): the driver's CORRECTNESS
     # artifact covers roughly the FIRST 50 registered queries per round, so
@@ -1549,12 +1604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_pairs": q_embedding_near_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
-        "text_quality": q_text_quality,
-        "text_gopher": q_text_gopher,
-        "text_language_id": q_text_language_id,
         "ann_knn_classify": q_ann_knn_classify,
-        "rel_events_sessionize": q_rel_events_sessionize,
-        "rel_events_cohort": q_rel_events_cohort,
         "kg_tag_pagerank": q_kg_tag_pagerank,
         "kg_tag_pmi": q_kg_tag_pmi,
         # --- r3 ERR, fixed this round (array outputs stringified) ----------
@@ -1592,9 +1642,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_rrf_fusion": q_text_rrf_fusion,
         "text_lm_kn": q_text_lm_kn,
         "dedup_semantic": q_dedup_semantic,
-        # --- demoted to make window room for the 19 r4-late queries: these
-        # nineteen are the lowest-risk stale rows (simple zero/one-shuffle
+        # --- r4 session-5 additions (rotated into the window) --------------
+        "text_lm_kn_score": q_text_lm_kn_score,
+        "text_winnow": q_text_winnow,
+        "kg_textrank_keywords": q_kg_textrank_keywords,
+        "text_prf_search": q_text_prf_search,
+        "ann_recall_ivf": q_ann_recall_ivf,
+        # --- demoted to make window room for the 24 r4-late queries: these
+        # twenty-four are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored) — first in line for r5 -
+        "text_quality": q_text_quality,
+        "text_gopher": q_text_gopher,
+        "text_language_id": q_text_language_id,
+        "rel_events_sessionize": q_rel_events_sessionize,
+        "rel_events_cohort": q_rel_events_cohort,
         "rel_q1_pricing": q_rel_q1_pricing,
         "rel_q3_revenue": q_rel_q3_revenue,
         "text_term_freq": q_text_term_freq,

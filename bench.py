@@ -78,6 +78,11 @@ HEADLINE = [
     "text_rrf_fusion",       # BM25 + coverage reciprocal-rank fusion
     "text_lm_kn",            # Kneser–Ney bigram LM estimation
     "dedup_semantic",        # SemDeDup within-cell embedding dedup
+    "text_lm_kn_score",      # KN-LM document scoring (train + score)
+    "text_winnow",           # MOSS winnowing fingerprints, in-row
+    "kg_textrank_keywords",  # per-doc TextRank over composite word graphs
+    "text_prf_search",       # two-stage PRF-expanded BM25
+    "ann_recall_ivf",        # in-engine IVF recall@5 audit
 ]
 
 

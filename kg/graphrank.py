@@ -911,3 +911,89 @@ def community_modularity(edges: DataFrame, communities: DataFrame,
             .select("community", "n_nodes", "in_w", "deg_w",
                     F.expr("(in_w * 1000000) div _W - (_dr * _dr) "
                            "div 1000000").cast("bigint").alias("q_micro")))
+
+
+def textrank_keywords(df: DataFrame, window: int = 2, iterations: int = 4,
+                      top_k: int = 5, damping_micro: int = 850_000,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      stopwords: tuple[str, ...] | None = None) -> DataFrame:
+    """Per-document TextRank keyword extraction (Mihalcea & Tarau 2004,
+    "TextRank: Bringing Order into Texts" — the algorithm the GraphAware
+    NLP framework's keyword-extraction layer runs over the persisted tag
+    graph this module ranks; ProcedureTest.java:114-124 asserts the
+    HAS_TAG structure it consumes).  Graph-based complement of
+    kg.textstats.rake_keywords: nodes are a document's non-stopword
+    word types, an edge links two words co-occurring within `window`
+    token positions of the ORIGINAL sequence (weight = co-occurrence
+    count, symmetric), and PageRank over each document's graph ranks
+    the words; the per-document top_k are the keywords.
+
+    Implemented as ONE global pagerank over the disjoint union of all
+    per-document graphs — node ids are composite 'doc|word' (corpus
+    tokens are lowercase words, doc ids never contain '|', so the
+    separator is unambiguous), edges never cross documents, and the
+    fixed-round integer loop of `pagerank` (bit-portable, oracle-
+    replayable) ranks every document's graph simultaneously.
+
+    Returns (doc_id, word, rank_micro, kw_rank), kw_rank <= top_k per
+    document, ties broken (rank_micro DESC, word ASC).
+
+    Scale shape: pair building is IN-ROW (transform over the token
+    array at each offset 1..window — no positional self-join), one
+    corpus-sized aggregate on (doc, a, b) makes the weighted edges,
+    then `iterations` join-aggregate rounds on the composite key —
+    partitioning by 'doc|word' co-locates each document's subgraph, so
+    propagation never moves rows across documents.  The final top-k
+    window partitions per document (document-sized groups)."""
+    edges = textrank_edges(df, window=window, text_col=text_col,
+                           id_col=id_col, stopwords=stopwords)
+    ranked = pagerank(edges, iterations=iterations,
+                      damping_micro=damping_micro)
+    from pyspark.sql import Window
+    split = ranked.select(
+        F.substring_index("node", "|", 1).alias("doc_id"),
+        F.substring_index("node", "|", -1).alias("word"), "rank_micro")
+    tw = Window.partitionBy("doc_id").orderBy(
+        F.col("rank_micro").desc(), F.col("word"))
+    return (split.withColumn("kw_rank", F.row_number().over(tw))
+            .filter(F.col("kw_rank") <= top_k)
+            .select("doc_id", "word", "rank_micro", "kw_rank"))
+
+
+def textrank_edges(df: DataFrame, window: int = 2,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   stopwords: tuple[str, ...] | None = None) -> DataFrame:
+    """The weighted co-occurrence edge set textrank_keywords ranks:
+    composite 'doc|word' nodes, symmetric summed weights.  Exposed
+    separately so the edge-building stage is plan-testable (pagerank's
+    lineage cuts hide it from the final plan) and reusable against
+    other centralities (hits/betweenness over the same word graphs).
+
+    Pair building is IN-ROW — a transform over the token array at each
+    offset 1..window, never a positional self-join; then one aggregate
+    on (doc, a, b) and one symmetrizing re-aggregate (w(a,b) must equal
+    w(b,a), and each DIRECTION's count alone is not the unordered
+    co-occurrence count)."""
+    from kg.textstats import STOPWORD_ARRAY, tokens_col
+    stops = list(stopwords) if stopwords is not None else STOPWORD_ARRAY
+    toks = tokens_col(text_col)
+
+    def pairs_at(j: int):
+        return F.filter(
+            F.transform(toks, lambda x, i: F.struct(
+                x.alias("a"), F.get(toks, i + j).alias("b"))),
+            lambda s: (s["b"].isNotNull() & (s["a"] != s["b"])
+                       & ~s["a"].isin(stops) & ~s["b"].isin(stops)))
+
+    allp = F.flatten(F.array(*[pairs_at(j) for j in range(1, window + 1)]))
+    half = (df.select(F.col(id_col).alias("doc"), F.explode(allp).alias("p"))
+            .select("doc", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .groupBy("doc", "a", "b")
+            .agg(F.count("*").cast("bigint").alias("w")))
+    sym = (half.unionByName(half.select("doc", F.col("b").alias("a"),
+                                        F.col("a").alias("b"), "w"))
+           .groupBy("doc", "a", "b")
+           .agg(F.sum("w").cast("bigint").alias("weight")))
+    return sym.select(
+        F.concat_ws("|", "doc", "a").alias("src"),
+        F.concat_ws("|", "doc", "b").alias("dst"), "weight")

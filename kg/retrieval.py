@@ -282,3 +282,54 @@ def rrf_fuse(rankings: list[DataFrame], k0: int = 60,
     return (agg.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "doc_id", "rrf_micro", "rank"))
+
+
+def prf_expand(docs: DataFrame, queries: DataFrame, n_feedback: int = 3,
+               n_expand: int = 2, k: int = 10, text_col: str = "text",
+               id_col: str = "doc_id", k1_milli: int = 1200,
+               b_milli: int = 750) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (Rocchio 1971 /
+    RM-style PRF, the classic two-stage retrieval loop): run BM25, treat
+    each query's top `n_feedback` documents as relevant, mine the
+    `n_expand` terms with the highest summed term frequency across that
+    feedback set (stopwords and the query's own terms excluded; ties
+    break on the term), append them to the query with unit weight, and
+    run BM25 again.  The recall-boosting half of hybrid retrieval —
+    rrf_fuse combines rankers, this one improves a single ranker's
+    candidate pool.
+
+    Returns the second-round ranking (query_id, doc_id, score_milli,
+    rank), rank <= k — integer-exact end-to-end (both BM25 rounds and
+    the tf mining are BIGINT arithmetic), so the full two-stage loop
+    replays bit-for-bit in the oracle.
+
+    Scale shape: round 1 is bm25_topk (corpus passes are one broadcast
+    semi-filter + one narrow dl map).  Mining semi-filters the corpus
+    to the feedback docs FIRST (broadcast semi-join on doc id — at most
+    n_feedback·|queries| ids), so the explode+aggregate run on a
+    feedback-sized frame, then a per-query window caps expansion terms.
+    Round 2 is bm25_topk again with |q| + n_expand terms.  Nothing
+    corpus-sized shuffles beyond what a single BM25 already does."""
+    from kg.textstats import STOPWORD_ARRAY
+    q = queries.select("query_id", "term")
+    r1 = bm25_topk(docs, q, k=n_feedback, text_col=text_col,
+                   id_col=id_col, k1_milli=k1_milli, b_milli=b_milli)
+    fb = r1.select("query_id", F.col("doc_id").alias("doc"))
+    fb_docs = docs.join(
+        F.broadcast(fb.select(F.col("doc").alias(id_col)).distinct()),
+        id_col, "left_semi")
+    fbtf = (_positions(fb_docs, text_col, id_col)
+            .drop("pos")
+            .join(F.broadcast(fb), "doc")
+            .groupBy("query_id", "term")
+            .agg(F.count("*").cast("bigint").alias("fb_tf")))
+    cand = (fbtf.filter(~F.col("term").isin(list(STOPWORD_ARRAY)))
+            .join(q, ["query_id", "term"], "left_anti"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("fb_tf").desc(), F.col("term"))
+    expansions = (cand.withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") <= n_expand)
+                  .select("query_id", "term"))
+    q2 = q.unionByName(expansions)
+    return bm25_topk(docs, q2, k=k, text_col=text_col, id_col=id_col,
+                     k1_milli=k1_milli, b_milli=b_milli)

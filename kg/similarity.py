@@ -725,3 +725,41 @@ def sq_topk(emb: DataFrame, queries: DataFrame, dim: int, k: int = 5,
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank",
                     F.col("dist").alias("sq_dist_micro2")))
+
+
+def topk_recall(approx: DataFrame, exact: DataFrame, k: int = 5,
+                qid_col: str = "query_id",
+                id_col: str = "neighbor_id") -> DataFrame:
+    """In-engine recall@k of an approximate neighbor list against the
+    exact one — the standard ANN quality metric (recall@k = |approx ∩
+    exact| / |exact| per query), computed distributed so index-quality
+    audits run as part of the pipeline instead of via driver-side
+    collects.  Feed it any two rankers of this module (ivf_hash_topk /
+    lsh_topk / pq_topk / ivfpq_topk / sq_topk vs cosine_topk); both
+    inputs hold (query_id, neighbor_id, rank).
+
+    Returns (query_id, n_exact, n_hits, recall_micro) — recall in exact
+    integer micro-units; queries the approximate index missed entirely
+    still appear (n_hits = 0) because the output anchors on the EXACT
+    side.
+
+    Scale shape: both inputs are already top-k'd (k·|queries| rows);
+    one left-semi join on (query_id, neighbor_id) + two query-keyed hash
+    aggregates — candidate-sized, never corpus-sized."""
+    a = (approx.filter(F.col("rank") <= k)
+         .select(F.col(qid_col).alias("query_id"),
+                 F.col(id_col).alias("neighbor_id")))
+    e = (exact.filter(F.col("rank") <= k)
+         .select(F.col(qid_col).alias("query_id"),
+                 F.col(id_col).alias("neighbor_id")))
+    hits = (e.join(a, ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count("*").cast("bigint").alias("n_hits")))
+    base = e.groupBy("query_id").agg(
+        F.count("*").cast("bigint").alias("n_exact"))
+    return (base.join(hits, "query_id", "left")
+            .withColumn("n_hits", F.coalesce(F.col("n_hits"), F.lit(0))
+                        .cast("bigint"))
+            .select("query_id", "n_exact", "n_hits",
+                    F.expr("(n_hits * 1000000) div n_exact")
+                    .alias("recall_micro")))

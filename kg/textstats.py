@@ -533,3 +533,118 @@ def kneser_ney_bigram(df: DataFrame, text_col: str = "text",
                            " + (lambda_micro * ((n1p_r * 1000000) div _B))"
                            " div 1000000")
                     .cast("bigint").alias("p_kn_micro")))
+
+
+def kn_doc_bits(df: DataFrame, model: DataFrame | None = None,
+                oov_bits: int = 20, text_col: str = "text",
+                id_col: str = "doc_id",
+                discount_quarters: int = 3) -> DataFrame:
+    """Score documents against a trained Kneser–Ney bigram LM — the
+    perplexity-filter stage that `kneser_ney_bigram` trains for (CCNet /
+    KenLM-style curation ranks documents by LM cross-entropy; unigram
+    `lm_surprisal` and MLE `bigram_surprisal` are the weaker proxies this
+    supersedes).  `model` is a kneser_ney_bigram output frame; None
+    trains on `df` itself (the in-domain scoring used to rank a corpus
+    against its own language model).
+
+    Per bigram occurrence the engine-portable surrogate of −log2 p_kn:
+
+        bits = length(bin(1_000_000 div greatest(p_kn_micro, 1)))
+
+    (exact integer floor-log2 of the inverse probability — same
+    rationale as lm_surprisal: float log2 sums are neither
+    cross-engine-stable nor order-independent, the bit length is).
+    Bigrams the model never saw cost the fixed `oov_bits` penalty — a
+    CLOSED OOV contract instead of a float backoff product, chosen so
+    held-out scoring stays hash-portable; oov_bits=20 ≈ a p of 1e-6,
+    the resolution floor of the micro units.
+
+    Returns (doc, n_bigrams, total_bits, avg_bits_micro); single-token
+    and empty docs emit no row (no bigram evidence — same contract as
+    bigram_surprisal).
+
+    Scale shape: per-doc bigrams build IN-ROW and aggregate once on
+    (doc, w1, w2); the join against the model table shuffles both sides
+    on (w1, w2) — the model side is vocabulary²-bounded, far smaller
+    than the corpus — then one groupBy(doc).  No windows, no
+    self-joins, no floats."""
+    if model is None:
+        model = kneser_ney_bigram(df, text_col=text_col,
+                                  discount_quarters=discount_quarters)
+    toks = tokens_col(text_col)
+    bigr = F.filter(
+        F.transform(toks, lambda x, i: F.struct(
+            x.alias("w1"), F.get(toks, i + 1).alias("w2"))),
+        lambda s: s["w2"].isNotNull())
+    tf = (df.select(F.col(id_col).alias("doc"), F.explode(bigr).alias("b"))
+          .select("doc", "b.w1", "b.w2")
+          .groupBy("doc", "w1", "w2")
+          .agg(F.count("*").cast("bigint").alias("tf")))
+    scored = (tf.join(model.select("w1", "w2", "p_kn_micro"),
+                      ["w1", "w2"], "left")
+              .withColumn(
+                  "bits",
+                  F.when(F.col("p_kn_micro").isNull(),
+                         F.lit(int(oov_bits)).cast("bigint"))
+                  .otherwise(F.expr(
+                      "cast(length(bin(1000000 div "
+                      "greatest(p_kn_micro, 1))) as bigint)"))))
+    return (scored.groupBy("doc")
+            .agg(F.sum("tf").cast("bigint").alias("n_bigrams"),
+                 F.sum(F.col("tf") * F.col("bits")).cast("bigint")
+                 .alias("total_bits"))
+            .withColumn("avg_bits_micro",
+                        F.expr("(total_bits * 1000000) div n_bigrams")))
+
+
+def winnow_fingerprints(df: DataFrame, k: int = 3, w: int = 4,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003, "Winnowing: Local Algorithms for Document Fingerprinting" —
+    the MOSS algorithm): hash every k-token shingle, slide a window of
+    `w` consecutive hashes over the sequence, and keep each window's
+    MINIMUM hash.  The selected set is a position-robust sketch with
+    guaranteed density ≥ 1/w and guaranteed detection of any shared
+    substring of k+w-1 tokens — the published local-fingerprint
+    upgrade over `fingerprint`'s whole-document key (which any edit
+    breaks) and the exact-match complement of MinHash (which sketches
+    set resemblance, not contiguous overlap).
+
+    Hashes are md5 hex strings — fixed-length, so lexicographic MIN
+    equals numeric MIN, and both engines agree byte-for-byte (the house
+    md5-portability convention).  Docs with fewer than k tokens emit no
+    row (no shingle to fingerprint); docs with fewer than w shingles
+    emit the single global minimum (the paper's at-least-one
+    guarantee).
+
+    Returns (doc_id, n_grams, n_fingerprints, fp_csv) with fp_csv the
+    sorted distinct selected hashes, CSV-joined (scalar cell for the
+    driver's canonicalizer).
+
+    Scale shape: ZERO shuffle — shingling, hashing, the sliding-window
+    minima, and the dedup all run IN-ROW with higher-order functions,
+    so the operator fuses into the scan; cost is O(n·w) string
+    comparisons per document.  Downstream dedup joins docs sharing a
+    fingerprint by exploding fp sets (density-bounded at 2/(w+1) of the
+    token count) into the same banded-join shape dedup_minhash_lsh
+    uses."""
+    if k < 1 or w < 1:
+        raise ValueError("k and w must be >= 1")
+    toks = tokens_col(text_col)
+    gram = F.filter(
+        F.transform(toks, lambda x, i: F.when(
+            F.get(toks, i + k - 1).isNotNull(),
+            F.md5(F.concat_ws(
+                " ", F.array(x, *[F.get(toks, i + j)
+                                  for j in range(1, k)]))))),
+        lambda h: h.isNotNull())
+    staged = df.select(F.col(id_col), gram.alias("_hs"))
+    n = F.size("_hs")
+    fps = F.array_sort(F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.greatest(n - w + 1, F.lit(1))),
+        lambda i: F.array_min(F.slice(F.col("_hs"), i, w)))))
+    return (staged.filter(n >= 1)
+            .select(id_col, n.cast("bigint").alias("n_grams"),
+                    F.size(fps).cast("bigint").alias("n_fingerprints"),
+                    F.concat_ws(",", fps).alias("fp_csv")))

@@ -608,3 +608,64 @@ def test_modularity_singleton_isolated_node(spark):
     assert rows["c2"]["in_w"] == 0 and rows["c2"]["deg_w"] == 0
     assert rows["c2"]["q_micro"] == 0
     assert rows["c1"]["q_micro"] == 0     # everything internal
+
+
+# --- TextRank keywords --------------------------------------------------------
+
+def test_textrank_hub_word_ranks_first(spark):
+    """The word co-occurring with everything gets the top PageRank."""
+    from kg.graphrank import textrank_keywords
+    df = spark.createDataFrame([(1, "hub alpha hub beta hub gamma")],
+                               "doc_id long, text string")
+    rows = textrank_keywords(df, window=2, iterations=4, top_k=5,
+                             stopwords=()).collect()
+    top = [r for r in rows if r["kw_rank"] == 1][0]
+    assert top["word"] == "hub"
+    assert {r["word"] for r in rows} == {"hub", "alpha", "beta", "gamma"}
+
+
+def test_textrank_documents_are_isolated(spark):
+    """Identical text under two doc ids gets identical per-word ranks —
+    the composite-node union never leaks mass across documents."""
+    from kg.graphrank import textrank_keywords
+    text = "alpha beta gamma alpha delta beta"
+    df = spark.createDataFrame([(1, text), (2, text), (3, "zeta eta zeta")],
+                               "doc_id long, text string")
+    rows = textrank_keywords(df, window=2, iterations=4, top_k=10,
+                             stopwords=()).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["word"]] = (
+            r["rank_micro"], r["kw_rank"])
+    assert by_doc["1"] == by_doc["2"]
+    assert set(by_doc["3"]) == {"zeta", "eta"}
+
+
+def test_textrank_stopwords_and_topk(spark):
+    """Stopwords are never nodes; top_k caps per-doc output with the
+    (rank DESC, word ASC) tie-break."""
+    from kg.graphrank import textrank_keywords
+    df = spark.createDataFrame(
+        [(1, "the cat dog and the dog cat runs")],
+        "doc_id long, text string")
+    rows = textrank_keywords(df, window=2, iterations=4, top_k=1,
+                             stopwords=("the", "and")).collect()
+    assert len(rows) == 1
+    assert rows[0]["word"] in {"cat", "dog"}
+    allr = textrank_keywords(df, window=2, iterations=4, top_k=5,
+                             stopwords=("the", "and")).collect()
+    # 'the'/'and' are never nodes; pairs form over RAW positions, so only
+    # content words within 2 raw tokens of each other link up
+    assert {r["word"] for r in allr} == {"cat", "dog", "runs"}
+
+
+def test_textrank_symmetric_weights(spark):
+    """Two words co-occurring twice pull each other equally: equal
+    ranks in a 2-node graph regardless of direction counts."""
+    from kg.graphrank import textrank_keywords
+    df = spark.createDataFrame([(1, "ping pong ping")],
+                               "doc_id long, text string")
+    rows = textrank_keywords(df, window=1, iterations=4, top_k=5,
+                             stopwords=()).collect()
+    ranks = {r["word"]: r["rank_micro"] for r in rows}
+    assert ranks["ping"] == ranks["pong"]

@@ -493,3 +493,66 @@ def test_semantic_dedup_assignment_narrow(spark):
     plan = _plan(semantic_dedup(emb, n_cells=2, threshold=0.9))
     assert "Window" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_winnow_zero_shuffle_no_python(spark, corpus_path):
+    """Winnowing fingerprints run entirely in-row: no Exchange, Window,
+    Join, or Python anywhere in the plan — the operator fuses into the
+    scan."""
+    from pyspark.sql import functions as F2
+    from kg.textstats import winnow_fingerprints
+    df = (spark.read.parquet(corpus_path)
+          .withColumnRenamed("content", "text")
+          .withColumn("doc_id", F2.col("path")))
+    plan = _plan(winnow_fingerprints(df))
+    assert "Exchange" not in plan and "Window" not in plan
+    assert "Join" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_textrank_pairs_in_row_no_positional_join(spark, corpus_path):
+    """TextRank's co-occurrence pairs build IN-ROW: the edge frame
+    before pagerank contains no Join (a positional self-join is the
+    anti-pattern) and no Python; aggregates only."""
+    from pyspark.sql import functions as F2
+    from kg.graphrank import textrank_edges, textrank_keywords
+    df = (spark.read.parquet(corpus_path)
+          .withColumnRenamed("content", "text")
+          .withColumn("doc_id", F2.col("path")))
+    epl = _plan(textrank_edges(df))
+    assert "Join" not in epl
+    assert "ArrowEvalPython" not in epl and "BatchEvalPython" not in epl
+    assert "Window" not in epl
+    full = _plan(textrank_keywords(df, iterations=1))
+    assert "ArrowEvalPython" not in full and "BatchEvalPython" not in full
+    # exactly one window operator node: the final per-doc top-k
+    assert full.count("+- Window ") + full.count("+- Window\n") == 1
+
+
+def test_kn_score_no_window_no_python(spark, corpus_path):
+    """KN doc scoring: in-row bigrams, model join, one doc aggregate —
+    no Window, no Python."""
+    from pyspark.sql import functions as F2
+    from kg.textstats import kn_doc_bits, kneser_ney_bigram
+    df = (spark.read.parquet(corpus_path)
+          .withColumnRenamed("content", "text")
+          .withColumn("doc_id", F2.col("path")))
+    model = kneser_ney_bigram(df, materialize=False)
+    plan = _plan(kn_doc_bits(df, model=model))
+    assert "Window" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_topk_recall_candidate_sized(spark):
+    """Recall eval joins two already-top-k'd frames: semi join + two
+    aggregates, no Window, no Python, no NestedLoop beyond the inputs'
+    own plans (here: literal frames)."""
+    from kg.similarity import topk_recall
+    a = spark.createDataFrame([("q", "x", 1)],
+                              "query_id string, neighbor_id string, rank int")
+    e = spark.createDataFrame([("q", "x", 1), ("q", "y", 2)],
+                              "query_id string, neighbor_id string, rank int")
+    plan = _plan(topk_recall(a, e, k=5))
+    assert "Window" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "LeftSemi" in plan

@@ -199,3 +199,56 @@ def test_rrf_tie_breaks_on_doc_id(spark):
     got = rrf_fuse([r1, r2], k0=60, k=10).collect()
     assert [(r["doc_id"], r["rank"]) for r in
             sorted(got, key=lambda r: r["rank"])] == [(3, 1), (9, 2)]
+
+
+# --- PRF expansion ------------------------------------------------------------
+
+def test_prf_expansion_recalls_term_only_doc(spark):
+    """A doc sharing ONLY the mined expansion term with the query is
+    absent from plain BM25 but retrieved after PRF; the original-term
+    doc still ranks first."""
+    from kg.retrieval import bm25_topk, prf_expand
+    docs = spark.createDataFrame(
+        [(1, "query query query expand expand expand filler"),
+         (2, "expand expand other words here"),
+         (3, "unrelated noise tokens only")],
+        "doc_id long, text string")
+    q = spark.createDataFrame([("q1", "query")], "query_id string, term string")
+    plain = {r["doc_id"] for r in bm25_topk(docs, q, k=10).collect()}
+    assert plain == {1}
+    rows = prf_expand(docs, q, n_feedback=1, n_expand=1, k=10).collect()
+    got = {r["doc_id"]: r["rank"] for r in rows}
+    assert set(got) == {1, 2}
+    assert got[1] == 1
+
+
+def test_prf_excludes_stopwords_and_original_terms(spark):
+    """Expansion mining skips stopwords and the query's own terms: with
+    the feedback doc dominated by 'the' and the original term, the
+    mined term is the next-most-frequent content word."""
+    from kg.retrieval import prf_expand
+    docs = spark.createDataFrame(
+        [(1, "the the the query query pick pick other"),
+         (2, "pick pick pick something"),
+         (3, "the the the the everything")],
+        "doc_id long, text string")
+    q = spark.createDataFrame([("q1", "query")], "query_id string, term string")
+    got = {r["doc_id"] for r in
+           prf_expand(docs, q, n_feedback=1, n_expand=1, k=10).collect()}
+    # 'pick' (not 'the', not 'query') must have been the expansion
+    assert 2 in got and 3 not in got
+
+
+def test_prf_expansion_tie_breaks_on_term(spark):
+    """Equal feedback tf → lexicographically smaller term wins the
+    expansion slot (deterministic)."""
+    from kg.retrieval import prf_expand
+    docs = spark.createDataFrame(
+        [(1, "query zebra apple"),
+         (2, "apple apple apple"),
+         (3, "zebra zebra zebra")],
+        "doc_id long, text string")
+    q = spark.createDataFrame([("q1", "query")], "query_id string, term string")
+    got = {r["doc_id"] for r in
+           prf_expand(docs, q, n_feedback=1, n_expand=1, k=10).collect()}
+    assert 2 in got and 3 not in got

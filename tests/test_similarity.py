@@ -393,3 +393,34 @@ def test_sq_topk_codes_and_constant_dim(spark):
     assert got[0]["rank"] == 1
     # constant dim contributes 0 to every distance (exact reconstruction)
     assert got[0]["sq_dist_micro2"] < (0.02 * 1_000_000) ** 2
+
+
+# --- ANN recall eval ----------------------------------------------------------
+
+def test_topk_recall_hand_counts(spark):
+    from kg.similarity import topk_recall
+    exact = spark.createDataFrame(
+        [("q1", f"n{i}", i) for i in range(1, 6)]
+        + [("q2", f"m{i}", i) for i in range(1, 6)],
+        "query_id string, neighbor_id string, rank int")
+    approx = spark.createDataFrame(
+        [("q1", "n1", 1), ("q1", "n3", 2), ("q1", "x", 3),
+         ("q1", "n5", 9)],   # rank 9 > k → ignored
+        "query_id string, neighbor_id string, rank int")
+    got = {r["query_id"]: r for r in
+           topk_recall(approx, exact, k=5).collect()}
+    assert (got["q1"]["n_exact"], got["q1"]["n_hits"]) == (5, 2)
+    assert got["q1"]["recall_micro"] == 400_000
+    # q2: approx returned nothing — still present, recall 0
+    assert (got["q2"]["n_hits"], got["q2"]["recall_micro"]) == (0, 0)
+
+
+def test_topk_recall_perfect_and_k_filter(spark):
+    from kg.similarity import topk_recall
+    exact = spark.createDataFrame(
+        [("q", "a", 1), ("q", "b", 2), ("q", "c", 3)],
+        "query_id string, neighbor_id string, rank int")
+    got = topk_recall(exact, exact, k=2).collect()[0]
+    # k=2 truncates BOTH sides: exact base is 2, hits 2
+    assert (got["n_exact"], got["n_hits"], got["recall_micro"]) == (
+        2, 2, 1_000_000)

@@ -104,3 +104,100 @@ def test_kneser_ney_probability_mass(spark):
         mass = (sum(r["p_kn_micro"] for r in rs)
                 + (lam * ((unseen_share * 1_000_000) // B)) // 1_000_000)
         assert 1_000_000 - 5 * (len(rs) + 1) <= mass <= 1_000_000
+
+
+# --- KN document scoring ------------------------------------------------------
+
+def test_kn_doc_bits_matches_model(spark):
+    """Per-doc bits derive exactly from the (hand-verified) model table:
+    bits(b) = length(bin(1e6 div max(p_kn_micro(b), 1))) summed with
+    multiplicity; avg is the micro-ratio."""
+    from kg.textstats import kn_doc_bits, kneser_ney_bigram
+    df = spark.createDataFrame([(1, "a b a b c"), (2, "b a")],
+                               "doc_id long, text string")
+    p = {(r["w1"], r["w2"]): r["p_kn_micro"]
+         for r in kneser_ney_bigram(df).collect()}
+
+    def bits(w1, w2):
+        return len(bin(1_000_000 // max(p[(w1, w2)], 1))) - 2
+
+    got = {r["doc"]: r for r in kn_doc_bits(df).collect()}
+    d1 = got[1]
+    exp1 = 2 * bits("a", "b") + bits("b", "a") + bits("b", "c")
+    assert (d1["n_bigrams"], d1["total_bits"]) == (4, exp1)
+    assert d1["avg_bits_micro"] == (exp1 * 1_000_000) // 4
+    assert got[2]["n_bigrams"] == 1
+
+
+def test_kn_doc_bits_oov_penalty(spark):
+    """Held-out scoring: a bigram the model never saw costs the fixed
+    oov_bits penalty; seen bigrams keep their model bits."""
+    from kg.textstats import kn_doc_bits, kneser_ney_bigram
+    train = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
+    model = kneser_ney_bigram(train)
+    held = spark.createDataFrame([(9, "a b z q")], "doc_id long, text string")
+    row = kn_doc_bits(held, model=model, oov_bits=20).collect()[0]
+    # bigrams: (a,b) seen; (b,z) and (z,q) OOV → 20 bits each
+    assert row["n_bigrams"] == 3
+    assert row["total_bits"] >= 40
+    p_ab = {(r["w1"], r["w2"]): r["p_kn_micro"]
+            for r in model.collect()}[("a", "b")]
+    seen_bits = len(bin(1_000_000 // max(p_ab, 1))) - 2
+    assert row["total_bits"] == seen_bits + 40
+
+
+def test_kn_doc_bits_no_bigram_docs_absent(spark):
+    from kg.textstats import kn_doc_bits
+    df = spark.createDataFrame([(1, "a b"), (2, "z"), (3, "")],
+                               "doc_id long, text string")
+    assert {r["doc"] for r in kn_doc_bits(df).collect()} == {1}
+
+
+# --- winnowing fingerprints ---------------------------------------------------
+
+def test_winnow_short_doc_single_global_min(spark):
+    """Fewer shingles than the window → exactly one fingerprint (the
+    paper's at-least-one guarantee) = the global min hash."""
+    import hashlib
+    from kg.textstats import winnow_fingerprints
+    df = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+    row = winnow_fingerprints(df, k=3, w=4).collect()[0]
+    grams = ["a b c", "b c d", "c d e", "d e f"]
+    hs = [hashlib.md5(g.encode()).hexdigest() for g in grams]
+    assert row["n_grams"] == 4
+    assert row["n_fingerprints"] == 1
+    assert row["fp_csv"] == min(hs)
+
+
+def test_winnow_exact_hand_replay(spark):
+    """Full replay of the sliding-window minima on a doc long enough to
+    have several windows."""
+    import hashlib
+    from kg.textstats import winnow_fingerprints
+    words = "t%d" % 0
+    toks = [f"w{i * 7 % 11}" for i in range(15)]
+    df = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+    k, w = 3, 4
+    hs = [hashlib.md5(" ".join(toks[i:i + k]).encode()).hexdigest()
+          for i in range(len(toks) - k + 1)]
+    fps = sorted({min(hs[i:i + w]) for i in range(len(hs) - w + 1)})
+    row = winnow_fingerprints(df, k=k, w=w).collect()[0]
+    assert row["n_grams"] == len(hs)
+    assert row["fp_csv"] == ",".join(fps)
+    assert row["n_fingerprints"] == len(fps)
+
+
+def test_winnow_shared_run_guarantee_and_too_short(spark):
+    """Two docs sharing a k+w-1-token run share >= 1 fingerprint
+    (winnowing's detection guarantee); docs with < k tokens emit no
+    row."""
+    from kg.textstats import winnow_fingerprints
+    shared = "p q r s t u"   # 6 tokens = k+w-1 with k=3, w=4
+    df = spark.createDataFrame(
+        [(1, "x y " + shared + " z"), (2, shared + " m n o"),
+         (3, "a b")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: set(r["fp_csv"].split(","))
+            for r in winnow_fingerprints(df, k=3, w=4).collect()}
+    assert 3 not in rows
+    assert rows[1] & rows[2]

@@ -2444,30 +2444,80 @@ def build_oracle_sql() -> dict[str, str]:
         QUALIFY rank <= 10"""
 
     # interpolated Kneser–Ney bigram LM, d = 3/4 in exact quarter-micro
-    # units; nested-div order mirrors kg.textstats.kneser_ney_bigram
-    sqls["text_lm_kn"] = f"""
-        WITH big AS (
-          SELECT t[i] AS w1, t[i + 1] AS w2
-          FROM (SELECT {_TOKS} AS t,
+    # units; nested-div order mirrors kg.textstats.kneser_ney_bigram.
+    # The CTE body is shared with text_lm_kn_score so train and score
+    # see the identical model (dtf carries doc attribution; cb folds it
+    # away — same bigram counts as the original doc-blind build).
+    _kn_body = f"""dtf AS MATERIALIZED (
+          SELECT doc_id AS doc, t[i] AS w1, t[i + 1] AS w2,
+                 CAST(count(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, {_TOKS} AS t,
                        generate_subscripts({_TOKS}, 1) AS i
                 FROM documents WHERE lang = 'en')
-          WHERE i < len(t)),
-        cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
-               FROM big GROUP BY 1, 2),
+          WHERE i < len(t) GROUP BY 1, 2, 3),
+        cb AS MATERIALIZED (
+          SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c12
+          FROM dtf GROUP BY 1, 2),
         c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
                       CAST(count(*) AS BIGINT) AS n1p_l
                FROM cb GROUP BY 1),
         nr AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1p_r
                FROM cb GROUP BY 1),
-        bt AS (SELECT CAST(count(*) AS BIGINT) AS bb FROM cb)
-        SELECT cb.w1, cb.w2, cb.c12,
-               CAST(((3 * n1p_l) * 1000000) // (4 * c1) AS BIGINT)
-                 AS lambda_micro,
-               CAST(((4 * cb.c12 - 3) * 1000000) // (4 * c1)
-                    + ((((3 * n1p_l) * 1000000) // (4 * c1))
-                       * ((n1p_r * 1000000) // bb)) // 1000000
-                    AS BIGINT) AS p_kn_micro
-        FROM cb JOIN c1 USING (w1) JOIN nr USING (w2), bt"""
+        bt AS (SELECT CAST(count(*) AS BIGINT) AS bb FROM cb),
+        kn AS (
+          SELECT cb.w1, cb.w2, cb.c12,
+                 CAST(((3 * n1p_l) * 1000000) // (4 * c1) AS BIGINT)
+                   AS lambda_micro,
+                 CAST(((4 * cb.c12 - 3) * 1000000) // (4 * c1)
+                      + ((((3 * n1p_l) * 1000000) // (4 * c1))
+                         * ((n1p_r * 1000000) // bb)) // 1000000
+                      AS BIGINT) AS p_kn_micro
+          FROM cb JOIN c1 USING (w1) JOIN nr USING (w2), bt)"""
+    sqls["text_lm_kn"] = f"""
+        WITH {_kn_body}
+        SELECT w1, w2, c12, lambda_micro, p_kn_micro FROM kn"""
+
+    # KN document scoring: per-doc bigram tf LEFT-joined to the model,
+    # bits = floor-log2 of the inverse probability, OOV rows (none on
+    # the in-domain corpus; the branch is the documented closed-OOV
+    # contract) cost the fixed 20-bit penalty
+    sqls["text_lm_kn_score"] = f"""
+        WITH {_kn_body},
+        sc AS (
+          SELECT dtf.doc, dtf.tf,
+                 CASE WHEN kn.p_kn_micro IS NULL THEN CAST(20 AS BIGINT)
+                      ELSE CAST(length(bin(1000000 //
+                                greatest(kn.p_kn_micro, 1))) AS BIGINT)
+                 END AS bits
+          FROM dtf LEFT JOIN kn USING (w1, w2))
+        SELECT doc, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+               CAST(sum(tf * bits) AS BIGINT) AS total_bits,
+               (CAST(sum(tf * bits) AS BIGINT) * 1000000)
+                 // CAST(sum(tf) AS BIGINT) AS avg_bits_micro
+        FROM sc GROUP BY doc"""
+
+    # winnowing fingerprints (k=3, w=4): md5 of every 3-token shingle,
+    # per-window (4 consecutive hashes) minimum, distinct + sorted.
+    # Fixed-length hex strings make lexicographic min == numeric min in
+    # both engines; list slicing hs[i:i+3] is 4 elements inclusive.
+    sqls["text_winnow"] = f"""
+        WITH g AS (
+          SELECT doc_id, i, md5(array_to_string(t[i:i+2], ' ')) AS h
+          FROM (SELECT doc_id, {_TOKS} AS t,
+                       generate_subscripts({_TOKS}, 1) AS i
+                FROM documents WHERE lang = 'en')
+          WHERE i + 2 <= len(t)),
+        hs AS (SELECT doc_id, list(h ORDER BY i) AS hs
+               FROM g GROUP BY 1),
+        f AS (SELECT doc_id, len(hs) AS n_grams,
+                     list_sort(list_distinct(list_transform(
+                       range(1, greatest(len(hs) - 3, 1) + 1),
+                       i -> list_min(hs[i:i+3])))) AS fps
+              FROM hs)
+        SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+               CAST(len(fps) AS BIGINT) AS n_fingerprints,
+               array_to_string(fps, ',') AS fp_csv
+        FROM f"""
 
     # SemDeDup: same hash-anchor cells as ann_ivf_topk; kept iff no
     # smaller-id cell-mate has cosine >= 0.4 (list_distance orders
@@ -2490,5 +2540,144 @@ def build_oracle_sql() -> dict[str, str]:
                 WHERE list_cosine_similarity(a.v, b.v) >= 0.4)
         SELECT s.vec_id, s.cell, (d.vec_id IS NULL) AS kept
         FROM assigned s LEFT JOIN dup d USING (vec_id)"""
+
+    # TextRank keywords: per-document word graph (non-stop words
+    # co-occurring within 2 positions, symmetric summed weights) as a
+    # disjoint union on composite 'doc|word' nodes, then the SAME
+    # unrolled integer pagerank chain kg_tag_pagerank uses, 4 rounds,
+    # top-5 per doc (rank DESC, word ASC)
+    _trk = f"""
+        WITH pos AS (
+          SELECT doc_id, i, tok FROM (
+            SELECT doc_id, generate_subscripts({_TOKS}, 1) AS i,
+                   unnest({_TOKS}) AS tok
+            FROM documents WHERE lang = 'en')
+          WHERE tok NOT IN {STOP_IN}),
+        ep AS (
+          SELECT a.doc_id, a.tok AS s, b.tok AS d,
+                 CAST(count(*) AS BIGINT) AS w
+          FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+               AND b.i - a.i BETWEEN 1 AND 2 AND a.tok <> b.tok
+          GROUP BY 1, 2, 3),
+        edges AS (
+          SELECT doc_id || '|' || s AS src, doc_id || '|' || d AS dst,
+                 CAST(sum(w) AS BIGINT) AS w
+          FROM (SELECT doc_id, s, d, w FROM ep
+                UNION ALL SELECT doc_id, d AS s, s AS d, w FROM ep)
+          GROUP BY 1, 2),
+        deg AS (SELECT src, CAST(sum(w) AS BIGINT) AS wsum
+                FROM edges GROUP BY 1),
+        nodes AS (SELECT DISTINCT src AS node FROM edges
+                  UNION SELECT DISTINCT dst FROM edges),
+        t0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes)"""
+    for _i in range(1, 5):
+        _trk += f""",
+        t{_i} AS (
+          SELECT n.node,
+                 CAST(150000 + (850000 * coalesce(s.s, 0)) // 1000000
+                      AS BIGINT) AS rank
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, sum((p.rank * e.w) // d.wsum) AS s
+            FROM t{_i - 1} p JOIN deg d ON d.src = p.node
+                          JOIN edges e ON e.src = p.node
+            GROUP BY e.dst) s ON s.node = n.node)"""
+    sqls["kg_textrank_keywords"] = _trk + """
+        SELECT doc_id, word, rank_micro, kw_rank FROM (
+          SELECT split_part(node, '|', 1) AS doc_id,
+                 split_part(node, '|', 2) AS word,
+                 rank AS rank_micro,
+                 CAST(row_number() OVER (
+                   PARTITION BY split_part(node, '|', 1)
+                   ORDER BY rank DESC, split_part(node, '|', 2))
+                   AS INT) AS kw_rank
+          FROM t4)
+        WHERE kw_rank <= 5"""
+
+    # PRF expansion: two full BM25 rounds over SHARED corpus-stat CTEs
+    # (identical arithmetic to text_bm25_topk), with the feedback-term
+    # mining window between them.  tok/tf are referenced 2-4x →
+    # MATERIALIZED (CLAUDE.md kcore rule).
+    def _bm25_round(sfx: str, q_cte: str) -> str:
+        return f"""
+        cand{sfx} AS (
+          SELECT q.query_id, tf.doc, tf.tf, dl.dl, dfreq.df,
+                 tot.n_docs, tot.n_tokens
+          FROM tf JOIN {q_cte} q USING (term) JOIN dfreq USING (term)
+                  JOIN dl USING (doc), tot),
+        sc{sfx} AS (
+          SELECT query_id, doc,
+                 CAST(sum((idf * tf * 2200 * 1000000)
+                          // (tf * 1000000 + 300000 + dln))
+                      AS BIGINT) AS score_milli
+          FROM (
+            SELECT *,
+              CAST(length(bin(n_docs // df)) AS BIGINT) AS idf,
+              ((dl * 900000) // avgdl) * 1000000
+                + (((dl * 900000) % avgdl) * 1000000) // avgdl AS dln
+            FROM (SELECT *,
+                    (n_tokens // n_docs) * 1000000
+                      + ((n_tokens % n_docs) * 1000000) // n_docs AS avgdl
+                  FROM cand{sfx}))
+          GROUP BY query_id, doc),
+        r{sfx} AS (
+          SELECT query_id, doc, score_milli,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY score_milli DESC, doc) AS rank
+          FROM sc{sfx})"""
+
+    sqls["text_prf_search"] = f"""
+        WITH tok AS MATERIALIZED (
+          SELECT doc_id AS doc, unnest({_TOKS}) AS term
+          FROM documents WHERE lang = 'en'),
+        tf AS MATERIALIZED (
+          SELECT doc, term, CAST(count(*) AS BIGINT) AS tf
+          FROM tok GROUP BY doc, term),
+        dl AS MATERIALIZED (
+          SELECT doc, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc),
+        dfreq AS MATERIALIZED (
+          SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        tot AS MATERIALIZED (
+          SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(dl) AS BIGINT) AS n_tokens FROM dl),
+        q0 AS MATERIALIZED ({_bm25_q}),
+        {_bm25_round('1', 'q0')},
+        fb AS (SELECT query_id, doc FROM r1 WHERE rank <= 3),
+        fbt AS MATERIALIZED (
+          SELECT fb.query_id, tok.term, CAST(count(*) AS BIGINT) AS fb_tf
+          FROM tok JOIN fb ON fb.doc = tok.doc GROUP BY 1, 2),
+        exp AS (
+          SELECT query_id, term FROM (
+            SELECT query_id, term,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY fb_tf DESC, term) AS rn
+            FROM fbt WHERE term NOT IN {STOP_IN}
+              AND NOT EXISTS (SELECT 1 FROM q0
+                              WHERE q0.query_id = fbt.query_id
+                                AND q0.term = fbt.term))
+          WHERE rn <= 2),
+        q2 AS MATERIALIZED (
+          SELECT query_id, term FROM q0
+          UNION ALL SELECT query_id, term FROM exp),
+        {_bm25_round('2', 'q2')}
+        SELECT query_id, doc AS doc_id, score_milli,
+               CAST(rank AS INT) AS rank
+        FROM r2 WHERE rank <= 10"""
+
+    # ANN recall@5 of the IVF index against exact brute cosine — both
+    # rankers embedded verbatim from their own (green) oracle entries so
+    # the metric sees the identical lists
+    sqls["ann_recall_ivf"] = f"""
+        WITH ex AS ({sqls['ann_cosine_topk']}),
+        ap AS ({sqls['ann_ivf_topk']}),
+        hits AS (SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hits
+                 FROM ex e JOIN ap a USING (query_id, neighbor_id)
+                 GROUP BY 1),
+        base AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+                 FROM ex GROUP BY 1)
+        SELECT b.query_id, b.n_exact,
+               coalesce(h.n_hits, 0) AS n_hits,
+               (coalesce(h.n_hits, 0) * 1000000) // b.n_exact
+                 AS recall_micro
+        FROM base b LEFT JOIN hits h USING (query_id)"""
 
     return sqls
