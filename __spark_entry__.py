@@ -1558,6 +1558,31 @@ def q_text_prf_search(spark, sf_dir):
                       n_expand=2, k=10)
 
 
+def q_dedup_winnow_pairs(spark, sf_dir):
+    """MOSS match report (kg.dedup.winnow_pairs): pairs of documents
+    sharing >= 2 winnowing fingerprints — fingerprint-keyed blocking
+    join, max_df hot-hash guard (no-op at testdata scale, part of the
+    mirrored contract)."""
+    from kg.dedup import winnow_pairs
+    return winnow_pairs(_docs(spark, sf_dir), k=3, w=4, min_shared=2)
+
+
+def q_kg_tag_refine(spark, sf_dir):
+    """Parallel-Louvain gain proposals (kg.graphrank
+    .modularity_gain_moves) over the SAME graph + round-1 LPA partition
+    kg_tag_modularity scores: per node the staged-div quantized ΔQ
+    argmax across neighbor communities (+own), ties (gain DESC,
+    community ASC) — the phase-1 Louvain step as a proposal operator."""
+    from kg.graphrank import (label_propagation, modularity_gain_moves,
+                              tag_cooccurrence_edges)
+    ann = annotate_graph_df(with_doc_key(_docs(spark, sf_dir), ("doc_id",)),
+                            "text", TOK_SPEC)
+    tags = explode_tags(explode_sentences(ann))
+    edges = tag_cooccurrence_edges(tags).localCheckpoint()
+    return modularity_gain_moves(edges, label_propagation(edges,
+                                                          iterations=1))
+
+
 def q_ann_recall_ivf(spark, sf_dir):
     """In-engine ANN quality audit (kg.similarity.topk_recall):
     recall@5 of the md5-anchor IVF index against exact brute cosine,
@@ -1602,9 +1627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_mentions": q_link_mentions,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
-        "embedding_near_pairs": q_embedding_near_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_knn_classify": q_ann_knn_classify,
         "kg_tag_pagerank": q_kg_tag_pagerank,
         "kg_tag_pmi": q_kg_tag_pmi,
         # --- r3 ERR, fixed this round (array outputs stringified) ----------
@@ -1648,9 +1671,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_textrank_keywords": q_kg_textrank_keywords,
         "text_prf_search": q_text_prf_search,
         "ann_recall_ivf": q_ann_recall_ivf,
-        # --- demoted to make window room for the 24 r4-late queries: these
-        # twenty-four are the lowest-risk stale rows (simple zero/one-shuffle
-        # ops, untouched since r2, pytest-anchored) — first in line for r5 -
+        "dedup_winnow_pairs": q_dedup_winnow_pairs,
+        "kg_tag_refine": q_kg_tag_refine,
+        # --- demoted to make window room for the 26 r4-late queries: these
+        # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
+        # ops, untouched since r2, pytest-anchored; the two ann_* rows also
+        # carry INDIRECT fresh evidence — ann_recall_ivf embeds the
+        # cosine/ivf oracle SQL verbatim) — first in line for r5 ---------
+        "ann_knn_classify": q_ann_knn_classify,
+        "embedding_near_pairs": q_embedding_near_pairs,
         "text_quality": q_text_quality,
         "text_gopher": q_text_gopher,
         "text_language_id": q_text_language_id,

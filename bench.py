@@ -83,6 +83,8 @@ HEADLINE = [
     "kg_textrank_keywords",  # per-doc TextRank over composite word graphs
     "text_prf_search",       # two-stage PRF-expanded BM25
     "ann_recall_ivf",        # in-engine IVF recall@5 audit
+    "dedup_winnow_pairs",    # MOSS shared-fingerprint pair report
+    "kg_tag_refine",         # parallel-Louvain gain proposals
 ]
 
 

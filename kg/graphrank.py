@@ -997,3 +997,88 @@ def textrank_edges(df: DataFrame, window: int = 2,
     return sym.select(
         F.concat_ws("|", "doc", "a").alias("src"),
         F.concat_ws("|", "doc", "b").alias("dst"), "weight")
+
+
+def modularity_gain_moves(edges: DataFrame, communities: DataFrame,
+                          src_col: str = "src", dst_col: str = "dst",
+                          weight_col: str = "weight",
+                          node_col: str = "node",
+                          community_col: str = "community",
+                          materialize: bool = True) -> DataFrame:
+    """One synchronous round of Louvain-style greedy modularity
+    evaluation (Blondel et al. 2008 phase-1 step, evaluated for ALL
+    nodes simultaneously — the parallel-Louvain formulation of
+    Grappolo/Ghosh et al.): for every node, the quantized modularity
+    gain of moving into each NEIGHBORING community (own included), and
+    the argmax proposal.
+
+    Gain in exact integer micro-units over the symmetric directed-double
+    edge set (W = Σw = 2m), staged like community_modularity so nothing
+    overflows:
+
+        gain_micro(i→c) = (k_in(i,c)·1e6) div W
+                          − ( ((Σtot'(c)·1e6) div W)
+                              · ((k_i·1e6) div W) ) div 1e6
+
+    with k_in(i,c) the weight from i into c (i excluded), Σtot'(c) the
+    degree sum of c excluding i, k_i node i's degree — ΔQ/2 up to the
+    common 2/W factor, so the ARGMAX is Louvain's; the quantization and
+    tie order ((gain DESC, community ASC)) are the contract the oracle
+    replays.  This op PROPOSES; appliers pick a schedule (synchronous
+    apply can oscillate on symmetric graphs — the known parallel-Louvain
+    caveat — so production alternates color classes or re-scores with
+    community_modularity, which is what the pytest does).
+
+    Returns (node, old_community, new_community, gain_micro, moved) —
+    one row per node of the edge set; nodes absent from `edges` follow
+    the pagerank contract (absent from output).
+
+    Scale shape: degrees and W are one aggregate each; k_in is ONE
+    node-keyed aggregate of the edge table joined to the dst-side
+    community map; the candidate set per node is its distinct neighbor
+    communities (+own), so the final window partitions on node over
+    neighbor-bounded groups.  Two edge-sized shuffles total, no
+    all-pairs, no community-sized windows."""
+    comm = communities.select(F.col(node_col).alias("_n"),
+                              F.col(community_col).alias("_c"))
+    e = edges.select(F.col(src_col).alias("src"),
+                     F.col(dst_col).alias("dst"),
+                     F.col(weight_col).cast("bigint").alias("w"))
+    if materialize:
+        # e feeds degrees, W, and k_in — cut the lineage once (rule 7)
+        e = e.localCheckpoint()
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.sum("w").cast("bigint").alias("k_i"))
+    wtot = e.agg(F.sum("w").cast("bigint").alias("_W"))
+    kin = (e.join(comm.withColumnRenamed("_n", "dst"), "dst")
+           .groupBy(F.col("src").alias("node"), F.col("_c").alias("c"))
+           .agg(F.sum("w").cast("bigint").alias("k_in")))
+    own = comm.select(F.col("_n").alias("node"),
+                      F.col("_c").alias("old_community"))
+    cands = (kin.select("node", "c")
+             .unionByName(own.select(
+                 "node", F.col("old_community").alias("c")))
+             .distinct()
+             .join(kin, ["node", "c"], "left")
+             .withColumn("k_in", F.coalesce(F.col("k_in"), F.lit(0))
+                         .cast("bigint")))
+    sig = (comm.join(deg, comm["_n"] == deg["node"]).drop("node")
+           .groupBy(F.col("_c").alias("c"))
+           .agg(F.sum("k_i").cast("bigint").alias("sig_tot")))
+    scored = (cands.join(own, "node").join(deg, "node").join(sig, "c")
+              .crossJoin(F.broadcast(wtot))
+              .withColumn("_sig", F.expr(
+                  "sig_tot - (case when c = old_community "
+                  "then k_i else 0 end)"))
+              .withColumn("gain_micro", F.expr(
+                  "(k_in * 1000000) div _W - "
+                  "(((_sig * 1000000) div _W) * ((k_i * 1000000) div _W))"
+                  " div 1000000").cast("bigint")))
+    from pyspark.sql import Window
+    wnd = Window.partitionBy("node").orderBy(
+        F.col("gain_micro").desc(), F.col("c"))
+    return (scored.withColumn("_rn", F.row_number().over(wnd))
+            .filter(F.col("_rn") == 1)
+            .select("node", "old_community",
+                    F.col("c").alias("new_community"), "gain_micro",
+                    (F.col("c") != F.col("old_community")).alias("moved")))

@@ -528,3 +528,42 @@ def test_semantic_dedup_threshold_gates_drop(spark):
     assert got[1] and not got[2]      # scaled copy: cosine == 1
     assert got[3]                     # cos(v1, v3) ≈ 0.994 < 0.9999
     assert got[4]
+
+
+# --- winnowing match report -----------------------------------------------
+
+def test_winnow_pairs_shared_run(spark):
+    """Docs sharing a k+w-1-token run land in the pair report; unrelated
+    docs do not."""
+    from kg.dedup import winnow_pairs
+    shared = "p q r s t u v w"
+    df = spark.createDataFrame(
+        [(1, "x y " + shared), (2, shared + " m n"),
+         (3, "totally different words here indeed friend")],
+        "doc_id long, text string")
+    rows = winnow_pairs(df, min_shared=1).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in rows} == {(1, 2)}
+    assert rows[0]["n_shared"] >= 1
+
+
+def test_winnow_pairs_min_shared_filter(spark):
+    from kg.dedup import winnow_pairs
+    shared = "p q r s t u"   # exactly one guaranteed fingerprint
+    df = spark.createDataFrame(
+        [(1, shared + " aa bb cc"), (2, shared + " dd ee ff")],
+        "doc_id long, text string")
+    low = winnow_pairs(df, min_shared=1).collect()
+    assert len(low) == 1
+    n = low[0]["n_shared"]
+    assert winnow_pairs(df, min_shared=n + 1).count() == 0
+
+
+def test_winnow_pairs_max_df_drops_boilerplate(spark):
+    """A fingerprint present in more than max_df docs is excluded from
+    pairing (corpus-universal boilerplate)."""
+    from kg.dedup import winnow_pairs
+    boiler = "common header row one two"
+    df = spark.createDataFrame(
+        [(i, boiler) for i in range(5)], "doc_id long, text string")
+    assert winnow_pairs(df, min_shared=1, max_df=5).count() == 10
+    assert winnow_pairs(df, min_shared=1, max_df=4).count() == 0

@@ -669,3 +669,64 @@ def test_textrank_symmetric_weights(spark):
                              stopwords=()).collect()
     ranks = {r["word"]: r["rank_micro"] for r in rows}
     assert ranks["ping"] == ranks["pong"]
+
+
+# --- Louvain-style gain proposals ----------------------------------------
+
+def _two_triangles(spark):
+    edges = []
+    for (u, v) in [("a1", "a2"), ("a2", "a3"), ("a1", "a3"),
+                   ("b1", "b2"), ("b2", "b3"), ("b1", "b3"),
+                   ("a1", "b1")]:
+        edges += [(u, v, 1), (v, u, 1)]
+    return spark.createDataFrame(edges, "src string, dst string, weight long")
+
+
+def test_modularity_gain_hand_values(spark):
+    """Mislabeled triangle node: the proposed move is back to its
+    triangle with the exact staged-div gain; correctly-placed nodes
+    stay.  W=14, k(a3)=2, k_in(a3,c1)=2, sigtot'(c1)=5:
+    gain = 142857 - (357142*142857)//1e6 = 91837."""
+    from kg.graphrank import modularity_gain_moves
+    e = _two_triangles(spark)
+    comm = spark.createDataFrame(
+        [("a1", 1), ("a2", 1), ("a3", 2),
+         ("b1", 2), ("b2", 2), ("b3", 2)],
+        "node string, community int")
+    got = {r["node"]: r for r in modularity_gain_moves(e, comm).collect()}
+    assert got["a3"]["moved"] and got["a3"]["new_community"] == 1
+    assert got["a3"]["gain_micro"] == 91837
+    for n in ("a1", "a2", "b1", "b2", "b3"):
+        assert not got[n]["moved"]
+
+
+def test_modularity_gain_apply_improves_q(spark):
+    """Applying the proposals strictly improves total modularity on the
+    fixture (re-scored with community_modularity — the production apply
+    loop's acceptance check)."""
+    import pyspark.sql.functions as F2
+    from kg.graphrank import community_modularity, modularity_gain_moves
+    e = _two_triangles(spark)
+    comm = spark.createDataFrame(
+        [("a1", 1), ("a2", 1), ("a3", 2),
+         ("b1", 2), ("b2", 2), ("b3", 2)],
+        "node string, community int")
+    mv = modularity_gain_moves(e, comm)
+    newc = mv.select("node", F2.col("new_community").alias("community"))
+    q0 = community_modularity(e, comm).agg(F2.sum("q_micro")).first()[0]
+    q1 = community_modularity(e, newc).agg(F2.sum("q_micro")).first()[0]
+    assert q1 > q0
+
+
+def test_modularity_gain_perfect_partition_stays(spark):
+    """On the already-optimal partition every node's argmax is its own
+    community."""
+    from kg.graphrank import modularity_gain_moves
+    e = _two_triangles(spark)
+    comm = spark.createDataFrame(
+        [("a1", 1), ("a2", 1), ("a3", 1),
+         ("b1", 2), ("b2", 2), ("b3", 2)],
+        "node string, community int")
+    rows = modularity_gain_moves(e, comm).collect()
+    assert all(not r["moved"] for r in rows)
+    assert len(rows) == 6

@@ -2500,8 +2500,7 @@ def build_oracle_sql() -> dict[str, str]:
     # per-window (4 consecutive hashes) minimum, distinct + sorted.
     # Fixed-length hex strings make lexicographic min == numeric min in
     # both engines; list slicing hs[i:i+3] is 4 elements inclusive.
-    sqls["text_winnow"] = f"""
-        WITH g AS (
+    _winnow_body = f"""g AS (
           SELECT doc_id, i, md5(array_to_string(t[i:i+2], ' ')) AS h
           FROM (SELECT doc_id, {_TOKS} AS t,
                        generate_subscripts({_TOKS}, 1) AS i
@@ -2513,11 +2512,32 @@ def build_oracle_sql() -> dict[str, str]:
                      list_sort(list_distinct(list_transform(
                        range(1, greatest(len(hs) - 3, 1) + 1),
                        i -> list_min(hs[i:i+3])))) AS fps
-              FROM hs)
+              FROM hs)"""
+    sqls["text_winnow"] = f"""
+        WITH {_winnow_body}
         SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
                CAST(len(fps) AS BIGINT) AS n_fingerprints,
                array_to_string(fps, ',') AS fp_csv
         FROM f"""
+
+    # MOSS match report: shared winnow CTEs → explode DISTINCT selected
+    # hashes per doc, drop hashes in > max_df (10k) docs, one
+    # fingerprint-keyed self-join, pair aggregate, min_shared=2
+    sqls["dedup_winnow_pairs"] = f"""
+        WITH {_winnow_body},
+        fp AS MATERIALIZED (
+          SELECT doc_id AS doc, unnest(fps) AS fp FROM f),
+        hot AS (SELECT fp FROM (
+                  SELECT fp, count(*) AS c FROM fp GROUP BY 1)
+                WHERE c > 10000),
+        cold AS MATERIALIZED (
+          SELECT doc, fp FROM fp
+          WHERE fp NOT IN (SELECT fp FROM hot))
+        SELECT a.doc AS doc_a, b.doc AS doc_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM cold a JOIN cold b ON a.fp = b.fp AND a.doc < b.doc
+        GROUP BY 1, 2
+        HAVING count(*) >= 2"""
 
     # SemDeDup: same hash-anchor cells as ann_ivf_topk; kept iff no
     # smaller-id cell-mate has cosine >= 0.4 (list_distance orders
@@ -2662,6 +2682,46 @@ def build_oracle_sql() -> dict[str, str]:
         SELECT query_id, doc AS doc_id, score_milli,
                CAST(rank AS INT) AS rank
         FROM r2 WHERE rank <= 10"""
+
+    # parallel-Louvain gain proposals over the LPA round-1 partition:
+    # per node the staged-div quantized ΔQ for every neighbor community
+    # (+own, with k_i removed from its own sigma), window argmax with
+    # the (gain DESC, community ASC) tie.  comm/deg/kin referenced 2-3×
+    # → MATERIALIZED (kcore rule).
+    sqls["kg_tag_refine"] = _lpa + """,
+        comm AS MATERIALIZED (SELECT node AS _n, label AS _c FROM l1),
+        deg AS MATERIALIZED (
+          SELECT src AS node, CAST(sum(w) AS BIGINT) AS k_i
+          FROM edges GROUP BY 1),
+        wt AS (SELECT CAST(sum(w) AS BIGINT) AS wt FROM edges),
+        kin AS MATERIALIZED (
+          SELECT e.src AS node, c._c AS c, CAST(sum(e.w) AS BIGINT) AS k_in
+          FROM edges e JOIN comm c ON c._n = e.dst GROUP BY 1, 2),
+        own AS MATERIALIZED (
+          SELECT _n AS node, _c AS old_community FROM comm),
+        cands AS (
+          SELECT u.node, u.c, coalesce(k.k_in, 0) AS k_in FROM (
+            SELECT node, c FROM kin
+            UNION SELECT node, old_community AS c FROM own) u
+          LEFT JOIN kin k ON k.node = u.node AND k.c = u.c),
+        sig AS (SELECT c._c AS c, CAST(sum(d.k_i) AS BIGINT) AS sig_tot
+                FROM comm c JOIN deg d ON d.node = c._n GROUP BY 1),
+        g2 AS (
+          SELECT ca.node, o.old_community, ca.c AS new_community,
+                 CAST((ca.k_in * 1000000) // wt
+                      - ((((s.sig_tot - (CASE WHEN ca.c = o.old_community
+                                         THEN d.k_i ELSE 0 END))
+                           * 1000000) // wt)
+                         * ((d.k_i * 1000000) // wt)) // 1000000
+                      AS BIGINT) AS gain_micro
+          FROM cands ca JOIN own o ON o.node = ca.node
+               JOIN deg d ON d.node = ca.node
+               JOIN sig s ON s.c = ca.c, wt)
+        SELECT node, old_community, new_community, gain_micro,
+               (new_community <> old_community) AS moved
+        FROM (SELECT *, row_number() OVER (PARTITION BY node
+                ORDER BY gain_micro DESC, new_community) AS rn FROM g2)
+        WHERE rn = 1"""
 
     # ANN recall@5 of the IVF index against exact brute cosine — both
     # rankers embedded verbatim from their own (green) oracle entries so
