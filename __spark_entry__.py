@@ -1583,6 +1583,27 @@ def q_kg_tag_refine(spark, sf_dir):
                                                           iterations=1))
 
 
+def q_ann_kmeans(spark, sf_dir):
+    """Deterministic fixed-round Lloyd k-means (kg.similarity
+    .kmeans_fit, k=4, 2 rounds): md5-anchor init, exact integer-micro
+    squared-L2 assignment, sum-div-count centroid updates — the oracle
+    replays init, both rounds, and the final assignment bit-for-bit
+    (unlike the float/seed-dependent pyspark.ml KMeans behind
+    ivf_topk)."""
+    from kg.similarity import kmeans_fit
+    emb = _read("embeddings")(spark, sf_dir)
+    return kmeans_fit(emb, n_clusters=4, rounds=2)
+
+
+def q_corpus_ppl_buckets(spark, sf_dir):
+    """CCNet-style LM-perplexity bucketing (kg.curate.ccnet_buckets):
+    KN-score every doc, quantize to 0.01-bit bands (the band histogram
+    stays bounded by score range / granularity, never corpus-sized),
+    cut head/middle/tail at exact nearest-rank band tertiles."""
+    from kg.curate import ccnet_buckets
+    return ccnet_buckets(_docs(spark, sf_dir), granularity_micro=10_000)
+
+
 def q_ann_recall_ivf(spark, sf_dir):
     """In-engine ANN quality audit (kg.similarity.topk_recall):
     recall@5 of the md5-anchor IVF index against exact brute cosine,
@@ -1626,8 +1647,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canon_part_of": q_canon_part_of,
         "link_mentions": q_link_mentions,
         "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_cosine_topk": q_ann_cosine_topk,
         "kg_tag_pagerank": q_kg_tag_pagerank,
         "kg_tag_pmi": q_kg_tag_pmi,
         # --- r3 ERR, fixed this round (array outputs stringified) ----------
@@ -1673,6 +1692,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_ivf": q_ann_recall_ivf,
         "dedup_winnow_pairs": q_dedup_winnow_pairs,
         "kg_tag_refine": q_kg_tag_refine,
+        "ann_kmeans": q_ann_kmeans,
+        "corpus_ppl_buckets": q_corpus_ppl_buckets,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also
@@ -1680,6 +1701,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cosine/ivf oracle SQL verbatim) — first in line for r5 ---------
         "ann_knn_classify": q_ann_knn_classify,
         "embedding_near_pairs": q_embedding_near_pairs,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "text_quality": q_text_quality,
         "text_gopher": q_text_gopher,
         "text_language_id": q_text_language_id,

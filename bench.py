@@ -85,6 +85,8 @@ HEADLINE = [
     "ann_recall_ivf",        # in-engine IVF recall@5 audit
     "dedup_winnow_pairs",    # MOSS shared-fingerprint pair report
     "kg_tag_refine",         # parallel-Louvain gain proposals
+    "ann_kmeans",            # deterministic fixed-round Lloyd k-means
+    "corpus_ppl_buckets",    # CCNet head/middle/tail LM bucketing
 ]
 
 

@@ -71,3 +71,59 @@ def c4_line_clean(docs: DataFrame, text_col: str = "text",
             .withColumn("n_lines", F.size(lines))
             .withColumn("n_kept_lines", F.size(keep))
             .withColumn(out_col, F.array_join(keep, "\n")))
+
+
+def ccnet_buckets(df: DataFrame, model: DataFrame | None = None,
+                  n_buckets: int = 3, granularity_micro: int = 1_000_000,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """CCNet-style LM-perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl Data" —
+    documents are split into head/middle/tail by language-model score,
+    and training mixes draw from the buckets): score every document
+    with the corpus Kneser–Ney bigram LM (kg.textstats.kn_doc_bits),
+    quantize the score to BANDS of `granularity_micro` (whole bits by
+    default), and cut the corpus into `n_buckets` equal-population
+    buckets at exact nearest-rank band quantiles.  bucket 0 = lowest
+    bits = most in-domain/fluent (CCNet's "head").
+
+    Returns (doc, avg_bits_micro, band, bucket); docs without bigram
+    evidence (single-token/empty) carry no LM score and are absent —
+    kn_doc_bits' contract.
+
+    Determinism: band ties always fall to the LOWER bucket; thresholds
+    are ceil-rank order statistics ((i·n + k−1) div k), the exact
+    convention quality_strata_sample pins.
+
+    Scale shape: the scoring is kn_doc_bits (one model join + one doc
+    aggregate); bucketing adds ONE band histogram aggregate whose
+    cumulative window is BOUNDED BY THE BAND COUNT (≈ max observed
+    bits / granularity, tens of rows — never corpus-sized; that is why
+    the quantiles cut on bands, not on the raw micro score whose
+    distinct count grows with the corpus), one broadcast threshold row,
+    and a narrow in-row bucket map."""
+    from pyspark.sql import Window
+    from kg.textstats import kn_doc_bits
+    s = kn_doc_bits(df, model=model, text_col=text_col, id_col=id_col)
+    m = s.select("doc", "avg_bits_micro",
+                 F.expr(f"avg_bits_micro div {int(granularity_micro)}")
+                 .cast("bigint").alias("band"))
+    # m feeds the histogram AND the final projection; its child is the
+    # full KN train+score pipeline — cut the lineage once (rule 7)
+    m = m.localCheckpoint()
+    hist = m.groupBy("band").agg(F.count("*").alias("_c"))
+    w = (Window.orderBy("band")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (hist.withColumn("_cum", F.sum("_c").over(w))
+           .crossJoin(F.broadcast(m.agg(F.count("*").alias("_n")))))
+    k = int(n_buckets)
+    thr = cum.agg(*[
+        F.min(F.when(F.col("_cum") >= F.expr(f"({i} * _n + {k - 1}) "
+                                             f"div {k}"),
+                     F.col("band"))).alias(f"_t{i}")
+        for i in range(1, k)])
+    tarr = F.array(*[F.col(f"_t{i}") for i in range(1, k)])
+    return (m.crossJoin(F.broadcast(thr))
+            .withColumn("bucket",
+                        F.size(F.filter(tarr, lambda t: F.col("band") > t)))
+            .select("doc", "avg_bits_micro", "band", "bucket"))

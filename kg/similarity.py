@@ -763,3 +763,71 @@ def topk_recall(approx: DataFrame, exact: DataFrame, k: int = 5,
             .select("query_id", "n_exact", "n_hits",
                     F.expr("(n_hits * 1000000) div n_exact")
                     .alias("recall_micro")))
+
+
+def kmeans_fit(emb: DataFrame, n_clusters: int = 4, rounds: int = 2,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Deterministic distributed Lloyd k-means with a FIXED round count,
+    entirely in exact integer micro arithmetic — the trainable-clustering
+    counterpart of the hash-anchor assignments the IVF/SemDeDup family
+    uses (their docstrings promise "swap in KMeans centroids for
+    production recall"; this is that fit, in a form the DuckDB oracle
+    replays bit-for-bit, unlike the pyspark.ml KMeans behind ivf_topk
+    which is float/seed-dependent and pytest-only).
+
+    Protocol (every step engine-portable):
+      init      the n_clusters vectors with the smallest md5(id) are the
+                centroids; the anchor's id IS the cluster id (the house
+                hash-anchor convention, kg.similarity.ivf_hash_topk).
+      assign    in-row argmin of exact integer squared L2 against the
+                inlined centroid literals — a ZERO-shuffle narrow map;
+                ties (d², cluster) to the smaller cluster id.
+      update    per-dimension mean, sum div count (BIGINT, truncation
+                toward zero — verified Spark div == DuckDB //); a
+                cluster that loses every member VANISHES (both engines
+                drop it from the update aggregate — deterministic).
+    `rounds` assign→update cycles run, then one final assignment against
+    the last centroids.  Returns (vec_id, cluster).
+
+    Scale shape: the fit loop is the standard k-means decomposition —
+    per round ONE narrow assignment pass (fuses into the scan; centroids
+    ride inlined as a single SQL literal, not 10k py4j calls — CLAUDE.md
+    r4 trap) and ONE (cluster, dim)-keyed aggregate with map-side
+    partials; only the k·d centroid table (the MODEL) ever reaches the
+    driver, data never does.  Overflow: |v|≤~2e6 micro ⇒ d² ≤ 4e12·d
+    per pair and per-dim sums ≤ 2e6·N — both < 2^63 up to N ~ 4e12
+    vectors."""
+    iv = emb.select(F.col(id_col).alias("vec_id"),
+                    _micro_vec(F.col(vec_col)).alias("v"))
+    # iv feeds the anchor scan + every round's assignment/update — cut
+    # the lineage once (rule 7)
+    iv = iv.localCheckpoint()
+    anchors = (iv.withColumn("_h", F.md5(F.col("vec_id").cast("string")))
+               .orderBy("_h").limit(n_clusters).collect())
+    cents = sorted((r["vec_id"], list(r["v"])) for r in anchors)
+
+    def assign_expr(cents):
+        cids = [c for c, _ in cents]
+        vecs = [v for _, v in cents]
+        sqd = _SQD.format(v="v", w="cv")
+        return F.expr(
+            f"element_at(array_sort(zip_with({_lit2_sql(vecs)}, "
+            f"{_lit1_sql(cids)}, (cv, ci) -> "
+            f"struct({sqd} AS d, ci AS cid))), 1).cid")
+
+    for _ in range(rounds):
+        assigned = iv.withColumn("cluster", assign_expr(cents))
+        upd = (assigned.select("cluster", F.posexplode("v")
+                               .alias("pos", "val"))
+               .groupBy("cluster", "pos")
+               .agg(F.expr("sum(val) div count(*)").cast("bigint")
+                    .alias("m"))
+               .collect())
+        by_c: dict = {}
+        for r in upd:
+            by_c.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
+        cents = sorted((c, [d[p] for p in sorted(d)]) for c, d in
+                       by_c.items())
+    return (iv.withColumn("cluster", assign_expr(cents))
+            .select("vec_id", "cluster"))

@@ -36,3 +36,51 @@ def test_boilerplate_ngrams_hand_computed(spark):
     # support threshold 1 exposes every distinct trigram (docs 1-3
     # contribute 2 each, sharing one; the 2-token doc contributes none)
     assert boilerplate_ngrams(docs, n=3, min_docs=1).count() == 5
+
+
+# --- CCNet perplexity buckets ---------------------------------------------
+
+def test_ccnet_buckets_order_and_population(spark):
+    """Fluent (low-bits) docs land in bucket 0, rare-bigram docs in the
+    top bucket; nearest-rank cuts give equal-population buckets on a
+    spread corpus."""
+    import pyspark.sql.functions as F
+    from kg.curate import ccnet_buckets
+    # 3 groups: repeated common bigrams / mixed / unique bigrams
+    rows = []
+    for i in range(4):
+        rows.append((f"h{i}", "a b a b a b a b"))
+    for i in range(4):
+        # singleton bigrams with SINGLETON contexts (m{i}/n{i}) so the
+        # middle score sits between head (all repeated) and tail (all
+        # singleton): 1.0 / 1.4 / 2.0 bits
+        rows.append((f"m{i}", f"m{i} n{i} a b a b"))
+    for i in range(4):
+        rows.append((f"t{i}", f"u{i} v{i} w{i} x{i} y{i} z{i}"))
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r["doc"]: r for r in
+           ccnet_buckets(df, granularity_micro=100_000).collect()}
+    assert all(got[f"h{i}"]["bucket"] == 0 for i in range(4))
+    assert all(got[f"t{i}"]["bucket"] == 2 for i in range(4))
+    heads = max(got[f"h{i}"]["avg_bits_micro"] for i in range(4))
+    tails = min(got[f"t{i}"]["avg_bits_micro"] for i in range(4))
+    assert heads < tails
+
+
+def test_ccnet_buckets_single_band_all_head(spark):
+    """A corpus whose scores collapse into one band is entirely bucket 0
+    (ties fall to the lower bucket) — the degenerate-corpus contract."""
+    from kg.curate import ccnet_buckets
+    df = spark.createDataFrame(
+        [(f"d{i}", "a b a b") for i in range(5)],
+        "doc_id string, text string")
+    rows = ccnet_buckets(df).collect()
+    assert rows and all(r["bucket"] == 0 for r in rows)
+
+
+def test_ccnet_buckets_no_bigram_docs_absent(spark):
+    from kg.curate import ccnet_buckets
+    df = spark.createDataFrame(
+        [("a", "x y x y"), ("b", "z"), ("c", "")],
+        "doc_id string, text string")
+    assert {r["doc"] for r in ccnet_buckets(df).collect()} == {"a"}

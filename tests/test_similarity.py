@@ -424,3 +424,71 @@ def test_topk_recall_perfect_and_k_filter(spark):
     # k=2 truncates BOTH sides: exact base is 2, hits 2
     assert (got["n_exact"], got["n_hits"], got["recall_micro"]) == (
         2, 2, 1_000_000)
+
+
+# --- deterministic k-means -----------------------------------------------
+
+def _py_kmeans(vecs, k, rounds):
+    """Pure-Python replay of kg.similarity.kmeans_fit's exact protocol."""
+    import hashlib
+    from kg.similarity import _away
+    iv = {i: [_away(x) for x in v] for i, v in vecs.items()}
+    anchors = sorted(iv, key=lambda i: hashlib.md5(
+        str(i).encode()).hexdigest())[:k]
+    cents = sorted((c, iv[c]) for c in anchors)
+
+    def assign(cents):
+        out = {}
+        for i, v in iv.items():
+            best = min((sum((a - b) ** 2 for a, b in zip(v, cv)), c)
+                       for c, cv in cents)
+            out[i] = best[1]
+        return out
+
+    def trunc_div(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    for _ in range(rounds):
+        a = assign(cents)
+        sums, cnts = {}, {}
+        for i, c in a.items():
+            cnts[c] = cnts.get(c, 0) + 1
+            s = sums.setdefault(c, [0] * len(iv[i]))
+            for p, x in enumerate(iv[i]):
+                s[p] += x
+        cents = sorted((c, [trunc_div(x, cnts[c]) for x in s])
+                       for c, s in sums.items())
+    return assign(cents)
+
+
+def test_kmeans_fit_matches_python_replay(spark):
+    vecs = {27: [1.0, 0.1], 24: [0.9, 0.0], 28: [1.1, -0.1],
+            6: [-1.0, 2.0], 23: [-0.9, 2.1], 21: [-1.1, 1.9],
+            19: [0.0, -3.0], 9: [0.1, -2.9]}
+    from kg.similarity import kmeans_fit
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id int, embedding array<float>")
+    got = {r["vec_id"]: r["cluster"]
+           for r in kmeans_fit(df, n_clusters=3, rounds=2).collect()}
+    assert got == _py_kmeans(vecs, 3, 2)
+    # the three blobs end in three distinct clusters (ids chosen so the
+    # md5-anchor init seeds one per blob)
+    assert len({got[27], got[6], got[19]}) == 3
+    assert got[27] == got[24] == got[28]
+    assert got[6] == got[23] == got[21]
+    assert got[19] == got[9]
+
+
+def test_kmeans_fit_negative_mean_truncation(spark):
+    """Means of negative coordinates truncate toward zero identically to
+    the replay (the div contract)."""
+    from kg.similarity import kmeans_fit
+    vecs = {0: [-1.0], 1: [-2.0], 2: [5.0], 3: [5.5]}
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id int, embedding array<float>")
+    got = {r["vec_id"]: r["cluster"]
+           for r in kmeans_fit(df, n_clusters=2, rounds=2).collect()}
+    assert got == _py_kmeans(vecs, 2, 2)

@@ -2723,6 +2723,90 @@ def build_oracle_sql() -> dict[str, str]:
                 ORDER BY gain_micro DESC, new_community) AS rn FROM g2)
         WHERE rn = 1"""
 
+    # deterministic Lloyd k-means (k=4, 2 rounds): md5-anchor init,
+    # integer-micro squared-L2 assignment (parallel unnest zips the two
+    # lists positionally — verified), sum//count centroid updates, final
+    # assignment.  Every assignment/centroid CTE is referenced by the
+    # next round → MATERIALIZED (kcore rule).
+    _km = """
+        WITH iv AS MATERIALIZED (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(round(
+                   CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+          FROM embeddings),
+        c0 AS MATERIALIZED (
+          SELECT vec_id AS cluster, v AS cent FROM iv
+          ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 4)"""
+
+    def _km_assign(sfx: str, cents: str) -> str:
+        return f"""
+        a{sfx} AS MATERIALIZED (
+          SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster, row_number() OVER (
+              PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+            FROM (SELECT vec_id, cluster,
+                         CAST(sum((vv - cc) * (vv - cc)) AS BIGINT) AS d2
+                  FROM (SELECT i.vec_id, c.cluster, unnest(i.v) AS vv,
+                               unnest(c.cent) AS cc
+                        FROM iv i, {cents} c)
+                  GROUP BY 1, 2))
+          WHERE rn = 1)"""
+
+    def _km_update(sfx: str, assign: str) -> str:
+        return f"""
+        c{sfx} AS MATERIALIZED (
+          SELECT cluster, list(m ORDER BY pos) AS cent FROM (
+            SELECT a.cluster, e.pos,
+                   CAST(CAST(sum(e.val) AS BIGINT)
+                        // CAST(count(*) AS BIGINT) AS BIGINT) AS m
+            FROM (SELECT vec_id, generate_subscripts(v, 1) AS pos,
+                         unnest(v) AS val FROM iv) e
+            JOIN {assign} a USING (vec_id) GROUP BY 1, 2)
+          GROUP BY 1)"""
+
+    sqls["ann_kmeans"] = (_km + ","
+                          + _km_assign("1", "c0") + ","
+                          + _km_update("1", "a1") + ","
+                          + _km_assign("2", "c1") + ","
+                          + _km_update("2", "a2") + ","
+                          + _km_assign("3", "c2") + """
+        SELECT vec_id, cluster FROM a3""")
+
+    # CCNet bucketing: KN scoring (shared _kn_body), 0.01-bit bands,
+    # exact nearest-rank tertiles over the bounded band histogram,
+    # ties to the lower bucket
+    sqls["corpus_ppl_buckets"] = f"""
+        WITH {_kn_body},
+        sc AS (
+          SELECT dtf.doc, dtf.tf,
+                 CASE WHEN kn.p_kn_micro IS NULL THEN CAST(20 AS BIGINT)
+                      ELSE CAST(length(bin(1000000 //
+                                greatest(kn.p_kn_micro, 1))) AS BIGINT)
+                 END AS bits
+          FROM dtf LEFT JOIN kn USING (w1, w2)),
+        s AS (
+          SELECT doc,
+                 (CAST(sum(tf * bits) AS BIGINT) * 1000000)
+                   // CAST(sum(tf) AS BIGINT) AS avg_bits_micro
+          FROM sc GROUP BY doc),
+        m AS MATERIALIZED (
+          SELECT doc, CAST(avg_bits_micro AS BIGINT) AS avg_bits_micro,
+                 CAST(avg_bits_micro // 10000 AS BIGINT) AS band
+          FROM s),
+        hist AS (SELECT band, count(*) AS c FROM m GROUP BY 1),
+        cum AS (SELECT band, sum(c) OVER (ORDER BY band
+                  ROWS UNBOUNDED PRECEDING) AS cum FROM hist),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM m),
+        thr AS (SELECT
+          min(CASE WHEN cum >= (1 * nn.n + 2) // 3 THEN band END) AS t1,
+          min(CASE WHEN cum >= (2 * nn.n + 2) // 3 THEN band END) AS t2
+          FROM cum, nn)
+        SELECT m.doc, m.avg_bits_micro, m.band,
+               CAST((CASE WHEN m.band > t1 THEN 1 ELSE 0 END)
+                    + (CASE WHEN m.band > t2 THEN 1 ELSE 0 END)
+                    AS INT) AS bucket
+        FROM m, thr"""
+
     # ANN recall@5 of the IVF index against exact brute cosine — both
     # rankers embedded verbatim from their own (green) oracle entries so
     # the metric sees the identical lists
