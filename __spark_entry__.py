@@ -1508,7 +1508,7 @@ def q_dedup_semantic(spark, sf_dir):
     threshold (0.4 — exercises both verdicts on this corpus).  The
     oracle replays anchors, assignment, and verdicts exactly."""
     from kg.dedup import semantic_dedup
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read("embeddings")(spark, sf_dir)
     return semantic_dedup(emb, n_cells=8, threshold=0.4)
 
 

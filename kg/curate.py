@@ -102,6 +102,9 @@ def ccnet_buckets(df: DataFrame, model: DataFrame | None = None,
     the quantiles cut on bands, not on the raw micro score whose
     distinct count grows with the corpus), one broadcast threshold row,
     and a narrow in-row bucket map."""
+    k = int(n_buckets)
+    if k < 1:
+        raise ValueError("n_buckets must be >= 1")
     from pyspark.sql import Window
     from kg.textstats import kn_doc_bits
     s = kn_doc_bits(df, model=model, text_col=text_col, id_col=id_col)
@@ -111,12 +114,16 @@ def ccnet_buckets(df: DataFrame, model: DataFrame | None = None,
     # m feeds the histogram AND the final projection; its child is the
     # full KN train+score pipeline — cut the lineage once (rule 7)
     m = m.localCheckpoint()
+    if k == 1:
+        # degenerate "no split": everything is the head bucket — the
+        # threshold machinery would otherwise build an empty agg list
+        return m.select("doc", "avg_bits_micro", "band",
+                        F.lit(0).alias("bucket"))
     hist = m.groupBy("band").agg(F.count("*").alias("_c"))
     w = (Window.orderBy("band")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cum = (hist.withColumn("_cum", F.sum("_c").over(w))
            .crossJoin(F.broadcast(m.agg(F.count("*").alias("_n")))))
-    k = int(n_buckets)
     thr = cum.agg(*[
         F.min(F.when(F.col("_cum") >= F.expr(f"({i} * _n + {k - 1}) "
                                              f"div {k}"),

@@ -579,7 +579,8 @@ def boilerplate_ngrams(df: DataFrame, n: int = 3, min_docs: int = 2,
 
 def semantic_dedup(emb: DataFrame, n_cells: int = 8,
                    threshold: float = 0.95, id_col: str = "vec_id",
-                   vec_col: str = "embedding") -> DataFrame:
+                   vec_col: str = "embedding",
+                   materialize: bool = True) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     web-scale through semantic deduplication"): embedding-space near-dup
     removal — cluster the embeddings, compare pairs only WITHIN a
@@ -621,6 +622,12 @@ def semantic_dedup(emb: DataFrame, n_cells: int = 8,
     assigned = emb.select(F.col(id_col).alias("vec_id"),
                           F.col(vec_col).alias("vec"),
                           _cell(F.col(vec_col)).alias("cell"))
+    if materialize:
+        # assigned feeds THREE branches (both self-join sides + the final
+        # verdict join) and its child is the scan + the O(n_cells·dim)
+        # argmin expression — cut the lineage once (rule 7) or both run
+        # once per branch
+        assigned = assigned.localCheckpoint()
     a, b = assigned.alias("a"), assigned.alias("b")
     dup_of_smaller = (a.join(b, (F.col("a.cell") == F.col("b.cell"))
                              & (F.col("b.vec_id") < F.col("a.vec_id")))

@@ -872,6 +872,9 @@ def community_modularity(edges: DataFrame, communities: DataFrame,
 
     Returns (community, n_nodes, in_w, deg_w, q_micro) — one row per
     community in `communities` (singletons included with zero weights).
+    The map must COVER every edge endpoint (LPA output does): an edge
+    with an unmapped endpoint is excluded from in/deg sums while W keeps
+    it, so a partial map silently skews q — pass a total partition.
 
     Scale shape: two hash joins of the edge table against the node→
     community map (node-keyed — at scale both sides partition on node;
@@ -936,7 +939,9 @@ def textrank_keywords(df: DataFrame, window: int = 2, iterations: int = 4,
     replayable) ranks every document's graph simultaneously.
 
     Returns (doc_id, word, rank_micro, kw_rank), kw_rank <= top_k per
-    document, ties broken (rank_micro DESC, word ASC).
+    document, ties broken (rank_micro DESC, word ASC).  doc_id comes
+    back as STRING whatever the input type (the composite-node round
+    trip stringifies it) — cast before joining to a non-string source.
 
     Scale shape: pair building is IN-ROW (transform over the token
     array at each offset 1..window — no positional self-join), one
@@ -1030,8 +1035,12 @@ def modularity_gain_moves(edges: DataFrame, communities: DataFrame,
     community_modularity, which is what the pytest does).
 
     Returns (node, old_community, new_community, gain_micro, moved) —
-    one row per node of the edge set; nodes absent from `edges` follow
-    the pagerank contract (absent from output).
+    one row per node of the edge set that `communities` maps; the map
+    must COVER the graph (same contract as pagerank seeds, ADVICE-r3
+    convention): an edge node missing from `communities` is silently
+    dropped from both the proposals and the k_in sums, so pass a total
+    partition (LPA output is one).  Nodes absent from `edges` are
+    likewise absent (no gain is defined without incident weight).
 
     Scale shape: degrees and W are one aggregate each; k_in is ONE
     node-keyed aggregate of the edge table joined to the dst-side

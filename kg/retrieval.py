@@ -271,6 +271,8 @@ def rrf_fuse(rankings: list[DataFrame], k0: int = 60,
     k·|queries| rows) → one tiny hash aggregate → one per-query window.
     The expensive work lives in the input rankers; fusion itself is
     candidate-sized regardless of corpus size."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
     fused = rankings[0].select("query_id", "doc_id", "rank")
     for r in rankings[1:]:
         fused = fused.unionByName(r.select("query_id", "doc_id", "rank"))

@@ -174,7 +174,6 @@ def test_winnow_exact_hand_replay(spark):
     have several windows."""
     import hashlib
     from kg.textstats import winnow_fingerprints
-    words = "t%d" % 0
     toks = [f"w{i * 7 % 11}" for i in range(15)]
     df = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
     k, w = 3, 4
