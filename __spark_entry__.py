@@ -1604,6 +1604,16 @@ def q_corpus_ppl_buckets(spark, sf_dir):
     return ccnet_buckets(_docs(spark, sf_dir), granularity_micro=10_000)
 
 
+def q_kg_tag_adamic(spark, sf_dir):
+    """Adamic-Adar link prediction (kg.graphrank.adamic_adar) over the
+    strong-tie graph — rare-shared-neighbor weighting 1e6 div
+    floor-log2(deg), the companion of kg_tag_jaccard's equal
+    weighting; hub cap mirrored in the oracle."""
+    from kg.graphrank import adamic_adar
+    edges = _strong_tie_edges(spark, sf_dir)
+    return adamic_adar(edges).select("a", "b", "n_common", "aa_micro")
+
+
 def q_ann_recall_ivf(spark, sf_dir):
     """In-engine ANN quality audit (kg.similarity.topk_recall):
     recall@5 of the md5-anchor IVF index against exact brute cosine,
@@ -1641,7 +1651,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
-        "dedup_simhash_fast": q_dedup_simhash_fast,
         "dedup_components": q_dedup_components,
         "dedup_components_twophase": q_dedup_components_twophase,
         "canon_part_of": q_canon_part_of,
@@ -1694,6 +1703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_tag_refine": q_kg_tag_refine,
         "ann_kmeans": q_ann_kmeans,
         "corpus_ppl_buckets": q_corpus_ppl_buckets,
+        "kg_tag_adamic": q_kg_tag_adamic,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also
@@ -1703,6 +1713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_pairs": q_embedding_near_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "dedup_simhash_fast": q_dedup_simhash_fast,
         "text_quality": q_text_quality,
         "text_gopher": q_text_gopher,
         "text_language_id": q_text_language_id,

@@ -87,6 +87,7 @@ HEADLINE = [
     "kg_tag_refine",         # parallel-Louvain gain proposals
     "ann_kmeans",            # deterministic fixed-round Lloyd k-means
     "corpus_ppl_buckets",    # CCNet head/middle/tail LM bucketing
+    "kg_tag_adamic",         # Adamic-Adar link prediction, capped wedges
 ]
 
 

@@ -1091,3 +1091,52 @@ def modularity_gain_moves(edges: DataFrame, communities: DataFrame,
             .select("node", "old_community",
                     F.col("c").alias("new_community"), "gain_micro",
                     (F.col("c") != F.col("old_community")).alias("moved")))
+
+
+def adamic_adar(edges: DataFrame, src_col: str = "src",
+                dst_col: str = "dst",
+                max_neighbors_per_node: int | None = 1000) -> DataFrame:
+    """Adamic–Adar link-prediction score (Adamic & Adar 2003, "Friends
+    and neighbors on the Web"; GDS gds.alpha.linkprediction.adamicAdar
+    parity): node pairs are scored by Σ over shared neighbors u of
+    1/log(deg(u)) — a RARE shared neighbor is strong evidence, a hub
+    shared by everyone is weak.  Completes the link-prediction pair
+    with neighbor_jaccard (which weighs all shared neighbors equally).
+
+    House integer surrogate for 1/ln: per shared neighbor the weight is
+    `1_000_000 div length(bin(deg(u)))` — the floor-log2 bit length
+    (monotone in degree, bit-portable; the lm_surprisal convention).
+    Degree-1 shared neighbors take the maximum weight 1e6 instead of
+    the real formula's 1/ln(1) = ∞ — a bounded surrogate, documented
+    contract.
+
+    Returns (a, b, n_common, aa_micro), a < b, one row per pair with at
+    least one shared neighbor.
+
+    Shape: identical to neighbor_jaccard — symmetrize, deterministic
+    lexically-first `max_neighbors_per_node` hub cap (the quadratic
+    wedge guard; deg(u) is the CAPPED list size, mirrored in the
+    oracle), wedge self-join on the shared-center key with the center's
+    degree joined BEFORE the pair aggregate."""
+    e0 = edges.select(F.col(src_col).alias("n"),
+                      F.col(dst_col).alias("v")).localCheckpoint()
+    sym = (e0.union(e0.select(F.col("v").alias("n"), F.col("n").alias("v")))
+           .filter(F.col("n") != F.col("v")).distinct())
+    if max_neighbors_per_node is not None:
+        sym = (sym.groupBy("n")
+               .agg(F.slice(F.array_sort(F.collect_set("v")), 1,
+                            max_neighbors_per_node).alias("_vs"))
+               .select("n", F.explode("_vs").alias("v")))
+    sym = sym.localCheckpoint()
+    degc = sym.groupBy("n").agg(F.count("*").cast("bigint").alias("degc"))
+    s1, s2 = sym.alias("s1"), sym.alias("s2")
+    return (s1.join(s2, (F.col("s1.n") == F.col("s2.n"))
+                    & (F.col("s1.v") < F.col("s2.v")))
+            .select(F.col("s1.n").alias("n"),
+                    F.col("s1.v").alias("a"), F.col("s2.v").alias("b"))
+            .join(degc, "n")
+            .groupBy("a", "b")
+            .agg(F.count("*").cast("bigint").alias("n_common"),
+                 F.sum(F.expr("1000000 div "
+                              "cast(length(bin(degc)) as bigint)"))
+                 .cast("bigint").alias("aa_micro")))

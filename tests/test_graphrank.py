@@ -730,3 +730,52 @@ def test_modularity_gain_perfect_partition_stays(spark):
     rows = modularity_gain_moves(e, comm).collect()
     assert all(not r["moved"] for r in rows)
     assert len(rows) == 6
+
+
+# --- Adamic-Adar --------------------------------------------------------
+
+def test_adamic_adar_hand_values(spark):
+    """Square a-b-c-d-a plus hub x adjacent to all: a,c share {b, d, x},
+    rare shared neighbors (deg 3) weigh 500000, the hub (deg 4) also
+    bin-len 3 -> verify exact sums against a hand replay."""
+    from kg.graphrank import adamic_adar
+    und = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"),
+           ("x", "a"), ("x", "b"), ("x", "c"), ("x", "d")]
+    edges = und + [(t, s) for s, t in und]
+    df = spark.createDataFrame([(s, t, 1) for s, t in edges],
+                               "src string, dst string, weight long")
+    got = {(r["a"], r["b"]): (r["n_common"], r["aa_micro"])
+           for r in adamic_adar(df).collect()}
+    # degrees: a,b,c,d = 3 (two square nbrs + x); x = 4
+    # weight(deg 3) = 1e6 // len(bin(3)=11) = 500000
+    # weight(deg 4) = 1e6 // len(bin(4)=100) = 333333
+    # (a,c): shared {b, d, x} -> 500000*2 + 333333
+    assert got[("a", "c")] == (3, 1_333_333)
+    # (a,b): shared {x} only (square edge a-b is not a shared neighbor)
+    assert got[("a", "b")] == (1, 333_333)
+
+
+def test_adamic_adar_degree_one_max_weight(spark):
+    """A degree-1 shared neighbor takes the bounded max weight 1e6."""
+    from kg.graphrank import adamic_adar
+    # u's only edges are to a and b?? then deg(u)=2; for deg 1 need u with
+    # ONE neighbor — impossible to be shared.  deg(u)=2 (bin '10') -> 500000
+    edges = [("u", "a", 1), ("a", "u", 1), ("u", "b", 1), ("b", "u", 1)]
+    df = spark.createDataFrame(edges, "src string, dst string, weight long")
+    got = adamic_adar(df).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["a"], r["b"], r["n_common"], r["aa_micro"]) == (
+        "a", "b", 1, 500_000)
+
+
+def test_adamic_adar_hub_cap(spark):
+    """The hub cap bounds each center's emitted list: with cap=2 a
+    5-neighbor hub only wedge-joins its lexically-first 2 neighbors."""
+    from kg.graphrank import adamic_adar
+    und = [("hub", f"n{i}") for i in range(5)]
+    edges = und + [(t, s) for s, t in und]
+    df = spark.createDataFrame([(s, t, 1) for s, t in edges],
+                               "src string, dst string, weight long")
+    got = adamic_adar(df, max_neighbors_per_node=2).collect()
+    assert {(r["a"], r["b"]) for r in got} == {("n0", "n1")}

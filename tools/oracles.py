@@ -1606,6 +1606,30 @@ def build_oracle_sql() -> dict[str, str]:
         FROM inter JOIN dg da ON da.v = inter.a
                    JOIN dg db ON db.v = inter.b"""
 
+    # Adamic-Adar over the same capped strong-tie graph: per shared
+    # center n the weight 1e6 // floor-log2(degc(n)) with degc = the
+    # CAPPED list size (mirrors kg.graphrank.adamic_adar)
+    sqls["kg_tag_adamic"] = f"""
+        WITH {_kept_sql},
+        {_cooccur_sql},
+        {_strong_sql},
+        sym0 AS (SELECT a AS n, b AS v FROM f0
+               UNION SELECT b AS n, a AS v FROM f0),
+        sym AS MATERIALIZED (
+          SELECT n, unnest(vs[1:1000]) AS v FROM (
+            SELECT n, list_sort(list(DISTINCT v)) AS vs
+            FROM sym0 GROUP BY n)),
+        degc AS MATERIALIZED (
+          SELECT n, CAST(count(*) AS BIGINT) AS degc
+          FROM sym GROUP BY 1)
+        SELECT s1.v AS a, s2.v AS b,
+               CAST(count(*) AS BIGINT) AS n_common,
+               CAST(sum(1000000 // length(bin(d.degc))) AS BIGINT)
+                 AS aa_micro
+        FROM sym s1 JOIN sym s2 ON s1.n = s2.n AND s1.v < s2.v
+             JOIN degc d ON d.n = s1.n
+        GROUP BY 1, 2"""
+
 
     # Product-quantization ANN: fully set-based mirror — anchors = the 8
     # smallest-md5(vec_id) vectors, 8 subspaces of 8 dims, ALL math in
