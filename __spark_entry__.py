@@ -1628,6 +1628,68 @@ def q_ann_recall_ivf(spark, sf_dir):
         kgsim.cosine_topk(emb, qs, k=5), k=5)
 
 
+def q_dedup_bloom(spark, sf_dir):
+    """Bloom-filter benchmark decontamination
+    (kg.sketch.bloom_contamination): the fixed-memory variant of
+    dedup_contamination — same doc_id % 97 eval split and n=3 shingles;
+    m=512 bits / k=3 hashes so false positives are actually exercised
+    at this scale (they only inflate n_maybe, never miss a member).
+    Fully deterministic salted-md5 positions → the oracle replays the
+    verdicts exactly."""
+    from kg.sketch import bloom_contamination
+    d = _docs(spark, sf_dir)
+    return bloom_contamination(
+        d.filter(F.col("doc_id") % 97 != 0),
+        d.filter(F.col("doc_id") % 97 == 0), n=3, k=3, m=512)
+
+
+def q_text_cms(spark, sf_dir):
+    """Count-Min sketch point-frequency estimates
+    (kg.sketch.cms_estimates) for every distinct corpus token, joined
+    against the exact counts: width=16 forces real collisions at this
+    vocabulary size; over_ok asserts the CMS never-underestimates
+    guarantee.  Deterministic buckets → est values replay exactly."""
+    from kg.sketch import cms_estimates
+    toks = _docs(spark, sf_dir).select(
+        F.explode(kgtext.tokens_col("text")).alias("term"))
+    est = cms_estimates(toks, toks.select("term").distinct(),
+                        depth=4, width=16)
+    exact = toks.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("n_exact"))
+    return (est.join(exact, "term")
+            .select("term", "est", "n_exact",
+                    (F.col("est") >= F.col("n_exact")).alias("over_ok")))
+
+
+def q_corpus_dsir(spark, sf_dir):
+    """DSIR data-selection scores (kg.curate.dsir_scores, Xie et al.
+    2023): hashed unigram+bigram importance weights of every en doc
+    against the doc_id % 23 == 0 target domain, floor-log2 integer
+    bits, 64 feature buckets."""
+    from kg.curate import dsir_scores
+    d = _docs(spark, sf_dir)
+    return dsir_scores(d, d.filter(F.col("doc_id") % 23 == 0),
+                       n_buckets=64)
+
+
+def q_kg_tag_spread(spark, sf_dir):
+    """Seeded (clamped) label spreading (kg.graphrank.label_spread, Zhu
+    & Ghahramani 2002) over the symmetrized strong-tie graph: the 3
+    md5-smallest tags seed their own label; 3 synchronous rounds with
+    the (max weight, min label) argmax — the label-amplification step
+    that scales a small human-labeled set across a corpus similarity
+    graph."""
+    from kg.graphrank import label_spread
+    e = _strong_tie_edges(spark, sf_dir).localCheckpoint()
+    sym = (e.union(e.select(F.col("dst").alias("src"),
+                            F.col("src").alias("dst")))
+           .withColumn("weight", F.lit(1)))
+    seeds = (sym.select(F.col("src").alias("node")).distinct()
+             .orderBy(F.md5("node"), "node").limit(3)
+             .select("node", F.col("node").alias("label")))
+    return label_spread(sym, seeds, iterations=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # WINDOW-ROTATION RULE (STATUS.md §rotation): the driver's CORRECTNESS
     # artifact covers roughly the FIRST 50 registered queries per round, so
@@ -1647,17 +1709,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # for the session-4 additions — see the demoted block) --------------
         "kg_next_sentence": q_kg_next_sentence,
         "kg_first_sentence": q_kg_first_sentence,
-        "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_components": q_dedup_components,
-        "dedup_components_twophase": q_dedup_components_twophase,
         "canon_part_of": q_canon_part_of,
         "link_mentions": q_link_mentions,
         "ann_lsh_topk": q_ann_lsh_topk,
-        "kg_tag_pagerank": q_kg_tag_pagerank,
-        "kg_tag_pmi": q_kg_tag_pmi,
         # --- r3 ERR, fixed this round (array outputs stringified) ----------
         "ann_centroids": q_ann_centroids,
         "kg_adjacency": q_kg_adjacency,
@@ -1704,11 +1762,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_kmeans": q_ann_kmeans,
         "corpus_ppl_buckets": q_corpus_ppl_buckets,
         "kg_tag_adamic": q_kg_tag_adamic,
+        # --- r4 session-6 additions (rotated into the window); 4 r2-stale
+        # rows with the strongest INDIRECT fresh evidence demoted to make
+        # room: dedup_exact (its sha256 winner logic is embedded verbatim
+        # in corpus_curated's r3-green oracle), dedup_components_twophase
+        # (three-way algorithm cross-check against in-window
+        # dedup_components, pytest-pinned equivalence),
+        # kg_tag_pagerank (same integer loop as in-window
+        # kg_tag_pagerank_full and r3-green kg_tag_ppr), kg_tag_pmi (its
+        # oracle embeds the shared capped co-occurrence SQL every
+        # in-window graph query re-exercises) -----------------------------
+        "dedup_bloom": q_dedup_bloom,
+        "text_cms": q_text_cms,
+        "corpus_dsir": q_corpus_dsir,
+        "kg_tag_spread": q_kg_tag_spread,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also
         # carry INDIRECT fresh evidence — ann_recall_ivf embeds the
         # cosine/ivf oracle SQL verbatim) — first in line for r5 ---------
+        "dedup_exact": q_dedup_exact,
+        "dedup_components_twophase": q_dedup_components_twophase,
+        "kg_tag_pagerank": q_kg_tag_pagerank,
+        "kg_tag_pmi": q_kg_tag_pmi,
         "ann_knn_classify": q_ann_knn_classify,
         "embedding_near_pairs": q_embedding_near_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,

@@ -88,6 +88,10 @@ HEADLINE = [
     "ann_kmeans",            # deterministic fixed-round Lloyd k-means
     "corpus_ppl_buckets",    # CCNet head/middle/tail LM bucketing
     "kg_tag_adamic",         # Adamic-Adar link prediction, capped wedges
+    "dedup_bloom",           # Bloom-filter decontamination membership
+    "text_cms",              # Count-Min sketch point estimates vs exact
+    "corpus_dsir",           # DSIR hashed-ngram importance scores
+    "kg_tag_spread",         # seeded clamped label spreading, 3 rounds
 ]
 
 

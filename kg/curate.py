@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from kg.dedup import exact_duplicates, minhash_lsh_pairs
-from kg.textstats import gopher_passes
+from kg.textstats import bind1, gopher_passes, tokens_col
 
 
 def gate_and_dedupe(docs: DataFrame, lang: str | None = "en",
@@ -134,3 +134,91 @@ def ccnet_buckets(df: DataFrame, model: DataFrame | None = None,
             .withColumn("bucket",
                         F.size(F.filter(tarr, lambda t: F.col("band") > t)))
             .select("doc", "avg_bits_micro", "band", "bucket"))
+
+
+def _hashed_feats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc, feat) with multiplicity: unigram + bigram features, bigrams
+    built IN-ROW (the bigram_structs transform-with-index pattern — no
+    window, no self-join; token array bound once per row via bind1, the
+    O(n²) long-document trap)."""
+    feats = bind1(tokens_col(text_col), lambda t: F.concat(
+        t, F.filter(
+            F.transform(t, lambda x, i: F.when(
+                F.get(t, i + 1).isNotNull(),
+                F.concat(x, F.lit(" "), F.get(t, i + 1)))),
+            lambda s: s.isNotNull())))
+    return df.select(F.col(id_col).alias("doc"),
+                     F.explode(feats).alias("feat"))
+
+
+def dsir_scores(docs: DataFrame, target: DataFrame, raw: DataFrame | None = None,
+                n_buckets: int = 64, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169): score every raw document by how target-like its
+    hashed n-gram feature distribution is, log w(doc) = Σ_feat
+    [log p_target(bucket(feat)) − log p_raw(bucket(feat))], with
+    unigram+bigram features hashed into `n_buckets` buckets (the paper's
+    hashed-ngram feature space).  High scores = most target-like; select
+    by thresholding/top-k/temperature over `dsir_bits` downstream.
+
+    Integer surrogate (engine-portable, CLAUDE.md float rules): every
+    log2 is the floor-log2 bit length `length(bin(x))`, Laplace-smoothed
+    (+1), so per bucket s = bits(c_t+1) − bits(c_r+1) and the corpus-size
+    normalizer bits(N_r+1) − bits(N_t+1) is added once per feature.
+
+    Returns (doc_id, n_feats, dsir_bits) for every doc — the corpus
+    tokenizer never yields an empty array (an empty text is one
+    empty-string token, the convention every oracle's
+    regexp_split_to_array mirror shares), so each doc has ≥ 1 unigram
+    feature.  `raw` defaults to `docs` (score the corpus the raw LM was
+    fit on, the paper's setting).
+
+    Scale shape: both LM fits are feature explodes folded to B-row
+    aggregates (map-side combine; B fixed); the B-row model is
+    localCheckpointed (it feeds both the totals row and the score join —
+    rule 7) and broadcast; the scored corpus does ONE explode +
+    broadcast-hash join + doc-keyed aggregate.  Nothing vocabulary- or
+    corpus-sized ever shuffles; the target corpus (small by definition)
+    is read once.
+
+    No reference counterpart (its corpus ops are annotation-bound) —
+    this is the LLM-pipeline data-selection family: the standard
+    cheap-classifier alternative to model-based quality filtering at
+    100 TB."""
+    from kg.sketch import hash_pos
+    B = int(n_buckets)
+    if B < 1:
+        raise ValueError("n_buckets must be >= 1")
+    raw_df = docs if raw is None else raw
+    bits = lambda c: F.length(F.bin(c)).cast("bigint")  # noqa: E731
+    ct = (_hashed_feats(target, text_col, id_col)
+          .groupBy(hash_pos("feat", 0, B).alias("bucket"))
+          .agg(F.count("*").cast("bigint").alias("ct")))
+    cr = (_hashed_feats(raw_df, text_col, id_col)
+          .groupBy(hash_pos("feat", 0, B).alias("bucket"))
+          .agg(F.count("*").cast("bigint").alias("cr")))
+    buckets = (docs.sparkSession.range(B)
+               .select(F.col("id").cast("long").alias("bucket")))
+    model = (buckets.join(ct, "bucket", "left").join(cr, "bucket", "left")
+             .select("bucket",
+                     F.coalesce("ct", F.lit(0)).cast("bigint").alias("ct"),
+                     F.coalesce("cr", F.lit(0)).cast("bigint").alias("cr")))
+    # B rows; feeds the totals row AND the per-doc score join, and its
+    # lineage is two full corpus scans — cut it once (rule 7)
+    model = model.localCheckpoint()
+    scores = model.select(
+        "bucket", (bits(F.col("ct") + 1) - bits(F.col("cr") + 1))
+        .alias("s_bucket"))
+    totals = model.agg(
+        (bits(F.sum("cr") + 1) - bits(F.sum("ct") + 1)).alias("s_const"))
+    per_doc = (_hashed_feats(docs, text_col, id_col)
+               .withColumn("bucket", hash_pos("feat", 0, B))
+               .join(F.broadcast(scores), "bucket")
+               .groupBy(F.col("doc").alias(id_col))
+               .agg(F.count("*").cast("bigint").alias("n_feats"),
+                    F.sum("s_bucket").cast("bigint").alias("_sb")))
+    return (per_doc.crossJoin(F.broadcast(totals))
+            .select(id_col, "n_feats",
+                    (F.col("_sb") + F.col("n_feats") * F.col("s_const"))
+                    .cast("bigint").alias("dsir_bits")))

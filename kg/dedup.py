@@ -24,7 +24,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
-from kg.textstats import tokens_col
+from kg.textstats import bind1, tokens_col
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text",
@@ -49,13 +49,17 @@ def gram_positions(text_col: str = "text", n: int = 3):
     The CASE guard is required: for docs shorter than n tokens,
     F.sequence produces a DESCENDING sequence and F.slice then throws
     INVALID_PARAMETER_VALUE.START — a one-word document would abort the
-    whole job; such docs yield an empty array instead."""
-    toks = tokens_col(text_col)
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(F.sequence(F.lit(1), F.size(toks) - n + 1),
-                    lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    ).otherwise(F.array().cast("array<string>"))
+    whole job; such docs yield an empty array instead.
+
+    The token array is bound once per row (kg.textstats.bind1):
+    slicing the raw split() expression inside the transform lambda
+    re-evaluates it per element — O(n²) on long documents (45 s for a
+    single 20k-token row, measured)."""
+    return bind1(tokens_col(text_col), lambda t: F.when(
+        F.size(t) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(t) - n + 1),
+                    lambda i: F.concat_ws(" ", F.slice(t, i, n)))
+    ).otherwise(F.array().cast("array<string>")))
 
 
 def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text",
@@ -479,11 +483,14 @@ def span_dedup(df: DataFrame, w: int = 5, text_col: str = "text",
     the corpus."""
     if materialize:
         df = df.localCheckpoint()
-    toks = F.split(F.col(text_col), " ")
-    n_chunks = F.floor((F.size(toks) + (w - 1)) / w).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.array_join(F.slice(toks, i * w + 1, w), " "))
+    # token array bound once per row (bind1): slicing the raw split()
+    # inside the chunk lambda re-evaluates it per chunk — O(n²/w)
+    chunks = bind1(
+        F.split(F.col(text_col), " "),
+        lambda t: F.transform(
+            F.sequence(F.lit(0),
+                       F.floor((F.size(t) + (w - 1)) / w).cast("int") - 1),
+            lambda i: F.array_join(F.slice(t, i * w + 1, w), " ")))
     pos = (df.select(F.col(id_col), F.posexplode(chunks)
                      .alias("idx", "chunk"))
            .withColumn("ord", F.col(id_col) * max_chunks_per_doc

@@ -979,18 +979,20 @@ def textrank_edges(df: DataFrame, window: int = 2,
     on (doc, a, b) and one symmetrizing re-aggregate (w(a,b) must equal
     w(b,a), and each DIRECTION's count alone is not the unordered
     co-occurrence count)."""
-    from kg.textstats import STOPWORD_ARRAY, tokens_col
+    from kg.textstats import STOPWORD_ARRAY, bind1, tokens_col
     stops = list(stopwords) if stopwords is not None else STOPWORD_ARRAY
-    toks = tokens_col(text_col)
 
-    def pairs_at(j: int):
+    def pairs_at(t, j: int):
         return F.filter(
-            F.transform(toks, lambda x, i: F.struct(
-                x.alias("a"), F.get(toks, i + j).alias("b"))),
+            F.transform(t, lambda x, i: F.struct(
+                x.alias("a"), F.get(t, i + j).alias("b"))),
             lambda s: (s["b"].isNotNull() & (s["a"] != s["b"])
                        & ~s["a"].isin(stops) & ~s["b"].isin(stops)))
 
-    allp = F.flatten(F.array(*[pairs_at(j) for j in range(1, window + 1)]))
+    # token array bound once per row (bind1): F.get over the raw split()
+    # expression inside the lambda is O(n²) on long documents
+    allp = bind1(tokens_col(text_col), lambda t: F.flatten(
+        F.array(*[pairs_at(t, j) for j in range(1, window + 1)])))
     half = (df.select(F.col(id_col).alias("doc"), F.explode(allp).alias("p"))
             .select("doc", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .groupBy("doc", "a", "b")
@@ -1140,3 +1142,58 @@ def adamic_adar(edges: DataFrame, src_col: str = "src",
                  F.sum(F.expr("1000000 div "
                               "cast(length(bin(degc)) as bigint)"))
                  .cast("bigint").alias("aa_micro")))
+
+
+def label_spread(edges: DataFrame, seeds: DataFrame, iterations: int = 3,
+                 src_col: str = "src", dst_col: str = "dst",
+                 weight_col: str | None = "weight",
+                 node_col: str = "node", label_col: str = "label",
+                 checkpoint_every: int = 2) -> DataFrame:
+    """Seeded (clamped) label spreading — semi-supervised classification
+    over a similarity graph (Zhu & Ghahramani 2002, "Learning from
+    Labeled and Unlabeled Data with Label Propagation"; the argmax
+    hard-label variant): seed nodes keep their label EVERY round
+    (clamping — the difference from label_propagation above, whose every
+    node floats); unlabeled nodes adopt the (max incident weight sum,
+    min label) among currently-labeled in-neighbors.  Deterministic: no
+    RNG, synchronous rounds, explicit tie-break.
+
+    Edges are directed src→dst influence (pass both directions for an
+    undirected graph).  Nodes never reached by a labeled path within
+    `iterations` rounds are ABSENT from the output; seeds must carry
+    distinct nodes.  Returns (node, label).
+
+    LLM-pipeline role: spreads a small human-labeled set (quality tiers,
+    topic/domain labels) across a 100 TB corpus's near-duplicate /
+    similarity graph — the standard cheap label-amplification step
+    before training a quality classifier.
+
+    Scale shape: identical to label_propagation — per round one
+    edge×labels hash join + (dst, label) weight aggregate (map-side
+    combine) + node-keyed argmax aggregate, then a broadcast-sized
+    seed override (anti-join on the seed set + union); lineage cut
+    every `checkpoint_every` rounds."""
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
+        (F.col(weight_col) if weight_col else F.lit(1))
+        .cast("bigint").alias("w")).persist()
+    sd = seeds.select(F.col(node_col).alias("node"),
+                      F.col(label_col).alias("label")).persist()
+    labels = sd
+    for i in range(iterations):
+        cand = (e.join(labels, e.src == labels.node)
+                .groupBy("dst", "label").agg(F.sum("w").alias("s")))
+        adopted = (cand.groupBy("dst")
+                   .agg(F.min(F.struct((-F.col("s")).alias("ns"),
+                                       F.col("label").alias("l")))
+                        .alias("b"))
+                   .select(F.col("dst").alias("node"),
+                           F.col("b.l").alias("label")))
+        labels = sd.unionByName(
+            adopted.join(sd.select("node"), "node", "left_anti"))
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            labels = labels.localCheckpoint()
+    labels = labels.localCheckpoint()
+    e.unpersist()
+    sd.unpersist()
+    return labels.select("node", "label")

@@ -1,9 +1,13 @@
-"""Mergeable frequency sketches Spark lacks natively: Misra–Gries
-heavy hitters.
+"""Mergeable frequency/membership sketches Spark lacks natively:
+Misra–Gries heavy hitters, a deterministic Bloom filter, and a
+Count-Min sketch.
 
 The other sketch families ship as JVM built-ins and live where their
-data does (HLL++ `approx_distinct` and GK quantiles in kg.relops);
-this module holds the one that needs per-partition imperative state,
+data does (HLL++ `approx_distinct` and GK quantiles in kg.relops).
+Bloom and CMS here are pure compositions of built-in expressions
+(salted-md5 bucketing → hash aggregates), so their outputs are
+layout-invariant and fully oracle-portable; MG is the one that needs
+per-partition imperative state,
 implemented as ONE Arrow-batched mapInPandas summarizer per partition
 merged by a plain hash aggregate — the mergeable-summaries pattern
 (Agarwal et al., PODS'12: combining two MG summaries by adding
@@ -31,6 +35,132 @@ import pandas as pd  # module level: PEP 563 hint resolution (CLAUDE.md)
 from pyspark.sql import DataFrame, functions as F
 
 from kg.textstats import tokens_col
+
+
+def hash_pos(col, salt: int, mod: int):
+    """Deterministic salted hash position in [0, mod): the first 6 hex
+    digits of md5('<salt>:' || value) as an integer, mod `mod` — the
+    minhash salt convention (kg.dedup._minhash_expr), engine-portable
+    (DuckDB replays it with a strpos digit chain).  `col` may be a
+    column name or a Column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.conv(F.substring(F.md5(F.concat(F.lit(f"{salt}:"), c)),
+                               1, 6), 16, 10).cast("long") % mod)
+
+
+def bloom_bits(values: DataFrame, col: str = "value", k: int = 3,
+               m: int = 4096) -> DataFrame:
+    """Deterministic Bloom filter over a value column: the DISTINCT set
+    of set bit positions, one row per position (≤ min(k·|values|, m)).
+
+    Position j of value v = hash_pos(v, salt=j, mod=m) — a pure function
+    of the value, so the filter (and every membership verdict) is
+    bit-identical across engines and partition layouts: unlike MG/HLL/GK
+    above, Bloom needs NO bounded-contract oracle.
+
+    Scale shape: the filter is at most m rows (m bits in the classic
+    packed form) REGARDLESS of the keyed-set size — the point of the op.
+    Broadcasting a benchmark's raw shingle set at 100 TB decontamination
+    scale can be GBs; the Bloom bit set is fixed-size (1 Mbit ≈ 128 KB
+    packed) with a bounded, measurable false-positive rate and ZERO
+    false negatives."""
+    pos = F.explode(F.array_distinct(F.array(
+        *[hash_pos(col, j, m) for j in range(k)]))).alias("pos")
+    return values.select(pos).distinct()
+
+
+def bloom_contamination(docs: DataFrame, benchmark: DataFrame,
+                        n: int = 3, k: int = 3, m: int = 4096,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Bloom-filter benchmark decontamination: the fixed-memory variant
+    of kg.dedup.ngram_contamination (GPT-3-style n-gram overlap, GPT-3
+    paper appx. C) for benchmarks too large to broadcast verbatim.
+
+    Returns (doc_id, n_maybe): per training document, the number of its
+    distinct word n-grams whose k Bloom positions are ALL set by the
+    benchmark side.  Guarantees: every truly-contaminated shingle is
+    counted (no false negatives — Bloom never misses a member), so
+    n_maybe ≥ the exact n_hits; excess rows are bounded by the filter's
+    false-positive rate ≈ (1 − e^{−k·S/m})^k for S benchmark shingles.
+    Flagged docs are then exact-verified (ngram_contamination on the
+    flagged subset) or dropped outright, per the pipeline's recall needs.
+
+    Scale shape: benchmark pass → ≤ m-row bit set, broadcast; corpus
+    pass = one narrow shingle explode + ONE broadcast-hash left join +
+    two map-side-combining aggregates keyed on (doc, shingle) then doc.
+    No shuffle carries more than the corpus's shingle stream."""
+    from kg.dedup import word_shingles  # local: avoid module cycle risk
+    bits = (bloom_bits(word_shingles(benchmark, n, text_col, id_col)
+                       .select("shingle").distinct(), "shingle", k, m)
+            .withColumn("_in", F.lit(1)))
+    doc_sh = word_shingles(docs, n, text_col, id_col)
+    probe = doc_sh.select(
+        "id", "shingle",
+        F.explode(F.array_distinct(F.array(
+            *[hash_pos("shingle", j, m) for j in range(k)]))).alias("pos"))
+    per_shingle = (probe.join(F.broadcast(bits), "pos", "left")
+                   .groupBy("id", "shingle")
+                   .agg(F.min(F.coalesce(F.col("_in"), F.lit(0)))
+                        .alias("_all_set")))
+    return (per_shingle.filter(F.col("_all_set") == 1)
+            .groupBy(F.col("id").alias(id_col))
+            .agg(F.count("*").alias("n_maybe")))
+
+
+def cms_sketch(df: DataFrame, col: str = "term", depth: int = 4,
+               width: int = 256) -> DataFrame:
+    """Count-Min sketch build (Cormode & Muthukrishnan 2005): one count
+    cell per (row, bucket), bucket_r(v) = hash_pos(v, salt=r, mod=width).
+
+    Returns (row, bucket, c) — at most depth·width rows regardless of
+    input size.  Deterministic salted-md5 bucketing keeps the sketch
+    bit-identical across engines AND partition layouts (the sum per cell
+    is layout-invariant), so CMS estimates are fully hash-portable —
+    no bounded contract needed, unlike MG above.
+
+    Scale shape: in-row explode to depth cells per value, then ONE hash
+    aggregate whose map-side partial combine caps every task's output at
+    depth·width rows — the fixed-memory alternative to a vocabulary-
+    sized exact groupBy at 100 TB."""
+    cell = F.explode(F.array(*[
+        F.struct(F.lit(r).cast("int").alias("row"),
+                 hash_pos(col, r, width).alias("bucket"))
+        for r in range(depth)])).alias("cell")
+    return (df.select(cell)
+            .groupBy(F.col("cell.row").alias("row"),
+                     F.col("cell.bucket").alias("bucket"))
+            .agg(F.count("*").cast("bigint").alias("c")))
+
+
+def cms_estimates(df: DataFrame, probes: DataFrame, col: str = "term",
+                  depth: int = 4, width: int = 256) -> DataFrame:
+    """Point-frequency estimates from a Count-Min sketch: for each probe
+    value, est = min over rows r of sketch[r][bucket_r(v)] (0 when a
+    probed cell is empty).
+
+    CMS guarantees est ≥ true count always (counters only ever absorb
+    extra colliding mass), and est ≤ true + 2N/width with probability
+    ≥ 1 − 2^−depth over hash choice — with FIXED salted hashes the
+    estimate itself is deterministic, so the driver oracle replays the
+    exact values rather than asserting bounds.
+
+    Scale shape: the ≤ depth·width-row sketch is broadcast; the probe
+    side is an in-row explode + broadcast-hash left join + one
+    probe-keyed aggregate."""
+    sk = F.broadcast(cms_sketch(df, col, depth, width))
+    pr = probes.select(
+        F.col(col),
+        F.explode(F.array(*[
+            F.struct(F.lit(r).cast("int").alias("row"),
+                     hash_pos(col, r, width).alias("bucket"))
+            for r in range(depth)])).alias("cell"))
+    return (pr.select(col, F.col("cell.row").alias("row"),
+                      F.col("cell.bucket").alias("bucket"))
+            .join(sk, ["row", "bucket"], "left")
+            .groupBy(col)
+            .agg(F.min(F.coalesce(F.col("c"), F.lit(0)))
+                 .cast("bigint").alias("est")))
 
 
 def mg_summaries(df: DataFrame, col: str = "term",

@@ -18,6 +18,38 @@ def tokens_col(text_col: str = "text") -> Column:
     return F.split(F.trim(F.col(text_col)), r" +")
 
 
+def bind1(arr: Column, f) -> Column:
+    """Evaluate array expression `arr` ONCE per row and return f(bound).
+
+    Referencing an outer array EXPRESSION (e.g. `F.get(toks, i + 1)`
+    where toks = split(...)) inside a higher-order-function lambda
+    re-evaluates that expression per ELEMENT — an O(n²) long-document
+    trap: a single 20k-token row measured 45-85 s through the raw
+    pattern vs ~0.5 s bound (flat through 40k).  This helper re-binds
+    the array as the lambda VARIABLE of a one-element transform — HOF
+    lambda variables are bound values, evaluated exactly once per row —
+    so the inner lambdas reference it at O(1).  Pure expression in,
+    pure expression out: no projection, bit-identical results.
+
+    (A materialized column reference also avoids the re-evaluation, but
+    only when the planner keeps the projection — CollapseProject can
+    inline a once-used alias straight back into the lambda.  The bound
+    variable cannot be inlined.)"""
+    return F.get(F.transform(F.array(arr), f), 0)
+
+
+def bigram_structs(text_col: str = "text") -> Column:
+    """In-row (w1, w2) adjacent-bigram struct array over the corpus
+    tokenizer — THE shared definition (bigram_surprisal,
+    kneser_ney_bigram, kn_doc_bits, and kg.train's BPE rounds all build
+    bigrams this way; divergent copies would silently disagree).  Token
+    array bound once per row (see bind1)."""
+    return bind1(tokens_col(text_col), lambda t: F.filter(
+        F.transform(t, lambda x, i: F.struct(
+            x.alias("w1"), F.get(t, i + 1).alias("w2"))),
+        lambda s: s["w2"].isNotNull()))
+
+
 STOPWORD_ARRAY = sorted(models.DEFAULT_STOPWORDS)
 
 
@@ -146,12 +178,11 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
     per row and run-lengths are folded in ONE F.aggregate scan with a
     struct accumulator (prev, run, top, dup) — O(n log n) per document,
     whole-stage codegen, narrow."""
-    toks = tokens_col(text_col)
-    grams = F.when(
-        F.size(toks) >= 2,
-        F.transform(F.sequence(F.lit(1), F.size(toks) - 1),
-                    lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
-    ).otherwise(F.array().cast("array<string>"))
+    grams = bind1(tokens_col(text_col), lambda t: F.when(
+        F.size(t) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(t) - 1),
+                    lambda i: F.concat_ws(" ", F.slice(t, i, 2)))
+    ).otherwise(F.array().cast("array<string>")))
     zero = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
                     F.lit(0).alias("top"), F.lit(0).alias("dup"))
 
@@ -317,11 +348,7 @@ def bigram_surprisal(df: DataFrame, text_col: str = "text",
     (vocabulary²-sized) → context counts as a further aggregate of that
     (vocabulary-sized) → two joins back on the small side → groupBy(doc).
     Exactly the lm_surprisal plan plus one more vocabulary-sized agg."""
-    toks = tokens_col(text_col)
-    bigr = F.filter(
-        F.transform(toks, lambda x, i: F.struct(
-            x.alias("w1"), F.get(toks, i + 1).alias("w2"))),
-        lambda s: s["w2"].isNotNull())
+    bigr = bigram_structs(text_col)
     pairs = (df.select(F.col(id_col).alias("doc"),
                        F.explode(bigr).alias("b"))
              .select("doc", "b.w1", "b.w2"))
@@ -509,11 +536,7 @@ def kneser_ney_bigram(df: DataFrame, text_col: str = "text",
     dq = int(discount_quarters)
     if not 0 < dq <= 4:
         raise ValueError("discount_quarters must be in 1..4")
-    toks = tokens_col(text_col)
-    bigr = F.filter(
-        F.transform(toks, lambda x, i: F.struct(
-            x.alias("w1"), F.get(toks, i + 1).alias("w2"))),
-        lambda s: s["w2"].isNotNull())
+    bigr = bigram_structs(text_col)
     c12 = (df.select(F.explode(bigr).alias("b"))
            .groupBy(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
            .agg(F.count("*").cast("bigint").alias("c12")))
@@ -571,11 +594,7 @@ def kn_doc_bits(df: DataFrame, model: DataFrame | None = None,
     if model is None:
         model = kneser_ney_bigram(df, text_col=text_col,
                                   discount_quarters=discount_quarters)
-    toks = tokens_col(text_col)
-    bigr = F.filter(
-        F.transform(toks, lambda x, i: F.struct(
-            x.alias("w1"), F.get(toks, i + 1).alias("w2"))),
-        lambda s: s["w2"].isNotNull())
+    bigr = bigram_structs(text_col)
     tf = (df.select(F.col(id_col).alias("doc"), F.explode(bigr).alias("b"))
           .select("doc", "b.w1", "b.w2")
           .groupBy("doc", "w1", "w2")
@@ -631,14 +650,13 @@ def winnow_fingerprints(df: DataFrame, k: int = 3, w: int = 4,
     uses."""
     if k < 1 or w < 1:
         raise ValueError("k and w must be >= 1")
-    toks = tokens_col(text_col)
-    gram = F.filter(
-        F.transform(toks, lambda x, i: F.when(
-            F.get(toks, i + k - 1).isNotNull(),
+    gram = bind1(tokens_col(text_col), lambda t: F.filter(
+        F.transform(t, lambda x, i: F.when(
+            F.get(t, i + k - 1).isNotNull(),
             F.md5(F.concat_ws(
-                " ", F.array(x, *[F.get(toks, i + j)
+                " ", F.array(x, *[F.get(t, i + j)
                                   for j in range(1, k)]))))),
-        lambda h: h.isNotNull())
+        lambda h: h.isNotNull()))
     staged = df.select(F.col(id_col), gram.alias("_hs"))
     n = F.size("_hs")
     fps = F.array_sort(F.array_distinct(F.transform(

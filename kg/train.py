@@ -323,11 +323,10 @@ def bpe_train(df: DataFrame, n_merges: int = 3, text_col: str = "text",
                       F.col(text_col).alias("text"))
     merges: list[tuple[int, str, str, int]] = []
     for r in range(1, n_merges + 1):
-        toks = F.split(F.trim(F.col("text")), r" +")
-        bigr = F.filter(
-            F.transform(toks, lambda x, i: F.struct(
-                x.alias("w1"), F.get(toks, i + 1).alias("w2"))),
-            lambda s: s["w2"].isNotNull())
+        # shared bigram builder (token array bound once per row — the
+        # bind1 O(n²) long-document trap; same tokenizer expression)
+        from kg.textstats import bigram_structs
+        bigr = bigram_structs("text")
         top = (state.select(F.explode(bigr).alias("b"))
                .groupBy("b.w1", "b.w2")
                .agg(F.count("*").cast("bigint").alias("c"))

@@ -1,0 +1,93 @@
+"""Long-document linearity regression: the bind1 fix
+(kg.textstats.bind1).
+
+Referencing an outer array EXPRESSION inside a higher-order-function
+lambda re-evaluates it per element — O(n²): before the fix a SINGLE
+20k-token document took 45-85 s through gram_positions / the bigram
+builders (measured on this host); bound, the same row is well under a
+second of executor work.  These tests push a 30k-token document through
+every operator family that builds in-row n-grams and assert both
+correctness of the counts AND a generous wall-clock ceiling that only a
+quadratic plan can miss (the quadratic takes many minutes at 30k)."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+N = 30_000
+CEILING_S = 120  # quadratic is ~10+ min at 30k even on idle hardware
+
+
+@pytest.fixture(scope="module")
+def longdoc(spark):
+    # 30k distinct-ish tokens: cycle a small alphabet with a counter so
+    # shingles are mostly unique (the worst case for dedup ops)
+    words = " ".join(f"w{i % 997}" for i in range(N))
+    return spark.createDataFrame([(1, words)], ["doc_id", "text"])
+
+
+def _timed(df):
+    t0 = time.perf_counter()
+    n = df.count()
+    return n, time.perf_counter() - t0
+
+
+def test_gram_positions_linear(spark, longdoc):
+    from kg.dedup import gram_positions
+    n, dt = _timed(longdoc.select(
+        F.explode(gram_positions("text", 3)).alias("g")))
+    assert n == N - 2
+    assert dt < CEILING_S
+
+
+def test_bigram_structs_linear(spark, longdoc):
+    from kg.textstats import bigram_structs
+    n, dt = _timed(longdoc.select(
+        F.explode(bigram_structs("text")).alias("b")))
+    assert n == N - 1
+    assert dt < CEILING_S
+
+
+def test_span_dedup_chunks_linear(spark, longdoc):
+    from kg.dedup import span_dedup
+    out = span_dedup(longdoc, w=5).select("doc_id", "n_chunks", "n_kept")
+    t0 = time.perf_counter()
+    row = out.collect()[0]
+    dt = time.perf_counter() - t0
+    assert row.n_chunks == N // 5
+    assert dt < CEILING_S
+
+
+def test_winnow_linear(spark, longdoc):
+    from kg.textstats import winnow_fingerprints
+    n, dt = _timed(winnow_fingerprints(longdoc, k=3, w=4))
+    assert n == 1
+    assert dt < CEILING_S
+
+
+def test_textrank_edges_linear(spark, longdoc):
+    from kg.graphrank import textrank_edges
+    t0 = time.perf_counter()
+    n = textrank_edges(longdoc, window=2).count()
+    dt = time.perf_counter() - t0
+    assert n > 0
+    assert dt < CEILING_S
+
+
+def test_dsir_feats_linear(spark, longdoc):
+    from kg.curate import dsir_scores
+    t0 = time.perf_counter()
+    rows = dsir_scores(longdoc, longdoc).collect()
+    dt = time.perf_counter() - t0
+    assert rows[0].n_feats == N + (N - 1)
+    assert dt < CEILING_S
+
+
+def test_repetition_linear(spark, longdoc):
+    from kg.textstats import repetition_stats
+    t0 = time.perf_counter()
+    row = repetition_stats(longdoc).collect()[0]
+    dt = time.perf_counter() - t0
+    assert row.n_bigrams == N - 1
+    assert dt < CEILING_S

@@ -1,0 +1,229 @@
+"""Bloom-filter decontamination, Count-Min sketch, DSIR selection
+scores, and seeded label spreading (kg.sketch / kg.curate /
+kg.graphrank r4 additions)."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+
+def _hex6(salt, val, mod):
+    return int(hashlib.md5(f"{salt}:{val}".encode()).hexdigest()[:6],
+               16) % mod
+
+
+# ---------------------------------------------------------------- Bloom
+
+def _bloom_docs(spark):
+    return spark.createDataFrame(
+        [(1, "alpha beta gamma delta"),
+         (2, "beta gamma delta epsilon"),
+         (3, "zeta eta theta iota"),
+         (4, "alpha beta gamma delta epsilon zeta")],
+        ["doc_id", "text"])
+
+
+def test_bloom_bits_exact_positions(spark):
+    from kg.sketch import bloom_bits
+    vals = spark.createDataFrame([("alpha beta",), ("beta gamma",)],
+                                 ["shingle"])
+    got = {r.pos for r in
+           bloom_bits(vals, "shingle", k=3, m=4096).collect()}
+    want = {_hex6(j, s, 4096)
+            for s in ("alpha beta", "beta gamma") for j in range(3)}
+    assert got == want
+
+
+def test_bloom_no_false_negatives_vs_exact(spark):
+    from kg.dedup import ngram_contamination
+    from kg.sketch import bloom_contamination
+    d = _bloom_docs(spark)
+    bench, train = d.filter("doc_id = 1"), d.filter("doc_id <> 1")
+    exact = {r.doc_id: r.n_hits
+             for r in ngram_contamination(train, bench, n=2).collect()}
+    bloom = {r.doc_id: r.n_maybe
+             for r in bloom_contamination(train, bench, n=2,
+                                          m=4096).collect()}
+    assert exact  # fixture really overlaps
+    for doc, n in exact.items():
+        assert bloom.get(doc, 0) >= n  # Bloom never misses a member
+    # at m=4096 with ~3 shingles there are no collisions: exact match
+    assert bloom == exact
+
+
+def test_bloom_tiny_filter_false_positives_only_inflate(spark):
+    from kg.dedup import ngram_contamination
+    from kg.sketch import bloom_contamination
+    d = _bloom_docs(spark)
+    bench, train = d.filter("doc_id = 1"), d.filter("doc_id <> 1")
+    exact = {r.doc_id: r.n_hits
+             for r in ngram_contamination(train, bench, n=2).collect()}
+    # m=2: every position is set -> every shingle "maybe present"
+    bloom = {r.doc_id: r.n_maybe
+             for r in bloom_contamination(train, bench, n=2, k=2,
+                                          m=2).collect()}
+    n_shingles = {r[0]: r[1] for r in
+                  train.select("doc_id",
+                               F.size(F.array_distinct(
+                                   F.expr("transform(sequence(1, size(split(text, ' ')) - 1), "
+                                          "i -> concat_ws(' ', split(text, ' ')[i-1], split(text, ' ')[i]))")))
+                               ).collect()}
+    for doc, n in bloom.items():
+        assert n >= exact.get(doc, 0)
+        assert n == n_shingles[doc]  # saturated filter flags everything
+
+
+# ----------------------------------------------------------------- CMS
+
+def test_cms_exact_when_wide(spark):
+    from kg.sketch import cms_estimates
+    toks = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)], ["term"])
+    probes = spark.createDataFrame([("a",), ("b",), ("c",), ("zzz",)],
+                                   ["term"])
+    got = {r.term: r.est
+           for r in cms_estimates(toks, probes, depth=4,
+                                  width=4096).collect()}
+    assert got == {"a": 5, "b": 3, "c": 1, "zzz": 0}
+
+
+def test_cms_never_underestimates_and_min_over_rows(spark):
+    from kg.sketch import cms_estimates, cms_sketch
+    toks = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 2 + [("d",)],
+        ["term"])
+    probes = toks.select("term").distinct()
+    exact = {"a": 5, "b": 3, "c": 2, "d": 1}
+    # width=2 forces collisions; depth=3 keeps the min meaningful
+    est = {r.term: r.est
+           for r in cms_estimates(toks, probes, depth=3,
+                                  width=2).collect()}
+    sketch = {(r.row, r.bucket): r.c
+              for r in cms_sketch(toks, depth=3, width=2).collect()}
+    for t, c in exact.items():
+        assert est[t] >= c  # CMS overestimates only
+        want = min(sketch.get((r, _hex6(r, t, 2)), 0) for r in range(3))
+        assert est[t] == want  # est is exactly the min over rows
+
+
+def test_cms_sketch_cells_replay(spark):
+    from kg.sketch import cms_sketch
+    toks = spark.createDataFrame([("a",), ("a",), ("b",)], ["term"])
+    got = {(r.row, r.bucket): r.c
+           for r in cms_sketch(toks, depth=2, width=8).collect()}
+    want: dict = {}
+    for t, c in (("a", 2), ("b", 1)):
+        for r in range(2):
+            key = (r, _hex6(r, t, 8))
+            want[key] = want.get(key, 0) + c
+    assert got == want
+
+
+# ---------------------------------------------------------------- DSIR
+
+def _dsir_docs(spark):
+    # docs 1-2 are "x-like" (the target domain), 3-4 "y-like"
+    return spark.createDataFrame(
+        [(1, "xray xray xylo"), (2, "xray xylo xylo"),
+         (3, "yak yeti yak"), (4, "yeti yak yurt")],
+        ["doc_id", "text"])
+
+
+def test_dsir_ranks_target_like_docs_higher(spark):
+    from kg.curate import dsir_scores
+    d = _dsir_docs(spark)
+    got = {r.doc_id: r.dsir_bits
+           for r in dsir_scores(d, d.filter("doc_id = 1"),
+                                n_buckets=64).collect()}
+    assert min(got[1], got[2]) > max(got[3], got[4])
+
+
+def test_dsir_pure_python_replay(spark):
+    from kg.curate import dsir_scores
+    d = _dsir_docs(spark)
+    B = 16
+    rows = {r.doc_id: (r.n_feats, r.dsir_bits)
+            for r in dsir_scores(d, d.filter("doc_id = 1"),
+                                 n_buckets=B).collect()}
+    texts = {1: "xray xray xylo", 2: "xray xylo xylo",
+             3: "yak yeti yak", 4: "yeti yak yurt"}
+
+    def feats(t):
+        w = t.split()
+        return w + [f"{a} {b}" for a, b in zip(w, w[1:])]
+
+    bits = lambda x: len(bin(x)) - 2  # noqa: E731
+    ct: dict = {}
+    for f_ in feats(texts[1]):
+        b = _hex6(0, f_, B)
+        ct[b] = ct.get(b, 0) + 1
+    cr: dict = {}
+    for t in texts.values():
+        for f_ in feats(t):
+            b = _hex6(0, f_, B)
+            cr[b] = cr.get(b, 0) + 1
+    const = bits(sum(cr.values()) + 1) - bits(sum(ct.values()) + 1)
+    for doc, t in texts.items():
+        fs = feats(t)
+        score = sum(bits(ct.get(_hex6(0, f_, B), 0) + 1)
+                    - bits(cr.get(_hex6(0, f_, B), 0) + 1)
+                    for f_ in fs) + len(fs) * const
+        assert rows[doc] == (len(fs), score)
+
+
+def test_dsir_empty_doc_single_empty_token(spark):
+    # the corpus tokenizer maps '' to [''] (one empty token) — every doc
+    # therefore carries >= 1 unigram feature and appears in the output
+    from kg.curate import dsir_scores
+    d = spark.createDataFrame([(1, "xray xylo"), (2, "")],
+                              ["doc_id", "text"])
+    got = {r.doc_id: r.n_feats for r in
+           dsir_scores(d, d.filter("doc_id = 1")).collect()}
+    assert got == {1: 3, 2: 1}
+
+
+# -------------------------------------------------------- label spread
+
+def _sym(spark, pairs):
+    e = spark.createDataFrame(pairs, ["src", "dst", "weight"])
+    return e.union(e.select("dst", "src", "weight"))
+
+
+def test_label_spread_path_graph(spark):
+    from kg.graphrank import label_spread
+    edges = _sym(spark, [("a", "b", 1), ("b", "c", 1), ("c", "d", 1)])
+    seeds = spark.createDataFrame([("a", "L")], ["node", "label"])
+    got = {r.node: r.label
+           for r in label_spread(edges, seeds, iterations=3).collect()}
+    assert got == {"a": "L", "b": "L", "c": "L", "d": "L"}
+
+
+def test_label_spread_unreached_absent(spark):
+    from kg.graphrank import label_spread
+    edges = _sym(spark, [("a", "b", 1), ("c", "d", 1)])
+    seeds = spark.createDataFrame([("a", "L")], ["node", "label"])
+    got = {r.node: r.label
+           for r in label_spread(edges, seeds, iterations=3).collect()}
+    assert got == {"a": "L", "b": "L"}  # c, d never reached
+
+
+def test_label_spread_clamping_and_weight_argmax(spark):
+    from kg.graphrank import label_spread
+    # b is seeded "B" and stays "B" even though its only neighbor says "A";
+    # m hears A at weight 3 and B at weight 1 -> adopts A
+    edges = _sym(spark, [("a", "b", 1), ("a", "m", 3), ("b", "m", 1)])
+    seeds = spark.createDataFrame([("a", "A"), ("b", "B")],
+                                  ["node", "label"])
+    got = {r.node: r.label
+           for r in label_spread(edges, seeds, iterations=2).collect()}
+    assert got == {"a": "A", "b": "B", "m": "A"}
+
+
+def test_label_spread_tie_breaks_to_min_label(spark):
+    from kg.graphrank import label_spread
+    edges = _sym(spark, [("a", "m", 2), ("b", "m", 2)])
+    seeds = spark.createDataFrame([("a", "A"), ("b", "B")],
+                                  ["node", "label"])
+    got = {r.node: r.label
+           for r in label_spread(edges, seeds, iterations=1).collect()}
+    assert got["m"] == "A"

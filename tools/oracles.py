@@ -114,6 +114,16 @@ def _lsh_bucket_sql(n_planes: int, dim: int) -> str:
     return " + ".join(terms)
 
 
+def _hex6_of(h: str) -> str:
+    """Integer value of the first 6 hex digits of an md5 hex column/expr
+    `h` (mirrors kg.sketch.hash_pos; the kg_tag_walks digit chain,
+    factored)."""
+    return "(" + " + ".join(
+        f"(strpos('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (5 - i)}"
+        for i in range(6)) + ")"
+
+
 def build_oracle_sql() -> dict[str, str]:
     sqls: dict[str, str] = {}
 
@@ -2847,5 +2857,141 @@ def build_oracle_sql() -> dict[str, str]:
                (coalesce(h.n_hits, 0) * 1000000) // b.n_exact
                  AS recall_micro
         FROM base b LEFT JOIN hits h USING (query_id)"""
+
+    # Bloom-filter decontamination (kg.sketch.bloom_contamination):
+    # fully deterministic (salted md5 positions), so the verdicts replay
+    # exactly — no bounded contract.  Same doc split / n=3 shingles as
+    # dedup_contamination; m=512 small enough that false positives are
+    # exercised at sf scale (they only ever inflate n_maybe).
+    _blh = _hex6_of("h")
+    sqls["dedup_bloom"] = f"""
+        WITH sh AS MATERIALIZED (
+          SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+          FROM (SELECT doc_id, {_TOKS} AS t,
+                       generate_subscripts({_TOKS}, 1) AS i
+                FROM documents WHERE lang = 'en')
+          WHERE i <= len(t) - 2),
+        js AS (SELECT unnest(range(3)) AS j),
+        bpos AS MATERIALIZED (
+          SELECT DISTINCT {_blh} % 512 AS pos
+          FROM (SELECT md5(CAST(j AS VARCHAR) || ':' || shingle) AS h
+                FROM (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+                CROSS JOIN js)),
+        ppos AS (
+          SELECT DISTINCT doc_id, shingle, {_blh} % 512 AS pos
+          FROM (SELECT doc_id, shingle,
+                       md5(CAST(j AS VARCHAR) || ':' || shingle) AS h
+                FROM sh CROSS JOIN js
+                WHERE doc_id % 97 <> 0)),
+        per AS (
+          SELECT doc_id, shingle,
+                 min(CASE WHEN b.pos IS NULL THEN 0 ELSE 1 END) AS all_set
+          FROM ppos p LEFT JOIN bpos b ON b.pos = p.pos
+          GROUP BY 1, 2)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_maybe
+        FROM per WHERE all_set = 1 GROUP BY 1"""
+
+    # Count-Min sketch point estimates (kg.sketch.cms_estimates):
+    # deterministic salted buckets -> the est values themselves replay
+    # (width=16 forces real collisions at this vocabulary size; over_ok
+    # is the CMS never-underestimates guarantee, provably always true)
+    sqls["text_cms"] = f"""
+        WITH tok AS MATERIALIZED (
+          SELECT unnest({_TOKS}) AS term
+          FROM documents WHERE lang = 'en'),
+        rs AS (SELECT unnest(range(4)) AS r),
+        cells AS MATERIALIZED (
+          SELECT r, {_hex6_of("md5(CAST(r AS VARCHAR) || ':' || term)")}
+                     % 16 AS bucket,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM tok CROSS JOIN rs GROUP BY 1, 2),
+        probes AS (SELECT DISTINCT term FROM tok),
+        pcells AS (
+          SELECT term, r,
+                 {_hex6_of("md5(CAST(r AS VARCHAR) || ':' || term)")}
+                   % 16 AS bucket
+          FROM probes CROSS JOIN rs),
+        est AS (
+          SELECT term, CAST(min(coalesce(c, 0)) AS BIGINT) AS est
+          FROM pcells p LEFT JOIN cells USING (r, bucket) GROUP BY 1),
+        exact AS (SELECT term, CAST(count(*) AS BIGINT) AS n_exact
+                  FROM tok GROUP BY 1)
+        SELECT term, est, n_exact, est >= n_exact AS over_ok
+        FROM est JOIN exact USING (term)"""
+
+    # DSIR importance scores (kg.curate.dsir_scores): hashed
+    # unigram+bigram features into 64 buckets, floor-log2 bit surrogate;
+    # target = doc_id % 23 = 0, raw = the whole en corpus (the paper's
+    # score-the-raw-pool setting).  fb feeds three aggregates ->
+    # MATERIALIZED (kcore trap).
+    sqls["corpus_dsir"] = f"""
+        WITH f AS (
+          SELECT doc_id,
+                 unnest(list_concat(
+                   t, list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i+1]))) AS feat
+          FROM (SELECT doc_id, {_TOKS} AS t
+                FROM documents WHERE lang = 'en')),
+        fb AS MATERIALIZED (
+          SELECT doc_id, {_hex6_of("md5('0:' || feat)")} % 64 AS bucket
+          FROM f),
+        ctt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS ct
+                FROM fb WHERE doc_id % 23 = 0 GROUP BY 1),
+        crr AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cr
+                FROM fb GROUP BY 1),
+        model AS MATERIALIZED (
+          SELECT bucket, coalesce(ct, 0) AS ct, coalesce(cr, 0) AS cr
+          FROM (SELECT unnest(range(64)) AS bucket)
+          LEFT JOIN ctt USING (bucket) LEFT JOIN crr USING (bucket)),
+        tot AS (
+          SELECT CAST(length(bin(CAST(sum(cr) + 1 AS BIGINT)))
+                      - length(bin(CAST(sum(ct) + 1 AS BIGINT)))
+                      AS BIGINT) AS s_const
+          FROM model),
+        sc AS (
+          SELECT bucket,
+                 CAST(length(bin(ct + 1)) - length(bin(cr + 1))
+                      AS BIGINT) AS s
+          FROM model),
+        per AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+                 CAST(sum(s) AS BIGINT) AS sb
+          FROM fb JOIN sc USING (bucket) GROUP BY 1)
+        SELECT doc_id, n_feats,
+               CAST(sb + n_feats * s_const AS BIGINT) AS dsir_bits
+        FROM per CROSS JOIN tot"""
+
+    # Seeded label spreading (kg.graphrank.label_spread) over the
+    # symmetrized strong-tie graph: seeds = 3 md5-smallest nodes labeled
+    # by themselves, clamped; 3 synchronous rounds, argmax by
+    # (weight sum DESC, label ASC).  Every round CTE feeds the next
+    # round's join AND the seeds CTE is referenced per round ->
+    # MATERIALIZED throughout.
+    _lsp = f"""
+        WITH {_kept_sql},
+        {_cooccur_sql},
+        {_strong_sql},
+        sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM f0
+               UNION SELECT b, a FROM f0),
+        seeds AS MATERIALIZED (
+          SELECT node, node AS label
+          FROM (SELECT DISTINCT src AS node FROM sym)
+          ORDER BY md5(node), node LIMIT 3),
+        l0 AS MATERIALIZED (SELECT node, label FROM seeds)"""
+    for _r in range(1, 4):
+        _lsp += f""",
+        l{_r} AS MATERIALIZED (
+          SELECT node, label FROM seeds
+          UNION ALL
+          SELECT dst AS node, label FROM (
+            SELECT dst, label,
+                   row_number() OVER (PARTITION BY dst
+                                      ORDER BY s DESC, label ASC) AS rn
+            FROM (SELECT e.dst, l.label, CAST(count(*) AS BIGINT) AS s
+                  FROM sym e JOIN l{_r - 1} l ON l.node = e.src
+                  GROUP BY 1, 2))
+          WHERE rn = 1 AND dst NOT IN (SELECT node FROM seeds))"""
+    sqls["kg_tag_spread"] = _lsp + """
+        SELECT node, label FROM l3"""
 
     return sqls
