@@ -1690,6 +1690,20 @@ def q_kg_tag_spread(spark, sf_dir):
     return label_spread(sym, seeds, iterations=3)
 
 
+def q_corpus_classifier(spark, sf_dir):
+    """Hashed-unigram linear language filter trained ON the corpus
+    (kg.classify.train_language_filter; Joulin et al. 2017 fastText /
+    Wenzek et al. 2020 CCNet recipe): 64 md5 feature buckets + bias,
+    3 full-batch integer perceptron rounds, label = (lang == 'en').
+    Returns per-doc (doc_id, label, margin, pred) under the trained
+    weights — exact integers, replayed by the oracle as an unrolled
+    round-CTE chain."""
+    from kg.classify import train_language_filter
+    return train_language_filter(_docs(spark, sf_dir, lang=None),
+                                 positive_lang="en",
+                                 n_buckets=64, rounds=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # WINDOW-ROTATION RULE (STATUS.md §rotation): the driver's CORRECTNESS
     # artifact covers roughly the FIRST 50 registered queries per round, so
@@ -1710,7 +1724,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_next_sentence": q_kg_next_sentence,
         "kg_first_sentence": q_kg_first_sentence,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_components": q_dedup_components,
         "canon_part_of": q_canon_part_of,
@@ -1776,12 +1789,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_cms": q_text_cms,
         "corpus_dsir": q_corpus_dsir,
         "kg_tag_spread": q_kg_tag_spread,
+        # --- r4 session-7 additions (rotated into the window); one more
+        # r2-stale row demoted per addition — see the demoted block ------
+        "corpus_classifier": q_corpus_classifier,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also
         # carry INDIRECT fresh evidence — ann_recall_ivf embeds the
         # cosine/ivf oracle SQL verbatim) — first in line for r5 ---------
         "dedup_exact": q_dedup_exact,
+        # demoted for corpus_classifier (session 7): its banded-LSH pair
+        # machinery is the edge builder of in-window dedup_components,
+        # which re-exercises the same signature/band/bucket SQL verbatim
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_components_twophase": q_dedup_components_twophase,
         "kg_tag_pagerank": q_kg_tag_pagerank,
         "kg_tag_pmi": q_kg_tag_pmi,

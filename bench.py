@@ -92,6 +92,7 @@ HEADLINE = [
     "text_cms",              # Count-Min sketch point estimates vs exact
     "corpus_dsir",           # DSIR hashed-ngram importance scores
     "kg_tag_spread",         # seeded clamped label spreading, 3 rounds
+    "corpus_classifier",     # hashed-unigram perceptron language filter
 ]
 
 

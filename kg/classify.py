@@ -1,0 +1,163 @@
+"""Hashed-feature linear classifier trained ON the corpus — the
+fastText/CCNet quality- and language-filter recipe at 100-TB scale.
+
+Reference parity: the reference's train/test surface
+(OpenNLPGenericModelTool.java:40-120, TextProcessorProcedure.java train/test
+procedures) fits NER/sentiment models from labeled FILES on one node; this
+module is the LLM-pipeline counterpart the mandate adds as first-class:
+fitting a linear document classifier DIRECTLY on the distributed corpus
+(Joulin et al. 2017 fastText; Wenzek et al. 2020 CCNet use exactly this
+shape — hashed bag-of-words features, linear model — as the wiki-vs-crawl
+quality/language filter that gates web-scale pretraining data).
+
+Model = integer weight vector over `n_buckets` hashed unigram buckets plus
+one bias bucket (index n_buckets, constant feature x=1).  Training = the
+full-batch perceptron (Rosenblatt 1958, batch variant): per round, a doc is
+misclassified iff y·margin ≤ 0, and w += Σ_misclassified y·x.  Everything
+is exact integer arithmetic on deterministic md5 bucket hashes
+(kg.sketch.hash_pos) — no RNG, no floats, no sample order dependence — so
+the entire fit is a pure function of the corpus, bit-identical across
+partitionings AND replayable in ANSI SQL as an unrolled round-CTE chain
+(the pagerank/LPA oracle pattern, CLAUDE.md).
+
+Scale shape (the reason this is written as aggregates, not a single-node
+solver): the feature frame is ONE explode + (doc,bucket) count aggregate
+(map-side combine), repartitioned by doc and localCheckpointed once (it is
+re-joined every round — rule 7).  Each round is: broadcast-join the
+(B+1)-row weight table, one doc-keyed margin aggregate, one semi-join of
+the misclassified doc set, one B-bounded gradient aggregate collected to
+the driver (B+1 rows — the model IS driver-sized by construction, like the
+k-means/IVF centroid fits).  Nothing vocabulary- or corpus-sized ever
+crosses the driver; rounds are fixed, so the job is checkpoint-resumable
+and oracle-replayable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from kg.sketch import hash_pos
+from kg.textstats import tokens_col
+
+BIAS = "__bias__"  # sentinel only used in docstrings; bias bucket = n_buckets
+
+
+def hashed_unigram_features(docs: DataFrame, n_buckets: int = 64,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """(doc, bucket, x): unigram token counts hashed into `n_buckets`
+    buckets (salt 0 — the kg.curate.dsir_scores feature convention).
+    Every doc yields ≥ 1 feature row: the corpus tokenizer returns [''
+    ] for empty text (the shared regexp_split_to_array mirror)."""
+    B = int(n_buckets)
+    if B < 1:
+        raise ValueError("n_buckets must be >= 1")
+    return (docs
+            .select(F.col(id_col).alias("doc"),
+                    F.explode(tokens_col(text_col)).alias("tok"))
+            .groupBy("doc", hash_pos("tok", 0, B).alias("bucket"))
+            .agg(F.count("*").cast("bigint").alias("x")))
+
+
+def _labeled_features(docs: DataFrame, labels: DataFrame, n_buckets: int,
+                      text_col: str, id_col: str) -> DataFrame:
+    """Feature frame with the label attached and the bias feature
+    appended: (doc, y, bucket, x) where bucket `n_buckets` is the
+    constant x=1 bias feature — folding the bias into the feature space
+    makes margin AND gradient each ONE aggregate per round (no separate
+    bias pass re-executing the misclassified-set lineage).
+
+    Repartitioned by doc and localCheckpointed: the frame is branched
+    once per round (margin agg + gradient join) plus the final scoring
+    pass — rule 7 (the annotate-UDF branch trap generalizes to any
+    expensive shared child)."""
+    B = int(n_buckets)
+    feats = hashed_unigram_features(docs, B, text_col, id_col)
+    bias = docs.select(F.col(id_col).alias("doc"),
+                       F.lit(B).cast("long").alias("bucket"),
+                       F.lit(1).cast("bigint").alias("x"))
+    lab = labels.select(F.col(id_col).alias("doc"),
+                        F.col("y").cast("bigint").alias("y"))
+    fl = (feats.unionByName(bias.select("doc", "bucket", "x"))
+          .join(lab, "doc")
+          .select("doc", "y", "bucket", "x"))
+    return fl.repartition("doc").localCheckpoint()
+
+
+def perceptron_fit(fl: DataFrame, n_buckets: int = 64,
+                   rounds: int = 3) -> list[int]:
+    """Fixed-`rounds` full-batch perceptron over a labeled feature frame
+    from `_labeled_features`.  Returns the (n_buckets+1)-long integer
+    weight list (last entry = bias).
+
+    Round r (all exact integers): margin_d = Σ x·w over d's buckets;
+    misclassified = y·margin ≤ 0 (ties count as errors, so the all-zero
+    w0 marks EVERY doc misclassified in round 1 — w1 is the class-count
+    difference vector, the natural Rocchio-style start); gradient_b =
+    Σ_{misclassified} y·x, collected (≤ B+1 rows) and folded into w on
+    the driver — the same driver-sized-model contract as the k-means /
+    IVF / PQ fits (kg.similarity).  No early-exit on an empty
+    misclassified set: a converged round leaves w unchanged, keeping the
+    Spark fit and the fixed-round SQL oracle chain identical."""
+    B = int(n_buckets)
+    spark = fl.sparkSession
+    w = [0] * (B + 1)
+    for _ in range(int(rounds)):
+        wdf = spark.createDataFrame(
+            [(int(b), int(wt)) for b, wt in enumerate(w)],
+            "bucket long, w long")
+        margins = (fl.join(F.broadcast(wdf), "bucket")
+                   .groupBy("doc")
+                   .agg(F.max("y").alias("y"),
+                        F.sum(F.col("x") * F.col("w")).alias("m")))
+        mis = (margins.filter(F.col("y") * F.col("m") <= 0)
+               .select("doc"))
+        grad = (fl.join(mis, "doc")
+                .groupBy("bucket")
+                .agg(F.sum(F.col("y") * F.col("x")).alias("g"))
+                .collect())
+        for row in grad:
+            w[int(row["bucket"])] += int(row["g"])
+    return w
+
+
+def perceptron_margins(fl: DataFrame, w: list[int]) -> DataFrame:
+    """(doc, y, margin, pred): score the labeled feature frame with a
+    trained weight list.  pred ∈ {+1, −1}; the zero margin scores −1
+    (consistent with the training rule, where y·0 ≤ 0 is an error)."""
+    spark = fl.sparkSession
+    wdf = spark.createDataFrame(
+        [(int(b), int(wt)) for b, wt in enumerate(w)],
+        "bucket long, w long")
+    return (fl.join(F.broadcast(wdf), "bucket")
+            .groupBy("doc")
+            .agg(F.max("y").alias("y"),
+                 F.sum(F.col("x") * F.col("w")).cast("bigint")
+                 .alias("margin"))
+            .select("doc", "y", "margin",
+                    F.when(F.col("margin") > 0, F.lit(1))
+                    .otherwise(F.lit(-1)).cast("bigint").alias("pred")))
+
+
+def train_language_filter(docs: DataFrame, positive_lang: str = "en",
+                          n_buckets: int = 64, rounds: int = 3,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """The CCNet front door in one call: label the corpus y=+1 where
+    lang == `positive_lang` (else −1), fit the hashed-unigram perceptron
+    for `rounds` full-batch rounds, and return per-doc
+    (doc_id, label, margin, pred) under the trained model.
+
+    This is self-training on metadata the crawl already carries — the
+    trained weight vector then scores UNLABELED text at pure
+    broadcast-join speed, which is the 100-TB point: one cheap linear
+    model gates the corpus before any expensive LM-based scoring."""
+    labels = docs.select(
+        F.col(id_col),
+        F.when(F.col("lang") == positive_lang, F.lit(1))
+        .otherwise(F.lit(-1)).cast("bigint").alias("y"))
+    fl = _labeled_features(docs, labels, n_buckets, text_col, id_col)
+    w = perceptron_fit(fl, n_buckets, rounds)
+    out = perceptron_margins(fl, w)
+    return out.select(F.col("doc").alias(id_col),
+                      F.col("y").alias("label"), "margin", "pred")

@@ -1,0 +1,76 @@
+"""kg.classify — hashed-feature integer batch perceptron."""
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+SEPARABLE = [
+    # 'en' docs speak token-set {alpha, beta}; others {gamma, delta} —
+    # disjoint vocab => linearly separable in unigram space.
+    (0, "alpha beta alpha", "en"),
+    (1, "beta beta", "en"),
+    (2, "alpha", "en"),
+    (3, "gamma delta", "de"),
+    (4, "delta delta gamma", "zh"),
+    (5, "gamma", "de"),
+]
+
+
+def test_separable_corpus_reaches_perfect_training_accuracy(spark):
+    from kg.classify import train_language_filter
+    out = train_language_filter(_docs(spark, SEPARABLE), rounds=4).collect()
+    assert len(out) == 6
+    assert all(r.pred == r.label for r in out)
+    # margins are signed consistently with the labels
+    assert all((r.margin > 0) == (r.label == 1) for r in out)
+
+
+def test_fit_is_deterministic_and_partitioning_invariant(spark):
+    from kg.classify import train_language_filter
+    a = train_language_filter(_docs(spark, SEPARABLE)).collect()
+    b = train_language_filter(
+        _docs(spark, SEPARABLE).repartition(7)).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_margin_is_exact_integer_dot_product(spark):
+    """Hand-replay one round on a one-feature corpus: w0=0 marks both
+    docs misclassified, so w1[bucket(tok)] = y_pos*1 + y_neg*2 and
+    bias1 = y_pos + y_neg; the returned margin must equal the exact
+    dot product under w1."""
+    from kg.classify import (_labeled_features, perceptron_fit,
+                             perceptron_margins)
+    docs = _docs(spark, [(0, "tok", "en"), (1, "tok tok", "de")])
+    labels = docs.select("doc_id", F.when(F.col("lang") == "en", 1)
+                         .otherwise(-1).cast("bigint").alias("y"))
+    fl = _labeled_features(docs, labels, 8, "text", "doc_id")
+    w = perceptron_fit(fl, n_buckets=8, rounds=1)
+    # exactly one non-bias bucket is populated
+    nz = [(b, wt) for b, wt in enumerate(w[:-1]) if wt != 0]
+    assert len(nz) == 1
+    bucket, wt = nz[0]
+    assert wt == 1 * 1 + (-1) * 2  # y_pos*x_pos + y_neg*x_neg
+    assert w[-1] == 1 + (-1)       # bias: y_pos + y_neg
+    got = {r.doc: r.margin for r in perceptron_margins(fl, w).collect()}
+    assert got == {0: 1 * wt + w[-1], 1: 2 * wt + w[-1]}
+
+
+def test_converged_rounds_leave_weights_unchanged(spark):
+    from kg.classify import _labeled_features, perceptron_fit
+    docs = _docs(spark, SEPARABLE)
+    labels = docs.select("doc_id", F.when(F.col("lang") == "en", 1)
+                         .otherwise(-1).cast("bigint").alias("y"))
+    fl = _labeled_features(docs, labels, 64, "text", "doc_id")
+    w4 = perceptron_fit(fl, n_buckets=64, rounds=4)
+    w8 = perceptron_fit(fl, n_buckets=64, rounds=8)
+    assert w4 == w8  # converged by round 4; extra rounds are no-ops
+
+
+def test_bad_bucket_count_rejected(spark):
+    from kg.classify import hashed_unigram_features
+    with pytest.raises(ValueError):
+        hashed_unigram_features(_docs(spark, SEPARABLE), n_buckets=0)

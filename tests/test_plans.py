@@ -556,3 +556,21 @@ def test_topk_recall_candidate_sized(spark):
     assert "Window" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "LeftSemi" in plan
+
+
+def test_perceptron_score_broadcast_weights_no_python(spark):
+    """Scoring under a trained weight table is one BroadcastHashJoin of
+    the (B+1)-row model + one doc-keyed aggregate: no Window, no Python
+    stage, no shuffled join of the model side."""
+    from kg.classify import _labeled_features, perceptron_margins
+    docs = spark.createDataFrame(
+        [(0, "alpha beta", "en"), (1, "gamma", "de")],
+        ["doc_id", "text", "lang"])
+    import pyspark.sql.functions as F
+    labels = docs.select("doc_id", F.when(F.col("lang") == "en", 1)
+                         .otherwise(-1).cast("bigint").alias("y"))
+    fl = _labeled_features(docs, labels, 8, "text", "doc_id")
+    plan = _plan(perceptron_margins(fl, [0] * 9))
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

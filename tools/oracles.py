@@ -2994,4 +2994,54 @@ def build_oracle_sql() -> dict[str, str]:
     sqls["kg_tag_spread"] = _lsp + """
         SELECT node, label FROM l3"""
 
+    # Hashed-unigram perceptron language filter
+    # (kg.classify.train_language_filter): 64 feature buckets + bias
+    # bucket 64 (constant x=1), 3 full-batch integer rounds, label
+    # y = +1 iff lang = 'en'.  w0 = all zeros, so round 1 marks every
+    # doc misclassified (y·0 <= 0).  fl feeds every round's margin AND
+    # gradient, each w{r} feeds the next margin and its own update,
+    # each mis{r} feeds one gradient -> MATERIALIZED throughout
+    # (CLAUDE.md: multiply-referenced chain CTEs).
+    _pcp = f"""
+        WITH lab AS MATERIALIZED (
+          SELECT doc_id AS doc,
+                 CAST(CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS BIGINT)
+                   AS y
+          FROM documents),
+        feats AS (
+          SELECT doc, {_hex6_of("md5('0:' || tok)")} % 64 AS bucket,
+                 CAST(count(*) AS BIGINT) AS x
+          FROM (SELECT doc_id AS doc, unnest({_TOKS}) AS tok
+                FROM documents)
+          GROUP BY 1, 2),
+        fl AS MATERIALIZED (
+          SELECT fx.doc, l.y, fx.bucket, fx.x
+          FROM (SELECT doc, bucket, x FROM feats
+                UNION ALL
+                SELECT doc, CAST(64 AS BIGINT), CAST(1 AS BIGINT)
+                FROM lab) fx
+          JOIN lab l USING (doc)),
+        w0 AS MATERIALIZED (
+          SELECT CAST(unnest(range(65)) AS BIGINT) AS bucket,
+                 CAST(0 AS BIGINT) AS w)"""
+    for _r in range(1, 4):
+        _pcp += f""",
+        m{_r} AS MATERIALIZED (
+          SELECT doc, max(y) AS y, CAST(sum(x * w) AS BIGINT) AS m
+          FROM fl JOIN w{_r - 1} USING (bucket) GROUP BY doc),
+        mis{_r} AS MATERIALIZED (
+          SELECT doc FROM m{_r} WHERE y * m <= 0),
+        w{_r} AS MATERIALIZED (
+          SELECT p.bucket, p.w + coalesce(g.g, 0) AS w
+          FROM w{_r - 1} p
+          LEFT JOIN (SELECT bucket, CAST(sum(y * x) AS BIGINT) AS g
+                     FROM fl JOIN mis{_r} USING (doc)
+                     GROUP BY bucket) g USING (bucket))"""
+    sqls["corpus_classifier"] = _pcp + """
+        SELECT doc AS doc_id, max(y) AS label,
+               CAST(sum(x * w) AS BIGINT) AS margin,
+               CAST(CASE WHEN sum(x * w) > 0 THEN 1 ELSE -1 END AS BIGINT)
+                 AS pred
+        FROM fl JOIN w3 USING (bucket) GROUP BY doc"""
+
     return sqls
