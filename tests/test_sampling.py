@@ -284,3 +284,55 @@ def test_quality_strata_monotone_rates(spark):
         kept[r["stratum"]] += int(r["kept"])
     assert kept[3] == tot[3]                       # 'g' sentinel
     assert kept[0] / tot[0] < kept[3] / tot[3]
+
+
+# --- contrastive triplet mining (kg.sampling.negative_ring/_triplets) ----
+
+def _ids(spark, n):
+    return spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+
+
+def test_negative_ring_negatives_are_other_existing_docs(spark):
+    from kg.sampling import negative_ring
+    rows = negative_ring(_ids(spark, 40), n_buckets=4).collect()
+    ids = set(range(40))
+    assert len(rows) == 40
+    for r in rows:
+        assert r.neg1 in ids
+        assert r.neg1 != r.cand  # ring has >=2 docs per bucket here
+
+
+def test_negative_ring_partitioning_invariant(spark):
+    from kg.sampling import negative_ring
+    a = sorted(map(tuple, negative_ring(_ids(spark, 30)).collect()))
+    b = sorted(map(tuple, negative_ring(
+        _ids(spark, 30).repartition(7)).collect()))
+    assert a == b
+
+
+def test_negative_ring_singleton_bucket_self_loops(spark):
+    from kg.sampling import negative_ring
+    one = spark.createDataFrame([(0,)], ["doc_id"])
+    r = negative_ring(one, n_buckets=1).collect()[0]
+    assert r.neg1 == 0 and r.neg2 is None  # wraps to itself; no 2nd elem
+
+
+def test_contrastive_triplets_distinct_and_positive_is_min_partner(spark):
+    from kg.sampling import contrastive_triplets
+    docs = _ids(spark, 20)
+    pairs = spark.createDataFrame(
+        [(3, 7), (3, 11), (7, 11)], ["id_a", "id_b"])
+    got = {r.anchor: r for r in
+           contrastive_triplets(docs, pairs, n_buckets=2).collect()}
+    assert set(got) == {3, 7, 11}
+    assert got[3].positive == 7 and got[7].positive == 3
+    assert got[11].positive == 3  # min over symmetrized partners
+    for r in got.values():
+        assert r.negative not in (r.anchor, r.positive)
+        assert 0 <= r.negative < 20
+
+
+def test_contrastive_triplets_no_pairs_no_rows(spark):
+    from kg.sampling import contrastive_triplets
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert contrastive_triplets(_ids(spark, 5), empty).count() == 0

@@ -3044,4 +3044,77 @@ def build_oracle_sql() -> dict[str, str]:
                  AS pred
         FROM fl JOIN w3 USING (bucket) GROUP BY doc"""
 
+    # Per-lang ingest audit (kg.corpus.corpus_audit): every cell exact
+    # integer; length from length(coalesce(text, '')) so NULL text rows
+    # count into n_null_text without poisoning the length stats.
+    sqls["corpus_audit"] = """
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null_text,
+               CAST(sum(CASE WHEN text = '' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_empty_text,
+               CAST(count(*) - count(DISTINCT doc_id) AS BIGINT)
+                 AS n_dupe_ids,
+               CAST(count(text) - count(DISTINCT text) AS BIGINT)
+                 AS n_dupe_texts,
+               CAST(min(length(coalesce(text, ''))) AS BIGINT)
+                 AS min_chars,
+               CAST(max(length(coalesce(text, ''))) AS BIGINT)
+                 AS max_chars,
+               CAST(sum(length(coalesce(text, ''))) AS BIGINT)
+                 AS total_chars,
+               CAST(sum(CASE WHEN text IS NOT NULL
+                             AND n_chars != length(text)
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_len_mismatch
+        FROM documents GROUP BY lang"""
+
+    # Contrastive triplets (kg.sampling.contrastive_triplets):
+    # positive = min LSH partner (the dedup_minhash_lsh pair SQL
+    # verbatim), negative = hash-ring hop (bucket = hex6(md5('11:'||id))
+    # % 16 — hash_pos salt 0xB — ranked by md5('r:'||id)); neg2 wraps
+    # two-past-the-end to the SECOND ring element when the row is last,
+    # else to the first.
+    _ring_w = "(PARTITION BY bucket ORDER BY rk, cand)"
+    _ring_wf = ("(PARTITION BY bucket ORDER BY rk, cand ROWS BETWEEN "
+                "UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)")
+    sqls["corpus_contrastive"] = f"""
+        WITH sig AS ({_MINHASH_SIG}),
+        buckets AS ({_BANDS}),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM buckets a JOIN buckets b
+            ON a.band = b.band AND a.bucket = b.bucket
+           AND a.doc_id < b.doc_id),
+        pos AS (
+          SELECT anchor, min(p) AS positive
+          FROM (SELECT id_a AS anchor, id_b AS p FROM pairs
+                UNION ALL
+                SELECT id_b AS anchor, id_a AS p FROM pairs)
+          GROUP BY anchor),
+        ring AS (
+          SELECT doc_id AS cand,
+                 {_hex6_of("md5('11:' || CAST(doc_id AS VARCHAR))")} % 16
+                   AS bucket,
+                 md5('r:' || CAST(doc_id AS VARCHAR)) AS rk
+          FROM documents WHERE lang = 'en'),
+        hops AS (
+          SELECT cand,
+                 coalesce(lead(cand, 1) OVER {_ring_w},
+                          first_value(cand) OVER {_ring_wf}) AS neg1,
+                 coalesce(lead(cand, 2) OVER {_ring_w},
+                          CASE WHEN lead(cand, 1) OVER {_ring_w} IS NULL
+                               THEN nth_value(cand, 2) OVER {_ring_wf}
+                               ELSE first_value(cand) OVER {_ring_wf}
+                          END) AS neg2
+          FROM ring)
+        SELECT anchor, positive,
+               CASE WHEN neg1 != anchor AND neg1 != positive THEN neg1
+                    WHEN neg2 IS NOT NULL AND neg2 != anchor
+                         AND neg2 != positive THEN neg2
+               END AS negative
+        FROM pos JOIN hops ON pos.anchor = hops.cand
+        WHERE negative IS NOT NULL"""
+
     return sqls
