@@ -1437,6 +1437,19 @@ def q_text_bpe_train(spark, sf_dir):
     return bpe_train(_docs(spark, sf_dir), n_merges=3)
 
 
+def q_text_bpe_encode(spark, sf_dir):
+    """BPE encode (kg.train.bpe_encode): apply the 3 merges bpe_train
+    learned on this corpus back to it — per doc the before/after token
+    counts and the md5 of the encoded text; bit-identical to the
+    trainer's final rewrite state (the oracle extends the bpe_train
+    CTE chain by one rewrite)."""
+    from kg.train import bpe_encode, bpe_train
+    d = _docs(spark, sf_dir)
+    return (bpe_encode(d, bpe_train(d, n_merges=3))
+            .select("doc_id", "n_tokens_before", "n_tokens_after",
+                    F.md5(F.col("text")).alias("enc_md5")))
+
+
 def q_corpus_quality_strata(spark, sf_dir):
     """Quality-stratified sampling (kg.sampling.quality_strata_sample):
     exact nearest-rank quartile strata of lexical diversity (value-
@@ -1704,6 +1717,18 @@ def q_corpus_classifier(spark, sf_dir):
                                  n_buckets=64, rounds=3)
 
 
+def q_embedding_top_pc(spark, sf_dir):
+    """Dominant-principal-component loadings (kg.embed): 3 power-
+    iteration rounds over the mean-centered micro-quantized embeddings
+    — exact integer arithmetic end to end (truncating divs, L∞
+    normalization), so the oracle replays fit AND projection
+    bit-for-bit as unrolled MATERIALIZED CTEs.  The ABTT (Mu &
+    Viswanath 2018) common-component score per vector."""
+    from kg.embed import top_pc_projection
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return top_pc_projection(emb, dim=64, rounds=3)
+
+
 def q_corpus_audit(spark, sf_dir):
     """Per-lang ingest data-quality audit (kg.corpus.corpus_audit): doc
     counts, null/empty text, duplicate ids/texts, length extremes, and
@@ -1748,7 +1773,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_components": q_dedup_components,
         "link_mentions": q_link_mentions,
-        "ann_lsh_topk": q_ann_lsh_topk,
         # --- r3 ERR, fixed this round (array outputs stringified) ----------
         "ann_centroids": q_ann_centroids,
         "kg_adjacency": q_kg_adjacency,
@@ -1777,7 +1801,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_heavy_hitters": q_text_heavy_hitters,
         "text_phrase_near": q_text_phrase_near,
         "corpus_quality_strata": q_corpus_quality_strata,
-        "text_bpe_train": q_text_bpe_train,
         # --- r4 session-4 additions (rotated into the window) --------------
         "kg_tag_modularity": q_kg_tag_modularity,
         "text_rake_keywords": q_text_rake_keywords,
@@ -1814,6 +1837,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_classifier": q_corpus_classifier,
         "corpus_audit": q_corpus_audit,
         "corpus_contrastive": q_corpus_contrastive,
+        # --- r4 session-8 additions (rotated into the window); one
+        # demotion each — see the demoted block -------------------------
+        "text_bpe_encode": q_text_bpe_encode,
+        "embedding_top_pc": q_embedding_top_pc,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also
@@ -1833,6 +1860,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # machinery is the edge builder of in-window dedup_components,
         # which re-exercises the same signature/band/bucket SQL verbatim
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        # demoted for text_bpe_encode (session 8): the STRONGEST possible
+        # subsumption — q_text_bpe_encode executes bpe_train on the Spark
+        # side and its oracle embeds the full text_bpe_train CTE chain
+        # (p1/m1/s1..m3) verbatim, so every training round is still
+        # driver-checked through the encode row
+        "text_bpe_train": q_text_bpe_train,
+        # demoted for embedding_top_pc (session 8): the ann family keeps
+        # five in-window rows (ann_sq/ivfpq/recall_ivf/kmeans/centroids)
+        # and the sign-LSH plane/bucket machinery is pytest-goldened;
+        # r2-green, untouched since
+        "ann_lsh_topk": q_ann_lsh_topk,
         "dedup_components_twophase": q_dedup_components_twophase,
         "kg_tag_pagerank": q_kg_tag_pagerank,
         "kg_tag_pmi": q_kg_tag_pmi,

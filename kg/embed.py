@@ -1,0 +1,120 @@
+"""Distributed embedding post-processing: dominant principal component
+by power iteration, and per-vector common-component projection (the
+"All-but-the-Top" recipe, Mu & Viswanath 2018, arXiv:1702.01417 —
+subtracting the mean and the top principal direction(s) measurably
+improves similarity search over off-the-shelf embeddings).
+
+The reference pipeline has no embedding algebra (its vectors live in
+Neo4j properties untouched); this is the training-data-pipeline
+counterpart for the `embeddings` table: score every vector's loading
+on the corpus-dominant direction so the caller can whiten, filter, or
+diagnose collapsed embedding batches.
+
+Everything is EXACT integer arithmetic so the DuckDB oracle replays it
+bit-for-bit (the house contract):
+
+  quantize   x_micro = round(x · 1e6)           (both engines half-away)
+  center     xc = x_micro − mean,  mean = sum div n   (truncating div)
+  iterate    dot_i = Σ_j xc_ij · v_j                   (one narrow map)
+             dn_i  = dot_i · 1000 div max(1, max_i |dot_i|)
+             u_j   = Σ_i xc_ij · dn_i            (map-side-combined agg)
+             v_j   = u_j · 1e6 div max(1, max_j |u_j|)   (driver, exact)
+  project    proj_i = Σ_j xc_ij · v_j div 1e6
+
+Because dot→u applies the PSD operator XᶜᵀXᶜ once per round, the sign
+of v never oscillates — orientation is pinned by the all-ones v₀.  A
+zero-variance corpus degenerates to v = 0 and proj = 0 in BOTH engines
+(the max(1, ·) guards replace a driver-side break so the oracle's
+unconditional replay stays bit-identical).
+
+Overflow ledger: |xc| ≤ ~4e6 for unit-ish float embeddings, |v| ≤ 1e6
+⇒ per-row dot ≤ 4e12·d (BIGINT-safe to d ~ 2e6); |dn| ≤ 1000 ⇒ u terms
+≤ 4e9, summed as DECIMAL(38,0) in Spark / HUGEINT in DuckDB so corpus
+size never overflows; the v update runs in unbounded Python ints.
+
+Scale shape: the corpus never leaves the cluster — per round ONE
+narrow in-row dot against the inlined v literal (fuses into the scan),
+one scalar max, and one d-wide map-side-combined aggregate; only the
+2·d-int model (mean, v) reaches the driver, the kmeans_fit/IVF
+"driver-sized model" coordination contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from kg.similarity import _lit1_sql, _micro_vec
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Integer division truncating toward zero — Spark `div` / DuckDB
+    `//` semantics (Python's // floors, which differs on negatives)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def _centered(emb: DataFrame, mean: list[int], id_col: str,
+              vec_col: str) -> DataFrame:
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        _micro_vec(F.col(vec_col)).alias("vm")).withColumn(
+        "xc", F.expr(f"zip_with(vm, {_lit1_sql(mean)}, (x, m) -> x - m)")
+    ).select("vec_id", "xc")
+
+
+def _dot_expr(v: list[int]):
+    return F.expr(f"aggregate(zip_with(xc, {_lit1_sql(v)}, "
+                  "(x, w) -> x * w), 0L, (a, t) -> a + t)")
+
+
+def top_pc_fit(emb: DataFrame, dim: int, rounds: int = 3,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> dict:
+    """Fit the corpus mean and dominant principal direction (micro
+    units, L∞-normalized) by `rounds` power-iteration steps.  Returns
+    {"mean": [d ints], "v": [d ints], "n": corpus size} — a
+    driver-sized, save_model-compatible artifact."""
+    mv = emb.select(_micro_vec(F.col(vec_col)).alias("vm"))
+    row = mv.agg(F.count("*").alias("_n"),
+                 *[F.sum(F.element_at("vm", d + 1)).alias(f"s{d}")
+                   for d in range(dim)]).collect()[0]
+    n = int(row["_n"])
+    if n == 0:
+        raise ValueError("top_pc_fit: empty corpus")
+    mean = [_tdiv(int(row[f"s{d}"]), n) for d in range(dim)]
+
+    # the centered frame feeds 2 aggregates per round — cut the lineage
+    # once (CLAUDE.md rule 7)
+    xc = _centered(emb, mean, id_col, vec_col).localCheckpoint()
+    v = [1_000_000] * dim
+    for _ in range(rounds):
+        dots = xc.withColumn("dot", _dot_expr(v))
+        m = dots.agg(F.max(F.abs(F.col("dot")))).collect()[0][0]
+        m = max(int(m or 0), 1)
+        dn = dots.withColumn("dn", F.expr(f"(dot * 1000) div {m}"))
+        urow = dn.agg(*[
+            F.sum((F.element_at("xc", d + 1) * F.col("dn"))
+                  .cast("decimal(38,0)")).alias(f"u{d}")
+            for d in range(dim)]).collect()[0]
+        u = [int(urow[f"u{d}"]) for d in range(dim)]
+        vmax = max(1, max(abs(x) for x in u))
+        v = [_tdiv(x * 1_000_000, vmax) for x in u]
+    return {"mean": mean, "v": v, "n": n}
+
+
+def top_pc_projection(emb: DataFrame, dim: int, rounds: int = 3,
+                      model: dict | None = None,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Per-vector loading on the dominant principal direction of the
+    mean-centered corpus: (vec_id, proj_micro).  Large |proj_micro| =
+    the vector rides the common component (ABTT removes it; collapsed
+    embedding batches show up as a degenerate proj histogram).
+
+    The scoring pass is a ZERO-shuffle narrow map — mean and v ride
+    inlined as SQL literals."""
+    model = model or top_pc_fit(emb, dim, rounds, id_col, vec_col)
+    xc = _centered(emb, model["mean"], id_col, vec_col)
+    return (xc.withColumn("_d", _dot_expr(model["v"]))
+            .select("vec_id", F.expr("_d div 1000000").cast("bigint")
+                    .alias("proj_micro")))

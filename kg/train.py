@@ -336,8 +336,50 @@ def bpe_train(df: DataFrame, n_merges: int = 3, text_col: str = "text",
             break                       # corpus exhausted of pairs
         w1, w2 = top["w1"], top["w2"]
         merges.append((r, w1, w2, int(top["c"])))
-        state = state.withColumn("text", F.expr(
-            "trim(replace(replace(concat(' ', replace(text, ' ', '  '), "
-            f"' '), ' {w1}  {w2} ', ' {w1}_{w2} '), '  ', ' '))"))
+        state = state.withColumn("text", _bpe_merge_expr("text", w1, w2))
     return df.sparkSession.createDataFrame(
         merges, "merge_round int, w1 string, w2 string, pair_count bigint")
+
+
+def _bpe_merge_expr(text_col: str, w1: str, w2: str):
+    """One BPE merge as a column expression — the doubled-space replace
+    frame shared by bpe_train (learning) and bpe_encode (applying).
+    Tokens must not contain '_' or quotes (the bpe_train contract)."""
+    return F.expr(
+        f"trim(replace(replace(concat(' ', replace({text_col}, ' ', '  '), "
+        f"' '), ' {w1}  {w2} ', ' {w1}_{w2} '), '  ', ' '))")
+
+
+def bpe_encode(df: DataFrame, merges, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Apply a learned BPE merge table to a corpus — the INFERENCE half
+    of `bpe_train` (HuggingFace tokenizers' `encode` over the merges a
+    trainer produced; the reference consumes its tokenizer models the
+    same way, OpenNLPPipeline.java:112-229).  `merges` is the
+    bpe_train output DataFrame (or a [(w1, w2), ...] list): a
+    driver-sized model artifact, so collecting it IS the model-load
+    step — the corpus itself never leaves the cluster.
+
+    Merges are applied in merge_round order, each with the same
+    doubled-space greedy leftmost-non-overlapping replace() frame
+    bpe_train used, so encode(train-corpus) is bit-identical to the
+    trainer's final rewrite state in any engine.
+
+    Returns (doc_id, text = encoded, n_tokens_before, n_tokens_after);
+    every merge that fires lowers the token count by 1 per occurrence.
+
+    Scale shape: N chained narrow per-row string maps (one per merge
+    rule, fused by codegen into the scan) — ZERO shuffles, zero UDFs,
+    zero joins."""
+    if isinstance(merges, DataFrame):
+        rules = [(r["w1"], r["w2"]) for r in
+                 merges.orderBy("merge_round").collect()]
+    else:
+        rules = list(merges)
+    ntok = lambda: F.size(F.split(F.trim(F.col("text")), " +")).cast("bigint")
+    out = (df.select(F.col(id_col).alias("doc_id"),
+                     F.col(text_col).alias("text"))
+           .withColumn("n_tokens_before", ntok()))
+    for w1, w2 in rules:
+        out = out.withColumn("text", _bpe_merge_expr("text", w1, w2))
+    return out.withColumn("n_tokens_after", ntok())

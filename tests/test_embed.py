@@ -1,0 +1,87 @@
+"""kg.embed — power-iteration top principal component (ABTT)."""
+
+import pyspark.sql.functions as F
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(rows)],
+        "vec_id long, embedding array<float>")
+
+
+def _py_fit_project(rows, rounds=3):
+    """Pure-Python integer replay of top_pc_fit + projection — the
+    oracle's arithmetic, independent of Spark."""
+    from kg.embed import _tdiv
+    xm = [[round(x * 1_000_000) for x in v] for v in rows]
+    n, dim = len(xm), len(xm[0])
+    mean = [_tdiv(sum(v[d] for v in xm), n) for d in range(dim)]
+    xc = [[v[d] - mean[d] for d in range(dim)] for v in xm]
+    v = [1_000_000] * dim
+    for _ in range(rounds):
+        dots = [sum(r[d] * v[d] for d in range(dim)) for r in xc]
+        m = max(1, max(abs(x) for x in dots))
+        dn = [_tdiv(x * 1000, m) for x in dots]
+        u = [sum(xc[i][d] * dn[i] for i in range(n)) for d in range(dim)]
+        vmax = max(1, max(abs(x) for x in u))
+        v = [_tdiv(x * 1_000_000, vmax) for x in u]
+    return [_tdiv(sum(r[d] * v[d] for d in range(dim)), 1_000_000)
+            for r in xc]
+
+
+def test_top_pc_finds_dominant_axis(spark):
+    """Variance concentrated on dim 2 -> the fitted direction's max-abs
+    coordinate is dim 2 and projections recover the axis-2 ordering."""
+    from kg.embed import top_pc_fit, top_pc_projection
+    rows = [[0.01 * ((i * 7) % 5), 0.02 * ((i * 3) % 4),
+             1.0 * i - 3.5, 0.015 * ((i * 5) % 3)] for i in range(8)]
+    df = _emb(spark, rows)
+    model = top_pc_fit(df, dim=4, rounds=3)
+    vabs = [abs(x) for x in model["v"]]
+    assert vabs.index(max(vabs)) == 2
+    got = {r.vec_id: r.proj_micro for r in
+           top_pc_projection(df, dim=4, rounds=3, model=model).collect()}
+    order = sorted(range(8), key=lambda i: got[i])
+    # monotone in axis-2 value, possibly globally sign-flipped
+    assert order == list(range(8)) or order == list(range(7, -1, -1))
+
+
+def test_top_pc_matches_pure_python_replay_bit_exact(spark):
+    from kg.embed import top_pc_projection
+    rows = [[0.3, -1.2, 0.05, 0.9], [-0.7, 0.4, 1.1, -0.2],
+            [0.0, 0.0, -0.6, 0.33], [1.5, -0.8, 0.2, 0.1],
+            [-0.25, 0.95, -0.4, -1.0]]
+    want = _py_fit_project(rows)
+    got = {r.vec_id: r.proj_micro for r in
+           top_pc_projection(_emb(spark, rows), dim=4).collect()}
+    assert [got[i] for i in range(5)] == want
+
+
+def test_top_pc_partitioning_invariant(spark):
+    from kg.embed import top_pc_projection
+    rows = [[((i * 13) % 7) / 3.0 - 1.0, ((i * 5) % 11) / 5.0 - 1.0,
+             ((i * 3) % 13) / 6.0 - 1.0] for i in range(30)]
+    a = sorted(map(tuple, top_pc_projection(
+        _emb(spark, rows).coalesce(1), dim=3).collect()))
+    b = sorted(map(tuple, top_pc_projection(
+        _emb(spark, rows).repartition(7), dim=3).collect()))
+    assert a == b
+
+
+def test_top_pc_zero_variance_degenerates_to_zero(spark):
+    from kg.embed import top_pc_fit, top_pc_projection
+    df = _emb(spark, [[0.5, -0.5]] * 4)
+    model = top_pc_fit(df, dim=2, rounds=2)
+    assert model["v"] == [0, 0]
+    assert all(r.proj_micro == 0 for r in
+               top_pc_projection(df, dim=2, rounds=2).collect())
+
+
+def test_top_pc_projection_plan_is_narrow(spark):
+    """Scoring with a prefit model is a zero-shuffle narrow map."""
+    from kg.embed import top_pc_projection
+    df = _emb(spark, [[0.1, 0.2]])
+    plan = top_pc_projection(
+        df, dim=2, model={"mean": [0, 0], "v": [1_000_000, 0], "n": 1}
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "ArrowEvalPython" not in plan

@@ -276,3 +276,41 @@ def test_bpe_train_partition_invariant_and_exhaustion(spark):
     single = spark.createDataFrame([(0, "x"), (1, "")],
                                    "doc_id long, text string")
     assert bpe_train(single, 2).count() == 0
+
+
+def test_bpe_encode_matches_trainer_final_state(spark):
+    """encode(train-corpus) with the learned merges reproduces the
+    trainer's final rewrite state; every firing merge drops the token
+    count by one per occurrence."""
+    from kg.train import bpe_encode, bpe_train
+    docs = spark.createDataFrame([(0, "a b a b"), (1, "b c")],
+                                 "doc_id long, text string")
+    merges = bpe_train(docs, 3)
+    got = {r.doc_id: r for r in bpe_encode(docs, merges).collect()}
+    # merges: (a,b)x2 -> (b,c) -> (a_b,a_b)
+    assert got[0].text == "a_b_a_b"
+    assert (got[0].n_tokens_before, got[0].n_tokens_after) == (4, 1)
+    assert got[1].text == "b_c"
+    assert (got[1].n_tokens_before, got[1].n_tokens_after) == (2, 1)
+
+
+def test_bpe_encode_list_rules_and_unseen_corpus(spark):
+    """Rules apply in order to a corpus the trainer never saw; pairs
+    absent from a doc leave it untouched."""
+    from kg.train import bpe_encode
+    docs = spark.createDataFrame([(0, "a b c"), (1, "z z")],
+                                 "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           bpe_encode(docs, [("a", "b"), ("a_b", "c")]).collect()}
+    assert got[0].text == "a_b_c" and got[0].n_tokens_after == 1
+    assert got[1].text == "z z" and got[1].n_tokens_after == 2
+
+
+def test_bpe_encode_zero_shuffle_plan(spark):
+    """The encode path is N chained narrow maps — no Exchange, no
+    Python worker in the plan."""
+    from kg.train import bpe_encode
+    docs = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    plan = bpe_encode(docs, [("a", "b")])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan and "ArrowEvalPython" not in plan

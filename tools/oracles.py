@@ -2264,6 +2264,30 @@ def build_oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT CAST(3 AS INT), w1, w2, c FROM m3"""
 
+    # BPE encode (kg.train.bpe_encode): train the same 3 merges, then
+    # apply them in round order — encode(train-corpus) IS the trainer's
+    # final rewrite state s3; token counts via the shared ' +' split.
+    _bpe_n = "len(regexp_split_to_array(trim({c}), ' +'))"
+    sqls["text_bpe_encode"] = f"""
+        WITH s0 AS MATERIALIZED (
+          SELECT doc_id, text FROM documents WHERE lang = 'en'),
+        p1 AS {_bpe_pairs('s0')},
+        m1 AS MATERIALIZED {_bpe_m.format(p='p1')},
+        s1 AS MATERIALIZED {_bpe_rewrite('s0', 'm1')},
+        p2 AS {_bpe_pairs('s1')},
+        m2 AS MATERIALIZED {_bpe_m.format(p='p2')},
+        s2 AS MATERIALIZED {_bpe_rewrite('s1', 'm2')},
+        p3 AS {_bpe_pairs('s2')},
+        m3 AS MATERIALIZED {_bpe_m.format(p='p3')},
+        s3 AS MATERIALIZED {_bpe_rewrite('s2', 'm3')}
+        SELECT s0.doc_id,
+               CAST({_bpe_n.format(c='s0.text')} AS BIGINT)
+                 AS n_tokens_before,
+               CAST({_bpe_n.format(c='s3.text')} AS BIGINT)
+                 AS n_tokens_after,
+               md5(s3.text) AS enc_md5
+        FROM s0 JOIN s3 USING (doc_id)"""
+
     # quality-stratified sampling: exact nearest-rank quartile thresholds
     # over the diversity-value histogram, ties to the lower stratum,
     # per-stratum md5 keeps (top stratum = the 'g' keep-all sentinel)
@@ -3116,5 +3140,45 @@ def build_oracle_sql() -> dict[str, str]:
                END AS negative
         FROM pos JOIN hops ON pos.anchor = hops.cand
         WHERE negative IS NOT NULL"""
+
+    # Top principal component by power iteration (kg.embed): 3 unrolled
+    # rounds, exact integer micro arithmetic — mean = sum // n, dot
+    # normalized to milli by the round's max |dot|, v re-normalized to
+    # micro by max |u| (all divs truncate toward zero in both engines).
+    # d{r}/u{r} are each referenced twice (body + scalar max subquery)
+    # → MATERIALIZED (the kcore multiplicative-reexpansion trap).
+    _pc_rounds = []
+    for _r in (1, 2, 3):
+        _pv = "v0" if _r == 1 else f"v{_r - 1}"
+        _pc_rounds.append(f"""
+        d{_r} AS MATERIALIZED (
+          SELECT vec_id, sum(x * v) AS dot
+          FROM xc JOIN {_pv} USING (d) GROUP BY vec_id),
+        dn{_r} AS (
+          SELECT vec_id, (dot * 1000)
+                 // greatest((SELECT max(abs(dot)) FROM d{_r}), 1) AS dn
+          FROM d{_r}),
+        u{_r} AS MATERIALIZED (
+          SELECT d, sum(x * dn) AS u
+          FROM xc JOIN dn{_r} USING (vec_id) GROUP BY d),
+        v{_r} AS MATERIALIZED (
+          SELECT d, u * 1000000
+                 // greatest((SELECT max(abs(u)) FROM u{_r}), 1) AS v
+          FROM u{_r})""")
+    sqls["embedding_top_pc"] = f"""
+        WITH xm AS MATERIALIZED (
+          SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+                 CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000,
+                            0) AS BIGINT) AS x
+          FROM embeddings),
+        mean AS (SELECT d, sum(x) // count(*) AS mu FROM xm GROUP BY d),
+        xc AS MATERIALIZED (
+          SELECT vec_id, xm.d, x - mu AS x
+          FROM xm JOIN mean USING (d)),
+        v0 AS (SELECT DISTINCT d, CAST(1000000 AS BIGINT) AS v FROM xc),
+        {','.join(_pc_rounds)}
+        SELECT vec_id, CAST(sum(x * v) // 1000000 AS BIGINT)
+                 AS proj_micro
+        FROM xc JOIN v3 USING (d) GROUP BY vec_id"""
 
     return sqls
