@@ -1729,6 +1729,33 @@ def q_embedding_top_pc(spark, sf_dir):
     return top_pc_projection(emb, dim=64, rounds=3)
 
 
+def q_dedup_bleu_pairs(spark, sf_dir):
+    """Clipped n-gram precision verification of the MinHash-LSH
+    candidate pairs (kg.dedup.pair_ngram_precision): BLEU's modified
+    p_1/p_2 of id_a against id_b in exact integer micro — the
+    multiplicity-aware asymmetric score the set-Jaccard verifier
+    misses; the oracle re-embeds the LSH pair SQL verbatim and replays
+    the clipped-count joins."""
+    from kg.dedup import minhash_lsh_pairs, pair_ngram_precision
+    d = _docs(spark, sf_dir)
+    return pair_ngram_precision(d, minhash_lsh_pairs(d, k=16, bands=4,
+                                                     n=2))
+
+
+def q_embedding_zorder(spark, sf_dir):
+    """Z-order layout keys (kg.materialize.zorder_keys) over the two
+    leading embedding dimensions: SQ8-style 256-level codes between the
+    corpus per-dim min/max, bits interleaved Morton-style — the
+    OPTIMIZE ZORDER BY clustering key, every cell exact integer."""
+    from kg.materialize import zorder_keys
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id",
+                   F.element_at("embedding", 1).alias("e1"),
+                   F.element_at("embedding", 2).alias("e2")))
+    return (zorder_keys(emb, ["e1", "e2"], bits=8)
+            .select("vec_id", "zq0", "zq1", "zorder_key"))
+
+
 def q_corpus_audit(spark, sf_dir):
     """Per-lang ingest data-quality audit (kg.corpus.corpus_audit): doc
     counts, null/empty text, duplicate ids/texts, length extremes, and
@@ -1748,7 +1775,10 @@ def q_corpus_contrastive(spark, sf_dir):
     from kg.dedup import minhash_lsh_pairs
     from kg.sampling import contrastive_triplets
     d = _docs(spark, sf_dir)
-    return contrastive_triplets(d, minhash_lsh_pairs(d), n_buckets=16)
+    # n=2 matches the oracle's _SHINGLES2 replay exactly (the same
+    # parameters q_dedup_minhash_lsh pins)
+    return contrastive_triplets(d, minhash_lsh_pairs(d, k=16, bands=4, n=2),
+                                n_buckets=16)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1770,9 +1800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # for the session-4 additions — see the demoted block) --------------
         "kg_next_sentence": q_kg_next_sentence,
         "kg_first_sentence": q_kg_first_sentence,
-        "dedup_simhash": q_dedup_simhash,
         "dedup_components": q_dedup_components,
-        "link_mentions": q_link_mentions,
         # --- r3 ERR, fixed this round (array outputs stringified) ----------
         "ann_centroids": q_ann_centroids,
         "kg_adjacency": q_kg_adjacency,
@@ -1841,6 +1869,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # demotion each — see the demoted block -------------------------
         "text_bpe_encode": q_text_bpe_encode,
         "embedding_top_pc": q_embedding_top_pc,
+        "dedup_bleu_pairs": q_dedup_bleu_pairs,
+        "embedding_zorder": q_embedding_zorder,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also
@@ -1871,6 +1901,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and the sign-LSH plane/bucket machinery is pytest-goldened;
         # r2-green, untouched since
         "ann_lsh_topk": q_ann_lsh_topk,
+        # demoted for dedup_bleu_pairs (session 8), which re-embeds the
+        # minhash band/bucket pair SQL verbatim (as corpus_contrastive
+        # already does in-window); simhash's md5-bit machinery is
+        # pytest-goldened and its xxhash64 twin plan is benched;
+        # r2-green, untouched since
+        "dedup_simhash": q_dedup_simhash,
+        # demoted for embedding_zorder (session 8): the exact-dict path
+        # is a broadcast join (plan-tested) and the fuzzy path is the
+        # same distinct-lemma LSH banding the in-window pair consumers
+        # re-exercise; e2e graph-rewrite pytest (test_run_pipeline);
+        # r2-green, untouched since
+        "link_mentions": q_link_mentions,
         "dedup_components_twophase": q_dedup_components_twophase,
         "kg_tag_pagerank": q_kg_tag_pagerank,
         "kg_tag_pmi": q_kg_tag_pmi,

@@ -93,6 +93,12 @@ HEADLINE = [
     "corpus_dsir",           # DSIR hashed-ngram importance scores
     "kg_tag_spread",         # seeded clamped label spreading, 3 rounds
     "corpus_classifier",     # hashed-unigram perceptron language filter
+    "corpus_audit",          # one-aggregate ingest data-quality report
+    "corpus_contrastive",    # LSH-positive / hash-ring-negative triplets
+    "text_bpe_encode",       # learned-merge application, chained narrow
+    "embedding_top_pc",      # integer power-iteration ABTT loadings
+    "dedup_bleu_pairs",      # clipped n-gram precision pair verification
+    "embedding_zorder",      # Morton layout keys, zero-shuffle assign
 ]
 
 

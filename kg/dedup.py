@@ -440,6 +440,77 @@ def containment_pairs(df: DataFrame, n: int = 3, threshold: float = 0.8,
                     .alias("containment_micro")))
 
 
+def pair_ngram_precision(df: DataFrame, pairs: DataFrame,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Clipped n-gram precision (BLEU's modified p_n, Papineni et al.
+    2002) of id_a against id_b for every candidate pair, n ∈ {1, 2}:
+
+        p_n(A|B) = Σ_g min(count_A(g), count_B(g)) / |A|_n
+
+    — the multiplicity-aware, ASYMMETRIC verification score for pairs a
+    blocking stage (MinHash-LSH, winnowing, SimHash) proposed.  It
+    separates cases set-Jaccard conflates: a doc that repeats one
+    shared sentence many times scores low (clipping caps each gram at
+    the reference count), and a short doc quoted inside a long one
+    scores high — the same signal GPT-3's appendix-C decontamination
+    measures between train and benchmark docs.  The reference has no
+    pairwise scorer (its dedup is node-identity only, e.g.
+    TextProcessorTest.java checkAnnotatedText uniqueness asserts).
+
+    Returns (id_a, id_b, n, clipped, len_a, prec_micro) — two rows per
+    pair, every cell an exact integer; |A|_n = 0 scores 0.
+
+    Scale shape: work is PAIR-bounded, never corpus-bounded — docs are
+    semi-joined to the pair id set first; unigrams and bigrams ride ONE
+    explode (array-of-structs, repo rule 3) into one gram-count
+    aggregate that is then branched three ways (both join sides + the
+    length aggregate), so it is localCheckpointed once (rule 7)."""
+    ids = (pairs.select(F.col("id_a").alias("doc"))
+           .unionByName(pairs.select(F.col("id_b").alias("doc")))
+           .distinct())
+    docs = (df.select(F.col(id_col).alias("doc"),
+                      F.col(text_col).alias("text"))
+            .join(ids, "doc", "left_semi"))
+    combined = F.concat(
+        F.transform(gram_positions("text", 1),
+                    lambda g: F.struct(F.lit(1).alias("n"),
+                                       g.alias("gram"))),
+        F.transform(gram_positions("text", 2),
+                    lambda g: F.struct(F.lit(2).alias("n"),
+                                       g.alias("gram"))))
+    grams = (docs.select("doc", F.explode(combined).alias("g"))
+             .select("doc", F.col("g.n").alias("n"),
+                     F.col("g.gram").alias("gram")))
+    counts = (grams.groupBy("doc", "n", "gram")
+              .agg(F.count("*").cast("bigint").alias("c"))
+              .localCheckpoint())
+    lens = counts.groupBy("doc", "n").agg(F.sum("c").alias("len_a"))
+    ca = counts.select(F.col("doc").alias("id_a"), "n", "gram",
+                       F.col("c").alias("ca"))
+    cb = counts.select(F.col("doc").alias("id_b"), "n", "gram",
+                       F.col("c").alias("cb"))
+    inter = (pairs.join(ca, "id_a").join(cb, ["id_b", "n", "gram"])
+             .groupBy("id_a", "id_b", "n")
+             .agg(F.sum(F.least("ca", "cb")).cast("bigint")
+                  .alias("clipped")))
+    base = pairs.select(
+        "id_a", "id_b",
+        F.explode(F.array(F.lit(1), F.lit(2))).alias("n"))
+    return (base.join(inter, ["id_a", "id_b", "n"], "left")
+            .join(lens.withColumnRenamed("doc", "id_a"), ["id_a", "n"],
+                  "left")
+            .select("id_a", "id_b", "n",
+                    F.coalesce("clipped", F.lit(0)).cast("bigint")
+                    .alias("clipped"),
+                    F.coalesce("len_a", F.lit(0)).cast("bigint")
+                    .alias("len_a"),
+                    F.expr("CASE WHEN coalesce(len_a, 0) = 0 THEN 0 "
+                           "ELSE (coalesce(clipped, 0) * 1000000) "
+                           "div len_a END").cast("bigint")
+                    .alias("prec_micro")))
+
+
 def span_dedup(df: DataFrame, w: int = 5, text_col: str = "text",
                id_col: str = "doc_id", out_col: str = "text_dedup",
                max_chunks_per_doc: int = 100_000,

@@ -103,6 +103,53 @@ def write_bucketed(df: DataFrame, table: str, bucket_col: str = "subj",
     w.saveAsTable(table)
 
 
+def zorder_keys(df: DataFrame, cols: list[str], bits: int = 8) -> DataFrame:
+    """Morton (Z-order) layout keys over `cols` — the multi-dimensional
+    clustering key behind Delta/Iceberg `OPTIMIZE ZORDER BY`: write the
+    table `repartitionByRange("zorder_key")` + sortWithinPartitions and
+    range predicates on ANY of the interleaved columns prune files via
+    parquet min/max stats, because Z-order maps multi-dimensional
+    proximity to one-dimensional key proximity.  The layout complement
+    of `write_bucketed` (equi-join co-location) for range/similarity
+    workloads — e.g. clustering an embedding table by its two leading
+    principal dimensions so IVF/SQ candidate scans touch few files.
+
+    Exact integer protocol (engine-portable, oracle-replayable):
+      x_micro  = round(x · 1e6)                    (house micro quantize)
+      fit      per column (min, max) over the corpus — ONE map-side-
+               combined aggregate, 2·k scalars to the driver
+      code     q_c = (x_micro − mn_c)·(2^bits − 1) div (mx_c − mn_c)
+               (the ann_sq_topk SQ8 formula; constant column → 0)
+      key      bit b of q_c lands at position b·k + c:
+               zkey = Σ_b Σ_c ((q_c div 2^b) mod 2) · 2^(b·k + c)
+
+    Key assignment is a ZERO-shuffle narrow map (the fit literals ride
+    inlined); the only shuffle anywhere is the range repartition of the
+    write itself.  Returns df + columns zq0..zq{k-1}, zorder_key."""
+    k = len(cols)
+    lm1 = (1 << bits) - 1
+    xm = [F.round(F.col(c).cast("double") * 1_000_000, 0).cast("bigint")
+          for c in cols]
+    row = df.agg(*[F.min(xm[c]).alias(f"mn{c}") for c in range(k)],
+                 *[F.max(xm[c]).alias(f"mx{c}") for c in range(k)]
+                 ).collect()[0]
+    mn = [int(row[f"mn{c}"]) for c in range(k)]
+    span = [int(row[f"mx{c}"]) - mn[c] for c in range(k)]
+    out = df
+    for c in range(k):
+        if span[c] == 0:
+            q = F.lit(0).cast("bigint")
+        else:
+            q = F.expr(
+                f"((CAST(round(CAST({cols[c]} AS DOUBLE) * 1000000, 0) "
+                f"AS BIGINT) - ({mn[c]})) * {lm1}) div {span[c]}")
+        out = out.withColumn(f"zq{c}", q)
+    terms = " + ".join(
+        f"((zq{c} div {1 << b}) % 2) * {1 << (b * k + c)}"
+        for b in range(bits) for c in range(k))
+    return out.withColumn("zorder_key", F.expr(f"CAST({terms} AS BIGINT)"))
+
+
 def run_partitioned(sent_df: DataFrame, triples: DataFrame, out_path: str,
                     spark: SparkSession,
                     keys: tuple[str, ...] = ("lang", SALT_COL)) -> dict:

@@ -567,3 +567,54 @@ def test_winnow_pairs_max_df_drops_boilerplate(spark):
         [(i, boiler) for i in range(5)], "doc_id long, text string")
     assert winnow_pairs(df, min_shared=1, max_df=5).count() == 10
     assert winnow_pairs(df, min_shared=1, max_df=4).count() == 0
+
+
+# --- clipped n-gram precision (kg.dedup.pair_ngram_precision) ------------
+
+def _pnp(spark, docs, pairs):
+    from kg.dedup import pair_ngram_precision
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    p = spark.createDataFrame(pairs, "id_a long, id_b long")
+    return {(r.id_a, r.id_b, r.n): r for r in
+            pair_ngram_precision(d, p).collect()}
+
+
+def test_pair_ngram_precision_hand_computed(spark):
+    """A = 'a b a c', B = 'a b b': unigrams clipped min counts — a:
+    min(2,1)=1, b: min(1,2)=1, c: 0 -> 2/4; bigrams — 'a b': 1 -> 1/3."""
+    got = _pnp(spark, [(0, "a b a c"), (1, "a b b")], [(0, 1)])
+    u = got[(0, 1, 1)]
+    assert (u.clipped, u.len_a, u.prec_micro) == (2, 4, 500000)
+    b = got[(0, 1, 2)]
+    assert (b.clipped, b.len_a, b.prec_micro) == (1, 3, 333333)
+
+
+def test_pair_ngram_precision_is_asymmetric_and_clips_repeats(spark):
+    """Short doc quoted in a long one: precision of the short side is
+    1.0; a doc spamming one shared token is capped at the reference
+    count."""
+    got = _pnp(spark, [(0, "x y"), (1, "q x y r s"), (2, "x x x x")],
+               [(0, 1), (2, 0)])
+    assert got[(0, 1, 1)].prec_micro == 1000000     # both unigrams hit
+    assert got[(0, 1, 2)].prec_micro == 1000000     # 'x y' present
+    # doc 2 repeats 'x' 4 times but doc 0 has it once -> clipped 1/4
+    assert got[(2, 0, 1)].clipped == 1
+    assert got[(2, 0, 1)].prec_micro == 250000
+
+
+def test_pair_ngram_precision_short_doc_zero_bigrams(spark):
+    """A one-token candidate has no bigrams: len 0 scores 0, no
+    div-by-zero."""
+    got = _pnp(spark, [(0, "x"), (1, "x y")], [(0, 1)])
+    assert got[(0, 1, 1)].prec_micro == 1000000
+    b = got[(0, 1, 2)]
+    assert (b.clipped, b.len_a, b.prec_micro) == (0, 0, 0)
+
+
+def test_pair_ngram_precision_pair_bounded_and_disjoint(spark):
+    """Docs outside the pair set contribute nothing; disjoint pairs
+    score 0; output is exactly 2 rows per pair."""
+    got = _pnp(spark, [(0, "a b"), (1, "c d"), (9, "a b c d")],
+               [(0, 1)])
+    assert set(got) == {(0, 1, 1), (0, 1, 2)}
+    assert got[(0, 1, 1)].prec_micro == 0

@@ -153,3 +153,65 @@ def test_write_samples_jsonl_partitioned(spark, tmp_path):
     assert {tuple(r) for r in back.select("split", "shard_seq", "text")
             .collect()} == {("train", 0, "a b"), ("train", 1, "c d"),
                             ("val", 0, "e f")}
+
+
+# --- Z-order layout keys (kg.materialize.zorder_keys) --------------------
+
+def _zdf(spark, rows):
+    return spark.createDataFrame(rows, "id long, a double, b double")
+
+
+def test_zorder_hand_interleaved(spark):
+    """bits=2 over values 0..3: q == value; bit b of column c lands at
+    position b*k + c.  (a=2, b=3) -> 0b1110 = 14."""
+    from kg.materialize import zorder_keys
+    rows = [(i * 4 + j, float(i), float(j)) for i in range(4)
+            for j in range(4)]
+    got = {(int(r.a), int(r.b)): r for r in
+           zorder_keys(_zdf(spark, rows), ["a", "b"], bits=2).collect()}
+    assert (got[(2, 3)].zq0, got[(2, 3)].zq1) == (2, 3)
+    assert got[(2, 3)].zorder_key == 14
+    assert got[(0, 0)].zorder_key == 0
+    assert got[(3, 3)].zorder_key == 15
+    assert got[(1, 0)].zorder_key == 1 and got[(0, 1)].zorder_key == 2
+    # bijective on the grid
+    assert len({r.zorder_key for r in got.values()}) == 16
+
+
+def test_zorder_min_max_mapping_and_constant_column(spark):
+    from kg.materialize import zorder_keys
+    rows = [(0, -1.5, 7.0), (1, 2.5, 7.0), (2, 0.5, 7.0)]
+    got = {r.id: r for r in
+           zorder_keys(_zdf(spark, rows), ["a", "b"], bits=8).collect()}
+    assert got[0].zq0 == 0 and got[1].zq0 == 255   # min -> 0, max -> lm1
+    assert all(r.zq1 == 0 for r in got.values())   # constant column
+    assert got[2].zq0 == ((500000 + 1500000) * 255) // 4000000
+
+
+def test_zorder_prefix_locality(spark):
+    """Points agreeing on the top t bits of every column agree on the
+    top k*t bits of the key (same Z-curve block)."""
+    from kg.materialize import zorder_keys
+    rows = [(i * 16 + j, float(i), float(j)) for i in range(16)
+            for j in range(16)]
+    got = zorder_keys(_zdf(spark, rows), ["a", "b"], bits=4).collect()
+    by_q = {(r.zq0, r.zq1): r.zorder_key for r in got}
+    # top 2 bits of each q -> top 4 bits of the 8-bit key
+    for (q0, q1), z in by_q.items():
+        assert z // 16 == sum(((q0 >> (2 + t)) & 1) << (2 * t)
+                              | ((q1 >> (2 + t)) & 1) << (2 * t + 1)
+                              for t in range(2))
+
+
+def test_zorder_partition_invariant_and_narrow_plan(spark):
+    from kg.materialize import zorder_keys
+    rows = [(i, float((i * 7) % 13), float((i * 5) % 11))
+            for i in range(40)]
+    a = sorted(map(tuple, zorder_keys(
+        _zdf(spark, rows).coalesce(1), ["a", "b"]).collect()))
+    b = sorted(map(tuple, zorder_keys(
+        _zdf(spark, rows).repartition(6), ["a", "b"]).collect()))
+    assert a == b
+    plan = zorder_keys(_zdf(spark, rows), ["a", "b"])._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "ArrowEvalPython" not in plan

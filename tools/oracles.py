@@ -3181,4 +3181,84 @@ def build_oracle_sql() -> dict[str, str]:
                  AS proj_micro
         FROM xc JOIN v3 USING (d) GROUP BY vec_id"""
 
+    # Z-order layout keys (kg.materialize.zorder_keys): SQ8 codes over
+    # dims 1-2 (the ann_sq_topk formula), bit b of column c interleaved
+    # to position b*2 + c — pure div/mod arithmetic, engine-portable.
+    _z_terms = " + ".join(
+        f"((zq{c} // {1 << b}) % 2) * {1 << (b * 2 + c)}"
+        for b in range(8) for c in range(2))
+    sqls["embedding_zorder"] = f"""
+        WITH e AS (
+          SELECT vec_id,
+                 CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000, 0)
+                      AS BIGINT) AS x0,
+                 CAST(round(CAST(embedding[2] AS DOUBLE) * 1000000, 0)
+                      AS BIGINT) AS x1
+          FROM embeddings),
+        mm AS (SELECT min(x0) AS mn0, max(x0) AS mx0,
+                      min(x1) AS mn1, max(x1) AS mx1 FROM e),
+        q AS (SELECT vec_id,
+                CASE WHEN mx0 = mn0 THEN 0
+                     ELSE ((x0 - mn0) * 255) // (mx0 - mn0) END AS zq0,
+                CASE WHEN mx1 = mn1 THEN 0
+                     ELSE ((x1 - mn1) * 255) // (mx1 - mn1) END AS zq1
+              FROM e, mm)
+        SELECT vec_id, CAST(zq0 AS BIGINT) AS zq0,
+               CAST(zq1 AS BIGINT) AS zq1,
+               CAST({_z_terms} AS BIGINT) AS zorder_key
+        FROM q"""
+
+    # Clipped n-gram precision over the LSH candidate pairs
+    # (kg.dedup.pair_ngram_precision): the dedup_minhash_lsh pair SQL
+    # verbatim, then BLEU p_1/p_2 of id_a against id_b — clipped counts
+    # via min over the per-(doc, n, gram) multiplicities; |A|_n = 0
+    # scores 0.
+    sqls["dedup_bleu_pairs"] = f"""
+        WITH sig AS ({_MINHASH_SIG}),
+        buckets AS ({_BANDS}),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM buckets a JOIN buckets b
+            ON a.band = b.band AND a.bucket = b.bucket
+           AND a.doc_id < b.doc_id),
+        ids AS (SELECT DISTINCT id_a AS doc FROM pairs
+                UNION SELECT id_b FROM pairs),
+        toksrc AS (
+          SELECT doc_id AS doc, {_TOKS} AS t
+          FROM documents
+          WHERE lang = 'en' AND doc_id IN (SELECT doc FROM ids)),
+        grams AS (
+          SELECT doc, 1 AS n, t[i] AS gram
+          FROM (SELECT doc, t, generate_subscripts(t, 1) AS i
+                FROM toksrc)
+          UNION ALL
+          SELECT doc, 2, t[i] || ' ' || t[i + 1]
+          FROM (SELECT doc, t, generate_subscripts(t, 1) AS i
+                FROM toksrc)
+          WHERE i < len(t)),
+        counts AS MATERIALIZED (
+          SELECT doc, n, gram, CAST(count(*) AS BIGINT) AS c
+          FROM grams GROUP BY 1, 2, 3),
+        lens AS (SELECT doc, n, CAST(sum(c) AS BIGINT) AS len_a
+                 FROM counts GROUP BY 1, 2),
+        inter AS (
+          SELECT p.id_a, p.id_b, a.n,
+                 CAST(sum(least(a.c, b.c)) AS BIGINT) AS clipped
+          FROM pairs p
+          JOIN counts a ON a.doc = p.id_a
+          JOIN counts b ON b.doc = p.id_b AND b.n = a.n
+           AND b.gram = a.gram
+          GROUP BY 1, 2, 3),
+        base AS (SELECT id_a, id_b, n
+                 FROM pairs, (SELECT 1 AS n UNION ALL SELECT 2) ns)
+        SELECT base.id_a, base.id_b, CAST(base.n AS INT) AS n,
+               coalesce(clipped, 0) AS clipped,
+               coalesce(len_a, 0) AS len_a,
+               CASE WHEN coalesce(len_a, 0) = 0 THEN 0
+                    ELSE (coalesce(clipped, 0) * 1000000) // len_a
+               END AS prec_micro
+        FROM base
+        LEFT JOIN inter USING (id_a, id_b, n)
+        LEFT JOIN lens ON lens.doc = base.id_a AND lens.n = base.n"""
+
     return sqls
