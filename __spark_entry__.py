@@ -1781,6 +1781,80 @@ def q_corpus_contrastive(spark, sf_dir):
                                 n_buckets=16)
 
 
+def q_corpus_overlap_kmv(spark, sf_dir):
+    """Two-corpus KMV distinct/overlap report (kg.sketch.kmv_overlap):
+    the doc_id-parity halves of the en corpus as crawls A/B, 3-gram
+    shingle sets, k=128 bottom-k md5 sketches.  Deterministic md5 →
+    the sketch (and every estimate) is layout-invariant, so the oracle
+    replays it verbatim (ORDER BY md5 LIMIT k); exact=True adds the
+    exact distinct counts + Jaccard alongside — the audit pairing."""
+    from kg.dedup import word_shingles
+    from kg.sketch import kmv_overlap
+    d = _docs(spark, sf_dir)
+    sh_a = word_shingles(d.filter(F.col("doc_id") % 2 == 0), 3)
+    sh_b = word_shingles(d.filter(F.col("doc_id") % 2 == 1), 3)
+    return kmv_overlap(sh_a.select("shingle"), sh_b.select("shingle"),
+                       "shingle", k=128)
+
+
+def q_dedup_cosine_pairs(spark, sf_dir):
+    """tf-idf-weighted 3-gram cosine near-dup pairs
+    (kg.dedup.tfidf_cosine_pairs): cos² ≥ 0.25e6 ppm (cos ≥ 0.5),
+    integer floor-log2 idf bits, DECIMAL(38)/HUGEINT square arithmetic
+    — the weighted counterpart of dedup_ngram_jaccard."""
+    from kg.dedup import tfidf_cosine_pairs
+    return tfidf_cosine_pairs(_docs(spark, sf_dir), n=3,
+                              threshold_ppm=250_000)
+
+
+def q_dedup_recall_lsh(spark, sf_dir):
+    """In-engine banded-LSH recall/precision audit
+    (kg.dedup.lsh_recall_report): exact 2-gram Jaccard ≥ 0.5 pairs as
+    truth vs the k=16/bands=4 blocker's candidates — the dedup-family
+    counterpart of ann_recall_ivf.  max_df=None so the checked
+    contract has no cap divergence (ADVICE r3)."""
+    from kg.dedup import lsh_recall_report
+    return lsh_recall_report(_docs(spark, sf_dir), n=2, k=16, bands=4,
+                             threshold=0.5, max_df=None)
+
+
+def q_corpus_overlap_matrix(spark, sf_dir):
+    """Pairwise source-overlap matrix from per-group KMV sketches
+    (kg.sketch.kmv_overlap_matrix): one sketch pass over 2-gram
+    shingles grouped by `source`, k=64; every pair estimate from
+    ≤ k-row mergeable sketches — the mixture-design triage table
+    (which crawls duplicate each other), 190 rows at 20 sources."""
+    from kg.dedup import gram_positions
+    from kg.sketch import kmv_overlap_matrix
+    g = _docs(spark, sf_dir).select(
+        "source", F.explode(gram_positions("text", 2)).alias("shingle"))
+    return kmv_overlap_matrix(g, "source", "shingle", k=64)
+
+
+def q_dedup_stitch(spark, sf_dir):
+    """Crawl-shard boundary fingerprints (kg.dedup.boundary_fingerprints,
+    k=5): per-doc md5 of the first/last 5 tokens — the stitch-detection
+    keys whose suffix→prefix equi-join (kg.dedup.stitch_pairs, pytest-
+    exercised on split fixtures; zero stitches exist in this synthetic
+    corpus by construction) reconstructs pages split at extraction
+    shard boundaries.  NULL sub-k keys projected to '' for the driver
+    canonicalizer (CLAUDE.md: no NULL-vs-NaN stringification skew)."""
+    from kg.dedup import boundary_fingerprints
+    fp = boundary_fingerprints(_docs(spark, sf_dir), k=5)
+    return fp.select("doc_id", "n_tokens",
+                     F.coalesce("prefix_key", F.lit("")).alias("prefix_key"),
+                     F.coalesce("suffix_key", F.lit("")).alias("suffix_key"))
+
+
+def q_kg_tag_assortativity(spark, sf_dir):
+    """Newman degree assortativity of the strong-tie tag graph
+    (kg.graphrank.degree_assortativity): exact integer degree moments
+    + r in micro units — the graph-health audit number (boilerplate/
+    dedup failures surface as extreme hub-core assortativity)."""
+    from kg.graphrank import degree_assortativity
+    return degree_assortativity(_strong_tie_edges(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # WINDOW-ROTATION RULE (STATUS.md §rotation): the driver's CORRECTNESS
     # artifact covers roughly the FIRST 50 registered queries per round, so
@@ -1804,8 +1878,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r3 ERR, fixed this round (array outputs stringified) ----------
         "ann_centroids": q_ann_centroids,
         "kg_adjacency": q_kg_adjacency,
-        # --- graduated from rows-only to a bounded oracle this round -------
-        "rel_events_quantiles_approx": q_rel_events_quantiles_approx,
         # --- r4 new ---------------------------------------------------------
         "kg_tag_pagerank_full": q_kg_tag_pagerank_full,
         "text_normalize_nfc": q_text_normalize_nfc,
@@ -1830,10 +1902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_phrase_near": q_text_phrase_near,
         "corpus_quality_strata": q_corpus_quality_strata,
         # --- r4 session-4 additions (rotated into the window) --------------
-        "kg_tag_modularity": q_kg_tag_modularity,
         "text_rake_keywords": q_text_rake_keywords,
-        "text_rrf_fusion": q_text_rrf_fusion,
-        "text_lm_kn": q_text_lm_kn,
         "dedup_semantic": q_dedup_semantic,
         # --- r4 session-5 additions (rotated into the window) --------------
         "text_lm_kn_score": q_text_lm_kn_score,
@@ -1844,7 +1913,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_winnow_pairs": q_dedup_winnow_pairs,
         "kg_tag_refine": q_kg_tag_refine,
         "ann_kmeans": q_ann_kmeans,
-        "corpus_ppl_buckets": q_corpus_ppl_buckets,
         "kg_tag_adamic": q_kg_tag_adamic,
         # --- r4 session-6 additions (rotated into the window); 4 r2-stale
         # rows with the strongest INDIRECT fresh evidence demoted to make
@@ -1870,13 +1938,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_encode": q_text_bpe_encode,
         "embedding_top_pc": q_embedding_top_pc,
         "dedup_bleu_pairs": q_dedup_bleu_pairs,
-        "embedding_zorder": q_embedding_zorder,
+        # --- r4 session-9 additions (rotated into the window); one
+        # demotion each — see the demoted block -------------------------
+        "corpus_overlap_kmv": q_corpus_overlap_kmv,
+        "dedup_cosine_pairs": q_dedup_cosine_pairs,
+        "dedup_recall_lsh": q_dedup_recall_lsh,
+        "corpus_overlap_matrix": q_corpus_overlap_matrix,
+        "dedup_stitch": q_dedup_stitch,
+        "kg_tag_assortativity": q_kg_tag_assortativity,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also
         # carry INDIRECT fresh evidence — ann_recall_ivf embeds the
         # cosine/ivf oracle SQL verbatim) — first in line for r5 ---------
         "dedup_exact": q_dedup_exact,
+        # demoted for corpus_overlap_kmv (session 9): its oracle's entire
+        # _kn_body CTE chain ships verbatim inside in-window
+        # text_lm_kn_score (the text_bpe_train-class subsumption — the
+        # score row executes the full train chain), so every KN model
+        # quantity keeps a fresh driver check through that row
+        "text_lm_kn": q_text_lm_kn,
+        # demoted for dedup_cosine_pairs (session 9): doubly covered
+        # in-window — the same verbatim _kn_body + score CTEs via
+        # text_lm_kn_score, and the histogram/threshold stratification
+        # machinery via corpus_quality_strata
+        "corpus_ppl_buckets": q_corpus_ppl_buckets,
+        # demoted for dedup_recall_lsh (session 9): the only stale
+        # candidate with a driver row NEWER than r2 (r3 rows-only by
+        # design), and its bounded-contract sketch pattern ships
+        # in-window through rel_events_distinct_approx (same
+        # booleans-the-oracle-asserts-true shape over the same events
+        # table); the exact-quantile SQL it bounds against is
+        # rel_events_quantiles (r2-green, tail)
+        "rel_events_quantiles_approx": q_rel_events_quantiles_approx,
+        # demoted for corpus_overlap_matrix (session 9): both of its
+        # component rankers keep bit-exact in-window coverage (BM25 via
+        # text_bm25_topk; the coverage ranker rides text_prf_search's
+        # shared corpus-stat CTEs) and the fusion aggregate itself is
+        # candidate-sized with bit-exact score/rank pytests
+        "text_rrf_fusion": q_text_rrf_fusion,
+        # demoted for dedup_stitch (session 9): the shared
+        # annotate+co-occurrence pipeline and the LPA partition round it
+        # scores are re-exercised in-window by kg_tag_refine (per-node
+        # gain evaluation over the same machinery) and kg_tag_spread;
+        # the modularity aggregate itself is hand-scored by pytest
+        "kg_tag_modularity": q_kg_tag_modularity,
+        # demoted for kg_tag_assortativity (session 9): its quantization
+        # cells are the ann_sq_topk SQ8 formula, which keeps a bit-exact
+        # in-window row; the Morton interleave is pure div/mod
+        # arithmetic pinned by hand-interleave/prefix-locality pytests
+        "embedding_zorder": q_embedding_zorder,
         # demoted for corpus_contrastive (session 7): its shingle/pair SQL
         # is shared verbatim with dedup_containment (fresh r3-green row)
         # and re-exercised by the in-window canon/jaccard consumers

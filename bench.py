@@ -99,6 +99,12 @@ HEADLINE = [
     "embedding_top_pc",      # integer power-iteration ABTT loadings
     "dedup_bleu_pairs",      # clipped n-gram precision pair verification
     "embedding_zorder",      # Morton layout keys, zero-shuffle assign
+    "corpus_overlap_kmv",    # bottom-k KMV distinct/overlap sketch
+    "dedup_cosine_pairs",    # tf-idf n-gram cosine near-dup pairs
+    "dedup_recall_lsh",      # banded-LSH recall/precision audit
+    "corpus_overlap_matrix", # per-source pairwise KMV overlap matrix
+    "dedup_stitch",          # crawl-shard boundary fingerprints
+    "kg_tag_assortativity",  # Newman degree assortativity, one agg
 ]
 
 

@@ -763,3 +763,156 @@ def winnow_pairs(df: DataFrame, k: int = 3, w: int = 4,
                      F.col("b.doc").alias("doc_b"))
             .agg(F.count("*").cast("bigint").alias("n_shared"))
             .filter(F.col("n_shared") >= min_shared))
+
+
+def tfidf_cosine_pairs(df: DataFrame, n: int = 3,
+                       threshold_ppm: int = 250_000,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       max_df: int | None = 10_000) -> DataFrame:
+    """All document pairs with tf-idf-weighted n-gram cosine² ≥
+    threshold: (id_a, id_b, dot, cos2_ppm), id_a < id_b — the WEIGHTED
+    counterpart of ngram_jaccard_pairs (multiplicity + rarity matter,
+    set overlap alone does not), i.e. all-pairs similarity search
+    (Bayardo et al., WWW'07) with document-frequency blocking.
+
+    Vector space: word n-grams with term frequency, weighted by the
+    integer idf surrogate bits(t) = length(bin(N div df(t))) (the
+    portable floor-log2 stand-in, CLAUDE.md) — w = tf · bits.  Terms
+    with df > max_df are excluded from the SPACE (not just the join):
+    they carry the minimum weight and exist in every near-pair anyway;
+    the cap is the vector-space definition, identically applied in the
+    oracle, so the op is exact within it.  cos² in integer ppm:
+        cos2_ppm = dot² · 1e6 div (‖a‖²·‖b‖²)
+    evaluated in DECIMAL(38,0)/HUGEINT so the squares cannot overflow
+    64-bit at corpus scale; the threshold test multiplies through
+    (dot²·1e6 ≥ thr·n2a·n2b) — no roots, no floats, engine-portable.
+    cos² is monotone in cos on dot > 0, which the filter enforces.
+
+    Shape: one (id, term) tf aggregate → term-df aggregate → postings
+    self-join keyed on term (df ≤ max_df bounds every term's pair
+    emission at C(max_df, 2), the ngram_jaccard_pairs guard arithmetic)
+    → pair aggregate → two broadcast-sized norm joins.  The postings
+    frame is checkpointed once: it feeds the norm aggregate and both
+    self-join sides (rule 7)."""
+    grams = df.select(F.col(id_col).alias("id"),
+                      F.explode(gram_positions(text_col, n)).alias("term"))
+    tf = grams.groupBy("id", "term").agg(
+        F.count("*").cast("bigint").alias("tf"))
+    dft = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df_t"))
+    if max_df is not None:
+        dft = dft.filter(F.col("df_t") <= max_df)
+    n_docs = df.agg(F.count_distinct(F.col(id_col)).cast("bigint")
+                    .alias("n_docs"))
+    postings = (tf.join(dft, "term")
+                .crossJoin(F.broadcast(n_docs))
+                .select("id", "term",
+                        (F.col("tf") * F.length(F.bin(
+                            F.expr("n_docs div df_t"))).cast("bigint"))
+                        .alias("w"))
+                .localCheckpoint())
+    norm2 = postings.groupBy("id").agg(
+        F.sum(F.col("w") * F.col("w")).cast("bigint").alias("n2"))
+    pa, pb = postings.alias("pa"), postings.alias("pb")
+    dot = (pa.join(pb, (F.col("pa.term") == F.col("pb.term"))
+                   & (F.col("pa.id") < F.col("pb.id")))
+           .groupBy(F.col("pa.id").alias("id_a"),
+                    F.col("pb.id").alias("id_b"))
+           .agg(F.sum(F.col("pa.w") * F.col("pb.w")).cast("bigint")
+                .alias("dot")))
+    na = norm2.select(F.col("id").alias("id_a"), F.col("n2").alias("n2a"))
+    nb = norm2.select(F.col("id").alias("id_b"), F.col("n2").alias("n2b"))
+    return (dot.join(na, "id_a").join(nb, "id_b")
+            .filter((F.col("dot") > 0)
+                    & (F.expr("cast(dot as decimal(38,0)) * dot * 1000000")
+                       >= F.expr(f"cast({threshold_ppm} as decimal(38,0)) "
+                                 "* n2a * n2b")))
+            .select("id_a", "id_b", "dot",
+                    F.expr("cast(cast(dot as decimal(38,0)) * dot * 1000000"
+                           " div (cast(n2a as decimal(38,0)) * n2b) "
+                           "as bigint)").alias("cos2_ppm")))
+
+
+def lsh_recall_report(df: DataFrame, n: int = 2, k: int = 16,
+                      bands: int = 4, threshold: float = 0.5,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      max_df: int | None = 10_000) -> DataFrame:
+    """In-engine recall/precision audit of the banded-LSH blocker
+    against exact shingle Jaccard — ONE row:
+
+        (n_truth, n_cand, n_hit, recall_ppm, precision_ppm)
+
+    truth = ngram_jaccard_pairs(threshold), cand = minhash_lsh_pairs
+    (same shingle n), n_hit = |truth ∩ cand|.  recall = hit/truth is
+    the number that justifies replacing the exact quadratic join with
+    LSH at 100 TB (the theoretical S-curve 1−(1−s^r)^b evaluated on
+    the REAL corpus); precision = hit/cand sizes the exact-verify pass
+    that follows blocking.  The dedup-family counterpart of
+    ann_recall_ivf's estimated-vs-exact pattern; run it on a hash
+    sample (kg.sampling.hash_sample) at scale — the exact side is the
+    audit's cost, the LSH side is the production path.
+
+    Pure composition of the two existing operators plus two
+    broadcast-sized semi-join counts; div-by-zero guarded with
+    greatest(...,1) (empty truth/cand sets)."""
+    truth = ngram_jaccard_pairs(df, n=n, threshold=threshold,
+                                text_col=text_col, id_col=id_col,
+                                max_df=max_df).localCheckpoint()
+    cand = minhash_lsh_pairs(df, k=k, bands=bands, n=n,
+                             text_col=text_col,
+                             id_col=id_col).localCheckpoint()
+    hit = (truth.join(cand, ["id_a", "id_b"], "left_semi")
+           .agg(F.count("*").cast("bigint").alias("n_hit")))
+    return (truth.agg(F.count("*").cast("bigint").alias("n_truth"))
+            .crossJoin(F.broadcast(
+                cand.agg(F.count("*").cast("bigint").alias("n_cand"))))
+            .crossJoin(F.broadcast(hit))
+            .select("n_truth", "n_cand", "n_hit",
+                    F.expr("n_hit * 1000000 div greatest(n_truth, 1)")
+                    .cast("bigint").alias("recall_ppm"),
+                    F.expr("n_hit * 1000000 div greatest(n_cand, 1)")
+                    .cast("bigint").alias("precision_ppm")))
+
+
+def boundary_fingerprints(df: DataFrame, k: int = 5,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Per-document boundary keys for crawl-shard stitch detection:
+    (doc_id, n_tokens, prefix_key, suffix_key) where prefix_key/
+    suffix_key = md5 of the first/last k tokens (space-joined); docs
+    shorter than k tokens get NULL keys (no partial-window stitching —
+    a sub-k doc cannot be a split boundary witness).
+
+    Zero-shuffle narrow map: both keys come from one bound token array
+    per row (kg.textstats.bind1 — slicing the raw split() inside two
+    expressions would re-tokenize twice, the rule-10 trap family)."""
+    toks = bind1(tokens_col(text_col), lambda t: F.struct(
+        F.size(t).cast("bigint").alias("n"),
+        F.when(F.size(t) >= k,
+               F.md5(F.concat_ws(" ", F.slice(t, 1, k)))).alias("pk"),
+        F.when(F.size(t) >= k,
+               F.md5(F.concat_ws(" ", F.slice(t, -k, k)))).alias("sk")))
+    return df.select(F.col(id_col).alias("doc_id"), toks.alias("_b")).select(
+        "doc_id", F.col("_b.n").alias("n_tokens"),
+        F.col("_b.pk").alias("prefix_key"),
+        F.col("_b.sk").alias("suffix_key"))
+
+
+def stitch_pairs(df: DataFrame, k: int = 5, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Document pairs (id_a, id_b) where id_a's LAST k tokens equal
+    id_b's FIRST k tokens — the crawl-extraction split signature (one
+    logical page emitted as two records at a shard boundary), the
+    precursor step to re-stitching or boundary-aware span dedup.
+    Directed: a's suffix continues into b.
+
+    ONE equi-join on the md5 boundary key (suffix side shuffles
+    against prefix side on a 32-char hash — never on text), self-pairs
+    excluded; verification of the actual token run is the join key
+    itself (md5 of the exact k-token string, collision odds 2^-128)."""
+    fp = boundary_fingerprints(df, k, text_col, id_col)
+    a = fp.filter(F.col("suffix_key").isNotNull()).select(
+        F.col("doc_id").alias("id_a"), F.col("suffix_key").alias("_k"))
+    b = fp.filter(F.col("prefix_key").isNotNull()).select(
+        F.col("doc_id").alias("id_b"), F.col("prefix_key").alias("_k"))
+    return (a.join(b, "_k").filter(F.col("id_a") != F.col("id_b"))
+            .select("id_a", "id_b"))

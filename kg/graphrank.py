@@ -1197,3 +1197,61 @@ def label_spread(edges: DataFrame, seeds: DataFrame, iterations: int = 3,
     e.unpersist()
     sd.unpersist()
     return labels.select("node", "label")
+
+
+def degree_assortativity(edges: DataFrame, src_col: str = "src",
+                         dst_col: str = "dst") -> DataFrame:
+    """Newman degree assortativity (Newman 2002, "Assortative mixing
+    in networks") of the undirected graph — does the hub neighborhood
+    prefer hubs?  ONE row of exact integers:
+
+        (m2, sx, sxx, sxy, r_micro)
+
+    over the DIRECTED edge list of the symmetrized graph (each
+    undirected edge counted in both orders, which is what makes the
+    source/target degree moments symmetric):
+        m2  = directed edge count,  x/y = deg(src)/deg(dst) per edge,
+        sx  = Σx,  sxx = Σx²,  sxy = Σx·y,
+        r_micro = (m2·sxy − sx²)·1e6 div (m2·sxx − sx²)  — Pearson r
+        of (x, y) in micro units.  A degree-regular graph has zero
+        denominator and yields r_micro = 0; callers distinguish
+        "degenerate" from "uncorrelated" via m2·sxx == sx² on the
+        emitted raw moments.
+
+    The rational is evaluated in DECIMAL(38,0) (m2·sxy overflows
+    BIGINT at web scale: 10¹² edges × deg² moments); the raw moments
+    stay BIGINT.  Shape: symmetrize + one degree aggregate + two
+    degree joins + one global aggregate; no windows, no iteration.
+
+    Reference parity: profiles the persisted co-occurrence Tag graph
+    (ProcedureTest.java:114-124) like pagerank/kcore above — GDS has
+    no assortativity procedure; this is the missing graph-health
+    audit number (dedup/boilerplate failures show up as extreme
+    positive assortativity of the tag graph's hub core)."""
+    e0 = edges.select(F.col(src_col).alias("a"),
+                      F.col(dst_col).alias("b")).localCheckpoint()
+    sym = (e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
+           .filter(F.col("a") != F.col("b")).distinct().localCheckpoint())
+    deg = sym.groupBy("a").agg(F.count("*").cast("bigint").alias("deg"))
+    per_edge = (sym
+                .join(deg.withColumnRenamed("deg", "dx"), "a")
+                .join(deg.select(F.col("a").alias("b"),
+                                 F.col("deg").alias("dy")), "b"))
+    # coalesce(·, 0): an empty edge set must yield all-zero moments and
+    # r_micro = 0 (the den = 0 branch), not NULL-poisoned arithmetic
+    raw = per_edge.agg(
+        F.count("*").cast("bigint").alias("m2"),
+        F.coalesce(F.sum("dx"), F.lit(0)).cast("bigint").alias("sx"),
+        F.coalesce(F.sum(F.col("dx") * F.col("dx")), F.lit(0))
+        .cast("bigint").alias("sxx"),
+        F.coalesce(F.sum(F.col("dx") * F.col("dy")), F.lit(0))
+        .cast("bigint").alias("sxy"))
+    num = ("(cast(m2 as decimal(38,0)) * sxy"
+           " - cast(sx as decimal(38,0)) * sx)")
+    den = ("(cast(m2 as decimal(38,0)) * sxx"
+           " - cast(sx as decimal(38,0)) * sx)")
+    return raw.select(
+        "m2", "sx", "sxx", "sxy",
+        F.expr(f"case when {den} = 0 then cast(0 as bigint) "
+               f"else {num} * 1000000 div {den} end").cast("bigint")
+        .alias("r_micro"))

@@ -247,3 +247,187 @@ def heavy_hitters_contract(docs: DataFrame, text_col: str = "text",
                      "n_exact - coalesce(est_count, 0) <= "
                      f"(n_tokens - m_total) div {k + 1}")).alias(
                      "err_within_bound")))
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch + two-corpus overlap estimation.
+# ---------------------------------------------------------------------------
+def _hex12(h) -> "F.Column":
+    """Integer value of the first 12 hex digits (48 bits) of an md5 hex
+    column — the KMV normalized-hash numerator domain [0, 2^48)."""
+    c = F.col(h) if isinstance(h, str) else h
+    return F.conv(F.substring(c, 1, 12), 16, 10).cast("long")
+
+
+def kmv_hashes(values: DataFrame, col: str = "value",
+               k: int = 128) -> DataFrame:
+    """Bottom-k distinct md5 hashes of a value column: the KMV sketch
+    (Bar-Yossef et al. 2002; Beyer et al., SIGMOD'07) as a ≤ k-row frame
+    of hex strings, column `h`.
+
+    md5 is deterministic and uniform, so the sketch — unlike HLL/GK/MG —
+    is LAYOUT-INVARIANT and hash-portable: the DuckDB oracle replays it
+    verbatim with ORDER BY md5 LIMIT k.  Spark executes the order+limit
+    as TakeOrderedAndProject: per-partition bottom-k, one k·n_partitions
+    merge — no global sort.
+
+    Scale note: the `.distinct()` below is a full value-domain shuffle.
+    At 100 TB, pre-filter to hashes with a fixed number of leading zero
+    hex digits (keep-rate 16^-d) before the distinct — the true bottom-k
+    survives whenever the k-th smallest hash is under the threshold,
+    which the caller asserts by checking max(h) of the result against
+    the prefix bound (a failed assert means d was too aggressive)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (values.select(F.md5(c.cast("string")).alias("h")).distinct()
+            .orderBy("h").limit(k))
+
+
+def _kmv_stats(sketch: DataFrame, k: int, suffix: str) -> DataFrame:
+    """Single-row (n_sk_<s>, est_distinct_<s>) from a KMV sketch: when
+    the sketch is saturated (n = k), est = (k-1)·2^48 div H_k with H_k
+    the 48-bit value of the k-th smallest hash (the classic unbiased
+    KMV estimator); when n < k the sketch IS the distinct set and the
+    count is exact.  greatest(H,1) guards the (2^-48-probability)
+    zero-hash division in both engines."""
+    return sketch.agg(
+        F.count("*").cast("bigint").alias(f"n_sk_{suffix}"),
+        F.when(F.count("*") < k, F.count("*").cast("bigint"))
+        .otherwise(F.expr(
+            f"cast({k - 1} as bigint) * 281474976710656 div "
+            "greatest(cast(conv(substring(max(h), 1, 12), 16, 10) "
+            "as bigint), 1)"))
+        .cast("bigint").alias(f"est_distinct_{suffix}"))
+
+
+def kmv_overlap(a: DataFrame, b: DataFrame, col: str = "value",
+                k: int = 128, exact: bool = True) -> DataFrame:
+    """Two-corpus distinct-set overlap report from KMV sketches: ONE row
+
+        (k, n_sk_a, est_distinct_a, n_sk_b, est_distinct_b, k_union,
+         n_both, jaccard_kmv_micro[, exact_distinct_a, exact_distinct_b,
+         exact_jaccard_micro])
+
+    The union sketch is the bottom-k of the merged hash sets (KMV
+    sketches are mergeable: bottom-k(A ∪ B) is computable from the two
+    bottom-k's alone); within it, the fraction of hashes present in BOTH
+    input sketches is the standard k-minimum Jaccard estimator
+    (Broder 1997 resemblance, KMV form):
+        jaccard_kmv_micro = n_both · 1e6 div k_union.
+    Standard error ≈ 1/sqrt(k).  Everything downstream of the two
+    sketch builds runs on ≤ k-row frames (broadcast joins).
+
+    exact=True additionally computes the exact distinct counts and exact
+    Jaccard (one distinct + one join over the full value sets) — the
+    audit configuration, mirroring ann_recall_ivf's in-engine
+    estimated-vs-exact pattern; at 100 TB run exact=False, where no
+    stage after the sketches touches more than k rows.
+
+    LLM-pipeline role: corpus-overlap triage (how much does crawl B
+    duplicate crawl A?) without an exact cross-corpus shingle join —
+    the decision input for whether a full cross-corpus dedup pass is
+    worth scheduling.  No counterpart in the reference (its only
+    set-similarity surface is per-annotation tag overlap)."""
+    ca = F.col(col) if isinstance(col, str) else col
+    # sketches are branched below (stats + union + membership joins):
+    # checkpoint the ≤ k-row frames so the distinct+top-k runs once
+    # (rule 7)
+    sa = kmv_hashes(a, col, k).localCheckpoint()
+    sb = kmv_hashes(b, col, k).localCheckpoint()
+    su = (sa.unionByName(sb).distinct().orderBy("h").limit(k)
+          .localCheckpoint())
+    both = (su.join(sa.withColumnRenamed("h", "ha"), su.h == F.col("ha"))
+            .join(sb.withColumnRenamed("h", "hb"), su.h == F.col("hb"))
+            .agg(F.count("*").cast("bigint").alias("n_both")))
+    u_stats = (su.agg(F.count("*").cast("bigint").alias("k_union"))
+               .crossJoin(F.broadcast(both)))
+    out = (F.broadcast(_kmv_stats(sa, k, "a"))
+           .crossJoin(F.broadcast(_kmv_stats(sb, k, "b")))
+           .crossJoin(F.broadcast(u_stats))
+           .select(F.lit(k).cast("bigint").alias("k"),
+                   "n_sk_a", "est_distinct_a", "n_sk_b", "est_distinct_b",
+                   "k_union", "n_both",
+                   F.expr("n_both * 1000000 div greatest(k_union, 1)")
+                   .cast("bigint").alias("jaccard_kmv_micro")))
+    if not exact:
+        return out
+    da = a.select(ca.cast("string").alias("v")).distinct().localCheckpoint()
+    db = b.select(ca.cast("string").alias("v")).distinct().localCheckpoint()
+    ea = da.agg(F.count("*").cast("bigint").alias("exact_distinct_a"))
+    eb = db.agg(F.count("*").cast("bigint").alias("exact_distinct_b"))
+    ei = (da.join(db, "v").agg(F.count("*").cast("bigint").alias("_i"))
+          .crossJoin(F.broadcast(ea)).crossJoin(F.broadcast(eb))
+          .select("exact_distinct_a", "exact_distinct_b",
+                  F.expr("_i * 1000000 div greatest(exact_distinct_a "
+                         "+ exact_distinct_b - _i, 1)")
+                  .cast("bigint").alias("exact_jaccard_micro")))
+    return out.crossJoin(F.broadcast(ei))
+
+
+def kmv_group_sketches(values: DataFrame, group_col: str = "group",
+                       col: str = "value", k: int = 64) -> DataFrame:
+    """Per-group KMV sketches in ONE pass: (group, h) — the bottom-k
+    distinct md5 hashes of each group's value set (≤ k rows per group).
+
+    Per-group bottom-k is a sort-based window (row_number over h within
+    group) — rows spill through the external sorter, so a skewed group
+    cannot OOM a task the way a collect_set would; the preceding
+    distinct is the same value-domain shuffle kmv_hashes pays (same
+    leading-zero-prefix pre-filter applies at 100 TB).  Like kmv_hashes
+    the result is layout-invariant (deterministic md5) and fully
+    hash-portable."""
+    from pyspark.sql import Window
+    c = F.col(col) if isinstance(col, str) else col
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    w = Window.partitionBy("group").orderBy("h")
+    return (values.select(g.alias("group"),
+                          F.md5(c.cast("string")).alias("h")).distinct()
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k).drop("_rn"))
+
+
+def kmv_overlap_matrix(values: DataFrame, group_col: str = "group",
+                       col: str = "value", k: int = 64) -> DataFrame:
+    """Pairwise distinct-set overlap between ALL groups from one
+    sketch pass: (group_a, group_b, k_union, n_both,
+    jaccard_kmv_micro) per unordered pair, group_a < group_b.
+
+    The mixture-design triage table: which crawls/domains duplicate
+    each other, estimated without any cross-group value join — after
+    the one sketch build every stage runs on ≤ |groups|²·k rows (the
+    sketches are mergeable, so each pair's union sketch is the
+    bottom-k of its two ≤ k-row sketches).  Same estimator as
+    kmv_overlap, applied per pair via one window.
+
+    Shape: sketch pass (distinct + per-group window) → pair explode of
+    the two sketch sides keyed by (a, b) → per-(pair, h) membership
+    flags → per-pair bottom-k window → one pair aggregate.  At 20
+    sources and k=64 that is ≤ 24k intermediate rows for 190 pairs."""
+    from pyspark.sql import Window
+    sk = kmv_group_sketches(values, group_col, col, k).localCheckpoint()
+    groups = sk.select("group").distinct()
+    pairs = (groups.select(F.col("group").alias("ga"))
+             .join(groups.select(F.col("group").alias("gb")),
+                   F.col("ga") < F.col("gb")))
+    side_a = (pairs.join(sk.withColumnsRenamed(
+        {"group": "ga", "h": "h"}), "ga")
+        .select("ga", "gb", "h", F.lit(1).alias("in_a"),
+                F.lit(0).alias("in_b")))
+    side_b = (pairs.join(sk.withColumnsRenamed(
+        {"group": "gb", "h": "h"}), "gb")
+        .select("ga", "gb", "h", F.lit(0).alias("in_a"),
+                F.lit(1).alias("in_b")))
+    merged = (side_a.unionByName(side_b)
+              .groupBy("ga", "gb", "h")
+              .agg(F.max("in_a").alias("in_a"),
+                   F.max("in_b").alias("in_b")))
+    w = Window.partitionBy("ga", "gb").orderBy("h")
+    topk = (merged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k))
+    return (topk.groupBy(F.col("ga").alias("group_a"),
+                         F.col("gb").alias("group_b"))
+            .agg(F.count("*").cast("bigint").alias("k_union"),
+                 F.sum(F.col("in_a") * F.col("in_b")).cast("bigint")
+                 .alias("n_both"))
+            .withColumn("jaccard_kmv_micro",
+                        F.expr("n_both * 1000000 div greatest(k_union, 1)")
+                        .cast("bigint")))

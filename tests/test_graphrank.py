@@ -779,3 +779,41 @@ def test_adamic_adar_hub_cap(spark):
                                "src string, dst string, weight long")
     got = adamic_adar(df, max_neighbors_per_node=2).collect()
     assert {(r["a"], r["b"]) for r in got} == {("n0", "n1")}
+
+
+# ----------------------------------------------- degree assortativity
+
+def test_assortativity_star_is_fully_disassortative(spark):
+    from kg.graphrank import degree_assortativity
+    # K_{1,3}: center degree 3, leaves 1 → every edge joins unlike
+    # degrees, r = −1 exactly: m2=6, sx=12, sxx=30, sxy=18 →
+    # num=6·18−144=−36, den=6·30−144=36
+    e = spark.createDataFrame(
+        [("c", "l1"), ("c", "l2"), ("c", "l3")], ["src", "dst"])
+    row = degree_assortativity(e).collect()[0]
+    assert (row.m2, row.sx, row.sxx, row.sxy) == (6, 12, 30, 18)
+    assert row.r_micro == -1_000_000
+
+
+def test_assortativity_regular_graph_zero_denominator(spark):
+    from kg.graphrank import degree_assortativity
+    # a 4-cycle is 2-regular: den = m2·sxx − sx² = 0 → r_micro = 0 and
+    # the raw moments expose the degeneracy (m2·sxx == sx²)
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")], ["src", "dst"])
+    row = degree_assortativity(e).collect()[0]
+    assert row.m2 * row.sxx == row.sx * row.sx
+    assert row.r_micro == 0
+
+
+def test_assortativity_symmetrizes_and_dedupes_input(spark):
+    from kg.graphrank import degree_assortativity
+    # duplicate edges, both orientations, and self-loops must not
+    # change the moments of the underlying simple undirected graph
+    base = [("c", "l1"), ("c", "l2"), ("c", "l3")]
+    noisy = base + [("l1", "c"), ("c", "l1"), ("c", "c")]
+    a = degree_assortativity(
+        spark.createDataFrame(base, ["src", "dst"])).collect()[0]
+    b = degree_assortativity(
+        spark.createDataFrame(noisy, ["src", "dst"])).collect()[0]
+    assert a.asDict() == b.asDict()

@@ -1,0 +1,226 @@
+"""KMV distinct/overlap sketch, tf-idf cosine pairs, and the LSH
+recall audit (kg.sketch / kg.dedup r4 session-9 additions)."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+
+# ----------------------------------------------------------------- KMV
+
+def _vals(spark, items):
+    return spark.createDataFrame([(v,) for v in items], ["value"])
+
+
+def test_kmv_hashes_is_bottom_k_of_md5(spark):
+    from kg.sketch import kmv_hashes
+    items = [f"tok{i}" for i in range(50)]
+    got = [r.h for r in kmv_hashes(_vals(spark, items), k=8).collect()]
+    want = sorted({hashlib.md5(v.encode()).hexdigest()
+                   for v in items})[:8]
+    assert sorted(got) == want
+
+
+def test_kmv_hashes_dedupes_values(spark):
+    from kg.sketch import kmv_hashes
+    df = _vals(spark, ["a", "a", "b", "b", "b"])
+    got = [r.h for r in kmv_hashes(df, k=10).collect()]
+    assert len(got) == 2 == len(set(got))
+
+
+def test_kmv_overlap_small_sets_exact(spark):
+    # below saturation (n < k) the sketch IS the distinct set: estimates
+    # equal exact counts and the jaccard estimator is exact too (the
+    # union sketch holds the whole union)
+    from kg.sketch import kmv_overlap
+    a = _vals(spark, ["x", "y", "z", "w"])
+    b = _vals(spark, ["y", "z", "q"])
+    row = kmv_overlap(a, b, k=64).collect()[0]
+    assert row.n_sk_a == row.est_distinct_a == row.exact_distinct_a == 4
+    assert row.n_sk_b == row.est_distinct_b == row.exact_distinct_b == 3
+    assert row.k_union == 5 and row.n_both == 2
+    assert row.jaccard_kmv_micro == 2 * 1_000_000 // 5
+    assert row.exact_jaccard_micro == 2 * 1_000_000 // 5
+
+
+def test_kmv_overlap_identical_sets(spark):
+    from kg.sketch import kmv_overlap
+    items = [f"v{i}" for i in range(300)]
+    a, b = _vals(spark, items), _vals(spark, items)
+    row = kmv_overlap(a, b, k=32).collect()[0]
+    assert row.jaccard_kmv_micro == 1_000_000
+    assert row.exact_jaccard_micro == 1_000_000
+    assert row.est_distinct_a == row.est_distinct_b  # same sketch
+
+
+def test_kmv_estimate_accuracy_saturated(spark):
+    # deterministic md5 means this is a fixed number, not a flake:
+    # k=128 over 2000 distinct values → relative error ~1/sqrt(k)≈9%;
+    # assert a generous 30% envelope (≈3.4σ) plus the estimator's
+    # replay equality with the hand-computed formula
+    from kg.sketch import kmv_overlap
+    items = [f"item-{i}" for i in range(2000)]
+    row = kmv_overlap(_vals(spark, items), _vals(spark, items[:100]),
+                      k=128).collect()[0]
+    assert row.n_sk_a == 128
+    hk = sorted(hashlib.md5(v.encode()).hexdigest() for v in items)[127]
+    want = 127 * (1 << 48) // int(hk[:12], 16)
+    assert row.est_distinct_a == want
+    assert abs(row.est_distinct_a - 2000) <= 600
+    # subset overlap: exact jaccard = 100/2000
+    assert row.exact_jaccard_micro == 100 * 1_000_000 // 2000
+
+
+def test_kmv_overlap_exact_false_omits_audit_columns(spark):
+    from kg.sketch import kmv_overlap
+    a, b = _vals(spark, ["x", "y"]), _vals(spark, ["y"])
+    cols = kmv_overlap(a, b, k=8, exact=False).columns
+    assert "exact_distinct_a" not in cols
+    assert "jaccard_kmv_micro" in cols
+
+
+# ------------------------------------------------- tf-idf cosine pairs
+
+def _docs(spark, texts):
+    return spark.createDataFrame(list(enumerate(texts)),
+                                 ["doc_id", "text"])
+
+
+def test_cosine_pairs_identical_docs_full_similarity(spark):
+    from kg.dedup import tfidf_cosine_pairs
+    d = _docs(spark, ["alpha beta gamma delta epsilon",
+                      "alpha beta gamma delta epsilon",
+                      "zeta eta theta iota kappa"])
+    rows = tfidf_cosine_pairs(d, n=3, threshold_ppm=250_000).collect()
+    assert [(r.id_a, r.id_b, r.cos2_ppm) for r in rows] == [(0, 1, 1_000_000)]
+
+
+def test_cosine_pairs_threshold_gates(spark):
+    from kg.dedup import tfidf_cosine_pairs
+    # docs 0/1 share 2 of their 3-grams; 2 shares none
+    d = _docs(spark, ["a b c d e",
+                      "a b c d x",
+                      "p q r s t"])
+    got = tfidf_cosine_pairs(d, n=3, threshold_ppm=100_000).collect()
+    assert {(r.id_a, r.id_b) for r in got} == {(0, 1)}
+    # tighten the threshold past the pair's cos² → filtered out
+    hi = tfidf_cosine_pairs(d, n=3,
+                            threshold_ppm=got[0].cos2_ppm + 1).collect()
+    assert hi == []
+
+
+def test_cosine_pairs_max_df_defines_vector_space(spark):
+    from kg.dedup import tfidf_cosine_pairs
+    # the shared 3-gram "a b c" occurs in ALL 3 docs; with max_df=2 it
+    # leaves the space entirely, so no pair shares any term
+    d = _docs(spark, ["a b c x y",
+                      "a b c z w",
+                      "a b c q r"])
+    assert tfidf_cosine_pairs(d, n=3, threshold_ppm=1,
+                              max_df=2).collect() == []
+    # with the cap lifted the hot term connects every pair
+    got = tfidf_cosine_pairs(d, n=3, threshold_ppm=1, max_df=None)
+    assert got.count() == 3
+
+
+def test_cosine_pairs_weighting_matches_hand_formula(spark):
+    from kg.dedup import tfidf_cosine_pairs
+    # 4 docs: term df=1 → bits = len(bin(4//1)) = 3; df=2 → len(bin(2)) = 2
+    d = _docs(spark, ["a b c d",     # grams: "a b c", "b c d"
+                      "a b c e",     # grams: "a b c", "b c e"
+                      "p q r s",
+                      "t u v w"])
+    row = tfidf_cosine_pairs(d, n=3, threshold_ppm=1).collect()[0]
+    # shared gram "a b c" has df=2 → w=2 each side; unique grams df=1 → w=3
+    # dot = 2·2 = 4; n2 each = 2² + 3² = 13 → cos² = 16/169
+    assert (row.id_a, row.id_b, row.dot) == (0, 1, 4)
+    assert row.cos2_ppm == 4 * 4 * 1_000_000 // (13 * 13)
+
+
+# --------------------------------------------------- LSH recall audit
+
+def test_lsh_recall_perfect_on_duplicates(spark):
+    from kg.dedup import lsh_recall_report
+    d = _docs(spark, ["alpha beta gamma delta epsilon zeta",
+                      "alpha beta gamma delta epsilon zeta",
+                      "one two three four five six"])
+    row = lsh_recall_report(d, n=2, k=16, bands=4,
+                            threshold=0.5).collect()[0]
+    # identical docs: identical signatures → candidate AND truth pair
+    assert row.n_truth >= 1 and row.n_hit >= 1
+    assert row.recall_ppm == row.n_hit * 1_000_000 // row.n_truth
+    assert row.precision_ppm == row.n_hit * 1_000_000 // row.n_cand
+
+
+def test_lsh_recall_empty_truth_guarded(spark):
+    from kg.dedup import lsh_recall_report
+    d = _docs(spark, ["a b c d", "p q r s", "w x y z"])
+    row = lsh_recall_report(d, n=2, k=16, bands=4,
+                            threshold=0.5).collect()[0]
+    assert row.n_truth == 0 and row.n_hit == 0
+    assert row.recall_ppm == 0 and row.precision_ppm == 0
+
+
+# ------------------------------------------------ KMV overlap matrix
+
+def test_kmv_matrix_matches_pairwise_overlap(spark):
+    from kg.sketch import kmv_overlap, kmv_overlap_matrix
+    data = {"g1": [f"a{i}" for i in range(40)],
+            "g2": [f"a{i}" for i in range(20)] + [f"b{i}" for i in range(20)],
+            "g3": [f"c{i}" for i in range(30)]}
+    rows = [(g, v) for g, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, ["group", "value"])
+    got = {(r.group_a, r.group_b): (r.k_union, r.n_both, r.jaccard_kmv_micro)
+           for r in kmv_overlap_matrix(df, k=16).collect()}
+    assert set(got) == {("g1", "g2"), ("g1", "g3"), ("g2", "g3")}
+    for (ga, gb), triple in got.items():
+        a = spark.createDataFrame([(v,) for v in data[ga]], ["value"])
+        b = spark.createDataFrame([(v,) for v in data[gb]], ["value"])
+        ref = kmv_overlap(a, b, k=16, exact=False).collect()[0]
+        assert triple == (ref.k_union, ref.n_both, ref.jaccard_kmv_micro)
+
+
+def test_kmv_matrix_disjoint_and_identical(spark):
+    from kg.sketch import kmv_overlap_matrix
+    rows = ([("x", f"v{i}") for i in range(100)]
+            + [("y", f"v{i}") for i in range(100)]
+            + [("z", f"w{i}") for i in range(100)])
+    df = spark.createDataFrame(rows, ["group", "value"])
+    got = {(r.group_a, r.group_b): r.jaccard_kmv_micro
+           for r in kmv_overlap_matrix(df, k=32).collect()}
+    assert got[("x", "y")] == 1_000_000     # identical sets
+    assert got[("x", "z")] == 0             # disjoint sets
+    assert got[("y", "z")] == 0
+
+
+# ------------------------------------------------ boundary stitching
+
+def test_stitch_pairs_detects_shard_split(spark):
+    from kg.dedup import boundary_fingerprints, stitch_pairs
+    # doc 1's last 5 tokens == doc 2's first 5 tokens (a split page);
+    # doc 3 is unrelated; doc 4 too short for a boundary key
+    d = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota"),
+         (2, "epsilon zeta eta theta iota kappa lambda mu"),
+         (3, "one two three four five six seven"),
+         (4, "tiny doc")],
+        ["doc_id", "text"])
+    assert [(r.id_a, r.id_b) for r in stitch_pairs(d, k=5).collect()] \
+        == [(1, 2)]
+    fp = {r.doc_id: r for r in boundary_fingerprints(d, k=5).collect()}
+    assert fp[4].prefix_key is None and fp[4].suffix_key is None
+    assert fp[1].suffix_key == fp[2].prefix_key
+    assert fp[1].prefix_key != fp[1].suffix_key
+
+
+def test_stitch_pairs_no_self_and_directionality(spark):
+    from kg.dedup import stitch_pairs
+    # doc 1's prefix == its own suffix ("a b c d e") — the self-pair
+    # (1,1) must be excluded; direction: suffix(1) == prefix(2) emits
+    # (1,2), and nothing pairs the other way around
+    d = spark.createDataFrame(
+        [(1, "a b c d e x y a b c d e"),
+         (2, "a b c d e q r s t u")],
+        ["doc_id", "text"])
+    got = {(r.id_a, r.id_b) for r in stitch_pairs(d, k=5).collect()}
+    assert got == {(1, 2)}

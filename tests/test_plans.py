@@ -574,3 +574,29 @@ def test_perceptron_score_broadcast_weights_no_python(spark):
     assert "BroadcastHashJoin" in plan
     assert "Window" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_kmv_bottom_k_no_global_sort(spark):
+    """kmv_hashes' bottom-k must compile to TakeOrderedAndProject
+    (per-partition top-k + single merge), never a global Sort — the
+    difference between a k·n_partitions-row merge and a full-corpus
+    range-shuffle sort at 100 TB."""
+    from kg.sketch import kmv_hashes
+    vals = spark.range(0, 5000).select(
+        F.concat(F.lit("v"), F.col("id")).alias("value"))
+    plan = _plan(kmv_hashes(vals, k=64))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no standalone global sort operator
+
+
+def test_cosine_pairs_single_postings_materialization(spark):
+    """tfidf_cosine_pairs feeds THREE branches (norm aggregate + both
+    self-join sides) from the postings frame; the localCheckpoint must
+    root all of them — zero FileScans in the final plan means the tf →
+    df-join pipeline executed exactly once (rule 7)."""
+    from kg.dedup import tfidf_cosine_pairs
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(6)],
+        ["doc_id", "text"])
+    plan = _plan(tfidf_cosine_pairs(docs, n=3))
+    assert "FileScan" not in plan and "ArrowEvalPython" not in plan

@@ -124,6 +124,15 @@ def _hex6_of(h: str) -> str:
         for i in range(6)) + ")"
 
 
+def _hex12_of(h: str) -> str:
+    """Integer value of the first 12 hex digits (48 bits) of an md5 hex
+    column/expr `h` (mirrors kg.sketch._hex12; sums fit BIGINT)."""
+    return "(" + " + ".join(
+        f"(strpos('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (11 - i)}"
+        for i in range(12)) + ")"
+
+
 def build_oracle_sql() -> dict[str, str]:
     sqls: dict[str, str] = {}
 
@@ -3260,5 +3269,225 @@ def build_oracle_sql() -> dict[str, str]:
         FROM base
         LEFT JOIN inter USING (id_a, id_b, n)
         LEFT JOIN lens ON lens.doc = base.id_a AND lens.n = base.n"""
+
+    # KMV bottom-k distinct/overlap sketch (kg.sketch.kmv_overlap):
+    # deterministic md5 → the sketch is layout-invariant, so the oracle
+    # replays it verbatim (ORDER BY md5 LIMIT k); 3-gram shingles,
+    # doc_id-parity halves, k = 128.  Every CTE is referenced more than
+    # once → MATERIALIZED throughout (kcore trap).
+    _h12max = _hex12_of("max(h)")
+    sqls["corpus_overlap_kmv"] = f"""
+        WITH sh AS MATERIALIZED (
+          SELECT DISTINCT doc_id % 2 AS half,
+                 array_to_string(t[i:i+2], ' ') AS shingle
+          FROM (SELECT doc_id, {_TOKS} AS t,
+                       generate_subscripts({_TOKS}, 1) AS i
+                FROM documents WHERE lang = 'en')
+          WHERE i <= len(t) - 2),
+        da AS MATERIALIZED (
+          SELECT DISTINCT shingle FROM sh WHERE half = 0),
+        db_ AS MATERIALIZED (
+          SELECT DISTINCT shingle FROM sh WHERE half = 1),
+        ska AS MATERIALIZED (
+          SELECT md5(shingle) AS h FROM da ORDER BY 1 LIMIT 128),
+        skb AS MATERIALIZED (
+          SELECT md5(shingle) AS h FROM db_ ORDER BY 1 LIMIT 128),
+        sku AS MATERIALIZED (
+          SELECT h FROM (SELECT h FROM ska UNION SELECT h FROM skb)
+          ORDER BY 1 LIMIT 128),
+        sa AS (SELECT CAST(count(*) AS BIGINT) AS n_sk_a,
+                      CAST(CASE WHEN count(*) < 128 THEN count(*)
+                           ELSE (127 * 281474976710656)
+                                // greatest({_h12max}, 1) END
+                           AS BIGINT) AS est_distinct_a
+               FROM ska),
+        sb AS (SELECT CAST(count(*) AS BIGINT) AS n_sk_b,
+                      CAST(CASE WHEN count(*) < 128 THEN count(*)
+                           ELSE (127 * 281474976710656)
+                                // greatest({_h12max}, 1) END
+                           AS BIGINT) AS est_distinct_b
+               FROM skb),
+        ku AS (SELECT CAST(count(*) AS BIGINT) AS k_union FROM sku),
+        nb AS (SELECT CAST(count(*) AS BIGINT) AS n_both
+               FROM sku WHERE h IN (SELECT h FROM ska)
+                          AND h IN (SELECT h FROM skb)),
+        ea AS (SELECT CAST(count(*) AS BIGINT) AS exact_distinct_a
+               FROM da),
+        eb AS (SELECT CAST(count(*) AS BIGINT) AS exact_distinct_b
+               FROM db_),
+        ii AS (SELECT CAST(count(*) AS BIGINT) AS i
+               FROM da JOIN db_ USING (shingle))
+        SELECT CAST(128 AS BIGINT) AS k, n_sk_a, est_distinct_a,
+               n_sk_b, est_distinct_b, k_union, n_both,
+               CAST(n_both * 1000000 // greatest(k_union, 1)
+                    AS BIGINT) AS jaccard_kmv_micro,
+               exact_distinct_a, exact_distinct_b,
+               CAST(i * 1000000 // greatest(
+                    exact_distinct_a + exact_distinct_b - i, 1)
+                    AS BIGINT) AS exact_jaccard_micro
+        FROM sa, sb, ku, nb, ea, eb, ii"""
+
+    # tf-idf-weighted 3-gram cosine pairs (kg.dedup.tfidf_cosine_pairs):
+    # grams WITH multiplicity, df cap 10k mirrored as the vector-space
+    # definition, integer floor-log2 idf bits, HUGEINT square
+    # arithmetic (Spark side runs DECIMAL(38,0)) — cos ≥ 0.5 via
+    # dot²·1e6 ≥ 250000·n2a·n2b, no roots/floats.
+    sqls["dedup_cosine_pairs"] = f"""
+        WITH g AS (
+          SELECT doc_id, array_to_string(t[i:i+2], ' ') AS term
+          FROM (SELECT doc_id, {_TOKS} AS t,
+                       generate_subscripts({_TOKS}, 1) AS i
+                FROM documents WHERE lang = 'en')
+          WHERE i <= len(t) - 2),
+        tf AS MATERIALIZED (
+          SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+          FROM g GROUP BY 1, 2),
+        dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df_t
+                FROM tf GROUP BY 1 HAVING count(*) <= 10000),
+        nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+               FROM documents WHERE lang = 'en'),
+        w AS MATERIALIZED (
+          SELECT doc_id, term,
+                 CAST(tf * length(bin(n_docs // df_t)) AS BIGINT) AS w
+          FROM tf JOIN dft USING (term) CROSS JOIN nd),
+        n2 AS MATERIALIZED (
+          SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2
+          FROM w GROUP BY 1),
+        dd AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(sum(a.w * b.w) AS BIGINT) AS dot
+          FROM w a JOIN w b
+            ON a.term = b.term AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, dot,
+               CAST((CAST(dot AS HUGEINT) * dot * 1000000)
+                    // (CAST(na.n2 AS HUGEINT) * nb.n2)
+                    AS BIGINT) AS cos2_ppm
+        FROM dd JOIN n2 na ON na.doc_id = dd.id_a
+                JOIN n2 nb ON nb.doc_id = dd.id_b
+        WHERE dot > 0
+          AND CAST(dot AS HUGEINT) * dot * 1000000
+              >= CAST(250000 AS HUGEINT) * na.n2 * nb.n2"""
+
+    # per-group KMV overlap matrix (kg.sketch.kmv_overlap_matrix):
+    # per-source bottom-64 md5 sketches of the 2-gram shingle sets via
+    # QUALIFY-style row_number windows, pair union sketches, Broder
+    # k-min Jaccard — all layout-invariant, replayed exactly.
+    sqls["corpus_overlap_matrix"] = f"""
+        WITH sh AS (
+          SELECT DISTINCT source, array_to_string(t[i:i+1], ' ') AS shingle
+          FROM (SELECT source, {_TOKS} AS t,
+                       generate_subscripts({_TOKS}, 1) AS i
+                FROM documents WHERE lang = 'en')
+          WHERE i <= len(t) - 1),
+        sk AS MATERIALIZED (
+          SELECT source, h FROM (
+            SELECT source, md5(shingle) AS h,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY md5(shingle)) AS rn
+            FROM sh)
+          WHERE rn <= 64),
+        gs AS MATERIALIZED (SELECT DISTINCT source FROM sk),
+        pairs AS (SELECT a.source AS ga, b.source AS gb
+                  FROM gs a JOIN gs b ON a.source < b.source),
+        m AS (
+          SELECT ga, gb, h, max(in_a) AS in_a, max(in_b) AS in_b
+          FROM (SELECT p.ga, p.gb, s.h, 1 AS in_a, 0 AS in_b
+                FROM pairs p JOIN sk s ON s.source = p.ga
+                UNION ALL
+                SELECT p.ga, p.gb, s.h, 0, 1
+                FROM pairs p JOIN sk s ON s.source = p.gb)
+          GROUP BY 1, 2, 3),
+        t AS (SELECT ga, gb, in_a, in_b,
+                     row_number() OVER (PARTITION BY ga, gb
+                                        ORDER BY h) AS rn
+              FROM m)
+        SELECT ga AS group_a, gb AS group_b,
+               CAST(count(*) AS BIGINT) AS k_union,
+               CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
+               CAST(sum(in_a * in_b) * 1000000
+                    // greatest(count(*), 1) AS BIGINT)
+                 AS jaccard_kmv_micro
+        FROM t WHERE rn <= 64 GROUP BY 1, 2"""
+
+    # crawl-shard boundary fingerprints (kg.dedup.boundary_fingerprints
+    # k=5): md5 of the first/last 5 tokens, sub-k docs '' (the query
+    # wrapper's coalesce).  DuckDB list slice is INCLUSIVE: t[1:5] and
+    # t[len-4:len] are 5 elements.
+    sqls["dedup_stitch"] = f"""
+        SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+               coalesce(CASE WHEN len(t) >= 5
+                        THEN md5(array_to_string(t[1:5], ' ')) END, '')
+                 AS prefix_key,
+               coalesce(CASE WHEN len(t) >= 5
+                        THEN md5(array_to_string(t[len(t)-4:len(t)], ' '))
+                        END, '') AS suffix_key
+        FROM (SELECT doc_id, {_TOKS} AS t
+              FROM documents WHERE lang = 'en')"""
+
+    # Newman degree assortativity of the strong-tie tag graph
+    # (kg.graphrank.degree_assortativity): exact integer degree moments
+    # over the both-orders directed edge list; the rational in HUGEINT
+    # (Spark side DECIMAL(38,0)), truncation-toward-zero division.
+    sqls["kg_tag_assortativity"] = f"""
+        WITH {_kept_sql},
+        {_cooccur_sql},
+        {_strong_sql},
+        sym AS MATERIALIZED (
+          SELECT a, b FROM f0 UNION SELECT b AS a, a AS b FROM f0),
+        deg AS MATERIALIZED (
+          SELECT a, CAST(count(*) AS BIGINT) AS deg
+          FROM sym GROUP BY 1),
+        pe AS (SELECT da.deg AS dx, db.deg AS dy
+               FROM sym JOIN deg da ON da.a = sym.a
+                        JOIN deg db ON db.a = sym.b),
+        raw AS (SELECT CAST(count(*) AS BIGINT) AS m2,
+                       CAST(sum(dx) AS BIGINT) AS sx,
+                       CAST(sum(dx * dx) AS BIGINT) AS sxx,
+                       CAST(sum(dx * dy) AS BIGINT) AS sxy
+                FROM pe)
+        SELECT m2, sx, sxx, sxy,
+               CAST(CASE WHEN CAST(m2 AS HUGEINT) * sxx
+                              - CAST(sx AS HUGEINT) * sx = 0 THEN 0
+                    ELSE (CAST(m2 AS HUGEINT) * sxy
+                          - CAST(sx AS HUGEINT) * sx) * 1000000
+                         // (CAST(m2 AS HUGEINT) * sxx
+                             - CAST(sx AS HUGEINT) * sx)
+                    END AS BIGINT) AS r_micro
+        FROM raw"""
+
+    # banded-LSH recall/precision audit (kg.dedup.lsh_recall_report):
+    # truth = the dedup_ngram_jaccard pair SQL verbatim (integer
+    # threshold form, NO max_df — matching the query's max_df=None),
+    # cand = the dedup_minhash_lsh sig/band SQL verbatim.
+    sqls["dedup_recall_lsh"] = f"""
+        WITH sh AS MATERIALIZED ({_SHINGLES2}),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+          FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        truth AS MATERIALIZED (
+          SELECT id_a, id_b FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE c * 1000000 >= 500000 * (sa.n + sb.n - c)),
+        sig AS MATERIALIZED ({_MINHASH_SIG}),
+        cand AS MATERIALIZED (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM ({_BANDS}) a JOIN ({_BANDS}) b
+            ON a.band = b.band AND a.bucket = b.bucket
+           AND a.doc_id < b.doc_id),
+        t AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+        c AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand),
+        h AS (SELECT CAST(count(*) AS BIGINT) AS n_hit
+              FROM truth JOIN cand USING (id_a, id_b))
+        SELECT n_truth, n_cand, n_hit,
+               CAST(n_hit * 1000000 // greatest(n_truth, 1)
+                    AS BIGINT) AS recall_ppm,
+               CAST(n_hit * 1000000 // greatest(n_cand, 1)
+                    AS BIGINT) AS precision_ppm
+        FROM t, c, h"""
 
     return sqls
