@@ -105,6 +105,9 @@ HEADLINE = [
     "corpus_overlap_matrix", # per-source pairwise KMV overlap matrix
     "dedup_stitch",          # crawl-shard boundary fingerprints
     "kg_tag_assortativity",  # Newman degree assortativity, one agg
+    "ann_kcenter",           # greedy k-center diversity coreset
+    "kg_tag_richclub",       # rich-club hub-core density profile
+    "embedding_rp",          # JL sign projection, zero-shuffle
 ]
 
 

@@ -118,3 +118,66 @@ def top_pc_projection(emb: DataFrame, dim: int, rounds: int = 3,
     return (xc.withColumn("_d", _dot_expr(model["v"]))
             .select("vec_id", F.expr("_d div 1000000").cast("bigint")
                     .alias("proj_micro")))
+
+
+def rp_signs(out_dims: int, in_dims: int, salt: int = 0) -> list:
+    """Deterministic ±1 sign matrix [out_dims][in_dims]: sign(j, i) =
+    +1 iff the first hex digit of md5('<salt>:<j>:<i>') is in 0..7
+    (one uniform bit of the hash; i, j 0-based) — the house md5-anchor
+    convention, replayable in any engine with md5()."""
+    import hashlib
+    return [[1 if hashlib.md5(f"{salt}:{j}:{i}".encode())
+             .hexdigest()[0] in "01234567" else -1
+             for i in range(in_dims)]
+            for j in range(out_dims)]
+
+
+def random_projection(emb: DataFrame, out_dims: int = 8,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      salt: int = 0) -> DataFrame:
+    """Johnson–Lindenstrauss sign random projection (Achlioptas 2003:
+    the dense ±1 variant preserves pairwise distances in expectation
+    like a Gaussian matrix, at integer cost): LONG-form output
+
+        (vec_id, dim, val_micro),   dim ∈ [0, out_dims)
+        val_micro(j) = Σ_i sign(j, i) · x_micro_i
+
+    — the cheap dimensionality-reduction front end for ANN
+    prefiltering and sketching (project 64-d → 8-d, bucket or index
+    the projection, exact-verify survivors in full dimension); the
+    random-matrix counterpart of the DATA-dependent top-PC projection
+    above.  The usual 1/sqrt(out_dims) scale factor is omitted — it is
+    a global constant that cancels in every distance comparison, and
+    keeping the sum raw keeps the arithmetic exact-integer.
+
+    Shape: ZERO shuffles — one narrow map building an array of
+    out_dims struct(dim, val) (each an in-row zip_with·aggregate
+    against an inlined ±1 literal row) + one explode.  The sign matrix
+    is pure md5 arithmetic (rp_signs), never stored: any engine — and
+    the DuckDB oracle — regenerates it from (salt, j, i).
+
+    Overflow: |x_micro| ≤ ~4e6 ⇒ |val| ≤ 4e6·in_dims, BIGINT-safe to
+    in_dims ~ 2e12."""
+    probe = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+    if probe is None:
+        return emb.select(F.col(id_col).alias("vec_id"),
+                          F.lit(0).cast("int").alias("dim"),
+                          F.lit(0).cast("bigint").alias("val_micro"))
+    in_dims = int(probe["d"])
+    signs = rp_signs(out_dims, in_dims, salt)
+    iv = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col),
+                    lambda x: F.round(x.cast("double") * 1_000_000, 0)
+                    .cast("bigint")).alias("v"))
+    cells = []
+    for j in range(out_dims):
+        lit = "array(" + ",".join(f"{s}L" for s in signs[j]) + ")"
+        cells.append(
+            f"struct({j} as dim, aggregate(zip_with(v, {lit}, "
+            "(x, s) -> x * s), 0L, (acc, t) -> acc + t) as val)")
+    arr = F.expr("array(" + ",".join(cells) + ")")
+    return (iv.select("vec_id", F.explode(arr).alias("_c"))
+            .select("vec_id", F.col("_c.dim").cast("int").alias("dim"),
+                    F.col("_c.val").cast("bigint").alias("val_micro")))

@@ -1255,3 +1255,52 @@ def degree_assortativity(edges: DataFrame, src_col: str = "src",
         F.expr(f"case when {den} = 0 then cast(0 as bigint) "
                f"else {num} * 1000000 div {den} end").cast("bigint")
         .alias("r_micro"))
+
+
+def rich_club(edges: DataFrame, degrees: tuple = (1, 2, 3, 4, 6, 8),
+              src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Rich-club coefficients (Zhou & Mondragón 2004) of the undirected
+    graph: for each degree cutoff k,
+
+        (k, n_nodes, n_edges, phi_micro)
+
+    n_nodes = |{v : deg(v) > k}|, n_edges = edges with BOTH endpoints
+    in that set, phi_micro = 2·n_edges·1e6 div (n_nodes·(n_nodes−1)) —
+    the density of the hub-core subgraph (n_nodes < 2 yields 0).  The
+    companion audit to degree_assortativity: boilerplate-driven tag
+    graphs show phi(k) → 1e6 at high k (the hubs form a clique).
+
+    Shape: ONE canonical-edge + degree build (shared for every k), then
+    the cutoffs ride a broadcast literal frame — two conditional
+    aggregates keyed on k, no per-k passes.  Exact integers throughout."""
+    e0 = edges.select(F.col(src_col).alias("a"),
+                      F.col(dst_col).alias("b")).localCheckpoint()
+    und = (e0.select(F.least("a", "b").alias("a"),
+                     F.greatest("a", "b").alias("b"))
+           .filter(F.col("a") != F.col("b")).distinct().localCheckpoint())
+    deg = (und.select(F.col("a").alias("n"))
+           .union(und.select(F.col("b").alias("n")))
+           .groupBy("n").agg(F.count("*").cast("bigint").alias("deg")))
+    ks = und.sparkSession.createDataFrame(
+        [(int(k),) for k in degrees], "k bigint")
+    nodes_k = (deg.crossJoin(F.broadcast(ks))
+               .filter(F.col("deg") > F.col("k"))
+               .groupBy("k").agg(F.count("*").cast("bigint")
+                                 .alias("n_nodes")))
+    ewd = (und.join(deg.withColumnsRenamed({"n": "a", "deg": "da"}), "a")
+           .join(deg.withColumnsRenamed({"n": "b", "deg": "db"}), "b"))
+    edges_k = (ewd.crossJoin(F.broadcast(ks))
+               .filter((F.col("da") > F.col("k"))
+                       & (F.col("db") > F.col("k")))
+               .groupBy("k").agg(F.count("*").cast("bigint")
+                                 .alias("n_edges")))
+    return (ks.join(nodes_k, "k", "left").join(edges_k, "k", "left")
+            .select("k",
+                    F.coalesce("n_nodes", F.lit(0)).cast("bigint")
+                    .alias("n_nodes"),
+                    F.coalesce("n_edges", F.lit(0)).cast("bigint")
+                    .alias("n_edges"))
+            .withColumn("phi_micro", F.expr(
+                "case when n_nodes < 2 then cast(0 as bigint) else "
+                "2 * n_edges * 1000000 div (n_nodes * (n_nodes - 1)) end")
+                .cast("bigint")))

@@ -831,3 +831,75 @@ def kmeans_fit(emb: DataFrame, n_clusters: int = 4, rounds: int = 2,
                        by_c.items())
     return (iv.withColumn("cluster", assign_expr(cents))
             .select("vec_id", "cluster"))
+
+
+def _min_center_struct(cents: list) -> Column:
+    """struct(d, cid) of the nearest center: exact integer squared L2
+    against the inlined [center][dim] literals, ties to the smaller
+    center id (the kmeans_fit assign convention — one SQL string, not
+    a py4j expression forest)."""
+    cids = [c for c, _ in cents]
+    vecs = [v for _, v in cents]
+    sqd = _SQD.format(v="v", w="cv")
+    return F.expr(
+        f"element_at(array_sort(zip_with({_lit2_sql(vecs)}, "
+        f"{_lit1_sql(cids)}, (cv, ci) -> "
+        f"struct({sqd} AS d, ci AS cid))), 1)")
+
+
+def kcenter_select(emb: DataFrame, k: int = 4, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Greedy k-center selection (Gonzalez 1985 farthest-first
+    traversal; 2-approximation of the optimal k-center cover) — the
+    DIVERSITY-coreset selector for training-data curation: the k
+    chosen vectors maximize min pairwise spread, the dual of SemDeDup's
+    redundancy removal (kg.dedup via similarity cells).  Returns the
+    full assignment (vec_id, center_id, d2): every vector, its nearest
+    selected center, and the exact integer squared distance — the
+    coverage radius audit is max(d2), the coreset is the k distinct
+    center_ids.
+
+    Protocol (engine-portable, no RNG):
+      seed      the vector with the smallest md5(id) (house hash-anchor
+                convention, kmeans_fit/ivf_hash_topk).
+      round r   next center = the vector with the MAXIMUM distance to
+                its nearest already-chosen center; ties (d2, then min
+                vec_id) — one max_by aggregate, deterministic because
+                vec_id is unique.
+      assign    in-row argmin vs the k inlined center literals, ties to
+                the smaller center id (the kmeans_fit convention).
+
+    Scale shape: per selection round ONE zero-shuffle narrow distance
+    map (centers ride as a single inlined SQL literal) + ONE max_by
+    aggregate whose map-side partials emit one row per task; only the
+    k·d center table reaches the driver.  k is the model size —
+    production coresets run k ≫ 4 with the same plan per round, or
+    switch to the over-sampled variant (pick the top-m farthest per
+    round) to amortize rounds; the per-round plan is what this
+    operator pins."""
+    iv = emb.select(F.col(id_col).alias("vec_id"),
+                    _micro_vec(F.col(vec_col)).alias("v"))
+    # iv feeds the seed scan + every round's distance pass + the final
+    # assignment — cut the lineage once (rule 7)
+    iv = iv.localCheckpoint()
+    seed = (iv.withColumn("_h", F.md5(F.col("vec_id").cast("string")))
+            .orderBy("_h").limit(1).collect())
+    if not seed:
+        return iv.select("vec_id",
+                         F.lit(None).cast("bigint").alias("center_id"),
+                         F.lit(None).cast("bigint").alias("d2"))
+    centers = [(int(seed[0]["vec_id"]), list(seed[0]["v"]))]
+    for _ in range(k - 1):
+        mind = _min_center_struct(centers)["d"]
+        far = (iv.agg(F.max_by(
+            F.struct(F.col("vec_id"), F.col("v")),
+            F.struct(mind.alias("d"),
+                     (-F.col("vec_id")).alias("ni"))).alias("far"))
+            .collect()[0]["far"])
+        if far is None or any(int(far["vec_id"]) == c for c, _ in centers):
+            break  # fewer distinct vectors than k: selection saturated
+        centers.append((int(far["vec_id"]), list(far["v"])))
+    a = _min_center_struct(sorted(centers))
+    return iv.select("vec_id",
+                     a["cid"].cast("bigint").alias("center_id"),
+                     a["d"].cast("bigint").alias("d2"))

@@ -1,0 +1,128 @@
+"""Greedy k-center coreset selection, rich-club coefficients, and JL
+sign random projection (kg.similarity / kg.graphrank / kg.embed r4
+session-9 batch-3 additions)."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------ k-center
+
+def _emb(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>")
+
+
+def test_kcenter_farthest_first_order(spark):
+    from kg.similarity import kcenter_select
+    # 1-D points at 0, 1, 10, 11 (micro-scaled): whatever the md5 seed
+    # is, the second center must come from the OTHER cluster (farthest
+    # first), so the final 2-center assignment splits {0,1} | {10,11}
+    got = kcenter_select(_emb(spark, [[0.0], [1.0], [10.0], [11.0]]),
+                         k=2).collect()
+    by_center: dict = {}
+    for r in got:
+        by_center.setdefault(r.center_id, set()).add(r.vec_id)
+    assert sorted(map(sorted, by_center.values())) == [[0, 1], [2, 3]]
+    # centers self-assign at d2 = 0, and every d2 is the exact integer
+    # squared micro distance to the nearest center
+    for r in got:
+        if r.vec_id == r.center_id:
+            assert r.d2 == 0
+
+
+def test_kcenter_seed_is_md5_min(spark):
+    from kg.similarity import kcenter_select
+    got = kcenter_select(_emb(spark, [[0.0], [5.0], [9.0]]), k=1).collect()
+    want_seed = min(range(3),
+                    key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
+    assert {r.center_id for r in got} == {want_seed}
+
+
+def test_kcenter_saturates_below_k(spark):
+    from kg.similarity import kcenter_select
+    # 2 distinct vectors, k=5: selection stops once every remaining
+    # point coincides with a chosen center (no duplicate center ids)
+    d = spark.createDataFrame(
+        [(0, [0.0]), (1, [1.0]), (2, [0.0]), (3, [1.0])],
+        "vec_id long, embedding array<float>")
+    got = kcenter_select(d, k=5).collect()
+    centers = {r.center_id for r in got}
+    assert len(centers) <= 3
+    assert all(r.d2 == 0 for r in got)  # every point sits ON a center
+
+
+def test_kcenter_empty_input(spark):
+    from kg.similarity import kcenter_select
+    d = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert kcenter_select(d, k=3).collect() == []
+
+
+# ----------------------------------------------------------- rich club
+
+def test_rich_club_clique_plus_pendant(spark):
+    from kg.graphrank import rich_club
+    # K4 on a,b,c,d (+ pendant p on a): degrees a=4, b=c=d=3, p=1.
+    # k=1,2: core = {a,b,c,d}, 6 edges → phi = 2·6e6/(4·3) = 1e6 (clique)
+    # k=3: core = {a} → n=1 → phi 0;  k=4: empty core
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+         ("c", "d"), ("a", "p")], ["src", "dst"])
+    got = {r.k: (r.n_nodes, r.n_edges, r.phi_micro)
+           for r in rich_club(e, degrees=(1, 2, 3, 4)).collect()}
+    assert got[1] == (4, 6, 1_000_000)
+    assert got[2] == (4, 6, 1_000_000)
+    assert got[3] == (1, 0, 0)
+    assert got[4] == (0, 0, 0)
+
+
+def test_rich_club_input_noise_invariant(spark):
+    from kg.graphrank import rich_club
+    base = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+    noisy = base + [("b", "a"), ("a", "b"), ("d", "d")]
+    a = {r.k: r.phi_micro for r in rich_club(
+        spark.createDataFrame(base, ["src", "dst"])).collect()}
+    b = {r.k: r.phi_micro for r in rich_club(
+        spark.createDataFrame(noisy, ["src", "dst"])).collect()}
+    assert a == b
+
+
+# ---------------------------------------------------- random projection
+
+def test_rp_matches_hand_computation(spark):
+    from kg.embed import random_projection, rp_signs
+    vecs = [[0.5, -1.0, 0.25], [1.5, 2.0, -0.125]]
+    got = {(r.vec_id, r.dim): r.val_micro
+           for r in random_projection(_emb(spark, vecs),
+                                      out_dims=4).collect()}
+    signs = rp_signs(4, 3)
+    for i, v in enumerate(vecs):
+        micro = [round(x * 1_000_000) for x in v]
+        for j in range(4):
+            want = sum(s * x for s, x in zip(signs[j], micro))
+            assert got[(i, j)] == want
+
+
+def test_rp_signs_follow_md5_rule(spark):
+    from kg.embed import rp_signs
+    signs = rp_signs(2, 8, salt=7)
+    for j in range(2):
+        for i in range(8):
+            h = hashlib.md5(f"7:{j}:{i}".encode()).hexdigest()[0]
+            assert signs[j][i] == (1 if h in "01234567" else -1)
+    # both signs occur (the matrix is not degenerate)
+    flat = [s for row in rp_signs(8, 64) for s in row]
+    assert 1 in flat and -1 in flat
+
+
+def test_rp_partition_invariant_and_empty(spark):
+    from kg.embed import random_projection
+    d = _emb(spark, [[float(i), float(-i)] for i in range(20)])
+    a = sorted(map(tuple, random_projection(d, out_dims=3).collect()))
+    b = sorted(map(tuple, random_projection(d.repartition(7),
+                                            out_dims=3).collect()))
+    assert a == b and len(a) == 60
+    e = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert random_projection(e, out_dims=3).collect() == []

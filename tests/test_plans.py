@@ -600,3 +600,29 @@ def test_cosine_pairs_single_postings_materialization(spark):
         ["doc_id", "text"])
     plan = _plan(tfidf_cosine_pairs(docs, n=3))
     assert "FileScan" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kcenter_assignment_zero_shuffle(spark):
+    """kcenter_select's final assignment must be a zero-Exchange narrow
+    map over the checkpointed vectors: centers ride as ONE inlined SQL
+    literal (the kmeans_fit convention), never a join side."""
+    from kg.similarity import kcenter_select
+    d = spark.createDataFrame(
+        [(i, [float(i), float(-i)]) for i in range(12)],
+        "vec_id long, embedding array<float>")
+    plan = _plan(kcenter_select(d, k=3))
+    assert "Exchange" not in plan
+    assert "Join" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_random_projection_zero_shuffle(spark):
+    """random_projection is one narrow struct-array build + explode —
+    no Exchange, no join, no Python; the sign matrix is md5 arithmetic
+    inlined as literals."""
+    from kg.embed import random_projection
+    d = spark.createDataFrame(
+        [(i, [float(i)] * 4) for i in range(12)],
+        "vec_id long, embedding array<float>")
+    plan = _plan(random_projection(d, out_dims=4))
+    assert "Exchange" not in plan
+    assert "Join" not in plan and "ArrowEvalPython" not in plan

@@ -3456,6 +3456,105 @@ def build_oracle_sql() -> dict[str, str]:
                     END AS BIGINT) AS r_micro
         FROM raw"""
 
+    # greedy k-center selection (kg.similarity.kcenter_select): md5
+    # seed, 3 farthest-first rounds (ORDER BY d2 DESC, vec_id LIMIT 1
+    # = the max_by tie-break), final argmin assignment — the kmeans
+    # round-chain convention; every chain CTE MATERIALIZED.
+    def _kc_min(sfx: str, cents: str) -> str:
+        return f"""
+        m{sfx} AS MATERIALIZED (
+          SELECT vec_id, cid, d2 FROM (
+            SELECT vec_id, cid, d2, row_number() OVER (
+              PARTITION BY vec_id ORDER BY d2, cid) AS rn
+            FROM (SELECT vec_id, cid,
+                         CAST(sum((vv - cc) * (vv - cc)) AS BIGINT) AS d2
+                  FROM (SELECT i.vec_id, c.cid AS cid, unnest(i.v) AS vv,
+                               unnest(c.cent) AS cc
+                        FROM iv i, {cents} c)
+                  GROUP BY 1, 2))
+          WHERE rn = 1)"""
+
+    _kc_iv = """
+        WITH iv AS MATERIALIZED (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(round(
+                   CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+          FROM embeddings),
+        cc1 AS MATERIALIZED (
+          SELECT vec_id AS cid, v AS cent FROM iv
+          ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 1)"""
+
+    def _kc_next(sfx: str, prev_m: str, prev_c: str) -> str:
+        return f"""
+        s{sfx} AS MATERIALIZED (
+          SELECT i.vec_id AS cid, i.v AS cent
+          FROM {prev_m} m JOIN iv i USING (vec_id)
+          ORDER BY m.d2 DESC, m.vec_id LIMIT 1),
+        cc{sfx} AS MATERIALIZED (
+          SELECT * FROM {prev_c} UNION ALL SELECT * FROM s{sfx})"""
+
+    sqls["ann_kcenter"] = (_kc_iv + ","
+                           + _kc_min("1", "cc1") + ","
+                           + _kc_next("2", "m1", "cc1") + ","
+                           + _kc_min("2", "cc2") + ","
+                           + _kc_next("3", "m2", "cc2") + ","
+                           + _kc_min("3", "cc3") + ","
+                           + _kc_next("4", "m3", "cc3") + ","
+                           + _kc_min("4", "cc4") + """
+        SELECT vec_id, CAST(cid AS BIGINT) AS center_id, d2 FROM m4""")
+
+    # rich-club coefficients (kg.graphrank.rich_club) of the strong-tie
+    # graph: hub-core density at fixed degree cutoffs, exact integers.
+    sqls["kg_tag_richclub"] = f"""
+        WITH {_kept_sql},
+        {_cooccur_sql},
+        {_strong_sql},
+        deg AS MATERIALIZED (
+          SELECT n, CAST(count(*) AS BIGINT) AS deg FROM (
+            SELECT a AS n FROM f0 UNION ALL SELECT b FROM f0)
+          GROUP BY 1),
+        ks AS (SELECT CAST(unnest([1, 2, 3, 4, 6, 8]) AS BIGINT) AS k),
+        nk AS (SELECT k, CAST(count(*) AS BIGINT) AS n_nodes
+               FROM deg CROSS JOIN ks WHERE deg > k GROUP BY 1),
+        ek AS (SELECT k, CAST(count(*) AS BIGINT) AS n_edges
+               FROM f0
+               JOIN deg da ON da.n = f0.a
+               JOIN deg db ON db.n = f0.b
+               CROSS JOIN ks
+               WHERE da.deg > k AND db.deg > k GROUP BY 1)
+        SELECT k, coalesce(n_nodes, 0) AS n_nodes,
+               coalesce(n_edges, 0) AS n_edges,
+               CAST(CASE WHEN coalesce(n_nodes, 0) < 2 THEN 0
+                    ELSE 2 * coalesce(n_edges, 0) * 1000000
+                         // (n_nodes * (n_nodes - 1)) END AS BIGINT)
+                 AS phi_micro
+        FROM ks LEFT JOIN nk USING (k) LEFT JOIN ek USING (k)"""
+
+    # JL ±1 random projection (kg.embed.random_projection): the sign
+    # matrix regenerated from md5('0:<j>:<i>') (i, j 0-based) — never
+    # stored, identical in both engines.
+    sqls["embedding_rp"] = """
+        WITH iv AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(round(
+                   CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+          FROM embeddings),
+        grid AS MATERIALIZED (
+          SELECT j, i,
+                 CASE WHEN strpos('01234567', substr(md5(
+                        '0:' || CAST(j AS VARCHAR) || ':'
+                        || CAST(i AS VARCHAR)), 1, 1)) > 0
+                      THEN 1 ELSE -1 END AS s
+          FROM (SELECT unnest(range(8)) AS j),
+               (SELECT unnest(range(64)) AS i)),
+        cells AS (
+          SELECT vec_id, generate_subscripts(v, 1) - 1 AS i,
+                 unnest(v) AS x
+          FROM iv)
+        SELECT vec_id, CAST(j AS INT) AS dim,
+               CAST(sum(x * s) AS BIGINT) AS val_micro
+        FROM cells JOIN grid USING (i) GROUP BY 1, 2"""
+
     # banded-LSH recall/precision audit (kg.dedup.lsh_recall_report):
     # truth = the dedup_ngram_jaccard pair SQL verbatim (integer
     # threshold form, NO max_df — matching the query's max_df=None),
