@@ -1884,6 +1884,52 @@ def q_embedding_rp(spark, sf_dir):
     return random_projection(emb, out_dims=8)
 
 
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """Portable SimHash near-dup pairs
+    (kg.dedup.simhash_near_pairs_portable): 4×16-bit band blocking is
+    LOSSLESS at Hamming ≤ 3 (pigeonhole), exact verify via the
+    per-nibble XOR-popcount LUT — the pair-emitting completion of the
+    md5-bit fingerprint family (dedup_simhash emits fingerprints,
+    this emits the verified pair set)."""
+    from kg.dedup import simhash_near_pairs_portable
+    return simhash_near_pairs_portable(_docs(spark, sf_dir), max_hamming=3)
+
+
+def q_kg_tag_scc(spark, sf_dir):
+    """Pivot FW∩BW strongly connected components (kg.graphrank.
+    scc_pivot, Fleischer et al. 2000, depth-bounded) over the DIRECTED
+    word-adjacency digraph (w1 → w2 consecutive in a document) — the
+    one graph family member where edge DIRECTION is the semantics;
+    2 md5-chosen pivots × 3-hop mutual reachability, unclaimed nodes
+    stay honest singletons."""
+    from kg.graphrank import scc_pivot
+    toks = _docs(spark, sf_dir).select(F.split("text", " ").alias("t"))
+    edges = (toks.select(F.explode(F.expr(
+        "transform(sequence(1, size(t) - 1), i -> struct("
+        "element_at(t, i) as src, element_at(t, i + 1) as dst))"))
+        .alias("e"))
+        .select("e.src", "e.dst").distinct())
+    return scc_pivot(edges, n_pivots=2, max_depth=3)
+
+
+def q_rel_events_distinct_kmv(spark, sf_dir):
+    """Per-event-type KMV distinct-user estimates
+    (kg.sketch.kmv_group_distinct, k=64) joined against the exact
+    counts — the mergeable engine-portable counterpart of
+    rel_events_distinct_approx's HLL (KMV sketches can be persisted
+    and unioned across ingest batches; HLL is JVM-internal)."""
+    from kg.sketch import kmv_group_distinct
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    est = kmv_group_distinct(
+        ev.select(F.col("event_type").alias("group"),
+                  F.col("user_id").alias("value")), k=64)
+    exact = ev.groupBy(F.col("event_type").alias("group")).agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_distinct"))
+    return (est.join(exact, "group")
+            .select(F.col("group").alias("event_type"), "n_sk",
+                    "est_distinct", "exact_distinct"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # WINDOW-ROTATION RULE (STATUS.md §rotation): the driver's CORRECTNESS
     # artifact covers roughly the FIRST 50 registered queries per round, so
@@ -1951,14 +1997,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # kg_tag_pagerank_full and r3-green kg_tag_ppr), kg_tag_pmi (its
         # oracle embeds the shared capped co-occurrence SQL every
         # in-window graph query re-exercises) -----------------------------
-        "dedup_bloom": q_dedup_bloom,
         "text_cms": q_text_cms,
-        "corpus_dsir": q_corpus_dsir,
         "kg_tag_spread": q_kg_tag_spread,
         # --- r4 session-7 additions (rotated into the window); one more
         # r2-stale row demoted per addition — see the demoted block ------
         "corpus_classifier": q_corpus_classifier,
-        "corpus_contrastive": q_corpus_contrastive,
         # --- r4 session-8 additions (rotated into the window); one
         # demotion each — see the demoted block -------------------------
         "text_bpe_encode": q_text_bpe_encode,
@@ -1975,6 +2018,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_kcenter": q_ann_kcenter,
         "kg_tag_richclub": q_kg_tag_richclub,
         "embedding_rp": q_embedding_rp,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "kg_tag_scc": q_kg_tag_scc,
+        "rel_events_distinct_kmv": q_rel_events_distinct_kmv,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also
@@ -2033,6 +2079,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # contiguity/determinism contract is exactly what its pytests
         # pin, an oracle adds little beyond them
         "kg_node_index": q_kg_node_index,
+        # demoted for dedup_simhash_pairs (session 9): its salted-md5
+        # hash_pos position chain is replayed verbatim by in-window
+        # text_cms (same kg.sketch helper); the zero-false-negative
+        # Bloom contract is proven by pytest against exact overlap
+        "dedup_bloom": q_dedup_bloom,
+        # demoted for kg_tag_scc (session 9): its hashed-bucket feature
+        # machinery is the in-window corpus_classifier's (same md5
+        # bucket features + floor-log2 bits); the score arithmetic has
+        # a pure-Python bit-replay pytest
+        "corpus_dsir": q_corpus_dsir,
+        # demoted for rel_events_distinct_kmv (session 9): its
+        # positive-mining side is the LSH band/bucket pair SQL now
+        # embedded verbatim by in-window dedup_recall_lsh (and the
+        # dedup_components edge builder); the hash-ring negatives are
+        # pinned by ring-membership/partitioning-invariance pytests
+        "corpus_contrastive": q_corpus_contrastive,
         # demoted for corpus_contrastive (session 7): its shingle/pair SQL
         # is shared verbatim with dedup_containment (fresh r3-green row)
         # and re-exercised by the in-window canon/jaccard consumers

@@ -108,6 +108,9 @@ HEADLINE = [
     "ann_kcenter",           # greedy k-center diversity coreset
     "kg_tag_richclub",       # rich-club hub-core density profile
     "embedding_rp",          # JL sign projection, zero-shuffle
+    "dedup_simhash_pairs",   # lossless banded Hamming<=3 pair verify
+    "kg_tag_scc",            # pivot FW/BW SCC, directed word digraph
+    "rel_events_distinct_kmv",  # per-type KMV distinct users + audit
 ]
 
 

@@ -916,3 +916,53 @@ def stitch_pairs(df: DataFrame, k: int = 5, text_col: str = "text",
         F.col("doc_id").alias("id_b"), F.col("prefix_key").alias("_k"))
     return (a.join(b, "_k").filter(F.col("id_a") != F.col("id_b"))
             .select("id_a", "id_b"))
+
+
+# popcount LUT for one hex nibble: _NIBBLE_POP[x] = bits set in x
+_NIBBLE_POP = "0112122312232334"
+
+
+def simhash_near_pairs_portable(df: DataFrame, max_hamming: int = 3,
+                                text_col: str = "text",
+                                id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs by PORTABLE SimHash (the md5-bit hex fingerprint
+    of simhash_portable): (id_a, id_b, hamming), hamming ≤ max_hamming.
+
+    Blocking is LOSSLESS, not approximate: any pair within Hamming
+    distance 3 agrees on at least one of the 4 16-bit bands
+    (pigeonhole), so banding + exact verify returns EXACTLY the
+    ≤ max_hamming pair set — the same guarantee as the xxhash64 twin
+    (simhash_near_pairs) but bit-replayable in any engine with md5():
+    bands are 4-hex-digit substrings, the Hamming verify is a 16-term
+    per-nibble XOR-popcount LUT ('0112122312232334') — no native
+    bit_count needed.
+
+    Shape: one fingerprint pass (the simhash_portable single groupBy),
+    checkpointed before the two join branches (rule 7), band explode,
+    equi-join on (band, key), distinct, exact verify.  Giant bands
+    (identical boilerplate) are bounded upstream by exact dedup, as in
+    the xxhash64 twin."""
+    sh = simhash_portable(df, text_col, id_col).localCheckpoint()
+    bands = F.array(*[
+        F.struct(F.lit(c).alias("band"),
+                 F.substring("simhash_hex", c * 4 + 1, 4).alias("key"))
+        for c in range(4)])
+    blocked = (sh.select("id", "simhash_hex", F.explode(bands).alias("cb"))
+               .select("id", "simhash_hex",
+                       F.col("cb.band").alias("band"),
+                       F.col("cb.key").alias("key")))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    ham = sum(
+        F.expr(f"cast(substr('{_NIBBLE_POP}', "
+               f"(cast(conv(substr(a.simhash_hex, {p}, 1), 16, 10) as int)"
+               f" ^ cast(conv(substr(b.simhash_hex, {p}, 1), 16, 10) "
+               "as int)) + 1, 1) as int)")
+        for p in range(1, 17))
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"),
+                    ham.cast("int").alias("hamming"))
+            .distinct()
+            .filter(F.col("hamming") <= max_hamming))

@@ -1304,3 +1304,79 @@ def rich_club(edges: DataFrame, degrees: tuple = (1, 2, 3, 4, 6, 8),
                 "case when n_nodes < 2 then cast(0 as bigint) else "
                 "2 * n_edges * 1000000 div (n_nodes * (n_nodes - 1)) end")
                 .cast("bigint")))
+
+
+def _directed_reach(edges: DataFrame, seed: DataFrame,
+                    max_depth: int, reverse: bool = False) -> DataFrame:
+    """Nodes reachable from `seed` within max_depth DIRECTED hops
+    (inclusive of the seed); reverse=True walks edges backwards.
+    Same per-round budget as bfs_levels (join + distinct + anti-join)
+    but without the symmetrize — SCC needs both orientations
+    separately."""
+    e = (edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+         if reverse else edges.select("a", "b"))
+    visited = seed.select("node").distinct().localCheckpoint()
+    frontier = visited
+    for _ in range(max_depth):
+        nxt = (frontier.join(e, frontier.node == e.a)
+               .select(F.col("b").alias("node")).distinct()
+               .join(visited, "node", "left_anti").localCheckpoint())
+        visited = visited.union(nxt)
+        frontier = nxt
+    return visited
+
+
+def scc_pivot(edges: DataFrame, n_pivots: int = 2, max_depth: int = 3,
+              src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Pivot-based strongly connected components (the FW–BW step of
+    Fleischer–Hendrickson–Pinar 2000, first n_pivots rounds,
+    depth-bounded): per pivot, SCC(pivot) = FwdReach(pivot) ∩
+    BwdReach(pivot) — mutual reachability, the defining property —
+    with both reaches bounded at max_depth hops (the fixed-round
+    contract every iterative op here uses; members farther than
+    max_depth from the pivot in either direction are not claimed).
+
+    Returns (node, scc_id, resolved): resolved = 1 for nodes claimed
+    by a pivot's component (scc_id = the pivot), else scc_id = the
+    node itself — honest singletons, not a false merge.  Pivots are
+    the md5-smallest unclaimed nodes (deterministic, hash-uniform —
+    in expectation the giant SCC is hit by the first pivots, the
+    FW–BW argument).  Later components are anti-joined against earlier
+    claims so depth-truncated overlap cannot double-assign a node.
+
+    Shape: per pivot 2·max_depth directed frontier rounds (join +
+    distinct + anti-join on the node key) + one intersection join;
+    the driver sees only the pivot ids.  The graph stays put; no
+    symmetrize (directionality IS the signal)."""
+    e0 = (edges.select(F.col(src_col).alias("a"),
+                       F.col(dst_col).alias("b"))
+          .filter(F.col("a") != F.col("b")).distinct().localCheckpoint())
+    nodes = (e0.select(F.col("a").alias("node"))
+             .union(e0.select(F.col("b").alias("node")))
+             .distinct().localCheckpoint())
+    assigned = None
+    for _ in range(n_pivots):
+        cand = nodes if assigned is None else nodes.join(
+            assigned.select("node"), "node", "left_anti")
+        row = (cand.orderBy(F.md5(F.col("node").cast("string")))
+               .limit(1).collect())
+        if not row:
+            break
+        piv = row[0]["node"]
+        seed = nodes.filter(F.col("node") == piv)
+        fw = _directed_reach(e0, seed, max_depth)
+        bw = _directed_reach(e0, seed, max_depth, reverse=True)
+        scc = (fw.join(bw, "node").select("node")
+               .withColumn("scc_id", F.lit(piv)))
+        if assigned is not None:
+            scc = scc.join(assigned.select("node"), "node", "left_anti")
+        assigned = (scc if assigned is None
+                    else assigned.unionByName(scc)).localCheckpoint()
+    if assigned is None:
+        return nodes.select("node", F.col("node").alias("scc_id"),
+                            F.lit(0).cast("int").alias("resolved"))
+    return (nodes.join(assigned, "node", "left")
+            .select("node",
+                    F.coalesce("scc_id", "node").alias("scc_id"),
+                    F.col("scc_id").isNotNull().cast("int")
+                    .alias("resolved")))

@@ -431,3 +431,24 @@ def kmv_overlap_matrix(values: DataFrame, group_col: str = "group",
             .withColumn("jaccard_kmv_micro",
                         F.expr("n_both * 1000000 div greatest(k_union, 1)")
                         .cast("bigint")))
+
+
+def kmv_group_distinct(values: DataFrame, group_col: str = "group",
+                       col: str = "value", k: int = 64) -> DataFrame:
+    """Per-group KMV distinct-count estimates: (group, n_sk,
+    est_distinct) — n_sk rows survive in the group's sketch; when
+    saturated (n_sk = k) est = (k−1)·2^48 div H_k, else the count is
+    exact (the sketch IS the set).  Layout-invariant like every KMV op
+    here, so estimates replay exactly — the per-key counterpart of
+    HLL approx_count_distinct (kg.relops) when the pipeline needs a
+    MERGEABLE, engine-portable artifact it can persist and union
+    across ingest batches (HLL sketches are JVM-internal)."""
+    sk = kmv_group_sketches(values, group_col, col, k)
+    return (sk.groupBy("group")
+            .agg(F.count("*").cast("bigint").alias("n_sk"),
+                 F.when(F.count("*") < k, F.count("*").cast("bigint"))
+                 .otherwise(F.expr(
+                     f"cast({k - 1} as bigint) * 281474976710656 div "
+                     "greatest(cast(conv(substring(max(h), 1, 12), 16, "
+                     "10) as bigint), 1)"))
+                 .cast("bigint").alias("est_distinct")))

@@ -1,0 +1,124 @@
+"""Portable SimHash pairs, pivot FW∩BW SCC, and per-group KMV distinct
+(kg.dedup / kg.graphrank / kg.sketch r4 session-9 batch-4 additions)."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(list(enumerate(texts)),
+                                 ["doc_id", "text"])
+
+
+# ------------------------------------------------- simhash pair verify
+
+def test_simhash_pairs_lossless_at_hamming_3(spark):
+    from kg.dedup import simhash_near_pairs_portable, simhash_portable
+    texts = ["alpha beta gamma delta epsilon zeta",
+             "alpha beta gamma delta epsilon zeta",   # exact dup of 0
+             "alpha beta gamma delta epsilon eta",    # near dup
+             "one two three four five six",
+             "completely different words here now then"]
+    d = _docs(spark, texts)
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in simhash_near_pairs_portable(d, max_hamming=3).collect()}
+    # brute-force truth from the fingerprints themselves
+    fp = {r.id: int(r.simhash_hex, 16)
+          for r in simhash_portable(d).collect()}
+    want = {}
+    ids = sorted(fp)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                h = bin(fp[i] ^ fp[j]).count("1")
+                if h <= 3:
+                    want[(i, j)] = h
+    # pigeonhole: banding is LOSSLESS at hamming <= 3 — sets must match
+    assert got == want
+    assert got[(0, 1)] == 0  # the exact duplicate
+
+
+def test_simhash_pairs_no_self_or_reversed(spark):
+    from kg.dedup import simhash_near_pairs_portable
+    d = _docs(spark, ["same text here okay", "same text here okay"])
+    rows = simhash_near_pairs_portable(d).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in rows] == [(0, 1, 0)]
+
+
+# -------------------------------------------------------- SCC pivots
+
+def _digraph(spark, edges):
+    return spark.createDataFrame(edges, ["src", "dst"])
+
+
+def test_scc_cycle_plus_chain(spark):
+    from kg.graphrank import scc_pivot
+    # 3-cycle {a,b,c}, a tail c->d->e, and a separate 2-cycle {x,y}
+    e = _digraph(spark, [("a", "b"), ("b", "c"), ("c", "a"),
+                         ("c", "d"), ("d", "e"), ("x", "y"), ("y", "x")])
+    got = {r.node: (r.scc_id, r.resolved)
+           for r in scc_pivot(e, n_pivots=2, max_depth=3).collect()}
+    # replay pivot choice: md5-min over all nodes, then over unclaimed
+    nodes = sorted(got)
+    p1 = min(nodes, key=lambda n: hashlib.md5(n.encode()).hexdigest())
+    comp = {"a": {"a", "b", "c"}, "b": {"a", "b", "c"},
+            "c": {"a", "b", "c"}, "d": {"d"}, "e": {"e"},
+            "x": {"x", "y"}, "y": {"x", "y"}}
+    claimed1 = comp[p1]
+    for n in claimed1:
+        assert got[n] == (p1, 1)
+    rest = [n for n in nodes if n not in claimed1]
+    p2 = min(rest, key=lambda n: hashlib.md5(n.encode()).hexdigest())
+    for n in comp[p2]:
+        assert got[n] == (p2, 1)
+    for n in rest:
+        if n not in comp[p2]:
+            assert got[n] == (n, 0)  # honest singleton, unclaimed
+
+
+def test_scc_depth_bound_is_honest(spark):
+    from kg.graphrank import scc_pivot
+    # a directed 4-cycle needs 3 hops to close backwards from any
+    # node; at max_depth=1 mutual reachability within the bound is
+    # just the pivot itself — the component must NOT be claimed whole
+    e = _digraph(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")])
+    got = {r.node: (r.scc_id, r.resolved)
+           for r in scc_pivot(e, n_pivots=1, max_depth=1).collect()}
+    assert sum(1 for v in got.values() if v[1] == 1) == 1
+    # and at depth 3 the full cycle resolves to one component
+    got3 = {r.scc_id for r in
+            scc_pivot(e, n_pivots=1, max_depth=3).collect()}
+    assert len(got3) == 1
+
+
+def test_scc_self_loops_and_dupes_ignored(spark):
+    from kg.graphrank import scc_pivot
+    a = scc_pivot(_digraph(spark, [("a", "b"), ("b", "a")]),
+                  n_pivots=1).collect()
+    b = scc_pivot(_digraph(spark, [("a", "b"), ("b", "a"), ("a", "a"),
+                                   ("a", "b")]), n_pivots=1).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# ---------------------------------------------- per-group KMV distinct
+
+def test_kmv_group_distinct_exact_below_k(spark):
+    from kg.sketch import kmv_group_distinct
+    rows = ([("g1", f"u{i}") for i in range(10)]
+            + [("g2", f"u{i}") for i in range(3)] * 4)
+    df = spark.createDataFrame(rows, ["group", "value"])
+    got = {r.group: (r.n_sk, r.est_distinct)
+           for r in kmv_group_distinct(df, k=64).collect()}
+    assert got == {"g1": (10, 10), "g2": (3, 3)}
+
+
+def test_kmv_group_distinct_saturated_formula(spark):
+    from kg.sketch import kmv_group_distinct
+    vals = [f"user-{i}" for i in range(500)]
+    df = spark.createDataFrame([("g", v) for v in vals],
+                               ["group", "value"])
+    row = kmv_group_distinct(df, k=32).collect()[0]
+    hk = sorted(hashlib.md5(v.encode()).hexdigest() for v in vals)[31]
+    assert row.n_sk == 32
+    assert row.est_distinct == 31 * (1 << 48) // int(hk[:12], 16)

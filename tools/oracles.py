@@ -3555,6 +3555,112 @@ def build_oracle_sql() -> dict[str, str]:
                CAST(sum(x * s) AS BIGINT) AS val_micro
         FROM cells JOIN grid USING (i) GROUP BY 1, 2"""
 
+    # portable SimHash near-dup pairs (kg.dedup.
+    # simhash_near_pairs_portable): the dedup_simhash fingerprint CTE
+    # verbatim, 4-hex-digit band blocking, per-nibble XOR-popcount LUT
+    # verify at Hamming <= 3 (banding lossless there by pigeonhole).
+    _ham16 = " + ".join(
+        "CAST(substr('0112122312232334', xor("
+        f"strpos('0123456789abcdef', substr(c.ha, {p}, 1)) - 1, "
+        f"strpos('0123456789abcdef', substr(c.hb, {p}, 1)) - 1) + 1, 1)"
+        " AS INT)"
+        for p in range(1, 17))
+    sqls["dedup_simhash_pairs"] = f"""
+        WITH t AS (
+          SELECT doc_id AS id, md5(tok) AS h FROM (
+            SELECT doc_id, unnest({_TOKS}) AS tok
+            FROM documents WHERE lang = 'en')),
+        sums AS (SELECT id, {_simhash_sums_sql()} FROM t GROUP BY id),
+        fp AS MATERIALIZED (
+          SELECT id, {_simhash_hex_sql()} AS hx FROM sums),
+        bl AS MATERIALIZED (
+          SELECT id, hx, band, substr(hx, band * 4 + 1, 4) AS key
+          FROM fp, (SELECT unnest(range(4)) AS band)),
+        c AS MATERIALIZED (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                          a.hx AS ha, b.hx AS hb
+          FROM bl a JOIN bl b
+            ON a.band = b.band AND a.key = b.key AND a.id < b.id)
+        SELECT id_a, id_b, CAST({_ham16} AS INT) AS hamming
+        FROM c WHERE ({_ham16}) <= 3"""
+
+    # pivot FW∩BW SCC (kg.graphrank.scc_pivot) over the directed
+    # word-adjacency digraph: 2 md5 pivots, 3-hop reach chains in each
+    # direction, intersection = the depth-bounded component; scc2
+    # anti-joined against scc1 (the operator's double-claim guard).
+    def _reach(sfx: str, seed: str, col_a: str, col_b: str) -> str:
+        steps = [f"{sfx}0 AS MATERIALIZED (SELECT node FROM {seed})"]
+        for r in range(1, 4):
+            steps.append(
+                f"""{sfx}{r} AS MATERIALIZED (
+          SELECT node FROM {sfx}{r - 1}
+          UNION
+          SELECT e.{col_b} AS node FROM ed e
+          JOIN {sfx}{r - 1} v ON e.{col_a} = v.node)""")
+        return ",\n        ".join(steps)
+
+    sqls["kg_tag_scc"] = f"""
+        WITH ed AS MATERIALIZED (
+          SELECT DISTINCT t[i] AS a, t[i + 1] AS b
+          FROM (SELECT {_TOKS} AS t,
+                       generate_subscripts({_TOKS}, 1) AS i
+                FROM documents WHERE lang = 'en')
+          WHERE i < len(t) AND t[i] <> t[i + 1]),
+        nd AS MATERIALIZED (
+          SELECT a AS node FROM ed UNION SELECT b FROM ed),
+        p1 AS MATERIALIZED (
+          SELECT node FROM nd ORDER BY md5(node) LIMIT 1),
+        {_reach("f1_", "p1", "a", "b")},
+        {_reach("b1_", "p1", "b", "a")},
+        scc1 AS MATERIALIZED (
+          SELECT node FROM f1_3 INTERSECT SELECT node FROM b1_3),
+        p2 AS MATERIALIZED (
+          SELECT node FROM nd
+          WHERE node NOT IN (SELECT node FROM scc1)
+          ORDER BY md5(node) LIMIT 1),
+        {_reach("f2_", "p2", "a", "b")},
+        {_reach("b2_", "p2", "b", "a")},
+        scc2 AS MATERIALIZED (
+          SELECT node FROM (
+            SELECT node FROM f2_3 INTERSECT SELECT node FROM b2_3)
+          WHERE node NOT IN (SELECT node FROM scc1)),
+        asg AS (
+          SELECT node, (SELECT node FROM p1) AS scc_id FROM scc1
+          UNION ALL
+          SELECT node, (SELECT node FROM p2) AS scc_id FROM scc2)
+        SELECT nd.node, coalesce(asg.scc_id, nd.node) AS scc_id,
+               CAST(CASE WHEN asg.scc_id IS NULL THEN 0 ELSE 1 END
+                    AS INT) AS resolved
+        FROM nd LEFT JOIN asg USING (node)"""
+
+    # per-event-type KMV distinct-user estimates
+    # (kg.sketch.kmv_group_distinct, k=64) + exact audit counts.
+    _h12m = _hex12_of("max(h)")
+    sqls["rel_events_distinct_kmv"] = f"""
+        WITH hv AS (
+          SELECT DISTINCT event_type AS grp,
+                 md5(CAST(user_id AS VARCHAR)) AS h
+          FROM events),
+        sk AS MATERIALIZED (
+          SELECT grp, h FROM (
+            SELECT grp, h, row_number() OVER (
+              PARTITION BY grp ORDER BY h) AS rn
+            FROM hv)
+          WHERE rn <= 64),
+        est AS (
+          SELECT grp, CAST(count(*) AS BIGINT) AS n_sk,
+                 CAST(CASE WHEN count(*) < 64 THEN count(*)
+                      ELSE (63 * 281474976710656)
+                           // greatest({_h12m}, 1) END
+                      AS BIGINT) AS est_distinct
+          FROM sk GROUP BY 1),
+        ex AS (SELECT event_type AS grp,
+                      CAST(count(DISTINCT user_id) AS BIGINT)
+                        AS exact_distinct
+               FROM events GROUP BY 1)
+        SELECT grp AS event_type, n_sk, est_distinct, exact_distinct
+        FROM est JOIN ex USING (grp)"""
+
     # banded-LSH recall/precision audit (kg.dedup.lsh_recall_report):
     # truth = the dedup_ngram_jaccard pair SQL verbatim (integer
     # threshold form, NO max_df — matching the query's max_df=None),
