@@ -1930,6 +1930,46 @@ def q_rel_events_distinct_kmv(spark, sf_dir):
                     "est_distinct", "exact_distinct"))
 
 
+def q_kg_tag_conductance(spark, sf_dir):
+    """Weighted conductance of the 1-round LPA partition
+    (kg.graphrank.community_conductance, Kannan–Vempala–Vetta 2004)
+    over the SAME co-occurrence graph kg_tag_modularity scores — the
+    cut-quality complement of modularity's density view; high
+    conductance flags the partition's weak communities."""
+    from kg.graphrank import (community_conductance, label_propagation,
+                              tag_cooccurrence_edges)
+    ann = annotate_graph_df(with_doc_key(_docs(spark, sf_dir), ("doc_id",)),
+                            "text", TOK_SPEC)
+    tags = explode_tags(explode_sentences(ann))
+    # edges feed BOTH label_propagation and the conductance score — cut
+    # the lineage once (rule 7, the kg_tag_modularity pattern)
+    edges = tag_cooccurrence_edges(tags).localCheckpoint()
+    return community_conductance(edges,
+                                 label_propagation(edges, iterations=1))
+
+
+def q_corpus_diff(spark, sf_dir):
+    """Snapshot diff between two corpus versions (kg.corpus.corpus_diff):
+    the new version is derived deterministically from the old (drop
+    doc_id%17==0, edit doc_id%13==0, add doc_id%19==0 under shifted
+    ids) — per-doc added/removed/changed/unchanged statuses, the CDC
+    audit feeding reannotate_merge (changed) and incremental dedup
+    (added)."""
+    from kg.corpus import corpus_diff
+    d = _docs(spark, sf_dir)
+    new = (d.filter(F.col("doc_id") % 17 != 0)
+           .withColumn("text",
+                       F.when(F.col("doc_id") % 13 == 0,
+                              F.concat(F.col("text"), F.lit(" edited")))
+                       .otherwise(F.col("text")))
+           .unionByName(
+               d.filter(F.col("doc_id") % 19 == 0)
+               .select((F.col("doc_id") + 10000000).alias("doc_id"),
+                       F.lit("added doc").alias("text"),
+                       "lang", "source", "n_chars")))
+    return corpus_diff(d, new)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # WINDOW-ROTATION RULE (STATUS.md §rotation): the driver's CORRECTNESS
     # artifact covers roughly the FIRST 50 registered queries per round, so
@@ -1966,7 +2006,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_tag_hits": q_kg_tag_hits,
         "rel_events_funnel": q_rel_events_funnel,
         "ann_sq_topk": q_ann_sq_topk,
-        "kg_tag_walks": q_kg_tag_walks,
         "kg_tag_wl": q_kg_tag_wl,
         "kg_tag_betweenness": q_kg_tag_betweenness,
         # --- r4 retrieval/sketch additions (rotated into the window) ------
@@ -1998,7 +2037,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle embeds the shared capped co-occurrence SQL every
         # in-window graph query re-exercises) -----------------------------
         "text_cms": q_text_cms,
-        "kg_tag_spread": q_kg_tag_spread,
         # --- r4 session-7 additions (rotated into the window); one more
         # r2-stale row demoted per addition — see the demoted block ------
         "corpus_classifier": q_corpus_classifier,
@@ -2021,6 +2059,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "kg_tag_scc": q_kg_tag_scc,
         "rel_events_distinct_kmv": q_rel_events_distinct_kmv,
+        "kg_tag_conductance": q_kg_tag_conductance,
+        "corpus_diff": q_corpus_diff,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also
@@ -2095,6 +2135,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup_components edge builder); the hash-ring negatives are
         # pinned by ring-membership/partitioning-invariance pytests
         "corpus_contrastive": q_corpus_contrastive,
+        # demoted for kg_tag_conductance (session 9): its clamped-seed
+        # spreading rides the same integer-micro join-aggregate loop the
+        # in-window kg_tag_pagerank_full and kg_tag_refine re-exercise;
+        # the seed-clamp argmax semantics are pytest-pinned
+        "kg_tag_spread": q_kg_tag_spread,
+        # demoted for corpus_diff (session 9): its frontier-join-per-hop
+        # machinery is the in-window kg_tag_scc's directed reach loop;
+        # the md5 hop-choice rule is pinned by walk goldens
+        "kg_tag_walks": q_kg_tag_walks,
         # demoted for corpus_contrastive (session 7): its shingle/pair SQL
         # is shared verbatim with dedup_containment (fresh r3-green row)
         # and re-exercised by the in-window canon/jaccard consumers

@@ -111,6 +111,8 @@ HEADLINE = [
     "dedup_simhash_pairs",   # lossless banded Hamming<=3 pair verify
     "kg_tag_scc",            # pivot FW/BW SCC, directed word digraph
     "rel_events_distinct_kmv",  # per-type KMV distinct users + audit
+    "kg_tag_conductance",    # weighted cut-quality of the LPA partition
+    "corpus_diff",           # CDC snapshot diff, (id, sha) join
 ]
 
 

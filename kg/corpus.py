@@ -185,3 +185,31 @@ def corpus_audit(df: DataFrame, group_cols: tuple[str, ...] = ("lang",),
         F.max(actual_len).cast("bigint").alias("max_chars"),
         F.sum(actual_len).cast("bigint").alias("total_chars"),
         mismatch.alias("n_len_mismatch")))
+
+
+def corpus_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Snapshot diff between two corpus versions — the CDC audit a lake
+    runs between ingest batches before incremental re-annotation
+    (kg.triples.reannotate_merge consumes exactly the `changed` set;
+    incremental_dedup_flags the `added` set): per document
+
+        (doc_id, status)  with status ∈
+        added (only in new) / removed (only in old) /
+        changed (content sha256 differs) / unchanged.
+
+    ONE full-outer join on the id, comparing sha256(text) — content
+    equality by hash, the dedup_exact invariant (north_rule's per-row
+    content equality as a two-version delta).  Narrow maps + one join;
+    both sides pruned to (id, sha) before the shuffle so the join
+    carries 40-byte rows, never documents."""
+    o = old.select(F.col(id_col).alias("doc_id"),
+                   F.sha2(F.col(text_col), 256).alias("_so"))
+    n = new.select(F.col(id_col).alias("doc_id"),
+                   F.sha2(F.col(text_col), 256).alias("_sn"))
+    return (o.join(n, "doc_id", "full_outer")
+            .select("doc_id", F.expr(
+                "case when _so is null then 'added' "
+                "when _sn is null then 'removed' "
+                "when _so = _sn then 'unchanged' "
+                "else 'changed' end").alias("status")))

@@ -1380,3 +1380,64 @@ def scc_pivot(edges: DataFrame, n_pivots: int = 2, max_depth: int = 3,
                     F.coalesce("scc_id", "node").alias("scc_id"),
                     F.col("scc_id").isNotNull().cast("int")
                     .alias("resolved")))
+
+
+def community_conductance(edges: DataFrame, communities: DataFrame,
+                          src_col: str = "src", dst_col: str = "dst",
+                          weight_col: str | None = "weight",
+                          node_col: str = "node",
+                          community_col: str = "community") -> DataFrame:
+    """Weighted conductance of each community (Kannan–Vempala–Vetta
+    2004; the cut-quality audit complementing community_modularity's
+    density view): per community S,
+
+        (community, n_nodes, vol_w, cut_w, conductance_micro)
+
+    vol_w(S)  = Σ over edge endpoints in S of the edge weight
+                (weighted degree volume),
+        cut_w(S)  = Σ weight of edges with exactly one endpoint in S,
+        conductance = cut_w·1e6 div min(vol_w, W2 − vol_w)
+    with W2 = total endpoint volume (2·Σw); a community that IS the
+    whole graph (or is empty of volume) yields 0.  Low conductance =
+    a well-separated community; LPA labels with high conductance are
+    the partition's weak spots.  Exact integers throughout.
+
+    Shape: two label joins on the edge endpoints (the modularity
+    pattern), one endpoint-exploded volume aggregate, one crossing-edge
+    aggregate, a broadcast scalar total — no iteration, no windows.
+    `communities` is expected to label every edge endpoint (LPA output
+    over the same graph does by construction)."""
+    e = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"),
+                     (F.col(weight_col) if weight_col else F.lit(1))
+                     .cast("bigint").alias("w")).localCheckpoint()
+    lab = communities.select(F.col(node_col).alias("n"),
+                             F.col(community_col).alias("c"))
+    ewl = (e.join(lab.withColumnsRenamed({"n": "s", "c": "cs"}), "s")
+           .join(lab.withColumnsRenamed({"n": "d", "c": "cd"}), "d")
+           .localCheckpoint())
+    ends = ewl.select(F.explode(F.array("cs", "cd")).alias("community"),
+                      "w")
+    vol = ends.groupBy("community").agg(
+        F.sum("w").cast("bigint").alias("vol_w"))
+    cut = (ewl.filter(F.col("cs") != F.col("cd"))
+           .select(F.explode(F.array("cs", "cd")).alias("community"), "w")
+           .groupBy("community").agg(
+               F.sum("w").cast("bigint").alias("cut_w")))
+    tot = e.agg((F.coalesce(F.sum("w"), F.lit(0)) * 2).cast("bigint")
+                .alias("w2"))
+    nn = lab.groupBy(F.col("c").alias("community")).agg(
+        F.count("*").cast("bigint").alias("n_nodes"))
+    return (nn.join(vol, "community", "left")
+            .join(cut, "community", "left")
+            .crossJoin(F.broadcast(tot))
+            .select("community", "n_nodes",
+                    F.coalesce("vol_w", F.lit(0)).cast("bigint")
+                    .alias("vol_w"),
+                    F.coalesce("cut_w", F.lit(0)).cast("bigint")
+                    .alias("cut_w"),
+                    F.expr("case when least(coalesce(vol_w, 0), "
+                           "w2 - coalesce(vol_w, 0)) <= 0 "
+                           "then cast(0 as bigint) else "
+                           "coalesce(cut_w, 0) * 1000000 div "
+                           "least(vol_w, w2 - vol_w) end").cast("bigint")
+                    .alias("conductance_micro")))

@@ -58,3 +58,27 @@ def test_audit_multi_column_grouping(spark):
         ["doc_id", "text", "lang", "source", "n_chars"])
     got = corpus_audit(df, group_cols=("lang", "source")).collect()
     assert len(got) == 2 and all(r.n_docs == 1 for r in got)
+
+
+# --------------------------------------------------------- corpus diff
+
+def test_corpus_diff_statuses(spark):
+    from kg.corpus import corpus_diff
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta CHANGED"), (4, "delta")],
+        ["doc_id", "text"])
+    got = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed",
+                   4: "added"}
+
+
+def test_corpus_diff_identical_and_empty_sides(spark):
+    from kg.corpus import corpus_diff
+    d = spark.createDataFrame([(1, "x"), (2, "y")], ["doc_id", "text"])
+    same = {r.status for r in corpus_diff(d, d).collect()}
+    assert same == {"unchanged"}
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert {r.status for r in corpus_diff(empty, d).collect()} == {"added"}
+    assert {r.status for r in corpus_diff(d, empty).collect()} == {"removed"}

@@ -817,3 +817,52 @@ def test_assortativity_symmetrizes_and_dedupes_input(spark):
     b = degree_assortativity(
         spark.createDataFrame(noisy, ["src", "dst"])).collect()[0]
     assert a.asDict() == b.asDict()
+
+
+# ------------------------------------------------ community conductance
+
+def test_conductance_two_cliques_with_bridge(spark):
+    from kg.graphrank import community_conductance
+    # two triangles {a,b,c} and {x,y,z} joined by one bridge a-x,
+    # unit weights, communities = the two triangles.
+    # vol(S) counts edge-endpoint weight: triangle edges contribute 2
+    # in-community endpoints each, the bridge 1 → vol = 7 per side;
+    # cut = 1 (the bridge), W2 = 14 → conductance = 1e6 // 7 = 142857
+    e = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1), ("c", "a", 1),
+         ("x", "y", 1), ("y", "z", 1), ("z", "x", 1),
+         ("a", "x", 1)], ["src", "dst", "weight"])
+    comm = spark.createDataFrame(
+        [("a", "t1"), ("b", "t1"), ("c", "t1"),
+         ("x", "t2"), ("y", "t2"), ("z", "t2")], ["node", "community"])
+    got = {r.community: (r.n_nodes, r.vol_w, r.cut_w, r.conductance_micro)
+           for r in community_conductance(e, comm).collect()}
+    assert got == {"t1": (3, 7, 1, 142857), "t2": (3, 7, 1, 142857)}
+
+
+def test_conductance_whole_graph_community_is_zero(spark):
+    from kg.graphrank import community_conductance
+    # a single community covering everything: cut = 0 and the min side
+    # is 0 → conductance 0 by the guard, not a division error
+    e = spark.createDataFrame([("a", "b", 2), ("b", "c", 3)],
+                              ["src", "dst", "weight"])
+    comm = spark.createDataFrame([("a", "g"), ("b", "g"), ("c", "g")],
+                                 ["node", "community"])
+    row = community_conductance(e, comm).collect()[0]
+    assert (row.vol_w, row.cut_w, row.conductance_micro) == (10, 0, 0)
+
+
+def test_conductance_weights_matter(spark):
+    from kg.graphrank import community_conductance
+    # heavy internal edge, light bridge: conductance reflects weights
+    # vol(t1) = 2*10 (internal both ends) + 1 (bridge end) = 21;
+    # cut = 1; W2 = 2*(10+1+10) = 42; min(21, 21) = 21 → 1e6//21
+    e = spark.createDataFrame(
+        [("a", "b", 10), ("a", "x", 1), ("x", "y", 10)],
+        ["src", "dst", "weight"])
+    comm = spark.createDataFrame(
+        [("a", "t1"), ("b", "t1"), ("x", "t2"), ("y", "t2")],
+        ["node", "community"])
+    got = {r.community: r.conductance_micro
+           for r in community_conductance(e, comm).collect()}
+    assert got == {"t1": 1_000_000 // 21, "t2": 1_000_000 // 21}

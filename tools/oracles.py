@@ -2412,6 +2412,61 @@ def build_oracle_sql() -> dict[str, str]:
                       // 1000000 AS BIGINT) AS q_micro
         FROM nn n LEFT JOIN degc d USING (community), wtot"""
 
+    # weighted community conductance (kg.graphrank.community_conductance)
+    # of the 1-round LPA partition: the modularity oracle's shared _lpa
+    # chain, then endpoint-volume / crossing-cut aggregates and the
+    # min-side division — exact integers.
+    sqls["kg_tag_conductance"] = _lpa + """,
+        comm AS (SELECT node, label AS community FROM l1),
+        ewl AS MATERIALIZED (
+          SELECT e.w, cs.community AS cs, cd.community AS cd
+          FROM edges e
+          JOIN comm cs ON cs.node = e.src
+          JOIN comm cd ON cd.node = e.dst),
+        vol AS (SELECT community, CAST(sum(w) AS BIGINT) AS vol_w FROM (
+                  SELECT cs AS community, w FROM ewl
+                  UNION ALL SELECT cd, w FROM ewl)
+                GROUP BY 1),
+        cut AS (SELECT community, CAST(sum(w) AS BIGINT) AS cut_w FROM (
+                  SELECT cs AS community, w FROM ewl WHERE cs <> cd
+                  UNION ALL SELECT cd, w FROM ewl WHERE cs <> cd)
+                GROUP BY 1),
+        tot AS (SELECT CAST(coalesce(sum(w), 0) * 2 AS BIGINT) AS w2
+                FROM edges),
+        nn AS (SELECT community, CAST(count(*) AS BIGINT) AS n_nodes
+               FROM comm GROUP BY 1)
+        SELECT nn.community, nn.n_nodes,
+               coalesce(vol_w, 0) AS vol_w,
+               coalesce(cut_w, 0) AS cut_w,
+               CAST(CASE WHEN least(coalesce(vol_w, 0),
+                                    w2 - coalesce(vol_w, 0)) <= 0 THEN 0
+                    ELSE coalesce(cut_w, 0) * 1000000
+                         // least(vol_w, w2 - vol_w) END AS BIGINT)
+                 AS conductance_micro
+        FROM nn LEFT JOIN vol USING (community)
+                LEFT JOIN cut USING (community), tot"""
+
+    # corpus snapshot diff (kg.corpus.corpus_diff): the query derives
+    # the "new" version deterministically (drop %17, edit %13, add %19
+    # under +1e7 ids); statuses by sha256 full-outer comparison.
+    sqls["corpus_diff"] = """
+        WITH o AS (SELECT doc_id, sha256(text) AS so
+                   FROM documents WHERE lang = 'en'),
+        n AS (
+          SELECT doc_id,
+                 sha256(CASE WHEN doc_id % 13 = 0 THEN text || ' edited'
+                        ELSE text END) AS sn
+          FROM documents WHERE lang = 'en' AND doc_id % 17 <> 0
+          UNION ALL
+          SELECT doc_id + 10000000, sha256('added doc')
+          FROM documents WHERE lang = 'en' AND doc_id % 19 = 0)
+        SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.so IS NULL THEN 'added'
+                    WHEN n.sn IS NULL THEN 'removed'
+                    WHEN o.so = n.sn THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id"""
+
     # RAKE: stopword tokens become '|' separators, phrases are the
     # trimmed non-empty split pieces; word deg/freq over phrase
     # occurrences (with multiplicity), phrase score = sum of
