@@ -1202,8 +1202,12 @@ def q_kg_tag_ppr(spark, sf_dir):
     rounds, integer micro-units, oracle replays the chain."""
     from kg.graphrank import personalized_pagerank, tag_cooccurrence_edges
     t = _tag_contexts(spark, sf_dir)
-    edges = tag_cooccurrence_edges(t, doc_col="ctx", tag_col="tag",
-                                   materialize=False)
+    # materialize=True (the default localCheckpoint): pagerank branches
+    # the edge frame into wsum/nodes/e, and on a lazy frame each branch
+    # re-executes the per-context pair-build aggregate — measured 7.95s
+    # → 3.45s for the 5-round loop at sf0.1 (perf rule 7; t being
+    # checkpointed protects the UDF, not the co-occurrence aggregate)
+    edges = tag_cooccurrence_edges(t, doc_col="ctx", tag_col="tag")
     seeds = (t.select(F.col("tag").alias("node")).distinct()
              .orderBy("node").limit(2))
     return (personalized_pagerank(edges, seeds, iterations=5)
