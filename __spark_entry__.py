@@ -1885,7 +1885,7 @@ def q_embedding_rp(spark, sf_dir):
     regenerated from (salt, j, i) in both engines, never stored."""
     from kg.embed import random_projection
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return random_projection(emb, out_dims=8)
+    return random_projection(emb, out_dims=8, in_dims=64)
 
 
 def q_dedup_simhash_pairs(spark, sf_dir):
@@ -1906,13 +1906,18 @@ def q_kg_tag_scc(spark, sf_dir):
     one graph family member where edge DIRECTION is the semantics;
     2 md5-chosen pivots × 3-hop mutual reachability, unclaimed nodes
     stay honest singletons."""
+    from kg.dedup import gram_positions
     from kg.graphrank import scc_pivot
-    toks = _docs(spark, sf_dir).select(F.split("text", " ").alias("t"))
-    edges = (toks.select(F.explode(F.expr(
-        "transform(sequence(1, size(t) - 1), i -> struct("
-        "element_at(t, i) as src, element_at(t, i + 1) as dst))"))
-        .alias("e"))
-        .select("e.src", "e.dst").distinct())
+    # edges via the SHARED guarded 2-gram builder (kg.dedup
+    # .gram_positions: sub-2-token docs yield an empty array instead of
+    # an out-of-bounds element_at abort, and the token array is bound
+    # once per row — rules 10 + the one-word-doc trap its docstring
+    # records); tokens are space-free by construction, so splitting the
+    # gram back into (src, dst) is lossless
+    g = _docs(spark, sf_dir).select(
+        F.explode(F.array_distinct(gram_positions("text", 2))).alias("g"))
+    edges = g.select(F.substring_index("g", " ", 1).alias("src"),
+                     F.substring_index("g", " ", -1).alias("dst")).distinct()
     return scc_pivot(edges, n_pivots=2, max_depth=3)
 
 

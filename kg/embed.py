@@ -133,6 +133,7 @@ def rp_signs(out_dims: int, in_dims: int, salt: int = 0) -> list:
 
 
 def random_projection(emb: DataFrame, out_dims: int = 8,
+                      in_dims: int = 64,
                       id_col: str = "vec_id",
                       vec_col: str = "embedding",
                       salt: int = 0) -> DataFrame:
@@ -157,14 +158,14 @@ def random_projection(emb: DataFrame, out_dims: int = 8,
     is pure md5 arithmetic (rp_signs), never stored: any engine — and
     the DuckDB oracle — regenerates it from (salt, j, i).
 
+    `in_dims` is an explicit parameter (the top_pc_projection
+    convention — no eager probe job, no partition-layout dependence):
+    the caller owns the fixed-width vector contract; a row shorter than
+    in_dims yields NULL val_micro (zip_with pads with NULL, which
+    poisons the sum) rather than a silently truncated projection.
+
     Overflow: |x_micro| ≤ ~4e6 ⇒ |val| ≤ 4e6·in_dims, BIGINT-safe to
     in_dims ~ 2e12."""
-    probe = emb.select(F.size(F.col(vec_col)).alias("d")).first()
-    if probe is None:
-        return emb.select(F.col(id_col).alias("vec_id"),
-                          F.lit(0).cast("int").alias("dim"),
-                          F.lit(0).cast("bigint").alias("val_micro"))
-    in_dims = int(probe["d"])
     signs = rp_signs(out_dims, in_dims, salt)
     iv = emb.select(
         F.col(id_col).alias("vec_id"),

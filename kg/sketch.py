@@ -252,11 +252,18 @@ def heavy_hitters_contract(docs: DataFrame, text_col: str = "text",
 # ---------------------------------------------------------------------------
 # KMV (k-minimum-values) distinct sketch + two-corpus overlap estimation.
 # ---------------------------------------------------------------------------
-def _hex12(h) -> "F.Column":
-    """Integer value of the first 12 hex digits (48 bits) of an md5 hex
-    column — the KMV normalized-hash numerator domain [0, 2^48)."""
-    c = F.col(h) if isinstance(h, str) else h
-    return F.conv(F.substring(c, 1, 12), 16, 10).cast("long")
+def _kmv_est_sql(k: int) -> str:
+    """THE KMV estimator as one shared SQL expression (aggregate
+    context: count(*) and max(h) over a sketch group): exact count
+    below saturation, else (k−1)·2^48 div H_k with H_k the 48-bit
+    value of the k-th smallest hash — single definition so the
+    single-set (_kmv_stats) and per-group (kmv_group_distinct)
+    surfaces can never diverge.  greatest(·,1) guards the
+    2^-48-probability zero-hash division in both engines."""
+    return (f"case when count(*) < {k} then count(*) else "
+            f"cast({k - 1} as bigint) * 281474976710656 div "
+            "greatest(cast(conv(substring(max(h), 1, 12), 16, 10) "
+            "as bigint), 1) end")
 
 
 def kmv_hashes(values: DataFrame, col: str = "value",
@@ -291,12 +298,8 @@ def _kmv_stats(sketch: DataFrame, k: int, suffix: str) -> DataFrame:
     zero-hash division in both engines."""
     return sketch.agg(
         F.count("*").cast("bigint").alias(f"n_sk_{suffix}"),
-        F.when(F.count("*") < k, F.count("*").cast("bigint"))
-        .otherwise(F.expr(
-            f"cast({k - 1} as bigint) * 281474976710656 div "
-            "greatest(cast(conv(substring(max(h), 1, 12), 16, 10) "
-            "as bigint), 1)"))
-        .cast("bigint").alias(f"est_distinct_{suffix}"))
+        F.expr(_kmv_est_sql(k)).cast("bigint")
+        .alias(f"est_distinct_{suffix}"))
 
 
 def kmv_overlap(a: DataFrame, b: DataFrame, col: str = "value",
@@ -446,9 +449,5 @@ def kmv_group_distinct(values: DataFrame, group_col: str = "group",
     sk = kmv_group_sketches(values, group_col, col, k)
     return (sk.groupBy("group")
             .agg(F.count("*").cast("bigint").alias("n_sk"),
-                 F.when(F.count("*") < k, F.count("*").cast("bigint"))
-                 .otherwise(F.expr(
-                     f"cast({k - 1} as bigint) * 281474976710656 div "
-                     "greatest(cast(conv(substring(max(h), 1, 12), 16, "
-                     "10) as bigint), 1)"))
-                 .cast("bigint").alias("est_distinct")))
+                 F.expr(_kmv_est_sql(k)).cast("bigint")
+                 .alias("est_distinct")))

@@ -95,8 +95,8 @@ def test_rp_matches_hand_computation(spark):
     from kg.embed import random_projection, rp_signs
     vecs = [[0.5, -1.0, 0.25], [1.5, 2.0, -0.125]]
     got = {(r.vec_id, r.dim): r.val_micro
-           for r in random_projection(_emb(spark, vecs),
-                                      out_dims=4).collect()}
+           for r in random_projection(_emb(spark, vecs), out_dims=4,
+                                      in_dims=3).collect()}
     signs = rp_signs(4, 3)
     for i, v in enumerate(vecs):
         micro = [round(x * 1_000_000) for x in v]
@@ -120,9 +120,10 @@ def test_rp_signs_follow_md5_rule(spark):
 def test_rp_partition_invariant_and_empty(spark):
     from kg.embed import random_projection
     d = _emb(spark, [[float(i), float(-i)] for i in range(20)])
-    a = sorted(map(tuple, random_projection(d, out_dims=3).collect()))
-    b = sorted(map(tuple, random_projection(d.repartition(7),
-                                            out_dims=3).collect()))
+    a = sorted(map(tuple, random_projection(d, out_dims=3,
+                                            in_dims=2).collect()))
+    b = sorted(map(tuple, random_projection(d.repartition(7), out_dims=3,
+                                            in_dims=2).collect()))
     assert a == b and len(a) == 60
     e = spark.createDataFrame([], "vec_id long, embedding array<float>")
-    assert random_projection(e, out_dims=3).collect() == []
+    assert random_projection(e, out_dims=3, in_dims=2).collect() == []

@@ -623,6 +623,6 @@ def test_random_projection_zero_shuffle(spark):
     d = spark.createDataFrame(
         [(i, [float(i)] * 4) for i in range(12)],
         "vec_id long, embedding array<float>")
-    plan = _plan(random_projection(d, out_dims=4))
+    plan = _plan(random_projection(d, out_dims=4, in_dims=4))
     assert "Exchange" not in plan
     assert "Join" not in plan and "ArrowEvalPython" not in plan

@@ -122,3 +122,22 @@ def test_kmv_group_distinct_saturated_formula(spark):
     hk = sorted(hashlib.md5(v.encode()).hexdigest() for v in vals)[31]
     assert row.n_sk == 32
     assert row.est_distinct == 31 * (1 << 48) // int(hk[:12], 16)
+
+
+def test_scc_query_survives_single_token_docs(spark):
+    # the r4 review finding: the edge builder must route through the
+    # guarded gram builder — a 1-token (or empty) document previously
+    # made sequence(1, 0) feed element_at out of bounds and abort the
+    # job under ANSI.  Build the same edge shape q_kg_tag_scc uses.
+    from kg.dedup import gram_positions
+    from kg.graphrank import scc_pivot
+    d = spark.createDataFrame(
+        [(1, "word"), (2, ""), (3, "a b c a b")], ["doc_id", "text"])
+    g = d.select(F.explode(F.array_distinct(
+        gram_positions("text", 2))).alias("g"))
+    edges = g.select(F.substring_index("g", " ", 1).alias("src"),
+                     F.substring_index("g", " ", -1).alias("dst")).distinct()
+    got = {r.node: r.resolved
+           for r in scc_pivot(edges, n_pivots=2, max_depth=3).collect()}
+    # only doc 3 contributes edges (a->b, b->c, c->a, b->a): nodes a,b,c
+    assert set(got) == {"a", "b", "c"}

@@ -126,7 +126,7 @@ def _hex6_of(h: str) -> str:
 
 def _hex12_of(h: str) -> str:
     """Integer value of the first 12 hex digits (48 bits) of an md5 hex
-    column/expr `h` (mirrors kg.sketch._hex12; sums fit BIGINT)."""
+    column/expr `h` (mirrors kg.sketch._kmv_est_sql's hash domain; sums fit BIGINT)."""
     return "(" + " + ".join(
         f"(strpos('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1)"
         f" * {16 ** (11 - i)}"
