@@ -113,6 +113,13 @@ HEADLINE = [
     "rel_events_distinct_kmv",  # per-type KMV distinct users + audit
     "kg_tag_conductance",    # weighted cut-quality of the LPA partition
     "corpus_diff",           # CDC snapshot diff, (id, sha) join
+    "kg_tag_ktruss",         # 3-round edge-cohesion peel, wedge joins
+    "rel_events_decay",      # integer staircase half-life scores
+    "kg_tag_msf",            # 2-round Borůvka max spanning forest
+    "rel_events_transitions",  # per-user Markov transition matrix
+    "corpus_novelty",        # first-occurrence 3-gram novelty audit
+    "corpus_growth",         # two-level prefix-sum Heaps-law curve
+    "text_hapax",            # sorted-neighbor hapax share, in-row
 ]
 
 

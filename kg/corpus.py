@@ -213,3 +213,61 @@ def corpus_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
                 "when _sn is null then 'removed' "
                 "when _so = _sn then 'unchanged' "
                 "else 'changed' end").alias("status")))
+
+
+def corpus_growth(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", bucket: int = 1024) -> DataFrame:
+    """Heaps-law corpus growth curve: per document IN ID ORDER, the
+    cumulative distinct-type count vs cumulative token count —
+
+        (doc_id, n_tokens, n_new_types, cum_tokens, cum_types, ttr_ppm)
+
+    — the vocabulary-saturation audit a crawl report plots to decide
+    whether more of the same source still adds lexical coverage
+    (flattening cum_types = the source is mined out).
+
+    Scale design: NO global single-partition window.  The running sums
+    are a TWO-LEVEL distributed prefix sum: (1) per-doc new-type counts
+    from a min-doc-id first-occurrence aggregate (the ngram_novelty
+    machinery at n=1); (2) per-doc totals roll up to doc_id-div-`bucket`
+    bucket subtotals (|docs|/bucket rows); (3) exclusive bucket offsets
+    via a window over the TINY bucket frame; (4) a within-bucket
+    running window partitioned BY bucket — every window partition is
+    ≤ `bucket` rows no matter the corpus size, and the offsets frame
+    broadcasts.  Empty-token artifacts of split are filtered; a doc
+    with no tokens is absent from the output (novelty convention)."""
+    from pyspark.sql.window import Window
+    from kg.textstats import tokens_col
+    toks = (df.select(F.col(id_col).alias("id"),
+                      F.explode(tokens_col(text_col)).alias("tok"))
+            .filter(F.col("tok") != ""))
+    ntok = toks.groupBy("id").agg(F.count("*").cast("bigint")
+                                  .alias("n_tokens"))
+    nnew = (toks.groupBy("tok").agg(F.min("id").alias("id"))
+            .groupBy("id").agg(F.count("*").cast("bigint")
+                               .alias("n_new_types")))
+    per = (ntok.join(nnew, "id", "left")
+           .select("id", "n_tokens",
+                   F.coalesce("n_new_types", F.lit(0)).cast("bigint")
+                   .alias("n_new_types"),
+                   (F.col("id") / bucket).cast("bigint").alias("_b")))
+    bt = per.groupBy("_b").agg(F.sum("n_tokens").alias("_bt"),
+                               F.sum("n_new_types").alias("_bn"))
+    wb = (Window.orderBy("_b")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offs = bt.select("_b",
+                     F.coalesce(F.sum("_bt").over(wb), F.lit(0))
+                     .alias("_tok_off"),
+                     F.coalesce(F.sum("_bn").over(wb), F.lit(0))
+                     .alias("_typ_off"))
+    wi = (Window.partitionBy("_b").orderBy("id")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    return (per.join(F.broadcast(offs), "_b")
+            .select(F.col("id").alias(id_col), "n_tokens", "n_new_types",
+                    (F.col("_tok_off") + F.sum("n_tokens").over(wi))
+                    .cast("bigint").alias("cum_tokens"),
+                    (F.col("_typ_off") + F.sum("n_new_types").over(wi))
+                    .cast("bigint").alias("cum_types"))
+            .withColumn("ttr_ppm",
+                        F.expr("cum_types * 1000000 div cum_tokens")
+                        .cast("bigint")))

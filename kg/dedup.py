@@ -966,3 +966,35 @@ def simhash_near_pairs_portable(df: DataFrame, max_hamming: int = 3,
                     ham.cast("int").alias("hamming"))
             .distinct()
             .filter(F.col("hamming") <= max_hamming))
+
+
+def ngram_novelty(df: DataFrame, n: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Per-document n-gram novelty vs every LOWER-id document — the
+    crawl-curation audit of how much genuinely new text each ingest
+    contributes (duplication growth curves in C4/Gopher-style corpus
+    reports are 1 − novelty aggregated over ingest order):
+
+        (doc_id, n_shingles, n_novel, novelty_ppm)
+        n_novel = distinct shingles whose GLOBAL first occurrence
+                  (min doc id over the corpus) is this document
+
+    Document order is the id order (ids are ingest-monotone in this
+    engine's sinks); a doc with fewer than n tokens has no shingles and
+    is absent from the output (word_shingles guard semantics).
+
+    Shape: one distinct-shingle explode + one min aggregate + one join
+    back on the shingle key — the aggregate and the join co-partition
+    on `shingle`, so the second pass reuses the first's Exchange; no
+    self-join, hot shingles cost one row per (doc, shingle) like the
+    doc-frequency pass in cross_doc_coverage."""
+    sh = word_shingles(df, n=n, text_col=text_col, id_col=id_col)
+    first = sh.groupBy("shingle").agg(F.min("id").alias("_first"))
+    per = (sh.join(first, "shingle")
+           .groupBy("id")
+           .agg(F.count("*").cast("bigint").alias("n_shingles"),
+                F.sum((F.col("id") == F.col("_first")).cast("bigint"))
+                .cast("bigint").alias("n_novel")))
+    return per.select(F.col("id").alias(id_col), "n_shingles", "n_novel",
+                      F.expr("n_novel * 1000000 div n_shingles")
+                      .cast("bigint").alias("novelty_ppm"))

@@ -1441,3 +1441,166 @@ def community_conductance(edges: DataFrame, communities: DataFrame,
                            "coalesce(cut_w, 0) * 1000000 div "
                            "least(vol_w, w2 - vol_w) end").cast("bigint")
                     .alias("conductance_micro")))
+
+
+def ktruss(edges: DataFrame, k: int = 3, rounds: int = 3,
+           src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Fixed-round k-truss peel (Cohen 2008): keep edges supported by
+    ≥ k−2 triangles among the SURVIVING edges, `rounds` synchronous
+    peels — the EDGE-cohesion counterpart of the node k-core (kcore
+    keeps well-connected nodes; truss keeps edges embedded in dense
+    neighborhoods, the stronger community-backbone filter).  Returns
+    the surviving canonical edges with their final-round support:
+    (a, b, support), a < b.
+
+    Fixed rounds is the house iterative contract (kcore/pagerank/LPA):
+    a fully-peeled truss needs data-dependent convergence; `rounds`
+    synchronous passes give the deterministic, oracle-replayable
+    prefix (support counts strictly shrink, so surviving edges after
+    r rounds ⊇ the true k-truss — callers needing the fixpoint raise
+    `rounds`).
+
+    Shape per round: one symmetrize + one wedge join keyed on the
+    shared endpoint + one (a, b) support aggregate + the peel filter —
+    the triangle_counts machinery applied per round; every round's
+    survivor set is localCheckpointed (the next round branches it
+    three ways: both wedge sides and the membership filter)."""
+    e = (edges.select(F.least(src_col, dst_col).alias("a"),
+                      F.greatest(src_col, dst_col).alias("b"))
+         .filter(F.col("a") != F.col("b")).distinct().localCheckpoint())
+    last = e.withColumn("support", F.lit(None).cast("bigint"))
+    for _ in range(rounds):
+        sym = e.union(e.select(F.col("b").alias("a"),
+                               F.col("a").alias("b")))
+        s1 = sym.select(F.col("a").alias("ea"), F.col("b").alias("x"))
+        s2 = sym.select(F.col("a").alias("eb"), F.col("b").alias("y"))
+        # wedge: for edge (a,b), common neighbors x with (a,x),(b,x) ∈ E
+        sup = (e.join(s1, e.a == s1.ea)
+               .join(s2, (F.col("b") == F.col("eb"))
+                     & (F.col("x") == F.col("y")))
+               .groupBy("a", "b")
+               .agg(F.count("*").cast("bigint").alias("support")))
+        last = (e.join(sup, ["a", "b"], "left")
+                .select("a", "b",
+                        F.coalesce("support", F.lit(0)).cast("bigint")
+                        .alias("support"))
+                .filter(F.col("support") >= k - 2).localCheckpoint())
+        e = last.select("a", "b")
+    return last
+
+
+def boruvka_msf(edges: DataFrame, rounds: int = 2, src_col: str = "src",
+                dst_col: str = "dst", weight_col: str = "weight",
+                maximum: bool = True) -> DataFrame:
+    """Borůvka spanning forest (Borůvka 1926; the MapReduce MST of
+    Lattanzi et al. "Filtering: a method for solving graph problems in
+    MapReduce"): each component picks its best incident inter-component
+    edge, picked edges join the forest, touched components contract —
+    components shrink ≥ 2× per round, so `rounds` = ⌈log2 n⌉ completes
+    the forest and a fixed small `rounds` is the deterministic prefix
+    (the house kcore/ktruss iterative contract).  `maximum=True` (the
+    default) builds the MAXIMUM spanning forest — the single-linkage
+    backbone of the co-occurrence graph: the forest over tag-affinity
+    weights is the taxonomy skeleton, and thresholding it reproduces
+    single-linkage clustering at any granularity without re-running.
+
+    Returns the forest edges (a, b, weight, round), a < b, with the
+    Borůvka round that added each edge.
+
+    Determinism: the pick is a struct-min under the TOTAL order
+    (sign·w, a, b) — distinct original endpoints break weight ties, so
+    the picked set is acyclic (the classic total-order argument) and
+    every run replays bit-for-bit.  Contraction labels = min component
+    id via kg.canon.connected_components over the ≤|components|-row
+    picked-pair graph (exact, converging — the dedup_components
+    precedent: deterministic result, recursive-CTE-replayable).
+
+    Shape per round: two label joins onto the (checkpointed) canonical
+    edge set + one groupBy(component) struct-min + the contraction CC
+    on a frame with ≤ one row per component; comp and the round's
+    survivors are localCheckpointed before branching (perf rule 7)."""
+    from kg.canon import connected_components
+    sign = -1 if maximum else 1
+    pick = F.max("w") if maximum else F.min("w")
+    ce = (edges.select(F.least(src_col, dst_col).alias("a"),
+                       F.greatest(src_col, dst_col).alias("b"),
+                       F.col(weight_col).cast("bigint").alias("w"))
+          .filter(F.col("a") != F.col("b"))
+          .groupBy("a", "b").agg(pick.alias("w"))
+          .localCheckpoint())
+    comp = (ce.select(F.col("a").alias("node"))
+            .union(ce.select("b")).distinct()
+            .withColumn("comp", F.col("node")).localCheckpoint())
+    forest = None
+    for r in range(1, rounds + 1):
+        ca = comp.select(F.col("node").alias("a"),
+                         F.col("comp").alias("_cs"))
+        cb = comp.select(F.col("node").alias("b"),
+                         F.col("comp").alias("_cd"))
+        ec = (ce.join(ca, "a").join(cb, "b")
+              .filter(F.col("_cs") != F.col("_cd"))
+              .select("a", "b", "w",
+                      F.least("_cs", "_cd").alias("x"),
+                      F.greatest("_cs", "_cd").alias("y"))
+              .localCheckpoint())
+        s = F.struct((F.col("w") * sign).alias("k"), F.col("a"),
+                     F.col("b"), F.col("w"), F.col("x"), F.col("y"))
+        cand = (ec.select(F.col("x").alias("c"), s.alias("s"))
+                .union(ec.select(F.col("y").alias("c"), s.alias("s"))))
+        chosen = (cand.groupBy("c").agg(F.min("s").alias("s"))
+                  .select("s.a", "s.b", "s.w", "s.x", "s.y")
+                  .distinct().localCheckpoint())
+        step = chosen.select(F.lit(r).cast("int").alias("round"),
+                             "a", "b", "w")
+        forest = step if forest is None else forest.unionByName(step)
+        mapping = connected_components(
+            chosen.select(F.col("x").alias("src"), F.col("y").alias("dst")))
+        comp = (comp.join(mapping.withColumnRenamed("node", "comp"),
+                          "comp", "left")
+                .select("node", F.coalesce("component", F.col("comp"))
+                        .alias("comp"))
+                .localCheckpoint())
+    return forest.select("a", "b", F.col("w").alias("weight"), "round")
+
+
+def sssp_bellman_ford(edges: DataFrame, sources: DataFrame, rounds: int = 4,
+                      src_col: str = "src", dst_col: str = "dst",
+                      weight_col: str = "length", node_col: str = "node",
+                      directed: bool = False) -> DataFrame:
+    """Fixed-round distributed Bellman–Ford: multi-source shortest path
+    distances over INTEGER edge lengths —
+
+        dist_{r+1}(v) = min(dist_r(v), min_{(u,v,w)∈E} dist_r(u) + w)
+
+    the weighted completion of bfs_levels (GDS shortestPath/dijkstra
+    parity for the DataFrame engine; a synchronous round relaxes every
+    edge once, so after `rounds` rounds every shortest path of ≤ rounds
+    edges is exact — rounds=|V|−1 is the full fixpoint, a fixed small
+    `rounds` is the deterministic oracle-replayable prefix, the house
+    kcore/ktruss/msf contract).  Nodes not yet reached are absent
+    (bfs_levels convention).  Returns (node, dist).
+
+    Shape per round: ONE shuffle join (current distances ⋈ out-edges on
+    the node key) + one min-combining aggregate — partial aggregation
+    map-side-combines relaxations before the exchange; dist is
+    localCheckpointed per round (it feeds both the union and the next
+    join — perf rule 7).  Parallel edges collapse to their min length
+    up front; self-loops never improve a distance and are dropped."""
+    e0 = (edges.select(F.col(src_col).alias("a"),
+                       F.col(dst_col).alias("b"),
+                       F.col(weight_col).cast("bigint").alias("w"))
+          .filter(F.col("a") != F.col("b")))
+    if not directed:
+        e0 = e0.union(e0.select(F.col("b").alias("a"),
+                                F.col("a").alias("b"), "w"))
+    sym = e0.groupBy("a", "b").agg(F.min("w").alias("w")).localCheckpoint()
+    dist = (sources.select(F.col(node_col).alias("node")).distinct()
+            .withColumn("dist", F.lit(0).cast("bigint")).localCheckpoint())
+    for _ in range(rounds):
+        relax = (dist.join(sym, dist.node == sym.a)
+                 .select(F.col("b").alias("node"),
+                         (F.col("dist") + F.col("w")).alias("dist")))
+        dist = (dist.unionByName(relax)
+                .groupBy("node").agg(F.min("dist").alias("dist"))
+                .localCheckpoint())
+    return dist

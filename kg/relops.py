@@ -294,3 +294,142 @@ def funnel(events: DataFrame, stages: tuple[str, ...],
     stage_n = sum(F.col(c).isNotNull().cast("int") for c in ts_cols)
     return out.select(F.col("user").alias(user_col), *ts_cols,
                       stage_n.cast("int").alias("stage"))
+
+
+def time_decay_scores(events: DataFrame, half_life_days: int = 7,
+                      ts_col: str = "ts", key_col: str = "user_id",
+                      value_col: str = "value") -> DataFrame:
+    """Recency-weighted activity scores (the exponential-decay feature
+    every behavioral ranking pipeline derives, in EXACT integer
+    arithmetic): per key,
+
+        (user_id, n_events, score_milli)
+        score_milli = Σ value_milli div 2^(age_days div half_life_days)
+
+    — a staircase half-life decay: an event loses half its weight per
+    elapsed half-life, evaluated as a BIGINT shiftleft divisor so no
+    float/exp appears and the DuckDB oracle replays it bit-for-bit
+    (value_milli = round(value·1000), half-away rounding, both
+    engines).  age is measured against max(ts) over the INPUT (the
+    corpus clock — no wall-clock, CLAUDE.md), so the score is a pure
+    function of the data.  The shift is capped at 62 (a 2^62 divisor
+    zeroes any bounded value; caps the shiftleft, not the semantics).
+
+    Shape: one broadcast scalar max + one narrow per-event map + one
+    key-keyed map-side-combining aggregate — no window, no join on
+    anything larger than the 1-row clock."""
+    ref = events.agg(F.max(F.col(ts_col)).alias("_ref"))
+    per = (events.crossJoin(F.broadcast(ref))
+           .select(F.col(key_col).alias("user_id"),
+                   F.expr(
+                       f"cast(round(cast({value_col} as double) * 1000, 0)"
+                       " as bigint) div shiftleft(1L, cast(least("
+                       f"datediff(_ref, {ts_col}) div {half_life_days}, "
+                       "62) as int))").alias("_c")))
+    return (per.groupBy("user_id")
+            .agg(F.count("*").cast("bigint").alias("n_events"),
+                 F.sum("_c").cast("bigint").alias("score_milli")))
+
+
+def event_transitions(events: DataFrame, user_col: str = "user_id",
+                      type_col: str = "event_type", ts_col: str = "ts",
+                      seq_col: str = "event_id") -> DataFrame:
+    """Per-user first-order Markov transition matrix over event types:
+
+        (from_type, to_type, n_trans, prob_micro)
+        prob_micro = n_trans * 1e6 div Σ n_trans over from_type
+
+    — the behavioral-sequence model every funnel/recommendation pipeline
+    derives (what do users do AFTER a click?).  Successor pairs come
+    from lead() over the per-user timeline with the (ts, seq) lexicographic
+    tie-break the funnel/as-of family uses; a user's last event has no
+    successor and is dropped.
+
+    Shape: ONE shuffle (the per-user window); the pair aggregate map-side
+    combines a stream that is already user-partitioned down to ≤|types|²
+    rows, and the row-total join is a broadcast of a |types|-row frame —
+    nothing downstream of the window scales with |events|."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, seq_col)
+    nxt = events.select(F.col(type_col).alias("from_type"),
+                        F.lead(type_col).over(w).alias("to_type"))
+    pairs = (nxt.filter(F.col("to_type").isNotNull())
+             .groupBy("from_type", "to_type")
+             .agg(F.count("*").cast("bigint").alias("n_trans")))
+    tot = pairs.groupBy("from_type").agg(F.sum("n_trans").alias("_t"))
+    return (pairs.join(F.broadcast(tot), "from_type")
+            .select("from_type", "to_type", "n_trans",
+                    F.expr("n_trans * 1000000 div _t").cast("bigint")
+                    .alias("prob_micro")))
+
+
+def _quintile_thresholds(per: DataFrame, col: str, n_bands: int,
+                         prefix: str) -> DataFrame:
+    """Histogram-exact nearest-rank band thresholds for one integer
+    metric (the quality_strata_sample pattern): the cumulative window
+    runs over the metric's VALUE HISTOGRAM, so the single-partition
+    window is bounded by metric granularity, never by row count.
+    Returns ONE row: {prefix}_t1 .. {prefix}_t{n_bands-1}."""
+    hist = per.groupBy(col).agg(F.count("*").alias("_c"))
+    w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+    cum = (hist.withColumn("_cum", F.sum("_c").over(w))
+           .crossJoin(F.broadcast(per.agg(F.count("*").alias("_n")))))
+    return cum.agg(*[
+        F.min(F.when(F.col("_cum") >= F.expr(
+            f"({i} * _n + {n_bands - 1}) div {n_bands}"), F.col(col)))
+        .alias(f"{prefix}_t{i}") for i in range(1, n_bands)])
+
+
+def rfm_scores(events: DataFrame, ts_col: str = "ts",
+               user_col: str = "user_id", value_col: str = "value",
+               n_bands: int = 5) -> DataFrame:
+    """RFM (recency / frequency / monetary) behavioral scoring — the
+    canonical user-value segmentation, in exact integer arithmetic:
+
+        (user_id, recency_days, frequency, monetary_milli,
+         r_band, f_band, m_band, rfm_code)
+
+    recency = days since the user's last event against the corpus
+    clock max(ts) (no wall clock); monetary in milli-units with the
+    time_decay_scores rounding contract.  Bands are 1..n_bands
+    nearest-rank quantile bins per metric — ties fall to the LOWER
+    band, thresholds computed histogram-exact (the
+    quality_strata_sample pattern: the cumulative window is bounded by
+    metric granularity — recency is bounded by corpus span, frequency
+    by the per-user event ceiling, and monetary is banded on WHOLE
+    units, monetary_milli div 1000, exactly so its histogram stays
+    bounded too).  Note band orientation is value-ascending for all
+    three: high r_band = LONG inactive, high f/m_band = heavy user;
+    rfm_code = r·100 + f·10 + m (n_bands ≤ 9).
+
+    Shape: one per-user aggregate + three bounded histogram aggregates
+    landing in one broadcast row + narrow in-row band maps."""
+    ref = events.agg(F.max(F.col(ts_col)).alias("_ref"))
+    per = (events.crossJoin(F.broadcast(ref))
+           .groupBy(F.col(user_col).alias("user_id"))
+           .agg(F.min(F.expr(f"datediff(_ref, {ts_col})")).cast("bigint")
+                .alias("recency_days"),
+                F.count("*").cast("bigint").alias("frequency"),
+                F.sum(F.expr(
+                    f"cast(round(cast({value_col} as double) * 1000, 0)"
+                    " as bigint)")).cast("bigint").alias("monetary_milli"))
+           .withColumn("_mon_unit", F.expr("monetary_milli div 1000"))
+           .localCheckpoint())
+    thr = (_quintile_thresholds(per, "recency_days", n_bands, "_r")
+           .crossJoin(_quintile_thresholds(per, "frequency", n_bands, "_f"))
+           .crossJoin(_quintile_thresholds(per, "_mon_unit", n_bands, "_m")))
+
+    def band(col: str, prefix: str):
+        tarr = F.array(*[F.col(f"{prefix}_t{i}")
+                         for i in range(1, n_bands)])
+        return (F.lit(1) + F.size(F.filter(
+            tarr, lambda t: F.col(col) > t))).cast("int")
+
+    return (per.crossJoin(F.broadcast(thr))
+            .select("user_id", "recency_days", "frequency",
+                    "monetary_milli",
+                    band("recency_days", "_r").alias("r_band"),
+                    band("frequency", "_f").alias("f_band"),
+                    band("_mon_unit", "_m").alias("m_band"))
+            .withColumn("rfm_code",
+                        F.expr("r_band * 100 + f_band * 10 + m_band")
+                        .cast("int")))

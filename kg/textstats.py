@@ -666,3 +666,39 @@ def winnow_fingerprints(df: DataFrame, k: int = 3, w: int = 4,
             .select(id_col, n.cast("bigint").alias("n_grams"),
                     F.size(fps).cast("bigint").alias("n_fingerprints"),
                     F.concat_ws(",", fps).alias("fp_csv")))
+
+
+def hapax_profile(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Per-document lexical-richness profile with the HAPAX share (types
+    occurring exactly once in the doc — the signal token_stats' distinct
+    count misses; high hapax = rich/natural prose, low = templated or
+    repetitive boilerplate):
+
+        (doc_id, n_tokens, n_types, n_hapax, ttr_ppm, hapax_ppm)
+
+    Zero shuffles, built-ins only.  Hapax counting avoids the O(n·m)
+    count-each-distinct-token scan: sort the token array once, then a
+    token is a hapax iff it differs from BOTH sorted neighbors — one
+    linear pass over index positions.  The sorted array is bound once
+    per row (bind1; referencing array_sort(split(...)) inside the
+    lambda would re-evaluate it per element — CLAUDE.md rule 10)."""
+    t = tokens_col(text_col)
+    hapax = bind1(F.array_sort(t), lambda s: F.aggregate(
+        F.sequence(F.lit(0), F.size(s) - 1),
+        F.lit(0).cast("bigint"),
+        lambda acc, i: acc + F.when(
+            ((i == 0) | (F.get(s, i) != F.get(s, i - 1)))
+            & ((i == F.size(s) - 1) | (F.get(s, i) != F.get(s, i + 1))),
+            F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))))
+    return (df.select(F.col(id_col),
+                      F.size(t).cast("bigint").alias("n_tokens"),
+                      F.size(F.array_distinct(t)).cast("bigint")
+                      .alias("n_types"),
+                      hapax.alias("n_hapax"))
+            .withColumn("ttr_ppm",
+                        F.expr("n_types * 1000000 div greatest(n_tokens, 1)")
+                        .cast("bigint"))
+            .withColumn("hapax_ppm",
+                        F.expr("n_hapax * 1000000 div greatest(n_tokens, 1)")
+                        .cast("bigint")))

@@ -82,3 +82,28 @@ def test_corpus_diff_identical_and_empty_sides(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert {r.status for r in corpus_diff(empty, d).collect()} == {"added"}
     assert {r.status for r in corpus_diff(d, empty).collect()} == {"removed"}
+
+
+def test_corpus_growth_hand_computed_across_buckets(spark):
+    from kg.corpus import corpus_growth
+    # bucket=2 forces the two-level prefix sum across 3 buckets; the
+    # values must equal the naive global running sums.
+    docs = spark.createDataFrame(
+        [(0, "a b a"), (1, "b c"), (2, "c d e"), (3, "a"), (4, "f")],
+        ["doc_id", "text"])
+    got = {r.doc_id: (r.n_tokens, r.n_new_types, r.cum_tokens,
+                      r.cum_types, r.ttr_ppm)
+           for r in corpus_growth(docs, bucket=2).collect()}
+    assert got == {0: (3, 2, 3, 2, 666666),
+                   1: (2, 1, 5, 3, 600000),
+                   2: (3, 2, 8, 5, 625000),
+                   3: (1, 0, 9, 5, 555555),
+                   4: (1, 1, 10, 6, 600000)}
+
+
+def test_corpus_growth_empty_doc_absent(spark):
+    from kg.corpus import corpus_growth
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "")], ["doc_id", "text"])
+    got = {r.doc_id for r in corpus_growth(docs).collect()}
+    assert got == {0}

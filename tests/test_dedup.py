@@ -618,3 +618,31 @@ def test_pair_ngram_precision_pair_bounded_and_disjoint(spark):
                [(0, 1)])
     assert set(got) == {(0, 1, 1), (0, 1, 2)}
     assert got[(0, 1, 1)].prec_micro == 0
+
+
+def test_ngram_novelty_first_doc_fully_novel(spark):
+    from kg.dedup import ngram_novelty
+    # doc 0: 4 distinct 3-grams, all first occurrences -> 1e6 ppm.
+    # doc 1 repeats doc 0's text + adds 2 new trailing 3-grams:
+    # shingles(d1) = 4 old + 2 new = 6 -> 333333 ppm.
+    # doc 2 has < 3 tokens -> no shingles, absent from the output.
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f"),
+         (1, "a b c d e f g h"),
+         (2, "x y")], ["doc_id", "text"])
+    got = {r.doc_id: (r.n_shingles, r.n_novel, r.novelty_ppm)
+           for r in ngram_novelty(docs, n=3).collect()}
+    assert got == {0: (4, 4, 1000000), 1: (6, 2, 333333)}
+
+
+def test_ngram_novelty_counts_distinct_shingles_once(spark):
+    from kg.dedup import ngram_novelty
+    # repeated shingle inside one doc counts once (distinct semantics);
+    # lower doc_id owns first occurrence regardless of row order.
+    docs = spark.createDataFrame(
+        [(5, "p q r p q r"),   # 3-grams: pqr, qrp, rpq, pqr -> 3 distinct
+         (3, "p q r")],        # owns pqr
+        ["doc_id", "text"])
+    got = {r.doc_id: (r.n_shingles, r.n_novel)
+           for r in ngram_novelty(docs, n=3).collect()}
+    assert got == {3: (1, 1), 5: (3, 2)}

@@ -866,3 +866,138 @@ def test_conductance_weights_matter(spark):
     got = {r.community: r.conductance_micro
            for r in community_conductance(e, comm).collect()}
     assert got == {"t1": 1_000_000 // 21, "t2": 1_000_000 // 21}
+
+
+def test_ktruss_clique_survives_appendage_peeled(spark):
+    from kg.graphrank import ktruss
+    # 4-clique {a,b,c,d}: every edge sits in 2 triangles; pendant
+    # triangle d-e-f: each of its edges sits in 1.  k=4 (support >= 2)
+    # peels the pendant triangle in round 1; the clique is stable, so
+    # round 2 re-counts the same supports and keeps all 6 edges.
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+         ("c", "d"), ("d", "e"), ("e", "f"), ("f", "d")], ["src", "dst"])
+    got = {(r.a, r.b): r.support for r in ktruss(e, k=4, rounds=2).collect()}
+    assert got == {("a", "b"): 2, ("a", "c"): 2, ("a", "d"): 2,
+                   ("b", "c"): 2, ("b", "d"): 2, ("c", "d"): 2}
+
+
+def test_ktruss_progressive_peel_rounds(spark):
+    from kg.graphrank import ktruss
+    # two triangles sharing edge (a,b): (a,b) has support 2, the four
+    # outer edges support 1.  k=4: round 1 keeps only (a,b); round 2
+    # re-counts its support as 0 among survivors and peels it too —
+    # pinning that support is recomputed per round, not once.
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "x"), ("b", "x"), ("a", "y"), ("b", "y")],
+        ["src", "dst"])
+    r1 = {(r.a, r.b): r.support for r in ktruss(e, k=4, rounds=1).collect()}
+    assert r1 == {("a", "b"): 2}
+    assert ktruss(e, k=4, rounds=2).count() == 0
+
+
+def test_ktruss_canonicalizes_direction_and_self_loops(spark):
+    from kg.graphrank import ktruss
+    # reversed duplicates and self-loops collapse before counting: the
+    # triangle given with mixed directions + a dup + a self-loop is one
+    # triangle, every edge support 1 (k=3 keeps it all).
+    e = spark.createDataFrame(
+        [("b", "a"), ("a", "b"), ("b", "c"), ("c", "a"), ("a", "a")],
+        ["src", "dst"])
+    got = {(r.a, r.b): r.support for r in ktruss(e, k=3, rounds=2).collect()}
+    assert got == {("a", "b"): 1, ("a", "c"): 1, ("b", "c"): 1}
+
+
+def test_msf_single_round_matches_kruskal(spark):
+    from kg.graphrank import boruvka_msf
+    # square + diagonal: max spanning tree by Kruskal = ac(5), ab(4),
+    # cd(3), total 12 — Borůvka picks per node {ac, ab, cd} in round 1;
+    # round 2 finds no inter-component edge and adds nothing.
+    e = spark.createDataFrame(
+        [("a", "b", 4), ("b", "c", 1), ("c", "d", 3), ("d", "a", 2),
+         ("a", "c", 5)], ["src", "dst", "weight"])
+    got = {(r.a, r.b): (r.weight, r.round)
+           for r in boruvka_msf(e, rounds=2).collect()}
+    assert got == {("a", "c"): (5, 1), ("a", "b"): (4, 1),
+                   ("c", "d"): (3, 1)}
+
+
+def test_msf_needs_second_round_on_chain(spark):
+    from kg.graphrank import boruvka_msf
+    # path a-b-c-d-e-f with the bridge c-d weakest: round 1 merges
+    # {a,b,c} and {d,e,f}; only round 2 can add the bridge.
+    e = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 2), ("c", "d", 1), ("d", "e", 2),
+         ("e", "f", 1)], ["src", "dst", "weight"])
+    r1 = boruvka_msf(e, rounds=1)
+    assert r1.count() == 4 and ("c", "d") not in {
+        (r.a, r.b) for r in r1.collect()}
+    got = {(r.a, r.b): r.round for r in boruvka_msf(e, rounds=2).collect()}
+    assert got[("c", "d")] == 2 and len(got) == 5
+
+
+def test_msf_forest_keeps_components_separate(spark):
+    from kg.graphrank import boruvka_msf
+    # disconnected graph -> a forest, never a bridge; reversed-duplicate
+    # input edges collapse; minimum=False flips the objective.
+    e = spark.createDataFrame(
+        [("a", "b", 1), ("b", "a", 1), ("c", "d", 2)],
+        ["src", "dst", "weight"])
+    got = {(r.a, r.b): r.weight for r in boruvka_msf(e, rounds=2).collect()}
+    assert got == {("a", "b"): 1, ("c", "d"): 2}
+    # min mode on a triangle drops the heaviest edge
+    tri = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 2), ("a", "c", 9)],
+        ["src", "dst", "weight"])
+    mn = {(r.a, r.b) for r in
+          boruvka_msf(tri, rounds=2, maximum=False).collect()}
+    assert mn == {("a", "b"), ("b", "c")}
+
+
+def test_msf_weight_tie_breaks_lexicographic(spark):
+    from kg.graphrank import boruvka_msf
+    # all weights equal: picks resolve by (a, b) — node a picks (a,b)
+    # over (a,c); the result is still a spanning tree, bit-stable.
+    e = spark.createDataFrame(
+        [("a", "b", 7), ("a", "c", 7), ("b", "c", 7)],
+        ["src", "dst", "weight"])
+    got = {(r.a, r.b) for r in boruvka_msf(e, rounds=2).collect()}
+    assert got == {("a", "b"), ("a", "c")}
+
+
+def test_sssp_two_hops_beat_heavy_direct_edge(spark):
+    from kg.graphrank import sssp_bellman_ford
+    # a-b(10), b-c(10), a-c(25): the 2-hop path wins once rounds >= 2;
+    # rounds=1 can only see the direct edge.  d is unreachable-free.
+    e = spark.createDataFrame(
+        [("a", "b", 10), ("b", "c", 10), ("a", "c", 25)],
+        ["src", "dst", "length"])
+    seeds = spark.createDataFrame([("a",)], ["node"])
+    r1 = {r.node: r.dist for r in
+          sssp_bellman_ford(e, seeds, rounds=1).collect()}
+    assert r1 == {"a": 0, "b": 10, "c": 25}
+    r2 = {r.node: r.dist for r in
+          sssp_bellman_ford(e, seeds, rounds=2).collect()}
+    assert r2 == {"a": 0, "b": 10, "c": 20}
+
+
+def test_sssp_multi_source_unreached_absent_parallel_min(spark):
+    from kg.graphrank import sssp_bellman_ford
+    # two seeds take the min over sources; parallel edges collapse to
+    # their min length; the isolated island never appears.
+    e = spark.createDataFrame(
+        [("a", "m", 7), ("b", "m", 3), ("b", "m", 9), ("x", "y", 1)],
+        ["src", "dst", "length"])
+    seeds = spark.createDataFrame([("a",), ("b",)], ["node"])
+    got = {r.node: r.dist for r in
+           sssp_bellman_ford(e, seeds, rounds=3).collect()}
+    assert got == {"a": 0, "b": 0, "m": 3}
+
+
+def test_sssp_directed_respects_direction(spark):
+    from kg.graphrank import sssp_bellman_ford
+    e = spark.createDataFrame([("a", "b", 5)], ["src", "dst", "length"])
+    seeds = spark.createDataFrame([("b",)], ["node"])
+    got = {r.node: r.dist for r in
+           sssp_bellman_ford(e, seeds, rounds=2, directed=True).collect()}
+    assert got == {"b": 0}       # no a<-b arc in directed mode

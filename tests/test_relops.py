@@ -306,3 +306,108 @@ def test_funnel_order_matters(spark):
     # earliest in-order times, not global mins
     assert got[2]["t1_us"] < got[2]["t2_us"]
     assert len(got) == 4
+
+
+def test_time_decay_hand_computed(spark):
+    from kg.relops import time_decay_scores
+    # corpus clock = max(ts) = 2024-03-01; half-life 7 days.
+    # user 1: 10.0 @ age 0 -> 10000//1; 10.0 @ age 7 -> //2;
+    #         10.0 @ age 20 (20//7=2) -> //4  => 10000+5000+2500
+    # user 2: 2.5 @ age 70 (shift 10) -> 2500//1024 = 2
+    # user 3: -3.5 @ age 10 (shift 1) -> -3500//2 = -1750 (trunc to 0)
+    rows = [(1, "2024-03-01 00:00:00", 10.0),
+            (1, "2024-02-23 00:00:00", 10.0),
+            (1, "2024-02-10 00:00:00", 10.0),
+            (2, "2023-12-22 00:00:00", 2.5),
+            (3, "2024-02-20 00:00:00", -3.5)]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r.user_id: (r.n_events, r.score_milli)
+           for r in time_decay_scores(ev, half_life_days=7).collect()}
+    assert got == {1: (3, 17500), 2: (1, 2), 3: (1, -1750)}
+
+
+def test_time_decay_shift_cap_zeroes_ancient_events(spark):
+    from kg.relops import time_decay_scores
+    # age 670 days -> 670//7 = 95 half-lives, capped at shift 62:
+    # any bounded value divides to 0 instead of overflowing shiftleft.
+    rows = [(1, "2024-03-01 00:00:00", 5.0),
+            (1, "2022-05-01 00:00:00", 1e15)]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    row = time_decay_scores(ev, half_life_days=7).collect()[0]
+    assert (row.n_events, row.score_milli) == (2, 5000)
+
+
+def test_event_transitions_hand_computed(spark):
+    from kg.relops import event_transitions
+    # user 1: view->click->view->purchase; user 2: view->click
+    # from view: click 2, purchase 1 (user1's 2nd view precedes purchase)
+    rows = [(1, 1, "view", "2024-01-01 00:00:01"),
+            (2, 1, "click", "2024-01-01 00:00:02"),
+            (3, 1, "view", "2024-01-01 00:00:03"),
+            (4, 1, "purchase", "2024-01-01 00:00:04"),
+            (5, 2, "view", "2024-01-01 00:00:01"),
+            (6, 2, "click", "2024-01-01 00:00:02")]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {(r.from_type, r.to_type): (r.n_trans, r.prob_micro)
+           for r in event_transitions(ev).collect()}
+    assert got == {("view", "click"): (2, 666666),
+                   ("view", "purchase"): (1, 333333),
+                   ("click", "view"): (1, 1000000)}
+
+
+def test_event_transitions_same_ts_seq_tiebreak_no_cross_user(spark):
+    from kg.relops import event_transitions
+    # same-ts events order by event_id; a user's last event never
+    # transitions into another user's first.
+    rows = [(1, 1, "a", "2024-01-01 00:00:01"),
+            (2, 1, "b", "2024-01-01 00:00:01"),
+            (3, 2, "c", "2024-01-01 00:00:01")]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {(r.from_type, r.to_type): r.n_trans
+           for r in event_transitions(ev).collect()}
+    assert got == {("a", "b"): 1}
+
+
+def test_rfm_distinct_metrics_bands_are_ranks(spark):
+    from kg.relops import rfm_scores
+    # user u (1..5): u events on day 2024-01-u, each value u*10.0.
+    # clock = 2024-01-05 -> recency 5-u; frequency u; monetary 1e4*u^2.
+    # all metrics distinct over 5 users -> bands = ranks.
+    rows = []
+    eid = 0
+    for u in range(1, 6):
+        for _ in range(u):
+            rows.append((eid, u, f"2024-01-0{u} 12:00:00", u * 10.0))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r.user_id: r for r in rfm_scores(ev).collect()}
+    for u in range(1, 6):
+        r = got[u]
+        assert (r.recency_days, r.frequency, r.monetary_milli) == \
+            (5 - u, u, 10000 * u * u)
+        assert (r.r_band, r.f_band, r.m_band) == (6 - u, u, u)
+        assert r.rfm_code == (6 - u) * 100 + u * 10 + u
+
+
+def test_rfm_ties_fall_to_lower_band(spark):
+    from kg.relops import rfm_scores
+    # identical users: every threshold equals the shared value, v > t
+    # is false everywhere -> all bands 1 (ties to the lower band).
+    rows = [(1, 1, "2024-01-01 00:00:00", 2.0),
+            (2, 2, "2024-01-01 00:00:00", 2.0)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r.user_id: (r.r_band, r.f_band, r.m_band, r.rfm_code)
+           for r in rfm_scores(ev).collect()}
+    assert got == {1: (1, 1, 1, 111), 2: (1, 1, 1, 111)}

@@ -200,3 +200,18 @@ def test_winnow_shared_run_guarantee_and_too_short(spark):
             for r in winnow_fingerprints(df, k=3, w=4).collect()}
     assert 3 not in rows
     assert rows[1] & rows[2]
+
+
+def test_hapax_profile_sorted_neighbor_counting(spark):
+    from kg.textstats import hapax_profile
+    docs = spark.createDataFrame(
+        [(0, "a b a c"),   # sorted aabc: hapax b, c
+         (1, "x"),         # single token is a hapax
+         (2, "y y y")],    # no hapax, one type
+        ["doc_id", "text"])
+    got = {r.doc_id: (r.n_tokens, r.n_types, r.n_hapax,
+                      r.ttr_ppm, r.hapax_ppm)
+           for r in hapax_profile(docs).collect()}
+    assert got == {0: (4, 3, 2, 750000, 500000),
+                   1: (1, 1, 1, 1000000, 1000000),
+                   2: (3, 1, 0, 333333, 0)}

@@ -3750,4 +3750,271 @@ def build_oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS precision_ppm
         FROM t, c, h"""
 
+    # k-truss peel (kg.graphrank.ktruss, k=10 -> support >= 8, 3 rounds)
+    # over the shared strong-tie subgraph: per round one wedge join on
+    # the symmetrized survivor set + support HAVING filter.  The Spark
+    # side left-joins support and coalesces to 0 before filtering >= 8,
+    # which is equivalent to the inner-join HAVING here (support-0 edges
+    # are absent from the aggregate and dropped either way).  Every
+    # round CTE is referenced 3x (edge side + both wedge sides) ->
+    # MATERIALIZED throughout (CLAUDE.md kcore rule).
+    def _truss_round(prev: str, cur: str) -> str:
+        return f"""
+        sym_{cur} AS MATERIALIZED (SELECT a, b FROM {prev}
+                 UNION ALL SELECT b AS a, a AS b FROM {prev}),
+        {cur} AS MATERIALIZED (
+          SELECT e.a, e.b, CAST(count(*) AS BIGINT) AS support
+          FROM {prev} e
+          JOIN sym_{cur} s1 ON s1.a = e.a
+          JOIN sym_{cur} s2 ON s2.a = e.b AND s2.b = s1.b
+          GROUP BY 1, 2 HAVING count(*) >= 8)"""
+
+    sqls["kg_tag_ktruss"] = f"""
+        WITH {_kept_sql},
+        {_cooccur_sql},
+        {_strong_sql},
+        e0 AS MATERIALIZED (SELECT a, b FROM f0),
+        {_truss_round('e0', 'e1')},
+        {_truss_round('e1', 'e2')},
+        {_truss_round('e2', 'e3')}
+        SELECT a, b, support FROM e3"""
+
+    # Borůvka maximum spanning forest (kg.graphrank.boruvka_msf, 2
+    # rounds) over the weighted co-occurrence graph: per round, each
+    # component picks its best incident inter-component edge under the
+    # TOTAL order (w DESC, a, b); picked pairs contract via the
+    # recursive-CTE reach closure (the dedup_components pattern — the
+    # Spark side's converging connected_components loop computes the
+    # same exact min-label mapping).
+    def _msf_round(r: int) -> str:
+        return f"""
+        ec{r} AS MATERIALIZED (
+          SELECT e.a, e.b, e.w, least(ca.comp, cb.comp) AS x,
+                 greatest(ca.comp, cb.comp) AS y
+          FROM ce e JOIN c{r} ca ON ca.node = e.a
+                    JOIN c{r} cb ON cb.node = e.b
+          WHERE ca.comp <> cb.comp),
+        cand{r} AS (SELECT x AS c, a, b, w, x, y FROM ec{r}
+                    UNION ALL SELECT y, a, b, w, x, y FROM ec{r}),
+        ch{r} AS MATERIALIZED (
+          SELECT DISTINCT a, b, w, x, y FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY c ORDER BY w DESC, a, b) AS rn
+            FROM cand{r}) WHERE rn = 1),
+        cp{r} AS MATERIALIZED (SELECT x AS p, y AS q FROM ch{r}
+                 UNION SELECT y, x FROM ch{r}),
+        reach{r} AS (
+          SELECT p AS node, p AS r FROM cp{r}
+          UNION
+          SELECT reach{r}.node, cp{r}.q FROM reach{r}
+          JOIN cp{r} ON cp{r}.p = reach{r}.r),
+        mg{r} AS MATERIALIZED (
+          SELECT node AS oldc, min(r) AS newc FROM reach{r} GROUP BY 1),
+        c{r + 1} AS MATERIALIZED (
+          SELECT c{r}.node, coalesce(mg{r}.newc, c{r}.comp) AS comp
+          FROM c{r} LEFT JOIN mg{r} ON mg{r}.oldc = c{r}.comp)"""
+
+    sqls["kg_tag_msf"] = f"""
+        WITH RECURSIVE {_kept_sql},
+        {_cooccur_sql},
+        ce AS MATERIALIZED (
+          SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+                 CAST(max(w) AS BIGINT) AS w
+          FROM edges WHERE src <> dst GROUP BY 1, 2),
+        c1 AS MATERIALIZED (
+          SELECT node, node AS comp FROM (
+            SELECT a AS node FROM ce UNION SELECT b FROM ce)),
+        {_msf_round(1)},
+        {_msf_round(2)}
+        SELECT a, b, w AS weight, 1 AS round FROM ch1
+        UNION ALL SELECT a, b, w, 2 FROM ch2"""
+
+    # per-user Markov transitions (kg.relops.event_transitions): lead()
+    # under the (ts, event_id) tie-break, row-normalized integer-micro.
+    sqls["rel_events_transitions"] = """
+        WITH nx AS (
+          SELECT event_type AS from_type,
+                 lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+          FROM events),
+        pairs AS (SELECT from_type, to_type,
+                         CAST(count(*) AS BIGINT) AS n_trans
+                  FROM nx WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        tot AS (SELECT from_type, sum(n_trans) AS t FROM pairs GROUP BY 1)
+        SELECT from_type, to_type, n_trans,
+               CAST(n_trans * 1000000 // t AS BIGINT) AS prob_micro
+        FROM pairs JOIN tot USING (from_type)"""
+
+    # per-doc 3-gram novelty (kg.dedup.ngram_novelty): distinct shingles
+    # per doc, global first occurrence = min doc_id; docs with < 3
+    # tokens have no shingles and are absent (word_shingles guard).
+    sqls["corpus_novelty"] = f"""
+        WITH sh AS (
+          SELECT DISTINCT doc_id,
+                 t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS shingle
+          FROM (SELECT doc_id, t, generate_subscripts(t, 1) AS i
+                FROM (SELECT doc_id, {_TOKS} AS t
+                      FROM documents WHERE lang = 'en'))
+          WHERE i <= len(t) - 2),
+        fst AS (SELECT shingle, min(doc_id) AS f FROM sh GROUP BY 1),
+        per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+                       CAST(sum(CASE WHEN doc_id = f THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_novel
+                FROM sh JOIN fst USING (shingle) GROUP BY 1)
+        SELECT doc_id, n_shingles, n_novel,
+               CAST(n_novel * 1000000 // n_shingles AS BIGINT)
+                 AS novelty_ppm
+        FROM per"""
+
+    # fixed-round Bellman-Ford (kg.graphrank.sssp_bellman_ford, 4
+    # rounds) from the two lexically-first tags, affinity distance
+    # length = max(1e6 // w, 1); each round CTE feeds both the union
+    # and the relax join -> MATERIALIZED.
+    def _bf_round(prev: str, cur: str) -> str:
+        return f"""
+        {cur} AS MATERIALIZED (
+          SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+            SELECT node, dist FROM {prev}
+            UNION ALL
+            SELECT l.b AS node, {prev}.dist + l.w AS dist
+            FROM {prev} JOIN lens l ON l.a = {prev}.node)
+          GROUP BY 1)"""
+
+    sqls["kg_tag_sssp"] = f"""
+        WITH {_kept_sql},
+        {_cooccur_sql},
+        lens AS MATERIALIZED (
+          SELECT a, b, CAST(min(w2) AS BIGINT) AS w FROM (
+            SELECT src AS a, dst AS b, greatest(1000000 // w, 1) AS w2
+            FROM edges WHERE src <> dst
+            UNION ALL
+            SELECT dst, src, greatest(1000000 // w, 1)
+            FROM edges WHERE src <> dst)
+          GROUP BY 1, 2),
+        seeds AS MATERIALIZED (SELECT DISTINCT tok AS node FROM kept
+                  ORDER BY node LIMIT 2),
+        d0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS dist
+                            FROM seeds),
+        {_bf_round('d0', 'd1')},
+        {_bf_round('d1', 'd2')},
+        {_bf_round('d2', 'd3')},
+        {_bf_round('d3', 'd4')}
+        SELECT node, dist FROM d4"""
+
+    # RFM segmentation (kg.relops.rfm_scores): per-metric histogram
+    # cumulative windows + nearest-rank quintile thresholds (ceil via
+    # (i*n + 4) // 5), ties to the lower band; monetary banded on
+    # whole units (// 1000) like the Spark side.
+    def _rfm_thr(metric: str, h: str) -> str:
+        cases = ", ".join(
+            f"min(CASE WHEN cum >= ({i} * n + 4) // 5 THEN v END) AS t{i}"
+            for i in range(1, 5))
+        return f"""
+        {h}h AS (SELECT {metric} AS v, count(*) AS c FROM p2 GROUP BY 1),
+        {h}c AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM {h}h),
+        {h}t AS MATERIALIZED (SELECT {cases} FROM {h}c CROSS JOIN nn)"""
+
+    _band = ("CAST(1 + {c1} + {c2} + {c3} + {c4} AS INT)")
+
+    def _band_expr(v: str, h: str) -> str:
+        return _band.format(**{f"c{i}":
+                               f"(CASE WHEN {v} > {h}t.t{i} THEN 1 "
+                               "ELSE 0 END)"
+                               for i in range(1, 5)})
+
+    sqls["rel_events_rfm"] = f"""
+        WITH ref AS (SELECT max(ts) AS r FROM events),
+        p2 AS MATERIALIZED (
+          SELECT user_id,
+                 CAST(min(date_diff('day', CAST(ts AS DATE),
+                                    CAST(r AS DATE))) AS BIGINT)
+                   AS recency_days,
+                 CAST(count(*) AS BIGINT) AS frequency,
+                 CAST(sum(CAST(round(CAST(value AS DOUBLE) * 1000, 0)
+                               AS BIGINT)) AS BIGINT) AS monetary_milli,
+                 CAST(sum(CAST(round(CAST(value AS DOUBLE) * 1000, 0)
+                               AS BIGINT)) AS BIGINT) // 1000 AS mu
+          FROM events CROSS JOIN ref GROUP BY 1),
+        nn AS (SELECT count(*) AS n FROM p2),
+        {_rfm_thr('recency_days', 'r')},
+        {_rfm_thr('frequency', 'f')},
+        {_rfm_thr('mu', 'm')},
+        b AS (SELECT user_id, recency_days, frequency, monetary_milli,
+                     {_band_expr('recency_days', 'r')} AS r_band,
+                     {_band_expr('frequency', 'f')} AS f_band,
+                     {_band_expr('mu', 'm')} AS m_band
+              FROM p2 CROSS JOIN rt CROSS JOIN ft CROSS JOIN mt)
+        SELECT user_id, recency_days, frequency, monetary_milli,
+               r_band, f_band, m_band,
+               CAST(r_band * 100 + f_band * 10 + m_band AS INT) AS rfm_code
+        FROM b"""
+
+    # Heaps-law growth curve (kg.corpus.corpus_growth): the oracle
+    # replays the running sums with a plain global window — DuckDB is
+    # single-node, so the naive form IS the spec; the Spark side's
+    # two-level bucket prefix sum must land on identical values.
+    sqls["corpus_growth"] = f"""
+        WITH tok2 AS (
+          SELECT doc_id, tok FROM (
+            SELECT doc_id, unnest({_TOKS}) AS tok
+            FROM documents WHERE lang = 'en')
+          WHERE tok <> ''),
+        nt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+               FROM tok2 GROUP BY 1),
+        fo AS (SELECT tok, min(doc_id) AS doc_id FROM tok2 GROUP BY 1),
+        nn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_new
+               FROM fo GROUP BY 1),
+        per AS (SELECT nt.doc_id, n_tokens,
+                       coalesce(n_new, 0) AS n_new_types
+                FROM nt LEFT JOIN nn ON nn.doc_id = nt.doc_id),
+        c AS (SELECT doc_id, n_tokens, n_new_types,
+                     CAST(sum(n_tokens) OVER (ORDER BY doc_id)
+                          AS BIGINT) AS cum_tokens,
+                     CAST(sum(n_new_types) OVER (ORDER BY doc_id)
+                          AS BIGINT) AS cum_types
+              FROM per)
+        SELECT doc_id, n_tokens, CAST(n_new_types AS BIGINT) AS n_new_types,
+               cum_tokens, cum_types,
+               CAST(cum_types * 1000000 // cum_tokens AS BIGINT) AS ttr_ppm
+        FROM c"""
+
+    # hapax profile (kg.textstats.hapax_profile): sorted-neighbor hapax
+    # test replayed 1-indexed (Spark's aggregate over 0-indexed get()
+    # positions computes the same predicate).
+    sqls["text_hapax"] = f"""
+        WITH s AS (SELECT doc_id, t, list_sort(t) AS st
+                   FROM (SELECT doc_id, {_TOKS} AS t
+                         FROM documents WHERE lang = 'en')),
+        h AS (SELECT doc_id,
+                     CAST(len(t) AS BIGINT) AS n_tokens,
+                     CAST(len(list_distinct(t)) AS BIGINT) AS n_types,
+                     CAST(len(list_filter(range(1, len(st) + 1), i ->
+                       (i = 1 OR st[i] <> st[i - 1])
+                       AND (i = len(st) OR st[i] <> st[i + 1])))
+                       AS BIGINT) AS n_hapax
+              FROM s)
+        SELECT doc_id, n_tokens, n_types, n_hapax,
+               CAST(n_types * 1000000 // greatest(n_tokens, 1)
+                    AS BIGINT) AS ttr_ppm,
+               CAST(n_hapax * 1000000 // greatest(n_tokens, 1)
+                    AS BIGINT) AS hapax_ppm
+        FROM h"""
+
+    # staircase half-life decay scores (kg.relops.time_decay_scores,
+    # half_life=7 days): value_milli // 2^(age_days // 7), age against
+    # the corpus clock max(ts); Spark div == DuckDB // (truncate toward
+    # zero, CLAUDE.md) and round() ties away from zero in both.
+    sqls["rel_events_decay"] = """
+        WITH ref AS (SELECT max(ts) AS r FROM events),
+        per AS (
+          SELECT user_id,
+                 CAST(round(CAST(value AS DOUBLE) * 1000, 0) AS BIGINT)
+                 // (CAST(1 AS BIGINT) << CAST(least(
+                      date_diff('day', CAST(ts AS DATE), CAST(r AS DATE))
+                        // 7, 62) AS INT)) AS c
+          FROM events CROSS JOIN ref)
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(c) AS BIGINT) AS score_milli
+        FROM per GROUP BY 1"""
+
     return sqls
