@@ -2074,6 +2074,92 @@ def q_rel_events_rfm(spark, sf_dir):
     return rfm_scores(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_text_readability(spark, sf_dir):
+    """ARI + Coleman–Liau readability grades
+    (kg.textstats.readability_scores) in exact integer micro-units —
+    both published formulas are purely arithmetic in (chars, words,
+    sentences), zero shuffles, every division an integer div."""
+    from kg.textstats import readability_scores
+    return readability_scores(_docs(spark, sf_dir))
+
+
+def q_text_pii_luhn(spark, sf_dir):
+    """Checksum-validated payment-card PII (kg.pii.card_report): 13-19
+    digit candidates, Luhn mod-10 validation as a pure HOF expression,
+    one \\b-anchored alternation redaction.  The synthetic corpus has no
+    digits, so a deterministic 13-digit run (lpad(doc_id²+41)) is
+    appended per doc IN BOTH ENGINES — validity then varies by doc,
+    exercising extract, checksum, and conditional redaction."""
+    from kg.pii import card_report
+    docs = _docs(spark, sf_dir).withColumn(
+        "text", F.concat(
+            F.col("text"), F.lit(" "),
+            F.lpad((F.col("doc_id") * F.col("doc_id") + 41).cast("string"),
+                   13, "1")))
+    rep = card_report(docs)
+    return rep.select("doc_id", "n_card_candidates", "n_luhn_valid",
+                      F.md5("text_redacted").alias("red_md5"))
+
+
+def q_rel_events_anomaly(spark, sf_dir):
+    """Per-(type, day) volume anomaly flags (kg.relops.count_anomalies):
+    trailing-7-observed-days spike/drop via exact integer
+    cross-multiplication; the window runs over the calendar-bounded
+    aggregate, never raw events."""
+    from kg.relops import count_anomalies
+    return count_anomalies(spark.read.parquet(f"{sf_dir}/events.parquet"),
+                           trail_days=7, threshold_pct=300)
+
+
+def q_multimodal_audio(spark, sf_dir):
+    """REAL audio decode (kg.multimodal.wav_meta /
+    extract_audio_features): deterministic RIFF/WAVE PCM payloads —
+    canonical fmt chunk, a JUNK chunk the parser must walk over, 16-bit
+    samples from the published wav_sample arithmetic — generated per
+    embedding row and parsed by the real pure-Python chunk walker.
+    Every output cell (rate/channels/frames/duration/mean-abs
+    amplitude/file size) is an arithmetic function of vec_id, so the
+    DuckDB oracle replays the decode exactly.  Fixture generation is
+    its own mapInPandas stage, localCheckpointed before the feature
+    stage (one pandas UDF per task — CLAUDE.md perf rule 1)."""
+    import pandas as pd
+    from kg import multimodal as mm
+    emb = _read("embeddings")(spark, sf_dir).select("vec_id")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for v in pdf["vec_id"]:
+                i = int(v)
+                rate = (8000, 16000, 44100)[i % 3]
+                rows.append((i, "audio", "wav",
+                             mm.wav_bytes(i, rate, 1 + i % 2, 8 + i % 5)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "format", "payload"])
+
+    media = emb.mapInPandas(gen, mm.MEDIA_SCHEMA).localCheckpoint()
+    return mm.extract_audio_features(media).select(
+        "media_id", "sample_rate", "n_channels", "bits", "n_frames",
+        "duration_ms", "mean_abs", "n_bytes")
+
+
+def q_kg_tag_matching(spark, sf_dir):
+    """Greedy maximal matching (kg.graphrank.greedy_matching, 2
+    mutual-best handshake rounds) over the weighted strong-tie
+    co-occurrence graph — the METIS-style coarsening step: matched tag
+    pairs are the supernodes of the next multilevel-partitioning
+    level."""
+    from kg.graphrank import greedy_matching, tag_cooccurrence_edges
+    t = _tag_contexts(spark, sf_dir)
+    edges = tag_cooccurrence_edges(t, doc_col="ctx", tag_col="tag",
+                                   materialize=False)
+    total = t.select("ctx").distinct().agg(F.count("*").alias("n_ctx"))
+    strong = (edges.crossJoin(F.broadcast(total))
+              .filter(F.col("weight") * 100 >= 63 * F.col("n_ctx"))
+              .select("src", "dst", "weight"))
+    return greedy_matching(strong, rounds=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # WINDOW-ROTATION RULE (STATUS.md §rotation): the driver's CORRECTNESS
     # artifact covers roughly the FIRST 50 registered queries per round, so
@@ -2157,19 +2243,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_events_distinct_kmv": q_rel_events_distinct_kmv,
         "kg_tag_conductance": q_kg_tag_conductance,
         "kg_tag_ktruss": q_kg_tag_ktruss,
-        "rel_events_decay": q_rel_events_decay,
-        "kg_tag_msf": q_kg_tag_msf,
         "rel_events_transitions": q_rel_events_transitions,
-        "corpus_novelty": q_corpus_novelty,
         "corpus_growth": q_corpus_growth,
-        "text_hapax": q_text_hapax,
-        "kg_tag_sssp": q_kg_tag_sssp,
         "rel_events_rfm": q_rel_events_rfm,
+        # --- r4 session-11 additions (rotated into the window); one
+        # demotion each — see the demoted block -------------------------
+        "text_readability": q_text_readability,
+        "text_pii_luhn": q_text_pii_luhn,
+        "rel_events_anomaly": q_rel_events_anomaly,
+        "multimodal_audio": q_multimodal_audio,
+        "kg_tag_matching": q_kg_tag_matching,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also
         # carry INDIRECT fresh evidence — ann_recall_ivf embeds the
         # cosine/ivf oracle SQL verbatim) — first in line for r5 ---------
+        # demoted for the session-11 additions (readability/luhn/anomaly/
+        # audio/matching), strongest-subsumption-first:
+        # rel_events_decay — trivial-replay narrow map (bit-for-bit DuckDB
+        # mirror incl. round/shift semantics), hand-computed + shift-cap
+        # pytests; the events family keeps transitions/rfm/distinct rows
+        # in-window
+        "rel_events_decay": q_rel_events_decay,
+        # kg_tag_msf — its contraction step IS kg.canon.connected_components
+        # (in-window via dedup_components' recursive-CTE oracle) and its
+        # struct-min argmax is the chosen-edge shape kg_tag_scc/ktruss
+        # re-exercise in-window; Kruskal-cross-check pytest pins the forest
+        "kg_tag_msf": q_kg_tag_msf,
+        # corpus_novelty — first-occurrence min-agg + co-partitioned join
+        # back, the dedup shingle machinery with four in-window relatives;
+        # fully-novel-first-doc/within-doc-distinct pytests
+        "corpus_novelty": q_corpus_novelty,
+        # text_hapax — zero-shuffle in-row HOF class shared with in-window
+        # text_winnow/text_phrase_near; sorted-neighbor predicate pinned by
+        # hand fixtures incl. single-token/all-same docs
+        "text_hapax": q_text_hapax,
+        # kg_tag_sssp — the relax loop is the bfs_levels frontier/
+        # min-combining machinery (kg_tag_bfs r3-green; pagerank-family
+        # integer loops keep in-window rows); path-fixture pytests pin the
+        # distance semantics
+        "kg_tag_sssp": q_kg_tag_sssp,
         "dedup_exact": q_dedup_exact,
         # demoted for corpus_overlap_kmv (session 9): its oracle's entire
         # _kn_body CTE chain ships verbatim inside in-window

@@ -120,6 +120,11 @@ HEADLINE = [
     "corpus_novelty",        # first-occurrence 3-gram novelty audit
     "corpus_growth",         # two-level prefix-sum Heaps-law curve
     "text_hapax",            # sorted-neighbor hapax share, in-row
+    "text_readability",      # ARI + Coleman-Liau integer grades
+    "text_pii_luhn",         # Luhn-validated card detect + redact
+    "rel_events_anomaly",    # trailing-window volume spike/drop flags
+    "multimodal_audio",      # RIFF/WAVE chunk-walk decode, mapInPandas
+    "kg_tag_matching",       # 2-round mutual-best maximal matching
 ]
 
 

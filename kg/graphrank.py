@@ -1604,3 +1604,60 @@ def sssp_bellman_ford(edges: DataFrame, sources: DataFrame, rounds: int = 4,
                 .groupBy("node").agg(F.min("dist").alias("dist"))
                 .localCheckpoint())
     return dist
+
+
+def greedy_matching(edges: DataFrame, rounds: int = 3,
+                    src_col: str = "src", dst_col: str = "dst",
+                    weight_col: str = "weight") -> DataFrame:
+    """Deterministic distributed greedy maximal matching — the
+    mutual-best "handshake" round (the deterministic form of the
+    Israeli–Itai distributed matching, and the coarsening step of
+    multilevel partitioners like METIS: matched pairs collapse into
+    supernodes, halving the graph between levels):
+
+    per round every live node nominates its best incident edge under
+    the TOTAL order (weight DESC, a ASC, b ASC); an edge joins the
+    matching iff BOTH endpoints nominated it (mutual best), and matched
+    nodes leave the graph.  Mutual-best is what makes the parallel
+    round correct: two adjacent edges can never both be picked, so the
+    result is a valid matching after every round, and fixed `rounds`
+    (the house kcore/ktruss/msf iterative contract) yields the
+    deterministic, oracle-replayable prefix of the sequential greedy
+    matching.  Returns (a, b, weight, round), a < b.
+
+    Shape per round: one symmetrize union + one per-node struct-min
+    aggregate + two nomination equi-joins + one matched-node anti-join;
+    the survivor edge set is localCheckpointed (it branches into the
+    nomination build and the anti-join — perf rule 7).  Everything is
+    edge-partitioned; no window, no global order."""
+    e = (edges.select(F.least(src_col, dst_col).alias("a"),
+                      F.greatest(src_col, dst_col).alias("b"),
+                      F.col(weight_col).cast("bigint").alias("w"))
+         .filter(F.col("a") != F.col("b"))
+         .groupBy("a", "b").agg(F.max("w").alias("w"))
+         .localCheckpoint())
+    matched = None
+    for r in range(1, rounds + 1):
+        s = F.struct((-F.col("w")).alias("k"), F.col("a"), F.col("b"),
+                     F.col("w"))
+        inc = (e.select(F.col("a").alias("n"), s.alias("s"))
+               .union(e.select(F.col("b").alias("n"), s.alias("s"))))
+        best = (inc.groupBy("n").agg(F.min("s").alias("s"))
+                .select("n", F.col("s.a").alias("ba"),
+                        F.col("s.b").alias("bb")))
+        step = (e.join(best.withColumnRenamed("n", "a"), ["a"])
+                .filter((F.col("ba") == F.col("a"))
+                        & (F.col("bb") == F.col("b")))
+                .drop("ba", "bb")
+                .join(best.withColumnRenamed("n", "b"), ["b"])
+                .filter((F.col("ba") == F.col("a"))
+                        & (F.col("bb") == F.col("b")))
+                .select("a", "b", "w", F.lit(r).cast("int").alias("round"))
+                .localCheckpoint())
+        matched = step if matched is None else matched.unionByName(step)
+        mn = (step.select(F.col("a").alias("n"))
+              .union(step.select("b")).distinct())
+        e = (e.join(mn.withColumnRenamed("n", "a"), ["a"], "left_anti")
+             .join(mn.withColumnRenamed("n", "b"), ["b"], "left_anti")
+             .select("a", "b", "w").localCheckpoint())
+    return matched.select("a", "b", F.col("w").alias("weight"), "round")

@@ -423,3 +423,109 @@ def synthetic_media(spark, n: int = 32) -> DataFrame:
              bytearray(fake_png_bytes(i, 8 + i % 5, 6 + i % 4)))
             for i in range(n)]
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# --- audio: real RIFF/WAVE PCM encode + parse (pure stdlib) ---
+
+def wav_sample(media_id: int, i: int) -> int:
+    """Deterministic 16-bit PCM sample for interleaved sample index i —
+    pure arithmetic in (media_id, i) so the DuckDB oracle replays the
+    decoded amplitude statistics exactly:  ((id·31 + i·7) % 2001) − 1000
+    ∈ [−1000, 1000]."""
+    return ((media_id * 31 + i * 7) % 2001) - 1000
+
+
+def wav_bytes(media_id: int, sample_rate: int, n_channels: int,
+              n_frames: int) -> bytes:
+    """Real RIFF/WAVE file: canonical 16-byte PCM fmt chunk, a JUNK
+    padding chunk (exercises the parser's unknown-chunk walk — real
+    encoders emit LIST/INFO/JUNK before data), then interleaved 16-bit
+    little-endian samples from `wav_sample`."""
+    n_samples = n_frames * n_channels
+    data = b"".join(struct.pack("<h", wav_sample(media_id, i))
+                    for i in range(n_samples))
+    fmt = struct.pack("<HHIIHH", 1, n_channels, sample_rate,
+                      sample_rate * n_channels * 2, n_channels * 2, 16)
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"JUNK" + struct.pack("<I", 4) + b"\x00" * 4
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def wav_meta(payload: bytes) -> tuple[int, int, int, int, int, int]:
+    """Parse a RIFF/WAVE payload → (sample_rate, n_channels,
+    bits_per_sample, n_frames, duration_ms, mean_abs).  Walks the chunk
+    list (tags are 4 bytes + LE u32 size, data padded to even — the
+    published RIFF layout), tolerating unknown chunks in any position;
+    mean_abs is the exact integer mean absolute amplitude over all
+    samples for 16-bit PCM (−1 for other widths — parse stays real,
+    amplitude needs the width).  Raises ValueError on a malformed
+    payload; callers emit a −1 row (the decode_image_features
+    contract)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        tag = payload[pos:pos + 4]
+        size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
+        chunk = payload[pos + 8:pos + 8 + size]
+        if len(chunk) < size:
+            raise ValueError("truncated chunk")
+        if tag == b"fmt ":
+            fmt = chunk
+        elif tag == b"data":
+            data = chunk
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None or len(fmt) < 16:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, n_ch, rate, _, block, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if audio_fmt != 1 or n_ch == 0 or block == 0 or rate == 0:
+        raise ValueError("not integer PCM")
+    n_frames = len(data) // block
+    duration_ms = n_frames * 1000 // rate
+    if bits == 16:
+        n_samples = max(1, n_frames * n_ch)
+        total = sum(abs(struct.unpack("<h", data[2 * i:2 * i + 2])[0])
+                    for i in range(n_frames * n_ch))
+        mean_abs = total // n_samples
+    else:
+        mean_abs = -1
+    return rate, n_ch, bits, n_frames, duration_ms, mean_abs
+
+
+AUDIO_FEATURES_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("sample_rate", IntegerType(), False),
+    StructField("n_channels", IntegerType(), False),
+    StructField("bits", IntegerType(), False),
+    StructField("n_frames", LongType(), False),
+    StructField("duration_ms", LongType(), False),
+    StructField("mean_abs", LongType(), False),
+    StructField("n_bytes", LongType(), False),
+])
+
+
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """mapInPandas audio metadata + amplitude extraction over binary WAV
+    payloads (media_id, payload): the audio leg of the multimodal
+    family — same narrow-map shape as decode_image_features (ONE pandas
+    UDF per task, iterator-of-batches memory bound, payloads never
+    shuffled).  Malformed payloads emit a −1 row instead of failing the
+    task (a 100-TB crawl always contains garbage)."""
+    def fx(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                p = bytes(payload)
+                try:
+                    rate, ch, bits, fr, dur, mean_abs = wav_meta(p)
+                except ValueError:
+                    rate, ch, bits, fr, dur, mean_abs = -1, -1, -1, -1, -1, -1
+                rows.append((int(mid), rate, ch, bits, fr, dur, mean_abs,
+                             len(p)))
+            yield pd.DataFrame(rows,
+                               columns=AUDIO_FEATURES_SCHEMA.fieldNames())
+
+    return (df.filter(F.col("kind") == "audio")
+            .select("media_id", "payload")
+            .mapInPandas(fx, AUDIO_FEATURES_SCHEMA))

@@ -64,3 +64,62 @@ def redact_pii(df: DataFrame, text_col: str = "text",
     """All input columns plus the redacted text.  Narrow map; the original
     column is retained so a lineage-preserving sink can write both."""
     return df.withColumn(out_col, redacted_col(text_col))
+
+
+# Payment-card candidates: maximal 13-19 digit runs.  \b between a digit
+# and a digit never matches, so a run is matched whole or not at all —
+# a 25-digit run yields NO candidate (deliberate: it is not a PAN).
+LUHN_CARD_RE = r"\b\d{13,19}\b"
+
+
+def luhn_valid(cand: Column) -> Column:
+    """True iff the digit string passes the Luhn mod-10 checksum (ISO/IEC
+    7812) — the published validity test every payment-card number
+    satisfies, which cuts candidate false positives (timestamps, ids)
+    by ~90%.  Right-to-left: even positions kept, odd positions doubled
+    with 9 subtracted when the double exceeds 9; sum ≡ 0 (mod 10).
+    Pure integer HOF expression over ≤19 chars — no UDF, exact in both
+    engines (the DuckDB oracle replays it with list_transform over the
+    reversed string)."""
+    digits = F.transform(
+        F.split(F.reverse(cand), ""),
+        lambda ch, i: F.when(
+            i % 2 == 0, F.ascii(ch) - 48
+        ).otherwise(
+            F.when((F.ascii(ch) - 48) * 2 > 9, (F.ascii(ch) - 48) * 2 - 9)
+            .otherwise((F.ascii(ch) - 48) * 2)))
+    s = F.aggregate(digits, F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x)
+    return (s % 10 == 0) & (s > 0)
+
+
+def card_report(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Per-document payment-card PII report with CHECKSUM-VALIDATED
+    redaction — the PCI-grade upgrade over pattern-only matching:
+
+      (doc_id, n_card_candidates, n_luhn_valid, text_redacted)
+
+    Only candidates that pass `luhn_valid` are redacted (to "<CARD>");
+    invalid 13-19 digit runs (order ids, hashes) are left intact, so the
+    stage never mangles non-PII numerics.  Redaction is ONE
+    \\b-anchored alternation regexp_replace built from the sorted valid
+    set — the boundary anchors make it position-unambiguous (a shorter
+    valid PAN cannot clip the inside of a longer digit run: the
+    character after 13 digits of a 16-digit run is a digit, so \\b
+    fails), and the single compiled regex keeps the pass O(text).
+    Zero shuffles, zero UDFs."""
+    cands = F.regexp_extract_all(F.col(text_col), F.lit(LUHN_CARD_RE), 0)
+    valid = F.array_sort(F.array_distinct(F.filter(cands, luhn_valid)))
+    red = F.when(
+        F.size(valid) > 0,
+        F.regexp_replace(
+            F.col(text_col),
+            F.concat(F.lit(r"\b("), F.concat_ws("|", valid), F.lit(r")\b")),
+            F.lit("<CARD>"))
+    ).otherwise(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.size(cands).cast("bigint").alias("n_card_candidates"),
+        F.size(valid).cast("bigint").alias("n_luhn_valid"),
+        red.alias("text_redacted"))

@@ -433,3 +433,51 @@ def rfm_scores(events: DataFrame, ts_col: str = "ts",
             .withColumn("rfm_code",
                         F.expr("r_band * 100 + f_band * 10 + m_band")
                         .cast("int")))
+
+
+def count_anomalies(events: DataFrame, ts_col: str = "ts",
+                    type_col: str = "event_type",
+                    trail_days: int = 7,
+                    threshold_pct: int = 300) -> DataFrame:
+    """Per-(event_type, day) volume-anomaly flags — the ingest/telemetry
+    monitoring rollup that catches crawler loops, log storms, and silent
+    feed drops before they poison a training snapshot:
+
+        (event_type, day, n, trail_n_days, trail_sum,
+         is_spike, is_drop)
+
+    spike: n · trail_n_days · 100 > threshold_pct · trail_sum
+    drop:  n · trail_n_days · threshold_pct < 100 · trail_sum
+    (n above/below threshold_pct% of the trailing mean, evaluated as an
+    exact integer cross-multiplication — no division, no floats).  The
+    trailing window is the previous `trail_days` OBSERVED days for that
+    type (rows-based; calendar gaps collapse — a day with zero events
+    emits no row, which the `is_drop` flag on the NEXT observed day then
+    exposes), and days with no history (trail_n_days = 0) flag neither.
+
+    Shape: one map-side-combining (type, day) aggregate collapses the
+    event stream to a |types|·|days|-bounded frame; the per-type ordered
+    window then runs over THAT — never over raw events — so the stage
+    costs one shuffle on a frame bounded by the calendar, not the
+    corpus.  `day` is emitted as an ISO string (portable across Spark
+    DATE and DuckDB)."""
+    per = (events
+           .select(F.col(type_col).alias("event_type"),
+                   F.date_format(F.col(ts_col).cast("timestamp"),
+                                 "yyyy-MM-dd").alias("day"))
+           .groupBy("event_type", "day")
+           .agg(F.count("*").cast("bigint").alias("n")))
+    w = (Window.partitionBy("event_type").orderBy("day")
+         .rowsBetween(-trail_days, -1))
+    return (per
+            .withColumn("trail_n_days",
+                        F.count("n").over(w).cast("bigint"))
+            .withColumn("trail_sum",
+                        F.coalesce(F.sum("n").over(w), F.lit(0))
+                        .cast("bigint"))
+            .withColumn("is_spike", F.expr(
+                f"trail_n_days > 0 AND "
+                f"n * trail_n_days * 100 > {threshold_pct} * trail_sum"))
+            .withColumn("is_drop", F.expr(
+                f"trail_n_days > 0 AND "
+                f"n * trail_n_days * {threshold_pct} < 100 * trail_sum")))

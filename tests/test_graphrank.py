@@ -1001,3 +1001,59 @@ def test_sssp_directed_respects_direction(spark):
     got = {r.node: r.dist for r in
            sssp_bellman_ford(e, seeds, rounds=2, directed=True).collect()}
     assert got == {"b": 0}       # no a<-b arc in directed mode
+
+
+class TestGreedyMatching:
+    def _edges(self, spark, rows):
+        return spark.createDataFrame(rows, "src string, dst string, weight bigint")
+
+    def test_path_mutual_best(self, spark):
+        from kg.graphrank import greedy_matching
+        # a-b (5), b-c (3): b's best is ab -> ab matched round 1; c starves
+        m = greedy_matching(self._edges(spark, [("a", "b", 5),
+                                                ("b", "c", 3)]),
+                            rounds=2).collect()
+        assert [(r.a, r.b, r.weight, r.round) for r in m] == [("a", "b", 5, 1)]
+
+    def test_chain_needs_second_round(self, spark):
+        from kg.graphrank import greedy_matching
+        # a-b(1), b-c(9), c-d(1): round1 matches bc; round2 ad? a-d not
+        # adjacent, so final matching = {bc} and a,d stay exposed but
+        # maximal (no surviving edge)
+        m = greedy_matching(self._edges(spark, [("a", "b", 1), ("b", "c", 9),
+                                                ("c", "d", 1)]),
+                            rounds=3).collect()
+        assert [(r.a, r.b, r.round) for r in m] == [("b", "c", 1)]
+
+    def test_two_rounds_accumulate(self, spark):
+        from kg.graphrank import greedy_matching
+        # path a-b(9), b-c(5), c-d(9), d-e(5): round1 -> ab and cd both
+        # mutual-best?  b best ab(9); c best cd(9); d best cd(9) -> ab, cd
+        m = sorted((r.a, r.b, r.round) for r in greedy_matching(
+            self._edges(spark, [("a", "b", 9), ("b", "c", 5), ("c", "d", 9),
+                                ("d", "e", 5)]), rounds=2).collect())
+        assert m == [("a", "b", 1), ("c", "d", 1)]
+
+    def test_valid_matching_and_maximal(self, spark):
+        from kg.graphrank import greedy_matching, tag_cooccurrence_edges
+        import itertools
+        edges = [(f"n{i}", f"n{j}", (i * 7 + j * 13) % 20 + 1)
+                 for i, j in itertools.combinations(range(9), 2)
+                 if (i + j) % 3]
+        e = self._edges(spark, edges)
+        m = greedy_matching(e, rounds=4).collect()
+        used = [x for r in m for x in (r.a, r.b)]
+        assert len(used) == len(set(used))  # no node matched twice
+        # maximality: every unmatched edge touches a matched node
+        matched = set(used)
+        for s, d, _ in edges:
+            assert s in matched or d in matched
+
+    def test_weight_tie_breaks_lexicographic(self, spark):
+        from kg.graphrank import greedy_matching
+        # star: center z, leaves a,b with equal weight -> (w DESC, a ASC,
+        # b ASC): both edges canonicalize to (a,z),(b,z); z's best = (a,z)
+        m = greedy_matching(self._edges(spark, [("z", "a", 5),
+                                                ("z", "b", 5)]),
+                            rounds=1).collect()
+        assert [(r.a, r.b) for r in m] == [("a", "z")]

@@ -73,3 +73,49 @@ def test_patterns_portable_to_duckdb(docs):
                 "SELECT regexp_replace(?, ?, ?, 'g')", [red, pat, rep]).fetchone()
         assert tuple(counts) == spark_out[doc_id], doc_id
         assert red == spark_red[doc_id], doc_id
+
+
+class TestLuhnCards:
+    def _report(self, spark, text):
+        from kg.pii import card_report
+        df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+        return card_report(df).collect()[0]
+
+    def test_valid_card_redacted(self, spark):
+        r = self._report(spark, "pay with 4111111111111111 now")
+        assert (r.n_card_candidates, r.n_luhn_valid) == (1, 1)
+        assert r.text_redacted == "pay with <CARD> now"
+
+    def test_luhn_invalid_left_intact(self, spark):
+        r = self._report(spark, "order id 4111111111111112 shipped")
+        assert (r.n_card_candidates, r.n_luhn_valid) == (1, 0)
+        assert r.text_redacted == "order id 4111111111111112 shipped"
+
+    def test_run_longer_than_19_no_candidate(self, spark):
+        r = self._report(spark, "hash 1234567890123456789012345 end")
+        assert r.n_card_candidates == 0
+        assert "1234567890123456789012345" in r.text_redacted
+
+    def test_known_test_numbers(self, spark):
+        # published Luhn-valid test PANs across lengths/brands
+        for pan in ("4012888888881881", "5555555555554444",
+                    "378282246310005", "6011111111111117",
+                    "4222222222222"):
+            r = self._report(spark, f"card {pan} ok")
+            assert r.n_luhn_valid == 1, pan
+            assert r.text_redacted == "card <CARD> ok"
+
+    def test_boundary_protects_longer_runs(self, spark):
+        # a valid 13-digit PAN also appears as the PREFIX of a 17-digit
+        # non-candidate-boundary run: \b anchors keep the long run whole
+        r = self._report(spark, "a 4222222222222 b 42222222222221111 c")
+        assert r.n_luhn_valid >= 1
+        assert "<CARD>" in r.text_redacted
+        assert "42222222222221111" in r.text_redacted or \
+            r.text_redacted.count("<CARD>") == 2  # only if 17-run is valid
+
+    def test_multiple_cards_one_pass(self, spark):
+        r = self._report(
+            spark, "4111111111111111 and 5555555555554444 and 12345")
+        assert (r.n_card_candidates, r.n_luhn_valid) == (2, 2)
+        assert r.text_redacted == "<CARD> and <CARD> and 12345"

@@ -411,3 +411,44 @@ def test_rfm_ties_fall_to_lower_band(spark):
     got = {r.user_id: (r.r_band, r.f_band, r.m_band, r.rfm_code)
            for r in rfm_scores(ev).collect()}
     assert got == {1: (1, 1, 1, 111), 2: (1, 1, 1, 111)}
+
+
+class TestCountAnomalies:
+    def _events(self, spark, rows):
+        return spark.createDataFrame(
+            [(i, f"2024-01-{d:02d} 00:00:{i % 60:02d}", t)
+             for i, (d, t) in enumerate(rows)],
+            "event_id bigint, ts string, event_type string"
+        ).selectExpr("event_id", "cast(ts as timestamp) ts", "event_type")
+
+    def test_spike_and_drop(self, spark):
+        from kg.relops import count_anomalies
+        # type A: 1/day on days 1-3, then 10 on day 4 (spike), 1 on day 5
+        rows = [(1, "A"), (2, "A"), (3, "A")] + [(4, "A")] * 10 + [(5, "A")]
+        out = {r.day: r for r in count_anomalies(
+            self._events(spark, rows), trail_days=3).collect()}
+        assert not out["2024-01-01"].is_spike  # no history
+        assert not out["2024-01-01"].is_drop
+        d4 = out["2024-01-04"]
+        assert (d4.n, d4.trail_n_days, d4.trail_sum) == (10, 3, 3)
+        assert d4.is_spike and not d4.is_drop
+        d5 = out["2024-01-05"]
+        # trailing mean (1+1+10)/3 = 4; 1*3*300 < 100*12 -> drop
+        assert (d5.n, d5.trail_sum) == (1, 12)
+        assert d5.is_drop and not d5.is_spike
+
+    def test_types_independent(self, spark):
+        from kg.relops import count_anomalies
+        rows = [(1, "A"), (1, "B"), (2, "A"), (2, "B"),
+                (3, "A")] + [(3, "B")] * 9
+        out = {(r.event_type, r.day): r for r in count_anomalies(
+            self._events(spark, rows), trail_days=7).collect()}
+        assert out[("B", "2024-01-03")].is_spike
+        assert not out[("A", "2024-01-03")].is_spike
+
+    def test_flat_series_never_flags(self, spark):
+        from kg.relops import count_anomalies
+        rows = [(d, "A") for d in range(1, 11) for _ in range(5)]
+        flags = count_anomalies(self._events(spark, rows)).filter(
+            "is_spike OR is_drop").count()
+        assert flags == 0

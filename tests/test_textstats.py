@@ -215,3 +215,33 @@ def test_hapax_profile_sorted_neighbor_counting(spark):
     assert got == {0: (4, 3, 2, 750000, 500000),
                    1: (1, 1, 1, 1000000, 1000000),
                    2: (3, 1, 0, 333333, 0)}
+
+
+class TestReadability:
+    def test_hand_computed(self, spark):
+        from kg.textstats import readability_scores
+        # "the cat sat on the mat. it was flat!"  chars[A-Za-z0-9]=26,
+        # words=9, sentences=2 (terminator runs "." and "!")
+        df = spark.createDataFrame(
+            [(1, "the cat sat on the mat. it was flat!")],
+            "doc_id bigint, text string")
+        r = readability_scores(df).collect()[0]
+        assert (r.n_chars_an, r.n_words, r.n_sentences) == (26, 9, 2)
+        # ARI: 4710000*26 div 9 + 500000*9 div 2 - 21430000
+        assert r.ari_micro == 4710000 * 26 // 9 + 500000 * 9 // 2 - 21430000
+        # CLI: 5880000*26 div 9 - 29600000*2 div 9 - 15800000
+        assert r.cli_micro == (5880000 * 26 // 9
+                               - 29600000 * 2 // 9 - 15800000)
+
+    def test_punctuation_free_floors_sentences_at_one(self, spark):
+        from kg.textstats import readability_scores
+        df = spark.createDataFrame([(1, "alpha beta gamma")],
+                                   "doc_id bigint, text string")
+        r = readability_scores(df).collect()[0]
+        assert r.n_sentences == 1 and r.n_words == 3
+
+    def test_terminator_runs_count_once(self, spark):
+        from kg.textstats import readability_scores
+        df = spark.createDataFrame([(1, "wow!!! really?! yes.")],
+                                   "doc_id bigint, text string")
+        assert readability_scores(df).collect()[0].n_sentences == 3

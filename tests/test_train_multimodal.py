@@ -314,3 +314,53 @@ def test_bpe_encode_zero_shuffle_plan(spark):
     plan = bpe_encode(docs, [("a", "b")])._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestWavAudio:
+    def test_round_trip_meta(self):
+        from kg.multimodal import wav_bytes, wav_meta, wav_sample
+        p = wav_bytes(7, 16000, 2, 5)
+        rate, ch, bits, fr, dur, mean_abs = wav_meta(p)
+        assert (rate, ch, bits, fr) == (16000, 2, 16, 5)
+        assert dur == 5 * 1000 // 16000
+        samples = [wav_sample(7, i) for i in range(10)]
+        assert mean_abs == sum(abs(s) for s in samples) // 10
+
+    def test_junk_chunk_walked_and_order_tolerant(self):
+        import struct
+        from kg.multimodal import wav_bytes, wav_meta
+        p = wav_bytes(3, 8000, 1, 4)
+        # inject another unknown chunk (odd size exercises pad byte)
+        extra = b"LIST" + struct.pack("<I", 3) + b"abc\x00"
+        body = p[12:]
+        p2 = b"RIFF" + struct.pack("<I", 4 + len(extra) + len(body)) + \
+            b"WAVE" + extra + body
+        assert wav_meta(p2)[:4] == wav_meta(p)[:4]
+
+    def test_malformed_raises_and_features_emit_minus_one(self, spark):
+        import pytest as _pytest
+        from kg.multimodal import extract_audio_features, wav_bytes, wav_meta
+        for bad in (b"", b"RIFFxxxx", b"RIFF\x00\x00\x00\x00WAVE",
+                    wav_bytes(1, 8000, 1, 4)[:-3]):
+            with _pytest.raises(ValueError):
+                wav_meta(bad)
+        df = spark.createDataFrame(
+            [(1, "audio", "wav", bytearray(wav_bytes(1, 8000, 1, 4))),
+             (2, "audio", "wav", bytearray(b"not a wav")),
+             (3, "image", "png", bytearray(b"skip me"))],
+            "media_id bigint, kind string, format string, payload binary")
+        out = {r.media_id: r for r in extract_audio_features(df).collect()}
+        assert set(out) == {1, 2}
+        assert out[1].sample_rate == 8000 and out[1].n_frames == 4
+        assert out[2].sample_rate == -1 and out[2].mean_abs == -1
+
+    def test_non_16bit_mean_abs_minus_one(self):
+        import struct
+        from kg.multimodal import wav_meta
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+        data = b"\x80\x81\x7f\x00"
+        body = (b"fmt " + struct.pack("<I", 16) + fmt
+                + b"data" + struct.pack("<I", 4) + data)
+        p = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+        rate, ch, bits, fr, dur, mean_abs = wav_meta(p)
+        assert (bits, fr, mean_abs) == (8, 4, -1)

@@ -4017,4 +4017,155 @@ def build_oracle_sql() -> dict[str, str]:
                CAST(sum(c) AS BIGINT) AS score_milli
         FROM per GROUP BY 1"""
 
+    # ARI + Coleman-Liau readability (kg.textstats.readability_scores):
+    # both formulas purely arithmetic in (chars, words, sentences),
+    # integer micro-units, every division a truncating div.
+    sqls["text_readability"] = """
+        WITH m AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '[A-Za-z0-9]'))
+                      AS BIGINT) AS n_chars_an,
+                 CAST(greatest(len(regexp_split_to_array(trim(text),
+                                                         ' +')), 1)
+                      AS BIGINT) AS n_words,
+                 CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                      AS BIGINT) AS n_sentences
+          FROM documents WHERE lang = 'en')
+        SELECT doc_id, n_chars_an, n_words, n_sentences,
+               CAST(4710000 * n_chars_an // n_words
+                    + 500000 * n_words // n_sentences
+                    - 21430000 AS BIGINT) AS ari_micro,
+               CAST(5880000 * n_chars_an // n_words
+                    - 29600000 * n_sentences // n_words
+                    - 15800000 AS BIGINT) AS cli_micro
+        FROM m"""
+
+    # Luhn-validated payment-card PII (kg.pii.card_report): the mod-10
+    # checksum replayed per candidate over the reversed digit string;
+    # redaction = ONE \b-anchored alternation regexp_replace ('g' flag —
+    # DuckDB replaces only the first match by default, Spark replaces
+    # all).  The deterministic 13-digit run appended per doc mirrors the
+    # Spark wrapper exactly.
+    _luhn_sum = ("list_sum(list_transform(range(1, length(x) + 1), i -> "
+                 "CASE WHEN (i - 1) % 2 = 0 "
+                 "THEN ascii(substring(reverse(x), i, 1)) - 48 "
+                 "WHEN (ascii(substring(reverse(x), i, 1)) - 48) * 2 > 9 "
+                 "THEN (ascii(substring(reverse(x), i, 1)) - 48) * 2 - 9 "
+                 "ELSE (ascii(substring(reverse(x), i, 1)) - 48) * 2 "
+                 "END))")
+    sqls["text_pii_luhn"] = f"""
+        WITH t AS (
+          SELECT doc_id,
+                 concat(text, ' ',
+                        lpad(CAST(doc_id * doc_id + 41 AS VARCHAR),
+                             13, '1')) AS text
+          FROM documents WHERE lang = 'en'),
+        c AS (SELECT doc_id, text,
+                     regexp_extract_all(text,
+                       '\\b\\d{{13,19}}\\b') AS cands
+              FROM t),
+        v AS (SELECT doc_id, text, cands,
+                     list_sort(list_distinct(list_filter(cands, x ->
+                       ({_luhn_sum}) % 10 = 0
+                       AND ({_luhn_sum}) > 0))) AS valid
+              FROM c)
+        SELECT doc_id,
+               CAST(len(cands) AS BIGINT) AS n_card_candidates,
+               CAST(len(valid) AS BIGINT) AS n_luhn_valid,
+               md5(CASE WHEN len(valid) > 0
+                   THEN regexp_replace(text,
+                          concat('\\b(', array_to_string(valid, '|'),
+                                 ')\\b'),
+                          '<CARD>', 'g')
+                   ELSE text END) AS red_md5
+        FROM v"""
+
+    # per-(type, day) volume anomalies (kg.relops.count_anomalies,
+    # trail_days=7, threshold_pct=300): trailing window over OBSERVED
+    # days, spike/drop via exact integer cross-multiplication.
+    sqls["rel_events_anomaly"] = """
+        WITH per AS (
+          SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2),
+        w AS (
+          SELECT event_type, day, n,
+                 CAST(count(n) OVER tw AS BIGINT) AS trail_n_days,
+                 CAST(coalesce(sum(n) OVER tw, 0) AS BIGINT) AS trail_sum
+          FROM per
+          WINDOW tw AS (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        SELECT event_type, day, n, trail_n_days, trail_sum,
+               (trail_n_days > 0
+                AND n * trail_n_days * 100 > 300 * trail_sum) AS is_spike,
+               (trail_n_days > 0
+                AND n * trail_n_days * 300 < 100 * trail_sum) AS is_drop
+        FROM w"""
+
+    # WAV audio decode (kg.multimodal.wav_meta over wav_bytes fixtures):
+    # every cell is arithmetic in vec_id — rate/channels/frames from the
+    # generator moduli, file size = 56 + 2·n_samples (RIFF hdr 12 + fmt
+    # 24 + JUNK 12 + data hdr 8), mean_abs replays the published
+    # wav_sample formula ((id·31 + j·7) % 2001 − 1000) exactly.
+    sqls["multimodal_audio"] = """
+        WITH p AS (
+          SELECT vec_id,
+                 CASE vec_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                      ELSE 44100 END AS rate,
+                 1 + vec_id % 2 AS ch, 8 + vec_id % 5 AS frames
+          FROM embeddings),
+        q AS (SELECT vec_id, rate, ch, frames, frames * ch AS ns FROM p)
+        SELECT vec_id AS media_id,
+               CAST(rate AS INT) AS sample_rate,
+               CAST(ch AS INT) AS n_channels,
+               CAST(16 AS INT) AS bits,
+               CAST(frames AS BIGINT) AS n_frames,
+               CAST(frames * 1000 // rate AS BIGINT) AS duration_ms,
+               CAST(list_sum(list_transform(range(0, ns), j ->
+                    abs((vec_id * 31 + j * 7) % 2001 - 1000))) // ns
+                    AS BIGINT) AS mean_abs,
+               CAST(56 + 2 * ns AS BIGINT) AS n_bytes
+        FROM q"""
+
+    # greedy maximal matching (kg.graphrank.greedy_matching, 2 rounds)
+    # over the WEIGHTED strong-tie subgraph: per round each node's best
+    # incident edge under (w DESC, a, b) via row_number, matched =
+    # mutual best, matched nodes leave.  Every chain CTE referenced
+    # more than once is MATERIALIZED (the kcore multiplicative-
+    # re-expansion trap).
+    def _matching_round(r: int) -> str:
+        return f"""
+        inc{r} AS (SELECT a AS n, a, b, w FROM fm{r - 1}
+                   UNION ALL SELECT b, a, b, w FROM fm{r - 1}),
+        best{r} AS MATERIALIZED (
+          SELECT n, a, b FROM (
+            SELECT n, a, b, row_number() OVER (
+              PARTITION BY n ORDER BY w DESC, a, b) AS rn FROM inc{r})
+          WHERE rn = 1),
+        m{r} AS MATERIALIZED (
+          SELECT e.a, e.b, e.w FROM fm{r - 1} e
+          JOIN best{r} ba ON ba.n = e.a AND ba.a = e.a AND ba.b = e.b
+          JOIN best{r} bb ON bb.n = e.b AND bb.a = e.a AND bb.b = e.b),
+        mn{r} AS MATERIALIZED (
+          SELECT a AS n FROM m{r} UNION SELECT b FROM m{r}),
+        fm{r} AS MATERIALIZED (
+          SELECT * FROM fm{r - 1}
+          WHERE a NOT IN (SELECT n FROM mn{r})
+            AND b NOT IN (SELECT n FROM mn{r}))"""
+
+    sqls["kg_tag_matching"] = f"""
+        WITH {_kept_sql},
+        {_cooccur_sql},
+        ndm AS (SELECT count(DISTINCT doc_id) AS n FROM kept),
+        fm0 AS MATERIALIZED (
+          SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+                 CAST(max(w) AS BIGINT) AS w
+          FROM edges CROSS JOIN ndm
+          WHERE src <> dst AND w * 100 >= 63 * n
+          GROUP BY 1, 2),
+        {_matching_round(1)},
+        {_matching_round(2)}
+        SELECT a, b, w AS weight, 1 AS round FROM m1
+        UNION ALL SELECT a, b, w, 2 FROM m2"""
+
     return sqls
