@@ -2160,6 +2160,30 @@ def q_kg_tag_matching(spark, sf_dir):
     return greedy_matching(strong, rounds=2)
 
 
+def q_ann_silhouette(spark, sf_dir):
+    """Simplified-silhouette audit of the kmeans_fit model
+    (kg.similarity.kmeans_silhouette): per-cluster mean/min of
+    (b−a)·1e6 div b over squared integer distances to the own vs
+    next-nearest centroid — the is-k-right diagnostic before a
+    clustering ships as an IVF index or SemDeDup partition.  One
+    zero-shuffle distance map (shared kernel string with the
+    assignment) + one k-row aggregate."""
+    from kg.similarity import kmeans_silhouette
+    return kmeans_silhouette(_read("embeddings")(spark, sf_dir),
+                             n_clusters=4, rounds=2)
+
+
+def q_corpus_budget_rates(spark, sf_dir):
+    """Token-budget water-filling (kg.sampling.budget_rates): the
+    per-domain keep-rate DESIGN step — 60% corpus-token budget split
+    equally across sources, capped proportional allocation with 2
+    deterministic redistribution rounds; small domains cap at 1e6,
+    leftover flows to large ones."""
+    from kg.sampling import budget_rates
+    return budget_rates(_docs(spark, sf_dir), budget_ppm=600_000,
+                        domain_col="source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # WINDOW-ROTATION RULE (STATUS.md §rotation): the driver's CORRECTNESS
     # artifact covers roughly the FIRST 50 registered queries per round, so
@@ -2243,8 +2267,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_events_distinct_kmv": q_rel_events_distinct_kmv,
         "kg_tag_conductance": q_kg_tag_conductance,
         "kg_tag_ktruss": q_kg_tag_ktruss,
-        "rel_events_transitions": q_rel_events_transitions,
-        "corpus_growth": q_corpus_growth,
         "rel_events_rfm": q_rel_events_rfm,
         # --- r4 session-11 additions (rotated into the window); one
         # demotion each — see the demoted block -------------------------
@@ -2253,6 +2275,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_events_anomaly": q_rel_events_anomaly,
         "multimodal_audio": q_multimodal_audio,
         "kg_tag_matching": q_kg_tag_matching,
+        "ann_silhouette": q_ann_silhouette,
+        "corpus_budget_rates": q_corpus_budget_rates,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also
@@ -2283,6 +2307,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # integer loops keep in-window rows); path-fixture pytests pin the
         # distance semantics
         "kg_tag_sssp": q_kg_tag_sssp,
+        # rel_events_transitions — lead()-window under the funnel family's
+        # (ts, event_id) tie-break, which in-window rel_events_funnel
+        # re-exercises on the same events table; hand-computed matrix +
+        # no-cross-user pytests pin the normalize
+        "rel_events_transitions": q_rel_events_transitions,
+        # corpus_growth — the naive-global-window oracle IS the spec its
+        # bucketed two-level prefix sum must land on, and that equivalence
+        # is pinned by the cross-bucket hand-value pytest; the histogram/
+        # cumulative-window shape keeps in-window coverage via
+        # corpus_quality_strata
+        "corpus_growth": q_corpus_growth,
         "dedup_exact": q_dedup_exact,
         # demoted for corpus_overlap_kmv (session 9): its oracle's entire
         # _kn_body CTE chain ships verbatim inside in-window

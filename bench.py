@@ -125,6 +125,8 @@ HEADLINE = [
     "rel_events_anomaly",    # trailing-window volume spike/drop flags
     "multimodal_audio",      # RIFF/WAVE chunk-walk decode, mapInPandas
     "kg_tag_matching",       # 2-round mutual-best maximal matching
+    "ann_silhouette",        # simplified-silhouette k-means audit
+    "corpus_budget_rates",   # token-budget water-filling rate design
 ]
 
 

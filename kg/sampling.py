@@ -443,3 +443,71 @@ def contrastive_triplets(docs: DataFrame, pairs: DataFrame,
         F.when(ok1, F.col("neg1"))
         .when(ok2, F.col("neg2")).alias("negative"))
         .filter(F.col("negative").isNotNull()))
+
+
+def budget_rates(df: DataFrame, budget_ppm: int = 600_000,
+                 domain_col: str = "source", text_col: str = "text",
+                 rounds: int = 2) -> DataFrame:
+    """Token-budget WATER-FILLING: compute the per-domain keep rates
+    that hit a corpus-level token budget under equal target mixture
+    weights — the rate-DESIGN step upstream of domain_mixture /
+    temperature_mixture (those APPLY given rates; this derives them
+    from a budget, the way published pretraining mixes are specified as
+    "X tokens total, balanced across sources"):
+
+        (domain, n_tokens, weight, rate_micro, alloc_tokens, capped)
+
+    budget = Σ n_tokens · budget_ppm div 1e6 (scale-relative, so the
+    same query is meaningful at every corpus size).  Classic capped
+    proportional allocation, `rounds` deterministic redistribution
+    passes: each round splits the remaining budget over uncapped
+    domains in proportion to weight; a domain whose share covers ALL
+    its tokens caps at rate 1e6 and its leftover re-enters the pool
+    next round (small domains cap first, big domains absorb the
+    remainder — the water level rising).  All arithmetic integer;
+    rate_micro's alloc·1e6 product runs in DECIMAL(38,0)/HUGEINT
+    (corpus-scale token counts overflow the BIGINT multiply — the
+    assortativity precedent).
+
+    Scale shape: ONE map-side-combining domain aggregate collapses the
+    corpus; every round after that runs on the |domains|-row frame ×
+    one broadcast scalar row — nothing downstream of the first
+    aggregate scales with corpus size."""
+    from kg.textstats import tokens_col
+    per = (df.groupBy(F.col(domain_col).alias("domain"))
+           .agg(F.sum(F.size(tokens_col(text_col))).cast("bigint")
+                .alias("n_tokens"))
+           .withColumn("weight", F.lit(1).cast("bigint"))
+           .localCheckpoint())
+    budget = per.agg(F.expr(
+        f"coalesce(sum(n_tokens), 0) * {budget_ppm} div 1000000")
+        .cast("bigint").alias("budget"))
+    state = (per.crossJoin(F.broadcast(budget))
+             .withColumn("capped", F.lit(False))
+             .withColumn("alloc", F.lit(0).cast("bigint")))
+    for _ in range(rounds):
+        caps = state.agg(
+            F.coalesce(F.sum(F.when(F.col("capped"), F.col("n_tokens"))),
+                       F.lit(0)).cast("bigint").alias("cap_tok"),
+            F.coalesce(F.sum(F.when(~F.col("capped"), F.col("weight"))),
+                       F.lit(0)).cast("bigint").alias("wu"))
+        state = (state.crossJoin(F.broadcast(caps))
+                 .withColumn("alloc", F.expr(
+                     "case when capped then n_tokens "
+                     "when wu > 0 then "
+                     "greatest(budget - cap_tok, 0) * weight div wu "
+                     "else cast(0 as bigint) end").cast("bigint"))
+                 .withColumn("capped",
+                             F.col("capped")
+                             | (F.col("alloc") >= F.col("n_tokens")))
+                 .select("domain", "n_tokens", "weight", "budget",
+                         "capped", "alloc")
+                 .localCheckpoint())
+    return state.select(
+        "domain", "n_tokens", "weight",
+        F.expr("case when capped then cast(1000000 as bigint) else "
+               "cast(cast(alloc as decimal(38,0)) * 1000000 "
+               "div greatest(n_tokens, 1) as bigint) end")
+        .alias("rate_micro"),
+        F.least("alloc", "n_tokens").cast("bigint").alias("alloc_tokens"),
+        "capped")

@@ -803,21 +803,39 @@ def kmeans_fit(emb: DataFrame, n_clusters: int = 4, rounds: int = 2,
     # iv feeds the anchor scan + every round's assignment/update — cut
     # the lineage once (rule 7)
     iv = iv.localCheckpoint()
+    cents = _kmeans_centroids(iv, n_clusters, rounds)
+    return (iv.withColumn("cluster", _km_assign_expr(cents))
+            .select("vec_id", "cluster"))
+
+
+def _km_dist_arr_sql(cents: list) -> str:
+    """SQL for the ASCENDING-sorted array of (d², cid) structs against
+    the inlined centroid literals — the shared distance kernel of
+    kmeans_fit's argmin assignment and kmeans_silhouette's two-nearest
+    read (one string so the two can never disagree)."""
+    cids = [c for c, _ in cents]
+    vecs = [v for _, v in cents]
+    sqd = _SQD.format(v="v", w="cv")
+    return (f"array_sort(zip_with({_lit2_sql(vecs)}, "
+            f"{_lit1_sql(cids)}, (cv, ci) -> "
+            f"struct({sqd} AS d, ci AS cid)))")
+
+
+def _km_assign_expr(cents: list) -> Column:
+    return F.expr(f"element_at({_km_dist_arr_sql(cents)}, 1).cid")
+
+
+def _kmeans_centroids(iv, n_clusters: int, rounds: int) -> list:
+    """The kmeans_fit centroid loop (md5-anchor init, integer-micro
+    assign/update rounds) factored out so silhouette/diagnostic
+    operators fit the SAME model the assignment query uses.  Returns
+    the sorted [(cluster_id, centroid_micro_vec)] model list (driver-
+    sized: k·d ints)."""
     anchors = (iv.withColumn("_h", F.md5(F.col("vec_id").cast("string")))
                .orderBy("_h").limit(n_clusters).collect())
     cents = sorted((r["vec_id"], list(r["v"])) for r in anchors)
-
-    def assign_expr(cents):
-        cids = [c for c, _ in cents]
-        vecs = [v for _, v in cents]
-        sqd = _SQD.format(v="v", w="cv")
-        return F.expr(
-            f"element_at(array_sort(zip_with({_lit2_sql(vecs)}, "
-            f"{_lit1_sql(cids)}, (cv, ci) -> "
-            f"struct({sqd} AS d, ci AS cid))), 1).cid")
-
     for _ in range(rounds):
-        assigned = iv.withColumn("cluster", assign_expr(cents))
+        assigned = iv.withColumn("cluster", _km_assign_expr(cents))
         upd = (assigned.select("cluster", F.posexplode("v")
                                .alias("pos", "val"))
                .groupBy("cluster", "pos")
@@ -829,8 +847,54 @@ def kmeans_fit(emb: DataFrame, n_clusters: int = 4, rounds: int = 2,
             by_c.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
         cents = sorted((c, [d[p] for p in sorted(d)]) for c, d in
                        by_c.items())
-    return (iv.withColumn("cluster", assign_expr(cents))
-            .select("vec_id", "cluster"))
+    return cents
+
+
+def kmeans_silhouette(emb: DataFrame, n_clusters: int = 4,
+                      rounds: int = 2, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Per-cluster SIMPLIFIED-silhouette quality audit of the
+    kmeans_fit model — the centroid-based silhouette (a(i)/b(i) taken
+    to the own/next-nearest CENTROID instead of all points, the
+    published O(n·k) simplification of Rousseeuw 1987's O(n²)
+    silhouette; the standard "is k right / which clusters are mush"
+    diagnostic before a clustering ships as an IVF index or SemDeDup
+    partition):
+
+        (cluster, n_members, mean_sil_micro, min_sil_micro)
+
+        s(i) = (b − a) · 1e6 div b   over SQUARED integer distances,
+               a = d²(i, own centroid) ≤ b = d²(i, 2nd centroid)
+
+    Squared distances keep every step exact-integer/engine-portable
+    (no roots); squaring is monotone, so the sign and the
+    which-cluster-is-weak ORDERING are the classic silhouette's, only
+    the absolute scale differs (documented contract).  b = 0 (duplicate
+    centroids) scores 0.  The (b−a)·1e6 product is evaluated in
+    DECIMAL(38,0)/HUGEINT — d² reaches ~2.6e14 at 64 dims, so the
+    BIGINT multiply would overflow (the assortativity precedent).
+
+    Scale shape: ONE zero-shuffle narrow map (centroids ride inlined as
+    one SQL literal — the kmeans_fit assign kernel, shared string) +
+    ONE k-row aggregate; the fit itself reaches the driver only as the
+    k·d model."""
+    iv = (emb.select(F.col(id_col).alias("vec_id"),
+                     _micro_vec(F.col(vec_col)).alias("v"))
+          .localCheckpoint())
+    cents = _kmeans_centroids(iv, n_clusters, rounds)
+    arr = _km_dist_arr_sql(cents)
+    per = iv.select(
+        F.expr(f"element_at({arr}, 1).cid").alias("cluster"),
+        F.expr(f"element_at({arr}, 1).d").alias("_a"),
+        F.expr(f"coalesce(try_element_at({arr}, 2).d, 0)").alias("_b"))
+    s = ("CASE WHEN _b > 0 THEN cast(cast(_b - _a as decimal(38,0)) "
+         "* 1000000 div _b as bigint) ELSE 0 END")
+    return (per.withColumn("_s", F.expr(s))
+            .groupBy("cluster")
+            .agg(F.count("*").cast("bigint").alias("n_members"),
+                 F.expr("sum(_s) div count(*)").cast("bigint")
+                 .alias("mean_sil_micro"),
+                 F.min("_s").cast("bigint").alias("min_sil_micro")))
 
 
 def _min_center_struct(cents: list) -> Column:

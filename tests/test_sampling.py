@@ -336,3 +336,45 @@ def test_contrastive_triplets_no_pairs_no_rows(spark):
     from kg.sampling import contrastive_triplets
     empty = spark.createDataFrame([], "id_a long, id_b long")
     assert contrastive_triplets(_ids(spark, 5), empty).count() == 0
+
+
+class TestBudgetRates:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(
+            [(i, src, " ".join(["w"] * n)) for i, (src, n) in
+             enumerate(rows)],
+            "doc_id bigint, source string, text string")
+
+    def test_hand_water_fill(self, spark):
+        from kg.sampling import budget_rates
+        # A: 100 tokens, B: 10 tokens, budget 50% = 55.
+        # round 1: share 27 each -> B caps (27 >= 10); round 2: leftover
+        # 45 all to A -> rate_A = 450000, alloc 45; B rate 1e6, alloc 10
+        docs = self._docs(spark, [("A", 100), ("B", 10)])
+        out = {r.domain: r for r in budget_rates(
+            docs, budget_ppm=500_000).collect()}
+        assert (out["B"].rate_micro, out["B"].alloc_tokens,
+                out["B"].capped) == (1_000_000, 10, True)
+        assert (out["A"].rate_micro, out["A"].alloc_tokens,
+                out["A"].capped) == (450_000, 45, False)
+        assert sum(r.alloc_tokens for r in out.values()) == 55
+
+    def test_full_budget_caps_everyone(self, spark):
+        from kg.sampling import budget_rates
+        docs = self._docs(spark, [("A", 7), ("B", 3), ("C", 12)])
+        out = budget_rates(docs, budget_ppm=1_000_000).collect()
+        assert all(r.capped and r.rate_micro == 1_000_000 for r in out)
+        assert sum(r.alloc_tokens for r in out) == 22
+
+    def test_empty_corpus(self, spark):
+        from kg.sampling import budget_rates
+        docs = self._docs(spark, []).limit(0)
+        assert budget_rates(docs).count() == 0
+
+    def test_equal_domains_split_evenly(self, spark):
+        from kg.sampling import budget_rates
+        docs = self._docs(spark, [("A", 50), ("B", 50)])
+        out = {r.domain: r for r in budget_rates(
+            docs, budget_ppm=400_000).collect()}
+        assert out["A"].alloc_tokens == out["B"].alloc_tokens == 20
+        assert out["A"].rate_micro == 400_000

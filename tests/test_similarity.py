@@ -492,3 +492,53 @@ def test_kmeans_fit_negative_mean_truncation(spark):
     got = {r["vec_id"]: r["cluster"]
            for r in kmeans_fit(df, n_clusters=2, rounds=2).collect()}
     assert got == _py_kmeans(vecs, 2, 2)
+
+
+class TestKmeansSilhouette:
+    def _emb(self, spark, rows):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in rows],
+            "vec_id bigint, embedding array<float>")
+
+    def test_separated_clusters_score_high(self, spark):
+        from kg.similarity import kmeans_silhouette
+        # md5 order of ids 0..11 starts (6, 9, ...): put the two anchor
+        # ids on OPPOSITE sides so the md5-anchor init straddles the gap
+        # (both-anchors-one-side can legitimately collapse to k=1 — the
+        # vanishing-cluster contract kmeans_fit documents)
+        side = lambda i: 1.0 if (i // 3) % 2 == 0 else -1.0  # 6->+, 9->-
+        rows = [(i, [side(i) * (1.0 + i * 0.001), 0.0]) for i in range(12)]
+        out = kmeans_silhouette(self._emb(spark, rows), n_clusters=2,
+                                rounds=2).collect()
+        assert len(out) == 2
+        for r in out:
+            assert r.mean_sil_micro > 900_000
+            assert r.n_members == 6
+
+    def test_hand_computed_two_points(self, spark):
+        from kg.similarity import kmeans_fit, kmeans_silhouette
+        # 2 points, k=2 -> each is its own centroid: a=0, b>0 -> s=1e6
+        rows = [(1, [1.0, 0.0]), (2, [0.0, 1.0])]
+        out = kmeans_silhouette(self._emb(spark, rows), n_clusters=2,
+                                rounds=1).collect()
+        assert sorted((r.n_members, r.mean_sil_micro) for r in out) == \
+            [(1, 1_000_000), (1, 1_000_000)]
+
+    def test_k1_scores_zero(self, spark):
+        from kg.similarity import kmeans_silhouette
+        rows = [(i, [float(i), 0.0]) for i in range(5)]
+        out = kmeans_silhouette(self._emb(spark, rows), n_clusters=1,
+                                rounds=1).collect()
+        assert len(out) == 1 and out[0].mean_sil_micro == 0
+
+    def test_members_match_kmeans_fit(self, spark):
+        from kg.similarity import kmeans_fit, kmeans_silhouette
+        rows = [(i, [float((i * 7) % 5), float((i * 3) % 4)])
+                for i in range(20)]
+        emb = self._emb(spark, rows)
+        fit = {r.cluster: 0 for r in kmeans_fit(emb, 3, 2).collect()}
+        for r in kmeans_fit(emb, 3, 2).collect():
+            fit[r.cluster] += 1
+        sil = {r.cluster: r.n_members
+               for r in kmeans_silhouette(emb, 3, 2).collect()}
+        assert sil == fit

@@ -2894,6 +2894,89 @@ def build_oracle_sql() -> dict[str, str]:
                           + _km_assign("3", "c2") + """
         SELECT vec_id, cluster FROM a3""")
 
+    # simplified silhouette of the SAME kmeans model (shared _km round
+    # chain): per vector the two nearest final centroids (row_number
+    # under the (d2, cluster) tie-break — the assign kernel's order),
+    # s = (b-a)*1e6 // b over squared integer distances (HUGEINT: d2
+    # reaches ~2.6e14 at 64 dims, the BIGINT multiply overflows).
+    sqls["ann_silhouette"] = (_km + ","
+                              + _km_assign("1", "c0") + ","
+                              + _km_update("1", "a1") + ","
+                              + _km_assign("2", "c1") + ","
+                              + _km_update("2", "a2") + """,
+        d2s AS MATERIALIZED (
+          SELECT vec_id, cluster,
+                 CAST(sum((vv - cc) * (vv - cc)) AS BIGINT) AS d2
+          FROM (SELECT i.vec_id, c.cluster, unnest(i.v) AS vv,
+                       unnest(c.cent) AS cc
+                FROM iv i, c2 c)
+          GROUP BY 1, 2),
+        rk AS MATERIALIZED (
+          SELECT vec_id, cluster, d2, row_number() OVER (
+            PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+          FROM d2s),
+        ab AS (
+          SELECT r1.vec_id, r1.cluster, r1.d2 AS a,
+                 coalesce(r2.d2, 0) AS b
+          FROM rk r1 LEFT JOIN rk r2
+            ON r2.vec_id = r1.vec_id AND r2.rn = 2
+          WHERE r1.rn = 1),
+        sil AS (
+          SELECT cluster,
+                 CASE WHEN b > 0 THEN CAST(CAST(b - a AS HUGEINT)
+                      * 1000000 // b AS BIGINT)
+                      ELSE CAST(0 AS BIGINT) END AS s
+          FROM ab)
+        SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
+               CAST(CAST(sum(s) AS BIGINT) // CAST(count(*) AS BIGINT)
+                    AS BIGINT) AS mean_sil_micro,
+               CAST(min(s) AS BIGINT) AS min_sil_micro
+        FROM sil GROUP BY 1""")
+
+    # token-budget water-filling (kg.sampling.budget_rates, 60% budget,
+    # equal weights, 2 redistribution rounds): capped proportional
+    # allocation replayed round-for-round; rate's alloc*1e6 in HUGEINT.
+    def _wf_round(r: int) -> str:
+        return f"""
+        wc{r} AS (
+          SELECT coalesce(sum(CASE WHEN capped THEN n_tokens END), 0)
+                   AS cap_tok,
+                 coalesce(sum(CASE WHEN NOT capped THEN weight END), 0)
+                   AS wu
+          FROM ws{r - 1}),
+        ws{r} AS MATERIALIZED (
+          SELECT domain, n_tokens, weight,
+                 capped OR al >= n_tokens AS capped, al AS alloc
+          FROM (SELECT s.domain, s.n_tokens, s.weight, s.capped,
+                       CASE WHEN s.capped THEN s.n_tokens
+                            WHEN wc{r}.wu > 0 THEN
+                              greatest(wb.budget - wc{r}.cap_tok, 0)
+                              * s.weight // wc{r}.wu
+                            ELSE CAST(0 AS BIGINT) END AS al
+                FROM ws{r - 1} s, wc{r}, wb))"""
+
+    sqls["corpus_budget_rates"] = f"""
+        WITH per AS MATERIALIZED (
+          SELECT source AS domain,
+                 CAST(sum(len(regexp_split_to_array(trim(text), ' +')))
+                      AS BIGINT) AS n_tokens,
+                 CAST(1 AS BIGINT) AS weight
+          FROM documents WHERE lang = 'en' GROUP BY 1),
+        wb AS (SELECT coalesce(sum(n_tokens), 0) * 600000 // 1000000
+                 AS budget FROM per),
+        ws0 AS MATERIALIZED (
+          SELECT domain, n_tokens, weight, FALSE AS capped,
+                 CAST(0 AS BIGINT) AS alloc FROM per),
+        {_wf_round(1)},
+        {_wf_round(2)}
+        SELECT domain, n_tokens, weight,
+               CASE WHEN capped THEN CAST(1000000 AS BIGINT)
+                    ELSE CAST(CAST(alloc AS HUGEINT) * 1000000
+                         // greatest(n_tokens, 1) AS BIGINT)
+               END AS rate_micro,
+               least(alloc, n_tokens) AS alloc_tokens, capped
+        FROM ws2"""
+
     # CCNet bucketing: KN scoring (shared _kn_body), 0.01-bit bands,
     # exact nearest-rank tertiles over the bounded band histogram,
     # ties to the lower bucket
