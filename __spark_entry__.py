@@ -2160,6 +2160,16 @@ def q_kg_tag_matching(spark, sf_dir):
     return greedy_matching(strong, rounds=2)
 
 
+def q_kg_tag_eccentricity(spark, sf_dir):
+    """Pivot-sampled eccentricity + diameter lower bound
+    (kg.graphrank.pivot_eccentricity): 4 md5-chosen pivots over the
+    strong-tie graph, same keyed multi_bfs as closeness — max(ecc_lb)
+    bounds the KG diameter, small n_reached exposes fragmentation."""
+    from kg.graphrank import pivot_eccentricity
+    edges = _strong_tie_edges(spark, sf_dir)
+    return pivot_eccentricity(edges, n_pivots=4, max_depth=3)
+
+
 def q_ann_silhouette(spark, sf_dir):
     """Simplified-silhouette audit of the kmeans_fit model
     (kg.similarity.kmeans_silhouette): per-cluster mean/min of
@@ -2265,7 +2275,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "kg_tag_scc": q_kg_tag_scc,
         "rel_events_distinct_kmv": q_rel_events_distinct_kmv,
-        "kg_tag_conductance": q_kg_tag_conductance,
         "kg_tag_ktruss": q_kg_tag_ktruss,
         "rel_events_rfm": q_rel_events_rfm,
         # --- r4 session-11 additions (rotated into the window); one
@@ -2277,6 +2286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_tag_matching": q_kg_tag_matching,
         "ann_silhouette": q_ann_silhouette,
         "corpus_budget_rates": q_corpus_budget_rates,
+        "kg_tag_eccentricity": q_kg_tag_eccentricity,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also
@@ -2312,6 +2322,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # re-exercises on the same events table; hand-computed matrix +
         # no-cross-user pytests pin the normalize
         "rel_events_transitions": q_rel_events_transitions,
+        # kg_tag_conductance — its LPA partition round is the shared _lpa
+        # chain in-window kg_tag_refine replays over the same graph; the
+        # volume/cut aggregate is pinned by the two-cliques-with-bridge
+        # hand-value pytests (demoted for kg_tag_eccentricity)
+        "kg_tag_conductance": q_kg_tag_conductance,
         # corpus_growth — the naive-global-window oracle IS the spec its
         # bucketed two-level prefix sum must land on, and that equivalence
         # is pinned by the cross-bucket hand-value pytest; the histogram/

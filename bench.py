@@ -127,6 +127,7 @@ HEADLINE = [
     "kg_tag_matching",       # 2-round mutual-best maximal matching
     "ann_silhouette",        # simplified-silhouette k-means audit
     "corpus_budget_rates",   # token-budget water-filling rate design
+    "kg_tag_eccentricity",   # pivot eccentricity / diameter lower bound
 ]
 
 

@@ -1661,3 +1661,39 @@ def greedy_matching(edges: DataFrame, rounds: int = 3,
              .join(mn.withColumnRenamed("n", "b"), ["b"], "left_anti")
              .select("a", "b", "w").localCheckpoint())
     return matched.select("a", "b", F.col("w").alias("weight"), "round")
+
+
+def pivot_eccentricity(edges: DataFrame, n_pivots: int = 4,
+                       max_depth: int = 4, src_col: str = "src",
+                       dst_col: str = "dst") -> DataFrame:
+    """Pivot-sampled eccentricity + diameter lower bound — the
+    BFS-sample diameter estimator (the standard practical bound:
+    diameter ≥ max observed eccentricity, the multi-sweep
+    generalization of the double-sweep heuristic).  Pivots are the
+    `n_pivots` nodes with the smallest md5(node) (the pivot_closeness
+    convention — deterministic, no RNG); per pivot, one row:
+
+        (pivot, n_reached, ecc_lb)
+
+    ecc_lb = max BFS level reached within `max_depth` — the pivot's
+    eccentricity LOWER bound (exact when the component's true
+    eccentricity ≤ max_depth); max(ecc_lb) over rows is the graph's
+    diameter lower bound, and a pivot with small n_reached exposes a
+    fragmented component — the graph-health audit that catches a KG
+    shattered by over-aggressive dedup or tie thresholds.
+
+    Shape: ONE keyed multi_bfs (all pivots advance concurrently — the
+    round count never scales with pivot count) + one |pivots|-row
+    aggregate."""
+    edges = edges.select(src_col, dst_col).localCheckpoint()
+    nodes = (edges.select(F.col(src_col).alias("node"))
+             .union(edges.select(F.col(dst_col).alias("node")))
+             .distinct())
+    pivots = (nodes.orderBy(F.md5(F.col("node").cast("string")))
+              .limit(n_pivots)
+              .select(F.col("node").alias("pivot"), "node"))
+    levels = multi_bfs(edges, pivots, max_depth=max_depth,
+                       src_col=src_col, dst_col=dst_col)
+    return (levels.groupBy("pivot")
+            .agg((F.count("*") - 1).cast("bigint").alias("n_reached"),
+                 F.max("level").cast("bigint").alias("ecc_lb")))

@@ -229,7 +229,10 @@ def _png_decode(payload: bytes) -> tuple[int, int, bytes]:
 
 def image_dims(payload: bytes) -> tuple[int, int]:
     """(width, height) for any supported payload: fake, BMP (header),
-    PPM (header), PNG (IHDR — works without pixel data)."""
+    PPM (header), PNG (IHDR — works without pixel data), GIF
+    (logical-screen descriptor — the published GIF87a/89a header: LE
+    u16 width/height at offsets 6/8; pixel decode would need LZW, so
+    GIF stays dims-only like truncated PNG)."""
     if payload[:8] == _MAGIC:
         return struct.unpack(">II", payload[8:16])
     if payload[:2] == b"BM":
@@ -242,8 +245,10 @@ def image_dims(payload: bytes) -> tuple[int, int]:
         if payload[12:16] != b"IHDR":
             raise ValueError("PNG without leading IHDR chunk")
         return struct.unpack(">II", payload[16:24])
+    if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+        return struct.unpack("<HH", payload[6:10])
     raise NotImplementedError(
-        "unsupported image format (JPEG/GIF/... need an imaging library "
+        "unsupported image format (JPEG/... need an imaging library "
         "not present in this environment) — integration point: dispatch "
         "to PIL.Image.open here; the Spark plumbing does not change")
 

@@ -1057,3 +1057,35 @@ class TestGreedyMatching:
                                                 ("z", "b", 5)]),
                             rounds=1).collect()
         assert [(r.a, r.b) for r in m] == [("a", "z")]
+
+
+class TestPivotEccentricity:
+    def test_path_graph_hand_values(self, spark):
+        from kg.graphrank import pivot_eccentricity
+        # path a-b-c-d-e; every node a pivot (n_pivots=5): ecc(a)=4,
+        # ecc(b)=3, ecc(c)=2 at max_depth 4
+        e = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")],
+            "src string, dst string")
+        out = {r.pivot: (r.n_reached, r.ecc_lb) for r in
+               pivot_eccentricity(e, n_pivots=5, max_depth=4).collect()}
+        assert out["a"] == (4, 4) and out["e"] == (4, 4)
+        assert out["c"] == (4, 2)
+        assert max(v[1] for v in out.values()) == 4  # diameter LB
+
+    def test_depth_bound_truncates(self, spark):
+        from kg.graphrank import pivot_eccentricity
+        e = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")],
+            "src string, dst string")
+        out = {r.pivot: r.ecc_lb for r in
+               pivot_eccentricity(e, n_pivots=5, max_depth=2).collect()}
+        assert out["a"] == 2  # true ecc 4, bounded at depth
+
+    def test_disconnection_exposed(self, spark):
+        from kg.graphrank import pivot_eccentricity
+        e = spark.createDataFrame(
+            [("a", "b"), ("x", "y")], "src string, dst string")
+        out = {r.pivot: (r.n_reached, r.ecc_lb) for r in
+               pivot_eccentricity(e, n_pivots=4, max_depth=3).collect()}
+        assert all(v == (1, 1) for v in out.values())

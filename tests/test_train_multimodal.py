@@ -364,3 +364,18 @@ class TestWavAudio:
         p = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
         rate, ch, bits, fr, dur, mean_abs = wav_meta(p)
         assert (bits, fr, mean_abs) == (8, 4, -1)
+
+
+class TestGifDims:
+    def test_gif_header_dims(self):
+        import struct
+        from kg.multimodal import image_dims
+        for magic in (b"GIF87a", b"GIF89a"):
+            p = magic + struct.pack("<HH", 320, 200) + b"\x00" * 6
+            assert image_dims(p) == (320, 200)
+
+    def test_truncated_gif_unsupported(self):
+        import pytest as _pytest
+        from kg.multimodal import image_dims
+        with _pytest.raises(NotImplementedError):
+            image_dims(b"GIF89a")

@@ -1818,11 +1818,11 @@ def build_oracle_sql() -> dict[str, str]:
     # Pivot-sampled closeness: keyed multi-source BFS unrolled — all 4
     # pivots advance in the same round CTEs (keyed EXCEPT = the
     # per-pivot anti-join), then one per-node aggregate.
-    sqls["kg_tag_closeness"] = f"""
-        WITH {_kept_sql},
-        {_cooccur_sql},
-        {_strong_sql},
-        sym AS MATERIALIZED (SELECT a, b FROM f0
+    # keyed 4-pivot 3-round BFS chain over the strong-tie graph: ONE
+    # string, two users (closeness + eccentricity) — mirrors ONE
+    # kg.graphrank.multi_bfs call shape so the two oracles can never
+    # see different frontiers
+    _kbfs_sql = """sym AS MATERIALIZED (SELECT a, b FROM f0
                UNION SELECT b AS a, a AS b FROM f0),
         nds AS MATERIALIZED (SELECT DISTINCT a AS node FROM sym),
         pv AS MATERIALIZED (SELECT node AS pvt FROM nds
@@ -1853,11 +1853,30 @@ def build_oracle_sql() -> dict[str, str]:
           EXCEPT SELECT pvt, node FROM v2),
         v3 AS MATERIALIZED (SELECT * FROM v2
                  UNION ALL SELECT pvt, node, 3 FROM n3),
-        fr3 AS MATERIALIZED (SELECT pvt, node FROM n3)
+        fr3 AS MATERIALIZED (SELECT pvt, node FROM n3)"""
+
+    sqls["kg_tag_closeness"] = f"""
+        WITH {_kept_sql},
+        {_cooccur_sql},
+        {_strong_sql},
+        {_kbfs_sql}
         SELECT node, CAST(count(*) AS BIGINT) AS n_reached,
                CAST(sum(level) AS BIGINT) AS total_dist,
                CAST(sum(1000000 // level) AS BIGINT) AS harmonic_micro
         FROM v3 WHERE level >= 1 GROUP BY node"""
+
+    # pivot-sampled eccentricity / diameter lower bound
+    # (kg.graphrank.pivot_eccentricity): the same keyed BFS chain,
+    # aggregated per PIVOT instead of per node.
+    sqls["kg_tag_eccentricity"] = f"""
+        WITH {_kept_sql},
+        {_cooccur_sql},
+        {_strong_sql},
+        {_kbfs_sql}
+        SELECT pvt AS pivot,
+               CAST(count(*) - 1 AS BIGINT) AS n_reached,
+               CAST(max(level) AS BIGINT) AS ecc_lb
+        FROM v3 GROUP BY pvt"""
 
 
     sqls["dedup_boilerplate"] = f"""
