@@ -2194,6 +2194,32 @@ def q_corpus_budget_rates(spark, sf_dir):
                         domain_col="source")
 
 
+def q_text_entropy(spark, sf_dir):
+    """Token-distribution Shannon entropy profile
+    (kg.textstats.token_entropy): exact floor-log2 integer-bits
+    surrogate + top-type concentration share — the distributional
+    quality gate that catches keyword-stuffed or generated text whose
+    type-token ratio looks healthy.  Zero shuffles: multiplicities via
+    the hapax sorted-run trick, arrays bound once per row."""
+    from kg.textstats import token_entropy
+    return token_entropy(_docs(spark, sf_dir))
+
+
+def q_link_edit_pairs(spark, sf_dir):
+    """Levenshtein verification of the MinHash-LSH candidate pairs
+    (kg.link.edit_verify_pairs) on 120-char prefixes — the char-level
+    second-stage verify for fuzzy entity resolution / near-dup
+    confirmation; work pair-bounded, the distance a JVM built-in.  The
+    oracle re-embeds the LSH pair SQL verbatim and replays
+    levenshtein(substr(text, 1, 120)) cell-for-cell (semantics
+    verified identical across engines)."""
+    from kg.dedup import minhash_lsh_pairs
+    from kg.link import edit_verify_pairs
+    d = _docs(spark, sf_dir)
+    return edit_verify_pairs(d, minhash_lsh_pairs(d, k=16, bands=4, n=2),
+                             prefix=120)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # WINDOW-ROTATION RULE (STATUS.md §rotation): the driver's CORRECTNESS
     # artifact covers roughly the FIRST 50 registered queries per round, so
@@ -2279,14 +2305,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_events_rfm": q_rel_events_rfm,
         # --- r4 session-11 additions (rotated into the window); one
         # demotion each — see the demoted block -------------------------
-        "text_readability": q_text_readability,
         "text_pii_luhn": q_text_pii_luhn,
-        "rel_events_anomaly": q_rel_events_anomaly,
         "multimodal_audio": q_multimodal_audio,
         "kg_tag_matching": q_kg_tag_matching,
         "ann_silhouette": q_ann_silhouette,
         "corpus_budget_rates": q_corpus_budget_rates,
         "kg_tag_eccentricity": q_kg_tag_eccentricity,
+        # --- r4 session-12 additions (rotated into the window); one
+        # demotion each — see the demoted block -------------------------
+        "text_entropy": q_text_entropy,
+        "link_edit_pairs": q_link_edit_pairs,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also
@@ -2299,6 +2327,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pytests; the events family keeps transitions/rfm/distinct rows
         # in-window
         "rel_events_decay": q_rel_events_decay,
+        # demoted for the session-12 additions (text_entropy /
+        # link_edit_pairs), strongest-subsumption-first:
+        # text_readability — pure zero-shuffle arithmetic narrow map whose
+        # oracle is a trivial bit-for-bit regexp+div mirror (the
+        # rel_events_decay demotion class); hand-computed/floor/
+        # terminator-run pytests pin the formulas, and the tokenizer +
+        # integer-div machinery it rides keeps a dozen in-window rows
+        "text_readability": q_text_readability,
+        # rel_events_anomaly — calendar-bounded aggregate + WINDOW-clause
+        # replay; spike/drop/flat-series pytests pin the flag logic and
+        # the events family keeps funnel/rfm/transitions(kmv) in-window
+        "rel_events_anomaly": q_rel_events_anomaly,
         # kg_tag_msf — its contraction step IS kg.canon.connected_components
         # (in-window via dedup_components' recursive-CTE oracle) and its
         # struct-min argmax is the chosen-edge shape kg_tag_scc/ktruss

@@ -190,3 +190,69 @@ def link_mentions(mentions: DataFrame, dictionary: DataFrame,
     return (hit.select(*cols)
             .unionByName(fuzzy_rows.select(*cols))
             .unionByName(unlinked.select(*cols)))
+
+
+def edit_verify_pairs(df: DataFrame, pairs: DataFrame,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      prefix: int | None = None,
+                      max_dist: int | None = None) -> DataFrame:
+    """Levenshtein edit-distance verification of blocking-stage candidate
+    pairs — the CHARACTER-level second-stage verify for fuzzy entity
+    resolution and near-dup confirmation, complementing the token-level
+    verifiers (exact shingle Jaccard in link_fuzzy, clipped n-gram
+    precision in kg.dedup.pair_ngram_precision).  Reference parity: the
+    reference links mentions by exact lemma identity only (Tag id =
+    value + "_" + language, TagUtils.java); an edit-distance verify is
+    what replaces that exactness where surfaces vary (typos, OCR,
+    transliteration).
+
+    Returns (id_a, id_b, len_a, len_b, dist, sim_micro):
+
+      dist      = levenshtein(a, b), unit-cost insert/delete/substitute
+                  (Spark and DuckDB agree on ASCII — verified; on
+                  non-ASCII DuckDB's levenshtein counts BYTES while
+                  Spark counts CHARS, so the oracle contract is
+                  ASCII-only — multilingual corpora should normalize
+                  first, kg.dedup.normalize_text / the NFC stage);
+      sim_micro = ((maxlen − dist)·1e6) div maxlen with
+                  maxlen = greatest(len_a, len_b); 1e6 when both empty.
+
+    `max_dist` set: Spark's bounded levenshtein(l, r, k) runs the banded
+    O(k·min(len)) DP and returns −1 when the distance exceeds k — the
+    100-TB path (full Levenshtein is O(len_a·len_b) per pair); −1 rows
+    get sim_micro 0.  `prefix` set: both sides are truncated to their
+    first `prefix` chars before scoring, bounding per-pair cost for
+    document-length inputs (edit distance is a SHORT-string verify —
+    for whole documents use the n-gram verifiers).
+
+    Scale shape: work is PAIR-bounded, never corpus-bounded — texts are
+    semi-joined to the pair id set first, then two hash joins attach the
+    (narrow, truncated) strings; the distance itself is a JVM built-in
+    inside whole-stage codegen, no Python."""
+    ids = (pairs.select(F.col("id_a").alias("doc"))
+           .unionByName(pairs.select(F.col("id_b").alias("doc")))
+           .distinct())
+    t = F.col(text_col)
+    if prefix is not None:
+        t = F.substring(t, 1, prefix)
+    docs = (df.select(F.col(id_col).alias("doc"), t.alias("t"))
+            .join(ids, "doc", "left_semi"))
+    joined = (pairs
+              .join(docs.select(F.col("doc").alias("id_a"),
+                                F.col("t").alias("ta")), "id_a")
+              .join(docs.select(F.col("doc").alias("id_b"),
+                                F.col("t").alias("tb")), "id_b"))
+    if max_dist is not None:
+        dist = F.levenshtein("ta", "tb", max_dist)
+    else:
+        dist = F.levenshtein("ta", "tb")
+    return (joined
+            .select("id_a", "id_b",
+                    F.length("ta").cast("bigint").alias("len_a"),
+                    F.length("tb").cast("bigint").alias("len_b"),
+                    dist.cast("bigint").alias("dist"))
+            .withColumn("sim_micro", F.expr(
+                "CASE WHEN dist < 0 THEN CAST(0 AS BIGINT) "
+                "WHEN greatest(len_a, len_b) = 0 THEN CAST(1000000 AS BIGINT) "
+                "ELSE (greatest(len_a, len_b) - dist) * 1000000 "
+                "div greatest(len_a, len_b) END").cast("bigint")))

@@ -746,3 +746,65 @@ def readability_scores(df: DataFrame, text_col: str = "text",
                 "5880000 * n_chars_an div n_words"
                 " - 29600000 * n_sentences div n_words - 15800000")
                 .cast("bigint")))
+
+
+def token_entropy(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Per-document Shannon entropy of the token distribution in the
+    house integer-bits surrogate — the distributional quality signal the
+    scalar stats (ttr, hapax, repetition) miss: machine-generated or
+    keyword-stuffed text concentrates probability mass on few types
+    (low entropy) even when its type-token ratio looks healthy.
+
+        H = Σ_w (c_w/n)·log2(n/c_w)
+          → ent_milli = 1000·Σ_w c_w·(length(bin(n div c_w)) − 1) div n
+
+    using length(bin(x)) − 1 = floor(log2 x), the CLAUDE.md-verified
+    portable floor-log2 surrogate (same convention as lm_surprisal /
+    BM25 idf), so every cell is an exact BIGINT in both engines.  Also
+    emits top_ppm = max_w(c_w)·1e6 div n, the single-type concentration
+    share (1e6 = the whole doc is one repeated token).
+
+    Returns (doc_id, n_tokens, n_types, ent_milli, top_ppm).
+
+    Zero shuffles, built-ins only — a narrow per-row map fused into the
+    scan.  Multiplicities come from the hapax_profile sorted-run trick,
+    not an O(n·types) count-each-type scan: sort the token array once,
+    collect run START positions (1-based, i==1 or s[i]≠s[i−1]), then
+    run j's count is starts[j+1] − starts[j] (sentinel n+1).  Both the
+    sorted array and the starts array are bound once per row (bind1 —
+    CLAUDE.md rule 10); all element access is the null-safe 0-based
+    F.get (element_at throws under Spark 4 ANSI out-of-bounds).
+    Reference scope: task-mandated training-data quality operator
+    (reference has no quality stage)."""
+    t = tokens_col(text_col)
+
+    def profile(s):
+        n = F.size(s)
+        starts = F.filter(
+            F.sequence(F.lit(1), n),
+            lambda i: (i == 1) | (F.get(s, i - 1) != F.get(s, i - 2)))
+        return bind1(starts, lambda st: F.aggregate(
+            F.sequence(F.lit(0), F.size(st) - 1),
+            F.struct(F.lit(0).cast("bigint").alias("ent"),
+                     F.lit(0).cast("bigint").alias("maxc")),
+            lambda acc, j: bind1(
+                (F.coalesce(F.get(st, j + 1), n + 1)
+                 - F.get(st, j)).cast("bigint"),
+                lambda c: F.struct(
+                    (acc["ent"] + c * (F.length(F.bin(
+                        F.floor(n.cast("bigint") / c).cast("bigint")))
+                        - 1)).cast("bigint").alias("ent"),
+                    F.greatest(acc["maxc"], c).alias("maxc")))))
+
+    out = (df.select(F.col(id_col),
+                     F.size(t).cast("bigint").alias("n_tokens"),
+                     F.size(F.array_distinct(t)).cast("bigint")
+                     .alias("n_types"),
+                     bind1(F.array_sort(t), profile).alias("p")))
+    return (out.select(
+        id_col, "n_tokens", "n_types",
+        F.expr("CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT) "
+               "ELSE p.ent * 1000 div n_tokens END").alias("ent_milli"),
+        F.expr("CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT) "
+               "ELSE p.maxc * 1000000 div n_tokens END").alias("top_ppm")))

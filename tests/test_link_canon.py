@@ -155,3 +155,51 @@ def test_char_grams_short_names(spark):
     out = {r["i"]: r["n"] for r in df.select(
         "i", F.size(_char_grams(F.col("s"))).alias("n")).collect()}
     assert out == {1: 0, 2: 1, 3: 2}   # "^$"=none, "^a$", "^ab"+"ab$"
+
+
+class TestEditVerifyPairs:
+    def _fixture(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "kitten"), (2, "sitting"), (3, ""), (4, ""),
+             (5, "abcdef"), (6, "Supplier#000000001"),
+             (7, "Supplier#000000007")],
+            "doc_id long, text string")
+        pairs = spark.createDataFrame(
+            [(1, 2), (3, 4), (1, 5), (6, 7)], "id_a long, id_b long")
+        return docs, pairs
+
+    def test_distances_and_similarity(self, spark):
+        from kg.link import edit_verify_pairs
+        docs, pairs = self._fixture(spark)
+        got = {(r.id_a, r.id_b): (r.dist, r.sim_micro)
+               for r in edit_verify_pairs(docs, pairs).collect()}
+        assert got[(1, 2)] == (3, (7 - 3) * 1_000_000 // 7)
+        assert got[(3, 4)] == (0, 1_000_000)      # both empty: identical
+        assert got[(1, 5)] == (5, 1_000_000 // 6)
+        assert got[(6, 7)] == (1, 17 * 1_000_000 // 18)
+
+    def test_banded_max_dist_emits_minus_one(self, spark):
+        from kg.link import edit_verify_pairs
+        docs, pairs = self._fixture(spark)
+        got = {(r.id_a, r.id_b): (r.dist, r.sim_micro)
+               for r in edit_verify_pairs(docs, pairs,
+                                          max_dist=2).collect()}
+        assert got[(1, 2)] == (-1, 0)   # true dist 3 > 2 -> -1, sim 0
+        assert got[(6, 7)] == (1, 17 * 1_000_000 // 18)  # within band
+
+    def test_prefix_truncation_bounds_the_comparison(self, spark):
+        from kg.link import edit_verify_pairs
+        docs, pairs = self._fixture(spark)
+        got = {(r.id_a, r.id_b): (r.len_a, r.len_b, r.dist)
+               for r in edit_verify_pairs(docs, pairs,
+                                          prefix=3).collect()}
+        assert got[(1, 2)] == (3, 3, 1)   # kit vs sit
+        assert got[(6, 7)] == (3, 3, 0)   # Sup vs Sup
+
+    def test_pair_bounded_no_unpaired_docs_scored(self, spark):
+        from kg.link import edit_verify_pairs
+        docs, pairs = self._fixture(spark)
+        out = edit_verify_pairs(docs, pairs).collect()
+        assert len(out) == 4
+        scored = {(r.id_a, r.id_b) for r in out}
+        assert scored == {(1, 2), (3, 4), (1, 5), (6, 7)}

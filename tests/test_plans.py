@@ -626,3 +626,16 @@ def test_random_projection_zero_shuffle(spark):
     plan = _plan(random_projection(d, out_dims=4, in_dims=4))
     assert "Exchange" not in plan
     assert "Join" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_token_entropy_zero_shuffle_no_python(spark, corpus_path):
+    """kg.textstats.token_entropy is a narrow per-row map fused into the
+    scan: no Exchange, no Window, no Python (Arrow/Batch) evaluator —
+    the sorted-run multiplicity counting happens entirely in-row."""
+    from kg.textstats import token_entropy
+    df = spark.read.parquet(corpus_path).withColumnRenamed("content", "text") \
+        .withColumnRenamed("path", "doc_id")
+    plan = _plan(token_entropy(df))
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -245,3 +245,44 @@ class TestReadability:
         df = spark.createDataFrame([(1, "wow!!! really?! yes.")],
                                    "doc_id bigint, text string")
         assert readability_scores(df).collect()[0].n_sentences == 3
+
+
+class TestTokenEntropy:
+    def test_hand_computed(self, spark):
+        from kg.textstats import token_entropy
+        docs = spark.createDataFrame(
+            [(1, "a a b"),     # runs a:2 b:1 -> S = 2*fl2(1) + 1*fl2(3) = 1
+             (2, "a a a a"),   # one type -> H = 0, top = whole doc
+             (3, "a b c d"),   # uniform 4 types -> S = 4*fl2(4) = 8
+             (4, "x")],
+            "doc_id long, text string")
+        got = {r.doc_id: (r.n_tokens, r.n_types, r.ent_milli, r.top_ppm)
+               for r in token_entropy(docs).collect()}
+        assert got == {1: (3, 2, 333, 666666),
+                       2: (4, 1, 0, 1000000),
+                       3: (4, 4, 2000, 250000),
+                       4: (1, 1, 0, 1000000)}
+
+    def test_low_entropy_flags_repetitive_doc(self, spark):
+        from kg.textstats import token_entropy
+        docs = spark.createDataFrame(
+            [(1, "spam spam spam spam spam spam spam ham"),
+             (2, "one two three four five six seven eight")],
+            "doc_id long, text string")
+        got = {r.doc_id: r.ent_milli for r in token_entropy(docs).collect()}
+        assert got[1] < got[2]
+        top = {r.doc_id: r.top_ppm for r in token_entropy(docs).collect()}
+        assert top[1] == 875000 and top[2] == 125000
+
+    def test_run_counting_matches_python_replay(self, spark):
+        from kg.textstats import token_entropy
+        text = "c a b a c c a b b a c a"
+        toks = text.split(" ")
+        n = len(toks)
+        from collections import Counter
+        s = sum(c * ((n // c).bit_length() - 1)
+                for c in Counter(toks).values())
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        r = token_entropy(df).collect()[0]
+        assert r.ent_milli == s * 1000 // n
+        assert r.top_ppm == max(Counter(toks).values()) * 1_000_000 // n

@@ -4270,4 +4270,70 @@ def build_oracle_sql() -> dict[str, str]:
         SELECT a, b, w AS weight, 1 AS round FROM m1
         UNION ALL SELECT a, b, w, 2 FROM m2"""
 
+    # Token-distribution entropy (kg.textstats.token_entropy): the
+    # floor-log2 integer-bits surrogate — length(bin(n // c)) - 1 =
+    # floor(log2(n/c)) — summed over per-(doc, token) multiplicities;
+    # the Spark side counts runs in-row on the sorted token array, the
+    # oracle counts the same multiplicities by explode + GROUP BY (the
+    # values are identical by construction).  cnt and tot are each
+    # referenced twice -> MATERIALIZED (kcore trap).
+    sqls["text_entropy"] = f"""
+        WITH toks AS (
+          SELECT doc_id, t[i] AS tok
+          FROM (SELECT doc_id, {_TOKS} AS t,
+                       generate_subscripts({_TOKS}, 1) AS i
+                FROM documents WHERE lang = 'en')),
+        cnt AS MATERIALIZED (
+          SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+          FROM toks GROUP BY 1, 2),
+        tot AS MATERIALIZED (
+          SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+                 CAST(count(*) AS BIGINT) AS n_types,
+                 CAST(max(c) AS BIGINT) AS maxc
+          FROM cnt GROUP BY 1),
+        ent AS (
+          SELECT cnt.doc_id,
+                 CAST(sum(c * (length(bin(n // c)) - 1)) AS BIGINT) AS s
+          FROM cnt JOIN tot USING (doc_id) GROUP BY 1)
+        SELECT tot.doc_id, n AS n_tokens, n_types,
+               s * 1000 // n AS ent_milli,
+               maxc * 1000000 // n AS top_ppm
+        FROM tot JOIN ent ON ent.doc_id = tot.doc_id"""
+
+    # Levenshtein pair verification (kg.link.edit_verify_pairs): the
+    # MinHash-LSH candidate pair SQL verbatim (dedup_bleu_pairs'
+    # convention), then unit-cost edit distance over 120-char prefixes —
+    # DuckDB's levenshtein() and Spark's share insert/delete/substitute
+    # semantics on ASCII (verified; on non-ASCII DuckDB counts BYTES,
+    # Spark CHARS — the synthetic corpus is ASCII, and the operator
+    # docstring documents the ASCII-only oracle contract).
+    # sim = ((maxlen - dist) * 1e6) // maxlen, 1e6 when both empty.
+    sqls["link_edit_pairs"] = f"""
+        WITH sig AS ({_MINHASH_SIG}),
+        buckets AS ({_BANDS}),
+        pairs AS MATERIALIZED (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM buckets a JOIN buckets b
+            ON a.band = b.band AND a.bucket = b.bucket
+           AND a.doc_id < b.doc_id),
+        txt AS MATERIALIZED (
+          SELECT doc_id AS doc, substr(text, 1, 120) AS t
+          FROM documents
+          WHERE lang = 'en' AND doc_id IN (
+            SELECT id_a FROM pairs UNION SELECT id_b FROM pairs)),
+        scored AS (
+          SELECT p.id_a, p.id_b,
+                 CAST(length(a.t) AS BIGINT) AS len_a,
+                 CAST(length(b.t) AS BIGINT) AS len_b,
+                 CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+          FROM pairs p
+          JOIN txt a ON a.doc = p.id_a
+          JOIN txt b ON b.doc = p.id_b)
+        SELECT id_a, id_b, len_a, len_b, dist,
+               CASE WHEN greatest(len_a, len_b) = 0
+                    THEN CAST(1000000 AS BIGINT)
+                    ELSE (greatest(len_a, len_b) - dist) * 1000000
+                         // greatest(len_a, len_b) END AS sim_micro
+        FROM scored"""
+
     return sqls
