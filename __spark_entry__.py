@@ -2220,6 +2220,32 @@ def q_link_edit_pairs(spark, sf_dir):
                              prefix=120)
 
 
+def q_kg_tag_coloring(spark, sf_dir):
+    """Jones–Plassmann greedy coloring (kg.graphrank.jp_coloring, 3
+    md5-priority rounds) over the strong-tie co-occurrence graph — the
+    conflict-free mutation schedule: each color class is an independent
+    set, so per-class graph rewrites never touch adjacent tags.  Color
+    = winning round; nodes uncolored after 3 rounds honestly absent."""
+    from kg.graphrank import jp_coloring
+    return jp_coloring(_strong_tie_edges(spark, sf_dir), rounds=3)
+
+
+def q_kg_tag_gini(spark, sf_dir):
+    """Exact degree-distribution Gini coefficient
+    (kg.graphrank.degree_gini) of the doc↔tag HAS_TAG bipartite graph
+    (namespaced node ids) — the one-number hub-concentration audit
+    (boilerplate/failed dedup → gini → 1e6).  The bipartite graph is
+    the audit target because its degrees genuinely vary (tag doc-
+    frequency is Zipfian; the tag co-occurrence graph is a clique on
+    this corpus and would score a degenerate 0); the ordered window
+    runs over the distinct-degree frame only, never |V|."""
+    from kg.graphrank import degree_gini
+    t = _tag_contexts(spark, sf_dir)
+    edges = t.select(F.concat(F.lit("d|"), F.col("ctx")).alias("src"),
+                     F.concat(F.lit("t|"), F.col("tag")).alias("dst"))
+    return degree_gini(edges)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # WINDOW-ROTATION RULE (STATUS.md §rotation): the driver's CORRECTNESS
     # artifact covers roughly the FIRST 50 registered queries per round, so
@@ -2300,9 +2326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_overlap_matrix": q_corpus_overlap_matrix,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "kg_tag_scc": q_kg_tag_scc,
-        "rel_events_distinct_kmv": q_rel_events_distinct_kmv,
         "kg_tag_ktruss": q_kg_tag_ktruss,
-        "rel_events_rfm": q_rel_events_rfm,
         # --- r4 session-11 additions (rotated into the window); one
         # demotion each — see the demoted block -------------------------
         "text_pii_luhn": q_text_pii_luhn,
@@ -2315,6 +2339,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # demotion each — see the demoted block -------------------------
         "text_entropy": q_text_entropy,
         "link_edit_pairs": q_link_edit_pairs,
+        "kg_tag_coloring": q_kg_tag_coloring,
+        "kg_tag_gini": q_kg_tag_gini,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also
@@ -2339,6 +2365,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # replay; spike/drop/flat-series pytests pin the flag logic and
         # the events family keeps funnel/rfm/transitions(kmv) in-window
         "rel_events_anomaly": q_rel_events_anomaly,
+        # demoted for the session-12 graph additions (kg_tag_coloring /
+        # kg_tag_gini):
+        # rel_events_distinct_kmv — the shared per-group bottom-k KMV pass
+        # AND the saturated-estimator formula both keep an in-window row
+        # via corpus_overlap_matrix (kmv_group_sketches machinery, pair
+        # CTEs replay the same sketches); below-k-exact/saturated pytests
+        "rel_events_distinct_kmv": q_rel_events_distinct_kmv,
+        # rel_events_rfm — its quantile-band machinery IS the in-window
+        # corpus_quality_strata histogram-exact nearest-rank pattern, its
+        # corpus-clock recency the rel_events_decay contract class; the
+        # per-user aggregate is a trivial replay, hand-band pytests pin
+        # orientation and lower-band ties; funnel/distinct_approx keep
+        # the events family in-window
+        "rel_events_rfm": q_rel_events_rfm,
         # kg_tag_msf — its contraction step IS kg.canon.connected_components
         # (in-window via dedup_components' recursive-CTE oracle) and its
         # struct-min argmax is the chosen-edge shape kg_tag_scc/ktruss

@@ -1697,3 +1697,111 @@ def pivot_eccentricity(edges: DataFrame, n_pivots: int = 4,
     return (levels.groupBy("pivot")
             .agg((F.count("*") - 1).cast("bigint").alias("n_reached"),
                  F.max("level").cast("bigint").alias("ecc_lb")))
+
+
+def jp_coloring(edges: DataFrame, rounds: int = 3,
+                src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Deterministic Jones–Plassmann greedy graph coloring (Jones &
+    Plassmann 1993): per round, every still-uncolored node whose
+    priority is the strict maximum among its uncolored neighbors gets
+    colored — those local maxima form an INDEPENDENT set, so assigning
+    color = round index is a proper coloring (adjacent nodes can never
+    win the same round, and different rounds are different colors).
+    Priority is md5(node) with the node id appended (32 fixed hex chars
+    + id = lexicographic (md5, id) total order — no ties, no RNG,
+    engine-portable).  The distance-1 coloring is the classic
+    conflict-free SCHEDULE: color classes are batches of graph
+    mutations (re-annotation merges, entity-cluster rewrites) that can
+    run concurrently without touching adjacent nodes; χ spread also
+    audits partition skew.  Fixed `rounds` (the house kcore/ktruss/
+    matching contract) yields the deterministic oracle-replayable
+    prefix; nodes still uncolored after R rounds are honestly ABSENT
+    from the output (the scc_pivot convention).
+
+    Returns (node, color), color ∈ 1..rounds.
+
+    Shape per round: one adjacency×live hash join (live neighbors) +
+    one per-node max aggregate + one anti-join; the live node set
+    shrinks monotonically and is localCheckpointed per round (it
+    branches into the neighbor join, the winner filter, and the next
+    round — perf rule 7).  Adjacency is built once.  No windows, no
+    global order."""
+    adj = (edges.select(F.col(src_col).alias("n"),
+                        F.col(dst_col).alias("nbr"))
+           .union(edges.select(F.col(dst_col).alias("n"),
+                               F.col(src_col).alias("nbr")))
+           .filter(F.col("n") != F.col("nbr"))
+           .distinct().localCheckpoint())
+    pri = F.concat(F.md5(F.col("node").cast("string")),
+                   F.col("node").cast("string"))
+    live = (adj.select(F.col("n").alias("node")).distinct()
+            .select("node", pri.alias("pri")).localCheckpoint())
+    out = None
+    for r in range(1, rounds + 1):
+        nbr_pri = (adj
+                   .join(live.select(F.col("node").alias("nbr"),
+                                     F.col("pri").alias("npri")), "nbr")
+                   .groupBy("n").agg(F.max("npri").alias("mx")))
+        winners = (live.join(nbr_pri.withColumnRenamed("n", "node"),
+                             "node", "left")
+                   .filter(F.col("mx").isNull()
+                           | (F.col("pri") > F.col("mx")))
+                   .select("node", F.lit(r).cast("int").alias("color")))
+        out = winners if out is None else out.unionByName(winners)
+        live = (live.join(winners.select("node"), "node", "left_anti")
+                .localCheckpoint())
+    return out
+
+
+def degree_gini(edges: DataFrame, src_col: str = "src",
+                dst_col: str = "dst") -> DataFrame:
+    """Exact Gini coefficient of the degree distribution — the
+    one-number inequality audit of the constructed KG (and of any
+    corpus-derived graph): crawl boilerplate and failed dedup show up
+    as extreme hub concentration (gini → 1e6), a healthy vocabulary
+    graph sits mid-range, a regular graph scores 0.  Complements
+    degree_assortativity (mixing) and rich_club (top-end density) with
+    the whole-distribution view.
+
+        G = Σ_i (2i − n − 1)·d_(i) / (n·Σd),  d_(i) sorted ascending
+
+    computed WITHOUT any per-node global sort: group nodes by degree
+    value, then for the block of m_d nodes at degree d (occupying sorted
+    ranks C_<d+1 .. C_<d+m_d), Σ(2i − n − 1) telescopes to
+    m_d·(2·C_<d + m_d − n) — so the only ordered window runs over the
+    DISTINCT-DEGREE frame, bounded by max degree, never by |V| (the
+    corpus_growth bounded-window argument).  Products are staged in
+    DECIMAL(38,0) (n·Σd overflows BIGINT at web scale); the final
+    gini_micro is an exact integer division.
+
+    Returns one row: (n_nodes, n_edges, sum_deg, gini_micro)."""
+    from pyspark.sql import Window
+    e = (edges.select(F.least(src_col, dst_col).alias("a"),
+                      F.greatest(src_col, dst_col).alias("b"))
+         .filter(F.col("a") != F.col("b")).distinct())
+    deg = (e.select(F.col("a").alias("node"))
+           .union(e.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count("*").cast("bigint").alias("deg")))
+    bydeg = deg.groupBy("deg").agg(F.count("*").cast("bigint").alias("m"))
+    w = (Window.orderBy("deg")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    wfull = (Window.orderBy("deg")
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    cum = (bydeg
+           .withColumn("c_lt", F.coalesce(F.sum("m").over(w),
+                                          F.lit(0)).cast("bigint"))
+           .withColumn("n_all", F.sum("m").over(wfull).cast("bigint")))
+    n_edges = e.agg(F.count("*").cast("bigint").alias("n_edges"))
+    return (cum.agg(
+        F.sum("m").cast("bigint").alias("n_nodes"),
+        F.sum(F.col("deg") * F.col("m")).cast("bigint").alias("sum_deg"),
+        F.sum((F.col("deg") * F.col("m")).cast("decimal(38,0)")
+              * (2 * F.col("c_lt") + F.col("m") - F.col("n_all"))
+              .cast("decimal(38,0)")).alias("gnum"))
+        .crossJoin(F.broadcast(n_edges))
+        .select("n_nodes", "n_edges", "sum_deg",
+                F.expr("CASE WHEN n_nodes = 0 OR sum_deg = 0 THEN "
+                       "CAST(0 AS BIGINT) ELSE CAST(gnum * 1000000 div "
+                       "(CAST(n_nodes AS DECIMAL(38,0)) * sum_deg) "
+                       "AS BIGINT) END").alias("gini_micro")))

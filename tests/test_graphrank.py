@@ -1089,3 +1089,95 @@ class TestPivotEccentricity:
         out = {r.pivot: (r.n_reached, r.ecc_lb) for r in
                pivot_eccentricity(e, n_pivots=4, max_depth=3).collect()}
         assert all(v == (1, 1) for v in out.values())
+
+
+class TestJPColoring:
+    EDGES = [("a", "b"), ("b", "c"), ("c", "d"),
+             ("x", "y"), ("y", "z"), ("x", "z"), ("p", "q")]
+
+    def test_proper_coloring_and_full_cover(self, spark):
+        from kg.graphrank import jp_coloring
+        edges = spark.createDataFrame(self.EDGES, "src string, dst string")
+        col = {r.node: r.color for r in jp_coloring(edges, rounds=3).collect()}
+        for s, d in self.EDGES:
+            if s in col and d in col:
+                assert col[s] != col[d]
+        assert set(col.values()) <= {1, 2, 3}
+        assert len(col) == 9          # 3 rounds fully color this fixture
+
+    def test_round1_winners_are_md5_local_maxima(self, spark):
+        import hashlib
+        from kg.graphrank import jp_coloring
+        edges = spark.createDataFrame(self.EDGES, "src string, dst string")
+        got = {r.node for r in jp_coloring(edges, rounds=1).collect()}
+        pri = lambda v: hashlib.md5(v.encode()).hexdigest() + v
+        adj = {}
+        for s, d in self.EDGES:
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+        want = {v for v, ns in adj.items()
+                if all(pri(v) > pri(u) for u in ns)}
+        assert got == want
+        # and round-1 winners form an independent set
+        for s, d in self.EDGES:
+            assert not (s in got and d in got)
+
+    def test_uncolored_nodes_honestly_absent(self, spark):
+        from kg.graphrank import jp_coloring
+        # a 5-path needs >=2 rounds to fully color; round 1 leaves gaps
+        edges = spark.createDataFrame(
+            [("1", "2"), ("2", "3"), ("3", "4"), ("4", "5")],
+            "src string, dst string")
+        one = jp_coloring(edges, rounds=1).collect()
+        assert 0 < len(one) < 5
+
+    def test_self_loops_and_duplicates_ignored(self, spark):
+        from kg.graphrank import jp_coloring
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "a"), ("a", "a"), ("a", "b")],
+            "src string, dst string")
+        col = {r.node: r.color for r in jp_coloring(edges, rounds=2).collect()}
+        assert len(col) == 2 and col["a"] != col["b"]
+
+
+class TestDegreeGini:
+    def test_star_closed_form(self, spark):
+        from kg.graphrank import degree_gini
+        star = spark.createDataFrame(
+            [("c", "l1"), ("c", "l2"), ("c", "l3")],
+            "src string, dst string")
+        r = degree_gini(star).collect()[0]
+        # K1,n: G = (n-1)/(2(n+1)); n=3 -> 0.25
+        assert (r.n_nodes, r.n_edges, r.sum_deg, r.gini_micro) == \
+            (4, 3, 6, 250000)
+
+    def test_regular_graph_is_zero(self, spark):
+        from kg.graphrank import degree_gini
+        tri = spark.createDataFrame(
+            [("x", "y"), ("y", "z"), ("x", "z")], "src string, dst string")
+        assert degree_gini(tri).collect()[0].gini_micro == 0
+
+    def test_matches_python_replay(self, spark):
+        from collections import Counter
+        from kg.graphrank import degree_gini
+        E = [("a", "b"), ("b", "c"), ("c", "d"),
+             ("x", "y"), ("y", "z"), ("x", "z"), ("p", "q")]
+        edges = spark.createDataFrame(E, "src string, dst string")
+        degc = Counter()
+        for s, d in E:
+            degc[s] += 1
+            degc[d] += 1
+        ds = sorted(degc.values())
+        n, s_ = len(ds), sum(ds)
+        g = sum((2 * (i + 1) - n - 1) * d for i, d in enumerate(ds))
+        assert degree_gini(edges).collect()[0].gini_micro == \
+            g * 1_000_000 // (n * s_)
+
+    def test_symmetrize_and_dedupe_invariance(self, spark):
+        from kg.graphrank import degree_gini
+        a = spark.createDataFrame(
+            [("a", "b"), ("b", "c")], "src string, dst string")
+        b = spark.createDataFrame(
+            [("a", "b"), ("b", "a"), ("c", "b"), ("a", "b"), ("a", "a")],
+            "src string, dst string")
+        assert degree_gini(a).collect() == degree_gini(b).collect()

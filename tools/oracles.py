@@ -4336,4 +4336,81 @@ def build_oracle_sql() -> dict[str, str]:
                          // greatest(len_a, len_b) END AS sim_micro
         FROM scored"""
 
+    # Jones–Plassmann coloring (kg.graphrank.jp_coloring): 3 unrolled
+    # rounds over the shared strong-tie subgraph; priority = md5(node)
+    # || node (32 fixed hex chars -> concat compare == (md5, node)
+    # lexicographic).  A round's winners are the live nodes whose
+    # priority strictly exceeds every LIVE neighbor's (no live
+    # neighbor -> win); they leave the live set, color = round.  Every
+    # l/w CTE is referenced more than once -> MATERIALIZED (kcore trap).
+    def _jp_round(r: int) -> str:
+        return f"""mx{r} AS (
+          SELECT g.x AS node, max(l.pri) AS mx
+          FROM g0 g JOIN l{r - 1} l ON l.node = g.y
+          WHERE g.x IN (SELECT node FROM l{r - 1})
+          GROUP BY 1),
+        w{r} AS MATERIALIZED (
+          SELECT l.node, {r} AS color
+          FROM l{r - 1} l LEFT JOIN mx{r} USING (node)
+          WHERE mx IS NULL OR l.pri > mx),
+        l{r} AS MATERIALIZED (
+          SELECT * FROM l{r - 1}
+          WHERE node NOT IN (SELECT node FROM w{r}))"""
+
+    sqls["kg_tag_coloring"] = f"""
+        WITH {_kept_sql},
+        {_cooccur_sql},
+        {_strong_sql},
+        g0 AS MATERIALIZED (
+          SELECT a AS x, b AS y FROM f0
+          UNION SELECT b, a FROM f0),
+        l0 AS MATERIALIZED (
+          SELECT DISTINCT x AS node, md5(x) || x AS pri FROM g0),
+        {_jp_round(1)},
+        {_jp_round(2)},
+        {_jp_round(3)}
+        SELECT node, CAST(color AS INT) AS color FROM w1
+        UNION ALL SELECT node, 2 FROM w2
+        UNION ALL SELECT node, 3 FROM w3"""
+
+    # Degree Gini (kg.graphrank.degree_gini) over the doc<->tag HAS_TAG
+    # bipartite graph (namespaced ids; tag doc-frequency is Zipfian, so
+    # degrees genuinely vary — the co-occurrence graph is a clique on
+    # this corpus): blocked rank-sum formula — for the m_d nodes at
+    # degree d (sorted ranks C_<d+1..C_<d+m_d), sum(2i-n-1) =
+    # m_d*(2*C_<d+m_d-n); the only ordered window runs over DISTINCT
+    # degrees.  Products in HUGEINT (DECIMAL(38,0) on the Spark side).
+    sqls["kg_tag_gini"] = f"""
+        WITH {_kept_sql},
+        bip AS (
+          SELECT 'd|' || CAST(doc_id AS VARCHAR) AS src,
+                 't|' || tok AS dst
+          FROM kept),
+        se AS MATERIALIZED (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM bip WHERE src <> dst),
+        degs AS (
+          SELECT node, CAST(count(*) AS BIGINT) AS deg
+          FROM (SELECT a AS node FROM se UNION ALL SELECT b FROM se)
+          GROUP BY 1),
+        bydeg AS MATERIALIZED (
+          SELECT deg, CAST(count(*) AS BIGINT) AS m FROM degs GROUP BY 1),
+        cum AS (
+          SELECT deg, m,
+                 CAST(coalesce(sum(m) OVER (ORDER BY deg
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS c_lt,
+                 CAST(sum(m) OVER () AS BIGINT) AS n_all
+          FROM bydeg),
+        ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM se)
+        SELECT CAST(sum(m) AS BIGINT) AS n_nodes,
+               (SELECT n_edges FROM ne) AS n_edges,
+               CAST(sum(deg * m) AS BIGINT) AS sum_deg,
+               CASE WHEN sum(m) = 0 OR sum(deg * m) = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(sum(CAST(deg * m AS HUGEINT)
+                                  * (2 * c_lt + m - n_all)) * 1000000
+                              // (CAST(sum(m) AS HUGEINT) * sum(deg * m))
+                         AS BIGINT) END AS gini_micro
+        FROM cum"""
+
     return sqls
