@@ -2246,6 +2246,40 @@ def q_kg_tag_gini(spark, sf_dir):
     return degree_gini(edges)
 
 
+def q_text_pii_iban(spark, sf_dir):
+    """Checksum-validated IBAN PII (kg.pii.iban_report): ISO-7064
+    mod-97 as an unrolled exact-BIGINT chunk fold whose SQL text is
+    SHARED with the oracle (kg.pii.mod97_digits_sql), \\b-anchored
+    alternation redaction of only the VALID candidates.  The synthetic
+    corpus has no uppercase/digits, so a deterministic IBAN-shaped
+    suffix is appended per doc IN BOTH ENGINES — doc_id%3 rotates a
+    canonical-valid / check-digit-broken / doc-varying candidate, so
+    extract, checksum, and conditional redaction all vary by row."""
+    from kg.pii import iban_report
+    docs = _docs(spark, sf_dir).withColumn(
+        "text", F.concat(F.col("text"), F.expr(
+            "CASE CAST(doc_id % 3 AS INT) "
+            "WHEN 0 THEN ' GB82WEST12345698765432' "
+            "WHEN 1 THEN ' GB83WEST12345698765432' "
+            "ELSE concat(' DE', lpad(CAST(doc_id AS STRING), 22, '7')) "
+            "END")))
+    rep = iban_report(docs)
+    return rep.select("doc_id", "n_iban_candidates", "n_iban_valid",
+                      F.md5("text_redacted").alias("red_md5"))
+
+
+def q_rel_events_sliding(spark, sf_dir):
+    """Overlapping sliding-window counts
+    (kg.relops.sliding_window_counts): the NATIVE 3-day/1-day-slide
+    F.window aggregate — each event lands in 3 calendar-day windows;
+    the identical groupBy compiles to a watermark-managed streaming
+    aggregate under readStream.  Oracle replays the bounded expansion
+    as a 3-offset cross join."""
+    from kg.relops import sliding_window_counts
+    return sliding_window_counts(_read("events")(spark, sf_dir),
+                                 window_days=3, slide_days=1)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # WINDOW-ROTATION RULE (STATUS.md §rotation): the driver's CORRECTNESS
     # artifact covers roughly the FIRST 50 registered queries per round, so
@@ -2324,12 +2358,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # demotion each — see the demoted block -------------------------
         "dedup_recall_lsh": q_dedup_recall_lsh,
         "corpus_overlap_matrix": q_corpus_overlap_matrix,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "kg_tag_scc": q_kg_tag_scc,
         "kg_tag_ktruss": q_kg_tag_ktruss,
         # --- r4 session-11 additions (rotated into the window); one
         # demotion each — see the demoted block -------------------------
-        "text_pii_luhn": q_text_pii_luhn,
         "multimodal_audio": q_multimodal_audio,
         "kg_tag_matching": q_kg_tag_matching,
         "ann_silhouette": q_ann_silhouette,
@@ -2341,6 +2373,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_edit_pairs": q_link_edit_pairs,
         "kg_tag_coloring": q_kg_tag_coloring,
         "kg_tag_gini": q_kg_tag_gini,
+        "text_pii_iban": q_text_pii_iban,
+        "rel_events_sliding": q_rel_events_sliding,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also
@@ -2379,6 +2413,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # orientation and lower-band ties; funnel/distinct_approx keep
         # the events family in-window
         "rel_events_rfm": q_rel_events_rfm,
+        # demoted for the session-12 PII/temporal additions
+        # (text_pii_iban / rel_events_sliding):
+        # text_pii_luhn — the checksum-gated \\b-alternation redaction
+        # machinery (regexp_extract_all -> filter-valid -> single
+        # alternation replace -> md5) now keeps an in-window row via
+        # text_pii_iban, which shares it shape-for-shape; the mod-10
+        # fold itself is pinned by published-test-PAN pytests
+        "text_pii_luhn": q_text_pii_luhn,
+        # dedup_simhash_pairs — its lossless-at-Hamming-3 contract is
+        # pytest-PROVEN against the brute-force pair set, its fingerprint
+        # CTE ships verbatim from the simhash family, and the banded
+        # blocking shape keeps five in-window dedup relatives
+        # (bleu/recall_lsh/winnow/semantic/paragraph)
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         # kg_tag_msf — its contraction step IS kg.canon.connected_components
         # (in-window via dedup_components' recursive-CTE oracle) and its
         # struct-min argmax is the chosen-edge shape kg_tag_scc/ktruss

@@ -123,3 +123,95 @@ def card_report(df: DataFrame, text_col: str = "text",
         F.size(cands).cast("bigint").alias("n_card_candidates"),
         F.size(valid).cast("bigint").alias("n_luhn_valid"),
         red.alias("text_redacted"))
+
+
+IBAN_RE = r"\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\b"
+
+
+def mod97_digits_sql(col: str) -> str:
+    """Engine-portable unrolled ISO-7064 mod-97 of a decimal digit
+    string held in column `col` (must be a plain column name; ≤ 70
+    digits — an IBAN's digitized form is at most 68): lpad to 70 with
+    '0' (value-preserving), then fold ten 7-digit chunks with
+    r = (r·1e7 + chunk) % 97 — every intermediate < 97·1e7, safely
+    BIGINT.  The SAME textual SQL evaluates identically in Spark and
+    DuckDB (common subset: substring / lpad / CAST / %), so the oracle
+    replays the checksum verbatim rather than approximating it."""
+    expr = "CAST(0 AS BIGINT)"
+    for i in range(10):
+        chunk = (f"CAST(substring(lpad({col}, 70, '0'), {i * 7 + 1}, 7) "
+                 "AS BIGINT)")
+        expr = f"(({expr}) * 10000000 + {chunk}) % 97"
+    return expr
+
+
+def _iban_digitized(c: Column) -> Column:
+    """ISO 13616 rearrangement + base-36 digitization of an IBAN
+    candidate: move the first 4 chars to the end, then map A..Z →
+    '10'..'35' (digits pass through).  Pure HOF expression; the
+    rearranged string is bound once (CLAUDE.md rule 10)."""
+    from kg.textstats import bind1
+    rearranged = F.concat(F.substring(c, 5, 64), F.substring(c, 1, 4))
+    return bind1(rearranged, lambda r: F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.length(r)),
+            lambda i: F.when(
+                (F.substring(r, i, F.lit(1)) >= "A")
+                & (F.substring(r, i, F.lit(1)) <= "Z"),
+                (F.ascii(F.substring(r, i, F.lit(1))) - 55).cast("string"))
+            .otherwise(F.substring(r, i, F.lit(1)))), ""))
+
+
+def _mod97(d: Column) -> Column:
+    """mod97_digits_sql as Column algebra (for use inside HOF lambdas,
+    where F.expr text cannot reference the lambda variable)."""
+    from kg.textstats import bind1
+
+    def fold(p: Column) -> Column:
+        r = F.lit(0).cast("bigint")
+        for i in range(10):
+            chunk = F.substring(p, i * 7 + 1, 7).cast("bigint")
+            r = (r * 10000000 + chunk) % 97
+        return r
+
+    return bind1(F.lpad(d, 70, "0"), fold)
+
+
+def iban_valid(c: Column) -> Column:
+    """True iff the candidate passes the ISO-7064 mod-97 check
+    (rearranged, digitized value ≡ 1 mod 97).  Country-specific BBAN
+    length tables are deliberately out of scope (documented): the
+    checksum alone rejects 96/97 of random candidates, and length
+    tables are a broadcast-dictionary refinement, not a new shape."""
+    return _mod97(_iban_digitized(c)) == 1
+
+
+def iban_report(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Per-document IBAN PII report with CHECKSUM-VALIDATED redaction —
+    the international-bank-account counterpart of card_report (same
+    contract: only candidates that pass validation are redacted, so
+    order ids / reference codes shaped like [A-Z]{2}\\d{2}... but
+    failing mod-97 are never mangled):
+
+      (doc_id, n_iban_candidates, n_iban_valid, text_redacted)
+
+    Redaction is ONE \\b-anchored alternation regexp_replace over the
+    sorted valid set (the card_report O(text) single-pass argument).
+    Zero shuffles, zero UDFs; the mod-97 fold is exact BIGINT
+    arithmetic shared textually with the DuckDB oracle
+    (mod97_digits_sql)."""
+    cands = F.regexp_extract_all(F.col(text_col), F.lit(IBAN_RE), 0)
+    valid = F.array_sort(F.array_distinct(F.filter(cands, iban_valid)))
+    red = F.when(
+        F.size(valid) > 0,
+        F.regexp_replace(
+            F.col(text_col),
+            F.concat(F.lit(r"\b("), F.concat_ws("|", valid), F.lit(r")\b")),
+            F.lit("<IBAN>"))
+    ).otherwise(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.size(cands).cast("bigint").alias("n_iban_candidates"),
+        F.size(valid).cast("bigint").alias("n_iban_valid"),
+        red.alias("text_redacted"))

@@ -481,3 +481,36 @@ def count_anomalies(events: DataFrame, ts_col: str = "ts",
             .withColumn("is_drop", F.expr(
                 f"trail_n_days > 0 AND "
                 f"n * trail_n_days * {threshold_pct} < 100 * trail_sum")))
+
+
+def sliding_window_counts(events: DataFrame, window_days: int = 3,
+                          slide_days: int = 1, ts_col: str = "ts",
+                          type_col: str = "event_type") -> DataFrame:
+    """Sliding-window event counts via the NATIVE F.window operator —
+    the overlapping-window companion of the tumbling rollups
+    (rel_events_hourly/rollup): each event lands in
+    window_days/slide_days consecutive windows (Spark plans this as an
+    internal explode + hash aggregate, exactly the trailing-window "N
+    events in the last 3 days, updated daily" feed a monitoring or
+    feature pipeline reads).  Deliberately the built-in window()
+    expression: the identical groupBy compiles under readStream into a
+    watermark-managed streaming aggregate (kg.streaming), so batch and
+    stream share one definition.
+
+    Epoch-aligned (1970-01-01 is a day boundary): with whole-day slide
+    the window starts are calendar days, emitted as 'yyyy-MM-dd'
+    strings (the rel_events_hourly convention — keeps the driver
+    canonicalizer scalar).  Returns (window_start, event_type, n).
+
+    Scale: ONE shuffle on (window, type) after a bounded
+    window/slide-factor in-row expansion; map-side combine applies.
+    Parquet NTZ timestamps are cast (CLAUDE.md; session tz pinned
+    UTC)."""
+    w = F.window(F.col(ts_col).cast("timestamp"),
+                 f"{window_days} days", f"{slide_days} days")
+    return (events
+            .groupBy(w.alias("w"), F.col(type_col))
+            .agg(F.count("*").cast("bigint").alias("n"))
+            .select(F.date_format(F.col("w.start"), "yyyy-MM-dd")
+                    .alias("window_start"),
+                    F.col(type_col), "n"))

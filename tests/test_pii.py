@@ -119,3 +119,55 @@ class TestLuhnCards:
             spark, "4111111111111111 and 5555555555554444 and 12345")
         assert (r.n_card_candidates, r.n_luhn_valid) == (2, 2)
         assert r.text_redacted == "<CARD> and <CARD> and 12345"
+
+
+class TestIbanReport:
+    def test_checksum_gates_redaction(self, spark):
+        from kg.pii import iban_report
+        docs = spark.createDataFrame(
+            [(1, "pay GB82WEST12345698765432 now"),   # canonical valid
+             (2, "ref GB83WEST12345698765432 code"),  # check digits off
+             (3, "also DE89370400440532013000 works"),  # valid German
+             (4, "no candidates here")],
+            "doc_id long, text string")
+        got = {r.doc_id: (r.n_iban_candidates, r.n_iban_valid,
+                          r.text_redacted)
+               for r in iban_report(docs).collect()}
+        assert got[1] == (1, 1, "pay <IBAN> now")
+        assert got[2] == (1, 0, "ref GB83WEST12345698765432 code")
+        assert got[3] == (1, 1, "also <IBAN> works")
+        assert got[4] == (0, 0, "no candidates here")
+
+    def test_mod97_matches_python_bigint_replay(self, spark):
+        from kg.pii import iban_report
+        cands = ["GB82WEST12345698765432", "DE89370400440532013000",
+                 "FR1420041010050500013M02606", "GB82WEST12345698765433",
+                 "AA00" + "Z" * 30]
+        docs = spark.createDataFrame(
+            [(i, f"x {c} y") for i, c in enumerate(cands)],
+            "doc_id long, text string")
+        got = {r.doc_id: r.n_iban_valid for r in iban_report(docs).collect()}
+
+        def py_valid(c):
+            d = "".join(str(ord(ch) - 55) if ch.isalpha() else ch
+                        for ch in c[4:] + c[:4])
+            return int(d) % 97 == 1
+        for i, c in enumerate(cands):
+            assert got[i] == (1 if py_valid(c) else 0), c
+
+    def test_only_valid_redacted_in_mixed_doc(self, spark):
+        from kg.pii import iban_report
+        docs = spark.createDataFrame(
+            [(1, "a GB82WEST12345698765432 b GB83WEST12345698765432 c")],
+            "doc_id long, text string")
+        r = iban_report(docs).collect()[0]
+        assert (r.n_iban_candidates, r.n_iban_valid) == (2, 1)
+        assert r.text_redacted == "a <IBAN> b GB83WEST12345698765432 c"
+
+    def test_lowercase_and_short_runs_are_not_candidates(self, spark):
+        from kg.pii import iban_report
+        docs = spark.createDataFrame(
+            [(1, "gb82west12345698765432 and GB82WEST123 end")],
+            "doc_id long, text string")
+        r = iban_report(docs).collect()[0]
+        assert (r.n_iban_candidates, r.n_iban_valid) == (0, 0)

@@ -452,3 +452,45 @@ class TestCountAnomalies:
         flags = count_anomalies(self._events(spark, rows)).filter(
             "is_spike OR is_drop").count()
         assert flags == 0
+
+
+class TestSlidingWindowCounts:
+    def test_each_event_lands_in_window_over_slide_windows(self, spark):
+        from kg.relops import sliding_window_counts
+        ev = spark.createDataFrame(
+            [(1, "2024-01-05 12:00:00", "click"),
+             (2, "2024-01-06 00:00:00", "click"),
+             (3, "2024-01-06 23:59:59", "view")],
+            "event_id long, ts string, event_type string") \
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        rows = sliding_window_counts(ev, window_days=3, slide_days=1) \
+            .collect()
+        total = sum(r.n for r in rows)
+        assert total == 3 * 3          # every event in exactly 3 windows
+        got = {(r.window_start, r.event_type): r.n for r in rows}
+        # event 1 (Jan 5) in windows starting Jan 3, 4, 5
+        for d in ("2024-01-03", "2024-01-04", "2024-01-05"):
+            assert got[(d, "click")] >= 1
+        # Jan 4 window [4,7) holds events 1 and 2
+        assert got[("2024-01-04", "click")] == 2
+
+    def test_matches_python_offset_replay(self, spark):
+        from collections import Counter
+        from datetime import date, timedelta
+        from kg.relops import sliding_window_counts
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        got = {(r.window_start, r.event_type): r.n
+               for r in sliding_window_counts(ev).collect()}
+        rep = Counter()
+        for r in ev.select(F.to_date("ts").alias("d"),
+                           "event_type").collect():
+            for o in range(3):
+                rep[(str(r.d - timedelta(days=o)), r.event_type)] += 1
+        assert got == dict(rep)
+
+    def test_tumbling_when_slide_equals_window(self, spark):
+        from kg.relops import sliding_window_counts
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        rows = sliding_window_counts(ev, window_days=2,
+                                     slide_days=2).collect()
+        assert sum(r.n for r in rows) == ev.count()   # partition, no overlap

@@ -4413,4 +4413,66 @@ def build_oracle_sql() -> dict[str, str]:
                          AS BIGINT) END AS gini_micro
         FROM cum"""
 
+    # IBAN PII (kg.pii.iban_report): the fixture suffix, candidate
+    # extraction, ISO-13616 rearrangement/digitization, and the ISO-7064
+    # mod-97 fold are all replayed — the checksum chain is the SAME SQL
+    # text the Spark side compiles (kg.pii.mod97_digits_sql), not a
+    # reimplementation.  Only mod-97-valid candidates are redacted, via
+    # the same \b-anchored alternation.
+    from kg.pii import IBAN_RE as _IBAN_RE
+    from kg.pii import mod97_digits_sql as _m97
+    _rearr = "substring(c, 5, 64) || substring(c, 1, 4)"
+    sqls["text_pii_iban"] = f"""
+        WITH aug AS MATERIALIZED (
+          SELECT doc_id, text || CASE CAST(doc_id % 3 AS INT)
+            WHEN 0 THEN ' GB82WEST12345698765432'
+            WHEN 1 THEN ' GB83WEST12345698765432'
+            ELSE ' DE' || lpad(CAST(doc_id AS VARCHAR), 22, '7') END
+            AS text
+          FROM documents WHERE lang = 'en'),
+        cand AS MATERIALIZED (
+          SELECT doc_id, unnest(regexp_extract_all(text, '{_IBAN_RE}'))
+                 AS c
+          FROM aug),
+        dig AS (
+          SELECT doc_id, c, array_to_string(list_transform(
+              range(1, length({_rearr}) + 1),
+              i -> CASE WHEN substring({_rearr}, i, 1)
+                             BETWEEN 'A' AND 'Z'
+                        THEN CAST(ascii(substring({_rearr}, i, 1)) - 55
+                                  AS VARCHAR)
+                        ELSE substring({_rearr}, i, 1) END), '') AS d
+          FROM cand),
+        val AS MATERIALIZED (
+          SELECT doc_id, c FROM dig WHERE ({_m97('d')}) = 1),
+        alts AS (
+          SELECT doc_id,
+                 array_to_string(list_sort(list(DISTINCT c)), '|') AS alt
+          FROM val GROUP BY 1)
+        SELECT a.doc_id,
+               CAST(coalesce(cc.nc, 0) AS BIGINT) AS n_iban_candidates,
+               CAST(coalesce(vc.nv, 0) AS BIGINT) AS n_iban_valid,
+               md5(CASE WHEN al.alt IS NOT NULL
+                        THEN regexp_replace(a.text,
+                               '\\b(' || al.alt || ')\\b', '<IBAN>', 'g')
+                        ELSE a.text END) AS red_md5
+        FROM aug a
+        LEFT JOIN (SELECT doc_id, count(*) AS nc FROM cand GROUP BY 1) cc
+               USING (doc_id)
+        LEFT JOIN (SELECT doc_id, count(DISTINCT c) AS nv FROM val
+                   GROUP BY 1) vc USING (doc_id)
+        LEFT JOIN alts al ON al.doc_id = a.doc_id"""
+
+    # Sliding-window counts (kg.relops.sliding_window_counts): Spark's
+    # epoch-aligned window(ts, '3 days', '1 day') puts an event with day
+    # D into the windows starting D-2, D-1, D — replayed as a bounded
+    # 3-offset cross join.
+    sqls["rel_events_sliding"] = """
+        SELECT strftime(ws, '%Y-%m-%d') AS window_start, event_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT date_trunc('day', ts) - INTERVAL (o.o) DAY AS ws,
+                     event_type
+              FROM events, (VALUES (0), (1), (2)) o(o))
+        GROUP BY 1, 2"""
+
     return sqls
