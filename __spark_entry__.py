@@ -2280,6 +2280,37 @@ def q_rel_events_sliding(spark, sf_dir):
                                  window_days=3, slide_days=1)
 
 
+def q_multimodal_video(spark, sf_dir):
+    """REAL video-container decode (kg.multimodal.avi_meta /
+    extract_video_features): deterministic RIFF/AVI payloads — LIST
+    hdrl with the canonical 56-byte avih main header, an odd-sized
+    JUNK chunk the walker must pad-skip — generated per embedding row
+    and parsed by the real pure-Python chunk walker.  Every output
+    cell (dims / µs-per-frame / frame count / duration / the constant
+    114-byte container size) is an arithmetic function of vec_id, so
+    the DuckDB oracle replays the decode exactly.  Codec bitstreams
+    stay the marked PIL/codec integration point (like JPEG)."""
+    import pandas as pd
+    from kg import multimodal as mm
+    emb = _read("embeddings")(spark, sf_dir).select("vec_id")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for v in pdf["vec_id"]:
+                i = int(v)
+                rows.append((i, "video", "avi", mm.avi_bytes(
+                    i, 160 + (i % 9) * 16, 90 + (i % 7) * 12,
+                    (24, 25, 30)[i % 3], 10 + i % 50)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "format", "payload"])
+
+    media = emb.mapInPandas(gen, mm.MEDIA_SCHEMA).localCheckpoint()
+    return mm.extract_video_features(media).select(
+        "media_id", "width", "height", "us_per_frame", "n_frames",
+        "duration_ms", "n_bytes")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # WINDOW-ROTATION RULE (STATUS.md §rotation): the driver's CORRECTNESS
     # artifact covers roughly the FIRST 50 registered queries per round, so
@@ -2352,7 +2383,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r4 session-8 additions (rotated into the window); one
         # demotion each — see the demoted block -------------------------
         "text_bpe_encode": q_text_bpe_encode,
-        "embedding_top_pc": q_embedding_top_pc,
         "dedup_bleu_pairs": q_dedup_bleu_pairs,
         # --- r4 session-9 additions (rotated into the window); one
         # demotion each — see the demoted block -------------------------
@@ -2375,6 +2405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_tag_gini": q_kg_tag_gini,
         "text_pii_iban": q_text_pii_iban,
         "rel_events_sliding": q_rel_events_sliding,
+        "multimodal_video": q_multimodal_video,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also
@@ -2427,6 +2458,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # blocking shape keeps five in-window dedup relatives
         # (bleu/recall_lsh/winnow/semantic/paragraph)
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        # demoted for the session-12 video addition (multimodal_video):
+        # embedding_top_pc — bit-exact pure-Python replay +
+        # partition-invariance + zero-variance pytests; its inlined-
+        # literal narrow dot map is the expression class in-window
+        # ann_kmeans/ann_silhouette re-exercise, and its d-wide
+        # DECIMAL(38) map-side aggregate is ann_kmeans' update shape
+        "embedding_top_pc": q_embedding_top_pc,
         # kg_tag_msf — its contraction step IS kg.canon.connected_components
         # (in-window via dedup_components' recursive-CTE oracle) and its
         # struct-min argmax is the chosen-edge shape kg_tag_scc/ktruss

@@ -534,3 +534,101 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
     return (df.filter(F.col("kind") == "audio")
             .select("media_id", "payload")
             .mapInPandas(fx, AUDIO_FEATURES_SCHEMA))
+
+
+# --- video: real RIFF/AVI header encode + parse (pure stdlib) ---
+
+def avi_bytes(media_id: int, width: int, height: int, fps: int,
+              n_frames: int) -> bytes:
+    """Real RIFF/AVI skeleton: LIST hdrl holding the canonical 56-byte
+    'avih' main header, an odd-sized JUNK chunk (exercises the walker's
+    pad-byte handling), then an empty LIST movi.  Frame pixel payloads
+    are not encoded — codec bitstreams are the marked PIL/codec
+    integration point, exactly like JPEG in image_dims — but the
+    container parse (dims / frame rate / frame count) is fully real."""
+    avih = struct.pack("<IIIIIIIIII", 1_000_000 // fps, 0, 0, 0x10,
+                       n_frames, 0, 1, 0, width, height) + b"\x00" * 16
+    hdrl = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+    lst = b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+    junk = b"JUNK" + struct.pack("<I", 5) + b"\x00" * 5 + b"\x00"  # pad
+    movi = b"LIST" + struct.pack("<I", 4) + b"movi"
+    body = lst + junk + movi
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
+
+
+def avi_meta(payload: bytes) -> tuple[int, int, int, int, int]:
+    """Parse a RIFF/AVI payload → (width, height, us_per_frame,
+    n_frames, duration_ms).  Walks the top-level chunk list (4-byte tag
+    + LE u32 size, data padded to even — the same published RIFF layout
+    wav_meta walks), descends into LIST/hdrl, and reads the 56-byte
+    'avih' main header (AVIMAINHEADER: us/frame, max bytes/sec, pad,
+    flags, total frames, initial frames, streams, suggested buffer,
+    width, height).  Unknown chunks are tolerated in any position.
+    Raises ValueError on malformed payloads; callers emit a −1 row (the
+    decode_image_features contract)."""
+    if (len(payload) < 12 or payload[:4] != b"RIFF"
+            or payload[8:12] != b"AVI "):
+        raise ValueError("not a RIFF/AVI payload")
+    pos, avih = 12, None
+    while pos + 8 <= len(payload):
+        tag = payload[pos:pos + 4]
+        size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
+        chunk = payload[pos + 8:pos + 8 + size]
+        if len(chunk) < size:
+            raise ValueError("truncated chunk")
+        if tag == b"LIST" and chunk[:4] == b"hdrl":
+            sub = 4
+            while sub + 8 <= len(chunk):
+                stag = chunk[sub:sub + 4]
+                ssize = struct.unpack("<I", chunk[sub + 4:sub + 8])[0]
+                sdata = chunk[sub + 8:sub + 8 + ssize]
+                if len(sdata) < ssize:
+                    raise ValueError("truncated hdrl subchunk")
+                if stag == b"avih":
+                    avih = sdata
+                sub += 8 + ssize + (ssize & 1)
+        pos += 8 + size + (size & 1)
+    if avih is None or len(avih) < 40:
+        raise ValueError("missing avih header")
+    (us_per_frame, _maxbps, _pad, _flags, n_frames, _init, _streams,
+     _sugbuf, width, height) = struct.unpack("<IIIIIIIIII", avih[:40])
+    if us_per_frame == 0 or width == 0 or height == 0:
+        raise ValueError("degenerate avih header")
+    duration_ms = n_frames * us_per_frame // 1000
+    return width, height, us_per_frame, n_frames, duration_ms
+
+
+VIDEO_FEATURES_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("width", IntegerType(), False),
+    StructField("height", IntegerType(), False),
+    StructField("us_per_frame", LongType(), False),
+    StructField("n_frames", LongType(), False),
+    StructField("duration_ms", LongType(), False),
+    StructField("n_bytes", LongType(), False),
+])
+
+
+def extract_video_features(df: DataFrame) -> DataFrame:
+    """mapInPandas video container metadata over binary AVI payloads
+    (media_id, payload) — the video leg of the multimodal family, same
+    narrow-map contract as decode_image_features /
+    extract_audio_features: ONE pandas UDF per task, iterator-of-
+    batches memory bound, payloads never shuffled, malformed payloads
+    emit a −1 row instead of failing the task."""
+    def fx(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                p = bytes(payload)
+                try:
+                    w, h, us, fr, dur = avi_meta(p)
+                except ValueError:
+                    w, h, us, fr, dur = -1, -1, -1, -1, -1
+                rows.append((int(mid), w, h, us, fr, dur, len(p)))
+            yield pd.DataFrame(rows,
+                               columns=VIDEO_FEATURES_SCHEMA.fieldNames())
+
+    return (df.filter(F.col("kind") == "video")
+            .select("media_id", "payload")
+            .mapInPandas(fx, VIDEO_FEATURES_SCHEMA))

@@ -379,3 +379,45 @@ class TestGifDims:
         from kg.multimodal import image_dims
         with _pytest.raises(NotImplementedError):
             image_dims(b"GIF89a")
+
+
+class TestAviVideo:
+    def test_roundtrip_meta(self, spark):
+        from kg.multimodal import avi_bytes, avi_meta
+        w, h, us, fr, dur = avi_meta(avi_bytes(7, 320, 240, 30, 100))
+        assert (w, h, us, fr, dur) == (320, 240, 33333, 100, 3333)
+
+    def test_walker_tolerates_unknown_chunks_and_odd_pad(self, spark):
+        import struct
+        from kg.multimodal import avi_bytes, avi_meta
+        b = avi_bytes(1, 64, 48, 25, 10)
+        # splice an extra odd-sized unknown chunk before the hdrl LIST
+        extra = b"odd " + struct.pack("<I", 3) + b"abc" + b"\x00"
+        spliced = (b[:12] + extra + b[12:-8]
+                   + b[-8:])
+        spliced = (spliced[:4]
+                   + struct.pack("<I", len(spliced) - 8) + spliced[8:])
+        assert avi_meta(spliced) == (64, 48, 40000, 10, 400)
+
+    def test_malformed_payloads_raise(self, spark):
+        import pytest as _pytest
+        from kg.multimodal import avi_bytes, avi_meta
+        b = avi_bytes(1, 64, 48, 25, 10)
+        for bad in (b[:10], b"RIFF" + b"\x00" * 20,
+                    b.replace(b"avih", b"xxxx"), b[:40]):
+            with _pytest.raises(ValueError):
+                avi_meta(bad)
+
+    def test_extract_video_features_minus_one_contract(self, spark):
+        from kg.multimodal import avi_bytes, extract_video_features
+        rows = [(1, "video", "avi", bytearray(avi_bytes(1, 128, 96, 24, 48))),
+                (2, "video", "avi", bytearray(b"garbage")),
+                (3, "image", "png", bytearray(b"skip-me"))]
+        df = spark.createDataFrame(
+            rows, "media_id long, kind string, format string, payload binary")
+        got = {r.media_id: (r.width, r.height, r.us_per_frame, r.n_frames,
+                            r.duration_ms)
+               for r in extract_video_features(df).collect()}
+        assert got[1] == (128, 96, 41666, 48, 1999)
+        assert got[2] == (-1, -1, -1, -1, -1)
+        assert 3 not in got            # kind filter

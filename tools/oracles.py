@@ -4463,6 +4463,27 @@ def build_oracle_sql() -> dict[str, str]:
                    GROUP BY 1) vc USING (doc_id)
         LEFT JOIN alts al ON al.doc_id = a.doc_id"""
 
+    # Video-container decode (kg.multimodal.avi_meta): the fixture's
+    # avih fields are pure arithmetic in vec_id and the container is a
+    # constant 114 bytes, so every decoded cell replays exactly.
+    sqls["multimodal_video"] = """
+        WITH p AS (
+          SELECT vec_id, 160 + (vec_id % 9) * 16 AS w,
+                 90 + (vec_id % 7) * 12 AS h,
+                 CASE vec_id % 3 WHEN 0 THEN 24 WHEN 1 THEN 25
+                      ELSE 30 END AS fps,
+                 10 + vec_id % 50 AS fr
+          FROM embeddings)
+        SELECT vec_id AS media_id,
+               CAST(w AS INT) AS width,
+               CAST(h AS INT) AS height,
+               CAST(1000000 // fps AS BIGINT) AS us_per_frame,
+               CAST(fr AS BIGINT) AS n_frames,
+               CAST(fr * (1000000 // fps) // 1000 AS BIGINT)
+                 AS duration_ms,
+               CAST(114 AS BIGINT) AS n_bytes
+        FROM p"""
+
     # Sliding-window counts (kg.relops.sliding_window_counts): Spark's
     # epoch-aligned window(ts, '3 days', '1 day') puts an event with day
     # D into the windows starting D-2, D-1, D — replayed as a bounded
