@@ -2311,6 +2311,38 @@ def q_multimodal_video(spark, sf_dir):
         "duration_ms", "n_bytes")
 
 
+def q_rel_q5_volume(spark, sf_dir):
+    """TPC-H Q5 (local supplier volume): revenue per nation where the
+    CUSTOMER and the SUPPLIER share the nation, region-filtered, one
+    order-year window — the 6-table join that exercises Catalyst's join
+    reordering; the nation⋈region dim rides in as ONE broadcast, the
+    fact joins shuffle on their keys and the date filter pushes to the
+    orders scan.  Revenue summed in DECIMAL(18,2), cast double at the
+    edge (house float rule)."""
+    re_, na, cu, su, od, li = (_read(n)(spark, sf_dir) for n in
+                               ("region", "nation", "customer",
+                                "supplier", "orders", "lineitem"))
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)")
+                                     - _dec("l_discount"))
+    od_f = od.filter(
+        (F.col("o_orderdate").cast("timestamp")
+         >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate").cast("timestamp")
+           < F.lit("1997-01-01").cast("timestamp")))
+    nr = F.broadcast(
+        na.join(re_.filter(F.col("r_name") == "ASIA"),
+                na.n_regionkey == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name"))
+    return (li.join(od_f, li.l_orderkey == od_f.o_orderkey)
+            .join(cu, od_f.o_custkey == cu.c_custkey)
+            .join(su, (li.l_suppkey == su.s_suppkey)
+                  & (cu.c_nationkey == su.s_nationkey))
+            .join(nr, su.s_nationkey == F.col("n_nationkey"))
+            .groupBy("n_name")
+            .agg(F.sum(rev).cast("double").alias("revenue"),
+                 F.count("*").cast("bigint").alias("n_items")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # WINDOW-ROTATION RULE (STATUS.md §rotation): the driver's CORRECTNESS
     # artifact covers roughly the FIRST 50 registered queries per round, so
@@ -2388,7 +2420,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # demotion each — see the demoted block -------------------------
         "dedup_recall_lsh": q_dedup_recall_lsh,
         "corpus_overlap_matrix": q_corpus_overlap_matrix,
-        "kg_tag_scc": q_kg_tag_scc,
         "kg_tag_ktruss": q_kg_tag_ktruss,
         # --- r4 session-11 additions (rotated into the window); one
         # demotion each — see the demoted block -------------------------
@@ -2406,6 +2437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_iban": q_text_pii_iban,
         "rel_events_sliding": q_rel_events_sliding,
         "multimodal_video": q_multimodal_video,
+        "rel_q5_volume": q_rel_q5_volume,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also
@@ -2465,6 +2497,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ann_kmeans/ann_silhouette re-exercise, and its d-wide
         # DECIMAL(38) map-side aggregate is ann_kmeans' update shape
         "embedding_top_pc": q_embedding_top_pc,
+        # demoted for the session-12 relational addition (rel_q5_volume):
+        # kg_tag_scc — per-pivot FW/BW reach chains are the multi_bfs
+        # frontier machinery in-window via kg_tag_eccentricity (and
+        # r3-green kg_tag_bfs); the INTERSECT/resolved-honesty contract
+        # is pinned by cycle+chain/depth-bound/self-loop pytests
+        "kg_tag_scc": q_kg_tag_scc,
         # kg_tag_msf — its contraction step IS kg.canon.connected_components
         # (in-window via dedup_components' recursive-CTE oracle) and its
         # struct-min argmax is the chosen-edge shape kg_tag_scc/ktruss

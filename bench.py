@@ -128,6 +128,14 @@ HEADLINE = [
     "ann_silhouette",        # simplified-silhouette k-means audit
     "corpus_budget_rates",   # token-budget water-filling rate design
     "kg_tag_eccentricity",   # pivot eccentricity / diameter lower bound
+    "text_entropy",          # in-row sorted-run token entropy profile
+    "link_edit_pairs",       # Levenshtein verify of LSH candidate pairs
+    "kg_tag_coloring",       # Jones-Plassmann md5-priority coloring
+    "kg_tag_gini",           # exact degree-Gini, distinct-degree window
+    "text_pii_iban",         # mod-97 validated IBAN detect + redact
+    "rel_events_sliding",    # native 3d/1d sliding-window counts
+    "multimodal_video",      # RIFF/AVI container parse, mapInPandas
+    "rel_q5_volume",         # TPC-H Q5 six-table join, broadcast dims
 ]
 
 

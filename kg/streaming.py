@@ -303,3 +303,24 @@ def stream_quality_gate(docs_stream: DataFrame, text_col: str = "text",
     gated = docs_stream.filter(gopher_passes(text_col))
     return c4_line_clean(gated, text_col=text_col,
                          min_words_per_line=min_words_per_line)
+
+
+def stream_sliding_counts(events: DataFrame, window_days: int = 3,
+                          slide_days: int = 1, ts_col: str = "ts",
+                          watermark: str = "1 day") -> DataFrame:
+    """Streaming twin of kg.relops.sliding_window_counts — the SAME
+    epoch-aligned window(window, slide) groupBy, under a watermark that
+    bounds state to the open overlapping windows (window/slide of them
+    per key) and drops rows later than the watermark.  Because batch
+    and stream share the window expression, an availableNow pass over a
+    static source reproduces the batch result exactly (pinned by
+    test_streaming); output formatted identically ('yyyy-MM-dd')."""
+    return (events
+            .withColumn("_ts", F.col(ts_col).cast("timestamp"))
+            .withWatermark("_ts", watermark)
+            .groupBy(F.window(F.col("_ts"), f"{window_days} days",
+                              f"{slide_days} days").alias("w"),
+                     "event_type")
+            .agg(F.count("*").cast("bigint").alias("n"))
+            .select(F.date_format(F.col("w.start"), "yyyy-MM-dd")
+                    .alias("window_start"), "event_type", "n"))

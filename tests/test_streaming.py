@@ -290,3 +290,27 @@ def test_stream_quality_gate_matches_batch(tmp_path, spark):
             for r in c4_line_clean(docs.filter(gopher_passes("text")))
             .collect()}
     assert got == want and len(got) > 0
+
+
+def test_stream_sliding_counts_matches_batch(tmp_path, spark):
+    """The overlapping-window aggregate is ONE definition across batch
+    (kg.relops.sliding_window_counts) and stream (stream_sliding_counts):
+    an availableNow pass over a static source must reproduce the batch
+    result row-for-row (complete mode: every open window emits)."""
+    from kg.relops import sliding_window_counts
+    from kg.streaming import stream_sliding_counts
+    batch = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+             .limit(500))
+    src = str(tmp_path / "ev")
+    batch.write.parquet(src)
+    batch = spark.read.parquet(src)
+    want = {(r.window_start, r.event_type): r.n
+            for r in sliding_window_counts(batch).collect()}
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (stream_sliding_counts(stream).writeStream.format("memory")
+         .queryName("sliding").outputMode("complete")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.window_start, r.event_type): r.n
+           for r in spark.sql("select * from sliding").collect()}
+    assert got == want

@@ -4463,6 +4463,28 @@ def build_oracle_sql() -> dict[str, str]:
                    GROUP BY 1) vc USING (doc_id)
         LEFT JOIN alts al ON al.doc_id = a.doc_id"""
 
+    # TPC-H Q5 local supplier volume: customer and supplier share the
+    # nation, ASIA region, 1996 order year; revenue exact in
+    # DECIMAL(18,2), cast double at the edge.
+    sqls["rel_q5_volume"] = """
+        SELECT n_name,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2))
+                           - CAST(l_discount AS DECIMAL(18,2))))
+                    AS DOUBLE) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+                     AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name"""
+
     # Video-container decode (kg.multimodal.avi_meta): the fixture's
     # avih fields are pure arithmetic in vec_id and the container is a
     # constant 114 bytes, so every decoded cell replays exactly.
