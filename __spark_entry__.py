@@ -2343,6 +2343,47 @@ def q_rel_q5_volume(spark, sf_dir):
                  F.count("*").cast("bigint").alias("n_items")))
 
 
+def q_embedding_audit(spark, sf_dir):
+    """Vector-lake ingest audit (kg.embed.embedding_audit): one
+    map-side-combining aggregate emitting the invariant gate cells
+    (nulls / wrong dims / nonfinite / zero vectors / duplicate ids — all
+    0 on a healthy lake) plus exact micro² norm statistics; the
+    corpus_audit analog every ANN/SemDeDup batch runs first."""
+    from kg.embed import embedding_audit
+    return embedding_audit(_read("embeddings")(spark, sf_dir), dim=64)
+
+
+def q_corpus_outliers(spark, sf_dir):
+    """Robust median/MAD outlier flags (kg.curate.mad_outliers) over the
+    actual text length — the heavy-tail-safe curation anomaly gate
+    (mean/stddev break down on corpus metrics); both order statistics
+    histogram-exact (windows over DISTINCT values only), the flag an
+    exact integer cross-multiplication |x−med|·1000 > k·MAD."""
+    from kg.curate import mad_outliers
+    d = _docs(spark, sf_dir).withColumn("_len", F.length("text"))
+    return mad_outliers(d, value_col="_len", k_milli=3000)
+
+
+def q_rel_q18_big_orders(spark, sf_dir):
+    """TPC-H Q18 (large-volume customer): orders whose total quantity
+    exceeds the threshold — the group-HAVING-then-semi-join shape
+    (aggregate builds the qualifying key set, fact tables join back);
+    quantity summed in DECIMAL(18,2), cast double at the edge."""
+    cu, od, li = (_read(n)(spark, sf_dir) for n in
+                  ("customer", "orders", "lineitem"))
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(_dec("l_quantity")).alias("q"))
+           .filter(F.col("q") > 350).select("l_orderkey"))
+    return (od.join(big, od.o_orderkey == big.l_orderkey)
+            .join(cu, od.o_custkey == cu.c_custkey)
+            .join(li.select(F.col("l_orderkey").alias("lk"),
+                            "l_quantity"),
+                  od.o_orderkey == F.col("lk"))
+            .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+            .agg(F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+                 F.count("*").cast("bigint").alias("n_items")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # WINDOW-ROTATION RULE (STATUS.md §rotation): the driver's CORRECTNESS
     # artifact covers roughly the FIRST 50 registered queries per round, so
@@ -2415,7 +2456,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r4 session-8 additions (rotated into the window); one
         # demotion each — see the demoted block -------------------------
         "text_bpe_encode": q_text_bpe_encode,
-        "dedup_bleu_pairs": q_dedup_bleu_pairs,
         # --- r4 session-9 additions (rotated into the window); one
         # demotion each — see the demoted block -------------------------
         "dedup_recall_lsh": q_dedup_recall_lsh,
@@ -2425,8 +2465,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # demotion each — see the demoted block -------------------------
         "multimodal_audio": q_multimodal_audio,
         "kg_tag_matching": q_kg_tag_matching,
-        "ann_silhouette": q_ann_silhouette,
-        "corpus_budget_rates": q_corpus_budget_rates,
         "kg_tag_eccentricity": q_kg_tag_eccentricity,
         # --- r4 session-12 additions (rotated into the window); one
         # demotion each — see the demoted block -------------------------
@@ -2438,6 +2476,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_events_sliding": q_rel_events_sliding,
         "multimodal_video": q_multimodal_video,
         "rel_q5_volume": q_rel_q5_volume,
+        "embedding_audit": q_embedding_audit,
+        "corpus_outliers": q_corpus_outliers,
+        "rel_q18_big_orders": q_rel_q18_big_orders,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also
@@ -2503,6 +2544,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r3-green kg_tag_bfs); the INTERSECT/resolved-honesty contract
         # is pinned by cycle+chain/depth-bound/self-loop pytests
         "kg_tag_scc": q_kg_tag_scc,
+        # demoted for the session-12 audit/relational additions
+        # (embedding_audit / corpus_outliers / rel_q18_big_orders):
+        # dedup_bleu_pairs — the LSH candidate-pair machinery keeps FOUR
+        # in-window relatives (winnow_pairs, recall_lsh, semantic,
+        # link_edit_pairs — the last embedding the same pair SQL
+        # verbatim); the clipped-count joins are pinned by hand-scored/
+        # asymmetry/zero-bigram/pair-bounded pytests
+        "dedup_bleu_pairs": q_dedup_bleu_pairs,
+        # ann_silhouette — shares ONE distance-kernel SQL string with
+        # in-window ann_kmeans (the _km round chain); the two-nearest
+        # row_number + HUGEINT formula delta is pinned by separated-high/
+        # two-point-exact/k=1-zero/members-match-fit pytests
+        "ann_silhouette": q_ann_silhouette,
+        # corpus_budget_rates — |domains|-row broadcast-scalar rounds, a
+        # round-for-round trivial-replay oracle (the rel_events_decay
+        # demotion class); hand-water-fill/full-budget/empty/even-split
+        # pytests pin the redistribution arithmetic
+        "corpus_budget_rates": q_corpus_budget_rates,
         # kg_tag_msf — its contraction step IS kg.canon.connected_components
         # (in-window via dedup_components' recursive-CTE oracle) and its
         # struct-min argmax is the chosen-edge shape kg_tag_scc/ktruss

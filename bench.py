@@ -136,6 +136,9 @@ HEADLINE = [
     "rel_events_sliding",    # native 3d/1d sliding-window counts
     "multimodal_video",      # RIFF/AVI container parse, mapInPandas
     "rel_q5_volume",         # TPC-H Q5 six-table join, broadcast dims
+    "embedding_audit",       # one-aggregate vector-lake invariant gate
+    "corpus_outliers",       # histogram-exact median/MAD anomaly flags
+    "rel_q18_big_orders",    # TPC-H Q18 group-HAVING semi-join shape
 ]
 
 

@@ -222,3 +222,57 @@ def dsir_scores(docs: DataFrame, target: DataFrame, raw: DataFrame | None = None
             .select(id_col, "n_feats",
                     (F.col("_sb") + F.col("n_feats") * F.col("s_const"))
                     .cast("bigint").alias("dsir_bits")))
+
+
+def _nr_lower_median(vals: DataFrame, col: str, out: str) -> DataFrame:
+    """Single-row lower nearest-rank median (rank (n+1) div 2) via the
+    histogram-exact pattern: the ordered window runs over DISTINCT
+    values of `col` — bounded by metric granularity, never corpus size
+    (the corpus_quality_strata / rfm banding argument)."""
+    from pyspark.sql.window import Window
+    hist = vals.groupBy(F.col(col).alias("v")).agg(
+        F.count("*").cast("bigint").alias("m"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("v").rowsBetween(Window.unboundedPreceding,
+                                           Window.unboundedFollowing)
+    cum = (hist.withColumn("cum", F.sum("m").over(w))
+           .withColumn("n", F.sum("m").over(wall)))
+    return (cum.filter(F.expr("cum >= (n + 1) div 2"))
+            .agg(F.min("v").cast("bigint").alias(out)))
+
+
+def mad_outliers(df: DataFrame, value_col: str = "n_chars",
+                 id_col: str = "doc_id",
+                 k_milli: int = 3000) -> DataFrame:
+    """Robust median/MAD outlier flags over an integer quality metric —
+    the curation anomaly gate that mean/stddev cannot provide on
+    heavy-tailed corpus metrics (a handful of giant documents drags a
+    mean-based z-score until nothing flags; the median and the median
+    absolute deviation are 50%-breakdown estimators):
+
+        is_outlier ⇔ |x − median| · 1000 > k_milli · MAD
+
+    — the comparison is an exact integer CROSS-MULTIPLICATION (no
+    division, no floats; k_milli = 3000 ≈ the classic 3-sigma-equivalent
+    2.96·1.4826·MAD rule folded to one integer knob).  Both the median
+    and the MAD are lower nearest-rank order statistics computed
+    histogram-exact: the only ordered windows run over DISTINCT metric
+    values (bounded by granularity, never |corpus|), and the two
+    resulting scalars ride broadcast cross joins.
+
+    Returns (doc_id, x, med, abs_dev, mad, is_outlier) for every row.
+    MAD = 0 (over half the corpus shares the median value) flags every
+    x ≠ median — the honest degenerate reading; pick a finer metric if
+    that fires."""
+    x = df.select(F.col(id_col),
+                  F.col(value_col).cast("bigint").alias("x"))
+    med = _nr_lower_median(x.select("x"), "x", "med")
+    dev = (x.crossJoin(F.broadcast(med))
+           .withColumn("abs_dev", F.abs(F.col("x") - F.col("med"))
+                       .cast("bigint")))
+    mad = _nr_lower_median(dev.select("abs_dev"), "abs_dev", "mad")
+    return (dev.crossJoin(F.broadcast(mad))
+            .select(id_col, "x", "med", "abs_dev", "mad",
+                    (F.col("abs_dev") * 1000
+                     > F.lit(int(k_milli)) * F.col("mad"))
+                    .alias("is_outlier")))

@@ -182,3 +182,58 @@ def random_projection(emb: DataFrame, out_dims: int = 8,
     return (iv.select("vec_id", F.explode(arr).alias("_c"))
             .select("vec_id", F.col("_c.dim").cast("int").alias("dim"),
                     F.col("_c.val").cast("bigint").alias("val_micro")))
+
+
+def embedding_audit(emb: DataFrame, dim: int = 64, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """One-row vector-lake ingest audit — the kg.corpus.corpus_audit
+    analog for embedding tables (the invariant gate a lake runs before
+    a vector batch feeds ANN indexing / SemDeDup / dedup):
+
+      (n_vecs, n_null_vec, n_wrong_dim, n_nonfinite, n_zero, n_dup_ids,
+       min_norm2, max_norm2, mean_norm2)
+
+    On a healthy lake n_null_vec = n_wrong_dim = n_nonfinite = n_zero =
+    n_dup_ids = 0; norm² cells are exact micro² BIGINTs over the house
+    quantization (round ties-away, kg.similarity._micro_vec), computed
+    only over structurally-sound vectors.  Nonfinite = any element NaN
+    or |x| > 1e30 (the portable finite cutoff — DuckDB isnan mirrors
+    Spark's).  mean_norm2 is an exact integer division staged through
+    DECIMAL(38,0) so corpus size never overflows.
+
+    Shape: ONE map-side-combining aggregate — no window, no join; at
+    100 TB this is a single scan."""
+    v = F.col(vec_col)
+    bad = F.exists(v, lambda x: F.isnan(x.cast("double"))
+                   | (F.abs(x.cast("double")) > F.lit(1e30)))
+    ok = v.isNotNull() & (F.size(v) == dim) & ~bad
+    norm2 = F.aggregate(
+        F.transform(v, lambda x: F.round(x.cast("double") * 1_000_000, 0)
+                    .cast("bigint")),
+        F.lit(0).cast("bigint"), lambda acc, e: acc + e * e)
+    one = F.lit(1).cast("bigint")
+    return (emb.select(
+        F.col(id_col).alias("_id"), v.isNull().alias("_null"),
+        (v.isNotNull() & (F.size(v) != dim)).alias("_wdim"),
+        (v.isNotNull() & (F.size(v) == dim) & bad).alias("_bad"),
+        ok.alias("_ok"), F.when(ok, norm2).alias("_n2"))
+        .agg(F.count("*").cast("bigint").alias("n_vecs"),
+             F.sum(F.when(F.col("_null"), one).otherwise(0))
+             .cast("bigint").alias("n_null_vec"),
+             F.sum(F.when(F.col("_wdim"), one).otherwise(0))
+             .cast("bigint").alias("n_wrong_dim"),
+             F.sum(F.when(F.col("_bad"), one).otherwise(0))
+             .cast("bigint").alias("n_nonfinite"),
+             F.sum(F.when(F.col("_ok") & (F.col("_n2") == 0), one)
+                   .otherwise(0)).cast("bigint").alias("n_zero"),
+             (F.count("*") - F.countDistinct("_id")).cast("bigint")
+             .alias("n_dup_ids"),
+             F.min("_n2").cast("bigint").alias("min_norm2"),
+             F.max("_n2").cast("bigint").alias("max_norm2"),
+             F.sum(F.col("_n2").cast("decimal(38,0)")).alias("_s"),
+             F.sum(F.when(F.col("_ok"), one).otherwise(0)).alias("_k"))
+        .select("n_vecs", "n_null_vec", "n_wrong_dim", "n_nonfinite",
+                "n_zero", "n_dup_ids", "min_norm2", "max_norm2",
+                F.expr("CASE WHEN _k = 0 THEN CAST(0 AS BIGINT) "
+                       "ELSE CAST(_s div _k AS BIGINT) END")
+                .alias("mean_norm2")))

@@ -84,3 +84,39 @@ def test_ccnet_buckets_no_bigram_docs_absent(spark):
         [("a", "x y x y"), ("b", "z"), ("c", "")],
         "doc_id string, text string")
     assert {r["doc"] for r in ccnet_buckets(df).collect()} == {"a"}
+
+
+class TestMadOutliers:
+    def test_median_mad_and_flags(self, spark):
+        from kg.curate import mad_outliers
+        rows = [(i, 100 + i % 7) for i in range(20)] + \
+            [(100, 10_000), (101, 1)]
+        df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+        out = mad_outliers(df).collect()
+        assert sorted(r.doc_id for r in out if r.is_outlier) == [100, 101]
+        r = out[0]
+        xs = sorted(x for _, x in rows)
+        assert r.med == xs[(len(xs) + 1) // 2 - 1]
+        devs = sorted(abs(x - r.med) for _, x in rows)
+        assert r.mad == devs[(len(devs) + 1) // 2 - 1]
+
+    def test_cross_multiply_no_division(self, spark):
+        from kg.curate import mad_outliers
+        # mad = 0 (constant bulk): every deviating row flags — honest
+        # degenerate reading documented in the docstring
+        rows = [(i, 5) for i in range(10)] + [(99, 6)]
+        df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+        out = {r.doc_id: r.is_outlier for r in mad_outliers(df).collect()}
+        assert out[99] is True and not any(v for k, v in out.items()
+                                           if k != 99)
+
+    def test_k_milli_tightens_the_fence(self, spark):
+        from kg.curate import mad_outliers
+        rows = [(i, v) for i, v in enumerate([10, 11, 12, 13, 14,
+                                              15, 16, 17, 18, 40])]
+        df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+        loose = {r.doc_id for r in mad_outliers(df, k_milli=9000).collect()
+                 if r.is_outlier}
+        tight = {r.doc_id for r in mad_outliers(df, k_milli=1000).collect()
+                 if r.is_outlier}
+        assert loose <= tight and 9 in loose

@@ -85,3 +85,33 @@ def test_top_pc_projection_plan_is_narrow(spark):
         df, dim=2, model={"mean": [0, 0], "v": [1_000_000, 0], "n": 1}
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestEmbeddingAudit:
+    def test_clean_lake_zero_invariants(self, spark):
+        from kg.embed import embedding_audit
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        r = embedding_audit(emb, dim=64).collect()[0]
+        assert (r.n_null_vec, r.n_wrong_dim, r.n_nonfinite, r.n_zero,
+                r.n_dup_ids) == (0, 0, 0, 0, 0)
+        assert r.n_vecs > 0 and 0 < r.min_norm2 <= r.mean_norm2 <= r.max_norm2
+
+    def test_dirty_fixture_hits_every_cell(self, spark):
+        from kg.embed import embedding_audit
+        rows = [
+            (1, [1.0, 0.0]), (2, [0.5, 0.5]),       # sound
+            (3, None),                               # null vec
+            (4, [1.0]),                              # wrong dim
+            (5, [float("nan"), 0.0]),                # nonfinite
+            (6, [float("inf"), 0.0]),                # nonfinite
+            (7, [0.0, 0.0]),                         # zero vector
+            (7, [2.0, 0.0]),                         # duplicate id
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>")
+        r = embedding_audit(emb, dim=2).collect()[0]
+        assert (r.n_vecs, r.n_null_vec, r.n_wrong_dim, r.n_nonfinite,
+                r.n_zero, r.n_dup_ids) == (8, 1, 1, 2, 1, 1)
+        # norm2 over sound vecs: 1e12, 5e11, 0, 4e12
+        assert r.min_norm2 == 0 and r.max_norm2 == 4 * 10**12
+        assert r.mean_norm2 == (10**12 + 5 * 10**11 + 0 + 4 * 10**12) // 4

@@ -4463,6 +4463,92 @@ def build_oracle_sql() -> dict[str, str]:
                    GROUP BY 1) vc USING (doc_id)
         LEFT JOIN alts al ON al.doc_id = a.doc_id"""
 
+    # Vector-lake ingest audit (kg.embed.embedding_audit): gate cells +
+    # exact micro^2 norm stats over structurally-sound vectors; the
+    # micro quantization replays kg.similarity._micro_vec (round
+    # ties-away — CLAUDE.md portability fact).
+    sqls["embedding_audit"] = """
+        WITH b AS (
+          SELECT vec_id, embedding,
+                 embedding IS NULL AS is_null,
+                 embedding IS NOT NULL AND len(embedding) <> 64 AS wdim,
+                 embedding IS NOT NULL AND len(embedding) = 64
+                   AND len(list_filter(embedding, x ->
+                         isnan(CAST(x AS DOUBLE))
+                         OR abs(CAST(x AS DOUBLE)) > 1e30)) > 0 AS bad
+          FROM embeddings),
+        s AS (
+          SELECT vec_id, is_null, wdim, bad,
+                 NOT (is_null OR wdim OR bad) AS ok,
+                 CASE WHEN NOT (is_null OR wdim OR bad) THEN
+                   list_sum(list_transform(embedding, x ->
+                     CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                     * CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)))
+                 END AS n2
+          FROM b)
+        SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(sum(CASE WHEN is_null THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_null_vec,
+               CAST(sum(CASE WHEN wdim THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_wrong_dim,
+               CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_nonfinite,
+               CAST(sum(CASE WHEN ok AND n2 = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_zero,
+               CAST(count(*) - count(DISTINCT vec_id) AS BIGINT)
+                 AS n_dup_ids,
+               CAST(min(n2) AS BIGINT) AS min_norm2,
+               CAST(max(n2) AS BIGINT) AS max_norm2,
+               CASE WHEN sum(CASE WHEN ok THEN 1 ELSE 0 END) = 0
+                    THEN CAST(0 AS BIGINT)
+                    ELSE CAST(CAST(sum(n2) AS HUGEINT)
+                              // sum(CASE WHEN ok THEN 1 ELSE 0 END)
+                         AS BIGINT) END AS mean_norm2
+        FROM s"""
+
+    # Median/MAD outliers (kg.curate.mad_outliers): both order
+    # statistics are lower nearest-rank (rank (n+1) div 2) over value
+    # histograms; flag = exact cross-multiplication.
+    sqls["corpus_outliers"] = """
+        WITH x AS (
+          SELECT doc_id, CAST(length(text) AS BIGINT) AS x
+          FROM documents WHERE lang = 'en'),
+        h1 AS (SELECT x AS v, CAST(count(*) AS BIGINT) AS m
+               FROM x GROUP BY 1),
+        c1 AS (SELECT v, sum(m) OVER (ORDER BY v) AS cum,
+                      sum(m) OVER () AS n FROM h1),
+        medt AS (SELECT CAST(min(v) AS BIGINT) AS med FROM c1
+                 WHERE cum >= (n + 1) // 2),
+        d AS (SELECT doc_id, x, med, CAST(abs(x - med) AS BIGINT)
+                     AS abs_dev
+              FROM x CROSS JOIN medt),
+        h2 AS (SELECT abs_dev AS v, CAST(count(*) AS BIGINT) AS m
+               FROM d GROUP BY 1),
+        c2 AS (SELECT v, sum(m) OVER (ORDER BY v) AS cum,
+                      sum(m) OVER () AS n FROM h2),
+        madt AS (SELECT CAST(min(v) AS BIGINT) AS mad FROM c2
+                 WHERE cum >= (n + 1) // 2)
+        SELECT doc_id, x, med, abs_dev, mad,
+               abs_dev * 1000 > 3000 * mad AS is_outlier
+        FROM d CROSS JOIN madt"""
+
+    # TPC-H Q18 large-volume customer: group-HAVING key set, fact
+    # tables joined back; exact DECIMAL quantity sums.
+    sqls["rel_q18_big_orders"] = """
+        WITH big AS (
+          SELECT l_orderkey FROM lineitem
+          GROUP BY 1
+          HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 350)
+        SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_qty,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM orders
+        JOIN big ON o_orderkey = big.l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN lineitem ON o_orderkey = lineitem.l_orderkey
+        GROUP BY 1, 2, 3, 4"""
+
     # TPC-H Q5 local supplier volume: customer and supplier share the
     # nation, ASIA region, 1996 order year; revenue exact in
     # DECIMAL(18,2), cast double at the edge.
