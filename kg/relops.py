@@ -514,3 +514,47 @@ def sliding_window_counts(events: DataFrame, window_days: int = 3,
             .select(F.date_format(F.col("w.start"), "yyyy-MM-dd")
                     .alias("window_start"),
                     F.col(type_col), "n"))
+
+
+def session_surprisal(events: DataFrame, user_col: str = "user_id",
+                      type_col: str = "event_type", ts_col: str = "ts",
+                      seq_col: str = "event_id") -> DataFrame:
+    """Per-user behavioral surprisal under the corpus-wide first-order
+    Markov model (event_transitions) — the event-stream twin of the
+    text LM scorers (kg.textstats.lm_surprisal / kn_doc_bits): each of
+    a user's transitions contributes the floor-log2 inverse-probability
+    bits of its (from → to) step,
+
+        bits += length(bin(1e6 div greatest(prob_micro, 1))) − 1
+
+    so bots, fraud, and broken instrumentation surface as users whose
+    navigation is consistently improbable under the population model
+    (high bits_per_trans_milli), exactly the way gibberish text
+    surfaces under a unigram LM.  The greatest(·,1) guard keeps a
+    sub-micro-probability transition finite (~20 bits, the kn_doc_bits
+    OOV convention).
+
+    Returns (user_id, n_transitions, bits, bits_per_trans_milli);
+    single-event users have no transitions and are honestly absent.
+
+    Shape: the model is a ≤|types|²-row broadcast; user successor pairs
+    ride the ONE per-user window shuffle the transitions build already
+    pays; then a broadcast hash join + one per-user aggregate —
+    nothing downstream of the window scales with |events|."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, seq_col)
+    model = event_transitions(events, user_col=user_col,
+                              type_col=type_col, ts_col=ts_col,
+                              seq_col=seq_col)
+    steps = (events.select(F.col(user_col),
+                           F.col(type_col).alias("from_type"),
+                           F.lead(type_col).over(w).alias("to_type"))
+             .filter(F.col("to_type").isNotNull()))
+    scored = steps.join(F.broadcast(model), ["from_type", "to_type"])
+    return (scored.groupBy(user_col)
+            .agg(F.count("*").cast("bigint").alias("n_transitions"),
+                 F.sum(F.expr(
+                     "length(bin(1000000 div greatest(prob_micro, 1)))"
+                     " - 1").cast("bigint")).cast("bigint").alias("bits"))
+            .withColumn("bits_per_trans_milli",
+                        F.expr("bits * 1000 div n_transitions")
+                        .cast("bigint")))

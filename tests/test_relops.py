@@ -494,3 +494,50 @@ class TestSlidingWindowCounts:
         rows = sliding_window_counts(ev, window_days=2,
                                      slide_days=2).collect()
         assert sum(r.n for r in rows) == ev.count()   # partition, no overlap
+
+
+class TestSessionSurprisal:
+    def _events(self, spark):
+        # user 1 follows the common a->b path twice; user 2 takes the
+        # rare a->c path; user 3 has a single event (no transitions)
+        rows = [(1, 1, "2024-01-01 00:00:00", "a"),
+                (2, 1, "2024-01-01 00:01:00", "b"),
+                (3, 1, "2024-01-01 00:02:00", "a"),
+                (4, 1, "2024-01-01 00:03:00", "b"),
+                (5, 2, "2024-01-01 00:00:00", "a"),
+                (6, 2, "2024-01-01 00:01:00", "c"),
+                (7, 3, "2024-01-01 00:00:00", "a")]
+        return (spark.createDataFrame(
+            rows, "event_id long, user_id long, ts string, event_type string")
+            .withColumn("ts", F.col("ts").cast("timestamp")))
+
+    def test_matches_python_replay(self, spark):
+        from kg.relops import session_surprisal
+        ev = self._events(spark)
+        got = {r.user_id: (r.n_transitions, r.bits,
+                           r.bits_per_trans_milli)
+               for r in session_surprisal(ev).collect()}
+        # model: from a -> b (2/3, p=666666), a -> c (1/3, p=333333),
+        # b -> a (1/1, p=1000000)
+        bits = lambda p: (1_000_000 // max(p, 1)).bit_length() - 1
+        u1 = 2 * bits(666666) + bits(1_000_000)   # a->b, b->a, a->b
+        assert got[1] == (3, u1, u1 * 1000 // 3)
+        u2 = bits(333333)
+        assert got[2] == (1, u2, u2 * 1000 // 1)
+        assert 3 not in got            # single-event users absent
+
+    def test_rare_paths_score_higher(self, spark):
+        from kg.relops import session_surprisal
+        ev = self._events(spark)
+        got = {r.user_id: r.bits_per_trans_milli
+               for r in session_surprisal(ev).collect()}
+        assert got[2] > got[1]
+
+    def test_sub_micro_probability_guard(self, spark):
+        """prob_micro = 0 (a transition rarer than 1 in 1e6) must score
+        the finite ~20-bit OOV convention, not divide by zero — checked
+        directly on the guarded expression rather than a 1M-row frame."""
+        row = (spark.range(1)
+               .select(F.expr("length(bin(1000000 div greatest(0, 1)))"
+                              " - 1").alias("bits")).collect()[0])
+        assert row.bits == (1_000_000).bit_length() - 1 == 19
