@@ -2384,6 +2384,16 @@ def q_rel_q18_big_orders(spark, sf_dir):
                  F.count("*").cast("bigint").alias("n_items")))
 
 
+def q_rel_events_surprisal(spark, sf_dir):
+    """Per-user Markov surprisal (kg.relops.session_surprisal): each
+    user's navigation scored in floor-log2 inverse-probability bits
+    under the corpus-wide transition model — the behavioral-anomaly
+    twin of the text LM scorers; model broadcast, ONE window shuffle.
+    The oracle replays the transition matrix and the per-step bits."""
+    from kg.relops import session_surprisal
+    return session_surprisal(_read("events")(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # WINDOW-ROTATION RULE (STATUS.md §rotation): the driver's CORRECTNESS
     # artifact covers roughly the FIRST 50 registered queries per round, so
@@ -2420,7 +2430,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_tag_hits": q_kg_tag_hits,
         "rel_events_funnel": q_rel_events_funnel,
         "ann_sq_topk": q_ann_sq_topk,
-        "kg_tag_wl": q_kg_tag_wl,
         "kg_tag_betweenness": q_kg_tag_betweenness,
         # --- r4 retrieval/sketch additions (rotated into the window) ------
         "text_inverted_index": q_text_inverted_index,
@@ -2479,6 +2488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_audit": q_embedding_audit,
         "corpus_outliers": q_corpus_outliers,
         "rel_q18_big_orders": q_rel_q18_big_orders,
+        "rel_events_surprisal": q_rel_events_surprisal,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also
@@ -2562,6 +2572,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # demotion class); hand-water-fill/full-budget/empty/even-split
         # pytests pin the redistribution arithmetic
         "corpus_budget_rates": q_corpus_budget_rates,
+        # demoted for the session-12 surprisal addition
+        # (rel_events_surprisal):
+        # kg_tag_wl — md5-of-sorted-multiset label refinement is a
+        # deterministic narrow map; the unrolled round-chain CTE class
+        # over the same strong-tie graph keeps fresh in-window rows via
+        # kg_tag_coloring (md5 priorities) and kg_tag_ktruss; star-graph
+        # pytest pins the refinement semantics
+        "kg_tag_wl": q_kg_tag_wl,
         # kg_tag_msf — its contraction step IS kg.canon.connected_components
         # (in-window via dedup_components' recursive-CTE oracle) and its
         # struct-min argmax is the chosen-edge shape kg_tag_scc/ktruss

@@ -139,6 +139,7 @@ HEADLINE = [
     "embedding_audit",       # one-aggregate vector-lake invariant gate
     "corpus_outliers",       # histogram-exact median/MAD anomaly flags
     "rel_q18_big_orders",    # TPC-H Q18 group-HAVING semi-join shape
+    "rel_events_surprisal",  # Markov navigation bits, broadcast model
 ]
 
 

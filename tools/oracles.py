@@ -4463,6 +4463,40 @@ def build_oracle_sql() -> dict[str, str]:
                    GROUP BY 1) vc USING (doc_id)
         LEFT JOIN alts al ON al.doc_id = a.doc_id"""
 
+    # Markov session surprisal (kg.relops.session_surprisal): the
+    # transition model (lead() under the (ts, event_id) tie-break,
+    # row-normalized in integer micro) replayed, then per-user
+    # floor-log2 inverse-probability bits with the greatest(.,1) guard.
+    sqls["rel_events_surprisal"] = """
+        WITH nxt AS (
+          SELECT user_id, event_type AS from_type,
+                 lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)
+                   AS to_type
+          FROM events),
+        steps AS MATERIALIZED (
+          SELECT user_id, from_type, to_type FROM nxt
+          WHERE to_type IS NOT NULL),
+        pairs AS MATERIALIZED (
+          SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_trans
+          FROM steps GROUP BY 1, 2),
+        tot AS (SELECT from_type, sum(n_trans) AS t FROM pairs
+                GROUP BY 1),
+        model AS (
+          SELECT pairs.from_type, to_type,
+                 CAST(n_trans * 1000000 // t AS BIGINT) AS prob_micro
+          FROM pairs JOIN tot ON tot.from_type = pairs.from_type)
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_transitions,
+               CAST(sum(length(bin(1000000 // greatest(prob_micro, 1)))
+                        - 1) AS BIGINT) AS bits,
+               CAST(sum(length(bin(1000000 // greatest(prob_micro, 1)))
+                        - 1) * 1000 // count(*) AS BIGINT)
+                 AS bits_per_trans_milli
+        FROM steps
+        JOIN model USING (from_type, to_type)
+        GROUP BY 1"""
+
     # Vector-lake ingest audit (kg.embed.embedding_audit): gate cells +
     # exact micro^2 norm stats over structurally-sound vectors; the
     # micro quantization replays kg.similarity._micro_vec (round
