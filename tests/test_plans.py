@@ -639,3 +639,65 @@ def test_token_entropy_zero_shuffle_no_python(spark, corpus_path):
     assert "Exchange" not in plan
     assert "Window" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_edit_verify_pairs_no_cartesian(spark):
+    """kg.link.edit_verify_pairs must stay PAIR-bounded: two hash joins
+    attach the texts — no BroadcastNestedLoopJoin / CartesianProduct
+    anywhere in the plan (the all-pairs trap the pairs contract
+    exists to avoid)."""
+    from kg.link import edit_verify_pairs
+    docs = spark.createDataFrame([(1, "aa"), (2, "ab")],
+                                 "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    plan = _plan(edit_verify_pairs(docs, pairs, prefix=50))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sliding_window_counts_single_exchange(spark):
+    """The native window(3d,1d) aggregate is ONE shuffle: the bounded
+    in-row window expansion happens before the single hash-aggregate
+    Exchange (map-side combine applies)."""
+    from kg.relops import sliding_window_counts
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = _plan(sliding_window_counts(ev))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_rel_q5_broadcasts_dims_and_pushes_date_filter(spark):
+    """TPC-H Q5: the nation-region dim must arrive via BroadcastExchange
+    and the order-date range predicate must reach the orders scan as
+    PushedFilters (not a post-scan filter over all years)."""
+    import __spark_entry__ as E
+    plan = _plan(E.q_rel_q5_volume(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastExchange" in plan
+    scan = plan[plan.index("orders.parquet"):][:600] \
+        if "orders.parquet" in plan else plan
+    assert "PushedFilters" in plan
+    assert "o_orderdate" in plan.split("PushedFilters")[1][:400] or \
+        "isnotnull(o_orderdate" in plan
+
+
+def test_mad_outliers_scalars_ride_broadcasts(spark):
+    """kg.curate.mad_outliers: the median and MAD scalars must join the
+    corpus via BroadcastNestedLoopJoin/BroadcastExchange (single-row
+    cross joins), never a SortMergeJoin of the full frame."""
+    from kg.curate import mad_outliers
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .withColumn("_len", F.length("text"))
+    plan = _plan(mad_outliers(df, value_col="_len"))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_embedding_audit_single_aggregate_no_shuffle_amplification(spark):
+    """kg.embed.embedding_audit is ONE aggregate over one scan: exactly
+    one shuffle (the partial→final agg exchange), no joins, no Python."""
+    from kg.embed import embedding_audit
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(embedding_audit(emb, dim=64))
+    assert plan.count("Exchange") <= 2     # partial→final agg only
+    assert "Join" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
