@@ -2394,6 +2394,20 @@ def q_rel_events_surprisal(spark, sf_dir):
     return session_surprisal(_read("events")(spark, sf_dir))
 
 
+def q_kg_tag_paths(spark, sf_dir):
+    """Shortest paths WITH reconstruction (kg.query.shortest_paths):
+    BFS from the lexically-first tag over the strong-tie graph, parent
+    = minimum frontier neighbor at every hop (unique deterministic
+    path per node) — the full Cypher shortestPath parity the
+    level-only kg_tag_bfs cannot answer."""
+    from kg.query import shortest_paths
+    edges = _strong_tie_edges(spark, sf_dir).localCheckpoint()
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node"))).distinct())
+    source = nodes.orderBy("node").limit(1)
+    return shortest_paths(edges, source, max_depth=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # WINDOW-ROTATION RULE (STATUS.md §rotation): the driver's CORRECTNESS
     # artifact covers roughly the FIRST 50 registered queries per round, so
@@ -2430,7 +2444,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_tag_hits": q_kg_tag_hits,
         "rel_events_funnel": q_rel_events_funnel,
         "ann_sq_topk": q_ann_sq_topk,
-        "kg_tag_betweenness": q_kg_tag_betweenness,
         # --- r4 retrieval/sketch additions (rotated into the window) ------
         "text_inverted_index": q_text_inverted_index,
         "text_bm25_topk": q_text_bm25_topk,
@@ -2489,6 +2502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_outliers": q_corpus_outliers,
         "rel_q18_big_orders": q_rel_q18_big_orders,
         "rel_events_surprisal": q_rel_events_surprisal,
+        "kg_tag_paths": q_kg_tag_paths,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also
@@ -2580,6 +2594,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # kg_tag_coloring (md5 priorities) and kg_tag_ktruss; star-graph
         # pytest pins the refinement semantics
         "kg_tag_wl": q_kg_tag_wl,
+        # demoted for the session-12 path-reconstruction addition
+        # (kg_tag_paths):
+        # kg_tag_betweenness — pinned by the strongest class of pytest on
+        # record (EXACT all-pivot pure-Python Brandes replay); its
+        # forward BFS-DAG frontier machinery keeps in-window rows via
+        # kg_tag_paths and kg_tag_eccentricity
+        "kg_tag_betweenness": q_kg_tag_betweenness,
         # kg_tag_msf — its contraction step IS kg.canon.connected_components
         # (in-window via dedup_components' recursive-CTE oracle) and its
         # struct-min argmax is the chosen-edge shape kg_tag_scc/ktruss

@@ -140,6 +140,7 @@ HEADLINE = [
     "corpus_outliers",       # histogram-exact median/MAD anomaly flags
     "rel_q18_big_orders",    # TPC-H Q18 group-HAVING semi-join shape
     "rel_events_surprisal",  # Markov navigation bits, broadcast model
+    "kg_tag_paths",          # BFS shortest paths with reconstruction
 ]
 
 

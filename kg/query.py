@@ -226,3 +226,56 @@ def node_index(triples: DataFrame, pred: str,
                                F.col("idx").alias("dst_idx")), "b")
             .select("src_idx", "dst_idx", F.col("a").alias("src"),
                     F.col("b").alias("dst")))
+
+
+def shortest_paths(edges: DataFrame, sources: DataFrame,
+                   max_depth: int = 4, src_col: str = "src",
+                   dst_col: str = "dst") -> DataFrame:
+    """BFS shortest paths WITH deterministic path reconstruction — the
+    full Cypher `shortestPath((a)-[*..k]-(b))` parity the level-only
+    BFS (kg.graphrank.bfs_levels) cannot answer: the reference's users
+    traverse the persisted Tag graph for the PATH, not just the
+    distance (ProcedureTest.java's shortestPath assertions).
+
+    Per frontier round, an unsettled neighbor's parent is the MINIMUM
+    (by node id) frontier node adjacent to it — a total order, so the
+    reconstructed path is unique and engine-replayable; its path is
+    parent.path || '>' || node.  Every settled node carries one
+    shortest path (min-parent tie-break at every hop ⇒ the
+    lexicographically-least parent chain among shortest paths).
+
+    Returns (node, level, path); nodes beyond max_depth honestly
+    absent.  Shape per round: one adjacency⋈frontier hash join + one
+    struct-min aggregate + one settled anti-join; frontier
+    localCheckpointed (it branches into the join and the settled
+    union — perf rule 7).  Path strings grow with depth — bounded by
+    max_depth, the same contract Cypher's *..k bound carries."""
+    adj = (edges.select(F.col(src_col).alias("x"),
+                        F.col(dst_col).alias("y"))
+           .union(edges.select(F.col(dst_col).alias("x"),
+                               F.col(src_col).alias("y")))
+           .filter(F.col("x") != F.col("y"))
+           .distinct().localCheckpoint())
+    frontier = (sources.select(F.col(sources.columns[0]).alias("node"))
+                .distinct()
+                .select("node", F.lit(0).cast("int").alias("level"),
+                        F.col("node").cast("string").alias("path"))
+                .localCheckpoint())
+    settled = frontier
+    for r in range(1, max_depth + 1):
+        step = (adj.join(frontier.select(F.col("node").alias("x"),
+                                         F.col("path").alias("ppath")),
+                         "x")
+                .join(settled.select(F.col("node").alias("y")), "y",
+                      "left_anti")
+                .groupBy("y")
+                .agg(F.min(F.struct(F.col("x"), F.col("ppath")))
+                     .alias("p"))
+                .select(F.col("y").alias("node"),
+                        F.lit(r).cast("int").alias("level"),
+                        F.concat(F.col("p.ppath"), F.lit(">"),
+                                 F.col("y")).alias("path"))
+                .localCheckpoint())
+        settled = settled.unionByName(step)
+        frontier = step
+    return settled

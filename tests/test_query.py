@@ -145,3 +145,45 @@ def test_node_index_lexicographic_contiguous(spark):
         idx[r["dst"]] = r["dst_idx"]
     assert idx == {"a": 0, "b": 1, "x": 2, "y": 3}  # sorted node order
     assert "z" not in idx
+
+
+class TestShortestPaths:
+    EDGES = [("a", "b"), ("b", "c"), ("a", "d"), ("d", "c"), ("c", "e")]
+
+    def test_paths_and_min_parent_tie_break(self, spark):
+        from kg.query import shortest_paths
+        edges = spark.createDataFrame(self.EDGES, "src string, dst string")
+        src = spark.createDataFrame([("a",)], "node string")
+        got = {r.node: (r.level, r.path)
+               for r in shortest_paths(edges, src, max_depth=3).collect()}
+        # c is reachable at level 2 via both b and d; min parent = b
+        assert got == {"a": (0, "a"), "b": (1, "a>b"), "d": (1, "a>d"),
+                       "c": (2, "a>b>c"), "e": (3, "a>b>c>e")}
+
+    def test_depth_bound_honestly_absent(self, spark):
+        from kg.query import shortest_paths
+        edges = spark.createDataFrame(self.EDGES, "src string, dst string")
+        src = spark.createDataFrame([("a",)], "node string")
+        got = {r.node for r in shortest_paths(edges, src,
+                                              max_depth=2).collect()}
+        assert "e" not in got and got == {"a", "b", "c", "d"}
+
+    def test_multi_source_each_keeps_own_path(self, spark):
+        from kg.query import shortest_paths
+        edges = spark.createDataFrame(
+            [("a", "b"), ("x", "y")], "src string, dst string")
+        src = spark.createDataFrame([("a",), ("x",)], "node string")
+        got = {r.node: r.path
+               for r in shortest_paths(edges, src, max_depth=2).collect()}
+        assert got == {"a": "a", "x": "x", "b": "a>b", "y": "x>y"}
+
+    def test_level_matches_bfs_levels(self, spark):
+        from kg.graphrank import bfs_levels
+        from kg.query import shortest_paths
+        edges = spark.createDataFrame(self.EDGES, "src string, dst string")
+        src = spark.createDataFrame([("a",)], "node string")
+        lv = {r.node: r.level
+              for r in bfs_levels(edges, src, max_depth=3).collect()}
+        sp = {r.node: r.level
+              for r in shortest_paths(edges, src, max_depth=3).collect()}
+        assert sp == lv

@@ -4463,6 +4463,37 @@ def build_oracle_sql() -> dict[str, str]:
                    GROUP BY 1) vc USING (doc_id)
         LEFT JOIN alts al ON al.doc_id = a.doc_id"""
 
+    # Shortest paths with reconstruction (kg.query.shortest_paths):
+    # per round an unsettled neighbor's parent = arg_min by frontier
+    # node (DuckDB arg_min == Spark's struct-min on (x, path)); path =
+    # parent.path || '>' || node.  Source = lexically-first strong-tie
+    # node (mirrors q_kg_tag_paths).  Every s/st CTE referenced more
+    # than once -> MATERIALIZED.
+    def _sp_round(r: int) -> str:
+        return f"""s{r} AS MATERIALIZED (
+          SELECT g.y AS node, {r} AS level,
+                 arg_min(p.path, g.x) || '>' || g.y AS path
+          FROM g0 g JOIN s{r - 1} p ON p.node = g.x
+          WHERE g.y NOT IN (SELECT node FROM st{r - 1})
+          GROUP BY g.y),
+        st{r} AS MATERIALIZED (
+          SELECT * FROM st{r - 1} UNION ALL SELECT * FROM s{r})"""
+
+    sqls["kg_tag_paths"] = f"""
+        WITH {_kept_sql},
+        {_cooccur_sql},
+        {_strong_sql},
+        g0 AS MATERIALIZED (
+          SELECT a AS x, b AS y FROM f0
+          UNION SELECT b, a FROM f0),
+        s0 AS MATERIALIZED (
+          SELECT min(x) AS node, 0 AS level, min(x) AS path FROM g0),
+        st0 AS MATERIALIZED (SELECT * FROM s0),
+        {_sp_round(1)},
+        {_sp_round(2)},
+        {_sp_round(3)}
+        SELECT node, CAST(level AS INT) AS level, path FROM st3"""
+
     # Markov session surprisal (kg.relops.session_surprisal): the
     # transition model (lead() under the (ts, event_id) tie-break,
     # row-normalized in integer micro) replayed, then per-user
