@@ -2408,6 +2408,32 @@ def q_kg_tag_paths(spark, sf_dir):
     return shortest_paths(edges, source, max_depth=3)
 
 
+def q_multimodal_ahash(spark, sf_dir):
+    """Perceptual average-hash (kg.multimodal.extract_image_ahash) over
+    REAL gradient PPM payloads: decode → 8×8 nearest-neighbor luma grid
+    → mean-threshold bits → 16-hex aHash, the image near-dup signal
+    (Hamming over these hashes plugs into the SimHash banded pairs).
+    Fixture pixels are arithmetic in (vec_id, x, y), so the oracle
+    replays every sampled cell, the mean, and the nibble-hex assembly
+    exactly."""
+    import pandas as pd
+    from kg import multimodal as mm
+    emb = _read("embeddings")(spark, sf_dir).select("vec_id")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for v in pdf["vec_id"]:
+                i = int(v)
+                rows.append((i, "image", "ppm", mm.gradient_ppm_bytes(
+                    i, 24 + (i % 5) * 8, 16 + (i % 3) * 8)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "format", "payload"])
+
+    media = emb.mapInPandas(gen, mm.MEDIA_SCHEMA).localCheckpoint()
+    return mm.extract_image_ahash(media)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # WINDOW-ROTATION RULE (STATUS.md §rotation): the driver's CORRECTNESS
     # artifact covers roughly the FIRST 50 registered queries per round, so
@@ -2485,7 +2511,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_tag_ktruss": q_kg_tag_ktruss,
         # --- r4 session-11 additions (rotated into the window); one
         # demotion each — see the demoted block -------------------------
-        "multimodal_audio": q_multimodal_audio,
         "kg_tag_matching": q_kg_tag_matching,
         "kg_tag_eccentricity": q_kg_tag_eccentricity,
         # --- r4 session-12 additions (rotated into the window); one
@@ -2503,6 +2528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_q18_big_orders": q_rel_q18_big_orders,
         "rel_events_surprisal": q_rel_events_surprisal,
         "kg_tag_paths": q_kg_tag_paths,
+        "multimodal_ahash": q_multimodal_ahash,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also
@@ -2601,6 +2627,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # forward BFS-DAG frontier machinery keeps in-window rows via
         # kg_tag_paths and kg_tag_eccentricity
         "kg_tag_betweenness": q_kg_tag_betweenness,
+        # demoted for the session-12 perceptual-hash addition
+        # (multimodal_ahash):
+        # multimodal_audio — the RIFF chunk-list walk (LE sizes, pad
+        # bytes, unknown-chunk tolerance) keeps an in-window row via
+        # multimodal_video's avi parse; the 16-bit amplitude replay is
+        # pinned by round-trip/junk-chunk/malformed/8-bit pytests, and
+        # the image legs keep the mapInPandas decode shape in-window
+        # (multimodal_decode + multimodal_ahash)
+        "multimodal_audio": q_multimodal_audio,
         # kg_tag_msf — its contraction step IS kg.canon.connected_components
         # (in-window via dedup_components' recursive-CTE oracle) and its
         # struct-min argmax is the chosen-edge shape kg_tag_scc/ktruss

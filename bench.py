@@ -141,6 +141,7 @@ HEADLINE = [
     "rel_q18_big_orders",    # TPC-H Q18 group-HAVING semi-join shape
     "rel_events_surprisal",  # Markov navigation bits, broadcast model
     "kg_tag_paths",          # BFS shortest paths with reconstruction
+    "multimodal_ahash",      # perceptual aHash over real decoded pixels
 ]
 
 

@@ -632,3 +632,80 @@ def extract_video_features(df: DataFrame) -> DataFrame:
     return (df.filter(F.col("kind") == "video")
             .select("media_id", "payload")
             .mapInPandas(fx, VIDEO_FEATURES_SCHEMA))
+
+
+# --- perceptual image hashing (near-dup primitive over decoded pixels) ---
+
+def gradient_ppm_bytes(media_id: int, width: int, height: int) -> bytes:
+    """Real binary PPM whose pixel (x, y) is an arithmetic function of
+    (media_id, x, y): r = (id+x) % 251, g = (id·7+y) % 251,
+    b = (id·13+x+y) % 251 — a gradient, so downstream perceptual hashes
+    are non-degenerate yet every sampled pixel is DuckDB-replayable
+    (the constant-color fixtures would hash to all-zeros)."""
+    header = f"P6\n{width} {height}\n255\n".encode()
+    body = bytearray(width * height * 3)
+    for y in range(height):
+        for x in range(width):
+            o = (y * width + x) * 3
+            body[o] = (media_id + x) % 251
+            body[o + 1] = (media_id * 7 + y) % 251
+            body[o + 2] = (media_id * 13 + x + y) % 251
+    return header + bytes(body)
+
+
+def ahash64(w: int, h: int, rgb: bytes) -> str:
+    """64-bit perceptual AVERAGE hash (the published aHash recipe) over
+    decoded RGB, as 16 lowercase hex chars: sample an 8×8 grid by
+    nearest-neighbor (cell (i,j) → pixel (i·h div 8, j·w div 8)),
+    integer luma = (299r + 587g + 114b) div 1000, bit k = i·8+j set iff
+    cell luma > the integer mean of all 64 — visually-similar images
+    (recompression, mild resize/brightness) agree on most bits, so
+    Hamming distance over these hashes is the IMAGE near-dup signal,
+    pluggable into the existing SimHash banded-pair machinery.  Hex
+    string (not BIGINT): bit 63 would overflow the signed driver
+    type."""
+    if w < 8 or h < 8 or len(rgb) < w * h * 3:
+        raise ValueError("ahash64 needs a decoded image of at least 8x8")
+    lumas = []
+    for i in range(8):
+        for j in range(8):
+            o = ((i * h // 8) * w + (j * w // 8)) * 3
+            lumas.append((299 * rgb[o] + 587 * rgb[o + 1]
+                          + 114 * rgb[o + 2]) // 1000)
+    m = sum(lumas) // 64
+    bits = 0
+    for k, l in enumerate(lumas):
+        if l > m:
+            bits |= 1 << k
+    return f"{bits:016x}"
+
+
+AHASH_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("width", IntegerType(), False),
+    StructField("height", IntegerType(), False),
+    StructField("ahash_hex", StringType(), False),
+])
+
+
+def extract_image_ahash(df: DataFrame) -> DataFrame:
+    """mapInPandas perceptual-hash extraction over binary image payloads
+    (media_id, payload) — same narrow-map contract as the other
+    multimodal legs (ONE pandas UDF per task, payloads never shuffled);
+    undecodable/under-8×8 payloads emit a '-' hash with −1 dims instead
+    of failing the task."""
+    def fx(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    w, h, rgb = decode_image(bytes(payload))
+                    hx = ahash64(w, h, rgb)
+                except (NotImplementedError, ValueError, struct.error):
+                    w, h, hx = -1, -1, "-"
+                rows.append((int(mid), w, h, hx))
+            yield pd.DataFrame(rows, columns=AHASH_SCHEMA.fieldNames())
+
+    return (df.filter(F.col("kind") == "image")
+            .select("media_id", "payload")
+            .mapInPandas(fx, AHASH_SCHEMA))

@@ -421,3 +421,52 @@ class TestAviVideo:
         assert got[1] == (128, 96, 41666, 48, 1999)
         assert got[2] == (-1, -1, -1, -1, -1)
         assert 3 not in got            # kind filter
+
+
+class TestImageAhash:
+    def test_matches_arithmetic_replay(self, spark):
+        from kg.multimodal import ahash64, decode_image, gradient_ppm_bytes
+        for mid, w, h in ((5, 32, 16), (9, 24, 24), (123, 40, 16)):
+            gw, gh, rgb = decode_image(gradient_ppm_bytes(mid, w, h))
+            lumas = []
+            for i in range(8):
+                for j in range(8):
+                    x, y = j * w // 8, i * h // 8
+                    r = (mid + x) % 251
+                    g = (mid * 7 + y) % 251
+                    b = (mid * 13 + x + y) % 251
+                    lumas.append((299 * r + 587 * g + 114 * b) // 1000)
+            m = sum(lumas) // 64
+            bits = sum(1 << k for k, l in enumerate(lumas) if l > m)
+            assert ahash64(gw, gh, rgb) == f"{bits:016x}"
+
+    def test_brightness_shift_is_hamming_zero(self, spark):
+        from kg.multimodal import ahash64, decode_image, gradient_ppm_bytes
+        w, h, rgb = decode_image(gradient_ppm_bytes(7, 32, 16))
+        shifted = bytes(min(255, v + 1) for v in rgb)
+        assert ahash64(w, h, rgb) == ahash64(w, h, shifted)
+
+    def test_different_images_differ(self, spark):
+        from kg.multimodal import ahash64, decode_image, gradient_ppm_bytes
+        _, _, a = decode_image(gradient_ppm_bytes(1, 32, 16))
+        _, _, b = decode_image(gradient_ppm_bytes(170, 32, 16))
+        ha, hb = ahash64(32, 16, a), ahash64(32, 16, b)
+        assert ha != hb
+
+    def test_constant_color_degenerates_to_zero_hash(self, spark):
+        from kg.multimodal import ahash64, bmp_bytes, decode_image
+        w, h, rgb = decode_image(bmp_bytes(42, 16, 16))
+        assert ahash64(w, h, rgb) == "0" * 16
+
+    def test_undecodable_and_tiny_emit_dash(self, spark):
+        from kg.multimodal import extract_image_ahash, gradient_ppm_bytes
+        rows = [(1, "image", "ppm", bytearray(gradient_ppm_bytes(1, 16, 16))),
+                (2, "image", "ppm", bytearray(b"garbage")),
+                (3, "image", "ppm", bytearray(gradient_ppm_bytes(3, 4, 4)))]
+        df = spark.createDataFrame(
+            rows, "media_id long, kind string, format string, payload binary")
+        got = {r.media_id: (r.width, r.ahash_hex)
+               for r in extract_image_ahash(df).collect()}
+        assert got[1][0] == 16 and len(got[1][1]) == 16
+        assert got[2] == (-1, "-")
+        assert got[3] == (-1, "-")     # under 8x8: no meaningful grid

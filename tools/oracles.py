@@ -4463,6 +4463,41 @@ def build_oracle_sql() -> dict[str, str]:
                    GROUP BY 1) vc USING (doc_id)
         LEFT JOIN alts al ON al.doc_id = a.doc_id"""
 
+    # Perceptual aHash (kg.multimodal.extract_image_ahash): the
+    # gradient-PPM pixels are arithmetic in (vec_id, x, y), so every
+    # 8x8 sampled cell, the integer luma, the mean threshold, and the
+    # nibble-by-nibble hex assembly replay exactly.  Cell k: i = k//8
+    # (row), j = k%8 (col); sample pixel (x = j*w//8, y = i*h//8).
+    sqls["multimodal_ahash"] = """
+        WITH p AS (
+          SELECT vec_id, 24 + (vec_id % 5) * 8 AS w,
+                 16 + (vec_id % 3) * 8 AS h
+          FROM embeddings),
+        lum AS MATERIALIZED (
+          SELECT vec_id, k,
+                 (299 * ((vec_id + ((k % 8) * w // 8)) % 251)
+                  + 587 * ((vec_id * 7 + ((k // 8) * h // 8)) % 251)
+                  + 114 * ((vec_id * 13 + ((k % 8) * w // 8)
+                            + ((k // 8) * h // 8)) % 251)) // 1000 AS l
+          FROM p CROSS JOIN range(0, 64) t(k)),
+        mt AS (SELECT vec_id, sum(l) // 64 AS m FROM lum GROUP BY 1),
+        bits AS (
+          SELECT lum.vec_id, k, CASE WHEN l > m THEN 1 ELSE 0 END AS bit
+          FROM lum JOIN mt ON mt.vec_id = lum.vec_id),
+        nib AS (
+          SELECT vec_id, k // 4 AS n,
+                 sum(bit * CASE k % 4 WHEN 0 THEN 1 WHEN 1 THEN 2
+                           WHEN 2 THEN 4 ELSE 8 END) AS v
+          FROM bits GROUP BY 1, 2),
+        hx AS (
+          SELECT vec_id,
+                 string_agg(substr('0123456789abcdef', CAST(v AS INT) + 1,
+                                   1), '' ORDER BY n DESC) AS ahash_hex
+          FROM nib GROUP BY 1)
+        SELECT p.vec_id AS media_id, CAST(w AS INT) AS width,
+               CAST(h AS INT) AS height, ahash_hex
+        FROM p JOIN hx ON hx.vec_id = p.vec_id"""
+
     # Shortest paths with reconstruction (kg.query.shortest_paths):
     # per round an unsettled neighbor's parent = arg_min by frontier
     # node (DuckDB arg_min == Spark's struct-min on (x, path)); path =
