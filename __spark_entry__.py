@@ -2434,6 +2434,36 @@ def q_multimodal_ahash(spark, sf_dir):
     return mm.extract_image_ahash(media)
 
 
+def q_multimodal_ahash_pairs(spark, sf_dir):
+    """IMAGE near-dup pairs: perceptual aHash fingerprints blocked with
+    the LOSSLESS pigeonhole banding (kg.dedup.hex_hamming_pairs,
+    Hamming ≤ 3; dims folded into the blocking key — different-dim
+    images are never the same image).  Deterministic 500-image verify
+    sample (vec_id < 500, identical in both engines) keeps the pair set
+    scale-constant; production runs band the full corpus."""
+    import pandas as pd
+    from kg import multimodal as mm
+    from kg.dedup import hex_hamming_pairs
+    emb = (_read("embeddings")(spark, sf_dir)
+           .filter(F.col("vec_id") < 500).select("vec_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for v in pdf["vec_id"]:
+                i = int(v)
+                rows.append((i, "image", "ppm", mm.gradient_ppm_bytes(
+                    i, 24 + (i % 5) * 8, 16 + (i % 3) * 8)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "format", "payload"])
+
+    media = emb.mapInPandas(gen, mm.MEDIA_SCHEMA).localCheckpoint()
+    fp = mm.extract_image_ahash(media)
+    return hex_hamming_pairs(fp, max_hamming=3, id_col="media_id",
+                             hex_col="ahash_hex",
+                             block_cols=("width", "height"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # WINDOW-ROTATION RULE (STATUS.md §rotation): the driver's CORRECTNESS
     # artifact covers roughly the FIRST 50 registered queries per round, so
@@ -2506,7 +2536,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_encode": q_text_bpe_encode,
         # --- r4 session-9 additions (rotated into the window); one
         # demotion each — see the demoted block -------------------------
-        "dedup_recall_lsh": q_dedup_recall_lsh,
         "corpus_overlap_matrix": q_corpus_overlap_matrix,
         "kg_tag_ktruss": q_kg_tag_ktruss,
         # --- r4 session-11 additions (rotated into the window); one
@@ -2529,6 +2558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_events_surprisal": q_rel_events_surprisal,
         "kg_tag_paths": q_kg_tag_paths,
         "multimodal_ahash": q_multimodal_ahash,
+        "multimodal_ahash_pairs": q_multimodal_ahash_pairs,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also
@@ -2636,6 +2666,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the image legs keep the mapInPandas decode shape in-window
         # (multimodal_decode + multimodal_ahash)
         "multimodal_audio": q_multimodal_audio,
+        # demoted for the session-12 ahash-pairs addition
+        # (multimodal_ahash_pairs):
+        # dedup_recall_lsh — an audit COMPOSITION whose two embedded
+        # production-operator SQLs each keep in-window rows (the exact
+        # jaccard-pair machinery via link_edit_pairs' verbatim pair SQL,
+        # the banded blocking via dedup_winnow_pairs/dedup_semantic and
+        # now hex_hamming_pairs under multimodal_ahash_pairs); the
+        # recall/precision arithmetic is div-guarded and pytest-pinned
+        "dedup_recall_lsh": q_dedup_recall_lsh,
         # kg_tag_msf — its contraction step IS kg.canon.connected_components
         # (in-window via dedup_components' recursive-CTE oracle) and its
         # struct-min argmax is the chosen-edge shape kg_tag_scc/ktruss

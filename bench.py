@@ -142,6 +142,7 @@ HEADLINE = [
     "rel_events_surprisal",  # Markov navigation bits, broadcast model
     "kg_tag_paths",          # BFS shortest paths with reconstruction
     "multimodal_ahash",      # perceptual aHash over real decoded pixels
+    "multimodal_ahash_pairs",  # lossless banded image near-dup pairs
 ]
 
 

@@ -922,50 +922,74 @@ def stitch_pairs(df: DataFrame, k: int = 5, text_col: str = "text",
 _NIBBLE_POP = "0112122312232334"
 
 
-def simhash_near_pairs_portable(df: DataFrame, max_hamming: int = 3,
-                                text_col: str = "text",
-                                id_col: str = "doc_id") -> DataFrame:
-    """Near-dup pairs by PORTABLE SimHash (the md5-bit hex fingerprint
-    of simhash_portable): (id_a, id_b, hamming), hamming ≤ max_hamming.
+def hex_hamming_pairs(fp: DataFrame, max_hamming: int = 3,
+                      id_col: str = "id", hex_col: str = "fp_hex",
+                      block_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Near-dup pairs over ANY 64-bit fingerprint held as 16 lowercase
+    hex chars — the banding + exact-verify core of the portable SimHash
+    pair report factored out so every 64-bit perceptual fingerprint
+    (text SimHash, image aHash) shares ONE machinery (divergent copies
+    would silently disagree — the bigram_structs rule):
 
-    Blocking is LOSSLESS, not approximate: any pair within Hamming
+    blocking is LOSSLESS, not approximate: any pair within Hamming
     distance 3 agrees on at least one of the 4 16-bit bands
     (pigeonhole), so banding + exact verify returns EXACTLY the
-    ≤ max_hamming pair set — the same guarantee as the xxhash64 twin
-    (simhash_near_pairs) but bit-replayable in any engine with md5():
-    bands are 4-hex-digit substrings, the Hamming verify is a 16-term
-    per-nibble XOR-popcount LUT ('0112122312232334') — no native
-    bit_count needed.
+    ≤ max_hamming pair set; the Hamming verify is a 16-term per-nibble
+    XOR-popcount LUT ('0112122312232334') — no native bit_count needed,
+    bit-replayable in any engine.
 
-    Shape: one fingerprint pass (the simhash_portable single groupBy),
-    checkpointed before the two join branches (rule 7), band explode,
-    equi-join on (band, key), distinct, exact verify.  Giant bands
-    (identical boilerplate) are bounded upstream by exact dedup, as in
-    the xxhash64 twin."""
-    sh = simhash_portable(df, text_col, id_col).localCheckpoint()
+    `block_cols` folds extra EQUALITY columns into the blocking key
+    (image dims: different-dim images are never the same image, and the
+    finer key bounds band-group sizes — the max_df-style skew guard).
+
+    Shape: fingerprint frame checkpointed once (it feeds both join
+    sides — rule 7), band explode, equi-join on (block_cols, band,
+    key), distinct, exact verify.  Returns (id_a, id_b, hamming)."""
+    fpc = fp.localCheckpoint()
     bands = F.array(*[
         F.struct(F.lit(c).alias("band"),
-                 F.substring("simhash_hex", c * 4 + 1, 4).alias("key"))
+                 F.substring(hex_col, c * 4 + 1, 4).alias("key"))
         for c in range(4)])
-    blocked = (sh.select("id", "simhash_hex", F.explode(bands).alias("cb"))
-               .select("id", "simhash_hex",
+    blocked = (fpc.select(F.col(id_col).alias("id"),
+                          F.col(hex_col).alias("hx"),
+                          *[F.col(c) for c in block_cols],
+                          F.explode(bands).alias("cb"))
+               .select("id", "hx", *block_cols,
                        F.col("cb.band").alias("band"),
                        F.col("cb.key").alias("key")))
     a, b = blocked.alias("a"), blocked.alias("b")
+    cond = ((F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")))
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     ham = sum(
         F.expr(f"cast(substr('{_NIBBLE_POP}', "
-               f"(cast(conv(substr(a.simhash_hex, {p}, 1), 16, 10) as int)"
-               f" ^ cast(conv(substr(b.simhash_hex, {p}, 1), 16, 10) "
+               f"(cast(conv(substr(a.hx, {p}, 1), 16, 10) as int)"
+               f" ^ cast(conv(substr(b.hx, {p}, 1), 16, 10) "
                "as int)) + 1, 1) as int)")
         for p in range(1, 17))
-    return (a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.key") == F.col("b.key"))
-                   & (F.col("a.id") < F.col("b.id")))
+    return (a.join(b, cond)
             .select(F.col("a.id").alias("id_a"),
                     F.col("b.id").alias("id_b"),
                     ham.cast("int").alias("hamming"))
             .distinct()
             .filter(F.col("hamming") <= max_hamming))
+
+
+def simhash_near_pairs_portable(df: DataFrame, max_hamming: int = 3,
+                                text_col: str = "text",
+                                id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs by PORTABLE SimHash (the md5-bit hex fingerprint
+    of simhash_portable): (id_a, id_b, hamming), hamming ≤ max_hamming.
+    Delegates the lossless pigeonhole banding + LUT verify to
+    hex_hamming_pairs (one shared machinery for all 64-bit
+    fingerprints); giant bands (identical boilerplate) are bounded
+    upstream by exact dedup, as in the xxhash64 twin
+    (simhash_near_pairs)."""
+    sh = simhash_portable(df, text_col, id_col)
+    return hex_hamming_pairs(sh, max_hamming=max_hamming, id_col="id",
+                             hex_col="simhash_hex")
 
 
 def ngram_novelty(df: DataFrame, n: int = 3, text_col: str = "text",

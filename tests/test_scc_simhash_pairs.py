@@ -141,3 +141,36 @@ def test_scc_query_survives_single_token_docs(spark):
            for r in scc_pivot(edges, n_pivots=2, max_depth=3).collect()}
     # only doc 3 contributes edges (a->b, b->c, c->a, b->a): nodes a,b,c
     assert set(got) == {"a", "b", "c"}
+
+
+class TestHexHammingPairsGeneric:
+    def test_block_cols_prevent_cross_dim_pairs(self, spark):
+        from kg.dedup import hex_hamming_pairs
+        fp = spark.createDataFrame(
+            [(1, 16, 16, "00000000000000ff"),
+             (2, 16, 16, "00000000000000fe"),   # hamming 1 to id 1
+             (3, 32, 16, "00000000000000ff")],  # same hash, other dims
+            "media_id long, width int, height int, ahash_hex string")
+        got = {(r.id_a, r.id_b): r.hamming
+               for r in hex_hamming_pairs(
+                   fp, id_col="media_id", hex_col="ahash_hex",
+                   block_cols=("width", "height")).collect()}
+        assert got == {(1, 2): 1}       # 3 blocked out by dims
+
+    def test_lossless_at_three_matches_brute_force(self, spark):
+        import itertools
+        from kg.dedup import hex_hamming_pairs
+        hexes = ["0000000000000000", "0000000000000007",  # ham 3
+                 "000000000000000f",                       # ham 4 to [0]
+                 "8000000000000001"]
+        fp = spark.createDataFrame(
+            [(i, hx) for i, hx in enumerate(hexes)],
+            "id long, fp_hex string")
+        got = {(r.id_a, r.id_b): r.hamming
+               for r in hex_hamming_pairs(fp).collect()}
+        want = {}
+        for (i, a), (j, b) in itertools.combinations(enumerate(hexes), 2):
+            d = bin(int(a, 16) ^ int(b, 16)).count("1")
+            if d <= 3:
+                want[(i, j)] = d
+        assert got == want and (0, 1) in got and (0, 2) not in got

@@ -4468,11 +4468,13 @@ def build_oracle_sql() -> dict[str, str]:
     # 8x8 sampled cell, the integer luma, the mean threshold, and the
     # nibble-by-nibble hex assembly replay exactly.  Cell k: i = k//8
     # (row), j = k%8 (col); sample pixel (x = j*w//8, y = i*h//8).
-    sqls["multimodal_ahash"] = """
-        WITH p AS (
+    # ONE body string shared by the hash and the pair queries (the
+    # _kept_sql convention).
+    def _ahash_sql(where: str = "") -> str:
+        return f"""p AS MATERIALIZED (
           SELECT vec_id, 24 + (vec_id % 5) * 8 AS w,
                  16 + (vec_id % 3) * 8 AS h
-          FROM embeddings),
+          FROM embeddings{where}),
         lum AS MATERIALIZED (
           SELECT vec_id, k,
                  (299 * ((vec_id + ((k % 8) * w // 8)) % 251)
@@ -4489,14 +4491,39 @@ def build_oracle_sql() -> dict[str, str]:
                  sum(bit * CASE k % 4 WHEN 0 THEN 1 WHEN 1 THEN 2
                            WHEN 2 THEN 4 ELSE 8 END) AS v
           FROM bits GROUP BY 1, 2),
-        hx AS (
+        hxt AS MATERIALIZED (
           SELECT vec_id,
                  string_agg(substr('0123456789abcdef', CAST(v AS INT) + 1,
-                                   1), '' ORDER BY n DESC) AS ahash_hex
-          FROM nib GROUP BY 1)
+                                   1), '' ORDER BY n DESC) AS fhex
+          FROM nib GROUP BY 1)"""
+
+    sqls["multimodal_ahash"] = f"""
+        WITH {_ahash_sql()}
         SELECT p.vec_id AS media_id, CAST(w AS INT) AS width,
-               CAST(h AS INT) AS height, ahash_hex
-        FROM p JOIN hx ON hx.vec_id = p.vec_id"""
+               CAST(h AS INT) AS height, fhex AS ahash_hex
+        FROM p JOIN hxt ON hxt.vec_id = p.vec_id"""
+
+    # aHash near-dup pairs (kg.dedup.hex_hamming_pairs over the image
+    # fingerprints): 4-hex-band blocking + dims in the key, the same
+    # per-nibble XOR-popcount LUT verify as dedup_simhash_pairs
+    # (lossless at Hamming <= 3 by pigeonhole); 500-image verify sample.
+    sqls["multimodal_ahash_pairs"] = f"""
+        WITH {_ahash_sql(" WHERE vec_id < 500")},
+        fpj AS MATERIALIZED (
+          SELECT p.vec_id AS id, w, h, fhex
+          FROM p JOIN hxt ON hxt.vec_id = p.vec_id),
+        bl AS MATERIALIZED (
+          SELECT id, w, h, fhex, band,
+                 substr(fhex, band * 4 + 1, 4) AS key
+          FROM fpj, (SELECT unnest(range(4)) AS band)),
+        c AS MATERIALIZED (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                          a.fhex AS ha, b.fhex AS hb
+          FROM bl a JOIN bl b
+            ON a.band = b.band AND a.key = b.key
+           AND a.w = b.w AND a.h = b.h AND a.id < b.id)
+        SELECT id_a, id_b, CAST({_ham16} AS INT) AS hamming
+        FROM c WHERE ({_ham16}) <= 3"""
 
     # Shortest paths with reconstruction (kg.query.shortest_paths):
     # per round an unsettled neighbor's parent = arg_min by frontier
