@@ -2408,17 +2408,14 @@ def q_kg_tag_paths(spark, sf_dir):
     return shortest_paths(edges, source, max_depth=3)
 
 
-def q_multimodal_ahash(spark, sf_dir):
-    """Perceptual average-hash (kg.multimodal.extract_image_ahash) over
-    REAL gradient PPM payloads: decode → 8×8 nearest-neighbor luma grid
-    → mean-threshold bits → 16-hex aHash, the image near-dup signal
-    (Hamming over these hashes plugs into the SimHash banded pairs).
-    Fixture pixels are arithmetic in (vec_id, x, y), so the oracle
-    replays every sampled cell, the mean, and the nibble-hex assembly
-    exactly."""
+def _gradient_media(emb):
+    """Media frame of gradient-PPM payloads with dims arithmetic in
+    vec_id — ONE fixture definition shared by the ahash and ahash-pairs
+    queries (their oracles share ONE _ahash_sql body for the same
+    reason: a dims edit in one copy would make the pair query verify
+    hashes a different fixture produced)."""
     import pandas as pd
     from kg import multimodal as mm
-    emb = _read("embeddings")(spark, sf_dir).select("vec_id")
 
     def gen(batches):
         for pdf in batches:
@@ -2430,8 +2427,20 @@ def q_multimodal_ahash(spark, sf_dir):
             yield pd.DataFrame(
                 rows, columns=["media_id", "kind", "format", "payload"])
 
-    media = emb.mapInPandas(gen, mm.MEDIA_SCHEMA).localCheckpoint()
-    return mm.extract_image_ahash(media)
+    return emb.mapInPandas(gen, mm.MEDIA_SCHEMA).localCheckpoint()
+
+
+def q_multimodal_ahash(spark, sf_dir):
+    """Perceptual average-hash (kg.multimodal.extract_image_ahash) over
+    REAL gradient PPM payloads: decode → 8×8 nearest-neighbor luma grid
+    → mean-threshold bits → 16-hex aHash, the image near-dup signal
+    (Hamming over these hashes plugs into the SimHash banded pairs).
+    Fixture pixels are arithmetic in (vec_id, x, y), so the oracle
+    replays every sampled cell, the mean, and the nibble-hex assembly
+    exactly."""
+    from kg import multimodal as mm
+    emb = _read("embeddings")(spark, sf_dir).select("vec_id")
+    return mm.extract_image_ahash(_gradient_media(emb))
 
 
 def q_multimodal_ahash_pairs(spark, sf_dir):
@@ -2441,24 +2450,15 @@ def q_multimodal_ahash_pairs(spark, sf_dir):
     images are never the same image).  Deterministic 500-image verify
     sample (vec_id < 500, identical in both engines) keeps the pair set
     scale-constant; production runs band the full corpus."""
-    import pandas as pd
     from kg import multimodal as mm
     from kg.dedup import hex_hamming_pairs
     emb = (_read("embeddings")(spark, sf_dir)
            .filter(F.col("vec_id") < 500).select("vec_id"))
-
-    def gen(batches):
-        for pdf in batches:
-            rows = []
-            for v in pdf["vec_id"]:
-                i = int(v)
-                rows.append((i, "image", "ppm", mm.gradient_ppm_bytes(
-                    i, 24 + (i % 5) * 8, 16 + (i % 3) * 8)))
-            yield pd.DataFrame(
-                rows, columns=["media_id", "kind", "format", "payload"])
-
-    media = emb.mapInPandas(gen, mm.MEDIA_SCHEMA).localCheckpoint()
-    fp = mm.extract_image_ahash(media)
+    media = _gradient_media(emb)
+    # drop '-' failure rows BEFORE banding: undecodable payloads all
+    # share one blocking key and would form a |failures|² join block —
+    # the giant-band trap the simhash machinery bounds upstream
+    fp = mm.extract_image_ahash(media).filter(F.col("ahash_hex") != "-")
     return hex_hamming_pairs(fp, max_hamming=3, id_col="media_id",
                              hex_col="ahash_hex",
                              block_cols=("width", "height"))

@@ -196,15 +196,20 @@ def embedding_audit(emb: DataFrame, dim: int = 64, id_col: str = "vec_id",
     On a healthy lake n_null_vec = n_wrong_dim = n_nonfinite = n_zero =
     n_dup_ids = 0; norm² cells are exact micro² BIGINTs over the house
     quantization (round ties-away, kg.similarity._micro_vec), computed
-    only over structurally-sound vectors.  Nonfinite = any element NaN
-    or |x| > 1e30 (the portable finite cutoff — DuckDB isnan mirrors
-    Spark's).  mean_norm2 is an exact integer division staged through
-    DECIMAL(38,0) so corpus size never overflows.
+    only over structurally-sound vectors.  Nonfinite = any element
+    NULL, NaN, or |x| > 1e30 (the portable finite cutoff — DuckDB
+    isnan mirrors Spark's; the explicit IS NULL disjunct comes FIRST so
+    a null element classifies the vector as defective in both engines
+    rather than making the whole predicate NULL and silently dropping
+    the row from every bucket).  mean_norm2 is an exact integer
+    division staged through DECIMAL(38,0) so corpus size never
+    overflows.
 
     Shape: ONE map-side-combining aggregate — no window, no join; at
     100 TB this is a single scan."""
     v = F.col(vec_col)
-    bad = F.exists(v, lambda x: F.isnan(x.cast("double"))
+    bad = F.exists(v, lambda x: x.isNull()
+                   | F.isnan(x.cast("double"))
                    | (F.abs(x.cast("double")) > F.lit(1e30)))
     ok = v.isNotNull() & (F.size(v) == dim) & ~bad
     norm2 = F.aggregate(

@@ -701,7 +701,11 @@ def extract_image_ahash(df: DataFrame) -> DataFrame:
                 try:
                     w, h, rgb = decode_image(bytes(payload))
                     hx = ahash64(w, h, rgb)
-                except (NotImplementedError, ValueError, struct.error):
+                except (NotImplementedError, ValueError, struct.error,
+                        zlib.error, IndexError):
+                    # zlib.error / IndexError: corrupt or truncated PNG
+                    # IDAT streams surface from _png_decode — the
+                    # never-fail '-' contract must cover them too
                     w, h, hx = -1, -1, "-"
                 rows.append((int(mid), w, h, hx))
             yield pd.DataFrame(rows, columns=AHASH_SCHEMA.fieldNames())

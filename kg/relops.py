@@ -538,17 +538,26 @@ def session_surprisal(events: DataFrame, user_col: str = "user_id",
     single-event users have no transitions and are honestly absent.
 
     Shape: the model is a ≤|types|²-row broadcast; user successor pairs
-    ride the ONE per-user window shuffle the transitions build already
-    pays; then a broadcast hash join + one per-user aggregate —
-    nothing downstream of the window scales with |events|."""
+    ride ONE per-user window shuffle — the steps frame is built ONCE
+    and localCheckpointed, then BOTH the transition model and the
+    scoring read it (building the model via event_transitions would run
+    a second identical scan→Exchange→Window subtree: ReusedExchange is
+    not guaranteed even for identical sides, CLAUDE.md rule 7); then a
+    broadcast hash join + one per-user aggregate — nothing downstream
+    of the window scales with |events|."""
     w = Window.partitionBy(user_col).orderBy(ts_col, seq_col)
-    model = event_transitions(events, user_col=user_col,
-                              type_col=type_col, ts_col=ts_col,
-                              seq_col=seq_col)
     steps = (events.select(F.col(user_col),
                            F.col(type_col).alias("from_type"),
                            F.lead(type_col).over(w).alias("to_type"))
-             .filter(F.col("to_type").isNotNull()))
+             .filter(F.col("to_type").isNotNull())
+             .localCheckpoint())
+    pairs = (steps.groupBy("from_type", "to_type")
+             .agg(F.count("*").cast("bigint").alias("n_trans")))
+    tot = pairs.groupBy("from_type").agg(F.sum("n_trans").alias("_t"))
+    model = (pairs.join(F.broadcast(tot), "from_type")
+             .select("from_type", "to_type",
+                     F.expr("n_trans * 1000000 div _t").cast("bigint")
+                     .alias("prob_micro")))
     scored = steps.join(F.broadcast(model), ["from_type", "to_type"])
     return (scored.groupBy(user_col)
             .agg(F.count("*").cast("bigint").alias("n_transitions"),

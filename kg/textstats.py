@@ -784,27 +784,33 @@ def token_entropy(df: DataFrame, text_col: str = "text",
         starts = F.filter(
             F.sequence(F.lit(1), n),
             lambda i: (i == 1) | (F.get(s, i - 1) != F.get(s, i - 2)))
-        return bind1(starts, lambda st: F.aggregate(
-            F.sequence(F.lit(0), F.size(st) - 1),
-            F.struct(F.lit(0).cast("bigint").alias("ent"),
-                     F.lit(0).cast("bigint").alias("maxc")),
-            lambda acc, j: bind1(
-                (F.coalesce(F.get(st, j + 1), n + 1)
-                 - F.get(st, j)).cast("bigint"),
-                lambda c: F.struct(
-                    (acc["ent"] + c * (F.length(F.bin(
-                        F.floor(n.cast("bigint") / c).cast("bigint")))
-                        - 1)).cast("bigint").alias("ent"),
-                    F.greatest(acc["maxc"], c).alias("maxc")))))
+        # number of runs in the sorted array == number of distinct
+        # tokens: n_types rides the starts array for free (a separate
+        # array_distinct pass would re-hash the whole token array)
+        return bind1(starts, lambda st: F.struct(
+            F.size(st).cast("bigint").alias("nty"),
+            F.aggregate(
+                F.sequence(F.lit(0), F.size(st) - 1),
+                F.struct(F.lit(0).cast("bigint").alias("ent"),
+                         F.lit(0).cast("bigint").alias("maxc")),
+                lambda acc, j: bind1(
+                    (F.coalesce(F.get(st, j + 1), n + 1)
+                     - F.get(st, j)).cast("bigint"),
+                    lambda c: F.struct(
+                        (acc["ent"] + c * (F.length(F.bin(
+                            F.floor(n.cast("bigint") / c).cast("bigint")))
+                            - 1)).cast("bigint").alias("ent"),
+                        F.greatest(acc["maxc"], c).alias("maxc"))))
+            .alias("em")))
 
     out = (df.select(F.col(id_col),
                      F.size(t).cast("bigint").alias("n_tokens"),
-                     F.size(F.array_distinct(t)).cast("bigint")
-                     .alias("n_types"),
                      bind1(F.array_sort(t), profile).alias("p")))
     return (out.select(
-        id_col, "n_tokens", "n_types",
+        id_col, "n_tokens",
+        F.col("p.nty").alias("n_types"),
         F.expr("CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT) "
-               "ELSE p.ent * 1000 div n_tokens END").alias("ent_milli"),
+               "ELSE p.em.ent * 1000 div n_tokens END").alias("ent_milli"),
         F.expr("CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT) "
-               "ELSE p.maxc * 1000000 div n_tokens END").alias("top_ppm")))
+               "ELSE p.em.maxc * 1000000 div n_tokens END")
+        .alias("top_ppm")))

@@ -104,6 +104,7 @@ class TestEmbeddingAudit:
             (4, [1.0]),                              # wrong dim
             (5, [float("nan"), 0.0]),                # nonfinite
             (6, [float("inf"), 0.0]),                # nonfinite
+            (8, [None, 1.0]),                        # null ELEMENT: nonfinite
             (7, [0.0, 0.0]),                         # zero vector
             (7, [2.0, 0.0]),                         # duplicate id
         ]
@@ -111,7 +112,7 @@ class TestEmbeddingAudit:
             rows, "vec_id long, embedding array<float>")
         r = embedding_audit(emb, dim=2).collect()[0]
         assert (r.n_vecs, r.n_null_vec, r.n_wrong_dim, r.n_nonfinite,
-                r.n_zero, r.n_dup_ids) == (8, 1, 1, 2, 1, 1)
+                r.n_zero, r.n_dup_ids) == (9, 1, 1, 3, 1, 1)
         # norm2 over sound vecs: 1e12, 5e11, 0, 4e12
         assert r.min_norm2 == 0 and r.max_norm2 == 4 * 10**12
         assert r.mean_norm2 == (10**12 + 5 * 10**11 + 0 + 4 * 10**12) // 4

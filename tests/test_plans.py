@@ -673,11 +673,16 @@ def test_rel_q5_broadcasts_dims_and_pushes_date_filter(spark):
     import __spark_entry__ as E
     plan = _plan(E.q_rel_q5_volume(spark, "/root/testdata/sf0.001"))
     assert "BroadcastExchange" in plan
-    scan = plan[plan.index("orders.parquet"):][:600] \
-        if "orders.parquet" in plan else plan
-    assert "PushedFilters" in plan
-    assert "o_orderdate" in plan.split("PushedFilters")[1][:400] or \
-        "isnotnull(o_orderdate" in plan
+    # scan-scoped assertion: the chunk describing the ORDERS scan must
+    # carry the date range in ITS PushedFilters (a post-scan Filter node
+    # elsewhere in the plan must not satisfy this test)
+    order_scans = [c for c in plan.split("Scan parquet")
+                   if "orders.parquet" in c]
+    assert order_scans, "orders scan not found in plan"
+    pushed = [c.split("PushedFilters")[1].split("\n")[0]
+              for c in order_scans if "PushedFilters" in c]
+    assert any("GreaterThanOrEqual(o_orderdate" in p and
+               "LessThan(o_orderdate" in p for p in pushed), pushed
 
 
 def test_mad_outliers_scalars_ride_broadcasts(spark):

@@ -459,9 +459,18 @@ class TestImageAhash:
         assert ahash64(w, h, rgb) == "0" * 16
 
     def test_undecodable_and_tiny_emit_dash(self, spark):
-        from kg.multimodal import extract_image_ahash, gradient_ppm_bytes
+        import struct as _s
+        import zlib as _z
+        from kg.multimodal import (extract_image_ahash,
+                                   gradient_ppm_bytes, png_ihdr_bytes)
+        # a PNG with a valid signature/IHDR but corrupt IDAT bytes:
+        # _png_decode raises zlib.error, which the '-' contract must eat
+        corrupt = (png_ihdr_bytes(16, 16)
+                   + _s.pack(">I", 8) + b"IDAT" + b"\xff" * 8
+                   + _s.pack(">I", _z.crc32(b"IDAT" + b"\xff" * 8)))
         rows = [(1, "image", "ppm", bytearray(gradient_ppm_bytes(1, 16, 16))),
                 (2, "image", "ppm", bytearray(b"garbage")),
+                (4, "image", "png", bytearray(corrupt)),
                 (3, "image", "ppm", bytearray(gradient_ppm_bytes(3, 4, 4)))]
         df = spark.createDataFrame(
             rows, "media_id long, kind string, format string, payload binary")
@@ -470,3 +479,4 @@ class TestImageAhash:
         assert got[1][0] == 16 and len(got[1][1]) == 16
         assert got[2] == (-1, "-")
         assert got[3] == (-1, "-")     # under 8x8: no meaningful grid
+        assert got[4] == (-1, "-")     # corrupt IDAT: zlib.error eaten

@@ -4601,7 +4601,7 @@ def build_oracle_sql() -> dict[str, str]:
                  embedding IS NOT NULL AND len(embedding) <> 64 AS wdim,
                  embedding IS NOT NULL AND len(embedding) = 64
                    AND len(list_filter(embedding, x ->
-                         isnan(CAST(x AS DOUBLE))
+                         x IS NULL OR isnan(CAST(x AS DOUBLE))
                          OR abs(CAST(x AS DOUBLE)) > 1e30)) > 0 AS bad
           FROM embeddings),
         s AS (
