@@ -2464,6 +2464,25 @@ def q_multimodal_ahash_pairs(spark, sf_dir):
                              block_cols=("width", "height"))
 
 
+def q_text_script(spark, sf_dir):
+    """Unicode script histogram + dominant script
+    (kg.textstats.script_profile): one portable BMP range-class
+    regexp_count per script — the multilingual routing audit upstream
+    of language ID.  The synthetic corpus is pure ASCII, so a
+    deterministic script suffix rotates per doc IN BOTH ENGINES
+    (doc_id%4: none / Cyrillic / CJK / Arabic), exercising every count
+    column and the first-max dominant-script scan."""
+    from kg.textstats import script_profile
+    docs = _docs(spark, sf_dir).withColumn(
+        "text", F.concat(F.col("text"), F.expr(
+            "CASE CAST(doc_id % 4 AS INT) "
+            "WHEN 0 THEN '' "
+            "WHEN 1 THEN ' привет мир' "
+            "WHEN 2 THEN ' 你好世界' "
+            "ELSE ' مرحبا يا عالم' END")))
+    return script_profile(docs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # WINDOW-ROTATION RULE (STATUS.md §rotation): the driver's CORRECTNESS
     # artifact covers roughly the FIRST 50 registered queries per round, so
@@ -2497,7 +2516,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotation rule: new queries never ship outside the window); seven
         # low-risk stale rows below were demoted to make room ---------------
         "dedup_paragraph": q_dedup_paragraph,
-        "kg_tag_hits": q_kg_tag_hits,
         "rel_events_funnel": q_rel_events_funnel,
         "ann_sq_topk": q_ann_sq_topk,
         # --- r4 retrieval/sketch additions (rotated into the window) ------
@@ -2559,6 +2577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_tag_paths": q_kg_tag_paths,
         "multimodal_ahash": q_multimodal_ahash,
         "multimodal_ahash_pairs": q_multimodal_ahash_pairs,
+        "text_script": q_text_script,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also
@@ -2675,6 +2694,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # now hex_hamming_pairs under multimodal_ahash_pairs); the
         # recall/precision arithmetic is div-guarded and pytest-pinned
         "dedup_recall_lsh": q_dedup_recall_lsh,
+        # demoted for the session-12 script-profile addition
+        # (text_script):
+        # kg_tag_hits — its L∞-normalized synchronous join-aggregate
+        # rounds are the house integer-loop class with several fresh
+        # in-window members (kg_tag_pagerank_full on the SAME directed
+        # HAS_TAG graph, kg_tag_refine, kg_tag_coloring); the
+        # hubs/authorities delta is pinned by the hand-computed
+        # 2-round pytest
+        "kg_tag_hits": q_kg_tag_hits,
         # kg_tag_msf — its contraction step IS kg.canon.connected_components
         # (in-window via dedup_components' recursive-CTE oracle) and its
         # struct-min argmax is the chosen-edge shape kg_tag_scc/ktruss

@@ -143,6 +143,7 @@ HEADLINE = [
     "kg_tag_paths",          # BFS shortest paths with reconstruction
     "multimodal_ahash",      # perceptual aHash over real decoded pixels
     "multimodal_ahash_pairs",  # lossless banded image near-dup pairs
+    "text_script",           # Unicode script histogram + routing audit
 ]
 
 

@@ -814,3 +814,63 @@ def token_entropy(df: DataFrame, text_col: str = "text",
         F.expr("CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT) "
                "ELSE p.em.maxc * 1000000 div n_tokens END")
         .alias("top_ppm")))
+
+
+# Unicode script ranges counted by script_profile — literal range
+# character classes (BMP), identical syntax and codepoint semantics in
+# Java regex and RE2 (the kg.pii portability subset).  The ASCII class
+# uses hex escapes (printable range) so no raw control characters live
+# in source.
+SCRIPT_RANGES: tuple[tuple[str, str], ...] = (
+    ("ascii", "[\\x20-\\x7e]"),
+    ("latin_ext", "[\u00c0-\u024f]"),
+    ("cyrillic", "[\u0400-\u04ff]"),
+    ("arabic", "[\u0600-\u06ff]"),
+    ("cjk", "[\u4e00-\u9fff]"),
+)
+
+
+def script_profile(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Per-document Unicode SCRIPT histogram + dominant script — the
+    multilingual ingest audit upstream of language ID (language_id's
+    n-gram profiles assume Latin text; a crawl routes Cyrillic/CJK/
+    Arabic documents to per-script models first, and mixed-script
+    documents are a standard spam/mojibake signal):
+
+      (doc_id, n_chars, n_ascii, n_latin_ext, n_cyrillic, n_arabic,
+       n_cjk, n_other, main_script)
+
+    Counts are one regexp_count per literal BMP range class (the
+    kg.pii Java/RE2-portable subset — codepoint-range semantics are
+    identical in both engines, verified); n_ascii counts the PRINTABLE
+    range 0x20-0x7e; n_other = chars outside every listed range (incl.
+    control chars and astral-plane codepoints — BMP ranges only, the
+    documented contract); main_script = the NON-ASCII script with the
+    highest count, ties to SCRIPT_RANGES order, 'ascii' when no listed
+    non-ASCII script occurs.  Zero shuffles, zero UDFs — fused into the
+    scan by codegen."""
+    counts = [F.regexp_count(F.col(text_col), F.lit(pat))
+              .cast("bigint").alias(f"n_{name}")
+              for name, pat in SCRIPT_RANGES]
+    out = df.select(F.col(id_col),
+                    F.length(text_col).cast("bigint").alias("n_chars"),
+                    *counts)
+    listed = None
+    for name, _ in SCRIPT_RANGES:
+        c = F.col(f"n_{name}")
+        listed = c if listed is None else listed + c
+    out = out.withColumn("n_other",
+                         (F.col("n_chars") - listed).cast("bigint"))
+    # dominant non-ascii script: first-max scan in SCRIPT_RANGES order
+    # (strict > keeps the earlier script on ties)
+    best = F.lit("ascii")
+    best_n = F.lit(0).cast("bigint")
+    for name, _ in SCRIPT_RANGES:
+        if name == "ascii":
+            continue
+        c = F.col(f"n_{name}")
+        take = c > best_n
+        best = F.when(take, F.lit(name)).otherwise(best)
+        best_n = F.when(take, c).otherwise(best_n)
+    return out.withColumn("main_script", best)

@@ -286,3 +286,40 @@ class TestTokenEntropy:
         r = token_entropy(df).collect()[0]
         assert r.ent_milli == s * 1000 // n
         assert r.top_ppm == max(Counter(toks).values()) * 1_000_000 // n
+
+
+class TestScriptProfile:
+    def test_counts_and_dominant_script(self, spark):
+        from kg.textstats import script_profile
+        docs = spark.createDataFrame(
+            [(1, "hello world"), (2, "ab привет"), (3, "你好世界 ok"),
+             (4, "مرحبا hola"), (5, "café naïve"),
+             (6, "привет 你好你好世")],
+            "doc_id long, text string")
+        got = {r.doc_id: (r.n_chars, r.n_ascii, r.n_latin_ext,
+                          r.n_cyrillic, r.n_arabic, r.n_cjk, r.n_other,
+                          r.main_script)
+               for r in script_profile(docs).collect()}
+        assert got[1] == (11, 11, 0, 0, 0, 0, 0, "ascii")
+        assert got[2] == (9, 3, 0, 6, 0, 0, 0, "cyrillic")
+        assert got[3] == (7, 3, 0, 0, 0, 4, 0, "cjk")
+        assert got[4] == (10, 5, 0, 0, 5, 0, 0, "arabic")
+        assert got[5] == (10, 8, 2, 0, 0, 0, 0, "latin_ext")
+        assert got[6] == (12, 1, 0, 6, 0, 5, 0, "cyrillic")
+
+    def test_tie_goes_to_range_order(self, spark):
+        from kg.textstats import script_profile
+        docs = spark.createDataFrame([(1, "ы好")],   # 1 cyrillic, 1 cjk
+                                     "doc_id long, text string")
+        r = script_profile(docs).collect()[0]
+        assert (r.n_cyrillic, r.n_cjk) == (1, 1)
+        assert r.main_script == "cyrillic"   # earlier in SCRIPT_RANGES
+
+    def test_other_bucket_and_astral_contract(self, spark):
+        from kg.textstats import script_profile
+        # Greek (not listed) and an astral emoji land in n_other;
+        # the emoji counts as ONE char in both engines' length()
+        docs = spark.createDataFrame([(1, "αβ ab")],
+                                     "doc_id long, text string")
+        r = script_profile(docs).collect()[0]
+        assert (r.n_chars, r.n_ascii, r.n_other) == (5, 3, 2)

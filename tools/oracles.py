@@ -4556,6 +4556,38 @@ def build_oracle_sql() -> dict[str, str]:
         {_sp_round(3)}
         SELECT node, CAST(level AS INT) AS level, path FROM st3"""
 
+    # Unicode script profile (kg.textstats.script_profile): the range
+    # patterns are imported from SCRIPT_RANGES (one definition, two
+    # engines); counts via len(regexp_extract_all) == Spark's
+    # regexp_count on non-overlapping single-char classes; dominant
+    # script replays the first-max scan as a greatest + CASE chain.
+    from kg.textstats import SCRIPT_RANGES as _SR
+    _sr_counts = ",\n               ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT)"
+        f" AS n_{name}" for name, pat in _SR)
+    _sr_sum = " + ".join(f"n_{name}" for name, _ in _SR)
+    _nonascii = [n for n, _ in _SR if n != "ascii"]
+    _mx = "greatest(" + ", ".join(f"n_{n}" for n in _nonascii) + ")"
+    _main = "CASE WHEN " + _mx + " = 0 THEN 'ascii' " + " ".join(
+        f"WHEN n_{n} = {_mx} THEN '{n}'" for n in _nonascii) + " END"
+    sqls["text_script"] = f"""
+        WITH aug AS (
+          SELECT doc_id, text || CASE CAST(doc_id % 4 AS INT)
+            WHEN 0 THEN ''
+            WHEN 1 THEN ' привет мир'
+            WHEN 2 THEN ' 你好世界'
+            ELSE ' مرحبا يا عالم' END AS text
+          FROM documents WHERE lang = 'en'),
+        c AS (
+          SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+               {_sr_counts}
+          FROM aug)
+        SELECT doc_id, n_chars, n_ascii, n_latin_ext, n_cyrillic,
+               n_arabic, n_cjk,
+               CAST(n_chars - ({_sr_sum}) AS BIGINT) AS n_other,
+               {_main} AS main_script
+        FROM c"""
+
     # Markov session surprisal (kg.relops.session_surprisal): the
     # transition model (lead() under the (ts, event_id) tie-break,
     # row-normalized in integer micro) replayed, then per-user
