@@ -2483,6 +2483,20 @@ def q_text_script(spark, sf_dir):
     return script_profile(docs)
 
 
+def q_corpus_split_leakproof(spark, sf_dir):
+    """Group-aware leakage-proof split (kg.sampling.leakproof_split):
+    near-dup clusters (MinHash-LSH pairs → connected components) are
+    assigned WHOLLY to one split by hashing the cluster representative
+    — the published fix for near-duplicates of training docs leaking
+    into eval sets.  The oracle replays the LSH pairs, a recursive-CTE
+    reach for components, and the exact md5 split boundaries."""
+    from kg.dedup import minhash_lsh_pairs
+    from kg.sampling import leakproof_split
+    d = _docs(spark, sf_dir)
+    return (leakproof_split(d, minhash_lsh_pairs(d, k=16, bands=4, n=2))
+            .select("doc_id", "rep", "split"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # WINDOW-ROTATION RULE (STATUS.md §rotation): the driver's CORRECTNESS
     # artifact covers roughly the FIRST 50 registered queries per round, so
@@ -2554,7 +2568,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_encode": q_text_bpe_encode,
         # --- r4 session-9 additions (rotated into the window); one
         # demotion each — see the demoted block -------------------------
-        "corpus_overlap_matrix": q_corpus_overlap_matrix,
         "kg_tag_ktruss": q_kg_tag_ktruss,
         # --- r4 session-11 additions (rotated into the window); one
         # demotion each — see the demoted block -------------------------
@@ -2578,6 +2591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_ahash": q_multimodal_ahash,
         "multimodal_ahash_pairs": q_multimodal_ahash_pairs,
         "text_script": q_text_script,
+        "corpus_split_leakproof": q_corpus_split_leakproof,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also
@@ -2703,6 +2717,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hubs/authorities delta is pinned by the hand-computed
         # 2-round pytest
         "kg_tag_hits": q_kg_tag_hits,
+        # demoted for the session-12 leakproof-split addition
+        # (corpus_split_leakproof):
+        # corpus_overlap_matrix — its per-group bottom-k sketch pass and
+        # the pairwise union-merge both ride machinery with fresh pins
+        # (the TakeOrderedAndProject bottom-k plan guard, the
+        # matrix-matches-pairwise-kmv_overlap pytest); the KMV estimator
+        # formula itself stays exercised by the kmv family's
+        # layout-invariant exact-replay pytests
+        "corpus_overlap_matrix": q_corpus_overlap_matrix,
         # kg_tag_msf — its contraction step IS kg.canon.connected_components
         # (in-window via dedup_components' recursive-CTE oracle) and its
         # struct-min argmax is the chosen-edge shape kg_tag_scc/ktruss

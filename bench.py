@@ -144,6 +144,7 @@ HEADLINE = [
     "multimodal_ahash",      # perceptual aHash over real decoded pixels
     "multimodal_ahash_pairs",  # lossless banded image near-dup pairs
     "text_script",           # Unicode script histogram + routing audit
+    "corpus_split_leakproof",  # cluster-aware split, no eval leakage
 ]
 
 

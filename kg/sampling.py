@@ -511,3 +511,41 @@ def budget_rates(df: DataFrame, budget_ppm: int = 600_000,
         .alias("rate_micro"),
         F.least("alloc", "n_tokens").cast("bigint").alias("alloc_tokens"),
         "capped")
+
+
+def leakproof_split(df: DataFrame, pairs: DataFrame,
+                    weights: tuple[float, ...] = (0.8, 0.1, 0.1),
+                    names: tuple[str, ...] = ("train", "val", "test"),
+                    key_col: str = "doc_id",
+                    out_col: str = "split") -> DataFrame:
+    """GROUP-AWARE train/val/test split: every near-duplicate CLUSTER is
+    assigned wholly to one split.  A naive per-document hash split
+    (split_assign) puts near-duplicates of training documents into the
+    eval sets — self-inflicted contamination of exactly the kind the
+    benchmark-overlap decontamination stage (kg.dedup.
+    ngram_contamination) exists to catch; the published fix is to split
+    by duplicate-cluster representative, not by document.
+
+    `pairs` is any near-dup candidate pair frame (id_a, id_b) — the
+    MinHash-LSH production blocking output; cluster labels come from
+    kg.canon.connected_components (component = min member id), and the
+    split hash is computed on the REPRESENTATIVE (singletons: the doc's
+    own id), reusing split_assign's exact md5 boundary rule — so a
+    document's split never changes when unrelated docs arrive, and two
+    near-dups can never straddle a split boundary.
+
+    Returns df + (rep, split).  Shape: components over the pair graph
+    (pair-bounded, not corpus-bounded), one left join of the
+    broadcast-small label set onto the corpus, then the same narrow
+    md5-threshold map as split_assign."""
+    from kg.canon import connected_components
+    edges = pairs.select(F.col("id_a").alias("src"),
+                         F.col("id_b").alias("dst"))
+    labels = (connected_components(edges)
+              .select(F.col("node").alias(key_col),
+                      F.col("component").alias("rep")))
+    with_rep = (df.join(labels, key_col, "left")
+                .withColumn("rep", F.coalesce(F.col("rep"),
+                                              F.col(key_col))))
+    return split_assign(with_rep, weights=weights, names=names,
+                        key_col="rep", out_col=out_col)

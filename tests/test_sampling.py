@@ -378,3 +378,45 @@ class TestBudgetRates:
             docs, budget_ppm=400_000).collect()}
         assert out["A"].alloc_tokens == out["B"].alloc_tokens == 20
         assert out["A"].rate_micro == 400_000
+
+
+class TestLeakproofSplit:
+    def _fixture(self, spark):
+        docs = spark.createDataFrame([(i, f"t{i}") for i in range(30)],
+                                     "doc_id long, text string")
+        pairs = spark.createDataFrame(
+            [(0, 1), (1, 2), (5, 6), (10, 25)], "id_a long, id_b long")
+        return docs, pairs
+
+    def test_clusters_never_straddle_splits(self, spark):
+        from kg.sampling import leakproof_split
+        docs, pairs = self._fixture(spark)
+        got = {r.doc_id: (r.rep, r.split)
+               for r in leakproof_split(docs, pairs).collect()}
+        for a, b in [(0, 1), (1, 2), (5, 6), (10, 25)]:
+            assert got[a][1] == got[b][1]
+            assert got[a][0] == got[b][0]
+        assert got[0][0] == 0 and got[5][0] == 5 and got[10][0] == 10
+
+    def test_singletons_match_plain_split_assign(self, spark):
+        from kg.sampling import leakproof_split, split_assign
+        docs, pairs = self._fixture(spark)
+        leak = {r.doc_id: r.split
+                for r in leakproof_split(docs, pairs).collect()}
+        plain = {r.doc_id: r.split
+                 for r in split_assign(docs).collect()}
+        clustered = {0, 1, 2, 5, 6, 10, 25}
+        for d in range(30):
+            if d not in clustered:
+                assert leak[d] == plain[d]     # singleton: same rule
+
+    def test_cluster_split_is_the_representatives(self, spark):
+        from kg.sampling import leakproof_split, split_assign
+        docs, pairs = self._fixture(spark)
+        got = {r.doc_id: r.split
+               for r in leakproof_split(docs, pairs).collect()}
+        plain = {r.doc_id: r.split
+                 for r in split_assign(docs).collect()}
+        # every cluster member inherits the REP's own-hash split
+        assert got[2] == plain[0] and got[6] == plain[5] \
+            and got[25] == plain[10]

@@ -4556,6 +4556,37 @@ def build_oracle_sql() -> dict[str, str]:
         {_sp_round(3)}
         SELECT node, CAST(level AS INT) AS level, path FROM st3"""
 
+    # Leakage-proof split (kg.sampling.leakproof_split): LSH pair SQL
+    # verbatim, recursive-CTE reach for components (rep = min member),
+    # then the corpus_split md5 boundaries applied to the REP.
+    sqls["corpus_split_leakproof"] = f"""
+        WITH RECURSIVE
+        sig AS ({_MINHASH_SIG}),
+        buckets AS ({_BANDS}),
+        jp AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM buckets a JOIN buckets b
+            ON a.band = b.band AND a.bucket = b.bucket
+           AND a.doc_id < b.doc_id),
+        pairs AS (SELECT id_a AS a, id_b AS b FROM jp
+                  UNION SELECT id_b, id_a FROM jp),
+        nodes AS (SELECT DISTINCT a AS node FROM pairs),
+        reach AS (
+          SELECT node, node AS r FROM nodes
+          UNION
+          SELECT reach.node, p.b AS r FROM reach
+          JOIN pairs p ON p.a = reach.r),
+        labels AS (SELECT node, min(r) AS rep FROM reach GROUP BY node)
+        SELECT d.doc_id, coalesce(l.rep, d.doc_id) AS rep,
+               CASE WHEN md5(CAST(coalesce(l.rep, d.doc_id) AS VARCHAR))
+                         < '{_r2h(0.8)}' THEN 'train'
+                    WHEN md5(CAST(coalesce(l.rep, d.doc_id) AS VARCHAR))
+                         < '{_r2h(0.9)}' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents d
+        LEFT JOIN labels l ON l.node = d.doc_id
+        WHERE d.lang = 'en'"""
+
     # Unicode script profile (kg.textstats.script_profile): the range
     # patterns are imported from SCRIPT_RANGES (one definition, two
     # engines); counts via len(regexp_extract_all) == Spark's
