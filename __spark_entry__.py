@@ -2384,6 +2384,59 @@ def q_rel_q18_big_orders(spark, sf_dir):
                  F.count("*").cast("bigint").alias("n_items")))
 
 
+def q_rel_q4_priority(spark, sf_dir):
+    """TPC-H Q4 (order-priority checking), adapted to this testdata's
+    reduced lineitem (no commit/receipt dates — the EXISTS predicate
+    becomes "some item shipped >= 60 days after the order date"): a
+    quarter of orders COUNTED PER PRIORITY iff at least one late
+    lineitem exists.  The shape under test is the EXISTS -> LEFT SEMI
+    join: the lineitem side is pre-projected to (key, shipdate), the
+    semi join hashes on l_orderkey with the lateness predicate as a
+    residual condition, and an order with ten late items still counts
+    once — no post-join distinct needed, which is exactly why Q4 is the
+    canonical semi-join benchmark.  Both sides shuffle on the order key
+    (co-partitioned); the date filter pushes to the orders scan."""
+    od, li = (_read(n)(spark, sf_dir) for n in ("orders", "lineitem"))
+    od_f = od.filter(
+        (F.col("o_orderdate").cast("timestamp")
+         >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate").cast("timestamp")
+           < F.lit("1996-10-01").cast("timestamp")))
+    late = li.select("l_orderkey",
+                     F.col("l_shipdate").cast("timestamp").alias("_sd"))
+    return (od_f.join(
+                late,
+                (od_f.o_orderkey == late.l_orderkey)
+                & (F.col("_sd") >= F.col("o_orderdate").cast("timestamp")
+                   + F.expr("INTERVAL 60 DAYS")),
+                "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").cast("bigint").alias("order_count")))
+
+
+def q_rel_q13_custdist(spark, sf_dir):
+    """TPC-H Q13 (customer distribution), adapted to the reduced orders
+    schema (no o_comment — the join-side filter is o_orderstatus <> 'F',
+    keeping Q13's defining trap intact): LEFT OUTER join customer ->
+    filtered orders with the filter INSIDE the join condition, so
+    customers whose only orders are 'F' survive with c_count = 0 —
+    moving the predicate to a WHERE would silently drop the zero bucket.
+    Then the double aggregation: count orders per customer (shuffles on
+    c_custkey, the join key, so AQE reuses the partitioning), then the
+    distribution histogram over c_count (tiny second aggregate).  The
+    one TPC-H query whose output is a histogram of an aggregate."""
+    cu, od = (_read(n)(spark, sf_dir) for n in ("customer", "orders"))
+    od_f = od.filter(F.col("o_orderstatus") != "F").select(
+        "o_custkey", "o_orderkey")
+    per_cust = (cu.join(od_f, cu.c_custkey == od_f.o_custkey,
+                        "left_outer")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").cast("bigint")
+                     .alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count("*").cast("bigint").alias("custdist")))
+
+
 def q_rel_events_surprisal(spark, sf_dir):
     """Per-user Markov surprisal (kg.relops.session_surprisal): each
     user's navigation scored in floor-log2 inverse-probability bits
@@ -2587,11 +2640,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_outliers": q_corpus_outliers,
         "rel_q18_big_orders": q_rel_q18_big_orders,
         "rel_events_surprisal": q_rel_events_surprisal,
-        "kg_tag_paths": q_kg_tag_paths,
         "multimodal_ahash": q_multimodal_ahash,
-        "multimodal_ahash_pairs": q_multimodal_ahash_pairs,
         "text_script": q_text_script,
         "corpus_split_leakproof": q_corpus_split_leakproof,
+        # --- r4 session-13 additions (rotated into the window); one
+        # demotion each — see the demoted block -------------------------
+        "rel_q4_priority": q_rel_q4_priority,
+        "rel_q13_custdist": q_rel_q13_custdist,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also
@@ -2604,6 +2659,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pytests; the events family keeps transitions/rfm/distinct rows
         # in-window
         "rel_events_decay": q_rel_events_decay,
+        # demoted for the session-13 relational additions (rel_q4_priority
+        # / rel_q13_custdist), strongest-subsumption-first:
+        # kg_tag_paths — its forward BFS frontier machinery keeps an
+        # in-window row via kg_tag_eccentricity (the SAME keyed multi_bfs
+        # chain string) and r3-green kg_tag_bfs; the parent-reconstruction
+        # rule (min frontier neighbor, unique by construction) is pinned
+        # by path/diamond-tie/unreachable pytests
+        "kg_tag_paths": q_kg_tag_paths,
+        # multimodal_ahash_pairs — its banding+verify machinery is
+        # kg.dedup.hex_hamming_pairs, which keeps FIVE in-window relatives
+        # (winnow/semantic/paragraph blocking joins + the simhash family
+        # sharing the nibble-LUT verify), and the ahash body itself keeps
+        # an in-window full-replay row via multimodal_ahash; the pair set
+        # is pytest-PROVEN equal to brute force on the fixture grid
+        "multimodal_ahash_pairs": q_multimodal_ahash_pairs,
         # demoted for the session-12 additions (text_entropy /
         # link_edit_pairs), strongest-subsumption-first:
         # text_readability — pure zero-shuffle arithmetic narrow map whose

@@ -685,6 +685,40 @@ def test_rel_q5_broadcasts_dims_and_pushes_date_filter(spark):
                "LessThan(o_orderdate" in p for p in pushed), pushed
 
 
+def test_rel_q4_semi_join_and_pushed_dates(spark):
+    """TPC-H Q4 (adapted): the EXISTS must compile to a LeftSemi hash
+    join (one probe per order, no post-join distinct) and the quarter
+    predicate must reach the orders scan as PushedFilters."""
+    import __spark_entry__ as E
+    plan = _plan(E.q_rel_q4_priority(spark, "/root/testdata/sf0.001"))
+    assert "LeftSemi" in plan
+    assert "Distinct" not in plan and "HashAggregate" in plan
+    order_scans = [c for c in plan.split("Scan parquet")
+                   if "orders.parquet" in c]
+    pushed = [c.split("PushedFilters")[1].split("\n")[0]
+              for c in order_scans if "PushedFilters" in c]
+    assert any("GreaterThanOrEqual(o_orderdate" in p and
+               "LessThan(o_orderdate" in p for p in pushed), pushed
+
+
+def test_rel_q13_outer_join_preserves_zero_bucket(spark):
+    """TPC-H Q13 (adapted): the status filter must stay on the join's
+    BUILD side (an orders-scan filter), never become a post-join filter
+    that would drop zero-order customers; result must contain the
+    c_count = 0 bucket on sf0.01 (sf0.001 has no all-'F' customer) and
+    the total custdist mass must equal the customer count — the exact
+    invariant a WHERE-leaked filter would break."""
+    import __spark_entry__ as E
+    df = E.q_rel_q13_custdist(spark, "/root/testdata/sf0.01")
+    plan = _plan(df)
+    assert "LeftOuter" in plan or "RightOuter" in plan
+    rows = {r["c_count"]: r["custdist"] for r in df.collect()}
+    assert 0 in rows and rows[0] > 0
+    n_cust = spark.read.parquet(
+        "/root/testdata/sf0.01/customer.parquet").count()
+    assert sum(rows.values()) == n_cust
+
+
 def test_mad_outliers_scalars_ride_broadcasts(spark):
     """kg.curate.mad_outliers: the median and MAD scalars must join the
     corpus via BroadcastNestedLoopJoin/BroadcastExchange (single-row

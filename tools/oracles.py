@@ -4739,6 +4739,34 @@ def build_oracle_sql() -> dict[str, str]:
         JOIN lineitem ON o_orderkey = lineitem.l_orderkey
         GROUP BY 1, 2, 3, 4"""
 
+    # TPC-H Q4 order-priority checking (adapted: the EXISTS predicate is
+    # "some lineitem shipped >= 60 days after the order date" — the
+    # reduced lineitem has no commit/receipt dates).  EXISTS = the semi
+    # join under test on the Spark side.
+    sqls["rel_q4_priority"] = """
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o_orderdate < TIMESTAMP '1996-10-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate >= o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority"""
+
+    # TPC-H Q13 customer distribution (adapted: join-side filter is
+    # o_orderstatus <> 'F' — no o_comment in the reduced schema).  The
+    # filter must live in the ON clause so zero-order customers survive
+    # into the c_count = 0 bucket.
+    sqls["rel_q13_custdist"] = """
+        WITH per_cust AS (
+          SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+          FROM customer
+          LEFT JOIN orders ON c_custkey = o_custkey
+                          AND o_orderstatus <> 'F'
+          GROUP BY c_custkey)
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM per_cust GROUP BY c_count"""
+
     # TPC-H Q5 local supplier volume: customer and supplier share the
     # nation, ASIA region, 1996 order year; revenue exact in
     # DECIMAL(18,2), cast double at the edge.
