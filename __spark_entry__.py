@@ -1287,6 +1287,21 @@ def q_kg_tag_pagerank_full(spark, sf_dir):
                     redistribute_dangling=True)
 
 
+def q_kg_tag_katz(spark, sf_dir):
+    """Katz attenuated-path-count centrality (kg.graphrank.katz_centrality)
+    over the same DIRECTED sentence→tag HAS_TAG graph as
+    kg_tag_pagerank_full — the third member of the directed-centrality
+    family (PageRank divides by out-degree, HITS normalizes per round,
+    Katz attenuates by α per hop); 3 exact integer-micro rounds, the
+    oracle replays the round chain with the Σ_in staged in HUGEINT."""
+    from kg.graphrank import katz_centrality
+    edges = (_en_triples(spark, sf_dir, TOK_SPEC)
+             .filter(F.col("pred") == "HAS_TAG")
+             .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+             .localCheckpoint())
+    return katz_centrality(edges, rounds=3)
+
+
 def q_dedup_boilerplate(spark, sf_dir):
     """Corpus-level boilerplate n-gram mining (kg.dedup.boilerplate_ngrams):
     the support-thresholded duplicated-substring table a curation team
@@ -2641,12 +2656,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_q18_big_orders": q_rel_q18_big_orders,
         "rel_events_surprisal": q_rel_events_surprisal,
         "multimodal_ahash": q_multimodal_ahash,
-        "text_script": q_text_script,
         "corpus_split_leakproof": q_corpus_split_leakproof,
         # --- r4 session-13 additions (rotated into the window); one
         # demotion each — see the demoted block -------------------------
         "rel_q4_priority": q_rel_q4_priority,
         "rel_q13_custdist": q_rel_q13_custdist,
+        "kg_tag_katz": q_kg_tag_katz,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also
@@ -2674,6 +2689,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # an in-window full-replay row via multimodal_ahash; the pair set
         # is pytest-PROVEN equal to brute force on the fixture grid
         "multimodal_ahash_pairs": q_multimodal_ahash_pairs,
+        # demoted for the session-13 Katz addition (kg_tag_katz):
+        # text_script — zero-shuffle regexp-count narrow map whose oracle
+        # is a trivial per-class mirror over SCRIPT_RANGES (the
+        # rel_events_decay demotion class; the range table itself is ONE
+        # shared constant imported by both engines); per-script/tie-order/
+        # other-bucket pytests pin the first-max dominant rule
+        "text_script": q_text_script,
         # demoted for the session-12 additions (text_entropy /
         # link_edit_pairs), strongest-subsumption-first:
         # text_readability — pure zero-shuffle arithmetic narrow map whose

@@ -442,6 +442,30 @@ def test_hits_hand_computed(spark):
     assert len(got) == 6
 
 
+def test_katz_matches_python_replay(spark):
+    """3 rounds on a directed chain+star, exact integer replay of
+    x_t(v) = beta + (alpha * Σ_in x_{t-1}) // 1e6; duplicate edges must
+    collapse (0/1 adjacency)."""
+    from kg.graphrank import katz_centrality
+    E = [("a", "b"), ("b", "c"), ("a", "c"), ("d", "c"), ("a", "b")]
+    edges = spark.createDataFrame(E, ["src", "dst"])
+    adj = {}
+    for s, d in set(E):
+        adj.setdefault(d, set()).add(s)
+    nodes = {n for e in E for n in e}
+    x = {n: 1_000_000 for n in nodes}
+    for _ in range(3):
+        x = {n: 1_000_000
+             + (100_000 * sum(x[u] for u in adj.get(n, ()))) // 1_000_000
+             for n in nodes}
+    got = {r["node"]: r["rank_micro"]
+           for r in katz_centrality(edges, rounds=3).collect()}
+    assert got == x
+    # the in-degree-3 sink outranks everything; pure sources sit at beta
+    assert got["c"] == max(got.values())
+    assert got["a"] == 1_000_000 and got["d"] == 1_000_000
+
+
 def test_random_walks_deterministic_md5_steps(spark):
     """Every hop is conv(md5(walk_id ':' step)[:6],16,10) % degree over
     the sorted neighbor list; sinks end walks; bit-identical re-run."""

@@ -1101,6 +1101,34 @@ def build_oracle_sql() -> dict[str, str]:
     sqls["kg_tag_pagerank_full"] = _prf + """
         SELECT node, CAST(rank AS BIGINT) AS rank_micro FROM f5"""
 
+    # Katz centrality over the same directed sent→tag graph: x_t(v) =
+    # beta + (alpha * Σ_in x_{t-1}) // 1e6, Σ_in in HUGEINT (DuckDB's
+    # native sum(BIGINT) promotion — mirrors Spark's DECIMAL(38,0)
+    # staging in kg.graphrank.katz_centrality); each CTE referenced once
+    # per round so the chain survives without MATERIALIZED.
+    _ktz = f"""
+        WITH {_kept_sql},
+        e AS MATERIALIZED (
+          SELECT DISTINCT 'sent:' || doc_id || ':0' AS src,
+                          'tag:en:' || tok AS dst
+          FROM kept),
+        nodes AS MATERIALIZED (
+          SELECT DISTINCT src AS node FROM e
+          UNION SELECT DISTINCT dst FROM e),
+        k0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes)"""
+    for _i in range(1, 4):
+        _ktz += f""",
+        k{_i} AS (
+          SELECT n.node,
+                 CAST(1000000 + (100000 * coalesce(s.s, 0)) // 1000000
+                      AS BIGINT) AS rank
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, sum(p.rank) AS s
+            FROM k{_i - 1} p JOIN e ON e.src = p.node
+            GROUP BY e.dst) s ON s.node = n.node)"""
+    sqls["kg_tag_katz"] = _ktz + """
+        SELECT node, CAST(rank AS BIGINT) AS rank_micro FROM k3"""
+
     sqls["kg_tag_pmi"] = f"""
         WITH {_kept_sql},
         {_cooccur_sql},
