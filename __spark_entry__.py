@@ -1287,6 +1287,16 @@ def q_kg_tag_pagerank_full(spark, sf_dir):
                     redistribute_dangling=True)
 
 
+def q_text_chi2_pairs(spark, sf_dir):
+    """Chi-square + Dice collocation extraction
+    (kg.textstats.collocation_chi2): the 2×2-contingency hypothesis test
+    over adjacent bigrams — the statistical complement of kg_tag_pmi's
+    association ratio; every product staged DECIMAL(38,0)/HUGEINT, the
+    min_count gate bounds the scored frame to collocation size."""
+    from kg.textstats import collocation_chi2
+    return collocation_chi2(_docs(spark, sf_dir), min_count=5)
+
+
 def q_kg_tag_katz(spark, sf_dir):
     """Katz attenuated-path-count centrality (kg.graphrank.katz_centrality)
     over the same DIRECTED sentence→tag HAS_TAG graph as
@@ -2651,7 +2661,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_events_sliding": q_rel_events_sliding,
         "multimodal_video": q_multimodal_video,
         "rel_q5_volume": q_rel_q5_volume,
-        "embedding_audit": q_embedding_audit,
         "corpus_outliers": q_corpus_outliers,
         "rel_q18_big_orders": q_rel_q18_big_orders,
         "rel_events_surprisal": q_rel_events_surprisal,
@@ -2662,6 +2671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_q4_priority": q_rel_q4_priority,
         "rel_q13_custdist": q_rel_q13_custdist,
         "kg_tag_katz": q_kg_tag_katz,
+        "text_chi2_pairs": q_text_chi2_pairs,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also
@@ -2689,6 +2699,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # an in-window full-replay row via multimodal_ahash; the pair set
         # is pytest-PROVEN equal to brute force on the fixture grid
         "multimodal_ahash_pairs": q_multimodal_ahash_pairs,
+        # demoted for the session-13 collocation addition (text_chi2_pairs):
+        # embedding_audit — every cell a trivial conditional aggregate
+        # (the corpus_audit demotion precedent, itself demoted session 9
+        # on the same grounds); clean-lake-zero + dirty-fixture pytests
+        # cover every defect class, and the micro² norm arithmetic is the
+        # in-window ann_kmeans/ann_silhouette expression shape
+        "embedding_audit": q_embedding_audit,
         # demoted for the session-13 Katz addition (kg_tag_katz):
         # text_script — zero-shuffle regexp-count narrow map whose oracle
         # is a trivial per-class mirror over SCRIPT_RANGES (the

@@ -367,6 +367,71 @@ def bigram_surprisal(df: DataFrame, text_col: str = "text",
                         F.expr("(total_bits * 1000000) div n_bigrams")))
 
 
+def collocation_chi2(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     min_count: int = 5) -> DataFrame:
+    """Pearson chi-square collocation extraction (Manning & Schütze ch. 5,
+    the classic 2×2 contingency test) plus the Dice coefficient (Smadja
+    1993) for adjacent bigrams — the hypothesis-TEST complement of
+    cooccurrence_pmi's association ratio (PMI overweights rare pairs; χ²
+    normalizes by both marginals, Dice by their sum).
+
+    Contingency cells per candidate bigram (w1, w2) over the N corpus
+    bigram instances: O11 = C(w1,w2), O12 = R1−O11, O21 = C1−O11,
+    O22 = N−R1−C1+O11 with R1 = C(w1,·), C1 = C(·,w2).  Scores:
+
+        chi2_milli = (1000·N·diff²) div (R1·(N−R1)·C1·(N−C1)),
+                     diff = O11·O22 − O12·O21
+        dice_micro = (2·1e6·O11) div (R1 + C1)
+
+    every product staged DECIMAL(38,0) (DuckDB HUGEINT) — diff² alone
+    overflows BIGINT at ~3·10⁹ bigrams.  Exactness domain: 1000·N·diff²
+    must fit 38 digits; with the min_count candidate gate and a
+    stopword-light vocabulary that holds far past sf-scale corpora, and
+    the degenerate one-word-vocabulary corpus (R1 = N or C1 = N zeroes a
+    denominator factor) emits chi2_milli = 0 rather than dividing by
+    zero.  Candidates are gated to O11 >= min_count BEFORE the marginal
+    joins (the published practice — χ² is invalid on expected counts
+    < ~5 anyway), so the scored frame is collocation-sized, never
+    vocabulary²-sized.
+
+    Returns (w1, w2, n11, r1, c1, n_bigrams, dice_micro, chi2_milli).
+
+    Scale shape: ONE in-row bigram build (no window/self-join) → one
+    (w1,w2) aggregate → two vocabulary-sized marginal aggregates of THAT
+    (map-side combining) → two joins back on the candidate side + the
+    1-row N broadcast.  The bigram-count frame branches three ways
+    (candidates + both marginals) → localCheckpoint (perf rule 7)."""
+    bigr = bigram_structs(text_col)
+    c12 = (df.select(F.explode(bigr).alias("b"))
+           .select("b.w1", "b.w2")
+           .groupBy("w1", "w2")
+           .agg(F.count("*").cast("bigint").alias("n11"))
+           .localCheckpoint())
+    r = c12.groupBy("w1").agg(F.sum("n11").cast("bigint").alias("r1"))
+    c = c12.groupBy("w2").agg(F.sum("n11").cast("bigint").alias("c1"))
+    tot = c12.agg(F.sum("n11").cast("bigint").alias("n_bigrams"))
+    return (c12.filter(F.col("n11") >= min_count)
+            .join(r, "w1").join(c, "w2")
+            .crossJoin(F.broadcast(tot))
+            .withColumn(
+                "_diff",
+                F.expr("cast(n11 as decimal(38,0))"
+                       " * (n_bigrams - r1 - c1 + n11)"
+                       " - cast(r1 - n11 as decimal(38,0)) * (c1 - n11)"))
+            .select(
+                "w1", "w2", "n11", "r1", "c1", "n_bigrams",
+                F.expr("(2000000 * n11) div (r1 + c1)")
+                .cast("bigint").alias("dice_micro"),
+                F.expr(
+                    "CASE WHEN r1 = n_bigrams OR c1 = n_bigrams THEN 0"
+                    " ELSE (cast(1000 as decimal(38,0)) * n_bigrams"
+                    "       * _diff * _diff)"
+                    " div (cast(r1 as decimal(38,0)) * (n_bigrams - r1)"
+                    "      * c1 * (n_bigrams - c1)) END")
+                .cast("bigint").alias("chi2_milli")))
+
+
 _BPE_ISH = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
 
 

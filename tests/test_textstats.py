@@ -323,3 +323,42 @@ class TestScriptProfile:
                                      "doc_id long, text string")
         r = script_profile(docs).collect()[0]
         assert (r.n_chars, r.n_ascii, r.n_other) == (5, 3, 2)
+
+
+class TestCollocationChi2:
+    def test_hand_computed_contingency(self, spark):
+        """Single doc 'a b a b a b c b': N=7 bigrams, candidates at
+        min_count=2 are (a,b) n11=3 and (b,a) n11=2; chi2/dice replayed
+        by hand through the exact integer formulas."""
+        from kg.textstats import collocation_chi2
+        docs = spark.createDataFrame([(1, "a b a b a b c b")],
+                                     "doc_id long, text string")
+        got = {(r.w1, r.w2): r for r in
+               collocation_chi2(docs, min_count=2).collect()}
+        assert set(got) == {("a", "b"), ("b", "a")}
+        ab = got[("a", "b")]
+        assert (ab.n11, ab.r1, ab.c1, ab.n_bigrams) == (3, 3, 4, 7)
+        # diff = 3*3 - 0*1 = 9; chi2 = 1000*7*81 // (3*4*4*3) = 3937
+        assert ab.chi2_milli == 3937
+        assert ab.dice_micro == (2_000_000 * 3) // 7
+        ba = got[("b", "a")]
+        # diff = 2*4 - 1*0 = 8; chi2 = 1000*7*64 // (3*4*2*5) = 3733
+        assert (ba.chi2_milli, ba.dice_micro) == (3733, 800_000)
+
+    def test_min_count_gates_candidates(self, spark):
+        from kg.textstats import collocation_chi2
+        docs = spark.createDataFrame([(1, "a b a b a b c b")],
+                                     "doc_id long, text string")
+        assert ({(r.w1, r.w2) for r in
+                 collocation_chi2(docs, min_count=3).collect()}
+                == {("a", "b")})
+
+    def test_degenerate_one_word_vocab_zeroes_chi2(self, spark):
+        """'x x x x x': R1 = C1 = N for (x,x) — the denominator guard
+        must emit 0, not divide by zero."""
+        from kg.textstats import collocation_chi2
+        docs = spark.createDataFrame([(1, "x x x x x")],
+                                     "doc_id long, text string")
+        r = collocation_chi2(docs, min_count=2).collect()
+        assert len(r) == 1 and r[0].chi2_milli == 0
+        assert r[0].dice_micro == 1_000_000

@@ -1437,6 +1437,40 @@ def build_oracle_sql() -> dict[str, str]:
                (total_bits * 1000000) // n_bigrams AS avg_bits_micro
         FROM per"""
 
+    # Chi-square + Dice collocations (kg.textstats.collocation_chi2):
+    # 2×2 contingency over adjacent bigrams, every product in HUGEINT
+    # (mirrors Spark's DECIMAL(38,0) staging), candidates gated to
+    # n11 >= 5 before the marginal joins.
+    sqls["text_chi2_pairs"] = f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS t
+                      FROM documents WHERE lang = 'en'),
+        big AS (SELECT t[i] AS w1, t[i + 1] AS w2
+                FROM (SELECT t, generate_subscripts(t, 1) AS i
+                      FROM toks)
+                WHERE i <= len(t) - 1),
+        c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n11
+                FROM big GROUP BY 1, 2),
+        r AS (SELECT w1, CAST(sum(n11) AS BIGINT) AS r1
+              FROM c12 GROUP BY 1),
+        c AS (SELECT w2, CAST(sum(n11) AS BIGINT) AS c1
+              FROM c12 GROUP BY 1),
+        tot AS (SELECT CAST(sum(n11) AS BIGINT) AS n_bigrams FROM c12),
+        cand AS (
+          SELECT w1, w2, n11, r1, c1, n_bigrams,
+                 CAST(n11 AS HUGEINT) * (n_bigrams - r1 - c1 + n11)
+                 - CAST(r1 - n11 AS HUGEINT) * (c1 - n11) AS diff
+          FROM c12 JOIN r USING (w1) JOIN c USING (w2) CROSS JOIN tot
+          WHERE n11 >= 5)
+        SELECT w1, w2, n11, r1, c1, n_bigrams,
+               CAST((2000000 * n11) // (r1 + c1) AS BIGINT)
+                 AS dice_micro,
+               CAST(CASE WHEN r1 = n_bigrams OR c1 = n_bigrams THEN 0
+                    ELSE (1000 * CAST(n_bigrams AS HUGEINT) * diff * diff)
+                         // (CAST(r1 AS HUGEINT) * (n_bigrams - r1)
+                             * c1 * (n_bigrams - c1)) END AS BIGINT)
+                 AS chi2_milli
+        FROM cand"""
+
     # C4 line cleaning over the line-ified corpus (5-token lines, even
     # lines get '.', constant adversarial tail) — mirrors
     # __spark_entry__._c4_docs + kg.curate.c4_line_clean exactly.
