@@ -1287,6 +1287,24 @@ def q_kg_tag_pagerank_full(spark, sf_dir):
                     redistribute_dangling=True)
 
 
+def q_rel_events_hll(spark, sf_dir):
+    """Deterministic md5-HLL distinct users per event type
+    (kg.sketch.hll_group_distinct) with the exact count as the audit
+    column — the layout-invariant, CONSTANT-size (64 registers/key),
+    mergeable-by-max counterpart of rel_events_distinct_approx's
+    JVM-internal HLL++ and the KMV family's bottom-k; registers and
+    estimator replay verbatim in DuckDB (full hash oracle, no bounded
+    contract)."""
+    from kg.sketch import hll_group_distinct
+    ev = _read("events")(spark, sf_dir)
+    est = (hll_group_distinct(ev, group_col="event_type",
+                              col="user_id")
+           .withColumnRenamed("group", "event_type"))
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_exact"))
+    return est.join(exact, "event_type")
+
+
 def q_text_chi2_pairs(spark, sf_dir):
     """Chi-square + Dice collocation extraction
     (kg.textstats.collocation_chi2): the 2×2-contingency hypothesis test
@@ -2661,7 +2679,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_events_sliding": q_rel_events_sliding,
         "multimodal_video": q_multimodal_video,
         "rel_q5_volume": q_rel_q5_volume,
-        "corpus_outliers": q_corpus_outliers,
         "rel_q18_big_orders": q_rel_q18_big_orders,
         "rel_events_surprisal": q_rel_events_surprisal,
         "multimodal_ahash": q_multimodal_ahash,
@@ -2672,6 +2689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_q13_custdist": q_rel_q13_custdist,
         "kg_tag_katz": q_kg_tag_katz,
         "text_chi2_pairs": q_text_chi2_pairs,
+        "rel_events_hll": q_rel_events_hll,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also
@@ -2699,6 +2717,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # an in-window full-replay row via multimodal_ahash; the pair set
         # is pytest-PROVEN equal to brute force on the fixture grid
         "multimodal_ahash_pairs": q_multimodal_ahash_pairs,
+        # demoted for the session-13 HLL addition (rel_events_hll):
+        # corpus_outliers — its histogram-exact nearest-rank order
+        # statistics keep an in-window row via corpus_quality_strata
+        # (the same bounded-window argument and rank formula), and the
+        # flag is one exact cross-multiplication pinned by
+        # planted-outlier/zero-MAD-degenerate/k-fence pytests
+        "corpus_outliers": q_corpus_outliers,
         # demoted for the session-13 collocation addition (text_chi2_pairs):
         # embedding_audit — every cell a trivial conditional aggregate
         # (the corpus_audit demotion precedent, itself demoted session 9

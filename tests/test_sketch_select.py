@@ -227,3 +227,51 @@ def test_label_spread_tie_breaks_to_min_label(spark):
     got = {r.node: r.label
            for r in label_spread(edges, seeds, iterations=1).collect()}
     assert got["m"] == "A"
+
+
+class TestHllPortable:
+    def test_registers_match_python_replay(self, spark):
+        """Bucket/rho bit-replay with hashlib on a 50-value fixture."""
+        import hashlib
+        from kg.sketch import hll_registers
+        vals = [(f"g{i % 2}", f"u{i}") for i in range(50)]
+        df = spark.createDataFrame(vals, "group string, value string")
+        want = {}
+        for g, v in vals:
+            h = hashlib.md5(v.encode()).hexdigest()
+            b = int(h[:2], 16) % 64
+            tail = int(h[2:17], 16)
+            rho = 61 if tail == 0 else 61 - tail.bit_length()
+            k = (g, b)
+            want[k] = max(want.get(k, 0), rho)
+        got = {(r["group"], r["bucket"]): r["r"]
+               for r in hll_registers(df).collect()}
+        assert got == want
+
+    def test_merge_by_greatest_equals_union_sketch(self, spark):
+        """Registers are mergeable: greatest(r) per bucket over two
+        batches == the union corpus's registers (the persistable
+        cross-batch contract)."""
+        import pyspark.sql.functions as F
+        from kg.sketch import hll_registers
+        a = spark.createDataFrame([("g", f"u{i}") for i in range(300)],
+                                  "group string, value string")
+        b = spark.createDataFrame([("g", f"u{i}") for i in range(150, 500)],
+                                  "group string, value string")
+        merged = {r["bucket"]: r["r"] for r in
+                  (hll_registers(a).unionByName(hll_registers(b))
+                   .groupBy("group", "bucket").agg(F.max("r").alias("r"))
+                   .collect())}
+        union = {r["bucket"]: r["r"] for r in
+                 hll_registers(a.unionByName(b)).collect()}
+        assert merged == union
+
+    def test_estimate_within_published_error(self, spark):
+        """2000 distinct values at m=64: raw estimate within 3 standard
+        errors (3·1.04/√64 ≈ 39%) of truth, duplicates don't move it."""
+        from kg.sketch import hll_group_distinct
+        rows = [("g", f"user-{i}") for i in range(2000)] * 2
+        df = spark.createDataFrame(rows, "group string, value string")
+        r = hll_group_distinct(df).collect()[0]
+        assert r["n_hit"] + r["n_zero"] == 64
+        assert abs(r["est_distinct"] - 2000) <= 780

@@ -124,6 +124,16 @@ def _hex6_of(h: str) -> str:
         for i in range(6)) + ")"
 
 
+def _hexn_of(h: str, start: int, n: int) -> str:
+    """Integer value of hex digits [start, start+n) (1-based) of hex
+    column/expr `h` (mirrors Spark's conv(substring(h, start, n), 16,
+    10); n <= 15 keeps the sum inside BIGINT)."""
+    return "(" + " + ".join(
+        f"(strpos('0123456789abcdef', substr({h}, {start + i}, 1)) - 1)"
+        f" * {16 ** (n - 1 - i)}"
+        for i in range(n)) + ")"
+
+
 def _hex12_of(h: str) -> str:
     """Integer value of the first 12 hex digits (48 bits) of an md5 hex
     column/expr `h` (mirrors kg.sketch._kmv_est_sql's hash domain; sums fit BIGINT)."""
@@ -1436,6 +1446,40 @@ def build_oracle_sql() -> dict[str, str]:
         SELECT doc_id AS doc, n_bigrams, total_bits,
                (total_bits * 1000000) // n_bigrams AS avg_bits_micro
         FROM per"""
+
+    # Deterministic md5-HLL distinct users per event type
+    # (kg.sketch.hll_group_distinct): registers replay verbatim —
+    # bucket = first md5 byte mod 64, rho over the 60-bit hex tail,
+    # estimator in HUGEINT (mirrors Spark's DECIMAL(38,0) staging).
+    _hll_two61 = 1 << 61
+    sqls["rel_events_hll"] = f"""
+        WITH h AS (
+          SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h
+          FROM events),
+        vv AS (
+          SELECT event_type,
+                 ({_hexn_of('h', 1, 2)} % 64) AS bucket,
+                 {_hexn_of('h', 3, 15)} AS v
+          FROM h),
+        r AS (
+          SELECT event_type, bucket,
+                 max(CASE WHEN v = 0 THEN 61
+                     ELSE 61 - length(bin(v)) END) AS r
+          FROM vv GROUP BY 1, 2),
+        agg AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n_hit,
+                 sum(1::HUGEINT << (61 - r)) AS s_hit
+          FROM r GROUP BY 1),
+        ex AS (
+          SELECT event_type,
+                 CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+          FROM events GROUP BY 1)
+        SELECT event_type, n_hit, CAST(64 - n_hit AS BIGINT) AS n_zero,
+               CAST((709343::HUGEINT * 4096 * {_hll_two61})
+                    // (s_hit + (64 - n_hit)::HUGEINT * {_hll_two61})
+                    // 1000000 AS BIGINT) AS est_distinct,
+               n_exact
+        FROM agg JOIN ex USING (event_type)"""
 
     # Chi-square + Dice collocations (kg.textstats.collocation_chi2):
     # 2×2 contingency over adjacent bigrams, every product in HUGEINT
