@@ -1287,6 +1287,33 @@ def q_kg_tag_pagerank_full(spark, sf_dir):
                     redistribute_dangling=True)
 
 
+def q_rel_q16_supplier_cnt(spark, sf_dir):
+    """TPC-H Q16 (parts/supplier relationship), adapted to the reduced
+    schema (lineitem is the part↔supplier link — no partsupp table; the
+    "complaints" exclusion becomes s_acctbal < 0): distinct suppliers
+    able to supply each (brand, size), excluding one brand and the
+    complaint suppliers.  The shapes under test: NOT IN → broadcast
+    LEFT ANTI join (the complaint set is tiny by construction), the
+    part dim riding in as a broadcast, and COUNT(DISTINCT) compiling to
+    Spark's two-level partial-distinct aggregate (expand on
+    (brand, size, suppkey), map-side combine, then the final count) —
+    no row ever leaves pre-aggregated form, so the shuffle carries at
+    most |brands|·|sizes|·|suppliers| rows."""
+    pa, su, li = (_read(n)(spark, sf_dir) for n in
+                  ("part", "supplier", "lineitem"))
+    bad = su.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    good = (li.select("l_partkey", "l_suppkey")
+            .join(F.broadcast(bad),
+                  li.l_suppkey == bad.s_suppkey, "left_anti"))
+    return (good.join(F.broadcast(
+                pa.filter(F.col("p_brand") != "Brand#45")
+                .select("p_partkey", "p_brand", "p_size")),
+                good.l_partkey == F.col("p_partkey"))
+            .groupBy("p_brand", "p_size")
+            .agg(F.countDistinct("l_suppkey").cast("bigint")
+                 .alias("supplier_cnt")))
+
+
 def q_rel_events_hll(spark, sf_dir):
     """Deterministic md5-HLL distinct users per event type
     (kg.sketch.hll_group_distinct) with the exact count as the audit
@@ -2677,7 +2704,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_tag_gini": q_kg_tag_gini,
         "text_pii_iban": q_text_pii_iban,
         "rel_events_sliding": q_rel_events_sliding,
-        "multimodal_video": q_multimodal_video,
         "rel_q5_volume": q_rel_q5_volume,
         "rel_q18_big_orders": q_rel_q18_big_orders,
         "rel_events_surprisal": q_rel_events_surprisal,
@@ -2690,6 +2716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_tag_katz": q_kg_tag_katz,
         "text_chi2_pairs": q_text_chi2_pairs,
         "rel_events_hll": q_rel_events_hll,
+        "rel_q16_supplier_cnt": q_rel_q16_supplier_cnt,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also
@@ -2717,6 +2744,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # an in-window full-replay row via multimodal_ahash; the pair set
         # is pytest-PROVEN equal to brute force on the fixture grid
         "multimodal_ahash_pairs": q_multimodal_ahash_pairs,
+        # demoted for the session-13 Q16 addition (rel_q16_supplier_cnt):
+        # multimodal_video — every decoded cell is pure arithmetic in
+        # vec_id over a CONSTANT 114-byte container (the trivial-replay
+        # oracle class); the RIFF chunk-list walk it shares with the wav
+        # parser is pinned by roundtrip/spliced-chunk/malformed/-1-contract
+        # pytests, and the mapInPandas decode shape keeps an in-window row
+        # via multimodal_decode + multimodal_ahash
+        "multimodal_video": q_multimodal_video,
         # demoted for the session-13 HLL addition (rel_events_hll):
         # corpus_outliers — its histogram-exact nearest-rank order
         # statistics keep an in-window row via corpus_quality_strata

@@ -719,6 +719,19 @@ def test_rel_q13_outer_join_preserves_zero_bucket(spark):
     assert sum(rows.values()) == n_cust
 
 
+def test_rel_q16_anti_join_broadcasts_and_partial_distinct(spark):
+    """TPC-H Q16 (adapted): the complaint exclusion must compile to a
+    broadcast LEFT ANTI join (never a shuffled anti or NestedLoop), the
+    part dim must broadcast, and COUNT(DISTINCT) must partial-aggregate
+    (two HashAggregate levels keyed on (brand, size, suppkey)) before
+    the final count."""
+    import __spark_entry__ as E
+    plan = _plan(E.q_rel_q16_supplier_cnt(spark, "/root/testdata/sf0.001"))
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 3  # partial-distinct levels
+
+
 def test_mad_outliers_scalars_ride_broadcasts(spark):
     """kg.curate.mad_outliers: the median and MAD scalars must join the
     corpus via BroadcastNestedLoopJoin/BroadcastExchange (single-row

@@ -1447,6 +1447,18 @@ def build_oracle_sql() -> dict[str, str]:
                (total_bits * 1000000) // n_bigrams AS avg_bits_micro
         FROM per"""
 
+    # TPC-H Q16 parts/supplier relationship (adapted: lineitem is the
+    # part-supplier link, complaints = s_acctbal < 0).  NOT IN = the
+    # broadcast anti join under test on the Spark side.
+    sqls["rel_q16_supplier_cnt"] = """
+        SELECT p_brand, p_size,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM part JOIN lineitem ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#45'
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0)
+        GROUP BY 1, 2"""
+
     # Deterministic md5-HLL distinct users per event type
     # (kg.sketch.hll_group_distinct): registers replay verbatim —
     # bucket = first md5 byte mod 64, rho over the 60-bit hex tail,
