@@ -1182,6 +1182,19 @@ def _strong_tie_edges(spark, sf_dir):
             .select("src", "dst"))
 
 
+def q_kg_tag_hyperball(spark, sf_dir):
+    """HyperBall neighborhood function (kg.graphrank.hyperball_nf, 3
+    rounds) over the SYMMETRIZED strong-tie graph — effective-diameter
+    estimation via per-node mergeable md5-HLL ball sketches (Boldi &
+    Vigna 2013); every register and estimate replays bit-exactly in the
+    oracle's unrolled MATERIALIZED round chain."""
+    from kg.graphrank import hyperball_nf
+    st = _strong_tie_edges(spark, sf_dir)
+    sym = st.unionByName(st.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst")))
+    return hyperball_nf(sym, rounds=3)
+
+
 def q_kg_tag_bfs(spark, sf_dir):
     """Multi-hop shortest-path levels (kg.graphrank.bfs_levels) from the
     lexically-first tag over the strong-tie graph — the DataFrame form of
@@ -2701,7 +2714,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_entropy": q_text_entropy,
         "link_edit_pairs": q_link_edit_pairs,
         "kg_tag_coloring": q_kg_tag_coloring,
-        "kg_tag_gini": q_kg_tag_gini,
         "text_pii_iban": q_text_pii_iban,
         "rel_events_sliding": q_rel_events_sliding,
         "rel_q5_volume": q_rel_q5_volume,
@@ -2717,6 +2729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chi2_pairs": q_text_chi2_pairs,
         "rel_events_hll": q_rel_events_hll,
         "rel_q16_supplier_cnt": q_rel_q16_supplier_cnt,
+        "kg_tag_hyperball": q_kg_tag_hyperball,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also
@@ -2744,6 +2757,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # an in-window full-replay row via multimodal_ahash; the pair set
         # is pytest-PROVEN equal to brute force on the fixture grid
         "multimodal_ahash_pairs": q_multimodal_ahash_pairs,
+        # demoted for the session-13 HyperBall addition (kg_tag_hyperball):
+        # kg_tag_gini — ONE exact-integer blocked rank-sum aggregate (the
+        # trivial-replay demotion class): star closed-form / regular-zero /
+        # pure-Python-replay / symmetrize-dedupe-invariance pytests pin the
+        # formula, and its HAS_TAG bipartite build keeps in-window rows via
+        # kg_tag_pagerank_full/kg_tag_katz
+        "kg_tag_gini": q_kg_tag_gini,
         # demoted for the session-13 Q16 addition (rel_q16_supplier_cnt):
         # multimodal_video — every decoded cell is pure arithmetic in
         # vec_id over a CONSTANT 114-byte container (the trivial-replay

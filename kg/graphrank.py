@@ -711,6 +711,74 @@ def katz_centrality(edges: DataFrame, rounds: int = 4,
     return x
 
 
+def hyperball_nf(edges: DataFrame, rounds: int = 3,
+                 src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """HyperBall approximate neighborhood function (Boldi & Vigna 2013;
+    the HLL-counter refinement of ANF, Palmer et al. KDD'02) — THE
+    published algorithm for effective-diameter estimation at web scale,
+    here as the composition of the graph family's frontier rounds with
+    kg.sketch's deterministic md5-HLL registers.
+
+    State per node: the 64-register HLL sketch of its ball B(v, t) =
+    {u : dist(v→u) ≤ t}, initialised to {v} and updated each round by
+    the MAX-MERGE of the node's own sketch with its out-neighbors'
+    sketches — HLL mergeability is exactly what makes the ball union
+    O(m·64) state instead of O(n²) reachability sets.  Because the
+    registers are md5-derived (layout-invariant), every register — and
+    therefore every estimate — replays bit-exactly in the DuckDB oracle
+    as an unrolled MATERIALIZED round chain; the JVM HLL++ could never
+    be oracled this way.
+
+    Returns one row per round t ∈ [0, rounds]:
+        (round, nf_est, ratio_ppm)
+    nf_est = Σ_v est|B(v,t)| (the neighborhood function; nf(0) ≈ n),
+    ratio_ppm = nf_est·1e6 div nf(rounds) — the effective diameter at
+    fraction q is the smallest t with ratio_ppm ≥ q·1e6 (read it off
+    the curve; the classic q is 0.9).
+
+    Balls follow edge DIRECTION; pass a symmetric edge set for the
+    undirected semantics.  Scale shape: per round ONE edge×register
+    join (shuffle keyed on the node) + one max aggregate capped at
+    |V|·64 rows; the register frame branches (next round + this round's
+    estimate) → localCheckpoint per round (perf rule 7)."""
+    from kg.sketch import hll_registers, hll_estimate_registers
+    if rounds < 1:
+        raise ValueError("hyperball_nf: rounds must be >= 1")
+    e = (edges.select(F.col(src_col).alias("src"),
+                      F.col(dst_col).alias("dst"))
+         .distinct().persist())
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node"))).distinct())
+    regs = (hll_registers(nodes, group_col="node", col="node")
+            .withColumnRenamed("group", "node")
+            .localCheckpoint())
+
+    def nf_row(cur: DataFrame, t: int) -> DataFrame:
+        return (hll_estimate_registers(cur, "node")
+                .agg(F.sum("est_distinct").cast("bigint").alias("nf_est"))
+                .select(F.lit(t).cast("int").alias("round"), "nf_est"))
+
+    out = nf_row(regs, 0)
+    cur = regs
+    for t in range(1, rounds + 1):
+        nb = (e.join(cur, e.src == cur.node)
+              .select(F.col("dst").alias("node"), "bucket", "r"))
+        cur = (cur.unionByName(nb)
+               .groupBy("node", "bucket").agg(F.max("r").alias("r"))
+               .localCheckpoint())
+        out = out.unionByName(nf_row(cur, t))
+    last = (out.filter(F.col("round") == rounds)
+            .select(F.col("nf_est").alias("_nf_last")))
+    result = (out.crossJoin(F.broadcast(last))
+              .select("round", "nf_est",
+                      F.expr("cast((cast(nf_est as decimal(38,0))"
+                             " * 1000000) div _nf_last as bigint)")
+                      .alias("ratio_ppm"))
+              .localCheckpoint())
+    e.unpersist()
+    return result
+
+
 def random_walks(edges: DataFrame, walks_per_node: int = 2,
                  walk_length: int = 4,
                  max_neighbors_per_node: int = 1000,

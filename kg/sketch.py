@@ -496,10 +496,12 @@ def hll_registers(values: DataFrame, group_col: str = "group",
             .agg(F.max("rho").alias("r")))
 
 
-def hll_group_distinct(values: DataFrame, group_col: str = "group",
-                       col: str = "value") -> DataFrame:
-    """Per-group HLL distinct estimate from hll_registers: (group,
-    n_hit, n_zero, est_distinct) with the raw published estimator
+def hll_estimate_registers(regs: DataFrame,
+                           group_col: str = "group") -> DataFrame:
+    """Per-group HLL distinct estimate from a (group, bucket, r)
+    register frame (hll_registers output — or any max-merge of such
+    frames): (group, n_hit, n_zero, est_distinct) with the raw
+    published estimator
 
         est = alpha_64 · m² / Σ_j 2^(−M_j)
             = (alpha_micro · m² · 2^61) div S div 1e6,
@@ -513,8 +515,7 @@ def hll_group_distinct(values: DataFrame, group_col: str = "group",
     small-range regime applies."""
     two61 = 1 << HLL_W
     num = HLL_ALPHA_MICRO * HLL_M * HLL_M * two61
-    return (hll_registers(values, group_col, col)
-            .groupBy("group")
+    return (regs.groupBy(F.col(group_col).alias("group"))
             .agg(F.count("*").cast("bigint").alias("n_hit"),
                  F.sum(F.expr(f"cast(shiftleft(cast(1 as bigint), "
                               f"{HLL_W} - r) as decimal(38,0))"))
@@ -527,3 +528,10 @@ def hll_group_distinct(values: DataFrame, group_col: str = "group",
                            f"      * {two61} - n_hit * cast({two61} as"
                            f" decimal(38,0))) div 1000000 as bigint)")
                     .alias("est_distinct")))
+
+
+def hll_group_distinct(values: DataFrame, group_col: str = "group",
+                       col: str = "value") -> DataFrame:
+    """hll_registers + hll_estimate_registers in one call: per-group
+    distinct estimates straight from a value frame."""
+    return hll_estimate_registers(hll_registers(values, group_col, col))

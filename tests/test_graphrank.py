@@ -1205,3 +1205,49 @@ class TestDegreeGini:
             [("a", "b"), ("b", "a"), ("c", "b"), ("a", "b"), ("a", "a")],
             "src string, dst string")
         assert degree_gini(a).collect() == degree_gini(b).collect()
+
+
+def test_hyperball_matches_python_ball_replay(spark):
+    """Path a-b-c-d + isolated pair e-f (symmetric): ball sets are known
+    exactly per round, so every register — and the summed neighborhood
+    function — replays bit-for-bit through the md5 HLL formulas."""
+    import hashlib
+    from kg.graphrank import hyperball_nf
+    E = [("a", "b"), ("b", "c"), ("c", "d"), ("e", "f")]
+    sym = E + [(d, s) for s, d in E]
+    edges = spark.createDataFrame(sym, ["src", "dst"])
+    nodes = sorted({n for e in E for n in e})
+    adj = {}
+    for s, d in sym:
+        adj.setdefault(s, set()).add(d)
+
+    def regs_of(ball):
+        regs = {}
+        for v in ball:
+            h = hashlib.md5(v.encode()).hexdigest()
+            b = int(h[:2], 16) % 64
+            tail = int(h[2:17], 16)
+            rho = 61 if tail == 0 else 61 - tail.bit_length()
+            regs[b] = max(regs.get(b, 0), rho)
+        return regs
+
+    def est_of(regs):
+        t61 = 1 << 61
+        s = sum(1 << (61 - r) for r in regs.values()) \
+            + (64 - len(regs)) * t61
+        return (709343 * 4096 * t61) // s // 1_000_000
+
+    balls = {v: {v} for v in nodes}
+    want = {}
+    for t in range(4):
+        if t:
+            balls = {v: balls[v] | set().union(
+                *(balls[u] for u in adj[v])) for v in nodes}
+        want[t] = sum(est_of(regs_of(b)) for b in balls.values())
+    got = {r["round"]: (r["nf_est"], r["ratio_ppm"])
+           for r in hyperball_nf(edges, rounds=3).collect()}
+    assert {t: v[0] for t, v in got.items()} == want
+    # the path has diameter 3: the curve still grows into the last round
+    assert got[2][0] < got[3][0] and got[3][1] == 1_000_000
+    # the curve is monotone non-decreasing
+    assert got[0][0] <= got[1][0] <= got[2][0]

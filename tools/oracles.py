@@ -1612,6 +1612,57 @@ def build_oracle_sql() -> dict[str, str]:
         GROUP BY 1"""
 
 
+    # HyperBall neighborhood function (kg.graphrank.hyperball_nf) over
+    # the symmetrized strong-tie graph: per-node md5-HLL ball registers
+    # max-merged per round; registers AND estimates replay bit-exactly
+    # (bucket/rho via the strpos digit chains, estimator in HUGEINT).
+    # Every round CTE is referenced twice (next merge + that round's
+    # estimate) -> MATERIALIZED throughout (the kcore trap).
+    _HB_T61 = 1 << 61
+    _hb = f"""
+        WITH {_kept_sql},
+        {_cooccur_sql},
+        {_strong_sql},
+        sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM f0
+               UNION SELECT b, a FROM f0),
+        hnodes AS MATERIALIZED (
+          SELECT node, md5(node) AS h FROM (
+            SELECT DISTINCT src AS node FROM sym
+            UNION SELECT DISTINCT dst FROM sym)),
+        b0 AS MATERIALIZED (
+          SELECT node, ({_hexn_of('h', 1, 2)} % 64) AS bucket,
+                 CASE WHEN {_hexn_of('h', 3, 15)} = 0 THEN 61
+                      ELSE 61 - length(bin({_hexn_of('h', 3, 15)}))
+                 END AS r
+          FROM hnodes)"""
+    for _i in range(4):
+        if _i > 0:
+            _hb += f""",
+        b{_i} AS MATERIALIZED (
+          SELECT node, bucket, max(r) AS r FROM (
+            SELECT node, bucket, r FROM b{_i - 1}
+            UNION ALL
+            SELECT s.dst AS node, p.bucket, p.r
+            FROM b{_i - 1} p JOIN sym s ON s.src = p.node)
+          GROUP BY 1, 2)"""
+        _hb += f""",
+        n{_i} AS MATERIALIZED (
+          SELECT CAST(sum(est) AS BIGINT) AS nf FROM (
+            SELECT node,
+                   CAST((709343::HUGEINT * 4096 * {_HB_T61})
+                        // (sum(1::HUGEINT << (61 - r))
+                            + (64 - count(*))::HUGEINT * {_HB_T61})
+                        // 1000000 AS BIGINT) AS est
+            FROM b{_i} GROUP BY node))"""
+    sqls["kg_tag_hyperball"] = _hb + """
+        SELECT t AS round, nf AS nf_est,
+               CAST((nf::HUGEINT * 1000000) // (SELECT nf FROM n3)
+                    AS BIGINT) AS ratio_ppm
+        FROM (SELECT 0 AS t, nf FROM n0
+              UNION ALL SELECT 1, nf FROM n1
+              UNION ALL SELECT 2, nf FROM n2
+              UNION ALL SELECT 3, nf FROM n3)"""
+
     # BFS levels over the strong-tie graph: unrolled frontier rounds
     # (MATERIALIZED — every CTE is referenced more than once per round).
     sqls["kg_tag_bfs"] = f"""
