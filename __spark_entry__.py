@@ -1327,6 +1327,16 @@ def q_rel_q16_supplier_cnt(spark, sf_dir):
                  .alias("supplier_cnt")))
 
 
+def q_corpus_keyness(spark, sf_dir):
+    """Two-corpus keyness by smoothed odds ratio
+    (kg.textstats.keyness_odds): en vs non-en token vocabularies
+    compared term-by-term — the vocabulary-drift audit between ingest
+    slices; Haldane +0.5 smoothing kept integer by doubling, products
+    DECIMAL(38,0)/HUGEINT, min_count gate mirrored in the oracle."""
+    from kg.textstats import keyness_odds
+    return keyness_odds(_docs(spark, sf_dir, lang=None), min_count=5)
+
+
 def q_rel_events_hll(spark, sf_dir):
     """Deterministic md5-HLL distinct users per event type
     (kg.sketch.hll_group_distinct) with the exact count as the audit
@@ -2711,7 +2721,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_tag_eccentricity": q_kg_tag_eccentricity,
         # --- r4 session-12 additions (rotated into the window); one
         # demotion each — see the demoted block -------------------------
-        "text_entropy": q_text_entropy,
         "link_edit_pairs": q_link_edit_pairs,
         "kg_tag_coloring": q_kg_tag_coloring,
         "text_pii_iban": q_text_pii_iban,
@@ -2730,6 +2739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_events_hll": q_rel_events_hll,
         "rel_q16_supplier_cnt": q_rel_q16_supplier_cnt,
         "kg_tag_hyperball": q_kg_tag_hyperball,
+        "corpus_keyness": q_corpus_keyness,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also
@@ -2757,6 +2767,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # an in-window full-replay row via multimodal_ahash; the pair set
         # is pytest-PROVEN equal to brute force on the fixture grid
         "multimodal_ahash_pairs": q_multimodal_ahash_pairs,
+        # demoted for the session-13 keyness addition (corpus_keyness):
+        # text_entropy — ZERO-shuffle in-row narrow map whose oracle is a
+        # structural explode+GROUP-BY replay producing identical values by
+        # construction (the trivial-replay class); hand-computed/uniform/
+        # single-type + pure-Python Counter-replay pytests and a
+        # no-Exchange/no-Python plan guard pin the sorted-run machinery,
+        # which also ships in-window via text_winnow/text_phrase_near HOFs
+        "text_entropy": q_text_entropy,
         # demoted for the session-13 HyperBall addition (kg_tag_hyperball):
         # kg_tag_gini — ONE exact-integer blocked rank-sum aggregate (the
         # trivial-replay demotion class): star closed-form / regular-zero /

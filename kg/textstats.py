@@ -432,6 +432,58 @@ def collocation_chi2(df: DataFrame, text_col: str = "text",
                 .cast("bigint").alias("chi2_milli")))
 
 
+def keyness_odds(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", split_col: str = "lang",
+                 a_value: str = "en", min_count: int = 5) -> DataFrame:
+    """Two-corpus keyword comparison by smoothed odds ratio — the
+    corpus-linguistics "keyness" audit (Rayson & Garside 2000 frame it
+    with G²; the odds-ratio effect size is the standard log-free
+    companion) between slice A (split_col == a_value) and slice B (the
+    rest): which terms are characteristic of one ingest
+    source/language/batch vs the other — the vocabulary-level drift
+    report next to corpus_diff's per-doc CDC view.
+
+    Haldane–Anscombe +0.5 smoothing kept integer by doubling:
+
+        or_ppm = ((2a+1)·(2(B−b)+1)·1e6) div ((2b+1)·(2(A−a)+1))
+
+    with a, b the term's token counts and A, B the slice totals —
+    > 1e6 means A-characteristic, < 1e6 B-characteristic, and terms
+    absent from one slice stay finite (the reason for the smoothing).
+    Products staged DECIMAL(38,0)/HUGEINT (a·B alone is ~10²⁶ at
+    100 TB).  Candidates are gated to a+b >= min_count AFTER the
+    count aggregate but BEFORE the marginal join-back, so the scored
+    frame is keyword-sized; the gate is mirrored in the oracle
+    (checked contract == executed, the ADVICE-r3 cap rule).
+
+    Returns (term, n_a, n_b, or_ppm).
+
+    Scale shape: one explode → ONE (term, is_a) count aggregate
+    (map-side combining) → pivot to (term, a, b) via a second
+    term-keyed aggregate → two broadcast total scalars.  No windows,
+    no self-joins."""
+    toks = df.select(
+        (F.col(split_col) == a_value).alias("is_a"),
+        F.explode(tokens_col(text_col)).alias("term"))
+    cnt = (toks.groupBy("term")
+           .agg(F.sum(F.when(F.col("is_a"), 1).otherwise(0))
+                .cast("bigint").alias("n_a"),
+                F.sum(F.when(F.col("is_a"), 0).otherwise(1))
+                .cast("bigint").alias("n_b"))
+           .localCheckpoint())   # branches: totals + candidates (rule 7)
+    tot = cnt.agg(F.sum("n_a").cast("bigint").alias("tot_a"),
+                  F.sum("n_b").cast("bigint").alias("tot_b"))
+    return (cnt.filter(F.col("n_a") + F.col("n_b") >= min_count)
+            .crossJoin(F.broadcast(tot))
+            .select("term", "n_a", "n_b",
+                    F.expr(
+                        "cast((cast(2 * n_a + 1 as decimal(38,0))"
+                        " * (2 * (tot_b - n_b) + 1) * 1000000)"
+                        " div (cast(2 * n_b + 1 as decimal(38,0))"
+                        "      * (2 * (tot_a - n_a) + 1)) as bigint)")
+                    .alias("or_ppm")))
+
+
 _BPE_ISH = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
 
 

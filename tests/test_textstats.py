@@ -362,3 +362,32 @@ class TestCollocationChi2:
         r = collocation_chi2(docs, min_count=2).collect()
         assert len(r) == 1 and r[0].chi2_milli == 0
         assert r[0].dice_micro == 1_000_000
+
+
+class TestKeynessOdds:
+    def test_hand_computed_smoothed_odds(self, spark):
+        """A: 'x x x y', B: 'y y z': totals A=4, B=3; or_ppm replayed
+        through the doubled-Haldane formula by hand."""
+        from kg.textstats import keyness_odds
+        docs = spark.createDataFrame(
+            [(1, "en", "x x x y"), (2, "it", "y y z")],
+            "doc_id long, lang string, text string")
+        got = {r.term: r for r in
+               keyness_odds(docs, min_count=1).collect()}
+        assert set(got) == {"x", "y", "z"}
+        x = got["x"]          # a=3, b=0
+        assert (x.n_a, x.n_b) == (3, 0)
+        assert x.or_ppm == (7 * 7 * 1_000_000) // (1 * 3)
+        y = got["y"]          # a=1, b=2
+        assert y.or_ppm == (3 * 3 * 1_000_000) // (5 * 7)
+        z = got["z"]          # a=0, b=1 — absent from A stays finite
+        assert z.or_ppm == (1 * 5 * 1_000_000) // (3 * 9)
+        assert z.or_ppm < 1_000_000 < x.or_ppm
+
+    def test_min_count_gate(self, spark):
+        from kg.textstats import keyness_odds
+        docs = spark.createDataFrame(
+            [(1, "en", "x x x y"), (2, "it", "y y z")],
+            "doc_id long, lang string, text string")
+        assert ({r.term for r in keyness_odds(docs, min_count=3).collect()}
+                == {"x", "y"})

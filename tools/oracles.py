@@ -1459,6 +1459,30 @@ def build_oracle_sql() -> dict[str, str]:
                                 WHERE s_acctbal < 0)
         GROUP BY 1, 2"""
 
+    # Two-corpus keyness by smoothed odds ratio
+    # (kg.textstats.keyness_odds): en vs non-en vocabulary, doubled
+    # Haldane smoothing, HUGEINT products, min_count gate mirrored.
+    sqls["corpus_keyness"] = f"""
+        WITH toks AS (
+          SELECT lang = 'en' AS is_a, unnest({_TOKS}) AS term
+          FROM documents),
+        cnt AS (
+          SELECT term,
+                 CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_a,
+                 CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_b
+          FROM toks GROUP BY 1),
+        tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS tot_a,
+                       CAST(sum(n_b) AS BIGINT) AS tot_b FROM cnt)
+        SELECT term, n_a, n_b,
+               CAST(((2 * n_a + 1)::HUGEINT
+                     * (2 * (tot_b - n_b) + 1) * 1000000)
+                    // ((2 * n_b + 1)::HUGEINT
+                        * (2 * (tot_a - n_a) + 1)) AS BIGINT) AS or_ppm
+        FROM cnt CROSS JOIN tot
+        WHERE n_a + n_b >= 5"""
+
     # Deterministic md5-HLL distinct users per event type
     # (kg.sketch.hll_group_distinct): registers replay verbatim —
     # bucket = first md5 byte mod 64, rho over the 60-bit hex tail,
