@@ -1327,6 +1327,15 @@ def q_rel_q16_supplier_cnt(spark, sf_dir):
                  .alias("supplier_cnt")))
 
 
+def q_text_good_turing(spark, sf_dir):
+    """Turing count-of-counts table + unseen-mass estimate
+    (kg.textstats.good_turing) over the en corpus vocabulary — the
+    exact integer input to Simple Good–Turing smoothing; output bounded
+    by the max term count, never vocabulary size."""
+    from kg.textstats import good_turing
+    return good_turing(_docs(spark, sf_dir))
+
+
 def q_corpus_keyness(spark, sf_dir):
     """Two-corpus keyness by smoothed odds ratio
     (kg.textstats.keyness_odds): en vs non-en token vocabularies
@@ -2723,7 +2732,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # demotion each — see the demoted block -------------------------
         "link_edit_pairs": q_link_edit_pairs,
         "kg_tag_coloring": q_kg_tag_coloring,
-        "text_pii_iban": q_text_pii_iban,
         "rel_events_sliding": q_rel_events_sliding,
         "rel_q5_volume": q_rel_q5_volume,
         "rel_q18_big_orders": q_rel_q18_big_orders,
@@ -2740,6 +2748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_q16_supplier_cnt": q_rel_q16_supplier_cnt,
         "kg_tag_hyperball": q_kg_tag_hyperball,
         "corpus_keyness": q_corpus_keyness,
+        "text_good_turing": q_text_good_turing,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also
@@ -2767,6 +2776,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # an in-window full-replay row via multimodal_ahash; the pair set
         # is pytest-PROVEN equal to brute force on the fixture grid
         "multimodal_ahash_pairs": q_multimodal_ahash_pairs,
+        # demoted for the session-13 Good-Turing addition
+        # (text_good_turing):
+        # text_pii_iban — the strongest subsumption class on record: its
+        # mod-97 checksum SQL is generated from the SAME string the engine
+        # executes (kg.pii.mod97_digits_sql — the oracle replays the
+        # expression verbatim BY CONSTRUCTION), the alternation-redaction
+        # machinery is shape-for-shape text_pii_luhn's (published-IBAN
+        # pytests), and text_pii keeps the redaction family's full-hash row
+        "text_pii_iban": q_text_pii_iban,
         # demoted for the session-13 keyness addition (corpus_keyness):
         # text_entropy — ZERO-shuffle in-row narrow map whose oracle is a
         # structural explode+GROUP-BY replay producing identical values by

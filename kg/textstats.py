@@ -432,6 +432,50 @@ def collocation_chi2(df: DataFrame, text_col: str = "text",
                 .cast("bigint").alias("chi2_milli")))
 
 
+def good_turing(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Turing count-of-counts frequency re-estimation (Good 1953; the
+    raw estimates underlying Simple Good–Turing, Gale & Sampson 1995):
+    the vocabulary-health table LM pipelines read before smoothing —
+    N_r (how many types occur exactly r times), the adjusted count
+    r* = (r+1)·N_{r+1}/N_r, and the unseen-mass estimate
+    p0 = N_1/N — all exact integers:
+
+        r_star_micro = (r+1)·N_{r+1}·1e6 div N_r
+        p0_ppm       = N_1·1e6 div N
+
+    r* is 0 where N_{r+1} = 0 — the gap that motivates SGT's log-log
+    regression, which needs floats and stays out of the oracle-checked
+    surface (this table is its exact, portable input; the Zipfian tail
+    means gaps only appear at high r where SGT switches to regression
+    anyway).  Returns (r, n_r, r_star_micro, p0_ppm) — one row per
+    DISTINCT count value, so the output is bounded by metric
+    granularity (max term count), never vocabulary size.
+
+    Scale shape: explode → term-count aggregate (vocabulary-sized,
+    map-side combining) → count-of-counts aggregate of THAT
+    (distinct-count-sized) → one broadcast self-join on r+1 + two
+    broadcast scalars.  No windows."""
+    terms = (df.select(F.explode(tokens_col(text_col)).alias("term"))
+             .groupBy("term").agg(F.count("*").cast("bigint").alias("c")))
+    nr = (terms.groupBy("c")
+          .agg(F.count("*").cast("bigint").alias("n_r"))
+          .localCheckpoint())   # branches: rows + next-join + scalars
+    nxt = nr.select((F.col("c") - 1).alias("c"),
+                    F.col("n_r").alias("_n_next"))
+    tot = nr.agg(F.sum(F.col("c") * F.col("n_r")).cast("bigint")
+                 .alias("_n_tok"),
+                 F.sum(F.when(F.col("c") == 1, F.col("n_r"))
+                       .otherwise(0)).cast("bigint").alias("_n1"))
+    return (nr.join(F.broadcast(nxt), "c", "left")
+            .crossJoin(F.broadcast(tot))
+            .select(F.col("c").alias("r"), "n_r",
+                    F.expr("((c + 1) * coalesce(_n_next, 0) * 1000000)"
+                           " div n_r").cast("bigint")
+                    .alias("r_star_micro"),
+                    F.expr("(_n1 * 1000000) div _n_tok")
+                    .cast("bigint").alias("p0_ppm")))
+
+
 def keyness_odds(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id", split_col: str = "lang",
                  a_value: str = "en", min_count: int = 5) -> DataFrame:

@@ -391,3 +391,28 @@ class TestKeynessOdds:
             "doc_id long, lang string, text string")
         assert ({r.term for r in keyness_odds(docs, min_count=3).collect()}
                 == {"x", "y"})
+
+
+class TestGoodTuring:
+    def test_hand_computed_counts_of_counts(self, spark):
+        """'a a a b b c' + 'd': counts a=3,b=2,c=1,d=1 → N_1=2, N_2=1,
+        N_3=1, N=7; r*(1)=2·1·1e6//2=1e6, r*(2)=3·1·1e6//1=3e6,
+        r*(3)=0 (gap); p0 = 2·1e6//7."""
+        from kg.textstats import good_turing
+        docs = spark.createDataFrame([(1, "a a a b b c"), (2, "d")],
+                                     "doc_id long, text string")
+        got = {r.r: r for r in good_turing(docs).collect()}
+        assert {(r, v.n_r) for r, v in got.items()} == {(1, 2), (2, 1),
+                                                        (3, 1)}
+        assert got[1].r_star_micro == 1_000_000
+        assert got[2].r_star_micro == 3_000_000
+        assert got[3].r_star_micro == 0
+        assert all(v.p0_ppm == 2_000_000 // 7 for v in got.values())
+
+    def test_no_hapax_means_zero_p0(self, spark):
+        from kg.textstats import good_turing
+        docs = spark.createDataFrame([(1, "a a b b")],
+                                     "doc_id long, text string")
+        rows = good_turing(docs).collect()
+        assert all(r.p0_ppm == 0 for r in rows)
+        assert {r.r for r in rows} == {2}

@@ -1459,6 +1459,27 @@ def build_oracle_sql() -> dict[str, str]:
                                 WHERE s_acctbal < 0)
         GROUP BY 1, 2"""
 
+    # Turing count-of-counts (kg.textstats.good_turing): N_r table,
+    # r* = (r+1)N_{r+1}·1e6 // N_r, p0 = N_1·1e6 // N — exact integers.
+    sqls["text_good_turing"] = f"""
+        WITH terms AS (
+          SELECT term, CAST(count(*) AS BIGINT) AS c FROM (
+            SELECT unnest({_TOKS}) AS term
+            FROM documents WHERE lang = 'en')
+          GROUP BY 1),
+        nr AS (SELECT c, CAST(count(*) AS BIGINT) AS n_r
+               FROM terms GROUP BY 1),
+        tot AS (SELECT CAST(sum(c * n_r) AS BIGINT) AS n_tok,
+                       CAST(coalesce(sum(CASE WHEN c = 1 THEN n_r END),
+                                     0) AS BIGINT) AS n1
+                FROM nr)
+        SELECT a.c AS r, a.n_r,
+               CAST(((a.c + 1) * coalesce(b.n_r, 0) * 1000000) // a.n_r
+                    AS BIGINT) AS r_star_micro,
+               CAST((n1 * 1000000) // n_tok AS BIGINT) AS p0_ppm
+        FROM nr a LEFT JOIN nr b ON b.c = a.c + 1
+        CROSS JOIN tot"""
+
     # Two-corpus keyness by smoothed odds ratio
     # (kg.textstats.keyness_odds): en vs non-en vocabulary, doubled
     # Haldane smoothing, HUGEINT products, min_count gate mirrored.
