@@ -324,3 +324,34 @@ def stream_sliding_counts(events: DataFrame, window_days: int = 3,
             .agg(F.count("*").cast("bigint").alias("n"))
             .select(F.date_format(F.col("w.start"), "yyyy-MM-dd")
                     .alias("window_start"), "event_type", "n"))
+
+
+def stream_distinct_registers(events: DataFrame, group_col: str = "event_type",
+                              col: str = "user_id") -> DataFrame:
+    """Streaming twin of kg.sketch.hll_registers — distinct-count
+    sketching over an unbounded stream with BOUNDED state: the max-merge
+    HLL register aggregate groupBy(group, bucket).max(rho) is exactly
+    what Structured Streaming's stateful aggregation maintains, at a
+    CONSTANT |groups|·64-row state no matter how many events arrive
+    (the reason HLL, not distinct sets, is the streaming cardinality
+    sketch).  Because the registers are md5-derived, an availableNow
+    pass over a static source reproduces kg.sketch.hll_registers
+    bit-for-bit (batch-parity pinned by test_streaming), and a
+    persisted register table max-merges with any batch sketch
+    (kg.sketch.hll_estimate_registers reads either).
+
+    No watermark: registers are monotone (max of a growing set), so
+    every update is a refinement — run in update/complete mode and
+    upsert (group, bucket) rows into the register store."""
+    from kg.sketch import HLL_M, HLL_W
+    h = F.md5(F.col(col).cast("string"))
+    v = F.conv(F.substring(h, 3, 15), 16, 10).cast("bigint")
+    return (events.select(
+                F.col(group_col).alias("group"),
+                (F.conv(F.substring(h, 1, 2), 16, 10).cast("bigint")
+                 % HLL_M).alias("bucket"),
+                F.when(v == 0, F.lit(HLL_W))
+                .otherwise(F.lit(HLL_W) - F.length(F.bin(v)))
+                .cast("int").alias("rho"))
+            .groupBy("group", "bucket")
+            .agg(F.max("rho").alias("r")))

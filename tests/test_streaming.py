@@ -314,3 +314,28 @@ def test_stream_sliding_counts_matches_batch(tmp_path, spark):
     got = {(r.window_start, r.event_type): r.n
            for r in spark.sql("select * from sliding").collect()}
     assert got == want
+
+
+def test_stream_distinct_registers_match_batch(tmp_path, spark):
+    """Streaming HLL registers (stream_distinct_registers) from an
+    availableNow pass must equal kg.sketch.hll_registers on the same
+    static events bit-for-bit — the md5 registers are layout- and
+    mode-invariant."""
+    from kg.sketch import hll_registers
+    from kg.streaming import stream_distinct_registers
+    batch = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+             .limit(800))
+    src = str(tmp_path / "ev")
+    batch.write.parquet(src)
+    batch = spark.read.parquet(src)
+    want = {(r.group, r.bucket): r.r
+            for r in hll_registers(batch, group_col="event_type",
+                                   col="user_id").collect()}
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (stream_distinct_registers(stream).writeStream.format("memory")
+         .queryName("hllregs").outputMode("complete")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.group, r.bucket): r.r
+           for r in spark.sql("select * from hllregs").collect()}
+    assert got == want and len(got) > 0
