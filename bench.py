@@ -145,6 +145,15 @@ HEADLINE = [
     "multimodal_ahash_pairs",  # lossless banded image near-dup pairs
     "text_script",           # Unicode script histogram + routing audit
     "corpus_split_leakproof",  # cluster-aware split, no eval leakage
+    "rel_q4_priority",       # TPC-H Q4 EXISTS -> left-semi join
+    "rel_q13_custdist",      # TPC-H Q13 outer-join count distribution
+    "rel_q16_supplier_cnt",  # TPC-H Q16 anti-join + partial distinct
+    "kg_tag_katz",           # Katz attenuated-path centrality, 3 rounds
+    "text_chi2_pairs",       # chi-square/Dice collocation contingency
+    "rel_events_hll",        # portable md5-HLL distinct registers
+    "kg_tag_hyperball",      # HyperBall neighborhood function, 3 rounds
+    "corpus_keyness",        # two-corpus smoothed odds-ratio drift
+    "text_good_turing",      # Turing count-of-counts + unseen mass
 ]
 
 
