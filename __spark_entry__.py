@@ -1327,6 +1327,17 @@ def q_rel_q16_supplier_cnt(spark, sf_dir):
                  .alias("supplier_cnt")))
 
 
+def q_rel_events_burstiness(spark, sf_dir):
+    """Per-user inter-arrival Fano factor
+    (kg.relops.event_burstiness) — the WHEN-you-act behavioral anomaly
+    view (bots score ~0, humans heavy-tailed) next to
+    rel_events_surprisal's WHERE-you-go; exact single-division rational
+    in DECIMAL(38,0)/HUGEINT, (ts, event_id) tie-break shared with the
+    funnel family."""
+    from kg.relops import event_burstiness
+    return event_burstiness(_read("events")(spark, sf_dir))
+
+
 def q_text_good_turing(spark, sf_dir):
     """Turing count-of-counts table + unseen-mass estimate
     (kg.textstats.good_turing) over the en corpus vocabulary — the
@@ -2736,7 +2747,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_q5_volume": q_rel_q5_volume,
         "rel_q18_big_orders": q_rel_q18_big_orders,
         "rel_events_surprisal": q_rel_events_surprisal,
-        "multimodal_ahash": q_multimodal_ahash,
         "corpus_split_leakproof": q_corpus_split_leakproof,
         # --- r4 session-13 additions (rotated into the window); one
         # demotion each — see the demoted block -------------------------
@@ -2749,6 +2759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_tag_hyperball": q_kg_tag_hyperball,
         "corpus_keyness": q_corpus_keyness,
         "text_good_turing": q_text_good_turing,
+        "rel_events_burstiness": q_rel_events_burstiness,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also
@@ -2776,6 +2787,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # an in-window full-replay row via multimodal_ahash; the pair set
         # is pytest-PROVEN equal to brute force on the fixture grid
         "multimodal_ahash_pairs": q_multimodal_ahash_pairs,
+        # demoted for the session-13 burstiness addition
+        # (rel_events_burstiness):
+        # multimodal_ahash — every oracle cell is arithmetic in (id, x, y)
+        # over the deterministic gradient fixture (the trivial-replay
+        # class); the luma/mean/nibble-hex machinery is pinned by
+        # arithmetic-replay/brightness-invariance/distinct-images/
+        # degenerate pytests, and the mapInPandas decode shape keeps its
+        # in-window row via multimodal_decode
+        "multimodal_ahash": q_multimodal_ahash,
         # demoted for the session-13 Good-Turing addition
         # (text_good_turing):
         # text_pii_iban — the strongest subsumption class on record: its

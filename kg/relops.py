@@ -362,6 +362,56 @@ def event_transitions(events: DataFrame, user_col: str = "user_id",
                     .alias("prob_micro")))
 
 
+def event_burstiness(events: DataFrame, user_col: str = "user_id",
+                     ts_col: str = "ts", seq_col: str = "event_id",
+                     min_gaps: int = 2) -> DataFrame:
+    """Per-user inter-arrival burstiness via the Fano factor
+    (variance-to-mean ratio of the gap distribution; the index of
+    dispersion — Fano 1947, the standard burstiness statistic next to
+    Goh & Barabási's B, which needs a sqrt and so stays off the
+    oracle-checked surface): Poisson arrivals score ~the mean gap
+    itself... normalized here as
+
+        fano_milli = (n·Σg² − (Σg)²) · 1000 div (n·Σg)
+
+    over the microsecond gaps g — the exact single-division rational
+    for Var(g)/Mean(g) (population variance; the n²s cancel), staged
+    DECIMAL(38,0)/HUGEINT (n·Σg² reaches 10³⁸ around 10⁶ events/user at
+    month-long gaps — convert to coarser granularity first at that
+    extreme).  Bots/schedulers → fano ≈ 0 (metronomic), humans → large
+    (heavy-tailed gaps); the behavioral-anomaly complement of
+    session_surprisal's WHERE-you-go view with a WHEN-you-act view.
+
+    Gaps come from lag() over the per-user (ts, seq) timeline (the
+    funnel family's tie-break); users with fewer than `min_gaps` gaps
+    emit no row (no variance evidence).  All-simultaneous timelines
+    (Σg = 0) emit fano_milli = 0 rather than dividing by zero.
+
+    Returns (user, n_gaps, sum_gap_us, fano_milli).  Shape: ONE shuffle
+    (the per-user window), then a map-side-combining per-user aggregate
+    — nothing downstream scales with |events|."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, seq_col)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gaps = (events.select(F.col(user_col).alias("user"),
+                          (us - F.lag(us).over(w)).alias("g"))
+            .filter(F.col("g").isNotNull()))
+    agg = (gaps.groupBy("user")
+           .agg(F.count("*").cast("bigint").alias("n_gaps"),
+                F.sum("g").cast("bigint").alias("sum_gap_us"),
+                F.sum(F.expr("cast(g as decimal(38,0)) * g"))
+                .alias("_sum_g2")))
+    return (agg.filter(F.col("n_gaps") >= min_gaps)
+            .select("user", "n_gaps", "sum_gap_us",
+                    F.expr(
+                        "CASE WHEN sum_gap_us = 0 THEN 0 ELSE"
+                        " cast(((n_gaps * _sum_g2"
+                        "        - cast(sum_gap_us as decimal(38,0))"
+                        "          * sum_gap_us) * 1000)"
+                        "      div (cast(n_gaps as decimal(38,0))"
+                        "           * sum_gap_us) as bigint) END")
+                    .alias("fano_milli")))
+
+
 def _quintile_thresholds(per: DataFrame, col: str, n_bands: int,
                          prefix: str) -> DataFrame:
     """Histogram-exact nearest-rank band thresholds for one integer

@@ -541,3 +541,42 @@ class TestSessionSurprisal:
                .select(F.expr("length(bin(1000000 div greatest(0, 1)))"
                               " - 1").alias("bits")).collect()[0])
         assert row.bits == (1_000_000).bit_length() - 1 == 19
+
+
+class TestEventBurstiness:
+    def test_hand_computed_fano(self, spark):
+        """u1 gaps (in µs): 10, 10, 40 → n=3, Σg=60, Σg²=1800;
+        fano = (3·1800−3600)·1000 // (3·60) = 10000.  A metronomic
+        user (equal gaps) scores exactly 0."""
+        from kg.relops import event_burstiness
+        rows = [("u1", "a", "2024-01-01 00:00:00", 1),
+                ("u1", "a", "2024-01-01 00:00:00.000010", 2),
+                ("u1", "a", "2024-01-01 00:00:00.000020", 3),
+                ("u1", "a", "2024-01-01 00:00:00.000060", 4),
+                ("u2", "a", "2024-01-01 00:00:01", 5),
+                ("u2", "a", "2024-01-01 00:00:02", 6),
+                ("u2", "a", "2024-01-01 00:00:03", 7)]
+        ev = spark.createDataFrame(
+            rows, "user_id string, event_type string, ts string, "
+                  "event_id long").withColumn(
+            "ts", F.col("ts").cast("timestamp"))
+        got = {r.user: r for r in event_burstiness(ev).collect()}
+        u1 = got["u1"]
+        assert (u1.n_gaps, u1.sum_gap_us) == (3, 60)
+        assert u1.fano_milli == (3 * 1800 - 3600) * 1000 // (3 * 60)
+        assert got["u2"].fano_milli == 0      # metronomic
+
+    def test_min_gaps_and_simultaneous_guard(self, spark):
+        from kg.relops import event_burstiness
+        rows = [("solo", "a", "2024-01-01 00:00:00", 1),
+                ("solo", "a", "2024-01-01 00:00:05", 2),
+                ("same", "a", "2024-01-01 00:00:00", 3),
+                ("same", "a", "2024-01-01 00:00:00", 4),
+                ("same", "a", "2024-01-01 00:00:00", 5)]
+        ev = spark.createDataFrame(
+            rows, "user_id string, event_type string, ts string, "
+                  "event_id long").withColumn(
+            "ts", F.col("ts").cast("timestamp"))
+        got = {r.user: r for r in event_burstiness(ev).collect()}
+        assert "solo" not in got              # only 1 gap
+        assert got["same"].fano_milli == 0    # Σg = 0 guard

@@ -1459,6 +1459,28 @@ def build_oracle_sql() -> dict[str, str]:
                                 WHERE s_acctbal < 0)
         GROUP BY 1, 2"""
 
+    # Per-user inter-arrival Fano factor (kg.relops.event_burstiness):
+    # lag() gaps under the funnel-family (ts, event_id) tie-break; the
+    # variance-to-mean single-division rational in HUGEINT.
+    sqls["rel_events_burstiness"] = """
+        WITH g AS (
+          SELECT user_id AS "user",
+                 epoch_us(ts) - lag(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS g
+          FROM events),
+        agg AS (
+          SELECT "user", CAST(count(*) AS BIGINT) AS n_gaps,
+                 CAST(sum(g) AS BIGINT) AS sum_gap_us,
+                 sum(g::HUGEINT * g) AS s2
+          FROM g WHERE g IS NOT NULL GROUP BY 1)
+        SELECT "user", n_gaps, sum_gap_us,
+               CASE WHEN sum_gap_us = 0 THEN 0 ELSE
+                 CAST(((n_gaps * s2
+                        - sum_gap_us::HUGEINT * sum_gap_us) * 1000)
+                      // (n_gaps::HUGEINT * sum_gap_us) AS BIGINT) END
+                 AS fano_milli
+        FROM agg WHERE n_gaps >= 2"""
+
     # Turing count-of-counts (kg.textstats.good_turing): N_r table,
     # r* = (r+1)N_{r+1}·1e6 // N_r, p0 = N_1·1e6 // N — exact integers.
     sqls["text_good_turing"] = f"""
