@@ -1327,6 +1327,16 @@ def q_rel_q16_supplier_cnt(spark, sf_dir):
                  .alias("supplier_cnt")))
 
 
+def q_text_lm_jm(spark, sf_dir):
+    """Deleted-interpolation λ estimation
+    (kg.textstats.jelinek_mercer_lambda, 3 EM rounds) — distributed EM
+    as exact-integer aggregate rounds over the held-out bigram-type
+    table; md5-prefix train/held split, posterior a cross-multiplied
+    HUGEINT rational, λ chain replayed as scalar CTEs in the oracle."""
+    from kg.textstats import jelinek_mercer_lambda
+    return jelinek_mercer_lambda(_docs(spark, sf_dir), rounds=3)
+
+
 def q_rel_events_burstiness(spark, sf_dir):
     """Per-user inter-arrival Fano factor
     (kg.relops.event_burstiness) — the WHEN-you-act behavioral anomaly
@@ -2743,7 +2753,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # demotion each — see the demoted block -------------------------
         "link_edit_pairs": q_link_edit_pairs,
         "kg_tag_coloring": q_kg_tag_coloring,
-        "rel_events_sliding": q_rel_events_sliding,
         "rel_q5_volume": q_rel_q5_volume,
         "rel_q18_big_orders": q_rel_q18_big_orders,
         "rel_events_surprisal": q_rel_events_surprisal,
@@ -2760,6 +2769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_keyness": q_corpus_keyness,
         "text_good_turing": q_text_good_turing,
         "rel_events_burstiness": q_rel_events_burstiness,
+        "text_lm_jm": q_text_lm_jm,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also
@@ -2787,6 +2797,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # an in-window full-replay row via multimodal_ahash; the pair set
         # is pytest-PROVEN equal to brute force on the fixture grid
         "multimodal_ahash_pairs": q_multimodal_ahash_pairs,
+        # demoted for the session-13 deleted-interpolation addition
+        # (text_lm_jm):
+        # rel_events_sliding — the epoch-aligned window-assignment
+        # arithmetic is pinned by per-event-window-count/tumbling-
+        # degenerate/python-replay pytests AND the availableNow
+        # batch-stream parity test (one window definition across modes);
+        # the events family keeps funnel/surprisal/burstiness/hll rows
+        # in-window
+        "rel_events_sliding": q_rel_events_sliding,
         # demoted for the session-13 burstiness addition
         # (rel_events_burstiness):
         # multimodal_ahash — every oracle cell is arithmetic in (id, x, y)

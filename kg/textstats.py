@@ -432,6 +432,92 @@ def collocation_chi2(df: DataFrame, text_col: str = "text",
                 .cast("bigint").alias("chi2_milli")))
 
 
+def jelinek_mercer_lambda(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", rounds: int = 3,
+                          lambda0_micro: int = 500_000):
+    """Deleted-interpolation mixture-weight estimation (Jelinek & Mercer
+    1980; Chen & Goodman §2.4) — the EM fit for λ in
+
+        p(w2|w1) = λ·p_bigram(w2|w1) + (1−λ)·p_unigram(w2)
+
+    run as DISTRIBUTED EXACT-INTEGER EM: each round is one aggregate
+    whose per-bigram-type posterior is the cross-multiplied rational
+
+        post_ppm = (λ·c12·N·1e6) div (λ·c12·N + (1e6−λ)·c·c1)
+        λ'       = Σ m·post_ppm div Σ m
+
+    (m = held-out instance count of the bigram type) — no logs, no
+    floats, so the round chain replays bit-exactly in the DuckDB oracle
+    as scalar CTEs.  Products staged DECIMAL(38,0)/HUGEINT (λ·c12·N·1e6
+    approaches 10³⁸ only past ~10¹³-token corpora; shard the fit first
+    at that extreme).
+
+    The published setup needs HELD-OUT data (on training text EM drives
+    λ → 1 because the bigram MLE dominates): docs split by the house
+    md5-prefix rule — substr(md5(id),1,1) < '8' trains the counts, the
+    rest estimates λ.  Predicted words unseen in training (c = 0) carry
+    no signal between the two models and are excluded (the OOV floor is
+    a separate smoothing concern — see good_turing's p0); unseen
+    bigrams of seen words stay IN with posterior exactly 0, which is
+    what pulls λ below 1.
+
+    Returns a DataFrame (round, lambda_micro, n_scored), one row per EM
+    round — the λ chain is the (driver-sized) model artifact, like
+    bpe_train's merge rules.
+
+    Scale shape: three vocabulary-bounded count aggregates + ONE
+    held-out bigram-type aggregate, joined once and localCheckpointed;
+    each EM round is then a single map-side-combining aggregate over
+    that type table (vocabulary²-bounded, not corpus-bounded) with λ as
+    a literal — the corpus is read exactly twice regardless of
+    rounds."""
+    spark = df.sparkSession
+    pref = F.substring(F.md5(F.col(id_col).cast("string")), 1, 1)
+    tr = df.filter(pref < "8")
+    he = df.filter(pref >= "8")
+    bigr = bigram_structs(text_col)
+    c12 = (tr.select(F.explode(bigr).alias("b"))
+           .select("b.w1", "b.w2")
+           .groupBy("w1", "w2")
+           .agg(F.count("*").cast("bigint").alias("c12"))
+           .localCheckpoint())      # branches: c1 + the scored join
+    c1 = c12.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
+    uni = (tr.select(F.explode(tokens_col(text_col)).alias("w2"))
+           .groupBy("w2").agg(F.count("*").cast("bigint").alias("c"))
+           .localCheckpoint())      # branches: N + the scored join
+    ntot = uni.agg(F.sum("c").cast("bigint").alias("n_uni"))
+    m = (he.select(F.explode(bigr).alias("b"))
+         .select("b.w1", "b.w2")
+         .groupBy("w1", "w2")
+         .agg(F.count("*").cast("bigint").alias("m")))
+    scored = (m.join(c12, ["w1", "w2"], "left")
+              .join(c1, "w1", "left")
+              .join(uni, "w2", "left")
+              .crossJoin(F.broadcast(ntot))
+              .filter(F.col("c").isNotNull())
+              .select("m",
+                      F.coalesce("c12", F.lit(0)).alias("c12"),
+                      F.coalesce("c1", F.lit(0)).alias("c1"),
+                      "c", "n_uni")
+              .localCheckpoint())   # re-aggregated once per EM round
+    lam = int(lambda0_micro)
+    rows = []
+    for t in range(1, rounds + 1):
+        post = (f"CASE WHEN c12 = 0 THEN 0 ELSE "
+                f"(cast({lam} as decimal(38,0)) * c12 * n_uni * 1000000)"
+                f" div (cast({lam} as decimal(38,0)) * c12 * n_uni"
+                f"      + cast({1_000_000 - lam} as decimal(38,0))"
+                f"        * c * c1) END")
+        r = scored.agg(
+            F.expr(f"cast(sum(m * ({post})) div sum(m) as bigint)")
+            .alias("lam"),
+            F.sum("m").cast("bigint").alias("n")).collect()[0]
+        lam = int(r["lam"])
+        rows.append((t, lam, int(r["n"])))
+    return spark.createDataFrame(
+        rows, "round int, lambda_micro bigint, n_scored bigint")
+
+
 def good_turing(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Turing count-of-counts frequency re-estimation (Good 1953; the
     raw estimates underlying Simple Good–Turing, Gale & Sampson 1995):

@@ -416,3 +416,49 @@ class TestGoodTuring:
         rows = good_turing(docs).collect()
         assert all(r.p0_ppm == 0 for r in rows)
         assert {r.r for r in rows} == {2}
+
+
+class TestJelinekMercer:
+    def test_matches_python_em_replay(self, spark):
+        """Full bit-replay: rebuild the md5 split, the train counts, the
+        held-out type table, and 3 EM rounds in pure Python integers."""
+        import collections
+        import hashlib
+        from kg.textstats import jelinek_mercer_lambda
+        texts = {i: f"w{i % 3} w{(i + 1) % 3} w{i % 2} w0"
+                 for i in range(20)}
+        docs = spark.createDataFrame(list(texts.items()),
+                                     "doc_id long, text string")
+        tr, he = [], []
+        for i, t in texts.items():
+            (tr if hashlib.md5(str(i).encode()).hexdigest()[0] < "8"
+             else he).append(t.split())
+        c12, uni = collections.Counter(), collections.Counter()
+        for toks in tr:
+            uni.update(toks)
+            c12.update(zip(toks, toks[1:]))
+        c1 = collections.Counter()
+        for (w1, _), n in c12.items():
+            c1[w1] += n
+        n_uni = sum(uni.values())
+        m = collections.Counter()
+        for toks in he:
+            m.update(zip(toks, toks[1:]))
+        scored = [(cnt, c12.get(p, 0), c1.get(p[0], 0), uni[p[1]])
+                  for p, cnt in m.items() if p[1] in uni]
+        lam, want = 500_000, []
+        for t in range(1, 4):
+            s = sum(cnt * (0 if cc12 == 0 else
+                           (lam * cc12 * n_uni * 1_000_000)
+                           // (lam * cc12 * n_uni
+                               + (1_000_000 - lam) * c * cc1))
+                    for cnt, cc12, cc1, c in scored)
+            n = sum(cnt for cnt, *_ in scored)
+            lam = s // n
+            want.append((t, lam, n))
+        got = [(r.round, r.lambda_micro, r.n_scored)
+               for r in jelinek_mercer_lambda(docs, rounds=3)
+               .orderBy("round").collect()]
+        assert got == want
+        # on held-out data lambda settles strictly inside (0, 1)
+        assert 0 < got[-1][1] < 1_000_000

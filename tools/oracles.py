@@ -1459,6 +1459,67 @@ def build_oracle_sql() -> dict[str, str]:
                                 WHERE s_acctbal < 0)
         GROUP BY 1, 2"""
 
+    # Deleted-interpolation lambda EM (kg.textstats.jelinek_mercer_lambda):
+    # md5-prefix train/held split, held-out bigram-type posterior as a
+    # HUGEINT cross-multiplied rational, lambda chain as scalar CTEs.
+    _jm = f"""
+        WITH trt AS (SELECT {_TOKS} AS t FROM documents
+                     WHERE lang = 'en'
+                       AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                           < '8'),
+        het AS (SELECT {_TOKS} AS t FROM documents
+                WHERE lang = 'en'
+                  AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= '8'),
+        c12 AS MATERIALIZED (
+          SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM (
+            SELECT t[i] AS w1, t[i + 1] AS w2
+            FROM (SELECT t, generate_subscripts(t, 1) AS i FROM trt)
+            WHERE i <= len(t) - 1)
+          GROUP BY 1, 2),
+        c1 AS MATERIALIZED (
+          SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+        uni AS MATERIALIZED (
+          SELECT w2, CAST(count(*) AS BIGINT) AS c FROM (
+            SELECT unnest(t) AS w2 FROM trt)
+          GROUP BY 1),
+        nt AS (SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM uni),
+        mtab AS (
+          SELECT w1, w2, CAST(count(*) AS BIGINT) AS m FROM (
+            SELECT t[i] AS w1, t[i + 1] AS w2
+            FROM (SELECT t, generate_subscripts(t, 1) AS i FROM het)
+            WHERE i <= len(t) - 1)
+          GROUP BY 1, 2),
+        scored AS MATERIALIZED (
+          SELECT m, coalesce(c12.c12, 0) AS c12,
+                 coalesce(c1.c1, 0) AS c1, uni.c, n_uni
+          FROM mtab LEFT JOIN c12 USING (w1, w2)
+          LEFT JOIN c1 USING (w1)
+          JOIN uni USING (w2) CROSS JOIN nt)"""
+    _jm_post = ("CASE WHEN c12 = 0 THEN 0 ELSE "
+                "({lam}::HUGEINT * c12 * n_uni * 1000000) "
+                "// ({lam}::HUGEINT * c12 * n_uni "
+                "    + ({one_minus})::HUGEINT * c * c1) END")
+    _jm += f""",
+        r1 AS MATERIALIZED (
+          SELECT CAST(sum(m * ({_jm_post.format(lam=500000,
+                                                one_minus=500000)}))
+                      // sum(m) AS BIGINT) AS lam,
+                 CAST(sum(m) AS BIGINT) AS n
+          FROM scored)"""
+    for _i in (2, 3):
+        _jm += f""",
+        r{_i} AS MATERIALIZED (
+          SELECT CAST(sum(m * ({_jm_post.format(
+              lam='lam', one_minus='1000000 - lam')}))
+                      // sum(m) AS BIGINT) AS lam,
+                 CAST(sum(m) AS BIGINT) AS n
+          FROM scored CROSS JOIN r{_i - 1})"""
+    sqls["text_lm_jm"] = _jm + """
+        SELECT CAST(1 AS INTEGER) AS round, lam AS lambda_micro,
+               n AS n_scored FROM r1
+        UNION ALL SELECT 2, lam, n FROM r2
+        UNION ALL SELECT 3, lam, n FROM r3"""
+
     # Per-user inter-arrival Fano factor (kg.relops.event_burstiness):
     # lag() gaps under the funnel-family (ts, event_id) tie-break; the
     # variance-to-mean single-division rational in HUGEINT.
