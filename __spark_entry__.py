@@ -1327,6 +1327,17 @@ def q_rel_q16_supplier_cnt(spark, sf_dir):
                  .alias("supplier_cnt")))
 
 
+def q_corpus_minkprob(spark, sf_dir):
+    """Min-K% prob membership/contamination score
+    (kg.textstats.min_k_prob, Shi et al. 2024): mean of each document's
+    lowest-k% token surprisal bits — memorized/duplicated text surfaces
+    as an anomalously probable low tail; the bottom-k% mean is
+    histogram-exact (per-doc windows bounded by the ~60 distinct bits
+    values, never document length)."""
+    from kg.textstats import min_k_prob
+    return min_k_prob(_docs(spark, sf_dir), k_pct=20)
+
+
 def q_text_lm_jm(spark, sf_dir):
     """Deleted-interpolation λ estimation
     (kg.textstats.jelinek_mercer_lambda, 3 EM rounds) — distributed EM
@@ -2751,7 +2762,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_tag_eccentricity": q_kg_tag_eccentricity,
         # --- r4 session-12 additions (rotated into the window); one
         # demotion each — see the demoted block -------------------------
-        "link_edit_pairs": q_link_edit_pairs,
         "kg_tag_coloring": q_kg_tag_coloring,
         "rel_q5_volume": q_rel_q5_volume,
         "rel_q18_big_orders": q_rel_q18_big_orders,
@@ -2770,6 +2780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_good_turing": q_text_good_turing,
         "rel_events_burstiness": q_rel_events_burstiness,
         "text_lm_jm": q_text_lm_jm,
+        "corpus_minkprob": q_corpus_minkprob,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also
@@ -2797,6 +2808,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # an in-window full-replay row via multimodal_ahash; the pair set
         # is pytest-PROVEN equal to brute force on the fixture grid
         "multimodal_ahash_pairs": q_multimodal_ahash_pairs,
+        # demoted for the session-13 min-k%-prob addition
+        # (corpus_minkprob):
+        # link_edit_pairs — pair-bounded composition whose blocking stage
+        # (the LSH pair SQL) ships verbatim in FOUR in-window relatives
+        # (winnow/semantic/paragraph/recall machinery) and whose verify is
+        # a single JVM levenshtein call pinned by kitten-sitting/banded-−1/
+        # prefix/empty-pair pytests with Spark/DuckDB semantics verified
+        # identical
+        "link_edit_pairs": q_link_edit_pairs,
         # demoted for the session-13 deleted-interpolation addition
         # (text_lm_jm):
         # rel_events_sliding — the epoch-aligned window-assignment

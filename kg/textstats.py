@@ -8,7 +8,7 @@ operator is a narrow per-row map; zero shuffles.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from kg import models
 
@@ -430,6 +430,74 @@ def collocation_chi2(df: DataFrame, text_col: str = "text",
                     " div (cast(r1 as decimal(38,0)) * (n_bigrams - r1)"
                     "      * c1 * (n_bigrams - c1)) END")
                 .cast("bigint").alias("chi2_milli")))
+
+
+def min_k_prob(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", k_pct: int = 20) -> DataFrame:
+    """Min-K% prob membership/contamination score (Shi et al. 2024,
+    arXiv:2310.16789, "Detecting Pretraining Data from Large Language
+    Models"): a document's score is the mean surprisal of its k% MOST
+    PROBABLE... lowest-surprisal tail is how memorized text shows up —
+    here over the same integer floor-log2 unigram bits as lm_surprisal
+    (production swaps in a trained LM's token logprobs; the operator
+    shape — per-token score join + per-doc bottom-k% order statistic —
+    is identical and is what is under test).
+
+    The bottom-k% mean is computed HISTOGRAM-EXACT: bits takes ≤ ~60
+    distinct values, so per (doc, bits) counts + a cumulative window
+    over the per-doc bits histogram (≤ 60 rows per doc — bounded by
+    metric granularity, never document length) select whole low bins
+    plus the exact remainder of the boundary bin:
+
+        k_cnt            = (n_tokens·k_pct + 99) div 100   (ceil, ≥ 1)
+        mink_bits_milli  = (Σ_low bits·cnt + boundary_bits·rem)·1000
+                           div k_cnt
+
+    Returns (doc, n_tokens, k_cnt, mink_bits_milli); lower = more
+    memorized/duplicated relative to the corpus model.
+
+    Scale shape: explode → term-count join (lm_surprisal's plan) →
+    (doc, bits) aggregate → per-doc cumulative window bounded at ~60
+    rows → one doc aggregate.  No collect_list, no unbounded state."""
+    toks = df.select(F.col(id_col).alias("doc"),
+                     F.explode(tokens_col(text_col)).alias("term"))
+    cnt = toks.groupBy("term").agg(F.count("*").cast("bigint").alias("c"))
+    total = cnt.agg(F.sum("c").cast("bigint").alias("n_total"))
+    hist = (toks.join(cnt, "term")
+            .crossJoin(F.broadcast(total))
+            .select("doc",
+                    F.length(F.bin(F.expr("n_total div c")))
+                    .cast("bigint").alias("bits"))
+            .groupBy("doc", "bits")
+            .agg(F.count("*").cast("bigint").alias("m")))
+    w = (Window.partitionBy("doc").orderBy("bits")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = hist.select(
+        "doc", "bits", "m",
+        F.sum("m").over(w).cast("bigint").alias("cum"),
+        F.sum(F.col("bits") * F.col("m")).over(w).cast("bigint")
+        .alias("cum_bits"),
+        F.sum("m").over(Window.partitionBy("doc")).cast("bigint")
+        .alias("n_tokens"))
+    kc = F.expr(f"(n_tokens * {k_pct} + 99) div 100")
+    # the boundary bin: first bin whose cumulative count reaches k_cnt
+    return (cum.filter(F.col("cum") >= kc)
+            .groupBy("doc")
+            .agg(F.min_by(
+                F.struct("bits", "m", "cum", "cum_bits", "n_tokens"),
+                F.col("cum")).alias("b"))
+            .select(
+                "doc",
+                F.col("b.n_tokens").alias("n_tokens"),
+                F.expr(f"(b.n_tokens * {k_pct} + 99) div 100")
+                .cast("bigint").alias("k_cnt"),
+                F.expr(
+                    f"cast(((b.cum_bits - b.bits * b.m)"
+                    f"  + b.bits * ((b.n_tokens * {k_pct} + 99) div 100"
+                    f"              - (b.cum - b.m))) * 1000"
+                    f" div ((b.n_tokens * {k_pct} + 99) div 100)"
+                    f" as bigint)")
+                .alias("mink_bits_milli")))
 
 
 def jelinek_mercer_lambda(df: DataFrame, text_col: str = "text",

@@ -462,3 +462,44 @@ class TestJelinekMercer:
         assert got == want
         # on held-out data lambda settles strictly inside (0, 1)
         assert 0 < got[-1][1] < 1_000_000
+
+
+class TestMinKProb:
+    def test_hand_computed_boundary_split(self, spark):
+        """Corpus a×6, b×2, c×2 (N=10): bits(a)=1, bits(b)=bits(c)=3.
+        doc1 'a a a a b' at k=40% → k_cnt=2, bottom bits [1,1] → 1000.
+        doc3 'b c c' → k_cnt=2, bottom [3,3] → 3000 (whole-bin).
+        Boundary split: doc1 at k=60% → k_cnt=3 → [1,1,1] → 1000."""
+        from kg.textstats import min_k_prob
+        docs = spark.createDataFrame(
+            [(1, "a a a a b"), (2, "a a"), (3, "b c c")],
+            "doc_id long, text string")
+        got40 = {r.doc: r for r in min_k_prob(docs, k_pct=40).collect()}
+        assert (got40[1].n_tokens, got40[1].k_cnt,
+                got40[1].mink_bits_milli) == (5, 2, 1000)
+        assert got40[3].mink_bits_milli == 3000
+        got60 = {r.doc: r for r in min_k_prob(docs, k_pct=60).collect()}
+        assert (got60[1].k_cnt, got60[1].mink_bits_milli) == (3, 1000)
+
+    def test_boundary_bin_partial_take(self, spark):
+        """doc 'a b b' in corpus where bits(a) < bits(b): k=67% →
+        k_cnt=3·67÷100 ceil = 3... use k=50% → k_cnt=2 = one full 'a'
+        bin + ONE of the two 'b' tokens: mean=(bits_a+bits_b)·1000//2."""
+        from kg.textstats import min_k_prob
+        docs = spark.createDataFrame(
+            [(1, "a b b"), (2, "a a a a a")], "doc_id long, text string")
+        # counts: a=6, b=2, N=8 → bits(a)=len(bin(1))=1, bits(b)=len(bin(4))=3
+        r = {x.doc: x for x in min_k_prob(docs, k_pct=50).collect()}[1]
+        assert (r.n_tokens, r.k_cnt) == (3, 2)
+        assert r.mink_bits_milli == (1 + 3) * 1000 // 2
+
+    def test_memorized_doc_scores_lower(self, spark):
+        """A doc made of the corpus's dominant token scores below one
+        made of hapaxes — the membership-inference direction."""
+        from kg.textstats import min_k_prob
+        rows = [(i, "common common common common") for i in range(8)]
+        rows += [(100, "common common common rare1"), (101, "rare2 rare3 rare4 rare5")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc: r.mink_bits_milli
+               for r in min_k_prob(docs, k_pct=50).collect()}
+        assert got[100] < got[101]

@@ -1459,6 +1459,40 @@ def build_oracle_sql() -> dict[str, str]:
                                 WHERE s_acctbal < 0)
         GROUP BY 1, 2"""
 
+    # Min-K% prob (kg.textstats.min_k_prob): per-doc bottom-20% mean of
+    # the unigram floor-log2 bits, histogram-exact boundary-bin split.
+    sqls["corpus_minkprob"] = f"""
+        WITH toks AS (
+          SELECT doc_id AS doc, unnest({_TOKS}) AS term
+          FROM documents WHERE lang = 'en'),
+        cnt AS (SELECT term, CAST(count(*) AS BIGINT) AS c
+                FROM toks GROUP BY 1),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM cnt),
+        hist AS (
+          SELECT doc, CAST(length(bin(n_total // c)) AS BIGINT) AS bits,
+                 CAST(count(*) AS BIGINT) AS m
+          FROM toks JOIN cnt USING (term) CROSS JOIN tot
+          GROUP BY 1, 2),
+        cum AS (
+          SELECT doc, bits, m,
+                 sum(m) OVER (PARTITION BY doc ORDER BY bits
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+                 sum(bits * m) OVER (PARTITION BY doc ORDER BY bits
+                                     ROWS UNBOUNDED PRECEDING)
+                   AS cum_bits,
+                 sum(m) OVER (PARTITION BY doc) AS n_tokens
+          FROM hist)
+        SELECT doc, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST((n_tokens * 20 + 99) // 100 AS BIGINT) AS k_cnt,
+               CAST(((cum_bits - bits * m)
+                     + bits * ((n_tokens * 20 + 99) // 100
+                               - (cum - m))) * 1000
+                    // ((n_tokens * 20 + 99) // 100) AS BIGINT)
+                 AS mink_bits_milli
+        FROM cum
+        WHERE cum >= (n_tokens * 20 + 99) // 100
+        QUALIFY row_number() OVER (PARTITION BY doc ORDER BY cum) = 1"""
+
     # Deleted-interpolation lambda EM (kg.textstats.jelinek_mercer_lambda):
     # md5-prefix train/held split, held-out bigram-type posterior as a
     # HUGEINT cross-multiplied rational, lambda chain as scalar CTEs.
