@@ -1327,6 +1327,29 @@ def q_rel_q16_supplier_cnt(spark, sf_dir):
                  .alias("supplier_cnt")))
 
 
+def q_corpus_apply_cdc(spark, sf_dir):
+    """MERGE INTO apply (kg.corpus.apply_changes) of a deterministically
+    derived change set — upserts (doc_id % 7 == 0 rewritten, % 13 == 1
+    cloned to new ids) and deletes (% 11 == 3) — against the en corpus:
+    the next-snapshot materialization completing corpus_diff's CDC
+    detect half; ONE 1:1 full-outer join on the id."""
+    from kg.corpus import apply_changes
+    d = _docs(spark, sf_dir)
+    ups = (d.filter(F.col("doc_id") % 7 == 0)
+           .select("doc_id", F.lit("upsert").alias("op"),
+                   F.concat(F.col("text"), F.lit(" v2")).alias("text")))
+    news = (d.filter(F.col("doc_id") % 13 == 1)
+            .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                    F.lit("upsert").alias("op"), "text"))
+    dels = (d.filter((F.col("doc_id") % 11 == 3)
+                     & (F.col("doc_id") % 7 != 0))
+            .select("doc_id", F.lit("delete").alias("op"),
+                    F.lit("").alias("text")))
+    changes = ups.unionByName(news).unionByName(dels)
+    nxt = apply_changes(d, changes)
+    return nxt.select("doc_id", F.sha2(F.col("text"), 256).alias("sha"))
+
+
 def q_corpus_minkprob(spark, sf_dir):
     """Min-K% prob membership/contamination score
     (kg.textstats.min_k_prob, Shi et al. 2024): mean of each document's
@@ -2720,7 +2743,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_events_funnel": q_rel_events_funnel,
         "ann_sq_topk": q_ann_sq_topk,
         # --- r4 retrieval/sketch additions (rotated into the window) ------
-        "text_inverted_index": q_text_inverted_index,
         "text_bm25_topk": q_text_bm25_topk,
         "text_heavy_hitters": q_text_heavy_hitters,
         "text_phrase_near": q_text_phrase_near,
@@ -2781,6 +2803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_events_burstiness": q_rel_events_burstiness,
         "text_lm_jm": q_text_lm_jm,
         "corpus_minkprob": q_corpus_minkprob,
+        "corpus_apply_cdc": q_corpus_apply_cdc,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also
@@ -2808,6 +2831,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # an in-window full-replay row via multimodal_ahash; the pair set
         # is pytest-PROVEN equal to brute force on the fixture grid
         "multimodal_ahash_pairs": q_multimodal_ahash_pairs,
+        # demoted for the session-13 CDC-apply addition
+        # (corpus_apply_cdc):
+        # text_inverted_index — its per-term df/posting aggregation ships
+        # in-window via text_bm25_topk and text_prf_search (the shared
+        # corpus-stat CTEs), and the window-capped hot-term posting
+        # contract is pinned by skew-cap pytests; the windowed-FILTER
+        # string_agg oracle is a structural mirror
+        "text_inverted_index": q_text_inverted_index,
         # demoted for the session-13 min-k%-prob addition
         # (corpus_minkprob):
         # link_edit_pairs — pair-bounded composition whose blocking stage

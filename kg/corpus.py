@@ -215,6 +215,44 @@ def corpus_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
                 "else 'changed' end").alias("status")))
 
 
+def apply_changes(base: DataFrame, changes: DataFrame,
+                  id_col: str = "doc_id", op_col: str = "op",
+                  cols: tuple[str, ...] = ("text",)) -> DataFrame:
+    """MERGE INTO semantics over plain parquet snapshots — the APPLY
+    half of the CDC pair (corpus_diff detects, this materializes the
+    next snapshot): a change set of (id, op ∈ upsert/delete, payload)
+    against a base corpus produces
+
+        next = (base rows with no change)  ∪  (upsert payloads)
+        minus (ids marked delete)
+
+    i.e. Iceberg/Delta `MERGE WHEN MATCHED UPDATE / WHEN NOT MATCHED
+    INSERT / WHEN MATCHED AND op='delete' DELETE`, expressed as ONE
+    full-outer join on the id (the container has no Iceberg runtime —
+    S4's documented stand-in; the partition/snapshot layout is
+    kg.materialize's).  Duplicate ids in the change set are rejected
+    nowhere downstream, so the caller contract is one change row per id
+    (corpus_diff output satisfies it by construction); last-writer
+    conflict resolution belongs in the upstream compaction, not hidden
+    here.
+
+    Returns the next snapshot with (id_col, *cols).  Scale shape: both
+    sides shuffle once on the id; the base side carries payloads but
+    the join is 1:1 — no explosion, no window."""
+    b = base.select(F.col(id_col).alias("_id"),
+                    *[F.col(c).alias(f"_b_{c}") for c in cols])
+    c = changes.select(F.col(id_col).alias("_id"),
+                       F.col(op_col).alias("_op"),
+                       *[F.col(cc).alias(f"_c_{cc}") for cc in cols])
+    return (b.join(c, "_id", "full_outer")
+            .filter((F.col("_op").isNull()) | (F.col("_op") != "delete"))
+            .select(F.col("_id").alias(id_col),
+                    *[F.when(F.col("_op").isNotNull(),
+                             F.col(f"_c_{cc}"))
+                      .otherwise(F.col(f"_b_{cc}")).alias(cc)
+                      for cc in cols]))
+
+
 def corpus_growth(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", bucket: int = 1024) -> DataFrame:
     """Heaps-law corpus growth curve: per document IN ID ORDER, the

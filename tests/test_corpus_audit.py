@@ -107,3 +107,41 @@ def test_corpus_growth_empty_doc_absent(spark):
         [(0, "a b"), (1, "")], ["doc_id", "text"])
     got = {r.doc_id for r in corpus_growth(docs).collect()}
     assert got == {0}
+
+
+class TestApplyChanges:
+    def test_merge_semantics(self, spark):
+        """Upsert replaces, insert adds, delete removes, untouched rows
+        survive — and the result is exactly the expected snapshot."""
+        from kg.corpus import apply_changes
+        base = spark.createDataFrame(
+            [(1, "one"), (2, "two"), (3, "three")],
+            "doc_id long, text string")
+        changes = spark.createDataFrame(
+            [(2, "upsert", "two-v2"), (3, "delete", ""),
+             (9, "upsert", "nine")],
+            "doc_id long, op string, text string")
+        got = {r.doc_id: r.text
+               for r in apply_changes(base, changes).collect()}
+        assert got == {1: "one", 2: "two-v2", 9: "nine"}
+
+    def test_apply_diff_roundtrip(self, spark):
+        """Applying the change set derived from corpus_diff('old','new')
+        reproduces 'new' exactly — the detect→apply CDC contract."""
+        from kg.corpus import apply_changes, corpus_diff
+        old = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string")
+        new = spark.createDataFrame(
+            [(1, "a"), (2, "b2"), (4, "d")], "doc_id long, text string")
+        diff = corpus_diff(old, new)
+        import pyspark.sql.functions as F
+        changes = (diff.filter(F.col("status") != "unchanged")
+                   .join(new, "doc_id", "left")
+                   .select("doc_id",
+                           F.when(F.col("status") == "removed",
+                                  "delete").otherwise("upsert")
+                           .alias("op"),
+                           F.coalesce("text", F.lit("")).alias("text")))
+        got = {r.doc_id: r.text
+               for r in apply_changes(old, changes).collect()}
+        assert got == {1: "a", 2: "b2", 4: "d"}

@@ -685,6 +685,23 @@ def test_rel_q5_broadcasts_dims_and_pushes_date_filter(spark):
                "LessThan(o_orderdate" in p for p in pushed), pushed
 
 
+def test_min_k_prob_no_python_and_partitioned_windows(spark):
+    """kg.textstats.min_k_prob: everything stays JVM-side (no Arrow/
+    Python eval) and every Window is doc-partitioned — a global
+    (unpartitioned) sort-the-corpus window would be the scale-killer
+    this histogram design avoids."""
+    from kg.textstats import min_k_prob
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(min_k_prob(docs))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # every windowspecdefinition partitions on doc — none is global
+    specs = plan.count("windowspecdefinition(")
+    assert specs > 0
+    assert plan.count("windowspecdefinition(doc#") == specs
+    # the boundary pick is an aggregate, not a second sort pass
+    assert "min_by" in plan or "HashAggregate" in plan
+
+
 def test_rel_q4_semi_join_and_pushed_dates(spark):
     """TPC-H Q4 (adapted): the EXISTS must compile to a LeftSemi hash
     join (one probe per order, no post-join distinct) and the quarter

@@ -1459,6 +1459,28 @@ def build_oracle_sql() -> dict[str, str]:
                                 WHERE s_acctbal < 0)
         GROUP BY 1, 2"""
 
+    # MERGE INTO apply (kg.corpus.apply_changes): deterministic change
+    # set (7-upserts, 13-clones, 11-deletes) applied to the en corpus.
+    sqls["corpus_apply_cdc"] = """
+        WITH d AS (SELECT doc_id, text FROM documents
+                   WHERE lang = 'en'),
+        changes AS (
+          SELECT doc_id, 'upsert' AS op, text || ' v2' AS text
+          FROM d WHERE doc_id % 7 = 0
+          UNION ALL
+          SELECT doc_id + 1000000, 'upsert', text
+          FROM d WHERE doc_id % 13 = 1
+          UNION ALL
+          SELECT doc_id, 'delete', ''
+          FROM d WHERE doc_id % 11 = 3 AND doc_id % 7 <> 0),
+        merged AS (
+          SELECT coalesce(c.doc_id, d.doc_id) AS doc_id,
+                 CASE WHEN c.op IS NOT NULL THEN c.text
+                      ELSE d.text END AS text, c.op
+          FROM d FULL OUTER JOIN changes c ON d.doc_id = c.doc_id)
+        SELECT doc_id, sha256(text) AS sha
+        FROM merged WHERE op IS NULL OR op <> 'delete'"""
+
     # Min-K% prob (kg.textstats.min_k_prob): per-doc bottom-20% mean of
     # the unigram floor-log2 bits, histogram-exact boundary-bin split.
     sqls["corpus_minkprob"] = f"""
