@@ -1327,6 +1327,18 @@ def q_rel_q16_supplier_cnt(spark, sf_dir):
                  .alias("supplier_cnt")))
 
 
+def q_ann_pq_rerank(spark, sf_dir):
+    """Two-stage PQ→exact retrieval (kg.similarity.pq_rerank_topk):
+    ADC shortlist of 20 per query, exact-cosine rerank to top-5 — the
+    FAISS deployment recipe; the rerank join is candidate-sized, never
+    a corpus scan, and the output carries both orderings' ranks."""
+    emb = _read("embeddings")(spark, sf_dir)
+    queries = (emb.filter(F.col("vec_id") < 10)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return kgsim.pq_rerank_topk(emb, queries, dim=EMB_DIM, k=5,
+                                shortlist=20)
+
+
 def q_corpus_apply_cdc(spark, sf_dir):
     """MERGE INTO apply (kg.corpus.apply_changes) of a deterministically
     derived change set — upserts (doc_id % 7 == 0 rewritten, % 13 == 1
@@ -2741,7 +2753,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # low-risk stale rows below were demoted to make room ---------------
         "dedup_paragraph": q_dedup_paragraph,
         "rel_events_funnel": q_rel_events_funnel,
-        "ann_sq_topk": q_ann_sq_topk,
         # --- r4 retrieval/sketch additions (rotated into the window) ------
         "text_bm25_topk": q_text_bm25_topk,
         "text_heavy_hitters": q_text_heavy_hitters,
@@ -2804,6 +2815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm_jm": q_text_lm_jm,
         "corpus_minkprob": q_corpus_minkprob,
         "corpus_apply_cdc": q_corpus_apply_cdc,
+        "ann_pq_rerank": q_ann_pq_rerank,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also
@@ -2831,6 +2843,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # an in-window full-replay row via multimodal_ahash; the pair set
         # is pytest-PROVEN equal to brute force on the fixture grid
         "multimodal_ahash_pairs": q_multimodal_ahash_pairs,
+        # demoted for the session-13 PQ-rerank addition (ann_pq_rerank):
+        # ann_sq_topk — its SQ8 256-level encode/dequantize formula is
+        # exact-value pytest-pinned and re-exercised verbatim as
+        # embedding_zorder's quantization cells; the asymmetric-distance
+        # ranking class keeps THREE in-window rows via ann_pq_rerank (the
+        # pq shortlist verbatim), ann_ivfpq_topk, and ann_kmeans
+        "ann_sq_topk": q_ann_sq_topk,
         # demoted for the session-13 CDC-apply addition
         # (corpus_apply_cdc):
         # text_inverted_index — its per-term df/posting aggregation ships

@@ -967,3 +967,45 @@ def kcenter_select(emb: DataFrame, k: int = 4, id_col: str = "vec_id",
     return iv.select("vec_id",
                      a["cid"].cast("bigint").alias("center_id"),
                      a["d"].cast("bigint").alias("d2"))
+
+
+def pq_rerank_topk(emb: DataFrame, queries: DataFrame, dim: int,
+                   k: int = 5, shortlist: int = 20,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   qid_col: str = "query_id",
+                   qvec_col: str = "embedding") -> DataFrame:
+    """Two-stage retrieval: PQ/ADC shortlist → EXACT cosine rerank —
+    the standard FAISS deployment recipe (Jégou et al. 2011 §V: the
+    compressed-domain scan is cheap but lossy; reranking the shortlist
+    against the uncompressed vectors recovers most of the recall gap at
+    a cost proportional to `shortlist`, not the corpus).
+
+    Stage 1 is pq_topk verbatim (hash codebook — every code and ADC
+    rank replays in the oracle); stage 2 joins ONLY the ≤ Q·shortlist
+    shortlist rows back to their exact vectors (a candidate-sized hash
+    join, never a corpus scan), scores float cosine JVM-side, and
+    re-ranks inside each query's ≤ shortlist-row window.  Output ranks
+    only (the ann_cosine_topk convention — ranks are hash-portable,
+    float scores are not).
+
+    Returns (query_id, neighbor_id, rank, adc_rank) — adc_rank kept so
+    the rerank's effect (rank churn between compressed and exact
+    orderings) is visible in the output."""
+    short = pq_topk(emb, queries, dim, k=shortlist, id_col=id_col,
+                    vec_col=vec_col, qid_col=qid_col, qvec_col=qvec_col)
+    base = emb.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("_vec"))
+    q = F.broadcast(queries.select(F.col(qid_col).alias("query_id"),
+                                   F.col(qvec_col).alias("_qvec")))
+    scored = (short.select("query_id", "neighbor_id",
+                           F.col("rank").alias("adc_rank"))
+              .join(base, "neighbor_id")
+              .join(q, "query_id")
+              .withColumn("_cos", cosine_sim(F.col("_qvec"),
+                                             F.col("_vec"))))
+    from pyspark.sql.window import Window
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.desc("_cos"), F.asc("neighbor_id")))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "adc_rank"))

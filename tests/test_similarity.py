@@ -542,3 +542,28 @@ class TestKmeansSilhouette:
         sil = {r.cluster: r.n_members
                for r in kmeans_silhouette(emb, 3, 2).collect()}
         assert sil == fit
+
+
+def test_pq_rerank_with_full_shortlist_equals_exact_topk(spark):
+    """With the shortlist covering the whole corpus, stage 2 IS exact
+    cosine top-k — rerank output must equal cosine_topk rank-for-rank;
+    with a narrow shortlist it must stay within the PQ candidates."""
+    import pyspark.sql.functions as F
+    from kg.similarity import cosine_topk, pq_rerank_topk, pq_topk
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    queries = (emb.filter(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    got = {(r.query_id, r.rank): r.neighbor_id
+           for r in pq_rerank_topk(emb, queries, dim=64, k=5,
+                                   shortlist=n).collect()}
+    want = {(r.query_id, r.rank): r.neighbor_id
+            for r in cosine_topk(emb, queries, k=5).collect()}
+    assert got == want
+    cand = {(r.query_id, r.neighbor_id)
+            for r in pq_topk(emb, queries, dim=64, k=8).collect()}
+    narrow = pq_rerank_topk(emb, queries, dim=64, k=5, shortlist=8)
+    rows = narrow.collect()
+    assert {(r.query_id, r.neighbor_id) for r in rows} <= cand
+    # adc_rank travels through: every output row carries its stage-1 rank
+    assert all(1 <= r.adc_rank <= 8 and 1 <= r.rank <= 5 for r in rows)

@@ -2007,7 +2007,7 @@ def build_oracle_sql() -> dict[str, str]:
     # smallest-md5(vec_id) vectors, 8 subspaces of 8 dims, ALL math in
     # exact integer micro-units (encode, tables, ADC) so codes and
     # rankings replay bit-for-bit.
-    sqls["ann_pq_topk"] = """
+    _pq_sql = """
         WITH em AS MATERIALIZED (
           SELECT vec_id,
                  list_transform(embedding,
@@ -2049,6 +2049,30 @@ def build_oracle_sql() -> dict[str, str]:
                                         ORDER BY adc, neighbor_id) AS rn
               FROM scored)
         WHERE rn <= 5"""
+    sqls["ann_pq_topk"] = _pq_sql
+
+    # Two-stage PQ -> exact rerank (kg.similarity.pq_rerank_topk):
+    # the PQ oracle verbatim at shortlist 20 wrapped as a CTE, then
+    # the exact-cosine re-rank over candidate rows only (the
+    # ann_cosine_topk convention: ranks output, float scores not).
+    sqls["ann_pq_rerank"] = f"""
+        WITH short AS MATERIALIZED (
+          {_pq_sql.replace("WHERE rn <= 5", "WHERE rn <= 20")}
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+               CAST(adc_rank AS INT) AS adc_rank
+        FROM (
+          SELECT s.query_id, s.neighbor_id, s.rank AS adc_rank,
+                 row_number() OVER (
+                   PARTITION BY s.query_id
+                   ORDER BY list_cosine_similarity(
+                              CAST(e.embedding AS DOUBLE[]),
+                              CAST(q.embedding AS DOUBLE[])) DESC,
+                            s.neighbor_id ASC) AS rank
+          FROM short s
+          JOIN embeddings e ON e.vec_id = s.neighbor_id
+          JOIN embeddings q ON q.vec_id = s.query_id)
+        WHERE rank <= 5"""
 
 
     # IVF-PQ (FAISS IVFADC): set-based mirror of kg.similarity.ivfpq_topk —
