@@ -154,6 +154,11 @@ HEADLINE = [
     "kg_tag_hyperball",      # HyperBall neighborhood function, 3 rounds
     "corpus_keyness",        # two-corpus smoothed odds-ratio drift
     "text_good_turing",      # Turing count-of-counts + unseen mass
+    "rel_events_burstiness",  # per-user inter-arrival Fano factor
+    "text_lm_jm",            # deleted-interpolation lambda EM rounds
+    "corpus_minkprob",       # Min-K% prob histogram-exact tail mean
+    "corpus_apply_cdc",      # MERGE INTO snapshot apply, 1:1 join
+    "ann_pq_rerank",         # PQ shortlist -> exact cosine rerank
 ]
 
 
