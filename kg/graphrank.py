@@ -761,8 +761,10 @@ def hyperball_nf(edges: DataFrame, rounds: int = 3,
     out = nf_row(regs, 0)
     cur = regs
     for t in range(1, rounds + 1):
-        nb = (e.join(cur, e.src == cur.node)
-              .select(F.col("dst").alias("node"), "bucket", "r"))
+        # forward balls: v absorbs the sketches of its OUT-neighbors u
+        # (v -> u edges), so B(v, t) covers everything reachable FROM v
+        nb = (e.join(cur, e.dst == cur.node)
+              .select(F.col("src").alias("node"), "bucket", "r"))
         cur = (cur.unionByName(nb)
                .groupBy("node", "bucket").agg(F.max("r").alias("r"))
                .localCheckpoint())

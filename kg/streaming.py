@@ -343,15 +343,9 @@ def stream_distinct_registers(events: DataFrame, group_col: str = "event_type",
     No watermark: registers are monotone (max of a growing set), so
     every update is a refinement — run in update/complete mode and
     upsert (group, bucket) rows into the register store."""
-    from kg.sketch import HLL_M, HLL_W
-    h = F.md5(F.col(col).cast("string"))
-    v = F.conv(F.substring(h, 3, 15), 16, 10).cast("bigint")
-    return (events.select(
-                F.col(group_col).alias("group"),
-                (F.conv(F.substring(h, 1, 2), 16, 10).cast("bigint")
-                 % HLL_M).alias("bucket"),
-                F.when(v == 0, F.lit(HLL_W))
-                .otherwise(F.lit(HLL_W) - F.length(F.bin(v)))
-                .cast("int").alias("rho"))
-            .groupBy("group", "bucket")
-            .agg(F.max("rho").alias("r")))
+    from kg.sketch import hll_registers
+    # the batch register builder works unchanged on a streaming frame
+    # (select -> groupBy -> max are all stream-supported); ONE definition
+    # across modes is what makes the bit-for-bit parity contract safe
+    # against future register-layout changes
+    return hll_registers(events, group_col=group_col, col=col)

@@ -368,7 +368,6 @@ def bigram_surprisal(df: DataFrame, text_col: str = "text",
 
 
 def collocation_chi2(df: DataFrame, text_col: str = "text",
-                     id_col: str = "doc_id",
                      min_count: int = 5) -> DataFrame:
     """Pearson chi-square collocation extraction (Manning & Schütze ch. 5,
     the classic 2×2 contingency test) plus the Dice coefficient (Smadja
@@ -570,6 +569,13 @@ def jelinek_mercer_lambda(df: DataFrame, text_col: str = "text",
               .localCheckpoint())   # re-aggregated once per EM round
     lam = int(lambda0_micro)
     rows = []
+    if scored.limit(1).count() == 0:
+        # degenerate corpora (every doc on one side of the md5 split, or
+        # no held-out bigram with a train-seen w2): no evidence, no
+        # rounds — return the empty chain rather than TypeError on the
+        # NULL aggregate
+        return spark.createDataFrame(
+            [], "round int, lambda_micro bigint, n_scored bigint")
     for t in range(1, rounds + 1):
         post = (f"CASE WHEN c12 = 0 THEN 0 ELSE "
                 f"(cast({lam} as decimal(38,0)) * c12 * n_uni * 1000000)"
@@ -631,8 +637,8 @@ def good_turing(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def keyness_odds(df: DataFrame, text_col: str = "text",
-                 id_col: str = "doc_id", split_col: str = "lang",
-                 a_value: str = "en", min_count: int = 5) -> DataFrame:
+                 split_col: str = "lang", a_value: str = "en",
+                 min_count: int = 5) -> DataFrame:
     """Two-corpus keyword comparison by smoothed odds ratio — the
     corpus-linguistics "keyness" audit (Rayson & Garside 2000 frame it
     with G²; the odds-ratio effect size is the standard log-free

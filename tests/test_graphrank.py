@@ -1251,3 +1251,32 @@ def test_hyperball_matches_python_ball_replay(spark):
     assert got[2][0] < got[3][0] and got[3][1] == 1_000_000
     # the curve is monotone non-decreasing
     assert got[0][0] <= got[1][0] <= got[2][0]
+
+
+def test_hyperball_directed_forward_balls(spark):
+    """Directed star a->{b,c,d}, 1 round: B(a,1)={a,b,c,d}, leaves stay
+    singletons — the documented 'balls follow edge direction' contract
+    (regression guard for the in-neighbor-merge bug)."""
+    import hashlib
+    from kg.graphrank import hyperball_nf
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("a", "d")], ["src", "dst"])
+
+    def est_of(ball):
+        regs, t61 = {}, 1 << 61
+        for v in ball:
+            h = hashlib.md5(v.encode()).hexdigest()
+            b = int(h[:2], 16) % 64
+            tail = int(h[2:17], 16)
+            rho = 61 if tail == 0 else 61 - tail.bit_length()
+            regs[b] = max(regs.get(b, 0), rho)
+        s = sum(1 << (61 - r) for r in regs.values()) \
+            + (64 - len(regs)) * t61
+        return (709343 * 4096 * t61) // s // 1_000_000
+
+    want1 = (est_of({"a", "b", "c", "d"}) + est_of({"b"})
+             + est_of({"c"}) + est_of({"d"}))
+    got = {r["round"]: r["nf_est"]
+           for r in hyperball_nf(edges, rounds=1).collect()}
+    assert got[1] == want1
+    assert got[0] == sum(est_of({v}) for v in "abcd")

@@ -503,3 +503,15 @@ class TestMinKProb:
         got = {r.doc: r.mink_bits_milli
                for r in min_k_prob(docs, k_pct=50).collect()}
         assert got[100] < got[101]
+
+
+def test_jelinek_mercer_degenerate_corpus_empty_chain(spark):
+    """A single-document corpus puts everything on one side of the md5
+    split — the EM must return an EMPTY chain, not TypeError on the
+    NULL aggregate."""
+    from kg.textstats import jelinek_mercer_lambda
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    out = jelinek_mercer_lambda(docs, rounds=2)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "round", "lambda_micro", "n_scored"]

@@ -1826,8 +1826,8 @@ def build_oracle_sql() -> dict[str, str]:
           SELECT node, bucket, max(r) AS r FROM (
             SELECT node, bucket, r FROM b{_i - 1}
             UNION ALL
-            SELECT s.dst AS node, p.bucket, p.r
-            FROM b{_i - 1} p JOIN sym s ON s.src = p.node)
+            SELECT s.src AS node, p.bucket, p.r
+            FROM b{_i - 1} p JOIN sym s ON s.dst = p.node)
           GROUP BY 1, 2)"""
         _hb += f""",
         n{_i} AS MATERIALIZED (
