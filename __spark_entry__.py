@@ -1327,6 +1327,67 @@ def q_rel_q16_supplier_cnt(spark, sf_dir):
                  .alias("supplier_cnt")))
 
 
+def q_rel_q14_promo(spark, sf_dir):
+    """TPC-H Q14 (promotion effect), adapted to the reduced schemas
+    (p_type is categorical — equality, not LIKE; the shipdate month
+    window rides lineitem): promo revenue share of one month — the
+    conditional-aggregate-share shape (CASE inside sum, both branches
+    in ONE pass over the joined month, no second scan).  Share emitted
+    as exact integer ppm over DECIMAL cents (the house float rule:
+    revenue totals DECIMAL(18,2) cast double at the edge, ratio never
+    touches floats)."""
+    pa, li = (_read(n)(spark, sf_dir) for n in ("part", "lineitem"))
+    li_m = li.filter(
+        (F.col("l_shipdate").cast("timestamp")
+         >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("l_shipdate").cast("timestamp")
+           < F.lit("1996-08-01").cast("timestamp")))
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)")
+                                     - _dec("l_discount"))
+    joined = li_m.join(F.broadcast(pa.select("p_partkey", "p_type")),
+                       li_m.l_partkey == F.col("p_partkey"))
+    agg = joined.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev)
+              .otherwise(F.lit(0).cast("decimal(18,2)")))
+        .alias("_promo"),
+        F.sum(rev).alias("_total"))
+    return agg.select(
+        F.col("_promo").cast("double").alias("promo_revenue"),
+        F.col("_total").cast("double").alias("total_revenue"),
+        F.expr("cast((cast(_promo * 100 as decimal(38,0)) * 1000000)"
+               " div cast(_total * 100 as decimal(38,0)) as bigint)")
+        .alias("promo_ppm"))
+
+
+def q_text_mojibake(spark, sf_dir):
+    """Mojibake/double-encoding audit (kg.textstats.mojibake_profile):
+    four portable regex tells (Latin-1 pair, \u00e2-prefix, U+FFFD,
+    C1 controls), zero shuffles/UDFs.  The synthetic corpus is clean
+    ASCII, so a deterministic corruption suffix rotates per doc IN BOTH
+    ENGINES (doc_id%5: none/none/latin1-pair/curly-quote/replacement),
+    exercising every count column and the flag."""
+    from kg.textstats import mojibake_profile
+    suffix = ("CASE CAST(doc_id % 5 AS INT) "
+              "WHEN 2 THEN ' caf\u00c3\u00a9' "
+              "WHEN 3 THEN ' it\u00e2\u20ac\u2122s' "
+              "WHEN 4 THEN ' \ufffd' "
+              "ELSE '' END")
+    docs = _docs(spark, sf_dir).withColumn(
+        "text", F.concat(F.col("text"), F.expr(suffix)))
+    return mojibake_profile(docs)
+
+
+def q_embedding_centroid_matrix(spark, sf_dir):
+    """Per-label centroid cosine matrix
+    (kg.embed.centroid_cosine_matrix) — the embedding-space
+    domain-drift/triage view next to corpus_overlap_matrix's lexical
+    one; exact integer micro centroids (sum div count, DECIMAL(38)
+    staged), cos²·sign in ppm, |labels|²-bounded output."""
+    from kg.embed import centroid_cosine_matrix
+    return centroid_cosine_matrix(_read("embeddings")(spark, sf_dir),
+                                  dim=EMB_DIM)
+
+
 def q_ann_pq_rerank(spark, sf_dir):
     """Two-stage PQ→exact retrieval (kg.similarity.pq_rerank_topk):
     ADC shortlist of 20 per query, exact-cosine rerank to top-5 — the
@@ -2746,7 +2807,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_tag_pagerank_full": q_kg_tag_pagerank_full,
         "text_normalize_nfc": q_text_normalize_nfc,
         "multimodal_decode": q_multimodal_decode,
-        "rel_events_distinct_approx": q_rel_events_distinct_approx,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         # --- r4 late additions, rotated INTO the first-50 window (CLAUDE.md
         # rotation rule: new queries never ship outside the window); seven
@@ -2763,7 +2823,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r4 session-5 additions (rotated into the window) --------------
         "text_lm_kn_score": q_text_lm_kn_score,
         "text_winnow": q_text_winnow,
-        "kg_textrank_keywords": q_kg_textrank_keywords,
         "text_prf_search": q_text_prf_search,
         "ann_recall_ivf": q_ann_recall_ivf,
         "dedup_winnow_pairs": q_dedup_winnow_pairs,
@@ -2791,7 +2850,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_tag_ktruss": q_kg_tag_ktruss,
         # --- r4 session-11 additions (rotated into the window); one
         # demotion each — see the demoted block -------------------------
-        "kg_tag_matching": q_kg_tag_matching,
         "kg_tag_eccentricity": q_kg_tag_eccentricity,
         # --- r4 session-12 additions (rotated into the window); one
         # demotion each — see the demoted block -------------------------
@@ -2816,6 +2874,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_minkprob": q_corpus_minkprob,
         "corpus_apply_cdc": q_corpus_apply_cdc,
         "ann_pq_rerank": q_ann_pq_rerank,
+        "embedding_centroid_matrix": q_embedding_centroid_matrix,
+        "text_mojibake": q_text_mojibake,
+        "rel_q14_promo": q_rel_q14_promo,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also
@@ -2843,6 +2904,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # an in-window full-replay row via multimodal_ahash; the pair set
         # is pytest-PROVEN equal to brute force on the fixture grid
         "multimodal_ahash_pairs": q_multimodal_ahash_pairs,
+        # demoted for the session-13 Q14 addition (rel_q14_promo):
+        # kg_textrank_keywords — its per-doc composite-word-graph rounds
+        # are the house pagerank integer-loop class with TWO fresh
+        # in-window members over shared machinery (kg_tag_pagerank_full,
+        # kg_tag_katz); the per-doc graph build is hand-scored-pytest
+        # pinned and the window-free round arithmetic replays the same
+        # div-order contract those rows re-verify
+        "kg_textrank_keywords": q_kg_textrank_keywords,
+        # demoted for the session-13 mojibake addition (text_mojibake):
+        # rel_events_distinct_approx — a BOUNDED-contract row (booleans),
+        # the weakest driver-evidence class; the distinct-users question
+        # now holds a FULL-hash in-window row via rel_events_hll over the
+        # same (event_type, user_id) pairs, the 5-rsd error bound is
+        # pytest-pinned, and the bounded-contract pattern itself keeps an
+        # in-window row via text_heavy_hitters
+        "rel_events_distinct_approx": q_rel_events_distinct_approx,
+        # demoted for the session-13 centroid-matrix addition
+        # (embedding_centroid_matrix):
+        # kg_tag_matching — the matching VALIDITY and maximality
+        # invariants are property-pytest-proven (path/two-round/tie-break
+        # fixtures), and its per-round nomination/mutual-best machinery is
+        # the row_number-argmax + join + anti-join class the in-window
+        # coloring/ktruss rounds re-exercise over the SAME strong-tie CTE
+        "kg_tag_matching": q_kg_tag_matching,
         # demoted for the session-13 PQ-rerank addition (ann_pq_rerank):
         # ann_sq_topk — its SQ8 256-level encode/dequantize formula is
         # exact-value pytest-pinned and re-exercised verbatim as

@@ -159,6 +159,9 @@ HEADLINE = [
     "corpus_minkprob",       # Min-K% prob histogram-exact tail mean
     "corpus_apply_cdc",      # MERGE INTO snapshot apply, 1:1 join
     "ann_pq_rerank",         # PQ shortlist -> exact cosine rerank
+    "embedding_centroid_matrix",  # per-label centroid drift matrix
+    "text_mojibake",         # double-encoding regex audit
+    "rel_q14_promo",         # TPC-H Q14 conditional-share aggregate
 ]
 
 

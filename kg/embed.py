@@ -242,3 +242,55 @@ def embedding_audit(emb: DataFrame, dim: int = 64, id_col: str = "vec_id",
                 F.expr("CASE WHEN _k = 0 THEN CAST(0 AS BIGINT) "
                        "ELSE CAST(_s div _k AS BIGINT) END")
                 .alias("mean_norm2")))
+
+
+def centroid_cosine_matrix(emb: DataFrame, dim: int,
+                           group_col: str = "label",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Pairwise cosine² between per-group embedding centroids — the
+    embedding-space drift/triage matrix next to kmv_overlap_matrix's
+    lexical view (which domains occupy the same region → candidates for
+    SemDeDup across sources; a centroid that drifts between snapshots →
+    the ingest distribution moved).
+
+    Centroids are exact integer micro means (sum div count, the
+    kmeans_fit update rule, sums staged DECIMAL(38,0) so corpus size
+    never overflows); similarity is cos²·sign in ppm via
+    dot·|dot|·1e6 div (n2a·n2b) in DECIMAL(38)/HUGEINT — the
+    dedup_cosine_pairs convention (no roots/floats, sign preserved by
+    the |dot| factor).  Output is |groups|²-bounded; everything past
+    the ONE map-side-combining centroid aggregate runs on a
+    broadcast-sized frame.
+
+    Returns (label_a, label_b, n_a, n_b, cos2_signed_ppm) for a < b."""
+    sums = (emb.groupBy(F.col(group_col).alias("label"))
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 *[F.sum(F.expr(
+                     f"cast(round(cast({vec_col}[{i}] as double)"
+                     f" * 1000000) as decimal(38,0))")).alias(f"s{i}")
+                   for i in range(dim)]))
+    cent = sums.select(
+        "label", "n",
+        *[F.expr(f"cast(s{i} div n as bigint)").alias(f"c{i}")
+          for i in range(dim)])
+    a = cent.select(F.col("label").alias("label_a"),
+                    F.col("n").alias("n_a"),
+                    *[F.col(f"c{i}").alias(f"a{i}") for i in range(dim)])
+    b = cent.select(F.col("label").alias("label_b"),
+                    F.col("n").alias("n_b"),
+                    *[F.col(f"c{i}").alias(f"b{i}") for i in range(dim)])
+    dot = " + ".join(f"cast(a{i} as decimal(38,0)) * b{i}"
+                     for i in range(dim))
+    n2a = " + ".join(f"cast(a{i} as decimal(38,0)) * a{i}"
+                     for i in range(dim))
+    n2b = " + ".join(f"cast(b{i} as decimal(38,0)) * b{i}"
+                     for i in range(dim))
+    return (a.join(b, F.col("label_a") < F.col("label_b"))
+            .withColumn("_dot", F.expr(dot))
+            .withColumn("_n2a", F.expr(n2a))
+            .withColumn("_n2b", F.expr(n2b))
+            .select("label_a", "label_b", "n_a", "n_b",
+                    F.expr("CASE WHEN _n2a = 0 OR _n2b = 0 THEN 0 ELSE"
+                           " cast((_dot * abs(_dot) * 1000000)"
+                           " div (_n2a * _n2b) as bigint) END")
+                    .alias("cos2_signed_ppm")))

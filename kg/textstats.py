@@ -431,6 +431,40 @@ def collocation_chi2(df: DataFrame, text_col: str = "text",
                 .cast("bigint").alias("chi2_milli")))
 
 
+# Mojibake tells, engine-portable regex classes (the ftfy "badness"
+# heuristic's core signals): UTF-8 bytes mis-decoded as Latin-1 show as
+# 'Ã'/'â€' + continuation-range chars; U+FFFD is a decoder giving up;
+# C1 controls never appear in clean text.  ONE definition imported by
+# the DuckDB oracle (the SCRIPT_RANGES convention).
+MOJIBAKE_PATTERNS = (
+    ("n_latin1_pair", "\u00c3[\u0080-\u00bf]"),
+    ("n_a_hat", "\u00e2[\u0080\u20ac]"),
+    ("n_replacement", "\ufffd"),
+    ("n_c1", "[\u0080-\u009f]"),
+)
+
+
+def mojibake_profile(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-document mojibake audit — the double-encoding detector a
+    crawl-ingest gate runs before language ID (UTF-8 text decoded as
+    Latin-1 and re-encoded is the classic crawl corruption; ftfy's
+    badness signals, reduced to the four portable regex classes in
+    MOJIBAKE_PATTERNS).  Zero shuffles, zero UDFs — one regexp_count
+    per class fused into the scan; is_mojibake = any tell present.
+
+    Returns (doc_id, n_latin1_pair, n_a_hat, n_replacement, n_c1,
+    is_mojibake)."""
+    counts = [F.regexp_count(F.col(text_col), F.lit(p)).cast("bigint")
+              .alias(name) for name, p in MOJIBAKE_PATTERNS]
+    out = df.select(F.col(id_col), *counts)
+    flag = None
+    for name, _ in MOJIBAKE_PATTERNS:
+        c = F.col(name) > 0
+        flag = c if flag is None else (flag | c)
+    return out.withColumn("is_mojibake", flag)
+
+
 def min_k_prob(df: DataFrame, text_col: str = "text",
                id_col: str = "doc_id", k_pct: int = 20) -> DataFrame:
     """Min-K% prob membership/contamination score (Shi et al. 2024,

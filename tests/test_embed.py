@@ -116,3 +116,38 @@ class TestEmbeddingAudit:
         # norm2 over sound vecs: 1e12, 5e11, 0, 4e12
         assert r.min_norm2 == 0 and r.max_norm2 == 4 * 10**12
         assert r.mean_norm2 == (10**12 + 5 * 10**11 + 0 + 4 * 10**12) // 4
+
+
+class TestCentroidMatrix:
+    def test_orthogonal_identical_and_opposed_groups(self, spark):
+        """Groups along +x, +x (dup), +y, -x at dim=4: identical
+        centroids → +1e6, orthogonal → 0, opposed → −1e6; sign carried
+        by dot·|dot|."""
+        from kg.embed import centroid_cosine_matrix
+        rows = []
+        for i, (lab, vec) in enumerate([
+                (0, [1.0, 0.0, 0.0, 0.0]), (0, [1.0, 0.0, 0.0, 0.0]),
+                (1, [1.0, 0.0, 0.0, 0.0]),
+                (2, [0.0, 1.0, 0.0, 0.0]),
+                (3, [-1.0, 0.0, 0.0, 0.0])]):
+            rows.append((i, vec, lab))
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int")
+        got = {(r.label_a, r.label_b): r.cos2_signed_ppm
+               for r in centroid_cosine_matrix(emb, dim=4).collect()}
+        assert got[(0, 1)] == 1_000_000
+        assert got[(0, 2)] == 0 and got[(1, 2)] == 0
+        assert got[(0, 3)] == -1_000_000
+        assert len(got) == 6
+
+    def test_centroid_is_truncating_integer_mean(self, spark):
+        """Mixed group: centroid component = sum div n in micro (cross-
+        checked by the 45-degree pair scoring cos² = 500000)."""
+        from kg.embed import centroid_cosine_matrix
+        emb = spark.createDataFrame(
+            [(1, [1.0, 0.0], 0), (2, [0.0, 1.0], 0),
+             (3, [1.0, 0.0], 1)],
+            "vec_id long, embedding array<float>, label int")
+        got = centroid_cosine_matrix(emb, dim=2).collect()[0]
+        # centroid0 = (0.5, 0.5), centroid1 = (1, 0): cos² = 1/2
+        assert got.cos2_signed_ppm == 500_000

@@ -515,3 +515,32 @@ def test_jelinek_mercer_degenerate_corpus_empty_chain(spark):
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == [
         "round", "lambda_micro", "n_scored"]
+
+
+class TestMojibakeProfile:
+    def test_each_tell_triggers_its_class(self, spark):
+        from kg.textstats import mojibake_profile
+        rows = [(1, "clean text"),
+                (2, "caf\u00c3\u00a9 bad"),        # latin-1 pair
+                (3, "it\u00e2\u20ac\u2122s"),     # cp1252 curly quote
+                (4, "lost \ufffd char"),            # replacement char
+                (5, "ctl \u0088 here")]             # C1 control
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r for r in mojibake_profile(docs).collect()}
+        assert not got[1].is_mojibake
+        assert (got[2].n_latin1_pair, got[2].is_mojibake) == (1, True)
+        assert (got[3].n_a_hat, got[3].is_mojibake) == (1, True)
+        assert (got[4].n_replacement, got[4].is_mojibake) == (1, True)
+        assert (got[5].n_c1, got[5].is_mojibake) == (1, True)
+        # clean doc: every count zero
+        assert (got[1].n_latin1_pair, got[1].n_a_hat,
+                got[1].n_replacement, got[1].n_c1) == (0, 0, 0, 0)
+
+    def test_latin1_a_hat_variant_also_counts(self, spark):
+        """The latin-1 (non-cp1252) decode leaves C1 bytes after the
+        \\u00e2 — both variants of the curly-quote tell must count."""
+        from kg.textstats import mojibake_profile
+        docs = spark.createDataFrame(
+            [(1, "it\u00e2\u0080\u0099s")], "doc_id long, text string")
+        r = mojibake_profile(docs).collect()[0]
+        assert r.n_a_hat == 1 and r.n_c1 == 2 and r.is_mojibake

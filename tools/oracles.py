@@ -1459,6 +1459,102 @@ def build_oracle_sql() -> dict[str, str]:
                                 WHERE s_acctbal < 0)
         GROUP BY 1, 2"""
 
+    # TPC-H Q14 promotion effect (adapted: p_type equality, shipdate
+    # month window): CASE-in-sum conditional share, ratio in exact ppm
+    # over DECIMAL cents.
+    sqls["rel_q14_promo"] = """
+        WITH agg AS (
+          SELECT sum(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (CAST(1 AS DECIMAL(18,2))
+                             - CAST(l_discount AS DECIMAL(18,2)))
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS promo,
+                 sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(18,2))
+                        - CAST(l_discount AS DECIMAL(18,2)))) AS total
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE l_shipdate >= TIMESTAMP '1996-07-01'
+            AND l_shipdate < TIMESTAMP '1996-08-01')
+        SELECT CAST(promo AS DOUBLE) AS promo_revenue,
+               CAST(total AS DOUBLE) AS total_revenue,
+               CAST((CAST(promo * 100 AS HUGEINT) * 1000000)
+                    // CAST(total * 100 AS HUGEINT) AS BIGINT)
+                 AS promo_ppm
+        FROM agg"""
+
+    # Mojibake audit (kg.textstats.mojibake_profile): the four tell
+    # patterns import from MOJIBAKE_PATTERNS (one definition, two
+    # engines); DuckDB 1.0 has no \\u escape strings, so non-ASCII chars
+    # travel as chr(codepoint) concatenations (works in both string
+    # literals and computed regexp patterns — verified).
+    def _chrstr(s: str) -> str:
+        parts, buf = [], ""
+        for ch in s:
+            if 32 <= ord(ch) < 127 and ch != "'":
+                buf += ch
+            else:
+                if buf:
+                    parts.append("'" + buf + "'")
+                    buf = ""
+                parts.append("chr({})".format(ord(ch)))
+        if buf:
+            parts.append("'" + buf + "'")
+        return "(" + " || ".join(parts) + ")" if parts else "''"
+
+    _moj_suffix = ("CASE CAST(doc_id % 5 AS INT) "
+                   "WHEN 2 THEN " + _chrstr(" caf\u00c3\u00a9") + " "
+                   "WHEN 3 THEN " + _chrstr(" it\u00e2\u20ac\u2122s")
+                   + " WHEN 4 THEN " + _chrstr(" \ufffd") + " "
+                   "ELSE '' END")
+    _moj_counts = ", ".join(
+        "CAST(len(regexp_extract_all(t, " + _chrstr(p) + ")) AS BIGINT)"
+        " AS " + name
+        for name, p in kgtext.MOJIBAKE_PATTERNS)
+    _moj_flag = " OR ".join(
+        name + " > 0" for name, _ in kgtext.MOJIBAKE_PATTERNS)
+    sqls["text_mojibake"] = f"""
+        WITH d AS (
+          SELECT doc_id, text || {_moj_suffix} AS t
+          FROM documents WHERE lang = 'en'),
+        c AS (SELECT doc_id, {_moj_counts} FROM d)
+        SELECT doc_id, {', '.join(n for n, _ in kgtext.MOJIBAKE_PATTERNS)},
+               ({_moj_flag}) AS is_mojibake
+        FROM c"""
+
+    # Per-label centroid cosine matrix (kg.embed.centroid_cosine_matrix):
+    # integer micro centroids (sum // n), cos2-signed ppm in HUGEINT;
+    # DuckDB lists are 1-based (Spark expr indexing is 0-based).
+    _ccm_dim = 64
+    _ccm_sum = ", ".join(
+        f"CAST(sum(CAST(round(CAST(embedding[{_i + 1}] AS DOUBLE)"
+        f" * 1000000) AS BIGINT)) AS HUGEINT) AS s{_i}"
+        for _i in range(_ccm_dim))
+    _ccm_cent = ", ".join(f"CAST(s{_i} // n AS BIGINT) AS c{_i}"
+                          for _i in range(_ccm_dim))
+    _ccm_dot = " + ".join(f"a.c{_i}::HUGEINT * b.c{_i}"
+                          for _i in range(_ccm_dim))
+    _ccm_n2a = " + ".join(f"a.c{_i}::HUGEINT * a.c{_i}"
+                          for _i in range(_ccm_dim))
+    _ccm_n2b = " + ".join(f"b.c{_i}::HUGEINT * b.c{_i}"
+                          for _i in range(_ccm_dim))
+    sqls["embedding_centroid_matrix"] = f"""
+        WITH sums AS (
+          SELECT label, CAST(count(*) AS BIGINT) AS n, {_ccm_sum}
+          FROM embeddings GROUP BY label),
+        cent AS MATERIALIZED (
+          SELECT label, n, {_ccm_cent} FROM sums),
+        pairs AS (
+          SELECT a.label AS label_a, b.label AS label_b,
+                 a.n AS n_a, b.n AS n_b,
+                 ({_ccm_dot}) AS dot,
+                 ({_ccm_n2a}) AS n2a, ({_ccm_n2b}) AS n2b
+          FROM cent a JOIN cent b ON a.label < b.label)
+        SELECT label_a, label_b, n_a, n_b,
+               CASE WHEN n2a = 0 OR n2b = 0 THEN 0 ELSE
+                 CAST((dot * abs(dot) * 1000000) // (n2a * n2b)
+                      AS BIGINT) END AS cos2_signed_ppm
+        FROM pairs"""
+
     # MERGE INTO apply (kg.corpus.apply_changes): deterministic change
     # set (7-upserts, 13-clones, 11-deletes) applied to the en corpus.
     sqls["corpus_apply_cdc"] = """
