@@ -2900,9 +2900,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal_ahash_pairs — its banding+verify machinery is
         # kg.dedup.hex_hamming_pairs, which keeps FIVE in-window relatives
         # (winnow/semantic/paragraph blocking joins + the simhash family
-        # sharing the nibble-LUT verify), and the ahash body itself keeps
-        # an in-window full-replay row via multimodal_ahash; the pair set
-        # is pytest-PROVEN equal to brute force on the fixture grid
+        # sharing the nibble-LUT verify); the ahash body (itself demoted
+        # later this session, see below) rests on arithmetic-replay
+        # pytests and the decode shape keeps its in-window row via
+        # multimodal_decode; the pair set is pytest-PROVEN equal to
+        # brute force on the fixture grid
         "multimodal_ahash_pairs": q_multimodal_ahash_pairs,
         # demoted for the session-13 Q14 addition (rel_q14_promo):
         # kg_textrank_keywords — its per-doc composite-word-graph rounds
