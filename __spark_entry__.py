@@ -1327,6 +1327,17 @@ def q_rel_q16_supplier_cnt(spark, sf_dir):
                  .alias("supplier_cnt")))
 
 
+def q_text_ndcg(spark, sf_dir):
+    """nDCG@10 of the BM25 ranker (kg.retrieval.bm25_ndcg) against
+    coverage-graded relevance — the graded-metric evaluation of the
+    lexical retrieval stack (ann_recall_ivf's counterpart for BM25);
+    discounts ride the shared NDCG_DISCOUNTS_MICRO constant table,
+    every query reports a row (zero-candidate queries emit 0s)."""
+    from kg.retrieval import bm25_ndcg
+    q = spark.createDataFrame(BM25_QUERIES, "query_id string, term string")
+    return bm25_ndcg(_docs(spark, sf_dir), q, k=10)
+
+
 def q_rel_q14_promo(spark, sf_dir):
     """TPC-H Q14 (promotion effect), adapted to the reduced schemas
     (p_type is categorical — equality, not LIKE; the shipdate month
@@ -2815,7 +2826,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_events_funnel": q_rel_events_funnel,
         # --- r4 retrieval/sketch additions (rotated into the window) ------
         "text_bm25_topk": q_text_bm25_topk,
-        "text_heavy_hitters": q_text_heavy_hitters,
         "text_phrase_near": q_text_phrase_near,
         "corpus_quality_strata": q_corpus_quality_strata,
         # --- r4 session-4 additions (rotated into the window) --------------
@@ -2877,6 +2887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroid_matrix": q_embedding_centroid_matrix,
         "text_mojibake": q_text_mojibake,
         "rel_q14_promo": q_rel_q14_promo,
+        "text_ndcg": q_text_ndcg,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also
@@ -2906,6 +2917,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal_decode; the pair set is pytest-PROVEN equal to
         # brute force on the fixture grid
         "multimodal_ahash_pairs": q_multimodal_ahash_pairs,
+        # demoted for the session-13 nDCG addition (text_ndcg):
+        # text_heavy_hitters — a BOUNDED-contract row (booleans; sketch
+        # content is partition-dependent by nature), the weakest driver
+        # evidence class: the three MG guarantees and partition-invariance
+        # are decrement-forcing-pytest-pinned, and the sketch family keeps
+        # full-hash in-window rows via text_cms (same salted-md5 chain)
+        # and rel_events_hll
+        "text_heavy_hitters": q_text_heavy_hitters,
         # demoted for the session-13 Q14 addition (rel_q14_promo):
         # kg_textrank_keywords — its per-doc composite-word-graph rounds
         # are the house pagerank integer-loop class with TWO fresh

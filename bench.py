@@ -162,6 +162,7 @@ HEADLINE = [
     "embedding_centroid_matrix",  # per-label centroid drift matrix
     "text_mojibake",         # double-encoding regex audit
     "rel_q14_promo",         # TPC-H Q14 conditional-share aggregate
+    "text_ndcg",             # nDCG@10 of BM25 vs graded coverage
 ]
 
 

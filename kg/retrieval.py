@@ -335,3 +335,83 @@ def prf_expand(docs: DataFrame, queries: DataFrame, n_feedback: int = 3,
     q2 = q.unionByName(expansions)
     return bm25_topk(docs, q2, k=k, text_col=text_col, id_col=id_col,
                      k1_milli=k1_milli, b_milli=b_milli)
+
+
+# 1e6 / log2(i + 1) for ranks 1..10, rounded half away from zero — the
+# published nDCG log discount (Järvelin & Kekäläinen 2002) carried as
+# CONSTANTS so the metric is exact-integer and engine-portable (the
+# irrational log2 values are part of the op contract at micro
+# precision; both engines consume this same table).
+NDCG_DISCOUNTS_MICRO = (1_000_000, 630_930, 500_000, 430_677, 386_853,
+                        356_207, 333_333, 315_465, 301_030, 289_065)
+
+
+def bm25_ndcg(docs: DataFrame, queries: DataFrame, k: int = 10,
+              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """nDCG@k evaluation of the BM25 ranker (Järvelin & Kekäläinen
+    2002) against deterministic coverage-graded relevance — the
+    graded-metric completion of the retrieval family's evaluation story
+    (ann_recall_ivf audits the ANN side with recall; this audits the
+    lexical ranker with position-discounted gain).
+
+    Relevance is derived, not annotated (no judgment data in a
+    synthetic corpus — the operator shape is what is under test;
+    production swaps in a qrels table): rel(q, d) = number of DISTINCT
+    query terms present in d, so rel ∈ [0, |q|] and the ideal ranking
+    is well-defined.  Gains are the standard 2^rel − 1; discounts ride
+    the NDCG_DISCOUNTS_MICRO constant table (micro-rounded 1/log2(i+1),
+    identical in the oracle);
+
+        dcg_micro  = Σ_ranked (2^rel − 1) · disc_micro(rank)
+        idcg_micro = the same sum over the top-k BY RELEVANCE
+        ndcg_ppm   = dcg_micro · 1e6 div idcg_micro   (0 when idcg = 0)
+
+    Returns (query_id, dcg_micro, idcg_micro, ndcg_ppm).
+
+    Scale shape: the ranking is bm25_topk verbatim; relevance is one
+    query-term-filtered distinct aggregate (query-sized, like BM25's
+    candidate frame); the ideal ranking's window partitions per query
+    over candidates only.  Discounts join via a k-row broadcast."""
+    spark = docs.sparkSession
+    ranked = bm25_topk(docs, queries, k=k, text_col=text_col,
+                       id_col=id_col)
+    qd = queries.select("query_id", "term").distinct()
+    pres = (_positions(docs, text_col, id_col).drop("pos").distinct()
+            .join(F.broadcast(qd.select("term").distinct()), "term"))
+    rel = (pres.join(F.broadcast(qd), "term")
+           .groupBy("query_id", "doc")
+           .agg(F.countDistinct("term").cast("bigint").alias("rel"))
+           .localCheckpoint())   # branches: dcg join + ideal window
+    disc = spark.createDataFrame(
+        [(i + 1, d) for i, d in enumerate(NDCG_DISCOUNTS_MICRO[:k])],
+        "rank int, disc bigint")
+    gain = F.expr("shiftleft(cast(1 as bigint), cast(rel as int)) - 1")
+    dcg = (ranked.join(rel, (ranked.query_id == rel.query_id)
+                       & (ranked.doc_id == rel.doc))
+           .select(rel.query_id.alias("qid"), "rank", "rel")
+           .join(F.broadcast(disc), "rank")
+           .groupBy("qid")
+           .agg(F.sum(gain * F.col("disc")).cast("bigint")
+                .alias("dcg_micro")))
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.desc("rel"), F.asc("doc")))
+    ideal = (rel.withColumn("rank", F.row_number().over(w))
+             .filter(F.col("rank") <= k)
+             .join(F.broadcast(disc), "rank")
+             .groupBy("query_id")
+             .agg(F.sum(gain * F.col("disc")).cast("bigint")
+                  .alias("idcg_micro")))
+    # every query gets a row — a query with NO relevant candidate
+    # reports (0, 0, 0) rather than silently vanishing from the metric
+    return (queries.select("query_id").distinct()
+            .join(ideal, "query_id", "left")
+            .join(dcg, F.col("query_id") == F.col("qid"), "left")
+            .select("query_id",
+                    F.coalesce("dcg_micro", F.lit(0)).cast("bigint")
+                    .alias("dcg_micro"),
+                    F.coalesce("idcg_micro", F.lit(0)).cast("bigint")
+                    .alias("idcg_micro"),
+                    F.expr("CASE WHEN coalesce(idcg_micro, 0) = 0"
+                           " THEN 0 ELSE (coalesce(dcg_micro, 0)"
+                           " * 1000000) div idcg_micro END")
+                    .cast("bigint").alias("ndcg_ppm")))

@@ -252,3 +252,33 @@ def test_prf_expansion_tie_breaks_on_term(spark):
     got = {r["doc_id"] for r in
            prf_expand(docs, q, n_feedback=1, n_expand=1, k=10).collect()}
     assert 2 in got and 3 not in got
+
+
+class TestBm25Ndcg:
+    def test_perfect_and_degraded_rankings(self, spark):
+        """Fixture where coverage relevance fully orders the corpus:
+        BM25 agreeing with it scores ndcg = 1e6; a query with zero
+        candidates reports an explicit (0, 0, 0) row."""
+        from kg.retrieval import NDCG_DISCOUNTS_MICRO, bm25_ndcg
+        docs = spark.createDataFrame(
+            [(1, "alpha beta"), (2, "alpha gamma"), (3, "delta only")],
+            "doc_id long, text string")
+        q = spark.createDataFrame(
+            [("qa", "alpha"), ("qa", "beta"), ("qz", "zzz")],
+            "query_id string, term string")
+        got = {r.query_id: r for r in bm25_ndcg(docs, q, k=10).collect()}
+        assert set(got) == {"qa", "qz"}
+        assert got["qz"] == ("qz", 0, 0, 0)
+        # doc1 rel=2, doc2 rel=1: idcg = 3*d1 + 1*d2 exactly
+        d1, d2 = NDCG_DISCOUNTS_MICRO[:2]
+        assert got["qa"].idcg_micro == 3 * d1 + 1 * d2
+        assert got["qa"].dcg_micro <= got["qa"].idcg_micro
+        assert 0 < got["qa"].ndcg_ppm <= 1_000_000
+
+    def test_discount_table_matches_log2(self):
+        """The constant table IS micro-rounded 1/log2(i+1)."""
+        import math
+        from kg.retrieval import NDCG_DISCOUNTS_MICRO
+        for i, d in enumerate(NDCG_DISCOUNTS_MICRO, start=1):
+            want = round(1_000_000 / math.log2(i + 1))
+            assert d == want, (i, d, want)

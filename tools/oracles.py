@@ -2680,7 +2680,7 @@ def build_oracle_sql() -> dict[str, str]:
         f"SELECT '{qid}' AS query_id, '{t}' AS term"
         for qid, t in [("q1", "dup"), ("q1", "table"), ("q2", "spark"),
                        ("q2", "join"), ("q3", "window")])
-    sqls["text_bm25_topk"] = f"""
+    _bm25_sql = f"""
         WITH tok AS (
           SELECT doc_id AS doc, unnest({_TOKS}) AS term
           FROM documents WHERE lang = 'en'),
@@ -2718,6 +2718,59 @@ def build_oracle_sql() -> dict[str, str]:
                     ORDER BY score_milli DESC, doc) AS INT) AS rank
         FROM sc
         QUALIFY rank <= 10"""
+    sqls["text_bm25_topk"] = _bm25_sql
+
+    # nDCG@10 of the BM25 ranker (kg.retrieval.bm25_ndcg): the BM25
+    # oracle verbatim as a CTE; relevance = distinct query terms
+    # present; gains 2^rel - 1; discounts = the shared
+    # NDCG_DISCOUNTS_MICRO constant table (micro-rounded 1/log2(i+1)).
+    from kg.retrieval import NDCG_DISCOUNTS_MICRO as _ndcg_disc
+    _disc_vals = ", ".join(
+        "({}, {})".format(i + 1, d)
+        for i, d in enumerate(_ndcg_disc))
+    sqls["text_ndcg"] = f"""
+        WITH ranked AS MATERIALIZED (
+          {_bm25_sql}
+        ),
+        tok2 AS (
+          SELECT DISTINCT doc_id AS doc, unnest({_TOKS}) AS term
+          FROM documents WHERE lang = 'en'),
+        q2 AS ({_bm25_q}),
+        rel AS MATERIALIZED (
+          SELECT q2.query_id, tok2.doc,
+                 CAST(count(DISTINCT q2.term) AS BIGINT) AS rel
+          FROM tok2 JOIN q2 USING (term)
+          GROUP BY 1, 2),
+        disc(rank, disc) AS (VALUES {_disc_vals}),
+        dcg AS (
+          SELECT r.query_id,
+                 CAST(sum(((1::BIGINT << CAST(rel AS INT)) - 1) * disc)
+                      AS BIGINT) AS dcg_micro
+          FROM ranked r
+          JOIN rel ON rel.query_id = r.query_id AND rel.doc = r.doc_id
+          JOIN disc ON disc.rank = r.rank
+          GROUP BY 1),
+        ideal AS (
+          SELECT query_id,
+                 CAST(sum(((1::BIGINT << CAST(rel AS INT)) - 1) * disc)
+                      AS BIGINT) AS idcg_micro
+          FROM (SELECT query_id, rel,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY rel DESC, doc)
+                         AS rank
+                FROM rel) x
+          JOIN disc USING (rank)
+          WHERE rank <= 10
+          GROUP BY 1)
+        SELECT q.query_id,
+               CAST(coalesce(d.dcg_micro, 0) AS BIGINT) AS dcg_micro,
+               CAST(coalesce(i.idcg_micro, 0) AS BIGINT) AS idcg_micro,
+               CAST(CASE WHEN coalesce(i.idcg_micro, 0) = 0 THEN 0
+                    ELSE (coalesce(d.dcg_micro, 0) * 1000000)
+                         // i.idcg_micro END AS BIGINT) AS ndcg_ppm
+        FROM (SELECT DISTINCT query_id FROM q2) q
+        LEFT JOIN ideal i USING (query_id)
+        LEFT JOIN dcg d USING (query_id)"""
 
     # BPE tokenizer training: 3 adaptive merge rounds unrolled; each
     # round's argmax feeds the next round's string-replace rewrite via
