@@ -1327,6 +1327,35 @@ def q_rel_q16_supplier_cnt(spark, sf_dir):
                  .alias("supplier_cnt")))
 
 
+def q_rel_events_autocorr(spark, sf_dir):
+    """Lag-1 autocorrelation of the per-type daily-count series
+    (kg.relops.daily_autocorr): symmetrized pairs make Pearson's r a
+    sqrt-free exact rational (the degree-assortativity recipe) — the
+    seasonality/momentum audit next to rel_events_anomaly's flags."""
+    from kg.relops import daily_autocorr
+    return daily_autocorr(_read("events")(spark, sf_dir))
+
+
+def q_rel_fk_audit(spark, sf_dir):
+    """Referential-integrity orphan report (kg.relops.fk_orphan_audit)
+    over all seven declared TPC-H-schema foreign keys — the snapshot
+    gate every loader runs (all n_orphans = 0 on the healthy lake; the
+    corpus_audit gate-cell convention, pytest proves detection on
+    crafted orphans)."""
+    from kg.relops import fk_orphan_audit
+    tables = {n: _read(n)(spark, sf_dir) for n in
+              ("region", "nation", "customer", "supplier", "part",
+               "orders", "lineitem")}
+    fks = [("lineitem", "l_orderkey", "orders", "o_orderkey"),
+           ("lineitem", "l_partkey", "part", "p_partkey"),
+           ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+           ("orders", "o_custkey", "customer", "c_custkey"),
+           ("customer", "c_nationkey", "nation", "n_nationkey"),
+           ("supplier", "s_nationkey", "nation", "n_nationkey"),
+           ("nation", "n_regionkey", "region", "r_regionkey")]
+    return fk_orphan_audit(tables, fks)
+
+
 def q_text_ndcg(spark, sf_dir):
     """nDCG@10 of the BM25 ranker (kg.retrieval.bm25_ndcg) against
     coverage-graded relevance — the graded-metric evaluation of the
@@ -2825,7 +2854,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraph": q_dedup_paragraph,
         "rel_events_funnel": q_rel_events_funnel,
         # --- r4 retrieval/sketch additions (rotated into the window) ------
-        "text_bm25_topk": q_text_bm25_topk,
         "text_phrase_near": q_text_phrase_near,
         "corpus_quality_strata": q_corpus_quality_strata,
         # --- r4 session-4 additions (rotated into the window) --------------
@@ -2851,7 +2879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_cms": q_text_cms,
         # --- r4 session-7 additions (rotated into the window); one more
         # r2-stale row demoted per addition — see the demoted block ------
-        "corpus_classifier": q_corpus_classifier,
+
         # --- r4 session-8 additions (rotated into the window); one
         # demotion each — see the demoted block -------------------------
         "text_bpe_encode": q_text_bpe_encode,
@@ -2888,6 +2916,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_mojibake": q_text_mojibake,
         "rel_q14_promo": q_rel_q14_promo,
         "text_ndcg": q_text_ndcg,
+        "rel_events_autocorr": q_rel_events_autocorr,
+        "rel_fk_audit": q_rel_fk_audit,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also
@@ -2917,6 +2947,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal_decode; the pair set is pytest-PROVEN equal to
         # brute force on the fixture grid
         "multimodal_ahash_pairs": q_multimodal_ahash_pairs,
+        # demoted for the session-13 autocorr addition
+        # (rel_events_autocorr):
+        # text_bm25_topk — the text_bpe_train-class subsumption (the
+        # strongest on record): in-window text_ndcg EXECUTES bm25_topk as
+        # its stage 1 AND embeds the full bm25 oracle SQL verbatim as its
+        # ranked CTE, so every score and rank is still driver-verified
+        # transitively; text_prf_search re-exercises the same corpus-stat
+        # CTEs twice more in-window
+        "text_bm25_topk": q_text_bm25_topk,
+        # demoted for the session-13 FK-audit addition (rel_fk_audit):
+        # corpus_classifier — separable-fixture accuracy-1.0 + hand-replayed
+        # round-1 weights + partitioning-invariance + convergence-no-op
+        # pytests pin the EM-free perceptron exactly; its unrolled
+        # round-chain class keeps three in-window members (ann_kmeans,
+        # kg_tag_pagerank_full, kg_tag_katz) and its broadcast-weight-join
+        # plan shape is plan-tested
+        "corpus_classifier": q_corpus_classifier,
         # demoted for the session-13 nDCG addition (text_ndcg):
         # text_heavy_hitters — a BOUNDED-contract row (booleans; sketch
         # content is partition-dependent by nature), the weakest driver

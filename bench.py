@@ -163,6 +163,8 @@ HEADLINE = [
     "text_mojibake",         # double-encoding regex audit
     "rel_q14_promo",         # TPC-H Q14 conditional-share aggregate
     "text_ndcg",             # nDCG@10 of BM25 vs graded coverage
+    "rel_events_autocorr",   # symmetrized lag-1 daily autocorrelation
+    "rel_fk_audit",          # FK orphan report, 7 anti-join gates
 ]
 
 

@@ -412,6 +412,94 @@ def event_burstiness(events: DataFrame, user_col: str = "user_id",
                     .alias("fano_milli")))
 
 
+def daily_autocorr(events: DataFrame, type_col: str = "event_type",
+                   ts_col: str = "ts", lag_days: int = 1) -> DataFrame:
+    """Lag-k autocorrelation of the per-type DAILY-count series — the
+    seasonality/trend audit next to count_anomalies' spike flags (a
+    strong positive lag-1 says volume is momentum-driven; ~0 says
+    Poisson-ish; negative says alternating load): pairs are the counts
+    on calendar days exactly `lag_days` apart (both observed), and the
+    pair set is SYMMETRIZED — both (x_t, x_{t+k}) and (x_{t+k}, x_t)
+    enter — so the x and y marginals coincide and Pearson's r collapses
+    to the sqrt-free exact rational (the degree-assortativity recipe,
+    kg.graphrank.degree_assortativity):
+
+        r_milli = (n·Σxy − Σx·Σy) · 1000 div (n·Σx² − (Σx)²)
+
+    staged DECIMAL(38,0)/HUGEINT (n·Σxy·1000 stays under 10³⁸ through
+    ~10¹²-events-per-day corpora).  Constant series (zero variance)
+    emit 0 rather than dividing by zero; types with < 2 paired days
+    emit no row (no evidence).
+
+    Returns (event_type, n_pairs, r_milli).  Shape: the event stream
+    collapses to the calendar-bounded (type, day) aggregate FIRST; the
+    lag join and moment aggregate run on day-count rows only — nothing
+    downstream scales with |events|."""
+    daily = (events.select(F.col(type_col).alias("event_type"),
+                           F.date_trunc("day", F.col(ts_col)
+                                        .cast("timestamp")).alias("day"))
+             .groupBy("event_type", "day")
+             .agg(F.count("*").cast("bigint").alias("n"))
+             .localCheckpoint())    # branches: both sides of the lag join
+    nxt = daily.select(F.col("event_type").alias("_et2"),
+                       F.col("day").alias("day2"),
+                       F.col("n").alias("y"))
+    pairs = daily.join(
+        nxt, (F.col("event_type") == F.col("_et2"))
+        & (F.col("day2") == F.col("day")
+           + F.expr(f"INTERVAL {int(lag_days)} DAYS"))).select(
+        F.col("event_type").alias("et"), F.col("n").alias("x"), "y")
+    sym = pairs.unionByName(
+        pairs.select(F.col("et"), F.col("y").alias("x"),
+                     F.col("x").alias("y")))
+    agg = (sym.groupBy(F.col("et").alias("event_type"))
+           .agg(F.count("*").cast("bigint").alias("n_pairs"),
+                F.sum(F.expr("cast(x as decimal(38,0))")).alias("sx"),
+                F.sum(F.expr("cast(x as decimal(38,0)) * x"))
+                .alias("sxx"),
+                F.sum(F.expr("cast(x as decimal(38,0)) * y"))
+                .alias("sxy")))
+    return (agg.filter(F.col("n_pairs") >= 4)   # >= 2 distinct day pairs
+            .select("event_type", "n_pairs",
+                    F.expr("CASE WHEN n_pairs * sxx - sx * sx = 0"
+                           " THEN 0 ELSE"
+                           " cast(((n_pairs * sxy - sx * sx) * 1000)"
+                           " div (n_pairs * sxx - sx * sx) as bigint)"
+                           " END").alias("r_milli")))
+
+
+def fk_orphan_audit(tables: dict[str, DataFrame],
+                    fks: list[tuple[str, str, str, str]]) -> DataFrame:
+    """Referential-integrity report over a star/snowflake lake: for each
+    declared foreign key (child_table, child_col, parent_table,
+    parent_col), the child rowcount and the number of child rows whose
+    key has NO parent — the orphan count every warehouse loader checks
+    before publishing a snapshot (0 on a healthy lake; the
+    corpus_audit gate-cell convention).
+
+    Returns (fk, n_child, n_orphans) — one row per declared key.
+
+    Shape: one LEFT ANTI join per FK against the DISTINCT parent key
+    set (dims broadcast; big parents hash-shuffle on the key), counts
+    unioned into one small frame."""
+    outs = []
+    for child_t, child_c, parent_t, parent_c in fks:
+        child = tables[child_t]
+        parent = (tables[parent_t].select(F.col(parent_c).alias("_pk"))
+                  .distinct())
+        orphans = (child.select(F.col(child_c).alias("_ck"))
+                   .join(parent, F.col("_ck") == F.col("_pk"),
+                         "left_anti")
+                   .agg(F.count("*").cast("bigint").alias("n_orphans")))
+        total = child.agg(F.count("*").cast("bigint").alias("n_child"))
+        outs.append(
+            total.crossJoin(orphans).select(
+                F.lit(f"{child_t}.{child_c}->{parent_t}.{parent_c}")
+                .alias("fk"), "n_child", "n_orphans"))
+    from functools import reduce
+    return reduce(lambda a, b: a.unionByName(b), outs)
+
+
 def _quintile_thresholds(per: DataFrame, col: str, n_bands: int,
                          prefix: str) -> DataFrame:
     """Histogram-exact nearest-rank band thresholds for one integer

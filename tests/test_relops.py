@@ -580,3 +580,80 @@ class TestEventBurstiness:
         got = {r.user: r for r in event_burstiness(ev).collect()}
         assert "solo" not in got              # only 1 gap
         assert got["same"].fano_milli == 0    # Σg = 0 guard
+
+
+class TestDailyAutocorr:
+    def test_alternating_series_negative_constant_zero(self, spark):
+        """Alternating 10,2,10,2,... daily counts → r_milli strongly
+        negative; a constant series hits the zero-variance guard."""
+        from kg.relops import daily_autocorr
+        rows = []
+        eid = 0
+        for d in range(8):
+            cnt = 10 if d % 2 == 0 else 2
+            for _ in range(cnt):
+                eid += 1
+                rows.append(("alt", f"2024-01-0{d + 1} 12:00:00", eid))
+        for d in range(8):
+            for _ in range(5):
+                eid += 1
+                rows.append(("flat", f"2024-01-0{d + 1} 12:00:00", eid))
+        ev = spark.createDataFrame(
+            rows, "event_type string, ts string, event_id long"
+        ).withColumn("ts", F.col("ts").cast("timestamp")) \
+         .withColumn("user_id", F.lit("u"))
+        got = {r.event_type: r for r in daily_autocorr(ev).collect()}
+        assert got["alt"].r_milli <= -900     # near −1
+        assert got["flat"].r_milli == 0       # zero-variance guard
+        assert got["alt"].n_pairs == 14       # 7 raw pairs symmetrized
+
+    def test_python_replay_exact(self, spark):
+        """Exact integer replay of the symmetrized rational on an
+        irregular series (incl. a calendar gap that drops a pair)."""
+        from kg.relops import daily_autocorr
+        counts = {1: 3, 2: 5, 3: 2, 5: 7, 6: 1}   # day 4 missing
+        rows, eid = [], 0
+        for d, c in counts.items():
+            for _ in range(c):
+                eid += 1
+                rows.append(("e", f"2024-02-0{d} 01:00:00", eid))
+        ev = spark.createDataFrame(
+            rows, "event_type string, ts string, event_id long"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        prs = [(counts[d], counts[d + 1]) for d in counts
+               if d + 1 in counts]
+        sym = prs + [(y, x) for x, y in prs]
+        n = len(sym)
+        sx = sum(x for x, _ in sym)
+        sxx = sum(x * x for x, _ in sym)
+        sxy = sum(x * y for x, y in sym)
+        num = (n * sxy - sx * sx) * 1000
+        den = n * sxx - sx * sx
+        # Spark div / DuckDB // truncate toward zero (CLAUDE.md)
+        want = abs(num) // abs(den) * (1 if (num >= 0) == (den >= 0)
+                                       else -1)
+        r = daily_autocorr(ev).collect()[0]
+        assert (r.n_pairs, r.r_milli) == (n, want)
+
+
+class TestFkOrphanAudit:
+    def test_detects_crafted_orphans(self, spark):
+        from kg.relops import fk_orphan_audit
+        child = spark.createDataFrame(
+            [(1, 10), (2, 10), (3, 99)], "id long, parent_id long")
+        parent = spark.createDataFrame([(10,), (20,)], "pid long")
+        out = fk_orphan_audit(
+            {"c": child, "p": parent},
+            [("c", "parent_id", "p", "pid")]).collect()
+        assert out[0].fk == "c.parent_id->p.pid"
+        assert (out[0].n_child, out[0].n_orphans) == (3, 1)
+
+    def test_healthy_lake_all_zero(self, spark):
+        from kg.relops import fk_orphan_audit
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        od = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        out = fk_orphan_audit(
+            {"lineitem": li, "orders": od},
+            [("lineitem", "l_orderkey", "orders", "o_orderkey")]
+        ).collect()
+        assert out[0].n_orphans == 0 and out[0].n_child > 0

@@ -1672,6 +1672,50 @@ def build_oracle_sql() -> dict[str, str]:
         UNION ALL SELECT 2, lam, n FROM r2
         UNION ALL SELECT 3, lam, n FROM r3"""
 
+    # Lag-1 daily-count autocorrelation (kg.relops.daily_autocorr):
+    # symmetrized pairs -> sqrt-free Pearson rational in HUGEINT.
+    sqls["rel_events_autocorr"] = """
+        WITH daily AS (
+          SELECT event_type, date_trunc('day', ts) AS day,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2),
+        pairs AS (
+          SELECT a.event_type AS et, a.n AS x, b.n AS y
+          FROM daily a JOIN daily b
+            ON b.event_type = a.event_type
+           AND b.day = a.day + INTERVAL 1 DAY),
+        sym AS (SELECT et, x, y FROM pairs
+                UNION ALL SELECT et, y, x FROM pairs),
+        agg AS (
+          SELECT et AS event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+                 sum(x::HUGEINT) AS sx, sum(x::HUGEINT * x) AS sxx,
+                 sum(x::HUGEINT * y) AS sxy
+          FROM sym GROUP BY 1)
+        SELECT event_type, n_pairs,
+               CASE WHEN n_pairs * sxx - sx * sx = 0 THEN 0 ELSE
+                 CAST(((n_pairs * sxy - sx * sx) * 1000)
+                      // (n_pairs * sxx - sx * sx) AS BIGINT) END
+                 AS r_milli
+        FROM agg WHERE n_pairs >= 4"""
+
+    # Referential-integrity orphan report (kg.relops.fk_orphan_audit):
+    # one NOT-IN count per declared FK (keys are non-null in this
+    # schema; the Spark side is a LEFT ANTI join).
+    _fk_pairs = [("lineitem", "l_orderkey", "orders", "o_orderkey"),
+                 ("lineitem", "l_partkey", "part", "p_partkey"),
+                 ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+                 ("orders", "o_custkey", "customer", "c_custkey"),
+                 ("customer", "c_nationkey", "nation", "n_nationkey"),
+                 ("supplier", "s_nationkey", "nation", "n_nationkey"),
+                 ("nation", "n_regionkey", "region", "r_regionkey")]
+    sqls["rel_fk_audit"] = "\n        UNION ALL ".join(
+        f"""SELECT '{ct}.{cc}->{pt}.{pc}' AS fk,
+               (SELECT CAST(count(*) AS BIGINT) FROM {ct}) AS n_child,
+               (SELECT CAST(count(*) AS BIGINT) FROM {ct}
+                WHERE {cc} NOT IN (SELECT {pc} FROM {pt}))
+                 AS n_orphans"""
+        for ct, cc, pt, pc in _fk_pairs)
+
     # Per-user inter-arrival Fano factor (kg.relops.event_burstiness):
     # lag() gaps under the funnel-family (ts, event_id) tie-break; the
     # variance-to-mean single-division rational in HUGEINT.
