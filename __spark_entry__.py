@@ -2820,6 +2820,214 @@ def q_corpus_split_leakproof(spark, sf_dir):
             .select("doc_id", "rep", "split"))
 
 
+def q_rel_q10_returns(spark, sf_dir):
+    """TPC-H Q10 (returned-item reporting): revenue lost to returned
+    items per customer over one quarter, top 20 — the 4-table
+    fact-to-dims join feeding a deterministic top-k
+    (TakeOrderedAndProject: per-partition top-20 + a 20·n_partitions
+    merge, never a global sort).  Ties broken (revenue DESC, c_custkey)
+    so the LIMIT set is deterministic; revenue emitted as exact cents
+    (the q14 DECIMAL→cents contract)."""
+    cu, od, li, na = (_read(n)(spark, sf_dir) for n in
+                      ("customer", "orders", "lineitem", "nation"))
+    od_q = od.filter(
+        (F.col("o_orderdate").cast("timestamp")
+         >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate").cast("timestamp")
+           < F.lit("1996-04-01").cast("timestamp")))
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)")
+                                     - _dec("l_discount"))
+    return (li.filter(F.col("l_returnflag") == "R")
+            .join(od_q, li.l_orderkey == od_q.o_orderkey)
+            .join(cu, od_q.o_custkey == cu.c_custkey)
+            .join(F.broadcast(na.select("n_nationkey", "n_name")),
+                  cu.c_nationkey == F.col("n_nationkey"))
+            .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+            .agg(F.sum(rev).alias("_rev"))
+            .select("c_custkey", "c_name", "c_acctbal", "n_name",
+                    F.expr("cast(cast(_rev * 100 as decimal(38,0))"
+                           " as bigint)").alias("revenue_cents"))
+            .orderBy(F.col("revenue_cents").desc(), F.col("c_custkey"))
+            .limit(20))
+
+
+def q_rel_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 (top supplier): the supplier(s) with maximum quarterly
+    revenue — the aggregate-of-an-aggregate shape (revenue view, then
+    WHERE total = (SELECT max)).  The supplier-sized revenue view is
+    localCheckpointed BEFORE its two consumers (the max scalar + the
+    filter side) — without it the plan re-aggregates the FACT TABLE
+    once per branch, doubling the 100-TB scan (repo rule 7); the max
+    then rides back as a broadcast single-row join.  Ties (several
+    suppliers at the max) all return, exactly as the spec's subquery
+    does; revenue in exact cents."""
+    su, li = (_read(n)(spark, sf_dir) for n in ("supplier", "lineitem"))
+    li_q = li.filter(
+        (F.col("l_shipdate").cast("timestamp")
+         >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate").cast("timestamp")
+           < F.lit("1996-04-01").cast("timestamp")))
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)")
+                                     - _dec("l_discount"))
+    per = (li_q.groupBy("l_suppkey").agg(F.sum(rev).alias("_rev"))
+           .select("l_suppkey",
+                   F.expr("cast(cast(_rev * 100 as decimal(38,0))"
+                          " as bigint)").alias("total_revenue_cents"))
+           .localCheckpoint())
+    mx = per.agg(F.max("total_revenue_cents").alias("_mx"))
+    return (per.crossJoin(F.broadcast(mx))
+            .filter(F.col("total_revenue_cents") == F.col("_mx"))
+            .join(F.broadcast(su.select("s_suppkey", "s_name")),
+                  per.l_suppkey == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name", "total_revenue_cents"))
+
+
+def q_rel_q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 (volume shipping): revenue flowing between two nations
+    in both directions, per ship year — the two-role dimension join
+    (nation joins TWICE, once through the supplier and once through the
+    customer) with a disjunctive pair predicate, the shape that makes
+    Q7 the canonical alias-join test.  Both nation maps broadcast; the
+    year window is three ship years and the pair (NATION_18/19) has
+    suppliers at every sf, so all six (dir, year) cells are populated
+    down to sf0.001; revenue in exact cents."""
+    na, cu, su, od, li = (_read(n)(spark, sf_dir) for n in
+                          ("nation", "customer", "supplier", "orders",
+                           "lineitem"))
+    li_w = li.filter(
+        (F.col("l_shipdate").cast("timestamp")
+         >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate").cast("timestamp")
+           < F.lit("1999-01-01").cast("timestamp")))
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)")
+                                     - _dec("l_discount"))
+    n_s = F.broadcast(na.select(F.col("n_nationkey").alias("_snk"),
+                                F.col("n_name").alias("supp_nation")))
+    n_c = F.broadcast(na.select(F.col("n_nationkey").alias("_cnk"),
+                                F.col("n_name").alias("cust_nation")))
+    return (li_w.join(od, li_w.l_orderkey == od.o_orderkey)
+            .join(cu, od.o_custkey == cu.c_custkey)
+            .join(su, li_w.l_suppkey == su.s_suppkey)
+            .join(n_s, su.s_nationkey == F.col("_snk"))
+            .join(n_c, cu.c_nationkey == F.col("_cnk"))
+            .filter(((F.col("supp_nation") == "NATION_18")
+                     & (F.col("cust_nation") == "NATION_19"))
+                    | ((F.col("supp_nation") == "NATION_19")
+                       & (F.col("cust_nation") == "NATION_18")))
+            .groupBy("supp_nation", "cust_nation",
+                     F.year(F.col("l_shipdate").cast("timestamp"))
+                     .cast("bigint").alias("l_year"))
+            .agg(F.sum(rev).alias("_rev"),
+                 F.count("*").cast("bigint").alias("n_items"))
+            .select("supp_nation", "cust_nation", "l_year", "n_items",
+                    F.expr("cast(cast(_rev * 100 as decimal(38,0))"
+                           " as bigint)").alias("revenue_cents")))
+
+
+def q_rel_q17_small_qty(spark, sf_dir):
+    """TPC-H Q17 (small-quantity-order revenue), adapted to the reduced
+    part schema (no container — the brand filter alone selects the
+    probe set): revenue locked in orders whose quantity is below 20% of
+    the part's average — the correlated-scalar-subquery shape
+    decorrelated into a group-then-join-back (the Q18 shape with an
+    AVG predicate).  The avg comparison is EXACT integer
+    cross-multiplication (qty·5·cnt < Σqty; quantities are integral),
+    never a float avg; the per-part aggregate is brand-sized and
+    broadcasts back onto the fact."""
+    pa, li = (_read(n)(spark, sf_dir) for n in ("part", "lineitem"))
+    probe = pa.filter(F.col("p_brand") == "Brand#3").select("p_partkey")
+    li_b = (li.join(F.broadcast(probe), li.l_partkey == F.col("p_partkey"))
+            .select("l_partkey", "l_quantity", "l_extendedprice")
+            .withColumn("_qty", F.col("l_quantity").cast("bigint")))
+    per = (li_b.groupBy(F.col("l_partkey").alias("_pk"))
+           .agg(F.sum("_qty").alias("_sum_qty"),
+                F.count("*").cast("bigint").alias("_cnt")))
+    small = (li_b.join(F.broadcast(per), li_b.l_partkey == F.col("_pk"))
+             .filter(F.col("_qty") * 5 * F.col("_cnt")
+                     < F.col("_sum_qty")))
+    return (small.agg(
+        F.count("*").cast("bigint").alias("n_small"),
+        F.sum(_dec("l_extendedprice")).alias("_tot"))
+        .select("n_small",
+                F.expr("cast(cast(coalesce(_tot, 0) * 100 as"
+                       " decimal(38,0)) as bigint)")
+                .alias("total_price_cents"))
+        .withColumn("avg_yearly_cents",
+                    F.expr("total_price_cents div 7")))
+
+
+def q_rel_q22_global_sales(spark, sf_dir):
+    """TPC-H Q22 (global sales opportunity), adapted to the reduced
+    customer schema (no phone — the country grouping rides n_name via
+    the nation dim): customers with above-average positive account
+    balance and NO RECENT orders (none since 1999-01-01 — the spec's
+    dormant-for-7-years clause scaled to this corpus's 1995-2001 span,
+    where every customer has SOME order), counted per nation — the
+    scalar-subquery + NOT-EXISTS combination: the global avg rides a
+    broadcast single-row cross join and compares by exact
+    cross-multiplication (acctbal_cents·n_pos > sum_pos_cents), the
+    order check compiles to a LEFT ANTI join on the distinct recent
+    buyer set with the date filter pushed to the orders scan."""
+    cu, od, na = (_read(n)(spark, sf_dir) for n in
+                  ("customer", "orders", "nation"))
+    od = od.filter(F.col("o_orderdate").cast("timestamp")
+                   >= F.lit("1999-01-01").cast("timestamp"))
+    bal = F.expr("cast(cast(c_acctbal as decimal(18,2)) * 100"
+                 " as bigint)")
+    cu_b = cu.withColumn("_bal_cents", bal)
+    pos = (cu_b.filter(F.col("_bal_cents") > 0)
+           .agg(F.count("*").cast("bigint").alias("_n_pos"),
+                F.sum("_bal_cents").cast("decimal(38,0)")
+                .alias("_sum_pos")))
+    eligible = (cu_b.crossJoin(F.broadcast(pos))
+                .filter(F.expr("cast(_bal_cents as decimal(38,0))"
+                               " * _n_pos > _sum_pos")))
+    buyers = od.select("o_custkey").distinct()
+    return (eligible.join(buyers,
+                          eligible.c_custkey == buyers.o_custkey,
+                          "left_anti")
+            .join(F.broadcast(na.select("n_nationkey", "n_name")),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("n_name")
+            .agg(F.count("*").cast("bigint").alias("numcust"),
+                 F.sum("_bal_cents").cast("bigint")
+                 .alias("totacctbal_cents")))
+
+
+def q_rel_events_cusum(spark, sf_dir):
+    """CUSUM change-point detection over the per-type daily-count
+    series (kg.relops.count_cusum): Page's recursion rewritten as the
+    prefix-min identity (cumulative sum − running min), so the
+    sustained-drift audit is two windows over the calendar-bounded
+    daily frame — exact integers throughout, cusum in ppm of the type's
+    mean daily count."""
+    from kg.relops import count_cusum
+    return count_cusum(_read("events")(spark, sf_dir))
+
+
+def q_text_zipf(spark, sf_dir):
+    """Zipf power-law fit over the frequency spectrum
+    (kg.textstats.zipf_spectrum): exact integer least squares on
+    (bits(r), bits(N_r)) over the count-of-counts table — one row per
+    DISTINCT count value, bounded by max term count, never vocabulary
+    size; natural text slopes ≈ −2."""
+    from kg.textstats import zipf_spectrum
+    return zipf_spectrum(_docs(spark, sf_dir))
+
+
+def q_dedup_rouge_pairs(spark, sf_dir):
+    """ROUGE-N recall + F1 verification of the MinHash-LSH candidate
+    pairs (kg.dedup.pair_ngram_f1): the symmetric closed form
+    F1 = 2·clipped/(len_a+len_b) keeps every score one exact integer
+    ratio — precision (how much of A is copied), recall (how much of B
+    is covered: the contamination direction), and the balanced verdict
+    in one pair-bounded pass; the oracle re-embeds the LSH pair SQL
+    verbatim."""
+    from kg.dedup import minhash_lsh_pairs, pair_ngram_f1
+    d = _docs(spark, sf_dir)
+    return pair_ngram_f1(d, minhash_lsh_pairs(d, k=16, bands=4, n=2))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # WINDOW-ROTATION RULE (STATUS.md §rotation): the driver's CORRECTNESS
     # artifact covers roughly the FIRST 50 registered queries per round, so
@@ -2892,37 +3100,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r4 session-12 additions (rotated into the window); one
         # demotion each — see the demoted block -------------------------
         "kg_tag_coloring": q_kg_tag_coloring,
-        "rel_q5_volume": q_rel_q5_volume,
-        "rel_q18_big_orders": q_rel_q18_big_orders,
         "rel_events_surprisal": q_rel_events_surprisal,
         "corpus_split_leakproof": q_corpus_split_leakproof,
         # --- r4 session-13 additions (rotated into the window); one
         # demotion each — see the demoted block -------------------------
-        "rel_q4_priority": q_rel_q4_priority,
         "rel_q13_custdist": q_rel_q13_custdist,
         "kg_tag_katz": q_kg_tag_katz,
         "text_chi2_pairs": q_text_chi2_pairs,
-        "rel_events_hll": q_rel_events_hll,
         "rel_q16_supplier_cnt": q_rel_q16_supplier_cnt,
         "kg_tag_hyperball": q_kg_tag_hyperball,
         "corpus_keyness": q_corpus_keyness,
-        "text_good_turing": q_text_good_turing,
         "rel_events_burstiness": q_rel_events_burstiness,
         "text_lm_jm": q_text_lm_jm,
         "corpus_minkprob": q_corpus_minkprob,
-        "corpus_apply_cdc": q_corpus_apply_cdc,
         "ann_pq_rerank": q_ann_pq_rerank,
         "embedding_centroid_matrix": q_embedding_centroid_matrix,
-        "text_mojibake": q_text_mojibake,
         "rel_q14_promo": q_rel_q14_promo,
         "text_ndcg": q_text_ndcg,
-        "rel_events_autocorr": q_rel_events_autocorr,
         "rel_fk_audit": q_rel_fk_audit,
+        # --- r4 session-14 additions (rotated into the window); one
+        # demotion each — see the demoted block -------------------------
+        "rel_q10_returns": q_rel_q10_returns,
+        "rel_q15_top_supplier": q_rel_q15_top_supplier,
+        "rel_q7_volume_shipping": q_rel_q7_volume_shipping,
+        "rel_q17_small_qty": q_rel_q17_small_qty,
+        "rel_q22_global_sales": q_rel_q22_global_sales,
+        "rel_events_cusum": q_rel_events_cusum,
+        "text_zipf": q_text_zipf,
+        "dedup_rouge_pairs": q_dedup_rouge_pairs,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also
         # carry INDIRECT fresh evidence — ann_recall_ivf embeds the
         # cosine/ivf oracle SQL verbatim) — first in line for r5 ---------
+        # demoted for the session-14 additions (rel_q10/q15/q7/q17/q22 +
+        # cusum + zipf + rouge), strongest-subsumption-first:
+        # text_good_turing — the new in-window text_zipf EXECUTES the same
+        # terms→count-of-counts chain and its oracle embeds the identical
+        # terms/nr CTE text verbatim, so the spectrum build stays
+        # driver-verified transitively; the r*/p0 formulas are
+        # hand-table/gap-zero/no-hapax pytest-pinned
+        "text_good_turing": q_text_good_turing,
+        # rel_q5_volume — its DECIMAL-revenue→cents contract SQL text now
+        # ships in-window THREE times (rel_q7/q10/q15 share the _rev_dec
+        # expression verbatim) and its distinguishing plan shape
+        # (broadcast nation⋈region dim + pushed order-date range) is
+        # pinned by test_rel_q5_broadcasts_dims_and_pushes_date_filter
+        "rel_q5_volume": q_rel_q5_volume,
+        # rel_q18_big_orders — the decorrelated group-then-join-back shape
+        # keeps an in-window row via rel_q17_small_qty (the same shape
+        # with an AVG predicate and the same integral-quantity handling);
+        # q18's threshold semantics are invariant-pytest-pinned
+        "rel_q18_big_orders": q_rel_q18_big_orders,
+        # rel_q4_priority — the EXISTS→LeftSemi + pushed-quarter plan
+        # shape is plan-test-pinned (test_rel_q4_semi_join_and_pushed_
+        # dates) and the quarter-window orders filter class keeps an
+        # in-window row via rel_q10_returns; the per-priority count is a
+        # trivial aggregate over the semi-join output
+        "rel_q4_priority": q_rel_q4_priority,
+        # rel_events_autocorr — the calendar-bounded daily build keeps an
+        # in-window row via rel_events_cusum (same strftime-day aggregate
+        # CTE shape) and the sqrt-free exact-rational moment formula class
+        # keeps one via rel_events_burstiness; the symmetrized-pair
+        # Pearson is python-replay/alternating/constant pytest-pinned
+        "rel_events_autocorr": q_rel_events_autocorr,
+        # rel_events_hll — every register and the estimator formula are
+        # replayed verbatim in-window by kg_tag_hyperball (the same
+        # kg.sketch md5-HLL machinery, unrolled per round); the
+        # bit-replay/merge-equals-union/accuracy pytests pin the sketch
+        "rel_events_hll": q_rel_events_hll,
+        # corpus_apply_cdc — trivial-replay oracle class (the change set
+        # is derived deterministically and both engines replay the same
+        # 1:1 full-outer merge); merge-semantics + detect→apply-roundtrip
+        # pytests pin the contract
+        "corpus_apply_cdc": q_corpus_apply_cdc,
+        # text_mojibake — trivial-replay class: both engines execute the
+        # ONE shared MOJIBAKE_PATTERNS constant over the same derived
+        # corruption suffix; per-tell + encoding-variant pytests pin it
+        "text_mojibake": q_text_mojibake,
         # demoted for the session-11 additions (readability/luhn/anomaly/
         # audio/matching), strongest-subsumption-first:
         # rel_events_decay — trivial-replay narrow map (bit-for-bit DuckDB

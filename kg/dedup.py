@@ -511,6 +511,90 @@ def pair_ngram_precision(df: DataFrame, pairs: DataFrame,
                     .alias("prec_micro")))
 
 
+def pair_ngram_f1(df: DataFrame, pairs: DataFrame,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """ROUGE-N recall + F1 (Lin 2004) joined to BLEU's clipped precision
+    for every candidate pair, n ∈ {1, 2}:
+
+        p_n = clipped / |A|_n    r_n = clipped / |B|_n
+        F1  = 2·p·r / (p + r)  =  2·clipped / (|A|_n + |B|_n)
+
+    — the symmetric closed form means F1 needs no float division chain:
+    every score is one exact integer ratio in micro units.  Together
+    with `pair_ngram_precision` this completes the asymmetric-verify
+    pair: precision answers "how much of A is copied" (short doc quoted
+    in a long one scores 1.0), recall answers "how much of B is
+    covered" (the contamination direction GPT-3 appendix C cares
+    about), F1 is the balanced near-dup verdict a single threshold can
+    gate on.  The reference has no pairwise scorer (its dedup is
+    node-identity uniqueness only, TextProcessorTest.java).
+
+    Returns (id_a, id_b, n, clipped, len_a, len_b, prec_micro,
+    rec_micro, f1_micro) — two rows per pair, every cell exact; an
+    empty side scores 0 on its ratio, F1 is 0 when both are empty.
+
+    Scale shape: identical to pair_ngram_precision — PAIR-bounded
+    (semi-join to the pair id set first), uni+bigrams ride ONE explode,
+    the shared gram-count aggregate is localCheckpointed once (rule 7)
+    before its three consumers (both join sides + the length agg)."""
+    ids = (pairs.select(F.col("id_a").alias("doc"))
+           .unionByName(pairs.select(F.col("id_b").alias("doc")))
+           .distinct())
+    docs = (df.select(F.col(id_col).alias("doc"),
+                      F.col(text_col).alias("text"))
+            .join(ids, "doc", "left_semi"))
+    combined = F.concat(
+        F.transform(gram_positions("text", 1),
+                    lambda g: F.struct(F.lit(1).alias("n"),
+                                       g.alias("gram"))),
+        F.transform(gram_positions("text", 2),
+                    lambda g: F.struct(F.lit(2).alias("n"),
+                                       g.alias("gram"))))
+    grams = (docs.select("doc", F.explode(combined).alias("g"))
+             .select("doc", F.col("g.n").alias("n"),
+                     F.col("g.gram").alias("gram")))
+    counts = (grams.groupBy("doc", "n", "gram")
+              .agg(F.count("*").cast("bigint").alias("c"))
+              .localCheckpoint())
+    lens = counts.groupBy("doc", "n").agg(F.sum("c").alias("ln"))
+    ca = counts.select(F.col("doc").alias("id_a"), "n", "gram",
+                       F.col("c").alias("ca"))
+    cb = counts.select(F.col("doc").alias("id_b"), "n", "gram",
+                       F.col("c").alias("cb"))
+    inter = (pairs.join(ca, "id_a").join(cb, ["id_b", "n", "gram"])
+             .groupBy("id_a", "id_b", "n")
+             .agg(F.sum(F.least("ca", "cb")).cast("bigint")
+                  .alias("clipped")))
+    base = pairs.select(
+        "id_a", "id_b",
+        F.explode(F.array(F.lit(1), F.lit(2))).alias("n"))
+    return (base.join(inter, ["id_a", "id_b", "n"], "left")
+            .join(lens.select(F.col("doc").alias("id_a"), "n",
+                              F.col("ln").alias("len_a")),
+                  ["id_a", "n"], "left")
+            .join(lens.select(F.col("doc").alias("id_b"), "n",
+                              F.col("ln").alias("len_b")),
+                  ["id_b", "n"], "left")
+            .select("id_a", "id_b", "n",
+                    F.coalesce("clipped", F.lit(0)).cast("bigint")
+                    .alias("clipped"),
+                    F.coalesce("len_a", F.lit(0)).cast("bigint")
+                    .alias("len_a"),
+                    F.coalesce("len_b", F.lit(0)).cast("bigint")
+                    .alias("len_b"))
+            .select("id_a", "id_b", "n", "clipped", "len_a", "len_b",
+                    F.expr("CASE WHEN len_a = 0 THEN 0 ELSE "
+                           "(clipped * 1000000) div len_a END")
+                    .cast("bigint").alias("prec_micro"),
+                    F.expr("CASE WHEN len_b = 0 THEN 0 ELSE "
+                           "(clipped * 1000000) div len_b END")
+                    .cast("bigint").alias("rec_micro"),
+                    F.expr("CASE WHEN len_a + len_b = 0 THEN 0 ELSE "
+                           "(2 * clipped * 1000000) div (len_a + len_b) "
+                           "END").cast("bigint").alias("f1_micro")))
+
+
 def span_dedup(df: DataFrame, w: int = 5, text_col: str = "text",
                id_col: str = "doc_id", out_col: str = "text_dedup",
                max_chunks_per_doc: int = 100_000,

@@ -468,6 +468,65 @@ def daily_autocorr(events: DataFrame, type_col: str = "event_type",
                            " END").alias("r_milli")))
 
 
+def count_cusum(events: DataFrame, type_col: str = "event_type",
+                ts_col: str = "ts", slack_ppm: int = 250_000,
+                threshold_ppm: int = 1_500_000) -> DataFrame:
+    """One-sided CUSUM change-point detection (Page 1954) over the
+    per-type DAILY-count series — the sustained-level-shift audit next
+    to count_anomalies' single-day spike flags (a +20% drift spread
+    over a week never clears a per-day percentage fence, but its
+    cumulative sum does).
+
+    The classic statistic is the recursion S_t = max(0, S_{t-1} + x_t −
+    k) with reference value k = mean·(1 + slack); a per-row recursion is
+    not a window function, but the PREFIX-MIN IDENTITY makes it one:
+
+        S_t = P_t − min(0, min_{j≤t} P_j),   P_t = Σ_{i≤t} (x_i − k)
+
+    (proof: both sides are the max over suffixes ending at t of the
+    suffix sum) — so CUSUM is a cumulative-sum window plus a running-min
+    window over the CALENDAR-BOUNDED daily frame, never a recursion and
+    never a pass over |events|.  Kept exact by scaling counts by
+    D·1e6 (D = observed days for the type): x·D·1e6 − S·(1e6+slack_ppm)
+    is an integer deviation, staged DECIMAL(38,0)/HUGEINT (a
+    10¹²-events/day type over 10⁵ days stays under 10³⁸).
+
+    Returns (event_type, day, n, cusum_ppm, is_change): cusum_ppm =
+    S_t in ppm of the type's mean daily count (the scale-free exceedance
+    a threshold can gate on), is_change = cusum_ppm > threshold_ppm —
+    i.e. the accumulated excess passed threshold_ppm·mean counts.
+    All-zero types emit cusum_ppm 0 (S = 0 guard).  `day` is emitted as
+    an ISO string (the count_anomalies portability convention; ISO sorts
+    chronologically).
+
+    Shape: the event stream collapses to the (type, day) aggregate
+    FIRST (one shuffle, map-side combine); both windows and the scalar
+    join run on day-count rows only."""
+    daily = (events.select(F.col(type_col).alias("event_type"),
+                           F.date_format(F.col(ts_col).cast("timestamp"),
+                                         "yyyy-MM-dd").alias("day"))
+             .groupBy("event_type", "day")
+             .agg(F.count("*").cast("bigint").alias("n")))
+    tot = daily.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("_d"),
+        F.sum("n").cast("bigint").alias("_s"))
+    w_cum = (Window.partitionBy("event_type").orderBy("day")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    dev = (daily.join(tot, "event_type")
+           .withColumn("_dev", F.expr(
+               f"cast(n as decimal(38,0)) * _d * 1000000"
+               f" - cast(_s as decimal(38,0)) * {int(1_000_000 + slack_ppm)}")))
+    cum = (dev.withColumn("_p", F.sum("_dev").over(w_cum))
+           .withColumn("_m", F.min("_p").over(w_cum)))
+    return (cum.select(
+        "event_type", "day", "n",
+        F.expr("CASE WHEN _s = 0 THEN cast(0 as bigint) ELSE cast("
+               "(_p - least(cast(0 as decimal(38,0)), _m))"
+               " div _s as bigint) END").alias("cusum_ppm"))
+        .withColumn("is_change",
+                    F.col("cusum_ppm") > F.lit(int(threshold_ppm))))
+
+
 def fk_orphan_audit(tables: dict[str, DataFrame],
                     fks: list[tuple[str, str, str, str]]) -> DataFrame:
     """Referential-integrity report over a star/snowflake lake: for each

@@ -670,6 +670,70 @@ def good_turing(df: DataFrame, text_col: str = "text") -> DataFrame:
                     .cast("bigint").alias("p0_ppm")))
 
 
+def zipf_spectrum(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Zipf power-law fit over the FREQUENCY SPECTRUM — the one-number
+    vocabulary-shape audit (natural text: Zipf exponent s ≈ 1 ⇒ the
+    count-of-counts table follows N_r ∝ r^(−1−1/s), slope ≈ −2 on a
+    log-log plot; template/boilerplate-heavy or generated corpora bend
+    it).  Fitting the SPECTRUM instead of the rank-frequency curve is
+    the standard estimator trick (Gale & Sampson 1995 regress exactly
+    this table for SGT) AND the scale trick: the fit runs over one row
+    per DISTINCT count value — bounded by the max term count, never
+    vocabulary size — so no global rank window ever exists.
+
+    Exact least squares in the house floor-log2 integer surrogate
+    (x = bits(r), y = bits(N_r), bits(v) = length(bin(v)) − 1):
+
+        slope_milli     = (n·Σxy − Σx·Σy)·1000 div (n·Σx² − (Σx)²)
+        intercept_milli = (Σy·1000 − slope_milli·Σx) div n
+
+    (intercept derived from the QUANTIZED slope, in that order — both
+    engines replay the identical div chain).  Products staged
+    DECIMAL(38,0)/HUGEINT.  A one-point spectrum (all terms equally
+    frequent) emits slope 0; an EMPTY corpus emits the defined all-zero
+    row (sums coalesced, the n_points = 0 guard keeps the intercept div
+    off zero) rather than NULL cells.
+
+    Returns ONE row (n_points, n_types, n_tokens, slope_milli,
+    intercept_milli).
+
+    Scale shape: explode → term-count aggregate (vocabulary-sized,
+    map-side combining) → count-of-counts aggregate of that → ONE
+    5-sum scalar aggregate.  No windows, no joins."""
+    terms = (df.select(F.explode(tokens_col(text_col)).alias("term"))
+             .groupBy("term").agg(F.count("*").cast("bigint").alias("c")))
+    nr = (terms.groupBy("c")
+          .agg(F.count("*").cast("bigint").alias("n_r")))
+    pts = nr.select(
+        "c", "n_r",
+        F.expr("cast(length(bin(c)) - 1 as decimal(38,0))").alias("x"),
+        F.expr("cast(length(bin(n_r)) - 1 as decimal(38,0))").alias("y"))
+    zero = "cast(0 as decimal(38,0))"
+    agg = pts.agg(
+        F.count("*").cast("bigint").alias("n_points"),
+        F.coalesce(F.sum("n_r"), F.lit(0)).cast("bigint")
+        .alias("n_types"),
+        F.expr(f"coalesce(sum(cast(c as decimal(38,0)) * n_r), {zero})")
+        .alias("_n_tok"),
+        F.expr(f"coalesce(sum(x), {zero})").alias("sx"),
+        F.expr(f"coalesce(sum(y), {zero})").alias("sy"),
+        F.expr(f"coalesce(sum(x * x), {zero})").alias("sxx"),
+        F.expr(f"coalesce(sum(x * y), {zero})").alias("sxy"))
+    return (agg
+            .withColumn("slope_milli", F.expr(
+                "CASE WHEN n_points * sxx - sx * sx = 0 THEN"
+                " cast(0 as bigint) ELSE"
+                " cast((n_points * sxy - sx * sy) * 1000"
+                " div (n_points * sxx - sx * sx) as bigint) END"))
+            .select("n_points", "n_types",
+                    F.col("_n_tok").cast("bigint").alias("n_tokens"),
+                    "slope_milli",
+                    F.expr("CASE WHEN n_points = 0 THEN cast(0 as bigint)"
+                           " ELSE cast((sy * 1000 - cast(slope_milli as"
+                           " decimal(38,0)) * sx) div n_points as bigint)"
+                           " END").alias("intercept_milli")))
+
+
 def keyness_odds(df: DataFrame, text_col: str = "text",
                  split_col: str = "lang", a_value: str = "en",
                  min_count: int = 5) -> DataFrame:

@@ -646,3 +646,60 @@ def test_ngram_novelty_counts_distinct_shingles_once(spark):
     got = {r.doc_id: (r.n_shingles, r.n_novel)
            for r in ngram_novelty(docs, n=3).collect()}
     assert got == {3: (1, 1), 5: (3, 2)}
+
+
+# --- ROUGE-N recall + F1 (kg.dedup.pair_ngram_f1) -------------------------
+
+def _pnf(spark, docs, pairs):
+    from kg.dedup import pair_ngram_f1
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    p = spark.createDataFrame(pairs, "id_a long, id_b long")
+    return {(r.id_a, r.id_b, r.n): r for r in
+            pair_ngram_f1(d, p).collect()}
+
+
+def test_pair_ngram_f1_identical_docs_score_one(spark):
+    got = _pnf(spark, [(0, "a b c"), (1, "a b c")], [(0, 1)])
+    for n in (1, 2):
+        r = got[(0, 1, n)]
+        assert r.prec_micro == r.rec_micro == r.f1_micro == 1000000
+
+
+def test_pair_ngram_f1_hand_computed_asymmetry(spark):
+    """A = 'p q', B = 'p q p q p q': clipped unigrams = 2, len_a = 2,
+    len_b = 6 -> prec 1.0, rec 1/3, F1 = 2*2/(2+6) = 0.5; bigrams:
+    A has 'p q' once, B has it 3x ('q p' 2x) -> clipped 1, len_a 1,
+    len_b 5 -> prec 1.0, rec 0.2, F1 = 2/6."""
+    got = _pnf(spark, [(0, "p q"), (1, "p q p q p q")], [(0, 1)])
+    u = got[(0, 1, 1)]
+    assert (u.clipped, u.len_a, u.len_b) == (2, 2, 6)
+    assert (u.prec_micro, u.rec_micro, u.f1_micro) == \
+        (1000000, 333333, 500000)
+    b = got[(0, 1, 2)]
+    assert (b.clipped, b.len_a, b.len_b) == (1, 1, 5)
+    assert (b.prec_micro, b.rec_micro, b.f1_micro) == \
+        (1000000, 200000, 333333)
+
+
+def test_pair_ngram_f1_precision_matches_pair_ngram_precision(spark):
+    """The prec_micro column must equal pair_ngram_precision's on the
+    same pairs — one contract, two entry points."""
+    from kg.dedup import pair_ngram_precision
+    docs = [(0, "a b a c"), (1, "a b b"), (2, "x y"), (3, "q x y r s")]
+    pairs = [(0, 1), (2, 3), (3, 2)]
+    got = _pnf(spark, docs, pairs)
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    p = spark.createDataFrame(pairs, "id_a long, id_b long")
+    prec = {(r.id_a, r.id_b, r.n): (r.clipped, r.len_a, r.prec_micro)
+            for r in pair_ngram_precision(d, p).collect()}
+    assert {(k): (v.clipped, v.len_a, v.prec_micro)
+            for k, v in got.items()} == prec
+
+
+def test_pair_ngram_f1_empty_sides_zero(spark):
+    """One-token docs have no bigrams on either side: every ratio 0,
+    no div-by-zero on len_a + len_b = 0."""
+    got = _pnf(spark, [(0, "x"), (1, "y")], [(0, 1)])
+    b = got[(0, 1, 2)]
+    assert (b.len_a, b.len_b) == (0, 0)
+    assert (b.prec_micro, b.rec_micro, b.f1_micro) == (0, 0, 0)

@@ -770,3 +770,88 @@ def test_embedding_audit_single_aggregate_no_shuffle_amplification(spark):
     assert plan.count("Exchange") <= 2     # partial→final agg only
     assert "Join" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_rel_q10_topk_no_global_sort_and_pushed_predicates(spark):
+    """TPC-H Q10: the top-20 must compile to TakeOrderedAndProject
+    (per-partition top-k + bounded merge, never a global Sort+Limit),
+    the quarter range must reach the ORDERS scan and the return-flag
+    equality must reach the LINEITEM scan as PushedFilters."""
+    import __spark_entry__ as E
+    plan = _plan(E.q_rel_q10_returns(spark, "/root/testdata/sf0.001"))
+    assert "TakeOrderedAndProject" in plan
+    for tbl, want in (("orders", "GreaterThanOrEqual(o_orderdate"),
+                      ("lineitem", "EqualTo(l_returnflag,R)")):
+        scans = [c for c in plan.split("Scan parquet")
+                 if f"{tbl}.parquet" in c and "PushedFilters" in c]
+        pushed = [c.split("PushedFilters")[1].split("\n")[0]
+                  for c in scans]
+        assert any(want in p for p in pushed), (tbl, pushed)
+
+
+def test_rel_q15_single_fact_scan_and_broadcast_max(spark):
+    """TPC-H Q15: the revenue view is localCheckpointed before its two
+    consumers, so the FINAL plan must not re-scan the fact table at all
+    (without rule 7 the lineitem aggregate appears twice — a doubled
+    100-TB scan); the max scalar and the supplier dim both ride back
+    as broadcast joins, never a sort-merge self-join."""
+    import __spark_entry__ as E
+    plan = _plan(E.q_rel_q15_top_supplier(spark,
+                                          "/root/testdata/sf0.001"))
+    assert "lineitem.parquet" not in plan   # consumed at checkpoint time
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_rel_q17_decorrelated_avg_broadcasts_back(spark):
+    """TPC-H Q17: the brand probe set and the per-part avg aggregate
+    must both join back as broadcast hash joins (the fact side never
+    shuffles for a brand-sized dim), and no NestedLoop appears — the
+    cross-multiplied avg predicate is a residual join condition, not a
+    join key explosion."""
+    import __spark_entry__ as E
+    plan = _plan(E.q_rel_q17_small_qty(spark, "/root/testdata/sf0.001"))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_rel_q22_anti_join_and_pushed_recency(spark):
+    """TPC-H Q22: the dormancy check must compile to a LEFT ANTI join
+    and the recency cutoff must reach the orders scan as a PushedFilter
+    (scanning only recent orders to build the buyer set)."""
+    import __spark_entry__ as E
+    plan = _plan(E.q_rel_q22_global_sales(spark,
+                                          "/root/testdata/sf0.001"))
+    assert "LeftAnti" in plan
+    scans = [c for c in plan.split("Scan parquet")
+             if "orders.parquet" in c and "PushedFilters" in c]
+    pushed = [c.split("PushedFilters")[1].split("\n")[0] for c in scans]
+    assert any("GreaterThanOrEqual(o_orderdate" in p for p in pushed), \
+        pushed
+
+
+def test_rel_events_cusum_windows_are_type_partitioned(spark):
+    """kg.relops.count_cusum: both windows (cumulative sum, running
+    min) must partition on event_type — a global unpartitioned window
+    would serialize the daily frame through one task; and the event
+    stream must collapse to the daily aggregate before any window
+    (exactly one pre-window Exchange on the grouping)."""
+    from kg.relops import count_cusum
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = _plan(count_cusum(ev))
+    specs = plan.count("windowspecdefinition(")
+    assert specs > 0
+    assert plan.count("windowspecdefinition(event_type#") == specs
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_zipf_spectrum_no_window_no_python(spark):
+    """kg.textstats.zipf_spectrum: the fit is aggregates only — no
+    Window (the blocked-spectrum design's whole point: no global rank
+    sort exists), no Python eval."""
+    from kg.textstats import zipf_spectrum
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(zipf_spectrum(docs))
+    assert "Window" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

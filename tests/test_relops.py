@@ -657,3 +657,76 @@ class TestFkOrphanAudit:
             [("lineitem", "l_orderkey", "orders", "o_orderkey")]
         ).collect()
         assert out[0].n_orphans == 0 and out[0].n_child > 0
+
+
+class TestCountCusum:
+    def _ev(self, spark, counts, etype="e"):
+        rows, eid = [], 0
+        for d, c in counts.items():
+            for _ in range(c):
+                eid += 1
+                rows.append((etype, f"2024-03-{d:02d} 01:00:00", eid))
+        return spark.createDataFrame(
+            rows, "event_type string, ts string, event_id long"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def test_level_shift_accumulates_and_fires(self, spark):
+        """Sustained +200% drift (5/day -> 15/day) never clears a per-day
+        fence but the CUSUM does: hand-exact — D=16, S=160, dev scaled
+        by D*1e6 is -1.2e8 before / +4e7 after the shift, so the
+        statistic climbs 250000 ppm per post-shift day and crosses the
+        1.5e6 threshold on post-shift day 7."""
+        from kg.relops import count_cusum
+        counts = {d: (5 if d <= 8 else 15) for d in range(1, 17)}
+        out = {r.day: r for r in count_cusum(self._ev(spark, counts))
+               .collect()}
+        assert len(out) == 16
+        for d in range(1, 9):
+            assert out[f"2024-03-{d:02d}"].cusum_ppm == 0
+        for i, d in enumerate(range(9, 17), start=1):
+            r = out[f"2024-03-{d:02d}"]
+            assert r.cusum_ppm == 250000 * i
+            assert r.is_change == (250000 * i > 1_500_000)
+        assert out["2024-03-15"].is_change and out["2024-03-16"].is_change
+        assert not out["2024-03-14"].is_change
+
+    def test_flat_series_stays_zero(self, spark):
+        """Constant counts: the deviation is a negative constant (the
+        slack), the running sum IS its own running min, S_t = 0."""
+        from kg.relops import count_cusum
+        out = count_cusum(self._ev(spark, {d: 7 for d in range(1, 11)})
+                          ).collect()
+        assert len(out) == 10
+        assert all(r.cusum_ppm == 0 and not r.is_change for r in out)
+
+    def test_python_replay_classic_recursion(self, spark):
+        """The prefix-min identity equals Page's classic recursion
+        S_t = max(0, S_{t-1} + dev_t), replayed in exact scaled
+        integers on an irregular series."""
+        from kg.relops import count_cusum
+        counts = {1: 3, 2: 9, 3: 1, 4: 12, 5: 12, 7: 2, 8: 20}
+        d_obs = len(counts)
+        s_tot = sum(counts.values())
+        s_run, want = 0, {}
+        for d in sorted(counts):
+            dev = counts[d] * d_obs * 1_000_000 - s_tot * 1_250_000
+            s_run = max(0, s_run + dev)
+            want[f"2024-03-{d:02d}"] = s_run // s_tot
+        got = {r.day: r.cusum_ppm
+               for r in count_cusum(self._ev(spark, counts)).collect()}
+        assert got == want
+
+    def test_types_independent(self, spark):
+        """Each type gets its own mean/scale: a shifted type flags, a
+        flat type sharing the frame does not."""
+        from kg.relops import count_cusum
+        shifted = self._ev(spark,
+                           {d: (2 if d <= 8 else 20)
+                            for d in range(1, 17)}, "hot")
+        flat = self._ev(spark, {d: 6 for d in range(1, 17)}, "cold")
+        out = count_cusum(shifted.unionByName(flat)).collect()
+        by_t = {}
+        for r in out:
+            by_t.setdefault(r.event_type, []).append(r)
+        assert any(r.is_change for r in by_t["hot"])
+        assert all(not r.is_change for r in by_t["cold"])

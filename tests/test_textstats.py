@@ -544,3 +544,59 @@ class TestMojibakeProfile:
             [(1, "it\u00e2\u0080\u0099s")], "doc_id long, text string")
         r = mojibake_profile(docs).collect()[0]
         assert r.n_a_hat == 1 and r.n_c1 == 2 and r.is_mojibake
+
+
+class TestZipfSpectrum:
+    def test_hand_computed_slope(self, spark):
+        """Counts 1x4 types, 2x2 types, 4x1 type -> spectrum points
+        (bits(r), bits(N_r)) = (0,2),(1,1),(2,0): perfect line, slope
+        -1000 milli, intercept +2000 milli (derived from the quantized
+        slope, same div chain as the engines)."""
+        from kg.textstats import zipf_spectrum
+        docs = spark.createDataFrame(
+            [(0, "a b c d e e f f g g g g")], "doc_id long, text string")
+        r = zipf_spectrum(docs).collect()[0]
+        assert (r.n_points, r.n_types, r.n_tokens) == (3, 7, 12)
+        assert r.slope_milli == -1000
+        assert r.intercept_milli == 2000
+
+    def test_one_point_spectrum_slope_zero(self, spark):
+        """All terms equally frequent -> single spectrum point, the
+        zero-variance guard emits slope 0 (intercept = mean y)."""
+        from kg.textstats import zipf_spectrum
+        docs = spark.createDataFrame(
+            [(0, "a b"), (1, "c d")], "doc_id long, text string")
+        r = zipf_spectrum(docs).collect()[0]
+        assert (r.n_points, r.n_types, r.n_tokens) == (1, 4, 4)
+        assert r.slope_milli == 0
+        assert r.intercept_milli == 2000      # bits(N_1=4) = 2
+
+    def test_python_replay_corpus(self, spark):
+        """Bit-exact least-squares replay on the sf0.001 corpus."""
+        from collections import Counter
+        from kg.textstats import zipf_spectrum
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet")
+        terms = Counter()
+        for row in docs.select("text").collect():
+            terms.update(row.text.split(" "))
+        nr = Counter(terms.values())
+        pts = [(c.bit_length() - 1, m.bit_length() - 1)
+               for c, m in nr.items()]
+        n = len(pts)
+        sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        sxy = sum(x * y for x, y in pts)
+        num, den = (n * sxy - sx * sy) * 1000, n * sxx - sx * sx
+        slope = (abs(num) // abs(den)) * (1 if (num >= 0) == (den >= 0)
+                                          else -1)
+        inum = sy * 1000 - slope * sx
+        intercept = (abs(inum) // n) * (1 if inum >= 0 else -1)
+        r = zipf_spectrum(docs).collect()[0]
+        assert (r.n_points, r.slope_milli, r.intercept_milli) == \
+            (n, slope, intercept)
+        # NOTE: the synthetic corpus has a 31-word vocabulary, so its
+        # spectrum is NOT Zipfian (slope is slightly positive) — this
+        # test pins the exact replay, the hand fixture pins the sign
+        # behavior on a true power-law table.
+        assert r.n_types == 31

@@ -1482,6 +1482,198 @@ def build_oracle_sql() -> dict[str, str]:
                  AS promo_ppm
         FROM agg"""
 
+    # TPC-H Q10 returned-item reporting: 4-table join, quarter window,
+    # top 20 with the (revenue DESC, c_custkey) deterministic tie-break;
+    # revenue in exact cents (the q14 DECIMAL→cents contract).
+    _rev_dec = ("CAST(l_extendedprice AS DECIMAL(18,2))"
+                " * (CAST(1 AS DECIMAL(18,2))"
+                " - CAST(l_discount AS DECIMAL(18,2)))")
+    sqls["rel_q10_returns"] = f"""
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+               CAST(CAST(rev * 100 AS HUGEINT) AS BIGINT)
+                 AS revenue_cents
+        FROM (
+          SELECT c_custkey, c_name, c_acctbal, n_name,
+                 sum({_rev_dec}) AS rev
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          WHERE l_returnflag = 'R'
+            AND o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate < TIMESTAMP '1996-04-01'
+          GROUP BY 1, 2, 3, 4)
+        ORDER BY revenue_cents DESC, c_custkey
+        LIMIT 20"""
+
+    # TPC-H Q15 top supplier: aggregate-of-an-aggregate (WHERE total =
+    # (SELECT max)); rev is referenced twice -> MATERIALIZED.
+    sqls["rel_q15_top_supplier"] = f"""
+        WITH rev AS MATERIALIZED (
+          SELECT l_suppkey,
+                 CAST(CAST(sum({_rev_dec}) * 100 AS HUGEINT) AS BIGINT)
+                   AS total_revenue_cents
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY 1)
+        SELECT s_suppkey, s_name, total_revenue_cents
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue_cents = (SELECT max(total_revenue_cents)
+                                     FROM rev)"""
+
+    # TPC-H Q7 volume shipping: nation joins twice (supplier role +
+    # customer role), disjunctive pair predicate, per ship year.
+    sqls["rel_q7_volume_shipping"] = f"""
+        SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(CAST(sum({_rev_dec}) * 100 AS HUGEINT) AS BIGINT)
+                 AS revenue_cents
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ns ON s_nationkey = ns.n_nationkey
+        JOIN nation nc ON c_nationkey = nc.n_nationkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1999-01-01'
+          AND ((ns.n_name = 'NATION_18' AND nc.n_name = 'NATION_19')
+               OR (ns.n_name = 'NATION_19' AND nc.n_name = 'NATION_18'))
+        GROUP BY 1, 2, 3"""
+
+    # TPC-H Q17 small-quantity revenue (adapted: brand filter only):
+    # correlated AVG decorrelated to group-then-join-back, the avg
+    # comparison exact by cross-multiplication (qty·5·cnt < Σqty).
+    sqls["rel_q17_small_qty"] = """
+        WITH li_b AS MATERIALIZED (
+          SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+                 l_extendedprice
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_brand = 'Brand#3'),
+        per AS (
+          SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS sum_qty,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM li_b GROUP BY 1),
+        small AS (
+          SELECT l_extendedprice
+          FROM li_b JOIN per USING (l_partkey)
+          WHERE qty * 5 * cnt < sum_qty),
+        agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_small,
+                 sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS tot
+          FROM small)
+        SELECT n_small,
+               CAST(CAST(coalesce(tot, 0) * 100 AS HUGEINT) AS BIGINT)
+                 AS total_price_cents,
+               CAST(CAST(CAST(coalesce(tot, 0) * 100 AS HUGEINT)
+                         AS BIGINT) // 7 AS BIGINT) AS avg_yearly_cents
+        FROM agg"""
+
+    # TPC-H Q22 global sales opportunity (adapted: nation dim instead of
+    # phone country codes; "dormant" = no orders since 1999-01-01, the
+    # 7-year clause scaled to the 1995-2001 span where every customer
+    # has SOME order): above-average positive balance by exact
+    # cross-multiplication + NOT-EXISTS-on-recent-orders anti join.
+    sqls["rel_q22_global_sales"] = """
+        WITH cb AS MATERIALIZED (
+          SELECT c_custkey, c_nationkey,
+                 CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS bal
+          FROM customer),
+        pos AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_pos,
+                 CAST(sum(bal) AS HUGEINT) AS sum_pos
+          FROM cb WHERE bal > 0)
+        SELECT n_name, CAST(count(*) AS BIGINT) AS numcust,
+               CAST(sum(bal) AS BIGINT) AS totacctbal_cents
+        FROM cb CROSS JOIN pos
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE CAST(bal AS HUGEINT) * n_pos > sum_pos
+          AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                                WHERE o_orderdate >=
+                                      TIMESTAMP '1999-01-01')
+        GROUP BY 1"""
+
+    # CUSUM change-point flags (kg.relops.count_cusum): Page's recursion
+    # via the prefix-min identity — cumulative sum and running min over
+    # the calendar-bounded daily frame; deviations scaled by D·1e6 and
+    # staged HUGEINT, cusum in ppm of the type's mean daily count.
+    sqls["rel_events_cusum"] = """
+        WITH daily AS MATERIALIZED (
+          SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2),
+        tot AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS d,
+                 CAST(sum(n) AS BIGINT) AS s
+          FROM daily GROUP BY 1),
+        dev AS (
+          SELECT daily.event_type, day, n, s,
+                 CAST(n AS HUGEINT) * d * 1000000
+                   - CAST(s AS HUGEINT) * 1250000 AS dv
+          FROM daily JOIN tot USING (event_type)),
+        cum AS (
+          SELECT event_type, day, n, s,
+                 sum(dv) OVER (PARTITION BY event_type ORDER BY day
+                               ROWS UNBOUNDED PRECEDING) AS p
+          FROM dev),
+        mm AS (
+          SELECT event_type, day, n, s, p,
+                 min(p) OVER (PARTITION BY event_type ORDER BY day
+                              ROWS UNBOUNDED PRECEDING) AS m
+          FROM cum),
+        fin AS (
+          SELECT event_type, day, n,
+                 CASE WHEN s = 0 THEN 0
+                      ELSE CAST((p - least(CAST(0 AS HUGEINT), m))
+                                // CAST(s AS HUGEINT) AS BIGINT)
+                 END AS cusum_ppm
+          FROM mm)
+        SELECT event_type, day, n, cusum_ppm,
+               cusum_ppm > 1500000 AS is_change
+        FROM fin"""
+
+    # Zipf spectrum fit (kg.textstats.zipf_spectrum): exact integer
+    # least squares on (bits(r), bits(N_r)) over the count-of-counts
+    # table; intercept derived from the QUANTIZED slope, same div chain.
+    sqls["text_zipf"] = f"""
+        WITH terms AS (
+          SELECT term, CAST(count(*) AS BIGINT) AS c FROM (
+            SELECT unnest({_TOKS}) AS term
+            FROM documents WHERE lang = 'en')
+          GROUP BY 1),
+        nr AS (SELECT c, CAST(count(*) AS BIGINT) AS n_r
+               FROM terms GROUP BY 1),
+        pts AS (
+          SELECT c, n_r,
+                 CAST(length(bin(c)) - 1 AS HUGEINT) AS x,
+                 CAST(length(bin(n_r)) - 1 AS HUGEINT) AS y
+          FROM nr),
+        agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_points,
+                 CAST(coalesce(sum(n_r), 0) AS BIGINT) AS n_types,
+                 CAST(coalesce(sum(CAST(c AS HUGEINT) * n_r), 0)
+                      AS BIGINT) AS n_tokens,
+                 coalesce(sum(x), 0) AS sx, coalesce(sum(y), 0) AS sy,
+                 coalesce(sum(x * x), 0) AS sxx,
+                 coalesce(sum(x * y), 0) AS sxy
+          FROM pts),
+        sl AS (
+          SELECT *, CASE WHEN n_points * sxx - sx * sx = 0
+                         THEN CAST(0 AS BIGINT)
+                         ELSE CAST((n_points * sxy - sx * sy) * 1000
+                                   // (n_points * sxx - sx * sx)
+                                   AS BIGINT) END AS slope_milli
+          FROM agg)
+        SELECT n_points, n_types, n_tokens, slope_milli,
+               CASE WHEN n_points = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST((sy * 1000
+                               - CAST(slope_milli AS HUGEINT) * sx)
+                              // n_points AS BIGINT)
+               END AS intercept_milli
+        FROM sl"""
+
     # Mojibake audit (kg.textstats.mojibake_profile): the four tell
     # patterns import from MOJIBAKE_PATTERNS (one definition, two
     # engines); DuckDB 1.0 has no \\u escape strings, so non-ASCII chars
@@ -3996,6 +4188,68 @@ def build_oracle_sql() -> dict[str, str]:
         FROM base
         LEFT JOIN inter USING (id_a, id_b, n)
         LEFT JOIN lens ON lens.doc = base.id_a AND lens.n = base.n"""
+
+    # ROUGE-N recall + F1 over the same LSH candidate pairs
+    # (kg.dedup.pair_ngram_f1): the bleu machinery plus the reference
+    # length join; F1's symmetric closed form 2·clipped/(len_a+len_b)
+    # keeps every score one exact integer ratio.
+    sqls["dedup_rouge_pairs"] = f"""
+        WITH sig AS ({_MINHASH_SIG}),
+        buckets AS ({_BANDS}),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM buckets a JOIN buckets b
+            ON a.band = b.band AND a.bucket = b.bucket
+           AND a.doc_id < b.doc_id),
+        ids AS (SELECT DISTINCT id_a AS doc FROM pairs
+                UNION SELECT id_b FROM pairs),
+        toksrc AS (
+          SELECT doc_id AS doc, {_TOKS} AS t
+          FROM documents
+          WHERE lang = 'en' AND doc_id IN (SELECT doc FROM ids)),
+        grams AS (
+          SELECT doc, 1 AS n, t[i] AS gram
+          FROM (SELECT doc, t, generate_subscripts(t, 1) AS i
+                FROM toksrc)
+          UNION ALL
+          SELECT doc, 2, t[i] || ' ' || t[i + 1]
+          FROM (SELECT doc, t, generate_subscripts(t, 1) AS i
+                FROM toksrc)
+          WHERE i < len(t)),
+        counts AS MATERIALIZED (
+          SELECT doc, n, gram, CAST(count(*) AS BIGINT) AS c
+          FROM grams GROUP BY 1, 2, 3),
+        lens AS MATERIALIZED (
+          SELECT doc, n, CAST(sum(c) AS BIGINT) AS ln
+          FROM counts GROUP BY 1, 2),
+        inter AS (
+          SELECT p.id_a, p.id_b, a.n,
+                 CAST(sum(least(a.c, b.c)) AS BIGINT) AS clipped
+          FROM pairs p
+          JOIN counts a ON a.doc = p.id_a
+          JOIN counts b ON b.doc = p.id_b AND b.n = a.n
+           AND b.gram = a.gram
+          GROUP BY 1, 2, 3),
+        base AS (SELECT id_a, id_b, n
+                 FROM pairs, (SELECT 1 AS n UNION ALL SELECT 2) ns),
+        fin AS (
+          SELECT base.id_a, base.id_b, CAST(base.n AS INT) AS n,
+                 coalesce(clipped, 0) AS clipped,
+                 coalesce(la.ln, 0) AS len_a,
+                 coalesce(lb.ln, 0) AS len_b
+          FROM base
+          LEFT JOIN inter USING (id_a, id_b, n)
+          LEFT JOIN lens la ON la.doc = base.id_a AND la.n = base.n
+          LEFT JOIN lens lb ON lb.doc = base.id_b AND lb.n = base.n)
+        SELECT id_a, id_b, n, clipped, len_a, len_b,
+               CASE WHEN len_a = 0 THEN 0
+                    ELSE (clipped * 1000000) // len_a END AS prec_micro,
+               CASE WHEN len_b = 0 THEN 0
+                    ELSE (clipped * 1000000) // len_b END AS rec_micro,
+               CASE WHEN len_a + len_b = 0 THEN 0
+                    ELSE (2 * clipped * 1000000) // (len_a + len_b)
+               END AS f1_micro
+        FROM fin"""
 
     # KMV bottom-k distinct/overlap sketch (kg.sketch.kmv_overlap):
     # deterministic md5 → the sketch is layout-invariant, so the oracle
