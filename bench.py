@@ -165,6 +165,14 @@ HEADLINE = [
     "text_ndcg",             # nDCG@10 of BM25 vs graded coverage
     "rel_events_autocorr",   # symmetrized lag-1 daily autocorrelation
     "rel_fk_audit",          # FK orphan report, 7 anti-join gates
+    "rel_q10_returns",       # TPC-H Q10 top-20, TakeOrderedAndProject
+    "rel_q15_top_supplier",  # TPC-H Q15 max-of-aggregate, single scan
+    "rel_q7_volume_shipping",  # TPC-H Q7 two-role nation join
+    "rel_q17_small_qty",     # TPC-H Q17 decorrelated AVG join-back
+    "rel_q22_global_sales",  # TPC-H Q22 scalar-avg + anti-join
+    "rel_events_cusum",      # CUSUM drift flags, prefix-min identity
+    "text_zipf",             # Zipf spectrum fit, bounded least squares
+    "dedup_rouge_pairs",     # ROUGE-N recall/F1 pair verification
 ]
 
 
