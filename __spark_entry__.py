@@ -3028,6 +3028,40 @@ def q_dedup_rouge_pairs(spark, sf_dir):
     return pair_ngram_f1(d, minhash_lsh_pairs(d, k=16, bands=4, n=2))
 
 
+def q_rel_join_estimate(spark, sf_dir):
+    """Join-size estimation WITHOUT running the join
+    (kg.sketch.ams_join_estimate): AMS tug-of-war sketches of
+    orders.o_orderkey and lineitem.l_orderkey — est |orders ⋈ lineitem|
+    = mean of the d sign-sum products, each side's F2 (self-join size,
+    the skew statistic) alongside, exact audits riding per the
+    ann_recall_ivf convention.  The md5 signs make every z exactly
+    replayable — a full-hash sketch row, no bounded contract."""
+    from kg.sketch import ams_join_estimate
+    od = _read("orders")(spark, sf_dir).select(
+        F.col("o_orderkey").alias("key"))
+    li = _read("lineitem")(spark, sf_dir).select(
+        F.col("l_orderkey").alias("key"))
+    return ams_join_estimate(od, li, col="key", d=16)
+
+
+def q_text_lm_backoff(spark, sf_dir):
+    """Stupid Backoff document scoring
+    (kg.textstats.stupid_backoff_bits, Brants et al. 2007 — the
+    web-scale no-normalization LM recipe): model = the md5-even train
+    half (the jelinek_mercer_lambda split), scored docs carry the
+    deterministic ' qx9 hash' suffix IN BOTH ENGINES so all three
+    branches fire on every doc — seen-bigram frequency ratio, the
+    0.4-unigram backoff ((qx9, hash): 'hash' is in-vocab, the bigram is
+    not), and the 20-bit OOV (w2 = 'qx9' is out-of-vocab)."""
+    from kg.textstats import stupid_backoff_bits
+    d = _docs(spark, sf_dir)
+    train = d.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8")
+    scored = d.withColumn("text",
+                          F.concat(F.col("text"), F.lit(" qx9 hash")))
+    return stupid_backoff_bits(scored, train=train)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # WINDOW-ROTATION RULE (STATUS.md §rotation): the driver's CORRECTNESS
     # artifact covers roughly the FIRST 50 registered queries per round, so
@@ -3111,9 +3145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_tag_hyperball": q_kg_tag_hyperball,
         "corpus_keyness": q_corpus_keyness,
         "rel_events_burstiness": q_rel_events_burstiness,
-        "text_lm_jm": q_text_lm_jm,
         "corpus_minkprob": q_corpus_minkprob,
-        "ann_pq_rerank": q_ann_pq_rerank,
         "embedding_centroid_matrix": q_embedding_centroid_matrix,
         "rel_q14_promo": q_rel_q14_promo,
         "text_ndcg": q_text_ndcg,
@@ -3128,13 +3160,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_events_cusum": q_rel_events_cusum,
         "text_zipf": q_text_zipf,
         "dedup_rouge_pairs": q_dedup_rouge_pairs,
+        "rel_join_estimate": q_rel_join_estimate,
+        "text_lm_backoff": q_text_lm_backoff,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also
         # carry INDIRECT fresh evidence — ann_recall_ivf embeds the
         # cosine/ivf oracle SQL verbatim) — first in line for r5 ---------
         # demoted for the session-14 additions (rel_q10/q15/q7/q17/q22 +
-        # cusum + zipf + rouge), strongest-subsumption-first:
+        # cusum + zipf + rouge + join-estimate + stupid-backoff),
+        # strongest-subsumption-first:
+        # text_lm_jm — its md5-prefix train/held split rule AND the
+        # train-side unigram/bigram count chains are replayed verbatim
+        # in-window by text_lm_backoff (same split predicate, same count
+        # CTEs); the LM-scoring class keeps text_lm_kn_score in-window
+        # and the EM posterior arithmetic is full-python-replay
+        # pytest-pinned
+        "text_lm_jm": q_text_lm_jm,
+        # ann_pq_rerank — stage 1 (the PQ/ADC shortlist) is ann_pq_topk's
+        # SQL embedded verbatim, and the PQ machinery keeps an in-window
+        # row via ann_ivfpq_topk (the same codebook/ADC path with
+        # residuals); the rerank stage is candidate-sized and pinned by
+        # the full-shortlist-equals-exact-topk + candidate-containment
+        # pytests
+        "ann_pq_rerank": q_ann_pq_rerank,
         # text_good_turing — the new in-window text_zipf EXECUTES the same
         # terms→count-of-counts chain and its oracle embeds the identical
         # terms/nr CTE text verbatim, so the spectrum build stays

@@ -173,6 +173,8 @@ HEADLINE = [
     "rel_events_cusum",      # CUSUM drift flags, prefix-min identity
     "text_zipf",             # Zipf spectrum fit, bounded least squares
     "dedup_rouge_pairs",     # ROUGE-N recall/F1 pair verification
+    "rel_join_estimate",     # AMS sketch join-size/skew estimation
+    "text_lm_backoff",       # Stupid Backoff web-scale LM scoring
 ]
 
 

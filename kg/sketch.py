@@ -535,3 +535,99 @@ def hll_group_distinct(values: DataFrame, group_col: str = "group",
     """hll_registers + hll_estimate_registers in one call: per-group
     distinct estimates straight from a value frame."""
     return hll_estimate_registers(hll_registers(values, group_col, col))
+
+
+# ---------------------------------------------------------------------------
+# AMS / tug-of-war second-moment sketch + join-size estimation
+# ---------------------------------------------------------------------------
+AMS_D = 16                        # default estimator count
+
+
+def _ams_sign(col, i: int, salt: str):
+    """±1 from the first md5 nibble's parity of '{salt}:{i}:' || value —
+    deterministic, so sketches are layout-invariant, engine-portable,
+    and mergeable by plain ADDITION (union of batches = sum of z's)."""
+    nib = F.conv(F.substring(
+        F.md5(F.concat(F.lit(f"{salt}:{i}:"),
+                       F.col(col).cast("string"))), 1, 1), 16, 10)
+    return F.lit(1) - F.lit(2) * (nib.cast("bigint") % 2)
+
+
+def ams_sketch(df: DataFrame, col: str = "value", d: int = AMS_D,
+               salt: str = "ams") -> DataFrame:
+    """AMS "tug-of-war" sketch (Alon, Matias & Szegedy 1996) of a key
+    column's frequency vector: d independent estimators
+
+        z_i = Σ_rows sign_i(v)     (sign_i deterministic ±1 via md5)
+
+    E[z_i²] = F2 = Σ_v f_v² — the second frequency moment, i.e. the
+    SELF-JOIN SIZE and the one-number key-skew statistic (uniform keys
+    minimize it; one hot key drives it toward N²).  The d sums are
+    fused into ONE map-side-combining aggregate — no row inflation, no
+    distinct, no value-domain shuffle — then unpivoted to d rows
+    (i, z).  Sketches of two ingest batches ADD; the md5 signs make
+    every z exactly replayable in the oracle (no bounded contract).
+
+    Returns (i, z) — d rows, |z| ≤ rowcount (stage products
+    DECIMAL(38,0) downstream: z² ~ 10²⁴ at 10¹² rows)."""
+    aggs = [F.sum(_ams_sign(col, i, salt)).cast("bigint").alias(f"z{i}")
+            for i in range(d)]
+    wide = df.agg(*aggs)
+    pairs = ", ".join(f"{i}, coalesce(z{i}, 0)" for i in range(d))
+    return (wide.select(F.expr(
+        f"stack({d}, {pairs}) as (i, z)"))
+        .select(F.col("i").cast("int").alias("i"),
+                F.col("z").cast("bigint").alias("z")))
+
+
+def ams_join_estimate(a: DataFrame, b: DataFrame, col: str = "key",
+                      d: int = AMS_D, salt: str = "ams") -> DataFrame:
+    """Join-size estimation WITHOUT running the join (the classic
+    optimizer-statistics application of AMS): |A ⋈_v B| = Σ_v fA(v)·fB(v)
+    has the unbiased estimator mean_i(zA_i · zB_i) (Alon, Gibbons,
+    Matias & Szegedy 1999, "Tracking join and self-join sizes in limited
+    storage"); the same sketches give each side's self-join size
+    F2 ≈ mean_i(z_i²) — the skew diagnosis that says whether the real
+    join needs salting.  Exact audits ride along (the ann_recall_ivf
+    convention: the estimate next to its ground truth): exact join size
+    and exact F2s from per-key count aggregates.
+
+    Returns ONE row (d, est_join_size, exact_join_size, est_f2_a,
+    exact_f2_a, est_f2_b, exact_f2_b) — every cell an exact integer;
+    estimator divisions truncate (div d).
+
+    Scale shape: two one-pass d-sum aggregates (the sketches), two
+    per-key count aggregates + one key-bounded equi-join for the audits
+    (at true scale the audits are the expensive half — drop them and
+    the cost is two scans, zero shuffles)."""
+    za = ams_sketch(a, col, d, salt).select("i", F.col("z").alias("za"))
+    zb = ams_sketch(b, col, d, salt).select("i", F.col("z").alias("zb"))
+    prod = (za.join(zb, "i")
+            .agg(F.expr("cast(sum(cast(za as decimal(38,0)) * zb)"
+                        " div {d} as bigint)".format(d=d))
+                 .alias("est_join_size"),
+                 F.expr("cast(sum(cast(za as decimal(38,0)) * za)"
+                        " div {d} as bigint)".format(d=d))
+                 .alias("est_f2_a"),
+                 F.expr("cast(sum(cast(zb as decimal(38,0)) * zb)"
+                        " div {d} as bigint)".format(d=d))
+                 .alias("est_f2_b")))
+    ca = a.groupBy(F.col(col).alias("k")).agg(
+        F.count("*").cast("bigint").alias("fa"))
+    cb = b.groupBy(F.col(col).alias("k")).agg(
+        F.count("*").cast("bigint").alias("fb"))
+    exact = (ca.join(cb, "k")
+             .agg(F.expr("cast(coalesce(sum(cast(fa as decimal(38,0))"
+                         " * fb), 0) as bigint)")
+                  .alias("exact_join_size")))
+    f2a = ca.agg(F.expr("cast(coalesce(sum(cast(fa as decimal(38,0))"
+                        " * fa), 0) as bigint)").alias("exact_f2_a"))
+    f2b = cb.agg(F.expr("cast(coalesce(sum(cast(fb as decimal(38,0))"
+                        " * fb), 0) as bigint)").alias("exact_f2_b"))
+    return (prod.crossJoin(F.broadcast(exact))
+            .crossJoin(F.broadcast(f2a))
+            .crossJoin(F.broadcast(f2b))
+            .select(F.lit(d).cast("int").alias("d"),
+                    "est_join_size", "exact_join_size",
+                    "est_f2_a", "exact_f2_a",
+                    "est_f2_b", "exact_f2_b"))

@@ -1035,6 +1035,84 @@ def kn_doc_bits(df: DataFrame, model: DataFrame | None = None,
                         F.expr("(total_bits * 1000000) div n_bigrams")))
 
 
+def stupid_backoff_bits(df: DataFrame, train: DataFrame | None = None,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        oov_bits: int = 20) -> DataFrame:
+    """Stupid Backoff bigram scoring (Brants, Popat, Xu, Och & Dean
+    2007, "Large Language Models in Machine Translation" — THE
+    published web-scale distributed-LM recipe: at trillion-token
+    corpora it drops normalization entirely, because relative
+    frequencies plus one fixed backoff multiplier match smoothed LMs
+    while costing only count lookups):
+
+        S(w2|w1) = c(w1 w2)/c(w1)      if the bigram was seen
+                 = 0.4 · c(w2)/N       else (α = 0.4, the paper's value)
+
+    in the house floor-log2 integer surrogate — per scored bigram
+
+        bits = length(bin(c1 div c12))            seen
+             = length(bin((5·N) div (2·c2)))      backoff (1/0.4 = 5/2)
+             = oov_bits                           w2 unseen entirely
+
+    (both div arguments are ≥ 1 by counting: c1 ≥ Σ_w2 c12 and N ≥ c2,
+    so bin() never sees 0).  `train` is the model corpus (None = score
+    df against itself — then the backoff branch never fires, so
+    held-out callers pass the md5-split train half, the
+    jelinek_mercer_lambda convention).
+
+    Returns (doc, n_bigrams, n_backoff, n_oov, total_bits,
+    avg_bits_micro); single-token and empty docs emit no row (the
+    bigram_surprisal contract).
+
+    Scale shape: model = one unigram aggregate + one bigram aggregate
+    over the train corpus (vocabulary/vocabulary²-bounded outputs, both
+    map-side combining) + ONE broadcast total scalar; scoring = per-doc
+    in-row bigram build → (doc, w1, w2) aggregate → three hash joins
+    against the model frames (each far smaller than the corpus) → one
+    groupBy(doc).  No windows, no floats, no normalization pass — the
+    paper's point."""
+    if train is None:
+        train = df
+    uni = (train.select(F.explode(tokens_col(text_col)).alias("w"))
+           .groupBy("w").agg(F.count("*").cast("bigint").alias("c")))
+    tot = uni.agg(F.sum("c").cast("bigint").alias("_n_tok"))
+    big = (train.select(F.explode(bigram_structs(text_col)).alias("b"))
+           .select("b.w1", "b.w2")
+           .groupBy("w1", "w2")
+           .agg(F.count("*").cast("bigint").alias("c12")))
+    tf = (df.select(F.col(id_col).alias("doc"),
+                    F.explode(bigram_structs(text_col)).alias("b"))
+          .select("doc", "b.w1", "b.w2")
+          .groupBy("doc", "w1", "w2")
+          .agg(F.count("*").cast("bigint").alias("tf")))
+    scored = (tf.join(big, ["w1", "w2"], "left")
+              .join(uni.select(F.col("w").alias("w1"),
+                               F.col("c").alias("c1")), "w1", "left")
+              .join(uni.select(F.col("w").alias("w2"),
+                               F.col("c").alias("c2")), "w2", "left")
+              .crossJoin(F.broadcast(tot))
+              .withColumn("branch", F.expr(
+                  "CASE WHEN c12 IS NOT NULL THEN 0 "
+                  "WHEN c2 IS NOT NULL THEN 1 ELSE 2 END"))
+              .withColumn("bits", F.expr(
+                  f"CASE WHEN branch = 0 THEN"
+                  f" cast(length(bin(c1 div c12)) as bigint)"
+                  f" WHEN branch = 1 THEN"
+                  f" cast(length(bin((5 * _n_tok) div (2 * c2)))"
+                  f" as bigint)"
+                  f" ELSE cast({int(oov_bits)} as bigint) END")))
+    return (scored.groupBy("doc")
+            .agg(F.sum("tf").cast("bigint").alias("n_bigrams"),
+                 F.sum(F.when(F.col("branch") == 1, F.col("tf"))
+                       .otherwise(0)).cast("bigint").alias("n_backoff"),
+                 F.sum(F.when(F.col("branch") == 2, F.col("tf"))
+                       .otherwise(0)).cast("bigint").alias("n_oov"),
+                 F.sum(F.col("tf") * F.col("bits")).cast("bigint")
+                 .alias("total_bits"))
+            .withColumn("avg_bits_micro",
+                        F.expr("(total_bits * 1000000) div n_bigrams")))
+
+
 def winnow_fingerprints(df: DataFrame, k: int = 3, w: int = 4,
                         text_col: str = "text",
                         id_col: str = "doc_id") -> DataFrame:

@@ -855,3 +855,29 @@ def test_zipf_spectrum_no_window_no_python(spark):
     plan = _plan(zipf_spectrum(docs))
     assert "Window" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_ams_join_estimate_aggregates_only(spark):
+    """kg.sketch.ams_join_estimate: the sketches are one-pass
+    aggregates (d sign sums fused, no per-estimator row inflation
+    before the agg) — no Window, no Python eval anywhere; the scalar
+    combine rides broadcast nested-loop cross joins of 1-row frames."""
+    from kg.sketch import ams_join_estimate
+    od = spark.read.parquet("/root/testdata/sf0.001/orders.parquet") \
+        .selectExpr("o_orderkey as key")
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet") \
+        .selectExpr("l_orderkey as key")
+    plan = _plan(ams_join_estimate(od, li, "key"))
+    assert "Window" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_stupid_backoff_no_window_no_python(spark):
+    """kg.textstats.stupid_backoff_bits: counts + hash joins only — the
+    paper's no-normalization point shows up as a plan with no Window
+    and no Python eval."""
+    from kg.textstats import stupid_backoff_bits
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(stupid_backoff_bits(docs))
+    assert "Window" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -275,3 +275,82 @@ class TestHllPortable:
         r = hll_group_distinct(df).collect()[0]
         assert r["n_hit"] + r["n_zero"] == 64
         assert abs(r["est_distinct"] - 2000) <= 780
+
+
+# --- AMS tug-of-war F2 / join-size sketch (kg.sketch.ams_*) ---------------
+
+class TestAmsSketch:
+    def test_python_sign_replay_and_mergeability(self, spark):
+        """The z's replay bit-exactly from hashlib md5 parity, and
+        sketch(A union B) == sketch(A) + sketch(B) per estimator (the
+        mergeable-by-addition contract)."""
+        import hashlib
+        from kg.sketch import ams_sketch
+        a_vals, b_vals = [1, 2, 2, 3], [2, 3, 3, 3, 9]
+        a = spark.createDataFrame([(v,) for v in a_vals], "key long")
+        b = spark.createDataFrame([(v,) for v in b_vals], "key long")
+
+        def sign(i, v):
+            h = hashlib.md5(f"ams:{i}:{v}".encode()).hexdigest()
+            return 1 - 2 * (int(h[0], 16) % 2)
+
+        za = {r.i: r.z for r in ams_sketch(a, "key", d=4).collect()}
+        zb = {r.i: r.z for r in ams_sketch(b, "key", d=4).collect()}
+        for i in range(4):
+            assert za[i] == sum(sign(i, v) for v in a_vals)
+            assert zb[i] == sum(sign(i, v) for v in b_vals)
+        zu = {r.i: r.z for r in
+              ams_sketch(a.unionByName(b), "key", d=4).collect()}
+        assert zu == {i: za[i] + zb[i] for i in range(4)}
+
+    def test_partition_invariance(self, spark):
+        from kg.sketch import ams_sketch
+        vals = [(v % 7,) for v in range(500)]
+        df = spark.createDataFrame(vals, "key long")
+        one = {r.i: r.z for r in
+               ams_sketch(df.coalesce(1), "key").collect()}
+        many = {r.i: r.z for r in
+                ams_sketch(df.repartition(13), "key").collect()}
+        assert one == many
+
+    def test_join_estimate_exact_audits_and_replay(self, spark):
+        """Exact audit columns are hand-computable (fa*fb over shared
+        keys, sum of squared counts), and the estimates replay from the
+        python signs exactly — deterministic, no tolerance needed."""
+        import hashlib
+        from collections import Counter
+        from kg.sketch import ams_join_estimate
+        a_vals = [1, 1, 2, 3, 3, 3]
+        b_vals = [1, 2, 2, 4]
+        a = spark.createDataFrame([(v,) for v in a_vals], "key long")
+        b = spark.createDataFrame([(v,) for v in b_vals], "key long")
+        fa, fb = Counter(a_vals), Counter(b_vals)
+        r = ams_join_estimate(a, b, "key", d=16).collect()[0]
+        assert r.exact_join_size == sum(fa[k] * fb[k] for k in fa)  # 2+2
+        assert r.exact_f2_a == sum(c * c for c in fa.values())      # 14
+        assert r.exact_f2_b == sum(c * c for c in fb.values())      # 6
+
+        def sign(i, v):
+            h = hashlib.md5(f"ams:{i}:{v}".encode()).hexdigest()
+            return 1 - 2 * (int(h[0], 16) % 2)
+
+        za = [sum(sign(i, v) for v in a_vals) for i in range(16)]
+        zb = [sum(sign(i, v) for v in b_vals) for i in range(16)]
+
+        def tdiv(n, d):
+            return abs(n) // d * (1 if n >= 0 else -1)
+        assert r.est_join_size == tdiv(
+            sum(x * y for x, y in zip(za, zb)), 16)
+        assert r.est_f2_a == tdiv(sum(x * x for x in za), 16)
+        assert r.est_f2_b == tdiv(sum(x * x for x in zb), 16)
+
+    def test_estimate_converges_on_uniform_keys(self, spark):
+        """On 1000 distinct keys per side with a 1:1 match, F2 and join
+        size are all 1000; with d=16 the estimator lands within the
+        published O(F2/sqrt(d)) band — wide, but pins sanity."""
+        from kg.sketch import ams_join_estimate
+        a = spark.range(1000).selectExpr("id as key")
+        r = ams_join_estimate(a, a, "key").collect()[0]
+        assert r.exact_join_size == r.exact_f2_a == 1000
+        assert 0 < r.est_f2_a < 3000
+        assert r.est_join_size == r.est_f2_a == r.est_f2_b  # same side

@@ -600,3 +600,44 @@ class TestZipfSpectrum:
         # test pins the exact replay, the hand fixture pins the sign
         # behavior on a true power-law table.
         assert r.n_types == 31
+
+
+class TestStupidBackoff:
+    def test_hand_computed_three_branches(self, spark):
+        """Train 'a b a c': c(a)=2 b=1 c=1, N=4; bigrams ab/ba/ac = 1.
+        Score 'a b x c': (a,b) seen -> bits(2 div 1)=2; (b,x) OOV -> 20;
+        (x,c) backoff -> bits((5*4) div (2*1)) = bits(10) = 4."""
+        from kg.textstats import stupid_backoff_bits
+        train = spark.createDataFrame([(0, "a b a c")],
+                                      "doc_id long, text string")
+        score = spark.createDataFrame([(7, "a b x c")],
+                                      "doc_id long, text string")
+        r = stupid_backoff_bits(score, train=train).collect()[0]
+        assert (r.doc, r.n_bigrams, r.n_backoff, r.n_oov) == (7, 3, 1, 1)
+        assert r.total_bits == 2 + 20 + 4
+        assert r.avg_bits_micro == (26 * 1_000_000) // 3
+
+    def test_self_scoring_never_backs_off(self, spark):
+        """train=None scores the corpus against itself: every bigram is
+        in the model, so the backoff/OOV branches never fire."""
+        from kg.textstats import stupid_backoff_bits
+        docs = spark.createDataFrame(
+            [(0, "a b c a b"), (1, "c a")], "doc_id long, text string")
+        out = stupid_backoff_bits(docs).collect()
+        assert all(r.n_backoff == 0 and r.n_oov == 0 for r in out)
+
+    def test_single_token_and_empty_docs_absent(self, spark):
+        from kg.textstats import stupid_backoff_bits
+        docs = spark.createDataFrame(
+            [(0, "a b"), (1, "a"), (2, "")], "doc_id long, text string")
+        out = {r.doc for r in stupid_backoff_bits(docs).collect()}
+        assert out == {0}
+
+    def test_repeated_bigrams_weighted_by_tf(self, spark):
+        """'a b a b a b' against itself: 5 transitions, tf-weighted —
+        (a,b) 3x at bits(3 div 3)=1, (b,a) 2x at bits(3 div 2)=1."""
+        from kg.textstats import stupid_backoff_bits
+        docs = spark.createDataFrame([(0, "a b a b a b")],
+                                     "doc_id long, text string")
+        r = stupid_backoff_bits(docs).collect()[0]
+        assert (r.n_bigrams, r.total_bits) == (5, 5)

@@ -1674,6 +1674,99 @@ def build_oracle_sql() -> dict[str, str]:
                END AS intercept_milli
         FROM sl"""
 
+    # AMS join-size estimation (kg.sketch.ams_join_estimate): 16
+    # deterministic ±1 sign sums per side (sign = first-md5-nibble
+    # parity of 'ams:{i}:' || key), est = mean of products; exact
+    # audits from per-key count aggregates; everything HUGEINT-staged.
+    def _ams_z(key: str, i: int) -> str:
+        nib = (f"(strpos('0123456789abcdef', substr(md5('ams:{i}:' ||"
+               f" CAST({key} AS VARCHAR)), 1, 1)) - 1)")
+        return f"CAST(sum(1 - 2 * ({nib} % 2)) AS BIGINT) AS z{i}"
+
+    _za = ", ".join(_ams_z("o_orderkey", i) for i in range(16))
+    _zb = ", ".join(_ams_z("l_orderkey", i) for i in range(16))
+    _p_join = " + ".join(
+        f"CAST(za.z{i} AS HUGEINT) * zb.z{i}" for i in range(16))
+    _p_f2a = " + ".join(
+        f"CAST(za.z{i} AS HUGEINT) * za.z{i}" for i in range(16))
+    _p_f2b = " + ".join(
+        f"CAST(zb.z{i} AS HUGEINT) * zb.z{i}" for i in range(16))
+    sqls["rel_join_estimate"] = f"""
+        WITH za AS (SELECT {_za} FROM orders),
+        zb AS (SELECT {_zb} FROM lineitem),
+        ca AS (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS fa
+               FROM orders GROUP BY 1),
+        cb AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS fb
+               FROM lineitem GROUP BY 1),
+        ex AS (SELECT CAST(coalesce(sum(CAST(fa AS HUGEINT) * fb), 0)
+                           AS BIGINT) AS exact_join_size
+               FROM ca JOIN cb USING (k)),
+        fa2 AS (SELECT CAST(coalesce(sum(CAST(fa AS HUGEINT) * fa), 0)
+                            AS BIGINT) AS exact_f2_a FROM ca),
+        fb2 AS (SELECT CAST(coalesce(sum(CAST(fb AS HUGEINT) * fb), 0)
+                            AS BIGINT) AS exact_f2_b FROM cb)
+        SELECT CAST(16 AS INT) AS d,
+               CAST(({_p_join}) // 16 AS BIGINT) AS est_join_size,
+               exact_join_size,
+               CAST(({_p_f2a}) // 16 AS BIGINT) AS est_f2_a,
+               exact_f2_a,
+               CAST(({_p_f2b}) // 16 AS BIGINT) AS est_f2_b,
+               exact_f2_b
+        FROM za, zb, ex, fa2, fb2"""
+
+    # Stupid Backoff scoring (kg.textstats.stupid_backoff_bits): model
+    # from the md5-even train half; every scored doc carries the
+    # ' qx9 hash' suffix so all three branches fire — seen ratio,
+    # 0.4-backoff (5N div 2c2), 20-bit OOV.
+    sqls["text_lm_backoff"] = f"""
+        WITH train AS MATERIALIZED (
+          SELECT {_TOKS} AS t
+          FROM documents
+          WHERE lang = 'en'
+            AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'),
+        uni AS MATERIALIZED (
+          SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+            SELECT unnest(t) AS w FROM train) GROUP BY 1),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_tok FROM uni),
+        big AS MATERIALIZED (
+          SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM (
+            SELECT t[i] AS w1, t[i + 1] AS w2
+            FROM (SELECT t, generate_subscripts(t, 1) AS i FROM train)
+            WHERE i < len(t)) GROUP BY 1, 2),
+        sc AS (
+          SELECT doc_id AS doc,
+                 regexp_split_to_array(text || ' qx9 hash', ' ') AS t
+          FROM documents WHERE lang = 'en'),
+        tf AS (
+          SELECT doc, t[i] AS w1, t[i + 1] AS w2,
+                 CAST(count(*) AS BIGINT) AS tf
+          FROM (SELECT doc, t, generate_subscripts(t, 1) AS i FROM sc)
+          WHERE i < len(t) GROUP BY 1, 2, 3),
+        scored AS (
+          SELECT doc, tf,
+                 CASE WHEN c12 IS NOT NULL THEN 0
+                      WHEN u2.c IS NOT NULL THEN 1 ELSE 2 END AS branch,
+                 CASE WHEN c12 IS NOT NULL
+                      THEN CAST(length(bin(u1.c // c12)) AS BIGINT)
+                      WHEN u2.c IS NOT NULL
+                      THEN CAST(length(bin((5 * n_tok) // (2 * u2.c)))
+                           AS BIGINT)
+                      ELSE CAST(20 AS BIGINT) END AS bits
+          FROM tf
+          LEFT JOIN big USING (w1, w2)
+          LEFT JOIN uni u1 ON u1.w = tf.w1
+          LEFT JOIN uni u2 ON u2.w = tf.w2
+          CROSS JOIN tot)
+        SELECT doc, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+               CAST(coalesce(sum(CASE WHEN branch = 1 THEN tf END), 0)
+                    AS BIGINT) AS n_backoff,
+               CAST(coalesce(sum(CASE WHEN branch = 2 THEN tf END), 0)
+                    AS BIGINT) AS n_oov,
+               CAST(sum(tf * bits) AS BIGINT) AS total_bits,
+               (CAST(sum(tf * bits) AS BIGINT) * 1000000)
+                 // CAST(sum(tf) AS BIGINT) AS avg_bits_micro
+        FROM scored GROUP BY 1"""
+
     # Mojibake audit (kg.textstats.mojibake_profile): the four tell
     # patterns import from MOJIBAKE_PATTERNS (one definition, two
     # engines); DuckDB 1.0 has no \\u escape strings, so non-ASCII chars
