@@ -3062,6 +3062,36 @@ def q_text_lm_backoff(spark, sf_dir):
     return stupid_backoff_bits(scored, train=train)
 
 
+def q_multimodal_tiff(spark, sf_dir):
+    """REAL TIFF dims parse (kg.multimodal.tiff_bytes/_tiff_dims):
+    baseline TIFF 6.0 IFD walk — both byte orders (II/MM alternating by
+    vec_id), ImageWidth as SHORT and ImageLength as LONG (both value
+    types), a pointed-outside BitsPerSample and a private tag the
+    walker must skip; the 80-byte container size is constant by
+    construction (the multimodal_video convention), pixel decode
+    deliberately absent (dims-only, means −1).  Every cell arithmetic
+    in vec_id → full oracle replay."""
+    import pandas as pd
+    from kg import multimodal as mm
+    emb = _read("embeddings")(spark, sf_dir).select("vec_id")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for v in pdf["vec_id"]:
+                i = int(v)
+                rows.append((i, "image", "tiff",
+                             mm.tiff_bytes(i, 4 + i % 6, 3 + i % 5,
+                                           big_endian=bool(i % 2))))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "format", "payload"])
+
+    media = emb.mapInPandas(gen, mm.MEDIA_SCHEMA).localCheckpoint()
+    return mm.decode_image_features(media).select(
+        "media_id", "format", "width", "height", "n_bytes",
+        "n_rgb_bytes", "mean_r")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # WINDOW-ROTATION RULE (STATUS.md §rotation): the driver's CORRECTNESS
     # artifact covers roughly the FIRST 50 registered queries per round, so
@@ -3145,7 +3175,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_tag_hyperball": q_kg_tag_hyperball,
         "corpus_keyness": q_corpus_keyness,
         "rel_events_burstiness": q_rel_events_burstiness,
-        "corpus_minkprob": q_corpus_minkprob,
         "embedding_centroid_matrix": q_embedding_centroid_matrix,
         "rel_q14_promo": q_rel_q14_promo,
         "text_ndcg": q_text_ndcg,
@@ -3162,6 +3191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_rouge_pairs": q_dedup_rouge_pairs,
         "rel_join_estimate": q_rel_join_estimate,
         "text_lm_backoff": q_text_lm_backoff,
+        "multimodal_tiff": q_multimodal_tiff,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also
@@ -3184,6 +3214,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the full-shortlist-equals-exact-topk + candidate-containment
         # pytests
         "ann_pq_rerank": q_ann_pq_rerank,
+        # corpus_minkprob — demoted for multimodal_tiff: its
+        # histogram-exact bounded-window machinery (whole low bins +
+        # exact boundary-bin remainder) keeps an in-window row via
+        # corpus_quality_strata (the same nearest-rank-over-DISTINCT-
+        # values argument), the unigram floor-log2 bits class keeps
+        # text_lm_kn_score/text_lm_backoff in-window, and the
+        # boundary-split/partial-take/memorized-lower pytests pin the
+        # Min-K% arithmetic exactly
+        "corpus_minkprob": q_corpus_minkprob,
         # text_good_turing — the new in-window text_zipf EXECUTES the same
         # terms→count-of-counts chain and its oracle embeds the identical
         # terms/nr CTE text verbatim, so the spectrum build stays

@@ -175,6 +175,7 @@ HEADLINE = [
     "dedup_rouge_pairs",     # ROUGE-N recall/F1 pair verification
     "rel_join_estimate",     # AMS sketch join-size/skew estimation
     "text_lm_backoff",       # Stupid Backoff web-scale LM scoring
+    "multimodal_tiff",       # TIFF 6.0 IFD-walk dims, both byte orders
 ]
 
 

@@ -100,6 +100,77 @@ def png_ihdr_bytes(width: int, height: int) -> bytes:
             + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF))
 
 
+def tiff_bytes(media_id: int, width: int, height: int,
+               big_endian: bool = False) -> bytes:
+    """Minimal valid baseline TIFF (TIFF 6.0 spec): byte-order mark
+    (II little / MM big), magic 42, one IFD with ImageWidth(256) as a
+    SHORT and ImageLength(257) as a LONG — exercising both value types
+    and both byte orders — plus Compression(259)=1, a BitsPerSample
+    triple pointed OUTSIDE the 4-byte value field (the offset case the
+    walker must skip over correctly), and a private tag (32995) the
+    walker must ignore.  The dims-parse fixture for image_dims' IFD
+    walk; pixel data is deliberately absent (dims-only, the GIF/PNG-hdr
+    convention — strip decode stays the marked PIL point)."""
+    e = ">" if big_endian else "<"
+    n_entries = 5
+    ifd_off = 8
+    after_entries = ifd_off + 2 + n_entries * 12 + 4   # + next-IFD ptr
+
+    def entry(tag: int, typ: int, count: int, value: int,
+              short_value: bool) -> bytes:
+        head = struct.pack(e + "HHI", tag, typ, count)
+        if short_value:     # SHORT left-justified in the 4-byte field
+            return head + struct.pack(e + "H", value) + b"\x00\x00"
+        return head + struct.pack(e + "I", value)
+
+    entries = (
+        entry(256, 3, 1, width, True)                 # ImageWidth SHORT
+        + entry(257, 4, 1, height, False)             # ImageLength LONG
+        + entry(258, 3, 3, after_entries, False)      # BitsPerSample ptr
+        + entry(259, 3, 1, 1, True)                   # Compression=none
+        + entry(32995, 3, 1, media_id % 7, True))     # private: ignored
+    header = struct.pack(e + "2sHI", b"MM" if big_endian else b"II",
+                         42, ifd_off)
+    ifd = struct.pack(e + "H", n_entries) + entries \
+        + struct.pack(e + "I", 0)                     # no next IFD
+    bps = struct.pack(e + "HHH", 8, 8, 8)             # pointed-to data
+    return header + ifd + bps
+
+
+def _tiff_dims(payload: bytes) -> tuple[int, int]:
+    """IFD0 walk for tags 256/257 (SHORT or LONG, II or MM); unknown
+    tags and out-of-field value pointers are skipped by construction
+    (every entry is 12 bytes regardless of type)."""
+    e = {b"II": "<", b"MM": ">"}[payload[:2]]
+    magic, ifd_off = struct.unpack(e + "HI", payload[2:8])
+    if magic != 42:
+        raise ValueError("bad TIFF magic")
+    if len(payload) < ifd_off + 2:
+        raise ValueError("truncated TIFF: IFD offset past payload")
+    (n,) = struct.unpack(e + "H", payload[ifd_off:ifd_off + 2])
+    if len(payload) < ifd_off + 2 + n * 12:
+        raise ValueError("truncated TIFF: IFD entries past payload")
+    w = h = None
+    for k in range(n):
+        off = ifd_off + 2 + k * 12
+        tag, typ, _cnt = struct.unpack(e + "HHI", payload[off:off + 8])
+        if tag not in (256, 257):
+            continue
+        if typ == 3:        # SHORT, left-justified in the value field
+            (val,) = struct.unpack(e + "H", payload[off + 8:off + 10])
+        elif typ == 4:      # LONG
+            (val,) = struct.unpack(e + "I", payload[off + 8:off + 12])
+        else:
+            raise ValueError(f"unsupported TIFF dim type {typ}")
+        if tag == 256:
+            w = val
+        else:
+            h = val
+    if w is None or h is None:
+        raise ValueError("TIFF IFD0 missing ImageWidth/ImageLength")
+    return w, h
+
+
 def _png_chunk(tag: bytes, data: bytes) -> bytes:
     return (struct.pack(">I", len(data)) + tag + data
             + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
@@ -247,6 +318,8 @@ def image_dims(payload: bytes) -> tuple[int, int]:
         return struct.unpack(">II", payload[16:24])
     if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
         return struct.unpack("<HH", payload[6:10])
+    if payload[:2] in (b"II", b"MM") and len(payload) >= 8:
+        return _tiff_dims(payload)
     raise NotImplementedError(
         "unsupported image format (JPEG/... need an imaging library "
         "not present in this environment) — integration point: dispatch "

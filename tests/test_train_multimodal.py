@@ -480,3 +480,62 @@ class TestImageAhash:
         assert got[2] == (-1, "-")
         assert got[3] == (-1, "-")     # under 8x8: no meaningful grid
         assert got[4] == (-1, "-")     # corrupt IDAT: zlib.error eaten
+
+
+class TestTiff:
+    def test_roundtrip_both_endians_and_types(self):
+        """Width travels as SHORT, height as LONG, in both byte orders;
+        the pointed-outside BitsPerSample and the private tag must not
+        confuse the walk; container is exactly 80 bytes."""
+        from kg.multimodal import image_dims, tiff_bytes
+        for be in (False, True):
+            p = tiff_bytes(9, 640, 70000, big_endian=be)
+            assert len(p) == 80
+            assert image_dims(p) == (640, 70000)  # LONG height > u16
+
+    def test_malformed_payloads_raise_valueerror(self):
+        """Truncated IFDs and a wrong magic raise ValueError (a defined
+        parse failure), never struct.error from a blind unpack."""
+        import pytest
+        from kg.multimodal import image_dims, tiff_bytes
+        good = tiff_bytes(1, 5, 4)
+        with pytest.raises(ValueError):
+            image_dims(good[:10])          # IFD count past payload
+        with pytest.raises(ValueError):
+            image_dims(good[:20])          # entries past payload
+        with pytest.raises(ValueError):
+            image_dims(b"II\x2b\x00" + good[4:])   # BigTIFF magic 43
+
+    def test_missing_dim_tag_raises(self):
+        """An IFD without ImageLength is a defined failure."""
+        import struct
+        import pytest
+        from kg.multimodal import image_dims
+        e = "<"
+        entry = struct.pack(e + "HHI", 256, 3, 1) \
+            + struct.pack(e + "H", 5) + b"\x00\x00"
+        payload = (struct.pack(e + "2sHI", b"II", 42, 8)
+                   + struct.pack(e + "H", 1) + entry
+                   + struct.pack(e + "I", 0))
+        with pytest.raises(ValueError):
+            image_dims(payload)
+
+    def test_decode_features_dims_only_contract(self, spark):
+        """Through decode_image_features: dims parse, pixels honestly
+        -1 (the png-hdr contract), size 80 constant."""
+        import pandas as pd
+        from kg import multimodal as mm
+        rows = [(i, "image", "tiff",
+                 mm.tiff_bytes(i, 4 + i, 3 + i, big_endian=bool(i % 2)))
+                for i in range(4)]
+        media = spark.createDataFrame(
+            pd.DataFrame(rows,
+                         columns=["media_id", "kind", "format",
+                                  "payload"]), mm.MEDIA_SCHEMA)
+        got = {r.media_id: r for r in
+               mm.decode_image_features(media).collect()}
+        for i in range(4):
+            r = got[i]
+            assert (r.width, r.height) == (4 + i, 3 + i)
+            assert r.n_bytes == 80
+            assert r.n_rgb_bytes == -1 and r.mean_r == -1

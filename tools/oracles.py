@@ -1714,6 +1714,20 @@ def build_oracle_sql() -> dict[str, str]:
                exact_f2_b
         FROM za, zb, ex, fa2, fb2"""
 
+    # TIFF dims parse (kg.multimodal._tiff_dims over tiff_bytes
+    # fixtures): every cell arithmetic in vec_id — dims from the
+    # generator moduli, the 80-byte container constant by construction
+    # (8 hdr + 2 count + 5*12 entries + 4 next-ptr + 6 bps), pixel
+    # decode absent -> n_rgb_bytes/mean -1 (the png-hdr contract).
+    sqls["multimodal_tiff"] = """
+        SELECT vec_id AS media_id, 'tiff' AS format,
+               CAST(4 + vec_id % 6 AS INT) AS width,
+               CAST(3 + vec_id % 5 AS INT) AS height,
+               CAST(80 AS BIGINT) AS n_bytes,
+               CAST(-1 AS BIGINT) AS n_rgb_bytes,
+               CAST(-1 AS INT) AS mean_r
+        FROM embeddings"""
+
     # Stupid Backoff scoring (kg.textstats.stupid_backoff_bits): model
     # from the md5-even train half; every scored doc carries the
     # ' qx9 hash' suffix so all three branches fire — seen ratio,
