@@ -3092,6 +3092,40 @@ def q_multimodal_tiff(spark, sf_dir):
         "n_rgb_bytes", "mean_r")
 
 
+def q_text_rare_spans(spark, sf_dir):
+    """Rare-span k-anonymity redaction (kg.dedup.rare_span_redact):
+    every 3-token chunk unique to ONE document is replaced by [RARE]
+    everywhere — the secret-sharer memorization gate that removes
+    UNIQUENESS itself where regex PII removes known shapes; the inverse
+    action of dedup_paragraph over the same disjoint-chunk machinery
+    (distinct-doc frequency, not occurrence count)."""
+    from kg.dedup import rare_span_redact
+    return (rare_span_redact(_read("documents")(spark, sf_dir),
+                             w=3, k_anon=2)
+            .select("doc_id", "n_chunks", "n_rare", "text_redacted"))
+
+
+def q_ann_recall_matryoshka(spark, sf_dir):
+    """Matryoshka truncation audit (kg.similarity.topk_recall over
+    dimension-sliced vectors): recall@5 of brute cosine on the FIRST 16
+    dimensions against full 64-dim brute cosine — the decision metric
+    for MRL-style truncated-embedding serving (4× memory/bandwidth cut;
+    this row says what it costs in neighbor fidelity).  Slicing is
+    F.slice on the stored array — zero new operators, the audit
+    composes the already-oracled exact ranker with itself at two
+    widths."""
+    import kg.similarity as kgsim
+    emb = _read("embeddings")(spark, sf_dir)
+    qs = (emb.filter(F.col("vec_id") < 10)
+          .select(F.col("vec_id").alias("query_id"), "embedding"))
+    emb16 = emb.select("vec_id",
+                       F.slice("embedding", 1, 16).alias("embedding"))
+    qs16 = qs.select("query_id",
+                     F.slice("embedding", 1, 16).alias("embedding"))
+    return kgsim.topk_recall(kgsim.cosine_topk(emb16, qs16, k=5),
+                             kgsim.cosine_topk(emb, qs, k=5), k=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # WINDOW-ROTATION RULE (STATUS.md §rotation): the driver's CORRECTNESS
     # artifact covers roughly the FIRST 50 registered queries per round, so
@@ -3173,8 +3207,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chi2_pairs": q_text_chi2_pairs,
         "rel_q16_supplier_cnt": q_rel_q16_supplier_cnt,
         "kg_tag_hyperball": q_kg_tag_hyperball,
-        "corpus_keyness": q_corpus_keyness,
-        "rel_events_burstiness": q_rel_events_burstiness,
         "embedding_centroid_matrix": q_embedding_centroid_matrix,
         "rel_q14_promo": q_rel_q14_promo,
         "text_ndcg": q_text_ndcg,
@@ -3192,6 +3224,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_join_estimate": q_rel_join_estimate,
         "text_lm_backoff": q_text_lm_backoff,
         "multimodal_tiff": q_multimodal_tiff,
+        "text_rare_spans": q_text_rare_spans,
+        "ann_recall_matryoshka": q_ann_recall_matryoshka,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also
@@ -3214,6 +3248,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the full-shortlist-equals-exact-topk + candidate-containment
         # pytests
         "ann_pq_rerank": q_ann_pq_rerank,
+        # corpus_keyness — demoted for text_rare_spans: its HUGEINT
+        # cross-product contingency class keeps an in-window row via
+        # text_chi2_pairs (the same Manning-Schütze 2x2 family over the
+        # same bigram/term count machinery), the explode+term-count
+        # chain ships in-window via text_zipf/text_lm_backoff, and the
+        # hand-formula/absent-term/gate pytests pin the odds arithmetic
+        "corpus_keyness": q_corpus_keyness,
+        # rel_events_burstiness — demoted for ann_recall_matryoshka: its
+        # per-user (ts, event_id) lag-window machinery keeps an
+        # in-window row via rel_events_surprisal (the same window class
+        # and tie-break), the exact single-division HUGEINT rational
+        # class via text_chi2_pairs, and the hand-Fano/metronomic-zero/
+        # min-gaps pytests pin the formula
+        "rel_events_burstiness": q_rel_events_burstiness,
         # corpus_minkprob — demoted for multimodal_tiff: its
         # histogram-exact bounded-window machinery (whole low bins +
         # exact boundary-bin remainder) keeps an in-window row via

@@ -176,6 +176,8 @@ HEADLINE = [
     "rel_join_estimate",     # AMS sketch join-size/skew estimation
     "text_lm_backoff",       # Stupid Backoff web-scale LM scoring
     "multimodal_tiff",       # TIFF 6.0 IFD-walk dims, both byte orders
+    "text_rare_spans",       # secret-sharer unique-span redaction
+    "ann_recall_matryoshka", # truncated-dim vs full-dim recall audit
 ]
 
 

@@ -666,6 +666,68 @@ def span_dedup(df: DataFrame, w: int = 5, text_col: str = "text",
     return df.drop(text_col).join(rebuilt, id_col)
 
 
+def rare_span_redact(df: DataFrame, w: int = 3, k_anon: int = 2,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     out_col: str = "text_redacted",
+                     placeholder: str = "[RARE]",
+                     materialize: bool = False) -> DataFrame:
+    """Corpus-wide RARE-span redaction — the k-anonymity counterpart of
+    span_dedup (which removes chunks that repeat; this removes chunks
+    that DON'T): every `w`-token chunk appearing in fewer than `k_anon`
+    DISTINCT documents is replaced by `placeholder` everywhere.  This is
+    the memorization/privacy gate the "secret sharer" line of work
+    motivates (Carlini et al. 2019: LMs regurgitate sequences unique to
+    one training document — exactly the spans regex PII rules can't
+    enumerate: names-in-context, addresses, ID-like strings inside
+    prose).  Regex PII (kg.pii) removes KNOWN shapes; this removes
+    UNIQUENESS itself.
+
+    Chunking is span_dedup's disjoint non-overlapping windows (trailing
+    partial chunk included) so the rebuild is a positional re-join; the
+    uniqueness statistic is DISTINCT-document frequency, not occurrence
+    count (a doc repeating its own secret 100× is still unique to one
+    doc — df must be 1, not 100).
+
+    Returns all input columns minus `text_col`, plus (n_chunks, n_rare,
+    `out_col`).
+
+    Scale shape: narrow chunk explode → ONE (chunk, doc)-distinct +
+    chunk doc-frequency aggregate (the cross_doc_duplication cost
+    class — this table, persisted, IS the corpus's uniqueness index) →
+    join back on chunk → groupBy(doc) rebuild.  Two shuffles + one
+    join, no self-join.  `materialize=True` localCheckpoints a
+    UDF-rooted input before its two branches (rule 7)."""
+    if materialize:
+        df = df.localCheckpoint()
+    chunks = bind1(
+        F.split(F.col(text_col), " "),
+        lambda t: F.transform(
+            F.sequence(F.lit(0),
+                       F.floor((F.size(t) + (w - 1)) / w).cast("int") - 1),
+            lambda i: F.array_join(F.slice(t, i * w + 1, w), " ")))
+    pos = df.select(F.col(id_col), F.posexplode(chunks)
+                    .alias("idx", "chunk"))
+    freq = (pos.select(id_col, "chunk").distinct()
+            .groupBy("chunk")
+            .agg(F.count("*").cast("bigint").alias("df")))
+    marked = (pos.join(freq, "chunk")
+              .withColumn("_rare", F.col("df") < k_anon))
+    rebuilt = (marked.groupBy(id_col)
+               .agg(F.count("*").cast("bigint").alias("n_chunks"),
+                    F.sum(F.col("_rare").cast("int")).cast("bigint")
+                    .alias("n_rare"),
+                    F.array_join(
+                        F.transform(
+                            F.sort_array(F.collect_list(F.struct(
+                                "idx",
+                                F.when(F.col("_rare"),
+                                       F.lit(placeholder))
+                                .otherwise(F.col("chunk"))
+                                .alias("chunk")))),
+                            lambda s: s["chunk"]), " ").alias(out_col)))
+    return df.drop(text_col).join(rebuilt, id_col)
+
+
 def normalize_text(df: DataFrame, text_col: str = "text",
                    out_col: str = "text_norm") -> DataFrame:
     """Canonical pre-dedup text normalization: lowercase, strip

@@ -703,3 +703,57 @@ def test_pair_ngram_f1_empty_sides_zero(spark):
     b = got[(0, 1, 2)]
     assert (b.len_a, b.len_b) == (0, 0)
     assert (b.prec_micro, b.rec_micro, b.f1_micro) == (0, 0, 0)
+
+
+# --- rare-span k-anonymity redaction (kg.dedup.rare_span_redact) ----------
+
+def test_rare_span_redact_unique_vs_shared(spark):
+    """Chunks shared by >= 2 docs survive; chunks unique to one doc are
+    replaced in position."""
+    from kg.dedup import rare_span_redact
+    docs = spark.createDataFrame(
+        [(0, "a b c secret one here"),
+         (1, "a b c other text now"),
+         (2, "a b c other text now")], "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           rare_span_redact(docs, w=3, k_anon=2).collect()}
+    assert got[0].text_redacted == "a b c [RARE]"
+    assert got[0].n_chunks == 2 and got[0].n_rare == 1
+    assert got[1].text_redacted == "a b c other text now"
+    assert got[1].n_rare == 0 and got[2].n_rare == 0
+
+
+def test_rare_span_redact_distinct_doc_frequency_not_occurrences(spark):
+    """A doc repeating its own secret keeps df = 1 — both occurrences
+    redacted (occurrence-count frequency would wrongly keep them)."""
+    from kg.dedup import rare_span_redact
+    docs = spark.createDataFrame(
+        [(0, "p q r p q r"), (1, "x y z filler words")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           rare_span_redact(docs, w=3, k_anon=2).collect()}
+    assert got[0].text_redacted == "[RARE] [RARE]"
+    assert got[0].n_rare == 2
+
+
+def test_rare_span_redact_trailing_partial_chunk(spark):
+    """Trailing partial chunks participate: 4 tokens at w=3 -> chunks
+    'a b c' + 'd'; the shared trailing token survives."""
+    from kg.dedup import rare_span_redact
+    docs = spark.createDataFrame(
+        [(0, "a b c d"), (1, "z z z d")], "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           rare_span_redact(docs, w=3, k_anon=2).collect()}
+    assert got[0].text_redacted == "[RARE] d"
+    assert got[1].text_redacted == "[RARE] d"
+
+
+def test_rare_span_redact_k_anon_threshold(spark):
+    """k_anon=3: a chunk in exactly 2 docs is still rare."""
+    from kg.dedup import rare_span_redact
+    docs = spark.createDataFrame(
+        [(0, "m n o"), (1, "m n o"), (2, "u v w")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.n_rare for r in
+           rare_span_redact(docs, w=3, k_anon=3).collect()}
+    assert got == {0: 1, 1: 1, 2: 1}

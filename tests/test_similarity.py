@@ -567,3 +567,32 @@ def test_pq_rerank_with_full_shortlist_equals_exact_topk(spark):
     assert {(r.query_id, r.neighbor_id) for r in rows} <= cand
     # adc_rank travels through: every output row carries its stage-1 rank
     assert all(1 <= r.adc_rank <= 8 and 1 <= r.rank <= 5 for r in rows)
+
+
+class TestMatryoshkaRecall:
+    def test_truncation_flips_neighbor_hand_case(self, spark):
+        """4-dim vectors where the first-2-dim cosine disagrees with the
+        full ranking: q=(1,0,0,0)+tail; n1 aligned in the tail, n2
+        aligned in the head — full ranks n1 first, truncated ranks n2
+        first; with k=1 recall is 0, with k=2 both rankers hold the
+        same set and recall is 1."""
+        import kg.similarity as kgsim
+        rows = [(0, [1.0, 0.0, 0.0, 0.0]),
+                (1, [0.8, 0.6, 0.0, 0.0]),   # full cos 0.8 — full winner
+                (2, [1.0, 0.0, 2.0, 0.0]),   # head cos 1.0 — head winner
+                (3, [-1.0, 0.0, 0.0, 0.2])]  # far filler
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        qs = (emb.filter(F.col("vec_id") == 0)
+              .select(F.col("vec_id").alias("query_id"), "embedding"))
+        emb2 = emb.select("vec_id", F.slice("embedding", 1, 2).alias("embedding"))
+        qs2 = qs.select("query_id", F.slice("embedding", 1, 2).alias("embedding"))
+        full1 = kgsim.cosine_topk(emb, qs, k=1)
+        head1 = kgsim.cosine_topk(emb2, qs2, k=1)
+        assert full1.collect()[0].neighbor_id == 1
+        assert head1.collect()[0].neighbor_id == 2
+        r1 = kgsim.topk_recall(head1, full1, k=1).collect()[0]
+        assert (r1.n_exact, r1.n_hits, r1.recall_micro) == (1, 0, 0)
+        full2 = kgsim.cosine_topk(emb, qs, k=2)
+        head2 = kgsim.cosine_topk(emb2, qs2, k=2)
+        r2 = kgsim.topk_recall(head2, full2, k=2).collect()[0]
+        assert (r2.n_exact, r2.n_hits, r2.recall_micro) == (2, 2, 1000000)

@@ -2729,6 +2729,30 @@ def build_oracle_sql() -> dict[str, str]:
                  AS text_dedup
         FROM k GROUP BY doc_id"""
 
+    # Rare-span k-anonymity redaction (kg.dedup.rare_span_redact):
+    # dedup_paragraph's disjoint 3-token chunks, DISTINCT-doc frequency,
+    # chunks with df < 2 replaced by [RARE] in position.
+    sqls["text_rare_spans"] = f"""
+        WITH ch AS MATERIALIZED (
+          SELECT doc_id, i,
+                 array_to_string(toks[(i * 3 + 1):(i * 3 + 3)], ' ')
+                   AS chunk
+          FROM (SELECT doc_id, {_TOKS} AS toks,
+                       unnest(range((len({_TOKS}) + 2) // 3)) AS i
+                FROM documents)),
+        freq AS (SELECT chunk, CAST(count(*) AS BIGINT) AS df
+                 FROM (SELECT DISTINCT doc_id, chunk FROM ch)
+                 GROUP BY 1),
+        m AS (SELECT doc_id, i,
+                     CASE WHEN df < 2 THEN '[RARE]' ELSE chunk END
+                       AS chunk, (df < 2) AS rare
+              FROM ch JOIN freq USING (chunk))
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(rare::int) AS BIGINT) AS n_rare,
+               array_to_string(list(chunk ORDER BY i), ' ')
+                 AS text_redacted
+        FROM m GROUP BY doc_id"""
+
     # HITS over the directed sent→tag graph: 3 unrolled rounds of
     # a' = Σ h over in-edges / h' = Σ a over out-edges, each L∞-normalized
     # by its scalar max — every score CTE is referenced twice (next join +
@@ -3906,6 +3930,29 @@ def build_oracle_sql() -> dict[str, str]:
     sqls["ann_recall_ivf"] = f"""
         WITH ex AS ({sqls['ann_cosine_topk']}),
         ap AS ({sqls['ann_ivf_topk']}),
+        hits AS (SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hits
+                 FROM ex e JOIN ap a USING (query_id, neighbor_id)
+                 GROUP BY 1),
+        base AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+                 FROM ex GROUP BY 1)
+        SELECT b.query_id, b.n_exact,
+               coalesce(h.n_hits, 0) AS n_hits,
+               (coalesce(h.n_hits, 0) * 1000000) // b.n_exact
+                 AS recall_micro
+        FROM base b LEFT JOIN hits h USING (query_id)"""
+
+    # Matryoshka truncation audit: recall@5 of 16-dim brute cosine vs
+    # the full 64-dim ranker — the full ranker SQL verbatim, the
+    # truncated one the same text with [1:16] slices (DuckDB list
+    # slicing is 1-based inclusive: 16 elements).
+    _cos16 = (sqls["ann_cosine_topk"]
+              .replace("CAST(e.embedding AS DOUBLE[])",
+                       "CAST(e.embedding[1:16] AS DOUBLE[])")
+              .replace("CAST(q.embedding AS DOUBLE[])",
+                       "CAST(q.embedding[1:16] AS DOUBLE[])"))
+    sqls["ann_recall_matryoshka"] = f"""
+        WITH ex AS ({sqls['ann_cosine_topk']}),
+        ap AS ({_cos16}),
         hits AS (SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hits
                  FROM ex e JOIN ap a USING (query_id, neighbor_id)
                  GROUP BY 1),
