@@ -3092,6 +3092,21 @@ def q_multimodal_tiff(spark, sf_dir):
         "n_rgb_bytes", "mean_r")
 
 
+def q_link_sorted_pairs(spark, sf_dir):
+    """Sorted-neighborhood ER blocking
+    (kg.link.sorted_neighborhood_pairs, Hernández & Stolfo 1995): sort
+    by a 12-char text-prefix key, candidates = pairs within 3 sort
+    positions — the linear-budget blocking strategy that catches
+    adjacent-but-unequal keys hash blocking cannot; global position via
+    the node_index two-phase numbering (never a single-partition
+    window), pairs via banded equi-joins."""
+    from kg.link import sorted_neighborhood_pairs
+    d = (_read("documents")(spark, sf_dir)
+         .withColumn("key", F.substring("text", 1, 12)))
+    return sorted_neighborhood_pairs(d, key_col="key", id_col="doc_id",
+                                     window=3)
+
+
 def q_text_rare_spans(spark, sf_dir):
     """Rare-span k-anonymity redaction (kg.dedup.rare_span_redact):
     every 3-token chunk unique to ONE document is replaced by [RARE]
@@ -3205,7 +3220,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_q13_custdist": q_rel_q13_custdist,
         "kg_tag_katz": q_kg_tag_katz,
         "text_chi2_pairs": q_text_chi2_pairs,
-        "rel_q16_supplier_cnt": q_rel_q16_supplier_cnt,
         "kg_tag_hyperball": q_kg_tag_hyperball,
         "embedding_centroid_matrix": q_embedding_centroid_matrix,
         "rel_q14_promo": q_rel_q14_promo,
@@ -3226,6 +3240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_tiff": q_multimodal_tiff,
         "text_rare_spans": q_text_rare_spans,
         "ann_recall_matryoshka": q_ann_recall_matryoshka,
+        "link_sorted_pairs": q_link_sorted_pairs,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also
@@ -3248,6 +3263,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the full-shortlist-equals-exact-topk + candidate-containment
         # pytests
         "ann_pq_rerank": q_ann_pq_rerank,
+        # rel_q16_supplier_cnt — demoted for link_sorted_pairs: its
+        # NOT-IN -> broadcast-LeftAnti compilation keeps an in-window
+        # row via rel_q22_global_sales (the same anti-join shape with a
+        # pushed filter on the subquery side), the broadcast part-dim
+        # class ships via rel_q10/q17, and the LeftAnti/no-NLJ/
+        # partial-distinct plan shape is plan-test-pinned
+        "rel_q16_supplier_cnt": q_rel_q16_supplier_cnt,
         # corpus_keyness — demoted for text_rare_spans: its HUGEINT
         # cross-product contingency class keeps an in-window row via
         # text_chi2_pairs (the same Manning-Schütze 2x2 family over the

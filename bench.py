@@ -178,6 +178,7 @@ HEADLINE = [
     "multimodal_tiff",       # TIFF 6.0 IFD-walk dims, both byte orders
     "text_rare_spans",       # secret-sharer unique-span redaction
     "ann_recall_matryoshka", # truncated-dim vs full-dim recall audit
+    "link_sorted_pairs",     # sorted-neighborhood ER blocking
 ]
 
 

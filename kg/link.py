@@ -256,3 +256,73 @@ def edit_verify_pairs(df: DataFrame, pairs: DataFrame,
                 "WHEN greatest(len_a, len_b) = 0 THEN CAST(1000000 AS BIGINT) "
                 "ELSE (greatest(len_a, len_b) - dist) * 1000000 "
                 "div greatest(len_a, len_b) END").cast("bigint")))
+
+
+def sorted_neighborhood_pairs(df: DataFrame, key_col: str,
+                              id_col: str = "doc_id",
+                              window: int = 3) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo 1995, the
+    merge/purge method) — THE classic entity-resolution blocking
+    strategy next to this module's MinHash-LSH: sort all records by a
+    blocking key, then every pair within `window` positions of each
+    other is a candidate.  It catches what hash blocking structurally
+    cannot — records whose keys are UNEQUAL but adjacent in sort order
+    (typos in the first tokens, prefix truncations, zero-padded ids) —
+    and emits at most (window−1)·N pairs, a LINEAR candidate budget no
+    similarity threshold has to justify.
+
+    The global sort position is the node_index two-phase numbering
+    (kg.query.node_index): range-repartition on (key, id) → per-
+    partition local rank → broadcast per-partition offsets.  A bare
+    `row_number() OVER (ORDER BY key)` would collapse the corpus into
+    ONE partition — the global-window scale-killer this form avoids;
+    the rank is a pure function of the record set (ties broken by id),
+    so every pair replays in the oracle.
+
+    Pair generation is banded, not windowed: block b = rank div
+    (window−1); candidates join on (b, b) and (b, b+1) — every pair
+    with 0 < rank_b − rank_a < window lands in one of the two
+    equi-joins (pigeonhole on blocks of width window−1), then the rank
+    filter exacts the set.  Two hash joins on a bounded key, no
+    self-cross.
+
+    Returns (id_a, id_b, key_a, key_b, rank_a, rank_b) with
+    rank_b − rank_a in [1, window−1].  Feed the pairs to a verify stage
+    (edit_verify_pairs / pair_ngram_f1) exactly like the LSH pairs."""
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    from pyspark.sql.window import Window as W
+    ranked = (df.select(F.col(id_col).alias("id"),
+                        F.col(key_col).alias("key"))
+              .repartitionByRange(F.col("key"), F.col("id"))
+              .withColumn("_pid", F.spark_partition_id())
+              .withColumn("_lr", F.row_number().over(
+                  W.partitionBy("_pid").orderBy("key", "id")))
+              .localCheckpoint())    # branched: counts + both join sides
+    counts = ranked.groupBy("_pid").agg(F.max("_lr").alias("_n")).collect()
+    offs, acc = {}, 0
+    for r in sorted(counts, key=lambda r: r["_pid"]):
+        offs[r["_pid"]] = acc
+        acc += r["_n"]
+    off_map = F.map_from_arrays(
+        F.array(*[F.lit(p) for p in offs]).cast("array<int>"),
+        F.array(*[F.lit(o) for o in offs.values()]).cast("array<bigint>"))
+    w1 = int(window) - 1
+    pos = ranked.select(
+        "id", "key",
+        (F.col("_lr") - 1 + off_map[F.col("_pid")]).cast("bigint")
+        .alias("rank")).withColumn("b", F.expr(f"rank div {w1}"))
+    left = pos.select(F.col("id").alias("id_a"),
+                      F.col("key").alias("key_a"),
+                      F.col("rank").alias("rank_a"), "b")
+    right = pos.select(F.col("id").alias("id_b"),
+                       F.col("key").alias("key_b"),
+                       F.col("rank").alias("rank_b"),
+                       F.col("b").alias("_rb"))
+    same = left.join(right, left.b == right._rb)
+    nxt = left.join(right, left.b + 1 == right._rb)
+    return (same.unionByName(nxt)
+            .filter((F.col("rank_b") > F.col("rank_a"))
+                    & (F.col("rank_b") - F.col("rank_a") < window))
+            .select("id_a", "id_b", "key_a", "key_b",
+                    "rank_a", "rank_b"))

@@ -203,3 +203,49 @@ class TestEditVerifyPairs:
         assert len(out) == 4
         scored = {(r.id_a, r.id_b) for r in out}
         assert scored == {(1, 2), (3, 4), (1, 5), (6, 7)}
+
+
+class TestSortedNeighborhood:
+    def _pairs(self, df, w=3):
+        from kg.link import sorted_neighborhood_pairs
+        return {(r.id_a, r.id_b)
+                for r in sorted_neighborhood_pairs(
+                    df, key_col="key", id_col="id", window=w).collect()}
+
+    def test_adjacent_unequal_keys_caught(self, spark):
+        """The pair hash blocking cannot emit: 'smith' / 'smyth' are
+        sort-adjacent, never hash-equal."""
+        df = spark.createDataFrame(
+            [(1, "smith"), (2, "smyth"), (3, "aaaaa"), (4, "zzzzz")],
+            "id long, key string")
+        got = self._pairs(df, w=2)    # adjacent only
+        assert (1, 2) in got
+        assert (3, 4) not in got
+
+    def test_equals_brute_force_window(self, spark):
+        """Banded generation == the definition |rank diff| < w, on a
+        fixture with duplicate keys (id tie-break) and multiple input
+        partitions."""
+        rows = [(i, f"k{(i * 7) % 13:02d}") for i in range(40)]
+        df = spark.createDataFrame(rows, "id long, key string") \
+            .repartition(7)
+        got = self._pairs(df, w=4)
+        order = sorted(rows, key=lambda r: (r[1], r[0]))
+        want = {(order[i][0], order[j][0])
+                for i in range(len(order))
+                for j in range(i + 1, min(i + 4, len(order)))}
+        assert got == want
+
+    def test_linear_budget(self, spark):
+        """At window w, exactly (w-1)*N - w*(w-1)/2 pairs exist."""
+        df = spark.createDataFrame([(i, f"x{i:03d}") for i in range(50)],
+                                   "id long, key string")
+        assert len(self._pairs(df, w=3)) == 2 * 50 - 3
+
+    def test_window_must_be_at_least_two(self, spark):
+        import pytest
+        from kg.link import sorted_neighborhood_pairs
+        df = spark.createDataFrame([(1, "a")], "id long, key string")
+        with pytest.raises(ValueError):
+            sorted_neighborhood_pairs(df, key_col="key", id_col="id",
+                                      window=1)

@@ -2753,6 +2753,22 @@ def build_oracle_sql() -> dict[str, str]:
                  AS text_redacted
         FROM m GROUP BY doc_id"""
 
+    # Sorted-neighborhood blocking (kg.link.sorted_neighborhood_pairs):
+    # global rank = row_number over (key, id) — the oracle can afford
+    # the global window the engine's two-phase numbering avoids; pairs
+    # within window 3.
+    sqls["link_sorted_pairs"] = """
+        WITH pos AS MATERIALIZED (
+          SELECT doc_id AS id, substr(text, 1, 12) AS key,
+                 CAST(row_number() OVER (
+                   ORDER BY substr(text, 1, 12), doc_id) - 1 AS BIGINT)
+                   AS rank
+          FROM documents)
+        SELECT a.id AS id_a, b.id AS id_b, a.key AS key_a,
+               b.key AS key_b, a.rank AS rank_a, b.rank AS rank_b
+        FROM pos a JOIN pos b
+          ON b.rank > a.rank AND b.rank - a.rank < 3"""
+
     # HITS over the directed sent→tag graph: 3 unrolled rounds of
     # a' = Σ h over in-edges / h' = Σ a over out-edges, each L∞-normalized
     # by its scalar max — every score CTE is referenced twice (next join +
