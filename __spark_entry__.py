@@ -3092,6 +3092,28 @@ def q_multimodal_tiff(spark, sf_dir):
         "n_rgb_bytes", "mean_r")
 
 
+def q_corpus_drift_ks(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov drift audit (kg.relops.ks_drift):
+    D between the en and non-en document-length distributions in exact
+    ppm via cross-multiplied CDFs — the distribution-shift screen
+    between sources/batches that mean/quantile checks miss; the ordered
+    window runs over DISTINCT length values only (metric-granularity
+    bounded), and the argmax value ships alongside."""
+    from kg.relops import ks_drift
+    return ks_drift(_read("documents")(spark, sf_dir), "n_chars",
+                    F.col("lang") == "en")
+
+
+def q_rel_benford(spark, sf_dir):
+    """Benford first-digit audit (kg.relops.benford_audit) of
+    o_totalprice: first significant digit from EXACT CENTS (never a
+    float render — not engine-portable), observed vs the shared
+    telescoping BENFORD_PPM table (sums to exactly 1e6), deviation in
+    exact ppm; all nine digits report even at zero count."""
+    from kg.relops import benford_audit
+    return benford_audit(_read("orders")(spark, sf_dir), "o_totalprice")
+
+
 def q_link_sorted_pairs(spark, sf_dir):
     """Sorted-neighborhood ER blocking
     (kg.link.sorted_neighborhood_pairs, Hernández & Stolfo 1995): sort
@@ -3217,8 +3239,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split_leakproof": q_corpus_split_leakproof,
         # --- r4 session-13 additions (rotated into the window); one
         # demotion each — see the demoted block -------------------------
-        "rel_q13_custdist": q_rel_q13_custdist,
-        "kg_tag_katz": q_kg_tag_katz,
         "text_chi2_pairs": q_text_chi2_pairs,
         "kg_tag_hyperball": q_kg_tag_hyperball,
         "embedding_centroid_matrix": q_embedding_centroid_matrix,
@@ -3241,6 +3261,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_rare_spans": q_text_rare_spans,
         "ann_recall_matryoshka": q_ann_recall_matryoshka,
         "link_sorted_pairs": q_link_sorted_pairs,
+        "corpus_drift_ks": q_corpus_drift_ks,
+        "rel_benford": q_rel_benford,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also
@@ -3263,6 +3285,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the full-shortlist-equals-exact-topk + candidate-containment
         # pytests
         "ann_pq_rerank": q_ann_pq_rerank,
+        # rel_q13_custdist — demoted for corpus_drift_ks: its
+        # filter-inside-the-outer-join shape is pinned by the
+        # plan+invariant test (zero-bucket present, custdist mass ==
+        # |customer|), and the histogram-of-an-aggregate double groupBy
+        # keeps an in-window row via rel_q22_global_sales' grouped
+        # anti-join aggregate over the same orders/customer tables
+        "rel_q13_custdist": q_rel_q13_custdist,
+        # kg_tag_katz — demoted for rel_benford: its one-shuffle
+        # join-aggregate round machinery over the directed HAS_TAG graph
+        # keeps an in-window row via kg_tag_pagerank_full (the same
+        # graph, the same integer-loop class with per-round scalar CTEs),
+        # and the attenuation arithmetic is pure-python-replay/
+        # dedupe-collapse/source-at-beta pytest-pinned
+        "kg_tag_katz": q_kg_tag_katz,
         # rel_q16_supplier_cnt — demoted for link_sorted_pairs: its
         # NOT-IN -> broadcast-LeftAnti compilation keeps an in-window
         # row via rel_q22_global_sales (the same anti-join shape with a

@@ -179,6 +179,8 @@ HEADLINE = [
     "text_rare_spans",       # secret-sharer unique-span redaction
     "ann_recall_matryoshka", # truncated-dim vs full-dim recall audit
     "link_sorted_pairs",     # sorted-neighborhood ER blocking
+    "corpus_drift_ks",       # exact two-sample KS drift statistic
+    "rel_benford",           # Benford first-digit ingest forensics
 ]
 
 

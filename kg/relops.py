@@ -764,3 +764,113 @@ def session_surprisal(events: DataFrame, user_col: str = "user_id",
             .withColumn("bits_per_trans_milli",
                         F.expr("bits * 1000 div n_transitions")
                         .cast("bigint")))
+
+
+def ks_drift(df: DataFrame, value_col: str, side_col,
+             a_name: str = "a", b_name: str = "b") -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic between the slice
+    where `side_col` is true (side A) and the rest (side B) — the
+    distribution-shift audit between ingest batches / sources /
+    languages that mean/quantile comparisons miss (equal means, shifted
+    shape).  D = max_v |F_A(v) − F_B(v)| kept EXACT by
+    cross-multiplication:
+
+        D_scaled(v) = |cum_a(v)·n_b − cum_b(v)·n_a|,
+        d_ppm       = max D_scaled · 1e6 div (n_a·n_b)
+
+    — no float CDFs, and the ordered window runs over the DISTINCT
+    VALUE frame only (bounded by metric granularity, never row count —
+    the corpus_growth/quality_strata boundedness argument).  The argmax
+    value ships alongside (ties → smallest v): WHERE the distributions
+    diverge most, which is the actionable half of the audit.  The
+    classic n-dependent significance threshold is the caller's policy
+    knob; d_ppm is the scale-free statistic.
+
+    Returns ONE row (n_a, n_b, d_ppm, at_value).  `value_col` must be
+    numeric (the CDF ordering and the smallest-v tie negation rely on
+    it).  Empty sides emit d_ppm 0 (no evidence of drift without data —
+    the guard keeps the div exact).
+
+    Scale shape: one (value, side) count aggregate → two cumulative
+    windows over distinct values → one max_by aggregate.  side_col may
+    be a Column expression."""
+    side = side_col if not isinstance(side_col, str) else F.col(side_col)
+    per = (df.select(F.col(value_col).alias("v"),
+                     F.when(side, 1).otherwise(0).alias("is_a"))
+           .groupBy("v")
+           .agg(F.sum("is_a").cast("bigint").alias("ca"),
+                F.sum(F.expr("1 - is_a")).cast("bigint").alias("cb")))
+    w = (Window.orderBy("v")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (per.withColumn("cum_a", F.sum("ca").over(w))
+           .withColumn("cum_b", F.sum("cb").over(w)))
+    tot = per.agg(F.sum("ca").cast("bigint").alias("n_a"),
+                  F.sum("cb").cast("bigint").alias("n_b"))
+    scored = (cum.crossJoin(F.broadcast(tot))
+              .withColumn("d_scaled", F.expr(
+                  "abs(cast(cum_a as decimal(38,0)) * n_b"
+                  " - cast(cum_b as decimal(38,0)) * n_a)")))
+    return (scored.agg(
+        F.max("n_a").alias("n_a"), F.max("n_b").alias("n_b"),
+        F.expr("max_by(struct(d_scaled, v), struct(d_scaled, -v))")
+        .alias("_m"))
+        .select("n_a", "n_b",
+                F.expr("CASE WHEN n_a = 0 OR n_b = 0 THEN"
+                       " cast(0 as bigint) ELSE"
+                       " cast(_m.d_scaled * 1000000 div (cast(n_a as"
+                       " decimal(38,0)) * n_b) as bigint) END")
+                .alias("d_ppm"),
+                F.col("_m.v").alias("at_value")))
+
+
+# First-digit Benford probabilities in exact ppm: p_d defined as the
+# TELESCOPING difference round(log10(d+1)*1e6) - round(log10(d)*1e6), so
+# the nine entries sum to exactly 1e6 and both engines share one literal
+# table (the NDCG_DISCOUNTS_MICRO convention; pytest re-derives them).
+BENFORD_PPM = {1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+               6: 66947, 7: 57992, 8: 51153, 9: 45757}
+
+
+def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
+    """First-significant-digit Benford's-law audit (Newcomb 1881 /
+    Benford 1938; the standard forensic-accounting and ingest-anomaly
+    screen: organically-grown monetary amounts follow p_d =
+    log10(1+1/d), while fabricated, truncated, or unit-mangled loads
+    don't).  The digit is taken from EXACT CENTS
+    (cast(value as decimal(18,2))·100 → BIGINT → first char), never
+    from a float-to-string render — double repr is not engine-portable,
+    integer digits are; ×100 never changes the leading significant
+    digit.  Null/zero amounts carry no digit and are excluded.
+
+    Returns nine rows (digit, n_obs, obs_ppm, exp_ppm, dev_ppm) —
+    dev_ppm = obs_ppm − exp_ppm, every cell exact; digits absent from
+    the data still report (n_obs = 0).  Thresholding |dev_ppm| is the
+    caller's policy; the classic χ²/MAD composites fold from these rows.
+
+    Scale shape: one narrow digit map → ONE 9-row count aggregate
+    (map-side combine) → broadcast joins against the literal table and
+    the count scalar.  Nothing beyond 9 rows past the aggregate."""
+    spark = df.sparkSession
+    cents = F.expr(f"abs(cast(cast({value_col} as decimal(18,2)) * 100"
+                   " as bigint))")
+    digs = (df.select(cents.alias("_c"))
+            .filter(F.col("_c") > 0)
+            .select(F.substring(F.col("_c").cast("string"), 1, 1)
+                    .cast("int").alias("digit")))
+    counts = digs.groupBy("digit").agg(
+        F.count("*").cast("bigint").alias("n_obs"))
+    tab = spark.createDataFrame(
+        [(d, p) for d, p in BENFORD_PPM.items()],
+        "digit int, exp_ppm bigint")
+    tot = counts.agg(F.sum("n_obs").cast("bigint").alias("_n"))
+    return (F.broadcast(tab)
+            .join(counts, "digit", "left")
+            .crossJoin(F.broadcast(tot))
+            .select("digit",
+                    F.coalesce("n_obs", F.lit(0)).cast("bigint")
+                    .alias("n_obs"),
+                    F.expr("CASE WHEN _n = 0 THEN cast(0 as bigint)"
+                           " ELSE (coalesce(n_obs, 0) * 1000000)"
+                           " div _n END").alias("obs_ppm"),
+                    "exp_ppm")
+            .withColumn("dev_ppm", F.col("obs_ppm") - F.col("exp_ppm")))

@@ -730,3 +730,79 @@ class TestCountCusum:
             by_t.setdefault(r.event_type, []).append(r)
         assert any(r.is_change for r in by_t["hot"])
         assert all(not r.is_change for r in by_t["cold"])
+
+
+class TestKsDrift:
+    def test_disjoint_distributions_hit_one(self, spark):
+        """A = {1,1,2}, B = {3,3}: D = 1 at v = 2 (the last A value
+        before any B mass)."""
+        from kg.relops import ks_drift
+        df = spark.createDataFrame(
+            [(1, "a"), (1, "a"), (2, "a"), (3, "b"), (3, "b")],
+            "v long, side string")
+        r = ks_drift(df, "v", F.col("side") == "a").collect()[0]
+        assert (r.n_a, r.n_b) == (3, 2)
+        assert r.d_ppm == 1_000_000 and r.at_value == 2
+
+    def test_identical_distributions_zero(self, spark):
+        from kg.relops import ks_drift
+        rows = [(v, s) for v in (5, 7, 7, 9) for s in ("a", "b")]
+        df = spark.createDataFrame(rows, "v long, side string")
+        r = ks_drift(df, "v", F.col("side") == "a").collect()[0]
+        assert r.d_ppm == 0
+        assert r.at_value == 5          # tie -> smallest v
+
+    def test_python_replay_shifted(self, spark):
+        from kg.relops import ks_drift
+        a = [1, 2, 2, 3, 5, 8, 8]
+        b = [2, 4, 4, 6, 9]
+        df = spark.createDataFrame(
+            [(v, "a") for v in a] + [(v, "b") for v in b],
+            "v long, side string")
+        vals = sorted(set(a + b))
+        best = max(
+            ((abs(sum(1 for x in a if x <= v) * len(b)
+                  - sum(1 for x in b if x <= v) * len(a)), -v)
+             for v in vals))
+        r = ks_drift(df, "v", F.col("side") == "a").collect()[0]
+        assert r.d_ppm == best[0] * 1_000_000 // (len(a) * len(b))
+        assert r.at_value == -best[1]
+
+    def test_empty_side_guard(self, spark):
+        from kg.relops import ks_drift
+        df = spark.createDataFrame([(4, "b"), (6, "b")],
+                                   "v long, side string")
+        r = ks_drift(df, "v", F.col("side") == "a").collect()[0]
+        assert (r.n_a, r.d_ppm) == (0, 0)
+
+
+class TestBenford:
+    def test_constants_are_telescoping_log10(self):
+        import math
+        from kg.relops import BENFORD_PPM
+        cum = [round(math.log10(d) * 1e6) for d in range(1, 11)]
+        assert BENFORD_PPM == {d: cum[d] - cum[d - 1]
+                               for d in range(1, 10)}
+        assert sum(BENFORD_PPM.values()) == 1_000_000
+
+    def test_hand_fixture_digits_from_cents(self, spark):
+        """Digits come from exact cents (0.02 -> digit 2), zeros and
+        nulls excluded, absent digits still report."""
+        from kg.relops import BENFORD_PPM, benford_audit
+        df = spark.createDataFrame(
+            [(1.00,), (19.99,), (0.02,), (300.0,), (0.0,), (None,)],
+            "amount double")
+        got = {r.digit: r for r in benford_audit(df, "amount").collect()}
+        assert len(got) == 9
+        assert got[1].n_obs == 2 and got[1].obs_ppm == 500_000
+        assert got[2].n_obs == 1 and got[3].n_obs == 1
+        assert all(got[d].n_obs == 0 for d in range(4, 10))
+        assert got[1].dev_ppm == 500_000 - BENFORD_PPM[1]
+        assert got[9].dev_ppm == -BENFORD_PPM[9]
+
+    def test_negative_amounts_use_abs(self, spark):
+        from kg.relops import benford_audit
+        df = spark.createDataFrame([(-7.5,)], "amount double")
+        got = {r.digit: r.n_obs for r in
+               benford_audit(df, "amount").collect()}
+        assert got[7] == 1

@@ -2753,6 +2753,66 @@ def build_oracle_sql() -> dict[str, str]:
                  AS text_redacted
         FROM m GROUP BY doc_id"""
 
+    # Two-sample KS drift (kg.relops.ks_drift): cross-multiplied CDFs
+    # over the distinct-value frame, argmax with the (d DESC, v ASC)
+    # tie-break, ppm via HUGEINT.
+    sqls["corpus_drift_ks"] = """
+        WITH per AS MATERIALIZED (
+          SELECT n_chars AS v,
+                 CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS ca,
+                 CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
+                      AS BIGINT) AS cb
+          FROM documents GROUP BY 1),
+        cum AS (
+          SELECT v,
+                 sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                   AS cum_a,
+                 sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                   AS cum_b
+          FROM per),
+        tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                       CAST(sum(cb) AS BIGINT) AS n_b FROM per),
+        sc AS (
+          SELECT v, abs(CAST(cum_a AS HUGEINT) * n_b
+                        - CAST(cum_b AS HUGEINT) * n_a) AS d
+          FROM cum CROSS JOIN tot),
+        best AS (SELECT * FROM sc ORDER BY d DESC, v ASC LIMIT 1)
+        SELECT t.n_a, t.n_b,
+               CASE WHEN t.n_a = 0 OR t.n_b = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(b.d * 1000000
+                              // (CAST(t.n_a AS HUGEINT) * t.n_b)
+                              AS BIGINT) END AS d_ppm,
+               b.v AS at_value
+        FROM best b CROSS JOIN tot t"""
+
+    # Benford first-digit audit (kg.relops.benford_audit): digit from
+    # exact cents; expected ppm from the SAME BENFORD_PPM literal table
+    # (one definition, two engines).
+    from kg.relops import BENFORD_PPM
+    _btab = " UNION ALL ".join(
+        f"SELECT {d} AS digit, CAST({p} AS BIGINT) AS exp_ppm"
+        for d, p in BENFORD_PPM.items())
+    sqls["rel_benford"] = f"""
+        WITH digs AS (
+          SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit
+          FROM (SELECT abs(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                * 100 AS BIGINT)) AS c FROM orders)
+          WHERE c > 0),
+        counts AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
+                   FROM digs GROUP BY 1),
+        tab AS ({_btab}),
+        tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM counts)
+        SELECT tab.digit, coalesce(n_obs, 0) AS n_obs,
+               CASE WHEN n = 0 THEN CAST(0 AS BIGINT)
+                    ELSE (coalesce(n_obs, 0) * 1000000) // n
+               END AS obs_ppm,
+               exp_ppm,
+               (CASE WHEN n = 0 THEN CAST(0 AS BIGINT)
+                     ELSE (coalesce(n_obs, 0) * 1000000) // n END
+                - exp_ppm) AS dev_ppm
+        FROM tab LEFT JOIN counts USING (digit) CROSS JOIN tot"""
+
     # Sorted-neighborhood blocking (kg.link.sorted_neighborhood_pairs):
     # global rank = row_number over (key, id) — the oracle can afford
     # the global window the engine's two-phase numbering avoids; pairs
