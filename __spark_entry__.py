@@ -3092,6 +3092,17 @@ def q_multimodal_tiff(spark, sf_dir):
         "n_rgb_bytes", "mean_r")
 
 
+def q_rel_events_trend(spark, sf_dir):
+    """Mann–Kendall S + Theil–Sen median slope per event type
+    (kg.relops.trend_stats) — the robust nonparametric drift pair over
+    the daily counts; pairwise slopes quantized to exact
+    milli-counts/day, median by lower nearest-rank under a
+    deterministic (slope, day_i, day_j) order; all stages
+    calendar-bounded."""
+    from kg.relops import trend_stats
+    return trend_stats(_read("events")(spark, sf_dir))
+
+
 def q_corpus_drift_ks(spark, sf_dir):
     """Two-sample Kolmogorov–Smirnov drift audit (kg.relops.ks_drift):
     D between the en and non-en document-length distributions in exact
@@ -3244,7 +3255,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroid_matrix": q_embedding_centroid_matrix,
         "rel_q14_promo": q_rel_q14_promo,
         "text_ndcg": q_text_ndcg,
-        "rel_fk_audit": q_rel_fk_audit,
         # --- r4 session-14 additions (rotated into the window); one
         # demotion each — see the demoted block -------------------------
         "rel_q10_returns": q_rel_q10_returns,
@@ -3263,6 +3273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_sorted_pairs": q_link_sorted_pairs,
         "corpus_drift_ks": q_corpus_drift_ks,
         "rel_benford": q_rel_benford,
+        "rel_events_trend": q_rel_events_trend,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also
@@ -3285,6 +3296,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the full-shortlist-equals-exact-topk + candidate-containment
         # pytests
         "ann_pq_rerank": q_ann_pq_rerank,
+        # rel_fk_audit — demoted for rel_events_trend: the corpus_audit
+        # demotion precedent (every cell a trivial LEFT-ANTI count, all
+        # 0 on the healthy lake; crafted-orphan + healthy-lake pytests
+        # cover both outcomes), and the anti-join compilation class
+        # keeps an in-window row via rel_q22_global_sales
+        "rel_fk_audit": q_rel_fk_audit,
         # rel_q13_custdist — demoted for corpus_drift_ks: its
         # filter-inside-the-outer-join shape is pinned by the
         # plan+invariant test (zero-bucket present, custdist mass ==

@@ -181,6 +181,7 @@ HEADLINE = [
     "link_sorted_pairs",     # sorted-neighborhood ER blocking
     "corpus_drift_ks",       # exact two-sample KS drift statistic
     "rel_benford",           # Benford first-digit ingest forensics
+    "rel_events_trend",      # Mann-Kendall + Theil-Sen trend pair
 ]
 
 

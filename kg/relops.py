@@ -874,3 +874,63 @@ def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
                            " div _n END").alias("obs_ppm"),
                     "exp_ppm")
             .withColumn("dev_ppm", F.col("obs_ppm") - F.col("exp_ppm")))
+
+
+def trend_stats(events: DataFrame, type_col: str = "event_type",
+                ts_col: str = "ts") -> DataFrame:
+    """Mann–Kendall trend test + Theil–Sen slope per event type over the
+    daily-count series — the classic NONPARAMETRIC trend pair (Mann
+    1945/Kendall 1975; Theil 1950/Sen 1968): S = Σ_{i<j} sign(x_j − x_i)
+    says whether volume trends at all (robust to any monotone
+    transform), the median of pairwise slopes says how fast (50%
+    breakdown — one crazy ingest day cannot move it, unlike the OLS
+    slope zipf_spectrum-style least squares would give).  Completes the
+    temporal-audit family: cusum (level shifts), count_anomalies
+    (single-day spikes), autocorr (momentum), this (monotone drift).
+
+    All exact integers: pairwise slopes quantized to
+    (n_j − n_i)·1000 div (day_j − day_i) milli-counts/day (truncating
+    div, both engines identical), the median is the LOWER NEAREST-RANK
+    ((n_pairs+1) div 2) element under (slope, day_i, day_j) ordering —
+    fully deterministic.
+
+    Returns (event_type, n_days, n_pairs, s_stat, slope_milli).  Types
+    with a single observed day emit no row (no pair evidence).
+
+    Scale shape: the event stream collapses to the calendar-bounded
+    (type, day) aggregate FIRST; the pair self-join and the rank window
+    are days²-bounded per type (30 days → 435 pairs), never |events|."""
+    daily = (events.select(F.col(type_col).alias("event_type"),
+                           F.date_format(F.col(ts_col).cast("timestamp"),
+                                         "yyyy-MM-dd").alias("day"))
+             .groupBy("event_type", "day")
+             .agg(F.count("*").cast("bigint").alias("n"))
+             .withColumn("x", F.datediff(F.to_date("day"),
+                                         F.lit("1970-01-01").cast("date"))
+                         .cast("bigint"))
+             .localCheckpoint())    # branches: both pair sides
+    a = daily.select("event_type", F.col("x").alias("xa"),
+                     F.col("n").alias("na"))
+    b = daily.select(F.col("event_type").alias("_et"),
+                     F.col("x").alias("xb"), F.col("n").alias("nb"))
+    pairs = (a.join(b, (F.col("event_type") == F.col("_et"))
+                    & (F.col("xb") > F.col("xa")))
+             .select("event_type", "xa", "xb", "na", "nb",
+                     F.expr("cast(sign(nb - na) as bigint)").alias("sgn"),
+                     F.expr("((nb - na) * 1000) div (xb - xa)")
+                     .cast("bigint").alias("slope")))
+    w = Window.partitionBy("event_type").orderBy("slope", "xa", "xb")
+    ranked = (pairs.withColumn("_rn", F.row_number().over(w))
+              .withColumn("_np", F.count("*").over(
+                  Window.partitionBy("event_type"))))
+    return (ranked.groupBy("event_type")
+            .agg(F.max("_np").cast("bigint").alias("n_pairs"),
+                 F.sum("sgn").cast("bigint").alias("s_stat"),
+                 F.max(F.when(F.col("_rn") == F.expr("(_np + 1) div 2"),
+                              F.col("slope"))).cast("bigint")
+                 .alias("slope_milli"))
+            .join(daily.groupBy("event_type")
+                  .agg(F.count("*").cast("bigint").alias("n_days")),
+                  "event_type")
+            .select("event_type", "n_days", "n_pairs", "s_stat",
+                    "slope_milli"))

@@ -806,3 +806,60 @@ class TestBenford:
         got = {r.digit: r.n_obs for r in
                benford_audit(df, "amount").collect()}
         assert got[7] == 1
+
+
+class TestTrendStats:
+    def _ev(self, spark, counts, etype="e"):
+        rows, eid = [], 0
+        for d, c in counts.items():
+            for _ in range(c):
+                eid += 1
+                rows.append((etype, f"2024-04-{d:02d} 01:00:00", eid))
+        return spark.createDataFrame(
+            rows, "event_type string, ts string, event_id long"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def test_monotone_series_hand_values(self, spark):
+        """Counts 2,4,6,8 on consecutive days: every pair ascending ->
+        S = 6 = n_pairs; all pairwise slopes are exactly 2000 milli."""
+        from kg.relops import trend_stats
+        r = trend_stats(self._ev(spark, {1: 2, 2: 4, 3: 6, 4: 8})
+                        ).collect()[0]
+        assert (r.n_days, r.n_pairs, r.s_stat, r.slope_milli) == \
+            (4, 6, 6, 2000)
+
+    def test_flat_series_zero(self, spark):
+        from kg.relops import trend_stats
+        r = trend_stats(self._ev(spark, {d: 5 for d in range(1, 7)})
+                        ).collect()[0]
+        assert (r.s_stat, r.slope_milli) == (0, 0)
+
+    def test_python_replay_with_gap_and_outlier(self, spark):
+        """Irregular series incl. a calendar gap (slope divides by the
+        true day distance) and one huge outlier day the MEDIAN slope
+        shrugs off."""
+        from kg.relops import trend_stats
+        counts = {1: 3, 2: 5, 4: 6, 5: 100, 6: 8, 7: 9}
+        days = sorted(counts)
+        pairs = [(a, b) for i, a in enumerate(days)
+                 for b in days[i + 1:]]
+        sgn = sum((counts[b] > counts[a]) - (counts[b] < counts[a])
+                  for a, b in pairs)
+
+        def tdiv(n, d):
+            return abs(n) // d * (1 if n >= 0 else -1)
+        slopes = sorted(tdiv((counts[b] - counts[a]) * 1000, b - a)
+                        for a, b in pairs)
+        med = slopes[(len(slopes) + 1) // 2 - 1]
+        r = trend_stats(self._ev(spark, counts)).collect()[0]
+        assert (r.n_pairs, r.s_stat, r.slope_milli) == \
+            (len(pairs), sgn, med)
+        assert abs(r.slope_milli) < 5000    # outlier did not drag it
+
+    def test_single_day_type_absent(self, spark):
+        from kg.relops import trend_stats
+        one = self._ev(spark, {3: 7}, "solo")
+        multi = self._ev(spark, {1: 2, 2: 3}, "duo")
+        got = {r.event_type for r in
+               trend_stats(one.unionByName(multi)).collect()}
+        assert got == {"duo"}

@@ -2753,6 +2753,42 @@ def build_oracle_sql() -> dict[str, str]:
                  AS text_redacted
         FROM m GROUP BY doc_id"""
 
+    # Mann-Kendall + Theil-Sen trend (kg.relops.trend_stats): daily
+    # counts -> day-pair self-join -> sign sum + lower-nearest-rank
+    # median of the quantized pairwise slopes.
+    sqls["rel_events_trend"] = """
+        WITH daily AS MATERIALIZED (
+          SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(date_diff('day', DATE '1970-01-01',
+                                CAST(strftime(ts, '%Y-%m-%d') AS DATE))
+                      AS BIGINT) AS x
+          FROM events GROUP BY 1, 2),
+        pairs AS MATERIALIZED (
+          SELECT a.event_type, a.x AS xa, b.x AS xb,
+                 CAST(sign(b.n - a.n) AS BIGINT) AS sgn,
+                 CAST(((b.n - a.n) * 1000) // (b.x - a.x) AS BIGINT)
+                   AS slope
+          FROM daily a JOIN daily b
+            ON a.event_type = b.event_type AND b.x > a.x),
+        ranked AS (
+          SELECT event_type, sgn, slope,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY slope, xa, xb) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS np
+          FROM pairs),
+        agg AS (
+          SELECT event_type, CAST(max(np) AS BIGINT) AS n_pairs,
+                 CAST(sum(sgn) AS BIGINT) AS s_stat,
+                 CAST(max(CASE WHEN rn = (np + 1) // 2 THEN slope END)
+                      AS BIGINT) AS slope_milli
+          FROM ranked GROUP BY 1)
+        SELECT agg.event_type,
+               CAST(d.n_days AS BIGINT) AS n_days, n_pairs, s_stat,
+               slope_milli
+        FROM agg JOIN (SELECT event_type, count(*) AS n_days
+                       FROM daily GROUP BY 1) d USING (event_type)"""
+
     # Two-sample KS drift (kg.relops.ks_drift): cross-multiplied CDFs
     # over the distinct-value frame, argmax with the (d DESC, v ASC)
     # tie-break, ppm via HUGEINT.
