@@ -349,3 +349,27 @@ def stream_distinct_registers(events: DataFrame, group_col: str = "event_type",
     # across modes is what makes the bit-for-bit parity contract safe
     # against future register-layout changes
     return hll_registers(events, group_col=group_col, col=col)
+
+
+def stream_cms_cells(events: DataFrame, col: str = "event_type",
+                     depth: int = 4, width: int = 256) -> DataFrame:
+    """Streaming twin of kg.sketch.cms_sketch — frequency sketching over
+    an unbounded stream with BOUNDED state: the per-cell count aggregate
+    groupBy(row, bucket).count() is exactly what Structured Streaming's
+    stateful aggregation maintains, at a CONSTANT depth·width-row state
+    no matter how many events arrive (the reason Count-Min, not an
+    exact value groupBy, is the streaming frequency sketch).  Cells are
+    salted-md5 (layout- and mode-invariant), so an availableNow pass
+    reproduces kg.sketch.cms_sketch bit-for-bit (batch parity pinned by
+    test_streaming), a persisted cell table ADDS with any batch sketch
+    (sum per cell), and kg.sketch.cms_estimates reads either.
+
+    No watermark: cell counts are monotone sums, every update a
+    refinement — run in update/complete mode and upsert (row, bucket)
+    cells into the sketch store."""
+    from kg.sketch import cms_sketch
+    # the batch cell builder works unchanged on a streaming frame
+    # (select -> explode -> groupBy -> count are stream-supported); ONE
+    # definition across modes keeps the parity contract safe against
+    # future cell-layout changes
+    return cms_sketch(events, col=col, depth=depth, width=width)

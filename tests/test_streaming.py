@@ -339,3 +339,30 @@ def test_stream_distinct_registers_match_batch(tmp_path, spark):
     got = {(r.group, r.bucket): r.r
            for r in spark.sql("select * from hllregs").collect()}
     assert got == want and len(got) > 0
+
+
+def test_stream_cms_cells_match_batch(tmp_path, spark):
+    """Streaming Count-Min cells (stream_cms_cells) from an availableNow
+    pass must equal kg.sketch.cms_sketch on the same static events
+    bit-for-bit — salted-md5 cells are layout- and mode-invariant; the
+    state is constant depth*width rows."""
+    from kg.sketch import cms_sketch
+    from kg.streaming import stream_cms_cells
+    batch = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+             .limit(800))
+    src = str(tmp_path / "ev")
+    batch.write.parquet(src)
+    batch = spark.read.parquet(src)
+    want = {(r.row, r.bucket): r.c
+            for r in cms_sketch(batch, col="event_type", depth=3,
+                                width=16).collect()}
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (stream_cms_cells(stream, col="event_type", depth=3, width=16)
+         .writeStream.format("memory")
+         .queryName("cmscells").outputMode("complete")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.row, r.bucket): r.c
+           for r in spark.sql("select * from cmscells").collect()}
+    assert got == want and len(got) > 0
+    assert len(got) <= 3 * 16           # the constant-state bound
