@@ -3092,6 +3092,21 @@ def q_multimodal_tiff(spark, sf_dir):
         "n_rgb_bytes", "mean_r")
 
 
+def q_corpus_match_length(spark, sf_dir):
+    """Distribution-matching rejection sampler
+    (kg.sampling.match_distribution): subsample the non-en slice so its
+    floor-log2 length profile matches the en slice's — the
+    controlled-comparison curation move; maximum matched subsample
+    (binding bucket keeps all), integer-micro md5 keeps nesting with
+    every other sampler."""
+    from kg.sampling import match_distribution
+    d = (_read("documents")(spark, sf_dir)
+         .withColumn("lenb",
+                     F.expr("length(bin(greatest(n_chars, 1)))")))
+    return (match_distribution(d, F.col("lang") == "en", "lenb")
+            .select("doc_id", "lang", "lenb"))
+
+
 def q_rel_events_trend(spark, sf_dir):
     """Mann–Kendall S + Theil–Sen median slope per event type
     (kg.relops.trend_stats) — the robust nonparametric drift pair over
@@ -3253,7 +3268,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chi2_pairs": q_text_chi2_pairs,
         "kg_tag_hyperball": q_kg_tag_hyperball,
         "embedding_centroid_matrix": q_embedding_centroid_matrix,
-        "rel_q14_promo": q_rel_q14_promo,
         "text_ndcg": q_text_ndcg,
         # --- r4 session-14 additions (rotated into the window); one
         # demotion each — see the demoted block -------------------------
@@ -3274,6 +3288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_drift_ks": q_corpus_drift_ks,
         "rel_benford": q_rel_benford,
         "rel_events_trend": q_rel_events_trend,
+        "corpus_match_length": q_corpus_match_length,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also
@@ -3296,6 +3311,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the full-shortlist-equals-exact-topk + candidate-containment
         # pytests
         "ann_pq_rerank": q_ann_pq_rerank,
+        # rel_q14_promo — demoted for corpus_match_length: the
+        # DECIMAL-revenue->cents contract ships in-window THREE times
+        # (rel_q7/q10/q15 share the _rev_dec SQL), the CASE-in-sum
+        # conditional-aggregate shape via rel_q22's conditional sums,
+        # and the month-range pushdown class via rel_q10's quarter
+        # filter; the ppm share arithmetic is the house div chain
+        "rel_q14_promo": q_rel_q14_promo,
         # rel_fk_audit — demoted for rel_events_trend: the corpus_audit
         # demotion precedent (every cell a trivial LEFT-ANTI count, all
         # 0 on the healthy lake; crafted-orphan + healthy-lake pytests

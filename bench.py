@@ -182,6 +182,7 @@ HEADLINE = [
     "corpus_drift_ks",       # exact two-sample KS drift statistic
     "rel_benford",           # Benford first-digit ingest forensics
     "rel_events_trend",      # Mann-Kendall + Theil-Sen trend pair
+    "corpus_match_length",   # distribution-matching rejection sampler
 ]
 
 

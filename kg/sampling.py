@@ -549,3 +549,70 @@ def leakproof_split(df: DataFrame, pairs: DataFrame,
                                               F.col(key_col))))
     return split_assign(with_rep, weights=weights, names=names,
                         key_col="rep", out_col=out_col)
+
+
+def match_distribution(df: DataFrame, target_side, bucket_col: str,
+                       key_col: str = "doc_id") -> DataFrame:
+    """Distribution-matching rejection sampler: subsample the SOURCE
+    slice (rows where `target_side` is false) so its distribution over
+    `bucket_col` matches the TARGET slice's — the standard
+    controlled-comparison/curation move (match a web crawl to a
+    reference corpus's length/quality profile before training ablations,
+    so downstream deltas measure CONTENT, not shape).
+
+    The maximum matched subsample: with per-bucket counts (src_b,
+    tgt_b), the largest global scale keeping every per-bucket rate ≤ 1
+    is c* = min_b src_b/tgt_b — at which the n's cancel and
+
+        rate_b = (src_b0 · tgt_b) · 1e6  div  (tgt_b0 · src_b)
+
+    (b0 = the argmin bucket, by the micro-quantized ratio with a
+    smallest-bucket tie-break; quantized argmin on a near-tie only
+    changes rates at micro granularity, so every rate is clamped at
+    1e6).  The binding bucket b0 keeps everything; buckets the target
+    never uses drop to 0; TARGET mass in source-empty buckets is
+    unmatchable and silently unrepresented — the standard rejection-
+    sampling caveat, report it with corpus_drift_ks on the output.
+
+    Keep rule = the temperature_mixture integer-micro md5 threshold
+    ('g' sentinel at rate ≥ 1e6), so matched samples NEST with every
+    other sampler in this module.  Returns the kept source rows (all
+    original columns).
+
+    Scale shape: ONE conditional-sum bucket aggregate → argmin +
+    rate arithmetic on the bucket-bounded frame (two broadcast
+    crossJoins, no collect) → broadcast join back → narrow filter."""
+    side = (F.col(target_side) if isinstance(target_side, str)
+            else target_side)
+    per = (df.select(F.col(bucket_col).alias("_b"),
+                     F.when(side, 1).otherwise(0).alias("_t"))
+           .groupBy("_b")
+           .agg(F.sum("_t").cast("bigint").alias("_tgt"),
+                F.sum(F.expr("1 - _t")).cast("bigint").alias("_src")))
+    both = per.filter((F.col("_tgt") > 0) & (F.col("_src") > 0))
+    b0 = (both.withColumn("_c", F.expr("(_src * 1000000) div _tgt"))
+          .agg(F.expr("min_by(struct(_src as s0, _tgt as t0),"
+                      " struct(_c, _b))").alias("_m"))
+          .select(F.col("_m.s0").alias("_s0"),
+                  F.col("_m.t0").alias("_t0")))
+    rates = (per.crossJoin(F.broadcast(b0))
+             .withColumn("_rate", F.expr(
+                 "CASE WHEN _tgt = 0 OR _src = 0 OR _s0 IS NULL"
+                 " THEN cast(0 as bigint) ELSE"
+                 " least(cast(1000000 as bigint),"
+                 " cast((cast(_s0 as decimal(38,0)) * _tgt * 1000000)"
+                 " div (cast(_t0 as decimal(38,0)) * _src) as bigint))"
+                 " END"))
+             .withColumn("_thr",
+                         F.when(F.col("_rate") >= 1_000_000, F.lit("g"))
+                         .otherwise(F.lpad(F.lower(F.hex(
+                             F.expr("(_rate * 1048576) div 1000000"))),
+                             5, "0")))
+             .select("_b", "_rate", "_thr"))
+    return (df.filter(~side)
+            .join(F.broadcast(rates),
+                  F.col(bucket_col).eqNullSafe(F.col("_b")), "left")
+            .filter((F.col("_rate") >= 1_000_000)
+                    | (F.substring(_key_hash(key_col), 1, 5)
+                       < F.col("_thr")))
+            .drop("_b", "_rate", "_thr"))

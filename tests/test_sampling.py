@@ -4,6 +4,7 @@ packing arithmetic."""
 
 import hashlib
 
+import pyspark.sql.functions as F
 import pytest
 
 from kg.sampling import (hash_sample, pack_shards, rate_to_hex, split_assign)
@@ -420,3 +421,54 @@ class TestLeakproofSplit:
         # every cluster member inherits the REP's own-hash split
         assert got[2] == plain[0] and got[6] == plain[5] \
             and got[25] == plain[10]
+
+
+class TestMatchDistribution:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, b int, t boolean")
+
+    def test_binding_bucket_keeps_all_and_rates_replay(self, spark):
+        """Bucket A (tgt 4 / src 2) binds -> rate 1e6, all source kept;
+        bucket B (tgt 2 / src 8) -> rate = (2*2*1e6)//(4*8) = 125000,
+        membership replays the md5 5-hex threshold exactly; bucket C
+        (tgt 0) keeps nothing."""
+        import hashlib
+        from kg.sampling import match_distribution
+        rows = []
+        did = 0
+        for b, n_t, n_s in ((1, 4, 2), (2, 2, 8), (3, 0, 3)):
+            for _ in range(n_t):
+                did += 1
+                rows.append((did, b, True))
+            for _ in range(n_s):
+                did += 1
+                rows.append((did, b, False))
+        df = self._df(spark, rows)
+        kept = {r.doc_id for r in
+                match_distribution(df, F.col("t"), "b").collect()}
+        src = {r[0]: r[1] for r in rows if not r[2]}
+        assert {d for d in kept if src.get(d) == 1} == \
+            {d for d, b in src.items() if b == 1}       # binding: all
+        assert not any(src.get(d) == 3 for d in kept)   # tgt 0: none
+        thr = format(125000 * 1048576 // 1000000, "05x")
+        want_b2 = {d for d, b in src.items() if b == 2
+                   and hashlib.md5(str(d).encode()).hexdigest()[:5]
+                   < thr}
+        assert {d for d in kept if src.get(d) == 2} == want_b2
+
+    def test_no_overlap_empty(self, spark):
+        """Target and source never share a bucket -> nothing matchable,
+        empty output (the s0-NULL guard)."""
+        from kg.sampling import match_distribution
+        df = self._df(spark, [(1, 1, True), (2, 2, False)])
+        assert match_distribution(df, F.col("t"), "b").count() == 0
+
+    def test_output_is_source_only_and_nested(self, spark):
+        """Kept set is a subset of the source slice; target rows never
+        appear."""
+        from kg.sampling import match_distribution
+        rows = [(i, i % 3, i % 2 == 0) for i in range(60)]
+        df = self._df(spark, rows)
+        kept = match_distribution(df, F.col("t"), "b")
+        assert kept.filter(F.col("t")).count() == 0
+        assert kept.count() <= sum(1 for r in rows if not r[2])

@@ -2753,6 +2753,47 @@ def build_oracle_sql() -> dict[str, str]:
                  AS text_redacted
         FROM m GROUP BY doc_id"""
 
+    # Distribution-matching sampler (kg.sampling.match_distribution):
+    # per-bucket conditional counts, micro-quantized argmin bucket
+    # ((c, b) tie-break), exact cross-multiplied rates clamped at 1e6,
+    # the temperature_mixture 5-hex md5 keep.
+    sqls["corpus_match_length"] = """
+        WITH d AS MATERIALIZED (
+          SELECT doc_id, lang,
+                 CAST(length(bin(greatest(n_chars, 1))) AS INT) AS lenb
+          FROM documents),
+        per AS MATERIALIZED (
+          SELECT lenb AS b,
+                 CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS tgt,
+                 CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
+                      AS BIGINT) AS src
+          FROM d GROUP BY 1),
+        b0 AS (
+          SELECT src AS s0, tgt AS t0 FROM per
+          WHERE tgt > 0 AND src > 0
+          ORDER BY (src * 1000000) // tgt, b LIMIT 1),
+        r AS (
+          SELECT b,
+                 CASE WHEN tgt = 0 OR src = 0 THEN CAST(0 AS BIGINT)
+                      ELSE least(CAST(1000000 AS BIGINT),
+                                 CAST((CAST(s0 AS HUGEINT) * tgt
+                                       * 1000000)
+                                      // (CAST(t0 AS HUGEINT) * src)
+                                      AS BIGINT)) END AS rate
+          FROM per CROSS JOIN b0),
+        t AS (SELECT b, rate,
+                     CASE WHEN rate >= 1000000 THEN 'g'
+                          ELSE printf('%05x', CAST((rate * 1048576)
+                                                   // 1000000 AS BIGINT))
+                     END AS thr
+              FROM r)
+        SELECT d.doc_id, d.lang, CAST(d.lenb AS INT) AS lenb
+        FROM d JOIN t ON t.b = d.lenb
+        WHERE d.lang <> 'en'
+          AND (rate >= 1000000
+               OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 5) < thr)"""
+
     # Mann-Kendall + Theil-Sen trend (kg.relops.trend_stats): daily
     # counts -> day-pair self-join -> sign sum + lower-nearest-rank
     # median of the quantized pairwise slopes.
