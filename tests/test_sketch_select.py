@@ -291,8 +291,8 @@ class TestAmsSketch:
         b = spark.createDataFrame([(v,) for v in b_vals], "key long")
 
         def sign(i, v):
-            h = hashlib.md5(f"ams:{i}:{v}".encode()).hexdigest()
-            return 1 - 2 * (int(h[0], 16) % 2)
+            h = hashlib.md5(f"ams:{v}".encode()).hexdigest()
+            return 1 - 2 * (int(h[i], 16) % 2)
 
         za = {r.i: r.z for r in ams_sketch(a, "key", d=4).collect()}
         zb = {r.i: r.z for r in ams_sketch(b, "key", d=4).collect()}
@@ -331,8 +331,8 @@ class TestAmsSketch:
         assert r.exact_f2_b == sum(c * c for c in fb.values())      # 6
 
         def sign(i, v):
-            h = hashlib.md5(f"ams:{i}:{v}".encode()).hexdigest()
-            return 1 - 2 * (int(h[0], 16) % 2)
+            h = hashlib.md5(f"ams:{v}".encode()).hexdigest()
+            return 1 - 2 * (int(h[i], 16) % 2)
 
         za = [sum(sign(i, v) for v in a_vals) for i in range(16)]
         zb = [sum(sign(i, v) for v in b_vals) for i in range(16)]

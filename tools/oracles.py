@@ -1675,12 +1675,12 @@ def build_oracle_sql() -> dict[str, str]:
         FROM sl"""
 
     # AMS join-size estimation (kg.sketch.ams_join_estimate): 16
-    # deterministic ±1 sign sums per side (sign = first-md5-nibble
-    # parity of 'ams:{i}:' || key), est = mean of products; exact
+    # deterministic ±1 sign sums per side (sign_i = parity of nibble i
+    # of ONE md5('ams:' || key)), est = mean of products; exact
     # audits from per-key count aggregates; everything HUGEINT-staged.
     def _ams_z(key: str, i: int) -> str:
-        nib = (f"(strpos('0123456789abcdef', substr(md5('ams:{i}:' ||"
-               f" CAST({key} AS VARCHAR)), 1, 1)) - 1)")
+        nib = (f"(strpos('0123456789abcdef', substr(md5('ams:' ||"
+               f" CAST({key} AS VARCHAR)), {i + 1}, 1)) - 1)")
         return f"CAST(sum(1 - 2 * ({nib} % 2)) AS BIGINT) AS z{i}"
 
     _za = ", ".join(_ams_z("o_orderkey", i) for i in range(16))
