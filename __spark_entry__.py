@@ -3092,6 +3092,81 @@ def q_multimodal_tiff(spark, sf_dir):
         "n_rgb_bytes", "mean_r")
 
 
+def q_rel_q6_forecast(spark, sf_dir):
+    """TPC-H Q6 (forecasting revenue change): one-table scan +
+    three-predicate filter + single aggregate — THE pushdown benchmark
+    (the plan guard pins all three predicates in the lineitem scan's
+    PushedFilters; a post-scan filter would read every row at 100 TB).
+    The discount band compares raw doubles against the same IEEE
+    literals in both engines — a decimal cast would block the pushdown
+    that is Q6's whole point; the aggregate goes DECIMAL → cents."""
+    li = _read("lineitem")(spark, sf_dir)
+    f = li.filter(
+        (F.col("l_shipdate").cast("timestamp")
+         >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate").cast("timestamp")
+           < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24))
+    rev = _dec("l_extendedprice") * _dec("l_discount")
+    return (f.agg(F.count("*").cast("bigint").alias("n_items"),
+                  F.sum(rev).alias("_rev"))
+            .select("n_items",
+                    F.expr("cast(cast(coalesce(_rev, 0) * 100 as"
+                           " decimal(38,0)) as bigint)")
+                    .alias("revenue_cents")))
+
+
+def q_rel_q8_market_share(spark, sf_dir):
+    """TPC-H Q8 (national market share), adapted to the reduced schema
+    (p_type categorical): NATION_19's share of ASIA-customer PROMO-part
+    revenue per order year — the two-level conditional share (CASE
+    numerator inside the same sum as the denominator, ratio in exact
+    ppm) over the 8-table join; region+nation dims broadcast twice (two
+    roles), the two-year window pushed to the orders scan."""
+    re_, na, cu, su, od, li, pa = (_read(n)(spark, sf_dir) for n in
+                                   ("region", "nation", "customer",
+                                    "supplier", "orders", "lineitem",
+                                    "part"))
+    od_w = od.filter(
+        (F.col("o_orderdate").cast("timestamp")
+         >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate").cast("timestamp")
+           < F.lit("1998-01-01").cast("timestamp")))
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)")
+                                     - _dec("l_discount"))
+    nc = F.broadcast(
+        na.join(re_.filter(F.col("r_name") == "ASIA"),
+                na.n_regionkey == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("_cnk")))
+    ns = F.broadcast(na.select(F.col("n_nationkey").alias("_snk"),
+                               F.col("n_name").alias("supp_nation")))
+    j = (li.join(F.broadcast(pa.filter(F.col("p_type") == "PROMO")
+                             .select("p_partkey")),
+                 li.l_partkey == F.col("p_partkey"))
+         .join(od_w, li.l_orderkey == od_w.o_orderkey)
+         .join(cu, od_w.o_custkey == cu.c_custkey)
+         .join(nc, cu.c_nationkey == F.col("_cnk"))
+         .join(su, li.l_suppkey == su.s_suppkey)
+         .join(ns, su.s_nationkey == F.col("_snk")))
+    agg = (j.groupBy(F.year(F.col("o_orderdate").cast("timestamp"))
+                     .cast("bigint").alias("o_year"))
+           .agg(F.sum(F.when(F.col("supp_nation") == "NATION_19", rev)
+                      .otherwise(F.lit(0).cast("decimal(18,2)")))
+                .alias("_nat"),
+                F.sum(rev).alias("_tot"),
+                F.count("*").cast("bigint").alias("n_items")))
+    return agg.select(
+        "o_year", "n_items",
+        F.expr("cast(cast(_nat * 100 as decimal(38,0)) as bigint)")
+        .alias("nation_revenue_cents"),
+        F.expr("cast(cast(_tot * 100 as decimal(38,0)) as bigint)")
+        .alias("total_revenue_cents"),
+        F.expr("cast((cast(_nat * 100 as decimal(38,0)) * 1000000)"
+               " div cast(_tot * 100 as decimal(38,0)) as bigint)")
+        .alias("mkt_share_ppm"))
+
+
 def q_corpus_match_length(spark, sf_dir):
     """Distribution-matching rejection sampler
     (kg.sampling.match_distribution): subsample the non-en slice so its
@@ -3262,12 +3337,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # demotion each — see the demoted block -------------------------
         "kg_tag_coloring": q_kg_tag_coloring,
         "rel_events_surprisal": q_rel_events_surprisal,
-        "corpus_split_leakproof": q_corpus_split_leakproof,
         # --- r4 session-13 additions (rotated into the window); one
         # demotion each — see the demoted block -------------------------
         "text_chi2_pairs": q_text_chi2_pairs,
         "kg_tag_hyperball": q_kg_tag_hyperball,
-        "embedding_centroid_matrix": q_embedding_centroid_matrix,
         "text_ndcg": q_text_ndcg,
         # --- r4 session-14 additions (rotated into the window); one
         # demotion each — see the demoted block -------------------------
@@ -3289,6 +3362,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_benford": q_rel_benford,
         "rel_events_trend": q_rel_events_trend,
         "corpus_match_length": q_corpus_match_length,
+        "rel_q6_forecast": q_rel_q6_forecast,
+        "rel_q8_market_share": q_rel_q8_market_share,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also
@@ -3311,6 +3386,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the full-shortlist-equals-exact-topk + candidate-containment
         # pytests
         "ann_pq_rerank": q_ann_pq_rerank,
+        # corpus_split_leakproof — demoted for rel_q6_forecast: each of
+        # its three embedded machineries keeps an in-window row — the
+        # LSH banding via dedup_winnow_pairs/dedup_semantic, connected
+        # components via dedup_components, and the md5 split-boundary
+        # keep class via corpus_match_length's 5-hex threshold; the
+        # never-straddle/singleton-parity/rep-inheritance pytests pin
+        # the composition
+        "corpus_split_leakproof": q_corpus_split_leakproof,
+        # embedding_centroid_matrix — demoted for rel_q8_market_share:
+        # its map-side d-wide DECIMAL(38) centroid aggregate is the
+        # in-window ann_kmeans expression shape, the pair frame is
+        # labels²-bounded trivial arithmetic, and the cos²·sign formula
+        # is orthogonal/identical/opposed/truncating-mean pytest-pinned
+        "embedding_centroid_matrix": q_embedding_centroid_matrix,
         # rel_q14_promo — demoted for corpus_match_length: the
         # DECIMAL-revenue->cents contract ships in-window THREE times
         # (rel_q7/q10/q15 share the _rev_dec SQL), the CASE-in-sum

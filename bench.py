@@ -183,6 +183,8 @@ HEADLINE = [
     "rel_benford",           # Benford first-digit ingest forensics
     "rel_events_trend",      # Mann-Kendall + Theil-Sen trend pair
     "corpus_match_length",   # distribution-matching rejection sampler
+    "rel_q6_forecast",       # TPC-H Q6 full-pushdown scan aggregate
+    "rel_q8_market_share",   # TPC-H Q8 two-level conditional share
 ]
 
 

@@ -881,3 +881,37 @@ def test_stupid_backoff_no_window_no_python(spark):
     plan = _plan(stupid_backoff_bits(docs))
     assert "Window" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_rel_q6_all_predicates_pushed(spark):
+    """TPC-H Q6: all three predicates (date range, discount band,
+    quantity cap) must reach the lineitem scan as PushedFilters, and
+    the scan must read only the four referenced columns."""
+    import __spark_entry__ as E
+    df = E.q_rel_q6_forecast(spark, "/root/testdata/sf0.001")
+    # plan toString TRUNCATES long PushedFilters lists — use the
+    # formatted explain, which prints them in full
+    jvm = spark.sparkContext._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    plan = df._jdf.queryExecution().explainString(mode)
+    pushed = [ln for ln in plan.split("\n")
+              if "PushedFilters" in ln][0]
+    for want in ("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+                 "GreaterThanOrEqual(l_discount,0.05)",
+                 "LessThanOrEqual(l_discount,0.07)",
+                 "LessThan(l_quantity,24.0)"):
+        assert want in pushed, (want, pushed)
+    read = [ln for ln in plan.split("\n") if "ReadSchema" in ln][0]
+    assert "l_extendedprice" in read and "l_orderkey" not in read
+
+
+def test_rel_q8_broadcasts_all_dims(spark):
+    """TPC-H Q8: the 8-table join must broadcast every dim (part probe,
+    both nation roles, region path) — only the fact-side joins shuffle;
+    no NestedLoop anywhere."""
+    import __spark_entry__ as E
+    plan = _plan(E.q_rel_q8_market_share(spark,
+                                         "/root/testdata/sf0.001"))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "BroadcastNestedLoopJoin" not in plan

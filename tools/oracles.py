@@ -2753,6 +2753,50 @@ def build_oracle_sql() -> dict[str, str]:
                  AS text_redacted
         FROM m GROUP BY doc_id"""
 
+    # TPC-H Q6: one-table three-predicate filter + single aggregate;
+    # the discount band compares the SAME IEEE doubles in both engines.
+    sqls["rel_q6_forecast"] = """
+        SELECT CAST(count(*) AS BIGINT) AS n_items,
+               CAST(CAST(coalesce(sum(
+                 CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(l_discount AS DECIMAL(18,2))), 0) * 100
+                 AS HUGEINT) AS BIGINT) AS revenue_cents
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24"""
+
+    # TPC-H Q8 (adapted): NATION_19's share of ASIA-customer PROMO-part
+    # revenue per order year — CASE numerator inside the same pass as
+    # the denominator, ppm over DECIMAL cents.
+    sqls["rel_q8_market_share"] = f"""
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(CAST(sum(CASE WHEN ns.n_name = 'NATION_19'
+                             THEN {_rev_dec}
+                             ELSE CAST(0 AS DECIMAL(18,2)) END) * 100
+                         AS HUGEINT) AS BIGINT) AS nation_revenue_cents,
+               CAST(CAST(sum({_rev_dec}) * 100 AS HUGEINT) AS BIGINT)
+                 AS total_revenue_cents,
+               CAST((CAST(sum(CASE WHEN ns.n_name = 'NATION_19'
+                              THEN {_rev_dec}
+                              ELSE CAST(0 AS DECIMAL(18,2)) END) * 100
+                          AS HUGEINT) * 1000000)
+                    // CAST(sum({_rev_dec}) * 100 AS HUGEINT)
+                    AS BIGINT) AS mkt_share_ppm
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation nc ON c_nationkey = nc.n_nationkey
+        JOIN region ON nc.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ns ON s_nationkey = ns.n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1"""
+
     # Distribution-matching sampler (kg.sampling.match_distribution):
     # per-bucket conditional counts, micro-quantized argmin bucket
     # ((c, b) tie-break), exact cross-multiplied rates clamped at 1e6,
