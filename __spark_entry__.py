@@ -1601,6 +1601,20 @@ def q_rel_events_funnel(spark, sf_dir):
                   ("view", "click", "purchase"))
 
 
+def q_rel_basket_rules(spark, sf_dir):
+    """Association-rule mining (kg.relops.basket_rules, Apriori
+    frequent-pair stage) over doc→token baskets: every directed token
+    pair co-annotated in ≥5 documents with exact-integer support /
+    confidence / lift ppm — the co-consumption primitive whose
+    information-theoretic cousin is the PMI edge scorer.  Duplicate
+    tokens in a doc support it once (distinct-basket semantics)."""
+    from kg.relops import basket_rules
+    toks = (_read("documents")(spark, sf_dir)
+            .select(F.col("doc_id").alias("basket_id"),
+                    F.explode(F.split("text", " ")).alias("item")))
+    return basket_rules(toks, min_item_baskets=10, min_pair_baskets=5)
+
+
 def q_ann_sq_topk(spark, sf_dir):
     """Scalar-quantization ANN (kg.similarity.sq_topk — FAISS SQ8): per-
     dimension 256-level uniform quantization between corpus min/max,
@@ -3362,8 +3376,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_benford": q_rel_benford,
         "rel_events_trend": q_rel_events_trend,
         "corpus_match_length": q_corpus_match_length,
-        "rel_q6_forecast": q_rel_q6_forecast,
         "rel_q8_market_share": q_rel_q8_market_share,
+        # --- r4 session-15 additions (rotated into the window); one
+        # demotion each — see the demoted block -------------------------
+        "rel_basket_rules": q_rel_basket_rules,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also
@@ -3407,6 +3423,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and the month-range pushdown class via rel_q10's quarter
         # filter; the ppm share arithmetic is the house div chain
         "rel_q14_promo": q_rel_q14_promo,
+        # rel_q6_forecast — demoted for rel_basket_rules: TPC-H Q6 is a
+        # single-table filter+sum, the simplest shape in the family —
+        # its DECIMAL-revenue->cents contract ships in-window THREE
+        # times (rel_q7/q10/q15 share the _rev_dec SQL), its
+        # date/qty/discount predicate-pushdown class is plan-tested,
+        # and the literal-value pytest pins the sf0.01 answer
+        "rel_q6_forecast": q_rel_q6_forecast,
         # rel_fk_audit — demoted for rel_events_trend: the corpus_audit
         # demotion precedent (every cell a trivial LEFT-ANTI count, all
         # 0 on the healthy lake; crafted-orphan + healthy-lake pytests

@@ -934,3 +934,94 @@ def trend_stats(events: DataFrame, type_col: str = "event_type",
                   "event_type")
             .select("event_type", "n_days", "n_pairs", "s_stat",
                     "slope_milli"))
+
+
+def basket_rules(df: DataFrame, basket_col: str = "basket_id",
+                 item_col: str = "item",
+                 min_item_baskets: int = 10,
+                 min_pair_baskets: int = 5,
+                 max_basket_items: int = 1000,
+                 materialize: bool = False) -> DataFrame:
+    """Association-rule mining over transaction baskets (Agrawal &
+    Srikant 1994, the Apriori frequent-pair + rule stage): for every
+    ordered item pair (ante → cons) whose co-occurrence clears
+    `min_pair_baskets`, emit support, confidence and lift — the
+    market-basket / co-consumption primitive (parts bought together,
+    tags co-annotated, events co-fired per user) the KG's PMI edge
+    scorer (kg.graphrank.tag_pmi_edges) is the information-theoretic
+    cousin of; rules add DIRECTION (confidence is asymmetric) and the
+    basket-count semantics recommendation pipelines consume.
+
+    All statistics are DISTINCT-basket counts (a basket listing the
+    same item 5× supports it once).  confidence_ppm =
+    n_pair·10⁶ div n_ante; lift_ppm = n_pair·N·10⁶ div
+    (n_ante·n_cons) — both exact integer rationals (DECIMAL(38,0)
+    staged; at 10¹² baskets the lift numerator is ~10³⁰, inside
+    DECIMAL(38) headroom).  Both rule directions ride ONE explode of a
+    2-struct array off the shared pair aggregate (rule 3: a union of
+    projections would re-run the child per branch).
+
+    Scale shape — the two Apriori prunes run BEFORE the only self-join:
+    (1) items below `min_item_baskets` are dropped first (at 100 TB the
+    frequent-item set is at most N·avg_basket/min_item_baskets rows —
+    the downward-closure prune: no infrequent item can be in a frequent
+    pair); (2) baskets holding more than `max_basket_items` frequent
+    items are excluded (a 10⁵-item crawl-spam basket alone would emit
+    5·10⁹ pairs; the cap bounds per-basket emission at ~5·10⁵ — the
+    max_df convention of kg.dedup).  The self-join is then equi on the
+    basket key, co-partitioned, output bounded by Σ_b C(k_b, 2) with
+    k_b ≤ cap.  One distinct + two hash aggregates + one equi
+    self-join; no window, no UDF.
+
+    `materialize=True` localCheckpoints the distinct basket-item frame
+    before its branches (item counts, basket sizes, both self-join
+    sides) — identical-subtree Exchange reuse is NOT guaranteed
+    (CLAUDE.md rule 7); leave False for plain scans where re-reading
+    is cheaper than materializing."""
+    bi = (df.select(F.col(basket_col).alias("_b"),
+                    F.col(item_col).alias("_i"))
+          .distinct())
+    if materialize:
+        bi = bi.localCheckpoint()
+    n_baskets = bi.agg(
+        F.countDistinct("_b").cast("bigint").alias("_nb"))
+    item_n = (bi.groupBy("_i")
+              .agg(F.count("*").cast("bigint").alias("_ni"))
+              .filter(F.col("_ni") >= min_item_baskets))
+    fbi = bi.join(item_n, "_i")
+    ok = (fbi.groupBy("_b").agg(F.count("*").alias("_sz"))
+          .filter(F.col("_sz") <= max_basket_items)
+          .select("_b"))
+    fb = fbi.join(ok, "_b")
+    left = fb.select("_b", F.col("_i").alias("_ia"),
+                     F.col("_ni").alias("_na"))
+    right = fb.select("_b", F.col("_i").alias("_ib"),
+                      F.col("_ni").alias("_nb2"))
+    pairs = (left.join(right, "_b")
+             .filter(F.col("_ia") < F.col("_ib"))
+             .groupBy("_ia", "_ib")
+             .agg(F.count("*").cast("bigint").alias("n_pair"),
+                  F.min("_na").alias("_na"),
+                  F.min("_nb2").alias("_nb2"))
+             .filter(F.col("n_pair") >= min_pair_baskets))
+    both = pairs.select(
+        F.col("n_pair"),
+        F.explode(F.array(
+            F.struct(F.col("_ia").alias("ante"),
+                     F.col("_ib").alias("cons"),
+                     F.col("_na").alias("n_ante"),
+                     F.col("_nb2").alias("n_cons")),
+            F.struct(F.col("_ib").alias("ante"),
+                     F.col("_ia").alias("cons"),
+                     F.col("_nb2").alias("n_ante"),
+                     F.col("_na").alias("n_cons")))).alias("_r"))
+    return (both.select("_r.ante", "_r.cons", "n_pair",
+                        "_r.n_ante", "_r.n_cons")
+            .crossJoin(F.broadcast(n_baskets))
+            .select("ante", "cons", "n_pair", "n_ante", "n_cons",
+                    F.expr("CAST(CAST(n_pair AS DECIMAL(38,0)) * 1000000"
+                           " div n_ante AS BIGINT)").alias("conf_ppm"),
+                    F.expr("CAST((CAST(n_pair AS DECIMAL(38,0)) * _nb"
+                           " * 1000000) div (CAST(n_ante AS"
+                           " DECIMAL(38,0)) * n_cons) AS BIGINT)")
+                    .alias("lift_ppm")))

@@ -863,3 +863,53 @@ class TestTrendStats:
         got = {r.event_type for r in
                trend_stats(one.unionByName(multi)).collect()}
         assert got == {"duo"}
+
+
+class TestBasketRules:
+    """Association-rule mining (kg.relops.basket_rules): hand-replayed
+    support/confidence/lift, distinct-basket semantics, both Apriori
+    prunes, and the oversized-basket guard."""
+
+    def _rules(self, spark, baskets, **kw):
+        from kg.relops import basket_rules
+        rows = [(b, i) for b, items in baskets.items() for i in items]
+        df = spark.createDataFrame(rows, "basket_id string, item string")
+        return {(r.ante, r.cons): r
+                for r in basket_rules(df, **kw).collect()}
+
+    def test_hand_replay_counts_conf_lift(self, spark):
+        """5 baskets; duplicate 'a' in b3 counts once; 'd' (1 basket)
+        pruned by min_item; pair (b,c) (1 basket) pruned by min_pair.
+        conf and lift replayed by hand in exact ppm integers."""
+        got = self._rules(spark, {
+            "b1": ["a", "b", "c"], "b2": ["a", "b"],
+            "b3": ["a", "a", "b"], "b4": ["a", "c"], "b5": ["b", "d"],
+        }, min_item_baskets=2, min_pair_baskets=2)
+        assert set(got) == {("a", "b"), ("b", "a"), ("a", "c"),
+                            ("c", "a")}
+        ab = got[("a", "b")]
+        assert (ab.n_pair, ab.n_ante, ab.n_cons) == (3, 4, 4)
+        assert ab.conf_ppm == 3 * 10**6 // 4            # 750000
+        assert ab.lift_ppm == 3 * 5 * 10**6 // (4 * 4)  # 937500
+        ac, ca = got[("a", "c")], got[("c", "a")]
+        assert (ac.conf_ppm, ca.conf_ppm) == (500000, 1000000)
+        assert ac.lift_ppm == ca.lift_ppm == 1250000    # symmetric
+
+    def test_oversized_basket_excluded_from_pairs(self, spark):
+        """b3 holds 4 frequent items > cap 2: it emits NO pairs, but
+        per-item basket counts stay pre-exclusion (documented guard
+        semantics) - a->b confidence divides by 3, not 2."""
+        got = self._rules(spark, {
+            "b1": ["a", "b"], "b2": ["a", "b"],
+            "b3": ["a", "b", "c", "d"], "b4": ["c"], "b5": ["d"],
+        }, min_item_baskets=2, min_pair_baskets=2, max_basket_items=2)
+        assert set(got) == {("a", "b"), ("b", "a")}
+        ab = got[("a", "b")]
+        assert (ab.n_pair, ab.n_ante) == (2, 3)
+        assert ab.conf_ppm == 2 * 10**6 // 3            # 666666
+        assert ab.lift_ppm == 2 * 5 * 10**6 // (3 * 3)  # 1111111
+
+    def test_thresholds_empty(self, spark):
+        got = self._rules(spark, {"b1": ["a", "b"], "b2": ["a", "b"]},
+                          min_item_baskets=3, min_pair_baskets=1)
+        assert got == {}

@@ -2984,6 +2984,47 @@ def build_oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT node, 'auth' AS side, s AS score_micro FROM a3"""
 
+    # Association rules over doc->token baskets (kg.relops.basket_rules):
+    # distinct-basket counts, min_item_baskets=10 / min_pair_baskets=5
+    # Apriori prunes BEFORE the basket-key self-join, conf/lift as exact
+    # integer ppm via HUGEINT // (truncate == Spark div, all positive;
+    # NB DuckDB's // on DECIMAL operands returns the FULL quotient and
+    # a later BIGINT cast ROUNDS it — HUGEINT // is the integral one).
+    # Item counts are pre-cap by contract (the 1000-item guard never
+    # fires on this corpus).
+    sqls["rel_basket_rules"] = """
+        WITH tok AS (
+          SELECT doc_id AS b, unnest(string_split(text, ' ')) AS i
+          FROM documents),
+        bi AS MATERIALIZED (SELECT DISTINCT b, i FROM tok),
+        nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM bi),
+        item_n AS MATERIALIZED (
+          SELECT i, CAST(count(*) AS BIGINT) AS ni
+          FROM bi GROUP BY i HAVING count(*) >= 10),
+        fbi AS MATERIALIZED (
+          SELECT bi.b, bi.i, ni FROM bi JOIN item_n USING (i)),
+        ok AS (SELECT b FROM fbi GROUP BY b HAVING count(*) <= 1000),
+        fb AS MATERIALIZED (
+          SELECT fbi.b, fbi.i, fbi.ni FROM fbi JOIN ok USING (b)),
+        pairs AS MATERIALIZED (
+          SELECT x.i AS ia, y.i AS ib,
+                 CAST(count(*) AS BIGINT) AS n_pair,
+                 min(x.ni) AS na, min(y.ni) AS nbc
+          FROM fb x JOIN fb y ON x.b = y.b AND x.i < y.i
+          GROUP BY x.i, y.i HAVING count(*) >= 5),
+        rules AS (
+          SELECT ia AS ante, ib AS cons, n_pair,
+                 na AS n_ante, nbc AS n_cons FROM pairs
+          UNION ALL
+          SELECT ib, ia, n_pair, nbc, na FROM pairs)
+        SELECT ante, cons, n_pair, n_ante, n_cons,
+               CAST(CAST(n_pair AS HUGEINT) * 1000000 // n_ante
+                    AS BIGINT) AS conf_ppm,
+               CAST((CAST(n_pair AS HUGEINT) * nb.n * 1000000)
+                    // (CAST(n_ante AS HUGEINT) * n_cons)
+                    AS BIGINT) AS lift_ppm
+        FROM rules, nb"""
+
     # Ordered funnel: stage i+1's earliest event at/after stage i's
     # completion, (us, seq) lexicographic — row_number mirrors the Spark
     # side's min(struct(us, seq)).
