@@ -1615,6 +1615,18 @@ def q_rel_basket_rules(spark, sf_dir):
     return basket_rules(toks, min_item_baskets=10, min_pair_baskets=5)
 
 
+def q_rel_events_gapfill(spark, sf_dir):
+    """Hypertable downsampling (kg.relops.gapfill_locf): hourly
+    (type, bucket) rollup with a row for every EMPTY bucket inside
+    each series' observed span, value carried forward from the
+    previous bucket (TimescaleDB time_bucket_gapfill + locf) — the
+    regular grid the temporal-audit family assumes; sums ride
+    DECIMAL(18,2)→cents so both engines agree bit-for-bit."""
+    from kg.relops import gapfill_locf
+    return gapfill_locf(_read("events")(spark, sf_dir),
+                        bucket_seconds=3600)
+
+
 def q_ann_sq_topk(spark, sf_dir):
     """Scalar-quantization ANN (kg.similarity.sq_topk — FAISS SQ8): per-
     dimension 256-level uniform quantization between corpus min/max,
@@ -3361,7 +3373,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_q10_returns": q_rel_q10_returns,
         "rel_q15_top_supplier": q_rel_q15_top_supplier,
         "rel_q7_volume_shipping": q_rel_q7_volume_shipping,
-        "rel_q17_small_qty": q_rel_q17_small_qty,
         "rel_q22_global_sales": q_rel_q22_global_sales,
         "rel_events_cusum": q_rel_events_cusum,
         "text_zipf": q_text_zipf,
@@ -3380,6 +3391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r4 session-15 additions (rotated into the window); one
         # demotion each — see the demoted block -------------------------
         "rel_basket_rules": q_rel_basket_rules,
+        "rel_events_gapfill": q_rel_events_gapfill,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also
@@ -3423,6 +3435,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and the month-range pushdown class via rel_q10's quarter
         # filter; the ppm share arithmetic is the house div chain
         "rel_q14_promo": q_rel_q14_promo,
+        # rel_q17_small_qty — demoted for rel_events_gapfill: its
+        # distinguishing shape (per-group scalar-aggregate subquery
+        # joined back and compared row-wise) keeps an in-window row via
+        # rel_q15_top_supplier's max-over-aggregate subquery join, the
+        # DECIMAL-cents contract ships in-window 4x (rel_q7/q10/q15/q8),
+        # and the sf0.01 answer is pinned by a literal-value pytest —
+        # the TPC-H subsumption precedent (q6/q13/q14/q16)
+        "rel_q17_small_qty": q_rel_q17_small_qty,
         # rel_q6_forecast — demoted for rel_basket_rules: TPC-H Q6 is a
         # single-table filter+sum, the simplest shape in the family —
         # its DECIMAL-revenue->cents contract ships in-window THREE

@@ -1025,3 +1025,55 @@ def basket_rules(df: DataFrame, basket_col: str = "basket_id",
                            " * 1000000) div (CAST(n_ante AS"
                            " DECIMAL(38,0)) * n_cons) AS BIGINT)")
                     .alias("lift_ppm")))
+
+
+def gapfill_locf(events: DataFrame, bucket_seconds: int = 3600,
+                 ts_col: str = "ts", type_col: str = "event_type",
+                 value_col: str = "value") -> DataFrame:
+    """Time-bucket rollup with gap-filling by last observation carried
+    forward (the hypertable `time_bucket_gapfill` + `locf` pair,
+    TimescaleDB's downsampling idiom): per (series, bucket) emit the
+    event count and value sum, insert a row for every EMPTY bucket
+    between each series' first and last observation, and fill the
+    empty buckets' value with the previous bucket's — the
+    regular-grid series downstream forecasting / drift audits need
+    (rel_events_cusum, trend_stats assume no silent holes).
+
+    Output: (event_type, bucket, n_events, sum_cents, filled_cents,
+    is_gap) where bucket = epoch_micros div (bucket_seconds·10⁶);
+    sums go through DECIMAL(18,2)→cents so both engines agree bit-
+    for-bit (house float rule); gap rows have n_events = 0,
+    sum_cents NULL, filled_cents = previous bucket's (never NULL:
+    each series' grid starts at a bucket with data).
+
+    Scale shape: ONE shuffle to the (type, bucket) aggregate — the
+    frame every later step runs on is bucket-granular (series ×
+    time-range / width), never |events|; the grid is an explode of
+    per-series `sequence(lo, hi)` off a series-sized aggregate, the
+    fill join is equi on (type, bucket), and the LOCF window orders
+    buckets WITHIN a series partition (series-count parallelism,
+    bounded rows per partition).  Dense-in-time 100 TB corpora cost
+    |buckets| ≈ series · span/width regardless of event volume."""
+    us = bucket_seconds * 1_000_000
+    b = (events
+         .select(F.col(type_col).alias("event_type"),
+                 F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP)) "
+                        f"div {us}").alias("bucket"),
+                 F.col(value_col).cast("decimal(18,2)").alias("_v"))
+         .groupBy("event_type", "bucket")
+         .agg(F.count("*").cast("bigint").alias("n_events"),
+              F.expr("CAST(sum(_v) * 100 AS BIGINT)").alias("sum_cents")))
+    rng = b.groupBy("event_type").agg(F.min("bucket").alias("_lo"),
+                                      F.max("bucket").alias("_hi"))
+    grid = rng.select("event_type",
+                      F.explode(F.sequence("_lo", "_hi")).alias("bucket"))
+    w = (Window.partitionBy("event_type").orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (grid.join(b, ["event_type", "bucket"], "left")
+            .select("event_type", "bucket",
+                    F.coalesce("n_events", F.lit(0).cast("bigint"))
+                    .alias("n_events"),
+                    "sum_cents",
+                    F.last("sum_cents", ignorenulls=True).over(w)
+                    .alias("filled_cents"),
+                    F.col("n_events").isNull().alias("is_gap")))

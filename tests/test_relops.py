@@ -913,3 +913,54 @@ class TestBasketRules:
         got = self._rules(spark, {"b1": ["a", "b"], "b2": ["a", "b"]},
                           min_item_baskets=3, min_pair_baskets=1)
         assert got == {}
+
+
+class TestGapfillLocf:
+    """Hypertable gap-fill (kg.relops.gapfill_locf): hand-replayed LOCF
+    cents, contiguous grid, count conservation."""
+
+    def _ev(self, spark, rows):
+        df = spark.createDataFrame(
+            rows, "event_type string, ts string, value double")
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def test_hand_replay_gap_fill(self, spark):
+        from kg.relops import gapfill_locf
+        ev = self._ev(spark, [
+            ("a", "2024-01-01 00:10:00", 1.50),
+            ("a", "2024-01-01 00:50:00", 2.25),
+            ("a", "2024-01-01 03:20:00", 4.00),
+            ("b", "2024-01-01 07:00:00", 9.99),
+        ])
+        got = {(r.event_type, r.bucket - base): r
+               for r in gapfill_locf(ev).collect()
+               for base in [473352]}  # 2024-01-01T00 epoch-hours
+        assert len(got) == 5          # a: hours 0..3, b: one row
+        a0, a1, a2, a3 = (got[("a", h)] for h in range(4))
+        assert (a0.n_events, a0.sum_cents, a0.filled_cents,
+                a0.is_gap) == (2, 375, 375, False)
+        assert (a1.n_events, a1.sum_cents, a1.filled_cents,
+                a1.is_gap) == (0, None, 375, True)
+        assert (a2.filled_cents, a2.is_gap) == (375, True)
+        assert (a3.n_events, a3.filled_cents, a3.is_gap) == (1, 400, False)
+        b = got[("b", 7)]
+        assert (b.n_events, b.filled_cents, b.is_gap) == (1, 999, False)
+
+    def test_invariants_on_events_table(self, spark):
+        """Grid contiguous per series, counts conserved, fill total."""
+        from kg.relops import gapfill_locf
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        out = gapfill_locf(ev, bucket_seconds=86400).cache()
+        assert out.filter(F.col("filled_cents").isNull()).count() == 0
+        assert (out.agg(F.sum("n_events")).first()[0] == ev.count())
+        # contiguity: rows per series == hi - lo + 1
+        per = (out.groupBy("event_type")
+               .agg(F.count("*").alias("n"),
+                    (F.max("bucket") - F.min("bucket") + 1).alias("span"))
+               .filter(F.col("n") != F.col("span")).count())
+        assert per == 0
+        # non-gap rows: filled == sum
+        assert (out.filter(~F.col("is_gap"))
+                .filter(F.col("filled_cents") != F.col("sum_cents"))
+                .count() == 0)
+        out.unpersist()

@@ -2984,6 +2984,32 @@ def build_oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT node, 'auth' AS side, s AS score_micro FROM a3"""
 
+    # Hypertable gap-fill rollup (kg.relops.gapfill_locf): hourly
+    # (type, bucket) aggregate, per-series generate_series grid, LOCF
+    # via last_value IGNORE NULLS over ROWS UNBOUNDED PRECEDING (the
+    # exact frame Spark's last(ignorenulls) window uses); sums through
+    # DECIMAL(18,2)*100 cents.
+    sqls["rel_events_gapfill"] = """
+        WITH b AS MATERIALIZED (
+          SELECT event_type, epoch_us(ts) // 3600000000 AS bucket,
+                 CAST(count(*) AS BIGINT) AS n_events,
+                 CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS sum_cents
+          FROM events GROUP BY 1, 2),
+        rng AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+                FROM b GROUP BY 1),
+        grid AS (SELECT event_type,
+                        unnest(generate_series(lo, hi)) AS bucket
+                 FROM rng)
+        SELECT g.event_type, g.bucket,
+               coalesce(b.n_events, 0) AS n_events, b.sum_cents,
+               last_value(b.sum_cents IGNORE NULLS)
+                 OVER (PARTITION BY g.event_type ORDER BY g.bucket
+                       ROWS UNBOUNDED PRECEDING) AS filled_cents,
+               (b.n_events IS NULL) AS is_gap
+        FROM grid g LEFT JOIN b
+          ON g.event_type = b.event_type AND g.bucket = b.bucket"""
+
     # Association rules over doc->token baskets (kg.relops.basket_rules):
     # distinct-basket counts, min_item_baskets=10 / min_pair_baskets=5
     # Apriori prunes BEFORE the basket-key self-join, conf/lift as exact
