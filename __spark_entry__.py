@@ -1601,6 +1601,17 @@ def q_rel_events_funnel(spark, sf_dir):
                   ("view", "click", "purchase"))
 
 
+def q_kg_tag_linkpred(spark, sf_dir):
+    """Four-score link prediction (kg.graphrank.link_prediction) over
+    the strong-tie tag graph: NON-adjacent pairs sharing ≥1 neighbor
+    scored by common-neighbors, Adamic–Adar (house 1e6 div bits(deg)
+    surrogate — the same weight kg_tag_adamic's driver row would
+    certify), resource allocation, and preferential attachment — GDS
+    linkprediction.* parity, all exact integers."""
+    from kg.graphrank import link_prediction
+    return link_prediction(_strong_tie_edges(spark, sf_dir))
+
+
 def q_rel_basket_rules(spark, sf_dir):
     """Association-rule mining (kg.relops.basket_rules, Apriori
     frequent-pair stage) over doc→token baskets: every directed token
@@ -3358,7 +3369,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_tag_ktruss": q_kg_tag_ktruss,
         # --- r4 session-11 additions (rotated into the window); one
         # demotion each — see the demoted block -------------------------
-        "kg_tag_eccentricity": q_kg_tag_eccentricity,
         # --- r4 session-12 additions (rotated into the window); one
         # demotion each — see the demoted block -------------------------
         "kg_tag_coloring": q_kg_tag_coloring,
@@ -3392,6 +3402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # demotion each — see the demoted block -------------------------
         "rel_basket_rules": q_rel_basket_rules,
         "rel_events_gapfill": q_rel_events_gapfill,
+        "kg_tag_linkpred": q_kg_tag_linkpred,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also
@@ -3435,6 +3446,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and the month-range pushdown class via rel_q10's quarter
         # filter; the ppm share arithmetic is the house div chain
         "rel_q14_promo": q_rel_q14_promo,
+        # kg_tag_eccentricity — demoted for kg_tag_linkpred: its keyed
+        # multi-BFS round machinery holds an r3-green driver row via
+        # kg_tag_closeness (same kg.graphrank.multi_bfs frontier code,
+        # eccentricity = the per-pivot max depth of the same frame) and
+        # the diameter family keeps an in-window row via kg_tag_hyperball;
+        # hand-graph eccentricity pytests pin the reduction.  linkpred's
+        # row also certifies the never-driver-checked wedge-scoring
+        # weights kg_tag_adamic shares (1e6 div bits(deg) per center)
+        "kg_tag_eccentricity": q_kg_tag_eccentricity,
         # rel_q17_small_qty — demoted for rel_events_gapfill: its
         # distinguishing shape (per-group scalar-aggregate subquery
         # joined back and compared row-wise) keeps an in-window row via

@@ -1280,3 +1280,50 @@ def test_hyperball_directed_forward_balls(spark):
            for r in hyperball_nf(edges, rounds=1).collect()}
     assert got[1] == want1
     assert got[0] == sum(est_of({v}) for v in "abcd")
+
+
+class TestLinkPrediction:
+    """kg.graphrank.link_prediction: hand-replayed AA/RA/CN/PA on a
+    star+edge and a 4-cycle; edge exclusion; min_common gate."""
+
+    def _lp(self, spark, edges, **kw):
+        from kg.graphrank import link_prediction
+        df = spark.createDataFrame(edges, "src string, dst string")
+        return {(r.a, r.b): r for r in link_prediction(df, **kw).collect()}
+
+    def test_star_plus_edge_hand_values(self, spark):
+        """x-a, x-b, x-c star + a-b edge.  Non-adjacent pairs through
+        center x (deg 3, bits=2): (a,c), (b,c).  Adjacent pairs (a,b),
+        (a,x), (b,x) excluded by default."""
+        edges = [("x", "a"), ("x", "b"), ("x", "c"), ("a", "b")]
+        got = self._lp(spark, edges)
+        assert set(got) == {("a", "c"), ("b", "c")}
+        ac = got[("a", "c")]
+        assert (ac.common, ac.aa_micro, ac.ra_micro, ac.pa) == \
+            (1, 500000, 333333, 2)   # deg x=3: 1e6//bits(3)=5e5, 1e6//3
+
+    def test_include_adjacent(self, spark):
+        edges = [("x", "a"), ("x", "b"), ("x", "c"), ("a", "b")]
+        got = self._lp(spark, edges, exclude_edges=False)
+        assert set(got) == {("a", "b"), ("a", "c"), ("b", "c"),
+                            ("a", "x"), ("b", "x")}
+        ab = got[("a", "b")]       # center x only; a-b edge now scored
+        assert (ab.common, ab.pa) == (1, 4)   # deg a = deg b = 2
+        ax = got[("a", "x")]       # center b (deg 2): aa=ra=500000
+        assert (ax.common, ax.aa_micro, ax.ra_micro) == (1, 500000, 500000)
+
+    def test_two_common_neighbors_cycle(self, spark):
+        """4-cycle p-m-q-n: (m,n) and (p,q) each share 2 deg-2 centers:
+        common=2, aa=ra=1e6, pa=4."""
+        edges = [("p", "m"), ("m", "q"), ("q", "n"), ("n", "p")]
+        got = self._lp(spark, edges)
+        assert set(got) == {("m", "n"), ("p", "q")}
+        for r in got.values():
+            assert (r.common, r.aa_micro, r.ra_micro, r.pa) == \
+                (2, 1000000, 1000000, 4)
+
+    def test_min_common_gate(self, spark):
+        edges = [("p", "m"), ("m", "q"), ("q", "n"), ("n", "p"),
+                 ("z", "p")]   # (z, m)/(z, n) pairs have 1 common (p)
+        got = self._lp(spark, edges, min_common=2)
+        assert set(got) == {("m", "n"), ("p", "q")}

@@ -2442,6 +2442,43 @@ def build_oracle_sql() -> dict[str, str]:
         GROUP BY 1, 2"""
 
 
+    # Four-score link prediction over the same capped strong-tie graph
+    # (kg.graphrank.link_prediction): NON-adjacent pairs only (NOT
+    # EXISTS against the capped sym frame = Spark's left_anti), center
+    # degree = capped list size everywhere (wedge weights, adjacency,
+    # pa); integer // on BIGINTs.
+    sqls["kg_tag_linkpred"] = f"""
+        WITH {_kept_sql},
+        {_cooccur_sql},
+        {_strong_sql},
+        sym0 AS (SELECT a AS n, b AS v FROM f0
+               UNION SELECT b AS n, a AS v FROM f0),
+        sym AS MATERIALIZED (
+          SELECT n, unnest(vs[1:1000]) AS v FROM (
+            SELECT n, list_sort(list(DISTINCT v)) AS vs
+            FROM sym0 GROUP BY n)),
+        dg AS MATERIALIZED (
+          SELECT n, CAST(count(*) AS BIGINT) AS deg
+          FROM sym GROUP BY 1),
+        cen AS MATERIALIZED (
+          SELECT sym.n, sym.v, dg.deg FROM sym JOIN dg USING (n)),
+        pairs AS MATERIALIZED (
+          SELECT s1.v AS a, s2.v AS b,
+                 CAST(count(*) AS BIGINT) AS common,
+                 CAST(sum(1000000 // length(bin(s1.deg))) AS BIGINT)
+                   AS aa_micro,
+                 CAST(sum(1000000 // s1.deg) AS BIGINT) AS ra_micro
+          FROM cen s1 JOIN cen s2 ON s1.n = s2.n AND s1.v < s2.v
+          GROUP BY 1, 2),
+        nonadj AS (
+          SELECT p.* FROM pairs p
+          WHERE NOT EXISTS (SELECT 1 FROM sym
+                            WHERE sym.n = p.a AND sym.v = p.b))
+        SELECT a, b, common, aa_micro, ra_micro,
+               CAST(da.deg * db.deg AS BIGINT) AS pa
+        FROM nonadj JOIN dg da ON da.n = nonadj.a
+                    JOIN dg db ON db.n = nonadj.b"""
+
     # Product-quantization ANN: fully set-based mirror — anchors = the 8
     # smallest-md5(vec_id) vectors, 8 subspaces of 8 dims, ALL math in
     # exact integer micro-units (encode, tables, ADC) so codes and
