@@ -1601,6 +1601,16 @@ def q_rel_events_funnel(spark, sf_dir):
                   ("view", "click", "purchase"))
 
 
+def q_text_dispersion(spark, sf_dir):
+    """Gries' DP term dispersion (kg.textstats.term_dispersion) across
+    the corpus' source partitions: dp_ppm → 0 = evenly spread
+    vocabulary, → 1e6 = clumped in few sources (boilerplate / topical
+    burst) — the curation signal raw frequency hides; exact common-
+    denominator integers, absent parts folded in closed form."""
+    from kg.textstats import term_dispersion
+    return term_dispersion(_read("documents")(spark, sf_dir))
+
+
 def q_kg_tag_linkpred(spark, sf_dir):
     """Four-score link prediction (kg.graphrank.link_prediction) over
     the strong-tie tag graph: NON-adjacent pairs sharing ≥1 neighbor
@@ -3403,6 +3413,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_basket_rules": q_rel_basket_rules,
         "rel_events_gapfill": q_rel_events_gapfill,
         "kg_tag_linkpred": q_kg_tag_linkpred,
+        # --- r4 session-15 additions past the 50-slot window: the window
+        # is full of never-driver-checked rows of equal standing, so these
+        # queue FIRST for the r5 window instead of evicting a peer
+        # (STATUS.md rotation contract) ----------------------------------
+        "text_dispersion": q_text_dispersion,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also

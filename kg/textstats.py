@@ -1371,3 +1371,57 @@ def script_profile(df: DataFrame, text_col: str = "text",
         best = F.when(take, F.lit(name)).otherwise(best)
         best_n = F.when(take, c).otherwise(best_n)
     return out.withColumn("main_script", best)
+
+
+def term_dispersion(df: DataFrame, text_col: str = "text",
+                    part_col: str = "source",
+                    min_tf: int = 1) -> DataFrame:
+    """Gries' DP (deviation of proportions; Gries 2008 "Dispersions and
+    adjusted frequencies in corpora") per term across corpus parts:
+    DP = ½ Σ_i |v_i − s_i| with v_i = the term's frequency share in
+    part i (tf_i / F) and s_i = part i's token share (n_i / N).
+    DP → 0 = evenly dispersed (function words, true corpus-wide
+    vocabulary); DP → 1 = clumped in few parts (topical bursts,
+    source-specific boilerplate) — the curation signal raw frequency
+    hides: a 10⁶-tf term from ONE crawl snapshot is boilerplate, the
+    same tf spread over every part is language.
+
+    Exact integers end-to-end: the difference is evaluated on the
+    common denominator F·N, |tf_i·N − n_i·F|, parts where the term is
+    ABSENT contribute n_i·F — folded in closed form as (N − Σ_present
+    n_i)·F, so the pair frame is only the PRESENT (term, part) rows —
+    and dp_ppm = Σ·10⁶ div (2·F·N), staged in DECIMAL(38,0) (at 10¹³
+    corpus tokens and 10⁹-tf terms the products are ~10²², well inside
+    38 digits).
+
+    Shape: one (term, part) count aggregate; part sizes are a
+    parts-sized broadcast; per-term totals re-shuffle on term and the
+    final sum reuses that term partitioning.  No windows, no UDFs."""
+    toks = df.select(F.col(part_col).alias("part"),
+                     F.explode(tokens_col(text_col)).alias("term"))
+    g = (toks.groupBy("term", "part")
+         .agg(F.count("*").cast("bigint").alias("tf")))
+    sizes = g.groupBy("part").agg(F.sum("tf").cast("bigint")
+                                  .alias("n_part"))
+    tot = sizes.agg(F.sum("n_part").cast("bigint").alias("n_total"))
+    gf = g.groupBy("term").agg(
+        F.sum("tf").cast("bigint").alias("total_tf"),
+        F.count("*").cast("bigint").alias("n_parts"))
+    per = (g.join(F.broadcast(sizes), "part").join(gf, "term")
+           .crossJoin(F.broadcast(tot))
+           .select("term", "total_tf", "n_parts", "n_total", "n_part",
+                   F.expr("abs(CAST(tf AS DECIMAL(38,0)) * n_total - "
+                          "CAST(n_part AS DECIMAL(38,0)) * total_tf)")
+                   .alias("_d")))
+    return (per.groupBy("term")
+            .agg(F.max("total_tf").alias("total_tf"),
+                 F.max("n_parts").alias("n_parts"),
+                 F.max("n_total").alias("_N"),
+                 F.sum("_d").alias("_s1"),
+                 F.sum("n_part").cast("bigint").alias("_s2"))
+            .filter(F.col("total_tf") >= min_tf)
+            .select("term", "n_parts", "total_tf",
+                    F.expr("CAST(((_s1 + (CAST(_N AS DECIMAL(38,0)) "
+                           "- _s2) * total_tf) * 1000000) div "
+                           "(2 * CAST(total_tf AS DECIMAL(38,0)) * _N) "
+                           "AS BIGINT)").alias("dp_ppm")))

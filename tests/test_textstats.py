@@ -641,3 +641,38 @@ class TestStupidBackoff:
                                      "doc_id long, text string")
         r = stupid_backoff_bits(docs).collect()[0]
         assert (r.n_bigrams, r.total_bits) == (5, 5)
+
+
+class TestTermDispersion:
+    """Gries DP (kg.textstats.term_dispersion): hand-replayed ppm on a
+    two-part corpus; perfectly-dispersed -> 0; single-part -> 1 - s_i."""
+
+    def _dp(self, spark, rows, **kw):
+        from kg.textstats import term_dispersion
+        df = spark.createDataFrame(rows, "source string, text string")
+        return {r.term: r for r in term_dispersion(df, **kw).collect()}
+
+    def test_hand_two_parts(self, spark):
+        """Parts of 4 tokens each (N=8).  'x' wholly in A: DP = 1 - 4/8
+        = 0.5.  'y'/'z' once in each part: v_i = s_i -> DP = 0."""
+        got = self._dp(spark, [("A", "x x y z"), ("B", "y z w w")])
+        assert (got["x"].n_parts, got["x"].total_tf,
+                got["x"].dp_ppm) == (1, 2, 500000)
+        assert got["w"].dp_ppm == 500000
+        assert got["y"].dp_ppm == 0 and got["z"].dp_ppm == 0
+
+    def test_uneven_parts_single_part_term(self, spark):
+        """Part A has 6 of 8 tokens; a term wholly inside A disperses
+        better (DP = 1 - 6/8 = 0.25) than one wholly in tiny B
+        (DP = 1 - 2/8 = 0.75)."""
+        got = self._dp(spark, [("A", "a a a a a q"), ("B", "r b")])
+        assert got["q"].dp_ppm == 250000
+        assert got["r"].dp_ppm == 750000
+
+    def test_min_tf_gate_and_multirow_parts(self, spark):
+        """Two docs of the same source aggregate into ONE part."""
+        got = self._dp(spark, [("A", "x x"), ("A", "x x"), ("B", "y y y y")],
+                       min_tf=4)
+        assert set(got) == {"x", "y"}
+        assert (got["x"].n_parts, got["x"].total_tf) == (1, 4)
+        assert got["x"].dp_ppm == 500000  # 1 - 4/8

@@ -1637,6 +1637,36 @@ def build_oracle_sql() -> dict[str, str]:
     # Zipf spectrum fit (kg.textstats.zipf_spectrum): exact integer
     # least squares on (bits(r), bits(N_r)) over the count-of-counts
     # table; intercept derived from the QUANTIZED slope, same div chain.
+    # Gries DP dispersion (kg.textstats.term_dispersion): exact common-
+    # denominator integers |tf_i*N - n_i*F| over PRESENT (term, part)
+    # rows, absent parts folded as (N - sum(n_i))*F; HUGEINT staging.
+    sqls["text_dispersion"] = """
+        WITH toks AS (
+          SELECT source AS part,
+                 unnest(regexp_split_to_array(trim(text), ' +')) AS term
+          FROM documents),
+        g AS MATERIALIZED (
+          SELECT term, part, CAST(count(*) AS BIGINT) AS tf
+          FROM toks GROUP BY 1, 2),
+        sizes AS MATERIALIZED (
+          SELECT part, CAST(sum(tf) AS BIGINT) AS n_part
+          FROM g GROUP BY 1),
+        tot AS (SELECT CAST(sum(n_part) AS BIGINT) AS n_total FROM sizes),
+        gf AS MATERIALIZED (
+          SELECT term, CAST(sum(tf) AS BIGINT) AS total_tf,
+                 CAST(count(*) AS BIGINT) AS n_parts
+          FROM g GROUP BY 1)
+        SELECT g.term, gf.n_parts, gf.total_tf,
+               CAST(((sum(abs(CAST(g.tf AS HUGEINT) * t.n_total
+                              - CAST(s.n_part AS HUGEINT) * gf.total_tf))
+                      + (t.n_total - sum(s.n_part)) * gf.total_tf)
+                     * 1000000)
+                    // (2 * CAST(gf.total_tf AS HUGEINT) * t.n_total)
+                    AS BIGINT) AS dp_ppm
+        FROM g JOIN sizes s USING (part) JOIN gf USING (term)
+             CROSS JOIN tot t
+        GROUP BY g.term, gf.n_parts, gf.total_tf, t.n_total"""
+
     sqls["text_zipf"] = f"""
         WITH terms AS (
           SELECT term, CAST(count(*) AS BIGINT) AS c FROM (
