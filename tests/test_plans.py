@@ -915,3 +915,53 @@ def test_rel_q8_broadcasts_all_dims(spark):
                                          "/root/testdata/sf0.001"))
     assert plan.count("BroadcastHashJoin") >= 4
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_basket_rules_broadcast_total_no_window_no_python(spark):
+    """kg.relops.basket_rules: counting + one equi self-join only — no
+    Window, no Python eval, no cartesian; the 1-row basket total rides
+    a broadcast nested-loop join."""
+    from kg.relops import basket_rules
+    li = (spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+          .selectExpr("l_orderkey as basket_id", "l_partkey as item"))
+    plan = _plan(basket_rules(li, min_item_baskets=2, min_pair_baskets=2))
+    assert "Window" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan    # the 1-row total only
+
+
+def test_gapfill_single_window_partitioned_by_series(spark):
+    """kg.relops.gapfill_locf: exactly ONE Window, partitioned by the
+    series key (never a global sort); no Python eval."""
+    from kg.relops import gapfill_locf
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = _plan(gapfill_locf(ev))
+    assert plan.count("Window") == 1
+    seg = plan.split("Window")[1][:300]
+    assert "event_type" in seg             # partition key present
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_link_prediction_no_window_no_python_no_cartesian(spark):
+    """kg.graphrank.link_prediction: wedge equi-join + aggregates +
+    left-anti only (the hub cap is an aggregate, not a rank Window)."""
+    from kg.graphrank import link_prediction
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c")],
+        "src string, dst string")
+    plan = _plan(link_prediction(edges))
+    assert "Window" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_term_dispersion_broadcast_sizes_no_window(spark):
+    """kg.textstats.term_dispersion: part sizes and the corpus total
+    ride broadcasts; aggregates only, no Window, no Python eval."""
+    from kg.textstats import term_dispersion
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(term_dispersion(docs))
+    assert "Window" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
