@@ -185,6 +185,10 @@ HEADLINE = [
     "corpus_match_length",   # distribution-matching rejection sampler
     "rel_q6_forecast",       # TPC-H Q6 full-pushdown scan aggregate
     "rel_q8_market_share",   # TPC-H Q8 two-level conditional share
+    "rel_basket_rules",      # Apriori pair rules, pre-join prunes
+    "rel_events_gapfill",    # time_bucket_gapfill + LOCF regular grid
+    "kg_tag_linkpred",       # 4-score link prediction, capped wedges
+    "text_dispersion",       # Gries DP source-partition dispersion
 ]
 
 
