@@ -1601,6 +1601,16 @@ def q_rel_events_funnel(spark, sf_dir):
                   ("view", "click", "purchase"))
 
 
+def q_rel_user_scd2(spark, sf_dir):
+    """Kimball SCD2 dimension build (kg.relops.scd2_intervals): each
+    user's event-type sequence compressed to half-open validity
+    intervals [valid_from_us, valid_to_us) — one row per run of equal
+    consecutive states, NULL end for the current one; ONE key shuffle,
+    all three windows + the run aggregate share it."""
+    from kg.relops import scd2_intervals
+    return scd2_intervals(_read("events")(spark, sf_dir))
+
+
 def q_text_dispersion(spark, sf_dir):
     """Gries' DP term dispersion (kg.textstats.term_dispersion) across
     the corpus' source partitions: dp_ppm → 0 = evenly spread
@@ -3418,6 +3428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # queue FIRST for the r5 window instead of evicting a peer
         # (STATUS.md rotation contract) ----------------------------------
         "text_dispersion": q_text_dispersion,
+        "rel_user_scd2": q_rel_user_scd2,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also

@@ -189,6 +189,7 @@ HEADLINE = [
     "rel_events_gapfill",    # time_bucket_gapfill + LOCF regular grid
     "kg_tag_linkpred",       # 4-score link prediction, capped wedges
     "text_dispersion",       # Gries DP source-partition dispersion
+    "rel_user_scd2",         # SCD2 validity intervals, one key shuffle
 ]
 
 

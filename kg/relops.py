@@ -1077,3 +1077,47 @@ def gapfill_locf(events: DataFrame, bucket_seconds: int = 3600,
                     F.last("sum_cents", ignorenulls=True).over(w)
                     .alias("filled_cents"),
                     F.col("n_events").isNull().alias("is_gap")))
+
+
+def scd2_intervals(events: DataFrame, key_col: str = "user_id",
+                   ts_col: str = "ts", state_col: str = "event_type",
+                   seq_col: str = "event_id") -> DataFrame:
+    """Type-2 slowly-changing-dimension build (Kimball SCD2) from an
+    event log: compress each key's state sequence into validity
+    intervals — one row per RUN of consecutive equal states with
+    [valid_from_us, valid_to_us) half-open micros (valid_to NULL for
+    the current state) and the run's event count.  The warehouse
+    primitive that turns an append-only change log into a point-in-time
+    joinable dimension (pair it with asof_join for as-of enrichment);
+    also the run-length compression step feeding transition analyses
+    (kg.relops.session_transitions counts CHANGES — this op also keeps
+    how long each state held).
+
+    Deterministic: events order by (ts_micros, seq) within key — the
+    house tie-break; no RNG, no floats.
+
+    Scale shape: ONE hash shuffle on the key; the change-mark lag, the
+    run-id prefix sum, and the valid_to lead all run over that same
+    partitioning (Spark plans them as one Exchange + sorts), and the
+    run aggregate re-uses the key hash.  Runs-per-key is bounded by
+    events-per-key; no global sort, no driver state."""
+    e = events.select(
+        F.col(key_col).alias("key"),
+        F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP))").alias("us"),
+        F.col(seq_col).alias("seq"),
+        F.col(state_col).alias("state"))
+    w = Window.partitionBy("key").orderBy("us", "seq")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    runs = (e.withColumn(
+                "_chg", (F.lag("state").over(w).isNull()
+                         | (F.lag("state").over(w) != F.col("state")))
+                .cast("bigint"))
+            .withColumn("_run", F.sum("_chg").over(wrun)))
+    g = (runs.groupBy("key", "_run")
+         .agg(F.min("us").cast("bigint").alias("valid_from_us"),
+              F.max("state").alias("state"),
+              F.count("*").cast("bigint").alias("n_events")))
+    wk = Window.partitionBy("key").orderBy("_run")
+    return (g.withColumn("valid_to_us", F.lead("valid_from_us").over(wk))
+            .select(F.col("key").alias(key_col), "state",
+                    "valid_from_us", "valid_to_us", "n_events"))

@@ -965,3 +965,16 @@ def test_term_dispersion_broadcast_sizes_no_window(spark):
     assert "Window" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_scd2_single_exchange_key_partitioned(spark):
+    """kg.relops.scd2_intervals: the change-mark lag, run prefix sum,
+    (key, run) aggregate, and valid_to lead ALL reuse the one hash
+    partitioning on the key — exactly ONE Exchange in the plan (the
+    run aggregate's ClusteredDistribution is satisfied by the key
+    partitioning because key is a prefix of its grouping)."""
+    from kg.relops import scd2_intervals
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = _plan(scd2_intervals(ev))
+    assert plan.count("Exchange") == 1
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

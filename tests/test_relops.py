@@ -964,3 +964,59 @@ class TestGapfillLocf:
                 .filter(F.col("filled_cents") != F.col("sum_cents"))
                 .count() == 0)
         out.unpersist()
+
+
+class TestScd2Intervals:
+    """SCD2 run compression (kg.relops.scd2_intervals): hand-replayed
+    intervals, half-open chaining, tie-break, single-event runs."""
+
+    def _ev(self, spark, rows):
+        df = spark.createDataFrame(
+            rows, "user_id long, ts string, event_type string, "
+                  "event_id long")
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def test_runs_compress_and_chain(self, spark):
+        """u1: view,view,click,view -> 3 intervals; valid_to chains to
+        the NEXT run's valid_from; final interval open (NULL)."""
+        from kg.relops import scd2_intervals
+        got = sorted(scd2_intervals(self._ev(spark, [
+            (1, "2024-01-01 00:00:00", "view", 1),
+            (1, "2024-01-01 00:01:00", "view", 2),
+            (1, "2024-01-01 00:02:00", "click", 3),
+            (1, "2024-01-01 00:03:00", "view", 4),
+        ])).collect(), key=lambda r: r.valid_from_us)
+        assert [(r.state, r.n_events) for r in got] == \
+            [("view", 2), ("click", 1), ("view", 1)]
+        assert got[0].valid_to_us == got[1].valid_from_us
+        assert got[1].valid_to_us == got[2].valid_from_us
+        assert got[2].valid_to_us is None
+        assert got[1].valid_from_us - got[0].valid_from_us == 120_000_000
+
+    def test_same_ts_tiebreak_by_seq(self, spark):
+        """Two states at the SAME timestamp: seq orders them -> two
+        runs, deterministic either way the shuffle lands."""
+        from kg.relops import scd2_intervals
+        got = sorted(scd2_intervals(self._ev(spark, [
+            (1, "2024-01-01 00:00:00", "b", 2),
+            (1, "2024-01-01 00:00:00", "a", 1),
+        ])).collect(), key=lambda r: (r.valid_to_us is None))
+        assert [r.state for r in got] == ["a", "b"]
+
+    def test_per_key_isolation_and_counts(self, spark):
+        from kg.relops import scd2_intervals
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        out = scd2_intervals(ev).cache()
+        # event conservation: run counts sum to |events|
+        assert out.agg(F.sum("n_events")).first()[0] == ev.count()
+        # exactly one open interval per user
+        assert (out.filter(F.col("valid_to_us").isNull())
+                .groupBy("user_id").count()
+                .filter(F.col("count") != 1).count()) == 0
+        # intervals are non-overlapping and chained per user: every
+        # closed interval's valid_to equals some later run's valid_from
+        bad = (out.filter(F.col("valid_to_us").isNotNull())
+               .filter(F.col("valid_to_us") <= F.col("valid_from_us"))
+               .count())
+        assert bad == 0
+        out.unpersist()

@@ -3051,6 +3051,34 @@ def build_oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT node, 'auth' AS side, s AS score_micro FROM a3"""
 
+    # SCD2 validity intervals (kg.relops.scd2_intervals): lag change
+    # marks -> running-sum run ids -> run aggregate -> lead chaining,
+    # all over the (us, seq) house tie-break.
+    sqls["rel_user_scd2"] = """
+        WITH e AS (
+          SELECT user_id AS key, epoch_us(ts) AS us, event_id AS seq,
+                 event_type AS state
+          FROM events),
+        m AS (
+          SELECT *, CASE WHEN lag(state) OVER w IS NULL
+                           OR lag(state) OVER w <> state
+                         THEN 1 ELSE 0 END AS chg
+          FROM e WINDOW w AS (PARTITION BY key ORDER BY us, seq)),
+        r AS (
+          SELECT *, sum(chg) OVER (PARTITION BY key ORDER BY us, seq
+                                   ROWS UNBOUNDED PRECEDING) AS run
+          FROM m),
+        g AS (
+          SELECT key, run, CAST(min(us) AS BIGINT) AS valid_from_us,
+                 max(state) AS state,
+                 CAST(count(*) AS BIGINT) AS n_events
+          FROM r GROUP BY 1, 2)
+        SELECT key AS user_id, state, valid_from_us,
+               lead(valid_from_us)
+                 OVER (PARTITION BY key ORDER BY run) AS valid_to_us,
+               n_events
+        FROM g"""
+
     # Hypertable gap-fill rollup (kg.relops.gapfill_locf): hourly
     # (type, bucket) aggregate, per-series generate_series grid, LOCF
     # via last_value IGNORE NULLS over ROWS UNBOUNDED PRECEDING (the
