@@ -1601,6 +1601,18 @@ def q_rel_events_funnel(spark, sf_dir):
                   ("view", "click", "purchase"))
 
 
+def q_corpus_priority_sample(spark, sf_dir):
+    """Duffield–Lund–Thorup priority sampling (kg.sampling
+    .priority_sample): exactly 3 docs per source, weight-proportional
+    on n_chars without replacement — priority = w·2³² div (md5₃₂+1),
+    the k highest win; exact-count counterpart of the rate-based
+    samplers, mergeable across ingest batches."""
+    from kg.sampling import priority_sample
+    return (priority_sample(_read("documents")(spark, sf_dir), k=3,
+                            group_col="source")
+            .select("source", "doc_id", "n_chars", "priority"))
+
+
 def q_rel_user_scd2(spark, sf_dir):
     """Kimball SCD2 dimension build (kg.relops.scd2_intervals): each
     user's event-type sequence compressed to half-open validity
@@ -3429,6 +3441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (STATUS.md rotation contract) ----------------------------------
         "text_dispersion": q_text_dispersion,
         "rel_user_scd2": q_rel_user_scd2,
+        "corpus_priority_sample": q_corpus_priority_sample,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also

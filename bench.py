@@ -190,6 +190,7 @@ HEADLINE = [
     "kg_tag_linkpred",       # 4-score link prediction, capped wedges
     "text_dispersion",       # Gries DP source-partition dispersion
     "rel_user_scd2",         # SCD2 validity intervals, one key shuffle
+    "corpus_priority_sample",  # exact-k weighted sampling, md5 priorities
 ]
 
 

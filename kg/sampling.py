@@ -616,3 +616,46 @@ def match_distribution(df: DataFrame, target_side, bucket_col: str,
                     | (F.substring(_key_hash(key_col), 1, 5)
                        < F.col("_thr")))
             .drop("_b", "_rate", "_thr"))
+
+
+def priority_sample(df: DataFrame, k: int,
+                    weight_col: str = "n_chars",
+                    group_col: str | None = None,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Priority sampling (Duffield, Lund & Thorup 2007, JACM): EXACTLY
+    min(k, n) rows per group, weight-proportional without replacement —
+    each row draws the deterministic uniform u = (md5₃₂(id)+1)/2³² and
+    gets priority w/u; the k highest priorities are the sample.  The
+    estimator property (w_est = max(w, τ) with τ = the (k+1)-th
+    priority) makes subset-sum estimates unbiased — the principled
+    "exactly-k docs per domain, big docs more likely" picker where
+    `hash_sample`/`temperature_mixture` control RATE, not count, and
+    `top_k_per_group` is deterministic-greedy (always the same largest
+    rows; a priority sample covers the tail too).
+
+    Integers: priority = w·2³² div (md5₃₂+1) staged in DECIMAL(38,0) —
+    exact for weights < 2³¹ (token/char counts; documented bound), max
+    value w·2³² < 2⁶³ fits BIGINT.  Rows with weight ≤ 0 are excluded
+    (a zero-weight row can never enter a weighted sample).  Samples are
+    MERGEABLE across batches: priorities are per-row constants, so the
+    top-k of a union is the top-k of per-batch top-k's — the streaming
+    ingest path.
+
+    One shuffle on the group key (rank window + filter, the
+    top_k_per_group shape); ungrouped sampling uses a single constant
+    group — document that k then bounds one partition's rows (fine:
+    k rows is the driver-sized output by definition)."""
+    gcol = group_col or "_g"
+    base = df if group_col else df.withColumn("_g", F.lit(0))
+    u = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+                16, 10).cast("bigint") + 1)
+    pri = (base.filter(F.col(weight_col) > 0)
+           .withColumn("_u", u)
+           .withColumn("priority",
+                       F.expr(f"CAST(CAST({weight_col} AS DECIMAL(38,0))"
+                              " * 4294967296 div _u AS BIGINT)")))
+    w = Window.partitionBy(gcol).orderBy(F.col("priority").desc(),
+                                         F.col(id_col).asc())
+    out = (pri.withColumn("_rk", F.row_number().over(w))
+           .filter(F.col("_rk") <= k).drop("_rk", "_u"))
+    return out.drop("_g") if not group_col else out

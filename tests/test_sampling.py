@@ -472,3 +472,52 @@ class TestMatchDistribution:
         kept = match_distribution(df, F.col("t"), "b")
         assert kept.filter(F.col("t")).count() == 0
         assert kept.count() <= sum(1 for r in rows if not r[2])
+
+
+class TestPrioritySample:
+    """Priority sampling (kg.sampling.priority_sample): exact-k,
+    python md5 replay, mergeability, weight gates."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, source string, n_chars long")
+
+    def test_exact_k_and_python_replay(self, spark):
+        """Priorities replay in pure python: w * 2^32 // (md5_32 + 1);
+        the sample is the k highest (ties -> smaller id)."""
+        import hashlib
+        from kg.sampling import priority_sample
+        rows = [(i, "s", 10 * (i + 1)) for i in range(20)]
+        got = priority_sample(self._docs(spark, rows), k=5).collect()
+        assert len(got) == 5
+
+        def pri(i, w):
+            u = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) + 1
+            return w * 4294967296 // u
+        expect = sorted(((pri(i, w), -i) for i, _, w in rows),
+                        reverse=True)[:5]
+        assert sorted(((r.priority, -r.doc_id) for r in got),
+                      reverse=True) == expect
+
+    def test_grouped_and_small_groups(self, spark):
+        """Groups smaller than k return whole group; counts exact."""
+        from kg.sampling import priority_sample
+        rows = [(i, "a" if i < 10 else "b", 5) for i in range(12)]
+        got = priority_sample(self._docs(spark, rows), k=4,
+                              group_col="source")
+        per = {r["source"]: r["count"] for r in
+               got.groupBy("source").count().collect()}
+        assert per == {"a": 4, "b": 2}
+
+    def test_zero_weight_excluded_and_mergeable(self, spark):
+        """w <= 0 never sampled; top-k(union) == top-k(per-batch
+        top-k's union) — the mergeability contract."""
+        from kg.sampling import priority_sample
+        a = self._docs(spark, [(i, "s", (i % 3)) for i in range(30)])
+        full = priority_sample(a, k=6)
+        assert full.filter(F.col("n_chars") <= 0).count() == 0
+        b1 = priority_sample(a.filter(F.col("doc_id") < 15), k=6)
+        b2 = priority_sample(a.filter(F.col("doc_id") >= 15), k=6)
+        merged = priority_sample(b1.unionByName(b2), k=6)
+        assert sorted(r.doc_id for r in full.collect()) == \
+            sorted(r.doc_id for r in merged.collect())

@@ -829,6 +829,23 @@ def build_oracle_sql() -> dict[str, str]:
 
     from kg.sampling import rate_to_hex as _r2h
     _MD5KEY = "md5(CAST(doc_id AS VARCHAR))"
+    # Priority sampling (kg.sampling.priority_sample): per-source top-3
+    # by priority = n_chars * 2^32 // (md5_32(id) + 1), ties -> smaller
+    # id; HUGEINT staging mirrors Spark's DECIMAL(38,0) div.
+    _md5_32 = _hexn_of("md5(CAST(doc_id AS VARCHAR))", 1, 8)
+    sqls["corpus_priority_sample"] = f"""
+        WITH pri AS (
+          SELECT source, doc_id, n_chars,
+                 CAST(CAST(n_chars AS HUGEINT) * 4294967296
+                      // ({_md5_32} + 1) AS BIGINT) AS priority
+          FROM documents WHERE n_chars > 0),
+        rk AS (
+          SELECT *, row_number() OVER (PARTITION BY source
+                      ORDER BY priority DESC, doc_id ASC) AS rk
+          FROM pri)
+        SELECT source, doc_id, n_chars, priority
+        FROM rk WHERE rk <= 3"""
+
     sqls["corpus_sample"] = f"""
         SELECT doc_id, lang FROM documents
         WHERE {_MD5KEY} < '{_r2h(0.25)}'"""
