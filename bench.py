@@ -191,6 +191,7 @@ HEADLINE = [
     "text_dispersion",       # Gries DP source-partition dispersion
     "rel_user_scd2",         # SCD2 validity intervals, one key shuffle
     "corpus_priority_sample",  # exact-k weighted sampling, md5 priorities
+    "text_secrets",          # credential scan, zero-shuffle narrow map
 ]
 
 

@@ -215,3 +215,94 @@ def iban_report(df: DataFrame, text_col: str = "text",
         F.size(cands).cast("bigint").alias("n_iban_candidates"),
         F.size(valid).cast("bigint").alias("n_iban_valid"),
         red.alias("text_redacted"))
+
+
+# --- secret / credential scanning (code-corpus curation) -------------------
+#
+# The north-star corpus is source-code repositories (BASELINE.json
+# input_hint), where the PII-class risk is leaked CREDENTIALS, not emails:
+# cloud access keys, VCS/platform tokens, private-key blocks, JWTs, and
+# generic high-entropy hex secrets (the detect-secrets / truffleHog
+# scanner families).  Typed patterns below are the published, structurally
+# unambiguous prefixes (AWS 'AKIA' + 16 uppercase alnum; GitHub 'ghp_' +
+# 36 alnum; Slack 'xox[abprs]-'; PEM '-----BEGIN ... PRIVATE KEY-----';
+# JWT 'eyJ' + three base64url segments).  Same Java-regex/RE2-portable
+# subset as PII_PATTERNS so the DuckDB oracle replays byte-for-byte.
+AWS_KEY_RE = r"\bAKIA[0-9A-Z]{16}\b"
+GITHUB_TOKEN_RE = r"\bghp_[A-Za-z0-9]{36}\b"
+SLACK_TOKEN_RE = r"\bxox[abprs]-[A-Za-z0-9]{10,48}\b"
+PEM_KEY_RE = r"-----BEGIN [A-Z ]{0,20}PRIVATE KEY-----"
+JWT_RE = r"\beyJ[A-Za-z0-9_-]+\.[A-Za-z0-9_-]+\.[A-Za-z0-9_-]+\b"
+
+SECRET_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("aws_key", AWS_KEY_RE, "<AWS_KEY>"),
+    ("github_token", GITHUB_TOKEN_RE, "<GH_TOKEN>"),
+    ("slack_token", SLACK_TOKEN_RE, "<SLACK_TOKEN>"),
+    ("pem_key", PEM_KEY_RE, "<PEM_KEY>"),
+    ("jwt", JWT_RE, "<JWT>"),
+)
+
+# Generic hex secrets: 32-64 lowercase hex chars.  Candidates alone are
+# noisy in code (commit shas, checksums ARE 40/64-hex runs — but those are
+# exactly what secret scanners flag for review too); the published
+# entropy gate (detect-secrets' Shannon > 3 bits/char for hex) is applied
+# in EXACT form as a distinct-character floor: a random 32-hex string has
+# ~13.9 expected distinct chars, low-entropy filler ('aaaa…', 'a5a5…')
+# has 1-2, so `>= HEX_DISTINCT_MIN` separates the populations with a
+# pure-integer test both engines replay identically.
+HEX_SECRET_RE = r"\b[0-9a-f]{32,64}\b"
+HEX_DISTINCT_MIN = 10
+
+
+def hex_entropy_ok(cand: Column) -> Column:
+    """True iff the candidate clears the exact-integer entropy gate:
+    at least HEX_DISTINCT_MIN distinct characters (the integer-portable
+    stand-in for detect-secrets' Shannon-entropy > 3 bits/char on hex
+    alphabets; see module comment for the population argument)."""
+    return (F.size(F.array_distinct(F.split(cand, "")))
+            >= F.lit(HEX_DISTINCT_MIN))
+
+
+def secret_report(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Per-document credential-leak report for code corpora:
+
+      (doc_id, n_aws_key, n_github_token, n_slack_token, n_pem_key,
+       n_jwt, n_hex_candidates, n_hex_valid, text_redacted)
+
+    Typed secrets (structurally unambiguous prefixes) are redacted
+    unconditionally, one regexp_replace per pattern in SECRET_PATTERNS
+    order.  Generic hex runs are redacted only when they pass
+    `hex_entropy_ok` — low-entropy filler and padded constants are left
+    intact — via the card_report single \\b-anchored alternation pass
+    built from the sorted valid set.  Counts are over the RAW text
+    (a hex run inside an already-redacted typed token is still counted;
+    the alternation then simply finds nothing — best-effort leftmost,
+    documented).  Zero shuffles, zero UDFs, whole-stage codegen
+    throughout — the stage fuses into the corpus scan at 100 TB.
+
+    Reference scope note: like PII_PATTERNS this is a task-mandated
+    training-data-pipeline operator (no analog in
+    graphaware/neo4j-nlp-opennlp)."""
+    text = F.col(text_col)
+    counts = [F.regexp_count(text, F.lit(pat)).cast("bigint")
+              .alias(f"n_{name}") for name, pat, _ in SECRET_PATTERNS]
+    hex_cands = F.regexp_extract_all(text, F.lit(HEX_SECRET_RE), 0)
+    hex_valid = F.array_sort(F.array_distinct(
+        F.filter(hex_cands, hex_entropy_ok)))
+    red = text
+    for _, pat, rep in SECRET_PATTERNS:
+        red = F.regexp_replace(red, pat, rep)
+    red = F.when(
+        F.size(hex_valid) > 0,
+        F.regexp_replace(
+            red,
+            F.concat(F.lit(r"\b("), F.concat_ws("|", hex_valid),
+                     F.lit(r")\b")),
+            F.lit("<HEX_SECRET>"))
+    ).otherwise(red)
+    return df.select(
+        F.col(id_col), *counts,
+        F.size(hex_cands).cast("bigint").alias("n_hex_candidates"),
+        F.size(hex_valid).cast("bigint").alias("n_hex_valid"),
+        red.alias("text_redacted"))
