@@ -1652,6 +1652,34 @@ def q_text_secrets(spark, sf_dir):
                       F.md5("text_redacted").alias("red_md5"))
 
 
+def q_corpus_code_quality(spark, sf_dir):
+    """StarCoder-style code-file quality gates (kg.extract
+    .code_quality_flags): max/mean line length, alnum fraction,
+    auto-generated-header detection — exact milli-unit integers.  The
+    documents table is line-ified per doc IN BOTH ENGINES (spaces →
+    newlines), with deterministic violation arms: doc_id % 5 prepends a
+    'generated by' header, % 7 appends a 1200-char line, % 3 appends a
+    4×-length symbol run (alnum < 0.2 guaranteed), % 11 keeps the doc
+    single-line (mean-length gate) — every gate fires on every run."""
+    from kg.extract import code_quality_flags
+    i = F.col("doc_id")
+    text = F.col("text")
+    content = F.concat(
+        F.when(i % 5 == 0,
+               F.lit("Code generated by protoc. do not edit\n"))
+        .otherwise(F.lit("")),
+        F.when(i % 11 == 0, text).otherwise(F.translate(text, " ", "\n")),
+        F.when(i % 7 == 0,
+               F.concat(F.lit("\n"), F.expr("repeat('x', 1200)")))
+        .otherwise(F.lit("")),
+        F.when(i % 3 == 0,
+               F.concat(F.lit("\n"),
+                        F.expr("repeat('(', length(text) * 4)")))
+        .otherwise(F.lit("")))
+    docs = _docs(spark, sf_dir).select("doc_id", content.alias("content"))
+    return code_quality_flags(docs)
+
+
 def q_rel_user_scd2(spark, sf_dir):
     """Kimball SCD2 dimension build (kg.relops.scd2_intervals): each
     user's event-type sequence compressed to half-open validity
@@ -3483,6 +3511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_priority_sample": q_corpus_priority_sample,
         # --- r4 session-16 additions (same past-window r5-queue rationale) -
         "text_secrets": q_text_secrets,
+        "corpus_code_quality": q_corpus_code_quality,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also

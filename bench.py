@@ -192,6 +192,7 @@ HEADLINE = [
     "rel_user_scd2",         # SCD2 validity intervals, one key shuffle
     "corpus_priority_sample",  # exact-k weighted sampling, md5 priorities
     "text_secrets",          # credential scan, zero-shuffle narrow map
+    "corpus_code_quality",   # StarCoder file gates, zero-shuffle
 ]
 
 

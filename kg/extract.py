@@ -147,3 +147,71 @@ def extract_nl_units(df: DataFrame, text_col: str = "content",
                     F.col("u.start").alias("unit_start"),
                     F.col("u.end").alias("unit_end"),
                     F.col("u.text").alias("text")))
+
+
+# --- StarCoder-style code-quality filters (curation, zero UDFs) -------------
+#
+# The published BigCode/StarCoder data-pipeline file filters ("StarCoder:
+# may the source be with you", Li et al. 2023 §3; SantaCoder appendix):
+# drop files with max line length > 1000, mean line length > 100, or
+# alphanumeric-character fraction < 0.25, and drop auto-generated files
+# (a "generated" marker near the top).  This is the CODE analog of
+# kg.textstats.gopher_rules — per-file gates a 100 TB repo crawl applies
+# inline before annotation/training, expressed entirely in built-in
+# array/string expressions (split + transform + aggregate): a zero-shuffle
+# narrow map that fuses into the corpus scan.
+AUTOGEN_MARKERS = ("do not edit", "auto-generated", "autogenerated",
+                   "generated by", "@generated")
+MAX_LINE_LEN = 1000
+MAX_MEAN_LINE_MILLI = 100_000   # mean line length > 100 chars
+MIN_ALNUM_MILLI = 250           # alnum fraction < 0.25
+
+
+def code_quality_flags(df: DataFrame, content_col: str = "content",
+                       id_col: str = "doc_id",
+                       head_chars: int = 200) -> DataFrame:
+    """Per-file code-quality report:
+
+      (id, n_lines, max_line_len, mean_line_len_milli, alnum_frac_milli,
+       has_autogen_marker, passes_code_quality)
+
+    All statistics exact integers (milli-units, truncating div), so the
+    DuckDB oracle replays them bit-for-bit.  The auto-generated check
+    lowercases only the first `head_chars` chars (markers live in file
+    headers; scanning 200 chars keeps the gate O(1) per file regardless
+    of file size).  Empty files: n_lines = 1 (the empty line), stats 0,
+    gate fails on the alnum floor — the degenerate a crawl should drop."""
+    content = F.coalesce(F.col(content_col), F.lit(""))
+    lines = F.split(content, "\n")
+    lens = F.transform(lines, lambda l: F.length(l).cast("bigint"))
+    head = F.lower(F.substring(content, 1, head_chars))
+    autogen = None
+    for m in AUTOGEN_MARKERS:
+        c = F.contains(head, F.lit(m))
+        autogen = c if autogen is None else (autogen | c)
+    staged = df.select(
+        F.col(id_col),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.aggregate(lens, F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x).alias("_total"),
+        F.coalesce(F.array_max(lens), F.lit(0)).cast("bigint")
+        .alias("max_line_len"),
+        F.length(F.regexp_replace(content, r"[^A-Za-z0-9]", ""))
+        .cast("bigint").alias("_alnum"),
+        F.length(content).cast("bigint").alias("_chars"),
+        autogen.alias("has_autogen_marker"))
+    # exact milli-units: `div` truncates toward zero in Spark AND DuckDB
+    # (verified-identical semantics, CLAUDE.md); n_lines >= 1 always
+    # (split of "" is [""]), chars floored at 1 for empty files
+    out = staged.select(
+        F.col(id_col), "n_lines", "max_line_len",
+        F.expr("(_total * 1000) div n_lines").alias("mean_line_len_milli"),
+        F.expr("(_alnum * 1000) div greatest(_chars, 1)")
+        .alias("alnum_frac_milli"),
+        "has_autogen_marker")
+    return out.withColumn(
+        "passes_code_quality",
+        (F.col("max_line_len") <= MAX_LINE_LEN)
+        & (F.col("mean_line_len_milli") <= MAX_MEAN_LINE_MILLI)
+        & (F.col("alnum_frac_milli") >= MIN_ALNUM_MILLI)
+        & ~F.col("has_autogen_marker"))

@@ -135,3 +135,61 @@ def test_triples_survive_adversarial_unicode_corpus(spark):
         if r["start"] is not None:
             assert 0 <= r["start"] <= r["end"]
     assert sorted(map(tuple, got)) == sorted(map(tuple, out.collect()))
+
+
+class TestCodeQualityFlags:
+    def _report(self, spark, rows):
+        from kg.extract import code_quality_flags
+        df = spark.createDataFrame(rows, "doc_id long, content string")
+        return {r.doc_id: r for r in code_quality_flags(df).collect()}
+
+    def test_hand_computed_stats(self, spark):
+        got = self._report(spark, [(1, "ab\ncdef\n")])
+        r = got[1]
+        # lines: 'ab','cdef','' -> n=3, total=6, max=4
+        assert (r.n_lines, r.max_line_len) == (3, 4)
+        assert r.mean_line_len_milli == 6 * 1000 // 3
+        # alnum: 6 of 8 chars
+        assert r.alnum_frac_milli == 6000 // 8 * 1  # 750
+        assert r.passes_code_quality
+
+    def test_published_thresholds(self, spark):
+        long_line = "x" * 1001
+        dense = "\n".join(["y" * 150] * 5)           # mean 150 > 100
+        symbols = "(((((((())))))))" * 4             # alnum 0
+        got = self._report(spark, [(1, long_line), (2, dense), (3, symbols),
+                                   (4, "ok line\nshort\n# fine")])
+        assert not got[1].passes_code_quality          # max line
+        assert got[1].max_line_len == 1001
+        assert not got[2].passes_code_quality          # mean line
+        assert not got[3].passes_code_quality          # alnum floor
+        assert got[3].alnum_frac_milli == 0
+        assert got[4].passes_code_quality
+
+    def test_autogen_marker_head_only(self, spark):
+        gen = "// Code generated by protoc. DO NOT EDIT.\npackage x\n"
+        deep = ("z = 1\n" * 60) + "# generated by hand\n"  # beyond 200 chars
+        got = self._report(spark, [(1, gen), (2, deep)])
+        assert got[1].has_autogen_marker and not got[1].passes_code_quality
+        assert not got[2].has_autogen_marker and got[2].passes_code_quality
+
+    def test_empty_and_null_content(self, spark):
+        got = self._report(spark, [(1, ""), (2, None)])
+        for i in (1, 2):
+            r = got[i]
+            assert (r.n_lines, r.max_line_len, r.mean_line_len_milli,
+                    r.alnum_frac_milli) == (1, 0, 0, 0)
+            assert not r.passes_code_quality   # alnum floor
+
+    def test_boundary_values_pass(self, spark):
+        # max line exactly at the 1000 threshold passes (with enough short
+        # lines that the mean gate stays under 100)
+        content = "a" * 1000 + "\n" + "b\n" * 10
+        got = self._report(spark, [(1, content)])
+        r = got[1]
+        assert r.max_line_len == 1000
+        assert r.mean_line_len_milli == 1010 * 1000 // 12
+        assert r.passes_code_quality
+        got2 = self._report(spark, [(2, "ab(("), (3, "a(((")])
+        assert got2[2].alnum_frac_milli == 500 and got2[2].passes_code_quality
+        assert got2[3].alnum_frac_milli == 250 and got2[3].passes_code_quality

@@ -6247,4 +6247,58 @@ def build_oracle_sql() -> dict[str, str]:
               ELSE {_sec_red} END) AS red_md5
         FROM v"""
 
+    # StarCoder-style code-quality gates (kg.extract.code_quality_flags):
+    # line stats + alnum fraction in exact milli-units (// == Spark div),
+    # autogen marker contains() over the lowercased 200-char head.  The
+    # line-ified content + violation arms mirror the Spark wrapper.
+    sqls["corpus_code_quality"] = """
+        WITH t AS (
+          SELECT doc_id,
+                 concat(
+                   CASE WHEN doc_id % 5 = 0
+                     THEN 'Code generated by protoc. do not edit' || chr(10)
+                     ELSE '' END,
+                   CASE WHEN doc_id % 11 = 0 THEN text
+                     ELSE replace(text, ' ', chr(10)) END,
+                   CASE WHEN doc_id % 7 = 0
+                     THEN chr(10) || repeat('x', 1200) ELSE '' END,
+                   CASE WHEN doc_id % 3 = 0
+                     THEN chr(10) || repeat('(', length(text) * 4)
+                     ELSE '' END) AS content
+          FROM documents WHERE lang = 'en'),
+        m AS (
+          SELECT doc_id, content,
+                 CAST(len(string_split(content, chr(10))) AS BIGINT)
+                   AS n_lines,
+                 CAST(coalesce(list_max(list_transform(
+                   string_split(content, chr(10)), l -> length(l))), 0)
+                   AS BIGINT) AS max_line_len,
+                 CAST(coalesce(list_sum(list_transform(
+                   string_split(content, chr(10)), l -> length(l))), 0)
+                   AS BIGINT) AS total,
+                 CAST(length(regexp_replace(content, '[^A-Za-z0-9]', '',
+                                            'g')) AS BIGINT) AS alnum,
+                 CAST(length(content) AS BIGINT) AS chars,
+                 (contains(lower(substring(content, 1, 200)), 'do not edit')
+                  OR contains(lower(substring(content, 1, 200)),
+                              'auto-generated')
+                  OR contains(lower(substring(content, 1, 200)),
+                              'autogenerated')
+                  OR contains(lower(substring(content, 1, 200)),
+                              'generated by')
+                  OR contains(lower(substring(content, 1, 200)),
+                              '@generated')) AS has_autogen_marker
+          FROM t)
+        SELECT doc_id, n_lines, max_line_len,
+               CAST(total * 1000 // n_lines AS BIGINT)
+                 AS mean_line_len_milli,
+               CAST(alnum * 1000 // greatest(chars, 1) AS BIGINT)
+                 AS alnum_frac_milli,
+               has_autogen_marker,
+               (max_line_len <= 1000
+                AND total * 1000 // n_lines <= 100000
+                AND alnum * 1000 // greatest(chars, 1) >= 250
+                AND NOT has_autogen_marker) AS passes_code_quality
+        FROM m"""
+
     return sqls
