@@ -1680,6 +1680,38 @@ def q_corpus_code_quality(spark, sf_dir):
     return code_quality_flags(docs)
 
 
+def q_corpus_license(spark, sf_dir):
+    """License detection (kg.extract.license_scan): SPDX header tag when
+    present, else the phrase cascade over the SPDX-normalized head
+    (lowercase, non-alnum runs → one space).  A deterministic license
+    header rotates on doc_id % 8 IN BOTH ENGINES — SPDX tag, MIT
+    (block-comment-decorated, exercising the normalizer), Apache-2.0,
+    GPL-3/GPL-2/bare-GPL, BSD, Unlicense, and a no-header arm."""
+    from kg.extract import license_scan
+    i = F.col("doc_id")
+    hdr = (
+        F.when(i % 8 == 0,
+               F.lit("// SPDX-License-Identifier: Apache-2.0\n"))
+        .when(i % 8 == 1,
+              F.lit("/* Permission is hereby granted,\n"
+                    " * free of charge */\n"))
+        .when(i % 8 == 2,
+              F.lit("# Licensed under the Apache License, Version 2.0\n"))
+        .when(i % 8 == 3,
+              F.lit("// GNU General Public License version 3\n"))
+        .when(i % 8 == 4,
+              F.lit("// GNU General Public License version 2\n"))
+        .when(i % 8 == 5,
+              F.lit("// Redistribution and use in source and binary"
+                    " forms\n"))
+        .when(i % 8 == 6,
+              F.lit("// This is free and unencumbered software\n"))
+        .otherwise(F.lit("")))
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.concat(hdr, F.col("text")).alias("content"))
+    return license_scan(docs)
+
+
 def q_rel_user_scd2(spark, sf_dir):
     """Kimball SCD2 dimension build (kg.relops.scd2_intervals): each
     user's event-type sequence compressed to half-open validity
@@ -3512,6 +3544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r4 session-16 additions (same past-window r5-queue rationale) -
         "text_secrets": q_text_secrets,
         "corpus_code_quality": q_corpus_code_quality,
+        "corpus_license": q_corpus_license,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also

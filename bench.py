@@ -193,6 +193,7 @@ HEADLINE = [
     "corpus_priority_sample",  # exact-k weighted sampling, md5 priorities
     "text_secrets",          # credential scan, zero-shuffle narrow map
     "corpus_code_quality",   # StarCoder file gates, zero-shuffle
+    "corpus_license",        # SPDX/phrase license gate, zero-shuffle
 ]
 
 

@@ -215,3 +215,63 @@ def code_quality_flags(df: DataFrame, content_col: str = "content",
         & (F.col("mean_line_len_milli") <= MAX_MEAN_LINE_MILLI)
         & (F.col("alnum_frac_milli") >= MIN_ALNUM_MILLI)
         & ~F.col("has_autogen_marker"))
+
+
+# --- license detection (code-corpus curation) --------------------------------
+#
+# Permissive-license filtering is a first-class gate in every published
+# code-pretraining pipeline (The Stack / StarCoder keep MIT/Apache/BSD-class
+# files only).  Detection = (1) the machine-readable SPDX header tag when
+# present (the SPDX "SPDX-License-Identifier:" convention), else (2) a
+# cascade of distinctive license-text phrases over the lowercased,
+# whitespace-collapsed file head — each phrase is the canonical opening
+# sentence unique to its license family (MIT grant clause, Apache-2.0
+# banner, GNU GPL name + version, BSD redistribution clause, Unlicense
+# dedication).  Zero shuffles, zero UDFs; head-bounded so the gate is
+# O(head) per file regardless of file size.
+SPDX_RE = r"SPDX-License-Identifier: *([A-Za-z0-9.+-]+)"
+# phrases in SPDX-matching-guidelines normalized form: lowercase, every
+# non-alphanumeric run folded to one space — so block-comment decoration
+# ('* '-prefixed continuation lines), wrapping, and punctuation variants
+# all match
+LICENSE_PHRASES: tuple[tuple[str, str], ...] = (
+    ("mit", "permission is hereby granted free of charge"),
+    ("apache-2.0", "apache license version 2 0"),
+    ("bsd-3-clause", "redistribution and use in source and binary forms"),
+    ("unlicense", "free and unencumbered software"),
+)
+GPL_PHRASE = "gnu general public license"
+PERMISSIVE = ("mit", "apache-2.0", "bsd-3-clause", "unlicense")
+
+
+def license_scan(df: DataFrame, content_col: str = "content",
+                 id_col: str = "doc_id",
+                 head_chars: int = 2000) -> DataFrame:
+    """Per-file license verdict: (id, spdx_tag, license, is_permissive).
+
+    `spdx_tag` is the raw SPDX header tag ('' when absent); `license` is
+    lower(spdx_tag) when tagged, else the phrase-cascade verdict in
+    LICENSE_PHRASES order (GPL checked after, split 'gpl-3.0' /
+    'gpl-2.0' / 'gpl' on a version phrase in the same head), else
+    'none'.  The cascade order is part of the contract and replayed
+    verbatim by the DuckDB oracle.  `is_permissive` = membership in
+    PERMISSIVE — The-Stack-style keep set."""
+    content = F.coalesce(F.col(content_col), F.lit(""))
+    spdx = F.regexp_extract(content, SPDX_RE, 1)
+    head = F.lower(F.substring(content, 1, head_chars))
+    head = F.regexp_replace(head, r"[^a-z0-9]+", " ")
+    verdict = None
+    chain = F.when(spdx != "", F.lower(spdx))
+    for lic, phrase in LICENSE_PHRASES:
+        chain = chain.when(F.contains(head, F.lit(phrase)), F.lit(lic))
+    chain = chain.when(
+        F.contains(head, F.lit(GPL_PHRASE)),
+        F.when(F.contains(head, F.lit("version 3")), F.lit("gpl-3.0"))
+        .when(F.contains(head, F.lit("version 2")), F.lit("gpl-2.0"))
+        .otherwise(F.lit("gpl")))
+    verdict = chain.otherwise(F.lit("none"))
+    return df.select(
+        F.col(id_col),
+        spdx.alias("spdx_tag"),
+        verdict.alias("license"),
+        verdict.isin(*PERMISSIVE).alias("is_permissive"))

@@ -193,3 +193,47 @@ class TestCodeQualityFlags:
         got2 = self._report(spark, [(2, "ab(("), (3, "a(((")])
         assert got2[2].alnum_frac_milli == 500 and got2[2].passes_code_quality
         assert got2[3].alnum_frac_milli == 250 and got2[3].passes_code_quality
+
+
+class TestLicenseScan:
+    def _scan(self, spark, rows):
+        from kg.extract import license_scan
+        df = spark.createDataFrame(rows, "doc_id long, content string")
+        return {r.doc_id: r for r in license_scan(df).collect()}
+
+    def test_spdx_tag_wins(self, spark):
+        got = self._scan(spark, [
+            (1, "// SPDX-License-Identifier: Apache-2.0\ncode"),
+            (2, "# SPDX-License-Identifier: MIT\n"
+                "redistribution and use in source and binary forms"),
+        ])
+        assert got[1].spdx_tag == "Apache-2.0"
+        assert got[1].license == "apache-2.0" and got[1].is_permissive
+        # SPDX beats a conflicting phrase
+        assert got[2].license == "mit"
+
+    def test_phrase_cascade(self, spark):
+        got = self._scan(spark, [
+            (1, "/* Permission is hereby granted, free of charge */"),
+            (2, "# Licensed under the Apache License, Version 2.0"),
+            (3, "// Redistribution and use in source and binary forms"),
+            (4, "This is free and unencumbered software released"),
+            (5, "under the GNU General Public License version 3 or later"),
+            (6, "under the GNU General Public License version 2 only"),
+            (7, "the GNU General Public License as published"),
+            (8, "def main(): pass"),
+        ])
+        want = {1: ("mit", True), 2: ("apache-2.0", True),
+                3: ("bsd-3-clause", True), 4: ("unlicense", True),
+                5: ("gpl-3.0", False), 6: ("gpl-2.0", False),
+                7: ("gpl", False), 8: ("none", False)}
+        for i, (lic, perm) in want.items():
+            assert (got[i].license, got[i].is_permissive) == (lic, perm), i
+
+    def test_whitespace_collapse_and_head_bound(self, spark):
+        wrapped = "Permission is hereby granted,\n *   free of charge"
+        deep = ("x = 1\n" * 400) + "apache license, version 2.0"
+        got = self._scan(spark, [(1, wrapped), (2, deep), (3, None)])
+        assert got[1].license == "mit"          # collapsed across newline/*?
+        assert got[2].license == "none"          # beyond 2000-char head
+        assert got[3].license == "none" and got[3].spdx_tag == ""

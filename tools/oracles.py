@@ -6301,4 +6301,62 @@ def build_oracle_sql() -> dict[str, str]:
                 AND NOT has_autogen_marker) AS passes_code_quality
         FROM m"""
 
+    # License detection (kg.extract.license_scan): SPDX tag beats the
+    # phrase cascade; head = lowercased first 2000 chars with non-alnum
+    # runs folded to one space (SPDX matching-guidelines normalization).
+    # Cascade order replays LICENSE_PHRASES + the GPL version split.
+    sqls["corpus_license"] = """
+        WITH t AS (
+          SELECT doc_id,
+                 concat(CASE doc_id % 8
+                   WHEN 0 THEN '// SPDX-License-Identifier: Apache-2.0'
+                               || chr(10)
+                   WHEN 1 THEN '/* Permission is hereby granted,'
+                               || chr(10) || ' * free of charge */'
+                               || chr(10)
+                   WHEN 2 THEN '# Licensed under the Apache License,'
+                               || ' Version 2.0' || chr(10)
+                   WHEN 3 THEN '// GNU General Public License version 3'
+                               || chr(10)
+                   WHEN 4 THEN '// GNU General Public License version 2'
+                               || chr(10)
+                   WHEN 5 THEN '// Redistribution and use in source and'
+                               || ' binary forms' || chr(10)
+                   WHEN 6 THEN '// This is free and unencumbered software'
+                               || chr(10)
+                   ELSE '' END, text) AS content
+          FROM documents WHERE lang = 'en'),
+        n AS (
+          SELECT doc_id,
+                 regexp_extract(content,
+                   'SPDX-License-Identifier: *([A-Za-z0-9.+-]+)', 1)
+                   AS spdx_tag,
+                 regexp_replace(lower(substring(content, 1, 2000)),
+                                '[^a-z0-9]+', ' ', 'g') AS h
+          FROM t),
+        v AS (
+          SELECT doc_id, spdx_tag,
+                 CASE
+                   WHEN spdx_tag <> '' THEN lower(spdx_tag)
+                   WHEN contains(h,
+                     'permission is hereby granted free of charge')
+                     THEN 'mit'
+                   WHEN contains(h, 'apache license version 2 0')
+                     THEN 'apache-2.0'
+                   WHEN contains(h,
+                     'redistribution and use in source and binary forms')
+                     THEN 'bsd-3-clause'
+                   WHEN contains(h, 'free and unencumbered software')
+                     THEN 'unlicense'
+                   WHEN contains(h, 'gnu general public license') THEN
+                     CASE WHEN contains(h, 'version 3') THEN 'gpl-3.0'
+                          WHEN contains(h, 'version 2') THEN 'gpl-2.0'
+                          ELSE 'gpl' END
+                   ELSE 'none' END AS license
+          FROM n)
+        SELECT doc_id, spdx_tag, license,
+               license IN ('mit', 'apache-2.0', 'bsd-3-clause',
+                           'unlicense') AS is_permissive
+        FROM v"""
+
     return sqls
