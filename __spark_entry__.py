@@ -1712,6 +1712,16 @@ def q_corpus_license(spark, sf_dir):
     return license_scan(docs)
 
 
+def q_dedup_cdc(spark, sf_dir):
+    """Content-defined-chunking duplication coverage (kg.dedup
+    .cdc_dup_coverage, p=4): token t ends a chunk iff md5₃₂(t) % 4 == 0
+    — boundaries depend only on content, so an insertion re-chunks one
+    neighborhood where fixed-window spans shift everything downstream.
+    Coverage = share of each doc's tokens in corpus-duplicated chunks."""
+    from kg.dedup import cdc_dup_coverage
+    return cdc_dup_coverage(_docs(spark, sf_dir), p=4)
+
+
 def q_rel_user_scd2(spark, sf_dir):
     """Kimball SCD2 dimension build (kg.relops.scd2_intervals): each
     user's event-type sequence compressed to half-open validity
@@ -3545,6 +3555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_secrets": q_text_secrets,
         "corpus_code_quality": q_corpus_code_quality,
         "corpus_license": q_corpus_license,
+        "dedup_cdc": q_dedup_cdc,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also

@@ -194,6 +194,7 @@ HEADLINE = [
     "text_secrets",          # credential scan, zero-shuffle narrow map
     "corpus_code_quality",   # StarCoder file gates, zero-shuffle
     "corpus_license",        # SPDX/phrase license gate, zero-shuffle
+    "dedup_cdc",             # content-defined chunk dup coverage
 ]
 
 

@@ -1168,3 +1168,94 @@ def ngram_novelty(df: DataFrame, n: int = 3, text_col: str = "text",
     return per.select(F.col("id").alias(id_col), "n_shingles", "n_novel",
                       F.expr("n_novel * 1000000 div n_shingles")
                       .cast("bigint").alias("novelty_ppm"))
+
+
+def cdc_chunks(df: DataFrame, p: int = 8, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Content-defined chunking at token granularity (the hash-breaking
+    / gear-CDC family — FastCDC, LBFS): token t ENDS a chunk iff
+    md5₃₂(t) % p == 0, giving mean chunk length ~p tokens whose
+    boundaries depend only on CONTENT — an insertion or deletion
+    re-chunks only its own neighborhood, where fixed-window span dedup
+    (span_dedup) shifts every downstream chunk.  This is the
+    chunk-boundary layer storage dedup and insertion-robust corpus
+    dedup both build on.
+
+    Output: (id, chunk_idx, chunk_hash, n_tokens) — chunk_hash = md5 of
+    the space-joined chunk text.  Entirely in-row: break positions via
+    one filter over the token index range, chunks via one transform
+    with slice/array_join — O(tokens) per row with both arrays bound
+    once (kg.textstats.bind1; CLAUDE.md rule 10), then ONE
+    explode_outer.  Zero shuffles — fuses into the corpus scan; a
+    trailing break yields an empty tail chunk which is dropped
+    (n_tokens >= 1 contract)."""
+    from kg.textstats import bind1, tokens_col
+
+    def build(t):
+        n = F.size(t)
+        pos_expr = F.filter(
+            F.sequence(F.lit(1), n),
+            lambda i: F.conv(F.substring(F.md5(F.element_at(t, i)), 1, 8),
+                             16, 10).cast("bigint") % p == 0)
+
+        def chunks(pos):
+            return F.transform(
+                F.sequence(F.lit(0), F.size(pos)),
+                lambda j: F.struct(
+                    j.cast("int").alias("chunk_idx"),
+                    F.when(j == 0, F.lit(1))
+                    .otherwise(F.element_at(pos, j) + 1).alias("start"),
+                    F.when(j < F.size(pos), F.element_at(pos, j + 1))
+                    .otherwise(n).alias("end")))
+
+        return bind1(pos_expr, chunks)
+
+    toks = bind1(tokens_col(text_col), build)
+    # second bound pass: slice the token array per chunk span
+    out = df.select(
+        F.col(id_col), tokens_col(text_col).alias("_t"),
+        F.explode_outer(toks).alias("c")
+    ).filter(F.col("c").isNotNull() & (F.col("c.end") >= F.col("c.start")))
+    return out.select(
+        F.col(id_col),
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.md5(F.array_join(
+            F.slice("_t", F.col("c.start"),
+                    F.col("c.end") - F.col("c.start") + 1), " "))
+        .alias("chunk_hash"),
+        (F.col("c.end") - F.col("c.start") + 1).cast("bigint")
+        .alias("n_tokens"))
+
+
+def cdc_dup_coverage(df: DataFrame, p: int = 8, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-document duplication coverage over content-defined chunks:
+
+      (id, n_chunks, n_dup_chunks, dup_token_coverage_milli)
+
+    where a chunk is duplicated iff its hash occurs more than once in
+    the corpus, and coverage = share of the doc's tokens living in
+    duplicated chunks (exact milli, truncating div).  The
+    insertion-robust twin of dedup_crossdoc's fixed-window score.
+
+    Scale shape: chunk rows → ONE hash aggregate on chunk_hash →
+    join back on the SAME key (partitioning reused, no extra
+    Exchange on the counts side) → per-doc aggregate.  No pairs, no
+    windows; hot boilerplate chunks are single count rows and AQE
+    splits any skewed join side."""
+    chunks = cdc_chunks(df, p=p, text_col=text_col, id_col=id_col)
+    counts = chunks.groupBy("chunk_hash").agg(
+        F.count("*").alias("_occ"))
+    joined = chunks.join(counts, "chunk_hash")
+    dup = F.col("_occ") > 1
+    per = joined.groupBy(id_col).agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.when(dup, 1).otherwise(0)).cast("bigint")
+        .alias("n_dup_chunks"),
+        F.sum(F.when(dup, F.col("n_tokens")).otherwise(F.lit(0)))
+        .cast("bigint").alias("_dup_toks"),
+        F.sum("n_tokens").cast("bigint").alias("_toks"))
+    return per.select(
+        F.col(id_col), "n_chunks", "n_dup_chunks",
+        F.expr("(_dup_toks * 1000) div greatest(_toks, 1)")
+        .alias("dup_token_coverage_milli"))

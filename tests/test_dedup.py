@@ -757,3 +757,81 @@ def test_rare_span_redact_k_anon_threshold(spark):
     got = {r.doc_id: r.n_rare for r in
            rare_span_redact(docs, w=3, k_anon=3).collect()}
     assert got == {0: 1, 1: 1, 2: 1}
+
+
+class TestCdcChunks:
+    @staticmethod
+    def _py_chunks(text, p=8):
+        import hashlib
+        toks = text.strip().split()
+        brk = [int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % p == 0
+               for t in toks]
+        chunks, cur = [], []
+        for t, b in zip(toks, brk):
+            cur.append(t)
+            if b:
+                chunks.append(cur)
+                cur = []
+        if cur:
+            chunks.append(cur)
+        return [" ".join(c) for c in chunks]
+
+    def test_python_replay(self, spark):
+        from kg.dedup import cdc_chunks
+        import hashlib
+        text = " ".join(f"w{i % 13}" for i in range(40))
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        got = sorted((r.chunk_idx, r.chunk_hash, r.n_tokens)
+                     for r in cdc_chunks(df, p=4).collect())
+        want = self._py_chunks(text, p=4)
+        assert [g[1] for g in got] == [
+            hashlib.md5(c.encode()).hexdigest() for c in want]
+        assert [g[2] for g in got] == [len(c.split()) for c in want]
+        # conservation: chunk tokens sum to the doc's tokens
+        assert sum(g[2] for g in got) == 40
+
+    def test_insertion_locality(self, spark):
+        """CDC's point: inserting one token re-chunks only its own chunk;
+        every other chunk hash is shared with the original."""
+        from kg.dedup import cdc_chunks
+        base = " ".join(f"tok{i}" for i in range(60))
+        toks = base.split()
+        edited = " ".join(toks[:30] + ["INSERTED"] + toks[30:])
+        df = spark.createDataFrame(
+            [(1, base), (2, edited)], "doc_id long, text string")
+        rows = cdc_chunks(df, p=4).collect()
+        h1 = {r.chunk_hash for r in rows if r.doc_id == 1}
+        h2 = {r.chunk_hash for r in rows if r.doc_id == 2}
+        shared = h1 & h2
+        # all but the edited chunk (and possibly its successor boundary)
+        # survive; fixed-window dedup would share only the prefix
+        assert len(shared) >= len(h1) - 2
+        py1 = set(self._py_chunks(base, 4))
+        assert {__import__("hashlib").md5(c.encode()).hexdigest()
+                for c in py1} == h1
+
+    def test_trailing_break_no_empty_chunk(self, spark):
+        from kg.dedup import cdc_chunks
+        import hashlib
+        # find a token that IS a break under p=2
+        tok = next(t for t in (f"z{i}" for i in range(50))
+                   if int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+                   % 2 == 0)
+        df = spark.createDataFrame(
+            [(1, f"alpha {tok}")], "doc_id long, text string")
+        rows = cdc_chunks(df, p=2).collect()
+        assert all(r.n_tokens >= 1 for r in rows)
+        assert sum(r.n_tokens for r in rows) == 2
+
+    def test_dup_coverage(self, spark):
+        from kg.dedup import cdc_dup_coverage
+        a = " ".join(f"w{i}" for i in range(30))
+        df = spark.createDataFrame(
+            [(1, a), (2, a), (3, "totally different words here")],
+            "doc_id long, text string")
+        got = {r.doc_id: r for r in cdc_dup_coverage(df, p=4).collect()}
+        assert got[1].dup_token_coverage_milli == 1000
+        assert got[2].dup_token_coverage_milli == 1000
+        assert got[3].dup_token_coverage_milli == 0
+        assert got[3].n_dup_chunks == 0
+        assert got[1].n_chunks == got[2].n_chunks

@@ -6359,4 +6359,39 @@ def build_oracle_sql() -> dict[str, str]:
                            'unlicense') AS is_permissive
         FROM v"""
 
+    # Content-defined-chunking dup coverage (kg.dedup.cdc_dup_coverage,
+    # p=4): break iff md5₃₂(tok) % 4 == 0 (the Spark conv() replayed by
+    # _hexn_of), chunk id = prefix-count of breaks, chunk hash = md5 of
+    # the space-joined run; coverage in exact milli (// == div).
+    _cdc_brk = _hexn_of("md5(tok)", 1, 8)
+    sqls["dedup_cdc"] = f"""
+        WITH tk AS (
+          SELECT doc_id, t[i] AS tok, i
+          FROM (SELECT doc_id, {_TOKS} AS t,
+                       generate_subscripts({_TOKS}, 1) AS i
+                FROM documents WHERE lang = 'en')),
+        c AS (
+          SELECT doc_id, tok, i,
+                 coalesce(sum(CASE WHEN ({_cdc_brk}) % 4 = 0
+                              THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY i
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS cid
+          FROM tk),
+        ch AS (
+          SELECT doc_id, cid,
+                 md5(string_agg(tok, ' ' ORDER BY i)) AS chunk_hash,
+                 CAST(count(*) AS BIGINT) AS n_tokens
+          FROM c GROUP BY doc_id, cid),
+        oc AS (SELECT chunk_hash, count(*) AS occ FROM ch GROUP BY 1)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup_chunks,
+               CAST(sum(CASE WHEN occ > 1 THEN n_tokens ELSE 0 END) * 1000
+                    // greatest(sum(n_tokens), 1) AS BIGINT)
+                 AS dup_token_coverage_milli
+        FROM ch JOIN oc USING (chunk_hash)
+        GROUP BY doc_id"""
+
     return sqls
