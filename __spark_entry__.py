@@ -2944,6 +2944,20 @@ def q_multimodal_ahash(spark, sf_dir):
     return mm.extract_image_ahash(_gradient_media(emb))
 
 
+def q_multimodal_dhash(spark, sf_dir):
+    """Perceptual difference-hash (kg.multimodal.extract_image_dhash)
+    over the SAME gradient-PPM fixture as multimodal_ahash: 8×9
+    nearest-neighbor luma grid, bit = right neighbor strictly brighter.
+    On a monotone gradient the hash saturates toward all-ones with
+    id/width-dependent wrap-around zero bits — exactly what the oracle
+    replays cell-by-cell (a gradient detector reporting a gradient);
+    brightness-shift EXACT invariance and non-monotone separation are
+    pytest-pinned."""
+    from kg import multimodal as mm
+    emb = _read("embeddings")(spark, sf_dir).select("vec_id")
+    return mm.extract_image_dhash(_gradient_media(emb))
+
+
 def q_multimodal_ahash_pairs(spark, sf_dir):
     """IMAGE near-dup pairs: perceptual aHash fingerprints blocked with
     the LOSSLESS pigeonhole banding (kg.dedup.hex_hamming_pairs,
@@ -3556,6 +3570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_code_quality": q_corpus_code_quality,
         "corpus_license": q_corpus_license,
         "dedup_cdc": q_dedup_cdc,
+        "multimodal_dhash": q_multimodal_dhash,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also

@@ -195,6 +195,7 @@ HEADLINE = [
     "corpus_code_quality",   # StarCoder file gates, zero-shuffle
     "corpus_license",        # SPDX/phrase license gate, zero-shuffle
     "dedup_cdc",             # content-defined chunk dup coverage
+    "multimodal_dhash",      # difference-hash, one pandas UDF
 ]
 
 

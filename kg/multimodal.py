@@ -786,3 +786,62 @@ def extract_image_ahash(df: DataFrame) -> DataFrame:
     return (df.filter(F.col("kind") == "image")
             .select("media_id", "payload")
             .mapInPandas(fx, AHASH_SCHEMA))
+
+
+def dhash64(w: int, h: int, rgb: bytes) -> str:
+    """64-bit perceptual DIFFERENCE hash (the published dHash recipe)
+    over decoded RGB, as 16 lowercase hex chars: sample an 8-row × 9-col
+    grid by nearest-neighbor (cell (i, j) → pixel (x = j·w div 9,
+    y = i·h div 8)), integer luma as in ahash64, bit k = i·8+j set iff
+    the RIGHT neighbor is strictly brighter (luma(i, j+1) >
+    luma(i, j)).  Gradient-based, so a uniform brightness shift cancels
+    EXACTLY (aHash's mean threshold only statistically) — the
+    complementary image near-dup signal; both plug into
+    kg.dedup.hex_hamming_pairs banding."""
+    if w < 9 or h < 8 or len(rgb) < w * h * 3:
+        raise ValueError("dhash64 needs a decoded image of at least 9x8")
+
+    def luma(i: int, j: int) -> int:
+        o = ((i * h // 8) * w + (j * w // 9)) * 3
+        return (299 * rgb[o] + 587 * rgb[o + 1] + 114 * rgb[o + 2]) // 1000
+
+    bits = 0
+    for i in range(8):
+        left = luma(i, 0)
+        for j in range(8):
+            right = luma(i, j + 1)
+            if right > left:
+                bits |= 1 << (i * 8 + j)
+            left = right
+    return f"{bits:016x}"
+
+
+DHASH_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("width", IntegerType(), False),
+    StructField("height", IntegerType(), False),
+    StructField("dhash_hex", StringType(), False),
+])
+
+
+def extract_image_dhash(df: DataFrame) -> DataFrame:
+    """mapInPandas difference-hash extraction over binary image payloads
+    — the extract_image_ahash contract exactly (ONE pandas UDF per
+    task, payloads never shuffled, undecodable/under-9×8 payloads emit
+    '-' with −1 dims instead of failing the task)."""
+    def fx(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    w, h, rgb = decode_image(bytes(payload))
+                    hx = dhash64(w, h, rgb)
+                except (NotImplementedError, ValueError, struct.error,
+                        zlib.error, IndexError):
+                    w, h, hx = -1, -1, "-"
+                rows.append((int(mid), w, h, hx))
+            yield pd.DataFrame(rows, columns=DHASH_SCHEMA.fieldNames())
+
+    return (df.filter(F.col("kind") == "image")
+            .select("media_id", "payload")
+            .mapInPandas(fx, DHASH_SCHEMA))

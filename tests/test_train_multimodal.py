@@ -539,3 +539,75 @@ class TestTiff:
             assert (r.width, r.height) == (4 + i, 3 + i)
             assert r.n_bytes == 80
             assert r.n_rgb_bytes == -1 and r.mean_r == -1
+
+
+class TestDhash:
+    def test_arithmetic_replay_on_gradient(self):
+        """Pure-python replay of the sampled grid on the gradient PPM."""
+        from kg.multimodal import decode_image, dhash64, gradient_ppm_bytes
+        for mid, w, h in ((3, 24, 16), (7, 40, 32)):
+            dw, dh, rgb = decode_image(gradient_ppm_bytes(mid, w, h))
+            assert (dw, dh) == (w, h)
+
+            def luma(i, j):
+                x, y = j * w // 9, i * h // 8
+                r = (mid + x) % 251
+                g = (mid * 7 + y) % 251
+                b = (mid * 13 + x + y) % 251
+                return (299 * r + 587 * g + 114 * b) // 1000
+
+            bits = 0
+            for i in range(8):
+                for j in range(8):
+                    if luma(i, j + 1) > luma(i, j):
+                        bits |= 1 << (i * 8 + j)
+            assert dhash64(dw, dh, rgb) == f"{bits:016x}"
+
+    def test_brightness_shift_exact_invariance(self):
+        """dHash's defining property: adding a constant to every channel
+        leaves the hash EXACTLY unchanged (gradients cancel) — where
+        aHash is only statistically stable."""
+        from kg.multimodal import ahash64, dhash64, gradient_ppm_bytes, \
+            decode_image
+        w, h = 27, 18
+        _, _, rgb = decode_image(gradient_ppm_bytes(5, w, h))
+        shifted = bytes(min(255, b + 10) for b in rgb)
+        assert dhash64(w, h, rgb) == dhash64(w, h, shifted)
+
+    def test_distinct_images_differ(self):
+        """On NON-monotone pixels (quadratic pattern) dHash separates
+        images; the monotone gradient fixture intentionally saturates
+        toward all-ones — a gradient detector reporting a gradient."""
+        from kg.multimodal import dhash64
+        hs = set()
+        w, h = 24, 16
+        for mid in range(6):
+            body = bytearray(w * h * 3)
+            for y in range(h):
+                for x in range(w):
+                    o = (y * w + x) * 3
+                    body[o] = (mid * 17 + 5 * x * x + 3 * y * y) % 251
+                    body[o + 1] = (mid * 29 + x * y + 7 * x) % 251
+                    body[o + 2] = (mid * 31 + 2 * y * y + x) % 251
+            hs.add(dhash64(w, h, bytes(body)))
+        assert len(hs) == 6
+
+    def test_constant_image_zero_hash_and_undersize(self):
+        from kg.multimodal import dhash64
+        import pytest as _pytest
+        rgb = bytes((9, 9, 9)) * (20 * 10)
+        assert dhash64(20, 10, rgb) == "0" * 16
+        with _pytest.raises(ValueError):
+            dhash64(8, 8, bytes(8 * 8 * 3))   # w < 9
+
+    def test_extract_failure_contract(self, spark):
+        from kg import multimodal as mm
+        import pandas as pd
+        rows = [(1, "image", "ppm", mm.gradient_ppm_bytes(1, 24, 16)),
+                (2, "image", "ppm", b"junk bytes"),
+                (3, "audio", "wav", b"not an image")]
+        df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+        got = {r.media_id: r for r in mm.extract_image_dhash(df).collect()}
+        assert got[1].dhash_hex != "-" and got[1].width == 24
+        assert got[2].dhash_hex == "-" and got[2].width == -1
+        assert 3 not in got   # non-image kinds filtered

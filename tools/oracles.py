@@ -6394,4 +6394,40 @@ def build_oracle_sql() -> dict[str, str]:
         FROM ch JOIN oc USING (chunk_hash)
         GROUP BY doc_id"""
 
+    # Perceptual dHash (kg.multimodal.extract_image_dhash) over the
+    # gradient-PPM fixture: 8-row x 9-col luma grid (cell k: i = k//9,
+    # j = k%9, pixel x = j*w//9, y = i*h//8), bit kb = i*8+j set iff the
+    # right cell is strictly brighter; nibble-hex assembly as in aHash.
+    sqls["multimodal_dhash"] = """
+        WITH p AS MATERIALIZED (
+          SELECT vec_id, 24 + (vec_id % 5) * 8 AS w,
+                 16 + (vec_id % 3) * 8 AS h
+          FROM embeddings),
+        lum AS MATERIALIZED (
+          SELECT vec_id, k,
+                 (299 * ((vec_id + ((k % 9) * w // 9)) % 251)
+                  + 587 * ((vec_id * 7 + ((k // 9) * h // 8)) % 251)
+                  + 114 * ((vec_id * 13 + ((k % 9) * w // 9)
+                            + ((k // 9) * h // 8)) % 251)) // 1000 AS l
+          FROM p CROSS JOIN range(0, 72) t(k)),
+        bits AS (
+          SELECT a.vec_id, (a.k // 9) * 8 + (a.k % 9) AS kb,
+                 CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bit
+          FROM lum a JOIN lum b
+            ON b.vec_id = a.vec_id AND b.k = a.k + 1
+          WHERE a.k % 9 < 8),
+        nib AS (
+          SELECT vec_id, kb // 4 AS n,
+                 sum(bit * CASE kb % 4 WHEN 0 THEN 1 WHEN 1 THEN 2
+                           WHEN 2 THEN 4 ELSE 8 END) AS v
+          FROM bits GROUP BY 1, 2),
+        hxt AS (
+          SELECT vec_id,
+                 string_agg(substr('0123456789abcdef', CAST(v AS INT) + 1,
+                                   1), '' ORDER BY n DESC) AS fhex
+          FROM nib GROUP BY 1)
+        SELECT p.vec_id AS media_id, CAST(w AS INT) AS width,
+               CAST(h AS INT) AS height, fhex AS dhash_hex
+        FROM p JOIN hxt ON hxt.vec_id = p.vec_id"""
+
     return sqls
