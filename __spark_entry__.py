@@ -2958,6 +2958,35 @@ def q_multimodal_dhash(spark, sf_dir):
     return mm.extract_image_dhash(_gradient_media(emb))
 
 
+def q_multimodal_qoi(spark, sf_dir):
+    """REAL QOI decode (kg.multimodal._qoi_decode via the dispatcher) —
+    the eighth container format: per-row gradient pixels are encoded
+    with the greedy spec-order QOI encoder (DIFF/LUMA/RGB/INDEX ops all
+    fire on a gradient) and decoded back by the full pure-Python spec
+    decoder; every output cell is arithmetic in (vec_id, x, y), so the
+    oracle replays dims, decoded byte count, and exact channel means
+    (compressed payload size deliberately not checked — the
+    multimodal_decode convention)."""
+    import pandas as pd
+    from kg import multimodal as mm
+    emb = _read("embeddings")(spark, sf_dir).select("vec_id")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for v in pdf["vec_id"]:
+                i = int(v)
+                rows.append((i, "image", "qoi", mm.qoi_gradient_bytes(
+                    i, 4 + i % 6, 3 + i % 5)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "format", "payload"])
+
+    media = emb.mapInPandas(gen, mm.MEDIA_SCHEMA).localCheckpoint()
+    return mm.decode_image_features(media).select(
+        "media_id", "width", "height", "n_rgb_bytes",
+        "mean_r", "mean_g", "mean_b")
+
+
 def q_multimodal_ahash_pairs(spark, sf_dir):
     """IMAGE near-dup pairs: perceptual aHash fingerprints blocked with
     the LOSSLESS pigeonhole banding (kg.dedup.hex_hamming_pairs,
@@ -3571,6 +3600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_license": q_corpus_license,
         "dedup_cdc": q_dedup_cdc,
         "multimodal_dhash": q_multimodal_dhash,
+        "multimodal_qoi": q_multimodal_qoi,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also

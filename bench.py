@@ -196,6 +196,7 @@ HEADLINE = [
     "corpus_license",        # SPDX/phrase license gate, zero-shuffle
     "dedup_cdc",             # content-defined chunk dup coverage
     "multimodal_dhash",      # difference-hash, one pandas UDF
+    "multimodal_qoi",        # QOI spec decode, one pandas UDF
 ]
 
 

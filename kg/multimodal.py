@@ -320,6 +320,8 @@ def image_dims(payload: bytes) -> tuple[int, int]:
         return struct.unpack("<HH", payload[6:10])
     if payload[:2] in (b"II", b"MM") and len(payload) >= 8:
         return _tiff_dims(payload)
+    if payload[:4] == b"qoif" and len(payload) >= 12:
+        return struct.unpack(">II", payload[4:12])
     raise NotImplementedError(
         "unsupported image format (JPEG/... need an imaging library "
         "not present in this environment) — integration point: dispatch "
@@ -380,6 +382,8 @@ def decode_image(payload: bytes) -> tuple[int, int, bytes]:
         return w, h, payload[off:off + 3 * w * h]
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _png_decode(payload)
+    if payload[:4] == b"qoif":
+        return _qoi_decode(payload)
     raise NotImplementedError(
         "unsupported image format — integration point: PIL.Image.open")
 
@@ -845,3 +849,135 @@ def extract_image_dhash(df: DataFrame) -> DataFrame:
     return (df.filter(F.col("kind") == "image")
             .select("media_id", "payload")
             .mapInPandas(fx, DHASH_SCHEMA))
+
+
+# --- QOI ("Quite OK Image", qoiformat.org spec, public domain) ---------------
+#
+# The eighth REAL container format (BMP/PPM/PNG/GIF/WAV/AVI/TIFF/QOI): a
+# byte-exact pure-Python decode of the complete 1-page spec — all six ops
+# (RGB, RGBA, INDEX, DIFF, LUMA, RUN), the 64-entry (3r+5g+7b+11a)%64 seen-
+# pixel table, mod-256 wraparound diffs — plus a greedy spec-order encoder
+# (run → index → diff → luma → rgb) used by fixtures and as the sink leg.
+
+def _qoi_px_hash(r: int, g: int, b: int, a: int) -> int:
+    return (r * 3 + g * 5 + b * 7 + a * 11) % 64
+
+
+def qoi_encode(w: int, h: int, rgb: bytes) -> bytes:
+    """Greedy QOI encoder over top-down RGB bytes (channels=3, alpha
+    fixed 255), op preference in spec order: RUN (len ≤ 62) → INDEX →
+    DIFF → LUMA → RGB.  Exact inverse of _qoi_decode on every input
+    (round-trip pytest-pinned)."""
+    if len(rgb) < w * h * 3:
+        raise ValueError("qoi_encode needs w*h*3 RGB bytes")
+    out = bytearray(b"qoif" + struct.pack(">II", w, h) + bytes((3, 0)))
+    table = [(0, 0, 0, 0)] * 64
+    pr, pg, pb = 0, 0, 0
+    run = 0
+    for i in range(w * h):
+        r, g, b = rgb[3 * i], rgb[3 * i + 1], rgb[3 * i + 2]
+        if (r, g, b) == (pr, pg, pb):
+            run += 1
+            if run == 62:
+                out.append(0xC0 | (run - 1))
+                run = 0
+            continue
+        if run:
+            out.append(0xC0 | (run - 1))
+            run = 0
+        k = _qoi_px_hash(r, g, b, 255)
+        if table[k] == (r, g, b, 255):
+            out.append(k)
+        else:
+            table[k] = (r, g, b, 255)
+            dr = (r - pr + 128) % 256 - 128
+            dg = (g - pg + 128) % 256 - 128
+            db = (b - pb + 128) % 256 - 128
+            if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                out.append(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2)
+                           | (db + 2))
+            elif (-32 <= dg <= 31 and -8 <= dr - dg <= 7
+                  and -8 <= db - dg <= 7):
+                out.append(0x80 | (dg + 32))
+                out.append(((dr - dg + 8) << 4) | (db - dg + 8))
+            else:
+                out += bytes((0xFE, r, g, b))
+        pr, pg, pb = r, g, b
+    if run:
+        out.append(0xC0 | (run - 1))
+    out += b"\x00" * 7 + b"\x01"
+    return bytes(out)
+
+
+def qoi_gradient_bytes(media_id: int, width: int, height: int) -> bytes:
+    """QOI-encoded gradient fixture — the SAME pixel rule as
+    gradient_ppm_bytes (r=(id+x)%251, g=(id·7+y)%251, b=(id·13+x+y)%251),
+    so downstream features stay DuckDB-replayable while the payload
+    exercises DIFF/LUMA/RGB/INDEX ops (a gradient never runs)."""
+    body = bytearray(width * height * 3)
+    for y in range(height):
+        for x in range(width):
+            o = (y * width + x) * 3
+            body[o] = (media_id + x) % 251
+            body[o + 1] = (media_id * 7 + y) % 251
+            body[o + 2] = (media_id * 13 + x + y) % 251
+    return qoi_encode(width, height, bytes(body))
+
+
+def _qoi_decode(payload: bytes) -> tuple[int, int, bytes]:
+    """Full QOI decode → (w, h, top-down RGB bytes); 4-channel streams
+    decode with alpha tracked for the pixel table but stripped from the
+    output (the decode_image RGB contract).  Truncated or op-overrun
+    streams raise ValueError (the extract_image_* '-' contract)."""
+    if payload[:4] != b"qoif" or len(payload) < 22:
+        raise ValueError("not a QOI stream")
+    w, h = struct.unpack(">II", payload[4:12])
+    channels, _colorspace = payload[12], payload[13]
+    if channels not in (3, 4):
+        raise ValueError(f"QOI channels must be 3 or 4, got {channels}")
+    if not (0 < w and 0 < h and w * h <= 50_000_000):
+        raise ValueError("QOI dims out of range")
+    n = w * h
+    out = bytearray(n * 3)
+    table = [(0, 0, 0, 0)] * 64
+    r, g, b, a = 0, 0, 0, 255
+    p, pos, end = 14, 0, len(payload) - 8   # 8-byte end marker
+    while pos < n:
+        if p >= end:
+            raise ValueError("QOI stream truncated")
+        b1 = payload[p]
+        p += 1
+        if b1 == 0xFE:                                   # QOI_OP_RGB
+            r, g, b = payload[p], payload[p + 1], payload[p + 2]
+            p += 3
+        elif b1 == 0xFF:                                 # QOI_OP_RGBA
+            r, g, b, a = payload[p], payload[p + 1], payload[p + 2], \
+                payload[p + 3]
+            p += 4
+        elif b1 >> 6 == 0:                               # QOI_OP_INDEX
+            r, g, b, a = table[b1 & 0x3F]
+        elif b1 >> 6 == 1:                               # QOI_OP_DIFF
+            r = (r + ((b1 >> 4) & 3) - 2) & 255
+            g = (g + ((b1 >> 2) & 3) - 2) & 255
+            b = (b + (b1 & 3) - 2) & 255
+        elif b1 >> 6 == 2:                               # QOI_OP_LUMA
+            b2 = payload[p]
+            p += 1
+            dg = (b1 & 0x3F) - 32
+            r = (r + dg + ((b2 >> 4) & 15) - 8) & 255
+            g = (g + dg) & 255
+            b = (b + dg + (b2 & 15) - 8) & 255
+        else:                                            # QOI_OP_RUN
+            rl = (b1 & 0x3F) + 1
+            if pos + rl > n:
+                raise ValueError("QOI run overruns pixel count")
+            for _ in range(rl):
+                o = pos * 3
+                out[o], out[o + 1], out[o + 2] = r, g, b
+                pos += 1
+            continue                                     # no table update
+        table[_qoi_px_hash(r, g, b, a)] = (r, g, b, a)
+        o = pos * 3
+        out[o], out[o + 1], out[o + 2] = r, g, b
+        pos += 1
+    return w, h, bytes(out)

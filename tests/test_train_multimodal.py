@@ -611,3 +611,77 @@ class TestDhash:
         assert got[1].dhash_hex != "-" and got[1].width == 24
         assert got[2].dhash_hex == "-" and got[2].width == -1
         assert 3 not in got   # non-image kinds filtered
+
+
+class TestQoi:
+    def test_roundtrip_gradient_and_constant(self):
+        from kg.multimodal import decode_image, qoi_encode, \
+            qoi_gradient_bytes
+        for mid, w, h in ((0, 7, 5), (9, 12, 8), (250, 4, 3)):
+            raw = bytearray(w * h * 3)
+            for y in range(h):
+                for x in range(w):
+                    o = (y * w + x) * 3
+                    raw[o] = (mid + x) % 251
+                    raw[o + 1] = (mid * 7 + y) % 251
+                    raw[o + 2] = (mid * 13 + x + y) % 251
+            dw, dh, rgb = decode_image(qoi_gradient_bytes(mid, w, h))
+            assert (dw, dh) == (w, h) and rgb == bytes(raw)
+        # constant image: exercises RUN (incl. the 62-cap split)
+        const = bytes((10, 20, 30)) * 200
+        dw, dh, rgb = decode_image(qoi_encode(20, 10, const))
+        assert rgb == const
+
+    def test_index_and_alternating_colors(self):
+        """Alternating two colors forces INDEX ops after first sight."""
+        from kg.multimodal import decode_image, qoi_encode
+        a, b = (1, 2, 3), (200, 100, 50)
+        raw = bytes(a + b) * 32          # 64 pixels, 8x8
+        payload = qoi_encode(8, 8, raw)
+        dw, dh, rgb = decode_image(payload)
+        assert rgb == raw
+        # compression sanity: INDEX ops are 1 byte, so the stream is far
+        # smaller than 3 bytes/px
+        assert len(payload) < 14 + 64 * 2 + 8
+
+    def test_handcrafted_ops(self):
+        """Spec-example byte stream decoded by hand: RGB, DIFF, LUMA,
+        RUN, INDEX in one stream."""
+        import struct
+        from kg.multimodal import decode_image
+        ops = bytes((0xFE, 100, 150, 200))      # px0 = (100,150,200)
+        ops += bytes((0x40 | (3 << 4) | (2 << 2) | 0,))  # DIFF +1,0,-2
+        # px1 = (101,150,198)
+        ops += bytes((0x80 | (10 + 32), ((3 + 8) << 4) | (0 + 8)))
+        # LUMA dg=10, dr-dg=3, db-db... px2 = (114,160,208)
+        ops += bytes((0xC0 | 1,))                # RUN 2 -> px3,px4 = px2
+        ops += bytes(((100 * 3 + 150 * 5 + 200 * 7 + 255 * 11) % 64,))
+        # INDEX -> px5 = px0
+        payload = (b"qoif" + struct.pack(">II", 6, 1) + bytes((3, 0))
+                   + ops + b"\x00" * 7 + b"\x01")
+        w, h, rgb = decode_image(payload)
+        want = [(100, 150, 200), (101, 150, 198), (114, 160, 208),
+                (114, 160, 208), (114, 160, 208), (100, 150, 200)]
+        assert [tuple(rgb[i * 3:i * 3 + 3]) for i in range(6)] == want
+
+    def test_truncated_and_corrupt_raise(self):
+        import pytest as _pytest
+        from kg.multimodal import _qoi_decode, qoi_gradient_bytes
+        good = qoi_gradient_bytes(3, 6, 4)
+        with _pytest.raises(ValueError):
+            _qoi_decode(good[:20])               # truncated ops
+        with _pytest.raises(ValueError):
+            _qoi_decode(b"qoix" + good[4:])      # bad magic
+        bad = bytearray(good)
+        bad[12] = 9                              # channels
+        with _pytest.raises(ValueError):
+            _qoi_decode(bytes(bad))
+
+    def test_dims_and_hashes_work_through_dispatcher(self):
+        from kg.multimodal import ahash64, decode_image, dhash64, \
+            image_dims, qoi_gradient_bytes
+        p = qoi_gradient_bytes(5, 24, 16)
+        assert image_dims(p) == (24, 16)
+        w, h, rgb = decode_image(p)
+        assert len(ahash64(w, h, rgb)) == 16
+        assert len(dhash64(w, h, rgb)) == 16

@@ -6430,4 +6430,29 @@ def build_oracle_sql() -> dict[str, str]:
                CAST(h AS INT) AS height, fhex AS dhash_hex
         FROM p JOIN hxt ON hxt.vec_id = p.vec_id"""
 
+    # QOI decode (kg.multimodal._qoi_decode over qoi_gradient_bytes):
+    # every cell arithmetic in (vec_id, x, y) — dims from the generator
+    # moduli, n_rgb_bytes = 3wh, channel means replay the gradient pixel
+    # rule exactly (the multimodal_decode convention; compressed size
+    # deliberately unchecked).
+    sqls["multimodal_qoi"] = """
+        WITH p AS (
+          SELECT vec_id, 4 + vec_id % 6 AS w, 3 + vec_id % 5 AS h
+          FROM embeddings),
+        px AS (
+          SELECT vec_id, w, h,
+                 (vec_id + x) % 251 AS r,
+                 (vec_id * 7 + y) % 251 AS g,
+                 (vec_id * 13 + x + y) % 251 AS b
+          FROM p CROSS JOIN range(0, 9) tx(x)
+                 CROSS JOIN range(0, 7) ty(y)
+          WHERE x < w AND y < h)
+        SELECT vec_id AS media_id, CAST(w AS INT) AS width,
+               CAST(h AS INT) AS height,
+               CAST(3 * w * h AS BIGINT) AS n_rgb_bytes,
+               CAST(sum(r) // (w * h) AS INT) AS mean_r,
+               CAST(sum(g) // (w * h) AS INT) AS mean_g,
+               CAST(sum(b) // (w * h) AS INT) AS mean_b
+        FROM px GROUP BY vec_id, w, h"""
+
     return sqls
