@@ -1722,6 +1722,27 @@ def q_dedup_cdc(spark, sf_dir):
     return cdc_dup_coverage(_docs(spark, sf_dir), p=4)
 
 
+def q_link_fork_pairs(spark, sf_dir):
+    """Repository fork detection (kg.link.fork_pairs): repos sharing
+    ≥ 2 exact file sha256s, Jaccard in exact milli over the hub-capped
+    file frame.  The corpus has no natural cross-source duplicates, so
+    a deterministic fork structure is synthesized IN BOTH ENGINES:
+    repo = 'r' || doc_id % 10, and every doc_id % 3 == 0 file is also
+    committed to the NEXT repo (ring) — adjacent repos become partial
+    forks with replayable overlap."""
+    from kg.link import fork_pairs
+    d = _docs(spark, sf_dir)
+    base = d.select(
+        F.concat(F.lit("r"), (F.col("doc_id") % 10).cast("string"))
+        .alias("repo"),
+        F.sha2(F.col("text"), 256).alias("sha"))
+    dup = d.filter(F.col("doc_id") % 3 == 0).select(
+        F.concat(F.lit("r"), (((F.col("doc_id") % 10) + 1) % 10)
+                 .cast("string")).alias("repo"),
+        F.sha2(F.col("text"), 256).alias("sha"))
+    return fork_pairs(base.unionByName(dup), min_shared=2)
+
+
 def q_rel_user_scd2(spark, sf_dir):
     """Kimball SCD2 dimension build (kg.relops.scd2_intervals): each
     user's event-type sequence compressed to half-open validity
@@ -3601,6 +3622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cdc": q_dedup_cdc,
         "multimodal_dhash": q_multimodal_dhash,
         "multimodal_qoi": q_multimodal_qoi,
+        "link_fork_pairs": q_link_fork_pairs,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also

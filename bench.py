@@ -197,6 +197,7 @@ HEADLINE = [
     "dedup_cdc",             # content-defined chunk dup coverage
     "multimodal_dhash",      # difference-hash, one pandas UDF
     "multimodal_qoi",        # QOI spec decode, one pandas UDF
+    "link_fork_pairs",       # repo fork detection, hub-capped join
 ]
 
 

@@ -326,3 +326,52 @@ def sorted_neighborhood_pairs(df: DataFrame, key_col: str,
                     & (F.col("rank_b") - F.col("rank_a") < window))
             .select("id_a", "id_b", "key_a", "key_b",
                     "rank_a", "rank_b"))
+
+
+def fork_pairs(files: DataFrame, repo_col: str = "repo",
+               sha_col: str = "sha", min_shared: int = 2,
+               max_repos_per_file: int = 50) -> DataFrame:
+    """Repository fork detection by file-content overlap — The-Stack /
+    BigCode fork-dedup recipe: repos sharing a large fraction of exact
+    file hashes are forks/mirrors, and a code corpus should keep one.
+
+      (repo_a, repo_b, n_shared, n_a, n_b, jaccard_milli)
+
+    over distinct (repo, sha) rows.  Files present in more than
+    `max_repos_per_file` repos are EXCLUDED first (vendored
+    boilerplate — LICENSE files, generated configs — is corpus-wide
+    and carries no fork signal; the kg.dedup `max_df` hot-key
+    convention), which also bounds the sha self-join at ≤ cap² pairs
+    per file.  Sizes n_a/n_b count the same capped frame, so the
+    Jaccard is internally consistent; jaccard_milli =
+    shared·1000 div (n_a + n_b − shared), exact integers.  Shape:
+    one distinct, one sha-count aggregate, the sha-keyed pair join,
+    one pair aggregate, then two broadcast joins against the
+    |repos|-row size frame — no windows, no all-pairs."""
+    f = files.select(repo_col, sha_col).distinct()
+    freq = (f.groupBy(sha_col).agg(F.count("*").alias("_nr"))
+            .filter(F.col("_nr") <= max_repos_per_file))
+    kept = f.join(freq.select(sha_col), sha_col)
+    sizes = kept.groupBy(repo_col).agg(F.count("*").alias("_n"))
+    a = kept.select(F.col(repo_col).alias("repo_a"),
+                    F.col(sha_col).alias("_s"))
+    b = kept.select(F.col(repo_col).alias("repo_b"),
+                    F.col(sha_col).alias("_s"))
+    shared = (a.join(b, "_s")
+              .filter(F.col("repo_a") < F.col("repo_b"))
+              .groupBy("repo_a", "repo_b")
+              .agg(F.count("*").alias("n_shared"))
+              .filter(F.col("n_shared") >= min_shared))
+    sz = F.broadcast(sizes)
+    out = (shared
+           .join(sz.select(F.col(repo_col).alias("repo_a"),
+                           F.col("_n").alias("n_a")), "repo_a")
+           .join(sz.select(F.col(repo_col).alias("repo_b"),
+                           F.col("_n").alias("n_b")), "repo_b"))
+    return out.select(
+        "repo_a", "repo_b",
+        F.col("n_shared").cast("bigint").alias("n_shared"),
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.expr("(n_shared * 1000) div (n_a + n_b - n_shared)")
+        .alias("jaccard_milli"))

@@ -249,3 +249,47 @@ class TestSortedNeighborhood:
         with pytest.raises(ValueError):
             sorted_neighborhood_pairs(df, key_col="key", id_col="id",
                                       window=1)
+
+
+class TestForkPairs:
+    def _pairs(self, spark, rows, **kw):
+        from kg.link import fork_pairs
+        df = spark.createDataFrame(rows, "repo string, sha string")
+        return {(r.repo_a, r.repo_b): r for r in fork_pairs(df, **kw).collect()}
+
+    def test_hand_jaccard(self, spark):
+        # rA: f1 f2 f3 f4 ; rB: f1 f2 f3 f5 ; rC: f9
+        rows = [("rA", f) for f in ("f1", "f2", "f3", "f4")]
+        rows += [("rB", f) for f in ("f1", "f2", "f3", "f5")]
+        rows += [("rC", "f9")]
+        got = self._pairs(spark, rows)
+        assert set(got) == {("rA", "rB")}
+        r = got[("rA", "rB")]
+        assert (r.n_shared, r.n_a, r.n_b) == (3, 4, 4)
+        assert r.jaccard_milli == 3000 // 5   # 3/(4+4-3)
+
+    def test_min_shared_gate_and_duplicate_rows(self, spark):
+        rows = [("rA", "f1"), ("rA", "f1"), ("rB", "f1"), ("rB", "f2"),
+                ("rC", "f2"), ("rC", "f1")]
+        got = self._pairs(spark, rows, min_shared=2)
+        # only rB-rC share 2 files; rA pairs share 1 < gate;
+        # duplicated (rA,f1) rows collapse via distinct
+        assert set(got) == {("rB", "rC")}
+        assert got[("rB", "rC")].n_shared == 2
+
+    def test_hub_file_excluded(self, spark):
+        # 'license' lives in every repo -> excluded by the cap, so it
+        # neither creates pairs nor inflates sizes
+        rows = []
+        for k in range(6):
+            rows.append((f"r{k}", "license"))
+        rows += [("r0", "x1"), ("r1", "x1"), ("r0", "x2"), ("r1", "x2")]
+        got = self._pairs(spark, rows, min_shared=2, max_repos_per_file=4)
+        assert set(got) == {("r0", "r1")}
+        r = got[("r0", "r1")]
+        assert (r.n_shared, r.n_a, r.n_b, r.jaccard_milli) == (2, 2, 2, 1000)
+
+    def test_symmetry_free_output(self, spark):
+        rows = [("b", "f"), ("a", "f"), ("a", "g"), ("b", "g")]
+        got = self._pairs(spark, rows)
+        assert set(got) == {("a", "b")}   # only the ordered pair

@@ -6455,4 +6455,36 @@ def build_oracle_sql() -> dict[str, str]:
                CAST(sum(b) // (w * h) AS INT) AS mean_b
         FROM px GROUP BY vec_id, w, h"""
 
+    # Fork detection (kg.link.fork_pairs, min_shared=2, cap 50): repos
+    # sharing exact file sha256s, Jaccard in exact milli over the
+    # hub-capped frame; the ring fixture mirrors the Spark wrapper.
+    sqls["link_fork_pairs"] = """
+        WITH files AS (
+          SELECT DISTINCT repo, sha FROM (
+            SELECT 'r' || CAST(doc_id % 10 AS VARCHAR) AS repo,
+                   sha256(text) AS sha
+            FROM documents WHERE lang = 'en'
+            UNION ALL
+            SELECT 'r' || CAST(((doc_id % 10) + 1) % 10 AS VARCHAR),
+                   sha256(text)
+            FROM documents WHERE lang = 'en' AND doc_id % 3 = 0)),
+        kept AS (
+          SELECT repo, sha FROM files
+          WHERE sha IN (SELECT sha FROM files
+                        GROUP BY sha HAVING count(*) <= 50)),
+        sizes AS (SELECT repo, count(*) AS n FROM kept GROUP BY 1),
+        shared AS (
+          SELECT a.repo AS repo_a, b.repo AS repo_b,
+                 CAST(count(*) AS BIGINT) AS n_shared
+          FROM kept a JOIN kept b
+            ON a.sha = b.sha AND a.repo < b.repo
+          GROUP BY 1, 2 HAVING count(*) >= 2)
+        SELECT repo_a, repo_b, n_shared,
+               CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+               CAST(n_shared * 1000 // (sa.n + sb.n - n_shared)
+                    AS BIGINT) AS jaccard_milli
+        FROM shared
+        JOIN sizes sa ON sa.repo = shared.repo_a
+        JOIN sizes sb ON sb.repo = shared.repo_b"""
+
     return sqls
