@@ -1743,6 +1743,16 @@ def q_link_fork_pairs(spark, sf_dir):
     return fork_pairs(base.unionByName(dup), min_shared=2)
 
 
+def q_rel_events_twa(spark, sf_dir):
+    """Time-weighted average per user (kg.relops.time_weighted_avg) —
+    TimescaleDB time_weight('LOCF')/average() parity: each value holds
+    until the next observation, segments value·Δt summed as
+    DECIMAL(38,0), TWA = Σ div range; milli values, micro timestamps,
+    (ts, event_id) tie-break."""
+    from kg.relops import time_weighted_avg
+    return time_weighted_avg(_read("events")(spark, sf_dir))
+
+
 def q_rel_user_scd2(spark, sf_dir):
     """Kimball SCD2 dimension build (kg.relops.scd2_intervals): each
     user's event-type sequence compressed to half-open validity
@@ -3623,6 +3633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_dhash": q_multimodal_dhash,
         "multimodal_qoi": q_multimodal_qoi,
         "link_fork_pairs": q_link_fork_pairs,
+        "rel_events_twa": q_rel_events_twa,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also

@@ -198,6 +198,7 @@ HEADLINE = [
     "multimodal_dhash",      # difference-hash, one pandas UDF
     "multimodal_qoi",        # QOI spec decode, one pandas UDF
     "link_fork_pairs",       # repo fork detection, hub-capped join
+    "rel_events_twa",        # LOCF time-weighted avg, one shuffle
 ]
 
 

@@ -1121,3 +1121,48 @@ def scd2_intervals(events: DataFrame, key_col: str = "user_id",
     return (g.withColumn("valid_to_us", F.lead("valid_from_us").over(wk))
             .select(F.col("key").alias(key_col), "state",
                     "valid_from_us", "valid_to_us", "n_events"))
+
+
+def time_weighted_avg(df: DataFrame, value_col: str = "value",
+                      group_col: str = "user_id", ts_col: str = "ts",
+                      seq_col: str = "event_id") -> DataFrame:
+    """Time-weighted average with last-observation-carried-forward
+    weighting — TimescaleDB's `time_weight('LOCF')`/`average()`
+    hyperfunction pair: each observation's value holds until the next
+    one, so irregularly-sampled series average correctly (a plain avg
+    over-weights bursts).
+
+      (group, n_events, duration_us, twa_milli)
+
+    Exact integers: value staged as milli (round half-away, the
+    value_col convention), timestamps as unix micros (.cast("timestamp")
+    first — Spark 4 reads parquet TIMESTAMP_NTZ; session tz pinned UTC
+    in kg.session), each segment value·(t_next − t) summed as
+    DECIMAL(38,0) (µs durations × milli values overflow BIGINT on long
+    ranges), TWA = Σ segments div (t_last − t_first).  The last
+    observation bounds the range and carries no segment (the LOCF
+    convention); groups with zero duration are dropped (no interval to
+    average over).  ONE shuffle: the lead window and the group
+    aggregate share the group-key hash partitioning.
+
+    Ties: same-ts observations ordered by (ts, seq_col) — the funnel
+    family's deterministic tie-break; equal-ts segments have zero
+    duration so only the ordering of the carried value is at stake."""
+    vm = F.expr(f"cast(round(cast({value_col} as double) * 1000, 0) "
+                "as bigint)")
+    tus = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = df.select(F.col(group_col), vm.alias("_vm"),
+                     tus.alias("_t"), F.col(seq_col).alias("_seq"))
+    w = Window.partitionBy(group_col).orderBy("_t", "_seq")
+    seg = (F.col("_vm").cast("decimal(38,0)")
+           * (F.lead("_t").over(w) - F.col("_t")).cast("decimal(38,0)"))
+    per = (base.withColumn("_seg", seg)
+           .groupBy(group_col)
+           .agg(F.count("*").alias("n_events"),
+                (F.max("_t") - F.min("_t")).alias("duration_us"),
+                F.sum("_seg").alias("_num")))
+    return (per.filter(F.col("duration_us") > 0)
+            .select(F.col(group_col), "n_events",
+                    F.col("duration_us").cast("bigint").alias("duration_us"),
+                    F.expr("cast(_num div duration_us as bigint)")
+                    .alias("twa_milli")))

@@ -1020,3 +1020,71 @@ class TestScd2Intervals:
                .count())
         assert bad == 0
         out.unpersist()
+
+
+class TestTimeWeightedAvg:
+    def _twa(self, spark, rows):
+        from kg.relops import time_weighted_avg
+        import datetime
+        df = spark.createDataFrame(
+            [(u, datetime.datetime(2024, 1, 1) +
+              datetime.timedelta(seconds=s), e, v)
+             for u, s, e, v in rows],
+            "user_id long, ts timestamp, event_id long, value double")
+        return {r.user_id: r for r in time_weighted_avg(df).collect()}
+
+    def test_hand_locf_average(self, spark):
+        got = self._twa(spark, [(1, 0, 1, 10.0), (1, 10, 2, 20.0),
+                                (1, 30, 3, 40.0)])
+        r = got[1]
+        assert r.duration_us == 30_000_000
+        # segments: 10.0 for 10s, 20.0 for 20s; 40.0 bounds the range
+        assert r.twa_milli == (10_000 * 10 + 20_000 * 20) * 1_000_000 \
+            // 30_000_000
+        assert r.n_events == 3
+
+    def test_burst_does_not_overweight(self, spark):
+        # plain avg of (0, 100 x5) is ~83; TWA with the burst packed
+        # into one second of a 100s range stays near 0+small
+        rows = [(1, 0, 1, 0.0)]
+        rows += [(1, 99 + i * 0.2, 2 + i, 100.0) for i in range(5)]
+        rows += [(1, 100, 99, 0.0)]
+        r = self._twa(spark, rows)[1]
+        assert r.twa_milli < 2000   # ≈ 1% of the range at 100.0
+
+    def test_single_event_and_zero_duration_dropped(self, spark):
+        got = self._twa(spark, [(1, 5, 1, 7.0), (2, 3, 1, 1.0),
+                                (2, 3, 2, 9.0)])
+        assert 1 not in got          # no interval
+        assert 2 not in got          # equal timestamps: zero duration
+
+    def test_same_ts_tiebreak_on_seq(self, spark):
+        # at t=10 two observations: event_id order decides the carried
+        # value (id 2 then id 3 -> 3's value persists to t=20)
+        got = self._twa(spark, [(1, 0, 1, 0.0), (1, 10, 3, 30.0),
+                                (1, 10, 2, 20.0), (1, 20, 4, 0.0)])
+        r = got[1]
+        assert r.twa_milli == (0 * 10 + 30_000 * 10) * 1_000_000 \
+            // 20_000_000
+
+    def test_python_replay_on_fixture(self, spark):
+        import random
+        rows = []
+        rnd = [(u, s, i, float(v)) for i, (u, s, v) in enumerate(
+            [(u, (u * 37 + k * 11) % 100, (u * 13 + k * 7) % 50)
+             for u in range(4) for k in range(6)])]
+        got = self._twa(spark, rnd)
+        by_user = {}
+        for u, s, i, v in rnd:
+            by_user.setdefault(u, []).append((s * 1_000_000, i,
+                                              round(v * 1000)))
+        for u, obs in by_user.items():
+            obs.sort(key=lambda x: (x[0], x[1]))
+            dur = obs[-1][0] - obs[0][0]
+            if dur <= 0:
+                assert u not in got
+                continue
+            num = sum(vm * (obs[i + 1][0] - t)
+                      for i, (t, _, vm) in enumerate(obs[:-1]))
+            assert got[u].twa_milli == num // dur, u
+            assert got[u].duration_us == dur

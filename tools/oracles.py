@@ -6487,4 +6487,27 @@ def build_oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.repo = shared.repo_a
         JOIN sizes sb ON sb.repo = shared.repo_b"""
 
+    # Time-weighted average (kg.relops.time_weighted_avg): LOCF segment
+    # weighting, milli values (round half-away — both engines), micro
+    # timestamps, HUGEINT segment sum, // == div; last observation
+    # bounds the range, zero-duration groups dropped.
+    sqls["rel_events_twa"] = """
+        WITH e AS (
+          SELECT user_id, event_id,
+                 CAST(round(CAST(value AS DOUBLE) * 1000, 0) AS BIGINT)
+                   AS vm,
+                 epoch_us(ts) AS t
+          FROM events),
+        l AS (
+          SELECT user_id, vm, t,
+                 lead(t) OVER (PARTITION BY user_id
+                               ORDER BY t, event_id) AS nx
+          FROM e)
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(max(t) - min(t) AS BIGINT) AS duration_us,
+               CAST(sum(CAST(vm AS HUGEINT) * (nx - t))
+                    // (max(t) - min(t)) AS BIGINT) AS twa_milli
+        FROM l GROUP BY user_id
+        HAVING max(t) > min(t)"""
+
     return sqls
