@@ -1753,6 +1753,15 @@ def q_rel_events_twa(spark, sf_dir):
     return time_weighted_avg(_read("events")(spark, sf_dir))
 
 
+def q_text_yule(spark, sf_dir):
+    """Yule's characteristic K + TTR (kg.textstats.yule_richness):
+    K·1000 = 10⁷·(Σc² − N) div N² over the in-row sorted-run term
+    multiplicities — the length-stable lexical-richness constant next
+    to token_entropy's distributional axis; zero shuffles."""
+    from kg.textstats import yule_richness
+    return yule_richness(_docs(spark, sf_dir))
+
+
 def q_rel_user_scd2(spark, sf_dir):
     """Kimball SCD2 dimension build (kg.relops.scd2_intervals): each
     user's event-type sequence compressed to half-open validity
@@ -3634,6 +3643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_qoi": q_multimodal_qoi,
         "link_fork_pairs": q_link_fork_pairs,
         "rel_events_twa": q_rel_events_twa,
+        "text_yule": q_text_yule,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also

@@ -199,6 +199,7 @@ HEADLINE = [
     "multimodal_qoi",        # QOI spec decode, one pandas UDF
     "link_fork_pairs",       # repo fork detection, hub-capped join
     "rel_events_twa",        # LOCF time-weighted avg, one shuffle
+    "text_yule",             # Yule K richness, zero-shuffle in-row
 ]
 
 

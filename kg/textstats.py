@@ -1425,3 +1425,54 @@ def term_dispersion(df: DataFrame, text_col: str = "text",
                            "- _s2) * total_tf) * 1000000) div "
                            "(2 * CAST(total_tf AS DECIMAL(38,0)) * _N) "
                            "AS BIGINT)").alias("dp_ppm")))
+
+
+def yule_richness(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Yule's characteristic K (Yule 1944; the standard lexical-richness
+    constant — unlike raw TTR it is asymptotically length-invariant, so
+    it compares documents of different sizes) plus TTR:
+
+        K = 10⁴ · (Σ_m m²·V_m − N) / N²  =  10⁴ · (Σ_w c_w² − N) / N²
+        → yule_k_milli = 10⁷·(S2 − N) div N²   (K·1000, exact)
+        ttr_milli = n_types·1000 div N
+
+    High K = concentrated vocabulary (templated/generated text); the
+    richness axis complementing token_entropy's distributional one.
+
+    Zero shuffles: multiplicities via the hapax_profile/token_entropy
+    sorted-run trick (sort once, run starts, c_j = starts[j+1] −
+    starts[j]), both arrays bound once (rule 10), S2 accumulated as
+    BIGINT in-row and the final ratio staged DECIMAL(38,0) (10⁷·(S2−N)
+    overflows BIGINT past ~10⁶-token docs).  Single-token docs emit
+    K = 0 (the formula's N² floor).  Reference scope: task-mandated
+    quality operator."""
+    t = tokens_col(text_col)
+
+    def profile(s):
+        n = F.size(s)
+        starts = F.filter(
+            F.sequence(F.lit(1), n),
+            lambda i: (i == 1) | (F.get(s, i - 1) != F.get(s, i - 2)))
+        return bind1(starts, lambda st: F.struct(
+            F.size(st).cast("bigint").alias("nty"),
+            F.aggregate(
+                F.sequence(F.lit(0), F.size(st) - 1),
+                F.lit(0).cast("bigint"),
+                lambda acc, j: acc
+                + ((F.coalesce(F.get(st, j + 1), n + 1) - F.get(st, j))
+                   * (F.coalesce(F.get(st, j + 1), n + 1) - F.get(st, j))
+                   ).cast("bigint")).alias("s2")))
+
+    out = df.select(F.col(id_col),
+                    F.size(t).cast("bigint").alias("n_tokens"),
+                    bind1(F.array_sort(t), profile).alias("p"))
+    return out.select(
+        id_col, "n_tokens",
+        F.col("p.nty").alias("n_types"),
+        F.expr("CASE WHEN n_tokens <= 1 THEN CAST(0 AS BIGINT) "
+               "ELSE CAST((10000000 * CAST(p.s2 - n_tokens "
+               "AS DECIMAL(38,0))) div (CAST(n_tokens AS DECIMAL(38,0)) "
+               "* n_tokens) AS BIGINT) END").alias("yule_k_milli"),
+        F.expr("CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT) "
+               "ELSE n_types * 1000 div n_tokens END").alias("ttr_milli"))

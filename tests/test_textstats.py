@@ -676,3 +676,61 @@ class TestTermDispersion:
         assert set(got) == {"x", "y"}
         assert (got["x"].n_parts, got["x"].total_tf) == (1, 4)
         assert got["x"].dp_ppm == 500000  # 1 - 4/8
+
+
+class TestYuleRichness:
+    def _k(self, spark, rows):
+        from kg.textstats import yule_richness
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {r.doc_id: r for r in yule_richness(df).collect()}
+
+    def test_hand_formula(self, spark):
+        # 'a a a b b c': N=6, tf = 3,2,1 -> S2 = 9+4+1 = 14
+        got = self._k(spark, [(1, "a a a b b c")])
+        r = got[1]
+        assert (r.n_tokens, r.n_types) == (6, 3)
+        assert r.yule_k_milli == 10_000_000 * (14 - 6) // 36
+        assert r.ttr_milli == 3 * 1000 // 6
+
+    def test_all_distinct_vs_all_same(self, spark):
+        got = self._k(spark, [(1, "a b c d e f g h"),
+                              (2, "z z z z z z z z")])
+        # all-distinct: S2 = N -> K = 0 (maximally rich)
+        assert got[1].yule_k_milli == 0 and got[1].ttr_milli == 1000
+        # one repeated type: S2 = N^2 -> K -> 10^7(N^2-N)/N^2
+        n = 8
+        assert got[2].yule_k_milli == 10_000_000 * (n * n - n) // (n * n)
+        assert got[2].ttr_milli == 1000 // n
+
+    def test_single_token_and_python_replay(self, spark):
+        from collections import Counter
+        texts = {1: "solo", 2: "the cat sat on the mat the end",
+                 3: "x y x y x y z"}
+        got = self._k(spark, list(texts.items()))
+        assert got[1].yule_k_milli == 0
+        for i, txt in texts.items():
+            toks = txt.split()
+            c = Counter(toks)
+            n, s2 = len(toks), sum(v * v for v in c.values())
+            if n > 1:
+                assert got[i].yule_k_milli == 10_000_000 * (s2 - n) \
+                    // (n * n), i
+            assert got[i].n_types == len(c)
+
+    def test_length_convergence_vs_ttr_collapse(self, spark):
+        """K's point: replicating a text drives K toward the fixed limit
+        10⁷·S2_base/N_base² (the −1/N term vanishes) while TTR collapses
+        toward 0 — richness stays comparable across lengths."""
+        base = "a a b c d e a b"             # N=8, S2=16
+        got = self._k(spark, [(1, base),
+                              (2, " ".join([base] * 2)),
+                              (3, " ".join([base] * 8))])
+        limit = 10_000_000 * 16 // 64        # 2.5e6
+        d1 = abs(got[1].yule_k_milli - limit)
+        d2 = abs(got[2].yule_k_milli - limit)
+        d3 = abs(got[3].yule_k_milli - limit)
+        assert d3 < d2 < d1                  # monotone approach
+        # exact identity: K(xm) = limit - 10^7/(m*N_base)
+        assert got[3].yule_k_milli == limit - 10_000_000 // 64
+        # TTR meanwhile collapses with length
+        assert got[3].ttr_milli <= got[1].ttr_milli // 4

@@ -6510,4 +6510,31 @@ def build_oracle_sql() -> dict[str, str]:
         FROM l GROUP BY user_id
         HAVING max(t) > min(t)"""
 
+    # Yule's K + TTR (kg.textstats.yule_richness): structural
+    # explode+GROUP-BY replay of the in-row sorted-run multiplicities
+    # (the token_entropy oracle class); HUGEINT staging mirrors the
+    # DECIMAL(38,0) ratio, // == div.
+    sqls["text_yule"] = """
+        WITH tf AS (
+          SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+          FROM (SELECT doc_id,
+                       unnest(regexp_split_to_array(text, ' ')) AS tok
+                FROM documents WHERE lang = 'en')
+          GROUP BY 1, 2),
+        per AS (
+          SELECT doc_id,
+                 CAST(sum(c) AS BIGINT) AS n_tokens,
+                 CAST(count(*) AS BIGINT) AS n_types,
+                 sum(CAST(c AS HUGEINT) * c) AS s2
+          FROM tf GROUP BY 1)
+        SELECT doc_id, n_tokens, n_types,
+               CAST(CASE WHEN n_tokens <= 1 THEN 0
+                    ELSE (10000000 * (s2 - n_tokens))
+                         // (CAST(n_tokens AS HUGEINT) * n_tokens)
+                    END AS BIGINT) AS yule_k_milli,
+               CAST(CASE WHEN n_tokens = 0 THEN 0
+                    ELSE n_types * 1000 // n_tokens END AS BIGINT)
+                 AS ttr_milli
+        FROM per"""
+
     return sqls
