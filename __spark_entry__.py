@@ -1762,6 +1762,35 @@ def q_text_yule(spark, sf_dir):
     return yule_richness(_docs(spark, sf_dir))
 
 
+def q_code_imports(spark, sf_dir):
+    """Import-dependency edge extraction (kg.extract.import_edges): the
+    code corpus's own KG edges — (file, imported module, root package)
+    via per-language anchored regexes, zero UDFs.  Deterministic import
+    headers rotate on doc_id % 3 (python both forms / java incl.
+    static / js require + ESM) IN BOTH ENGINES, prepended to the doc
+    text as the code body."""
+    from kg.extract import import_edges
+    i = F.col("doc_id")
+    lang = (F.when(i % 3 == 0, F.lit("python"))
+            .when(i % 3 == 1, F.lit("java"))
+            .otherwise(F.lit("js")))
+    m7 = (i % 7).cast("string")
+    header = (
+        F.when(i % 3 == 0, F.concat(
+            F.lit("import mod"), m7, F.lit(".sub"),
+            (i % 4).cast("string"), F.lit("\nfrom pkg"),
+            (i % 5).cast("string"), F.lit(" import thing\n")))
+        .when(i % 3 == 1, F.concat(
+            F.lit("import com.example.mod"), m7, F.lit(".Cls;\n"),
+            F.lit("import static org.junit.Assert;\n")))
+        .otherwise(F.concat(
+            F.lit("const m = require('lib"), m7, F.lit("/utils')\n"))))
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", lang.alias("lang"),
+        F.concat(header, F.col("text")).alias("content"))
+    return import_edges(docs)
+
+
 def q_rel_user_scd2(spark, sf_dir):
     """Kimball SCD2 dimension build (kg.relops.scd2_intervals): each
     user's event-type sequence compressed to half-open validity
@@ -3644,6 +3673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_fork_pairs": q_link_fork_pairs,
         "rel_events_twa": q_rel_events_twa,
         "text_yule": q_text_yule,
+        "code_imports": q_code_imports,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also

@@ -200,6 +200,7 @@ HEADLINE = [
     "link_fork_pairs",       # repo fork detection, hub-capped join
     "rel_events_twa",        # LOCF time-weighted avg, one shuffle
     "text_yule",             # Yule K richness, zero-shuffle in-row
+    "code_imports",          # import-edge extraction, zero-shuffle
 ]
 
 

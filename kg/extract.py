@@ -275,3 +275,46 @@ def license_scan(df: DataFrame, content_col: str = "content",
         spdx.alias("spdx_tag"),
         verdict.alias("license"),
         verdict.isin(*PERMISSIVE).alias("is_permissive"))
+
+
+# --- import-dependency edge extraction (code KG construction) ----------------
+#
+# The north-star corpus is source code; its natural knowledge graph beyond
+# NL annotations is the IMPORT/DEPENDENCY graph (file → imported module),
+# which downstream graph operators (pagerank for module centrality,
+# co-occurrence, components for package clustering) consume directly.
+# Patterns are per-language-family anchored line matchers in the
+# Java-regex/RE2-portable subset ((?m) multiline anchors are identical in
+# both) — zero UDFs, one regexp_extract_all per family + one explode.
+IMPORT_PATTERNS: dict[str, tuple[str, ...]] = {
+    "python": (r"(?m)^import +([A-Za-z_][A-Za-z0-9_.]*)",
+               r"(?m)^from +([A-Za-z_][A-Za-z0-9_.]*) +import"),
+    "java": (r"(?m)^import +(?:static +)?([A-Za-z_][A-Za-z0-9_.]*) *;",),
+    "js": (r"require\('([A-Za-z0-9_./@-]+)'\)",
+           r"(?m)^import [^\n]* from '([A-Za-z0-9_./@-]+)'"),
+}
+
+
+def import_edges(df: DataFrame, content_col: str = "content",
+                 lang_col: str = "lang",
+                 id_col: str = "doc_id") -> DataFrame:
+    """File → imported-module edges: (id, lang, module, root_module),
+    root_module = the first dotted/slashed segment (the package-level
+    node the dependency graph usually aggregates to).  Languages
+    outside IMPORT_PATTERNS yield no rows (explode of an empty array).
+    Zero shuffles, zero UDFs — fuses into the corpus scan; duplicate
+    import lines in one file emit duplicate edges (callers distinct()
+    or weight by count as needed)."""
+    content = F.coalesce(F.col(content_col), F.lit(""))
+    arr = F.array().cast("array<string>")
+    for lang, pats in IMPORT_PATTERNS.items():
+        ext = None
+        for p in pats:
+            e = F.regexp_extract_all(content, F.lit(p), 1)
+            ext = e if ext is None else F.concat(ext, e)
+        arr = F.when(F.col(lang_col) == lang, ext).otherwise(arr)
+    out = (df.select(F.col(id_col), F.col(lang_col),
+                     F.explode_outer(arr).alias("module"))
+           .filter(F.col("module").isNotNull()))
+    return out.withColumn(
+        "root_module", F.split(F.col("module"), r"[./]").getItem(0))

@@ -237,3 +237,37 @@ class TestLicenseScan:
         assert got[1].license == "mit"          # collapsed across newline/*?
         assert got[2].license == "none"          # beyond 2000-char head
         assert got[3].license == "none" and got[3].spdx_tag == ""
+
+
+class TestImportEdges:
+    def _edges(self, spark, rows):
+        from kg.extract import import_edges
+        df = spark.createDataFrame(rows,
+                                   "doc_id long, lang string, content string")
+        return sorted((r.doc_id, r.module, r.root_module)
+                      for r in import_edges(df).collect())
+
+    def test_python_both_forms(self, spark):
+        got = self._edges(spark, [
+            (1, "python", "import os.path\nfrom kg.dedup import x\n"
+                          "  import indented_ignored\nimport numpy")])
+        assert got == [(1, "kg.dedup", "kg"), (1, "numpy", "numpy"),
+                       (1, "os.path", "os")]
+
+    def test_java_and_js(self, spark):
+        got = self._edges(spark, [
+            (1, "java", "import java.util.List;\n"
+                        "import static org.junit.Assert.x;\ncode"),
+            (2, "js", "const a = require('lodash/fp')\n"
+                      "import x from './util/helpers'\n")])
+        assert (1, "java.util.List", "java") in got
+        assert (1, "org.junit.Assert.x", "org") in got
+        assert (2, "lodash/fp", "lodash") in got
+        assert (2, "./util/helpers", "") in got or \
+               (2, "./util/helpers", ".") in got
+
+    def test_unknown_lang_and_empty(self, spark):
+        got = self._edges(spark, [(1, "en", "import os\n"),
+                                  (2, "python", "x = 1\n"),
+                                  (3, "python", None)])
+        assert got == []

@@ -6537,4 +6537,46 @@ def build_oracle_sql() -> dict[str, str]:
                  AS ttr_milli
         FROM per"""
 
+    # Import-edge extraction (kg.extract.import_edges): the SAME
+    # portable regexes replayed by RE2 over the same synthesized
+    # content; root = first [./]-split segment.
+    sqls["code_imports"] = """
+        WITH t AS (
+          SELECT doc_id,
+            CASE doc_id % 3 WHEN 0 THEN 'python' WHEN 1 THEN 'java'
+                 ELSE 'js' END AS lang,
+            CASE doc_id % 3
+              WHEN 0 THEN 'import mod' || CAST(doc_id % 7 AS VARCHAR)
+                || '.sub' || CAST(doc_id % 4 AS VARCHAR) || chr(10)
+                || 'from pkg' || CAST(doc_id % 5 AS VARCHAR)
+                || ' import thing' || chr(10)
+              WHEN 1 THEN 'import com.example.mod'
+                || CAST(doc_id % 7 AS VARCHAR) || '.Cls;' || chr(10)
+                || 'import static org.junit.Assert;' || chr(10)
+              ELSE 'const m = require(''lib'
+                || CAST(doc_id % 7 AS VARCHAR) || '/utils'')' || chr(10)
+            END || text AS content
+          FROM documents WHERE lang = 'en'),
+        m AS (
+          SELECT doc_id, lang, unnest(
+            CASE lang
+              WHEN 'python' THEN list_concat(
+                regexp_extract_all(content,
+                  '(?m)^import +([A-Za-z_][A-Za-z0-9_.]*)', 1),
+                regexp_extract_all(content,
+                  '(?m)^from +([A-Za-z_][A-Za-z0-9_.]*) +import', 1))
+              WHEN 'java' THEN regexp_extract_all(content,
+                '(?m)^import +(?:static +)?([A-Za-z_][A-Za-z0-9_.]*) *;',
+                1)
+              ELSE list_concat(
+                regexp_extract_all(content,
+                  'require\\(''([A-Za-z0-9_./@-]+)''\\)', 1),
+                regexp_extract_all(content,
+                  '(?m)^import [^\\n]* from ''([A-Za-z0-9_./@-]+)''', 1))
+            END) AS module
+          FROM t)
+        SELECT doc_id, lang, module,
+               string_split_regex(module, '[./]')[1] AS root_module
+        FROM m"""
+
     return sqls
