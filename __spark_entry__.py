@@ -1883,6 +1883,16 @@ def q_kg_tag_walks(spark, sf_dir):
                         walks_per_node=2, walk_length=4)
 
 
+def q_kg_tag_khop(spark, sf_dir):
+    """GraphSAGE k-hop neighbor sampling (kg.graphrank.khop_sample,
+    fanouts (3, 2)) over the strong-tie tag graph: every node's bounded
+    computation graph as (seed, hop, src, dst) — neighbor choice is the
+    md5(src ':' dst) order, ranked once in one window and re-filtered
+    per hop; the GNN-export twin of kg_tag_walks' DeepWalk corpus."""
+    from kg.graphrank import khop_sample
+    return khop_sample(_strong_tie_edges(spark, sf_dir), fanouts=(3, 2))
+
+
 def q_kg_tag_wl(spark, sf_dir):
     """Weisfeiler-Lehman structural signatures (kg.graphrank
     .wl_signatures): 2 rounds of 1-WL color refinement over the
@@ -3674,6 +3684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_events_twa": q_rel_events_twa,
         "text_yule": q_text_yule,
         "code_imports": q_code_imports,
+        "kg_tag_khop": q_kg_tag_khop,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also

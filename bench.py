@@ -201,6 +201,7 @@ HEADLINE = [
     "rel_events_twa",        # LOCF time-weighted avg, one shuffle
     "text_yule",             # Yule K richness, zero-shuffle in-row
     "code_imports",          # import-edge extraction, zero-shuffle
+    "kg_tag_khop",           # GraphSAGE sampling, one ranked window
 ]
 
 

@@ -2010,3 +2010,53 @@ def link_prediction(edges: DataFrame, src_col: str = "src",
     return (pairs.join(da, "a").join(db, "b")
             .select("a", "b", "common", "aa_micro", "ra_micro",
                     (F.col("deg_a") * F.col("deg_b")).alias("pa")))
+
+
+def khop_sample(edges: DataFrame, fanouts: tuple[int, ...] = (5, 3),
+                seeds: DataFrame | None = None,
+                src_col: str = "src", dst_col: str = "dst",
+                node_col: str = "node") -> DataFrame:
+    """GraphSAGE-style k-hop neighbor sampling (Hamilton, Ying &
+    Leskovec 2017 §3.1) — the GNN mini-batch sampling stage next to
+    random_walks' DeepWalk corpus: per hop h, every frontier node keeps
+    at most fanouts[h] neighbors, so a seed's receptive field is
+    bounded by Π fanouts instead of the full exponential neighborhood.
+
+    Returns (seed, hop, src, dst): the sampled message-passing edges of
+    every seed's computation graph (hop 1 = seed's own neighbors).
+
+    No RNG: neighbor selection is the md5(src ':' dst) order (ties →
+    lexical dst), ranked ONCE per node with row_number ≤ max(fanouts)
+    and re-filtered per hop — the published "sampled adjacency" trick:
+    the expensive per-node ranking window runs a single time, every hop
+    is then a frontier equi-join against the checkpointed capped
+    adjacency (no per-hop window, no re-shuffle of the edge set).
+    Duplicate (seed, hop, src, dst) rows from converging paths are
+    deduplicated — callers wanting tree multiplicities re-expand from
+    the edge set.  Default seeds = every node (the full-graph export);
+    pass a (node) frame for mini-batch seed sets."""
+    e0 = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    sym = (e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
+           .filter(F.col("a") != F.col("b")).distinct())
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("a").orderBy(
+        F.md5(F.concat_ws(":", "a", "b")), "b")
+    adj = (sym.withColumn("rk", F.row_number().over(w))
+           .filter(F.col("rk") <= max(fanouts)).localCheckpoint())
+    if seeds is None:
+        frontier = adj.select(F.col("a").alias("seed"),
+                              F.col("a").alias(node_col)).distinct()
+    else:
+        frontier = seeds.select(F.col(node_col).alias("seed"),
+                                F.col(node_col))
+    out = None
+    for hop, f in enumerate(fanouts, 1):
+        step = (frontier.join(adj.filter(F.col("rk") <= f),
+                              frontier[node_col] == adj["a"])
+                .select("seed", F.lit(hop).alias("hop"),
+                        F.col("a").alias("src"), F.col("b").alias("dst"))
+                .distinct().localCheckpoint())
+        out = step if out is None else out.unionByName(step)
+        frontier = step.select("seed",
+                               F.col("dst").alias(node_col)).distinct()
+    return out

@@ -1327,3 +1327,58 @@ class TestLinkPrediction:
                  ("z", "p")]   # (z, m)/(z, n) pairs have 1 common (p)
         got = self._lp(spark, edges, min_common=2)
         assert set(got) == {("m", "n"), ("p", "q")}
+
+
+class TestKhopSample:
+    def _sample(self, spark, edges, **kw):
+        from kg.graphrank import khop_sample
+        df = spark.createDataFrame(edges, "src string, dst string")
+        return khop_sample(df, **kw).collect()
+
+    def test_fanout_cap_and_md5_order(self, spark):
+        import hashlib
+        # star: hub h with 6 leaves; fanout 3 keeps the 3 smallest by
+        # md5('h:leaf')
+        leaves = [f"l{i}" for i in range(6)]
+        rows = self._sample(spark, [("h", l) for l in leaves],
+                            fanouts=(3,))
+        hub = sorted(r.dst for r in rows if r.seed == "h")
+        want = sorted(sorted(
+            leaves, key=lambda x: (hashlib.md5(f"h:{x}".encode())
+                                   .hexdigest(), x))[:3])
+        assert hub == want
+        # every leaf's hop-1 sample is its only neighbor, the hub
+        for l in leaves:
+            assert [r.dst for r in rows if r.seed == l] == ["h"]
+
+    def test_second_hop_only_from_sampled_frontier(self, spark):
+        # path a-b-c: seed a, fanout (1,1): hop1 a->b, hop2 b->{a or c}
+        rows = self._sample(spark, [("a", "b"), ("b", "c")],
+                            fanouts=(1, 1))
+        got = {(r.seed, r.hop, r.src, r.dst) for r in rows}
+        a1 = {(s, h, x, y) for (s, h, x, y) in got if s == "a"}
+        assert ("a", 1, "a", "b") in a1
+        h2 = [(x, y) for (s, h, x, y) in a1 if h == 2]
+        assert len(h2) == 1 and h2[0][0] == "b"   # expands the frontier
+
+    def test_seed_restriction_and_determinism(self, spark):
+        from kg.graphrank import khop_sample
+        edges = [(f"n{i}", f"n{(i * 3 + 1) % 7}") for i in range(7)]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        seeds = spark.createDataFrame([("n0",), ("n3",)], "node string")
+        a = sorted(map(tuple, khop_sample(df, fanouts=(2, 2),
+                                          seeds=seeds).collect()))
+        b = sorted(map(tuple, khop_sample(df, fanouts=(2, 2),
+                                          seeds=seeds).collect()))
+        assert a == b
+        assert {t[0] for t in a} <= {"n0", "n3"}
+
+    def test_receptive_field_bounded(self, spark):
+        # complete graph K8: per seed, hop1 <= 2 edges, hop2 <= 2*2
+        edges = [(f"k{i}", f"k{j}") for i in range(8) for j in range(8)
+                 if i < j]
+        rows = self._sample(spark, edges, fanouts=(2, 2))
+        from collections import Counter
+        per = Counter((r.seed, r.hop) for r in rows)
+        for (s, h), n in per.items():
+            assert n <= (2 if h == 1 else 4), (s, h, n)

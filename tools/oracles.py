@@ -6579,4 +6579,31 @@ def build_oracle_sql() -> dict[str, str]:
                string_split_regex(module, '[./]')[1] AS root_module
         FROM m"""
 
+    # GraphSAGE k-hop sampling (kg.graphrank.khop_sample, fanouts
+    # (3, 2)) over the shared strong-tie graph: one ranked adjacency
+    # (md5(a ':' b) order, ties lexical), per-hop rk filters, frontier
+    # joins unrolled.
+    sqls["kg_tag_khop"] = f"""
+        WITH {_kept_sql},
+        {_cooccur_sql},
+        {_strong_sql},
+        sym AS MATERIALIZED (
+          SELECT a, b FROM (SELECT a, b FROM f0
+                            UNION SELECT b, a FROM f0)
+          WHERE a <> b),
+        adj AS MATERIALIZED (
+          SELECT a, b, row_number() OVER (
+                   PARTITION BY a
+                   ORDER BY md5(a || ':' || b), b) AS rk
+          FROM sym),
+        h1 AS MATERIALIZED (
+          SELECT n.a AS seed, 1 AS hop, adj.a AS src, adj.b AS dst
+          FROM (SELECT DISTINCT a FROM sym) n
+          JOIN adj ON adj.a = n.a AND adj.rk <= 3),
+        h2 AS (
+          SELECT DISTINCT seed, 2 AS hop, adj.a AS src, adj.b AS dst
+          FROM h1 JOIN adj ON adj.a = h1.dst AND adj.rk <= 2)
+        SELECT seed, hop, src, dst FROM h1
+        UNION ALL SELECT seed, hop, src, dst FROM h2"""
+
     return sqls
