@@ -1791,6 +1791,15 @@ def q_code_imports(spark, sf_dir):
     return import_edges(docs)
 
 
+def q_text_kwic(spark, sf_dir):
+    """KWIC concordance (kg.textstats.kwic_concordance): every
+    occurrence of the probe term 'hash' with 3-token contexts — the
+    corpus-audit view decontamination/PII review samples from; one
+    in-row pass, zero shuffles."""
+    from kg.textstats import kwic_concordance
+    return kwic_concordance(_docs(spark, sf_dir), "hash", window=3)
+
+
 def q_rel_user_scd2(spark, sf_dir):
     """Kimball SCD2 dimension build (kg.relops.scd2_intervals): each
     user's event-type sequence compressed to half-open validity
@@ -3685,6 +3694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_yule": q_text_yule,
         "code_imports": q_code_imports,
         "kg_tag_khop": q_kg_tag_khop,
+        "text_kwic": q_text_kwic,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also

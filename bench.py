@@ -202,6 +202,7 @@ HEADLINE = [
     "text_yule",             # Yule K richness, zero-shuffle in-row
     "code_imports",          # import-edge extraction, zero-shuffle
     "kg_tag_khop",           # GraphSAGE sampling, one ranked window
+    "text_kwic",             # concordance, zero-shuffle in-row
 ]
 
 

@@ -1476,3 +1476,43 @@ def yule_richness(df: DataFrame, text_col: str = "text",
                "* n_tokens) AS BIGINT) END").alias("yule_k_milli"),
         F.expr("CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT) "
                "ELSE n_types * 1000 div n_tokens END").alias("ttr_milli"))
+
+
+def kwic_concordance(df: DataFrame, term: str, window: int = 3,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Key-Word-In-Context concordance — the corpus-linguistics audit
+    surface (what company does this term keep?) and the manual-review
+    view decontamination/PII pipelines sample from:
+
+      (id, pos, left_ctx, right_ctx)
+
+    one row per occurrence of `term` (exact token match), pos 1-based,
+    contexts = up to `window` tokens each side, space-joined ('' at
+    document edges).  Entirely in-row: occurrence positions via one
+    filter over the token index range, contexts via slice/array_join,
+    the token array bound once (rule 10), ONE explode — zero shuffles,
+    fuses into the scan; a driver-side LIKE would re-scan text per
+    probe, this emits every occurrence in one pass."""
+    t = tokens_col(text_col)
+
+    def rows(s):
+        n = F.size(s)
+        pos = F.filter(F.sequence(F.lit(1), n),
+                       lambda i: F.get(s, i - 1) == F.lit(term))
+        return F.transform(pos, lambda p: F.struct(
+            p.cast("bigint").alias("pos"),
+            F.array_join(F.slice(s, F.greatest(p - window, F.lit(1)),
+                                 p - F.greatest(p - window, F.lit(1))),
+                         " ").alias("left_ctx"),
+            F.array_join(
+                F.slice(s, p + 1,
+                        F.least(n, p + window) - p), " ")
+            .alias("right_ctx")))
+
+    out = (df.select(F.col(id_col),
+                     F.explode_outer(bind1(t, rows)).alias("o"))
+           .filter(F.col("o").isNotNull()))
+    return out.select(id_col, F.col("o.pos").alias("pos"),
+                      F.col("o.left_ctx").alias("left_ctx"),
+                      F.col("o.right_ctx").alias("right_ctx"))

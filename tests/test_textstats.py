@@ -734,3 +734,31 @@ class TestYuleRichness:
         assert got[3].yule_k_milli == limit - 10_000_000 // 64
         # TTR meanwhile collapses with length
         assert got[3].ttr_milli <= got[1].ttr_milli // 4
+
+
+class TestKwic:
+    def _kwic(self, spark, rows, term, window=3):
+        from kg.textstats import kwic_concordance
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return sorted((r.doc_id, r.pos, r.left_ctx, r.right_ctx)
+                      for r in kwic_concordance(df, term,
+                                                window=window).collect())
+
+    def test_hand_contexts(self, spark):
+        got = self._kwic(spark, [(1, "a b c KEY d e f")], "KEY")
+        assert got == [(1, 4, "a b c", "d e f")]
+
+    def test_edges_and_multiple_occurrences(self, spark):
+        got = self._kwic(spark, [(1, "KEY x KEY y KEY")], "KEY", window=2)
+        assert got == [(1, 1, "", "x KEY"),
+                       (1, 3, "KEY x", "y KEY"),
+                       (1, 5, "KEY y", "")]
+
+    def test_absent_term_and_exact_match_only(self, spark):
+        got = self._kwic(spark, [(1, "keys KEYS key subkey")], "key")
+        assert got == [(1, 3, "keys KEYS", "subkey")]
+        assert self._kwic(spark, [(1, "nothing here")], "key") == []
+
+    def test_window_clip(self, spark):
+        got = self._kwic(spark, [(1, "w1 w2 KEY w3 w4")], "KEY", window=10)
+        assert got == [(1, 3, "w1 w2", "w3 w4")]

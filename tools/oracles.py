@@ -6606,4 +6606,20 @@ def build_oracle_sql() -> dict[str, str]:
         SELECT seed, hop, src, dst FROM h1
         UNION ALL SELECT seed, hop, src, dst FROM h2"""
 
+    # KWIC concordance (kg.textstats.kwic_concordance, term 'hash',
+    # window 3): DuckDB 1-based inclusive list slices replay the Spark
+    # slice arithmetic; empty-edge contexts coalesce ('' — the
+    # array_to_string([], '') IS NULL trap, CLAUDE.md).
+    sqls["text_kwic"] = """
+        WITH tk AS (
+          SELECT doc_id, t, generate_subscripts(t, 1) AS i
+          FROM (SELECT doc_id, regexp_split_to_array(text, ' ') AS t
+                FROM documents WHERE lang = 'en'))
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               coalesce(array_to_string(t[greatest(i - 3, 1):i - 1],
+                                        ' '), '') AS left_ctx,
+               coalesce(array_to_string(t[i + 1:least(len(t), i + 3)],
+                                        ' '), '') AS right_ctx
+        FROM tk WHERE t[i] = 'hash'"""
+
     return sqls
