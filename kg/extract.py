@@ -169,7 +169,8 @@ MIN_ALNUM_MILLI = 250           # alnum fraction < 0.25
 
 def code_quality_flags(df: DataFrame, content_col: str = "content",
                        id_col: str = "doc_id",
-                       head_chars: int = 200) -> DataFrame:
+                       head_chars: int = 200,
+                       keep: tuple[str, ...] = ()) -> DataFrame:
     """Per-file code-quality report:
 
       (id, n_lines, max_line_len, mean_line_len_milli, alnum_frac_milli,
@@ -180,7 +181,9 @@ def code_quality_flags(df: DataFrame, content_col: str = "content",
     lowercases only the first `head_chars` chars (markers live in file
     headers; scanning 200 chars keeps the gate O(1) per file regardless
     of file size).  Empty files: n_lines = 1 (the empty line), stats 0,
-    gate fails on the alnum floor — the degenerate a crawl should drop."""
+    gate fails on the alnum floor — the degenerate a crawl should drop.
+    `keep` passes extra columns through untouched (streaming
+    composition: one narrow select chain, no self-joins)."""
     content = F.coalesce(F.col(content_col), F.lit(""))
     lines = F.split(content, "\n")
     lens = F.transform(lines, lambda l: F.length(l).cast("bigint"))
@@ -190,7 +193,7 @@ def code_quality_flags(df: DataFrame, content_col: str = "content",
         c = F.contains(head, F.lit(m))
         autogen = c if autogen is None else (autogen | c)
     staged = df.select(
-        F.col(id_col),
+        F.col(id_col), *[F.col(k) for k in keep],
         F.size(lines).cast("bigint").alias("n_lines"),
         F.aggregate(lens, F.lit(0).cast("bigint"),
                     lambda acc, x: acc + x).alias("_total"),
@@ -204,7 +207,7 @@ def code_quality_flags(df: DataFrame, content_col: str = "content",
     # (verified-identical semantics, CLAUDE.md); n_lines >= 1 always
     # (split of "" is [""]), chars floored at 1 for empty files
     out = staged.select(
-        F.col(id_col), "n_lines", "max_line_len",
+        F.col(id_col), *keep, "n_lines", "max_line_len",
         F.expr("(_total * 1000) div n_lines").alias("mean_line_len_milli"),
         F.expr("(_alnum * 1000) div greatest(_chars, 1)")
         .alias("alnum_frac_milli"),

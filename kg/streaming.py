@@ -373,3 +373,45 @@ def stream_cms_cells(events: DataFrame, col: str = "event_type",
     # definition across modes keeps the parity contract safe against
     # future cell-layout changes
     return cms_sketch(events, col=col, depth=depth, width=width)
+
+
+def stream_code_gate(files_stream: DataFrame,
+                     content_col: str = "content",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Streaming CODE-crawl front door: StarCoder file-quality gates +
+    credential scanning over an arriving source-file stream — the
+    code-corpus twin of stream_quality_gate.  Both stages are stateless
+    per-row expressions (kg.extract.code_quality_flags predicates,
+    kg.pii.secret_report counts/redaction), so they run unchanged under
+    readStream: no watermark, no state store.
+
+    Keeps only files that pass the quality gates AND contain no typed
+    secrets; generic entropy-valid hex runs are redacted in place
+    (a file is not dropped for a stray hex token — the published
+    pipelines redact, they don't discard).  Returns (id, content_clean,
+    n_hex_redacted) plus the quality stats; batch parity is exact by
+    construction (same Column expressions) and pinned by test."""
+    from kg.extract import code_quality_flags
+    from kg.pii import SECRET_PATTERNS, secret_report
+    # ONE narrow select chain — no stream-stream self-joins (those would
+    # demand watermark state): secret_report carries the redacted
+    # content forward, code_quality_flags passes the secret columns
+    # through via `keep` and computes its stats on the REDACTED text
+    # (placeholder tokens are what the corpus would actually train on).
+    rep = secret_report(files_stream, text_col=content_col,
+                        id_col=id_col)
+    secret_cols = tuple(f"n_{name}" for name, _, _ in SECRET_PATTERNS)
+    q = code_quality_flags(rep, content_col="text_redacted",
+                           id_col=id_col,
+                           keep=("text_redacted", "n_hex_valid")
+                           + secret_cols)
+    typed = None
+    for c in secret_cols:
+        col = F.col(c)
+        typed = col if typed is None else typed + col
+    return (q.filter(F.col("passes_code_quality") & (typed == 0))
+            .select(F.col(id_col),
+                    F.col("text_redacted").alias("content_clean"),
+                    F.col("n_hex_valid").alias("n_hex_redacted"),
+                    "n_lines", "max_line_len", "mean_line_len_milli",
+                    "alnum_frac_milli"))
