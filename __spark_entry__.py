@@ -1800,6 +1800,17 @@ def q_text_kwic(spark, sf_dir):
     return kwic_concordance(_docs(spark, sf_dir), "hash", window=3)
 
 
+def q_rel_events_trimmed(spark, sf_dir):
+    """Exact trimmed + winsorized means per event type (kg.relops
+    .trimmed_stats, 10% each tail): histogram-exact over value-milli
+    bins — the cumulative window is bounded by value granularity, never
+    group size; boundary bins contribute exact remainders and the tail
+    clamp values are nearest-rank picks from the same window."""
+    from kg.relops import trimmed_stats
+    return trimmed_stats(_read("events")(spark, sf_dir),
+                         trim_ppm=100_000)
+
+
 def q_rel_user_scd2(spark, sf_dir):
     """Kimball SCD2 dimension build (kg.relops.scd2_intervals): each
     user's event-type sequence compressed to half-open validity
@@ -3695,6 +3706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_imports": q_code_imports,
         "kg_tag_khop": q_kg_tag_khop,
         "text_kwic": q_text_kwic,
+        "rel_events_trimmed": q_rel_events_trimmed,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also

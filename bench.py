@@ -203,6 +203,7 @@ HEADLINE = [
     "code_imports",          # import-edge extraction, zero-shuffle
     "kg_tag_khop",           # GraphSAGE sampling, one ranked window
     "text_kwic",             # concordance, zero-shuffle in-row
+    "rel_events_trimmed",    # robust means, histogram-exact window
 ]
 
 

@@ -1166,3 +1166,60 @@ def time_weighted_avg(df: DataFrame, value_col: str = "value",
                     F.col("duration_us").cast("bigint").alias("duration_us"),
                     F.expr("cast(_num div duration_us as bigint)")
                     .alias("twa_milli")))
+
+
+def trimmed_stats(df: DataFrame, value_col: str = "value",
+                  group_col: str = "event_type",
+                  trim_ppm: int = 100_000) -> DataFrame:
+    """Exact trimmed and winsorized means per group — the robust
+    aggregates (Tukey) next to kg.curate's median/MAD outlier flags:
+    with k = n·trim_ppm div 1e6 cut from EACH tail of the sorted
+    values,
+
+      trimmed_mean_milli    = Σ v_(k+1..n−k) div (n − 2k)
+      winsorized_mean_milli = (k·v_(k+1) + Σ v_(k+1..n−k) + k·v_(n−k))
+                              div n
+
+    all in exact integer milli (the value_col convention).  HISTOGRAM-
+    EXACT: values collapse to (group, value_milli, count) bins first,
+    the cumulative window runs over DISTINCT VALUES (bounded by metric
+    granularity, never group size — the corpus_quality_strata /
+    min_k_prob argument), and each bin contributes
+    max(0, min(cum_end, n−k) − max(cum_start, k)) copies to the kept
+    range — whole low bins plus exact boundary-bin remainders.  The
+    tail values v_(k+1)/v_(n−k) are nearest-rank picks from the same
+    window.  Two key-compatible shuffles (bin aggregate, group window +
+    final aggregate); groups with n − 2k < 1 are dropped (nothing left
+    to average)."""
+    vm = F.expr(f"cast(round(cast({value_col} as double) * 1000, 0) "
+                "as bigint)")
+    bins = (df.select(F.col(group_col).alias("g"), vm.alias("vm"))
+            .groupBy("g", "vm").agg(F.count("*").alias("cnt")))
+    w = (Window.partitionBy("g").orderBy("vm")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (bins.withColumn("cum_end", F.sum("cnt").over(w))
+           .withColumn("cum_start", F.col("cum_end") - F.col("cnt")))
+    tot = cum.groupBy("g").agg(F.sum("cnt").alias("n"))
+    j = cum.join(F.broadcast(tot), "g")
+    k = F.expr(f"(n * {trim_ppm}) div 1000000")
+    kept = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.least(F.col("cum_end"), F.col("n") - k)
+        - F.greatest(F.col("cum_start"), k))
+    j = j.withColumn("_k", k).withColumn("_kept", kept)
+    per = j.groupBy("g", "n", "_k").agg(
+        F.sum(F.col("vm").cast("decimal(38,0)") * F.col("_kept"))
+        .alias("_ts"),
+        F.min(F.when(F.col("cum_end") >= F.col("_k") + 1, F.col("vm")))
+        .alias("_vlo"),
+        F.min(F.when(F.col("cum_end") >= F.col("n") - F.col("_k"),
+                     F.col("vm"))).alias("_vhi"))
+    return (per.filter(F.col("n") - 2 * F.col("_k") >= 1)
+            .select(F.col("g").alias(group_col),
+                    F.col("n").cast("bigint").alias("n"),
+                    F.col("_k").cast("bigint").alias("n_trimmed_each"),
+                    F.expr("cast(_ts div (n - 2 * _k) as bigint)")
+                    .alias("trimmed_mean_milli"),
+                    F.expr("cast((_ts + cast(_k as decimal(38,0)) * _vlo"
+                           " + cast(_k as decimal(38,0)) * _vhi) div n "
+                           "as bigint)").alias("winsorized_mean_milli")))

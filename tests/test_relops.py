@@ -1088,3 +1088,57 @@ class TestTimeWeightedAvg:
                       for i, (t, _, vm) in enumerate(obs[:-1]))
             assert got[u].twa_milli == num // dur, u
             assert got[u].duration_us == dur
+
+
+class TestTrimmedStats:
+    def _stats(self, spark, vals, trim_ppm=100_000):
+        from kg.relops import trimmed_stats
+        df = spark.createDataFrame([("g", float(v)) for v in vals],
+                                   "event_type string, value double")
+        rows = trimmed_stats(df, trim_ppm=trim_ppm).collect()
+        return rows[0] if rows else None
+
+    @staticmethod
+    def _py(vals, trim_ppm=100_000):
+        vm = sorted(round(v * 1000) for v in vals)
+        n = len(vm)
+        k = n * trim_ppm // 1_000_000
+        kept = vm[k:n - k]
+        t = sum(kept) // len(kept)
+        w = (sum(kept) + k * kept[0] + k * kept[-1]) // n
+        return k, t, w
+
+    def test_hand_outlier_clipping(self, spark):
+        vals = [1, 2, 3, 4, 5, 6, 7, 8, 9, 1000]   # one huge outlier
+        r = self._stats(spark, vals)
+        k, t, w = self._py(vals)
+        assert (r.n, r.n_trimmed_each) == (10, 1)
+        assert r.trimmed_mean_milli == t        # outlier gone
+        assert r.winsorized_mean_milli == w     # outlier clamped to v9
+        assert r.trimmed_mean_milli < 1000 * 1000  # robust vs mean ~104.5
+
+    def test_python_replay_with_duplicates(self, spark):
+        vals = [5, 5, 5, 1, 1, 9, 9, 9, 9, 2, 3, 3] * 3
+        for ppm in (100_000, 250_000):
+            r = self._stats(spark, vals, trim_ppm=ppm)
+            k, t, w = self._py(vals, ppm)
+            assert r.n_trimmed_each == k
+            assert (r.trimmed_mean_milli, r.winsorized_mean_milli) == (t, w)
+
+    def test_zero_trim_equals_mean_and_overtrim_drops(self, spark):
+        vals = [1, 2, 3, 4]
+        r = self._stats(spark, vals, trim_ppm=0)
+        assert r.trimmed_mean_milli == r.winsorized_mean_milli \
+            == sum(v * 1000 for v in vals) // 4
+        # 50% each side leaves nothing
+        assert self._stats(spark, [1, 2], trim_ppm=500_000) is None
+
+    def test_groups_independent(self, spark):
+        from kg.relops import trimmed_stats
+        rows = [("a", float(v)) for v in (1, 2, 3, 100)]
+        rows += [("b", float(v)) for v in (10, 10, 10, 10)]
+        df = spark.createDataFrame(rows, "event_type string, value double")
+        got = {r.event_type: r for r in
+               trimmed_stats(df, trim_ppm=250_000).collect()}
+        assert got["a"].trimmed_mean_milli == (2000 + 3000) // 2
+        assert got["b"].trimmed_mean_milli == 10_000

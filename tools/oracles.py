@@ -6622,4 +6622,42 @@ def build_oracle_sql() -> dict[str, str]:
                                         ' '), '') AS right_ctx
         FROM tk WHERE t[i] = 'hash'"""
 
+    # Trimmed/winsorized means (kg.relops.trimmed_stats, 10% per tail):
+    # histogram bins + cumulative window over distinct values, kept
+    # copies per bin = max(0, min(cum_end, n-k) - max(cum_start, k)),
+    # tail clamps by nearest rank; HUGEINT staging, // == div.
+    sqls["rel_events_trimmed"] = """
+        WITH b AS (
+          SELECT event_type AS g,
+                 CAST(round(CAST(value AS DOUBLE) * 1000, 0) AS BIGINT)
+                   AS vm,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM events GROUP BY 1, 2),
+        c AS (
+          SELECT g, vm, cnt,
+                 sum(cnt) OVER (PARTITION BY g ORDER BY vm
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_end
+          FROM b),
+        t AS (SELECT g, sum(cnt) AS n FROM b GROUP BY 1),
+        j AS (
+          SELECT c.g, vm, cnt, cum_end, cum_end - cnt AS cum_start,
+                 n, (n * 100000) // 1000000 AS k
+          FROM c JOIN t ON t.g = c.g),
+        per AS (
+          SELECT g, n, k,
+                 sum(CAST(vm AS HUGEINT) * greatest(0,
+                   least(cum_end, n - k) - greatest(cum_start, k)))
+                   AS ts,
+                 min(CASE WHEN cum_end >= k + 1 THEN vm END) AS vlo,
+                 min(CASE WHEN cum_end >= n - k THEN vm END) AS vhi
+          FROM j GROUP BY 1, 2, 3)
+        SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+               CAST(k AS BIGINT) AS n_trimmed_each,
+               CAST(ts // (n - 2 * k) AS BIGINT) AS trimmed_mean_milli,
+               CAST((ts + CAST(k AS HUGEINT) * vlo
+                     + CAST(k AS HUGEINT) * vhi) // n AS BIGINT)
+                 AS winsorized_mean_milli
+        FROM per WHERE n - 2 * k >= 1"""
+
     return sqls
