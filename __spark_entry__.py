@@ -1811,6 +1811,127 @@ def q_rel_events_trimmed(spark, sf_dir):
                          trim_ppm=100_000)
 
 
+def q_code_defs(spark, sf_dir):
+    """Definition-site extraction (kg.extract.def_sites): (file, kind,
+    name) nodes for the code KG — per-language anchored regexes, zero
+    UDFs, one explode of (kind, name) structs.  Deterministic code
+    headers rotate on doc_id % 3 (python class+method+async def / java
+    modifier-prefixed class+method / js const-arrow+function+class) IN
+    BOTH ENGINES, prepended to the doc text as the file body."""
+    from kg.extract import def_sites
+    i = F.col("doc_id")
+    lang = (F.when(i % 3 == 0, F.lit("python"))
+            .when(i % 3 == 1, F.lit("java"))
+            .otherwise(F.lit("js")))
+    m7, m4, m5 = [(i % n).cast("string") for n in (7, 4, 5)]
+    header = (
+        F.when(i % 3 == 0, F.concat(
+            F.lit("class C"), m7, F.lit(":\n    def m"), m4,
+            F.lit("(self):\n        pass\nasync def f"), m5,
+            F.lit("():\n    pass\n")))
+        .when(i % 3 == 1, F.concat(
+            F.lit("public final class Cls"), m7,
+            F.lit(" {\n    private static int get"), m4,
+            F.lit("() {\n        return 0;\n    }\n}\n")))
+        .otherwise(F.concat(
+            F.lit("export const h"), m4, F.lit(" = async (x) => (x)\n"),
+            F.lit("function fn"), m7, F.lit("() {}\nexport class V"),
+            m5, F.lit(" {}\n"))))
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", lang.alias("lang"),
+        F.concat(header, F.col("text")).alias("content"))
+    return def_sites(docs)
+
+
+def q_code_identifiers(spark, sf_dir):
+    """Identifier-subtoken vocabulary (kg.extract.identifier_stats):
+    camel/snake-split lowercase subtokens outside the reserved-keyword
+    set, corpus-level (subtoken, n_docs, n_occurrences).  Deterministic
+    camel/Pascal/acronym/snake/digit identifiers rotate on doc_id IN
+    BOTH ENGINES, appended to the doc text (whose lowercase words are
+    themselves identifiers — keyword-filtered the same way)."""
+    from kg.extract import identifier_stats
+    i = F.col("doc_id")
+    tail = F.concat(
+        F.lit(" getHTTPResponse"), (i % 3).cast("string"),
+        F.lit(" parse_tree"), (i % 5).cast("string"),
+        F.when(i % 2 == 0, F.lit(" XMLHttpRequest")).otherwise(
+            F.lit(" snake_case_name")))
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.concat(F.col("text"), tail).alias("content"))
+    return identifier_stats(docs)
+
+
+def q_code_complexity(spark, sf_dir):
+    """Complexity/tech-debt gates (kg.extract.complexity_flags):
+    branch-keyword cyclomatic surrogate, indentation nest depth,
+    TODO/FIXME density — exact integers, zero shuffles.  The doc is
+    line-ified (spaces → newlines) with deterministic violation arms IN
+    BOTH ENGINES: doc_id % 9 sets an indent ramp (≥ 7 fails the depth
+    gate), % 7 == 0 appends TODO+FIXME markers, % 3 == 0 appends a
+    5-branch-keyword line."""
+    from kg.extract import complexity_flags
+    i = F.col("doc_id")
+    content = F.concat(
+        F.repeat(F.lit(" "), (i % 9).cast("int") * 4), F.lit("if x:\n"),
+        F.translate(F.col("text"), " ", "\n"),
+        F.when(i % 3 == 0, F.lit("\nif for while case catch"))
+        .otherwise(F.lit("")),
+        F.when(i % 7 == 0, F.lit("\n# TODO fix\n# FIXME now"))
+        .otherwise(F.lit("")))
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", content.alias("content"))
+    return complexity_flags(docs)
+
+
+def q_code_call_edges(spark, sf_dir):
+    """Call-graph edge extraction (kg.extract.call_edges): enclosing
+    definition → callee, calls before any def to '<module>', def lines
+    excluded from callee capture, branch/flow keywords noise-filtered —
+    ONE per-file window shuffle.  A deterministic two-function body
+    (module-level boot call, a repeated callee under an if, a helper)
+    rotates its names on doc_id IN BOTH ENGINES; the doc text trails as
+    a paren-free line (attributed, but no callees)."""
+    from kg.extract import call_edges
+    i = F.col("doc_id")
+    m3, m4, m5, m7 = [(i % n).cast("string") for n in (3, 4, 5, 7)]
+    content = F.concat(
+        F.lit("boot"), m3, F.lit("()\n"),
+        F.lit("def main"), m7, F.lit("():\n"),
+        F.lit("    run"), m4, F.lit("(1)\n"),
+        F.lit("    helper(x)\n"),
+        F.lit("    if check"), m5, F.lit("(y):\n"),
+        F.lit("        run"), m4, F.lit("(2)\n"),
+        F.lit("def helper(v):\n"),
+        F.lit("    fmt"), m3, F.lit("(v)\n"),
+        F.col("text"))
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", content.alias("content"))
+    return call_edges(docs)
+
+
+def q_code_clone_pairs(spark, sf_dir):
+    """Type-2 clone detection (kg.extract.clone_pairs): identifiers →
+    I, numbers → N, strings → S, keywords/punctuation kept; k=3-line
+    structure shingles, hot-shingle df cap, pair join — renamed
+    identifiers and changed literals cannot defeat it.  Each doc's body
+    is 8 lines whose per-line operator (+ vs *) encodes bit j of
+    v = doc_id % 128 IN BOTH ENGINES — all 6 windows shared
+    (min_shared=6) iff v matches, so clone classes are the v residue
+    classes; the oracle derives the normalized structure ANALYTICALLY
+    (an independent spec, not a code mirror)."""
+    from kg.extract import clone_pairs
+    lines = [F.lit("v = w")]
+    for j in range(1, 8):
+        op = F.when(F.expr(f"((doc_id % 128) div {1 << (j - 1)}) % 2 = 1"),
+                    F.lit(" + w")).otherwise(F.lit(" * w"))
+        lines.append(F.concat(F.lit("v = w"), F.repeat(op, j)))
+    content = F.concat_ws("\n", *lines)
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", content.alias("content"))
+    return clone_pairs(docs, k=3, min_shared=6)
+
+
 def q_rel_user_scd2(spark, sf_dir):
     """Kimball SCD2 dimension build (kg.relops.scd2_intervals): each
     user's event-type sequence compressed to half-open validity
@@ -3707,6 +3828,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_tag_khop": q_kg_tag_khop,
         "text_kwic": q_text_kwic,
         "rel_events_trimmed": q_rel_events_trimmed,
+        "code_defs": q_code_defs,
+        "code_identifiers": q_code_identifiers,
+        "code_complexity": q_code_complexity,
+        "code_call_edges": q_code_call_edges,
+        "code_clone_pairs": q_code_clone_pairs,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also

@@ -321,3 +321,334 @@ def import_edges(df: DataFrame, content_col: str = "content",
            .filter(F.col("module").isNotNull()))
     return out.withColumn(
         "root_module", F.split(F.col("module"), r"[./]").getItem(0))
+
+
+# --- definition-site extraction (code KG construction) ------------------------
+#
+# The second native edge family of a code corpus after imports: the
+# DEFINITION sites (functions / classes / interfaces) each file contributes —
+# the nodes a call graph, an API-usage index, or a code-search posting list
+# hang off.  Reference parity: the reference's annotator emits (tag, POS)
+# nodes per sentence (TextProcessor.java annotateText); def_sites is the
+# code-payload analog emitting (name, kind) nodes per file.  Patterns are
+# per-language anchored matchers in the Java-regex/RE2-portable subset
+# (no lookaround), one regexp_extract_all per (lang, kind) + ONE explode of
+# an array of structs (rule 3: never a union of projections).
+DEF_PATTERNS: dict[str, tuple[tuple[str, str], ...]] = {
+    "python": (
+        ("function", r"(?m)^ *(?:async +)?def +([A-Za-z_][A-Za-z0-9_]*) *\("),
+        ("class", r"(?m)^ *class +([A-Za-z_][A-Za-z0-9_]*)"),
+    ),
+    "java": (
+        ("class",
+         r"(?m)^[a-z ]*\b(?:class|interface|enum) +([A-Za-z_][A-Za-z0-9_]*)"),
+        ("method",
+         r"(?m)^ +(?:(?:public|private|protected|static|final|abstract|"
+         r"synchronized) +)+[A-Za-z_][A-Za-z0-9_<>\[\], ]* "
+         r"([A-Za-z_][A-Za-z0-9_]*) *\("),
+    ),
+    "js": (
+        ("function",
+         r"(?m)^ *(?:export +)?(?:async +)?function "
+         r"+([A-Za-z_$][A-Za-z0-9_$]*) *\("),
+        ("function",
+         r"(?m)^ *(?:export +)?const +([A-Za-z_$][A-Za-z0-9_$]*)"
+         r" *= *(?:async *)?\("),
+        ("class", r"(?m)^ *(?:export +)?class +([A-Za-z_$][A-Za-z0-9_$]*)"),
+    ),
+}
+
+
+def def_sites(df: DataFrame, content_col: str = "content",
+              lang_col: str = "lang",
+              id_col: str = "doc_id") -> DataFrame:
+    """File → definition-site rows: (id, lang, kind, name).  Languages
+    outside DEF_PATTERNS yield no rows.  Duplicate definitions in one
+    file (overloads, re-bindings) emit duplicate rows — callers distinct
+    or count as needed.  Zero shuffles, zero UDFs: per-language arrays
+    of (kind, name) structs are concatenated and exploded ONCE (an
+    explode_outer + isNotNull filter — the inferred size()>0 pushdown
+    trap, CLAUDE.md rule 2, does not bite built-in extracts but the
+    shape is kept uniform with the UDF paths)."""
+    content = F.coalesce(F.col(content_col), F.lit(""))
+    empty = F.array().cast("array<struct<kind:string,name:string>>")
+
+    def _tag(kind):
+        # NOT a two-arg lambda with a default: transform treats binary
+        # lambdas as (element, index) and would bind the INDEX to kind
+        return lambda x: F.struct(F.lit(kind).alias("kind"),
+                                  x.alias("name"))
+
+    arr = empty
+    for lang, pats in DEF_PATTERNS.items():
+        ext = None
+        for kind, pat in pats:
+            e = F.transform(
+                F.regexp_extract_all(content, F.lit(pat), 1), _tag(kind))
+            ext = e if ext is None else F.concat(ext, e)
+        arr = F.when(F.col(lang_col) == lang, ext).otherwise(arr)
+    return (df.select(F.col(id_col), F.col(lang_col),
+                      F.explode_outer(arr).alias("d"))
+            .filter(F.col("d").isNotNull())
+            .select(id_col, lang_col,
+                    F.col("d.kind").alias("kind"),
+                    F.col("d.name").alias("name")))
+
+
+# --- identifier subtoken vocabulary (code search / tokenizer audit) -----------
+#
+# Code-search engines and code-LM tokenizer audits both need the SUBTOKEN
+# vocabulary: identifiers split on camelCase / PascalCase / snake_case
+# boundaries and lowercased ("getHTTPResponse" -> get, http, response).
+# The reference splits identifiers the same way before annotation
+# (kg.extract.split_identifier mirrors it row-locally); this is the
+# corpus-level aggregate.  The split is pure regexp_replace algebra — the
+# two classic boundary rules, both RE2-portable (no lookaround):
+#   1. ([A-Z]+)([A-Z][a-z])  ->  $1_$2     (HTTPServer -> HTTP_Server)
+#   2. ([a-z0-9])([A-Z])     ->  $1_$2     (getHTTP    -> get_HTTP)
+# then lowercase and split on '_' runs.  ONE shuffle (the vocabulary
+# aggregate); output is vocabulary-sized, never corpus-sized.
+CODE_KEYWORDS: tuple[str, ...] = (
+    "if", "else", "elif", "for", "while", "return", "def", "class",
+    "function", "import", "from", "const", "var", "let", "in", "not",
+    "and", "or", "try", "except", "finally", "catch", "switch", "case",
+    "break", "continue", "new", "public", "private", "protected",
+    "static", "final", "void", "int", "float", "double", "boolean",
+    "true", "false", "null", "none", "pass", "lambda", "yield", "async",
+    "await", "this", "self", "super", "package", "interface", "enum",
+    "extends", "implements", "throws", "throw", "raise", "with", "as",
+    "is", "del", "global", "nonlocal", "assert", "typeof", "instanceof",
+    "export", "default", "do", "goto", "struct", "union", "sizeof",
+)
+
+
+def identifier_stats(df: DataFrame, content_col: str = "content",
+                     id_col: str = "doc_id",
+                     min_len: int = 2) -> DataFrame:
+    """Corpus-level identifier-subtoken vocabulary:
+
+      (subtoken, n_docs, n_occurrences)
+
+    Identifiers = [A-Za-z_][A-Za-z0-9_]* runs outside the CODE_KEYWORDS
+    reserved set (keywords carry no naming signal); each splits into
+    lowercase subtokens at camel/snake boundaries; subtokens shorter
+    than `min_len` are dropped (single letters are loop variables, not
+    vocabulary).  Narrow until the final vocabulary aggregate — one
+    shuffle, output |vocab| rows."""
+    content = F.coalesce(F.col(content_col), F.lit(""))
+    ids = F.filter(
+        F.regexp_extract_all(content, F.lit(r"[A-Za-z_][A-Za-z0-9_]*"), 0),
+        lambda x: ~F.array_contains(
+            F.lit(list(CODE_KEYWORDS)).cast("array<string>"), F.lower(x)))
+    subs = F.flatten(F.transform(ids, lambda x: F.split(
+        F.lower(F.regexp_replace(
+            F.regexp_replace(x, r"([A-Z]+)([A-Z][a-z])", r"$1_$2"),
+            r"([a-z0-9])([A-Z])", r"$1_$2")),
+        "_+")))
+    rows = (df.select(F.col(id_col),
+                      F.explode_outer(subs).alias("subtoken"))
+            .filter(F.col("subtoken").isNotNull()
+                    & (F.length("subtoken") >= min_len)))
+    return (rows.groupBy("subtoken")
+            .agg(F.countDistinct(id_col).cast("bigint").alias("n_docs"),
+                 F.count("*").cast("bigint").alias("n_occurrences")))
+
+
+# --- complexity / tech-debt gates (code-corpus curation) ----------------------
+#
+# The quality axis StarCoder's length/alnum gates miss: STRUCTURAL
+# complexity.  Branch density (a decision-point count — the cyclomatic
+# complexity surrogate, McCabe 1976: decisions + 1), maximum indentation
+# depth (nesting), and tech-debt marker density (TODO/FIXME/XXX/HACK) are
+# the standard lightweight proxies a 100 TB repo crawl can afford inline —
+# all exact integer counts over built-in regexp/array expressions, zero
+# shuffles, zero UDFs, fused into the corpus scan.
+BRANCH_KEYWORDS_RE = r"\b(if|elif|for|while|case|catch|except|when)\b"
+DEBT_MARKERS_RE = r"\b(TODO|FIXME|XXX|HACK)\b"
+MAX_CYCLOMATIC = 25
+MAX_NEST_DEPTH = 6
+
+
+def complexity_flags(df: DataFrame, content_col: str = "content",
+                     id_col: str = "doc_id",
+                     indent_width: int = 4) -> DataFrame:
+    """Per-file complexity report:
+
+      (id, n_lines, branch_count, cyclomatic, max_indent, nest_depth,
+       todo_count, passes_complexity)
+
+    cyclomatic = branch-keyword occurrences + 1 (the McCabe decision
+    count with every branch keyword one decision); nest_depth =
+    max leading-space run div indent_width.  The per-line scan binds
+    the line array ONCE (kg.textstats.bind1 — rule 10: a slice/HOF over
+    an outer array EXPRESSION re-evaluates it per element)."""
+    from kg.textstats import bind1
+    content = F.coalesce(F.col(content_col), F.lit(""))
+    max_indent = bind1(
+        F.split(content, "\n"),
+        lambda lines: F.aggregate(
+            lines, F.lit(0),
+            lambda acc, l: F.greatest(
+                acc, F.length(F.regexp_extract(l, r"^ *", 0)))))
+    staged = df.select(
+        F.col(id_col),
+        F.size(F.split(content, "\n")).cast("bigint").alias("n_lines"),
+        F.regexp_count(content, F.lit(BRANCH_KEYWORDS_RE)).cast("bigint")
+        .alias("branch_count"),
+        max_indent.cast("bigint").alias("max_indent"),
+        F.regexp_count(content, F.lit(DEBT_MARKERS_RE)).cast("bigint")
+        .alias("todo_count"))
+    out = staged.select(
+        id_col, "n_lines", "branch_count",
+        (F.col("branch_count") + 1).alias("cyclomatic"),
+        "max_indent",
+        F.expr(f"max_indent div {int(indent_width)}").alias("nest_depth"),
+        "todo_count")
+    return out.withColumn(
+        "passes_complexity",
+        (F.col("cyclomatic") <= MAX_CYCLOMATIC)
+        & (F.col("nest_depth") <= MAX_NEST_DEPTH))
+
+
+# --- call-graph edge extraction (code KG construction) ------------------------
+#
+# The third native code-KG edge family: CALL edges (enclosing definition →
+# callee name).  Enclosing definition = the last definition line at or above
+# the call site (the running last-observation window — the LOCF shape
+# kg.relops.gapfill_locf uses); calls before any definition attribute to
+# '<module>'.  Definition lines contribute their name as the new enclosing
+# scope and are excluded from callee extraction (a 'def foo(' line is a
+# definition, not a call of foo).  Callee candidates are name( occurrences
+# minus branch/flow keywords.  ONE shuffle (the per-file window; the
+# (id, caller, callee) count aggregate that follows is partial-agg-friendly
+# on the same id-hash partitioning).
+CALL_DEF_RE = (r"^ *(?:export +)?(?:async +)?(?:def|function) +"
+               r"([A-Za-z_][A-Za-z0-9_]*) *\(")
+CALL_SITE_RE = r"([A-Za-z_][A-Za-z0-9_]*) *\("
+CALL_NOISE = ("if", "elif", "for", "while", "switch", "case", "catch",
+              "except", "return", "with", "assert", "yield", "and", "or",
+              "not", "in", "is", "lambda", "print")
+
+
+def call_edges(df: DataFrame, content_col: str = "content",
+               id_col: str = "doc_id") -> DataFrame:
+    """File → call-graph edges: (id, caller, callee, n_calls).
+
+    Python/JS-style definitions (`def name(` / `function name(`); other
+    languages still attribute calls to '<module>'.  The enclosing-def
+    window orders by line ordinal — deterministic, no RNG."""
+    from pyspark.sql import Window
+    content = F.coalesce(F.col(content_col), F.lit(""))
+    lines = (df.select(F.col(id_col),
+                       F.posexplode(F.split(content, "\n"))
+                       .alias("line_no", "line")))
+    defname = F.regexp_extract("line", CALL_DEF_RE, 1)
+    lines = lines.withColumn("_def", F.nullif(defname, F.lit("")))
+    w = (Window.partitionBy(id_col).orderBy("line_no")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    scoped = lines.withColumn(
+        "caller", F.coalesce(F.last("_def", ignorenulls=True).over(w),
+                             F.lit("<module>")))
+    noise = F.lit(list(CALL_NOISE)).cast("array<string>")
+    callees = F.when(
+        F.col("_def").isNotNull(), F.array().cast("array<string>")
+    ).otherwise(F.filter(
+        F.regexp_extract_all(F.col("line"), F.lit(CALL_SITE_RE), 1),
+        lambda x: ~F.array_contains(noise, x)))
+    return (scoped.select(id_col, "caller",
+                          F.explode_outer(callees).alias("callee"))
+            .filter(F.col("callee").isNotNull())
+            .groupBy(id_col, "caller", "callee")
+            .agg(F.count("*").cast("bigint").alias("n_calls")))
+
+
+# --- type-2 clone detection (code near-dedup) ---------------------------------
+#
+# Code corpora duplicate structurally, not byte-wise: renamed identifiers
+# and changed literals defeat sha256 AND text MinHash.  Type-2 clone
+# detection (CCFinder, Kamiya et al. 2002; NiCad) normalizes each line to
+# its token STRUCTURE — keywords and punctuation kept, identifiers -> I,
+# numbers -> N, strings -> S — then fingerprints k-line windows; files
+# sharing >= min_shared window hashes are clone pairs.  The normalization
+# is one in-row token transform per line (tokenizer = one
+# regexp_extract_all; classifier = a rlike CASE chain); shingle hashes are
+# md5 (portable to the DuckDB oracle).  Scale shape = kg.link.fork_pairs:
+# shingle -> docs inverted frame, hot-shingle df cap, equi-join on the
+# hash — bucketed blocking, never all-pairs.
+CLONE_TOKEN_RE = (r"[A-Za-z_][A-Za-z0-9_]*"
+                  r"|[0-9]+(?:\.[0-9]+)?"
+                  r"|\"[^\"\n]*\"|'[^'\n]*'"
+                  r"|[^A-Za-z0-9_ \t]")
+
+
+def _norm_line(line):
+    """One source line -> its type-2 token-structure string."""
+    kw = F.lit(list(CODE_KEYWORDS)).cast("array<string>")
+    toks = F.regexp_extract_all(line, F.lit(CLONE_TOKEN_RE), 0)
+    return F.array_join(F.transform(toks, lambda t: (
+        F.when(F.array_contains(kw, t), t)
+        .when(t.rlike("^[0-9]"), F.lit("N"))
+        .when(t.rlike("^[\"']"), F.lit("S"))
+        .when(t.rlike("^[A-Za-z_]"), F.lit("I"))
+        .otherwise(t))), " ")
+
+
+def clone_shingles(df: DataFrame, content_col: str = "content",
+                   id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """(id, shingle) distinct md5 fingerprints of k consecutive
+    normalized NON-BLANK lines per file (blank/whitespace lines carry no
+    structure and defeat layout-only edits).  Files with < k non-blank
+    lines emit nothing.  The line array is bound ONCE (rule 10) before
+    the sliding-slice transform."""
+    from kg.textstats import bind1
+    content = F.coalesce(F.col(content_col), F.lit(""))
+    norm = F.filter(
+        F.transform(F.split(content, "\n"), _norm_line),
+        lambda l: l != "")
+    # sequence(1, 0) is DESCENDING in Spark ([1, 0] — slice start 0 is an
+    # error), so short files need an explicit empty, not a clamped bound
+    sh = bind1(norm, lambda ls: F.when(
+        F.size(ls) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ls) - (k - 1)),
+            lambda i: F.md5(F.array_join(F.slice(ls, i, k), "\n")))
+    ).otherwise(F.array().cast("array<string>")))
+    return (df.select(F.col(id_col), F.explode_outer(sh).alias("shingle"))
+            .filter(F.col("shingle").isNotNull())
+            .distinct())
+
+
+def clone_pairs(df: DataFrame, content_col: str = "content",
+                id_col: str = "doc_id", k: int = 3,
+                min_shared: int = 2, max_df: int = 1000) -> DataFrame:
+    """Type-2 clone pairs:
+
+      (doc_a, doc_b, n_shared, n_a, n_b, jaccard_milli)
+
+    over distinct k-line structure shingles; shingles in more than
+    `max_df` files are boilerplate (license headers, generated
+    preambles) and are dropped BEFORE the pair join — the same
+    guard-arithmetic as kg.dedup: a shingle at df=1000 still yields
+    ~5*10^5 pairs; at an uncapped 10^6 it would yield 5*10^11."""
+    sh = clone_shingles(df, content_col, id_col, k=k)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    hot = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
+           .filter(F.col("df") > max_df).select("shingle"))
+    kept = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    a = kept.select(F.col("shingle"), F.col(id_col).alias("doc_a"))
+    b = kept.select(F.col("shingle"), F.col(id_col).alias("doc_b"))
+    shared = (a.join(b, "shingle")
+              .filter(F.col("doc_a") < F.col("doc_b"))
+              .groupBy("doc_a", "doc_b")
+              .agg(F.count("*").cast("bigint").alias("n_shared"))
+              .filter(F.col("n_shared") >= min_shared))
+    sa = sizes.select(F.col(id_col).alias("doc_a"),
+                      F.col("n").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"),
+                      F.col("n").alias("n_b"))
+    return (shared.join(sa, "doc_a").join(sb, "doc_b")
+            .select("doc_a", "doc_b", "n_shared",
+                    F.col("n_a").cast("bigint").alias("n_a"),
+                    F.col("n_b").cast("bigint").alias("n_b"),
+                    F.expr("n_shared * 1000 div (n_a + n_b - n_shared)")
+                    .alias("jaccard_milli")))

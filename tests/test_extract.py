@@ -271,3 +271,207 @@ class TestImportEdges:
                                   (2, "python", "x = 1\n"),
                                   (3, "python", None)])
         assert got == []
+
+
+class TestDefSites:
+    def _sites(self, spark, rows):
+        from kg.extract import def_sites
+        df = spark.createDataFrame(
+            rows, "doc_id bigint, content string, lang string")
+        return [(r.kind, r.name) for r in
+                def_sites(df).orderBy("doc_id", "kind", "name").collect()]
+
+    def test_python_def_class_async(self, spark):
+        src = ("class FooBar:\n"
+               "    async def run_fast(self):\n"
+               "        pass\n"
+               "def main():\n"
+               "    pass\n")
+        got = self._sites(spark, [(0, src, "python")])
+        assert got == [("class", "FooBar"), ("function", "main"),
+                       ("function", "run_fast")]
+
+    def test_java_class_and_method(self, spark):
+        src = ("public final class HttpServer {\n"
+               "    private static int getPort() {\n"
+               "        return 8080;\n"
+               "    }\n"
+               "}\n")
+        got = self._sites(spark, [(0, src, "java")])
+        assert got == [("class", "HttpServer"), ("method", "getPort")]
+
+    def test_js_forms(self, spark):
+        src = ("export const fetchData = async (url) => {}\n"
+               "function renderAll() {}\n"
+               "export class View {}\n")
+        got = self._sites(spark, [(0, src, "js")])
+        assert got == [("class", "View"), ("function", "fetchData"),
+                       ("function", "renderAll")]
+
+    def test_unknown_lang_and_null_empty(self, spark):
+        rows = [(0, "def nope():", "en"), (1, None, "python"),
+                (2, "", "python")]
+        assert self._sites(spark, rows) == []
+
+    def test_call_site_is_not_a_def(self, spark):
+        # 'def' inside a call or mid-line must not match the anchored form
+        src = "x = definitely(1)\nresult = make_def(2)\n"
+        assert self._sites(spark, [(0, src, "python")]) == []
+
+
+class TestIdentifierStats:
+    def _stats(self, spark, contents, **kw):
+        from kg.extract import identifier_stats
+        df = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(contents)],
+            "doc_id bigint, content string")
+        return {r.subtoken: (r.n_docs, r.n_occurrences)
+                for r in identifier_stats(df, **kw).collect()}
+
+    def test_camel_snake_split_and_keywords_dropped(self, spark):
+        got = self._stats(spark, ["getHTTPResponse = parse_tree(if_)",
+                                  "for x in HTTPServer: pass"])
+        # keywords for/in/pass dropped; single letters dropped (min_len)
+        assert got["http"] == (2, 2)
+        assert got["get"] == (1, 1)
+        assert got["response"] == (1, 1)
+        assert got["parse"] == (1, 1)
+        assert got["tree"] == (1, 1)
+        assert got["server"] == (1, 1)
+        assert "for" not in got and "in" not in got and "x" not in got
+
+    def test_occurrence_multiplicity(self, spark):
+        got = self._stats(spark, ["fooBar fooBar foo_bar"])
+        assert got["foo"] == (1, 3) and got["bar"] == (1, 3)
+
+    def test_empty_and_null(self, spark):
+        from kg.extract import identifier_stats
+        df = spark.createDataFrame([(0, None), (1, "")],
+                                   "doc_id bigint, content string")
+        assert identifier_stats(df).count() == 0
+
+
+class TestComplexityFlags:
+    def _one(self, spark, content, **kw):
+        from kg.extract import complexity_flags
+        df = spark.createDataFrame([(0, content)],
+                                   "doc_id bigint, content string")
+        return complexity_flags(df, **kw).collect()[0]
+
+    def test_hand_counts(self, spark):
+        src = ("def f(x):\n"
+               "    if x:\n"
+               "        for i in r:\n"
+               "            while t:\n"
+               "                pass  # TODO fix\n"
+               "    elif y:\n"
+               "        pass\n")
+        r = self._one(spark, src)
+        assert r.branch_count == 4          # if, for, while, elif
+        assert r.cyclomatic == 5
+        assert r.max_indent == 16
+        assert r.nest_depth == 4
+        assert r.todo_count == 1
+        assert r.passes_complexity          # 5 <= 25, 4 <= 6
+
+    def test_deep_nesting_fails_gate(self, spark):
+        src = "\n".join(" " * (4 * d) + "if x:" for d in range(8))
+        r = self._one(spark, src)
+        assert r.nest_depth == 7 and not r.passes_complexity
+
+    def test_branch_words_inside_identifiers_ignored(self, spark):
+        r = self._one(spark, "califragilistic = notify(whiled)\n")
+        assert r.branch_count == 0 and r.cyclomatic == 1
+
+    def test_empty(self, spark):
+        r = self._one(spark, "")
+        assert (r.n_lines, r.cyclomatic, r.nest_depth) == (1, 1, 0)
+        assert r.passes_complexity
+
+
+class TestCallEdges:
+    def _edges(self, spark, content):
+        from kg.extract import call_edges
+        df = spark.createDataFrame([(0, content)],
+                                   "doc_id bigint, content string")
+        return {(r.caller, r.callee): r.n_calls
+                for r in call_edges(df).collect()}
+
+    def test_enclosing_def_attribution(self, spark):
+        src = ("setup()\n"
+               "def main():\n"
+               "    run(1)\n"
+               "    helper(x)\n"
+               "def helper(v):\n"
+               "    fmt(v)\n")
+        got = self._edges(spark, src)
+        assert got == {("<module>", "setup"): 1, ("main", "run"): 1,
+                       ("main", "helper"): 1, ("helper", "fmt"): 1}
+
+    def test_multiplicity_and_noise_filter(self, spark):
+        src = ("def f():\n"
+               "    go(1)\n"
+               "    go(2)\n"
+               "    if (x):\n"
+               "        print(x)\n"
+               "    return (y)\n")
+        got = self._edges(spark, src)
+        assert got == {("f", "go"): 2}   # if/print/return filtered
+
+    def test_def_line_is_not_a_call(self, spark):
+        got = self._edges(spark, "def solo(arg):\n    pass\n")
+        assert got == {}
+
+    def test_js_function_form(self, spark):
+        src = "function render() {\n    paint(ctx)\n}\n"
+        assert self._edges(spark, src) == {("render", "paint"): 1}
+
+
+class TestClonePairs:
+    A = ('def alpha(x):\n'
+         '    y = x + 1\n'
+         '    s = "hello"\n'
+         '    return y * 2\n')
+    B = ("def beta(q):\n"
+         "    r = q + 99\n"
+         "    t = 'world'\n"
+         "    return r * 7\n")
+
+    def _pairs(self, spark, contents, **kw):
+        from kg.extract import clone_pairs
+        df = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(contents)],
+            "doc_id bigint, content string")
+        return {(r.doc_a, r.doc_b): (r.n_shared, r.jaccard_milli)
+                for r in clone_pairs(df, **kw).collect()}
+
+    def test_renamed_identifiers_and_literals_are_clones(self, spark):
+        got = self._pairs(spark, [self.A, self.B], min_shared=1)
+        assert got == {(0, 1): (2, 1000)}   # full structural identity
+
+    def test_structural_difference_breaks_clone(self, spark):
+        c = "class Z:\n    pass\n\nwhatever = 3\n"
+        got = self._pairs(spark, [self.A, c], min_shared=1)
+        assert got == {}
+
+    def test_blank_line_insertion_is_invisible(self, spark):
+        spaced = self.A.replace("    s =", "\n    s =", 1)
+        got = self._pairs(spark, [self.A, spaced], min_shared=1)
+        assert got[(0, 1)][1] == 1000
+
+    def test_keyword_structure_is_kept(self, spark):
+        # same shape but 'return' vs 'yield' => different structure lines
+        y = self.B.replace("return", "yield")
+        got = self._pairs(spark, [self.A, y], min_shared=1)
+        assert got.get((0, 1), (0, 0))[0] < 2
+
+    def test_max_df_drops_boilerplate(self, spark):
+        docs = [self.A.replace("alpha", f"n{i}") for i in range(4)]
+        got = self._pairs(spark, docs, min_shared=1, max_df=2)
+        assert got == {}   # shared shingles exceed df cap -> no pairs
+
+    def test_short_files_emit_nothing(self, spark):
+        got = self._pairs(spark, ["x = 1\ny = 2\n", "a = 1\nb = 2\n"],
+                          min_shared=1)
+        # only 2 non-blank lines each < k=3 -> no shingles at all
+        assert got == {}

@@ -6660,4 +6660,206 @@ def build_oracle_sql() -> dict[str, str]:
                  AS winsorized_mean_milli
         FROM per WHERE n - 2 * k >= 1"""
 
+    # Definition-site extraction (kg.extract.def_sites): the SAME
+    # RE2-portable patterns replayed per (lang, kind) branch over the
+    # same synthesized headers + doc text; UNION ALL mirrors the
+    # struct-array concat order-insensitively (driver canonicalizer
+    # sorts rows).
+    from kg.extract import DEF_PATTERNS as _defpats
+
+    def _def_branch(lang: str, kind: str, pat: str) -> str:
+        # DuckDB standard strings do NOT process backslash escapes —
+        # only single quotes need doubling; the pattern text passes
+        # through verbatim to RE2
+        p = pat.replace("'", "''")
+        return f"""
+          SELECT doc_id, lang, '{kind}' AS kind, unnest(
+            regexp_extract_all(content, '{p}', 1)) AS name
+          FROM t WHERE lang = '{lang}'"""
+
+    _branches = " UNION ALL ".join(
+        _def_branch(lang, kind, pat)
+        for lang, pats in _defpats.items() for kind, pat in pats)
+    sqls["code_defs"] = f"""
+        WITH t AS (
+          SELECT doc_id,
+            CASE doc_id % 3 WHEN 0 THEN 'python' WHEN 1 THEN 'java'
+                 ELSE 'js' END AS lang,
+            CASE doc_id % 3
+              WHEN 0 THEN 'class C' || CAST(doc_id % 7 AS VARCHAR)
+                || ':' || chr(10) || '    def m'
+                || CAST(doc_id % 4 AS VARCHAR) || '(self):' || chr(10)
+                || '        pass' || chr(10) || 'async def f'
+                || CAST(doc_id % 5 AS VARCHAR) || '():' || chr(10)
+                || '    pass' || chr(10)
+              WHEN 1 THEN 'public final class Cls'
+                || CAST(doc_id % 7 AS VARCHAR) || ' {{' || chr(10)
+                || '    private static int get'
+                || CAST(doc_id % 4 AS VARCHAR) || '() {{' || chr(10)
+                || '        return 0;' || chr(10) || '    }}' || chr(10)
+                || '}}' || chr(10)
+              ELSE 'export const h' || CAST(doc_id % 4 AS VARCHAR)
+                || ' = async (x) => (x)' || chr(10) || 'function fn'
+                || CAST(doc_id % 7 AS VARCHAR) || '() {{}}' || chr(10)
+                || 'export class V' || CAST(doc_id % 5 AS VARCHAR)
+                || ' {{}}' || chr(10)
+            END || text AS content
+          FROM documents WHERE lang = 'en')
+        {_branches}"""
+
+    # Identifier subtoken vocabulary (kg.extract.identifier_stats):
+    # keyword set imported from the ONE shared constant; the two camel
+    # boundary rules replayed with RE2 \\1-backrefs + 'g'; '_+' split
+    # empties dropped; min_len 2.
+    from kg.extract import CODE_KEYWORDS as _codekw
+    _kwlist = ", ".join(f"'{k}'" for k in _codekw)
+    sqls["code_identifiers"] = f"""
+        WITH t AS (
+          SELECT doc_id, text || ' getHTTPResponse'
+            || CAST(doc_id % 3 AS VARCHAR) || ' parse_tree'
+            || CAST(doc_id % 5 AS VARCHAR)
+            || CASE WHEN doc_id % 2 = 0 THEN ' XMLHttpRequest'
+                    ELSE ' snake_case_name' END AS content
+          FROM documents WHERE lang = 'en'),
+        ids AS (
+          SELECT doc_id, unnest(regexp_extract_all(content,
+            '[A-Za-z_][A-Za-z0-9_]*', 0)) AS ident
+          FROM t),
+        subs AS (
+          SELECT doc_id, unnest(string_split_regex(lower(
+            regexp_replace(regexp_replace(ident,
+              '([A-Z]+)([A-Z][a-z])', '\\1_\\2', 'g'),
+              '([a-z0-9])([A-Z])', '\\1_\\2', 'g')), '_+')) AS subtoken
+          FROM ids WHERE lower(ident) NOT IN ({_kwlist}))
+        SELECT subtoken,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_occurrences
+        FROM subs WHERE length(subtoken) >= 2
+        GROUP BY subtoken"""
+
+    # Complexity gates (kg.extract.complexity_flags): branch/debt
+    # regex counts via length(regexp_extract_all), nest depth = max
+    # leading-space run div 4 over unnested lines, // == div.
+    sqls["code_complexity"] = """
+        WITH t AS (
+          SELECT doc_id,
+            repeat(' ', CAST(doc_id % 9 AS INT) * 4) || 'if x:'
+            || chr(10) || replace(text, ' ', chr(10))
+            || CASE WHEN doc_id % 3 = 0
+                    THEN chr(10) || 'if for while case catch'
+                    ELSE '' END
+            || CASE WHEN doc_id % 7 = 0
+                    THEN chr(10) || '# TODO fix' || chr(10)
+                         || '# FIXME now'
+                    ELSE '' END AS content
+          FROM documents WHERE lang = 'en'),
+        per AS (
+          SELECT doc_id,
+            CAST(len(string_split(content, chr(10))) AS BIGINT)
+              AS n_lines,
+            CAST(len(regexp_extract_all(content,
+              '\\b(if|elif|for|while|case|catch|except|when)\\b'))
+              AS BIGINT) AS branch_count,
+            CAST(list_max(list_transform(string_split(content, chr(10)),
+              l -> length(regexp_extract(l, '^ *', 0))))
+              AS BIGINT) AS max_indent,
+            CAST(len(regexp_extract_all(content,
+              '\\b(TODO|FIXME|XXX|HACK)\\b')) AS BIGINT) AS todo_count
+          FROM t)
+        SELECT doc_id, n_lines, branch_count,
+               branch_count + 1 AS cyclomatic, max_indent,
+               max_indent // 4 AS nest_depth, todo_count,
+               (branch_count + 1 <= 25 AND max_indent // 4 <= 6)
+                 AS passes_complexity
+        FROM per"""
+
+    # Call-graph edges (kg.extract.call_edges): lines by ordinal,
+    # enclosing def via last_value(IGNORE NULLS) over the same running
+    # window, def lines excluded from callee capture, CALL_NOISE
+    # filtered; the count aggregate replayed.
+    from kg.extract import (CALL_DEF_RE as _calldef,
+                            CALL_NOISE as _callnoise,
+                            CALL_SITE_RE as _callsite)
+    _noiselist = ", ".join(f"'{k}'" for k in _callnoise)
+    _cd = _calldef.replace("'", "''")
+    _cs = _callsite.replace("'", "''")
+    sqls["code_call_edges"] = f"""
+        WITH t AS (
+          SELECT doc_id,
+            'boot' || CAST(doc_id % 3 AS VARCHAR) || '()' || chr(10)
+            || 'def main' || CAST(doc_id % 7 AS VARCHAR) || '():'
+            || chr(10) || '    run' || CAST(doc_id % 4 AS VARCHAR)
+            || '(1)' || chr(10) || '    helper(x)' || chr(10)
+            || '    if check' || CAST(doc_id % 5 AS VARCHAR) || '(y):'
+            || chr(10) || '        run' || CAST(doc_id % 4 AS VARCHAR)
+            || '(2)' || chr(10) || 'def helper(v):' || chr(10)
+            || '    fmt' || CAST(doc_id % 3 AS VARCHAR) || '(v)'
+            || chr(10) || text AS content
+          FROM documents WHERE lang = 'en'),
+        ln AS (
+          SELECT doc_id, l, generate_subscripts(l, 1) AS i
+          FROM (SELECT doc_id, string_split(content, chr(10)) AS l
+                FROM t)),
+        d AS (
+          SELECT doc_id, i, l[i] AS line,
+                 nullif(regexp_extract(l[i], '{_cd}', 1), '') AS dn
+          FROM ln),
+        scoped AS (
+          SELECT doc_id, line, dn,
+                 coalesce(last_value(dn IGNORE NULLS) OVER (
+                   PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   '<module>') AS caller
+          FROM d),
+        calls AS (
+          SELECT doc_id, caller, unnest(
+            regexp_extract_all(line, '{_cs}', 1)) AS callee
+          FROM scoped WHERE dn IS NULL)
+        SELECT doc_id, caller, callee,
+               CAST(count(*) AS BIGINT) AS n_calls
+        FROM calls WHERE callee NOT IN ({_noiselist})
+        GROUP BY 1, 2, 3"""
+
+    # Type-2 clone pairs (kg.extract.clone_pairs, k=3, min_shared=6):
+    # the oracle derives each doc's NORMALIZED structure analytically
+    # from v = doc_id % 128 ('v = w' + j ops -> 'I = I' + j ' <op> I')
+    # — an independent spec of tokenizer+classifier+join, not a code
+    # mirror; md5 window hashes, df cap, pair join replayed.
+    _nl = " || chr(10) || ".join(f"l{j}" for j in range(0, 3))
+    _shingle_exprs = ", ".join(
+        "md5(" + " || chr(10) || ".join(f"l{j}" for j in range(i, i + 3))
+        + ")" for i in range(0, 6))
+    _line_defs = ", ".join(
+        "'I = I' || repeat(CASE WHEN (v // {d}) % 2 = 1 THEN ' + I' "
+        "ELSE ' * I' END, {j}) AS l{j}".format(d=1 << (j - 1), j=j)
+        for j in range(1, 8))
+    sqls["code_clone_pairs"] = f"""
+        WITH t AS (
+          SELECT doc_id, doc_id % 128 AS v
+          FROM documents WHERE lang = 'en'),
+        nl AS (
+          SELECT doc_id, 'I = I' AS l0, {_line_defs}
+          FROM t),
+        sh AS (
+          SELECT DISTINCT doc_id, unnest([{_shingle_exprs}]) AS shingle
+          FROM nl),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        kept AS (
+          SELECT doc_id, shingle FROM sh
+          WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle
+                            HAVING count(*) <= 1000)),
+        shared AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(count(*) AS BIGINT) AS n_shared
+          FROM kept a JOIN kept b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING count(*) >= 6)
+        SELECT doc_a, doc_b, n_shared,
+               CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+               CAST(n_shared * 1000 // (sa.n + sb.n - n_shared)
+                    AS BIGINT) AS jaccard_milli
+        FROM shared
+        JOIN sizes sa ON sa.doc_id = shared.doc_a
+        JOIN sizes sb ON sb.doc_id = shared.doc_b"""
+
     return sqls
