@@ -1932,6 +1932,48 @@ def q_code_clone_pairs(spark, sf_dir):
     return clone_pairs(docs, k=3, min_shared=6)
 
 
+def q_code_brackets(spark, sf_dir):
+    """Bracket-balance syntax gate (kg.extract.bracket_report): per-class
+    open/close counts, running-net-depth extrema (three in-row folds over
+    ONE bound char array), per-class ok + well_formed — the cheapest
+    truncated-file signal a code crawl affords.  Deterministic bracket
+    arms append to the (bracket-free) doc text IN BOTH ENGINES: nested
+    parens of depth doc_id % 5, a stray ')' when % 7 == 0, '[{}]' when
+    % 3 == 0, a stray '}' when % 11 == 0 — the oracle derives every
+    column ANALYTICALLY from the residues (an independent spec)."""
+    from kg.extract import bracket_report
+    i = F.col("doc_id")
+    d = (i % 5).cast("int")
+    content = F.concat(
+        F.col("text"), F.lit("\n"),
+        F.repeat(F.lit("("), d), F.repeat(F.lit(")"), d),
+        F.when(i % 7 == 0, F.lit(")")).otherwise(F.lit("")),
+        F.when(i % 3 == 0, F.lit("[{}]")).otherwise(F.lit("")),
+        F.when(i % 11 == 0, F.lit("}")).otherwise(F.lit("")))
+    docs = _docs(spark, sf_dir).select("doc_id", content.alias("content"))
+    return bracket_report(docs)
+
+
+def q_code_indent(spark, sf_dir):
+    """Indentation-style inference (kg.extract.indent_report): tab- vs
+    space-led line counts, indent_unit = min positive leading-space run,
+    mixed_indent flag — per-line transforms over ONE bound line array,
+    zero shuffles.  Deterministic layout IN BOTH ENGINES: the (newline-
+    free) doc text, a u-space line and a 2u-space line with
+    u = 2 * (1 + doc_id % 3), plus a tab-led line when doc_id % 4 == 0;
+    the oracle is analytic in the residues."""
+    from kg.extract import indent_report
+    i = F.col("doc_id")
+    u = (2 * (1 + (i % 3))).cast("int")
+    content = F.concat(
+        F.col("text"),
+        F.lit("\n"), F.repeat(F.lit(" "), u), F.lit("a"),
+        F.lit("\n"), F.repeat(F.lit(" "), 2 * u), F.lit("b"),
+        F.when(i % 4 == 0, F.lit("\n\tc")).otherwise(F.lit("")))
+    docs = _docs(spark, sf_dir).select("doc_id", content.alias("content"))
+    return indent_report(docs)
+
+
 def q_rel_user_scd2(spark, sf_dir):
     """Kimball SCD2 dimension build (kg.relops.scd2_intervals): each
     user's event-type sequence compressed to half-open validity
@@ -3833,6 +3875,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_complexity": q_code_complexity,
         "code_call_edges": q_code_call_edges,
         "code_clone_pairs": q_code_clone_pairs,
+        "code_brackets": q_code_brackets,
+        "code_indent": q_code_indent,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also

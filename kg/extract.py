@@ -652,3 +652,123 @@ def clone_pairs(df: DataFrame, content_col: str = "content",
                     F.col("n_b").cast("bigint").alias("n_b"),
                     F.expr("n_shared * 1000 div (n_a + n_b - n_shared)")
                     .alias("jaccard_milli")))
+
+
+# --- bracket-balance syntax gate (code-corpus curation) ------------------------
+#
+# The cheapest syntactic-validity signal a 100 TB code crawl can afford:
+# per-bracket-class balance.  Truncated files (the dominant crawl defect —
+# a download cut mid-file), mis-extracted snippets, and template fragments
+# almost always leave a bracket class unbalanced; a full parser per file is
+# the signal's expensive upper bound and does not belong in the scan.
+# Per class c in ()/[]/{} the report carries exact integers: open/close
+# counts, the max and min of the running net depth (max = nesting depth,
+# min < 0 = a close before its open), and ok_c = (opens == closes AND
+# min >= 0).  Interleaving across classes ("([)]") is deliberately NOT
+# checked — that needs a stack; documented surrogate, same contract as
+# cyclomatic-vs-parse in complexity_flags.  Brackets inside string
+# literals/comments count like any other (raw-scan contract).  Zero
+# shuffles, zero UDFs: three in-row folds over ONE bound char array.
+BRACKET_CLASSES: tuple[tuple[str, str, str], ...] = (
+    ("paren", "(", ")"),
+    ("square", "[", "]"),
+    ("curly", "{", "}"),
+)
+
+
+def _depth_fold(chars, open_ch: str, close_ch: str):
+    """Running-net-depth fold over a bound char array: struct(mx, mn) of
+    the prefix sums of (+1 open / -1 close / 0 other)."""
+    zero = F.struct(F.lit(0).alias("d"), F.lit(0).alias("mx"),
+                    F.lit(0).alias("mn"))
+    def step(acc, c):
+        d = (acc["d"]
+             + F.when(c == open_ch, 1).when(c == close_ch, -1).otherwise(0))
+        return F.struct(d.alias("d"), F.greatest(acc["mx"], d).alias("mx"),
+                        F.least(acc["mn"], d).alias("mn"))
+    return F.aggregate(chars, zero, step,
+                       lambda acc: F.struct(acc["mx"].alias("mx"),
+                                            acc["mn"].alias("mn")))
+
+
+def bracket_report(df: DataFrame, content_col: str = "content",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Per-file bracket-balance report:
+
+      (id, {paren,square,curly} × {_open, _close, _depth, _min, _ok},
+       well_formed)
+
+    counts via length-minus-translate (exact, single pass each); depth
+    extrema via one fold per class over the char array bound ONCE
+    (kg.textstats.bind1 — rule 10).  well_formed = all three ok."""
+    from kg.textstats import bind1
+    content = F.coalesce(F.col(content_col), F.lit(""))
+    chars = F.split(content, "")
+    folds = bind1(chars, lambda cs: F.struct(*[
+        _depth_fold(cs, o, c).alias(name)
+        for name, o, c in BRACKET_CLASSES]))
+    cols = [F.col(id_col)]
+    for name, o, c in BRACKET_CLASSES:
+        cols.append((F.length(content) - F.length(F.translate(content, o, "")))
+                    .cast("bigint").alias(f"{name}_open"))
+        cols.append((F.length(content) - F.length(F.translate(content, c, "")))
+                    .cast("bigint").alias(f"{name}_close"))
+    staged = df.select(*cols, folds.alias("_f"))
+    for name, _, _ in BRACKET_CLASSES:
+        staged = (staged
+                  .withColumn(f"{name}_depth",
+                              F.col(f"_f.{name}.mx").cast("bigint"))
+                  .withColumn(f"{name}_min",
+                              F.col(f"_f.{name}.mn").cast("bigint"))
+                  .withColumn(f"{name}_ok",
+                              (F.col(f"{name}_open") == F.col(f"{name}_close"))
+                              & (F.col(f"_f.{name}.mn") >= 0)))
+    return staged.drop("_f").withColumn(
+        "well_formed",
+        F.col("paren_ok") & F.col("square_ok") & F.col("curly_ok"))
+
+
+# --- indentation-style inference (code-corpus curation) ------------------------
+#
+# Formatting-consistency signal + the preprocessing decision input for
+# indent-sensitive tooling: does the file indent with tabs or spaces, at
+# what unit, and does it MIX (the lint-grade smell; Python 3 rejects
+# ambiguous mixes outright)?  indent_unit = the minimum positive
+# leading-space run — the GCD surrogate that is exact on any consistent
+# file (2/4/8-space styles all report their unit; a lone deeper line
+# cannot shrink it below the true unit).  Exact integers, zero shuffles,
+# zero UDFs: per-line transforms over ONE bound line array.
+def indent_report(df: DataFrame, content_col: str = "content",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Per-file indentation report:
+
+      (id, n_lines, n_tab_lines, n_space_lines, indent_unit, mixed_indent)
+
+    n_tab_lines / n_space_lines = lines whose FIRST char is tab/space;
+    indent_unit = min over space-led lines of the leading-space run
+    length (0 when no line is space-led); mixed_indent = both styles
+    present.  Line array bound ONCE (rule 10)."""
+    from kg.textstats import bind1
+    content = F.coalesce(F.col(content_col), F.lit(""))
+    rep = bind1(
+        F.split(content, "\n"),
+        lambda lines: F.struct(
+            F.size(lines).alias("n_lines"),
+            F.size(F.filter(lines, lambda l: l.startswith("\t")))
+            .alias("n_tab"),
+            F.size(F.filter(lines, lambda l: l.startswith(" ")))
+            .alias("n_space"),
+            F.array_min(F.transform(
+                F.filter(lines, lambda l: l.startswith(" ")),
+                lambda l: F.length(F.regexp_extract(l, r"^ *", 0))))
+            .alias("unit")))
+    return (df.select(F.col(id_col), rep.alias("_r"))
+            .select(
+                F.col(id_col),
+                F.col("_r.n_lines").cast("bigint").alias("n_lines"),
+                F.col("_r.n_tab").cast("bigint").alias("n_tab_lines"),
+                F.col("_r.n_space").cast("bigint").alias("n_space_lines"),
+                F.coalesce(F.col("_r.unit"), F.lit(0)).cast("bigint")
+                .alias("indent_unit"),
+                ((F.col("_r.n_tab") > 0) & (F.col("_r.n_space") > 0))
+                .alias("mixed_indent")))

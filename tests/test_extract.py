@@ -475,3 +475,74 @@ class TestClonePairs:
                           min_shared=1)
         # only 2 non-blank lines each < k=3 -> no shingles at all
         assert got == {}
+
+
+class TestBracketReport:
+    def _one(self, spark, content):
+        from kg.extract import bracket_report
+        df = spark.createDataFrame([(0, content)],
+                                   "doc_id bigint, content string")
+        return bracket_report(df).collect()[0]
+
+    def test_hand_counts(self, spark):
+        r = self._one(spark, "def f(x):\n    return (a[i] + {1: 2}[1])\n")
+        assert (r.paren_open, r.paren_close, r.paren_depth) == (2, 2, 1)
+        assert (r.square_open, r.square_close, r.square_depth) == (2, 2, 1)
+        assert (r.curly_open, r.curly_close, r.curly_depth) == (1, 1, 1)
+        assert r.paren_ok and r.square_ok and r.curly_ok and r.well_formed
+
+    def test_truncated_file_unbalanced(self, spark):
+        r = self._one(spark, "f(((x))")
+        assert (r.paren_open, r.paren_close, r.paren_depth) == (3, 2, 3)
+        assert not r.paren_ok and not r.well_formed
+
+    def test_close_before_open(self, spark):
+        # equal counts but negative running net -> not ok
+        r = self._one(spark, ")(")
+        assert (r.paren_open, r.paren_close) == (1, 1)
+        assert r.paren_min == -1 and not r.paren_ok
+
+    def test_interleave_is_documented_blind_spot(self, spark):
+        # "([)]" passes per-class checks by design (stack-free surrogate)
+        r = self._one(spark, "([)]")
+        assert r.well_formed
+
+    def test_null_and_empty(self, spark):
+        for c in (None, ""):
+            r = self._one(spark, c)
+            assert r.well_formed and r.paren_depth == 0 and r.paren_min == 0
+
+    def test_nesting_depth(self, spark):
+        r = self._one(spark, "((()))[[]]")
+        assert r.paren_depth == 3 and r.square_depth == 2
+
+
+class TestIndentReport:
+    def _one(self, spark, content):
+        from kg.extract import indent_report
+        df = spark.createDataFrame([(0, content)],
+                                   "doc_id bigint, content string")
+        return indent_report(df).collect()[0]
+
+    def test_four_space_unit(self, spark):
+        r = self._one(spark, "def f():\n    if x:\n        y()\n")
+        assert (r.n_tab_lines, r.n_space_lines) == (0, 2)
+        assert r.indent_unit == 4 and not r.mixed_indent
+
+    def test_two_space_unit_deeper_lines_do_not_shrink(self, spark):
+        r = self._one(spark, "a\n  b\n      c\n  d\n")
+        assert r.indent_unit == 2
+
+    def test_tabs_only(self, spark):
+        r = self._one(spark, "a\n\tb\n\t\tc\n")
+        assert (r.n_tab_lines, r.n_space_lines) == (2, 0)
+        assert r.indent_unit == 0 and not r.mixed_indent
+
+    def test_mixed(self, spark):
+        r = self._one(spark, "\ta\n  b\n")
+        assert r.mixed_indent and r.indent_unit == 2 and r.n_tab_lines == 1
+
+    def test_null_empty(self, spark):
+        assert self._one(spark, None).n_lines == 1
+        r = self._one(spark, "")
+        assert (r.n_lines, r.indent_unit, r.mixed_indent) == (1, 0, False)

@@ -6862,4 +6862,54 @@ def build_oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.doc_id = shared.doc_a
         JOIN sizes sb ON sb.doc_id = shared.doc_b"""
 
+    # Bracket-balance gate (kg.extract.bracket_report): the fixture arms
+    # append to BRACKET-FREE doc text (31-word no-punct corpus), so every
+    # column is ANALYTIC in the doc_id residues — an independent spec of
+    # the counts and the running-net-depth fold, not a code mirror.
+    # Arms in order: '('*d + ')'*d (d = id%5), stray ')' at %7==0,
+    # '[{}]' at %3==0, stray '}' at %11==0.
+    sqls["code_brackets"] = """
+        SELECT doc_id,
+          CAST(doc_id % 5 AS BIGINT) AS paren_open,
+          CAST(doc_id % 5 + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END
+               AS BIGINT) AS paren_close,
+          CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+            AS square_open,
+          CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+            AS square_close,
+          CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+            AS curly_open,
+          CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+               + CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS BIGINT)
+            AS curly_close,
+          CAST(doc_id % 5 AS BIGINT) AS paren_depth,
+          CAST(CASE WHEN doc_id % 7 = 0 THEN -1 ELSE 0 END AS BIGINT)
+            AS paren_min,
+          doc_id % 7 <> 0 AS paren_ok,
+          CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+            AS square_depth,
+          CAST(0 AS BIGINT) AS square_min,
+          TRUE AS square_ok,
+          CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+            AS curly_depth,
+          CAST(CASE WHEN doc_id % 11 = 0 THEN -1 ELSE 0 END AS BIGINT)
+            AS curly_min,
+          doc_id % 11 <> 0 AS curly_ok,
+          doc_id % 7 <> 0 AND doc_id % 11 <> 0 AS well_formed
+        FROM documents WHERE lang = 'en'"""
+
+    # Indentation inference (kg.extract.indent_report): doc text is
+    # newline-free, arms add a u-space line, a 2u-space line
+    # (u = 2*(1 + id%3)) and a tab line at %4==0 — analytic replay.
+    sqls["code_indent"] = """
+        SELECT doc_id,
+          CAST(3 + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS BIGINT)
+            AS n_lines,
+          CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS BIGINT)
+            AS n_tab_lines,
+          CAST(2 AS BIGINT) AS n_space_lines,
+          CAST(2 * (1 + doc_id % 3) AS BIGINT) AS indent_unit,
+          doc_id % 4 = 0 AS mixed_indent
+        FROM documents WHERE lang = 'en'"""
+
     return sqls
