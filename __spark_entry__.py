@@ -1974,6 +1974,16 @@ def q_code_indent(spark, sf_dir):
     return indent_report(docs)
 
 
+def q_corpus_fim(spark, sf_dir):
+    """Fill-in-the-middle training rewrite (kg.sampling.fim_transform,
+    Bavarian et al. 2022 / StarCoder recipe): md5-gated psm/spm/plain
+    modes, 32-bit md5 split draws mod (len+1), sentinel-joined
+    permutations — zero shuffles, every character replayed by the
+    oracle."""
+    from kg.sampling import fim_transform
+    return fim_transform(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
 def q_rel_user_scd2(spark, sf_dir):
     """Kimball SCD2 dimension build (kg.relops.scd2_intervals): each
     user's event-type sequence compressed to half-open validity
@@ -3877,6 +3887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_clone_pairs": q_code_clone_pairs,
         "code_brackets": q_code_brackets,
         "code_indent": q_code_indent,
+        "corpus_fim": q_corpus_fim,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also

@@ -659,3 +659,74 @@ def priority_sample(df: DataFrame, k: int,
     out = (pri.withColumn("_rk", F.row_number().over(w))
            .filter(F.col("_rk") <= k).drop("_rk", "_u"))
     return out.drop("_g") if not group_col else out
+
+
+# --- fill-in-the-middle transform (code-LM training data) ----------------------
+#
+# FIM (Bavarian et al. 2022, "Efficient Training of Language Models to
+# Fill in the Middle"; the StarCoder/SantaCoder data recipe): rewrite a
+# fraction of training documents as prefix/middle/suffix permutations with
+# sentinel tokens so the model learns infilling — the transform is applied
+# at the DATA layer (character-level splits, the paper's context-level
+# variant) precisely so the 100 TB pipeline owns it, not the trainer.
+# Everything is deterministic md5 arithmetic per row (no RNG, CLAUDE.md):
+# the fim/spm gates reuse the rate_to_hex threshold convention and the
+# split points are 32-bit md5 draws mod (len+1) — the DuckDB oracle
+# replays every character.  Zero shuffles, zero UDFs, fuses into the scan.
+FIM_PREFIX, FIM_SUFFIX, FIM_MIDDLE = ("<fim_prefix>", "<fim_suffix>",
+                                      "<fim_middle>")
+
+
+def fim_transform(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", fim_rate: float = 0.5,
+                  spm_rate: float = 0.5) -> DataFrame:
+    """Per-document FIM rewrite:
+
+      (id, mode, lo, hi, fim_text)
+
+    mode ∈ {plain, psm, spm}: md5(id:':fim') < fim_rate gates the
+    rewrite; md5(id:':spm') < spm_rate picks SPM over PSM.  Split points
+    lo <= hi are two independent 32-bit md5 draws mod (n+1), so every
+    (possibly empty) prefix/middle/suffix triple is reachable — empties
+    included, matching the paper's uniform character-level splits.
+
+      psm:  <fim_prefix>P<fim_suffix>S<fim_middle>M
+      spm:  <fim_suffix>S<fim_prefix>P<fim_middle>M   (paper §4 SPM order)
+      plain: the text unchanged.
+
+    lo/hi are emitted for every row (they are pure functions of the id;
+    the gate only selects which rows USE them) so audits can join the
+    split geometry without recomputing hashes.  Invariant: stripping
+    sentinels and re-ordering reconstructs the text exactly (pytest
+    property)."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.length(text)
+    sid = F.col(id_col).cast("string")
+
+    def draw(salt: str) -> Column:
+        return (F.conv(F.substring(
+            F.md5(F.concat(sid, F.lit(salt))), 1, 8), 16, 10)
+            .cast("bigint"))
+
+    a = (draw(":fim:a") % (n + 1)).cast("int")
+    b = (draw(":fim:b") % (n + 1)).cast("int")
+    lo, hi = F.least(a, b), F.greatest(a, b)
+    prefix = text.substr(F.lit(1), lo)
+    middle = text.substr(lo + F.lit(1), hi - lo)
+    suffix = text.substr(hi + F.lit(1), n)
+    is_fim = F.md5(F.concat(sid, F.lit(":fim"))) < F.lit(
+        rate_to_hex(fim_rate))
+    is_spm = F.md5(F.concat(sid, F.lit(":spm"))) < F.lit(
+        rate_to_hex(spm_rate))
+    mode = (F.when(~is_fim, "plain")
+            .when(is_spm, "spm").otherwise("psm"))
+    psm = F.concat(F.lit(FIM_PREFIX), prefix, F.lit(FIM_SUFFIX), suffix,
+                   F.lit(FIM_MIDDLE), middle)
+    spm = F.concat(F.lit(FIM_SUFFIX), suffix, F.lit(FIM_PREFIX), prefix,
+                   F.lit(FIM_MIDDLE), middle)
+    out_text = (F.when(~is_fim, text)
+                .when(is_spm, spm).otherwise(psm))
+    return df.select(
+        F.col(id_col), mode.alias("mode"),
+        lo.cast("bigint").alias("lo"), hi.cast("bigint").alias("hi"),
+        out_text.alias("fim_text"))

@@ -521,3 +521,70 @@ class TestPrioritySample:
         merged = priority_sample(b1.unionByName(b2), k=6)
         assert sorted(r.doc_id for r in full.collect()) == \
             sorted(r.doc_id for r in merged.collect())
+
+
+class TestFimTransform:
+    def _run(self, spark, rows, **kw):
+        from kg.sampling import fim_transform
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        return {r.doc_id: r for r in fim_transform(df, **kw).collect()}
+
+    @staticmethod
+    def _draw(doc_id, salt):
+        import hashlib
+        h = hashlib.md5(f"{doc_id}{salt}".encode()).hexdigest()
+        return int(h[:8], 16)
+
+    def test_python_replay_and_reconstruction(self, spark):
+        rows = [(i, t) for i, t in enumerate(
+            ["def f(x):\n    return x + 1\n", "", "a", "hello world " * 40])]
+        got = self._run(spark, rows, fim_rate=1.0, spm_rate=0.0)
+        import hashlib
+        for i, t in rows:
+            r = got[i]
+            n = len(t)
+            a = self._draw(i, ":fim:a") % (n + 1)
+            b = self._draw(i, ":fim:b") % (n + 1)
+            lo, hi = min(a, b), max(a, b)
+            assert (r.lo, r.hi) == (lo, hi)
+            assert r.mode == "psm"
+            exp = ("<fim_prefix>" + t[:lo] + "<fim_suffix>" + t[hi:]
+                   + "<fim_middle>" + t[lo:hi])
+            assert r.fim_text == exp
+            # reconstruction invariant
+            import re
+            m = re.match(r"<fim_prefix>(.*)<fim_suffix>(.*)<fim_middle>(.*)",
+                         r.fim_text, re.DOTALL)
+            p, s, mid = m.groups()
+            assert p + mid + s == t
+
+    def test_spm_order(self, spark):
+        got = self._run(spark, [(0, "abcdefgh")], fim_rate=1.0, spm_rate=1.0)
+        r = got[0]
+        assert r.mode == "spm"
+        assert r.fim_text.startswith("<fim_suffix>")
+        t = "abcdefgh"
+        exp = ("<fim_suffix>" + t[r.hi:] + "<fim_prefix>" + t[:r.lo]
+               + "<fim_middle>" + t[r.lo:r.hi])
+        assert r.fim_text == exp
+
+    def test_rate_zero_is_identity(self, spark):
+        rows = [(i, f"text {i}") for i in range(20)]
+        got = self._run(spark, rows, fim_rate=0.0)
+        for i, t in rows:
+            assert got[i].mode == "plain" and got[i].fim_text == t
+
+    def test_gate_is_md5_threshold(self, spark):
+        import hashlib
+        rows = [(i, "x" * 10) for i in range(50)]
+        got = self._run(spark, rows, fim_rate=0.5)
+        from kg.sampling import rate_to_hex
+        thr = rate_to_hex(0.5)
+        for i, _ in rows:
+            expect_fim = hashlib.md5(f"{i}:fim".encode()).hexdigest() < thr
+            assert (got[i].mode != "plain") == expect_fim
+
+    def test_null_text(self, spark):
+        got = self._run(spark, [(0, None)], fim_rate=1.0, spm_rate=0.0)
+        assert got[0].fim_text == "<fim_prefix><fim_suffix><fim_middle>"
+        assert (got[0].lo, got[0].hi) == (0, 0)

@@ -6912,4 +6912,40 @@ def build_oracle_sql() -> dict[str, str]:
           doc_id % 4 = 0 AS mixed_indent
         FROM documents WHERE lang = 'en'"""
 
+    # FIM rewrite (kg.sampling.fim_transform): the fim/spm gates are the
+    # rate_to_hex string-compare convention; split points = 32-bit md5
+    # draws mod (n+1); substr arithmetic is 1-based identical in both
+    # engines (len-0 and past-end slices both yield '').
+    _fa = _hexn_of("md5(CAST(doc_id AS VARCHAR) || ':fim:a')", 1, 8)
+    _fb = _hexn_of("md5(CAST(doc_id AS VARCHAR) || ':fim:b')", 1, 8)
+    sqls["corpus_fim"] = f"""
+        WITH base AS (
+          SELECT doc_id, coalesce(text, '') AS t,
+                 length(coalesce(text, '')) AS n
+          FROM documents WHERE lang = 'en'),
+        geo AS (
+          SELECT doc_id, t, n,
+                 least({_fa} % (n + 1), {_fb} % (n + 1)) AS lo,
+                 greatest({_fa} % (n + 1), {_fb} % (n + 1)) AS hi,
+                 md5(CAST(doc_id AS VARCHAR) || ':fim')
+                   < '{_r2h(0.5)}' AS is_fim,
+                 md5(CAST(doc_id AS VARCHAR) || ':spm')
+                   < '{_r2h(0.5)}' AS is_spm
+          FROM base)
+        SELECT doc_id,
+          CASE WHEN NOT is_fim THEN 'plain'
+               WHEN is_spm THEN 'spm' ELSE 'psm' END AS mode,
+          CAST(lo AS BIGINT) AS lo, CAST(hi AS BIGINT) AS hi,
+          CASE WHEN NOT is_fim THEN t
+               WHEN is_spm THEN
+                 '<fim_suffix>' || substr(t, hi + 1, n)
+                 || '<fim_prefix>' || substr(t, 1, lo)
+                 || '<fim_middle>' || substr(t, lo + 1, hi - lo)
+               ELSE
+                 '<fim_prefix>' || substr(t, 1, lo)
+                 || '<fim_suffix>' || substr(t, hi + 1, n)
+                 || '<fim_middle>' || substr(t, lo + 1, hi - lo)
+          END AS fim_text
+        FROM geo"""
+
     return sqls
