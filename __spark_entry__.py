@@ -1984,6 +1984,34 @@ def q_corpus_fim(spark, sf_dir):
     return fim_transform(_docs(spark, sf_dir).select("doc_id", "text"))
 
 
+def q_code_pack_order(spark, sf_dir):
+    """Repo-context pack order (kg.extract.repo_pack_order): per-repo
+    longest-path import-DAG layering by fixed-round relaxation (one
+    join+agg shuffle per round), pos = row_number over (layer, file).
+    Deterministic DAG IN BOTH ENGINES over the DENSE doc rank f
+    (row_number over doc_id — en-filtered doc_ids have gaps; the global
+    window is FIXTURE-ONLY construction, 22k rows at sf0.1, not part of
+    the operator): repo = f % 40, generation g = f div 40; each file
+    imports f-40 when g % 6 != 0 and ALSO f-80 when g % 6 >= 2, so
+    chains break every 6 generations and the true layer is ANALYTIC:
+    layer = g % 6 at any scale factor (rounds=6 always converges) —
+    the oracle is the independent spec."""
+    from pyspark.sql import Window
+    from kg.extract import repo_pack_order
+    dense = (F.row_number().over(Window.orderBy("doc_id")) - 1)
+    docs = (_docs(spark, sf_dir).select("doc_id")
+            .select(dense.cast("bigint").alias("f")))
+    i = F.col("f")
+    repo = (i % 40).alias("repo")
+    gen = F.expr("f div 40")
+    files = docs.select(repo, i.alias("file_id"))
+    e1 = (docs.filter(gen % 6 != 0)
+          .select(repo, i.alias("src"), (i - 40).alias("dst")))
+    e2 = (docs.filter(gen % 6 >= 2)
+          .select(repo, i.alias("src"), (i - 80).alias("dst")))
+    return repo_pack_order(files, e1.unionByName(e2), rounds=6)
+
+
 def q_rel_user_scd2(spark, sf_dir):
     """Kimball SCD2 dimension build (kg.relops.scd2_intervals): each
     user's event-type sequence compressed to half-open validity
@@ -3888,6 +3916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_brackets": q_code_brackets,
         "code_indent": q_code_indent,
         "corpus_fim": q_corpus_fim,
+        "code_pack_order": q_code_pack_order,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also

@@ -772,3 +772,61 @@ def indent_report(df: DataFrame, content_col: str = "content",
                 .alias("indent_unit"),
                 ((F.col("_r.n_tab") > 0) & (F.col("_r.n_space") > 0))
                 .alias("mixed_indent")))
+
+
+# --- repo-context pack order (code-LM repo-level training) ---------------------
+#
+# Repo-level context packing (the StarCoder2 / DeepSeek-Coder data recipe):
+# concatenate a repository's files DEPENDENCY-FIRST so the model reads a
+# definition before its uses.  The order is a topological layering of the
+# per-repo import DAG (kg.extract.import_edges supplies real edges):
+# layer(f) = 0 for leaf files, else 1 + max(layer(dep)) — longest-path
+# layering, computed by FIXED-ROUND relaxation from all-zeros (the
+# kg.graphrank integer-loop convention: one join + one aggregate shuffle
+# per round, layers exact for any DAG whose depth <= rounds).  Order
+# within a repo = (layer, file_id) — deterministic, no RNG.
+def repo_pack_order(files: DataFrame, edges: DataFrame, rounds: int = 6,
+                    repo_col: str = "repo", file_col: str = "file_id",
+                    src_col: str = "src",
+                    dst_col: str = "dst") -> DataFrame:
+    """Per-repo dependency-first pack order:
+
+      (repo, file_id, layer, pos)
+
+    `edges` rows mean src IMPORTS dst (dst must pack first).  Edges whose
+    dst is not in `files` contribute nothing (external imports).  Cycles
+    never converge under longest-path layering; after `rounds` rounds
+    cyclic members carry the (deterministic) value of the last
+    relaxation — callers choose rounds >= the max acyclic depth they
+    care about.  One shuffle per round over |files|-sized frames (narrow
+    next to the corpus scan that produced the edges); final pos is ONE
+    window over the repo partitioning."""
+    from pyspark.sql import Window
+    f = (files.select(F.col(repo_col).alias("repo"),
+                      F.col(file_col).alias("f")).distinct())
+    e = (edges.select(F.col(repo_col).alias("repo"),
+                      F.col(src_col).alias("src"),
+                      F.col(dst_col).alias("dst")).distinct().persist())
+    layers = f.withColumn("layer", F.lit(0))
+    prev = None
+    for _ in range(rounds):
+        dep = (e.join(layers.select("repo", F.col("f").alias("dst"),
+                                    "layer"), ["repo", "dst"])
+               .select("repo", F.col("src").alias("f"), "layer")
+               .groupBy("repo", "f")
+               .agg((F.max("layer") + 1).alias("dlayer")))
+        layers = (f.join(dep, ["repo", "f"], "left")
+                  .select("repo", "f",
+                          F.coalesce("dlayer", F.lit(0)).alias("layer"))
+                  .persist())
+        layers.count()   # materialize before releasing the parent
+        if prev is not None:
+            prev.unpersist()
+        prev = layers
+    e.unpersist()
+    w = Window.partitionBy("repo").orderBy("layer", "f")
+    out = layers.select(
+        F.col("repo").alias(repo_col), F.col("f").alias(file_col),
+        F.col("layer").cast("bigint").alias("layer"),
+        F.row_number().over(w).cast("bigint").alias("pos"))
+    return out

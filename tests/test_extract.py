@@ -546,3 +546,55 @@ class TestIndentReport:
         assert self._one(spark, None).n_lines == 1
         r = self._one(spark, "")
         assert (r.n_lines, r.indent_unit, r.mixed_indent) == (1, 0, False)
+
+
+class TestRepoPackOrder:
+    def _run(self, spark, files, edges, **kw):
+        from kg.extract import repo_pack_order
+        fdf = spark.createDataFrame(files, "repo string, file_id bigint")
+        edf = spark.createDataFrame(
+            edges, "repo string, src bigint, dst bigint")
+        return {(r.repo, r.file_id): (r.layer, r.pos)
+                for r in repo_pack_order(fdf, edf, **kw).collect()}
+
+    def test_diamond(self, spark):
+        # a(3) imports b(1),c(2); b and c import d(0)
+        files = [("r", i) for i in range(4)]
+        edges = [("r", 3, 1), ("r", 3, 2), ("r", 1, 0), ("r", 2, 0)]
+        got = self._run(spark, files, edges)
+        assert got == {("r", 0): (0, 1), ("r", 1): (1, 2),
+                       ("r", 2): (1, 3), ("r", 3): (2, 4)}
+
+    def test_rounds_bound_the_depth(self, spark):
+        files = [("r", i) for i in range(5)]
+        chain = [("r", i, i - 1) for i in range(1, 5)]
+        got = self._run(spark, files, chain, rounds=2)
+        assert got[("r", 4)][0] == 2      # under-converged, documented
+        got = self._run(spark, files, chain, rounds=4)
+        assert [got[("r", i)][0] for i in range(5)] == [0, 1, 2, 3, 4]
+
+    def test_repo_isolation_and_external_dst(self, spark):
+        files = [("a", 0), ("a", 1), ("b", 0), ("b", 1)]
+        edges = [("a", 1, 0),           # real dep in repo a
+                 ("b", 1, 99),          # external import: ignored
+                 ("b", 0, 1)]           # reversed dep in repo b
+        got = self._run(spark, files, edges)
+        assert got[("a", 1)][0] == 1 and got[("b", 1)][0] == 0
+        assert got[("b", 0)][0] == 1
+        # same file_id in different repos does not interact
+        assert got[("a", 0)][0] == 0
+
+    def test_pos_is_layer_then_id(self, spark):
+        files = [("r", 10), ("r", 2), ("r", 7)]
+        edges = [("r", 2, 10)]          # 2 depends on 10
+        got = self._run(spark, files, edges)
+        # layer: 10->0, 7->0, 2->1; pos: 7 then 10 then 2
+        assert got == {("r", 7): (0, 1), ("r", 10): (0, 2),
+                       ("r", 2): (1, 3)}
+
+    def test_cycle_is_deterministic(self, spark):
+        files = [("r", 0), ("r", 1)]
+        edges = [("r", 0, 1), ("r", 1, 0)]
+        g1 = self._run(spark, files, edges, rounds=3)
+        g2 = self._run(spark, files, edges, rounds=3)
+        assert g1 == g2                 # saturated but reproducible

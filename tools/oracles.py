@@ -6948,4 +6948,21 @@ def build_oracle_sql() -> dict[str, str]:
           END AS fim_text
         FROM geo"""
 
+    # Repo pack order (kg.extract.repo_pack_order): the fixture DAG is
+    # built over the DENSE en-doc rank f (en doc_ids have gaps), and its
+    # longest-path layer is analytic — chains break every 6 generations,
+    # so layer = (f // 40) % 6; pos replays the (layer, file)
+    # row_number.  An independent spec of the relaxation loop.
+    sqls["code_pack_order"] = """
+        WITH d AS (
+          SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT)
+            AS f
+          FROM documents WHERE lang = 'en')
+        SELECT f % 40 AS repo, f AS file_id,
+               CAST((f // 40) % 6 AS BIGINT) AS layer,
+               CAST(row_number() OVER (
+                 PARTITION BY f % 40
+                 ORDER BY (f // 40) % 6, f) AS BIGINT) AS pos
+        FROM d"""
+
     return sqls
