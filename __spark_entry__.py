@@ -2012,6 +2012,34 @@ def q_code_pack_order(spark, sf_dir):
     return repo_pack_order(files, e1.unionByName(e2), rounds=6)
 
 
+def q_code_doc_pairs(spark, sf_dir):
+    """Docstring/comment ↔ definition pair mining (kg.extract.doc_pairs):
+    per-def one-line docstring below or #-//-comment above via ONE
+    lead/lag window — the CodeSearchNet instruct-data primitive.  Four
+    fixture arms rotate on doc_id % 4 IN BOTH ENGINES (docstring'd def /
+    #-commented def / bare def / //-commented js function), the doc text
+    trailing as a def-free noise line — the oracle emits the expected
+    pair ANALYTICALLY from the residues."""
+    from kg.extract import doc_pairs
+    i = F.col("doc_id")
+    m3, m5 = [(i % n).cast("string") for n in (3, 5)]
+    header = (
+        F.when(i % 4 == 0, F.concat(
+            F.lit('def fa'), m3, F.lit('():\n    """Doc '), m5,
+            F.lit('."""\n    pass\n')))
+        .when(i % 4 == 1, F.concat(
+            F.lit("# helper for "), m5, F.lit("\ndef fb"), m3,
+            F.lit("():\n    pass\n")))
+        .when(i % 4 == 2, F.concat(
+            F.lit("def fc"), m3, F.lit("():\n    pass\n")))
+        .otherwise(F.concat(
+            F.lit("// render "), m5, F.lit("\nfunction fd"), m3,
+            F.lit("() {\n}\n"))))
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.concat(header, F.col("text")).alias("content"))
+    return doc_pairs(docs)
+
+
 def q_rel_user_scd2(spark, sf_dir):
     """Kimball SCD2 dimension build (kg.relops.scd2_intervals): each
     user's event-type sequence compressed to half-open validity
@@ -3917,6 +3945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_indent": q_code_indent,
         "corpus_fim": q_corpus_fim,
         "code_pack_order": q_code_pack_order,
+        "code_doc_pairs": q_code_doc_pairs,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also

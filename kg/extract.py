@@ -830,3 +830,51 @@ def repo_pack_order(files: DataFrame, edges: DataFrame, rounds: int = 6,
         F.col("layer").cast("bigint").alias("layer"),
         F.row_number().over(w).cast("bigint").alias("pos"))
     return out
+
+
+# --- docstring/comment ↔ definition pair mining (instruct-data primitive) ------
+#
+# The (natural-language description, code unit) pair is the seed of every
+# code instruct-tuning set (CodeSearchNet; the docstring-pair recipe):
+# for each definition site, harvest the one-line docstring directly below
+# it (python) or the line comment directly above it (# or //).  Multi-line
+# docstrings are a documented limitation (the closing quotes must sit on
+# the same line — cheap single-pass contract; full block capture is the
+# parser's job, not the 100 TB scan's).  ONE shuffle: the per-file
+# lead/lag window over line ordinals (same key as call_edges — co-planned
+# when composed).
+DOC_AFTER_RE = r'^ *(?:"""(.*)"""|\'\'\'(.*)\'\'\') *$'
+DOC_BEFORE_RE = r"^ *(?:#|//)+ *(.*?) *$"
+
+
+def doc_pairs(df: DataFrame, content_col: str = "content",
+              id_col: str = "doc_id") -> DataFrame:
+    """Definition → documentation pairs:
+
+      (id, name, doc_kind, doc)
+
+    one row per definition line (CALL_DEF_RE: python `def` / js
+    `function` forms); doc_kind ∈ {docstring, comment, none} with
+    docstring (the line below, same-line triple-quoted) winning over
+    comment (the line above, #/// led); doc = '' when none."""
+    from pyspark.sql import Window
+    content = F.coalesce(F.col(content_col), F.lit(""))
+    lines = (df.select(F.col(id_col),
+                       F.posexplode(F.split(content, "\n"))
+                       .alias("line_no", "line")))
+    w = Window.partitionBy(id_col).orderBy("line_no")
+    nxt = F.lead("line", 1, "").over(w)
+    prv = F.lag("line", 1, "").over(w)
+    staged = (lines
+              .withColumn("name", F.regexp_extract("line", CALL_DEF_RE, 1))
+              .withColumn("_nxt", nxt).withColumn("_prv", prv)
+              .filter(F.col("name") != ""))
+    ds = F.concat(F.regexp_extract("_nxt", DOC_AFTER_RE, 1),
+                  F.regexp_extract("_nxt", DOC_AFTER_RE, 2))
+    cm = F.regexp_extract("_prv", DOC_BEFORE_RE, 1)
+    return staged.select(
+        id_col, "name",
+        F.when(ds != "", "docstring").when(cm != "", "comment")
+        .otherwise("none").alias("doc_kind"),
+        F.when(ds != "", ds).when(cm != "", cm).otherwise(F.lit(""))
+        .alias("doc"))

@@ -598,3 +598,45 @@ class TestRepoPackOrder:
         g1 = self._run(spark, files, edges, rounds=3)
         g2 = self._run(spark, files, edges, rounds=3)
         assert g1 == g2                 # saturated but reproducible
+
+
+class TestDocPairs:
+    def _pairs(self, spark, content):
+        from kg.extract import doc_pairs
+        df = spark.createDataFrame([(0, content)],
+                                   "doc_id bigint, content string")
+        return {r.name: (r.doc_kind, r.doc) for r in doc_pairs(df).collect()}
+
+    def test_docstring_below(self, spark):
+        src = 'def add(a, b):\n    """Sum two numbers."""\n    return a + b\n'
+        assert self._pairs(spark, src) == {
+            "add": ("docstring", "Sum two numbers.")}
+
+    def test_comment_above(self, spark):
+        src = "# formats the header\ndef fmt(x):\n    return x\n"
+        assert self._pairs(spark, src) == {
+            "fmt": ("comment", "formats the header")}
+
+    def test_js_slash_comment(self, spark):
+        src = "// renders the view\nfunction render() {\n}\n"
+        assert self._pairs(spark, src) == {
+            "render": ("comment", "renders the view")}
+
+    def test_docstring_wins_over_comment(self, spark):
+        src = ("# old note\ndef f():\n    '''Newer doc.'''\n    pass\n")
+        assert self._pairs(spark, src) == {"f": ("docstring", "Newer doc.")}
+
+    def test_undocumented_and_multiline_limitation(self, spark):
+        src = ('def bare():\n    pass\ndef multi():\n    """Starts\n'
+               '    here."""\n    pass\n')
+        got = self._pairs(spark, src)
+        assert got["bare"] == ("none", "")
+        assert got["multi"] == ("none", "")   # documented single-line limit
+
+    def test_first_line_def_and_null(self, spark):
+        assert self._pairs(spark, "def top():\n    pass\n") == {
+            "top": ("none", "")}
+        from kg.extract import doc_pairs
+        df = spark.createDataFrame([(0, None)],
+                                   "doc_id bigint, content string")
+        assert doc_pairs(df).count() == 0

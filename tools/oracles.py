@@ -6965,4 +6965,22 @@ def build_oracle_sql() -> dict[str, str]:
                  ORDER BY (f // 40) % 6, f) AS BIGINT) AS pos
         FROM d"""
 
+    # Doc pairs (kg.extract.doc_pairs): the fixture header is the only
+    # def-bearing region (doc text has no punctuation), so the expected
+    # (name, doc_kind, doc) row is analytic in the doc_id residues.
+    sqls["code_doc_pairs"] = """
+        SELECT doc_id,
+          CASE doc_id % 4
+            WHEN 0 THEN 'fa' WHEN 1 THEN 'fb' WHEN 2 THEN 'fc'
+            ELSE 'fd' END || CAST(doc_id % 3 AS VARCHAR) AS name,
+          CASE doc_id % 4
+            WHEN 0 THEN 'docstring' WHEN 2 THEN 'none'
+            ELSE 'comment' END AS doc_kind,
+          CASE doc_id % 4
+            WHEN 0 THEN 'Doc ' || CAST(doc_id % 5 AS VARCHAR) || '.'
+            WHEN 1 THEN 'helper for ' || CAST(doc_id % 5 AS VARCHAR)
+            WHEN 2 THEN ''
+            ELSE 'render ' || CAST(doc_id % 5 AS VARCHAR) END AS doc
+        FROM documents WHERE lang = 'en'"""
+
     return sqls
