@@ -2040,6 +2040,49 @@ def q_code_doc_pairs(spark, sf_dir):
     return doc_pairs(docs)
 
 
+def q_code_lang_id(spark, sf_dir):
+    """Code language identification (kg.extract.lang_scores):
+    discriminative reserved-word counts route files to per-language
+    extractors — zero shuffles.  Reuses the code_defs %3-rotating
+    headers (python: def×2+self+pass×2=5; java: public+private+static=3;
+    js: const+function+arrow=3) over keyword-free doc text, so the
+    oracle is ANALYTIC in the residue."""
+    from kg.extract import lang_scores
+    i = F.col("doc_id")
+    m7, m4, m5 = [(i % n).cast("string") for n in (7, 4, 5)]
+    header = (
+        F.when(i % 3 == 0, F.concat(
+            F.lit("class C"), m7, F.lit(":\n    def m"), m4,
+            F.lit("(self):\n        pass\nasync def f"), m5,
+            F.lit("():\n    pass\n")))
+        .when(i % 3 == 1, F.concat(
+            F.lit("public final class Cls"), m7,
+            F.lit(" {\n    private static int get"), m4,
+            F.lit("() {\n        return 0;\n    }\n}\n")))
+        .otherwise(F.concat(
+            F.lit("export const h"), m4, F.lit(" = async (x) => (x)\n"),
+            F.lit("function fn"), m7, F.lit("() {}\nexport class V"),
+            m5, F.lit(" {}\n"))))
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.concat(header, F.col("text")).alias("content"))
+    return lang_scores(docs)
+
+
+def q_code_comment_density(spark, sf_dir):
+    """Comment-density gate (kg.extract.comment_density): comment-led
+    line fraction in exact milli units over ONE bound line array, zero
+    shuffles.  The doc is line-ified (spaces → newlines) with doc_id % 4
+    '#'-lines and doc_id % 3 '//'-lines appended IN BOTH ENGINES."""
+    from kg.extract import comment_density
+    i = F.col("doc_id")
+    content = F.concat(
+        F.translate(F.col("text"), " ", "\n"),
+        F.repeat(F.lit("\n# c"), (i % 4).cast("int")),
+        F.repeat(F.lit("\n// d"), (i % 3).cast("int")))
+    docs = _docs(spark, sf_dir).select("doc_id", content.alias("content"))
+    return comment_density(docs)
+
+
 def q_rel_user_scd2(spark, sf_dir):
     """Kimball SCD2 dimension build (kg.relops.scd2_intervals): each
     user's event-type sequence compressed to half-open validity
@@ -3946,6 +3989,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_fim": q_corpus_fim,
         "code_pack_order": q_code_pack_order,
         "code_doc_pairs": q_code_doc_pairs,
+        "code_lang_id": q_code_lang_id,
+        "code_comment_density": q_code_comment_density,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also

@@ -878,3 +878,80 @@ def doc_pairs(df: DataFrame, content_col: str = "content",
         .otherwise("none").alias("doc_kind"),
         F.when(ds != "", ds).when(cm != "", cm).otherwise(F.lit(""))
         .alias("doc"))
+
+
+# --- code language identification (crawl routing) ------------------------------
+#
+# A repo crawl needs a language decision BEFORE any per-language extractor
+# runs (def_sites, import_edges dispatch on it), and file extensions are
+# missing or lie on crawled snippets.  The cheap exact signal is
+# discriminative reserved-word counts — each set appears in exactly one of
+# the three families this engine extracts (the code analog of
+# kg.textstats.language_id's stopword profiles).  Zero shuffles, zero
+# UDFs; ties break python > java > js (extractor-coverage order).
+LANG_SIGNALS: tuple[tuple[str, str], ...] = (
+    ("python", r"\b(def|elif|self|pass|lambda|yield)\b"),
+    ("java", r"\b(public|private|protected|static|void|extends|implements)\b"),
+    ("js", r"\b(function|var|let|const)\b"),
+)
+_JS_ARROW_RE = r"=>"
+
+
+def lang_scores(df: DataFrame, content_col: str = "content",
+                id_col: str = "doc_id") -> DataFrame:
+    """Per-file language guess:
+
+      (id, python_score, java_score, js_score, lang_guess)
+
+    scores = discriminative keyword occurrences (js adds arrow `=>`
+    hits); lang_guess = argmax, ties python > java > js, all-zero →
+    'unknown'."""
+    content = F.coalesce(F.col(content_col), F.lit(""))
+    py, jv, js = [F.regexp_count(content, F.lit(p))
+                  for _, p in LANG_SIGNALS]
+    js = js + F.regexp_count(content, F.lit(_JS_ARROW_RE))
+    staged = df.select(
+        F.col(id_col),
+        py.cast("bigint").alias("python_score"),
+        jv.cast("bigint").alias("java_score"),
+        js.cast("bigint").alias("js_score"))
+    p, j, s = (F.col("python_score"), F.col("java_score"),
+               F.col("js_score"))
+    return staged.withColumn(
+        "lang_guess",
+        F.when((p == 0) & (j == 0) & (s == 0), "unknown")
+        .when((p >= j) & (p >= s), "python")
+        .when(j >= s, "java").otherwise("js"))
+
+
+# --- comment density (code-corpus curation) -------------------------------------
+#
+# Comment-to-code ratio is a standard code-quality axis (well-documented
+# code up-weights; auto-generated or minified code has near-zero
+# comments; license-header-only "comments" show up as a high ratio on a
+# tiny file — callers combine with n_lines).  Exact integers, zero
+# shuffles: one filtered size over ONE bound line array.
+def comment_density(df: DataFrame, content_col: str = "content",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-file comment-line report:
+
+      (id, n_lines, n_comment_lines, comment_milli)
+
+    comment line = first non-space chars are # or //;
+    comment_milli = 1000 * n_comment_lines div n_lines (n_lines >= 1:
+    split never returns an empty array)."""
+    from kg.textstats import bind1
+    content = F.coalesce(F.col(content_col), F.lit(""))
+    rep = bind1(
+        F.split(content, "\n"),
+        lambda lines: F.struct(
+            F.size(lines).alias("n"),
+            F.size(F.filter(
+                lines, lambda l: l.rlike(r"^ *(#|//)"))).alias("c")))
+    return (df.select(F.col(id_col), rep.alias("_r"))
+            .select(
+                F.col(id_col),
+                F.col("_r.n").cast("bigint").alias("n_lines"),
+                F.col("_r.c").cast("bigint").alias("n_comment_lines"),
+                F.expr("CAST(1000 * _r.c div _r.n AS BIGINT)")
+                .alias("comment_milli")))

@@ -640,3 +640,57 @@ class TestDocPairs:
         df = spark.createDataFrame([(0, None)],
                                    "doc_id bigint, content string")
         assert doc_pairs(df).count() == 0
+
+
+class TestLangScores:
+    def _one(self, spark, content):
+        from kg.extract import lang_scores
+        df = spark.createDataFrame([(0, content)],
+                                   "doc_id bigint, content string")
+        return lang_scores(df).collect()[0]
+
+    def test_python(self, spark):
+        r = self._one(spark, "def f(self):\n    pass\n")
+        assert r.python_score == 3 and r.lang_guess == "python"
+
+    def test_java(self, spark):
+        r = self._one(spark, "public static void main() { private int x; }")
+        assert r.java_score == 4 and r.lang_guess == "java"
+
+    def test_js_with_arrow(self, spark):
+        r = self._one(spark, "const f = (x) => x\nlet y = 1\n")
+        assert r.js_score == 3 and r.lang_guess == "js"
+
+    def test_tie_prefers_python(self, spark):
+        r = self._one(spark, "def public")   # 1 py, 1 java
+        assert r.lang_guess == "python"
+
+    def test_unknown_and_null(self, spark):
+        assert self._one(spark, "plain words only").lang_guess == "unknown"
+        assert self._one(spark, None).lang_guess == "unknown"
+
+    def test_keywords_inside_identifiers_ignored(self, spark):
+        r = self._one(spark, "selfish defense classy")
+        assert r.lang_guess == "unknown"
+
+
+class TestCommentDensity:
+    def _one(self, spark, content):
+        from kg.extract import comment_density
+        df = spark.createDataFrame([(0, content)],
+                                   "doc_id bigint, content string")
+        return comment_density(df).collect()[0]
+
+    def test_hand_counts(self, spark):
+        src = "# top\nx = 1\n  // indented slash\ny = 2"
+        r = self._one(spark, src)
+        assert (r.n_lines, r.n_comment_lines, r.comment_milli) == (4, 2, 500)
+
+    def test_hash_mid_line_is_not_a_comment_line(self, spark):
+        r = self._one(spark, "x = 1  # trailing\ny = 2")
+        assert r.n_comment_lines == 0
+
+    def test_empty_and_null(self, spark):
+        for c in ("", None):
+            r = self._one(spark, c)
+            assert (r.n_lines, r.n_comment_lines, r.comment_milli) == (1, 0, 0)

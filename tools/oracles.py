@@ -6983,4 +6983,34 @@ def build_oracle_sql() -> dict[str, str]:
             ELSE 'render ' || CAST(doc_id % 5 AS VARCHAR) END AS doc
         FROM documents WHERE lang = 'en'"""
 
+    # Code language ID (kg.extract.lang_scores): the %3-rotating headers
+    # carry fixed discriminative-keyword counts over keyword-free doc
+    # text — analytic in the residue (regexp boundary semantics are
+    # pytest-pinned).
+    sqls["code_lang_id"] = """
+        SELECT doc_id,
+          CAST(CASE WHEN doc_id % 3 = 0 THEN 5 ELSE 0 END AS BIGINT)
+            AS python_score,
+          CAST(CASE WHEN doc_id % 3 = 1 THEN 3 ELSE 0 END AS BIGINT)
+            AS java_score,
+          CAST(CASE WHEN doc_id % 3 = 2 THEN 3 ELSE 0 END AS BIGINT)
+            AS js_score,
+          CASE doc_id % 3 WHEN 0 THEN 'python' WHEN 1 THEN 'java'
+               ELSE 'js' END AS lang_guess
+        FROM documents WHERE lang = 'en'"""
+
+    # Comment density (kg.extract.comment_density): line-ified doc text
+    # plus %4 '#'-lines and %3 '//'-lines; the line count replays, the
+    # milli ratio is integer div in both engines.
+    sqls["code_comment_density"] = """
+        WITH t AS (
+          SELECT doc_id,
+            CAST(len(string_split(replace(text, ' ', chr(10)), chr(10)))
+                 + doc_id % 4 + doc_id % 3 AS BIGINT) AS n,
+            CAST(doc_id % 4 + doc_id % 3 AS BIGINT) AS c
+          FROM documents WHERE lang = 'en')
+        SELECT doc_id, n AS n_lines, c AS n_comment_lines,
+               CAST(1000 * c // n AS BIGINT) AS comment_milli
+        FROM t"""
+
     return sqls
