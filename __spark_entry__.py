@@ -2083,6 +2083,27 @@ def q_code_comment_density(spark, sf_dir):
     return comment_density(docs)
 
 
+def q_code_api_usage(spark, sf_dir):
+    """Cross-file API-usage edges (kg.extract.api_usage over def_sites +
+    call_edges): name-keyed resolution with the hot-name cap and
+    local-shadowing rule.  Fixture IN BOTH ENGINES: every doc defines
+    api{doc_id % 10} (plus 'helper', defined in EVERY doc — exceeds
+    max_defs=50 at every sf, exercising the cap) and calls
+    api{(doc_id+1) % 10} once, so the expected edge set is ANALYTIC:
+    caller c → every doc d with d % 10 == (c+1) % 10, n_calls = 1."""
+    from kg.extract import api_usage, call_edges, def_sites
+    i = F.col("doc_id")
+    a, b = [(x % 10).cast("string") for x in (i, i + 1)]
+    content = F.concat(
+        F.lit("def api"), a, F.lit("():\n    pass\n"),
+        F.lit("def helper(v):\n    pass\n"),
+        F.lit("api"), b, F.lit("(1)\nhelper(2)\n"),
+        F.col("text"))
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", content.alias("content"), F.lit("python").alias("lang"))
+    return api_usage(def_sites(docs), call_edges(docs), max_defs=50)
+
+
 def q_rel_user_scd2(spark, sf_dir):
     """Kimball SCD2 dimension build (kg.relops.scd2_intervals): each
     user's event-type sequence compressed to half-open validity
@@ -3991,6 +4012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_doc_pairs": q_code_doc_pairs,
         "code_lang_id": q_code_lang_id,
         "code_comment_density": q_code_comment_density,
+        "code_api_usage": q_code_api_usage,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also

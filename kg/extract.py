@@ -955,3 +955,42 @@ def comment_density(df: DataFrame, content_col: str = "content",
                 F.col("_r.c").cast("bigint").alias("n_comment_lines"),
                 F.expr("CAST(1000 * _r.c div _r.n AS BIGINT)")
                 .alias("comment_milli")))
+
+
+# --- cross-file API usage resolution (code-KG edge family #4) -------------------
+#
+# Joining the call-site table (call_edges) to the definition-site table
+# (def_sites) by GLOBAL NAME yields the cross-file dependency edges a
+# code-search index or impact analysis ranks by — the name-resolution
+# approximation (no import tracing) every large-scale code graph ships
+# first (GitHub's code-nav "fuzzy" tier).  Two published guards make it
+# sound at scale: (1) names defined in more than `max_defs` files are
+# ambiguous noise (get/init/main) and are excluded BEFORE the join —
+# the max_df hot-key convention bounding join fanout at max_defs per
+# name; (2) a file that defines the name itself resolves LOCALLY and
+# contributes no cross-file edge (shadowing wins).
+def api_usage(defs: DataFrame, calls: DataFrame, max_defs: int = 100,
+              file_col: str = "doc_id", name_col: str = "name",
+              callee_col: str = "callee",
+              n_col: str = "n_calls") -> DataFrame:
+    """Cross-file call-resolution edges:
+
+      (caller_file, callee_file, name, n_calls)
+
+    `defs` = def_sites output (file, name); `calls` = call_edges output
+    (file, callee, n_calls — summed over callers here).  One
+    name-keyed join after the hot-name cap; the call side aggregates
+    per (file, name) first so the join input is file-granular."""
+    d = (defs.select(F.col(file_col).alias("callee_file"),
+                     F.col(name_col).alias("name")).distinct())
+    hot = (d.groupBy("name").agg(F.count("*").alias("df"))
+           .filter(F.col("df") > max_defs).select("name"))
+    kept = d.join(F.broadcast(hot), "name", "left_anti")
+    c = (calls.groupBy(F.col(file_col).alias("caller_file"),
+                       F.col(callee_col).alias("name"))
+         .agg(F.sum(n_col).cast("bigint").alias("n_calls")))
+    local = kept.select(F.col("callee_file").alias("caller_file"), "name")
+    c = c.join(local, ["caller_file", "name"], "left_anti")
+    return (c.join(kept, "name")
+            .filter(F.col("caller_file") != F.col("callee_file"))
+            .select("caller_file", "callee_file", "name", "n_calls"))

@@ -694,3 +694,35 @@ class TestCommentDensity:
         for c in ("", None):
             r = self._one(spark, c)
             assert (r.n_lines, r.n_comment_lines, r.comment_milli) == (1, 0, 0)
+
+
+class TestApiUsage:
+    def _run(self, spark, defs, calls, **kw):
+        from kg.extract import api_usage
+        ddf = spark.createDataFrame(defs, "doc_id bigint, name string")
+        cdf = spark.createDataFrame(
+            calls, "doc_id bigint, callee string, n_calls bigint")
+        return {(r.caller_file, r.callee_file, r.name): r.n_calls
+                for r in api_usage(ddf, cdf, **kw).collect()}
+
+    def test_cross_file_resolution_and_sum(self, spark):
+        defs = [(1, "fmt"), (2, "fmt"), (3, "run")]
+        calls = [(3, "fmt", 2), (3, "fmt", 1), (1, "run", 5)]
+        got = self._run(spark, defs, calls)
+        assert got == {(3, 1, "fmt"): 3, (3, 2, "fmt"): 3,
+                       (1, 3, "run"): 5}
+
+    def test_local_shadowing_wins(self, spark):
+        defs = [(1, "fmt"), (2, "fmt")]
+        calls = [(1, "fmt", 9)]        # file 1 defines fmt itself
+        assert self._run(spark, defs, calls) == {}
+
+    def test_hot_name_cap(self, spark):
+        defs = [(i, "get") for i in range(5)] + [(9, "rare")]
+        calls = [(7, "get", 1), (7, "rare", 1)]
+        got = self._run(spark, defs, calls, max_defs=3)
+        assert got == {(7, 9, "rare"): 1}
+
+    def test_unresolved_calls_vanish(self, spark):
+        got = self._run(spark, [(1, "a")], [(2, "nothere", 4)])
+        assert got == {}

@@ -7013,4 +7013,16 @@ def build_oracle_sql() -> dict[str, str]:
                CAST(1000 * c // n AS BIGINT) AS comment_milli
         FROM t"""
 
+    # Cross-file API usage (kg.extract.api_usage): the fixture edge set
+    # is analytic — every doc calls api{(id+1)%10} once, resolved to
+    # every doc defining that residue's api; 'helper' (defined
+    # everywhere) exceeds the cap and vanishes; a caller never defines
+    # its own callee (residues differ by 1).
+    sqls["code_api_usage"] = """
+        WITH en AS (SELECT doc_id FROM documents WHERE lang = 'en')
+        SELECT c.doc_id AS caller_file, d.doc_id AS callee_file,
+               'api' || CAST((c.doc_id + 1) % 10 AS VARCHAR) AS name,
+               CAST(1 AS BIGINT) AS n_calls
+        FROM en c JOIN en d ON d.doc_id % 10 = (c.doc_id + 1) % 10"""
+
     return sqls
