@@ -2104,6 +2104,44 @@ def q_code_api_usage(spark, sf_dir):
     return api_usage(def_sites(docs), call_edges(docs), max_defs=50)
 
 
+def q_code_diff_stats(spark, sf_dir):
+    """Unified-diff shape stats (kg.extract.diff_stats): files/hunks/
+    added/removed counts by anchored multiline regex, header lines
+    excluded by subtraction (RE2-portable, no lookahead) — the
+    CommitPack-style patch gate.  A synthetic patch rotates counts on
+    residues IN BOTH ENGINES (1 file header, 1 + %2 hunks, %5 added,
+    %3 removed) over punctuation-free doc text — analytic oracle."""
+    from kg.extract import diff_stats
+    i = F.col("doc_id")
+    content = F.concat(
+        F.lit("diff --git a/f b/f\n--- a/f\n+++ b/f\n"),
+        F.repeat(F.lit("@@ -1 +1 @@\n"), (1 + i % 2).cast("int")),
+        F.repeat(F.lit("+add\n"), (i % 5).cast("int")),
+        F.repeat(F.lit("-del\n"), (i % 3).cast("int")),
+        F.col("text"))
+    docs = _docs(spark, sf_dir).select("doc_id", content.alias("content"))
+    return diff_stats(docs)
+
+
+def q_code_function_spans(spark, sf_dir):
+    """Top-level function spans (kg.extract.function_spans): span =
+    column-0 def line through the indented/blank run that follows,
+    terminated by the next column-0 non-blank line; ONE window shuffle +
+    one same-key-family aggregate.  Two fixture functions with an
+    internal blank line and a module tail rotate names on residues IN
+    BOTH ENGINES; the doc text trails OUTSIDE every span — the oracle
+    emits both spans analytically."""
+    from kg.extract import function_spans
+    i = F.col("doc_id")
+    m3, m4 = [(i % n).cast("string") for n in (3, 4)]
+    content = F.concat(
+        F.lit("def one"), m3, F.lit("():\n    a()\n\n    b()\n"),
+        F.lit("def two"), m4, F.lit("():\n    pass\n"),
+        F.lit("x = top()\n"), F.col("text"))
+    docs = _docs(spark, sf_dir).select("doc_id", content.alias("content"))
+    return function_spans(docs)
+
+
 def q_rel_user_scd2(spark, sf_dir):
     """Kimball SCD2 dimension build (kg.relops.scd2_intervals): each
     user's event-type sequence compressed to half-open validity
@@ -4013,6 +4051,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_lang_id": q_code_lang_id,
         "code_comment_density": q_code_comment_density,
         "code_api_usage": q_code_api_usage,
+        "code_diff_stats": q_code_diff_stats,
+        "code_function_spans": q_code_function_spans,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also

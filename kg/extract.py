@@ -994,3 +994,96 @@ def api_usage(defs: DataFrame, calls: DataFrame, max_defs: int = 100,
     return (c.join(kept, "name")
             .filter(F.col("caller_file") != F.col("callee_file"))
             .select("caller_file", "callee_file", "name", "n_calls"))
+
+
+# --- unified-diff statistics (commit-data training pipelines) -------------------
+#
+# Commit-message/diff pairs are a published code-LM data family
+# (CommitPack/OctoPack, Muennighoff et al. 2023): the pipeline needs
+# per-patch shape stats to gate (huge vendored diffs out, empty diffs
+# out) and to stratify (additions-only vs refactors).  Exact counts over
+# anchored multiline regexes; +++/--- file headers are excluded from the
+# added/removed counts by SUBTRACTION (RE2-portable: no lookahead in the
+# oracle's regex engine).  Zero shuffles, zero UDFs.
+def diff_stats(df: DataFrame, content_col: str = "content",
+               id_col: str = "doc_id") -> DataFrame:
+    """Per-patch unified-diff report:
+
+      (id, n_files, n_hunks, n_added, n_removed, net_lines)
+
+    n_files = 'diff --git' headers; n_hunks = '@@' hunk headers;
+    n_added/removed = +/- lines minus the +++/--- file-header lines."""
+    content = F.coalesce(F.col(content_col), F.lit(""))
+
+    def cnt(pat):
+        return F.regexp_count(content, F.lit(pat)).cast("bigint")
+
+    added = cnt(r"(?m)^\+") - cnt(r"(?m)^\+\+\+")
+    removed = cnt(r"(?m)^-") - cnt(r"(?m)^---")
+    return df.select(
+        F.col(id_col),
+        cnt(r"(?m)^diff --git ").alias("n_files"),
+        cnt(r"(?m)^@@ ").alias("n_hunks"),
+        added.alias("n_added"),
+        removed.alias("n_removed"),
+        (added - removed).alias("net_lines"))
+
+
+# --- top-level function span extraction (unit-granularity corpus) ---------------
+#
+# Function-granularity rows are the unit most code-LM curation wants to
+# dedup/score at (function clones dominate file clones; CodeSearchNet
+# pairs are per-function).  Full scoping needs a parser; the scan-grade
+# contract is TOP-LEVEL definitions only: a span starts at a column-0
+# def/function line and ends before the next column-0 NON-BLANK line
+# (or the next def, whichever first).  Lines after the body's end that
+# precede the next def belong to no function (module code).  One window
+# shuffle + one aggregate on the same id-hash family (the call_edges
+# shape).
+SPAN_DEF_RE = (r"^(?:export +)?(?:async +)?(?:def|function) +"
+               r"([A-Za-z_][A-Za-z0-9_]*) *\(")
+
+
+def function_spans(df: DataFrame, content_col: str = "content",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Top-level function spans:
+
+      (id, name, start_line, end_line, n_body_lines)
+
+    start_line = the def line's 0-based ordinal; end_line = last line
+    of the indented/blank run that follows; n_body_lines counts the
+    NON-BLANK indented body lines (the def line excluded)."""
+    from pyspark.sql import Window
+    content = F.coalesce(F.col(content_col), F.lit(""))
+    lines = (df.select(F.col(id_col),
+                       F.posexplode(F.split(content, "\n"))
+                       .alias("line_no", "line")))
+    is_def = F.regexp_extract("line", SPAN_DEF_RE, 1) != ""
+    w = (Window.partitionBy(id_col).orderBy("line_no")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    grp = F.sum(is_def.cast("int")).over(w)
+    staged = (lines.withColumn("_grp", grp).filter(F.col("_grp") >= 1)
+              .withColumn("_isdef", is_def)
+              .withColumn("_blank", F.trim("line") == "")
+              .withColumn("_indented", F.col("line").rlike(r"^[ \t]")))
+    # per-group geometry via a SECOND window on the same id-hash family:
+    # the def line is the group's FIRST line (grp increments exactly at
+    # defs); terminator = first zero-indent non-blank non-def line
+    w2 = Window.partitionBy(id_col, "_grp")
+    term = F.min(F.when(~F.col("_isdef") & ~F.col("_blank")
+                        & ~F.col("_indented"), F.col("line_no"))).over(w2)
+    body = (staged.withColumn("_term", term)
+            .filter(F.col("_term").isNull()
+                    | (F.col("line_no") < F.col("_term"))))
+    return (body.groupBy(id_col, "_grp")
+            .agg(F.regexp_extract(
+                     F.min_by("line", "line_no"), SPAN_DEF_RE, 1)
+                 .alias("name"),
+                 F.min("line_no").cast("bigint").alias("start_line"),
+                 # trailing blank lines are not part of the span
+                 F.max(F.when(~F.col("_blank"), F.col("line_no")))
+                 .cast("bigint").alias("end_line"),
+                 F.sum((F.col("_indented") & ~F.col("_blank"))
+                       .cast("int")).cast("bigint")
+                 .alias("n_body_lines"))
+            .drop("_grp"))

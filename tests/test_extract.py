@@ -726,3 +726,77 @@ class TestApiUsage:
     def test_unresolved_calls_vanish(self, spark):
         got = self._run(spark, [(1, "a")], [(2, "nothere", 4)])
         assert got == {}
+
+
+class TestDiffStats:
+    def _one(self, spark, content):
+        from kg.extract import diff_stats
+        df = spark.createDataFrame([(0, content)],
+                                   "doc_id bigint, content string")
+        return diff_stats(df).collect()[0]
+
+    def test_hand_counts(self, spark):
+        patch = ("diff --git a/f.py b/f.py\n"
+                 "--- a/f.py\n"
+                 "+++ b/f.py\n"
+                 "@@ -1,2 +1,3 @@\n"
+                 " ctx\n"
+                 "+added one\n"
+                 "+added two\n"
+                 "-removed\n"
+                 "@@ -9,1 +10,1 @@\n"
+                 "+tail\n")
+        r = self._one(spark, patch)
+        assert (r.n_files, r.n_hunks) == (1, 2)
+        assert (r.n_added, r.n_removed, r.net_lines) == (3, 1, 2)
+
+    def test_header_lines_not_counted(self, spark):
+        r = self._one(spark, "+++ b/x\n--- a/x\n")
+        assert (r.n_added, r.n_removed) == (0, 0)
+
+    def test_empty_and_null(self, spark):
+        for c in ("", None):
+            r = self._one(spark, c)
+            assert (r.n_files, r.n_hunks, r.n_added, r.n_removed) == (0,) * 4
+
+
+class TestFunctionSpans:
+    def _spans(self, spark, content):
+        from kg.extract import function_spans
+        df = spark.createDataFrame([(0, content)],
+                                   "doc_id bigint, content string")
+        return {r.name: (r.start_line, r.end_line, r.n_body_lines)
+                for r in function_spans(df).collect()}
+
+    def test_two_defs_with_blank_and_module_tail(self, spark):
+        src = ("def one():\n"      # 0
+               "    a()\n"          # 1
+               "\n"                 # 2 blank inside body
+               "    b()\n"          # 3
+               "def two():\n"       # 4
+               "    pass\n"         # 5
+               "x = top()\n"        # 6 module line: ends two's span
+               "more module\n")     # 7 excluded
+        got = self._spans(spark, src)
+        assert got == {"one": (0, 3, 2), "two": (4, 5, 1)}
+
+    def test_module_prefix_ignored(self, spark):
+        src = "import os\nx = 1\ndef f():\n    pass\n"
+        assert self._spans(spark, src) == {"f": (2, 3, 1)}
+
+    def test_js_function_and_export(self, spark):
+        src = "export async function go() {\n    run()\n}\n"
+        # '}' is zero-indent non-blank -> body ends at line 1
+        assert self._spans(spark, src) == {"go": (0, 1, 1)}
+
+    def test_no_defs_and_null(self, spark):
+        assert self._spans(spark, "just text\n") == {}
+        from kg.extract import function_spans
+        df = spark.createDataFrame([(0, None)],
+                                   "doc_id bigint, content string")
+        assert function_spans(df).count() == 0
+
+    def test_indented_def_is_not_top_level(self, spark):
+        src = "def outer():\n    def inner():\n        pass\n"
+        got = self._spans(spark, src)
+        assert got == {"outer": (0, 2, 2)}

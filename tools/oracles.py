@@ -7025,4 +7025,34 @@ def build_oracle_sql() -> dict[str, str]:
                CAST(1 AS BIGINT) AS n_calls
         FROM en c JOIN en d ON d.doc_id % 10 = (c.doc_id + 1) % 10"""
 
+    # Diff stats (kg.extract.diff_stats): the synthetic patch's counts
+    # are analytic in the residues (one file header; the ---/+++ header
+    # lines cancel in the subtraction).
+    sqls["code_diff_stats"] = """
+        SELECT doc_id,
+          CAST(1 AS BIGINT) AS n_files,
+          CAST(1 + doc_id % 2 AS BIGINT) AS n_hunks,
+          CAST(doc_id % 5 AS BIGINT) AS n_added,
+          CAST(doc_id % 3 AS BIGINT) AS n_removed,
+          CAST(doc_id % 5 - doc_id % 3 AS BIGINT) AS net_lines
+        FROM documents WHERE lang = 'en'"""
+
+    # Function spans (kg.extract.function_spans): both fixture spans are
+    # analytic — one{m3} covers lines 0-3 (2 body lines, internal blank
+    # invisible), two{m4} lines 4-5 (1 body line); the module tail and
+    # doc text sit outside every span.
+    sqls["code_function_spans"] = """
+        WITH en AS (SELECT doc_id FROM documents WHERE lang = 'en')
+        SELECT doc_id, 'one' || CAST(doc_id % 3 AS VARCHAR) AS name,
+               CAST(0 AS BIGINT) AS start_line,
+               CAST(3 AS BIGINT) AS end_line,
+               CAST(2 AS BIGINT) AS n_body_lines
+        FROM en
+        UNION ALL
+        SELECT doc_id, 'two' || CAST(doc_id % 4 AS VARCHAR) AS name,
+               CAST(4 AS BIGINT) AS start_line,
+               CAST(5 AS BIGINT) AS end_line,
+               CAST(1 AS BIGINT) AS n_body_lines
+        FROM en"""
+
     return sqls
