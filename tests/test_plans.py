@@ -978,3 +978,94 @@ def test_scd2_single_exchange_key_partitioned(spark):
     plan = _plan(scd2_intervals(ev))
     assert plan.count("Exchange") == 1
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def _code_docs(spark):
+    return spark.createDataFrame(
+        [(0, "def a():\n    b()\n", "python"),
+         (1, "public class C { }", "java")],
+        "doc_id bigint, content string, lang string")
+
+
+def test_def_sites_zero_shuffle_zero_python(spark):
+    """kg.extract.def_sites: per-language struct-array extracts + ONE
+    explode — a narrow map that fuses into the corpus scan."""
+    from kg.extract import def_sites
+    plan = _plan(def_sites(_code_docs(spark)))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("Generate") == 1        # exactly one explode
+
+
+def test_code_gates_zero_shuffle_zero_python(spark):
+    """bracket_report / indent_report / complexity_flags / lang_scores /
+    comment_density / diff_stats: all pure narrow maps (in-row folds and
+    regexp counts), no Exchange, no Python, no Window."""
+    from kg.extract import (bracket_report, comment_density,
+                            complexity_flags, diff_stats, indent_report,
+                            lang_scores)
+    docs = _code_docs(spark)
+    for op in (bracket_report, indent_report, complexity_flags,
+               lang_scores, comment_density, diff_stats):
+        plan = _plan(op(docs))
+        assert "Exchange" not in plan, op.__name__
+        assert "ArrowEvalPython" not in plan, op.__name__
+        assert "BatchEvalPython" not in plan, op.__name__
+        assert "Window" not in plan, op.__name__
+
+
+def test_fim_transform_zero_shuffle_zero_python(spark):
+    """kg.sampling.fim_transform: md5 gates + substr permutations fuse
+    into the scan — no Exchange, no Python."""
+    from kg.sampling import fim_transform
+    docs = spark.createDataFrame([(0, "abc")], "doc_id bigint, text string")
+    plan = _plan(fim_transform(docs))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_call_edges_single_window_partitioning(spark):
+    """kg.extract.call_edges: the enclosing-def window and the
+    (id, caller, callee) count aggregate are the only shuffles — no
+    Python, no extra Exchange beyond window + partial/final agg pair."""
+    from kg.extract import call_edges
+    plan = _plan(call_edges(_code_docs(spark)))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange") <= 2        # window + agg re-key
+
+
+def test_clone_pairs_no_cartesian_hot_cap_broadcast(spark):
+    """kg.extract.clone_pairs: the pair join is shingle-keyed (never
+    CartesianProduct/NestedLoop) and the hot-shingle cap rides a
+    broadcast anti-join."""
+    from kg.extract import clone_pairs
+    docs = spark.createDataFrame(
+        [(0, "a = 1\nb = 2\nc = 3\nd = 4")],
+        "doc_id bigint, content string")
+    plan = _plan(clone_pairs(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan         # the hot-cap anti-join
+
+
+def test_api_usage_no_cartesian_broadcast_cap(spark):
+    """kg.extract.api_usage: name-keyed joins only; the hot-name cap is
+    a broadcast anti-join; no cartesian shapes anywhere."""
+    from kg.extract import api_usage
+    defs = spark.createDataFrame([(1, "f")], "doc_id bigint, name string")
+    calls = spark.createDataFrame(
+        [(2, "f", 1)], "doc_id bigint, callee string, n_calls bigint")
+    plan = _plan(api_usage(defs, calls))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_function_spans_windows_share_id_partitioning(spark):
+    """kg.extract.function_spans: the ordinal window and the per-group
+    geometry window both partition on the id family; no Python."""
+    from kg.extract import function_spans
+    plan = _plan(function_spans(_code_docs(spark)))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("Window") == 2
