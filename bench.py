@@ -204,6 +204,21 @@ HEADLINE = [
     "kg_tag_khop",           # GraphSAGE sampling, one ranked window
     "text_kwic",             # concordance, zero-shuffle in-row
     "rel_events_trimmed",    # robust means, histogram-exact window
+    "code_defs",             # definition-site extraction, one explode
+    "code_identifiers",      # subtoken vocabulary, one agg shuffle
+    "code_complexity",       # McCabe-surrogate gates, zero-shuffle
+    "code_call_edges",       # enclosing-def call graph, one window
+    "code_clone_pairs",      # type-2 clones, capped shingle join
+    "code_brackets",         # bracket-balance folds, zero-shuffle
+    "corpus_fim",            # FIM rewrite, zero-shuffle narrow map
+    "code_pack_order",       # import-DAG layering, 6 relax rounds
+    "code_api_usage",        # cross-file name resolution, capped join
+    "code_function_spans",   # top-level span extraction, two windows
+    "code_doc_pairs",        # docstring/comment pairing, one window
+    "code_lang_id",          # keyword-profile language routing
+    "code_comment_density",  # comment-line fraction, zero-shuffle
+    "code_diff_stats",       # unified-diff shape stats, zero-shuffle
+    "code_indent",           # indentation-style inference, zero-shuffle
 ]
 
 
