@@ -1,0 +1,150 @@
+"""End-to-end CODE-KG construction pipeline: the source-repository
+counterpart to jobs/run_pipeline.py (NL annotation KG) and
+jobs/run_curation.py (training-data curation) — BASELINE.json's
+input_hint table in, the code knowledge graph out.
+
+    files parquet (repo, path, commit, lang, content)
+      → language routing (declared lang if an extractor covers it, else
+        kg.extract.lang_scores keyword-profile guess)
+      → crawl gates, cheapest-first, all inline predicates:
+          secret scan   (kg.pii.secret_report: typed-secret files DROPPED,
+                         entropy-valid hex redacted in place)
+          quality gate  (kg.extract.code_quality_flags, StarCoder rules)
+          license gate  (kg.extract.license_scan; --require-permissive)
+          bracket gate  (kg.extract.bracket_report; --require-balanced)
+      → extraction over the surviving files:
+          nodes_def     (kg.extract.def_sites)
+          edges_import  (kg.extract.import_edges, file → module)
+          edges_call    (kg.extract.call_edges, intra-file)
+          edges_api     (kg.extract.api_usage, cross-file name resolution)
+      → parquet sinks under <out_dir>/, one JSON stats line on stdout.
+
+Every stage is an existing kg operator — the job adds composition only.
+The gated corpus is localCheckpointed ONCE before the four extraction
+branches (CLAUDE.md rule 7: branching a shared child re-executes it per
+branch; the gates chain regexp passes that would otherwise run 4×).
+
+Scale notes: gates and extractors are narrow zero/one-shuffle ops; the
+only corpus-wide shuffles are call_edges' per-file window and
+api_usage's capped name join.  Files are keyed (repo, path) — the
+file_key column is their concat, collision-free because repo names
+cannot contain ':' (kg.corpus contract).
+
+Usage:
+  python jobs/run_code_kg.py <files.parquet> <out_dir>
+      [--require-permissive] [--require-balanced] [--max-defs 100]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import json
+
+from pyspark.sql import SparkSession, functions as F
+
+EXTRACTOR_LANGS = ("python", "java", "js")
+
+
+def build_code_kg(spark: SparkSession, files_path: str, out_dir: str,
+                  require_permissive: bool = False,
+                  require_balanced: bool = False,
+                  max_defs: int = 100) -> dict:
+    from kg.extract import (api_usage, bracket_report, call_edges,
+                            code_quality_flags, def_sites, import_edges,
+                            lang_scores, license_scan)
+    from kg.pii import secret_report
+
+    stats: dict = {}
+    files = spark.read.parquet(files_path)
+    stats["n_input"] = files.count()
+
+    key = F.concat_ws(":", "repo", "path")
+    files = files.withColumn("file_key", key)
+
+    # language routing: declared lang wins when an extractor covers it,
+    # else the keyword-profile guess (which may also say 'unknown')
+    guess = lang_scores(files, content_col="content", id_col="file_key")
+    files = (files.join(guess.select("file_key", "lang_guess"), "file_key")
+             .withColumn("lang_eff",
+                         F.when(F.col("lang").isin(*EXTRACTOR_LANGS),
+                                F.col("lang"))
+                         .otherwise(F.col("lang_guess"))))
+
+    # secret gate: typed-secret files out, valid hex redacted in place
+    sec = secret_report(files, text_col="content", id_col="file_key")
+    typed = (F.col("n_aws_key") + F.col("n_github_token")
+             + F.col("n_slack_token") + F.col("n_pem_key") + F.col("n_jwt"))
+    files = (files.drop("content")
+             .join(sec.select("file_key", "text_redacted",
+                              typed.alias("_n_typed")), "file_key")
+             .filter(F.col("_n_typed") == 0)
+             .withColumnRenamed("text_redacted", "content")
+             .drop("_n_typed"))
+
+    # quality gate (StarCoder rules)
+    q = code_quality_flags(files, content_col="content", id_col="file_key")
+    files = files.join(
+        q.select("file_key", "passes_code_quality"), "file_key"
+    ).filter("passes_code_quality").drop("passes_code_quality")
+
+    if require_permissive:
+        lic = license_scan(files, content_col="content", id_col="file_key")
+        files = files.join(
+            lic.select("file_key", "is_permissive"), "file_key"
+        ).filter("is_permissive").drop("is_permissive")
+
+    if require_balanced:
+        br = bracket_report(files, content_col="content", id_col="file_key")
+        files = files.join(
+            br.select("file_key", "well_formed"), "file_key"
+        ).filter("well_formed").drop("well_formed")
+
+    # ONE materialization point before the four extraction branches
+    gated = files.select("repo", "path", "lang_eff", "file_key",
+                         "content").localCheckpoint()
+    stats["n_gated"] = gated.count()
+
+    defs = def_sites(gated, content_col="content", lang_col="lang_eff",
+                     id_col="file_key")
+    imports = import_edges(gated, content_col="content",
+                           lang_col="lang_eff", id_col="file_key")
+    calls = call_edges(gated, content_col="content", id_col="file_key")
+    api = api_usage(defs, calls, max_defs=max_defs, file_col="file_key")
+
+    sinks = {"nodes_def": defs, "edges_import": imports,
+             "edges_call": calls, "edges_api": api}
+    for name, df in sinks.items():
+        df.write.mode("overwrite").parquet(f"{out_dir}/{name}")
+        stats[f"n_{name}"] = spark.read.parquet(f"{out_dir}/{name}").count()
+    print(json.dumps(stats))
+    return stats
+
+
+def main(argv: list[str] | None = None) -> dict:
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("files")
+    ap.add_argument("out_dir")
+    ap.add_argument("--require-permissive", action="store_true")
+    ap.add_argument("--require-balanced", action="store_true")
+    ap.add_argument("--max-defs", type=int, default=100)
+    args = ap.parse_args(argv)
+
+    from kg.session import get_spark
+    owns = SparkSession.getActiveSession() is None
+    spark = get_spark(app="kg-code-kg")
+    try:
+        return build_code_kg(spark, args.files, args.out_dir,
+                             args.require_permissive, args.require_balanced,
+                             args.max_defs)
+    finally:
+        if owns:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    main()
