@@ -1,0 +1,153 @@
+"""Scaling-efficiency evidence for the CODE-KG construction pipeline
+(jobs/run_code_kg.py) — the code-corpus counterpart of
+jobs/bench_scaling.py, same driver protocol: no real cluster exists in
+this sandbox, so the SAME job runs at two parallelism levels (default
+local[2] and local[8] = N and 4N cores on this 16-physical-core host)
+over the SAME deterministic input, reporting throughput at both plus
+efficiency = (thr_4N / thr_N) / 4.
+
+The timed job is the full gate+extract core (secret/quality gates,
+language routing, def/import/call extraction, cross-file api_usage) in
+count-only mode — the parquet sinks are excluded because sink IO
+measures the local disk, not the engine.  The synthetic corpus is
+AUGMENTED with a deterministic cross-file call ring (each file defines
+api{h % K} and calls api{(h+1) % K}, K = n_files div 50) so api_usage
+does real name-resolution work at every scale: ~50 definitions per
+name (inside the max_defs=100 cap) and ~50 resolved edges per file.
+
+Output-count parity across levels is asserted BEFORE any results file
+is written (the bench_graph_scaling.py lesson: a diverged run must not
+leave a results file that reads as valid numbers).
+
+Usage: python jobs/bench_code_scaling.py [n_files] [levels...]
+Writes BENCH/code_scaling_run.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import json
+import subprocess
+
+_GEN = r"""
+import sys
+n_files, path, cores = int(sys.argv[1]), sys.argv[2], int(sys.argv[3])
+from pyspark.sql import functions as F
+from kg.session import get_spark
+spark = get_spark(app="code-scale-gen", master=f"local[{cores}]")
+from kg.corpus import synthetic_corpus
+corpus = synthetic_corpus(spark, n_files=n_files, partitions=cores * 4)
+k = max(1, n_files // 50)
+p = F.pmod(F.xxhash64("path"), F.lit(k))
+q = F.pmod(p + 1, F.lit(k))
+aug = corpus.withColumn(
+    "content",
+    F.concat(F.col("content"), F.lit("\ndef api"), p.cast("string"),
+             F.lit("():\n    pass\napi"), q.cast("string"), F.lit("(1)\n")))
+aug.write.mode("overwrite").parquet(path)
+spark.stop()
+"""
+
+_CHILD = r"""
+import json, sys, time
+cores, path = int(sys.argv[1]), sys.argv[2]
+from kg.session import get_spark
+spark = get_spark(app=f"code-scale-{cores}", master=f"local[{cores}]",
+                  shuffle_partitions=cores)
+from jobs.run_code_kg import build_code_kg
+
+n_files = spark.read.parquet(path).count()
+
+# warm-up: JIT + codegen over a small slice (untimed); the pipeline is
+# pure JVM (zero Python workers), so this warms whole-stage codegen only
+import tempfile
+warm = tempfile.mkdtemp() + "/warm"
+spark.read.parquet(path).limit(2000).write.parquet(warm)
+build_code_kg(spark, warm, None)
+
+t0 = time.perf_counter()
+stats = build_code_kg(spark, path, None)
+dt = time.perf_counter() - t0
+spark.stop()
+print(json.dumps({"cores": cores, "n_files": n_files, "sec": round(dt, 2),
+                  "files_per_sec": round(n_files / dt, 1),
+                  "counts": {k: v for k, v in sorted(stats.items())}}))
+"""
+
+_ENV = dict(os.environ,
+            PYTHONPATH=os.path.dirname(os.path.abspath(__file__)) + "/..")
+
+
+def run_level(cores: int, path: str) -> dict:
+    out = subprocess.run([sys.executable, "-c", _CHILD, str(cores), path],
+                         capture_output=True, text=True, env=_ENV,
+                         check=True)
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> dict:
+    n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    levels = [int(x) for x in sys.argv[2:]] or [2, 8]
+    trials = int(os.environ.get("KG_SCALE_TRIALS", "3"))
+    path = os.environ.get("KG_SCALE_CORPUS", "/tmp/kg_code_scale.parquet")
+    subprocess.run([sys.executable, "-c", _GEN, str(n_files), path, "32"],
+                   capture_output=True, text=True, env=_ENV, check=True)
+    # interleaved best-of-N (CLAUDE.md rule 5: ~10% steal on this host)
+    best: dict[int, dict] = {}
+    for _ in range(trials):
+        for c in levels:
+            r = run_level(c, path)
+            if c not in best or r["sec"] < best[c]["sec"]:
+                best[c] = r
+    results = [best[c] for c in levels]
+    lo, hi = results[0], results[-1]
+    ratio = hi["cores"] / lo["cores"]
+    efficiency = round(
+        (hi["files_per_sec"] / lo["files_per_sec"]) / ratio, 3)
+    parity = lo["counts"] == hi["counts"]
+    summary = {"n_files": n_files, "levels": results,
+               "efficiency": efficiency, "core_ratio": ratio,
+               "count_parity": parity}
+    # parity FIRST: a diverged run must not write a results file
+    if not parity:
+        print(json.dumps(summary))
+        raise SystemExit(
+            f"output counts diverged across levels: {lo['counts']} "
+            f"vs {hi['counts']} — results discarded")
+
+    os.makedirs("BENCH", exist_ok=True)
+    lines = [
+        "# BENCH/code_scaling_run.md — raw output of the latest code-KG",
+        "# scaling run (narrative + hardware context: BENCH/BASELINE.md)",
+        "",
+        "Same code-KG job (gates → def/import/call extraction → cross-file",
+        f"api_usage; {n_files:,} files, deterministic input + call ring) at",
+        "two parallelism levels on one host, fresh JVM each, warm-up",
+        "excluded from timing, count-only mode (sink IO excluded).",
+        "",
+        "| cores | seconds | files/sec |",
+        "|---|---|---|",
+    ]
+    for r in results:
+        lines.append(f"| local[{r['cores']}] | {r['sec']} | "
+                     f"{r['files_per_sec']:,} |")
+    lines += [
+        "",
+        f"**Scaling efficiency (thr_{hi['cores']} / thr_{lo['cores']}) / "
+        f"{ratio:g} = {efficiency}** (target ≥ 0.8, BASELINE.json).",
+        "",
+        f"Output counts identical at both levels: {parity} "
+        f"({lo['counts']}).",
+    ]
+    with open("BENCH/code_scaling_run.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(json.dumps(summary))
+    return summary
+
+
+if __name__ == "__main__":
+    main()

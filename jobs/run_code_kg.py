@@ -118,8 +118,12 @@ def build_code_kg(spark: SparkSession, files_path: str, out_dir: str,
     sinks = {"nodes_def": defs, "edges_import": imports,
              "edges_call": calls, "edges_api": api}
     for name, df in sinks.items():
-        df.write.mode("overwrite").parquet(f"{out_dir}/{name}")
-        stats[f"n_{name}"] = spark.read.parquet(f"{out_dir}/{name}").count()
+        if out_dir is None:           # count-only mode (scaling bench)
+            stats[f"n_{name}"] = df.count()
+        else:
+            df.write.mode("overwrite").parquet(f"{out_dir}/{name}")
+            stats[f"n_{name}"] = (
+                spark.read.parquet(f"{out_dir}/{name}").count())
     print(json.dumps(stats))
     return stats
 
