@@ -2142,6 +2142,46 @@ def q_code_function_spans(spark, sf_dir):
     return function_spans(docs)
 
 
+def q_code_typosquat(spark, sf_dir):
+    """Import typosquat scan (kg.extract.typosquat_candidates): modules
+    within levenshtein 1 of a popular package, exact members excluded;
+    the popular list rides an IN-ROW literal-array transform — zero
+    joins.  Fixture IN BOTH ENGINES: module = popular[doc_id % 5] with
+    its 2nd char dropped when doc_id % 3 == 0 (a distance-1 squat),
+    legit otherwise — the oracle derives (module, nearest, dist=1) per
+    residue and counts the squatting docs."""
+    from kg.extract import typosquat_candidates
+    popular = ["requests", "numpy", "pandas", "django", "flask"]
+    squat = [p[0] + p[2:] for p in popular]
+    i = F.col("doc_id")
+    legit, bad = F.lit("?"), F.lit("?")
+    for m in range(5):
+        legit = F.when(i % 5 == m, F.lit(popular[m])).otherwise(legit)
+        bad = F.when(i % 5 == m, F.lit(squat[m])).otherwise(bad)
+    imports = _docs(spark, sf_dir).select(
+        "doc_id", F.when(i % 3 == 0, bad).otherwise(legit).alias("module"))
+    return typosquat_candidates(imports, popular, max_dist=1)
+
+
+def q_code_test_ratio(spark, sf_dir):
+    """Per-repo test-definition share (kg.extract.test_def_ratio over
+    def_sites): repo = doc_id % 40; every doc defines run{m5}, docs with
+    doc_id % 2 == 0 also define test_t{m3} — the oracle replays the
+    per-repo counts and the milli ratio."""
+    from kg.extract import def_sites, test_def_ratio
+    i = F.col("doc_id")
+    m3, m5 = [(i % n).cast("string") for n in (3, 5)]
+    content = F.concat(
+        F.when(i % 2 == 0, F.concat(F.lit("def test_t"), m3,
+                                    F.lit("():\n    pass\n")))
+        .otherwise(F.lit("")),
+        F.lit("def run"), m5, F.lit("():\n    pass\n"), F.col("text"))
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", content.alias("content"), F.lit("python").alias("lang"))
+    defs = def_sites(docs).withColumn("repo", F.col("doc_id") % 40)
+    return test_def_ratio(defs)
+
+
 def q_rel_user_scd2(spark, sf_dir):
     """Kimball SCD2 dimension build (kg.relops.scd2_intervals): each
     user's event-type sequence compressed to half-open validity
@@ -4053,6 +4093,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_api_usage": q_code_api_usage,
         "code_diff_stats": q_code_diff_stats,
         "code_function_spans": q_code_function_spans,
+        "code_typosquat": q_code_typosquat,
+        "code_test_ratio": q_code_test_ratio,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also

@@ -1087,3 +1087,66 @@ def function_spans(df: DataFrame, content_col: str = "content",
                        .cast("int")).cast("bigint")
                  .alias("n_body_lines"))
             .drop("_grp"))
+
+
+# --- import typosquat detection (supply-chain scan) -----------------------------
+#
+# Typosquatting — publishing 'requsts' to catch 'requests' typos — is the
+# dominant package-registry attack; registry scanners flag imports within
+# small edit distance of a popular package that are NOT themselves popular
+# (Taylor et al., "Defending Against Package Typosquatting", and the
+# pypi/npm scanner lineage).  The popular list is a small constant
+# (registry top-K), so the scan is an IN-ROW transform over a literal
+# array — zero joins; the only shuffles are the distinct-module and
+# per-module count aggregates, both vocabulary-sized.
+def typosquat_candidates(imports: DataFrame, popular: list[str],
+                         max_dist: int = 1,
+                         module_col: str = "module",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Suspicious-import report:
+
+      (module, nearest, dist, n_files)
+
+    modules within levenshtein distance [1, max_dist] of a popular
+    package (exact members of `popular` are legit and excluded);
+    nearest = the closest popular name, ties to the lexicographically
+    smallest (the (dist, name) struct min).  n_files = files importing
+    the module."""
+    pop = F.lit(list(popular)).cast("array<string>")
+    per = (imports.groupBy(F.col(module_col).alias("module"))
+           .agg(F.countDistinct(id_col).cast("bigint").alias("n_files")))
+    best = F.array_min(F.transform(
+        pop, lambda p: F.struct(
+            F.levenshtein(F.col("module"), p).alias("dist"),
+            p.alias("nearest"))))
+    return (per.withColumn("_b", best)
+            .select("module", F.col("_b.nearest").alias("nearest"),
+                    F.col("_b.dist").cast("bigint").alias("dist"),
+                    "n_files")
+            .filter((F.col("dist") >= 1) & (F.col("dist") <= max_dist)))
+
+
+# --- per-repo test-definition ratio (repo quality profile) ----------------------
+#
+# Tested code is a repo-level quality up-weight in published code-corpus
+# curation (test presence correlates with maintained projects); the cheap
+# exact signal is the share of definition sites following the test naming
+# conventions.  One vocabulary-sized aggregate over the def_sites output.
+TEST_NAME_RE = r"^(test_|Test[A-Z])"
+
+
+def test_def_ratio(defs: DataFrame, repo_col: str = "repo",
+                   name_col: str = "name") -> DataFrame:
+    """Per-repo test-definition share:
+
+      (repo, n_defs, n_test_defs, test_milli)
+
+    a def is a test when its name matches TEST_NAME_RE (pytest's
+    test_* / xUnit's TestCase class prefix)."""
+    is_test = F.col(name_col).rlike(TEST_NAME_RE)
+    return (defs.groupBy(F.col(repo_col).alias("repo"))
+            .agg(F.count("*").cast("bigint").alias("n_defs"),
+                 F.sum(is_test.cast("int")).cast("bigint")
+                 .alias("n_test_defs"))
+            .withColumn("test_milli",
+                        F.expr("1000 * n_test_defs div n_defs")))

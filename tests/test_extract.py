@@ -800,3 +800,51 @@ class TestFunctionSpans:
         src = "def outer():\n    def inner():\n        pass\n"
         got = self._spans(spark, src)
         assert got == {"outer": (0, 2, 2)}
+
+
+class TestTyposquat:
+    POP = ["requests", "numpy", "pandas"]
+
+    def _run(self, spark, rows, **kw):
+        from kg.extract import typosquat_candidates
+        df = spark.createDataFrame(rows, "doc_id bigint, module string")
+        return {r.module: (r.nearest, r.dist, r.n_files)
+                for r in typosquat_candidates(df, self.POP, **kw).collect()}
+
+    def test_one_edit_flagged_exact_excluded(self, spark):
+        rows = [(1, "requests"), (2, "rquests"), (3, "rquests"),
+                (4, "numpy"), (5, "nmpy")]
+        got = self._run(spark, rows)
+        assert got == {"rquests": ("requests", 1, 2),
+                       "nmpy": ("numpy", 1, 1)}
+
+    def test_far_names_not_flagged(self, spark):
+        assert self._run(spark, [(1, "django"), (2, "flask")]) == {}
+
+    def test_max_dist_widens(self, spark):
+        got = self._run(spark, [(1, "rqusts")], max_dist=2)
+        assert got == {"rqusts": ("requests", 2, 1)}
+
+    def test_tie_breaks_lexicographic(self, spark):
+        from kg.extract import typosquat_candidates
+        df = spark.createDataFrame([(1, "pundas")],
+                                   "doc_id bigint, module string")
+        got = typosquat_candidates(df, ["pandas", "pindas"], 1).collect()
+        # both at dist 1 -> smallest name wins
+        assert got[0].nearest == "pandas"
+
+
+class TestTestDefRatio:
+    def _run(self, spark, rows):
+        from kg.extract import test_def_ratio
+        df = spark.createDataFrame(rows, "repo string, name string")
+        return {r.repo: (r.n_defs, r.n_test_defs, r.test_milli)
+                for r in test_def_ratio(df).collect()}
+
+    def test_conventions_and_ratio(self, spark):
+        rows = [("a", "test_login"), ("a", "TestServer"), ("a", "main"),
+                ("a", "testimony"),   # no underscore / not TestX -> not a test
+                ("b", "run")]
+        got = self._run(spark, rows)
+        assert got["a"] == (4, 2, 500)
+        assert got["b"] == (1, 0, 0)

@@ -7055,4 +7055,36 @@ def build_oracle_sql() -> dict[str, str]:
                CAST(1 AS BIGINT) AS n_body_lines
         FROM en"""
 
+    # Typosquat scan (kg.extract.typosquat_candidates): the squat forms
+    # (2nd char dropped) sit at exactly distance 1 from their source and
+    # far from every other popular name — analytic per residue; legit
+    # imports (dist 0) are excluded by the operator's [1, max_dist]
+    # band.
+    _pop = ["requests", "numpy", "pandas", "django", "flask"]
+    _sq_mod = " ".join(
+        f"WHEN {m} THEN '{p[0] + p[2:]}'" for m, p in enumerate(_pop))
+    _sq_near = " ".join(
+        f"WHEN {m} THEN '{p}'" for m, p in enumerate(_pop))
+    sqls["code_typosquat"] = f"""
+        SELECT CASE doc_id % 5 {_sq_mod} END AS module,
+               CASE doc_id % 5 {_sq_near} END AS nearest,
+               CAST(1 AS BIGINT) AS dist,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_files
+        FROM documents WHERE lang = 'en' AND doc_id % 3 = 0
+        GROUP BY 1, 2"""
+
+    # Test-def ratio (kg.extract.test_def_ratio): per-repo def counts
+    # replayed from the residue arms (run{m5} always, test_t{m3} on
+    # even ids), integer milli div.
+    sqls["code_test_ratio"] = """
+        WITH per AS (
+          SELECT doc_id % 40 AS repo,
+                 CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS nd,
+                 CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS nt
+          FROM documents WHERE lang = 'en')
+        SELECT repo, CAST(sum(nd) AS BIGINT) AS n_defs,
+               CAST(sum(nt) AS BIGINT) AS n_test_defs,
+               CAST(1000 * sum(nt) // sum(nd) AS BIGINT) AS test_milli
+        FROM per GROUP BY repo"""
+
     return sqls
