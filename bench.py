@@ -219,6 +219,8 @@ HEADLINE = [
     "code_comment_density",  # comment-line fraction, zero-shuffle
     "code_diff_stats",       # unified-diff shape stats, zero-shuffle
     "code_indent",           # indentation-style inference, zero-shuffle
+    "code_typosquat",        # in-row levenshtein vs popular list
+    "code_test_ratio",       # per-repo test-def share over def_sites
 ]
 
 
