@@ -249,8 +249,10 @@ PERMISSIVE = ("mit", "apache-2.0", "bsd-3-clause", "unlicense")
 
 def license_scan(df: DataFrame, content_col: str = "content",
                  id_col: str = "doc_id",
-                 head_chars: int = 2000) -> DataFrame:
-    """Per-file license verdict: (id, spdx_tag, license, is_permissive).
+                 head_chars: int = 2000,
+                 keep: tuple[str, ...] = ()) -> DataFrame:
+    """Per-file license verdict:
+    (id, *keep, spdx_tag, license, is_permissive).
 
     `spdx_tag` is the raw SPDX header tag ('' when absent); `license` is
     lower(spdx_tag) when tagged, else the phrase-cascade verdict in
@@ -274,7 +276,7 @@ def license_scan(df: DataFrame, content_col: str = "content",
         .otherwise(F.lit("gpl")))
     verdict = chain.otherwise(F.lit("none"))
     return df.select(
-        F.col(id_col),
+        F.col(id_col), *keep,
         spdx.alias("spdx_tag"),
         verdict.alias("license"),
         verdict.isin(*PERMISSIVE).alias("is_permissive"))
@@ -692,22 +694,24 @@ def _depth_fold(chars, open_ch: str, close_ch: str):
 
 
 def bracket_report(df: DataFrame, content_col: str = "content",
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id",
+                   keep: tuple[str, ...] = ()) -> DataFrame:
     """Per-file bracket-balance report:
 
-      (id, {paren,square,curly} × {_open, _close, _depth, _min, _ok},
-       well_formed)
+      (id, *keep, {paren,square,curly} × {_open, _close, _depth, _min,
+       _ok}, well_formed)
 
     counts via length-minus-translate (exact, single pass each); depth
     extrema via one fold per class over the char array bound ONCE
-    (kg.textstats.bind1 — rule 10).  well_formed = all three ok."""
+    (kg.textstats.bind1 — rule 10).  well_formed = all three ok;
+    `keep` columns pass through for narrow gate chains."""
     from kg.textstats import bind1
     content = F.coalesce(F.col(content_col), F.lit(""))
     chars = F.split(content, "")
     folds = bind1(chars, lambda cs: F.struct(*[
         _depth_fold(cs, o, c).alias(name)
         for name, o, c in BRACKET_CLASSES]))
-    cols = [F.col(id_col)]
+    cols = [F.col(id_col), *[F.col(k) for k in keep]]
     for name, o, c in BRACKET_CLASSES:
         cols.append((F.length(content) - F.length(F.translate(content, o, "")))
                     .cast("bigint").alias(f"{name}_open"))
@@ -787,8 +791,8 @@ def indent_report(df: DataFrame, content_col: str = "content",
 # within a repo = (layer, file_id) — deterministic, no RNG.
 def repo_pack_order(files: DataFrame, edges: DataFrame, rounds: int = 6,
                     repo_col: str = "repo", file_col: str = "file_id",
-                    src_col: str = "src",
-                    dst_col: str = "dst") -> DataFrame:
+                    src_col: str = "src", dst_col: str = "dst",
+                    checkpoint_every: int = 0) -> DataFrame:
     """Per-repo dependency-first pack order:
 
       (repo, file_id, layer, pos)
@@ -800,16 +804,27 @@ def repo_pack_order(files: DataFrame, edges: DataFrame, rounds: int = 6,
     relaxation — callers choose rounds >= the max acyclic depth they
     care about.  One shuffle per round over |files|-sized frames (narrow
     next to the corpus scan that produced the edges); final pos is ONE
-    window over the repo partitioning."""
+    window over the repo partitioning.
+
+    The round chain is PURE LINEAGE — each round's frame is referenced
+    exactly once by the next, so no persist/materialize is needed
+    (unlike pagerank, whose dangling-mass branch re-reads the rank
+    frame) and the whole layering collapses into a single Spark job
+    instead of one blocking action per round.  `checkpoint_every` > 0
+    localCheckpoints periodically for deep DAGs where plan-compile time
+    would otherwise grow with rounds (f and e are re-read from their
+    own lineage each round either way — both sides checkpoint once up
+    front when any checkpointing is requested)."""
     from pyspark.sql import Window
     f = (files.select(F.col(repo_col).alias("repo"),
                       F.col(file_col).alias("f")).distinct())
     e = (edges.select(F.col(repo_col).alias("repo"),
                       F.col(src_col).alias("src"),
-                      F.col(dst_col).alias("dst")).distinct().persist())
+                      F.col(dst_col).alias("dst")).distinct())
+    if checkpoint_every:
+        f, e = f.localCheckpoint(), e.localCheckpoint()
     layers = f.withColumn("layer", F.lit(0))
-    prev = None
-    for _ in range(rounds):
+    for i in range(rounds):
         dep = (e.join(layers.select("repo", F.col("f").alias("dst"),
                                     "layer"), ["repo", "dst"])
                .select("repo", F.col("src").alias("f"), "layer")
@@ -817,13 +832,9 @@ def repo_pack_order(files: DataFrame, edges: DataFrame, rounds: int = 6,
                .agg((F.max("layer") + 1).alias("dlayer")))
         layers = (f.join(dep, ["repo", "f"], "left")
                   .select("repo", "f",
-                          F.coalesce("dlayer", F.lit(0)).alias("layer"))
-                  .persist())
-        layers.count()   # materialize before releasing the parent
-        if prev is not None:
-            prev.unpersist()
-        prev = layers
-    e.unpersist()
+                          F.coalesce("dlayer", F.lit(0)).alias("layer")))
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            layers = layers.localCheckpoint()
     w = Window.partitionBy("repo").orderBy("layer", "f")
     out = layers.select(
         F.col("repo").alias(repo_col), F.col("f").alias(file_col),
@@ -898,20 +909,22 @@ _JS_ARROW_RE = r"=>"
 
 
 def lang_scores(df: DataFrame, content_col: str = "content",
-                id_col: str = "doc_id") -> DataFrame:
+                id_col: str = "doc_id",
+                keep: tuple[str, ...] = ()) -> DataFrame:
     """Per-file language guess:
 
-      (id, python_score, java_score, js_score, lang_guess)
+      (id, *keep, python_score, java_score, js_score, lang_guess)
 
     scores = discriminative keyword occurrences (js adds arrow `=>`
     hits); lang_guess = argmax, ties python > java > js, all-zero →
-    'unknown'."""
+    'unknown'.  `keep` columns pass through so gate chains stay narrow
+    (no join back to the corpus)."""
     content = F.coalesce(F.col(content_col), F.lit(""))
     py, jv, js = [F.regexp_count(content, F.lit(p))
                   for _, p in LANG_SIGNALS]
     js = js + F.regexp_count(content, F.lit(_JS_ARROW_RE))
     staged = df.select(
-        F.col(id_col),
+        F.col(id_col), *keep,
         py.cast("bigint").alias("python_score"),
         jv.cast("bigint").alias("java_score"),
         js.cast("bigint").alias("js_score"))

@@ -264,11 +264,17 @@ def hex_entropy_ok(cand: Column) -> Column:
 
 
 def secret_report(df: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id") -> DataFrame:
+                  id_col: str = "doc_id",
+                  keep: tuple[str, ...] = ()) -> DataFrame:
     """Per-document credential-leak report for code corpora:
 
-      (doc_id, n_aws_key, n_github_token, n_slack_token, n_pem_key,
-       n_jwt, n_hex_candidates, n_hex_valid, text_redacted)
+      (doc_id, *keep, n_aws_key, n_github_token, n_slack_token,
+       n_pem_key, n_jwt, n_hex_candidates, n_hex_valid, text_redacted)
+
+    `keep` columns pass through so gate chains stay NARROW — joining
+    the report back to the corpus re-shuffles the full content
+    (measured 1.5x scaling vs 2x for the narrow chain in
+    jobs/bench_code_scaling.py profiling).
 
     Typed secrets (structurally unambiguous prefixes) are redacted
     unconditionally, one regexp_replace per pattern in SECRET_PATTERNS
@@ -302,7 +308,7 @@ def secret_report(df: DataFrame, text_col: str = "text",
             F.lit("<HEX_SECRET>"))
     ).otherwise(red)
     return df.select(
-        F.col(id_col), *counts,
+        F.col(id_col), *keep, *counts,
         F.size(hex_cands).cast("bigint").alias("n_hex_candidates"),
         F.size(hex_valid).cast("bigint").alias("n_hex_valid"),
         red.alias("text_redacted"))
