@@ -300,6 +300,21 @@ IMPORT_PATTERNS: dict[str, tuple[str, ...]] = {
 }
 
 
+def import_array(content, lang):
+    """Imported-module string array of a file — the in-row expression
+    import_edges explodes; exposed for composers (see
+    def_struct_array)."""
+    content = F.coalesce(content, F.lit(""))
+    arr = F.array().cast("array<string>")
+    for lg, pats in IMPORT_PATTERNS.items():
+        ext = None
+        for p in pats:
+            e = F.regexp_extract_all(content, F.lit(p), 1)
+            ext = e if ext is None else F.concat(ext, e)
+        arr = F.when(lang == lg, ext).otherwise(arr)
+    return arr
+
+
 def import_edges(df: DataFrame, content_col: str = "content",
                  lang_col: str = "lang",
                  id_col: str = "doc_id") -> DataFrame:
@@ -310,14 +325,7 @@ def import_edges(df: DataFrame, content_col: str = "content",
     Zero shuffles, zero UDFs — fuses into the corpus scan; duplicate
     import lines in one file emit duplicate edges (callers distinct()
     or weight by count as needed)."""
-    content = F.coalesce(F.col(content_col), F.lit(""))
-    arr = F.array().cast("array<string>")
-    for lang, pats in IMPORT_PATTERNS.items():
-        ext = None
-        for p in pats:
-            e = F.regexp_extract_all(content, F.lit(p), 1)
-            ext = e if ext is None else F.concat(ext, e)
-        arr = F.when(F.col(lang_col) == lang, ext).otherwise(arr)
+    arr = import_array(F.col(content_col), F.col(lang_col))
     out = (df.select(F.col(id_col), F.col(lang_col),
                      F.explode_outer(arr).alias("module"))
            .filter(F.col("module").isNotNull()))
@@ -361,6 +369,32 @@ DEF_PATTERNS: dict[str, tuple[tuple[str, str], ...]] = {
 }
 
 
+def def_struct_array(content, lang):
+    """(kind, name) struct array of a file's definition sites — the
+    in-row expression def_sites explodes; exposed so composers
+    (kg.streaming.stream_code_kg) can concat it with other unit arrays
+    and explode ONCE (rule 3: never a union of projections over a
+    shared child)."""
+    content = F.coalesce(content, F.lit(""))
+    empty = F.array().cast("array<struct<kind:string,name:string>>")
+
+    def _tag(kind):
+        # NOT a two-arg lambda with a default: transform treats binary
+        # lambdas as (element, index) and would bind the INDEX to kind
+        return lambda x: F.struct(F.lit(kind).alias("kind"),
+                                  x.alias("name"))
+
+    arr = empty
+    for lg, pats in DEF_PATTERNS.items():
+        ext = None
+        for kind, pat in pats:
+            e = F.transform(
+                F.regexp_extract_all(content, F.lit(pat), 1), _tag(kind))
+            ext = e if ext is None else F.concat(ext, e)
+        arr = F.when(lang == lg, ext).otherwise(arr)
+    return arr
+
+
 def def_sites(df: DataFrame, content_col: str = "content",
               lang_col: str = "lang",
               id_col: str = "doc_id") -> DataFrame:
@@ -372,23 +406,7 @@ def def_sites(df: DataFrame, content_col: str = "content",
     explode_outer + isNotNull filter — the inferred size()>0 pushdown
     trap, CLAUDE.md rule 2, does not bite built-in extracts but the
     shape is kept uniform with the UDF paths)."""
-    content = F.coalesce(F.col(content_col), F.lit(""))
-    empty = F.array().cast("array<struct<kind:string,name:string>>")
-
-    def _tag(kind):
-        # NOT a two-arg lambda with a default: transform treats binary
-        # lambdas as (element, index) and would bind the INDEX to kind
-        return lambda x: F.struct(F.lit(kind).alias("kind"),
-                                  x.alias("name"))
-
-    arr = empty
-    for lang, pats in DEF_PATTERNS.items():
-        ext = None
-        for kind, pat in pats:
-            e = F.transform(
-                F.regexp_extract_all(content, F.lit(pat), 1), _tag(kind))
-            ext = e if ext is None else F.concat(ext, e)
-        arr = F.when(F.col(lang_col) == lang, ext).otherwise(arr)
+    arr = def_struct_array(F.col(content_col), F.col(lang_col))
     return (df.select(F.col(id_col), F.col(lang_col),
                       F.explode_outer(arr).alias("d"))
             .filter(F.col("d").isNotNull())

@@ -415,3 +415,50 @@ def stream_code_gate(files_stream: DataFrame,
                     F.col("n_hex_valid").alias("n_hex_redacted"),
                     "n_lines", "max_line_len", "mean_line_len_milli",
                     "alnum_frac_milli"))
+
+
+def stream_code_kg(files_stream: DataFrame,
+                   content_col: str = "content",
+                   lang_col: str = "lang",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Streaming code-KG DELTA: the crawl-ingest stream gated
+    (stream_code_gate's secret + quality chain, lang carried through)
+    and immediately decomposed into graph rows
+
+      (id, lang, kind, name)    kind ∈ DEF_PATTERNS kinds ∪ {import}
+
+    — definition-site nodes and import edges appear in the graph the
+    micro-batch their file arrives, the incremental twin of
+    jobs/run_code_kg's batch extraction.  Fully STATELESS: gates and
+    both extractors are per-row expressions, and the def/import unit
+    arrays are CONCATENATED and exploded ONCE (rule 3 — a union of two
+    projections would re-run the shared gate chain per branch; here
+    kg.extract.def_struct_array/import_array expose the in-row arrays
+    precisely so composers can do this).  No watermark, no state store;
+    batch parity is exact by construction and pinned by test."""
+    from kg.extract import (code_quality_flags, def_struct_array,
+                            import_array)
+    from kg.pii import SECRET_PATTERNS, secret_report
+    rep = secret_report(files_stream, text_col=content_col, id_col=id_col,
+                        keep=(lang_col,))
+    secret_cols = tuple(f"n_{name}" for name, _, _ in SECRET_PATTERNS)
+    q = code_quality_flags(rep, content_col="text_redacted",
+                           id_col=id_col,
+                           keep=(lang_col, "text_redacted") + secret_cols)
+    typed = None
+    for c in secret_cols:
+        col = F.col(c)
+        typed = col if typed is None else typed + col
+    gated = q.filter(F.col("passes_code_quality") & (typed == 0))
+    content, lang = F.col("text_redacted"), F.col(lang_col)
+    units = F.concat(
+        def_struct_array(content, lang),
+        F.transform(import_array(content, lang),
+                    lambda m: F.struct(F.lit("import").alias("kind"),
+                                       m.alias("name"))))
+    return (gated.select(F.col(id_col), lang.alias(lang_col),
+                         F.explode_outer(units).alias("d"))
+            .filter(F.col("d").isNotNull())
+            .select(id_col, lang_col,
+                    F.col("d.kind").alias("kind"),
+                    F.col("d.name").alias("name")))
