@@ -1,17 +1,27 @@
-"""Code-payload NL extraction (SURVEY.md §7 Phase 2): pull the natural-
-language units out of source-file `content` — comments, docstrings, string
-literals' neighborhoods are skipped; identifiers are split — producing
-document rows that feed kg.annotate.
+"""Code-corpus extraction: the operators that turn source-file `content`
+into NL units, KG rows, and curation signals.
 
-This is the corpus-specific front end the reference never needed (its texts
-arrived as Cypher parameters, README.md:46-51); BASELINE.json north_star
-makes it first-class: "sentence splitting ... over the content of
-source-code repositories (comments, docstrings, identifiers)".
+Two halves:
 
-Implementation: one `ArrayType(Struct)`-returning pandas UDF per row
-(regex scanning per language family), then explode — same shuffle-free shape
-as the annotator.  Regexes are precompiled at module import (once per Python
-worker process, not per batch).
+1. NL-unit extraction (SURVEY.md §7 Phase 2): comments, docstrings, and
+   split identifiers as document rows feeding kg.annotate — the
+   corpus-specific front end the reference never needed (its texts
+   arrived as Cypher parameters, README.md:46-51); BASELINE.json
+   north_star makes it first-class.  One `ArrayType(Struct)`-returning
+   pandas UDF per row (regexes precompiled once per Python worker),
+   then explode — the annotator's shuffle-free shape.
+
+2. The code-KG / code-curation family (round 4), all zero-UDF built-in
+   expressions that fuse into the corpus scan: StarCoder quality gates,
+   SPDX/phrase license detection, definition-site / import / call-graph
+   / cross-file-API extraction, docstring pairing, identifier subtoken
+   vocabulary, complexity / bracket-balance / indentation /
+   comment-density gates, code language ID, unified-diff stats,
+   top-level function spans, type-2 clone pairs, import typosquat
+   scanning, per-repo test ratios, and repo-context pack order.
+   Report-style operators take `keep=` passthrough columns so gate
+   chains stay narrow (CLAUDE.md rule 11); jobs/run_code_kg.py is the
+   composed pipeline.
 """
 
 from __future__ import annotations
