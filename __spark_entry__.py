@@ -2182,6 +2182,29 @@ def q_code_test_ratio(spark, sf_dir):
     return test_def_ratio(defs)
 
 
+def q_code_embed(spark, sf_dir):
+    """Hashed bag-of-subtokens embedding (kg.extract.
+    hashed_subtoken_embed, Weinberger et al. 2009 feature hashing):
+    bucket = md5_32(subtoken) mod 16, vector = bucket counts — the
+    no-model code vectorizer feeding the ANN stack.  Reuses the
+    code_identifiers fixture tail; the bigint vector is projected to a
+    comma string (driver canonicalizer hashes scalars only) and the
+    oracle replays every bucket."""
+    from kg.extract import hashed_subtoken_embed
+    i = F.col("doc_id")
+    tail = F.concat(
+        F.lit(" getHTTPResponse"), (i % 3).cast("string"),
+        F.lit(" parse_tree"), (i % 5).cast("string"),
+        F.when(i % 2 == 0, F.lit(" XMLHttpRequest")).otherwise(
+            F.lit(" snake_case_name")))
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.concat(F.col("text"), tail).alias("content"))
+    out = hashed_subtoken_embed(docs, b=16)
+    return out.select(
+        "doc_id", "n_subtokens",
+        F.array_join(F.col("vec").cast("array<string>"), ",").alias("vec"))
+
+
 def q_rel_user_scd2(spark, sf_dir):
     """Kimball SCD2 dimension build (kg.relops.scd2_intervals): each
     user's event-type sequence compressed to half-open validity
@@ -4095,6 +4118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_function_spans": q_code_function_spans,
         "code_typosquat": q_code_typosquat,
         "code_test_ratio": q_code_test_ratio,
+        "code_embed": q_code_embed,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also

@@ -452,6 +452,22 @@ CODE_KEYWORDS: tuple[str, ...] = (
 )
 
 
+def subtoken_array(content) -> "F.Column":
+    """In-row lowercase-subtoken array of a file — identifiers outside
+    CODE_KEYWORDS, camel/snake split (the ONE shared definition;
+    identifier_stats explodes it, hashed_subtoken_embed buckets it)."""
+    content = F.coalesce(content, F.lit(""))
+    ids = F.filter(
+        F.regexp_extract_all(content, F.lit(r"[A-Za-z_][A-Za-z0-9_]*"), 0),
+        lambda x: ~F.array_contains(
+            F.lit(list(CODE_KEYWORDS)).cast("array<string>"), F.lower(x)))
+    return F.flatten(F.transform(ids, lambda x: F.split(
+        F.lower(F.regexp_replace(
+            F.regexp_replace(x, r"([A-Z]+)([A-Z][a-z])", r"$1_$2"),
+            r"([a-z0-9])([A-Z])", r"$1_$2")),
+        "_+")))
+
+
 def identifier_stats(df: DataFrame, content_col: str = "content",
                      id_col: str = "doc_id",
                      min_len: int = 2) -> DataFrame:
@@ -465,16 +481,7 @@ def identifier_stats(df: DataFrame, content_col: str = "content",
     than `min_len` are dropped (single letters are loop variables, not
     vocabulary).  Narrow until the final vocabulary aggregate — one
     shuffle, output |vocab| rows."""
-    content = F.coalesce(F.col(content_col), F.lit(""))
-    ids = F.filter(
-        F.regexp_extract_all(content, F.lit(r"[A-Za-z_][A-Za-z0-9_]*"), 0),
-        lambda x: ~F.array_contains(
-            F.lit(list(CODE_KEYWORDS)).cast("array<string>"), F.lower(x)))
-    subs = F.flatten(F.transform(ids, lambda x: F.split(
-        F.lower(F.regexp_replace(
-            F.regexp_replace(x, r"([A-Z]+)([A-Z][a-z])", r"$1_$2"),
-            r"([a-z0-9])([A-Z])", r"$1_$2")),
-        "_+")))
+    subs = subtoken_array(F.col(content_col))
     rows = (df.select(F.col(id_col),
                       F.explode_outer(subs).alias("subtoken"))
             .filter(F.col("subtoken").isNotNull()
@@ -1191,3 +1198,36 @@ def test_def_ratio(defs: DataFrame, repo_col: str = "repo",
                  .alias("n_test_defs"))
             .withColumn("test_milli",
                         F.expr("1000 * n_test_defs div n_defs")))
+
+
+# --- hashed bag-of-subtokens embedding (code search baseline) -------------------
+#
+# Feature hashing (Weinberger et al. 2009) over identifier subtokens —
+# the classical code-search/code-clustering vectorizer that needs no
+# trained vocabulary: bucket = md5₃₂(subtoken) mod b, vector = bucket
+# counts.  The output plugs straight into the kg.similarity ANN stack
+# (cosine top-k, IVF, PQ) giving code a no-model embedding leg next to
+# the `embeddings` table's float vectors.  Zero shuffles: subtokens are
+# bucketed ONCE per row (one md5 per subtoken), then counted per bucket
+# over the bound bucket array (rule 10).
+def hashed_subtoken_embed(df: DataFrame, b: int = 64,
+                          content_col: str = "content",
+                          id_col: str = "doc_id",
+                          min_len: int = 2) -> DataFrame:
+    """Per-file hashed subtoken vector: (id, n_subtokens, vec) with
+    `vec` an array<bigint> of length `b` (bucket counts).  Project vec
+    to a scalar (concat_ws) before any driver-hashed surface — the
+    driver canonicalizer cannot hash array cells."""
+    from kg.textstats import bind1
+    subs = F.filter(subtoken_array(F.col(content_col)),
+                    lambda s: F.length(s) >= min_len)
+    bkts = F.transform(subs, lambda s: (
+        F.conv(F.substring(F.md5(s), 1, 8), 16, 10)
+        .cast("bigint") % b).cast("int"))
+    vec = bind1(bkts, lambda bs: F.transform(
+        F.sequence(F.lit(0), F.lit(b - 1)),
+        lambda i: F.size(F.filter(bs, lambda x: x == i)).cast("bigint")))
+    return df.select(
+        F.col(id_col),
+        F.size(subs).cast("bigint").alias("n_subtokens"),
+        vec.alias("vec"))

@@ -848,3 +848,39 @@ class TestTestDefRatio:
         got = self._run(spark, rows)
         assert got["a"] == (4, 2, 500)
         assert got["b"] == (1, 0, 0)
+
+
+class TestHashedSubtokenEmbed:
+    def _one(self, spark, content, **kw):
+        from kg.extract import hashed_subtoken_embed
+        df = spark.createDataFrame([(0, content)],
+                                   "doc_id bigint, content string")
+        return hashed_subtoken_embed(df, **kw).collect()[0]
+
+    def test_python_replay(self, spark):
+        import hashlib
+        r = self._one(spark, "getHTTPResponse parse_tree for x", b=8)
+        # keywords 'for' dropped, 'x' below min_len
+        subs = ["get", "http", "response", "parse", "tree"]
+        assert r.n_subtokens == 5
+        exp = [0] * 8
+        for s in subs:
+            exp[int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % 8] += 1
+        assert list(r.vec) == exp
+
+    def test_vector_length_and_total(self, spark):
+        r = self._one(spark, "alphaBeta gammaDelta", b=16)
+        assert len(r.vec) == 16 and sum(r.vec) == r.n_subtokens == 4
+
+    def test_empty_null(self, spark):
+        for c in ("", None, "for in not"):
+            r = self._one(spark, c, b=4)
+            assert r.n_subtokens == 0 and list(r.vec) == [0, 0, 0, 0]
+
+    def test_same_structure_same_vec(self, spark):
+        from kg.extract import hashed_subtoken_embed
+        df = spark.createDataFrame(
+            [(0, "fooBar bazQux"), (1, "foo_bar baz_qux")],
+            "doc_id bigint, content string")
+        rows = hashed_subtoken_embed(df, b=8).collect()
+        assert list(rows[0].vec) == list(rows[1].vec)

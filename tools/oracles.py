@@ -7087,4 +7087,49 @@ def build_oracle_sql() -> dict[str, str]:
                CAST(1000 * sum(nt) // sum(nd) AS BIGINT) AS test_milli
         FROM per GROUP BY repo"""
 
+    # Hashed subtoken embedding (kg.extract.hashed_subtoken_embed):
+    # the code_identifiers subtoken machinery + md5-mod-16 buckets,
+    # zero-filled bucket grid string_agg'd in bucket order.
+    _bkt = _hexn_of("md5(s)", 1, 8)
+    sqls["code_embed"] = f"""
+        WITH t AS (
+          SELECT doc_id, text || ' getHTTPResponse'
+            || CAST(doc_id % 3 AS VARCHAR) || ' parse_tree'
+            || CAST(doc_id % 5 AS VARCHAR)
+            || CASE WHEN doc_id % 2 = 0 THEN ' XMLHttpRequest'
+                    ELSE ' snake_case_name' END AS content
+          FROM documents WHERE lang = 'en'),
+        ids AS (
+          SELECT doc_id, unnest(regexp_extract_all(content,
+            '[A-Za-z_][A-Za-z0-9_]*', 0)) AS ident
+          FROM t),
+        subs AS (
+          SELECT doc_id, unnest(string_split_regex(lower(
+            regexp_replace(regexp_replace(ident,
+              '([A-Z]+)([A-Z][a-z])', '\\1_\\2', 'g'),
+              '([a-z0-9])([A-Z])', '\\1_\\2', 'g')), '_+')) AS s
+          FROM ids WHERE lower(ident) NOT IN ({_kwlist})),
+        good AS (
+          SELECT doc_id, s, {_bkt} % 16 AS bkt
+          FROM subs WHERE length(s) >= 2),
+        counts AS (
+          SELECT doc_id, bkt, count(*) AS c FROM good GROUP BY 1, 2),
+        grid AS (
+          SELECT d.doc_id, gs.i AS bkt
+          FROM (SELECT DISTINCT doc_id FROM t) d
+          CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) gs),
+        vecs AS (
+          SELECT grid.doc_id,
+                 string_agg(CAST(coalesce(c.c, 0) AS VARCHAR), ','
+                            ORDER BY grid.bkt) AS vec
+          FROM grid LEFT JOIN counts c
+            ON c.doc_id = grid.doc_id AND c.bkt = grid.bkt
+          GROUP BY grid.doc_id),
+        ns AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+               FROM good GROUP BY 1)
+        SELECT vecs.doc_id,
+               CAST(coalesce(ns.n, 0) AS BIGINT) AS n_subtokens,
+               vecs.vec
+        FROM vecs LEFT JOIN ns USING (doc_id)"""
+
     return sqls
