@@ -2205,6 +2205,30 @@ def q_code_embed(spark, sf_dir):
         F.array_join(F.col("vec").cast("array<string>"), ",").alias("vec"))
 
 
+def q_code_notebook_cells(spark, sf_dir):
+    """Notebook cell extraction (kg.extract.notebook_cells): nbformat
+    JSON → per-cell rows via from_json with an explicit schema + one
+    posexplode.  The fixture BUILDS a well-formed notebook around the
+    (quote-free) doc text IN BOTH ENGINES — a code cell, a markdown
+    cell holding the text, and a raw cell with an empty source when
+    doc_id % 3 == 0 — and the oracle re-parses it with DuckDB's
+    independent JSON parser (json_transform), not string arithmetic."""
+    from kg.extract import notebook_cells
+    i = F.col("doc_id")
+    j = F.concat(
+        F.lit('{"cells":[{"cell_type":"code","source":["x = '),
+        (i % 5).cast("string"),
+        F.lit('\\n","call()"]},{"cell_type":"markdown","source":["'),
+        F.col("text"),
+        F.lit('"]}'),
+        F.when(i % 3 == 0,
+               F.lit(',{"cell_type":"raw","source":[]}'))
+        .otherwise(F.lit("")),
+        F.lit("]}"))
+    docs = _docs(spark, sf_dir).select("doc_id", j.alias("content"))
+    return notebook_cells(docs)
+
+
 def q_rel_user_scd2(spark, sf_dir):
     """Kimball SCD2 dimension build (kg.relops.scd2_intervals): each
     user's event-type sequence compressed to half-open validity
@@ -4119,6 +4143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_typosquat": q_code_typosquat,
         "code_test_ratio": q_code_test_ratio,
         "code_embed": q_code_embed,
+        "code_notebook_cells": q_code_notebook_cells,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also

@@ -221,6 +221,7 @@ HEADLINE = [
     "code_indent",           # indentation-style inference, zero-shuffle
     "code_typosquat",        # in-row levenshtein vs popular list
     "code_test_ratio",       # per-repo test-def share over def_sites
+    "code_embed",            # hashed subtoken vectors, zero-shuffle
 ]
 
 

@@ -1231,3 +1231,39 @@ def hashed_subtoken_embed(df: DataFrame, b: int = 64,
         F.col(id_col),
         F.size(subs).cast("bigint").alias("n_subtokens"),
         vec.alias("vec"))
+
+
+# --- notebook cell extraction (nbformat source format) --------------------------
+#
+# Jupyter notebooks are a first-class code-LM source (the Stack and
+# StarCoder both ship notebook subsets); on disk they are nbformat JSON
+# with per-cell source-LINE arrays.  The extractor is from_json with an
+# EXPLICIT schema (never inference — the kg.corpus.read_corpus contract:
+# inference re-reads data and drifts between files) + one posexplode;
+# malformed JSON parses to null and yields zero rows (Spark from_json
+# contract), matching a crawl's tolerance for truncated files.
+NB_SCHEMA = ("struct<cells: array<struct<cell_type: string,"
+             " source: array<string>>>>")
+
+
+def notebook_cells(df: DataFrame, json_col: str = "content",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Notebook JSON → one row per cell:
+
+      (id, cell_no, cell_type, source)
+
+    cell_no = 0-based position; source = the nbformat line array
+    joined verbatim (lines carry their own newlines); cells with null
+    source yield ''.  Zero shuffles, zero UDFs."""
+    nb = F.from_json(F.coalesce(F.col(json_col), F.lit("")), NB_SCHEMA)
+    return (df.select(F.col(id_col),
+                      F.posexplode_outer(nb["cells"])
+                      .alias("cell_no", "c"))
+            .filter(F.col("c").isNotNull())
+            .select(id_col,
+                    F.col("cell_no").cast("bigint").alias("cell_no"),
+                    F.col("c.cell_type").alias("cell_type"),
+                    F.array_join(F.coalesce(
+                        F.col("c.source"),
+                        F.array().cast("array<string>")), "")
+                    .alias("source")))

@@ -884,3 +884,29 @@ class TestHashedSubtokenEmbed:
             "doc_id bigint, content string")
         rows = hashed_subtoken_embed(df, b=8).collect()
         assert list(rows[0].vec) == list(rows[1].vec)
+
+
+class TestNotebookCells:
+    def _cells(self, spark, j):
+        from kg.extract import notebook_cells
+        df = spark.createDataFrame([(0, j)],
+                                   "doc_id bigint, content string")
+        return [(r.cell_no, r.cell_type, r.source)
+                for r in notebook_cells(df).orderBy("cell_no").collect()]
+
+    def test_code_and_markdown_cells(self, spark):
+        j = ('{"cells":[{"cell_type":"code","source":["x = 1\\n","y()"]},'
+             '{"cell_type":"markdown","source":["# Title"]}]}')
+        assert self._cells(spark, j) == [
+            (0, "code", "x = 1\ny()"), (1, "markdown", "# Title")]
+
+    def test_malformed_truncated_empty_null(self, spark):
+        for j in ("not json", '{"cells":[{"cell_type":"code"', "", None):
+            assert self._cells(spark, j) == []
+
+    def test_missing_source_is_empty(self, spark):
+        j = '{"cells":[{"cell_type":"raw"}]}'
+        assert self._cells(spark, j) == [(0, "raw", "")]
+
+    def test_no_cells_key(self, spark):
+        assert self._cells(spark, '{"nbformat": 4}') == []

@@ -7132,4 +7132,37 @@ def build_oracle_sql() -> dict[str, str]:
                vecs.vec
         FROM vecs LEFT JOIN ns USING (doc_id)"""
 
+    # Notebook cells (kg.extract.notebook_cells): the same built JSON
+    # re-parsed by DuckDB's INDEPENDENT json parser (json_transform to
+    # a typed struct, unnest + subscripts in ONE select so positions
+    # pair), not string arithmetic.  DuckDB standard strings pass \n
+    # through verbatim — the JSON parser turns it into the newline,
+    # exactly as Spark's from_json does.
+    sqls["code_notebook_cells"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+            '{"cells":[{"cell_type":"code","source":["x = '
+            || CAST(doc_id % 5 AS VARCHAR)
+            || '\n","call()"]},{"cell_type":"markdown","source":["'
+            || text || '"]}'
+            || CASE WHEN doc_id % 3 = 0
+                    THEN ',{"cell_type":"raw","source":[]}'
+                    ELSE '' END
+            || ']}' AS j
+          FROM documents WHERE lang = 'en'),
+        typed AS (
+          SELECT doc_id, json_transform(j,
+            '{"cells":[{"cell_type":"VARCHAR","source":["VARCHAR"]}]}')
+            AS nb
+          FROM t),
+        cells AS (
+          SELECT doc_id,
+                 generate_subscripts(nb.cells, 1) - 1 AS cell_no,
+                 unnest(nb.cells) AS c
+          FROM typed)
+        SELECT doc_id, CAST(cell_no AS BIGINT) AS cell_no,
+               c.cell_type AS cell_type,
+               coalesce(array_to_string(c.source, ''), '') AS source
+        FROM cells"""
+
     return sqls
