@@ -2086,16 +2086,22 @@ def q_code_comment_density(spark, sf_dir):
 def q_code_api_usage(spark, sf_dir):
     """Cross-file API-usage edges (kg.extract.api_usage over def_sites +
     call_edges): name-keyed resolution with the hot-name cap and
-    local-shadowing rule.  Fixture IN BOTH ENGINES: every doc defines
-    api{doc_id % 10} (plus 'helper', defined in EVERY doc — exceeds
-    max_defs=50 at every sf, exercising the cap) and calls
-    api{(doc_id+1) % 10} once, so the expected edge set is ANALYTIC:
-    caller c → every doc d with d % 10 == (c+1) % 10, n_calls = 1."""
+    local-shadowing rule.  Fixture IN BOTH ENGINES: docs with
+    doc_id < 500 define api{doc_id % 10} (an ABSOLUTE bound — at most
+    50 ids per residue at ANY scale factor, so the api names stay
+    inside max_defs=50; a corpus-proportional definer set blew the cap
+    at sf0.1 and emptied the Spark side while the oracle kept joining),
+    every doc defines 'helper' (corpus-sized — exceeds the cap at every
+    sf, exercising it) and calls api{(doc_id+1) % 10} once, so the
+    expected edge set is ANALYTIC: caller c → every defining doc d with
+    d % 10 == (c+1) % 10, n_calls = 1."""
     from kg.extract import api_usage, call_edges, def_sites
     i = F.col("doc_id")
     a, b = [(x % 10).cast("string") for x in (i, i + 1)]
     content = F.concat(
-        F.lit("def api"), a, F.lit("():\n    pass\n"),
+        F.when(i < 500, F.concat(F.lit("def api"), a,
+                                 F.lit("():\n    pass\n")))
+        .otherwise(F.lit("")),
         F.lit("def helper(v):\n    pass\n"),
         F.lit("api"), b, F.lit("(1)\nhelper(2)\n"),
         F.col("text"))

@@ -7015,7 +7015,8 @@ def build_oracle_sql() -> dict[str, str]:
 
     # Cross-file API usage (kg.extract.api_usage): the fixture edge set
     # is analytic — every doc calls api{(id+1)%10} once, resolved to
-    # every doc defining that residue's api; 'helper' (defined
+    # every DEFINING doc (doc_id < 500, the absolute bound that keeps
+    # each api name inside max_defs=50 at any sf); 'helper' (defined
     # everywhere) exceeds the cap and vanishes; a caller never defines
     # its own callee (residues differ by 1).
     sqls["code_api_usage"] = """
@@ -7023,7 +7024,8 @@ def build_oracle_sql() -> dict[str, str]:
         SELECT c.doc_id AS caller_file, d.doc_id AS callee_file,
                'api' || CAST((c.doc_id + 1) % 10 AS VARCHAR) AS name,
                CAST(1 AS BIGINT) AS n_calls
-        FROM en c JOIN en d ON d.doc_id % 10 = (c.doc_id + 1) % 10"""
+        FROM en c JOIN en d ON d.doc_id % 10 = (c.doc_id + 1) % 10
+                           AND d.doc_id < 500"""
 
     # Diff stats (kg.extract.diff_stats): the synthetic patch's counts
     # are analytic in the residues (one file header; the ---/+++ header
