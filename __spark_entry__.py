@@ -2235,6 +2235,24 @@ def q_code_notebook_cells(spark, sf_dir):
     return notebook_cells(docs)
 
 
+def q_code_md_blocks(spark, sf_dir):
+    """Fenced code-block extraction (kg.extract.markdown_code_blocks):
+    one (?s) lazy regex pass + one zip_with explode.  The fixture wraps
+    the doc text in markdown with a python-hinted block (always) and a
+    bare block (doc_id % 2 == 0) IN BOTH ENGINES — analytic oracle."""
+    from kg.extract import markdown_code_blocks
+    i = F.col("doc_id")
+    m3, m5 = [(i % n).cast("string") for n in (3, 5)]
+    content = F.concat(
+        F.lit("# readme\n"), F.col("text"),
+        F.lit("\n```python\nx = "), m5, F.lit("\n```\nprose\n"),
+        F.when(i % 2 == 0,
+               F.concat(F.lit("```\nplain "), m3, F.lit("\n```\n")))
+        .otherwise(F.lit("")))
+    docs = _docs(spark, sf_dir).select("doc_id", content.alias("content"))
+    return markdown_code_blocks(docs)
+
+
 def q_rel_user_scd2(spark, sf_dir):
     """Kimball SCD2 dimension build (kg.relops.scd2_intervals): each
     user's event-type sequence compressed to half-open validity
@@ -4150,6 +4168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_test_ratio": q_code_test_ratio,
         "code_embed": q_code_embed,
         "code_notebook_cells": q_code_notebook_cells,
+        "code_md_blocks": q_code_md_blocks,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also

@@ -1267,3 +1267,39 @@ def notebook_cells(df: DataFrame, json_col: str = "content",
                         F.col("c.source"),
                         F.array().cast("array<string>")), "")
                     .alias("source")))
+
+
+# --- fenced code-block extraction (markdown/docs mining) ------------------------
+#
+# READMEs and docs hold fenced ``` blocks — the (explanatory prose,
+# code snippet) pairs doc-aware code-LM sets mine (The Stack's markdown
+# subset; doc-to-code alignment).  One (?s) non-greedy regex pass per
+# file (RE2-portable: dotall + lazy quantifiers, no lookaround), one
+# explode; the info string after the opening fence is kept as the
+# language hint.  Zero shuffles, zero UDFs.
+FENCE_RE = r"(?s)```([A-Za-z0-9_+-]*)[ \t]*\n(.*?)```"
+
+
+def markdown_code_blocks(df: DataFrame, content_col: str = "content",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Markdown → one row per fenced code block:
+
+      (id, block_no, lang_hint, code)
+
+    block_no = 0-based order of appearance; lang_hint = the fence info
+    string ('' when bare); code = the block body verbatim (trailing
+    newline before the closing fence included).  Unterminated fences
+    yield nothing (the lazy group needs its closing fence)."""
+    content = F.coalesce(F.col(content_col), F.lit(""))
+    hints = F.regexp_extract_all(content, F.lit(FENCE_RE), 1)
+    bodies = F.regexp_extract_all(content, F.lit(FENCE_RE), 2)
+    units = F.zip_with(
+        hints, bodies,
+        lambda h, b: F.struct(h.alias("lang_hint"), b.alias("code")))
+    return (df.select(F.col(id_col),
+                      F.posexplode_outer(units).alias("block_no", "u"))
+            .filter(F.col("u").isNotNull())
+            .select(id_col,
+                    F.col("block_no").cast("bigint").alias("block_no"),
+                    F.col("u.lang_hint").alias("lang_hint"),
+                    F.col("u.code").alias("code")))

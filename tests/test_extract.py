@@ -910,3 +910,32 @@ class TestNotebookCells:
 
     def test_no_cells_key(self, spark):
         assert self._cells(spark, '{"nbformat": 4}') == []
+
+
+class TestMarkdownCodeBlocks:
+    def _blocks(self, spark, content):
+        from kg.extract import markdown_code_blocks
+        df = spark.createDataFrame([(0, content)],
+                                   "doc_id bigint, content string")
+        return [(r.block_no, r.lang_hint, r.code) for r in
+                markdown_code_blocks(df).orderBy("block_no").collect()]
+
+    def test_two_blocks_with_hints(self, spark):
+        md = ("# Title\n\n```python\nx = 1\ny = 2\n```\nprose\n"
+              "```\nbare block\n```\n")
+        assert self._blocks(spark, md) == [
+            (0, "python", "x = 1\ny = 2\n"), (1, "", "bare block\n")]
+
+    def test_lazy_matching_not_greedy(self, spark):
+        md = "```a\nfirst\n```\nmiddle\n```b\nsecond\n```"
+        got = self._blocks(spark, md)
+        assert [g[2] for g in got] == ["first\n", "second\n"]
+
+    def test_unterminated_and_plain(self, spark):
+        assert self._blocks(spark, "```python\nno closing fence") == []
+        assert self._blocks(spark, "no fences at all") == []
+        assert self._blocks(spark, None) == []
+
+    def test_multiline_body_kept_verbatim(self, spark):
+        md = "```js\nline1\n\n  indented\n```"
+        assert self._blocks(spark, md) == [(0, "js", "line1\n\n  indented\n")]

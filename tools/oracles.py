@@ -7167,4 +7167,18 @@ def build_oracle_sql() -> dict[str, str]:
                coalesce(array_to_string(c.source, ''), '') AS source
         FROM cells"""
 
+    # Markdown fenced blocks (kg.extract.markdown_code_blocks): the
+    # fixture's two blocks are analytic in the residues; the doc text
+    # carries no backticks (no-punct corpus), so it cannot open fences.
+    sqls["code_md_blocks"] = """
+        WITH en AS (SELECT doc_id FROM documents WHERE lang = 'en')
+        SELECT doc_id, CAST(0 AS BIGINT) AS block_no,
+               'python' AS lang_hint,
+               'x = ' || CAST(doc_id % 5 AS VARCHAR) || chr(10) AS code
+        FROM en
+        UNION ALL
+        SELECT doc_id, CAST(1 AS BIGINT) AS block_no, '' AS lang_hint,
+               'plain ' || CAST(doc_id % 3 AS VARCHAR) || chr(10) AS code
+        FROM en WHERE doc_id % 2 = 0"""
+
     return sqls
