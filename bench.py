@@ -222,6 +222,8 @@ HEADLINE = [
     "code_typosquat",        # in-row levenshtein vs popular list
     "code_test_ratio",       # per-repo test-def share over def_sites
     "code_embed",            # hashed subtoken vectors, zero-shuffle
+    "code_notebook_cells",   # nbformat JSON cells, from_json
+    "code_md_blocks",        # fenced code blocks, lazy regex
 ]
 
 
