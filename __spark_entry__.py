@@ -2253,6 +2253,22 @@ def q_code_md_blocks(spark, sf_dir):
     return markdown_code_blocks(docs)
 
 
+def q_code_strings(spark, sf_dir):
+    """String-literal extraction (kg.extract.string_literals): both
+    quote styles in ONE alternation pass so interleavings keep true
+    order; escape-aware, newline-bounded.  A double-quoted and a
+    single-quoted literal wrap residues IN BOTH ENGINES ahead of the
+    quote-free doc text — analytic oracle."""
+    from kg.extract import string_literals
+    i = F.col("doc_id")
+    m3, m5 = [(i % n).cast("string") for n in (3, 5)]
+    content = F.concat(
+        F.lit('msg = "hello '), m5, F.lit('"\npath = \'dir f'), m3,
+        F.lit("'\n"), F.col("text"))
+    docs = _docs(spark, sf_dir).select("doc_id", content.alias("content"))
+    return string_literals(docs)
+
+
 def q_rel_user_scd2(spark, sf_dir):
     """Kimball SCD2 dimension build (kg.relops.scd2_intervals): each
     user's event-type sequence compressed to half-open validity
@@ -4169,6 +4185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_embed": q_code_embed,
         "code_notebook_cells": q_code_notebook_cells,
         "code_md_blocks": q_code_md_blocks,
+        "code_strings": q_code_strings,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also

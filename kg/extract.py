@@ -1303,3 +1303,37 @@ def markdown_code_blocks(df: DataFrame, content_col: str = "content",
                     F.col("block_no").cast("bigint").alias("block_no"),
                     F.col("u.lang_hint").alias("lang_hint"),
                     F.col("u.code").alias("code")))
+
+
+# --- string-literal extraction (NL-in-code mining) ------------------------------
+#
+# String literals carry the remaining natural language in source files
+# (user-facing messages, log lines, SQL) that comments/docstrings
+# (extract_nl_units) don't cover — i18n harvesting and NL-mining both
+# start here.  ONE alternation regex pass in the RE2-portable subset
+# (escape-aware: \" inside a double-quoted literal does not close it;
+# newlines never cross a literal), one explode.  Zero shuffles/UDFs.
+STRING_LIT_RE = ("\"(?:[^\"\\\\\\n]|\\\\.)*\""
+                 "|'(?:[^'\\\\\\n]|\\\\.)*'")
+
+
+def string_literals(df: DataFrame, content_col: str = "content",
+                    id_col: str = "doc_id") -> DataFrame:
+    """File → one row per string literal:
+
+      (id, lit_no, quote, text)
+
+    lit_no = 0-based order of appearance (both quote styles in ONE
+    pass, so interleavings keep their true order); quote ∈ {", '};
+    text = the raw content between the quotes (escape sequences left
+    as written — unescaping is a consumer decision)."""
+    content = F.coalesce(F.col(content_col), F.lit(""))
+    lits = F.regexp_extract_all(content, F.lit(STRING_LIT_RE), 0)
+    return (df.select(F.col(id_col),
+                      F.posexplode_outer(lits).alias("lit_no", "m"))
+            .filter(F.col("m").isNotNull())
+            .select(id_col,
+                    F.col("lit_no").cast("bigint").alias("lit_no"),
+                    F.substring("m", 1, 1).alias("quote"),
+                    F.expr("substring(m, 2, length(m) - 2)")
+                    .alias("text")))

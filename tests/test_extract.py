@@ -939,3 +939,33 @@ class TestMarkdownCodeBlocks:
     def test_multiline_body_kept_verbatim(self, spark):
         md = "```js\nline1\n\n  indented\n```"
         assert self._blocks(spark, md) == [(0, "js", "line1\n\n  indented\n")]
+
+
+class TestStringLiterals:
+    def _lits(self, spark, content):
+        from kg.extract import string_literals
+        df = spark.createDataFrame([(0, content)],
+                                   "doc_id bigint, content string")
+        return [(r.lit_no, r.quote, r.text) for r in
+                string_literals(df).orderBy("lit_no").collect()]
+
+    def test_both_styles_in_order(self, spark):
+        src = "a = \"hello\"\nb = 'world'\nc = \"again\"\n"
+        assert self._lits(spark, src) == [
+            (0, '"', "hello"), (1, "'", "world"), (2, '"', "again")]
+
+    def test_escaped_quote_does_not_close(self, spark):
+        src = 'x = "say \\"hi\\" now"'
+        assert self._lits(spark, src) == [(0, '"', 'say \\"hi\\" now')]
+
+    def test_newline_never_crosses(self, spark):
+        assert self._lits(spark, 'x = "open\nstill"') == []
+
+    def test_empty_literal_and_null(self, spark):
+        assert self._lits(spark, 'x = ""') == [(0, '"', "")]
+        assert self._lits(spark, None) == []
+
+    def test_apostrophe_free_mixing(self, spark):
+        # a ' inside a "..." literal is part of the literal, not an opener
+        assert self._lits(spark, "x = \"it's fine\"") == [
+            (0, '"', "it's fine")]

@@ -7181,4 +7181,17 @@ def build_oracle_sql() -> dict[str, str]:
                'plain ' || CAST(doc_id % 3 AS VARCHAR) || chr(10) AS code
         FROM en WHERE doc_id % 2 = 0"""
 
+    # String literals (kg.extract.string_literals): the fixture's two
+    # literals are analytic; the doc text is quote-free so it opens
+    # nothing.
+    sqls["code_strings"] = """
+        WITH en AS (SELECT doc_id FROM documents WHERE lang = 'en')
+        SELECT doc_id, CAST(0 AS BIGINT) AS lit_no, '"' AS quote,
+               'hello ' || CAST(doc_id % 5 AS VARCHAR) AS text
+        FROM en
+        UNION ALL
+        SELECT doc_id, CAST(1 AS BIGINT) AS lit_no, chr(39) AS quote,
+               'dir f' || CAST(doc_id % 3 AS VARCHAR) AS text
+        FROM en"""
+
     return sqls
