@@ -224,6 +224,7 @@ HEADLINE = [
     "code_embed",            # hashed subtoken vectors, zero-shuffle
     "code_notebook_cells",   # nbformat JSON cells, from_json
     "code_md_blocks",        # fenced code blocks, lazy regex
+    "code_strings",          # string-literal harvest, one pass
 ]
 
 
