@@ -2269,6 +2269,28 @@ def q_code_strings(spark, sf_dir):
     return string_literals(docs)
 
 
+def q_code_hygiene(spark, sf_dir):
+    """File-hygiene stats (kg.extract.file_hygiene): BOM/shebang flags,
+    CRLF and trailing-whitespace counts, longest blank-line run,
+    trailing newline — zero-shuffle crawl-normalization signals.
+    Residue arms IN BOTH ENGINES: BOM at %5==0, '#!' at %4==0 (strict:
+    a BOM defeats it), %3 CRLF pairs, a trailing-space line at %7==0,
+    a (%4 + 1)-newline run, final newline at %2==0 — analytic oracle."""
+    from kg.extract import file_hygiene
+    i = F.col("doc_id")
+    m3, m4 = (i % 3).cast("int"), (i % 4).cast("int")
+    content = F.concat(
+        F.when(i % 5 == 0, F.lit("﻿")).otherwise(F.lit("")),
+        F.when(i % 4 == 0, F.lit("#!/bin/sh\n")).otherwise(F.lit("")),
+        F.lit("a"), F.repeat(F.lit("\r\nb"), m3), F.lit("\n"),
+        F.col("text"),
+        F.when(i % 7 == 0, F.lit(" ")).otherwise(F.lit("")),
+        F.lit("\nz"), F.repeat(F.lit("\n"), m4 + 1), F.lit("w"),
+        F.when(i % 2 == 0, F.lit("\n")).otherwise(F.lit("")))
+    docs = _docs(spark, sf_dir).select("doc_id", content.alias("content"))
+    return file_hygiene(docs)
+
+
 def q_rel_user_scd2(spark, sf_dir):
     """Kimball SCD2 dimension build (kg.relops.scd2_intervals): each
     user's event-type sequence compressed to half-open validity
@@ -4186,6 +4208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_notebook_cells": q_code_notebook_cells,
         "code_md_blocks": q_code_md_blocks,
         "code_strings": q_code_strings,
+        "code_hygiene": q_code_hygiene,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also

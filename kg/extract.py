@@ -1337,3 +1337,38 @@ def string_literals(df: DataFrame, content_col: str = "content",
                     F.substring("m", 1, 1).alias("quote"),
                     F.expr("substring(m, 2, length(m) - 2)")
                     .alias("text")))
+
+
+# --- file-hygiene stats (crawl normalization) -----------------------------------
+#
+# The normalization decisions a code crawl makes before anything else —
+# strip BOMs, normalize CRLF, drop executables-by-shebang from library
+# corpora, collapse blank-line padding, trim trailing whitespace — each
+# need a per-file signal first.  One zero-shuffle narrow map of exact
+# counts/flags; all patterns RE2-portable.
+def file_hygiene(df: DataFrame, content_col: str = "content",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-file hygiene report:
+
+      (id, has_bom, has_shebang, n_crlf, n_ws_lines, max_blank_lines,
+       trailing_newline)
+
+    has_shebang is STRICT start-of-file '#!' (a BOM before it breaks
+    shebang semantics for the OS too); n_ws_lines = lines with trailing
+    spaces/tabs; max_blank_lines = the longest run of consecutive empty
+    lines (longest newline run minus one)."""
+    content = F.coalesce(F.col(content_col), F.lit(""))
+    runs = F.transform(
+        F.regexp_extract_all(content, F.lit(r"\n{2,}"), 0),
+        lambda x: F.length(x))
+    return df.select(
+        F.col(id_col),
+        content.startswith("﻿").alias("has_bom"),
+        content.startswith("#!").alias("has_shebang"),
+        F.regexp_count(content, F.lit(r"\r\n")).cast("bigint")
+        .alias("n_crlf"),
+        F.regexp_count(content, F.lit(r"(?m)[ \t]+$")).cast("bigint")
+        .alias("n_ws_lines"),
+        (F.coalesce(F.array_max(runs), F.lit(1)) - 1).cast("bigint")
+        .alias("max_blank_lines"),
+        content.endswith("\n").alias("trailing_newline"))

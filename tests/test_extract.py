@@ -969,3 +969,34 @@ class TestStringLiterals:
         # a ' inside a "..." literal is part of the literal, not an opener
         assert self._lits(spark, "x = \"it's fine\"") == [
             (0, '"', "it's fine")]
+
+
+class TestFileHygiene:
+    def _one(self, spark, content):
+        from kg.extract import file_hygiene
+        df = spark.createDataFrame([(0, content)],
+                                   "doc_id bigint, content string")
+        return file_hygiene(df).collect()[0]
+
+    def test_hand_flags(self, spark):
+        r = self._one(spark, "﻿hello\r\nworld  \n\n\n\nend\n")
+        assert r.has_bom and not r.has_shebang
+        assert r.n_crlf == 1 and r.n_ws_lines == 1
+        assert r.max_blank_lines == 3 and r.trailing_newline
+
+    def test_shebang_strict(self, spark):
+        assert self._one(spark, "#!/bin/sh\necho hi").has_shebang
+        # a BOM before #! breaks shebang semantics -> strict False
+        assert not self._one(spark, "﻿#!/bin/sh\n").has_shebang
+
+    def test_clean_file(self, spark):
+        r = self._one(spark, "a\nb\nc\n")
+        assert (r.has_bom, r.n_crlf, r.n_ws_lines,
+                r.max_blank_lines) == (False, 0, 0, 0)
+        assert r.trailing_newline
+
+    def test_empty_and_null(self, spark):
+        for c in ("", None):
+            r = self._one(spark, c)
+            assert (r.n_crlf, r.max_blank_lines,
+                    r.trailing_newline) == (0, 0, False)

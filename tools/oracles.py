@@ -7194,4 +7194,17 @@ def build_oracle_sql() -> dict[str, str]:
                'dir f' || CAST(doc_id % 3 AS VARCHAR) AS text
         FROM en"""
 
+    # File hygiene (kg.extract.file_hygiene): every column is analytic
+    # in the residue arms (doc text contributes no control chars).
+    sqls["code_hygiene"] = """
+        SELECT doc_id,
+               doc_id % 5 = 0 AS has_bom,
+               doc_id % 4 = 0 AND doc_id % 5 <> 0 AS has_shebang,
+               CAST(doc_id % 3 AS BIGINT) AS n_crlf,
+               CAST(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS BIGINT)
+                 AS n_ws_lines,
+               CAST(doc_id % 4 AS BIGINT) AS max_blank_lines,
+               doc_id % 2 = 0 AS trailing_newline
+        FROM documents WHERE lang = 'en'"""
+
     return sqls
