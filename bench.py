@@ -225,6 +225,7 @@ HEADLINE = [
     "code_notebook_cells",   # nbformat JSON cells, from_json
     "code_md_blocks",        # fenced code blocks, lazy regex
     "code_strings",          # string-literal harvest, one pass
+    "code_hygiene",          # BOM/CRLF/shebang/blank-run stats
 ]
 
 
