@@ -2291,6 +2291,33 @@ def q_code_hygiene(spark, sf_dir):
     return file_hygiene(docs)
 
 
+def q_code_manifest_deps(spark, sf_dir):
+    """Dependency-manifest parsing (kg.extract.manifest_deps): npm
+    package.json (from_json explicit schema, runtime + dev scopes) and
+    pip requirements.txt (pinned name==version lines), branch-selected
+    unit arrays exploded ONCE.  Even doc_ids carry a package.json (the
+    quote-free doc text rides the name field), odd ones a
+    requirements.txt with a comment and a bare line — analytic
+    residue oracle."""
+    from kg.extract import manifest_deps
+    i = F.col("doc_id")
+    m3, m5, m7 = [(i % n).cast("string") for n in (3, 5, 7)]
+    npm = F.concat(
+        F.lit('{"name":"'), F.col("text"),
+        F.lit('","dependencies":{"lodash":"^4.'), m3,
+        F.lit('","react":"1'), m5,
+        F.lit('.2"},"devDependencies":{"jest":"^2'), m7, F.lit('"}}'))
+    pip = F.concat(
+        F.lit("flask==1."), m3, F.lit("\n# note\nnumpy==0."), m5,
+        F.lit("\nrequests\n"), F.col("text"))
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(i % 2 == 0, F.lit("npm")).otherwise(F.lit("pip"))
+        .alias("kind"),
+        F.when(i % 2 == 0, npm).otherwise(pip).alias("content"))
+    return manifest_deps(docs)
+
+
 def q_rel_user_scd2(spark, sf_dir):
     """Kimball SCD2 dimension build (kg.relops.scd2_intervals): each
     user's event-type sequence compressed to half-open validity
@@ -4209,6 +4236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_md_blocks": q_code_md_blocks,
         "code_strings": q_code_strings,
         "code_hygiene": q_code_hygiene,
+        "code_manifest_deps": q_code_manifest_deps,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also

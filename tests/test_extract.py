@@ -1000,3 +1000,34 @@ class TestFileHygiene:
             r = self._one(spark, c)
             assert (r.n_crlf, r.max_blank_lines,
                     r.trailing_newline) == (0, 0, False)
+
+
+class TestManifestDeps:
+    def _deps(self, spark, kind, content):
+        from kg.extract import manifest_deps
+        df = spark.createDataFrame([(0, kind, content)],
+                                   "doc_id bigint, kind string, "
+                                   "content string")
+        return {(r.scope, r.package, r.spec)
+                for r in manifest_deps(df).collect()}
+
+    def test_npm_scopes(self, spark):
+        j = ('{"name":"app","dependencies":{"lodash":"^4.17",'
+             '"react":"18.2"},"devDependencies":{"jest":"^29"}}')
+        assert self._deps(spark, "npm", j) == {
+            ("runtime", "lodash", "^4.17"), ("runtime", "react", "18.2"),
+            ("dev", "jest", "^29")}
+
+    def test_npm_missing_sections_and_malformed(self, spark):
+        assert self._deps(spark, "npm", '{"name":"x"}') == set()
+        assert self._deps(spark, "npm", "truncated {") == set()
+
+    def test_pip_pinned_only(self, spark):
+        reqs = ("flask==1.2\n# a comment\nnumpy==0.9\n"
+                "requests\nscipy>=1.0\n")
+        assert self._deps(spark, "pip", reqs) == {
+            ("pinned", "flask", "1.2"), ("pinned", "numpy", "0.9")}
+
+    def test_other_kind_and_null(self, spark):
+        assert self._deps(spark, "cargo", "[dependencies]") == set()
+        assert self._deps(spark, "pip", None) == set()

@@ -7207,4 +7207,30 @@ def build_oracle_sql() -> dict[str, str]:
                doc_id % 2 = 0 AS trailing_newline
         FROM documents WHERE lang = 'en'"""
 
+    # Manifest deps (kg.extract.manifest_deps): both fixture manifests
+    # are analytic in the residues (npm 3 rows on even ids, pip 2
+    # pinned rows on odd — the comment and the bare 'requests' line
+    # are skipped by contract).
+    sqls["code_manifest_deps"] = """
+        WITH en AS (SELECT doc_id FROM documents WHERE lang = 'en')
+        SELECT doc_id, 'runtime' AS scope, 'lodash' AS package,
+               '^4.' || CAST(doc_id % 3 AS VARCHAR) AS spec
+        FROM en WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT doc_id, 'runtime', 'react',
+               '1' || CAST(doc_id % 5 AS VARCHAR) || '.2'
+        FROM en WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT doc_id, 'dev', 'jest',
+               '^2' || CAST(doc_id % 7 AS VARCHAR)
+        FROM en WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT doc_id, 'pinned', 'flask',
+               '1.' || CAST(doc_id % 3 AS VARCHAR)
+        FROM en WHERE doc_id % 2 = 1
+        UNION ALL
+        SELECT doc_id, 'pinned', 'numpy',
+               '0.' || CAST(doc_id % 5 AS VARCHAR)
+        FROM en WHERE doc_id % 2 = 1"""
+
     return sqls
