@@ -226,6 +226,7 @@ HEADLINE = [
     "code_md_blocks",        # fenced code blocks, lazy regex
     "code_strings",          # string-literal harvest, one pass
     "code_hygiene",          # BOM/CRLF/shebang/blank-run stats
+    "code_manifest_deps",    # npm/pip declared-dependency rows
 ]
 
 
