@@ -2318,6 +2318,42 @@ def q_code_manifest_deps(spark, sf_dir):
     return manifest_deps(docs)
 
 
+def q_code_kg_paths(spark, sf_dir):
+    """Code-KG traversal composition: the cross-file CALLS_API edges
+    (the q_code_api_usage fixture — residue ring, definers bounded at
+    doc_id < 500) mapped into the (subj, pred, obj) triple form and
+    walked TWO hops by the Cypher-parity layer (kg.query.expand_path,
+    max_fanout=5 — the hub cap's deterministic lowest-sorting
+    destinations; ids are zero-padded so lexicographic == numeric).
+    The triple frame is localCheckpointed before the per-step branches
+    (expand_path's documented contract for non-table-rooted inputs).
+    Oracle: the capped edge set replayed with a row_number window, then
+    one self-join."""
+    from kg.extract import api_usage, call_edges, def_sites
+    from kg.query import expand_path
+    i = F.col("doc_id")
+    a, b = [(x % 10).cast("string") for x in (i, i + 1)]
+    content = F.concat(
+        F.when(i < 500, F.concat(F.lit("def api"), a,
+                                 F.lit("():\n    pass\n")))
+        .otherwise(F.lit("")),
+        F.lit("def helper(v):\n    pass\n"),
+        F.lit("api"), b, F.lit("(1)\nhelper(2)\n"),
+        F.col("text"))
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", content.alias("content"), F.lit("python").alias("lang"))
+    api = api_usage(def_sites(docs), call_edges(docs), max_defs=50)
+
+    def lab(c):
+        return F.concat(F.lit("file:"), F.lpad(c.cast("string"), 6, "0"))
+
+    triples = (api.select(lab(F.col("caller_file")).alias("subj"),
+                          F.lit("CALLS_API").alias("pred"),
+                          lab(F.col("callee_file")).alias("obj"))
+               .localCheckpoint())
+    return expand_path(triples, ["CALLS_API", "CALLS_API"], max_fanout=5)
+
+
 def q_rel_user_scd2(spark, sf_dir):
     """Kimball SCD2 dimension build (kg.relops.scd2_intervals): each
     user's event-type sequence compressed to half-open validity
@@ -4237,6 +4273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_strings": q_code_strings,
         "code_hygiene": q_code_hygiene,
         "code_manifest_deps": q_code_manifest_deps,
+        "code_kg_paths": q_code_kg_paths,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also

@@ -7233,4 +7233,24 @@ def build_oracle_sql() -> dict[str, str]:
                '0.' || CAST(doc_id % 5 AS VARCHAR)
         FROM en WHERE doc_id % 2 = 1"""
 
+    # Code-KG 2-hop traversal (kg.query.expand_path over CALLS_API):
+    # the api-usage residue-ring edges (definers bounded at id < 500),
+    # per-hop fanout capped at the 5 lowest-sorting destinations
+    # (zero-padded labels make lexicographic == numeric), one
+    # self-join, DISTINCT paths.
+    sqls["code_kg_paths"] = """
+        WITH en AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+        e AS (
+          SELECT 'file:' || lpad(CAST(c.doc_id AS VARCHAR), 6, '0') AS a,
+                 'file:' || lpad(CAST(d.doc_id AS VARCHAR), 6, '0') AS b
+          FROM en c JOIN en d ON d.doc_id % 10 = (c.doc_id + 1) % 10
+                             AND d.doc_id < 500),
+        capped AS (
+          SELECT a, b FROM (
+            SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY b)
+              AS rn
+            FROM e) WHERE rn <= 5)
+        SELECT DISTINCT h1.a AS n0, h1.b AS n1, h2.b AS n2
+        FROM capped h1 JOIN capped h2 ON h2.a = h1.b"""
+
     return sqls
