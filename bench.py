@@ -227,6 +227,7 @@ HEADLINE = [
     "code_strings",          # string-literal harvest, one pass
     "code_hygiene",          # BOM/CRLF/shebang/blank-run stats
     "code_manifest_deps",    # npm/pip declared-dependency rows
+    "code_kg_paths",         # CALLS_API triples, capped 2-hop
 ]
 
 
