@@ -2354,6 +2354,33 @@ def q_code_kg_paths(spark, sf_dir):
     return expand_path(triples, ["CALLS_API", "CALLS_API"], max_fanout=5)
 
 
+def q_code_func_dedup(spark, sf_dir):
+    """Function-granularity exact dedup (function_spans with_text=True
+    → sha256 of the span body): duplicated function bodies across files
+    grouped by content hash — the unit code corpora dedup at (function
+    clones dominate file clones).  Reuses the code_function_spans
+    fixture, whose two functions repeat per residue class (3 one{m}
+    classes, 4 two{m} classes, every class duplicated at any sf); the
+    oracle rebuilds each class body string and sha256s it in DuckDB
+    (the hashes must agree byte-for-byte across engines)."""
+    from kg.extract import function_spans
+    i = F.col("doc_id")
+    m3, m4 = [(i % n).cast("string") for n in (3, 4)]
+    content = F.concat(
+        F.lit("def one"), m3, F.lit("():\n    a()\n\n    b()\n"),
+        F.lit("def two"), m4, F.lit("():\n    pass\n"),
+        F.lit("x = top()\n"), F.col("text"))
+    docs = _docs(spark, sf_dir).select("doc_id", content.alias("content"))
+    spans = function_spans(docs, with_text=True)
+    return (spans.groupBy(
+                F.substring(F.sha2(F.col("body"), 256), 1, 16)
+                .alias("body_sha16"),
+                "name")
+            .agg(F.countDistinct("doc_id").cast("bigint")
+                 .alias("n_files"))
+            .filter(F.col("n_files") >= 2))
+
+
 def q_rel_user_scd2(spark, sf_dir):
     """Kimball SCD2 dimension build (kg.relops.scd2_intervals): each
     user's event-type sequence compressed to half-open validity
@@ -4274,6 +4301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_hygiene": q_code_hygiene,
         "code_manifest_deps": q_code_manifest_deps,
         "code_kg_paths": q_code_kg_paths,
+        "code_func_dedup": q_code_func_dedup,
         # --- demoted to make window room for the 26 r4-late queries: these
         # twenty-six are the lowest-risk stale rows (simple zero/one-shuffle
         # ops, untouched since r2, pytest-anchored; the two ann_* rows also

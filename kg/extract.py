@@ -1093,14 +1093,19 @@ SPAN_DEF_RE = (r"^(?:export +)?(?:async +)?(?:def|function) +"
 
 
 def function_spans(df: DataFrame, content_col: str = "content",
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id",
+                   with_text: bool = False) -> DataFrame:
     """Top-level function spans:
 
-      (id, name, start_line, end_line, n_body_lines)
+      (id, name, start_line, end_line, n_body_lines[, body])
 
     start_line = the def line's 0-based ordinal; end_line = last line
     of the indented/blank run that follows; n_body_lines counts the
-    NON-BLANK indented body lines (the def line excluded)."""
+    NON-BLANK indented body lines (the def line excluded).
+    `with_text` adds `body` — the span's lines (def line included,
+    inner blanks kept, trailing blanks trimmed) joined with newlines:
+    the unit text function-granularity dedup/pairing consumes.  The
+    collect is span-sized (one function), never file-sized."""
     from pyspark.sql import Window
     content = F.coalesce(F.col(content_col), F.lit(""))
     lines = (df.select(F.col(id_col),
@@ -1123,18 +1128,26 @@ def function_spans(df: DataFrame, content_col: str = "content",
     body = (staged.withColumn("_term", term)
             .filter(F.col("_term").isNull()
                     | (F.col("line_no") < F.col("_term"))))
-    return (body.groupBy(id_col, "_grp")
-            .agg(F.regexp_extract(
-                     F.min_by("line", "line_no"), SPAN_DEF_RE, 1)
-                 .alias("name"),
-                 F.min("line_no").cast("bigint").alias("start_line"),
-                 # trailing blank lines are not part of the span
-                 F.max(F.when(~F.col("_blank"), F.col("line_no")))
-                 .cast("bigint").alias("end_line"),
-                 F.sum((F.col("_indented") & ~F.col("_blank"))
-                       .cast("int")).cast("bigint")
-                 .alias("n_body_lines"))
-            .drop("_grp"))
+    aggs = [F.regexp_extract(
+                F.min_by("line", "line_no"), SPAN_DEF_RE, 1)
+            .alias("name"),
+            F.min("line_no").cast("bigint").alias("start_line"),
+            # trailing blank lines are not part of the span
+            F.max(F.when(~F.col("_blank"), F.col("line_no")))
+            .cast("bigint").alias("end_line"),
+            F.sum((F.col("_indented") & ~F.col("_blank"))
+                  .cast("int")).cast("bigint")
+            .alias("n_body_lines")]
+    if with_text:
+        # sort_array on (line_no, line) structs orders by ordinal; the
+        # trailing blank lines join as '\n's and are trimmed at \z
+        aggs.append(F.regexp_replace(
+            F.array_join(F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct("line_no", "line"))),
+                lambda s: s["line"]), "\n"),
+            r"\n+\z", "").alias("body"))
+    return body.groupBy(id_col, "_grp").agg(*aggs).drop("_grp")
 
 
 # --- import typosquat detection (supply-chain scan) -----------------------------

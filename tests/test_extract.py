@@ -1031,3 +1031,30 @@ class TestManifestDeps:
     def test_other_kind_and_null(self, spark):
         assert self._deps(spark, "cargo", "[dependencies]") == set()
         assert self._deps(spark, "pip", None) == set()
+
+
+class TestFunctionSpanText:
+    def _spans(self, spark, content):
+        from kg.extract import function_spans
+        df = spark.createDataFrame([(0, content)],
+                                   "doc_id bigint, content string")
+        return {r.name: r.body
+                for r in function_spans(df, with_text=True).collect()}
+
+    def test_body_verbatim_with_inner_blank(self, spark):
+        src = ("def one():\n"
+               "    a()\n"
+               "\n"
+               "    b()\n"
+               "\n"
+               "def two():\n"
+               "    pass\n")
+        got = self._spans(spark, src)
+        assert got["one"] == "def one():\n    a()\n\n    b()"
+        assert got["two"] == "def two():\n    pass"
+
+    def test_without_text_no_column(self, spark):
+        from kg.extract import function_spans
+        df = spark.createDataFrame([(0, "def f():\n    pass")],
+                                   "doc_id bigint, content string")
+        assert "body" not in function_spans(df).columns

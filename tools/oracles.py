@@ -7253,4 +7253,24 @@ def build_oracle_sql() -> dict[str, str]:
         SELECT DISTINCT h1.a AS n0, h1.b AS n1, h2.b AS n2
         FROM capped h1 JOIN capped h2 ON h2.a = h1.b"""
 
+    # Function-level exact dedup (function_spans with_text → sha256):
+    # each residue class's body string is rebuilt and hashed by
+    # DuckDB's own sha256 — byte-for-byte hash parity is the check.
+    sqls["code_func_dedup"] = """
+        WITH en AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+        bodies AS (
+          SELECT 'one' || CAST(doc_id % 3 AS VARCHAR) AS name,
+                 'def one' || CAST(doc_id % 3 AS VARCHAR) || '():'
+                 || chr(10) || '    a()' || chr(10) || chr(10)
+                 || '    b()' AS body
+          FROM en
+          UNION ALL
+          SELECT 'two' || CAST(doc_id % 4 AS VARCHAR),
+                 'def two' || CAST(doc_id % 4 AS VARCHAR) || '():'
+                 || chr(10) || '    pass'
+          FROM en)
+        SELECT substr(sha256(body), 1, 16) AS body_sha16, name,
+               CAST(count(*) AS BIGINT) AS n_files
+        FROM bodies GROUP BY 1, 2 HAVING count(*) >= 2"""
+
     return sqls
