@@ -228,6 +228,7 @@ HEADLINE = [
     "code_hygiene",          # BOM/CRLF/shebang/blank-run stats
     "code_manifest_deps",    # npm/pip declared-dependency rows
     "code_kg_paths",         # CALLS_API triples, capped 2-hop
+    "code_func_dedup",       # span-body sha256 exact dedup
 ]
 
 
