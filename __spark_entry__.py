@@ -202,11 +202,82 @@ def q_dedup_simhash(spark, sf_dir):
 
 
 def q_dedup_simhash_fast(spark, sf_dir):
-    """Scale-path SimHash (xxhash64 int64 fingerprints) — rows-only by
-    design: xxhash64 has no DuckDB twin.  Its SEMANTICS are pinned by the
-    oracle-checked md5 variant (dedup_simhash, same bit-sign construction)
-    and the pytest pigeonhole/blocking suite."""
-    return kgdedup.simhash64(_docs(spark, sf_dir), "text", "doc_id")
+    """Scale-path SimHash (xxhash64 int64 fingerprints) — BOUNDED-CONTRACT
+    oracle (graduated r5 from rows-only, VERDICT r4 #8).  xxhash64 has no
+    DuckDB twin, so instead of emitting fingerprints the query verifies
+    the xxhash64 pipeline's provable properties IN-ENGINE and emits
+    booleans the oracle asserts true:
+
+    * one row per ground-truth duplicate pair (documents with identical
+      token MULTISETS — derivable in both engines via md5 of the sorted
+      token list): `fp_equal` (sign-sum fingerprints are order-invariant,
+      so equal multisets MUST give equal fingerprints) and `pair_emitted`
+      (Hamming 0 ≤ 3, so the 4×16-bit pigeonhole blocking MUST emit the
+      pair);
+    * one row per DOCUMENT (id_a = id_b = doc_id): `fp_equal` :=
+      fingerprint(text) == fingerprint(tokens sorted) — the sign-sum is
+      permutation-invariant, so the two independently-executed xxhash64
+      sum pipelines MUST agree per doc (every corpus row exercises the
+      fast path twice);
+    * one sentinel row (id_a = id_b = -1): `fp_equal` := banded-pair
+      count >= brute-force Hamming≤3 count (lossless recall — pigeonhole
+      guarantees every true pair shares a chunk) and `pair_emitted` :=
+      banded <= brute (exact-verify precision).  Banded ⊆ brute always,
+      so the two booleans together pin set equality.
+
+    A broken fingerprint, chunk key, or band join flips a boolean →
+    driver hash mismatch.  The brute-force side is the audit's cost, not
+    the operator's (dedup_recall_lsh precedent: at 100 TB the audit runs
+    on a hash-sample); the production path stays kg.dedup.simhash64 +
+    simhash_near_pairs (kg/dedup.py:192/:276)."""
+    docs = _docs(spark, sf_dir)
+    sh = kgdedup.simhash64(docs, "text", "doc_id")            # (id, simhash)
+    banded = kgdedup.simhash_near_pairs(docs, max_hamming=3,
+                                        text_col="text", id_col="doc_id")
+    sig = docs.select(
+        F.col("doc_id").alias("id"),
+        F.md5(F.concat_ws("\x01",
+                          F.array_sort(kgtext.tokens_col("text")))).alias("sig"))
+    gt = (sig.alias("ga").join(
+              sig.alias("gb"),
+              (F.col("ga.sig") == F.col("gb.sig"))
+              & (F.col("ga.id") < F.col("gb.id")))
+          .select(F.col("ga.id").alias("id_a"), F.col("gb.id").alias("id_b")))
+    gt_checked = (
+        gt.join(sh.select(F.col("id").alias("id_a"),
+                          F.col("simhash").alias("fp_a")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"),
+                        F.col("simhash").alias("fp_b")), "id_b")
+        .join(banded.select("id_a", "id_b", F.lit(True).alias("in_band")),
+              ["id_a", "id_b"], "left")
+        .select(
+            "id_a", "id_b",
+            (F.col("fp_a") == F.col("fp_b")).alias("fp_equal"),
+            F.coalesce(F.col("in_band"), F.lit(False)).alias("pair_emitted")))
+    docs_sorted = docs.select(
+        "doc_id",
+        F.array_join(F.array_sort(kgtext.tokens_col("text")), " ")
+        .alias("text"))
+    sh_sorted = kgdedup.simhash64(docs_sorted, "text", "doc_id")
+    per_doc = (sh.join(sh_sorted.select(F.col("id"),
+                                        F.col("simhash").alias("fp_sorted")),
+                       "id")
+               .select(F.col("id").alias("id_a"), F.col("id").alias("id_b"),
+                       (F.col("simhash") == F.col("fp_sorted"))
+                       .alias("fp_equal"),
+                       F.lit(True).alias("pair_emitted")))
+    brute_n = (sh.alias("a").join(sh.alias("b"),
+                                  F.col("a.id") < F.col("b.id"))
+               .filter(F.bit_count(F.col("a.simhash")
+                                   .bitwiseXOR(F.col("b.simhash"))) <= 3)
+               .agg(F.count("*").alias("n_brute")))
+    band_n = banded.agg(F.count("*").alias("n_band"))
+    sentinel = (brute_n.crossJoin(band_n).select(
+        F.lit(-1).cast("long").alias("id_a"),
+        F.lit(-1).cast("long").alias("id_b"),
+        (F.col("n_band") >= F.col("n_brute")).alias("fp_equal"),
+        (F.col("n_band") <= F.col("n_brute")).alias("pair_emitted")))
+    return gt_checked.unionByName(per_doc).unionByName(sentinel)
 
 
 def q_embedding_near_pairs(spark, sf_dir):
@@ -4154,6 +4225,86 @@ def q_ann_recall_matryoshka(spark, sf_dir):
                              kgsim.cosine_topk(emb, qs, k=5), k=5)
 
 
+# R5 DRIVER WINDOW (STATUS.md §rotation, r5 entry).  The driver's
+# CORRECTNESS artifact certifies roughly the FIRST 50 entries of
+# queries() per round.  VERDICT r4 #1: fill the ENTIRE r5 window with
+# never-driver-checked rows (132 of 269 had no driver row after r4) and
+# enforce the ordering mechanically — tests/test_registry_window.py
+# asserts list(queries())[:50] == R5_WINDOW and that every window row is
+# never-driver-checked (two documented exceptions below), so late-session
+# registrations can no longer displace the queue (the r4 failure mode).
+#
+# Composition, ledger priority order:
+#   1-2   the two bounded-contract graduations whose NEW oracles have
+#         never been driver-exercised (rel_events_quantiles_approx's r3
+#         row predates its graduation — the allowed "exception" #1;
+#         rel_events_distinct_approx never had a row at all),
+#   3-28  the code-KG construction family (VERDICT #4 anchors first:
+#         code_kg_paths, code_api_usage, code_clone_pairs,
+#         code_func_dedup — the input_hint's own corpus layer),
+#   29-43 the session-15/16 past-window queue (text_dispersion …
+#         rel_events_trimmed),
+#   44    kg_tag_adamic (the undocumented r4 eviction the ledger records),
+#   45-49 five r4 demotions whose machinery has no driver row anywhere
+#         (bounded-contract Misra-Gries, perceptron loop, per-doc
+#         TextRank, BM25 ranker, exact Brandes betweenness),
+#   50    dedup_simhash_fast — graduated this round from rows-only to a
+#         bounded-contract oracle (VERDICT #8); its previous rows were
+#         rows-only, so the oracle is driver-new (exception #2).
+R5_WINDOW = [
+    "rel_events_quantiles_approx",
+    "rel_events_distinct_approx",
+    "code_kg_paths",
+    "code_api_usage",
+    "code_clone_pairs",
+    "code_func_dedup",
+    "code_defs",
+    "code_call_edges",
+    "code_imports",
+    "code_identifiers",
+    "code_complexity",
+    "code_brackets",
+    "code_indent",
+    "corpus_fim",
+    "code_pack_order",
+    "code_doc_pairs",
+    "code_lang_id",
+    "code_comment_density",
+    "code_diff_stats",
+    "code_function_spans",
+    "code_typosquat",
+    "code_test_ratio",
+    "code_embed",
+    "code_notebook_cells",
+    "code_md_blocks",
+    "code_strings",
+    "code_hygiene",
+    "code_manifest_deps",
+    "text_dispersion",
+    "rel_user_scd2",
+    "corpus_priority_sample",
+    "text_secrets",
+    "corpus_code_quality",
+    "corpus_license",
+    "dedup_cdc",
+    "multimodal_dhash",
+    "multimodal_qoi",
+    "link_fork_pairs",
+    "rel_events_twa",
+    "text_yule",
+    "kg_tag_khop",
+    "text_kwic",
+    "rel_events_trimmed",
+    "kg_tag_adamic",
+    "text_heavy_hitters",
+    "corpus_classifier",
+    "kg_textrank_keywords",
+    "text_bm25_topk",
+    "kg_tag_betweenness",
+    "dedup_simhash_fast",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # WINDOW-ROTATION RULE (STATUS.md §rotation): the driver's CORRECTNESS
     # artifact covers roughly the FIRST 50 registered queries per round, so
@@ -4168,7 +4319,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r4-new queries (with 14 lowest-risk stale rows demoted to make
     # room — see the demoted block).  Tail: the queries green in
     # CORRECTNESS_r03.
-    return {
+    #
+    # r5: the window is no longer hand-ordered in this literal — the
+    # literal below keeps its r4 order (and per-demotion rationale
+    # comments) as the ledger's history, and the R5_WINDOW list above is
+    # hoisted to the front mechanically at the end of this function.
+    base = {
         # --- 37 × last driver row = r2 (5 more of the original 42 demoted
         # for the session-4 additions — see the demoted block) --------------
         "kg_next_sentence": q_kg_next_sentence,
@@ -5030,6 +5186,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_annotate_lemma_ner": q_kg_annotate_lemma_ner,
         "kg_tag_pos_ne": q_kg_tag_pos_ne,
     }
+    # Hoist the r5 driver window to the front (see R5_WINDOW above);
+    # everything else keeps its relative order behind it.
+    out = {k: base[k] for k in R5_WINDOW}
+    out.update((k, v) for k, v in base.items() if k not in out)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:

@@ -25,7 +25,8 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",         # portable md5 variant (oracle-checked)
-    "dedup_simhash_fast",    # xxhash64 scale path (r1's dedup_simhash)
+    "dedup_simhash_fast",    # xxhash64 bounded-contract audit (r5: runs the
+                             # scale-path fingerprint + banding + brute truth)
     "dedup_components",      # connected components over the near-dup graph
     "link_mentions",         # broadcast-exact + MinHash-LSH fuzzy linking
     "text_quality",
@@ -317,4 +318,21 @@ if __name__ == "__main__":
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     only = sys.argv[1:] or None
-    print(json.dumps(run(sf_dir, cpus, only)))
+    result = run(sf_dir, cpus, only)
+    # VERDICT r4 #2: the single printed line outgrew the driver's tail
+    # capture once the sweep reached ~210 queries (BENCH_r04.json recorded
+    # "parsed": null).  Keep the machine-readable channel compact — print
+    # totals + flagship throughput + the slowest 5 — and write the FULL
+    # per-query map to BENCH/last_sweep.json.
+    repo = os.path.dirname(os.path.abspath(__file__))
+    full_path = os.path.join(repo, "BENCH", "last_sweep.json")
+    os.makedirs(os.path.dirname(full_path), exist_ok=True)
+    with open(full_path, "w") as f:
+        json.dump(result, f, indent=1, sort_keys=True)
+    slowest5 = dict(sorted(result["queries"].items(),
+                           key=lambda kv: -kv[1])[:5])
+    compact = {k: v for k, v in result.items() if k != "queries"}
+    compact["n_queries"] = len(result["queries"])
+    compact["queries"] = slowest5          # slowest 5 only; full map on disk
+    compact["full_timings"] = "BENCH/last_sweep.json"
+    print(json.dumps(compact))

@@ -1,0 +1,97 @@
+"""Mechanical guards for the driver-window rotation ledger (VERDICT r4
+#1/#3).
+
+The r4 failure mode: the ledger QUEUED the never-driver-checked rows for
+the window, but 20+ late-session registrations displaced them by hand.
+These tests make the queue enforceable: the window is a checked-in
+constant (R5_WINDOW), queries() must honour it, every window row must be
+never-driver-checked (the whole point of the r5 window), and the counts
+quoted in STATUS.md must equal len(queries()) (the r4 doc-drift bug:
+STATUS said 244 while the registry held 269).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Queries whose NAME has an old driver row but whose ORACLE is new this
+# round, so the old row doesn't certify the current contract:
+#   rel_events_quantiles_approx — r3 row predates its bounded-contract
+#     graduation (STATUS.md ledger; VERDICT r4 "What's missing" #2);
+#   dedup_simhash_fast — r2/r3 rows were rows-only; graduated r5 to a
+#     bounded-contract oracle (VERDICT r4 #8).
+GRADUATED = {"rel_events_quantiles_approx", "dedup_simhash_fast"}
+
+
+def _registry():
+    import __spark_entry__ as E
+    return E
+
+
+def _ever_driver_checked() -> set[str]:
+    names: set[str] = set()
+    for fn in sorted(os.listdir(REPO)):
+        if re.fullmatch(r"CORRECTNESS_r\d+\.json", fn):
+            with open(os.path.join(REPO, fn)) as f:
+                names |= set(json.load(f).keys())
+    return names
+
+
+def test_window_is_first_50():
+    E = _registry()
+    assert len(E.R5_WINDOW) == 50
+    assert list(E.queries())[:50] == E.R5_WINDOW
+
+
+def test_window_rows_are_never_driver_checked():
+    """Rotation priority rule (1): red or never-checked rows first.  Every
+    r5 window slot must go to a query with no prior driver row (or a
+    documented oracle graduation, listed in GRADUATED)."""
+    E = _registry()
+    checked = _ever_driver_checked()
+    stale_ok = set(E.R5_WINDOW) - checked | GRADUATED
+    violations = [n for n in E.R5_WINDOW if n not in stale_ok]
+    assert not violations, (
+        f"window rows with an existing driver row (displace a "
+        f"never-checked peer): {violations}")
+
+
+def test_every_query_has_oracle_or_documented_reason():
+    """Every queries() entry must carry an oracle_sql() twin.  As of r5
+    the registry has NO rows-only entries (dedup_simhash_fast graduated);
+    any future exception must be added here with its documented reason."""
+    E = _registry()
+    rows_only_allowed: set[str] = set()
+    missing = [k for k in E.queries()
+               if k not in E.oracle_sql() and k not in rows_only_allowed]
+    assert not missing, f"queries without an oracle: {missing}"
+
+
+def test_status_md_counts_match_registry():
+    """Single-source the registry tally: every 'NNN driver queries' /
+    'NNN registered' claim in STATUS.md must equal len(queries())."""
+    E = _registry()
+    n = len(E.queries())
+    with open(os.path.join(REPO, "STATUS.md")) as f:
+        status = f.read()
+    claims = [int(m) for m in
+              re.findall(r"(\d+) (?:driver queries|registered)", status)]
+    assert claims, "STATUS.md no longer states the registry tally"
+    wrong = [c for c in claims if c != n]
+    assert not wrong, (
+        f"STATUS.md claims {wrong} queries; registry has {n} "
+        f"(update STATUS.md gates section + rotation header)")
+
+
+def test_window_names_exist_and_unique():
+    E = _registry()
+    qs = E.queries()
+    assert len(set(E.R5_WINDOW)) == len(E.R5_WINDOW)
+    unknown = [n for n in E.R5_WINDOW if n not in qs]
+    assert not unknown, f"window names not in registry: {unknown}"

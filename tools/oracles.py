@@ -336,6 +336,27 @@ def build_oracle_sql() -> dict[str, str]:
         sums AS (SELECT id, {_simhash_sums_sql()} FROM t GROUP BY id)
         SELECT id, {_simhash_hex_sql()} AS simhash_hex FROM sums"""
 
+    # dedup_simhash_fast — BOUNDED CONTRACT (graduated r5 from rows-only,
+    # VERDICT r4 #8).  xxhash64 fingerprints are not portable, so Spark
+    # verifies the pipeline's provable properties in-engine and emits
+    # booleans; the oracle derives the ground-truth identical-token-
+    # multiset pairs (md5 of the sorted token list IS portable) and
+    # asserts every boolean true, plus the (-1,-1) lossless-recall/
+    # precision sentinel.  A broken fingerprint/chunk-key/band-join flips
+    # a boolean → hash mismatch.
+    sqls["dedup_simhash_fast"] = f"""
+        WITH sig AS (
+          SELECT doc_id AS id,
+                 md5(array_to_string(list_sort({_TOKS}), chr(1))) AS sig
+          FROM documents WHERE lang = 'en')
+        SELECT a.id AS id_a, b.id AS id_b,
+               true AS fp_equal, true AS pair_emitted
+        FROM sig a JOIN sig b ON a.sig = b.sig AND a.id < b.id
+        UNION ALL
+        SELECT id, id, true, true FROM sig
+        UNION ALL
+        SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), true, true"""
+
     sqls["ann_lsh_topk"] = f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                    FROM embeddings),
