@@ -441,17 +441,20 @@ def q_multimodal_features(spark, sf_dir):
 def q_multimodal_decode(spark, sf_dir):
     """REAL image decode (kg.multimodal.decode_image /
     decode_image_features): deterministic 24-bit BMP, binary PPM, FULL
-    zlib-compressed PNG (filter predictor cycling over all five spec
-    filters via vec_id % 5, RGB/RGBA alternating), and IHDR-only PNG
-    payloads are generated per embedding row (vec_id % 4 picks the
-    format) and decoded by the real pure-Python parsers — dims for all
-    four, exact channel means + decoded-RGB byte count where pixels
-    decode, −1 for the header-only path.  The fixture generator is its
-    own mapInPandas stage, localCheckpointed before the decode stage
-    (one pandas UDF per task — CLAUDE.md perf rule 1).  Every output
-    cell is an arithmetic function of vec_id (compressed payload SIZE is
-    not, which is why the oracle checks the decoded n_rgb_bytes = 3wh
-    instead), so the DuckDB oracle replays the whole thing."""
+    zlib-compressed PNG in every spec color type (filter predictor
+    cycling over all five spec filters via vec_id % 5), and IHDR-only
+    PNG payloads are generated per embedding row (vec_id % 8 picks the
+    format — r5 extends the r4 %4 cycle with grayscale 8/16-bit,
+    paletted 4/8-bit, sub-byte grayscale 1/2/4-bit, and 16-bit RGB
+    PNGs, VERDICT r4 #5) and decoded by the real pure-Python parsers —
+    dims for all eight, exact channel means + decoded-RGB byte count
+    where pixels decode, −1 for the header-only path.  The fixture
+    generator is its own mapInPandas stage, localCheckpointed before
+    the decode stage (one pandas UDF per task — CLAUDE.md perf rule 1).
+    Every output cell is an arithmetic function of vec_id (compressed
+    payload SIZE is not, which is why the oracle checks the decoded
+    n_rgb_bytes = 3wh instead), so the DuckDB oracle replays the whole
+    thing."""
     import pandas as pd
     from kg import multimodal as mm
     emb = _read("embeddings")(spark, sf_dir).select("vec_id")
@@ -462,13 +465,26 @@ def q_multimodal_decode(spark, sf_dir):
             for v in pdf["vec_id"]:
                 i = int(v)
                 w, h = 4 + i % 5, 3 + i % 4
-                fmt = ("bmp", "ppm", "png", "png-hdr")[i % 4]
-                payload = (mm.bmp_bytes(i, w, h) if fmt == "bmp"
-                           else mm.ppm_bytes(i, w, h) if fmt == "ppm"
-                           else mm.png_bytes(i, w, h, filter_type=i % 5,
-                                             alpha=bool(i % 2))
-                           if fmt == "png"
-                           else mm.png_ihdr_bytes(w, h))
+                fmt = ("bmp", "ppm", "png", "png-hdr", "png-gray",
+                       "png-pal", "png-gray-lo", "png-rgb16")[i % 8]
+                payload = (
+                    mm.bmp_bytes(i, w, h) if fmt == "bmp"
+                    else mm.ppm_bytes(i, w, h) if fmt == "ppm"
+                    else mm.png_bytes(i, w, h, filter_type=i % 5,
+                                      alpha=bool(i % 2)) if fmt == "png"
+                    else mm.png_ihdr_bytes(w, h) if fmt == "png-hdr"
+                    else mm.png_gray_bytes(i, w, h,
+                                           depth=16 if i % 2 else 8,
+                                           filter_type=i % 5)
+                    if fmt == "png-gray"
+                    else mm.png_palette_bytes(i, w, h,
+                                              depth=4 if i % 2 else 8,
+                                              filter_type=i % 5)
+                    if fmt == "png-pal"
+                    else mm.png_gray_bytes(i, w, h, depth=(1, 2, 4)[i % 3],
+                                           filter_type=i % 5)
+                    if fmt == "png-gray-lo"
+                    else mm.png_rgb16_bytes(i, w, h, filter_type=i % 5))
                 rows.append((i, "image", fmt, payload))
             yield pd.DataFrame(
                 rows, columns=["media_id", "kind", "format", "payload"])

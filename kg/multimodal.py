@@ -4,13 +4,15 @@ with typed metadata, processed by Arrow-batched pandas UDFs over
 
 The Spark-side machinery — schemas, partition-preserving batch iteration,
 UDF signatures, metadata propagation — is fully real and tested.  Decoding
-(r4): REAL pure-Python decoders — 24-bit BI_RGB **BMP** (full pixel
-decode), binary **PPM** (P6, full pixel decode), and full **PNG** for the
-dominant web case (8-bit RGB/RGBA non-interlaced: stdlib-zlib IDAT
-inflate + per-scanline unfiltering with all five predictors, validated
-against third-party-encoded PNGs) plus an IHDR dims-only path for
-truncated payloads.  JPEG, palette/16-bit/Adam7 PNG, and audio/video
-codecs still raise NotImplementedError with the integration point marked:
+(r4/r5): REAL pure-Python decoders — 24-bit BI_RGB **BMP** (full pixel
+decode), binary **PPM** (P6, full pixel decode), and full **PNG** covering
+ALL spec color types (grayscale / RGB / paletted-PLTE / gray+alpha /
+RGBA) at every spec-valid bit depth (1/2/4/8/16), non-interlaced
+(stdlib-zlib IDAT inflate + per-scanline unfiltering with all five
+predictors, validated against third-party-encoded PNGs) plus an IHDR
+dims-only path for truncated payloads.  JPEG, Adam7-interlaced PNG, and
+audio/video codecs still raise NotImplementedError with the integration
+point marked:
 swap `decode_image`'s fallthrough for PIL/opencv and nothing else changes
 (this container ships no imaging libraries).  `fake_png_bytes` stays as
 the lightest-weight deterministic fixture format.
@@ -184,21 +186,59 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def png_encode(width: int, height: int, pixels: bytes,
-               filter_type: int = 0, alpha: bool = False) -> bytes:
-    """REAL PNG encoder: 8-bit color type 2 (RGB) / 6 (RGBA),
-    non-interlaced, one zlib-compressed IDAT, every scanline carrying
-    `filter_type` (0..4 — None/Sub/Up/Average/Paeth, applied per spec).
-    Exists so fixtures exercise the full decode path, all five filter
-    predictors included."""
-    bpp = 4 if alpha else 3
-    ct = 6 if alpha else 2
-    ihdr = struct.pack(">II", width, height) + bytes((8, ct, 0, 0, 0))
-    stride = width * bpp
+# channel count per PNG color type (spec §11.2.2): 0 gray, 2 RGB,
+# 3 palette index, 4 gray+alpha, 6 RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# spec-valid (color type → allowed bit depths)
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+               4: (8, 16), 6: (8, 16)}
+
+
+def png_encode_ex(width: int, height: int, color_type: int, depth: int,
+                  samples: list[int], palette: bytes | None = None,
+                  filter_type: int = 0) -> bytes:
+    """REAL PNG encoder, all spec color types / bit depths,
+    non-interlaced: grayscale (0), RGB (2), paletted (3, PLTE), gray+
+    alpha (4), RGBA (6) at every spec-valid depth (1/2/4/8/16 where
+    allowed).  `samples` is the flat per-pixel per-channel VALUE list
+    (palette indices for type 3); sub-byte depths pack MSB-first and
+    16-bit packs big-endian per spec.  Every scanline carries
+    `filter_type` (0..4 — None/Sub/Up/Average/Paeth) applied to the
+    PACKED bytes with the spec's bpp (bytes per complete pixel, min 1).
+    Exists so fixtures exercise the full decode path."""
+    if depth not in _PNG_DEPTHS.get(color_type, ()):
+        raise ValueError(f"invalid PNG (color_type={color_type}, "
+                         f"depth={depth}) combination")
+    if not 0 <= filter_type <= 4:
+        raise ValueError(f"filter_type must be 0..4, got {filter_type}")
+    channels = _PNG_CHANNELS[color_type]
+    bits_pp = channels * depth
+    stride = (width * bits_pp + 7) // 8
+    bpp = max(1, bits_pp // 8)
+    packed: list[bytes] = []
+    idx = 0
+    for _y in range(height):
+        row = bytearray(stride)
+        bitpos = 0
+        for _x in range(width):
+            for _c in range(channels):
+                v = samples[idx]
+                idx += 1
+                if depth == 16:
+                    row[bitpos // 8] = (v >> 8) & 0xFF
+                    row[bitpos // 8 + 1] = v & 0xFF
+                    bitpos += 16
+                elif depth == 8:
+                    row[bitpos // 8] = v & 0xFF
+                    bitpos += 8
+                else:
+                    shift = 8 - depth - (bitpos % 8)
+                    row[bitpos // 8] |= (v & ((1 << depth) - 1)) << shift
+                    bitpos += depth
+        packed.append(bytes(row))
     raw = bytearray()
     prev = bytes(stride)
-    for y in range(height):
-        line = pixels[y * stride:(y + 1) * stride]
+    for line in packed:
         raw.append(filter_type)
         for i in range(stride):
             x = line[i]
@@ -213,14 +253,26 @@ def png_encode(width: int, height: int, pixels: bytes,
                 raw.append((x - b) & 0xFF)
             elif filter_type == 3:
                 raw.append((x - (a + b) // 2) & 0xFF)
-            elif filter_type == 4:
-                raw.append((x - _paeth(a, b, c)) & 0xFF)
             else:
-                raise ValueError(f"filter_type must be 0..4, got {filter_type}")
+                raw.append((x - _paeth(a, b, c)) & 0xFF)
         prev = line
-    return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
-            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+    ihdr = (struct.pack(">II", width, height)
+            + bytes((depth, color_type, 0, 0, 0)))
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("paletted PNG needs a palette")
+        out += _png_chunk(b"PLTE", palette)
+    return (out + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
             + _png_chunk(b"IEND", b""))
+
+
+def png_encode(width: int, height: int, pixels: bytes,
+               filter_type: int = 0, alpha: bool = False) -> bytes:
+    """8-bit RGB/RGBA convenience wrapper over png_encode_ex (the r4
+    encoder surface, kept for the existing fixtures/tests)."""
+    return png_encode_ex(width, height, 6 if alpha else 2, 8,
+                         list(pixels), filter_type=filter_type)
 
 
 def png_bytes(media_id: int, width: int, height: int,
@@ -233,15 +285,64 @@ def png_bytes(media_id: int, width: int, height: int,
                       filter_type=filter_type, alpha=alpha)
 
 
+def png_gray_bytes(media_id: int, width: int, height: int,
+                   depth: int = 8, filter_type: int = 0) -> bytes:
+    """Constant-gray real PNG fixture (color type 0) at any spec depth.
+    The decoded channel value is an arithmetic function of media_id:
+    depth >= 8 → media_id % 251 (16-bit packs it in the high byte, which
+    is what the decoder presents); depth < 8 →
+    (media_id % 2^depth) * (255 // (2^depth − 1))."""
+    if depth >= 8:
+        v = media_id % 251
+        sample = (v << 8) | v if depth == 16 else v
+    else:
+        sample = media_id % (1 << depth)
+    return png_encode_ex(width, height, 0, depth,
+                         [sample] * (width * height),
+                         filter_type=filter_type)
+
+
+def png_palette_bytes(media_id: int, width: int, height: int,
+                      depth: int = 8, filter_type: int = 0) -> bytes:
+    """Constant-color PALETTED real PNG fixture (color type 3, PLTE):
+    every palette entry carries the bmp_bytes color rule for media_id,
+    so the decoded means stay (id%251, id*7%251, id*13%251) while the
+    index stream still varies with media_id (id % 2^depth)."""
+    r, g, b = media_id % 251, (media_id * 7) % 251, (media_id * 13) % 251
+    n = 1 << depth
+    return png_encode_ex(width, height, 3, depth,
+                         [media_id % n] * (width * height),
+                         palette=bytes((r, g, b)) * n,
+                         filter_type=filter_type)
+
+
+def png_rgb16_bytes(media_id: int, width: int, height: int,
+                    filter_type: int = 0) -> bytes:
+    """Constant-color 16-bit RGB real PNG fixture (color type 2, depth
+    16): each sample packs the bmp_bytes 8-bit rule value in BOTH bytes,
+    so the high-byte presentation downsample returns the same channel
+    means as the 8-bit fixtures."""
+    r, g, b = media_id % 251, (media_id * 7) % 251, (media_id * 13) % 251
+    px = [(r << 8) | r, (g << 8) | g, (b << 8) | b]
+    return png_encode_ex(width, height, 2, 16, px * (width * height),
+                         filter_type=filter_type)
+
+
 def _png_decode(payload: bytes) -> tuple[int, int, bytes]:
     """Full PNG pixel decode — pure Python + stdlib zlib: IDAT inflate,
-    per-scanline unfilter (all five predictors), RGBA→RGB alpha drop.
-    Supports 8-bit color types 2/6, non-interlaced (the overwhelmingly
-    common web case; palette/16-bit/interlaced raise with the PIL
-    integration point marked).  Validated against third-party-encoded
-    PNGs (adaptive filters) in addition to the round-trip tests."""
+    per-scanline unfilter (all five predictors), then expansion to
+    top-down RGB888.  Supports ALL spec color types at every spec-valid
+    bit depth, non-interlaced: grayscale 1/2/4/8/16 (sub-byte samples
+    scaled by 255/(2^d−1), 16-bit by its high byte — the standard
+    presentation downsample), RGB 8/16, paletted 1/2/4/8 (PLTE lookup),
+    gray+alpha and RGBA (alpha dropped).  Adam7 interlace remains the
+    marked PIL integration point (rare on the web; the deinterlace pass
+    is pure reshuffling and slots in here).  Validated against
+    third-party-encoded PNGs (adaptive filters) in addition to the
+    round-trip tests."""
     pos, w = 8, None
     idat = bytearray()
+    plte = b""
     while pos + 8 <= len(payload):
         (ln,) = struct.unpack(">I", payload[pos:pos + 4])
         tag = payload[pos + 4:pos + 8]
@@ -249,11 +350,14 @@ def _png_decode(payload: bytes) -> tuple[int, int, bytes]:
         if tag == b"IHDR":
             w, h = struct.unpack(">II", data[:8])
             depth, ct, _comp, _flt, inter = data[8:13]
-            if depth != 8 or ct not in (2, 6) or inter != 0:
+            if inter != 0:
                 raise NotImplementedError(
-                    "PNG variant beyond 8-bit RGB/RGBA non-interlaced "
-                    "(palette/16-bit/Adam7) — integration point: PIL")
-            bpp = 4 if ct == 6 else 3
+                    "Adam7-interlaced PNG — integration point: PIL")
+            if depth not in _PNG_DEPTHS.get(ct, ()):
+                raise ValueError(
+                    f"invalid PNG (color_type={ct}, depth={depth})")
+        elif tag == b"PLTE":
+            plte = data
         elif tag == b"IDAT":
             idat += data
         elif tag == b"IEND":
@@ -262,9 +366,16 @@ def _png_decode(payload: bytes) -> tuple[int, int, bytes]:
     if w is None or not idat:
         raise NotImplementedError(
             "PNG without IDAT (header-only payload) — dims via image_dims")
+    if ct == 3:
+        if not plte:
+            raise ValueError("paletted PNG without a PLTE chunk")
+        plte = plte.ljust(768, b"\0")   # out-of-range indices decode black
+    channels = _PNG_CHANNELS[ct]
+    bits_pp = channels * depth
+    stride = (w * bits_pp + 7) // 8
+    bpp = max(1, bits_pp // 8)
     raw = zlib.decompress(bytes(idat))
-    stride = w * bpp
-    out = bytearray()
+    rgb = bytearray()
     prev = bytearray(stride)
     for y in range(h):
         ft = raw[y * (stride + 1)]
@@ -285,15 +396,33 @@ def _png_decode(payload: bytes) -> tuple[int, int, bytes]:
                 line[i] = (line[i] + _paeth(a, b, c)) & 0xFF
             else:
                 raise ValueError(f"invalid PNG scanline filter {ft}")
-        out += line
         prev = line
-    if bpp == 4:
-        rgb = bytearray(w * h * 3)
-        rgb[0::3] = out[0::4]
-        rgb[1::3] = out[1::4]
-        rgb[2::3] = out[2::4]
-        return w, h, bytes(rgb)
-    return w, h, bytes(out)
+        # expand the unfiltered packed scanline to RGB888
+        if depth < 8:
+            scale = 255 // ((1 << depth) - 1)
+            mask = (1 << depth) - 1
+            per_byte = 8 // depth
+            for x in range(w):
+                v = (line[x // per_byte]
+                     >> (8 - depth * (x % per_byte + 1))) & mask
+                if ct == 3:
+                    rgb += plte[3 * v:3 * v + 3]
+                else:
+                    g = v * scale
+                    rgb += bytes((g, g, g))
+        else:
+            step = depth // 8           # bytes per sample; 16-bit: MSB first
+            px_bytes = channels * step
+            for x in range(w):
+                base = x * px_bytes
+                s = [line[base + c * step] for c in range(channels)]
+                if ct == 3:
+                    rgb += plte[3 * s[0]:3 * s[0] + 3]
+                elif ct in (0, 4):      # gray / gray+alpha (alpha dropped)
+                    rgb += bytes((s[0], s[0], s[0]))
+                else:                   # RGB / RGBA (alpha dropped)
+                    rgb += bytes((s[0], s[1], s[2]))
+    return w, h, bytes(rgb)
 
 
 # --- real decoders -----------------------------------------------------------
@@ -349,10 +478,11 @@ def _ppm_header(payload: bytes) -> tuple[int, int, int, int]:
 def decode_image(payload: bytes) -> tuple[int, int, bytes]:
     """REAL decode → (width, height, top-down RGB bytes): fake fixture,
     24-bit BI_RGB BMP (bottom-up rows flipped, BGR swapped, row padding
-    stripped), binary PPM/P6, and full PNG (8-bit RGB/RGBA
-    non-interlaced: stdlib-zlib IDAT inflate + all five scanline filter
-    predictors — see _png_decode).  JPEG/palette-PNG/16-bit remain the
-    marked PIL integration point."""
+    stripped), binary PPM/P6, and full PNG (ALL spec color types —
+    gray/RGB/palette/gray+alpha/RGBA — at every spec-valid bit depth
+    1/2/4/8/16, non-interlaced: stdlib-zlib IDAT inflate + all five
+    scanline filter predictors — see _png_decode).  JPEG and
+    Adam7-interlaced PNG remain the marked PIL integration point."""
     if payload[:8] == _MAGIC:
         return decode_image_stub(payload)
     if payload[:2] == b"BM":

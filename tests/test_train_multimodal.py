@@ -177,15 +177,86 @@ def test_png_full_decode_all_filters():
     _, _, rgb = mm.decode_image(cb)
     assert rgb == bytes((42, 294 % 251, 546 % 251)) * 12
     # unsupported PNG variants raise at the marked integration point
+    # (r5: palette/grayscale/16-bit now DECODE — Adam7 interlace is the
+    # remaining marked gap)
     import struct as st
     bad = bytearray(mm.png_bytes(1, 2, 2))
-    bad[24] = 3                     # color type 3 = palette
-    # fix the IHDR crc so the parse reaches the color-type check honestly
+    bad[28] = 1                     # IHDR interlace byte = 1 (Adam7)
+    # fix the IHDR crc so the parse reaches the interlace check honestly
     import zlib as zl
     ihdr = bytes(bad[12:29])
     bad[29:33] = st.pack(">I", zl.crc32(ihdr) & 0xFFFFFFFF)
-    with pytest.raises(NotImplementedError, match="palette|PIL"):
+    with pytest.raises(NotImplementedError, match="Adam7|PIL"):
         mm.decode_image(bytes(bad))
+    # corrupt paletted payload without PLTE is a hard error, not garbage
+    nop = bytearray(mm.png_palette_bytes(5, 2, 2))
+    # excise the PLTE chunk (12 header/crc bytes + 768 entries)
+    plte_at = bytes(nop).index(b"PLTE") - 4
+    (plte_len,) = st.unpack(">I", nop[plte_at:plte_at + 4])
+    del nop[plte_at:plte_at + 12 + plte_len]
+    with pytest.raises(ValueError, match="PLTE"):
+        mm.decode_image(bytes(nop))
+
+
+def test_png_all_color_types_all_depths_roundtrip():
+    """r5 generalized PNG: gradient samples round-trip through every
+    spec-valid (color type, bit depth) pair and all five scanline
+    filters, checked against an independently computed RGB888
+    expectation (sub-byte scaling 255/(2^d-1), 16-bit high-byte
+    presentation, PLTE lookup, alpha drop)."""
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+    w, h = 5, 4
+    for ct, depths in ((0, (1, 2, 4, 8, 16)), (2, (8, 16)),
+                       (3, (1, 2, 4, 8)), (4, (8, 16)), (6, (8, 16))):
+        pal = None
+        for d in depths:
+            mx = (1 << d) - 1
+            samples = [(x * 7 + y * 13 + c * 29) % (mx + 1)
+                       for y in range(h) for x in range(w)
+                       for c in range(ch[ct])]
+            if ct == 3:
+                pal = bytes(i % 256 for i in range(3 * (1 << d)))
+            exp = bytearray()
+            i = 0
+            for _ in range(w * h):
+                px = samples[i:i + ch[ct]]
+                i += ch[ct]
+                if ct == 3:
+                    exp += pal[3 * px[0]:3 * px[0] + 3]
+                elif ct in (0, 4):
+                    g = px[0] >> 8 if d == 16 else (
+                        px[0] * (255 // mx) if d < 8 else px[0])
+                    exp += bytes((g, g, g))
+                else:
+                    exp += bytes((v >> 8 if d == 16 else v)
+                                 for v in px[:3])
+            for ft in range(5):
+                enc = mm.png_encode_ex(w, h, ct, d, samples, palette=pal,
+                                       filter_type=ft)
+                gw, gh, got = mm.decode_image(enc)
+                assert (gw, gh) == (w, h)
+                assert got == bytes(exp), f"ct={ct} d={d} ft={ft}"
+
+
+def test_png_fixture_helpers_constant_color_rules():
+    """The r5 fixture helpers follow the documented arithmetic rules the
+    multimodal_decode oracle replays."""
+    for i in (0, 1, 7, 123, 250, 999):
+        w, h = 4 + i % 5, 3 + i % 4
+        for d in (8, 16):
+            _, _, rgb = mm.decode_image(
+                mm.png_gray_bytes(i, w, h, depth=d, filter_type=i % 5))
+            assert set(rgb) == {i % 251}
+        for d in (1, 2, 4):
+            _, _, rgb = mm.decode_image(mm.png_gray_bytes(i, w, h, depth=d))
+            assert set(rgb) == {(i % (1 << d)) * (255 // ((1 << d) - 1))}
+        for d in (4, 8):
+            _, _, rgb = mm.decode_image(
+                mm.png_palette_bytes(i, w, h, depth=d, filter_type=i % 5))
+            assert rgb == bytes((i % 251, i * 7 % 251, i * 13 % 251)) * (w * h)
+        _, _, rgb = mm.decode_image(
+            mm.png_rgb16_bytes(i, w, h, filter_type=i % 5))
+        assert rgb == bytes((i % 251, i * 7 % 251, i * 13 % 251)) * (w * h)
 
 
 def test_decode_image_features_mixed_formats(spark):

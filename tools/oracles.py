@@ -561,25 +561,51 @@ def build_oracle_sql() -> dict[str, str]:
     # Real-format decode: every output cell is an arithmetic function of
     # vec_id.  Payload SIZE of a zlib-compressed PNG is not arithmetic,
     # so the check pins the DECODED size (n_rgb_bytes = 3wh) instead —
-    # which is exactly the decode contract.  vec_id % 4 = bmp / ppm /
-    # full png (all 5 scanline filters via vec_id % 5, RGB/RGBA
-    # alternating) / header-only png (dims parse, -1 means).
-    # Constant-color fixtures make channel means exact.
+    # which is exactly the decode contract.  vec_id % 8 (r5, was % 4) =
+    # bmp / ppm / full 8-bit rgb-rgba png (all 5 scanline filters via
+    # vec_id % 5) / header-only png (dims parse, -1 means) / grayscale
+    # png (depth 16 when vec_id odd else 8; channel value vec_id % 251
+    # in the presented high byte) / paletted png (depth 4 when odd else
+    # 8; PLTE entries all carry the bmp color rule) / sub-byte grayscale
+    # png (depth (1,2,4)[vec_id % 3]; value (vec_id % 2^d) * 255/(2^d-1))
+    # / 16-bit rgb png (high byte = the 8-bit rule).  Constant-color
+    # fixtures make channel means exact.
     sqls["multimodal_decode"] = """
         SELECT vec_id AS media_id,
-               CASE vec_id % 4 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
-                    WHEN 2 THEN 'png' ELSE 'png-hdr' END AS format,
+               CASE vec_id % 8 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
+                    WHEN 2 THEN 'png' WHEN 3 THEN 'png-hdr'
+                    WHEN 4 THEN 'png-gray' WHEN 5 THEN 'png-pal'
+                    WHEN 6 THEN 'png-gray-lo' ELSE 'png-rgb16'
+               END AS format,
                CAST(4 + vec_id % 5 AS INT) AS width,
                CAST(3 + vec_id % 4 AS INT) AS height,
-               CAST(CASE WHEN vec_id % 4 = 3 THEN -1
+               CAST(CASE WHEN vec_id % 8 = 3 THEN -1
                     ELSE 3 * (4 + vec_id % 5) * (3 + vec_id % 4)
                     END AS BIGINT) AS n_rgb_bytes,
-               CAST(CASE WHEN vec_id % 4 = 3 THEN -1
-                         ELSE vec_id % 251 END AS INT) AS mean_r,
-               CAST(CASE WHEN vec_id % 4 = 3 THEN -1
-                         ELSE (vec_id * 7) % 251 END AS INT) AS mean_g,
-               CAST(CASE WHEN vec_id % 4 = 3 THEN -1
-                         ELSE (vec_id * 13) % 251 END AS INT) AS mean_b
+               CAST(CASE
+                    WHEN vec_id % 8 = 3 THEN -1
+                    WHEN vec_id % 8 IN (4) THEN vec_id % 251
+                    WHEN vec_id % 8 = 6 THEN
+                         CASE vec_id % 3 WHEN 0 THEN (vec_id % 2) * 255
+                              WHEN 1 THEN (vec_id % 4) * 85
+                              ELSE (vec_id % 16) * 17 END
+                    ELSE vec_id % 251 END AS INT) AS mean_r,
+               CAST(CASE
+                    WHEN vec_id % 8 = 3 THEN -1
+                    WHEN vec_id % 8 = 4 THEN vec_id % 251
+                    WHEN vec_id % 8 = 6 THEN
+                         CASE vec_id % 3 WHEN 0 THEN (vec_id % 2) * 255
+                              WHEN 1 THEN (vec_id % 4) * 85
+                              ELSE (vec_id % 16) * 17 END
+                    ELSE (vec_id * 7) % 251 END AS INT) AS mean_g,
+               CAST(CASE
+                    WHEN vec_id % 8 = 3 THEN -1
+                    WHEN vec_id % 8 = 4 THEN vec_id % 251
+                    WHEN vec_id % 8 = 6 THEN
+                         CASE vec_id % 3 WHEN 0 THEN (vec_id % 2) * 255
+                              WHEN 1 THEN (vec_id % 4) * 85
+                              ELSE (vec_id % 16) * 17 END
+                    ELSE (vec_id * 13) % 251 END AS INT) AS mean_b
         FROM embeddings"""
 
     sqls["multimodal_features"] = """
