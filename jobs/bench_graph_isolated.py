@@ -1,0 +1,145 @@
+"""Isolated-protocol graph-operator benchmark (VERDICT r4 #7).
+
+Every kg_tag_* row in the headline sweep folds the SHARED pipeline
+prefix — the annotate pandas UDF + the co-occurrence / HAS_TAG edge
+build — into the operator's number (documented since BENCH/BASELINE.md
+session-2), so an operator regression can hide inside the constant
+prefix and vice versa.  This job persists each operator's input graph
+ONCE (eager localCheckpoint, fully materialized before any timer
+starts) and reports, per operator:
+
+  * pipeline_sec  — the full registry query (annotate + edge build +
+    operator), the number the headline sweep reports;
+  * operator_sec  — the SAME operator run on the PREBUILT graph, the
+    number that would regress if the operator itself regressed.
+
+Protocol: interleaved best-of-N trials (CLAUDE.md perf rule 5 — this
+host has ~10% CPU steal), noop-writer materialization (rule 6).
+
+Usage: python jobs/bench_graph_isolated.py [sf_dir] [trials]
+Prints one JSON line; the table goes into BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+
+def _timed(thunk) -> float:
+    """Construction INSIDE the timer (bench.py convention): iterative
+    operators run their driver-side rounds / eager checkpoints during
+    plan construction — timing only the final noop write mis-reports
+    them as near-zero."""
+    t0 = time.perf_counter()
+    thunk().write.format("noop").mode("overwrite").save()
+    return round(time.perf_counter() - t0, 3)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    trials = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from kg.session import get_spark
+    import __spark_entry__ as E
+    from kg.graphrank import (boruvka_msf, community_conductance, hits,
+                              hyperball_nf, ktruss, label_propagation,
+                              modularity_gain_moves, pagerank,
+                              personalized_pagerank, pivot_betweenness,
+                              scc_pivot, tag_cooccurrence_edges)
+    from kg.dedup import gram_positions
+
+    owns = __import__("pyspark").sql.SparkSession.getActiveSession() is None
+    spark = get_spark(app="kg-bench-graph-isolated",
+                      master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 8))
+    spark.range(1000).selectExpr("sum(id)").collect()   # JVM warm
+
+    # ---- prebuilt graphs (eager checkpoints; built OUTSIDE all timers) ----
+    t = E._tag_contexts(spark, sf_dir)                  # checkpointed inside
+    cooc = tag_cooccurrence_edges(t, doc_col="ctx", tag_col="tag",
+                                  materialize=True)     # weighted, ckpted
+    n_ctx = t.select("ctx").distinct().count()
+    strong = (cooc.filter(F.col("weight") * 100 >= 63 * n_ctx)
+              .select("src", "dst").localCheckpoint())
+    sym = (strong.unionByName(
+        strong.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .localCheckpoint())
+    has_tag = (E._en_triples(spark, sf_dir, E.TOK_SPEC)
+               .filter(F.col("pred") == "HAS_TAG")
+               .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+               .localCheckpoint())
+    seeds = (t.select(F.col("tag").alias("node")).distinct()
+             .orderBy("node").limit(2).localCheckpoint())
+    word_edges = (E._docs(spark, sf_dir)
+                  .select(F.explode(F.array_distinct(
+                      gram_positions("text", 2))).alias("g"))
+                  .select(F.substring_index("g", " ", 1).alias("src"),
+                          F.substring_index("g", " ", -1).alias("dst"))
+                  .distinct().localCheckpoint())
+
+    # refine/conductance run LPA over the full weighted co-occurrence
+    # edge frame in their registry queries (tag_cooccurrence_edges default
+    # cols), not the strong-tie subgraph
+    strong_lpa_edges = cooc.select("src", "dst", "weight").localCheckpoint()
+
+    # (name, operator-only thunk) — mirrors each registry query's operator
+    # stage exactly (same arguments), minus the shared prefix
+    ops = {
+        "kg_tag_hits": lambda: hits(has_tag, iterations=3),
+        "kg_tag_pagerank_full": lambda: pagerank(
+            has_tag, iterations=5, weight_col=None,
+            redistribute_dangling=True),
+        "kg_tag_ppr": lambda: personalized_pagerank(
+            cooc, seeds, iterations=5).select("node", "rank_micro"),
+        "kg_tag_refine": lambda: modularity_gain_moves(
+            strong_lpa_edges, label_propagation(strong_lpa_edges,
+                                                iterations=1)),
+        "kg_tag_conductance": lambda: community_conductance(
+            strong_lpa_edges, label_propagation(strong_lpa_edges,
+                                                iterations=1)),
+        "kg_tag_ktruss": lambda: ktruss(strong, k=10, rounds=3),
+        "kg_tag_betweenness": lambda: pivot_betweenness(
+            strong, n_pivots=2, max_depth=3),
+        "kg_tag_hyperball": lambda: hyperball_nf(sym, rounds=3),
+        "kg_tag_scc": lambda: scc_pivot(word_edges, n_pivots=2, max_depth=3),
+        "kg_tag_msf": lambda: boruvka_msf(cooc, rounds=2),
+    }
+
+    qs = E.queries()
+    pipeline: dict[str, float] = {}
+    operator: dict[str, float] = {}
+    for _trial in range(trials):
+        for name, op in ops.items():
+            dt = _timed(lambda: qs[name](spark, sf_dir))
+            pipeline[name] = min(pipeline.get(name, dt), dt)
+            dt = _timed(op)
+            operator[name] = min(operator.get(name, dt), dt)
+
+    out = {
+        "metric": "graph_isolated",
+        "sf_dir": sf_dir,
+        "cpus": cpus,
+        "trials": trials,
+        "rows": {n: {"pipeline_sec": pipeline[n],
+                     "operator_sec": operator[n],
+                     "prefix_share_pct": round(
+                         100 * (1 - operator[n] / pipeline[n]), 1)
+                     if pipeline[n] else None}
+                 for n in ops},
+    }
+    print(json.dumps(out))
+    if owns:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
