@@ -10,9 +10,11 @@ ALL spec color types (grayscale / RGB / paletted-PLTE / gray+alpha /
 RGBA) at every spec-valid bit depth (1/2/4/8/16), non-interlaced
 (stdlib-zlib IDAT inflate + per-scanline unfiltering with all five
 predictors, validated against third-party-encoded PNGs) plus an IHDR
-dims-only path for truncated payloads.  JPEG, Adam7-interlaced PNG, and
-audio/video codecs still raise NotImplementedError with the integration
-point marked:
+dims-only path for truncated payloads — and (r5) **JPEG**, baseline AND
+progressive DCT with any 1-2 sampling factors, restart intervals, and
+grayscale/YCbCr (kg/jpeg.py, validated against third-party-encoded
+progressive 4:2:0/4:4:4 files).  Adam7-interlaced PNG and audio/video
+codecs still raise NotImplementedError with the integration point marked:
 swap `decode_image`'s fallthrough for PIL/opencv and nothing else changes
 (this container ships no imaging libraries).  `fake_png_bytes` stays as
 the lightest-weight deterministic fixture format.
@@ -451,8 +453,11 @@ def image_dims(payload: bytes) -> tuple[int, int]:
         return _tiff_dims(payload)
     if payload[:4] == b"qoif" and len(payload) >= 12:
         return struct.unpack(">II", payload[4:12])
+    if payload[:2] == b"\xff\xd8":
+        from kg.jpeg import jpeg_dims      # SOFn header walk, any process
+        return jpeg_dims(payload)
     raise NotImplementedError(
-        "unsupported image format (JPEG/... need an imaging library "
+        "unsupported image format (WebP/AVIF/... need an imaging library "
         "not present in this environment) — integration point: dispatch "
         "to PIL.Image.open here; the Spark plumbing does not change")
 
@@ -481,8 +486,9 @@ def decode_image(payload: bytes) -> tuple[int, int, bytes]:
     stripped), binary PPM/P6, and full PNG (ALL spec color types —
     gray/RGB/palette/gray+alpha/RGBA — at every spec-valid bit depth
     1/2/4/8/16, non-interlaced: stdlib-zlib IDAT inflate + all five
-    scanline filter predictors — see _png_decode).  JPEG and
-    Adam7-interlaced PNG remain the marked PIL integration point."""
+    scanline filter predictors — see _png_decode), and JPEG (baseline +
+    progressive, kg/jpeg.py).  Adam7-interlaced PNG remains the marked
+    PIL integration point."""
     if payload[:8] == _MAGIC:
         return decode_image_stub(payload)
     if payload[:2] == b"BM":
@@ -514,6 +520,9 @@ def decode_image(payload: bytes) -> tuple[int, int, bytes]:
         return _png_decode(payload)
     if payload[:4] == b"qoif":
         return _qoi_decode(payload)
+    if payload[:2] == b"\xff\xd8":
+        from kg.jpeg import jpeg_decode    # baseline + progressive (kg/jpeg.py)
+        return jpeg_decode(payload)
     raise NotImplementedError(
         "unsupported image format — integration point: PIL.Image.open")
 

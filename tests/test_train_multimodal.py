@@ -152,7 +152,9 @@ def test_png_dims_only():
     assert mm.image_dims(b) == (640, 480)
     with pytest.raises(NotImplementedError, match="IDAT"):
         mm.decode_image(b)          # header-only: dims yes, pixels no
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
+        # JPEG is a real codec since r5 (kg/jpeg.py): a payload with a
+        # SOI magic but no frame is corrupt, not unsupported
         mm.decode_image(b"\xff\xd8\xffJPEG-ish")
 
 
