@@ -495,6 +495,64 @@ def q_multimodal_decode(spark, sf_dir):
         "mean_r", "mean_g", "mean_b")
 
 
+def q_multimodal_jpeg(spark, sf_dir):
+    """REAL JPEG decode (kg/jpeg.py: baseline+progressive decoder, also
+    validated on third-party progressive files — tests/test_jpeg.py).
+    vec_id % 3 picks the fixture flavor: solid-color 4:4:4 q90 /
+    horizontal-gradient 4:2:0 q95 / gradient 4:4:4 q90 with
+    restart_interval=1 (RSTn markers in the entropy stream).  Dims,
+    format tag, and decoded byte count (3wh) are exact arithmetic in
+    vec_id; channel means are lossy-codec outputs, so they ship as
+    BOUNDED-CONTRACT booleans (|int_mean − closed-form expectation| ≤ 3;
+    measured worst deviation 1.0 over the full sf0.01 id range) that
+    the oracle asserts true — the rel_events_quantiles_approx pattern.
+    Gradient expectations need no mod-wrap: base ≤ 198 and
+    base + 7·(w−1) ≤ 247 < 256 for w ≤ 8."""
+    import pandas as pd
+    from kg import jpeg as kj
+    from kg import multimodal as mm
+    emb = _read("embeddings")(spark, sf_dir).select("vec_id")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for v in pdf["vec_id"]:
+                i = int(v)
+                w, h = 4 + i % 5, 3 + i % 4
+                fl = i % 3
+                if fl == 0:
+                    pay = kj.solid_jpeg_bytes(i, w, h, quality=90)
+                elif fl == 1:
+                    pay = kj.gradient_jpeg_bytes(i, w, h, quality=95,
+                                                 subsample="420")
+                else:
+                    pay = kj.gradient_jpeg_bytes(i, w, h, quality=90,
+                                                 restart_interval=1)
+                rows.append((i, "image",
+                             ("jpeg-solid", "jpeg-420", "jpeg-rst")[fl],
+                             pay))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "format", "payload"])
+
+    media = emb.mapInPandas(gen, mm.MEDIA_SCHEMA).localCheckpoint()
+    dec = mm.decode_image_features(media)
+    i = F.col("media_id")
+    solid = (i % 3) == 0
+    base = (i % 199).cast("double")
+    wm1 = ((i % 5) + 3).cast("double")            # w − 1 = 3 + vec_id % 5
+    exp_r = F.when(solid, ((37 * i + 11) % 256).cast("double")) \
+             .otherwise(base + 3 * wm1 / 2)
+    exp_g = F.when(solid, ((73 * i + 29) % 256).cast("double")) \
+             .otherwise(base + 5 * wm1 / 2)
+    exp_b = F.when(solid, ((151 * i + 47) % 256).cast("double")) \
+             .otherwise(base + 7 * wm1 / 2)
+    return dec.select(
+        "media_id", "format", "width", "height", "n_rgb_bytes",
+        (F.abs(F.col("mean_r") - exp_r) <= 3).alias("mean_r_ok"),
+        (F.abs(F.col("mean_g") - exp_g) <= 3).alias("mean_g_ok"),
+        (F.abs(F.col("mean_b") - exp_b) <= 3).alias("mean_b_ok"))
+
+
 EMB_DIM = 64  # embeddings.parquet schema contract (same at every sf)
 
 
@@ -4260,7 +4318,11 @@ def q_ann_recall_matryoshka(spark, sf_dir):
 #         code_func_dedup — the input_hint's own corpus layer),
 #   29-43 the session-15/16 past-window queue (text_dispersion …
 #         rel_events_trimmed),
-#   44    kg_tag_adamic (the undocumented r4 eviction the ledger records),
+#   44    multimodal_jpeg (r5-new: the JPEG decoder, kg/jpeg.py — new
+#         operators never ship outside the window; it displaced
+#         kg_tag_adamic, whose Adamic–Adar weight is certified
+#         VERBATIM inside the r4-green kg_tag_linkpred row — the
+#         strongest indirect evidence of any demotable slot),
 #   45-49 five r4 demotions whose machinery has no driver row anywhere
 #         (bounded-contract Misra-Gries, perceptron loop, per-doc
 #         TextRank, BM25 ranker, exact Brandes betweenness),
@@ -4311,7 +4373,7 @@ R5_WINDOW = [
     "kg_tag_khop",
     "text_kwic",
     "rel_events_trimmed",
-    "kg_tag_adamic",
+    "multimodal_jpeg",
     "text_heavy_hitters",
     "corpus_classifier",
     "kg_textrank_keywords",
@@ -4353,6 +4415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_tag_pagerank_full": q_kg_tag_pagerank_full,
         "text_normalize_nfc": q_text_normalize_nfc,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_jpeg": q_multimodal_jpeg,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         # --- r4 late additions, rotated INTO the first-50 window (CLAUDE.md
         # rotation rule: new queries never ship outside the window); seven

@@ -608,6 +608,25 @@ def build_oracle_sql() -> dict[str, str]:
                     ELSE (vec_id * 13) % 251 END AS INT) AS mean_b
         FROM embeddings"""
 
+    # JPEG decode (kg/jpeg.py): dims / format / decoded size are exact
+    # arithmetic in vec_id; channel means come out of a LOSSY codec, so
+    # the Spark side verifies |int_mean − closed-form expectation| ≤ 3
+    # in-engine and emits booleans this oracle asserts (the
+    # bounded-contract pattern — a broken decoder emits false → hash
+    # mismatch).  vec_id % 3 = solid 4:4:4 / gradient 4:2:0 / gradient
+    # 4:4:4 with restart markers.
+    sqls["multimodal_jpeg"] = """
+        SELECT vec_id AS media_id,
+               CASE vec_id % 3 WHEN 0 THEN 'jpeg-solid'
+                    WHEN 1 THEN 'jpeg-420' ELSE 'jpeg-rst'
+               END AS format,
+               CAST(4 + vec_id % 5 AS INT) AS width,
+               CAST(3 + vec_id % 4 AS INT) AS height,
+               CAST(3 * (4 + vec_id % 5) * (3 + vec_id % 4)
+                    AS BIGINT) AS n_rgb_bytes,
+               true AS mean_r_ok, true AS mean_g_ok, true AS mean_b_ok
+        FROM embeddings"""
+
     sqls["multimodal_features"] = """
         SELECT vec_id AS media_id,
                CAST(8 + vec_id % 5 AS INT) AS width,
