@@ -13,8 +13,9 @@ predictors, validated against third-party-encoded PNGs) plus an IHDR
 dims-only path for truncated payloads — and (r5) **JPEG**, baseline AND
 progressive DCT with any 1-2 sampling factors, restart intervals, and
 grayscale/YCbCr (kg/jpeg.py, validated against third-party-encoded
-progressive 4:2:0/4:4:4 files).  Adam7-interlaced PNG and audio/video
-codecs still raise NotImplementedError with the integration point marked:
+progressive 4:2:0/4:4:4 files) and Adam7-interlaced PNG (seven-pass
+scatter decode, §8.2).  Audio/video bitstream codecs still raise
+NotImplementedError with the integration point marked:
 swap `decode_image`'s fallthrough for PIL/opencv and nothing else changes
 (this container ships no imaging libraries).  `fake_png_bytes` stays as
 the lightest-weight deterministic fixture format.
@@ -277,6 +278,50 @@ def png_encode(width: int, height: int, pixels: bytes,
                          list(pixels), filter_type=filter_type)
 
 
+def png_adam7_encode(width: int, height: int, pixels: bytes,
+                     filter_type: int = 0) -> bytes:
+    """8-bit RGB Adam7-INTERLACED PNG encoder (spec §8.2): the seven
+    reduced images are extracted, each filtered independently with
+    `filter_type`, and concatenated into one IDAT.  Fixture/test leg for
+    the interlaced decode path."""
+    if len(pixels) != 3 * width * height:
+        raise ValueError("pixels must be 3*width*height RGB bytes")
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        prev = bytes(3 * pw)
+        for j in range(ph):
+            y = y0 + j * dy
+            line = bytearray()
+            for i in range(pw):
+                p = 3 * (y * width + x0 + i * dx)
+                line += pixels[p:p + 3]
+            raw.append(filter_type)
+            for i in range(3 * pw):
+                x = line[i]
+                a = line[i - 3] if i >= 3 else 0
+                b = prev[i]
+                c = prev[i - 3] if i >= 3 else 0
+                if filter_type == 0:
+                    raw.append(x)
+                elif filter_type == 1:
+                    raw.append((x - a) & 0xFF)
+                elif filter_type == 2:
+                    raw.append((x - b) & 0xFF)
+                elif filter_type == 3:
+                    raw.append((x - (a + b) // 2) & 0xFF)
+                else:
+                    raw.append((x - _paeth(a, b, c)) & 0xFF)
+            prev = bytes(line)
+    ihdr = struct.pack(">II", width, height) + bytes((8, 2, 0, 0, 1))
+    return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b""))
+
+
 def png_bytes(media_id: int, width: int, height: int,
               filter_type: int = 0, alpha: bool = False) -> bytes:
     """Constant-color real PNG fixture (same color rule as bmp_bytes, so
@@ -330,58 +375,240 @@ def png_rgb16_bytes(media_id: int, width: int, height: int,
                          filter_type=filter_type)
 
 
-def _png_decode(payload: bytes) -> tuple[int, int, bytes]:
-    """Full PNG pixel decode — pure Python + stdlib zlib: IDAT inflate,
-    per-scanline unfilter (all five predictors), then expansion to
-    top-down RGB888.  Supports ALL spec color types at every spec-valid
-    bit depth, non-interlaced: grayscale 1/2/4/8/16 (sub-byte samples
-    scaled by 255/(2^d−1), 16-bit by its high byte — the standard
-    presentation downsample), RGB 8/16, paletted 1/2/4/8 (PLTE lookup),
-    gray+alpha and RGBA (alpha dropped).  Adam7 interlace remains the
-    marked PIL integration point (rare on the web; the deinterlace pass
-    is pure reshuffling and slots in here).  Validated against
-    third-party-encoded PNGs (adaptive filters) in addition to the
-    round-trip tests."""
-    pos, w = 8, None
-    idat = bytearray()
-    plte = b""
-    while pos + 8 <= len(payload):
-        (ln,) = struct.unpack(">I", payload[pos:pos + 4])
-        tag = payload[pos + 4:pos + 8]
-        data = payload[pos + 8:pos + 8 + ln]
-        if tag == b"IHDR":
-            w, h = struct.unpack(">II", data[:8])
-            depth, ct, _comp, _flt, inter = data[8:13]
-            if inter != 0:
-                raise NotImplementedError(
-                    "Adam7-interlaced PNG — integration point: PIL")
-            if depth not in _PNG_DEPTHS.get(ct, ()):
-                raise ValueError(
-                    f"invalid PNG (color_type={ct}, depth={depth})")
-        elif tag == b"PLTE":
-            plte = data
-        elif tag == b"IDAT":
-            idat += data
-        elif tag == b"IEND":
+def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytearray:
+    """GIF-variant LZW (LSB-first variable-width codes, clear/EOI,
+    4096-entry dictionary) → index stream of exactly n_pixels."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset() -> int:
+        table.clear()
+        table.extend(bytes((i,)) for i in range(clear))
+        table.extend((b"", b""))            # clear + EOI placeholders
+        return min_code_size + 1
+
+    code_size = reset()
+    acc = nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                code_size = reset()
+                prev = None
+                continue
+            if code == eoi:
+                return out[:n_pixels]
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]     # the KwKwK case
+            else:
+                raise ValueError("corrupt GIF: LZW code out of range")
+            out += entry
+            if prev is not None and len(table) < 4096:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << code_size) and code_size < 12:
+                    code_size += 1
+            prev = entry
+            if len(out) >= n_pixels:
+                return out[:n_pixels]
+    return out[:n_pixels]
+
+
+def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW encoder (fixture/sink leg): starts with a clear
+    code, grows to 12-bit codes, resets on a full dictionary."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, size: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes((i,)): i for i in range(clear)}
+    next_code = eoi + 1
+    code_size = min_code_size + 1
+    emit(clear, code_size)
+    run = b""
+    for b in indices:
+        cand = run + bytes((b,))
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run], code_size)
+        if next_code < 4096:
+            table[cand] = next_code
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+            next_code += 1
+        else:
+            emit(clear, code_size)
+            table = {bytes((i,)): i for i in range(clear)}
+            next_code = eoi + 1
+            code_size = min_code_size + 1
+        run = bytes((b,))
+    if run:
+        emit(table[run], code_size)
+    emit(eoi, code_size)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+# GIF interlace row order (§appendix E): (start_row, step) per pass.
+_GIF_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_decode(payload: bytes) -> tuple[int, int, bytes]:
+    """First-frame GIF87a/89a decode → RGB888: logical-screen +
+    global/local color tables, full LZW, 4-pass interlace, extension
+    blocks skipped, transparency dropped (the alpha convention of every
+    decoder here).  Frames smaller than the logical screen composite
+    onto a background canvas of the background-color index."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh = struct.unpack("<HH", payload[6:10])
+    flags, bg_idx = payload[10], payload[11]
+    pos = 13
+    gct = b""
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = payload[pos:pos + 3 * n]
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x21:                   # extension: skip sub-blocks
+            pos += 2
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:                 # image descriptor
+            left, top, iw, ih = struct.unpack("<HHHH", payload[pos + 1:pos + 9])
+            iflags = payload[pos + 9]
+            pos += 10
+            ct = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                ct = payload[pos:pos + 3 * n]
+                pos += 3 * n
+            if not ct:
+                raise ValueError("GIF image without a color table")
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos]:
+                ln = payload[pos]
+                data += payload[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = _lzw_decode(bytes(data), min_code, iw * ih)
+            if len(idx) < iw * ih:
+                raise ValueError("corrupt GIF: truncated LZW stream")
+            if iflags & 0x40:               # deinterlace
+                de = bytearray(iw * ih)
+                src = 0
+                for start, step in _GIF_PASSES:
+                    for y in range(start, ih, step):
+                        de[y * iw:(y + 1) * iw] = idx[src:src + iw]
+                        src += iw
+                idx = de
+            ct = ct.ljust(768, b"\0")
+            canvas = bytearray(ct[3 * bg_idx:3 * bg_idx + 3]
+                               if gct else b"\0\0\0") * (sw * sh)
+            for y in range(min(ih, sh - top)):
+                for x in range(min(iw, sw - left)):
+                    v = idx[y * iw + x]
+                    d = 3 * ((top + y) * sw + left + x)
+                    canvas[d:d + 3] = ct[3 * v:3 * v + 3]
+            return sw, sh, bytes(canvas)
+        elif block == 0x3B:                 # trailer
             break
-        pos += 12 + ln
-    if w is None or not idat:
-        raise NotImplementedError(
-            "PNG without IDAT (header-only payload) — dims via image_dims")
-    if ct == 3:
-        if not plte:
-            raise ValueError("paletted PNG without a PLTE chunk")
-        plte = plte.ljust(768, b"\0")   # out-of-range indices decode black
+        else:
+            raise ValueError(f"corrupt GIF: unknown block 0x{block:02X}")
+    raise ValueError("GIF without an image frame")
+
+
+def gif_encode(width: int, height: int, indices: bytes, palette: bytes,
+               interlace: bool = False, version: bytes = b"89a") -> bytes:
+    """GIF encoder (fixture/sink leg): one frame, global color table,
+    real LZW, optional 4-pass interlace."""
+    if len(indices) != width * height:
+        raise ValueError("indices must be width*height bytes")
+    n_colors = max(2, len(palette) // 3)
+    depth = max(1, (n_colors - 1).bit_length())
+    n = 1 << depth
+    out = bytearray(b"GIF" + version)
+    out += struct.pack("<HH", width, height)
+    out += bytes((0x80 | ((depth - 1) << 4) | (depth - 1), 0, 0))
+    out += palette.ljust(3 * n, b"\0")[:3 * n]
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height)
+    out += bytes((0x40,) if interlace else (0,))
+    if interlace:
+        rows = bytearray()
+        for start, step in _GIF_PASSES:
+            for y in range(start, height, step):
+                rows += indices[y * width:(y + 1) * width]
+        indices = bytes(rows)
+    min_code = max(2, depth)
+    out += bytes((min_code,))
+    lzw = _lzw_encode(indices, min_code)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        out += bytes((len(chunk),)) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def gif_bytes(media_id: int, width: int, height: int,
+              interlace: bool = False) -> bytes:
+    """Constant-color GIF fixture: every palette entry carries the
+    bmp_bytes color rule (id%251, id*7%251, id*13%251), so decoded
+    channel means stay arithmetic in media_id while the index stream
+    still varies (media_id % 4)."""
+    r, g, b = media_id % 251, (media_id * 7) % 251, (media_id * 13) % 251
+    palette = bytes((r, g, b)) * 4
+    return gif_encode(width, height,
+                      bytes((media_id % 4,)) * (width * height), palette,
+                      interlace=interlace)
+
+
+# Adam7 pass grid: (x0, y0, dx, dy) per spec §8.2.
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _png_unfilter_expand(raw: bytes, off: int, w: int, h: int, depth: int,
+                         ct: int, plte: bytes) -> tuple[bytearray, int]:
+    """Unfilter (all five predictors) + expand a filtered sub-image of
+    `w`x`h` starting at raw[off] to RGB888.  Returns (rgb, bytes
+    consumed).  Shared by the sequential path (one call, full image)
+    and the Adam7 path (one call per non-empty pass)."""
     channels = _PNG_CHANNELS[ct]
     bits_pp = channels * depth
     stride = (w * bits_pp + 7) // 8
     bpp = max(1, bits_pp // 8)
-    raw = zlib.decompress(bytes(idat))
     rgb = bytearray()
     prev = bytearray(stride)
     for y in range(h):
-        ft = raw[y * (stride + 1)]
-        line = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
+        base_off = off + y * (stride + 1)
+        if base_off + 1 + stride > len(raw):
+            raise ValueError("corrupt PNG: truncated scanline data")
+        ft = raw[base_off]
+        line = bytearray(raw[base_off + 1:base_off + 1 + stride])
         for i in range(stride):
             a = line[i - bpp] if i >= bpp else 0
             b = prev[i]
@@ -424,7 +651,72 @@ def _png_decode(payload: bytes) -> tuple[int, int, bytes]:
                     rgb += bytes((s[0], s[0], s[0]))
                 else:                   # RGB / RGBA (alpha dropped)
                     rgb += bytes((s[0], s[1], s[2]))
-    return w, h, bytes(rgb)
+    return rgb, h * (stride + 1)
+
+
+def _png_decode(payload: bytes) -> tuple[int, int, bytes]:
+    """Full PNG pixel decode — pure Python + stdlib zlib: IDAT inflate,
+    per-scanline unfilter (all five predictors), then expansion to
+    top-down RGB888.  Supports ALL spec color types at every spec-valid
+    bit depth: grayscale 1/2/4/8/16 (sub-byte samples scaled by
+    255/(2^d−1), 16-bit by its high byte — the standard presentation
+    downsample), RGB 8/16, paletted 1/2/4/8 (PLTE lookup), gray+alpha
+    and RGBA (alpha dropped) — non-interlaced AND (r5) Adam7-interlaced
+    (§8.2: seven independently-filtered reduced images scattered onto
+    the canvas; empty passes carry no scanlines).  Validated against
+    third-party-encoded PNGs (adaptive filters) in addition to the
+    round-trip tests."""
+    pos, w = 8, None
+    idat = bytearray()
+    plte = b""
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos:pos + 4])
+        tag = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h = struct.unpack(">II", data[:8])
+            depth, ct, _comp, _flt, inter = data[8:13]
+            if inter not in (0, 1):
+                raise ValueError(f"invalid PNG interlace method {inter}")
+            if depth not in _PNG_DEPTHS.get(ct, ()):
+                raise ValueError(
+                    f"invalid PNG (color_type={ct}, depth={depth})")
+        elif tag == b"PLTE":
+            plte = data
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None or not idat:
+        raise NotImplementedError(
+            "PNG without IDAT (header-only payload) — dims via image_dims")
+    if ct == 3:
+        if not plte:
+            raise ValueError("paletted PNG without a PLTE chunk")
+        plte = plte.ljust(768, b"\0")   # out-of-range indices decode black
+    raw = zlib.decompress(bytes(idat))
+    if inter == 0:
+        rgb, _ = _png_unfilter_expand(raw, 0, w, h, depth, ct, plte)
+        return w, h, bytes(rgb)
+    # Adam7: decode each non-empty pass, scatter onto the RGB canvas.
+    canvas = bytearray(3 * w * h)
+    off = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        sub, consumed = _png_unfilter_expand(raw, off, pw, ph, depth, ct,
+                                             plte)
+        off += consumed
+        for j in range(ph):
+            dst_y = y0 + j * dy
+            for i in range(pw):
+                s = 3 * (j * pw + i)
+                d = 3 * (dst_y * w + x0 + i * dx)
+                canvas[d:d + 3] = sub[s:s + 3]
+    return w, h, bytes(canvas)
 
 
 # --- real decoders -----------------------------------------------------------
@@ -433,8 +725,8 @@ def image_dims(payload: bytes) -> tuple[int, int]:
     """(width, height) for any supported payload: fake, BMP (header),
     PPM (header), PNG (IHDR — works without pixel data), GIF
     (logical-screen descriptor — the published GIF87a/89a header: LE
-    u16 width/height at offsets 6/8; pixel decode would need LZW, so
-    GIF stays dims-only like truncated PNG)."""
+    u16 width/height at offsets 6/8; full pixel decode via _gif_decode
+    since r5), TIFF, QOI, and JPEG (any SOF process)."""
     if payload[:8] == _MAGIC:
         return struct.unpack(">II", payload[8:16])
     if payload[:2] == b"BM":
@@ -486,9 +778,8 @@ def decode_image(payload: bytes) -> tuple[int, int, bytes]:
     stripped), binary PPM/P6, and full PNG (ALL spec color types —
     gray/RGB/palette/gray+alpha/RGBA — at every spec-valid bit depth
     1/2/4/8/16, non-interlaced: stdlib-zlib IDAT inflate + all five
-    scanline filter predictors — see _png_decode), and JPEG (baseline +
-    progressive, kg/jpeg.py).  Adam7-interlaced PNG remains the marked
-    PIL integration point."""
+    scanline filter predictors, non-interlaced AND Adam7 — see
+    _png_decode), and JPEG (baseline + progressive, kg/jpeg.py)."""
     if payload[:8] == _MAGIC:
         return decode_image_stub(payload)
     if payload[:2] == b"BM":
@@ -520,6 +811,8 @@ def decode_image(payload: bytes) -> tuple[int, int, bytes]:
         return _png_decode(payload)
     if payload[:4] == b"qoif":
         return _qoi_decode(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _gif_decode(payload)
     if payload[:2] == b"\xff\xd8":
         from kg.jpeg import jpeg_decode    # baseline + progressive (kg/jpeg.py)
         return jpeg_decode(payload)

@@ -178,17 +178,17 @@ def test_png_full_decode_all_filters():
     cb = mm.png_bytes(42, 4, 3, filter_type=4, alpha=True)
     _, _, rgb = mm.decode_image(cb)
     assert rgb == bytes((42, 294 % 251, 546 % 251)) * 12
-    # unsupported PNG variants raise at the marked integration point
-    # (r5: palette/grayscale/16-bit now DECODE — Adam7 interlace is the
-    # remaining marked gap)
+    # Adam7 DECODES since r5 (tests/test_gif_adam7.py) — but flipping
+    # the interlace byte on sequentially-laid-out data makes the stream
+    # CORRUPT (pass layout differs), which must be a clean error
     import struct as st
     bad = bytearray(mm.png_bytes(1, 2, 2))
     bad[28] = 1                     # IHDR interlace byte = 1 (Adam7)
-    # fix the IHDR crc so the parse reaches the interlace check honestly
+    # fix the IHDR crc so the parse reaches the pass decode honestly
     import zlib as zl
     ihdr = bytes(bad[12:29])
     bad[29:33] = st.pack(">I", zl.crc32(ihdr) & 0xFFFFFFFF)
-    with pytest.raises(NotImplementedError, match="Adam7|PIL"):
+    with pytest.raises(ValueError, match="truncated|corrupt"):
         mm.decode_image(bytes(bad))
     # corrupt paletted payload without PLTE is a hard error, not garbage
     nop = bytearray(mm.png_palette_bytes(5, 2, 2))
