@@ -2716,6 +2716,24 @@ def q_text_bpe_encode(spark, sf_dir):
                     F.md5(F.col("text")).alias("enc_md5")))
 
 
+def q_text_wordpiece(spark, sf_dir):
+    """WordPiece-style subword tokenization (kg.train.wordpiece_vocab +
+    wordpiece_encode_counts): derive a deterministic vocab (every corpus
+    character + the 8 most frequent words, ties lexicographic), greedy
+    longest-match segment every token (continuations '##'-prefixed),
+    and emit the corpus piece-frequency table.  Segmentation is a pure
+    Catalyst aggregate() fold over character positions — zero UDFs —
+    and runs once per DISTINCT word (the distinct-lemma rule), with the
+    corpus contributing only a word-frequency aggregate.  The oracle
+    precomputes the longest-match lookup for every (word, pos) as a
+    materialized join (ties impossible: equal-length matches at one
+    position would be the same string) and replays the greedy scan as a
+    recursive CTE."""
+    from kg.train import wordpiece_encode_counts, wordpiece_vocab
+    d = _docs(spark, sf_dir)
+    return wordpiece_encode_counts(d, wordpiece_vocab(d))
+
+
 def q_corpus_quality_strata(spark, sf_dir):
     """Quality-stratified sampling (kg.sampling.quality_strata_sample):
     exact nearest-rank quartile strata of lexical diversity (value-
@@ -5264,6 +5282,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_annotate_full": q_kg_annotate_full,
         "kg_annotate_lemma_ner": q_kg_annotate_lemma_ner,
         "kg_tag_pos_ne": q_kg_tag_pos_ne,
+        # --- r5 post-window additions (rotation rule: the mechanical
+        # R5_WINDOW head may not be displaced; new ops land at the tail
+        # and queue first for any future window) -------------------------
+        "text_wordpiece": q_text_wordpiece,
     }
     # Hoist the r5 driver window to the front (see R5_WINDOW above);
     # everything else keeps its relative order behind it.

@@ -383,3 +383,99 @@ def bpe_encode(df: DataFrame, merges, text_col: str = "text",
     for w1, w2 in rules:
         out = out.withColumn("text", _bpe_merge_expr("text", w1, w2))
     return out.withColumn("n_tokens_after", ntok())
+
+
+def wordpiece_vocab(df: DataFrame, top_k: int = 8,
+                    text_col: str = "text") -> list[str]:
+    """Derive a deterministic WordPiece-style subword vocabulary from a
+    corpus: every single character that appears in any token, plus the
+    `top_k` most frequent whole words (ties: lexicographically smallest
+    word wins).  The subword counterpart of fit_ner_gazetteer's
+    model-fit step — the reference consumes pre-trained OpenNLP
+    tokenizer models (OpenNLPPipeline.java:112-229); this builds the
+    greedy-match vocabulary wordpiece_encode_counts applies.
+
+    Character pieces guarantee full coverage of the training corpus
+    (the byte-fallback property), so greedy segmentation never dead-ends
+    on in-corpus text.
+
+    Returned sorted longest-first then lexicographic — exactly the probe
+    order greedy longest-match needs — as a driver-sized model artifact
+    (vocab cardinality is alphabet + top_k, independent of corpus size;
+    the collect IS the model-load step, like bpe_encode's merges).
+
+    Scale shape: one word-frequency aggregate (map-side combining on a
+    Zipfian key) + one distinct over characters of DISTINCT words only
+    — the fuzzy-link rule (CLAUDE.md 7): per-word work runs on the
+    distinct-word table, never per occurrence."""
+    words = df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+    freq = words.groupBy("w").agg(F.count("*").alias("c"))
+    top = [r["w"] for r in
+           freq.orderBy(F.desc("c"), F.asc("w")).limit(top_k).collect()]
+    chars = [r["ch"] for r in
+             (freq.select("w").distinct()
+              .select(F.explode(F.expr(
+                  "transform(sequence(1, length(w)), i -> substr(w, i, 1))"
+              )).alias("ch"))
+              .distinct().collect())]
+    vocab = sorted(set(top) | set(chars), key=lambda p: (-len(p), p))
+    return vocab
+
+
+def _wordpiece_seg_expr(word_col: str, vocab: list[str]) -> str:
+    """SQL expression segmenting `word_col` into WordPiece pieces via
+    greedy longest-match over `vocab` (sorted longest-first): an
+    aggregate() fold over character positions — state (pos, out); a step
+    whose index has been consumed by an earlier multi-char piece passes
+    the state through; the step AT pos appends the first (= longest)
+    matching piece, '##'-prefixed when pos > 1, and jumps pos past it.
+    Unknown characters fall back to themselves (byte-fallback variant —
+    real WordPiece emits [UNK] for the whole word; the per-char
+    fallback keeps the op total and is exercised only off-corpus since
+    wordpiece_vocab covers every training character).
+
+    Pure Catalyst higher-order functions — ZERO UDFs, fully codegen'd;
+    the vocab is a constant array literal so the per-step filter() runs
+    over alphabet+top_k elements, bounded by the model not the data.
+    The fold variable `acc` (not an outer array expression) carries all
+    cross-step state, so the O(n^2) HOF-lambda trap (CLAUDE.md 10) does
+    not apply."""
+    for p in vocab:
+        if "'" in p or " " in p:
+            raise ValueError(f"vocab piece {p!r} breaks the literal frame")
+    vlit = "array(" + ", ".join(f"'{p}'" for p in vocab) + ")"
+    best = (f"coalesce(try_element_at(filter({vlit}, "
+            f"v -> substr({word_col}, acc.pos, length(v)) = v), 1), "
+            f"substr({word_col}, acc.pos, 1))")
+    return (
+        f"aggregate(sequence(1, length({word_col})), "
+        f"named_struct('pos', 1, 'out', cast(array() as array<string>)), "
+        f"(acc, i) -> if(i != acc.pos, acc, "
+        f"named_struct('pos', acc.pos + length({best}), "
+        f"'out', array_append(acc.out, "
+        f"if(acc.pos = 1, '', '##') || {best}))), "
+        f"acc -> acc.out)")
+
+
+def wordpiece_encode_counts(df: DataFrame, vocab: list[str],
+                            text_col: str = "text") -> DataFrame:
+    """Corpus-level WordPiece piece-frequency table: segment every token
+    by greedy longest-match over `vocab` (wordpiece_vocab output) and
+    return (piece, cnt) — cnt = total occurrences across the corpus.
+    The subword-inference leg next to bpe_encode: HuggingFace
+    WordPiece's encode step, aggregated to the corpus statistics a
+    tokenizer-coverage audit needs (piece distribution, continuation
+    '##' mass).
+
+    Scale shape: segmentation runs ONCE PER DISTINCT WORD (the
+    distinct-lemma rule, CLAUDE.md 7) — the corpus contributes only a
+    word-frequency aggregate; piece occurrences multiply back via the
+    tiny distinct-word table join (broadcast), so per-character fold
+    cost is bounded by |distinct words| x max word length, not corpus
+    size.  Zero UDFs end-to-end."""
+    words = df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+    freq = words.groupBy("w").agg(F.count("*").cast("bigint").alias("c"))
+    seg = (freq.select("w", "c")
+           .withColumn("piece", F.explode(F.expr(_wordpiece_seg_expr("w", vocab)))))
+    return (seg.groupBy("piece")
+            .agg(F.sum("c").cast("bigint").alias("cnt")))

@@ -758,3 +758,48 @@ class TestQoi:
         w, h, rgb = decode_image(p)
         assert len(ahash64(w, h, rgb)) == 16
         assert len(dhash64(w, h, rgb)) == 16
+
+
+def test_wordpiece_vocab_deterministic(spark):
+    """Vocab = every corpus character + top-k words (count DESC, word
+    ASC ties), sorted longest-first then lexicographic."""
+    from kg.train import wordpiece_vocab
+    docs = spark.createDataFrame(
+        [(0, "ab ab cd"), (1, "cd ab ef")], "doc_id long, text string")
+    # counts: ab=3, cd=2, ef=1 -> top_k=2 keeps ab, cd; chars a b c d e f
+    assert wordpiece_vocab(docs, top_k=2) == [
+        "ab", "cd", "a", "b", "c", "d", "e", "f"]
+
+
+def test_wordpiece_encode_hand_computed(spark):
+    """Greedy longest-match: with vocab [abc, ab, a..x], 'abcab' splits
+    abc + ##ab (longest-first at pos 1 consumes 3 chars; 'ab' still
+    matches as a continuation at pos 4), and 'xabc' starts on the char
+    piece then matches ##abc mid-word."""
+    from kg.train import wordpiece_encode_counts
+    docs = spark.createDataFrame(
+        [(0, "abcab xabc abcab")], "doc_id long, text string")
+    vocab = sorted({"abc", "ab"} | set("abcx"), key=lambda p: (-len(p), p))
+    got = {r["piece"]: r["cnt"]
+           for r in wordpiece_encode_counts(docs, vocab).collect()}
+    assert got == {"abc": 2, "##ab": 2, "x": 1, "##abc": 1}
+
+
+def test_wordpiece_unknown_char_fallback(spark):
+    """Characters absent from the vocab segment as themselves (the
+    byte-fallback variant documented in _wordpiece_seg_expr)."""
+    from kg.train import wordpiece_encode_counts
+    docs = spark.createDataFrame([(0, "azb")], "doc_id long, text string")
+    got = {r["piece"]: r["cnt"]
+           for r in wordpiece_encode_counts(docs, ["a", "b"]).collect()}
+    assert got == {"a": 1, "##z": 1, "##b": 1}
+
+
+def test_wordpiece_counts_partition_invariant(spark):
+    from kg.train import wordpiece_encode_counts, wordpiece_vocab
+    rows = [(i, "spark scan sparks") for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    v = wordpiece_vocab(docs, top_k=2)
+    a = sorted(map(tuple, wordpiece_encode_counts(docs.coalesce(1), v).collect()))
+    b = sorted(map(tuple, wordpiece_encode_counts(docs.repartition(7), v).collect()))
+    assert a == b and sum(c for _, c in a) > 0

@@ -3651,6 +3651,50 @@ def build_oracle_sql() -> dict[str, str]:
                md5(s3.text) AS enc_md5
         FROM s0 JOIN s3 USING (doc_id)"""
 
+    # WordPiece subword encode (kg.train.wordpiece_vocab +
+    # wordpiece_encode_counts): vocab = every corpus character + top-8
+    # words (c DESC, w ASC); greedy longest-match replayed as a recursive
+    # CTE over a MATERIALIZED per-(word, pos) longest-match lookup
+    # (correlated subqueries against MATERIALIZED CTEs misbehave inside
+    # DuckDB 1.0 recursion — the join form avoids them; ties are
+    # impossible since equal-length matches at one position are the same
+    # string).  Segmentation runs on DISTINCT words; corpus counts
+    # multiply back through wp_freq.
+    sqls["text_wordpiece"] = """
+        WITH RECURSIVE
+          wp_freq AS MATERIALIZED (
+            SELECT w, CAST(count(*) AS BIGINT) AS c
+            FROM (SELECT unnest(regexp_split_to_array(text, ' ')) AS w
+                  FROM documents WHERE lang = 'en')
+            GROUP BY w),
+          wp_vocab AS MATERIALIZED (
+            SELECT piece FROM (
+              SELECT w AS piece FROM wp_freq ORDER BY c DESC, w LIMIT 8)
+            UNION
+            SELECT DISTINCT substr(w, i, 1) AS piece
+            FROM (SELECT w, unnest(range(1, length(w) + 1)) AS i
+                  FROM wp_freq)),
+          wp_best AS MATERIALIZED (
+            SELECT w, pos, max_by(piece, length(piece)) AS bp
+            FROM (SELECT f.w, p.pos, v.piece
+                  FROM wp_freq f
+                  JOIN (SELECT w, unnest(range(1, length(w) + 1)) AS pos
+                        FROM wp_freq) p ON p.w = f.w
+                  JOIN wp_vocab v
+                    ON substr(f.w, p.pos, length(v.piece)) = v.piece)
+            GROUP BY w, pos),
+          wp_seg AS (
+            SELECT w, 1 AS pos, CAST(NULL AS VARCHAR) AS piece FROM wp_freq
+            UNION ALL
+            SELECT s.w, s.pos + length(b.bp) AS pos,
+                   CASE WHEN s.pos = 1 THEN b.bp
+                        ELSE '##' || b.bp END AS piece
+            FROM wp_seg s JOIN wp_best b ON b.w = s.w AND b.pos = s.pos)
+        SELECT piece, CAST(SUM(c) AS BIGINT) AS cnt
+        FROM wp_seg JOIN wp_freq USING (w)
+        WHERE piece IS NOT NULL
+        GROUP BY piece"""
+
     # quality-stratified sampling: exact nearest-rank quartile thresholds
     # over the diversity-value histogram, ties to the lower stratum,
     # per-stratum md5 keeps (top stratum = the 'g' keep-all sentinel)
