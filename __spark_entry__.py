@@ -2734,6 +2734,20 @@ def q_text_wordpiece(spark, sf_dir):
     return wordpiece_encode_counts(d, wordpiece_vocab(d))
 
 
+def q_text_unigram_viterbi(spark, sf_dir):
+    """Unigram-LM Viterbi segmentation (kg.train.unigram_piece_costs +
+    unigram_viterbi_segments — SentencePiece/Kudo-2018 inference under a
+    deterministic floor-log2 cost model): per distinct word, the
+    minimum-cost segmentation's total bits and piece count plus corpus
+    frequency.  The DP is a pure-Catalyst aggregate() fold whose state
+    is the cost array, riding the composite bits*2^20+n_pieces integer
+    so min IS the tie-break; the oracle unrolls the same DP as a
+    materialized CTE chain."""
+    from kg.train import unigram_piece_costs, unigram_viterbi_segments
+    d = _docs(spark, sf_dir)
+    return unigram_viterbi_segments(d, unigram_piece_costs(d))
+
+
 def q_corpus_quality_strata(spark, sf_dir):
     """Quality-stratified sampling (kg.sampling.quality_strata_sample):
     exact nearest-rank quartile strata of lexical diversity (value-
@@ -5286,6 +5300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # R5_WINDOW head may not be displaced; new ops land at the tail
         # and queue first for any future window) -------------------------
         "text_wordpiece": q_text_wordpiece,
+        "text_unigram_viterbi": q_text_unigram_viterbi,
     }
     # Hoist the r5 driver window to the front (see R5_WINDOW above);
     # everything else keeps its relative order behind it.

@@ -479,3 +479,106 @@ def wordpiece_encode_counts(df: DataFrame, vocab: list[str],
            .withColumn("piece", F.explode(F.expr(_wordpiece_seg_expr("w", vocab)))))
     return (seg.groupBy("piece")
             .agg(F.sum("c").cast("bigint").alias("cnt")))
+
+
+def unigram_piece_costs(df: DataFrame, top_k: int = 8,
+                        text_col: str = "text") -> list[tuple[str, int]]:
+    """Deterministic unigram-LM piece costs over the wordpiece_vocab
+    piece set: cost(piece) = bit_length(N div occ) where occ = corpus
+    occurrences of the piece as a word substring (word-frequency
+    weighted, every matching position counted) and N = total character
+    positions — the integer floor-log2 surrogate for -log2 p(piece)
+    (the lm_surprisal portability rule: float ln is not value-hash
+    oracle-able; bit length is engine-identical).  The EM-free stand-in
+    for SentencePiece's unigram piece probabilities; the model SHAPE
+    (piece table + per-piece cost consumed by a Viterbi segmenter) is
+    exactly Kudo 2018's.
+
+    Returns [(piece, cost_bits)] sorted by piece — a driver-sized model
+    artifact (vocab cardinality is alphabet + top_k).
+
+    Scale shape: matching is IN-ROW over the literal vocab array per
+    (distinct word, position) — no theta join; the corpus contributes
+    only the word-frequency aggregate, and the two collects (occ table,
+    scalar N) are vocab-sized / single-row."""
+    vocab = wordpiece_vocab(df, top_k, text_col)
+    vlit = "array(" + ", ".join(f"'{p}'" for p in vocab) + ")"
+    words = df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+    freq = words.groupBy("w").agg(F.count("*").cast("bigint").alias("c"))
+    matches = (freq
+               .withColumn("pos", F.explode(F.expr(
+                   "sequence(1, length(w))")))
+               .withColumn("piece", F.explode(F.expr(
+                   f"filter({vlit}, v -> length(v) <= pos AND "
+                   f"substr(w, pos - length(v) + 1, length(v)) = v)"))))
+    occ = {r["piece"]: r["o"] for r in
+           matches.groupBy("piece").agg(F.sum("c").alias("o")).collect()}
+    n_chars = freq.agg(F.sum(F.col("c") * F.length("w")).alias("n")
+                       ).first()["n"]
+    return sorted((p, (int(n_chars) // int(o)).bit_length())
+                  for p, o in occ.items())
+
+
+def _viterbi_seg_expr(word_col: str, piece_costs: list[tuple[str, int]]) -> str:
+    """SQL expression computing the minimum-cost unigram segmentation of
+    `word_col` as a Viterbi DP fold over character positions: the fold
+    state is the DP cost array (cost[j] at index j+1, cost[0] = 0); step
+    j appends min over pieces ending at j of cost[j - len(piece)] +
+    piece cost.  Costs ride as the composite integer bits*2^20 +
+    n_pieces, so integer min IS the (bits, then fewer-pieces) lexical
+    tie-break and composite addition distributes over both fields
+    (n_pieces <= word length < 2^20 — radix sized so even a 1M-char
+    token cannot carry between fields; 64 bits/char * 10^6 chars * 2^20
+    still fits bigint).  Characters outside the piece set
+    fall back to a fixed 64-bit unknown cost, keeping the op total.
+    Returns the composite for the full word (bits = div 2^20, n_pieces =
+    mod 2^20).
+
+    Pure Catalyst HOFs, zero UDFs; the lambda reads only the fold
+    variable, the scalar word column, and constant literals, so the
+    O(n^2) outer-array trap (CLAUDE.md 10) does not apply — per-step
+    work is |pieces|, bounded by the model."""
+    for p, _ in piece_costs:
+        if "'" in p or " " in p:
+            raise ValueError(f"piece {p!r} breaks the literal frame")
+    vlit = "array(" + ", ".join(
+        f"named_struct('p', '{p}', 'c', cast({b * 1048576 + 1} as bigint))"
+        for p, b in piece_costs) + ")"
+    step = (
+        f"coalesce("
+        f"array_min(transform("
+        f"filter({vlit}, v -> length(v.p) <= j AND "
+        f"substr({word_col}, j - length(v.p) + 1, length(v.p)) = v.p), "
+        f"v -> try_element_at(acc, j - length(v.p) + 1) + v.c)), "
+        f"try_element_at(acc, j) + {64 * 1048576 + 1})")
+    return (
+        f"aggregate(sequence(1, length({word_col})), "
+        f"array(cast(0 as bigint)), "
+        f"(acc, j) -> array_append(acc, {step}), "
+        f"acc -> try_element_at(acc, size(acc)))")
+
+
+def unigram_viterbi_segments(df: DataFrame,
+                             piece_costs: list[tuple[str, int]],
+                             text_col: str = "text") -> DataFrame:
+    """Minimum-description-length unigram segmentation of every corpus
+    token (SentencePiece/Kudo-2018 Viterbi inference under the
+    unigram_piece_costs model): per DISTINCT word, the optimal
+    segmentation's total bit cost and piece count, plus the word's
+    corpus frequency — the tokenizer-selection statistics (corpus
+    compression cost = sum cnt*viterbi_bits) an LM-data pipeline
+    compares candidate vocabularies with.
+
+    Returns (w, cnt, viterbi_bits, n_pieces).
+
+    Scale shape: the DP fold runs once per DISTINCT word (the
+    distinct-lemma rule) — per-word cost is word_length x |pieces|,
+    bounded by the model; the corpus contributes one word-frequency
+    aggregate and nothing else shuffles."""
+    words = df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+    freq = words.groupBy("w").agg(F.count("*").cast("bigint").alias("cnt"))
+    comp = F.expr(_viterbi_seg_expr("w", piece_costs))
+    return (freq.withColumn("_comp", comp)
+            .select("w", "cnt",
+                    (F.col("_comp") / 1048576).cast("bigint").alias("viterbi_bits"),
+                    F.pmod("_comp", F.lit(1048576)).cast("bigint").alias("n_pieces")))

@@ -803,3 +803,49 @@ def test_wordpiece_counts_partition_invariant(spark):
     a = sorted(map(tuple, wordpiece_encode_counts(docs.coalesce(1), v).collect()))
     b = sorted(map(tuple, wordpiece_encode_counts(docs.repartition(7), v).collect()))
     assert a == b and sum(c for _, c in a) > 0
+
+
+def test_unigram_piece_costs_hand_computed(spark):
+    """Corpus 'ab ab b': chars {a, b} + top-2 words {ab, b}.  N = 5
+    char positions.  occ(a) = 2, occ(b) = 3 (two in 'ab' + one word),
+    occ(ab) = 2 -> costs bit_length(5//2)=2, 5//3=1 -> 1, 5//2 -> 2."""
+    from kg.train import unigram_piece_costs
+    docs = spark.createDataFrame([(0, "ab ab b")], "doc_id long, text string")
+    assert unigram_piece_costs(docs, top_k=2) == [
+        ("a", 2), ("ab", 2), ("b", 1)]
+
+
+def test_unigram_viterbi_picks_min_cost_path(spark):
+    """With costs a=5, b=5, ab=3 the word 'ab' segments as the single
+    piece (3 bits, 1 piece) not a+b (10 bits); 'aab' = a + ab (8 bits,
+    2 pieces) beats a+a+b (15)."""
+    from kg.train import unigram_viterbi_segments
+    docs = spark.createDataFrame([(0, "ab aab ab")], "doc_id long, text string")
+    got = {r["w"]: (r["cnt"], r["viterbi_bits"], r["n_pieces"])
+           for r in unigram_viterbi_segments(
+               docs, [("a", 5), ("ab", 3), ("b", 5)]).collect()}
+    assert got == {"ab": (2, 3, 1), "aab": (1, 8, 2)}
+
+
+def test_unigram_viterbi_tie_prefers_fewer_pieces(spark):
+    """Composite cost bits*2^20+n: equal-bit paths tie-break to the one
+    with fewer pieces ('ab' as 1 piece at 4 bits beats a+b at 2+2)."""
+    from kg.train import unigram_viterbi_segments
+    docs = spark.createDataFrame([(0, "ab")], "doc_id long, text string")
+    r = unigram_viterbi_segments(
+        docs, [("a", 2), ("ab", 4), ("b", 2)]).first()
+    assert (r["viterbi_bits"], r["n_pieces"]) == (4, 1)
+
+
+def test_unigram_viterbi_unknown_fallback_and_invariance(spark):
+    """Off-vocab chars take the fixed 64-bit fallback; counts are
+    partition-invariant."""
+    from kg.train import unigram_viterbi_segments
+    docs = spark.createDataFrame(
+        [(i, "azb") for i in range(6)], "doc_id long, text string")
+    costs = [("a", 2), ("b", 2)]
+    a = sorted(map(tuple,
+                   unigram_viterbi_segments(docs.coalesce(1), costs).collect()))
+    b = sorted(map(tuple,
+                   unigram_viterbi_segments(docs.repartition(5), costs).collect()))
+    assert a == b == [("azb", 6, 68, 3)]

@@ -3695,6 +3695,78 @@ def build_oracle_sql() -> dict[str, str]:
         WHERE piece IS NOT NULL
         GROUP BY piece"""
 
+    # Unigram-LM Viterbi segmentation (kg.train.unigram_piece_costs +
+    # unigram_viterbi_segments): piece cost = bit_length(N div occ)
+    # composite bits*2^20+1 (min = (bits, n_pieces) lexical tie-break,
+    # addition distributes); the DP is unrolled as a MATERIALIZED CTE
+    # chain uv_c0..uv_c16 (each round referenced by up to 16 later
+    # rounds — plain CTEs would re-expand multiplicatively, the kcore
+    # rule), joining matches-ending-at-j against the union of earlier
+    # rounds.  The unconditional 64-bit unknown-fallback rows in uv_m
+    # are inert on-corpus: every derivable piece cost is <= bit_length(N)
+    # <= 63 bits, strictly below the fallback, and Spark's coalesce
+    # consults the fallback only when no piece matches.  Words longer
+    # than the 16-round unroll would drop from the join and fail the
+    # row-count gate — the guard if testdata ever regenerates.
+    _uv_parts = ["""
+        WITH
+          uv_freq AS MATERIALIZED (
+            SELECT w, CAST(count(*) AS BIGINT) AS c
+            FROM (SELECT unnest(regexp_split_to_array(text, ' ')) AS w
+                  FROM documents WHERE lang = 'en')
+            GROUP BY w),
+          uv_pos AS MATERIALIZED (
+            SELECT w, unnest(range(1, length(w) + 1)) AS pos FROM uv_freq),
+          uv_vocab AS MATERIALIZED (
+            SELECT piece FROM (
+              SELECT w AS piece FROM uv_freq ORDER BY c DESC, w LIMIT 8)
+            UNION
+            SELECT DISTINCT substr(w, pos, 1) FROM uv_pos),
+          uv_vc AS MATERIALIZED (
+            SELECT o.piece,
+                   CAST(length(bin(CAST(nn.n // o.o AS BIGINT))) AS BIGINT)
+                     * 1048576 + 1 AS comp
+            FROM (SELECT v.piece, SUM(f.c) AS o
+                  FROM uv_freq f
+                  JOIN uv_pos p ON p.w = f.w
+                  JOIN uv_vocab v
+                    ON p.pos >= length(v.piece)
+                   AND substr(f.w, p.pos - length(v.piece) + 1,
+                              length(v.piece)) = v.piece
+                  GROUP BY v.piece) o
+            CROSS JOIN (SELECT SUM(c * length(w)) AS n FROM uv_freq) nn),
+          uv_m AS MATERIALIZED (
+            SELECT f.w, p.pos AS endpos, length(v.piece) AS len, v.comp
+            FROM uv_freq f
+            JOIN uv_pos p ON p.w = f.w
+            JOIN uv_vc v
+              ON p.pos >= length(v.piece)
+             AND substr(f.w, p.pos - length(v.piece) + 1,
+                        length(v.piece)) = v.piece
+            UNION ALL
+            SELECT w, pos, 1, CAST(67108865 AS BIGINT) FROM uv_pos),
+          uv_c0 AS MATERIALIZED (
+            SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS comp FROM uv_freq)"""]
+    for _j in range(1, 17):
+        _prevs = " UNION ALL ".join(
+            f"SELECT w, pos, comp FROM uv_c{_i}" for _i in range(_j))
+        _uv_parts.append(f""",
+          uv_c{_j} AS MATERIALIZED (
+            SELECT m.w, {_j} AS pos, MIN(p.comp + m.comp) AS comp
+            FROM uv_m m JOIN ({_prevs}) p
+              ON p.w = m.w AND p.pos = {_j} - m.len
+            WHERE m.endpos = {_j}
+            GROUP BY m.w)""")
+    _uv_final = " UNION ALL ".join(
+        f"SELECT w, pos, comp FROM uv_c{_j}" for _j in range(1, 17))
+    _uv_parts.append(f"""
+        SELECT f.w, f.c AS cnt,
+               CAST(r.comp // 1048576 AS BIGINT) AS viterbi_bits,
+               CAST(r.comp % 1048576 AS BIGINT) AS n_pieces
+        FROM uv_freq f JOIN ({_uv_final}) r
+          ON r.w = f.w AND r.pos = length(f.w)""")
+    sqls["text_unigram_viterbi"] = "".join(_uv_parts)
+
     # quality-stratified sampling: exact nearest-rank quartile thresholds
     # over the diversity-value histogram, ties to the lower stratum,
     # per-stratum md5 keeps (top stratum = the 'g' keep-all sentinel)
