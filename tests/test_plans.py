@@ -1069,3 +1069,25 @@ def test_function_spans_windows_share_id_partitioning(spark):
     plan = _plan(function_spans(_code_docs(spark)))
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert plan.count("Window") == 2
+
+
+def test_wordpiece_encode_zero_python_two_aggregates(spark):
+    """kg.train.wordpiece_encode_counts: the greedy-match fold is pure
+    Catalyst (zero Python eval nodes); the only shuffles are the
+    word-frequency aggregate and the piece-count aggregate (each a
+    partial/final HashAggregate pair -> at most 2 Exchanges)."""
+    from kg.train import wordpiece_encode_counts
+    docs = spark.createDataFrame([(0, "ab ba")], "doc_id bigint, text string")
+    plan = _plan(wordpiece_encode_counts(docs, ["ab", "a", "b"]))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("Exchange") <= 2
+
+
+def test_unigram_viterbi_zero_python_single_aggregate(spark):
+    """kg.train.unigram_viterbi_segments: the Viterbi DP fold is pure
+    Catalyst; the word-frequency aggregate is the only shuffle."""
+    from kg.train import unigram_viterbi_segments
+    docs = spark.createDataFrame([(0, "ab ba")], "doc_id bigint, text string")
+    plan = _plan(unigram_viterbi_segments(docs, [("a", 2), ("b", 2)]))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("Exchange") <= 1
