@@ -230,6 +230,9 @@ HEADLINE = [
     "code_manifest_deps",    # npm/pip declared-dependency rows
     "code_kg_paths",         # CALLS_API triples, capped 2-hop
     "code_func_dedup",       # span-body sha256 exact dedup
+    "multimodal_jpeg",       # baseline/progressive JPEG decode
+    "text_wordpiece",        # greedy subword encode, pure Catalyst fold
+    "text_unigram_viterbi",  # unigram-LM Viterbi DP, pure Catalyst fold
 ]
 
 
