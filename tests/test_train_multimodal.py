@@ -849,3 +849,55 @@ def test_unigram_viterbi_unknown_fallback_and_invariance(spark):
     b = sorted(map(tuple,
                    unigram_viterbi_segments(docs.repartition(5), costs).collect()))
     assert a == b == [("azb", 6, 68, 3)]
+
+
+def test_wordpiece_segmentation_rejoins_to_word(spark):
+    """Property (one job over 200 deterministic pseudo-random words):
+    stripping '##' from the greedy segmentation and concatenating
+    always rebuilds the exact input word — the fold consumes every
+    character exactly once, never overlaps, never drops."""
+    from kg.train import _wordpiece_seg_expr
+    import hashlib
+    words = []
+    for i in range(200):
+        h = hashlib.md5(str(i).encode()).hexdigest()
+        words.append((i, "".join("abcd"[int(c, 16) % 4]
+                                 for c in h[:(i % 17) + 1])))
+    df = spark.createDataFrame(words, "i long, w string")
+    vocab = sorted({"ab", "abc", "ca", "dd", "a", "b", "c"},
+                   key=lambda p: (-len(p), p))  # 'd' absent -> fallback path
+    bad = (df.withColumn("pieces", F.expr(_wordpiece_seg_expr("w", vocab)))
+           .withColumn("rejoined", F.expr(
+               "array_join(transform(pieces, p -> replace(p, '##', '')), '')"))
+           .filter("rejoined != w").count())
+    assert bad == 0
+
+
+def test_unigram_viterbi_never_beaten_by_trivial_paths(spark):
+    """Property (one job over 200 words): the DP composite is <= the
+    all-single-chars path cost and <= any greedy WordPiece path cost
+    under the same piece-cost model, and n_pieces <= length(word)."""
+    from kg.train import (_viterbi_seg_expr, _wordpiece_seg_expr,
+                          unigram_viterbi_segments)
+    import hashlib
+    words = []
+    for i in range(200):
+        h = hashlib.md5(str(-i - 1).encode()).hexdigest()
+        words.append((i, "".join("abcd"[int(c, 16) % 4]
+                                 for c in h[:(i % 17) + 1])))
+    df = spark.createDataFrame(words, "doc_id long, text string")
+    costs = [("a", 7), ("ab", 9), ("abc", 10), ("b", 6), ("c", 6), ("d", 8)]
+    cost_map = dict(costs)
+    out = {r["w"]: (r["viterbi_bits"], r["n_pieces"])
+           for r in unigram_viterbi_segments(df, costs).collect()}
+    vocab = sorted(cost_map, key=lambda p: (-len(p), p))
+    seg = {r["w"]: r["pieces"] for r in
+           df.select(F.col("text").alias("w"))
+             .distinct()
+             .withColumn("pieces", F.expr(_wordpiece_seg_expr("w", vocab)))
+             .collect()}
+    for w, (bits, n) in out.items():
+        assert n <= len(w)
+        assert bits <= sum(cost_map[ch] for ch in w)          # all-chars path
+        greedy = sum(cost_map[p.replace("##", "")] for p in seg[w])
+        assert bits <= greedy, (w, bits, greedy)
