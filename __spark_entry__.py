@@ -1382,6 +1382,18 @@ def q_kg_tag_jaccard(spark, sf_dir):
                                           "jaccard_micro")
 
 
+def q_kg_tag_simrank(spark, sf_dir):
+    """Two-round SimRank (kg.graphrank.simrank2 — Jeh & Widom 2002)
+    over the shared strong-tie subgraph: recursive structural
+    similarity in exact integer micro-units (round 1 closes to the
+    common-neighbor meet; round 2 = diagonal + off-diagonal s1 mass
+    through one edges⋈s1⋈edges join; ONE div per pair so DuckDB `//`
+    replays the rounding).  The hub cap and its symmetric-survival rule
+    are mirrored in the oracle CTEs."""
+    from kg.graphrank import simrank2
+    return simrank2(_strong_tie_edges(spark, sf_dir))
+
+
 def q_ann_pq_topk(spark, sf_dir):
     """Product-quantization ANN (kg.similarity.pq_topk): 8×8 hash-anchor
     codebook, exact integer-micro encode/table/ADC math so the DuckDB
@@ -5301,6 +5313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and queue first for any future window) -------------------------
         "text_wordpiece": q_text_wordpiece,
         "text_unigram_viterbi": q_text_unigram_viterbi,
+        "kg_tag_simrank": q_kg_tag_simrank,
     }
     # Hoist the r5 driver window to the front (see R5_WINDOW above);
     # everything else keeps its relative order behind it.

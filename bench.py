@@ -233,6 +233,7 @@ HEADLINE = [
     "multimodal_jpeg",       # baseline/progressive JPEG decode
     "text_wordpiece",        # greedy subword encode, pure Catalyst fold
     "text_unigram_viterbi",  # unigram-LM Viterbi DP, pure Catalyst fold
+    "kg_tag_simrank",        # 2-round SimRank, capped meet joins
 ]
 
 

@@ -2060,3 +2060,86 @@ def khop_sample(edges: DataFrame, fanouts: tuple[int, ...] = (5, 3),
         frontier = step.select("seed",
                                F.col("dst").alias(node_col)).distinct()
     return out
+
+
+def simrank2(edges: DataFrame, c_num: int = 8, c_den: int = 10,
+             max_degree: int = 1000,
+             src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Two-round SimRank node similarity (Jeh & Widom 2002, KDD) in
+    exact integer micro-units over an undirected graph:
+
+        s0 = identity;  s_k(a,b) = C/(deg a * deg b) *
+                                   sum_{u in N(a), v in N(b)} s_{k-1}(u,v)
+
+    with C = c_num/c_den (default 0.8).  Round 1 closes to
+    s1(u,v) = C * |N(u) ∩ N(v)| / (du*dv) — the common-neighbor meet —
+    so round 2 decomposes into a diagonal term (common neighbors
+    contribute s1(u,u) = 1) plus the off-diagonal s1 mass routed through
+    one edges ⋈ s1 ⋈ edges join.  All arithmetic is integer micro
+    (one single `div` per round-2 pair, so DuckDB `//` replays the
+    rounding bit-exactly); two rounds is the fixed-round convention
+    (pagerank/LPA precedent) — SimRank's geometric decay makes later
+    rounds C^k-bounded refinements.
+
+    Returns (a, b, sim_micro) for unordered pairs a < b with nonzero
+    round-2 similarity.  GDS has no SimRank; nodeSimilarity (Jaccard —
+    kg.graphrank.neighbor_jaccard) is its nearest cousin, and this op
+    extends that family with recursive structural similarity.
+
+    Scale shape: neighbor lists are hub-capped FIRST (deterministic
+    lexically-first `max_degree` cap, the tag_cooccurrence_edges
+    convention), so the meet join emits at most sum_x deg(x)^2 <=
+    |V|*cap^2 rows and the round-2 three-way join is bounded by
+    |E_capped| * cap per side — no uncapped quadratic surface survives
+    to 100 TB.  One shuffle per aggregate; no driver-side state."""
+    und = (edges.select(F.col(src_col).alias("src"),
+                        F.col(dst_col).alias("dst"))
+           .filter(F.col("src") != F.col("dst")))
+    und = (und.union(und.select(F.col("dst").alias("src"),
+                                F.col("src").alias("dst")))
+           .groupBy("src")
+           .agg(F.slice(F.array_sort(F.collect_set("dst")),
+                        1, max_degree).alias("_ns"))
+           .select("src", F.explode("_ns").alias("dst")))
+    # the cap must stay SYMMETRIC: an edge survives only if BOTH
+    # endpoints keep it, else a capped hub's dropped spokes would still
+    # meet through their own uncapped edges INTO the hub
+    und = und.join(und.select(F.col("dst").alias("src"),
+                              F.col("src").alias("dst")),
+                   ["src", "dst"], "leftsemi")
+    und = und.localCheckpoint()        # consumed by 4 branches below
+    deg = und.groupBy("src").agg(F.count("*").alias("deg"))
+    # meets: ordered pairs u != v with their common-neighbor count
+    meets = (und.alias("ma").join(und.alias("mb"),
+                                  F.col("ma.dst") == F.col("mb.dst"))
+             .filter(F.col("ma.src") != F.col("mb.src"))
+             .groupBy(F.col("ma.src").alias("u"),
+                      F.col("mb.src").alias("v"))
+             .agg(F.count("*").cast("bigint").alias("m")))
+    s1 = (meets
+          .join(deg.select(F.col("src").alias("u"),
+                           F.col("deg").alias("du")), "u")
+          .join(deg.select(F.col("src").alias("v"),
+                           F.col("deg").alias("dv")), "v")
+          .select("u", "v", F.expr(
+              f"({c_num} * 1000000 * m) div ({c_den} * du * dv)")
+              .cast("bigint").alias("s")))
+    off = (und.select(F.col("src").alias("a"), F.col("dst").alias("u"))
+           .join(s1, "u")
+           .join(und.select(F.col("src").alias("b"),
+                            F.col("dst").alias("v")), "v")
+           .filter(F.col("a") != F.col("b"))
+           .groupBy("a", "b").agg(F.sum("s").alias("t")))
+    diag = meets.select(F.col("u").alias("a"), F.col("v").alias("b"),
+                        (F.lit(1000000).cast("bigint") * F.col("m")).alias("t"))
+    tot = (off.unionByName(diag)
+           .groupBy("a", "b").agg(F.sum("t").cast("bigint").alias("t")))
+    out = (tot.filter(F.col("a") < F.col("b"))
+           .join(deg.select(F.col("src").alias("a"),
+                            F.col("deg").alias("da")), "a")
+           .join(deg.select(F.col("src").alias("b"),
+                            F.col("deg").alias("db")), "b")
+           .select("a", "b", F.expr(
+               f"({c_num} * t) div ({c_den} * da * db)")
+               .cast("bigint").alias("sim_micro")))
+    return out.filter(F.col("sim_micro") > 0)

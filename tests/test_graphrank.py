@@ -1382,3 +1382,42 @@ class TestKhopSample:
         per = Counter((r.seed, r.hop) for r in rows)
         for (s, h), n in per.items():
             assert n <= (2 if h == 1 else 4), (s, h, n)
+
+
+def test_simrank2_path_graph(spark):
+    """Path a-b-c: a and c share the single neighbor b, so
+    s1(a,c) = C*1/(1*1) = 0.8; round 2 keeps only the diagonal term
+    (s2 = C*1e6/(1*1) = 800000 micro); a-b and b-c have no common
+    neighbors and no s1 mass -> no row."""
+    from kg.graphrank import simrank2
+    e = spark.createDataFrame([("a", "b"), ("b", "c")], "src string, dst string")
+    got = sorted(map(tuple, simrank2(e).collect()))
+    assert got == [("a", "c", 800000)]
+
+
+def test_simrank2_square_hand_computed(spark):
+    """4-cycle a-b-c-d: opposite corners share both neighbors.
+    s1(a,c) = 0.8*2/4 = 400000; s2(a,c) = 0.8*(2*1e6 + 2*400000)/4 =
+    560000 micro, same for (b,d); adjacent pairs stay zero."""
+    from kg.graphrank import simrank2
+    e = spark.createDataFrame([("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")],
+                              "src string, dst string")
+    got = sorted(map(tuple, simrank2(e).collect()))
+    assert got == [("a", "c", 560000), ("b", "d", 560000)]
+
+
+def test_simrank2_hub_cap_and_symmetry(spark):
+    """The lexically-first max_degree cap bounds neighbor lists (hub h
+    with 4 spokes capped to 2 -> only the two kept spokes pair up), and
+    reversing every edge leaves the output unchanged."""
+    from kg.graphrank import simrank2
+    e = spark.createDataFrame(
+        [("h", s) for s in ("s1", "s2", "s3", "s4")], "src string, dst string")
+    capped = sorted(map(tuple, simrank2(e, max_degree=2).collect()))
+    # kept spokes s1, s2: meet via h -> s1(s1,s2)=0.8; s2 diag-only 800000
+    assert capped == [("s1", "s2", 800000)]
+    full = sorted(map(tuple, simrank2(e).collect()))
+    rev = spark.createDataFrame(
+        [(s, "h") for s in ("s1", "s2", "s3", "s4")], "src string, dst string")
+    assert sorted(map(tuple, simrank2(rev).collect())) == full
+    assert len(full) == 6           # all spoke pairs

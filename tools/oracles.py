@@ -2311,6 +2311,59 @@ def build_oracle_sql() -> dict[str, str]:
                FROM edges CROSS JOIN nd
                WHERE w * 100 >= 63 * n AND src <> dst)"""
 
+    # SimRank (kg.graphrank.simrank2): two rounds in integer micro over
+    # the shared strong-tie subgraph.  Round 1 closes to the common-
+    # neighbor meet (s1 = 8e6*m // (10*du*dv)); round 2 = diagonal term
+    # (common neighbors at s=1e6) + off-diagonal s1 mass through one
+    # edges-s1-edges join, one `//` per pair so rounding replays exactly.
+    # The lexically-first degree cap + symmetric-survival rule are
+    # mirrored (no-op at testdata scale, deg<=26 < 1000).
+    sqls["kg_tag_simrank"] = f"""
+        WITH {_kept_sql},
+        {_cooccur_sql},
+        {_strong_sql},
+        sr_u0 AS (SELECT a AS src, b AS dst FROM f0
+                  UNION ALL SELECT b, a FROM f0),
+        sr_cap AS MATERIALIZED (
+            SELECT src, unnest(ns[1:1000]) AS dst FROM (
+              SELECT src, list_sort(list(DISTINCT dst)) AS ns
+              FROM sr_u0 GROUP BY src)),
+        sr_und AS MATERIALIZED (
+            SELECT c1.src, c1.dst FROM sr_cap c1
+            JOIN sr_cap c2 ON c2.src = c1.dst AND c2.dst = c1.src),
+        sr_deg AS MATERIALIZED (
+            SELECT src, CAST(count(*) AS BIGINT) AS deg
+            FROM sr_und GROUP BY src),
+        sr_meets AS MATERIALIZED (
+            SELECT ma.src AS u, mb.src AS v, CAST(count(*) AS BIGINT) AS m
+            FROM sr_und ma JOIN sr_und mb ON ma.dst = mb.dst
+            WHERE ma.src <> mb.src GROUP BY 1, 2),
+        sr_s1 AS MATERIALIZED (
+            SELECT t.u, t.v,
+                   CAST((8 * 1000000 * t.m) // (10 * du.deg * dv.deg)
+                        AS BIGINT) AS s
+            FROM sr_meets t
+            JOIN sr_deg du ON du.src = t.u
+            JOIN sr_deg dv ON dv.src = t.v),
+        sr_tot AS MATERIALIZED (
+            SELECT a, b, CAST(SUM(t) AS BIGINT) AS t FROM (
+              SELECT au.src AS a, bv.src AS b, s1.s AS t
+              FROM sr_und au
+              JOIN sr_s1 s1 ON s1.u = au.dst
+              JOIN sr_und bv ON bv.dst = s1.v
+              WHERE au.src <> bv.src
+              UNION ALL
+              SELECT u, v, 1000000 * m FROM sr_meets)
+            GROUP BY a, b)
+        SELECT t.a, t.b,
+               CAST((8 * t.t) // (10 * da.deg * db.deg) AS BIGINT)
+                 AS sim_micro
+        FROM sr_tot t
+        JOIN sr_deg da ON da.src = t.a
+        JOIN sr_deg db ON db.src = t.b
+        WHERE t.a < t.b
+          AND (8 * t.t) // (10 * da.deg * db.deg) > 0"""
+
     sqls["kg_tag_kcore"] = f"""
         WITH {_kept_sql},
         {_cooccur_sql},
