@@ -1,0 +1,77 @@
+"""Tokenizer-selection report: fit the three candidate subword
+tokenizers the engine trains (BPE merges, WordPiece greedy vocab,
+unigram-LM Viterbi costs) on one corpus and report the statistics an
+LM-data pipeline compares candidates with — corpus token counts and the
+unigram model's total compression cost (sum over words of corpus_count x
+minimum-description-length bits).
+
+    documents parquet (doc_id, text, lang)
+      → kg.train.bpe_train (3 adaptive merges) → bpe_encode token counts
+      → kg.train.wordpiece_vocab → wordpiece_encode_counts piece table
+      → kg.train.unigram_piece_costs → unigram_viterbi_segments MDL bits
+      → ONE JSON report line on stdout.
+
+Every stage is an existing kg operator (the reference consumes
+pre-trained OpenNLP tokenizer models, OpenNLPPipeline.java:112-229;
+this job is the model-SELECTION step upstream of that consumption).
+All three fits collect only driver-sized model artifacts; the corpus
+contributes word-frequency aggregates (the distinct-lemma rule), so the
+job's shape is cluster-safe at any corpus size.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+from pyspark.sql import SparkSession, functions as F
+
+# (kg/) is this file's parent directory, not sys.path[0] (= jobs/)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def tokenizer_report(docs, top_k: int = 8, n_merges: int = 3) -> dict:
+    from kg.train import (bpe_encode, bpe_train, unigram_piece_costs,
+                          unigram_viterbi_segments, wordpiece_encode_counts,
+                          wordpiece_vocab)
+    report: dict = {}
+    merges = bpe_train(docs, n_merges=n_merges)
+    enc = bpe_encode(docs, merges)
+    agg = enc.agg(F.sum("n_tokens_before").alias("before"),
+                  F.sum("n_tokens_after").alias("after")).first()
+    report["bpe"] = {"n_merges": merges.count(),
+                     "tokens_before": int(agg["before"]),
+                     "tokens_after": int(agg["after"])}
+    vocab = wordpiece_vocab(docs, top_k=top_k)
+    wp = wordpiece_encode_counts(docs, vocab)
+    wagg = wp.agg(F.sum("cnt").alias("pieces"),
+                  F.sum(F.when(F.col("piece").startswith("##"),
+                               F.col("cnt")).otherwise(0)).alias("cont")).first()
+    report["wordpiece"] = {"vocab_size": len(vocab),
+                           "total_pieces": int(wagg["pieces"]),
+                           "continuation_pieces": int(wagg["cont"])}
+    costs = unigram_piece_costs(docs, top_k=top_k)
+    uv = unigram_viterbi_segments(docs, costs)
+    uagg = uv.agg(
+        F.sum(F.col("cnt") * F.col("viterbi_bits")).alias("bits"),
+        F.sum(F.col("cnt") * F.col("n_pieces")).alias("pieces")).first()
+    report["unigram"] = {"vocab_size": len(costs),
+                         "corpus_mdl_bits": int(uagg["bits"]),
+                         "total_pieces": int(uagg["pieces"])}
+    return report
+
+
+def main(argv: list[str]) -> None:
+    path = argv[0] if argv else "/root/testdata/sf0.01/documents.parquet"
+    owns = SparkSession.getActiveSession() is None
+    from kg.session import get_spark
+    spark = get_spark(app="kg-tokenizer-report")
+    docs = spark.read.parquet(path).filter(F.col("lang") == "en")
+    print(json.dumps(tokenizer_report(docs), sort_keys=True))
+    if owns:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

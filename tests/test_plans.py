@@ -1091,3 +1091,15 @@ def test_unigram_viterbi_zero_python_single_aggregate(spark):
     plan = _plan(unigram_viterbi_segments(docs, [("a", 2), ("b", 2)]))
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert plan.count("Exchange") <= 1
+
+
+def test_simrank_no_cartesian_all_equijoins(spark):
+    """kg.graphrank.simrank2: every join is an equi-join (meet join on
+    shared neighbor, s1 routing on u/v, degree lookups) — no cartesian
+    products, no Python eval nodes."""
+    from kg.graphrank import simrank2
+    e = spark.createDataFrame([("a", "b"), ("b", "c")], "src string, dst string")
+    plan = _plan(simrank2(e))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

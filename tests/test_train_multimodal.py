@@ -901,3 +901,23 @@ def test_unigram_viterbi_never_beaten_by_trivial_paths(spark):
         assert bits <= sum(cost_map[ch] for ch in w)          # all-chars path
         greedy = sum(cost_map[p.replace("##", "")] for p in seg[w])
         assert bits <= greedy, (w, bits, greedy)
+
+
+def test_tokenizer_report_job(spark):
+    """jobs/run_tokenizer_report.py composition: every section present
+    with the structural invariants — BPE never increases token count,
+    WordPiece/unigram segment every token into >= 1 piece; on this
+    fixture (whole words cheapest) unigram's min-bits path also uses no
+    more pieces than WordPiece's greedy one (not a universal law — a
+    cost model can prefer many cheap pieces; deterministic here)."""
+    from jobs.run_tokenizer_report import tokenizer_report
+    docs = spark.createDataFrame(
+        [(i, "spark scan sparks sparking scan") for i in range(4)],
+        "doc_id long, text string")
+    r = tokenizer_report(docs, top_k=2, n_merges=2)
+    assert r["bpe"]["tokens_after"] <= r["bpe"]["tokens_before"]
+    n_words = 4 * 5
+    assert r["wordpiece"]["total_pieces"] >= n_words
+    assert r["unigram"]["total_pieces"] >= n_words
+    assert r["unigram"]["total_pieces"] <= r["wordpiece"]["total_pieces"]
+    assert r["unigram"]["corpus_mdl_bits"] > 0
