@@ -237,13 +237,16 @@ def annotate_sentence(sent_text: str, spec: PipelineSpec,
     (OpenNLPAnnotation.java:20-58)."""
     tok_spans = tokenize(sent_text) if "tokenize" in spec.annotators else []
     words = [sent_text[s:e] for s, e in tok_spans]
-    do_pos = "pos" in spec.annotators
     pos_tags: list[str] = []
-    prev = None
-    for w in words:
-        t = models.pos_of(w, prev) if do_pos else "NN"
-        pos_tags.append(t)
-        prev = t
+    if "pos" in spec.annotators:
+        pos_of = models.pos_of
+        append = pos_tags.append
+        prev = None
+        for w in words:
+            prev = pos_of(w, prev)
+            append(prev)
+    else:
+        pos_tags = ["NN"] * len(words)
 
     ner_spans: list[tuple[int, int, str]] = []
     if "ner" in spec.annotators and words:
@@ -255,13 +258,36 @@ def annotate_sentence(sent_text: str, spec: PipelineSpec,
 
     use_stop = "stopword" in spec.annotators
     stop = spec.stopwords
-
-    def stop_ok(lemma: str) -> bool:
-        return not (use_stop and lemma.lower() in stop)
+    do_lemma = "lemma" in spec.annotators
+    bg = models.BACKGROUND_SYMBOL
 
     # token dedup keyed by surface value, first-lemma-wins
     # (OpenNLPAnnotation.java:223-232)
     tokens: dict[str, Token] = {}
+
+    n = len(words)
+    if not ner_by_start:
+        # fast path — no NER hits in this sentence (the dominant shape on
+        # lowercase/no-entity corpora): the merge loop degenerates to a
+        # straight per-token scan; every ne set is {O} so the dup-path ne
+        # union is a no-op, and single-element pos "sorted()" collapses to a
+        # one-element list.  Semantics identical to the merge loop below.
+        for i in range(n):
+            w = words[i]
+            p = pos_tags[i]
+            lemma = _final_lemma(w, p) if do_lemma else w.lower()
+            if use_stop and lemma.lower() in stop:
+                continue
+            tok = tokens.get(w)
+            if tok is None:
+                tokens[w] = Token(w, lemma, [p], [bg], [tok_spans[i]])
+            else:
+                if p not in tok.pos:
+                    tok.pos = sorted(set(tok.pos) | {p})
+                tok.spans.append(tok_spans[i])
+
+    def stop_ok(lemma: str) -> bool:
+        return not (use_stop and lemma.lower() in stop)
 
     def add_token(value: str, lemma: str, pos: set[str], ne: set[str],
                   span: tuple[int, int]) -> None:
@@ -273,7 +299,7 @@ def annotate_sentence(sent_text: str, spec: PipelineSpec,
             tok.ne = sorted(set(tok.ne) | ne)
             tok.spans.append(span)
 
-    i, n = 0, len(words)
+    i = 0 if ner_by_start else n
     while i < n:
         hits = ner_by_start.get(i)
         if hits:
@@ -292,9 +318,9 @@ def annotate_sentence(sent_text: str, spec: PipelineSpec,
             i = e0
         else:
             w = words[i]
-            lemma = _final_lemma(w, pos_tags[i]) if "lemma" in spec.annotators else w.lower()
+            lemma = _final_lemma(w, pos_tags[i]) if do_lemma else w.lower()
             if stop_ok(lemma):
-                add_token(w, lemma, {pos_tags[i]}, {models.BACKGROUND_SYMBOL},
+                add_token(w, lemma, {pos_tags[i]}, {bg},
                           tok_spans[i])
             i += 1
 
@@ -367,9 +393,11 @@ def extract_phrases_py(text: str, spec: PipelineSpec | None = None) -> list[dict
 _VALID_LEMMA_PART = re.compile(r"[A-Za-z0-9\-]+\Z")
 
 
+@_lru_cache(maxsize=1 << 16)
 def clean_lemma(lemma: str) -> str | None:
     # fast path: the overwhelmingly common case is a single ASCII
-    # alphanumeric token, which is always valid as-is
+    # alphanumeric token, which is always valid as-is; memoized per worker
+    # (pure function; Zipfian lemma distribution → high hit rate)
     if lemma.isascii() and lemma.isalnum():
         return lemma
     parts = [p for p in lemma.split(" ") if p and _VALID_LEMMA_PART.match(p)]
@@ -429,8 +457,10 @@ def sentence_tags(sentence: dict) -> list[dict]:
                 ],
             }
         else:
-            t["pos"] = sorted(set(t["pos"]) | set(tok["pos"]))
-            t["ne"] = sorted(set(t["ne"]) | set(tok["ne"]))
+            if t["pos"] != tok["pos"]:
+                t["pos"] = sorted(set(t["pos"]) | set(tok["pos"]))
+            if t["ne"] != tok["ne"]:
+                t["ne"] = sorted(set(t["ne"]) | set(tok["ne"]))
             t["occurrences"].extend(
                 {"start": s["start"], "end": s["end"], "value": tok["value"]}
                 for s in tok["spans"])
