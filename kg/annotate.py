@@ -139,9 +139,17 @@ def split_sentences(text: str) -> list[tuple[int, int]]:
 _ASCII_PUNCT = frozenset('.,!?;:()[]{}"')
 _CHUNK_RE = re.compile(r"\S+")
 _PUNCT_SEARCH = re.compile(r'[.,!?;:()\[\]{}"]')
+# any char that can trigger a punctuation split OR a possessive split —
+# absent ALL of them, tokens are exactly the whitespace chunks
+_ANY_SPECIAL = re.compile(r"[.,!?;:()\[\]{}\"'’]")
 
 
 def tokenize(sent_text: str) -> list[tuple[int, int]]:
+    if _ANY_SPECIAL.search(sent_text) is None:
+        # sentence-level fast path: no ASCII punctuation and no apostrophe
+        # anywhere, so neither split rule can apply to any chunk — one regex
+        # probe for the whole sentence instead of one per chunk
+        return [m.span() for m in _CHUNK_RE.finditer(sent_text)]
     spans: list[tuple[int, int]] = []
     for m in _CHUNK_RE.finditer(sent_text):
         i, j = m.start(), m.end()

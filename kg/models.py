@@ -384,12 +384,30 @@ def find_percentage_spans(words: list[str]) -> list[tuple[int, int]]:
     return spans
 
 
+# Union of every word that can START a builtin detector match: gazetteer trie
+# roots (longest-match begins at a root key), months/weekdays (date).  The
+# numeric detectors (time/money/percentage + money-unit form) all require a
+# first char in digits/currency symbols.  A sentence containing NONE of these
+# cannot produce any builtin span — checked in one pass in find_ner_spans.
+_TRIGGER_WORDS = frozenset().union(
+    MONTHS, WEEKDAYS, *(t.keys() for t in GAZETTEER_TRIES.values()))
+_TRIGGER_HEADS = frozenset("0123456789$€£")
+
+
 def find_ner_spans(words: list[str], types: tuple[str, ...] = NER_TYPES,
                    custom_tries: dict[str, dict] | None = None) -> list[tuple[int, int, str]]:
     """Run every requested detector in the reference's registration order
     (person, date, location, time, organization, money, percentage —
     OpenNLPPipeline.java:92-103) and return (start, end, TYPE) word spans.
     TYPE is uppercased as persisted on Tag.ne (TextProcessorTest.java:84)."""
+    if custom_tries is None:
+        # fast guard: every builtin detector needs a trigger word or a
+        # digit/currency-symbol head somewhere; scan once instead of running
+        # all seven detectors over a sentence that cannot match (the
+        # _TRIGGER_* sets cover any subset of builtin types conservatively)
+        if not any(w in _TRIGGER_WORDS or (w and w[0] in _TRIGGER_HEADS)
+                   for w in words):
+            return []
     out: list[tuple[int, int, str]] = []
     for t in types:
         if t in ("person", "location", "organization"):
