@@ -3536,6 +3536,18 @@ def q_kg_tag_coloring(spark, sf_dir):
     return jp_coloring(_strong_tie_edges(spark, sf_dir), rounds=3)
 
 
+def q_kg_tag_mis(spark, sf_dir):
+    """Deterministic Luby maximal independent set
+    (kg.graphrank.luby_mis, 3 md5-priority rounds) over the strong-tie
+    co-occurrence graph — mutually non-adjacent anchor tags for sketch
+    seeding / landmark selection; per round the local priority maxima
+    join the set and their whole neighborhoods retire, so independence
+    holds ACROSS rounds (unlike jp_coloring, whose rounds are separate
+    color classes).  Nodes still live after 3 rounds honestly absent."""
+    from kg.graphrank import luby_mis
+    return luby_mis(_strong_tie_edges(spark, sf_dir), rounds=3)
+
+
 def q_kg_tag_gini(spark, sf_dir):
     """Exact degree-distribution Gini coefficient
     (kg.graphrank.degree_gini) of the doc↔tag HAS_TAG bipartite graph
@@ -5314,6 +5326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_wordpiece": q_text_wordpiece,
         "text_unigram_viterbi": q_text_unigram_viterbi,
         "kg_tag_simrank": q_kg_tag_simrank,
+        "kg_tag_mis": q_kg_tag_mis,
     }
     # Hoist the r5 driver window to the front (see R5_WINDOW above);
     # everything else keeps its relative order behind it.

@@ -234,6 +234,7 @@ HEADLINE = [
     "text_wordpiece",        # greedy subword encode, pure Catalyst fold
     "text_unigram_viterbi",  # unigram-LM Viterbi DP, pure Catalyst fold
     "kg_tag_simrank",        # 2-round SimRank, capped meet joins
+    "kg_tag_mis",            # Luby md5-priority maximal independent set
 ]
 
 

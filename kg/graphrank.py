@@ -1892,6 +1892,72 @@ def jp_coloring(edges: DataFrame, rounds: int = 3,
     return out
 
 
+def luby_mis(edges: DataFrame, rounds: int = 3,
+             src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Deterministic Luby maximal independent set (Luby 1986, the
+    md5-priority derandomization): per round, every live node whose
+    priority strictly exceeds all LIVE neighbors' joins the MIS, then
+    the winners AND their neighbors leave the live set — the one extra
+    removal step that separates this from jp_coloring (where only
+    winners leave and each round is a new color): here every round
+    GROWS the same independent set, and any node removed as a neighbor
+    is certified non-MIS because it is adjacent to a member.  Priority
+    is md5(node) || node (the jp_coloring/greedy_matching total order —
+    no ties, no RNG, engine-portable).  Completes the symmetric-local
+    primitive trio over the persisted tag graph (coloring = schedule,
+    matching = coarsening, MIS = landmark/anchor selection): MIS
+    members are mutually non-adjacent cluster anchors for sketch
+    seeding and spanner construction, and the expected constant
+    fraction of edges removed per round is the classic O(log n)
+    convergence argument.  Fixed `rounds` (the house kcore/ktruss
+    contract) keeps the output a pure function of (edges, rounds) so
+    the DuckDB oracle unrolls the same chain; nodes still live after R
+    rounds are honestly ABSENT (the jp_coloring convention).  Over the
+    reference's persisted Sentence-HAS_TAG-Tag structure
+    (ProcedureTest.java:114-124).
+
+    Returns (node, round), round ∈ 1..rounds = the round the node
+    joined the MIS; independence holds across ALL rounds.
+
+    Shape per round: one adjacency⋈live join + one per-node max
+    aggregate + one winner-neighbor semi-expansion + two anti-joins —
+    the jp_coloring budget plus one join; live shrinks geometrically
+    (Luby's lemma) and is localCheckpointed per round (it branches into
+    the neighbor join, the winner filter, and the next round — perf
+    rule 7).  Adjacency is built once.  No windows, no global order."""
+    adj = (edges.select(F.col(src_col).alias("n"),
+                        F.col(dst_col).alias("nbr"))
+           .union(edges.select(F.col(dst_col).alias("n"),
+                               F.col(src_col).alias("nbr")))
+           .filter(F.col("n") != F.col("nbr"))
+           .distinct().localCheckpoint())
+    pri = F.concat(F.md5(F.col("node").cast("string")),
+                   F.col("node").cast("string"))
+    live = (adj.select(F.col("n").alias("node")).distinct()
+            .select("node", pri.alias("pri")).localCheckpoint())
+    out = None
+    for r in range(1, rounds + 1):
+        live_nbr = adj.join(
+            live.select(F.col("node").alias("nbr"),
+                        F.col("pri").alias("npri")), "nbr")
+        nbr_pri = (live_nbr.join(live.select(F.col("node").alias("n")), "n",
+                                 "left_semi")
+                   .groupBy("n").agg(F.max("npri").alias("mx")))
+        winners = (live.join(nbr_pri.withColumnRenamed("n", "node"),
+                             "node", "left")
+                   .filter(F.col("mx").isNull()
+                           | (F.col("pri") > F.col("mx")))
+                   .select("node", F.lit(r).cast("int").alias("round"))
+                   .localCheckpoint())
+        out = winners if out is None else out.unionByName(winners)
+        removed = (adj.join(winners.select(F.col("node").alias("n")), "n",
+                            "left_semi")
+                   .select(F.col("nbr").alias("node")).distinct()
+                   .unionByName(winners.select("node")).distinct())
+        live = live.join(removed, "node", "left_anti").localCheckpoint()
+    return out
+
+
 def degree_gini(edges: DataFrame, src_col: str = "src",
                 dst_col: str = "dst") -> DataFrame:
     """Exact Gini coefficient of the degree distribution — the

@@ -1164,6 +1164,77 @@ class TestJPColoring:
         assert len(col) == 2 and col["a"] != col["b"]
 
 
+class TestLubyMIS:
+    EDGES = [("a", "b"), ("b", "c"), ("c", "d"),
+             ("x", "y"), ("y", "z"), ("x", "z"), ("p", "q")]
+
+    @staticmethod
+    def _brute(edge_list, rounds):
+        import hashlib
+        pri = lambda v: hashlib.md5(v.encode()).hexdigest() + v
+        adj = {}
+        for s, d in edge_list:
+            if s == d:
+                continue
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+        live, mis = set(adj), {}
+        for r in range(1, rounds + 1):
+            winners = {v for v in live
+                       if all(pri(v) > pri(u) for u in adj[v] & live)}
+            for v in winners:
+                mis[v] = r
+            live -= winners
+            live -= {u for v in winners for u in adj[v]}
+        return mis
+
+    def test_matches_brute_force_and_invariants(self, spark):
+        from kg.graphrank import luby_mis
+        edges = spark.createDataFrame(self.EDGES, "src string, dst string")
+        got = {r.node: r["round"] for r in
+               luby_mis(edges, rounds=3).collect()}
+        assert got == self._brute(self.EDGES, 3)
+        # independence across ALL rounds (the invariant jp_coloring does
+        # not provide: there, adjacent nodes may win different rounds)
+        for s, d in self.EDGES:
+            assert not (s in got and d in got)
+        # 3 rounds exhaust this fixture -> maximality: every non-member
+        # has a member neighbor
+        adj = {}
+        for s, d in self.EDGES:
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+        for v, ns in adj.items():
+            assert v in got or any(u in got for u in ns)
+
+    def test_round1_equals_coloring_round1(self, spark):
+        # round 1 is the same local-maxima rule as jp_coloring; the ops
+        # diverge from round 2 on (MIS removes winner neighborhoods)
+        from kg.graphrank import jp_coloring, luby_mis
+        edges = spark.createDataFrame(self.EDGES, "src string, dst string")
+        mis1 = {r.node for r in luby_mis(edges, rounds=1).collect()}
+        col1 = {r.node for r in jp_coloring(edges, rounds=1).collect()}
+        assert mis1 == col1
+
+    def test_winner_neighbors_never_join(self, spark):
+        from kg.graphrank import luby_mis
+        path = [("1", "2"), ("2", "3"), ("3", "4"), ("4", "5")]
+        edges = spark.createDataFrame(path, "src string, dst string")
+        got = {r.node: r["round"] for r in
+               luby_mis(edges, rounds=4).collect()}
+        assert got == self._brute(path, 4)
+        for s, d in path:
+            assert not (s in got and d in got)
+
+    def test_self_loops_and_duplicates_ignored(self, spark):
+        from kg.graphrank import luby_mis
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "a"), ("a", "a"), ("a", "b")],
+            "src string, dst string")
+        got = {r.node for r in luby_mis(edges, rounds=2).collect()}
+        assert len(got) == 1          # K2: exactly one endpoint joins
+
+
 class TestDegreeGini:
     def test_star_closed_form(self, spark):
         from kg.graphrank import degree_gini

@@ -5962,6 +5962,44 @@ def build_oracle_sql() -> dict[str, str]:
         UNION ALL SELECT node, 2 FROM w2
         UNION ALL SELECT node, 3 FROM w3"""
 
+    # Luby maximal independent set (kg.graphrank.luby_mis): the
+    # jp_coloring round template plus the one extra removal — winners'
+    # whole NEIGHBORHOODS leave the live set, so the rounds grow one
+    # independent set instead of emitting per-round color classes.
+    # Every chain CTE is referenced more than once -> MATERIALIZED
+    # (kcore trap).
+    def _mis_round(r: int) -> str:
+        return f"""smx{r} AS (
+          SELECT g.x AS node, max(l.pri) AS mx
+          FROM g0 g JOIN s{r - 1} l ON l.node = g.y
+          WHERE g.x IN (SELECT node FROM s{r - 1})
+          GROUP BY 1),
+        sw{r} AS MATERIALIZED (
+          SELECT l.node
+          FROM s{r - 1} l LEFT JOIN smx{r} USING (node)
+          WHERE mx IS NULL OR l.pri > mx),
+        s{r} AS MATERIALIZED (
+          SELECT * FROM s{r - 1}
+          WHERE node NOT IN (SELECT node FROM sw{r})
+            AND node NOT IN (SELECT g.y FROM g0 g
+                             JOIN sw{r} w ON g.x = w.node))"""
+
+    sqls["kg_tag_mis"] = f"""
+        WITH {_kept_sql},
+        {_cooccur_sql},
+        {_strong_sql},
+        g0 AS MATERIALIZED (
+          SELECT a AS x, b AS y FROM f0
+          UNION SELECT b, a FROM f0),
+        s0 AS MATERIALIZED (
+          SELECT DISTINCT x AS node, md5(x) || x AS pri FROM g0),
+        {_mis_round(1)},
+        {_mis_round(2)},
+        {_mis_round(3)}
+        SELECT node, CAST(1 AS INT) AS round FROM sw1
+        UNION ALL SELECT node, 2 FROM sw2
+        UNION ALL SELECT node, 3 FROM sw3"""
+
     # Degree Gini (kg.graphrank.degree_gini) over the doc<->tag HAS_TAG
     # bipartite graph (namespaced ids; tag doc-frequency is Zipfian, so
     # degrees genuinely vary — the co-occurrence graph is a clique on
