@@ -1574,6 +1574,32 @@ def q_text_mojibake(spark, sf_dir):
     return mojibake_profile(docs)
 
 
+def q_text_confusables(spark, sf_dir):
+    """UTS #39 homoglyph/spoof audit (kg.textstats.confusable_report):
+    skeleton = translate() over the Cyrillic/Greek lookalike table, ONE
+    vocabulary-bounded (skeleton, form) aggregate + a skeleton-partition
+    window keeps groups with a spoofed member — the mixed-script
+    identifier-spoofing / data-poisoning gate next to text_mojibake's
+    encoding-damage axis.  The synthetic corpus is clean ASCII, so two
+    deterministic brand tokens rotate spoof variants per doc IN BOTH
+    ENGINES (doc_id%4 over paypal, doc_id%3 over vote — Cyrillic а/р,
+    Greek ν/ο), exercising clean+spoof grouping and every count."""
+    from kg.textstats import confusable_report
+    docs = _docs(spark, sf_dir).withColumn(
+        "text", F.concat(
+            F.col("text"),
+            F.expr("CASE CAST(doc_id % 4 AS INT) "
+                   "WHEN 0 THEN ' paypal' "
+                   "WHEN 1 THEN ' pаypal' "
+                   "WHEN 2 THEN ' рaypal' "
+                   "ELSE ' paypаl' END"),
+            F.expr("CASE CAST(doc_id % 3 AS INT) "
+                   "WHEN 0 THEN ' vote' "
+                   "WHEN 1 THEN ' νote' "
+                   "ELSE ' vοte' END")))
+    return confusable_report(docs)
+
+
 def q_embedding_centroid_matrix(spark, sf_dir):
     """Per-label centroid cosine matrix
     (kg.embed.centroid_cosine_matrix) — the embedding-space
@@ -5327,6 +5353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_viterbi": q_text_unigram_viterbi,
         "kg_tag_simrank": q_kg_tag_simrank,
         "kg_tag_mis": q_kg_tag_mis,
+        "text_confusables": q_text_confusables,
     }
     # Hoist the r5 driver window to the front (see R5_WINDOW above);
     # everything else keeps its relative order behind it.

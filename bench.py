@@ -235,6 +235,7 @@ HEADLINE = [
     "text_unigram_viterbi",  # unigram-LM Viterbi DP, pure Catalyst fold
     "kg_tag_simrank",        # 2-round SimRank, capped meet joins
     "kg_tag_mis",            # Luby md5-priority maximal independent set
+    "text_confusables",      # UTS-39 homoglyph skeleton spoof audit
 ]
 
 

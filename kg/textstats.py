@@ -465,6 +465,73 @@ def mojibake_profile(df: DataFrame, text_col: str = "text",
     return out.withColumn("is_mojibake", flag)
 
 
+# The high-frequency UTS #39 confusable pairs a crawl actually contains:
+# Cyrillic/Greek lookalikes of Latin lowercase (spoof char -> skeleton
+# char).  1:1 character mappings only, so translate() IS the skeleton
+# function — the full UTS #39 table adds multi-char prototypes, which
+# slot in here as extra replace() stages without changing the plan.
+CONFUSABLES = (
+    ("а", "a"),   # CYRILLIC SMALL LETTER A
+    ("е", "e"),   # CYRILLIC SMALL LETTER IE
+    ("о", "o"),   # CYRILLIC SMALL LETTER O
+    ("р", "p"),   # CYRILLIC SMALL LETTER ER
+    ("с", "c"),   # CYRILLIC SMALL LETTER ES
+    ("х", "x"),   # CYRILLIC SMALL LETTER HA
+    ("ѕ", "s"),   # CYRILLIC SMALL LETTER DZE
+    ("і", "i"),   # CYRILLIC SMALL LETTER BYELORUSSIAN-UKRAINIAN I
+    ("ο", "o"),   # GREEK SMALL LETTER OMICRON
+    ("ν", "v"),   # GREEK SMALL LETTER NU
+)
+CONFUSABLE_FROM = "".join(c for c, _ in CONFUSABLES)
+CONFUSABLE_TO = "".join(c for _, c in CONFUSABLES)
+
+
+def confusable_report(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Homoglyph/spoof audit over the token vocabulary — the UTS #39
+    confusable-skeleton check a training-data gate runs to catch
+    mixed-script identifier spoofing (Cyrillic 'а' in an otherwise
+    Latin brand/package/domain token: the IDN-homograph attack surface,
+    and a data-poisoning channel — spoofed tokens evade exact string
+    filters and split embedding mass across visually identical forms).
+    Complements mojibake_profile (encoding DAMAGE) with the
+    deliberate-substitution axis.
+
+    skeleton(token) = translate(token, CONFUSABLE_FROM, CONFUSABLE_TO);
+    every token maps thereby to its all-Latin prototype.  The report
+    lists, for each skeleton that has at least one SPOOFED form in the
+    corpus (form != skeleton), every distinct surface form with its
+    reach: (skeleton, form, is_spoof, n_docs, n_occurrences) — the
+    actionable artifact is the group: a skeleton appearing both clean
+    and spoofed is the classic attack shape, and n_docs bounds the
+    blast radius of a filter/rewrite.
+
+    Scale shape: token explode → ONE (skeleton, form) hash aggregate
+    (map-side combine; output is vocabulary-bounded, never
+    corpus-bounded) → one window over the skeleton partition (group
+    size = variant count, a handful) to keep only groups with a
+    spoofed member.  Zero UDFs, zero joins, one shuffle after the
+    aggregate; no corpus self-join (rule 11)."""
+    toks = df.select(F.col(id_col).alias("doc"),
+                     F.explode(tokens_col(text_col)).alias("form"))
+    per_form = (toks
+                .withColumn("skeleton",
+                            F.translate("form", CONFUSABLE_FROM,
+                                        CONFUSABLE_TO))
+                .groupBy("skeleton", "form")
+                .agg(F.count_distinct("doc").cast("bigint")
+                     .alias("n_docs"),
+                     F.count("*").cast("bigint").alias("n_occurrences")))
+    w = Window.partitionBy("skeleton")
+    return (per_form
+            .withColumn("is_spoof",
+                        (F.col("form") != F.col("skeleton")).cast("int"))
+            .withColumn("_grp", F.max("is_spoof").over(w))
+            .filter(F.col("_grp") == 1)
+            .select("skeleton", "form", "is_spoof", "n_docs",
+                    "n_occurrences"))
+
+
 def min_k_prob(df: DataFrame, text_col: str = "text",
                id_col: str = "doc_id", k_pct: int = 20) -> DataFrame:
     """Min-K% prob membership/contamination score (Shi et al. 2024,

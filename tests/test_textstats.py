@@ -546,6 +546,50 @@ class TestMojibakeProfile:
         assert r.n_a_hat == 1 and r.n_c1 == 2 and r.is_mojibake
 
 
+class TestConfusableReport:
+    def test_clean_corpus_reports_nothing(self, spark):
+        from kg.textstats import confusable_report
+        docs = spark.createDataFrame(
+            [(1, "plain latin words only"), (2, "more plain text")],
+            "doc_id long, text string")
+        assert confusable_report(docs).count() == 0
+
+    def test_clean_and_spoofed_forms_grouped_by_skeleton(self, spark):
+        from kg.textstats import confusable_report
+        spoof = "pаypal"                 # Cyrillic а
+        docs = spark.createDataFrame(
+            [(1, f"pay at paypal now"),
+             (2, f"pay at {spoof} now"),
+             (3, f"{spoof} again {spoof}")],
+            "doc_id long, text string")
+        rows = {(r.skeleton, r.form):
+                (r.is_spoof, r.n_docs, r.n_occurrences)
+                for r in confusable_report(docs).collect()}
+        # only the paypal group reports; clean-only tokens are absent
+        assert set(k[0] for k in rows) == {"paypal"}
+        assert rows[("paypal", "paypal")] == (0, 1, 1)
+        assert rows[("paypal", spoof)] == (1, 2, 3)
+
+    def test_spoof_only_group_still_reported(self, spark):
+        from kg.textstats import confusable_report
+        docs = spark.createDataFrame(
+            [(1, "vοte early")],          # Greek omicron, no clean twin
+            "doc_id long, text string")
+        rows = confusable_report(docs).collect()
+        got = {(r.skeleton, r.form): r.is_spoof for r in rows}
+        assert got == {("vote", "vοte"): 1}
+
+    def test_every_mapping_translates(self, spark):
+        from kg.textstats import confusable_report, CONFUSABLES, \
+            CONFUSABLE_TO
+        token = "".join(c for c, _ in CONFUSABLES)
+        docs = spark.createDataFrame(
+            [(1, token)], "doc_id long, text string")
+        r = confusable_report(docs).collect()
+        assert len(r) == 1
+        assert r[0].skeleton == CONFUSABLE_TO and r[0].is_spoof == 1
+
+
 class TestZipfSpectrum:
     def test_hand_computed_slope(self, spark):
         """Counts 1x4 types, 2x2 types, 4x1 type -> spectrum points

@@ -6000,6 +6000,50 @@ def build_oracle_sql() -> dict[str, str]:
         UNION ALL SELECT node, 2 FROM sw2
         UNION ALL SELECT node, 3 FROM sw3"""
 
+    # UTS #39 confusable-skeleton audit (kg.textstats.confusable_report):
+    # the fixture suffixes, the translate() skeleton, the (skeleton,
+    # form) aggregate, and the spoofed-group window all replay.
+    # Non-ASCII is carried as chr(codepoint) concatenations (DuckDB 1.0
+    # e'' strings have no \\uXXXX escape — the text_mojibake rule), and
+    # the from-chars string mirrors kg.textstats.CONFUSABLE_FROM
+    # codepoint-for-codepoint: Cyrillic а е о р с х ѕ і then Greek ο ν.
+    _CONF_FROM = ("chr(1072)||chr(1077)||chr(1086)||chr(1088)||"
+                  "chr(1089)||chr(1093)||chr(1109)||chr(1110)||"
+                  "chr(959)||chr(957)")
+    sqls["text_confusables"] = f"""
+        WITH docs2 AS (
+          SELECT doc_id,
+                 text
+                 || CASE CAST(doc_id % 4 AS INT)
+                    WHEN 0 THEN ' paypal'
+                    WHEN 1 THEN ' p' || chr(1072) || 'ypal'
+                    WHEN 2 THEN ' ' || chr(1088) || 'aypal'
+                    ELSE ' payp' || chr(1072) || 'l' END
+                 || CASE CAST(doc_id % 3 AS INT)
+                    WHEN 0 THEN ' vote'
+                    WHEN 1 THEN ' ' || chr(957) || 'ote'
+                    ELSE ' v' || chr(959) || 'te' END AS text
+          FROM documents WHERE lang = 'en'),
+        toks AS (
+          SELECT doc_id AS doc,
+                 unnest(regexp_split_to_array(trim(text), ' +')) AS form
+          FROM docs2),
+        per_form AS (
+          SELECT translate(form, {_CONF_FROM}, 'aeopcxsiov') AS skeleton,
+                 form,
+                 CAST(count(DISTINCT doc) AS BIGINT) AS n_docs,
+                 CAST(count(*) AS BIGINT) AS n_occurrences
+          FROM toks GROUP BY 1, 2),
+        g AS (
+          SELECT skeleton, form,
+                 CAST(form <> skeleton AS INT) AS is_spoof,
+                 n_docs, n_occurrences,
+                 max(CASE WHEN form <> skeleton THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY skeleton) AS grp
+          FROM per_form)
+        SELECT skeleton, form, is_spoof, n_docs, n_occurrences
+        FROM g WHERE grp = 1"""
+
     # Degree Gini (kg.graphrank.degree_gini) over the doc<->tag HAS_TAG
     # bipartite graph (namespaced ids; tag doc-frequency is Zipfian, so
     # degrees genuinely vary — the co-occurrence graph is a clique on
