@@ -506,12 +506,14 @@ def confusable_report(df: DataFrame, text_col: str = "text",
     and spoofed is the classic attack shape, and n_docs bounds the
     blast radius of a filter/rewrite.
 
-    Scale shape: token explode → ONE (skeleton, form) hash aggregate
-    (map-side combine; output is vocabulary-bounded, never
-    corpus-bounded) → one window over the skeleton partition (group
-    size = variant count, a handful) to keep only groups with a
-    spoofed member.  Zero UDFs, zero joins, one shuffle after the
-    aggregate; no corpus self-join (rule 11)."""
+    Scale shape: token explode → (skeleton, form) aggregate with exact
+    count_distinct(doc) — two-phase, so two hash-partitioned exchanges,
+    both map-side-combined and vocabulary-bounded after the first —
+    → one window over the skeleton partition (group size = variant
+    count, a handful) to keep only groups with a spoofed member.
+    Three exchanges total (audited), zero UDFs, zero joins, no corpus
+    self-join (rule 11); swap count_distinct for approx_count_distinct
+    to drop one exchange if doc-reach may be approximate."""
     toks = df.select(F.col(id_col).alias("doc"),
                      F.explode(tokens_col(text_col)).alias("form"))
     per_form = (toks
