@@ -1574,6 +1574,35 @@ def q_text_mojibake(spark, sf_dir):
     return mojibake_profile(docs)
 
 
+def q_corpus_warc_parse(spark, sf_dir):
+    """WARC record framing (kg.corpus.parse_warc) — the Common Crawl
+    ingestion source: a deterministic multi-record WARC member is built
+    from each doc IN BOTH ENGINES (warcinfo + response carrying the doc
+    text + on doc_id%4==0 a metadata record with NO Content-Length, the
+    truncated-member signal), split on the spec's CRLFCRLF+version-line
+    boundary, payloads cut to Content-Length; zero UDFs/shuffles.
+    Payload projected as md5 (narrow driver rows); the response row's
+    md5 equals md5(text) by construction — the round-trip proof."""
+    from kg.corpus import parse_warc
+    crlf = "\r\n"
+    docs = _docs(spark, sf_dir).withColumn(
+        "warc", F.concat(
+            F.lit(f"WARC/1.0{crlf}WARC-Type: warcinfo{crlf}"
+                  f"Content-Length: 9{crlf}{crlf}isPartOf!{crlf}{crlf}"),
+            F.lit(f"WARC/1.0{crlf}WARC-Type: response{crlf}"
+                  "WARC-Target-URI: http://ex.com/"),
+            F.col("doc_id").cast("string"),
+            F.lit(crlf + "Content-Length: "),
+            F.length("text").cast("string"),
+            F.lit(crlf + crlf), F.col("text"), F.lit(crlf + crlf),
+            F.when(F.col("doc_id") % 4 == 0,
+                   F.lit(f"WARC/1.0{crlf}WARC-Type: metadata{crlf}{crlf}"
+                         f"xx{crlf}{crlf}")).otherwise(F.lit(""))))
+    return (parse_warc(docs)
+            .select("doc_id", "rec_index", "warc_type", "content_length",
+                    F.md5("payload").alias("payload_md5")))
+
+
 def q_text_confusables(spark, sf_dir):
     """UTS #39 homoglyph/spoof audit (kg.textstats.confusable_report):
     skeleton = translate() over the Cyrillic/Greek lookalike table, ONE
@@ -5354,6 +5383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_tag_simrank": q_kg_tag_simrank,
         "kg_tag_mis": q_kg_tag_mis,
         "text_confusables": q_text_confusables,
+        "corpus_warc_parse": q_corpus_warc_parse,
     }
     # Hoist the r5 driver window to the front (see R5_WINDOW above);
     # everything else keeps its relative order behind it.

@@ -236,6 +236,7 @@ HEADLINE = [
     "kg_tag_simrank",        # 2-round SimRank, capped meet joins
     "kg_tag_mis",            # Luby md5-priority maximal independent set
     "text_confusables",      # UTS-39 homoglyph skeleton spoof audit
+    "corpus_warc_parse",     # WARC record framing, zero-UDF split
 ]
 
 

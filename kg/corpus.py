@@ -144,6 +144,58 @@ def read_corpus(spark: SparkSession, path: str,
     raise ValueError(f"unsupported corpus format: {fmt!r}")
 
 
+def parse_warc(df: DataFrame, blob_col: str = "warc",
+               id_col: str = "doc_id") -> DataFrame:
+    """WARC (ISO 28500) record parser — the crawl-native source format
+    next to read_corpus's parquet/orc/jsonl/csv: Common Crawl ships
+    WARC/WET members whose text payloads are exactly what a
+    training-data pipeline ingests, and parsing them inside the engine
+    keeps the scan→gate→extract loop one job instead of a pre-step.
+    Splits each blob on the spec's record boundary — CRLFCRLF followed
+    by the WARC/1.0 version line (or the version line at blob start) —
+    takes each record's header block (up to the first CRLFCRLF), and
+    cuts the payload to the declared Content-Length, so payloads
+    containing bare CRLFCRLF runs frame correctly and trailing record
+    separators fall away by construction.  Residual contract: a payload
+    that itself embeds a full record boundary (a WARC quoting another
+    WARC) still splits — adversarial-exact framing needs the sequential
+    offset walk, i.e. the per-file mapInPandas variant of this op.
+
+    Returns (doc_id, rec_index, warc_type, content_length, payload);
+    a record with no parseable Content-Length yields NULL
+    content_length/payload (surfaced, not dropped — a truncated or
+    corrupt member is a signal the audit gates want).  rec_index is
+    1-based in blob order.
+
+    Scale shape: one split + posexplode + in-row string arithmetic —
+    zero UDFs, zero shuffles, zero joins; header fields come out of
+    the same regexp pass Catalyst fuses into the scan projection.
+    Real WARC members are gzip-compressed per record; the decompress
+    stage is the marked codec integration point (the JPEG rule:
+    kg/multimodal.py) — this operator owns the record framing, which
+    is the distributable part."""
+    sep = "(\\A|\r\n\r\n)WARC/1\\.0\r\n"
+    recs = (df.select(F.col(id_col),
+                      F.posexplode(F.split(F.col(blob_col), sep))
+                      .alias("rec_index", "rec"))
+            .filter(F.col("rec") != ""))
+    headers = F.substring_index(F.col("rec"), "\r\n\r\n", 1)
+    clen = (F.nullif(F.regexp_extract(headers,
+                                      r"Content-Length:\s*(\d+)", 1),
+                     F.lit("")).cast("bigint"))
+    return (recs
+            .withColumn("warc_type",
+                        F.nullif(F.regexp_extract(
+                            headers, r"WARC-Type: ([a-z]+)", 1),
+                            F.lit("")))
+            .withColumn("content_length", clen)
+            .withColumn("payload",
+                        F.col("rec").substr(F.length(headers) + F.lit(5),
+                                            F.col("content_length")))
+            .select(id_col, "rec_index", "warc_type", "content_length",
+                    "payload"))
+
+
 def corpus_audit(df: DataFrame, group_cols: tuple[str, ...] = ("lang",),
                  text_col: str = "text", id_col: str = "doc_id",
                  len_col: str | None = "n_chars") -> DataFrame:

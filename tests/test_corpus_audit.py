@@ -145,3 +145,52 @@ class TestApplyChanges:
         got = {r.doc_id: r.text
                for r in apply_changes(old, changes).collect()}
         assert got == {1: "a", 2: "b2", 4: "d"}
+
+
+class TestParseWarc:
+    @staticmethod
+    def _member(*recs):
+        out = []
+        for headers, payload in recs:
+            head = "".join(f"{k}: {v}\r\n" for k, v in headers)
+            out.append(f"WARC/1.0\r\n{head}\r\n{payload}\r\n\r\n")
+        return "".join(out)
+
+    def test_three_record_member_roundtrip(self, spark):
+        from kg.corpus import parse_warc
+        body = "hello\r\n\r\nworld"        # CRLFCRLF inside a payload
+        blob = self._member(
+            ([("WARC-Type", "warcinfo"), ("Content-Length", "9")],
+             "isPartOf!"),
+            ([("WARC-Type", "response"),
+              ("WARC-Target-URI", "http://example.com/1"),
+              ("Content-Length", str(len(body)))], body),
+            ([("WARC-Type", "metadata"), ("Content-Length", "4")],
+             "meta"))
+        df = spark.createDataFrame([(1, blob)], "doc_id long, warc string")
+        rows = sorted(parse_warc(df).collect(), key=lambda r: r.rec_index)
+        assert [r.rec_index for r in rows] == [1, 2, 3]
+        assert [r.warc_type for r in rows] == \
+            ["warcinfo", "response", "metadata"]
+        assert [r.payload for r in rows] == ["isPartOf!", body, "meta"]
+        assert [r.content_length for r in rows] == [9, len(body), 4]
+
+    def test_missing_content_length_surfaced_as_null(self, spark):
+        from kg.corpus import parse_warc
+        blob = ("WARC/1.0\r\nWARC-Type: response\r\n\r\npayload\r\n\r\n"
+                "WARC/1.0\r\nWARC-Type: metadata\r\n"
+                "Content-Length: 2\r\n\r\nok\r\n\r\n")
+        df = spark.createDataFrame([(7, blob)], "doc_id long, warc string")
+        rows = {r.rec_index: r for r in parse_warc(df).collect()}
+        assert rows[1].content_length is None and rows[1].payload is None
+        assert rows[2].payload == "ok"
+
+    def test_multiple_docs_stay_separate(self, spark):
+        from kg.corpus import parse_warc
+        mk = lambda p: self._member(
+            ([("WARC-Type", "response"), ("Content-Length", str(len(p)))],
+             p))
+        df = spark.createDataFrame(
+            [(1, mk("alpha")), (2, mk("beta"))], "doc_id long, warc string")
+        got = {(r.doc_id, r.payload) for r in parse_warc(df).collect()}
+        assert got == {(1, "alpha"), (2, "beta")}

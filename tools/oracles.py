@@ -6044,6 +6044,60 @@ def build_oracle_sql() -> dict[str, str]:
         SELECT skeleton, form, is_spoof, n_docs, n_occurrences
         FROM g WHERE grp = 1"""
 
+    # WARC record framing (kg.corpus.parse_warc): the fixture member,
+    # the CRLFCRLF+version-line boundary split (computed RE2 pattern —
+    # chr() concatenations, the text_mojibake rule), header-block cut,
+    # Content-Length payload slice, and md5 all replay.  Spark's
+    # posexplode keeps pos 1..n after the leading empty piece is
+    # filtered; generate_subscripts is 1-based with the empty piece at
+    # i=1, so rec_index = i-1.
+    sqls["corpus_warc_parse"] = """
+        WITH crlf AS (SELECT chr(13) || chr(10) AS c),
+        fix AS (
+          SELECT doc_id,
+                 'WARC/1.0' || c || 'WARC-Type: warcinfo' || c ||
+                 'Content-Length: 9' || c || c || 'isPartOf!' || c || c ||
+                 'WARC/1.0' || c || 'WARC-Type: response' || c ||
+                 'WARC-Target-URI: http://ex.com/' ||
+                 CAST(doc_id AS VARCHAR) || c ||
+                 'Content-Length: ' || CAST(length(text) AS VARCHAR) ||
+                 c || c || text || c || c ||
+                 CASE WHEN doc_id % 4 = 0 THEN
+                   'WARC/1.0' || c || 'WARC-Type: metadata' || c || c ||
+                   'xx' || c || c
+                 ELSE '' END AS warc,
+                 c
+          FROM documents, crlf WHERE lang = 'en'),
+        parts AS (
+          SELECT doc_id, c,
+                 regexp_split_to_array(
+                   warc, '(\\A|' || c || c || ')WARC/1\\.0' || c) AS ps
+          FROM fix),
+        recs AS (
+          SELECT doc_id, c,
+                 generate_subscripts(ps, 1) - 1 AS rec_index,
+                 unnest(ps) AS rec
+          FROM parts),
+        parsed AS (
+          SELECT doc_id, rec_index,
+                 split_part(rec, c || c, 1) AS headers, rec
+          FROM recs WHERE rec <> ''),
+        cooked AS (
+          SELECT doc_id, CAST(rec_index AS INT) AS rec_index,
+                 nullif(regexp_extract(headers,
+                        'WARC-Type: ([a-z]+)', 1), '') AS warc_type,
+                 CAST(nullif(regexp_extract(headers,
+                        'Content-Length:\\s*(\\d+)', 1), '')
+                      AS BIGINT) AS content_length,
+                 substr(rec, length(headers) + 5,
+                        CAST(nullif(regexp_extract(headers,
+                             'Content-Length:\\s*(\\d+)', 1), '')
+                             AS BIGINT)) AS payload
+          FROM parsed)
+        SELECT doc_id, rec_index, warc_type, content_length,
+               md5(payload) AS payload_md5
+        FROM cooked"""
+
     # Degree Gini (kg.graphrank.degree_gini) over the doc<->tag HAS_TAG
     # bipartite graph (namespaced ids; tag doc-frequency is Zipfian, so
     # degrees genuinely vary — the co-occurrence graph is a clique on
