@@ -4238,6 +4238,37 @@ def q_multimodal_tiff(spark, sf_dir):
         "n_rgb_bytes", "mean_r")
 
 
+def q_multimodal_webp(spark, sf_dir):
+    """REAL WebP header parse (kg.multimodal.webp_bytes/_webp_dims):
+    all three header flavors rotate by vec_id%3 — VP8X (24-bit LE
+    canvas), VP8L (0x2f sig + 14+14 packed bits), VP8 lossy key frame
+    (frame tag + 9d012a sync + 14-bit dims) — through the shared
+    decode_image_features mapInPandas; channel means are −1 (dims-only:
+    the VP8 arithmetic-coded bitstream is the marked codec point, the
+    TIFF convention).  Container size is a constant per flavor
+    (30/26/30 bytes — RIFF even-padding makes VP8L's 13-byte chunk 14),
+    so every cell is arithmetic in vec_id → full oracle replay."""
+    import pandas as pd
+    from kg import multimodal as mm
+    emb = _read("embeddings")(spark, sf_dir).select("vec_id")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for v in pdf["vec_id"]:
+                i = int(v)
+                rows.append((i, "image", "webp",
+                             mm.webp_bytes(8 + i % 9, 6 + i % 7,
+                                           ("VP8X", "VP8L", "VP8 ")[i % 3])))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "format", "payload"])
+
+    media = emb.mapInPandas(gen, mm.MEDIA_SCHEMA).localCheckpoint()
+    return mm.decode_image_features(media).select(
+        "media_id", "format", "width", "height", "n_bytes",
+        "n_rgb_bytes", "mean_r")
+
+
 def q_rel_q6_forecast(spark, sf_dir):
     """TPC-H Q6 (forecasting revenue change): one-table scan +
     three-predicate filter + single aggregate — THE pushdown benchmark
@@ -5384,6 +5415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_tag_mis": q_kg_tag_mis,
         "text_confusables": q_text_confusables,
         "corpus_warc_parse": q_corpus_warc_parse,
+        "multimodal_webp": q_multimodal_webp,
     }
     # Hoist the r5 driver window to the front (see R5_WINDOW above);
     # everything else keeps its relative order behind it.

@@ -237,6 +237,7 @@ HEADLINE = [
     "kg_tag_mis",            # Luby md5-priority maximal independent set
     "text_confusables",      # UTS-39 homoglyph skeleton spoof audit
     "corpus_warc_parse",     # WARC record framing, zero-UDF split
+    "multimodal_webp",       # WebP VP8X/VP8L/VP8 header dims parse
 ]
 
 

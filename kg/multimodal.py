@@ -142,6 +142,56 @@ def tiff_bytes(media_id: int, width: int, height: int,
     return header + ifd + bps
 
 
+def webp_bytes(width: int, height: int, variant: str = "VP8L") -> bytes:
+    """Deterministic WebP container with a real header of the given
+    flavor — the third major crawl image format after JPEG/PNG:
+    `VP8X` (extended: 24-bit LE canvas W−1/H−1), `VP8L` (lossless:
+    0x2f signature then 14+14-bit W−1/H−1 packed LE), `VP8 ` (lossy
+    key frame: 3-byte frame tag, 9d 01 2a sync, 14-bit LE dims).
+    Dims-only fixtures (the png_ihdr_bytes convention): the chunk ends
+    after the header fields, which is all image_dims reads — the VP8
+    arithmetic-coded bitstream is the marked codec integration point."""
+    if variant == "VP8X":
+        body = (bytes([0x10, 0, 0, 0])
+                + (width - 1).to_bytes(3, "little")
+                + (height - 1).to_bytes(3, "little"))
+        chunk = b"VP8X" + struct.pack("<I", len(body)) + body
+    elif variant == "VP8L":
+        bits = (width - 1) | ((height - 1) << 14)
+        body = b"\x2f" + bits.to_bytes(4, "little")
+        chunk = b"VP8L" + struct.pack("<I", len(body)) + body
+    elif variant == "VP8 ":
+        body = (b"\x00\x00\x00" + b"\x9d\x01\x2a"
+                + struct.pack("<HH", width, height))
+        chunk = b"VP8 " + struct.pack("<I", len(body)) + body
+    else:
+        raise ValueError(f"unknown WebP variant: {variant!r}")
+    if len(chunk) % 2:
+        chunk += b"\x00"                   # RIFF chunks are even-padded
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def _webp_dims(payload: bytes) -> tuple[int, int]:
+    """(width, height) from the first chunk of a WebP container —
+    handles all three header flavors (VP8X canvas, VP8L packed bits,
+    VP8 key-frame dims with the 2 scaling bits masked off)."""
+    fourcc = payload[12:16]
+    if fourcc == b"VP8X" and len(payload) >= 30:
+        return (int.from_bytes(payload[24:27], "little") + 1,
+                int.from_bytes(payload[27:30], "little") + 1)
+    if fourcc == b"VP8L" and len(payload) >= 25:
+        if payload[20] != 0x2F:
+            raise ValueError("VP8L without 0x2f signature")
+        bits = int.from_bytes(payload[21:25], "little")
+        return (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1
+    if fourcc == b"VP8 " and len(payload) >= 30:
+        if payload[23:26] != b"\x9d\x01\x2a":
+            raise ValueError("VP8 key frame sync code missing")
+        return (int.from_bytes(payload[26:28], "little") & 0x3FFF,
+                int.from_bytes(payload[28:30], "little") & 0x3FFF)
+    raise ValueError(f"unsupported WebP chunk: {fourcc!r}")
+
+
 def _tiff_dims(payload: bytes) -> tuple[int, int]:
     """IFD0 walk for tags 256/257 (SHORT or LONG, II or MM); unknown
     tags and out-of-field value pointers are skipped by construction
@@ -726,7 +776,9 @@ def image_dims(payload: bytes) -> tuple[int, int]:
     PPM (header), PNG (IHDR — works without pixel data), GIF
     (logical-screen descriptor — the published GIF87a/89a header: LE
     u16 width/height at offsets 6/8; full pixel decode via _gif_decode
-    since r5), TIFF, QOI, and JPEG (any SOF process)."""
+    since r5), TIFF, QOI, JPEG (any SOF process), and WebP (VP8X /
+    VP8L / VP8 headers — dims-only, the bitstream is the marked codec
+    point)."""
     if payload[:8] == _MAGIC:
         return struct.unpack(">II", payload[8:16])
     if payload[:2] == b"BM":
@@ -748,8 +800,10 @@ def image_dims(payload: bytes) -> tuple[int, int]:
     if payload[:2] == b"\xff\xd8":
         from kg.jpeg import jpeg_dims      # SOFn header walk, any process
         return jpeg_dims(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return _webp_dims(payload)         # VP8X / VP8L / VP8 headers
     raise NotImplementedError(
-        "unsupported image format (WebP/AVIF/... need an imaging library "
+        "unsupported image format (AVIF/HEIC/... need an imaging library "
         "not present in this environment) — integration point: dispatch "
         "to PIL.Image.open here; the Spark plumbing does not change")
 

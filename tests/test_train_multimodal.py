@@ -454,6 +454,55 @@ class TestGifDims:
             image_dims(b"GIF89a")
 
 
+class TestWebpDims:
+    def test_all_three_header_flavors_roundtrip(self):
+        from kg.multimodal import webp_bytes, image_dims
+        for variant in ("VP8X", "VP8L", "VP8 "):
+            for w, h in ((1, 1), (320, 200), (16383, 16383)):
+                assert image_dims(webp_bytes(w, h, variant)) == (w, h), \
+                    (variant, w, h)
+
+    def test_vp8x_exceeds_14bit_range(self):
+        # VP8X canvas is 24-bit: dims past the VP8/VP8L 14-bit ceiling
+        from kg.multimodal import webp_bytes, image_dims
+        assert image_dims(webp_bytes(100_000, 70_000, "VP8X")) == \
+            (100_000, 70_000)
+
+    def test_bad_sync_and_signature_rejected(self):
+        import pytest as _pytest
+        from kg.multimodal import webp_bytes, image_dims
+        lossy = bytearray(webp_bytes(10, 10, "VP8 "))
+        lossy[23] = 0x00                       # break the 9d 01 2a sync
+        with _pytest.raises(ValueError):
+            image_dims(bytes(lossy))
+        ll = bytearray(webp_bytes(10, 10, "VP8L"))
+        ll[20] = 0x00                          # break the 0x2f signature
+        with _pytest.raises(ValueError):
+            image_dims(bytes(ll))
+
+    def test_decode_falls_to_dims_only_in_features(self, spark):
+        # the features path: dims parse, channel means -1 (no bitstream)
+        import pandas as pd
+        from kg import multimodal as mm
+        emb = spark.range(3).select(F.col("id").alias("vec_id"))
+
+        def gen(batches):
+            for pdf in batches:
+                rows = [(int(v), "image", "webp",
+                         mm.webp_bytes(8 + int(v), 6 + int(v),
+                                       ("VP8X", "VP8L", "VP8 ")[int(v) % 3]))
+                        for v in pdf["vec_id"]]
+                yield pd.DataFrame(
+                    rows, columns=["media_id", "kind", "format", "payload"])
+
+        media = emb.mapInPandas(gen, mm.MEDIA_SCHEMA)
+        got = {r.media_id: r for r in
+               mm.decode_image_features(media).collect()}
+        assert all(got[i].width == 8 + i and got[i].height == 6 + i
+                   and got[i].n_rgb_bytes == -1 and got[i].mean_r == -1
+                   for i in range(3))
+
+
 class TestAviVideo:
     def test_roundtrip_meta(self, spark):
         from kg.multimodal import avi_bytes, avi_meta

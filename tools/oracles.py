@@ -1841,6 +1841,20 @@ def build_oracle_sql() -> dict[str, str]:
                CAST(-1 AS INT) AS mean_r
         FROM embeddings"""
 
+    # WebP header parse (kg.multimodal.webp_bytes/_webp_dims): every
+    # cell arithmetic in vec_id (the multimodal_tiff convention) —
+    # dims rotate with the fixture, container size is constant per
+    # flavor (VP8X 30, VP8L 26 after RIFF even-padding, VP8 30).
+    sqls["multimodal_webp"] = """
+        SELECT vec_id AS media_id, 'webp' AS format,
+               CAST(8 + vec_id % 9 AS INT) AS width,
+               CAST(6 + vec_id % 7 AS INT) AS height,
+               CAST(CASE WHEN vec_id % 3 = 1 THEN 26 ELSE 30 END
+                    AS BIGINT) AS n_bytes,
+               CAST(-1 AS BIGINT) AS n_rgb_bytes,
+               CAST(-1 AS INT) AS mean_r
+        FROM embeddings"""
+
     # Stupid Backoff scoring (kg.textstats.stupid_backoff_bits): model
     # from the md5-even train half; every scored doc carries the
     # ' qx9 hash' suffix so all three branches fire — seen ratio,
