@@ -1603,6 +1603,38 @@ def q_corpus_warc_parse(spark, sf_dir):
                     F.md5("payload").alias("payload_md5")))
 
 
+def q_corpus_gzip_members(spark, sf_dir):
+    """Real RFC 1952 gzip member decode (kg.corpus.parse_gzip_members)
+    — the decompress stage corpus_warc_parse marks as its codec point,
+    over deterministic members built from each doc's text (stdlib
+    zlib both directions; fixture gen and parse are separate
+    mapInPandas stages split by a localCheckpoint — rule 1).  doc_id%2
+    rotates the FNAME header field; doc_id%10==0 members are truncated
+    to 5 bytes and must SURFACE as ok=false NULL rows, never fail the
+    task.  Every checked cell is arithmetic in (doc_id, text):
+    isize = length(text), payload_md5 = md5(text) — the round-trip
+    proof; compressed size deliberately unexposed (zlib-version
+    dependent, the multimodal_decode rule)."""
+    import pandas as pd
+    from kg.corpus import gzip_member_bytes, parse_gzip_members
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                blob = gzip_member_bytes(
+                    t, mtime=i,
+                    fname=f"doc{i}.txt" if i % 2 == 1 else None)
+                rows.append((i, blob[:5] if i % 10 == 0 else blob))
+            yield pd.DataFrame(rows, columns=["doc_id", "gz"])
+
+    media = docs.mapInPandas(
+        gen, "doc_id long, gz binary").localCheckpoint()
+    return parse_gzip_members(media)
+
+
 def q_text_confusables(spark, sf_dir):
     """UTS #39 homoglyph/spoof audit (kg.textstats.confusable_report):
     skeleton = translate() over the Cyrillic/Greek lookalike table, ONE
@@ -5416,6 +5448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_confusables": q_text_confusables,
         "corpus_warc_parse": q_corpus_warc_parse,
         "multimodal_webp": q_multimodal_webp,
+        "corpus_gzip_members": q_corpus_gzip_members,
     }
     # Hoist the r5 driver window to the front (see R5_WINDOW above);
     # everything else keeps its relative order behind it.

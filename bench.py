@@ -238,6 +238,7 @@ HEADLINE = [
     "text_confusables",      # UTS-39 homoglyph skeleton spoof audit
     "corpus_warc_parse",     # WARC record framing, zero-UDF split
     "multimodal_webp",       # WebP VP8X/VP8L/VP8 header dims parse
+    "corpus_gzip_members",   # RFC 1952 decode, crc/isize verify
 ]
 
 

@@ -196,6 +196,107 @@ def parse_warc(df: DataFrame, blob_col: str = "warc",
                     "payload"))
 
 
+def gzip_member_bytes(text: str, mtime: int = 0,
+                      fname: str | None = None) -> bytes:
+    """Deterministic RFC 1952 gzip member carrying `text` — the fixture
+    leg for parse_gzip_members: real raw-DEFLATE body (stdlib zlib),
+    CRC32 + ISIZE trailer, optional FNAME header field.  Common Crawl
+    WARCs are per-record members of exactly this shape."""
+    import zlib
+    data = text.encode("utf-8")
+    co = zlib.compressobj(9, zlib.DEFLATED, -15)
+    body = co.compress(data) + co.flush()
+    flg = 0x08 if fname is not None else 0
+    head = (b"\x1f\x8b\x08" + bytes([flg])
+            + (mtime & 0xFFFFFFFF).to_bytes(4, "little") + b"\x00\xff")
+    if fname is not None:
+        head += fname.encode("latin-1") + b"\x00"
+    return (head + body
+            + (zlib.crc32(data) & 0xFFFFFFFF).to_bytes(4, "little")
+            + (len(data) & 0xFFFFFFFF).to_bytes(4, "little"))
+
+
+def parse_gzip_member(payload: bytes) -> tuple:
+    """Walk one RFC 1952 member: header (magic, CM=8, FLG with
+    FEXTRA/FNAME/FCOMMENT/FHCRC fields skipped or captured, MTIME),
+    raw-DEFLATE inflate, CRC32/ISIZE trailer verify.  Returns
+    (fname, mtime, isize, crc_ok, text) — raises ValueError on a
+    malformed member (callers decide surface-vs-fail; the DataFrame op
+    surfaces)."""
+    import zlib
+    if payload[:2] != b"\x1f\x8b" or payload[2] != 8:
+        raise ValueError("not a gzip member / unknown compression method")
+    flg = payload[3]
+    mtime = int.from_bytes(payload[4:8], "little")
+    off = 10
+    if flg & 0x04:                                          # FEXTRA
+        off += 2 + int.from_bytes(payload[off:off + 2], "little")
+    fname = None
+    if flg & 0x08:                                          # FNAME
+        end = payload.index(b"\x00", off)
+        fname = payload[off:end].decode("latin-1")
+        off = end + 1
+    if flg & 0x10:                                          # FCOMMENT
+        off = payload.index(b"\x00", off) + 1
+    if flg & 0x02:                                          # FHCRC
+        off += 2
+    deco = zlib.decompressobj(-15)
+    data = deco.decompress(payload[off:])
+    tail = deco.unused_data
+    if len(tail) < 8:
+        raise ValueError("truncated gzip trailer")
+    crc_ok = (int.from_bytes(tail[:4], "little")
+              == (zlib.crc32(data) & 0xFFFFFFFF))
+    isize = int.from_bytes(tail[4:8], "little")
+    return fname, mtime, isize, crc_ok, data.decode("utf-8")
+
+
+def parse_gzip_members(df: DataFrame, blob_col: str = "gz",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Per-record gzip member decode over a binary column — the
+    decompress stage parse_warc marks as its codec integration point,
+    made real with the stdlib: one mapInPandas (the one-pandas-UDF
+    rule), per-member header walk + raw-DEFLATE inflate + CRC32/ISIZE
+    trailer verify.  Malformed members SURFACE as a row with NULL
+    fields and ok=false (the ingestion-gate contract: a corrupt crawl
+    record is a signal, never a task failure).
+
+    Returns (doc_id, fname, mtime, isize, crc_ok, ok, payload_md5) —
+    payload_md5 over the DECOMPRESSED utf-8 text (compressed size is
+    deliberately not exposed: deflate output is zlib-version-dependent,
+    the multimodal_decode rule)."""
+    import hashlib
+    import zlib
+    from pyspark.sql.types import (BooleanType, LongType)
+    schema = StructType([
+        StructField("doc_id", LongType(), False),
+        StructField("fname", StringType(), True),
+        StructField("mtime", LongType(), True),
+        StructField("isize", LongType(), True),
+        StructField("crc_ok", BooleanType(), True),
+        StructField("ok", BooleanType(), False),
+        StructField("payload_md5", StringType(), True),
+    ])
+
+    def fx(batches):
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[blob_col]):
+                try:
+                    fname, mtime, isize, crc_ok, text = \
+                        parse_gzip_member(bytes(blob))
+                    rows.append((int(i), fname, mtime, isize, crc_ok,
+                                 True,
+                                 hashlib.md5(text.encode()).hexdigest()))
+                except (ValueError, zlib.error, IndexError,
+                        UnicodeDecodeError):
+                    rows.append((int(i), None, None, None, None, False,
+                                 None))
+            yield pd.DataFrame(rows, columns=schema.fieldNames())
+
+    return df.select(id_col, blob_col).mapInPandas(fx, schema)
+
+
 def corpus_audit(df: DataFrame, group_cols: tuple[str, ...] = ("lang",),
                  text_col: str = "text", id_col: str = "doc_id",
                  len_col: str | None = "n_chars") -> DataFrame:

@@ -194,3 +194,58 @@ class TestParseWarc:
             [(1, mk("alpha")), (2, mk("beta"))], "doc_id long, warc string")
         got = {(r.doc_id, r.payload) for r in parse_warc(df).collect()}
         assert got == {(1, "alpha"), (2, "beta")}
+
+
+class TestParseGzipMembers:
+    def test_cross_validate_against_stdlib_gzip(self):
+        import gzip as _gzip
+        from kg.corpus import gzip_member_bytes, parse_gzip_member
+        # our member decodes with the stdlib
+        blob = gzip_member_bytes("hello crawl", mtime=42, fname="a.txt")
+        assert _gzip.decompress(blob) == b"hello crawl"
+        # a stdlib member decodes with our parser
+        std = _gzip.compress(b"independent impl", mtime=7)
+        fname, mtime, isize, crc_ok, text = parse_gzip_member(std)
+        assert (mtime, isize, crc_ok, text) == \
+            (7, 16, True, "independent impl")
+
+    def test_header_fields_captured(self):
+        from kg.corpus import gzip_member_bytes, parse_gzip_member
+        fname, mtime, isize, crc_ok, text = parse_gzip_member(
+            gzip_member_bytes("x y z", mtime=99, fname="doc9.txt"))
+        assert (fname, mtime, isize, crc_ok, text) == \
+            ("doc9.txt", 99, 5, True, "x y z")
+        assert parse_gzip_member(gzip_member_bytes("q"))[0] is None
+
+    def test_fextra_fcomment_fhcrc_skipped(self):
+        import zlib
+        from kg.corpus import parse_gzip_member
+        data = b"skips"
+        co = zlib.compressobj(9, zlib.DEFLATED, -15)
+        body = co.compress(data) + co.flush()
+        extra = b"XY\x03\x00abc"
+        blob = (b"\x1f\x8b\x08" + bytes([0x04 | 0x10 | 0x02])
+                + (5).to_bytes(4, "little") + b"\x00\xff"
+                + (len(extra)).to_bytes(2, "little") + extra
+                + b"a comment\x00" + b"\x99\x99" + body
+                + (zlib.crc32(data)).to_bytes(4, "little")
+                + (5).to_bytes(4, "little"))
+        assert parse_gzip_member(blob)[4] == "skips"
+
+    def test_dataframe_op_surfaces_corruption(self, spark):
+        from kg.corpus import gzip_member_bytes, parse_gzip_members
+        import hashlib
+        good = gzip_member_bytes("payload one", mtime=3)
+        bad_crc = bytearray(gzip_member_bytes("payload two"))
+        bad_crc[-5] ^= 0xFF                  # flip a CRC byte
+        df = spark.createDataFrame(
+            [(1, bytes(good)), (2, bytes(bad_crc)),
+             (3, b"\x1f\x8b\x08"), (4, b"not gzip at all")],
+            "doc_id long, gz binary")
+        rows = {r.doc_id: r for r in parse_gzip_members(df).collect()}
+        assert rows[1].ok and rows[1].crc_ok and rows[1].mtime == 3
+        assert rows[1].payload_md5 == \
+            hashlib.md5(b"payload one").hexdigest()
+        assert rows[2].ok and not rows[2].crc_ok   # decodes, CRC fails
+        assert not rows[3].ok and rows[3].payload_md5 is None
+        assert not rows[4].ok

@@ -1855,6 +1855,29 @@ def build_oracle_sql() -> dict[str, str]:
                CAST(-1 AS INT) AS mean_r
         FROM embeddings"""
 
+    # gzip member decode (kg.corpus.parse_gzip_members): every checked
+    # cell is arithmetic in (doc_id, text) — FNAME rotates by doc_id%2,
+    # mtime = doc_id, isize = byte length of the decompressed text,
+    # payload_md5 = md5(text) (the round-trip proof); truncated members
+    # (doc_id%10=0) surface as ok=false NULL rows.  The corpus is
+    # ASCII, so length(text) == octet_length in both engines.
+    sqls["corpus_gzip_members"] = """
+        SELECT doc_id,
+               CASE WHEN doc_id % 10 = 0 THEN NULL
+                    WHEN doc_id % 2 = 1
+                    THEN 'doc' || CAST(doc_id AS VARCHAR) || '.txt'
+                    ELSE NULL END AS fname,
+               CASE WHEN doc_id % 10 = 0 THEN NULL
+                    ELSE doc_id END AS mtime,
+               CASE WHEN doc_id % 10 = 0 THEN NULL
+                    ELSE CAST(length(text) AS BIGINT) END AS isize,
+               CASE WHEN doc_id % 10 = 0 THEN NULL
+                    ELSE true END AS crc_ok,
+               doc_id % 10 <> 0 AS ok,
+               CASE WHEN doc_id % 10 = 0 THEN NULL
+                    ELSE md5(text) END AS payload_md5
+        FROM documents WHERE lang = 'en'"""
+
     # Stupid Backoff scoring (kg.textstats.stupid_backoff_bits): model
     # from the md5-even train half; every scored doc carries the
     # ' qx9 hash' suffix so all three branches fire — seen ratio,
