@@ -1603,6 +1603,38 @@ def q_corpus_warc_parse(spark, sf_dir):
                     F.md5("payload").alias("payload_md5")))
 
 
+def q_kg_warc_ingest(spark, sf_dir):
+    """The crawl→KG composition anchor: a WARC member is built from
+    each doc, RE-PARSED by kg.corpus.parse_warc (boundary split +
+    Content-Length slice), and the recovered response payloads — not
+    the original text column — feed the flagship annotate→triples
+    pipeline; HAS_TAG edges out.  Since corpus_warc_parse proves
+    payload == text by md5, the oracle is the kg_has_tag SQL verbatim —
+    any framing defect (an off-by-one in the header cut, a CRLF leak
+    into the payload) changes tokens and breaks the hash.  One
+    ArrowEvalPython: the framing is pure string ops feeding the single
+    fused annotate UDF."""
+    from kg.corpus import parse_warc
+    crlf = "\r\n"
+    docs = _docs(spark, sf_dir).withColumn(
+        "warc", F.concat(
+            F.lit(f"WARC/1.0{crlf}WARC-Type: warcinfo{crlf}"
+                  f"Content-Length: 9{crlf}{crlf}isPartOf!{crlf}{crlf}"),
+            F.lit(f"WARC/1.0{crlf}WARC-Type: response{crlf}"
+                  "Content-Length: "),
+            F.length("text").cast("string"),
+            F.lit(crlf + crlf), F.col("text"), F.lit(crlf + crlf)))
+    texts = (parse_warc(docs.select("doc_id", "warc"))
+             .filter(F.col("warc_type") == "response")
+             .select("doc_id", F.col("payload").alias("text"),
+                     F.lit("en").alias("lang")))
+    return (annotate_to_triples(texts, text_col="text",
+                                id_cols=("doc_id",), lang_col="lang",
+                                spec=TOK_SPEC)
+            .filter(F.col("pred") == "HAS_TAG")
+            .select("subj", "pred", "obj"))
+
+
 def q_corpus_gzip_members(spark, sf_dir):
     """Real RFC 1952 gzip member decode (kg.corpus.parse_gzip_members)
     — the decompress stage corpus_warc_parse marks as its codec point,
@@ -5449,6 +5481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_warc_parse": q_corpus_warc_parse,
         "multimodal_webp": q_multimodal_webp,
         "corpus_gzip_members": q_corpus_gzip_members,
+        "kg_warc_ingest": q_kg_warc_ingest,
     }
     # Hoist the r5 driver window to the front (see R5_WINDOW above);
     # everything else keeps its relative order behind it.

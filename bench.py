@@ -239,6 +239,7 @@ HEADLINE = [
     "corpus_warc_parse",     # WARC record framing, zero-UDF split
     "multimodal_webp",       # WebP VP8X/VP8L/VP8 header dims parse
     "corpus_gzip_members",   # RFC 1952 decode, crc/isize verify
+    "kg_warc_ingest",        # WARC payloads into annotate->HAS_TAG
 ]
 
 

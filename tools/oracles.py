@@ -158,6 +158,13 @@ def build_oracle_sql() -> dict[str, str]:
               FROM documents WHERE lang = 'en')
         WHERE tok NOT IN {STOP_IN}"""
 
+    # WARC→KG composition (q_kg_warc_ingest): the Spark side frames each
+    # doc into a WARC member, re-parses it, and annotates the RECOVERED
+    # payload — payload == text is proven by corpus_warc_parse's md5
+    # round-trip, so the oracle is kg_has_tag verbatim; any framing
+    # defect changes tokens and breaks the hash.
+    sqls["kg_warc_ingest"] = sqls["kg_has_tag"]
+
     sqls["kg_tag_occurs"] = f"""
         WITH t AS (
           SELECT doc_id, unnest({_TOKS}) AS tok,
