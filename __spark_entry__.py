@@ -1603,6 +1603,35 @@ def q_corpus_warc_parse(spark, sf_dir):
                     F.md5("payload").alias("payload_md5")))
 
 
+def q_corpus_url_dedup(spark, sf_dir):
+    """URL canonicalization dedup (kg.corpus.normalize_urls): four
+    deterministic messy variants rotate per doc — case-mangled
+    scheme/host + #fragment, explicit :80, already-canonical, and an
+    https://:443 twin — sharing doc_id%25 path clusters; the canon
+    groups collapse the three http variants while keeping https
+    distinct.  The ORACLE builds the canonical string directly from
+    the RFC 3986 rules (CASE arithmetic, no regex), so Spark's
+    regex/array pipeline is checked against an independent
+    construction, not a mirror."""
+    from kg.corpus import normalize_urls
+    docs = _docs(spark, sf_dir).withColumn(
+        "url", F.expr(
+            "CASE CAST(doc_id % 4 AS INT) "
+            "WHEN 0 THEN concat('http://Ex.com/p', "
+            "  CAST(doc_id % 25 AS INT), '?x=1&a=2#frag') "
+            "WHEN 1 THEN concat('HTTP://ex.COM:80/p', "
+            "  CAST(doc_id % 25 AS INT), '?a=2&x=1') "
+            "WHEN 2 THEN concat('http://ex.com/p', "
+            "  CAST(doc_id % 25 AS INT), '?a=2&x=1') "
+            "ELSE concat('https://Ex.com:443/p', "
+            "  CAST(doc_id % 25 AS INT)) END"))
+    return (normalize_urls(docs)
+            .groupBy("url_canon")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.count_distinct("url").cast("bigint")
+                 .alias("n_raw_variants")))
+
+
 def q_kg_warc_ingest(spark, sf_dir):
     """The crawl→KG composition anchor: a WARC member is built from
     each doc, RE-PARSED by kg.corpus.parse_warc (boundary split +
@@ -5482,6 +5511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_webp": q_multimodal_webp,
         "corpus_gzip_members": q_corpus_gzip_members,
         "kg_warc_ingest": q_kg_warc_ingest,
+        "corpus_url_dedup": q_corpus_url_dedup,
     }
     # Hoist the r5 driver window to the front (see R5_WINDOW above);
     # everything else keeps its relative order behind it.

@@ -240,6 +240,7 @@ HEADLINE = [
     "multimodal_webp",       # WebP VP8X/VP8L/VP8 header dims parse
     "corpus_gzip_members",   # RFC 1952 decode, crc/isize verify
     "kg_warc_ingest",        # WARC payloads into annotate->HAS_TAG
+    "corpus_url_dedup",      # RFC 3986 fetch-key canonicalization
 ]
 
 

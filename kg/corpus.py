@@ -297,6 +297,50 @@ def parse_gzip_members(df: DataFrame, blob_col: str = "gz",
     return df.select(id_col, blob_col).mapInPandas(fx, schema)
 
 
+def normalize_urls(df: DataFrame, url_col: str = "url",
+                   out_col: str = "url_canon") -> DataFrame:
+    """URL canonicalization — the crawl-dedup primitive that runs
+    BEFORE any content pass (the same page fetched as `HTTP://Ex.COM:80
+    /p?b=2&a=1#x` and `http://ex.com/p?a=1&b=2` must collapse to one
+    fetch-key, or every downstream content-dedup cost is paid per
+    variant).  RFC 3986 §6 safe normalizations, expressed entirely in
+    JVM string/array functions (zero UDFs, zero shuffles):
+
+      - scheme and host lowercased (case-insensitive by spec);
+      - fragment stripped (never sent to the server);
+      - default port dropped (:80 for http, :443 for https);
+      - empty path → '/';
+      - query parameters sorted (order-insensitive for the dominant
+        k=v form — documented contract: a server relying on param ORDER
+        breaks this, the standard crawl-key tradeoff);
+      - empty query dropped.
+
+    Percent-decoding of unreserved characters and IDN/punycode are
+    documented NON-goals here (they need a codepoint table / IDNA —
+    the marked integration point); the authority is lowercased
+    WHOLESALE, userinfo included (case-sensitive by RFC, but crawl
+    URLs essentially never carry userinfo — pytest-pinned tradeoff).
+    Returns all input columns plus `out_col`."""
+    u = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*):",
+                                      1))
+    auth = F.lower(F.regexp_extract(u, r"^[^:]+://([^/?#]*)", 1))
+    auth = (F.when(scheme == "http",
+                   F.regexp_replace(auth, r":80$", ""))
+            .when(scheme == "https",
+                  F.regexp_replace(auth, r":443$", ""))
+            .otherwise(auth))
+    path = F.regexp_extract(u, r"^[^:]+://[^/?#]*([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    sorted_q = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    canon = F.concat(
+        scheme, F.lit("://"), auth, path,
+        F.when(query == "", F.lit(""))
+        .otherwise(F.concat(F.lit("?"), sorted_q)))
+    return df.withColumn(out_col, canon)
+
+
 def corpus_audit(df: DataFrame, group_cols: tuple[str, ...] = ("lang",),
                  text_col: str = "text", id_col: str = "doc_id",
                  len_col: str | None = "n_chars") -> DataFrame:

@@ -249,3 +249,36 @@ class TestParseGzipMembers:
         assert rows[2].ok and not rows[2].crc_ok   # decodes, CRC fails
         assert not rows[3].ok and rows[3].payload_md5 is None
         assert not rows[4].ok
+
+
+class TestNormalizeUrls:
+    def _canon(self, spark, urls):
+        from kg.corpus import normalize_urls
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        return [r.url_canon for r in normalize_urls(df).collect()]
+
+    def test_variant_collapse(self, spark):
+        got = self._canon(spark, [
+            "http://Ex.com/a/b?x=1&a=2#frag",
+            "HTTP://ex.COM:80/a/b?a=2&x=1",
+            "http://ex.com/a/b?a=2&x=1",
+        ])
+        assert len(set(got)) == 1
+        assert got[0] == "http://ex.com/a/b?a=2&x=1"
+
+    def test_each_rule(self, spark):
+        cases = {
+            "HTTPS://A.B:443/p": "https://a.b/p",     # scheme/host/port
+            "https://a.b:8443/p": "https://a.b:8443/p",  # non-default kept
+            "http://a.b": "http://a.b/",              # empty path
+            "http://a.b/p?": "http://a.b/p",          # empty query dropped
+            "http://a.b/p#only-frag": "http://a.b/p",
+            "http://a.b/CasePath?Z=1": "http://a.b/CasePath?Z=1",
+        }
+        got = self._canon(spark, list(cases))
+        assert got == list(cases.values())
+
+    def test_userinfo_and_unknown_scheme_passthrough(self, spark):
+        got = self._canon(spark, ["ftp://User@Host.x:80/f"])
+        # unknown scheme: port kept; authority lowercased wholesale
+        assert got == ["ftp://user@host.x:80/f"]

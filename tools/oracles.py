@@ -158,6 +158,36 @@ def build_oracle_sql() -> dict[str, str]:
               FROM documents WHERE lang = 'en')
         WHERE tok NOT IN {STOP_IN}"""
 
+    # URL canonicalization dedup (kg.corpus.normalize_urls): the raw
+    # fixture replays the Spark CASE verbatim; the CANONICAL string is
+    # built directly from the RFC 3986 rules (scheme/host lowercase,
+    # fragment/default-port/empty-query dropped, params sorted) as CASE
+    # arithmetic — an independent construction, not a regex mirror.
+    sqls["corpus_url_dedup"] = """
+        WITH fix AS (
+          SELECT doc_id,
+                 CASE CAST(doc_id % 4 AS INT)
+                 WHEN 0 THEN 'http://Ex.com/p' ||
+                   CAST(CAST(doc_id % 25 AS INT) AS VARCHAR) ||
+                   '?x=1&a=2#frag'
+                 WHEN 1 THEN 'HTTP://ex.COM:80/p' ||
+                   CAST(CAST(doc_id % 25 AS INT) AS VARCHAR) || '?a=2&x=1'
+                 WHEN 2 THEN 'http://ex.com/p' ||
+                   CAST(CAST(doc_id % 25 AS INT) AS VARCHAR) || '?a=2&x=1'
+                 ELSE 'https://Ex.com:443/p' ||
+                   CAST(CAST(doc_id % 25 AS INT) AS VARCHAR) END AS url,
+                 CASE WHEN doc_id % 4 = 3
+                 THEN 'https://ex.com/p' ||
+                   CAST(CAST(doc_id % 25 AS INT) AS VARCHAR)
+                 ELSE 'http://ex.com/p' ||
+                   CAST(CAST(doc_id % 25 AS INT) AS VARCHAR) || '?a=2&x=1'
+                 END AS url_canon
+          FROM documents WHERE lang = 'en')
+        SELECT url_canon,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT url) AS BIGINT) AS n_raw_variants
+        FROM fix GROUP BY 1"""
+
     # WARC→KG composition (q_kg_warc_ingest): the Spark side frames each
     # doc into a WARC member, re-parses it, and annotates the RECOVERED
     # payload — payload == text is proven by corpus_warc_parse's md5
