@@ -1632,6 +1632,33 @@ def q_corpus_url_dedup(spark, sf_dir):
                  .alias("n_raw_variants")))
 
 
+def q_corpus_html_text(spark, sf_dir):
+    """HTML→text extraction (kg.corpus.strip_html) — the WET step:
+    each doc is wrapped in a deterministic page (script with markup
+    inside, style, comment, an entity-bearing <h1> rotating by
+    doc_id%3 over &amp;/&lt;&gt;/&quot;&#39;) and stripped back; the
+    ORACLE constructs the expected clean text directly ('<prefix> ' ||
+    text, the CASE-decoded entity prefix) — an independent
+    construction, so any regex defect (subtree leak, entity order,
+    collapse) breaks the md5.  n_tags is the constant 10-tag skeleton
+    post-subtree-removal."""
+    from kg.corpus import strip_html
+    docs = _docs(spark, sf_dir).withColumn(
+        "html", F.concat(
+            F.lit("<html><head><script>if(a<b){d.write('<i>x</i>')}"
+                  "</script><style>p{color:red}</style></head><body>"
+                  "<h1>"),
+            F.expr("CASE CAST(doc_id % 3 AS INT) "
+                   "WHEN 0 THEN 'T&amp;itle' "
+                   "WHEN 1 THEN 'a &lt;b&gt;' "
+                   "ELSE 'q&quot;x&#39;y' END"),
+            F.lit("</h1><p>"), F.col("text"),
+            F.lit("</p><!-- c --></body></html>")))
+    return (strip_html(docs)
+            .select("doc_id", "n_tags",
+                    F.md5("text_clean").alias("clean_md5")))
+
+
 def q_kg_warc_ingest(spark, sf_dir):
     """The crawl→KG composition anchor: a WARC member is built from
     each doc, RE-PARSED by kg.corpus.parse_warc (boundary split +
@@ -5512,6 +5539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_gzip_members": q_corpus_gzip_members,
         "kg_warc_ingest": q_kg_warc_ingest,
         "corpus_url_dedup": q_corpus_url_dedup,
+        "corpus_html_text": q_corpus_html_text,
     }
     # Hoist the r5 driver window to the front (see R5_WINDOW above);
     # everything else keeps its relative order behind it.

@@ -241,6 +241,7 @@ HEADLINE = [
     "corpus_gzip_members",   # RFC 1952 decode, crc/isize verify
     "kg_warc_ingest",        # WARC payloads into annotate->HAS_TAG
     "corpus_url_dedup",      # RFC 3986 fetch-key canonicalization
+    "corpus_html_text",      # WET-step HTML strip + entity decode
 ]
 
 

@@ -341,6 +341,41 @@ def normalize_urls(df: DataFrame, url_col: str = "url",
     return df.withColumn(out_col, canon)
 
 
+HTML_ENTITIES = (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                 ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"))
+
+
+def strip_html(df: DataFrame, html_col: str = "html",
+               out_col: str = "text_clean") -> DataFrame:
+    """HTML → text extraction — the WET-generation step between WARC
+    response payloads and every text operator in this engine: drops
+    <script>/<style> subtrees and comments wholesale, strips remaining
+    tags to spaces, decodes the six dominant entities
+    (HTML_ENTITIES — &amp; LAST, so '&amp;lt;' correctly yields
+    '&lt;' not '<'), and collapses whitespace.  Regex-based by design:
+    a conformant DOM parse is single-document sequential work a
+    100 TB pass cannot afford and boilerplate removal downstream
+    (dedup_boilerplate / C4 line rules) tolerates tag-soup noise —
+    the documented tradeoff every production WET pipeline makes.
+    Patterns avoid backreferences so the same rules run under both
+    java.util.regex and RE2 (DuckDB); zero UDFs, zero shuffles.
+
+    Returns input columns plus (out_col, n_tags) — n_tags counts the
+    tags stripped AFTER subtree removal, an ingest-audit signal
+    (a near-zero n_tags on a .html crawl row means mislabeled
+    content)."""
+    x = F.regexp_replace(F.col(html_col),
+                         r"(?is)<script[^>]*>.*?</script>", " ")
+    x = F.regexp_replace(x, r"(?is)<style[^>]*>.*?</style>", " ")
+    x = F.regexp_replace(x, r"(?s)<!--.*?-->", " ")
+    n_tags = F.regexp_count(x, F.lit(r"(?s)<[^>]+>")).cast("bigint")
+    x = F.regexp_replace(x, r"(?s)<[^>]+>", " ")
+    for ent, ch in HTML_ENTITIES:
+        x = F.replace(x, F.lit(ent), F.lit(ch))
+    x = F.trim(F.regexp_replace(x, r"\s+", " "))
+    return df.withColumn("n_tags", n_tags).withColumn(out_col, x)
+
+
 def corpus_audit(df: DataFrame, group_cols: tuple[str, ...] = ("lang",),
                  text_col: str = "text", id_col: str = "doc_id",
                  len_col: str | None = "n_chars") -> DataFrame:

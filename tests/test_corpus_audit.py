@@ -282,3 +282,35 @@ class TestNormalizeUrls:
         got = self._canon(spark, ["ftp://User@Host.x:80/f"])
         # unknown scheme: port kept; authority lowercased wholesale
         assert got == ["ftp://user@host.x:80/f"]
+
+
+class TestStripHtml:
+    def _run(self, spark, html):
+        from kg.corpus import strip_html
+        df = spark.createDataFrame([(html,)], "html string")
+        r = strip_html(df).collect()[0]
+        return r.text_clean, r.n_tags
+
+    def test_full_page(self, spark):
+        html = ("<html><head><script>var x = '<p>';</script>"
+                "<style>p { color: red }</style></head>"
+                "<body><h1>T&amp;itle</h1><p>hello   world</p>"
+                "<!-- note --></body></html>")
+        text, n = self._run(spark, html)
+        assert text == "T&itle hello world"
+        # html head /head body h1 /h1 p /p /body /html post-subtree
+        assert n == 10
+
+    def test_double_escaped_entity_stays_escaped(self, spark):
+        text, _ = self._run(spark, "<p>&amp;lt; &lt;</p>")
+        assert text == "&lt; <"
+
+    def test_script_containing_markup_removed_whole(self, spark):
+        text, n = self._run(
+            spark, "<script type='x'>if (a<b) { d.write('<i>x</i>') }"
+                   "</script>ok")
+        assert text == "ok" and n == 0
+
+    def test_no_tags_passthrough(self, spark):
+        text, n = self._run(spark, "plain words only")
+        assert text == "plain words only" and n == 0

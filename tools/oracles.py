@@ -158,6 +158,21 @@ def build_oracle_sql() -> dict[str, str]:
               FROM documents WHERE lang = 'en')
         WHERE tok NOT IN {STOP_IN}"""
 
+    # HTML→text (kg.corpus.strip_html): the oracle does NOT mirror the
+    # regex chain — it constructs the expected clean text directly
+    # (decoded entity prefix + ' ' + the untouched doc text) and the
+    # constant 10-tag skeleton count, so any stripping defect breaks
+    # the md5.  &#39; must travel as chr(38)||'#39;' (a '#' inside a
+    # DuckDB '' literal is fine, but the & entity forms are kept
+    # readable as plain literals — only the single-quote needs '').
+    sqls["corpus_html_text"] = """
+        SELECT doc_id, CAST(10 AS BIGINT) AS n_tags,
+               md5(CASE CAST(doc_id % 3 AS INT)
+                   WHEN 0 THEN 'T&itle'
+                   WHEN 1 THEN 'a <b>'
+                   ELSE 'q"x''y' END || ' ' || text) AS clean_md5
+        FROM documents WHERE lang = 'en'"""
+
     # URL canonicalization dedup (kg.corpus.normalize_urls): the raw
     # fixture replays the Spark CASE verbatim; the CANONICAL string is
     # built directly from the RFC 3986 rules (scheme/host lowercase,
