@@ -1659,6 +1659,41 @@ def q_corpus_html_text(spark, sf_dir):
                     F.md5("text_clean").alias("clean_md5")))
 
 
+def q_corpus_robots_check(spark, sf_dir):
+    """RFC 9309 robots gate (kg.corpus.robots_rules + robots_check):
+    per-host robots.txt TEXT (even hosts: a kgbot group with
+    disallow/allow + a '*' disallow-all group the specific group must
+    pre-empt; odd hosts: '*' only) is PARSED by the line/group walker,
+    then checked for agent kgbot over (host, path) URLs rotating
+    private/allowed/public paths.  The oracle constructs the RULE SET
+    directly from the fixture definition (no line-parse mirror) and
+    replays only the priority algebra (p = max(2·len+is_allow); verdict
+    from p's sign and parity; winning path = max at p) — a wrong parse
+    yields wrong verdicts and breaks the hash."""
+    from kg.corpus import robots_rules, robots_check
+    docs = _docs(spark, sf_dir)
+    hosts = (docs.select((F.col("doc_id") % 7).alias("hn")).distinct()
+             .select(F.concat(F.lit("h"), F.col("hn").cast("string"))
+                     .alias("host"),
+                     F.when(F.col("hn") % 2 == 0, F.lit(
+                         "# policy\nUser-agent: kgbot\n"
+                         "Disallow: /private/\nAllow: /private/ok\n\n"
+                         "User-agent: *\nDisallow: /\n"))
+                     .otherwise(F.lit(
+                         "User-agent: *\nDisallow: /private/\n"))
+                     .alias("robots")))
+    rules = robots_rules(hosts)
+    urls = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string"))
+        .alias("host"),
+        F.expr("CASE CAST(doc_id % 3 AS INT) "
+               "WHEN 0 THEN concat('/private/x', CAST(doc_id % 25 AS INT)) "
+               "WHEN 1 THEN concat('/private/ok/', CAST(doc_id % 25 AS INT)) "
+               "ELSE concat('/pub', CAST(doc_id % 25 AS INT)) END")
+        .alias("path"))
+    return robots_check(urls, rules, agent="kgbot")
+
+
 def q_kg_warc_ingest(spark, sf_dir):
     """The crawl→KG composition anchor: a WARC member is built from
     each doc, RE-PARSED by kg.corpus.parse_warc (boundary split +
@@ -5540,6 +5575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_warc_ingest": q_kg_warc_ingest,
         "corpus_url_dedup": q_corpus_url_dedup,
         "corpus_html_text": q_corpus_html_text,
+        "corpus_robots_check": q_corpus_robots_check,
     }
     # Hoist the r5 driver window to the front (see R5_WINDOW above);
     # everything else keeps its relative order behind it.

@@ -242,6 +242,7 @@ HEADLINE = [
     "kg_warc_ingest",        # WARC payloads into annotate->HAS_TAG
     "corpus_url_dedup",      # RFC 3986 fetch-key canonicalization
     "corpus_html_text",      # WET-step HTML strip + entity decode
+    "corpus_robots_check",   # RFC 9309 group parse + prefix gate
 ]
 
 

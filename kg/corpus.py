@@ -376,6 +376,106 @@ def strip_html(df: DataFrame, html_col: str = "html",
     return df.withColumn("n_tags", n_tags).withColumn(out_col, x)
 
 
+def robots_rules(df: DataFrame, content_col: str = "robots",
+                 key_col: str = "host") -> DataFrame:
+    """RFC 9309 robots.txt group parse — the crawl-politeness metadata
+    a fetch frontier consults before every request.  Lines explode per
+    host; comments (#…) strip; a GROUP is a maximal run of user-agent
+    lines plus the allow/disallow lines that follow it, so a
+    multi-user-agent group header attaches every rule to every listed
+    agent (the spec's group semantics, not last-UA-wins).  Group ids
+    come from one cumulative window over the line ordinal (bounded by
+    lines-per-robots-file, never corpus size).
+
+    Returns (host, agent, rule, path): agent lowercased, rule ∈
+    allow|disallow, path verbatim.  Wildcard (*, $) path patterns are
+    carried verbatim — robots_check matches literal prefixes, the
+    dominant real-world form; wildcard translation is the documented
+    integration point."""
+    from pyspark.sql import Window
+    lines = (df.select(F.col(key_col).alias("host"),
+                       F.posexplode(F.split(F.col(content_col), "\n"))
+                       .alias("i", "line"))
+             .withColumn("line", F.trim(F.regexp_replace("line",
+                                                         "#.*$", ""))))
+    parsed = (lines
+              .withColumn("field", F.lower(F.trim(
+                  F.substring_index("line", ":", 1))))
+              .withColumn("value", F.trim(F.expr(
+                  "substring(line, instr(line, ':') + 1)")))
+              .filter(F.col("field").isin("user-agent", "allow",
+                                          "disallow")))
+    w = Window.partitionBy("host").orderBy("i")
+    blocks = (parsed
+              .withColumn("is_ua", (F.col("field") == "user-agent")
+                          .cast("int"))
+              .withColumn("starts", ((F.col("is_ua") == 1)
+                          & (F.coalesce(F.lag("is_ua").over(w), F.lit(0))
+                             == 0)).cast("int"))
+              .withColumn("block", F.sum("starts").over(w)))
+    uas = (blocks.filter(F.col("is_ua") == 1)
+           .select("host", "block", F.lower("value").alias("agent")))
+    rules = (blocks.filter(F.col("is_ua") == 0)
+             .select("host", "block", F.col("field").alias("rule"),
+                     F.col("value").alias("path")))
+    # rules/uas are robots-metadata-sized, not corpus-sized: broadcast
+    # the UA side so the group join never shuffles the rule lines
+    return rules.join(F.broadcast(uas), ["host", "block"]).select(
+        "host", "agent", "rule", "path")
+
+
+def robots_check(urls: DataFrame, rules: DataFrame,
+                 agent: str = "kgbot") -> DataFrame:
+    """RFC 9309 access check for `agent` over (host, path) rows:
+    specific-agent groups pre-empt '*' groups PER HOST (if any group
+    names the agent, only those apply there); the longest matching
+    path prefix wins; on a length tie allow beats disallow; no match →
+    allowed (and a host with no rules at all → allowed, via the left
+    join).  Priority rides one integer (2·prefix_len + is_allow) so
+    the winner is a plain max_by — no windows over the URL set.
+
+    Scale shape: rules are per-host metadata (broadcast-sized against
+    a crawl frontier); one broadcast join on host with an in-join
+    startswith filter + one (host, path) aggregate.  Returns
+    (host, path, allowed, winning_rule, winning_path)."""
+    a = agent.lower()
+    spec = rules.filter(F.col("agent") == a)
+    star = (rules.filter(F.col("agent") == "*")
+            .join(F.broadcast(spec.select("host").distinct()), "host",
+                  "left_anti"))
+    # empty-path rules are no-ops by spec ("Disallow:" = nothing
+    # disallowed); startswith (not LIKE) so %/_ in rule paths stay
+    # literal
+    app = (spec.unionByName(star)
+           .filter(F.length("path") > 0)
+           .select("host", F.col("rule").alias("rrule"),
+                   F.col("path").alias("rpath")))
+    hits = (urls.select("host", "path")
+            .join(F.broadcast(app), "host", "left")
+            .withColumn("m", F.col("rpath").isNotNull()
+                        & F.col("path").startswith(F.col("rpath")))
+            .withColumn("prio",
+                        F.when(F.col("m"),
+                               2 * F.length("rpath")
+                               + (F.col("rrule") == "allow").cast("int"))
+                        .otherwise(F.lit(-1))))
+    # tie-break equal-priority winners lexicographically by rule path
+    # (same length + same type ⇒ same verdict; the tie-break only pins
+    # winning_path deterministically for the oracle)
+    won = (hits.groupBy("host", "path")
+           .agg(F.max_by(F.struct("rrule", "rpath"),
+                         F.struct(F.col("prio"),
+                                  F.coalesce("rpath", F.lit(""))))
+                .alias("w"),
+                F.max("prio").alias("p")))
+    return won.select(
+        "host", "path",
+        ((F.col("p") < 0) | (F.col("w.rrule") == "allow"))
+        .alias("allowed"),
+        F.when(F.col("p") >= 0, F.col("w.rrule")).alias("winning_rule"),
+        F.when(F.col("p") >= 0, F.col("w.rpath")).alias("winning_path"))
+
+
 def corpus_audit(df: DataFrame, group_cols: tuple[str, ...] = ("lang",),
                  text_col: str = "text", id_col: str = "doc_id",
                  len_col: str | None = "n_chars") -> DataFrame:

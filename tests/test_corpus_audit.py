@@ -314,3 +314,58 @@ class TestStripHtml:
     def test_no_tags_passthrough(self, spark):
         text, n = self._run(spark, "plain words only")
         assert text == "plain words only" and n == 0
+
+
+class TestRobots:
+    ROBOTS = (
+        "# crawl policy\n"
+        "User-agent: kgbot\n"
+        "User-agent: OtherBot\n"
+        "Disallow: /private/\n"
+        "Allow: /private/ok\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /\n"
+        "Disallow:\n")
+
+    def _rules(self, spark):
+        from kg.corpus import robots_rules
+        df = spark.createDataFrame([("h1", self.ROBOTS)],
+                                   "host string, robots string")
+        return robots_rules(df)
+
+    def test_group_parse_multi_agent(self, spark):
+        got = {(r.agent, r.rule, r.path) for r in self._rules(spark).collect()}
+        assert got == {
+            ("kgbot", "disallow", "/private/"),
+            ("kgbot", "allow", "/private/ok"),
+            ("otherbot", "disallow", "/private/"),
+            ("otherbot", "allow", "/private/ok"),
+            ("*", "disallow", "/"),
+            ("*", "disallow", ""),
+        }
+
+    def test_check_precedence(self, spark):
+        from kg.corpus import robots_check
+        urls = spark.createDataFrame(
+            [("h1", "/private/secret"), ("h1", "/private/ok/page"),
+             ("h1", "/public"), ("h2", "/anything")],
+            "host string, path string")
+        got = {(r.host, r.path): (r.allowed, r.winning_rule)
+               for r in robots_check(urls, self._rules(spark),
+                                     agent="kgbot").collect()}
+        # specific group pre-empts '*' (so /public is NOT hit by '*: /')
+        assert got[("h1", "/public")] == (True, None)
+        assert got[("h1", "/private/secret")] == (False, "disallow")
+        # longer allow beats shorter disallow
+        assert got[("h1", "/private/ok/page")] == (True, "allow")
+        # no rules for h2 at all -> allowed
+        assert got[("h2", "/anything")] == (True, None)
+
+    def test_star_applies_to_unnamed_agent(self, spark):
+        from kg.corpus import robots_check
+        urls = spark.createDataFrame([("h1", "/x")],
+                                     "host string, path string")
+        r = robots_check(urls, self._rules(spark),
+                         agent="randombot").collect()[0]
+        assert (r.allowed, r.winning_path) == (False, "/")

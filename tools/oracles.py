@@ -158,6 +158,56 @@ def build_oracle_sql() -> dict[str, str]:
               FROM documents WHERE lang = 'en')
         WHERE tok NOT IN {STOP_IN}"""
 
+    # robots.txt gate (kg.corpus.robots_rules/robots_check): rules are
+    # reconstructed directly from the fixture definition (no line-parse
+    # mirror) and only the priority algebra replays — p = max(2·len +
+    # is_allow) over matching applicable rules (specific group pre-empts
+    # '*' by construction here), verdict from p's sign/parity, winning
+    # path = lexicographic max at p (the Spark tie-break).
+    sqls["corpus_robots_check"] = """
+        WITH urls AS (
+          SELECT DISTINCT
+                 'h' || CAST(CAST(doc_id % 7 AS INT) AS VARCHAR) AS host,
+                 CASE CAST(doc_id % 3 AS INT)
+                 WHEN 0 THEN '/private/x' ||
+                   CAST(CAST(doc_id % 25 AS INT) AS VARCHAR)
+                 WHEN 1 THEN '/private/ok/' ||
+                   CAST(CAST(doc_id % 25 AS INT) AS VARCHAR)
+                 ELSE '/pub' || CAST(CAST(doc_id % 25 AS INT) AS VARCHAR)
+                 END AS path,
+                 CAST(doc_id % 7 AS INT) % 2 AS odd
+          FROM documents WHERE lang = 'en'),
+        rules AS (
+          SELECT * FROM (VALUES
+            (0, 'disallow', '/private/'),
+            (0, 'allow', '/private/ok'),
+            (1, 'disallow', '/private/')) AS t(odd, rrule, rpath)),
+        hits AS (
+          SELECT u.host, u.path,
+                 CASE WHEN r.rpath IS NOT NULL
+                           AND starts_with(u.path, r.rpath)
+                 THEN 2 * length(r.rpath)
+                      + CASE WHEN r.rrule = 'allow' THEN 1 ELSE 0 END
+                 ELSE -1 END AS prio,
+                 r.rpath
+          FROM urls u LEFT JOIN rules r ON r.odd = u.odd),
+        won AS (
+          SELECT host, path, max(prio) AS p,
+                 max(CASE WHEN prio >= 0 THEN prio END) AS pm
+          FROM hits GROUP BY 1, 2),
+        wp AS (
+          SELECT h.host, h.path, max(h.rpath) AS wpath
+          FROM hits h JOIN won w
+            ON w.host = h.host AND w.path = h.path AND h.prio = w.p
+          WHERE w.p >= 0 GROUP BY 1, 2)
+        SELECT w.host, w.path,
+               (w.p < 0 OR w.p % 2 = 1) AS allowed,
+               CASE WHEN w.p < 0 THEN NULL
+                    WHEN w.p % 2 = 1 THEN 'allow'
+                    ELSE 'disallow' END AS winning_rule,
+               wp.wpath AS winning_path
+        FROM won w LEFT JOIN wp ON wp.host = w.host AND wp.path = w.path"""
+
     # HTML→text (kg.corpus.strip_html): the oracle does NOT mirror the
     # regex chain — it constructs the expected clean text directly
     # (decoded entity prefix + ' ' + the untouched doc text) and the
