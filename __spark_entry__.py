@@ -1694,6 +1694,56 @@ def q_corpus_robots_check(spark, sf_dir):
     return robots_check(urls, rules, agent="kgbot")
 
 
+def q_corpus_crawl_e2e(spark, sf_dir):
+    """The crawl-ingestion composition: per-doc URLs run the parsed
+    robots gate (corpus_robots_check's fixture), the surviving docs'
+    HTML wrappers (corpus_html_text's fixture) strip to text, and only
+    robots-allowed rows emerge with their clean-text md5 — the
+    fetch→gate→extract front half of the pipeline in ONE driver-checked
+    query.  The (host, path) verdict table is tiny (≤ 7·75 rows) and
+    broadcasts back onto docs — the sanctioned small-report join, not a
+    corpus self-shuffle (rule 11).  The oracle derives BOTH legs
+    independently: the verdict directly from host-parity/path-variant
+    arithmetic, the md5 from the entity-prefix construction."""
+    from kg.corpus import robots_rules, robots_check, strip_html
+    docs = _docs(spark, sf_dir).withColumn(
+        "host", F.concat(F.lit("h"),
+                         (F.col("doc_id") % 7).cast("string"))
+    ).withColumn(
+        "path", F.expr(
+            "CASE CAST(doc_id % 3 AS INT) "
+            "WHEN 0 THEN concat('/private/x', CAST(doc_id % 25 AS INT)) "
+            "WHEN 1 THEN concat('/private/ok/', CAST(doc_id % 25 AS INT)) "
+            "ELSE concat('/pub', CAST(doc_id % 25 AS INT)) END")
+    ).withColumn(
+        "html", F.concat(
+            F.lit("<html><body><h1>"),
+            F.expr("CASE CAST(doc_id % 3 AS INT) "
+                   "WHEN 0 THEN 'T&amp;itle' "
+                   "WHEN 1 THEN 'a &lt;b&gt;' "
+                   "ELSE 'q&quot;x&#39;y' END"),
+            F.lit("</h1><p>"), F.col("text"),
+            F.lit("</p></body></html>")))
+    hosts = (docs.select((F.col("doc_id") % 7).alias("hn")).distinct()
+             .select(F.concat(F.lit("h"), F.col("hn").cast("string"))
+                     .alias("host"),
+                     F.when(F.col("hn") % 2 == 0, F.lit(
+                         "User-agent: kgbot\nDisallow: /private/\n"
+                         "Allow: /private/ok\n\n"
+                         "User-agent: *\nDisallow: /\n"))
+                     .otherwise(F.lit(
+                         "User-agent: *\nDisallow: /private/\n"))
+                     .alias("robots")))
+    verdicts = robots_check(docs.select("host", "path").distinct(),
+                            robots_rules(hosts), agent="kgbot")
+    kept = (docs.join(F.broadcast(
+                verdicts.filter(F.col("allowed"))
+                .select("host", "path")), ["host", "path"]))
+    return (strip_html(kept)
+            .select("doc_id", "host", "path",
+                    F.md5("text_clean").alias("clean_md5")))
+
+
 def q_kg_warc_ingest(spark, sf_dir):
     """The crawl→KG composition anchor: a WARC member is built from
     each doc, RE-PARSED by kg.corpus.parse_warc (boundary split +
@@ -5576,6 +5626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_url_dedup": q_corpus_url_dedup,
         "corpus_html_text": q_corpus_html_text,
         "corpus_robots_check": q_corpus_robots_check,
+        "corpus_crawl_e2e": q_corpus_crawl_e2e,
     }
     # Hoist the r5 driver window to the front (see R5_WINDOW above);
     # everything else keeps its relative order behind it.

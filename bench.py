@@ -243,6 +243,7 @@ HEADLINE = [
     "corpus_url_dedup",      # RFC 3986 fetch-key canonicalization
     "corpus_html_text",      # WET-step HTML strip + entity decode
     "corpus_robots_check",   # RFC 9309 group parse + prefix gate
+    "corpus_crawl_e2e",      # robots gate -> HTML strip composition
 ]
 
 

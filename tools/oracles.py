@@ -208,6 +208,31 @@ def build_oracle_sql() -> dict[str, str]:
                wp.wpath AS winning_path
         FROM won w LEFT JOIN wp ON wp.host = w.host AND wp.path = w.path"""
 
+    # Crawl e2e composition (q_corpus_crawl_e2e): verdict AND clean
+    # text both derived independently — allowed iff (even host, path
+    # variant not /private/x) or (odd host, /pub variant); md5 from the
+    # entity-prefix construction.  A defect in the robots parse, the
+    # precedence algebra, the join-back, or the HTML strip all surface
+    # as row-set or hash mismatches here.
+    sqls["corpus_crawl_e2e"] = """
+        SELECT doc_id,
+               'h' || CAST(CAST(doc_id % 7 AS INT) AS VARCHAR) AS host,
+               CASE CAST(doc_id % 3 AS INT)
+               WHEN 0 THEN '/private/x' ||
+                 CAST(CAST(doc_id % 25 AS INT) AS VARCHAR)
+               WHEN 1 THEN '/private/ok/' ||
+                 CAST(CAST(doc_id % 25 AS INT) AS VARCHAR)
+               ELSE '/pub' || CAST(CAST(doc_id % 25 AS INT) AS VARCHAR)
+               END AS path,
+               md5(CASE CAST(doc_id % 3 AS INT)
+                   WHEN 0 THEN 'T&itle'
+                   WHEN 1 THEN 'a <b>'
+                   ELSE 'q"x''y' END || ' ' || text) AS clean_md5
+        FROM documents
+        WHERE lang = 'en'
+          AND ((CAST(doc_id % 7 AS INT) % 2 = 0 AND doc_id % 3 <> 0)
+               OR (CAST(doc_id % 7 AS INT) % 2 = 1 AND doc_id % 3 = 2))"""
+
     # HTML→text (kg.corpus.strip_html): the oracle does NOT mirror the
     # regex chain — it constructs the expected clean text directly
     # (decoded entity prefix + ' ' + the untouched doc text) and the
