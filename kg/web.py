@@ -1,0 +1,433 @@
+"""Crawl-front web operators: sitemap parse, HTTP response parse (with
+chunked-transfer decode), hyperlink extraction + RFC 3986 reference
+resolution, host-graph aggregation, magic-byte MIME sniffing, redirect
+chain resolution, and politeness-scheduled frontier assignment.
+
+These complete the fetch-side story started in kg.corpus (WARC framing,
+gzip members, robots.txt, URL canonicalization, HTML→text): a crawl
+corpus at 100 TB arrives as WARC response records whose HTTP envelope,
+link structure, and content type must be recovered IN the engine —
+shipping raw payloads to a side process forfeits pushdown and doubles
+the scan.  Everything here is JVM-side column expressions (zero Python
+UDFs, zero shuffles except the explicit host-graph aggregate), so the
+whole front half of the pipeline stays inside one whole-stage-codegen
+span per operator.
+
+Reference parity note: the reference engine (graphaware/neo4j-nlp-opennlp)
+ingests pre-extracted text via annotateText (TextProcessor.java); these
+operators own the step that PRODUCES that text from a crawl, the same
+position its Neo4j procedures assume an ETL filled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from kg.textstats import bind1
+
+CRLF = "\r\n"
+
+
+# ---------------------------------------------------------------------------
+# sitemaps.org XML
+# ---------------------------------------------------------------------------
+
+def parse_sitemap(df: DataFrame, xml_col: str = "sitemap",
+                  key_col: str = "host") -> DataFrame:
+    """sitemaps.org protocol parse — the crawl-seed companion to
+    robots.txt (robots files point at sitemaps; the frontier seeds from
+    them).  Handles both document kinds: <urlset> (leaf sitemap,
+    entries are <url> blocks) and <sitemapindex> (points at child
+    sitemaps, entries are <sitemap> blocks).  Per entry: <loc>
+    (required), <lastmod> (optional, carried verbatim — W3C datetime),
+    <priority> (optional, returned in integer milli-units; protocol
+    default 0.5 is NOT filled in — absence is a signal the frontier
+    weighting wants to see).
+
+    Regex block-split by design (the strip_html rationale): sitemap XML
+    is machine-generated and flat — two nesting levels, no attributes
+    on entry tags — so a conformant XML parse buys nothing a 100 TB
+    pass can afford.  Entities are NOT decoded (protocol says locs are
+    entity-escaped; normalize_urls' documented non-goal covers it).
+
+    Returns (key_col, kind, entry_index, loc, lastmod, priority_milli);
+    kind ∈ urlset|index.  Zero UDFs, zero shuffles: one
+    regexp_extract_all + posexplode + in-row extracts."""
+    x = F.col(xml_col)
+    kind = (F.when(x.contains("<sitemapindex"), F.lit("index"))
+            .when(x.contains("<urlset"), F.lit("urlset")))
+    entries = F.regexp_extract_all(
+        x, F.lit(r"(?s)<(?:url|sitemap)>(.*?)</(?:url|sitemap)>"), 1)
+    out = (df.select(F.col(key_col), kind.alias("kind"),
+                     F.posexplode_outer(entries)
+                     .alias("entry_index", "entry"))
+           .filter(F.col("entry").isNotNull()))
+    ent = F.col("entry")
+    loc = F.trim(F.regexp_extract(ent, r"(?s)<loc>\s*(.*?)\s*</loc>", 1))
+    lastmod = F.nullif(
+        F.trim(F.regexp_extract(ent, r"(?s)<lastmod>\s*(.*?)\s*</lastmod>",
+                                1)), F.lit(""))
+    prio = F.nullif(
+        F.trim(F.regexp_extract(ent,
+                                r"(?s)<priority>\s*(.*?)\s*</priority>",
+                                1)), F.lit(""))
+    return out.select(
+        key_col, "kind",
+        (F.col("entry_index") + 1).cast("int").alias("entry_index"),
+        loc.alias("loc"), lastmod.alias("lastmod"),
+        (prio.cast("decimal(5,3)") * 1000).cast("bigint")
+        .alias("priority_milli"))
+
+
+# ---------------------------------------------------------------------------
+# HTTP/1.1 response envelope
+# ---------------------------------------------------------------------------
+
+def _dechunk(body: Column, max_chunks: int) -> Column:
+    """RFC 9112 §7.1 chunked transfer decoding as ONE aggregate over a
+    bounded step sequence — the stateful length-prefixed walk (read
+    hex size line, slice that many chars, repeat until the 0 chunk)
+    expressed as an in-row fold, so it stays JVM-side codegen instead
+    of a Python worker round-trip.
+
+    Length-based slicing makes the decode CRLF-safe: chunk DATA may
+    contain any bytes including bare CRLF runs (the failure mode of a
+    split-based decode).  Chunk extensions (";ext=val" after the size)
+    strip per spec; trailers after the 0 chunk are ignored.
+
+    `max_chunks` bounds the fold (HOFs need a static step count): a
+    body with more chunks than the bound — or any malformed size line —
+    surfaces as ok=false, never as silently truncated text.  Returns
+    struct(text string, ok boolean).
+
+    The body string is re-bound as a lambda variable (kg.textstats.bind1,
+    perf rule 10): referencing a computed string expression inside the
+    fold would re-evaluate it per step."""
+    def fold(b: Column) -> Column:
+        def step(st: Column, _i: Column) -> Column:
+            line = F.substring_index(b.substr(st["pos"], F.lit(24)),
+                                     CRLF, 1)
+            szhex = F.trim(F.substring_index(line, ";", 1))
+            valid = szhex.rlike("^[0-9a-fA-F]{1,8}$")
+            size = F.conv(szhex, 16, 10).cast("bigint")
+            data_at = st["pos"] + F.length(line) + 2
+            done_ok = F.struct(st["pos"].alias("pos"),
+                               st["acc"].alias("acc"),
+                               F.lit(True).alias("ok"),
+                               F.lit(True).alias("done"))
+            bad = F.struct(st["pos"].alias("pos"), st["acc"].alias("acc"),
+                           F.lit(False).alias("ok"),
+                           F.lit(True).alias("done"))
+            take = F.struct(
+                (data_at + size + 2).alias("pos"),
+                F.concat(st["acc"], b.substr(data_at, size)).alias("acc"),
+                F.lit(False).alias("ok"), F.lit(False).alias("done"))
+            return (F.when(st["done"], st)
+                    .when(~valid, bad)
+                    .when(size == 0, done_ok)
+                    .otherwise(take))
+
+        init = F.struct(F.lit(1).cast("bigint").alias("pos"),
+                        F.lit("").alias("acc"),
+                        F.lit(False).alias("ok"),
+                        F.lit(False).alias("done"))
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(int(max_chunks))), init, step,
+            lambda st: F.struct(st["acc"].alias("text"),
+                                (st["done"] & st["ok"]).alias("ok")))
+
+    return bind1(body, fold)
+
+
+def parse_http_response(df: DataFrame, resp_col: str = "resp",
+                        max_chunks: int = 8) -> DataFrame:
+    """HTTP/1.1 response envelope parse (RFC 9112) — the layer between
+    kg.corpus.parse_warc's record payload and strip_html's input: a
+    WARC `response` record's payload IS an HTTP message, and the
+    status / Content-Type / Transfer-Encoding / Location fields gate
+    every downstream step (extract only 200s, follow 3xxs, route by
+    MIME, decode chunked bodies).
+
+    Splits head from body at the first CRLFCRLF; parses the status
+    line; header lookups are case-insensitive anchored line regexes.
+    Body recovery: Transfer-Encoding: chunked → the _dechunk fold
+    (body_ok=false surfaces malformed or over-bound framing);
+    else Content-Length → slice to the declared length (chars == bytes
+    on this engine's string payloads — the parse_warc contract);
+    else the remainder verbatim.
+
+    Returns input columns plus (status int, reason, mime, charset,
+    content_length, transfer_encoding, location, body, body_ok).
+    Zero UDFs, zero shuffles, single projection."""
+    r = F.col(resp_col)
+    head = F.substring_index(r, CRLF + CRLF, 1)
+    raw_body = r.substr(F.length(head) + F.lit(5),
+                        F.length(r))
+
+    def hval(name: str) -> Column:
+        return F.nullif(
+            F.trim(F.regexp_extract(head, r"(?im)^" + name
+                                    + r":[ \t]*([^\r\n]*)", 1)),
+            F.lit(""))
+
+    status = F.nullif(F.regexp_extract(head, r"^HTTP/1\.[01] (\d{3})", 1),
+                      F.lit("")).cast("int")
+    reason = F.regexp_extract(head, r"^HTTP/1\.[01] \d{3} ([^\r\n]*)", 1)
+    ctype = hval("Content-Type")
+    mime = F.lower(F.trim(F.substring_index(ctype, ";", 1)))
+    charset = F.upper(F.nullif(
+        F.regexp_extract(ctype, r"(?i)charset=([A-Za-z0-9_\-]+)", 1),
+        F.lit("")))
+    clen = hval("Content-Length").cast("bigint")
+    tenc = F.lower(hval("Transfer-Encoding"))
+    dec = _dechunk(raw_body, max_chunks)
+    chunked = tenc == "chunked"
+    body = (F.when(chunked, dec["text"])
+            .when(clen.isNotNull(), raw_body.substr(F.lit(1), clen))
+            .otherwise(raw_body))
+    return (df.withColumn("status", status)
+            .withColumn("reason", reason)
+            .withColumn("mime", mime)
+            .withColumn("charset", charset)
+            .withColumn("content_length", clen)
+            .withColumn("transfer_encoding", tenc)
+            .withColumn("location", hval("Location"))
+            .withColumn("body", body)
+            .withColumn("body_ok",
+                        F.when(chunked, dec["ok"]).otherwise(F.lit(True))))
+
+
+# ---------------------------------------------------------------------------
+# hyperlink extraction + RFC 3986 reference resolution
+# ---------------------------------------------------------------------------
+
+def extract_links(df: DataFrame, html_col: str = "html",
+                  base_col: str = "base_url") -> DataFrame:
+    """<a href> extraction with RFC 3986 §5 reference resolution — the
+    web-graph edge emitter: every crawl's link structure (the PageRank
+    / frontier-expansion substrate) comes out of exactly this pass.
+
+    Per row: href attributes from anchor tags (single- or
+    double-quoted), fragment stripped (never part of the fetch key),
+    then resolved against base_col: absolute URIs pass through;
+    scheme-relative (//host/p) take the base scheme; root-relative
+    (/p) take scheme://host; empty references resolve to the base
+    itself; everything else joins to the base's directory.  Dot
+    segments (./ and ../) are removed with a bounded 4-pass rewrite —
+    covers nesting 4 deep, far beyond real markup; the pattern uses a
+    Java-regex lookahead, fine engine-side (oracles construct expected
+    links independently rather than mirroring, the strip_html rule).
+    Non-fetchable schemes (javascript:, mailto:, data:, tel:) are
+    dropped — only http/https/relative survive.
+
+    Returns input columns plus (link_index, href, url).  Zero UDFs;
+    explode_outer+filter (perf rule 2's shape) so the extract runs
+    once.  Anchor text is a documented non-goal (hrefless anchors
+    would misalign a parallel extraction; a struct-pair variant is the
+    integration point)."""
+    hrefs = F.regexp_extract_all(
+        F.col(html_col),
+        F.lit("(?is)<a\\s[^>]*?href\\s*=\\s*[\"']([^\"']*)[\"']"), 1)
+    out = (df.select("*", F.posexplode_outer(hrefs)
+                     .alias("link_index", "href"))
+           .filter(F.col("href").isNotNull()))
+    href = F.substring_index(F.col("href"), "#", 1)
+    scheme = F.lower(F.regexp_extract(href,
+                                      r"^([A-Za-z][A-Za-z0-9+.\-]*):", 1))
+    base = F.col(base_col)
+    b_scheme = F.lower(F.regexp_extract(base, r"^([A-Za-z]+):", 1))
+    b_host = F.lower(F.regexp_extract(base, r"^[^:]+://([^/?#]*)", 1))
+    b_path = F.regexp_extract(base, r"^[^:]+://[^/?#]*([^?#]*)", 1)
+    b_dir = F.regexp_replace(b_path, r"[^/]*$", "")
+    resolved = (
+        F.when(scheme != "", href)
+        .when(href.startswith("//"), F.concat(b_scheme, F.lit(":"), href))
+        .when(href.startswith("/"),
+              F.concat(b_scheme, F.lit("://"), b_host, href))
+        .when(href == "", base)
+        .otherwise(F.concat(b_scheme, F.lit("://"), b_host,
+                            F.coalesce(F.nullif(b_dir, F.lit("")),
+                                       F.lit("/")),
+                            href)))
+    resolved = F.regexp_replace(resolved, r"/\./", "/")
+    for _ in range(4):
+        resolved = F.regexp_replace(resolved,
+                                    r"/(?!\.\.)[^/]+/\.\./", "/")
+    return (out.withColumn("url", resolved)
+            .withColumn("link_index",
+                        (F.col("link_index") + 1).cast("int"))
+            .filter(scheme.isin("", "http", "https")))
+
+
+def host_edges(links: DataFrame, src_url_col: str = "base_url",
+               dst_url_col: str = "url",
+               drop_self: bool = True) -> DataFrame:
+    """Aggregate page-level link rows to the HOST web graph — the
+    granularity that survives 100 TB: the page graph has ~10^11 nodes,
+    the host graph ~10^8, and host-level PageRank (the Common Crawl
+    ranking product) is what frontier prioritization consumes.
+
+    One groupBy (the module's single sanctioned shuffle) on lowercased
+    authorities with default ports dropped; self-edges (intra-host
+    links, the overwhelming majority) drop before the shuffle by
+    default — they carry no ranking signal and their removal is what
+    makes the aggregate's key space host-pair-sized.
+
+    Returns (src, dst, weight)."""
+    def auth(c: Column) -> Column:
+        h = F.lower(F.regexp_extract(c, r"^[^:]+://([^/?#]*)", 1))
+        return F.regexp_replace(h, r":(80|443)$", "")
+
+    e = links.select(auth(F.col(src_url_col)).alias("src"),
+                     auth(F.col(dst_url_col)).alias("dst"))
+    if drop_self:
+        e = e.filter(F.col("src") != F.col("dst"))
+    return (e.groupBy("src", "dst")
+            .agg(F.count("*").cast("bigint").alias("weight")))
+
+
+# ---------------------------------------------------------------------------
+# magic-byte MIME sniffing
+# ---------------------------------------------------------------------------
+
+MAGIC_MIMES: tuple[tuple[str, str], ...] = (
+    ("89504E470D0A1A0A", "image/png"),
+    ("FFD8FF", "image/jpeg"),
+    ("474946383761", "image/gif"),
+    ("474946383961", "image/gif"),
+    ("25504446", "application/pdf"),
+    ("1F8B", "application/gzip"),
+    ("504B0304", "application/zip"),
+    ("49492A00", "image/tiff"),
+    ("4D4D002A", "image/tiff"),
+    ("716F6966", "image/qoi"),
+    ("424D", "image/bmp"),
+)
+
+
+def sniff_mime(df: DataFrame, blob_col: str = "blob",
+               out_col: str = "sniffed_mime") -> DataFrame:
+    """Magic-byte content-type detection over a binary column — the
+    gate between a crawl's *declared* Content-Type and what the bytes
+    actually are (mislabeled payloads are routine at crawl scale, and
+    routing a JPEG into the HTML extractor on a server's say-so is how
+    mojibake enters a corpus).  The check order mirrors the WHATWG
+    mime-sniff spec's pattern table: container magics first on the hex
+    prefix (PNG/JPEG/GIF/PDF/gzip/zip/TIFF/QOI/BMP, plus the
+    RIFF????WEBP two-probe), then an HTML heuristic over the decoded
+    prefix (<!doctype html / <html), else octet-stream.
+
+    Returns input plus out_col.  Zero UDFs: one 16-byte hex prefix +
+    one 64-byte decoded prefix, both constant-width regardless of blob
+    size, so the scan never materializes payloads it doesn't need."""
+    blob = F.col(blob_col)
+    h = F.upper(F.hex(F.expr(f"substring({blob_col}, 1, 16)")))
+    txt = F.lower(F.trim(
+        F.decode(F.expr(f"substring({blob_col}, 1, 64)"), "UTF-8")))
+    m = F.when(h.startswith("52494646")
+               & (h.substr(17, 8) == "57454250"), F.lit("image/webp"))
+    for magic, mime in MAGIC_MIMES:
+        m = m.when(h.startswith(magic), F.lit(mime))
+    m = (m.when(txt.startswith("<!doctype html")
+                | txt.startswith("<html"), F.lit("text/html"))
+         .otherwise(F.lit("application/octet-stream")))
+    return df.withColumn(out_col, m)
+
+
+# ---------------------------------------------------------------------------
+# redirect chain resolution
+# ---------------------------------------------------------------------------
+
+def resolve_redirects(df: DataFrame, url_col: str = "url",
+                      status_col: str = "status",
+                      loc_col: str = "location",
+                      hops: int = 4) -> DataFrame:
+    """Bounded redirect-chain resolution — the recrawl-dedup step that
+    collapses every fetched URL to its terminal target: 3xx rows
+    follow their Location through up to `hops` broadcast joins; a URL
+    still sitting on a 3xx after the bound (a longer chain or a loop)
+    surfaces as resolved=false.  Browsers cap at ~20 hops; crawlers
+    cap far lower (chains past 3-4 are almost always loops or traps),
+    and the bound is what makes the plan static.
+
+    Scale shape: the redirect MAP (3xx rows only, a small fraction of
+    any fetch log) broadcasts; the full frontier never shuffles — each
+    hop is one broadcast hash join.  A Location pointing outside the
+    fetched set terminates the chain with status NULL (external,
+    resolved=true: the chain ended, we just never fetched the target).
+
+    Returns (url, final_url, final_status, hops, resolved)."""
+    step_map = (df.filter((F.col(status_col) >= 300)
+                          & (F.col(status_col) < 400)
+                          & F.col(loc_col).isNotNull())
+                .select(F.col(url_col).alias("_src"),
+                        F.col(loc_col).alias("_dst"))
+                .join(df.select(F.col(url_col).alias("_dst"),
+                                F.col(status_col).alias("_dst_status")),
+                      "_dst", "left"))
+    out = df.select(F.col(url_col).alias("url"),
+                    F.col(url_col).alias("final_url"),
+                    F.col(status_col).cast("int").alias("final_status"),
+                    F.lit(0).alias("hops"))
+    for _ in range(int(hops)):
+        stepped = (F.col("final_status").isNotNull()
+                   & (F.col("final_status") >= 300)
+                   & (F.col("final_status") < 400)
+                   & F.col("_dst").isNotNull())
+        out = (out.join(F.broadcast(step_map),
+                        out["final_url"] == step_map["_src"], "left")
+               .select(
+                   "url",
+                   F.when(stepped, F.col("_dst"))
+                   .otherwise(F.col("final_url")).alias("final_url"),
+                   F.when(stepped, F.col("_dst_status").cast("int"))
+                   .otherwise(F.col("final_status"))
+                   .alias("final_status"),
+                   F.when(stepped, F.col("hops") + 1)
+                   .otherwise(F.col("hops")).alias("hops")))
+    return out.select(
+        "url", "final_url", "final_status",
+        F.col("hops").cast("int").alias("hops"),
+        (F.col("final_status").isNull()
+         | (F.col("final_status") < 300)
+         | (F.col("final_status") >= 400)).alias("resolved"))
+
+
+# ---------------------------------------------------------------------------
+# politeness-scheduled frontier
+# ---------------------------------------------------------------------------
+
+def frontier_schedule(df: DataFrame, host_col: str = "host",
+                      url_col: str = "url",
+                      prio_col: str | None = None,
+                      delay_ms_col: str | None = None,
+                      default_delay_ms: int = 1000,
+                      workers: int = 32) -> DataFrame:
+    """Politeness-scheduled crawl-frontier assignment: per host, order
+    URLs by (priority DESC, url ASC) and assign fetch slot k → offset
+    k·crawl_delay; route each host to one of `workers` fetcher
+    partitions by a portable md5 bucket, so one host's queue never
+    spans workers (the politeness invariant: per-host serialization is
+    structural, not lock-based).
+
+    Scale shape: ONE window partitioned by host — each partition is a
+    single host's frontier (bounded by per-host URL counts, never
+    corpus-wide), the exact skew profile per-host windows are safe
+    for; the worker bucket is the same salted-key discipline
+    kg.materialize.with_salt applies on write.  Zero joins: crawl
+    delay rides a column (robots-derived) or the default.
+
+    Returns input plus (slot, fetch_at_ms, worker)."""
+    prio = F.col(prio_col) if prio_col else F.lit(0)
+    delay = (F.col(delay_ms_col) if delay_ms_col
+             else F.lit(int(default_delay_ms)))
+    w = Window.partitionBy(host_col).orderBy(prio.desc(),
+                                             F.col(url_col).asc())
+    slot = F.row_number().over(w) - 1
+    worker = (F.conv(F.substring(F.md5(F.col(host_col)), 1, 6), 16, 10)
+              .cast("bigint") % int(workers))
+    return (df.withColumn("slot", slot.cast("int"))
+            .withColumn("fetch_at_ms",
+                        (F.col("slot") * delay).cast("bigint"))
+            .withColumn("worker", worker.cast("int")))

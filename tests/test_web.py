@@ -1,0 +1,198 @@
+"""Goldens for kg.web — the crawl-front operators (sitemap, HTTP
+envelope, link extraction, host graph, MIME sniff, redirects,
+frontier scheduling)."""
+
+from pyspark.sql import functions as F
+
+from kg import web
+
+
+def _chunked(t: str) -> str:
+    c1, c2, c3 = t[:8], t[8:20], t[20:]
+    out = ""
+    for i, c in enumerate([c1, c2, c3]):
+        if c:
+            ext = ";ext=1" if i == 0 else ""
+            out += format(len(c), "x").upper() + ext + "\r\n" + c + "\r\n"
+    return out + "0\r\n\r\n"
+
+
+def test_parse_sitemap_urlset_and_index(spark):
+    sm_url = (
+        '<?xml version="1.0"?>\n'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+        "<url>\n <loc> https://h0.example/p0 </loc>\n"
+        " <lastmod>2024-01-15</lastmod>\n <priority>0.8</priority>\n"
+        "</url><url><loc>https://h0.example/p1</loc></url></urlset>")
+    sm_idx = ("<sitemapindex><sitemap><loc>https://h1.example/s0.xml"
+              "</loc><lastmod>2024-02-01T10:00:00Z</lastmod></sitemap>"
+              "<sitemap><loc>https://h1.example/s1.xml</loc></sitemap>"
+              "</sitemapindex>")
+    df = spark.createDataFrame([("h0", sm_url), ("h1", sm_idx)],
+                               "host string, sitemap string")
+    rows = {(r.host, r.entry_index):
+            (r.kind, r.loc, r.lastmod, r.priority_milli)
+            for r in web.parse_sitemap(df).collect()}
+    assert rows[("h0", 1)] == ("urlset", "https://h0.example/p0",
+                               "2024-01-15", 800)
+    assert rows[("h0", 2)] == ("urlset", "https://h0.example/p1",
+                               None, None)
+    assert rows[("h1", 1)] == ("index", "https://h1.example/s0.xml",
+                               "2024-02-01T10:00:00Z", None)
+    assert rows[("h1", 2)] == ("index", "https://h1.example/s1.xml",
+                               None, None)
+
+
+def test_parse_http_response_chunked_identity_redirect(spark):
+    text = "hello world this is a chunked body"
+    resp0 = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8"
+             "\r\nTransfer-Encoding: chunked\r\n\r\n" + _chunked(text))
+    resp1 = ("HTTP/1.1 200 OK\r\ncontent-type: text/plain\r\n"
+             "Content-Length: " + str(len(text)) + "\r\n\r\n"
+             + text + "TRAILING")
+    resp2 = ("HTTP/1.1 301 Moved Permanently\r\n"
+             "Location: https://ex.com/new\r\nContent-Length: 0\r\n\r\n")
+    df = spark.createDataFrame([(0, resp0), (1, resp1), (2, resp2)],
+                               "i int, resp string")
+    rows = {r.i: r for r in web.parse_http_response(df).collect()}
+    r0 = rows[0]
+    assert (r0.status, r0.mime, r0.charset,
+            r0.transfer_encoding) == (200, "text/html", "UTF-8",
+                                      "chunked")
+    assert r0.body == text and r0.body_ok
+    r1 = rows[1]
+    # identity body cut to Content-Length: the trailing garbage is gone;
+    # lowercase header name still matched
+    assert r1.body == text and r1.mime == "text/plain"
+    assert r1.charset is None and r1.content_length == len(text)
+    r2 = rows[2]
+    assert (r2.status, r2.location, r2.body) == (
+        301, "https://ex.com/new", "")
+
+
+def test_parse_http_response_chunked_crlf_in_data(spark):
+    # chunk DATA containing bare CRLF must survive (length-based slicing)
+    data = "ab\r\ncd"
+    resp = ("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+            "6\r\n" + data + "\r\n0\r\n\r\n")
+    r = web.parse_http_response(
+        spark.createDataFrame([(0, resp)], "i int, resp string")
+    ).collect()[0]
+    assert r.body == data and r.body_ok
+
+
+def test_parse_http_response_malformed_and_overbound_surface(spark):
+    # missing terminator, non-hex size line, and > max_chunks all
+    # surface as body_ok = false — never silently truncated text
+    no_term = ("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+               "3\r\nabc\r\n")
+    bad_size = ("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+                "zz\r\nabc\r\n0\r\n\r\n")
+    many = ("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+            + "1\r\nx\r\n" * 9 + "0\r\n\r\n")
+    df = spark.createDataFrame(
+        [(0, no_term), (1, bad_size), (2, many)], "i int, resp string")
+    rows = {r.i: r for r in web.parse_http_response(df).collect()}
+    assert not rows[0].body_ok
+    assert not rows[1].body_ok
+    assert not rows[2].body_ok          # 9 chunks > max_chunks=8 bound
+    ok = web.parse_http_response(df, max_chunks=16).collect()
+    assert {r.i: r.body_ok for r in ok}[2] and \
+        {r.i: r.body for r in ok}[2] == "x" * 9
+
+
+def test_extract_links_resolution(spark):
+    html = ('<html><body><a href="http://other.example/a">x</a>'
+            "<A HREF='//cdn.example/lib.js'>y</A>"
+            '<a class="z" href="/root1#frag">z</a>'
+            '<a href="sub/p2.html">r</a>'
+            '<a href="../up.html">u</a>'
+            '<a href="mailto:a@b.c">m</a>'
+            '<a href="javascript:void(0)">j</a>'
+            '<a href="">self</a></body></html>')
+    df = spark.createDataFrame(
+        [(1, html, "http://h3.example/dir/deep/page.html")],
+        "doc_id int, html string, base_url string")
+    urls = [r.url for r in
+            web.extract_links(df).orderBy("link_index").collect()]
+    assert urls == [
+        "http://other.example/a",
+        "http://cdn.example/lib.js",
+        "http://h3.example/root1",
+        "http://h3.example/dir/deep/sub/p2.html",
+        "http://h3.example/dir/up.html",
+        "http://h3.example/dir/deep/page.html",   # empty href → base
+    ]
+
+
+def test_host_edges_drops_self_and_ports(spark):
+    links = spark.createDataFrame(
+        [("http://A.example:80/p", "http://b.example/x"),
+         ("http://a.example/q", "http://B.example:443/y"),
+         ("http://a.example/q", "http://a.example/self")],
+        "base_url string, url string")
+    rows = {(r.src, r.dst): r.weight
+            for r in web.host_edges(links).collect()}
+    assert rows == {("a.example", "b.example"): 2}
+
+
+def test_sniff_mime_magics(spark):
+    rows = [(0, bytes.fromhex("89504E470D0A1A0A") + b"x"),
+            (1, b"\xff\xd8\xff\xe0body"),
+            (2, b"GIF89a.."), (3, b"GIF87a.."),
+            (4, b"RIFF\x10\x00\x00\x00WEBPVP8 "),
+            (5, b"  <!DOCTYPE HTML><html>"), (6, b"<html><body>"),
+            (7, b"plain words"), (8, b"PK\x03\x04zz"),
+            (9, b"%PDF-1.7"), (10, b"\x1f\x8b\x08rest"),
+            (11, b"II*\x00tiff"), (12, b"qoifqoi"), (13, b"BMxx")]
+    df = spark.createDataFrame(rows, "i int, blob binary")
+    got = {r.i: r.sniffed_mime for r in web.sniff_mime(df).collect()}
+    assert got == {0: "image/png", 1: "image/jpeg", 2: "image/gif",
+                   3: "image/gif", 4: "image/webp", 5: "text/html",
+                   6: "text/html", 7: "application/octet-stream",
+                   8: "application/zip", 9: "application/pdf",
+                   10: "application/gzip", 11: "image/tiff",
+                   12: "image/qoi", 13: "image/bmp"}
+
+
+def test_resolve_redirects_chain_loop_external(spark):
+    urls = [("u0", 301, "u1"), ("u1", 302, "u2"), ("u2", 200, None),
+            ("u3", 301, "u4"), ("u4", 301, "u3"),
+            ("u5", 301, "ext"),
+            ("u6", 301, "u7"), ("u7", 301, "u8"), ("u8", 301, "u9"),
+            ("u9", 301, "u10"), ("u10", 200, None)]
+    df = spark.createDataFrame(urls,
+                               "url string, status int, location string")
+    rows = {r.url: r for r in web.resolve_redirects(df).collect()}
+    assert (rows["u0"].final_url, rows["u0"].final_status,
+            rows["u0"].hops, rows["u0"].resolved) == ("u2", 200, 2, True)
+    assert not rows["u3"].resolved and not rows["u4"].resolved
+    # external target: chain terminates, status unknown, resolved
+    assert rows["u5"].final_url == "ext" and \
+        rows["u5"].final_status is None and rows["u5"].resolved
+    # exactly at the hop bound
+    assert rows["u6"].final_url == "u10" and rows["u6"].hops == 4 \
+        and rows["u6"].resolved
+    # tighter bound leaves the long chain unresolved
+    tight = {r.url: r for r in
+             web.resolve_redirects(df, hops=2).collect()}
+    assert not tight["u6"].resolved and tight["u6"].final_url == "u8"
+
+
+def test_frontier_schedule_politeness(spark):
+    df = spark.createDataFrame(
+        [("h0", "u%d" % i, i % 3) for i in range(6)]
+        + [("h1", "v%d" % i, 0) for i in range(3)],
+        "host string, url string, prio int")
+    out = web.frontier_schedule(df, prio_col="prio",
+                                default_delay_ms=500, workers=8)
+    rows = [r for r in out.collect() if r.host == "h0"]
+    rows.sort(key=lambda r: r.slot)
+    # priority DESC then url ASC; slots dense from 0; delay spacing
+    assert [r.url for r in rows] == ["u2", "u5", "u1", "u4", "u0", "u3"]
+    assert [r.fetch_at_ms for r in rows] == [0, 500, 1000, 1500,
+                                             2000, 2500]
+    # one worker per host (politeness invariant), stable md5 bucket
+    assert len({r.worker for r in rows}) == 1
+    all_rows = out.collect()
+    assert all(0 <= r.worker < 8 for r in all_rows)
