@@ -4646,6 +4646,266 @@ def q_ann_recall_matryoshka(spark, sf_dir):
                              kgsim.cosine_topk(emb, qs, k=5), k=5)
 
 
+# ---------------------------------------------------------------------------
+# kg.web crawl-front queries (sitemap / HTTP envelope / links / web graph /
+# MIME sniff / redirects / frontier) — the fetch-side completion of the
+# WARC→gzip→robots→URL→HTML ingestion story
+# ---------------------------------------------------------------------------
+def q_corpus_sitemap(spark, sf_dir):
+    """sitemaps.org parse (kg.web.parse_sitemap): per host (doc_id%7),
+    even hosts carry a 3-entry <urlset> (whitespace-padded loc, mixed
+    optional lastmod/priority), odd hosts a 2-entry <sitemapindex> —
+    both built as literal XML text and re-parsed by the block walker.
+    The ORACLE constructs the expected (host, kind, entry_index, loc,
+    lastmod, priority_milli) rows directly from the host-parity
+    arithmetic (a VALUES grid, no XML anywhere), so any extraction
+    defect — block split, trim, optional-field nulling, milli
+    conversion — surfaces as a hash mismatch."""
+    from kg.web import parse_sitemap
+    hosts = (_docs(spark, sf_dir)
+             .select((F.col("doc_id") % 7).cast("int").alias("hn"))
+             .distinct())
+    h = F.concat(F.lit("h"), F.col("hn").cast("string"),
+                 F.lit(".example"))
+    urlset = F.concat(
+        F.lit('<?xml version="1.0" encoding="UTF-8"?>\n<urlset '
+              'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+              "<url> <loc> https://"), h,
+        F.lit("/p0 </loc> <lastmod>2024-01-15</lastmod> "
+              "<priority>0.5</priority> </url>\n<url><loc>https://"), h,
+        F.lit("/p1</loc><priority>0.7</priority></url>\n"
+              "<url><loc>https://"), h,
+        F.lit("/p2</loc><lastmod>2024-03-15</lastmod></url>\n"
+              "</urlset>"))
+    index = F.concat(
+        F.lit("<sitemapindex><sitemap><loc>https://"), h,
+        F.lit("/s0.xml</loc><lastmod>2024-02-01T10:00:00Z</lastmod>"
+              "</sitemap><sitemap><loc>https://"), h,
+        F.lit("/s1.xml</loc></sitemap></sitemapindex>"))
+    xml = (hosts.select(
+        F.concat(F.lit("h"), F.col("hn").cast("string")).alias("host"),
+        F.when(F.col("hn") % 2 == 0, urlset).otherwise(index)
+        .alias("sitemap")))
+    return parse_sitemap(xml)
+
+
+def _http_chunked_resp(head: str):
+    """Chunked HTTP/1.1 response body for the doc's text, split at
+    8/20 (3 chunks, empties skipped, extension on the first) — shared
+    by q_corpus_http_parse and q_kg_http_ingest."""
+    def chunk(c, ext=""):
+        return F.when(
+            F.length(c) > 0,
+            F.concat(F.upper(F.conv(F.length(c).cast("string"), 10, 16)),
+                     F.lit(ext + "\r\n"), c, F.lit("\r\n"))
+        ).otherwise(F.lit(""))
+    return F.concat(
+        F.lit(head),
+        chunk(F.substring(F.col("text"), 1, 8), ";x=1"),
+        chunk(F.substring(F.col("text"), 9, 12)),
+        chunk(F.expr("substring(text, 21)")),
+        F.lit("0\r\n\r\n"))
+
+
+def q_corpus_http_parse(spark, sf_dir):
+    """HTTP/1.1 envelope parse (kg.web.parse_http_response): doc_id%3
+    rotates a chunked 200 (text split 8/20 into extension-bearing
+    chunks), an identity 200 whose body carries trailing garbage the
+    Content-Length cut must drop (lowercase header name — the
+    case-insensitive lookup), and a bodyless 301 with Location.  Every
+    checked cell is arithmetic in (doc_id, text): the ORACLE derives
+    status/mime/charset/clen/tenc/location from the %3 case and
+    body_md5 = md5(text) (or md5('') for the 301) — so a dechunk
+    defect (size-line parse, extension strip, reassembly, bound
+    handling) or a header-parse defect breaks the hash."""
+    from kg.web import parse_http_response
+    chunked = _http_chunked_resp(
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n"
+        "Transfer-Encoding: chunked\r\n\r\n")
+    identity = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\ncontent-type: text/plain\r\n"
+              "Content-Length: "),
+        F.length("text").cast("string"), F.lit("\r\n\r\n"),
+        F.col("text"), F.lit("XTRAILX"))
+    redirect = F.concat(
+        F.lit("HTTP/1.1 301 Moved Permanently\r\nLocation: "
+              "https://ex.com/r"),
+        (F.col("doc_id") % 25).cast("string"),
+        F.lit("\r\nContent-Length: 0\r\n\r\n"))
+    docs = _docs(spark, sf_dir).withColumn(
+        "resp",
+        F.when(F.col("doc_id") % 3 == 0, chunked)
+        .when(F.col("doc_id") % 3 == 1, identity)
+        .otherwise(redirect))
+    return (parse_http_response(docs.select("doc_id", "text", "resp"))
+            .select("doc_id", "status", "mime", "charset",
+                    "content_length", "transfer_encoding", "location",
+                    "body_ok", F.md5("body").alias("body_md5")))
+
+
+def q_corpus_links(spark, sf_dir):
+    """Hyperlink extraction + RFC 3986 resolution (kg.web.
+    extract_links): each doc's page carries an absolute link, a
+    root-relative one, a directory-relative one, a ../ parent one, and
+    a mailto: that must drop; the base URL has a two-level directory so
+    relative and parent resolution diverge.  The ORACLE emits the four
+    expected resolved URLs per doc from the modulus arithmetic alone
+    (an unnest grid of link_index × CASE), never touching HTML — any
+    href-extraction, fragment, dot-segment, or scheme-filter defect
+    changes the row set."""
+    from kg.web import extract_links
+    m25 = (F.col("doc_id") % 25).cast("string")
+    html = F.concat(
+        F.lit('<html><body><a href="http://x'),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit('.example/abs">a</a><a href=\'/r'), m25,
+        F.lit("'>b</a><a href=\"sub/p"), m25,
+        F.lit('.html">c</a><a href="../up'), m25,
+        F.lit('.html#frag">d</a><a href="mailto:a@b">m</a>'
+              "</body></html>"))
+    base = F.concat(F.lit("http://h"),
+                    (F.col("doc_id") % 7).cast("string"),
+                    F.lit(".example/d/e/page"), m25, F.lit(".html"))
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", html.alias("html"), base.alias("base_url"))
+    return extract_links(docs).select("doc_id", "link_index", "url")
+
+
+def q_corpus_web_rank(spark, sf_dir):
+    """Host-graph PageRank — the Common Crawl ranking product over this
+    engine's stack: per doc, two deterministic cross-host link rows
+    (h(doc%41) → h((7·doc+3)%41) and → h((13·doc+5)%41)) aggregate
+    through kg.web.host_edges (self-edges drop, default ports strip,
+    weight = link count) and rank via kg.graphrank.pagerank (weighted,
+    4 rounds, integer micro-units).  The ORACLE rebuilds the edge set
+    from the same modulus arithmetic and replays the documented
+    integer chain (rank = 150000 + (850000·Σ (r·w div wsum)) div 1e6)
+    — the kg_tag_pagerank contract on a different, directed,
+    weight-bearing graph."""
+    from kg.graphrank import pagerank
+    from kg.web import host_edges
+    d = _docs(spark, sf_dir)
+    links = d.select(
+        F.concat(F.lit("http://h"), (F.col("doc_id") % 41).cast("string"),
+                 F.lit(".example/p")).alias("base_url"),
+        F.explode(F.array(
+            F.concat(F.lit("http://h"),
+                     ((F.col("doc_id") * 7 + 3) % 41).cast("string"),
+                     F.lit(".example/x")),
+            F.concat(F.lit("http://h"),
+                     ((F.col("doc_id") * 13 + 5) % 41).cast("string"),
+                     F.lit(".example/y")))).alias("url"))
+    return pagerank(host_edges(links), iterations=4,
+                    weight_col="weight").select("node", "rank_micro")
+
+
+def q_corpus_mime_sniff(spark, sf_dir):
+    """Magic-byte MIME sniffing (kg.web.sniff_mime): doc_id%8 rotates
+    real container magics (PNG / JPEG / GIF89a / RIFF????WEBP /
+    %PDF / zip local-file header) prefixed to the doc's encoded text,
+    an html-prefixed text row, and a bare-text row that must fall
+    through to octet-stream.  The ORACLE maps doc_id%8 straight to the
+    expected MIME — the sniffer's hex-prefix probes and two-probe
+    RIFF/WEBP check are exercised against payload bytes that continue
+    with arbitrary text."""
+    from kg.web import sniff_mime
+    txt = F.encode(F.col("text"), "UTF-8")
+    def magic(hexs):
+        return F.concat(F.unhex(F.lit(hexs)), txt)
+    blob = (F.when(F.col("doc_id") % 8 == 0, magic("89504E470D0A1A0A"))
+            .when(F.col("doc_id") % 8 == 1, magic("FFD8FFE0"))
+            .when(F.col("doc_id") % 8 == 2, magic("474946383961"))
+            .when(F.col("doc_id") % 8 == 3,
+                  magic("524946461000000057454250"))
+            .when(F.col("doc_id") % 8 == 4, magic("255044462D312E37"))
+            .when(F.col("doc_id") % 8 == 5, magic("504B0304"))
+            .when(F.col("doc_id") % 8 == 6,
+                  F.encode(F.concat(F.lit("<!doctype html><p>"),
+                                    F.col("text")), "UTF-8"))
+            .otherwise(txt))
+    docs = _docs(spark, sf_dir).select("doc_id", blob.alias("blob"))
+    return sniff_mime(docs).select("doc_id", "sniffed_mime")
+
+
+def q_corpus_redirects(spark, sf_dir):
+    """Bounded redirect-chain resolution (kg.web.resolve_redirects,
+    hops=4): the distinct URL set u0..u59 (doc_id%60) where n%3==0 →
+    301, else n%7==0 → 302, else 200, and every 3xx points at
+    u((2n+1)%60) — producing real multi-hop chains, chains that end in
+    other redirects past the bound, and terminal 200s.  The ORACLE
+    replays the hop algebra as four chained LEFT JOINs over the same
+    arithmetic map (follow iff current status ∈ 3xx), checking
+    final_url, final_status, hop count, and the resolved flag — a
+    defect in the broadcast-join stepping or the flag logic breaks
+    the hash."""
+    from kg.web import resolve_redirects
+    ns = (_docs(spark, sf_dir)
+          .select((F.col("doc_id") % 60).cast("bigint").alias("n"))
+          .distinct())
+    status = (F.when(F.col("n") % 3 == 0, F.lit(301))
+              .when(F.col("n") % 7 == 0, F.lit(302))
+              .otherwise(F.lit(200)))
+    urls = ns.select(
+        F.concat(F.lit("u"), F.col("n").cast("string")).alias("url"),
+        status.alias("status"),
+        F.when(status != 200,
+               F.concat(F.lit("u"), ((F.col("n") * 2 + 1) % 60)
+                        .cast("string"))).alias("location"))
+    return resolve_redirects(urls, hops=4)
+
+
+def q_corpus_frontier(spark, sf_dir):
+    """Politeness-scheduled frontier (kg.web.frontier_schedule): hosts
+    h(doc_id%13), per-doc URLs, priority doc_id%5, the default 1 s
+    delay, 32 workers.  The ORACLE replays the schedule as one window
+    (row_number over priority DESC, url ASC per host) and the worker
+    bucket as the md5-hex-digit integer mod 32 (_hexn_of — the same
+    portable hash discipline as kg_tag_walks), so the per-host
+    serialization invariant is hash-checked row by row."""
+    from kg.web import frontier_schedule
+    docs = _docs(spark, sf_dir).select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 13).cast("string"))
+        .alias("host"),
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
+        (F.col("doc_id") % 5).cast("int").alias("prio"))
+    return frontier_schedule(docs, prio_col="prio", workers=32).select(
+        "host", "url", "slot", "fetch_at_ms", "worker")
+
+
+def q_kg_http_ingest(spark, sf_dir):
+    """The fetch→KG composition anchor for the HTTP layer: every doc's
+    text is chunk-encoded into an HTTP/1.1 response (the
+    corpus_http_parse %3==0 construction applied to ALL docs), decoded
+    back by parse_http_response's in-row fold, and the RECOVERED body
+    — not the text column — feeds the flagship annotate→triples
+    pipeline; HAS_TAG edges out.  Since corpus_http_parse proves
+    body == text by md5, the oracle is the kg_has_tag SQL verbatim —
+    the kg_warc_ingest pattern one protocol layer up.  The dechunk
+    fold and the annotate UDF are split by a localCheckpoint:
+    Spark 4's PythonUDF extraction cannot take a LambdaFunction-bearing
+    child expression (INTERNAL_ERROR: Cannot evaluate
+    annotate_graph_udf(aggregate(...)) — the UDF is left unextracted
+    and hits the JVM's Unevaluable wall), so the fold must materialize
+    before the UDF stage — the rule-7 lineage cut, here a correctness
+    requirement rather than a perf one."""
+    from kg.web import parse_http_response
+    chunked = _http_chunked_resp(
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n"
+        "Transfer-Encoding: chunked\r\n\r\n")
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "text", chunked.alias("resp"))
+    texts = (parse_http_response(docs.select("doc_id", "resp"))
+             .filter(F.col("body_ok"))
+             .select("doc_id", F.col("body").alias("text"),
+                     F.lit("en").alias("lang"))
+             .localCheckpoint())
+    return (annotate_to_triples(texts, text_col="text",
+                                id_cols=("doc_id",), lang_col="lang",
+                                spec=TOK_SPEC)
+            .filter(F.col("pred") == "HAS_TAG")
+            .select("subj", "pred", "obj"))
+
+
 # R5 DRIVER WINDOW (STATUS.md §rotation, r5 entry).  The driver's
 # CORRECTNESS artifact certifies roughly the FIRST 50 entries of
 # queries() per round.  VERDICT r4 #1: fill the ENTIRE r5 window with
@@ -5627,6 +5887,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_html_text": q_corpus_html_text,
         "corpus_robots_check": q_corpus_robots_check,
         "corpus_crawl_e2e": q_corpus_crawl_e2e,
+        "corpus_sitemap": q_corpus_sitemap,
+        "corpus_http_parse": q_corpus_http_parse,
+        "corpus_links": q_corpus_links,
+        "corpus_web_rank": q_corpus_web_rank,
+        "corpus_mime_sniff": q_corpus_mime_sniff,
+        "corpus_redirects": q_corpus_redirects,
+        "corpus_frontier": q_corpus_frontier,
+        "kg_http_ingest": q_kg_http_ingest,
     }
     # Hoist the r5 driver window to the front (see R5_WINDOW above);
     # everything else keeps its relative order behind it.

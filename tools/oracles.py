@@ -285,6 +285,197 @@ def build_oracle_sql() -> dict[str, str]:
     # defect changes tokens and breaks the hash.
     sqls["kg_warc_ingest"] = sqls["kg_has_tag"]
 
+    # HTTP→KG composition (q_kg_http_ingest): chunk-encode → dechunk →
+    # annotate; body == text is proven by corpus_http_parse's md5, so
+    # the oracle is again kg_has_tag verbatim — a dechunk defect
+    # changes tokens and breaks the hash.
+    sqls["kg_http_ingest"] = sqls["kg_has_tag"]
+
+    # sitemaps.org parse (q_corpus_sitemap): expected rows constructed
+    # as a VALUES grid over the host-parity arithmetic — no XML in the
+    # oracle at all.
+    sqls["corpus_sitemap"] = """
+        WITH hs AS (
+          SELECT DISTINCT CAST(doc_id % 7 AS INT) AS hn
+          FROM documents WHERE lang = 'en'),
+        ue AS (SELECT * FROM (VALUES
+            (1, 'p0', '2024-01-15', CAST(500 AS BIGINT)),
+            (2, 'p1', NULL, CAST(700 AS BIGINT)),
+            (3, 'p2', '2024-03-15', NULL))
+            AS t(j, leaf, lastmod, priority_milli)),
+        ie AS (SELECT * FROM (VALUES
+            (1, 's0.xml', '2024-02-01T10:00:00Z'),
+            (2, 's1.xml', NULL)) AS t(j, leaf, lastmod))
+        SELECT 'h' || hn AS host, 'urlset' AS kind,
+               CAST(j AS INT) AS entry_index,
+               'https://h' || hn || '.example/' || leaf AS loc,
+               lastmod, priority_milli
+        FROM hs, ue WHERE hn % 2 = 0
+        UNION ALL
+        SELECT 'h' || hn, 'index', CAST(j AS INT),
+               'https://h' || hn || '.example/' || leaf, lastmod,
+               CAST(NULL AS BIGINT)
+        FROM hs, ie WHERE hn % 2 = 1"""
+
+    # HTTP/1.1 envelope parse (q_corpus_http_parse): every cell from
+    # the %3 case; body_md5 = md5(text) for both 200 variants (the
+    # chunked reassembly and the Content-Length cut must both
+    # reconstruct the text exactly), md5('') for the bodyless 301.
+    sqls["corpus_http_parse"] = """
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 2 THEN 301 ELSE 200 END AS status,
+               CASE CAST(doc_id % 3 AS INT)
+                    WHEN 0 THEN 'text/html'
+                    WHEN 1 THEN 'text/plain' END AS mime,
+               CASE WHEN doc_id % 3 = 0 THEN 'UTF-8' END AS charset,
+               CASE CAST(doc_id % 3 AS INT)
+                    WHEN 1 THEN CAST(length(text) AS BIGINT)
+                    WHEN 2 THEN CAST(0 AS BIGINT) END AS content_length,
+               CASE WHEN doc_id % 3 = 0 THEN 'chunked' END
+                 AS transfer_encoding,
+               CASE WHEN doc_id % 3 = 2 THEN 'https://ex.com/r' ||
+                 CAST(CAST(doc_id % 25 AS INT) AS VARCHAR) END
+                 AS location,
+               true AS body_ok,
+               CASE WHEN doc_id % 3 = 2 THEN md5('')
+                    ELSE md5(text) END AS body_md5
+        FROM documents WHERE lang = 'en'"""
+
+    # Link extraction + RFC 3986 resolution (q_corpus_links): the four
+    # expected resolved URLs per doc from the modulus arithmetic alone
+    # (the mailto: row must be absent).
+    sqls["corpus_links"] = """
+        SELECT doc_id, CAST(j AS INT) AS link_index,
+               CASE j
+               WHEN 1 THEN 'http://x' ||
+                 CAST(CAST(doc_id % 5 AS INT) AS VARCHAR) ||
+                 '.example/abs'
+               WHEN 2 THEN 'http://h' ||
+                 CAST(CAST(doc_id % 7 AS INT) AS VARCHAR) ||
+                 '.example/r' || CAST(CAST(doc_id % 25 AS INT) AS VARCHAR)
+               WHEN 3 THEN 'http://h' ||
+                 CAST(CAST(doc_id % 7 AS INT) AS VARCHAR) ||
+                 '.example/d/e/sub/p' ||
+                 CAST(CAST(doc_id % 25 AS INT) AS VARCHAR) || '.html'
+               ELSE 'http://h' ||
+                 CAST(CAST(doc_id % 7 AS INT) AS VARCHAR) ||
+                 '.example/d/up' ||
+                 CAST(CAST(doc_id % 25 AS INT) AS VARCHAR) || '.html'
+               END AS url
+        FROM documents, (VALUES (1), (2), (3), (4)) AS t(j)
+        WHERE lang = 'en'"""
+
+    # Host-graph PageRank (q_corpus_web_rank): edges rebuilt from the
+    # same modulus arithmetic, then the documented weighted integer
+    # chain (kg_tag_pagerank's contract) unrolled for 4 rounds.
+    _wr = """
+        WITH l AS (
+          SELECT CAST(doc_id % 41 AS INT) AS s,
+                 CAST((doc_id * 7 + 3) % 41 AS INT) AS d
+          FROM documents WHERE lang = 'en'
+          UNION ALL
+          SELECT CAST(doc_id % 41 AS INT),
+                 CAST((doc_id * 13 + 5) % 41 AS INT)
+          FROM documents WHERE lang = 'en'),
+        edges AS (
+          SELECT 'h' || s || '.example' AS src,
+                 'h' || d || '.example' AS dst,
+                 CAST(count(*) AS BIGINT) AS w
+          FROM l WHERE s <> d GROUP BY 1, 2),
+        deg AS (SELECT src, CAST(sum(w) AS BIGINT) AS wsum
+                FROM edges GROUP BY 1),
+        nodes AS (SELECT DISTINCT src AS node FROM edges
+                  UNION SELECT DISTINCT dst FROM edges),
+        w0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes)"""
+    for _i in range(1, 5):
+        _wr += f""",
+        w{_i} AS (
+          SELECT n.node,
+                 CAST(150000 + (850000 * coalesce(s.s, 0)) // 1000000
+                      AS BIGINT) AS rank
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, sum((p.rank * e.w) // d.wsum) AS s
+            FROM w{_i - 1} p JOIN deg d ON d.src = p.node
+                          JOIN edges e ON e.src = p.node
+            GROUP BY e.dst) s ON s.node = n.node)"""
+    sqls["corpus_web_rank"] = _wr + """
+        SELECT node, rank AS rank_micro FROM w4"""
+
+    # Magic-byte MIME sniff (q_corpus_mime_sniff): doc_id%8 → MIME
+    # directly; the Spark side must recover these from real prefix
+    # bytes followed by arbitrary text.
+    sqls["corpus_mime_sniff"] = """
+        SELECT doc_id,
+               CASE CAST(doc_id % 8 AS INT)
+               WHEN 0 THEN 'image/png'
+               WHEN 1 THEN 'image/jpeg'
+               WHEN 2 THEN 'image/gif'
+               WHEN 3 THEN 'image/webp'
+               WHEN 4 THEN 'application/pdf'
+               WHEN 5 THEN 'application/zip'
+               WHEN 6 THEN 'text/html'
+               ELSE 'application/octet-stream' END AS sniffed_mime
+        FROM documents WHERE lang = 'en'"""
+
+    # Redirect-chain resolution (q_corpus_redirects): the same
+    # arithmetic map, hop algebra replayed as four chained LEFT JOINs
+    # (follow iff current status ∈ 3xx).  The distinct doc_id%60 set is
+    # NOT dense (the lang filter leaves holes), so a Location can point
+    # at an id outside the fetched set — the EXTERNAL case: the chain
+    # steps onto it (f = the target, st = NULL) and terminates there,
+    # exactly Spark's semantics; a NULL st never follows again because
+    # `NULL >= 300` routes to the no-follow branch.
+    _rd = """
+        WITH ns AS (
+          SELECT DISTINCT CAST(doc_id % 60 AS BIGINT) AS n
+          FROM documents WHERE lang = 'en'),
+        m AS (
+          SELECT n,
+                 CASE WHEN n % 3 = 0 THEN 301
+                      WHEN n % 7 = 0 THEN 302 ELSE 200 END AS st,
+                 CASE WHEN n % 3 = 0 OR n % 7 = 0
+                      THEN (n * 2 + 1) % 60 END AS nxt
+          FROM ns),
+        r0 AS (SELECT n AS u, n AS f, st, CAST(0 AS INT) AS hops FROM m)"""
+    for _i in range(1, 5):
+        _rd += f""",
+        r{_i} AS (
+          SELECT r.u,
+                 CASE WHEN r.st >= 300 AND r.st < 400
+                           AND m1.nxt IS NOT NULL
+                      THEN m1.nxt ELSE r.f END AS f,
+                 CASE WHEN r.st >= 300 AND r.st < 400
+                           AND m1.nxt IS NOT NULL
+                      THEN m2.st ELSE r.st END AS st,
+                 CASE WHEN r.st >= 300 AND r.st < 400
+                           AND m1.nxt IS NOT NULL
+                      THEN r.hops + 1 ELSE r.hops END AS hops
+          FROM r{_i - 1} r LEFT JOIN m m1 ON m1.n = r.f
+                    LEFT JOIN m m2 ON m2.n = m1.nxt)"""
+    sqls["corpus_redirects"] = _rd + """
+        SELECT 'u' || u AS url, 'u' || f AS final_url,
+               CAST(st AS INT) AS final_status,
+               CAST(hops AS INT) AS hops,
+               (st IS NULL OR st < 300 OR st >= 400) AS resolved
+        FROM r4"""
+
+    # Politeness frontier (q_corpus_frontier): one window + the md5
+    # hex-digit worker bucket (_hexn_of, the kg_tag_walks discipline).
+    _fr_worker = _hexn_of("md5('h' || CAST(doc_id % 13 AS INT))", 1, 6)
+    sqls["corpus_frontier"] = f"""
+        SELECT 'h' || CAST(doc_id % 13 AS INT) AS host,
+               'u' || doc_id AS url,
+               CAST(row_number() OVER (
+                 PARTITION BY doc_id % 13
+                 ORDER BY doc_id % 5 DESC, 'u' || doc_id ASC) - 1
+                 AS INT) AS slot,
+               CAST((row_number() OVER (
+                 PARTITION BY doc_id % 13
+                 ORDER BY doc_id % 5 DESC, 'u' || doc_id ASC) - 1) * 1000
+                 AS BIGINT) AS fetch_at_ms,
+               CAST({_fr_worker} % 32 AS INT) AS worker
+        FROM documents WHERE lang = 'en'"""
+
     sqls["kg_tag_occurs"] = f"""
         WITH t AS (
           SELECT doc_id, unnest({_TOKS}) AS tok,
