@@ -1103,3 +1103,58 @@ def test_simrank_no_cartesian_all_equijoins(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# kg.web crawl-front plan shapes
+# ---------------------------------------------------------------------------
+def test_web_http_parse_zero_python_zero_exchange(spark):
+    """parse_http_response (incl. the chunked-decode aggregate fold) is
+    pure JVM column work: no Python eval nodes, no shuffle — one
+    projection over the scan."""
+    from kg.web import parse_http_response
+    df = spark.range(8).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked"
+                       "\r\n\r\n3\r\nabc\r\n0\r\n\r\n")).alias("resp"))
+    plan = _plan(parse_http_response(df))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Exchange" not in plan
+
+
+def test_web_links_and_mime_zero_python_zero_exchange(spark):
+    from kg.web import extract_links, sniff_mime
+    df = spark.range(8).select(
+        F.concat(F.lit('<a href="/x">y</a>')).alias("html"),
+        F.lit("http://h.example/d/p.html").alias("base_url"))
+    plan = _plan(extract_links(df))
+    assert "ArrowEvalPython" not in plan and "Exchange" not in plan
+    dfb = spark.range(8).select(F.encode(F.lit("<html>"), "UTF-8")
+                                .alias("blob"))
+    plan_b = _plan(sniff_mime(dfb))
+    assert "ArrowEvalPython" not in plan_b and "Exchange" not in plan_b
+
+
+def test_web_host_edges_single_exchange(spark):
+    """host_edges = exactly the one sanctioned aggregate shuffle, with a
+    partial (map-side) aggregate below it."""
+    from kg.web import host_edges
+    df = spark.range(8).select(
+        F.lit("http://a.example/p").alias("base_url"),
+        F.lit("http://b.example/q").alias("url"))
+    plan = _plan(host_edges(df))
+    assert plan.count("Exchange") == 1
+    assert "partial_count" in plan or "partial" in plan.lower()
+
+
+def test_web_redirects_all_joins_broadcast(spark):
+    """resolve_redirects' K hop joins must all be broadcast — the
+    frontier never shuffles."""
+    from kg.web import resolve_redirects
+    df = spark.range(8).select(
+        F.concat(F.lit("u"), F.col("id")).alias("url"),
+        F.lit(301).alias("status"),
+        F.concat(F.lit("u"), F.col("id") + 1).alias("location"))
+    plan = _plan(resolve_redirects(df, hops=3))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
