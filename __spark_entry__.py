@@ -4906,6 +4906,128 @@ def q_kg_http_ingest(spark, sf_dir):
             .select("subj", "pred", "obj"))
 
 
+def q_corpus_charset(spark, sf_dir):
+    """WHATWG charset determination (kg.web.detect_charset): doc_id%5
+    rotates a UTF-8-BOM payload, a header-vs-meta conflict the header
+    must win, a legacy http-equiv meta, a bare payload falling to the
+    default, and a UTF-16LE BOM that must beat an explicit header.
+    The ORACLE maps doc_id%5 straight to (charset, charset_source) —
+    the precedence lattice is checked, not mirrored."""
+    from kg.web import detect_charset
+    t = F.encode(F.col("text"), "UTF-8")
+    blob = (F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.unhex(F.lit("EFBBBF")), t))
+            .when(F.col("doc_id") % 5 == 1,
+                  F.encode(F.concat(
+                      F.lit("<html><meta charset='iso-8859-1'><p>"),
+                      F.col("text")), "UTF-8"))
+            .when(F.col("doc_id") % 5 == 2,
+                  F.encode(F.concat(
+                      F.lit('<meta http-equiv=Content-Type content='
+                            '"text/html; charset=windows-1252">'),
+                      F.col("text")), "UTF-8"))
+            .when(F.col("doc_id") % 5 == 3, t)
+            .otherwise(F.concat(F.unhex(F.lit("FFFE")), t)))
+    hdr = (F.when(F.col("doc_id") % 5 == 1, F.lit("utf-8"))
+           .when(F.col("doc_id") % 5 == 4, F.lit("latin1")))
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", blob.alias("blob"), hdr.alias("hdr"))
+    return detect_charset(docs, header_charset_col="hdr").select(
+        "doc_id", "charset", "charset_source")
+
+
+def q_corpus_main_content(spark, sf_dir):
+    """Text-density main-content extraction (kg.web.main_content —
+    Boilerpipe-lite): each doc wraps in a page whose nav (3 anchors),
+    related-links div, and footer must classify as boilerplate while
+    the <p> carrying the doc text (≥10 words, zero anchors on this
+    corpus) survives — so content_text == text exactly.  The ORACLE
+    asserts md5(text) and the constant block census (4 blocks, 1
+    kept) from the fixture construction alone."""
+    from kg.web import main_content
+    page = F.concat(
+        F.lit('<html><head><script>x<y</script></head><body>'
+              '<nav><a href="/a">Home</a> <a href="/b">About</a> '
+              '<a href="/c">More</a></nav><p>'),
+        F.col("text"),
+        F.lit('</p><div><a href="/d">related</a> short</div>'
+              "<footer>copyright</footer></body></html>"))
+    docs = _docs(spark, sf_dir).select("doc_id", page.alias("html"))
+    return main_content(docs).select(
+        "doc_id", F.md5("content_text").alias("content_md5"),
+        "n_blocks", "n_kept")
+
+
+def q_corpus_soft404(spark, sf_dir):
+    """Soft-404 gate (kg.web.soft404_flags): doc_id%4 rotates a real
+    200 document, a 200 with the error phrase appended, a thin 200,
+    and a hard 404 that must NOT flag.  The corpus vocabulary could in
+    principle emit an error phrase by chance, so the ORACLE evaluates
+    the SAME published regex under DuckDB's RE2 (an independent
+    engine, the strip_html portability discipline) rather than
+    assuming case 0 is clean."""
+    from kg.web import soft404_flags
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 3, F.lit(404)).otherwise(F.lit(200))
+        .alias("status"),
+        F.when(F.col("doc_id") % 4 == 1,
+               F.concat(F.col("text"), F.lit(" page not found")))
+        .when(F.col("doc_id") % 4 == 2, F.lit("tiny doc"))
+        .when(F.col("doc_id") % 4 == 3, F.lit("page not found"))
+        .otherwise(F.col("text")).alias("text"))
+    return soft404_flags(docs).select(
+        "doc_id", "status", "is_soft404", "soft404_reason")
+
+
+def q_corpus_crawl_seed(spark, sf_dir):
+    """The crawl-SEED composition: per-host sitemaps (kg.web.
+    parse_sitemap) emit candidate URLs with priorities, the RFC 9309
+    robots gate (kg.corpus.robots_rules/robots_check, agent kgbot)
+    drops disallowed paths (even hosts: a kgbot group bans /p1; odd
+    hosts: a '*' group bans /p2), and the survivors schedule through
+    the politeness frontier (kg.web.frontier_schedule) ordered by
+    sitemap priority — sitemap→robots→frontier in ONE driver-checked
+    query, the seed-side twin of corpus_crawl_e2e.  The ORACLE derives
+    the surviving (url, slot) grid and the md5 worker bucket from the
+    host-parity arithmetic alone."""
+    from kg.corpus import robots_rules, robots_check
+    from kg.web import frontier_schedule, parse_sitemap
+    hs = (_docs(spark, sf_dir)
+          .select((F.col("doc_id") % 7).cast("int").alias("hn"))
+          .distinct())
+    host = F.concat(F.lit("h"), F.col("hn").cast("string"),
+                    F.lit(".example"))
+    xml = F.concat(
+        F.lit("<urlset><url><loc>https://"), host,
+        F.lit("/p0</loc><priority>0.5</priority></url>"
+              "<url><loc>https://"), host,
+        F.lit("/p1</loc><priority>0.7</priority></url>"
+              "<url><loc>https://"), host,
+        F.lit("/p2</loc></url></urlset>"))
+    robots = (F.when(F.col("hn") % 2 == 0,
+                     F.lit("User-agent: kgbot\nDisallow: /p1\n"))
+              .otherwise(F.lit("User-agent: *\nDisallow: /p2\n")))
+    sm = parse_sitemap(hs.select(host.alias("host"),
+                                 xml.alias("sitemap")))
+    urls = sm.select(
+        "host",
+        F.regexp_extract("loc", r"^https://[^/]+(/.*)$", 1)
+        .alias("path"),
+        "loc", F.coalesce("priority_milli", F.lit(0)).alias("prio"))
+    rules = robots_rules(hs.select(host.alias("host"),
+                                   robots.alias("robots")))
+    verd = robots_check(urls.select("host", "path").distinct(), rules,
+                        agent="kgbot")
+    kept = urls.join(
+        F.broadcast(verd.filter(F.col("allowed"))
+                    .select("host", "path")), ["host", "path"])
+    return frontier_schedule(kept, url_col="loc", prio_col="prio",
+                             workers=8).select(
+        "host", F.col("loc").alias("url"), "slot", "fetch_at_ms",
+        "worker")
+
+
 # R5 DRIVER WINDOW (STATUS.md §rotation, r5 entry).  The driver's
 # CORRECTNESS artifact certifies roughly the FIRST 50 entries of
 # queries() per round.  VERDICT r4 #1: fill the ENTIRE r5 window with
@@ -5895,6 +6017,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_redirects": q_corpus_redirects,
         "corpus_frontier": q_corpus_frontier,
         "kg_http_ingest": q_kg_http_ingest,
+        "corpus_charset": q_corpus_charset,
+        "corpus_main_content": q_corpus_main_content,
+        "corpus_soft404": q_corpus_soft404,
+        "corpus_crawl_seed": q_corpus_crawl_seed,
     }
     # Hoist the r5 driver window to the front (see R5_WINDOW above);
     # everything else keeps its relative order behind it.

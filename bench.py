@@ -244,6 +244,18 @@ HEADLINE = [
     "corpus_html_text",      # WET-step HTML strip + entity decode
     "corpus_robots_check",   # RFC 9309 group parse + prefix gate
     "corpus_crawl_e2e",      # robots gate -> HTML strip composition
+    "corpus_sitemap",        # sitemaps.org urlset/index block parse
+    "corpus_http_parse",     # HTTP/1.1 envelope + chunked-decode fold
+    "corpus_links",          # href extraction + RFC 3986 resolution
+    "corpus_web_rank",       # host-graph weighted PageRank
+    "corpus_mime_sniff",     # magic-byte MIME detection
+    "corpus_redirects",      # bounded redirect-chain resolution
+    "corpus_frontier",       # politeness window + md5 worker bucket
+    "kg_http_ingest",        # dechunked bodies into annotate->HAS_TAG
+    "corpus_charset",        # BOM/header/meta charset precedence
+    "corpus_main_content",   # text-density boilerplate classification
+    "corpus_soft404",        # soft-404 phrase + thin-content gate
+    "corpus_crawl_seed",     # sitemap -> robots -> frontier seed e2e
 ]
 
 

@@ -431,3 +431,160 @@ def frontier_schedule(df: DataFrame, host_col: str = "host",
             .withColumn("fetch_at_ms",
                         (F.col("slot") * delay).cast("bigint"))
             .withColumn("worker", worker.cast("int")))
+
+
+# ---------------------------------------------------------------------------
+# charset detection
+# ---------------------------------------------------------------------------
+
+def detect_charset(df: DataFrame, blob_col: str = "blob",
+                   header_charset_col: str | None = None) -> DataFrame:
+    """WHATWG-encoding-style charset determination over a raw payload:
+    BOM beats the transport header beats an in-document <meta charset>
+    beats the UTF-8 default — the precedence every browser applies,
+    and the step that keeps mislabeled legacy pages from entering the
+    corpus as mojibake (the damage text_mojibake then audits).
+
+    Probes: a 3/2-byte hex-prefix BOM check (UTF-8 / UTF-16LE /
+    UTF-16BE); the caller-supplied header charset (from
+    parse_http_response); a meta scan over the leniently-decoded
+    first 1024 bytes covering both <meta charset=...> and the legacy
+    <meta http-equiv Content-Type> form.  Constant-width probes —
+    the scan never touches payload bytes past the prologue.
+
+    Returns input plus (charset, charset_source ∈
+    bom|header|meta|default).  Zero UDFs, zero shuffles."""
+    h = F.upper(F.hex(F.expr(f"substring({blob_col}, 1, 3)")))
+    bom = (F.when(h.startswith("EFBBBF"), F.lit("UTF-8"))
+           .when(h.startswith("FFFE"), F.lit("UTF-16LE"))
+           .when(h.startswith("FEFF"), F.lit("UTF-16BE")))
+    header = (F.upper(F.col(header_charset_col))
+              if header_charset_col else F.lit(None).cast("string"))
+    prolog = F.decode(F.expr(f"substring({blob_col}, 1, 1024)"), "UTF-8")
+    meta = F.upper(F.nullif(F.regexp_extract(
+        prolog,
+        r"(?i)<meta[^>]*charset\s*=\s*[\"']?([A-Za-z0-9_\-]+)", 1),
+        F.lit("")))
+    return (df.withColumn(
+        "charset",
+        F.coalesce(bom, header, meta, F.lit("UTF-8")))
+        .withColumn(
+        "charset_source",
+        F.when(bom.isNotNull(), F.lit("bom"))
+        .when(header.isNotNull(), F.lit("header"))
+        .when(meta.isNotNull(), F.lit("meta"))
+        .otherwise(F.lit("default"))))
+
+
+# ---------------------------------------------------------------------------
+# text-density main-content extraction (Boilerpipe-lite)
+# ---------------------------------------------------------------------------
+
+BLOCK_TAG_SPLIT = (r"(?i)</?(?:p|div|td|th|h[1-6]|li|ul|ol|table|tr|"
+                   r"article|section|nav|footer|header|aside|main|"
+                   r"blockquote|body|html)\b[^>]*>")
+
+
+def content_blocks(df: DataFrame, html_col: str = "html",
+                   min_words: int = 5,
+                   max_anchor_ratio_pct: int = 33) -> DataFrame:
+    """Text-density main-content block classification — the
+    Boilerpipe/trafilatura step between strip_html's whole-page text
+    and a *clean* training document: navigation, footers, and link
+    farms are short, anchor-dense blocks; body prose is long and
+    anchor-sparse (Kohlschütter et al., WSDM 2010 — the two features
+    that carry almost all of the signal are block word count and link
+    density).
+
+    The page splits into blocks at block-level tag boundaries
+    (BLOCK_TAG_SPLIT); per block the remaining inline markup strips to
+    text, and the block is KEPT iff it has ≥ min_words words AND
+    anchors/words ≤ max_anchor_ratio_pct% (integer arithmetic — no
+    float thresholds).  Script/style/comment subtrees drop first
+    (the strip_html rules, same patterns).
+
+    Returns one row per non-empty block: input columns plus
+    (block_index, block_text, n_words, n_anchors, kept).  Compose
+    with a groupBy to rebuild the kept-only document (see
+    main_content).  Zero UDFs; one posexplode."""
+    x = F.regexp_replace(F.col(html_col),
+                         r"(?is)<script[^>]*>.*?</script>", " ")
+    x = F.regexp_replace(x, r"(?is)<style[^>]*>.*?</style>", " ")
+    x = F.regexp_replace(x, r"(?s)<!--.*?-->", " ")
+    out = (df.select("*", F.posexplode_outer(
+        F.split(x, BLOCK_TAG_SPLIT)).alias("block_index", "_raw"))
+        .filter(F.col("_raw").isNotNull()))
+    n_anchors = F.regexp_count(F.col("_raw"), F.lit(r"(?i)<a\s"))
+    text = F.trim(F.regexp_replace(
+        F.regexp_replace(F.col("_raw"), r"(?s)<[^>]+>", " "),
+        r"\s+", " "))
+    n_words = F.when(text == "", F.lit(0)).otherwise(
+        F.size(F.split(text, " ")))
+    kept = ((n_words >= int(min_words))
+            & (n_anchors * 100 <= n_words * int(max_anchor_ratio_pct)))
+    return (out.withColumn("block_text", text)
+            .filter(F.col("block_text") != "")
+            .withColumn("n_words", n_words.cast("int"))
+            .withColumn("n_anchors", n_anchors.cast("int"))
+            .withColumn("kept", kept)
+            .withColumn("block_index",
+                        (F.col("block_index") + 1).cast("int"))
+            .drop("_raw"))
+
+
+def main_content(df: DataFrame, html_col: str = "html",
+                 id_cols: tuple[str, ...] = ("doc_id",),
+                 min_words: int = 5,
+                 max_anchor_ratio_pct: int = 33) -> DataFrame:
+    """Rebuild each document from its KEPT content blocks, in block
+    order — content_blocks' consumer face: (id_cols…, content_text,
+    n_blocks, n_kept).  One aggregate; block order restored via
+    sort_array over (index, text) structs, not a window."""
+    blocks = content_blocks(df.select(*id_cols, html_col),
+                            html_col=html_col, min_words=min_words,
+                            max_anchor_ratio_pct=max_anchor_ratio_pct)
+    return (blocks.groupBy(*id_cols)
+            .agg(F.array_join(F.transform(
+                F.sort_array(F.collect_list(F.when(
+                    F.col("kept"),
+                    F.struct("block_index", "block_text")))),
+                lambda s: s["block_text"]), " ").alias("content_text"),
+                F.count("*").cast("int").alias("n_blocks"),
+                F.sum(F.col("kept").cast("int")).cast("int")
+                .alias("n_kept")))
+
+
+# ---------------------------------------------------------------------------
+# soft-404 detection
+# ---------------------------------------------------------------------------
+
+SOFT404_PATTERN = (r"(?i)(page not found|404 not found|"
+                   r"does not exist|no longer available|"
+                   r"page you requested .{0,40}(removed|moved))")
+
+
+def soft404_flags(df: DataFrame, status_col: str = "status",
+                  text_col: str = "text",
+                  min_words: int = 8) -> DataFrame:
+    """Soft-404 detection: a server answering 200 with an error page
+    poisons both the dedup layer (thousands of near-identical "not
+    found" pages per host) and the corpus (junk documents that look
+    fetch-successful).  A 200-status row is flagged iff its extracted
+    text matches the error-phrase pattern (reason=phrase) or has
+    fewer than min_words words (reason=thin) — the two dominant
+    real-world signatures; hard 404s are NOT flagged (the status
+    already tells the truth there).
+
+    Returns input plus (is_soft404, soft404_reason).  Zero UDFs,
+    zero shuffles."""
+    text = F.col(text_col)
+    is200 = F.col(status_col) == 200
+    phrase = text.rlike(SOFT404_PATTERN)
+    words = F.when(F.trim(text) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(text), r"\s+")))
+    thin = words < int(min_words)
+    return (df.withColumn("is_soft404", is200 & (phrase | thin))
+            .withColumn(
+        "soft404_reason",
+        F.when(is200 & phrase, F.lit("phrase"))
+        .when(is200 & thin, F.lit("thin"))))

@@ -196,3 +196,65 @@ def test_frontier_schedule_politeness(spark):
     assert len({r.worker for r in rows}) == 1
     all_rows = out.collect()
     assert all(0 <= r.worker < 8 for r in all_rows)
+
+
+def test_content_blocks_density_classification(spark):
+    page = ('<html><head><script>x<y</script></head><body>'
+            '<nav><a href="/a">Home</a> <a href="/b">About</a>'
+            ' <a href="/c">More</a></nav>'
+            "<p>this is the long main content block of the page with"
+            " many plain words in it</p>"
+            '<div><a href="/d">related</a> short</div>'
+            "<footer>copyright</footer></body></html>")
+    df = spark.createDataFrame([(1, page)], "doc_id int, html string")
+    blocks = {r.block_text: (r.n_words, r.n_anchors, r.kept)
+              for r in web.content_blocks(df).collect()}
+    assert blocks["Home About More"] == (3, 3, False)       # link-dense
+    assert blocks["related short"] == (2, 1, False)         # thin+linky
+    assert blocks["copyright"] == (1, 0, False)             # thin
+    (txt, nw, na, kept), = [
+        (k, *v) for k, v in blocks.items() if v[2]]
+    assert txt.startswith("this is the long main content")
+    mc = web.main_content(df).collect()[0]
+    assert mc.content_text == txt and (mc.n_blocks, mc.n_kept) == (4, 1)
+
+
+def test_main_content_preserves_block_order(spark):
+    page = ("<p>first kept block with plenty of words inside it</p>"
+            "<p>second kept block also with plenty of words inside</p>")
+    mc = web.main_content(
+        spark.createDataFrame([(1, page)], "doc_id int, html string")
+    ).collect()[0]
+    assert mc.content_text.startswith("first kept")
+    assert "second kept" in mc.content_text and mc.n_kept == 2
+
+
+def test_detect_charset_precedence(spark):
+    rows = [(0, b"\xef\xbb\xbfhello", None),
+            (1, b"<html><meta charset='iso-8859-1'><p>x", "UTF-8"),
+            (2, b'<meta http-equiv=Content-Type content="text/html; '
+                b'charset=windows-1252">', None),
+            (3, b"plain", None),
+            (4, b"\xff\xfeab", "LATIN1")]
+    df = spark.createDataFrame(rows, "i int, blob binary, hdr string")
+    got = {r.i: (r.charset, r.charset_source)
+           for r in web.detect_charset(df,
+                                       header_charset_col="hdr").collect()}
+    assert got == {0: ("UTF-8", "bom"),          # BOM beats nothing
+                   1: ("UTF-8", "header"),       # header beats meta
+                   2: ("WINDOWS-1252", "meta"),
+                   3: ("UTF-8", "default"),
+                   4: ("UTF-16LE", "bom")}       # BOM beats header
+
+
+def test_soft404_flags(spark):
+    df = spark.createDataFrame(
+        [(0, 200, "a perfectly fine long document with lots of words"),
+         (1, 200, "Sorry the Page Not Found error occurred here today"),
+         (2, 200, "tiny"),
+         (3, 404, "page not found")],
+        "i int, status int, text string")
+    got = {r.i: (r.is_soft404, r.soft404_reason)
+           for r in web.soft404_flags(df).collect()}
+    assert got == {0: (False, None), 1: (True, "phrase"),
+                   2: (True, "thin"), 3: (False, None)}

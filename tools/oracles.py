@@ -459,6 +459,85 @@ def build_oracle_sql() -> dict[str, str]:
                (st IS NULL OR st < 300 OR st >= 400) AS resolved
         FROM r4"""
 
+    # Charset precedence (q_corpus_charset): doc_id%5 → the expected
+    # (charset, source) pair directly; BOM > header > meta > default is
+    # checked, not mirrored.
+    sqls["corpus_charset"] = """
+        SELECT doc_id,
+               CASE CAST(doc_id % 5 AS INT)
+               WHEN 0 THEN 'UTF-8' WHEN 1 THEN 'UTF-8'
+               WHEN 2 THEN 'WINDOWS-1252' WHEN 3 THEN 'UTF-8'
+               ELSE 'UTF-16LE' END AS charset,
+               CASE CAST(doc_id % 5 AS INT)
+               WHEN 0 THEN 'bom' WHEN 1 THEN 'header'
+               WHEN 2 THEN 'meta' WHEN 3 THEN 'default'
+               ELSE 'bom' END AS charset_source
+        FROM documents WHERE lang = 'en'"""
+
+    # Main-content extraction (q_corpus_main_content): the doc's <p>
+    # block is the only survivor (≥10 words, zero anchors on this
+    # corpus), so content == text and the block census is the fixture
+    # constant (nav / p / related-div / footer = 4 blocks, 1 kept).
+    sqls["corpus_main_content"] = """
+        SELECT doc_id, md5(text) AS content_md5,
+               CAST(4 AS INT) AS n_blocks, CAST(1 AS INT) AS n_kept
+        FROM documents WHERE lang = 'en'"""
+
+    # Soft-404 gate (q_corpus_soft404): the phrase leg re-evaluates the
+    # SAME published regex under RE2 (the corpus could emit an error
+    # phrase by chance); thin/status legs are pure arithmetic.
+    _s404 = ("(page not found|404 not found|does not exist|"
+             "no longer available|page you requested .{0,40}"
+             "(removed|moved))")
+    sqls["corpus_soft404"] = f"""
+        WITH fix AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 4 = 3 THEN 404 ELSE 200 END
+                   AS status,
+                 CASE CAST(doc_id % 4 AS INT)
+                 WHEN 1 THEN text || ' page not found'
+                 WHEN 2 THEN 'tiny doc'
+                 WHEN 3 THEN 'page not found'
+                 ELSE text END AS text
+          FROM documents WHERE lang = 'en'),
+        ev AS (
+          SELECT doc_id, status,
+                 regexp_matches(lower(text), '{_s404}') AS phrase,
+                 len(regexp_split_to_array(trim(text), '\\s+')) < 8
+                   AS thin
+          FROM fix)
+        SELECT doc_id, status,
+               (status = 200 AND (phrase OR thin)) AS is_soft404,
+               CASE WHEN status = 200 AND phrase THEN 'phrase'
+                    WHEN status = 200 AND thin THEN 'thin' END
+                 AS soft404_reason
+        FROM ev"""
+
+    # Crawl-seed composition (q_corpus_crawl_seed): survivors and slot
+    # order derived from host parity alone — even hosts keep p0(500) >
+    # p2(0), odd hosts keep p1(700) > p0(500); worker = md5 bucket of
+    # the host authority.
+    _seed_worker = _hexn_of(
+        "md5('h' || hn || '.example')", 1, 6)
+    sqls["corpus_crawl_seed"] = f"""
+        WITH hs AS (
+          SELECT DISTINCT CAST(doc_id % 7 AS INT) AS hn
+          FROM documents WHERE lang = 'en'),
+        grid AS (
+          SELECT hn, 'p0' AS leaf, 0 AS slot FROM hs WHERE hn % 2 = 0
+          UNION ALL
+          SELECT hn, 'p2', 1 FROM hs WHERE hn % 2 = 0
+          UNION ALL
+          SELECT hn, 'p1', 0 FROM hs WHERE hn % 2 = 1
+          UNION ALL
+          SELECT hn, 'p0', 1 FROM hs WHERE hn % 2 = 1)
+        SELECT 'h' || hn || '.example' AS host,
+               'https://h' || hn || '.example/' || leaf AS url,
+               CAST(slot AS INT) AS slot,
+               CAST(slot * 1000 AS BIGINT) AS fetch_at_ms,
+               CAST({_seed_worker} % 8 AS INT) AS worker
+        FROM grid"""
+
     # Politeness frontier (q_corpus_frontier): one window + the md5
     # hex-digit worker bucket (_hexn_of, the kg_tag_walks discipline).
     _fr_worker = _hexn_of("md5('h' || CAST(doc_id % 13 AS INT))", 1, 6)
