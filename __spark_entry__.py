@@ -5028,6 +5028,83 @@ def q_corpus_crawl_seed(spark, sf_dir):
         "worker")
 
 
+def q_corpus_crawl_delay(spark, sf_dir):
+    """robots.txt Crawl-delay into the frontier (kg.web.robots_delays
+    + agent_delays + frontier_schedule): host parity hn%3 rotates a
+    specific-beats-'*' pair (kgbot 2 s vs '*' 9 s), a '*'-only 3.5 s,
+    and a no-delay host that must coalesce to the 1 s default; two
+    URLs per host schedule at slot·delay.  The ORACLE derives
+    (delay_ms, slot, fetch_at_ms) from the parity grid alone — the
+    group parse, the try-cast, the min-merge, and the precedence join
+    are all under check."""
+    from kg.web import agent_delays, frontier_schedule, robots_delays
+    hs = (_docs(spark, sf_dir)
+          .select((F.col("doc_id") % 7).cast("int").alias("hn"))
+          .distinct())
+    host = F.concat(F.lit("h"), F.col("hn").cast("string"))
+    robots = (F.when(F.col("hn") % 3 == 0,
+                     F.lit("User-agent: kgbot\nCrawl-delay: 2\n\n"
+                           "User-agent: *\nCrawl-delay: 9\n"))
+              .when(F.col("hn") % 3 == 1,
+                    F.lit("User-agent: *\nCrawl-delay: 3.5\n"))
+              .otherwise(F.lit("User-agent: *\nDisallow: /p\n")))
+    delays = agent_delays(
+        robots_delays(hs.select(host.alias("host"),
+                                robots.alias("robots"))), "kgbot")
+    urls = (hs.select(host.alias("host"),
+                      F.explode(F.array(F.lit("/a"), F.lit("/b")))
+                      .alias("url"))
+            .join(F.broadcast(delays), "host", "left")
+            .withColumn("delay_ms",
+                        F.coalesce("delay_ms", F.lit(1000))))
+    return frontier_schedule(urls, delay_ms_col="delay_ms",
+                             workers=8).select(
+        "host", "url", "delay_ms", "slot", "fetch_at_ms")
+
+
+def q_corpus_trap_report(spark, sf_dir):
+    """Crawl-trap detection (kg.web.url_trap_report): host h0 is a
+    calendar trap (every doc contributes a digit-exploding /cal path
+    that collapses to ONE template), hosts h1-h4 carry letter-coded
+    static paths whose templates stay distinct.  The ORACLE replays
+    the template collapse with RE2's global regexp_replace and the
+    same translate() digit→letter coding — counts, ratio, and flag
+    all hash-checked."""
+    from kg.web import url_trap_report
+    d = _docs(spark, sf_dir)
+    path = (F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.lit("/cal/"), F.col("doc_id").cast("string"),
+                            F.lit("/"),
+                            ((F.col("doc_id") * 3) % 97).cast("string")))
+            .otherwise(F.concat(
+                F.lit("/s"),
+                F.translate((F.col("doc_id") % 97).cast("string"),
+                            "0123456789", "abcdefghij"),
+                F.lit("/page"))))
+    urls = d.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 5).cast("string"))
+        .alias("host"), path.alias("path"))
+    return url_trap_report(urls)
+
+
+def q_corpus_recrawl(spark, sf_dir):
+    """Change-rate recrawl scheduling (kg.web.recrawl_schedule) over a
+    fetch log modeled on the events table: url = per-user page,
+    content_key = event_id%3 (so change counts depend on the true
+    per-URL fetch ORDER), fetch order (ts, event_id).  The ORACLE
+    replays the lag window and the integer interval formula
+    base·(n−1) div (changes+1) in DuckDB — div ≡ // verified
+    semantics, epoch millis via epoch_ms on the same UTC-pinned
+    timestamps."""
+    from kg.web import recrawl_schedule
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string"))
+        .alias("url"),
+        "ts", "event_id",
+        (F.col("event_id") % 3).cast("string").alias("content_key"))
+    return recrawl_schedule(ev, order_col="event_id")
+
+
 # R5 DRIVER WINDOW (STATUS.md §rotation, r5 entry).  The driver's
 # CORRECTNESS artifact certifies roughly the FIRST 50 entries of
 # queries() per round.  VERDICT r4 #1: fill the ENTIRE r5 window with
@@ -6021,6 +6098,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_main_content": q_corpus_main_content,
         "corpus_soft404": q_corpus_soft404,
         "corpus_crawl_seed": q_corpus_crawl_seed,
+        "corpus_crawl_delay": q_corpus_crawl_delay,
+        "corpus_trap_report": q_corpus_trap_report,
+        "corpus_recrawl": q_corpus_recrawl,
     }
     # Hoist the r5 driver window to the front (see R5_WINDOW above);
     # everything else keeps its relative order behind it.

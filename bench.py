@@ -256,6 +256,9 @@ HEADLINE = [
     "corpus_main_content",   # text-density boilerplate classification
     "corpus_soft404",        # soft-404 phrase + thin-content gate
     "corpus_crawl_seed",     # sitemap -> robots -> frontier seed e2e
+    "corpus_crawl_delay",    # Crawl-delay parse -> frontier spacing
+    "corpus_trap_report",    # URL-template crawl-trap explosion flag
+    "corpus_recrawl",        # change-rate adaptive revisit intervals
 ]
 
 

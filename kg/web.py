@@ -588,3 +588,146 @@ def soft404_flags(df: DataFrame, status_col: str = "status",
         "soft404_reason",
         F.when(is200 & phrase, F.lit("phrase"))
         .when(is200 & thin, F.lit("thin"))))
+
+
+# ---------------------------------------------------------------------------
+# robots.txt Crawl-delay
+# ---------------------------------------------------------------------------
+
+def robots_delays(df: DataFrame, content_col: str = "robots",
+                  key_col: str = "host") -> DataFrame:
+    """Crawl-delay extraction from robots.txt — the de-facto-standard
+    field (not in RFC 9309, honored by most major crawlers) that
+    feeds frontier_schedule's per-host delay.  Same group semantics as
+    kg.corpus.robots_rules: a group is a maximal user-agent-line run
+    plus what follows; every listed agent gets the group's delay; the
+    smallest delay wins if an agent appears in several groups (the
+    conservative-but-fetchable reading).  Non-numeric delays are
+    ignored; seconds convert to integer milliseconds (fractional
+    seconds truncate to ms).
+
+    Returns (host, agent, delay_ms) — rows only for groups that
+    declare a delay; precedence (specific agent beats '*') is the
+    CONSUMER's join-time rule, matching robots_check's split."""
+    lines = (df.select(F.col(key_col).alias("host"),
+                       F.posexplode(F.split(F.col(content_col), "\n"))
+                       .alias("i", "line"))
+             .withColumn("line", F.trim(F.regexp_replace("line",
+                                                         "#.*$", ""))))
+    parsed = (lines
+              .withColumn("field", F.lower(F.trim(
+                  F.substring_index("line", ":", 1))))
+              .withColumn("value", F.trim(F.expr(
+                  "substring(line, instr(line, ':') + 1)")))
+              .filter(F.col("field").isin("user-agent", "crawl-delay")))
+    w = Window.partitionBy("host").orderBy("i")
+    blocks = (parsed
+              .withColumn("is_ua", (F.col("field") == "user-agent")
+                          .cast("int"))
+              .withColumn("starts", ((F.col("is_ua") == 1)
+                          & (F.coalesce(F.lag("is_ua").over(w), F.lit(0))
+                             == 0)).cast("int"))
+              .withColumn("block", F.sum("starts").over(w)))
+    uas = (blocks.filter(F.col("is_ua") == 1)
+           .select("host", "block", F.lower("value").alias("agent")))
+    delays = (blocks.filter(F.col("field") == "crawl-delay")
+              .withColumn("delay_ms",
+                          (F.col("value").try_cast("decimal(12,3)")
+                           * 1000).cast("bigint"))
+              .filter(F.col("delay_ms").isNotNull())
+              .select("host", "block", "delay_ms"))
+    return (delays.join(F.broadcast(uas), ["host", "block"])
+            .groupBy("host", "agent")
+            .agg(F.min("delay_ms").alias("delay_ms")))
+
+
+def agent_delays(delays: DataFrame, agent: str = "kgbot") -> DataFrame:
+    """Resolve robots_delays output for one agent: a host's
+    specific-agent delay pre-empts its '*' delay (the robots_check
+    precedence, applied to the delay field).  Returns
+    (host, delay_ms) — hosts with neither row are absent (the
+    consumer coalesces to its default)."""
+    a = agent.lower()
+    spec = delays.filter(F.col("agent") == a).select("host", "delay_ms")
+    star = (delays.filter(F.col("agent") == "*")
+            .join(F.broadcast(spec.select("host")), "host", "left_anti")
+            .select("host", "delay_ms"))
+    return spec.unionByName(star)
+
+
+# ---------------------------------------------------------------------------
+# crawl-trap detection
+# ---------------------------------------------------------------------------
+
+def url_trap_report(df: DataFrame, host_col: str = "host",
+                    path_col: str = "path", min_urls: int = 20,
+                    max_ratio: int = 5) -> DataFrame:
+    """Crawl-trap detection by URL-template collapse: calendar pages,
+    session ids, and pagination parameters generate unbounded URL
+    spaces over a handful of path shapes, and a frontier that doesn't
+    cap them spends its politeness budget on one host's infinite
+    corner.  Each path collapses to a template (digit runs → 'N');
+    per host, the report counts distinct URLs vs distinct templates
+    and flags hosts where urls > max_ratio · templates (with at least
+    min_urls) — the explosion signature.
+
+    One distinct + one aggregate, both keyed by host (the natural
+    crawl partitioning; no corpus-wide key).  Returns
+    (host, n_urls, n_templates, urls_per_template, is_trap)."""
+    t = F.regexp_replace(F.col(path_col), "[0-9]+", "N")
+    per = (df.select(F.col(host_col).alias("host"),
+                     F.col(path_col).alias("path"),
+                     t.alias("template"))
+           .groupBy("host")
+           .agg(F.count_distinct("path").cast("bigint").alias("n_urls"),
+                F.count_distinct("template").cast("bigint")
+                .alias("n_templates")))
+    return per.select(
+        "host", "n_urls", "n_templates",
+        (F.col("n_urls") / F.col("n_templates")).cast("bigint")
+        .alias("urls_per_template"),
+        ((F.col("n_urls") >= int(min_urls))
+         & (F.col("n_urls") > int(max_ratio) * F.col("n_templates")))
+        .alias("is_trap"))
+
+
+# ---------------------------------------------------------------------------
+# change-rate recrawl scheduling
+# ---------------------------------------------------------------------------
+
+def recrawl_schedule(df: DataFrame, url_col: str = "url",
+                     ts_col: str = "ts", key_col: str = "content_key",
+                     order_col: str | None = None,
+                     base_ms: int = 86_400_000) -> DataFrame:
+    """Change-rate-adaptive recrawl scheduling (the Cho &
+    Garcia-Molina revisit-policy shape in integer arithmetic): per
+    URL, the fetch history's content keys are compared in fetch order
+    (one lag window, partitioned by URL — bounded by per-URL fetch
+    counts), changes counted, and the next revisit interval set to
+    base_ms · n_intervals div (n_changes + 1) — a page that changed
+    every fetch revisits ~at base/n, a never-changing page stretches
+    to base · (n−1).  A single-fetch URL has no evidence and gets
+    base_ms.
+
+    Returns (url, n_fetches, n_changes, interval_ms, next_fetch_ms)
+    with next_fetch_ms = last fetch's epoch millis + interval_ms.
+    One window + one aggregate; integer div end-to-end so the DuckDB
+    oracle replays bit-exactly."""
+    order = [F.col(ts_col)] + ([F.col(order_col)] if order_col else [])
+    w = Window.partitionBy(url_col).orderBy(*order)
+    changed = (F.lag(key_col).over(w).isNotNull()
+               & (F.col(key_col) != F.lag(key_col).over(w))).cast("int")
+    per = (df.withColumn("_chg", changed)
+           .groupBy(F.col(url_col).alias("url"))
+           .agg(F.count("*").cast("bigint").alias("n_fetches"),
+                F.sum("_chg").cast("bigint").alias("n_changes"),
+                F.max(F.unix_millis(F.col(ts_col).cast("timestamp")))
+                .alias("_last_ms")))
+    interval = F.when(
+        F.col("n_fetches") <= 1, F.lit(int(base_ms))).otherwise(
+        F.expr(f"{int(base_ms)} * (n_fetches - 1) div (n_changes + 1)"))
+    return per.select(
+        "url", "n_fetches", "n_changes",
+        interval.cast("bigint").alias("interval_ms"),
+        (F.col("_last_ms") + interval).cast("bigint")
+        .alias("next_fetch_ms"))

@@ -258,3 +258,53 @@ def test_soft404_flags(spark):
            for r in web.soft404_flags(df).collect()}
     assert got == {0: (False, None), 1: (True, "phrase"),
                    2: (True, "thin"), 3: (False, None)}
+
+
+def test_robots_delays_groups_and_precedence(spark):
+    r0 = ("# hi\nUser-agent: kgbot\nCrawl-delay: 2\nDisallow: /x\n\n"
+          "User-agent: *\nCrawl-delay: 9.5\n")
+    r1 = "User-agent: *\nCrawl-delay: 3\n"
+    r2 = "User-agent: *\nDisallow: /p\n"          # no delay at all
+    r3 = ("User-agent: a\nUser-agent: kgbot\nCrawl-delay: bad\n\n"
+          "User-agent: kgbot\nCrawl-delay: 0.25\n")
+    df = spark.createDataFrame(
+        [("h0", r0), ("h1", r1), ("h2", r2), ("h3", r3)],
+        "host string, robots string")
+    d = web.robots_delays(df)
+    got = {(r.host, r.agent): r.delay_ms for r in d.collect()}
+    # multi-UA group: 'bad' ignored for both agents; fractional seconds
+    assert got == {("h0", "kgbot"): 2000, ("h0", "*"): 9500,
+                   ("h1", "*"): 3000, ("h3", "kgbot"): 250}
+    res = {r.host: r.delay_ms
+           for r in web.agent_delays(d, "kgbot").collect()}
+    # specific beats '*' on h0; '*' fallback on h1; h2 absent
+    assert res == {"h0": 2000, "h1": 3000, "h3": 250}
+
+
+def test_url_trap_report(spark):
+    rows = ([("t.example", "/cal/%d/%d" % (i, i * 3)) for i in range(30)]
+            + [("ok.example", "/s%s/page" % chr(97 + i % 9))
+               for i in range(30)])
+    t = spark.createDataFrame(rows, "host string, path string")
+    got = {r.host: (r.n_urls, r.n_templates, r.is_trap)
+           for r in web.url_trap_report(t).collect()}
+    assert got["t.example"] == (30, 1, True)
+    assert got["ok.example"] == (9, 9, False)
+
+
+def test_recrawl_schedule_intervals(spark):
+    import datetime as dt
+    rows = ([("u1", dt.datetime(2024, 1, d + 1), "k%d" % (d // 2), d)
+             for d in range(6)]          # changes at d=2 and d=4
+            + [("u2", dt.datetime(2024, 1, d + 1), "same", d)
+               for d in range(4)]        # never changes
+            + [("u3", dt.datetime(2024, 1, 1), "x", 0)])   # one fetch
+    r = spark.createDataFrame(
+        rows, "url string, ts timestamp, content_key string, "
+              "event_id long")
+    got = {x.url: (x.n_fetches, x.n_changes, x.interval_ms)
+           for x in web.recrawl_schedule(r, order_col="event_id",
+                                         base_ms=1000).collect()}
+    assert got["u1"] == (6, 2, 1000 * 5 // 3)   # 5 intervals, 2 changes
+    assert got["u2"] == (4, 0, 3000)            # stretches to base*(n-1)
+    assert got["u3"] == (1, 0, 1000)            # no evidence -> base

@@ -538,6 +538,79 @@ def build_oracle_sql() -> dict[str, str]:
                CAST({_seed_worker} % 8 AS INT) AS worker
         FROM grid"""
 
+    # Crawl-delay into the frontier (q_corpus_crawl_delay): delay from
+    # host parity (specific kgbot 2s beats '*' 9s; '*' 3.5s; absent →
+    # 1s default), slots by url order.
+    sqls["corpus_crawl_delay"] = """
+        WITH hs AS (
+          SELECT DISTINCT CAST(doc_id % 7 AS INT) AS hn
+          FROM documents WHERE lang = 'en'),
+        d AS (
+          SELECT hn, CASE WHEN hn % 3 = 0 THEN 2000
+                          WHEN hn % 3 = 1 THEN 3500
+                          ELSE 1000 END AS delay_ms
+          FROM hs),
+        grid AS (
+          SELECT hn, u, s FROM d,
+            (VALUES ('/a', 0), ('/b', 1)) AS t(u, s))
+        SELECT 'h' || g.hn AS host, g.u AS url,
+               CAST(d.delay_ms AS BIGINT) AS delay_ms,
+               CAST(g.s AS INT) AS slot,
+               CAST(g.s * d.delay_ms AS BIGINT) AS fetch_at_ms
+        FROM grid g JOIN d ON d.hn = g.hn"""
+
+    # Crawl-trap report (q_corpus_trap_report): same template collapse
+    # under RE2 ('g' flag — DuckDB replaces first match only by
+    # default) + the same translate coding; counts and flag replayed.
+    sqls["corpus_trap_report"] = """
+        WITH urls AS (
+          SELECT 'h' || CAST(doc_id % 5 AS INT) AS host,
+                 CASE WHEN doc_id % 5 = 0
+                 THEN '/cal/' || doc_id || '/' || ((doc_id * 3) % 97)
+                 ELSE '/s' || translate(CAST(doc_id % 97 AS VARCHAR),
+                                        '0123456789', 'abcdefghij')
+                      || '/page' END AS path
+          FROM documents WHERE lang = 'en'),
+        per AS (
+          SELECT host,
+                 CAST(count(DISTINCT path) AS BIGINT) AS n_urls,
+                 CAST(count(DISTINCT regexp_replace(path, '[0-9]+',
+                                                    'N', 'g'))
+                      AS BIGINT) AS n_templates
+          FROM urls GROUP BY 1)
+        SELECT host, n_urls, n_templates,
+               n_urls // n_templates AS urls_per_template,
+               (n_urls >= 20 AND n_urls > 5 * n_templates) AS is_trap
+        FROM per"""
+
+    # Recrawl scheduling (q_corpus_recrawl): lag window + integer
+    # interval formula replayed; epoch_ms on the UTC-pinned timestamps.
+    sqls["corpus_recrawl"] = """
+        WITH f AS (
+          SELECT 'u' || user_id AS url, ts, event_id,
+                 CAST(event_id % 3 AS VARCHAR) AS k
+          FROM events),
+        lagged AS (
+          SELECT url, ts, k,
+                 lag(k) OVER (PARTITION BY url
+                              ORDER BY ts, event_id) AS pk
+          FROM f),
+        per AS (
+          SELECT url, CAST(count(*) AS BIGINT) AS n_fetches,
+                 CAST(coalesce(sum(CASE WHEN pk IS NOT NULL AND k <> pk
+                                        THEN 1 ELSE 0 END), 0)
+                      AS BIGINT) AS n_changes,
+                 max(epoch_ms(ts)) AS last_ms
+          FROM lagged GROUP BY 1)
+        SELECT url, n_fetches, n_changes,
+               CAST(CASE WHEN n_fetches <= 1 THEN 86400000
+                    ELSE 86400000 * (n_fetches - 1) // (n_changes + 1)
+                    END AS BIGINT) AS interval_ms,
+               CAST(last_ms + CASE WHEN n_fetches <= 1 THEN 86400000
+                    ELSE 86400000 * (n_fetches - 1) // (n_changes + 1)
+                    END AS BIGINT) AS next_fetch_ms
+        FROM per"""
+
     # Politeness frontier (q_corpus_frontier): one window + the md5
     # hex-digit worker bucket (_hexn_of, the kg_tag_walks discipline).
     _fr_worker = _hexn_of("md5('h' || CAST(doc_id % 13 AS INT))", 1, 6)
