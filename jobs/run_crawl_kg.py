@@ -1,0 +1,197 @@
+"""End-to-end CRAWL→KG construction pipeline: the web-corpus
+counterpart to jobs/run_code_kg.py (source repositories) and
+jobs/run_pipeline.py (clean text) — raw WARC blobs in, the annotation
+knowledge graph + the host web graph out, every stage an existing kg
+operator (the job adds composition only).
+
+    crawl parquet (doc_id, base_url, warc)
+      → WARC record framing        (kg.corpus.parse_warc)
+      → HTTP envelope + body       (kg.web.parse_http_response:
+                                    status/mime gate, Content-Length cut,
+                                    chunked decode when present)
+      → fetch gates, cheapest-first, all inline predicates:
+          status 200 + body_ok     (redirects/errors counted, dropped)
+          link extraction leg      (kg.web.extract_links → host_edges →
+                                    kg.graphrank.pagerank: the host
+                                    web-graph ranking sink — links come
+                                    from EVERY fetched page, including
+                                    ones the content gates later drop)
+          main-content extraction  (kg.web.main_content: nav/footer
+                                    boilerplate out, prose blocks kept)
+          soft-404 gate            (kg.web.soft404_flags on the
+                                    EXTRACTED text, phrase+thin)
+      → annotate→triples           (kg.triples.annotate_to_triples)
+      → parquet sinks under <out_dir>/ (triples, host_rank),
+        one JSON stats line on stdout.
+
+The parsed-and-gated page frame feeds TWO legs (links, content) and
+the content frame feeds the annotate UDF — both are localCheckpointed
+once before branching (CLAUDE.md rule 7: branching a shared child
+re-executes it per branch; and Spark 4's PythonUDF extraction cannot
+take the chunked-decode LambdaFunction child at all — the
+kg_http_ingest note).
+
+Scale notes: framing/envelope/extraction are narrow zero-shuffle maps;
+the corpus-wide shuffles are host_edges' aggregate, pagerank's
+per-round join-agg, and the annotate explode — each already
+plan-guarded in its home module.  At a real 100 TB crawl the fixture
+builder disappears and `crawl` is the WARC scan itself.
+
+Usage:
+  python jobs/run_crawl_kg.py <crawl.parquet|@docs.parquet> <out_dir>
+      [--iterations 6] [--full-pipeline]
+
+The @-prefixed form treats the input as a documents table and builds
+the deterministic crawl fixture from it first (testing/benching).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+CRLF = "\r\n"
+
+
+def build_crawl_fixture(docs: DataFrame) -> DataFrame:
+    """Deterministic WARC crawl built from a documents table: each doc
+    becomes one WARC response member whose payload is a full HTTP/1.1
+    message.  doc_id%17==0 → a 301 with Location (no content);
+    doc_id%13==0 → a soft-404 page (200 + "page not found" prose);
+    the rest → an HTML page with a link-dense nav (two cross-host
+    anchors), the doc text as the main <p> block, and a footer.
+    Returns (doc_id, base_url, warc)."""
+    d = F.col("doc_id")
+    host_n = (d % 7).cast("string")
+    next_host = ((d + 1) % 7).cast("string")
+    base = F.concat(F.lit("http://h"), host_n, F.lit(".example/d/p"),
+                    (d % 25).cast("string"), F.lit(".html"))
+    nav = F.concat(
+        F.lit('<nav><a href="http://h'), next_host,
+        F.lit('.example/x">next</a> <a href="/top">top</a></nav>'))
+    page = F.concat(
+        F.lit("<html><body>"), nav, F.lit("<p>"), F.col("text"),
+        F.lit("</p><footer>contact terms</footer></body></html>"))
+    soft = F.lit("<html><body><p>sorry this page not found here"
+                 "</p></body></html>")
+    html = F.when(d % 13 == 0, soft).otherwise(page)
+    ok_resp = F.concat(
+        F.lit("HTTP/1.1 200 OK" + CRLF
+              + "Content-Type: text/html; charset=UTF-8" + CRLF
+              + "Content-Length: "),
+        F.length(html).cast("string"), F.lit(CRLF + CRLF), html)
+    redir_resp = F.concat(
+        F.lit("HTTP/1.1 301 Moved Permanently" + CRLF + "Location: "
+              "http://h"), next_host,
+        F.lit(".example/new" + CRLF + "Content-Length: 0" + CRLF + CRLF))
+    resp = F.when(d % 17 == 0, redir_resp).otherwise(ok_resp)
+    warc = F.concat(
+        F.lit("WARC/1.0" + CRLF + "WARC-Type: response" + CRLF
+              + "Content-Length: "),
+        F.length(resp).cast("string"), F.lit(CRLF + CRLF), resp,
+        F.lit(CRLF + CRLF))
+    return docs.select("doc_id", base.alias("base_url"),
+                       warc.alias("warc"))
+
+
+def build_crawl_kg(spark: SparkSession, crawl: DataFrame,
+                   out_dir: str | None, iterations: int = 6,
+                   full_pipeline: bool = False) -> dict:
+    from kg.annotate import PipelineSpec
+    from kg.corpus import parse_warc
+    from kg.graphrank import pagerank
+    from kg.triples import annotate_to_triples
+    from kg.web import (extract_links, host_edges, main_content,
+                        parse_http_response, soft404_flags)
+
+    stats: dict = {}
+    stats["n_input"] = crawl.count()
+
+    # WARC framing → HTTP envelope over the response payloads
+    recs = (parse_warc(crawl.select("doc_id", "warc"))
+            .filter(F.col("warc_type") == "response")
+            .join(crawl.select("doc_id", "base_url"), "doc_id"))
+    pages = parse_http_response(recs.withColumnRenamed("payload",
+                                                       "resp"))
+    stats["n_responses"] = pages.count()
+
+    # fetch gate + ONE materialization before the two consumer legs
+    # (rule 7; also the dechunk-fold-before-UDF requirement)
+    fetched = (pages.filter((F.col("status") == 200) & F.col("body_ok")
+                            & (F.col("mime") == "text/html"))
+               .select("doc_id", "base_url",
+                       F.col("body").alias("html"))
+               .localCheckpoint())
+    stats["n_fetched_200"] = fetched.count()
+
+    # leg 1: the host web graph from EVERY fetched page
+    edges = host_edges(extract_links(fetched), src_url_col="base_url")
+    rank = pagerank(edges, iterations=iterations, weight_col="weight")
+
+    # leg 2: main content, soft-404 gate, annotate
+    content = main_content(fetched, html_col="html")
+    gated = (soft404_flags(content.withColumn("status", F.lit(200)),
+                           text_col="content_text")
+             .filter(~F.col("is_soft404"))
+             .select("doc_id", F.col("content_text").alias("text"),
+                     F.lit("en").alias("lang")))
+    spec = (PipelineSpec(name="full",
+                         annotators=("tokenize", "pos", "lemma", "ner",
+                                     "stopword", "sentiment"))
+            if full_pipeline else
+            PipelineSpec(name="tokenizer",
+                         annotators=("tokenize", "stopword")))
+    triples = annotate_to_triples(gated, text_col="text",
+                                  id_cols=("doc_id",), lang_col="lang",
+                                  spec=spec)
+
+    sinks = {"triples": triples, "host_rank": rank}
+    for name, df in sinks.items():
+        if out_dir is None:            # count-only mode (scaling bench)
+            stats[f"n_{name}"] = df.count()
+        else:
+            df.write.mode("overwrite").parquet(f"{out_dir}/{name}")
+            stats[f"n_{name}"] = (
+                spark.read.parquet(f"{out_dir}/{name}").count())
+    stats["n_docs_annotated"] = gated.count()
+    stats["n_host_edges"] = edges.count()
+    print(json.dumps(stats))
+    return stats
+
+
+def main(argv: list[str] | None = None) -> dict:
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("crawl", help="crawl parquet (doc_id, base_url, "
+                                  "warc), or @<documents.parquet> to "
+                                  "build the fixture from a docs table")
+    ap.add_argument("out_dir", nargs="?", default=None)
+    ap.add_argument("--iterations", type=int, default=6)
+    ap.add_argument("--full-pipeline", action="store_true")
+    args = ap.parse_args(argv)
+
+    from kg.session import get_spark
+    owns = SparkSession.getActiveSession() is None
+    spark = get_spark(app="kg-crawl-kg")
+    try:
+        if args.crawl.startswith("@"):
+            docs = (spark.read.parquet(args.crawl[1:])
+                    .filter(F.col("lang") == "en"))
+            crawl = build_crawl_fixture(docs)
+        else:
+            crawl = spark.read.parquet(args.crawl)
+        return build_crawl_kg(spark, crawl, args.out_dir,
+                              args.iterations, args.full_pipeline)
+    finally:
+        if owns:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    main()

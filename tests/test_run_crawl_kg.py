@@ -1,0 +1,42 @@
+"""End-to-end test for jobs/run_crawl_kg.py — the WARC→HTTP→content→
+triples + host-graph composition."""
+
+import pyspark.sql.functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_run_crawl_kg_counts_and_parity(spark):
+    from jobs.run_crawl_kg import build_crawl_fixture, build_crawl_kg
+    from kg.annotate import PipelineSpec
+    from kg.triples import annotate_to_triples
+
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .filter(F.col("lang") == "en"))
+    n = docs.count()
+    n_redir = docs.filter(F.col("doc_id") % 17 == 0).count()
+    n_soft = docs.filter((F.col("doc_id") % 13 == 0)
+                         & (F.col("doc_id") % 17 != 0)).count()
+
+    stats = build_crawl_kg(spark, build_crawl_fixture(docs),
+                           out_dir=None, iterations=4)
+    assert stats["n_input"] == n
+    assert stats["n_responses"] == n            # one record per member
+    assert stats["n_fetched_200"] == n - n_redir
+    assert stats["n_docs_annotated"] == n - n_redir - n_soft
+    # 7-host ring fixture: every host links only to the next one
+    assert stats["n_host_edges"] == 7 and stats["n_host_rank"] == 7
+
+    # triple parity: the crawl path must emit EXACTLY the triples the
+    # clean-text pipeline emits on the surviving docs (framing, envelope,
+    # block classification, and soft-404 gating are all content-lossless
+    # for the survivors)
+    survivors = (docs.filter((F.col("doc_id") % 17 != 0)
+                             & (F.col("doc_id") % 13 != 0))
+                 .select("doc_id", "text", F.lit("en").alias("lang")))
+    spec = PipelineSpec(name="tokenizer",
+                        annotators=("tokenize", "stopword"))
+    expect = annotate_to_triples(survivors, text_col="text",
+                                 id_cols=("doc_id",), lang_col="lang",
+                                 spec=spec).count()
+    assert stats["n_triples"] == expect
