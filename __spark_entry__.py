@@ -5105,6 +5105,46 @@ def q_corpus_recrawl(spark, sf_dir):
     return recrawl_schedule(ev, order_col="event_id")
 
 
+def q_corpus_rank_frontier(spark, sf_dir):
+    """Rank-weighted crawl budgeting — the feedback loop that closes
+    the crawl system: host PageRank (corpus_web_rank's arithmetic
+    graph, 4 weighted integer rounds) allocates each host an integer
+    fetch budget 1 + rank div 300000, the politeness frontier
+    (kg.web.frontier_schedule) slots each host's URLs, and only
+    slot < budget survive — high-rank hosts crawl deeper, every host
+    keeps at least one fetch.  The ORACLE replays the pagerank chain
+    (the kg_tag_pagerank contract) plus the per-host census:
+    n_kept = least(n_urls, budget)."""
+    from kg.graphrank import pagerank
+    from kg.web import frontier_schedule, host_edges
+    d = _docs(spark, sf_dir)
+    links = d.select(
+        F.concat(F.lit("http://h"), (F.col("doc_id") % 41).cast("string"),
+                 F.lit(".example/p")).alias("base_url"),
+        F.explode(F.array(
+            F.concat(F.lit("http://h"),
+                     ((F.col("doc_id") * 7 + 3) % 41).cast("string"),
+                     F.lit(".example/x")),
+            F.concat(F.lit("http://h"),
+                     ((F.col("doc_id") * 13 + 5) % 41).cast("string"),
+                     F.lit(".example/y")))).alias("url"))
+    rank = pagerank(host_edges(links), iterations=4,
+                    weight_col="weight").select(
+        F.col("node").alias("host"),
+        (F.lit(1) + F.expr("rank_micro div 300000")).alias("budget"),
+        "rank_micro")
+    urls = d.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 41).cast("string"),
+                 F.lit(".example")).alias("host"),
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"))
+    sched = (frontier_schedule(urls, workers=32)
+             .join(F.broadcast(rank), "host"))
+    return (sched.groupBy("host", "rank_micro", "budget")
+            .agg(F.count("*").cast("bigint").alias("n_urls"),
+                 F.sum((F.col("slot") < F.col("budget")).cast("int"))
+                 .cast("bigint").alias("n_kept")))
+
+
 # R5 DRIVER WINDOW (STATUS.md §rotation, r5 entry).  The driver's
 # CORRECTNESS artifact certifies roughly the FIRST 50 entries of
 # queries() per round.  VERDICT r4 #1: fill the ENTIRE r5 window with
@@ -6101,6 +6141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_crawl_delay": q_corpus_crawl_delay,
         "corpus_trap_report": q_corpus_trap_report,
         "corpus_recrawl": q_corpus_recrawl,
+        "corpus_rank_frontier": q_corpus_rank_frontier,
     }
     # Hoist the r5 driver window to the front (see R5_WINDOW above);
     # everything else keeps its relative order behind it.

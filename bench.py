@@ -259,6 +259,7 @@ HEADLINE = [
     "corpus_crawl_delay",    # Crawl-delay parse -> frontier spacing
     "corpus_trap_report",    # URL-template crawl-trap explosion flag
     "corpus_recrawl",        # change-rate adaptive revisit intervals
+    "corpus_rank_frontier",  # host-rank -> fetch-budget feedback loop
 ]
 
 

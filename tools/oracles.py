@@ -401,6 +401,21 @@ def build_oracle_sql() -> dict[str, str]:
     sqls["corpus_web_rank"] = _wr + """
         SELECT node, rank AS rank_micro FROM w4"""
 
+    # Rank-weighted crawl budget (q_corpus_rank_frontier): the same
+    # 4-round weighted chain as corpus_web_rank, then the per-host
+    # census — n_kept = least(n_urls, budget) because frontier slots
+    # are dense from 0.
+    sqls["corpus_rank_frontier"] = _wr + """,
+        per AS (
+          SELECT 'h' || CAST(doc_id % 41 AS INT) || '.example' AS host,
+                 CAST(count(*) AS BIGINT) AS n_urls
+          FROM documents WHERE lang = 'en' GROUP BY 1)
+        SELECT p.host, r.rank AS rank_micro,
+               1 + r.rank // 300000 AS budget,
+               p.n_urls,
+               least(p.n_urls, 1 + r.rank // 300000) AS n_kept
+        FROM per p JOIN w4 r ON r.node = p.host"""
+
     # Magic-byte MIME sniff (q_corpus_mime_sniff): doc_id%8 → MIME
     # directly; the Spark side must recover these from real prefix
     # bytes followed by arbitrary text.
