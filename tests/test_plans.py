@@ -1158,3 +1158,28 @@ def test_web_redirects_all_joins_broadcast(spark):
     plan = _plan(resolve_redirects(df, hops=3))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_web_recrawl_window_reuses_partitioning(spark):
+    """recrawl_schedule: the url-partitioned lag window and the url
+    aggregate must share ONE Exchange (same key → no re-shuffle)."""
+    import datetime as dt
+    from kg.web import recrawl_schedule
+    r = spark.createDataFrame(
+        [("u1", dt.datetime(2024, 1, 1), "k", 0)],
+        "url string, ts timestamp, content_key string, event_id long")
+    plan = _plan(recrawl_schedule(r, order_col="event_id"))
+    assert plan.count("Exchange") == 1
+    assert "ArrowEvalPython" not in plan
+
+
+def test_web_robots_delays_broadcast_group_join(spark):
+    """robots_delays: the UA-side group join is broadcast (robots
+    metadata never shuffles the rule lines)."""
+    from kg.web import robots_delays
+    df = spark.createDataFrame(
+        [("h0", "User-agent: a\nCrawl-delay: 2\n")],
+        "host string, robots string")
+    plan = _plan(robots_delays(df))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
