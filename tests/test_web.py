@@ -308,3 +308,31 @@ def test_recrawl_schedule_intervals(spark):
     assert got["u1"] == (6, 2, 1000 * 5 // 3)   # 5 intervals, 2 changes
     assert got["u2"] == (4, 0, 3000)            # stretches to base*(n-1)
     assert got["u3"] == (1, 0, 1000)            # no evidence -> base
+
+
+def test_chunked_roundtrip_fuzz(spark):
+    """Seeded fuzz: arbitrary payloads (CRLFs, unicode, quotes, long
+    runs) chunk-encoded at random boundaries must round-trip through
+    the in-row fold bit-exactly."""
+    import random
+    rng = random.Random(42)
+    alphabet = "ab \r\n\t;0F\"'é✓<>&" + "x" * 5
+    cases = []
+    for i in range(50):
+        n = rng.randint(0, 200)
+        t = "".join(rng.choice(alphabet) for _ in range(n))
+        parts, pos = [], 0
+        while pos < len(t):
+            step = rng.randint(1, 40)
+            parts.append(t[pos:pos + step])
+            pos += step
+        enc = "".join(format(len(c), "x") + "\r\n" + c + "\r\n"
+                      for c in parts) + "0\r\n\r\n"
+        resp = ("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+                + enc)
+        cases.append((i, t, resp))
+    df = spark.createDataFrame(cases, "i int, want string, resp string")
+    rows = web.parse_http_response(df, max_chunks=16).collect()
+    for r in rows:
+        assert r.body_ok, f"case {r.i} not ok"
+        assert r.body == r.want, f"case {r.i} mismatch"
