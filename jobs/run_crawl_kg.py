@@ -102,7 +102,16 @@ def build_crawl_fixture(docs: DataFrame) -> DataFrame:
 
 def build_crawl_kg(spark: SparkSession, crawl: DataFrame,
                    out_dir: str | None, iterations: int = 6,
-                   full_pipeline: bool = False) -> dict:
+                   full_pipeline: bool = False,
+                   do_rank: bool = True,
+                   collect_stats: bool = True) -> dict:
+    """`collect_stats=False` skips the per-stage audit counts (each is
+    its own Spark job re-running the string pipeline — six extra
+    passes); production keeps them, throughput benches turn them off.
+    `do_rank=False` skips the host-graph leg entirely (its fixed
+    per-round shuffle latency is a CONSTANT on a small host graph and
+    amortizes only at real web-graph scale — the scaling bench
+    measures both configurations to attribute it)."""
     from kg.annotate import PipelineSpec
     from kg.corpus import parse_warc
     from kg.graphrank import pagerank
@@ -111,7 +120,8 @@ def build_crawl_kg(spark: SparkSession, crawl: DataFrame,
                         parse_http_response, soft404_flags)
 
     stats: dict = {}
-    stats["n_input"] = crawl.count()
+    if collect_stats:
+        stats["n_input"] = crawl.count()
 
     # WARC framing → HTTP envelope over the response payloads
     recs = (parse_warc(crawl.select("doc_id", "warc"))
@@ -119,7 +129,8 @@ def build_crawl_kg(spark: SparkSession, crawl: DataFrame,
             .join(crawl.select("doc_id", "base_url"), "doc_id"))
     pages = parse_http_response(recs.withColumnRenamed("payload",
                                                        "resp"))
-    stats["n_responses"] = pages.count()
+    if collect_stats:
+        stats["n_responses"] = pages.count()
 
     # fetch gate + ONE materialization before the two consumer legs
     # (rule 7; also the dechunk-fold-before-UDF requirement)
@@ -128,11 +139,15 @@ def build_crawl_kg(spark: SparkSession, crawl: DataFrame,
                .select("doc_id", "base_url",
                        F.col("body").alias("html"))
                .localCheckpoint())
-    stats["n_fetched_200"] = fetched.count()
+    if collect_stats:
+        stats["n_fetched_200"] = fetched.count()
 
     # leg 1: the host web graph from EVERY fetched page
-    edges = host_edges(extract_links(fetched), src_url_col="base_url")
-    rank = pagerank(edges, iterations=iterations, weight_col="weight")
+    if do_rank:
+        edges = host_edges(extract_links(fetched),
+                           src_url_col="base_url")
+        rank = pagerank(edges, iterations=iterations,
+                        weight_col="weight")
 
     # leg 2: main content, soft-404 gate, annotate
     content = main_content(fetched, html_col="html")
@@ -151,7 +166,9 @@ def build_crawl_kg(spark: SparkSession, crawl: DataFrame,
                                   id_cols=("doc_id",), lang_col="lang",
                                   spec=spec)
 
-    sinks = {"triples": triples, "host_rank": rank}
+    sinks = {"triples": triples}
+    if do_rank:
+        sinks["host_rank"] = rank
     for name, df in sinks.items():
         if out_dir is None:            # count-only mode (scaling bench)
             stats[f"n_{name}"] = df.count()
@@ -159,8 +176,10 @@ def build_crawl_kg(spark: SparkSession, crawl: DataFrame,
             df.write.mode("overwrite").parquet(f"{out_dir}/{name}")
             stats[f"n_{name}"] = (
                 spark.read.parquet(f"{out_dir}/{name}").count())
-    stats["n_docs_annotated"] = gated.count()
-    stats["n_host_edges"] = edges.count()
+    if collect_stats:
+        stats["n_docs_annotated"] = gated.count()
+        if do_rank:
+            stats["n_host_edges"] = edges.count()
     print(json.dumps(stats))
     return stats
 
