@@ -5145,6 +5145,83 @@ def q_corpus_rank_frontier(spark, sf_dir):
                  .cast("bigint").alias("n_kept")))
 
 
+def q_corpus_pct_urls(spark, sf_dir):
+    """Percent-encoding normalization (kg.web.percent_normalize —
+    normalize_urls' documented non-goal, closed): doc_id%4 rotates an
+    unreserved-escape URL (%41/%7e decode, %2f only uppercases), an
+    already-clean URL, a malformed-escape URL that must pass through
+    untouched, and an unreserved-punctuation run.  The ORACLE
+    constructs the expected normalized string from the case arithmetic
+    — no split/transform mirror anywhere."""
+    from kg.web import percent_normalize
+    m25 = (F.col("doc_id") % 25).cast("string")
+    url = (F.when(F.col("doc_id") % 4 == 0,
+                  F.concat(F.lit("http://e.example/p%41"), m25,
+                           F.lit("%2fx%7e")))
+           .when(F.col("doc_id") % 4 == 1,
+                 F.concat(F.lit("http://e.example/clean"), m25))
+           .when(F.col("doc_id") % 4 == 2,
+                 F.concat(F.lit("http://e.example/bad%zz"), m25,
+                          F.lit("%4")))
+           .otherwise(F.concat(F.lit("http://e.example/%2D%2e%5F"),
+                               m25)))
+    docs = _docs(spark, sf_dir).select("doc_id", url.alias("url"))
+    return percent_normalize(docs).select("doc_id", "url_pct")
+
+
+def q_corpus_wet_roundtrip(spark, sf_dir):
+    """WET emission + re-parse round-trip (kg.web.to_wet →
+    kg.corpus.parse_warc): per-doc conversion records concatenate into
+    multi-record shard blobs (doc_id%50 groups, records ordered by
+    doc_id via one sort_array aggregate — no window), and the
+    re-parse must recover every record with its exact payload.  The
+    ORACLE computes rec_index as the within-group doc_id rank and the
+    payload/Content-Length directly from the text — a framing defect
+    on EITHER side (writer or parser) breaks rows or hash."""
+    from kg.corpus import parse_warc
+    from kg.web import to_wet
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("http://h"), (F.col("doc_id") % 7).cast("string"),
+                 F.lit(".example/p"), F.col("doc_id").cast("string"))
+        .alias("url"),
+        "text")
+    wet = to_wet(docs)
+    blob = (wet.groupBy((F.col("doc_id") % 50).alias("g"))
+            .agg(F.array_join(F.transform(
+                F.sort_array(F.collect_list(
+                    F.struct("doc_id", "wet_record"))),
+                lambda s: s["wet_record"]), "").alias("warc"))
+            .select(F.col("g").alias("doc_id"), "warc"))
+    return (parse_warc(blob)
+            .select(F.col("doc_id").alias("g"), "rec_index",
+                    "warc_type", "content_length",
+                    F.md5("payload").alias("payload_md5")))
+
+
+def q_corpus_sitemap_discovery(spark, sf_dir):
+    """robots.txt Sitemap discovery (kg.web.robots_sitemaps — RFC 9309
+    §2.3 non-group field): even hosts carry two Sitemap lines in mixed
+    case with a comment between them, odd hosts none; the scan must
+    find both in file order regardless of the group structure around
+    them.  ORACLE = the parity grid."""
+    from kg.web import robots_sitemaps
+    hs = (_docs(spark, sf_dir)
+          .select((F.col("doc_id") % 7).cast("int").alias("hn"))
+          .distinct())
+    host = F.concat(F.lit("h"), F.col("hn").cast("string"))
+    robots = (F.when(
+        F.col("hn") % 2 == 0,
+        F.concat(F.lit("User-agent: *\nDisallow: /p\nSitemap: "
+                       "https://h"), F.col("hn").cast("string"),
+                 F.lit(".example/s1.xml\n# c\nsitemap: https://h"),
+                 F.col("hn").cast("string"),
+                 F.lit(".example/s2.xml\n")))
+        .otherwise(F.lit("User-agent: *\nDisallow: /p\n")))
+    return robots_sitemaps(hs.select(host.alias("host"),
+                                     robots.alias("robots")))
+
+
 # R5 DRIVER WINDOW (STATUS.md §rotation, r5 entry).  The driver's
 # CORRECTNESS artifact certifies roughly the FIRST 50 entries of
 # queries() per round.  VERDICT r4 #1: fill the ENTIRE r5 window with
@@ -6142,6 +6219,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_trap_report": q_corpus_trap_report,
         "corpus_recrawl": q_corpus_recrawl,
         "corpus_rank_frontier": q_corpus_rank_frontier,
+        "corpus_pct_urls": q_corpus_pct_urls,
+        "corpus_wet_roundtrip": q_corpus_wet_roundtrip,
+        "corpus_sitemap_discovery": q_corpus_sitemap_discovery,
     }
     # Hoist the r5 driver window to the front (see R5_WINDOW above);
     # everything else keeps its relative order behind it.

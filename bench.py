@@ -260,6 +260,9 @@ HEADLINE = [
     "corpus_trap_report",    # URL-template crawl-trap explosion flag
     "corpus_recrawl",        # change-rate adaptive revisit intervals
     "corpus_rank_frontier",  # host-rank -> fetch-budget feedback loop
+    "corpus_pct_urls",       # RFC 3986 percent-encoding normalization
+    "corpus_wet_roundtrip",  # WET writer -> parse_warc round-trip
+    "corpus_sitemap_discovery",  # robots Sitemap non-group field scan
 ]
 
 

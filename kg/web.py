@@ -434,6 +434,103 @@ def frontier_schedule(df: DataFrame, host_col: str = "host",
 
 
 # ---------------------------------------------------------------------------
+# percent-encoding normalization (RFC 3986 §6.2.2.2)
+# ---------------------------------------------------------------------------
+
+def percent_normalize(df: DataFrame, url_col: str = "url",
+                      out_col: str = "url_pct") -> DataFrame:
+    """Percent-encoding normalization — the case kg.corpus.
+    normalize_urls marks as its non-goal, closed: %XX escapes of
+    UNRESERVED characters (ALPHA / DIGIT / '-' '.' '_' '~') decode to
+    the character (RFC 3986 §2.3: such escapes are equivalent and a
+    normalizer SHOULD decode them), every other escape keeps its bytes
+    but uppercases the hex digits (§6.2.2.1), and a bare '%' not
+    followed by two hex digits passes through untouched (no spurious
+    decode of malformed input).
+
+    One split on '%' + one indexed transform + one array_join — all
+    in-row JVM expressions; each lambda references only its own
+    element, so there is no outer-expression re-evaluation (perf rule
+    10 does not arise).  Returns input plus out_col."""
+    parts = F.split(F.col(url_col), "%", -1)
+
+    def fix(e: Column, i: Column) -> Column:
+        hexs = F.upper(e.substr(1, 2))
+        valid = hexs.rlike("^[0-9A-F]{2}$")
+        code = F.conv(hexs, 16, 10).cast("int")
+        unreserved = ((code >= 48) & (code <= 57)
+                      | (code >= 65) & (code <= 90)
+                      | (code >= 97) & (code <= 122)
+                      | code.isin(45, 46, 95, 126))
+        rest = e.substr(F.lit(3), F.length(e))
+        fixed = (F.when(~valid, F.concat(F.lit("%"), e))
+                 .when(unreserved, F.concat(F.char(code), rest))
+                 .otherwise(F.concat(F.lit("%"), hexs, rest)))
+        return F.when(i == 0, e).otherwise(fixed)
+
+    return df.withColumn(out_col, F.array_join(F.transform(parts, fix),
+                                               ""))
+
+
+# ---------------------------------------------------------------------------
+# WET writer (the parse_warc inverse)
+# ---------------------------------------------------------------------------
+
+def to_wet(df: DataFrame, url_col: str = "url", text_col: str = "text",
+           id_col: str = "doc_id") -> DataFrame:
+    """WET conversion-record emission — parse_warc's inverse and the
+    interchange format a WET-producing pipeline ships (Common Crawl's
+    wet/ files are exactly these records): per row, one
+    WARC/1.0 `conversion` record carrying WARC-Target-URI and the
+    extracted text under its Content-Length.  Returns input plus
+    `wet_record`; concatenate per shard (array_join over a sorted
+    collect_list) to build member files — the corpus_wet_roundtrip
+    driver query does, and re-parses the result with parse_warc to
+    prove the framing round-trips.  Zero UDFs, zero shuffles."""
+    rec = F.concat(
+        F.lit("WARC/1.0" + CRLF + "WARC-Type: conversion" + CRLF
+              + "WARC-Target-URI: "),
+        F.col(url_col),
+        F.lit(CRLF + "Content-Length: "),
+        F.length(text_col).cast("string"),
+        F.lit(CRLF + CRLF), F.col(text_col), F.lit(CRLF + CRLF))
+    return df.withColumn("wet_record", rec)
+
+
+# ---------------------------------------------------------------------------
+# robots.txt Sitemap discovery
+# ---------------------------------------------------------------------------
+
+def robots_sitemaps(df: DataFrame, content_col: str = "robots",
+                    key_col: str = "host") -> DataFrame:
+    """Sitemap discovery from robots.txt — RFC 9309 §2.3's `Sitemap:`
+    is a NON-group field: it applies to all agents and may appear
+    anywhere in the file, so the extraction is a plain per-line scan
+    (no group windows at all), one posexplode + filter.  This is the
+    link between the robots gate and parse_sitemap: a frontier seeds
+    from exactly these URLs.
+
+    Returns (host, sitemap_index, sitemap_url) — index is the 1-based
+    order of appearance within the file."""
+    lines = (df.select(F.col(key_col).alias("host"),
+                       F.posexplode(F.split(F.col(content_col), "\n"))
+                       .alias("i", "line"))
+             .withColumn("line", F.trim(F.regexp_replace("line",
+                                                         "#.*$", ""))))
+    sm = (lines
+          .filter(F.lower(F.trim(F.substring_index("line", ":", 1)))
+                  == "sitemap")
+          .withColumn("sitemap_url", F.trim(F.expr(
+              "substring(line, instr(line, ':') + 1)"))))
+    from pyspark.sql import Window as W
+    w = W.partitionBy("host").orderBy("i")
+    return (sm.filter(F.col("sitemap_url") != "")
+            .select("host",
+                    F.row_number().over(w).alias("sitemap_index"),
+                    "sitemap_url"))
+
+
+# ---------------------------------------------------------------------------
 # charset detection
 # ---------------------------------------------------------------------------
 

@@ -336,3 +336,53 @@ def test_chunked_roundtrip_fuzz(spark):
     for r in rows:
         assert r.body_ok, f"case {r.i} not ok"
         assert r.body == r.want, f"case {r.i} mismatch"
+
+
+def test_percent_normalize(spark):
+    df = spark.createDataFrame(
+        [(0, "http://e.x/p%41%2fx%7e?q=%42"),
+         (1, "http://e.x/plain"),
+         (2, "http://e.x/bad%zz%4"),       # malformed escapes untouched
+         (3, "http://e.x/%2D%2e%5F"),      # unreserved punct decodes
+         (4, "http://e.x/100%")],          # trailing bare percent
+        "i int, url string")
+    got = {r.i: r.url_pct for r in web.percent_normalize(df).collect()}
+    assert got == {0: "http://e.x/pA%2Fx~?q=B",
+                   1: "http://e.x/plain",
+                   2: "http://e.x/bad%zz%4",
+                   3: "http://e.x/-._",
+                   4: "http://e.x/100%"}
+
+
+def test_wet_roundtrip_multi_record(spark):
+    from kg.corpus import parse_warc
+    docs = spark.createDataFrame(
+        [(i, "u%d" % i, "text %d body\r\nwith crlf" % i)
+         for i in range(5)],
+        "doc_id long, url string, text string")
+    wet = web.to_wet(docs)
+    blob = (wet.groupBy((F.col("doc_id") % 2).alias("g"))
+            .agg(F.array_join(F.transform(
+                F.sort_array(F.collect_list(
+                    F.struct("doc_id", "wet_record"))),
+                lambda s: s["wet_record"]), "").alias("warc"))
+            .select(F.col("g").alias("doc_id"), "warc"))
+    rows = parse_warc(blob).collect()
+    assert len(rows) == 5
+    assert all(r.warc_type == "conversion" for r in rows)
+    # payloads round-trip exactly, CRLFs included
+    texts = {(r.doc_id, r.rec_index): r.payload for r in rows}
+    assert texts[(0, 1)] == "text 0 body\r\nwith crlf"
+    assert texts[(1, 2)] == "text 3 body\r\nwith crlf"
+
+
+def test_robots_sitemaps_nongroup_field(spark):
+    r = ("User-agent: *\nDisallow: /p\n"
+         "Sitemap: https://h.example/s1.xml\n"
+         "# c\nsitemap: https://h.example/s2.xml\n")
+    df = spark.createDataFrame([("h0", r), ("h1", "User-agent: *\n")],
+                               "host string, robots string")
+    got = {(x.host, x.sitemap_index): x.sitemap_url
+           for x in web.robots_sitemaps(df).collect()}
+    assert got == {("h0", 1): "https://h.example/s1.xml",
+                   ("h0", 2): "https://h.example/s2.xml"}

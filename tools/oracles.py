@@ -626,6 +626,45 @@ def build_oracle_sql() -> dict[str, str]:
                     END AS BIGINT) AS next_fetch_ms
         FROM per"""
 
+    # Percent-encoding normalization (q_corpus_pct_urls): expected
+    # string from the case arithmetic directly.
+    sqls["corpus_pct_urls"] = """
+        SELECT doc_id,
+               CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN 'http://e.example/pA' ||
+                 CAST(CAST(doc_id % 25 AS INT) AS VARCHAR) || '%2Fx~'
+               WHEN 1 THEN 'http://e.example/clean' ||
+                 CAST(CAST(doc_id % 25 AS INT) AS VARCHAR)
+               WHEN 2 THEN 'http://e.example/bad%zz' ||
+                 CAST(CAST(doc_id % 25 AS INT) AS VARCHAR) || '%4'
+               ELSE 'http://e.example/-._' ||
+                 CAST(CAST(doc_id % 25 AS INT) AS VARCHAR)
+               END AS url_pct
+        FROM documents WHERE lang = 'en'"""
+
+    # WET round-trip (q_corpus_wet_roundtrip): rec_index = within-group
+    # doc_id rank; payload facts straight from the text column.
+    sqls["corpus_wet_roundtrip"] = """
+        SELECT CAST(doc_id % 50 AS BIGINT) AS g,
+               CAST(row_number() OVER (
+                 PARTITION BY doc_id % 50 ORDER BY doc_id)
+                 AS INT) AS rec_index,
+               'conversion' AS warc_type,
+               CAST(length(text) AS BIGINT) AS content_length,
+               md5(text) AS payload_md5
+        FROM documents WHERE lang = 'en'"""
+
+    # Sitemap discovery (q_corpus_sitemap_discovery): the parity grid.
+    sqls["corpus_sitemap_discovery"] = """
+        WITH hs AS (
+          SELECT DISTINCT CAST(doc_id % 7 AS INT) AS hn
+          FROM documents WHERE lang = 'en')
+        SELECT 'h' || hn AS host, CAST(j AS INT) AS sitemap_index,
+               'https://h' || hn || '.example/s' || j || '.xml'
+                 AS sitemap_url
+        FROM hs, (VALUES (1), (2)) AS t(j)
+        WHERE hn % 2 = 0"""
+
     # Politeness frontier (q_corpus_frontier): one window + the md5
     # hex-digit worker bucket (_hexn_of, the kg_tag_walks discipline).
     _fr_worker = _hexn_of("md5('h' || CAST(doc_id % 13 AS INT))", 1, 6)
