@@ -5222,6 +5222,31 @@ def q_corpus_sitemap_discovery(spark, sf_dir):
                                      robots.alias("robots")))
 
 
+def q_multimodal_svg(spark, sf_dir):
+    """SVG dimension extraction (kg.web.svg_dims — the text-format
+    member of the image-dims family): doc_id%4 rotates explicit
+    width/height attrs (fractional px), a viewBox-only document, a
+    percent-unit document that must FALL BACK to its comma-separated
+    viewBox, and a dimensionless root.  ORACLE = the case arithmetic
+    in integer milli-units."""
+    from kg.web import svg_dims
+    m = (F.col("doc_id") % 25).cast("string")
+    svg = (F.when(F.col("doc_id") % 4 == 0,
+                  F.concat(F.lit('<svg width="1'), m,
+                           F.lit('" height="48.5px"><rect/></svg>')))
+           .when(F.col("doc_id") % 4 == 1,
+                 F.concat(F.lit("<svg viewBox='0 0 64"), m,
+                          F.lit(" 480'><g/></svg>")))
+           .when(F.col("doc_id") % 4 == 2,
+                 F.concat(F.lit('<svg width="100%" height="2em" '
+                                'viewBox="-1,-1,33.5,2'), m,
+                          F.lit('"><g/></svg>')))
+           .otherwise(F.lit("<svg><g/></svg>")))
+    docs = _docs(spark, sf_dir).select("doc_id", svg.alias("svg"))
+    return svg_dims(docs).select("doc_id", "svg_width_milli",
+                                 "svg_height_milli", "svg_dims_source")
+
+
 # R5 DRIVER WINDOW (STATUS.md §rotation, r5 entry).  The driver's
 # CORRECTNESS artifact certifies roughly the FIRST 50 entries of
 # queries() per round.  VERDICT r4 #1: fill the ENTIRE r5 window with
@@ -6222,6 +6247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pct_urls": q_corpus_pct_urls,
         "corpus_wet_roundtrip": q_corpus_wet_roundtrip,
         "corpus_sitemap_discovery": q_corpus_sitemap_discovery,
+        "multimodal_svg": q_multimodal_svg,
     }
     # Hoist the r5 driver window to the front (see R5_WINDOW above);
     # everything else keeps its relative order behind it.

@@ -263,6 +263,7 @@ HEADLINE = [
     "corpus_pct_urls",       # RFC 3986 percent-encoding normalization
     "corpus_wet_roundtrip",  # WET writer -> parse_warc round-trip
     "corpus_sitemap_discovery",  # robots Sitemap non-group field scan
+    "multimodal_svg",        # SVG dims: attr vs viewBox fallback
 ]
 
 

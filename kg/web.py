@@ -498,6 +498,58 @@ def to_wet(df: DataFrame, url_col: str = "url", text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# SVG dimensions
+# ---------------------------------------------------------------------------
+
+def svg_dims(df: DataFrame, svg_col: str = "svg") -> DataFrame:
+    """SVG dimension extraction — the text-format member of the
+    image-dims family (kg.multimodal.image_dims owns the binary
+    containers; SVG is XML, so it parses here with the sitemap
+    block-walk discipline): width/height attributes on the root <svg>
+    tag win; unitless or px values parse to integer milli-units
+    (fractional SVG sizes are routine), other units (%%, em, pt)
+    surface as NULL rather than a wrong number; when either attribute
+    is absent the viewBox's third/fourth numbers stand in (the
+    intrinsic-size rule browsers apply).
+
+    Returns input plus (svg_width_milli, svg_height_milli,
+    svg_dims_source ∈ attr|viewbox|none).  Zero UDFs, zero
+    shuffles."""
+    root = F.regexp_extract(F.col(svg_col), r"(?is)<svg\b([^>]*)>", 1)
+
+    def attr(name: str) -> Column:
+        raw = F.nullif(F.regexp_extract(
+            root, r'(?i)\b' + name + r'\s*=\s*["\']([^"\']*)["\']', 1),
+            F.lit(""))
+        num = F.regexp_extract(raw, r"^\s*([0-9]+(?:\.[0-9]+)?)"
+                                    r"\s*(px)?\s*$", 1)
+        return (F.nullif(num, F.lit("")).cast("decimal(12,3)")
+                * 1000).cast("bigint")
+
+    vb = F.regexp_extract(
+        root, r'(?i)\bviewBox\s*=\s*["\']\s*[-0-9.]+[ ,]+[-0-9.]+'
+              r'[ ,]+([0-9.]+)[ ,]+([0-9.]+)', 1)
+    vb_h = F.regexp_extract(
+        root, r'(?i)\bviewBox\s*=\s*["\']\s*[-0-9.]+[ ,]+[-0-9.]+'
+              r'[ ,]+([0-9.]+)[ ,]+([0-9.]+)', 2)
+    vb_w_m = (F.nullif(vb, F.lit("")).cast("decimal(12,3)")
+              * 1000).cast("bigint")
+    vb_h_m = (F.nullif(vb_h, F.lit("")).cast("decimal(12,3)")
+              * 1000).cast("bigint")
+    w, h = attr("width"), attr("height")
+    has_attr = w.isNotNull() & h.isNotNull()
+    has_vb = vb_w_m.isNotNull() & vb_h_m.isNotNull()
+    return (df.withColumn("svg_width_milli",
+                          F.when(has_attr, w).otherwise(vb_w_m))
+            .withColumn("svg_height_milli",
+                        F.when(has_attr, h).otherwise(vb_h_m))
+            .withColumn("svg_dims_source",
+                        F.when(has_attr, F.lit("attr"))
+                        .when(has_vb, F.lit("viewbox"))
+                        .otherwise(F.lit("none"))))
+
+
+# ---------------------------------------------------------------------------
 # robots.txt Sitemap discovery
 # ---------------------------------------------------------------------------
 

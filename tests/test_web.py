@@ -386,3 +386,22 @@ def test_robots_sitemaps_nongroup_field(spark):
            for x in web.robots_sitemaps(df).collect()}
     assert got == {("h0", 1): "https://h.example/s1.xml",
                    ("h0", 2): "https://h.example/s2.xml"}
+
+
+def test_svg_dims(spark):
+    rows = [(0, '<?xml version="1.0"?><svg width="120" '
+                'height="48.5px" xmlns="x"><rect/></svg>'),
+            (1, "<svg viewBox='0 0 640 480'><g/></svg>"),
+            (2, '<svg width="100%" height="2em" '
+                'viewBox="-10,-10,33.5,20"><g/></svg>'),   # units -> vb
+            (3, "<svg><g/></svg>"),
+            (4, "not svg at all")]
+    df = spark.createDataFrame(rows, "i int, svg string")
+    got = {r.i: (r.svg_width_milli, r.svg_height_milli,
+                 r.svg_dims_source)
+           for r in web.svg_dims(df).collect()}
+    assert got == {0: (120000, 48500, "attr"),
+                   1: (640000, 480000, "viewbox"),
+                   2: (33500, 20000, "viewbox"),
+                   3: (None, None, "none"),
+                   4: (None, None, "none")}

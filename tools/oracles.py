@@ -654,6 +654,33 @@ def build_oracle_sql() -> dict[str, str]:
                md5(text) AS payload_md5
         FROM documents WHERE lang = 'en'"""
 
+    # SVG dims (q_multimodal_svg): expected milli-dims from the case
+    # arithmetic ('1'||m and '64'||m and '2'||m are string concats —
+    # replayed as such).
+    sqls["multimodal_svg"] = """
+        SELECT doc_id,
+               CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN CAST(('1' ||
+                 CAST(CAST(doc_id % 25 AS INT) AS VARCHAR))::BIGINT
+                 * 1000 AS BIGINT)
+               WHEN 1 THEN CAST(('64' ||
+                 CAST(CAST(doc_id % 25 AS INT) AS VARCHAR))::BIGINT
+                 * 1000 AS BIGINT)
+               WHEN 2 THEN CAST(33500 AS BIGINT)
+               END AS svg_width_milli,
+               CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN CAST(48500 AS BIGINT)
+               WHEN 1 THEN CAST(480000 AS BIGINT)
+               WHEN 2 THEN CAST(('2' ||
+                 CAST(CAST(doc_id % 25 AS INT) AS VARCHAR))::BIGINT
+                 * 1000 AS BIGINT)
+               END AS svg_height_milli,
+               CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN 'attr' WHEN 1 THEN 'viewbox'
+               WHEN 2 THEN 'viewbox' ELSE 'none' END
+                 AS svg_dims_source
+        FROM documents WHERE lang = 'en'"""
+
     # Sitemap discovery (q_corpus_sitemap_discovery): the parity grid.
     sqls["corpus_sitemap_discovery"] = """
         WITH hs AS (
