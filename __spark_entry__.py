@@ -5247,6 +5247,30 @@ def q_multimodal_svg(spark, sf_dir):
                                  "svg_height_milli", "svg_dims_source")
 
 
+def q_corpus_anchor_index(spark, sf_dir):
+    """Anchor-text index (kg.web.extract_anchors + anchor_index — the
+    Brin & Page §2.2 signal): each doc carries one cross-site anchor
+    (target t(doc%10), text 'site '||doc%3 — so every popular target
+    accumulates up to 3 distinct texts across many docs), one
+    host-local anchor ('here'), and a hrefless named anchor that must
+    NOT become a link.  The ORACLE rebuilds both target families from
+    the modulus arithmetic (counts, distinct-text census, sorted
+    comma-joined sample) — extraction, alignment, resolution, and the
+    bounded-sample aggregate are all under check."""
+    from kg.web import anchor_index, extract_anchors
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit('<a href="http://t'), (d % 10).cast("string"),
+        F.lit('.example/page">site '), (d % 3).cast("string"),
+        F.lit('</a><a name="x">named</a><a href="/local'),
+        (d % 25).cast("string"), F.lit('">here</a>'))
+    base = F.concat(F.lit("http://h"), (d % 7).cast("string"),
+                    F.lit(".example/d/p.html"))
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", html.alias("html"), base.alias("base_url"))
+    return anchor_index(extract_anchors(docs))
+
+
 # R5 DRIVER WINDOW (STATUS.md §rotation, r5 entry).  The driver's
 # CORRECTNESS artifact certifies roughly the FIRST 50 entries of
 # queries() per round.  VERDICT r4 #1: fill the ENTIRE r5 window with
@@ -6248,6 +6272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_wet_roundtrip": q_corpus_wet_roundtrip,
         "corpus_sitemap_discovery": q_corpus_sitemap_discovery,
         "multimodal_svg": q_multimodal_svg,
+        "corpus_anchor_index": q_corpus_anchor_index,
     }
     # Hoist the r5 driver window to the front (see R5_WINDOW above);
     # everything else keeps its relative order behind it.

@@ -264,6 +264,7 @@ HEADLINE = [
     "corpus_wet_roundtrip",  # WET writer -> parse_warc round-trip
     "corpus_sitemap_discovery",  # robots Sitemap non-group field scan
     "multimodal_svg",        # SVG dims: attr vs viewBox fallback
+    "corpus_anchor_index",   # per-target anchor-text aggregation
 ]
 
 

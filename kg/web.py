@@ -287,6 +287,87 @@ def host_edges(links: DataFrame, src_url_col: str = "base_url",
             .agg(F.count("*").cast("bigint").alias("weight")))
 
 
+def extract_anchors(df: DataFrame, html_col: str = "html",
+                    base_col: str = "base_url") -> DataFrame:
+    """Anchor extraction WITH text — extract_links' documented
+    non-goal, closed: the whole <a …>…</a> element extracts as one
+    match, and href + inner text come out of the SAME element string,
+    so hrefless anchors can never misalign the pair (the failure mode
+    that made two parallel extractions unsound).  The inner markup
+    strips to text (strip_html's tag rule), entities stay encoded
+    (the documents corpus carries none; kg.corpus.HTML_ENTITIES is
+    the decode point if needed).  href resolution reuses the
+    extract_links rules verbatim via one self-contained projection.
+
+    Anchor text is the classic web-KG relevance signal (the anchor
+    index: what OTHER pages call a target — Brin & Page §2.2), so the
+    consumer shape is groupBy(url) over this output
+    (corpus_anchor_index).
+
+    Returns input plus (anchor_index, href, anchor_text, url) for
+    http/https/relative hrefs only.  Zero UDFs; one
+    regexp_extract_all + posexplode."""
+    anchors = F.regexp_extract_all(
+        F.col(html_col), F.lit(r"(?is)(<a\s[^>]*>.*?</a>)"), 1)
+    out = (df.select("*", F.posexplode_outer(anchors)
+                     .alias("anchor_index", "_a"))
+           .filter(F.col("_a").isNotNull()))
+    a = F.col("_a")
+    href = F.substring_index(
+        F.regexp_extract(a, "(?is)href\\s*=\\s*[\"']([^\"']*)[\"']", 1),
+        "#", 1)
+    text = F.trim(F.regexp_replace(
+        F.regexp_replace(a, r"(?s)<[^>]+>", " "), r"\s+", " "))
+    scheme = F.lower(F.regexp_extract(href,
+                                      r"^([A-Za-z][A-Za-z0-9+.\-]*):",
+                                      1))
+    base = F.col(base_col)
+    b_scheme = F.lower(F.regexp_extract(base, r"^([A-Za-z]+):", 1))
+    b_host = F.lower(F.regexp_extract(base, r"^[^:]+://([^/?#]*)", 1))
+    b_path = F.regexp_extract(base, r"^[^:]+://[^/?#]*([^?#]*)", 1)
+    b_dir = F.regexp_replace(b_path, r"[^/]*$", "")
+    resolved = (
+        F.when(scheme != "", href)
+        .when(href.startswith("//"), F.concat(b_scheme, F.lit(":"), href))
+        .when(href.startswith("/"),
+              F.concat(b_scheme, F.lit("://"), b_host, href))
+        .when(href == "", base)
+        .otherwise(F.concat(b_scheme, F.lit("://"), b_host,
+                            F.coalesce(F.nullif(b_dir, F.lit("")),
+                                       F.lit("/")),
+                            href)))
+    # a hrefless <a> is a named anchor, not a link — distinct from an
+    # explicit href="" (a real self-reference, which resolves to base)
+    has_href = a.rlike("(?is)href\\s*=")
+    return (out
+            .withColumn("href", href)
+            .withColumn("anchor_text", text)
+            .withColumn("url", resolved)
+            .withColumn("anchor_index",
+                        (F.col("anchor_index") + 1).cast("int"))
+            .filter(has_href & scheme.isin("", "http", "https"))
+            .drop("_a"))
+
+
+def anchor_index(anchors: DataFrame, url_col: str = "url",
+                 text_col: str = "anchor_text",
+                 max_texts: int = 10) -> DataFrame:
+    """The anchor index: per target URL, how many pages link to it and
+    what they CALL it — the lexically-first max_texts distinct anchor
+    texts (a bounded set per target, the inverted-index posting-cap
+    discipline, so a URL with 10^6 identical "click here" anchors
+    costs one row, never an unbounded collect).  One aggregate keyed
+    by the target URL.  Returns (url, n_anchors, n_texts,
+    anchor_texts) with anchor_texts a comma-joined sorted sample."""
+    return (anchors.groupBy(F.col(url_col).alias("url"))
+            .agg(F.count("*").cast("bigint").alias("n_anchors"),
+                 F.count_distinct(text_col).cast("bigint")
+                 .alias("n_texts"),
+                 F.array_join(F.slice(F.sort_array(
+                     F.collect_set(text_col)), 1, int(max_texts)), ",")
+                 .alias("anchor_texts")))
+
+
 # ---------------------------------------------------------------------------
 # magic-byte MIME sniffing
 # ---------------------------------------------------------------------------

@@ -405,3 +405,25 @@ def test_svg_dims(spark):
                    2: (33500, 20000, "viewbox"),
                    3: (None, None, "none"),
                    4: (None, None, "none")}
+
+
+def test_extract_anchors_alignment(spark):
+    html = ('<a href="/x">First <b>Link</b></a>'
+            '<a class="c">named anchor no href</a>'     # dropped
+            '<a href="http://o.example/y">  spaced   text </a>'
+            '<a href="mailto:a@b">mail</a>'             # dropped
+            '<a href="">self</a>'
+            '<a href="r.html"></a>')
+    df = spark.createDataFrame([(1, html, "http://h.example/d/p.html")],
+                               "doc_id int, html string, base_url string")
+    rows = web.extract_anchors(df).orderBy("anchor_index").collect()
+    got = [(r.anchor_index, r.anchor_text, r.url) for r in rows]
+    assert got == [
+        (1, "First Link", "http://h.example/x"),
+        (3, "spaced text", "http://o.example/y"),
+        (5, "self", "http://h.example/d/p.html"),
+        (6, "", "http://h.example/d/r.html"),
+    ]
+    idx = {r.url: (r.n_anchors, r.anchor_texts) for r in
+           web.anchor_index(web.extract_anchors(df)).collect()}
+    assert idx["http://h.example/x"] == (1, "First Link")

@@ -681,6 +681,25 @@ def build_oracle_sql() -> dict[str, str]:
                  AS svg_dims_source
         FROM documents WHERE lang = 'en'"""
 
+    # Anchor index (q_corpus_anchor_index): both target families from
+    # the modulus arithmetic — cross-site targets accumulate up to 3
+    # distinct texts, host-local targets exactly one.
+    sqls["corpus_anchor_index"] = """
+        SELECT 'http://t' || CAST(doc_id % 10 AS INT)
+                 || '.example/page' AS url,
+               CAST(count(*) AS BIGINT) AS n_anchors,
+               CAST(count(DISTINCT doc_id % 3) AS BIGINT) AS n_texts,
+               array_to_string(list_sort(list(DISTINCT
+                 'site ' || CAST(doc_id % 3 AS INT))), ',')
+                 AS anchor_texts
+        FROM documents WHERE lang = 'en' GROUP BY 1
+        UNION ALL
+        SELECT 'http://h' || CAST(doc_id % 7 AS INT)
+                 || '.example/local' || CAST(doc_id % 25 AS INT),
+               CAST(count(*) AS BIGINT),
+               CAST(1 AS BIGINT), 'here'
+        FROM documents WHERE lang = 'en' GROUP BY 1"""
+
     # Sitemap discovery (q_corpus_sitemap_discovery): the parity grid.
     sqls["corpus_sitemap_discovery"] = """
         WITH hs AS (
