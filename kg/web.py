@@ -202,40 +202,20 @@ def parse_http_response(df: DataFrame, resp_col: str = "resp",
 # hyperlink extraction + RFC 3986 reference resolution
 # ---------------------------------------------------------------------------
 
-def extract_links(df: DataFrame, html_col: str = "html",
-                  base_col: str = "base_url") -> DataFrame:
-    """<a href> extraction with RFC 3986 §5 reference resolution — the
-    web-graph edge emitter: every crawl's link structure (the PageRank
-    / frontier-expansion substrate) comes out of exactly this pass.
-
-    Per row: href attributes from anchor tags (single- or
-    double-quoted), fragment stripped (never part of the fetch key),
-    then resolved against base_col: absolute URIs pass through;
-    scheme-relative (//host/p) take the base scheme; root-relative
-    (/p) take scheme://host; empty references resolve to the base
-    itself; everything else joins to the base's directory.  Dot
-    segments (./ and ../) are removed with a bounded 4-pass rewrite —
-    covers nesting 4 deep, far beyond real markup; the pattern uses a
-    Java-regex lookahead, fine engine-side (oracles construct expected
-    links independently rather than mirroring, the strip_html rule).
-    Non-fetchable schemes (javascript:, mailto:, data:, tel:) are
-    dropped — only http/https/relative survive.
-
-    Returns input columns plus (link_index, href, url).  Zero UDFs;
-    explode_outer+filter (perf rule 2's shape) so the extract runs
-    once.  Anchor text is a documented non-goal (hrefless anchors
-    would misalign a parallel extraction; a struct-pair variant is the
-    integration point)."""
-    hrefs = F.regexp_extract_all(
-        F.col(html_col),
-        F.lit("(?is)<a\\s[^>]*?href\\s*=\\s*[\"']([^\"']*)[\"']"), 1)
-    out = (df.select("*", F.posexplode_outer(hrefs)
-                     .alias("link_index", "href"))
-           .filter(F.col("href").isNotNull()))
-    href = F.substring_index(F.col("href"), "#", 1)
+def resolve_reference(href: Column, base: Column) -> Column:
+    """RFC 3986 §5 reference resolution as one column expression —
+    shared by extract_links and extract_anchors (one rule set, two
+    extraction shapes): absolute URIs pass through; scheme-relative
+    (//host/p) take the base scheme; root-relative (/p) take
+    scheme://host; the empty reference resolves to the base itself;
+    everything else joins to the base's directory.  Dot segments
+    (./ and ../) are removed with a bounded 4-pass rewrite — covers
+    nesting 4 deep, far beyond real markup; the pattern uses a
+    Java-regex lookahead, fine engine-side (oracles construct
+    expected links independently rather than mirroring)."""
     scheme = F.lower(F.regexp_extract(href,
-                                      r"^([A-Za-z][A-Za-z0-9+.\-]*):", 1))
-    base = F.col(base_col)
+                                      r"^([A-Za-z][A-Za-z0-9+.\-]*):",
+                                      1))
     b_scheme = F.lower(F.regexp_extract(base, r"^([A-Za-z]+):", 1))
     b_host = F.lower(F.regexp_extract(base, r"^[^:]+://([^/?#]*)", 1))
     b_path = F.regexp_extract(base, r"^[^:]+://[^/?#]*([^?#]*)", 1)
@@ -254,10 +234,44 @@ def extract_links(df: DataFrame, html_col: str = "html",
     for _ in range(4):
         resolved = F.regexp_replace(resolved,
                                     r"/(?!\.\.)[^/]+/\.\./", "/")
-    return (out.withColumn("url", resolved)
+    return resolved
+
+
+def _ref_scheme(href: Column) -> Column:
+    return F.lower(F.regexp_extract(href,
+                                    r"^([A-Za-z][A-Za-z0-9+.\-]*):", 1))
+
+
+def extract_links(df: DataFrame, html_col: str = "html",
+                  base_col: str = "base_url") -> DataFrame:
+    """<a href> extraction with RFC 3986 §5 reference resolution — the
+    web-graph edge emitter: every crawl's link structure (the PageRank
+    / frontier-expansion substrate) comes out of exactly this pass.
+
+    Per row: href attributes from anchor tags (single- or
+    double-quoted), fragment stripped (never part of the fetch key),
+    then resolved against base_col via resolve_reference (the shared
+    RFC 3986 §5 rule set).  Non-fetchable schemes (javascript:,
+    mailto:, data:, tel:) are dropped — only http/https/relative
+    survive.
+
+    Returns input columns plus (link_index, href, url).  Zero UDFs;
+    explode_outer+filter (perf rule 2's shape) so the extract runs
+    once.  For anchor TEXT use extract_anchors (per-element pairing —
+    a parallel extraction here would misalign on hrefless
+    anchors)."""
+    hrefs = F.regexp_extract_all(
+        F.col(html_col),
+        F.lit("(?is)<a\\s[^>]*?href\\s*=\\s*[\"']([^\"']*)[\"']"), 1)
+    out = (df.select("*", F.posexplode_outer(hrefs)
+                     .alias("link_index", "href"))
+           .filter(F.col("href").isNotNull()))
+    href = F.substring_index(F.col("href"), "#", 1)
+    return (out.withColumn("url",
+                           resolve_reference(href, F.col(base_col)))
             .withColumn("link_index",
                         (F.col("link_index") + 1).cast("int"))
-            .filter(scheme.isin("", "http", "https")))
+            .filter(_ref_scheme(href).isin("", "http", "https")))
 
 
 def host_edges(links: DataFrame, src_url_col: str = "base_url",
@@ -318,34 +332,18 @@ def extract_anchors(df: DataFrame, html_col: str = "html",
         "#", 1)
     text = F.trim(F.regexp_replace(
         F.regexp_replace(a, r"(?s)<[^>]+>", " "), r"\s+", " "))
-    scheme = F.lower(F.regexp_extract(href,
-                                      r"^([A-Za-z][A-Za-z0-9+.\-]*):",
-                                      1))
-    base = F.col(base_col)
-    b_scheme = F.lower(F.regexp_extract(base, r"^([A-Za-z]+):", 1))
-    b_host = F.lower(F.regexp_extract(base, r"^[^:]+://([^/?#]*)", 1))
-    b_path = F.regexp_extract(base, r"^[^:]+://[^/?#]*([^?#]*)", 1)
-    b_dir = F.regexp_replace(b_path, r"[^/]*$", "")
-    resolved = (
-        F.when(scheme != "", href)
-        .when(href.startswith("//"), F.concat(b_scheme, F.lit(":"), href))
-        .when(href.startswith("/"),
-              F.concat(b_scheme, F.lit("://"), b_host, href))
-        .when(href == "", base)
-        .otherwise(F.concat(b_scheme, F.lit("://"), b_host,
-                            F.coalesce(F.nullif(b_dir, F.lit("")),
-                                       F.lit("/")),
-                            href)))
     # a hrefless <a> is a named anchor, not a link — distinct from an
     # explicit href="" (a real self-reference, which resolves to base)
     has_href = a.rlike("(?is)href\\s*=")
     return (out
             .withColumn("href", href)
             .withColumn("anchor_text", text)
-            .withColumn("url", resolved)
+            .withColumn("url",
+                        resolve_reference(href, F.col(base_col)))
             .withColumn("anchor_index",
                         (F.col("anchor_index") + 1).cast("int"))
-            .filter(has_href & scheme.isin("", "http", "https"))
+            .filter(has_href
+                    & _ref_scheme(href).isin("", "http", "https"))
             .drop("_a"))
 
 
