@@ -21,8 +21,9 @@ operator (the job adds composition only).
           soft-404 gate            (kg.web.soft404_flags on the
                                     EXTRACTED text, phrase+thin)
       → annotate→triples           (kg.triples.annotate_to_triples)
-      → parquet sinks under <out_dir>/ (triples, host_rank),
-        one JSON stats line on stdout.
+      → parquet sinks under <out_dir>/ (triples, host_rank,
+        anchor_index, wet conversion records), one JSON stats line
+        on stdout.
 
 The parsed-and-gated page frame feeds TWO legs (links, content) and
 the content frame feeds the annotate UDF — both are localCheckpointed
@@ -116,8 +117,9 @@ def build_crawl_kg(spark: SparkSession, crawl: DataFrame,
     from kg.corpus import parse_warc
     from kg.graphrank import pagerank
     from kg.triples import annotate_to_triples
-    from kg.web import (extract_links, host_edges, main_content,
-                        parse_http_response, soft404_flags)
+    from kg.web import (anchor_index, extract_anchors, host_edges,
+                        main_content, parse_http_response,
+                        soft404_flags, to_wet)
 
     stats: dict = {}
     if collect_stats:
@@ -142,12 +144,13 @@ def build_crawl_kg(spark: SparkSession, crawl: DataFrame,
     if collect_stats:
         stats["n_fetched_200"] = fetched.count()
 
-    # leg 1: the host web graph from EVERY fetched page
+    # leg 1: the host web graph + anchor index from EVERY fetched page
     if do_rank:
-        edges = host_edges(extract_links(fetched),
-                           src_url_col="base_url")
+        anchors = extract_anchors(fetched, base_col="base_url")
+        edges = host_edges(anchors, src_url_col="base_url")
         rank = pagerank(edges, iterations=iterations,
                         weight_col="weight")
+        anchor_idx = anchor_index(anchors)
 
     # leg 2: main content, soft-404 gate, annotate
     content = main_content(fetched, html_col="html")
@@ -166,9 +169,18 @@ def build_crawl_kg(spark: SparkSession, crawl: DataFrame,
                                   id_cols=("doc_id",), lang_col="lang",
                                   spec=spec)
 
+    # WET emission rides the gated-content frame (the interchange
+    # product next to the graph ones): one record per surviving doc
+    wet = to_wet(gated.withColumn(
+        "url", F.concat(F.lit("doc:"), F.col("doc_id").cast("string"))),
+        text_col="text").select("doc_id", "wet_record")
+
     sinks = {"triples": triples}
     if do_rank:
         sinks["host_rank"] = rank
+        sinks["anchor_index"] = anchor_idx
+    if out_dir is not None:
+        sinks["wet"] = wet
     for name, df in sinks.items():
         if out_dir is None:            # count-only mode (scaling bench)
             stats[f"n_{name}"] = df.count()

@@ -26,6 +26,9 @@ def test_run_crawl_kg_counts_and_parity(spark):
     assert stats["n_docs_annotated"] == n - n_redir - n_soft
     # 7-host ring fixture: every host links only to the next one
     assert stats["n_host_edges"] == 7 and stats["n_host_rank"] == 7
+    # anchor targets: the cross-host /x per next-host + the /top
+    # self-link per host (soft-404 pages carry no anchors)
+    assert stats["n_anchor_index"] == 14
 
     # triple parity: the crawl path must emit EXACTLY the triples the
     # clean-text pipeline emits on the surviving docs (framing, envelope,
