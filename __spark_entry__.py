@@ -5271,6 +5271,41 @@ def q_corpus_anchor_index(spark, sf_dir):
     return anchor_index(extract_anchors(docs))
 
 
+def q_corpus_page_meta(spark, sf_dir):
+    """Page metadata extraction (kg.web.page_meta): doc_id%4 rotates a
+    full head with REVERSED attribute order (href before rel, content
+    before name — the probes must not assume order), an absolute
+    canonical with a fragment to strip, a googlebot-named noindex, and
+    a head with only a stylesheet link (everything null/false).  The
+    ORACLE maps the case arithmetic to the six output columns
+    directly."""
+    from kg.web import page_meta
+    d = F.col("doc_id")
+    m25, m5, m3 = [(d % k).cast("string") for k in (25, 5, 3)]
+    html = (F.when(d % 4 == 0, F.concat(
+        F.lit('<html lang="EN-us"><head><link href="/c'), m25,
+        F.lit('" rel="canonical"><meta content="noindex, nofollow" '
+              'name="robots"><meta property="og:title" content="title '),
+        m3, F.lit('"/><meta property="og:description" '
+                  'content="about things"></head></html>')))
+        .when(d % 4 == 1, F.concat(
+            F.lit('<html><head><link rel="canonical" href="http://o'),
+            m5, F.lit('.example/abs#f"></head></html>')))
+        .when(d % 4 == 2,
+              F.lit('<html><head><meta name="googlebot" '
+                    'content="NOINDEX"></head></html>'))
+        .otherwise(F.lit('<html><head><link rel="stylesheet" '
+                         'href="/s.css"></head><body>x</body>'
+                         "</html>")))
+    base = F.concat(F.lit("http://h"), (d % 7).cast("string"),
+                    F.lit(".example/d/p.html"))
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", html.alias("html"), base.alias("base_url"))
+    return page_meta(docs).select(
+        "doc_id", "canonical_url", "noindex", "nofollow", "og_title",
+        "og_description", "html_lang")
+
+
 # R5 DRIVER WINDOW (STATUS.md §rotation, r5 entry).  The driver's
 # CORRECTNESS artifact certifies roughly the FIRST 50 entries of
 # queries() per round.  VERDICT r4 #1: fill the ENTIRE r5 window with
@@ -6273,6 +6308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sitemap_discovery": q_corpus_sitemap_discovery,
         "multimodal_svg": q_multimodal_svg,
         "corpus_anchor_index": q_corpus_anchor_index,
+        "corpus_page_meta": q_corpus_page_meta,
     }
     # Hoist the r5 driver window to the front (see R5_WINDOW above);
     # everything else keeps its relative order behind it.

@@ -265,6 +265,7 @@ HEADLINE = [
     "corpus_sitemap_discovery",  # robots Sitemap non-group field scan
     "multimodal_svg",        # SVG dims: attr vs viewBox fallback
     "corpus_anchor_index",   # per-target anchor-text aggregation
+    "corpus_page_meta",      # canonical/meta-robots/OG extraction
 ]
 
 

@@ -367,6 +367,69 @@ def anchor_index(anchors: DataFrame, url_col: str = "url",
 
 
 # ---------------------------------------------------------------------------
+# page-level metadata (canonical / meta-robots / OpenGraph / hreflang)
+# ---------------------------------------------------------------------------
+
+def page_meta(df: DataFrame, html_col: str = "html",
+              base_col: str = "base_url") -> DataFrame:
+    """Page-level metadata extraction — the four head signals a crawl
+    pipeline acts on before any content pass:
+
+      - <link rel="canonical"> resolves via resolve_reference and is
+        THE server-declared dedup key (a canonical differing from the
+        fetch URL collapses the page into its canonical's group —
+        stronger than any content similarity, it is the site telling
+        you);
+      - <meta name="robots"> noindex/nofollow flags (and their
+        googlebot-named variant) gate indexing and link extraction —
+        a page can be fetchable under robots.txt yet excluded here;
+      - og:title / og:description (OpenGraph) are the page's
+        self-description — the KG enrichment fields a document node
+        carries;
+      - the <html lang> attribute, the earliest language routing
+        signal (upstream of content language-ID).
+
+    Attribute ORDER is not assumed: rel=canonical may precede or
+    follow href, name= may precede or follow content= — each probe is
+    a whole-tag regex anchored on the identifying attribute.  Returns
+    input plus (canonical_url, noindex, nofollow, og_title,
+    og_description, html_lang).  Zero UDFs, zero shuffles."""
+    x = F.col(html_col)
+
+    def link_href(rel: str) -> Column:
+        tag = F.regexp_extract(
+            x, r"(?is)<link\b[^>]*\brel\s*=\s*[\"']?" + rel
+               + r"[\"']?[^>]*>", 0)
+        return F.nullif(F.regexp_extract(
+            tag, "(?is)href\\s*=\\s*[\"']([^\"']*)[\"']", 1), F.lit(""))
+
+    def meta_content(name: str) -> Column:
+        tag = F.regexp_extract(
+            x, r"(?is)<meta\b[^>]*\b(?:name|property)\s*=\s*[\"']?"
+               + name + r"[\"']?[^>]*>", 0)
+        return F.nullif(F.regexp_extract(
+            tag, "(?is)content\\s*=\\s*[\"']([^\"']*)[\"']", 1),
+            F.lit(""))
+
+    canon = link_href("canonical")
+    robots = F.lower(F.coalesce(meta_content("robots"),
+                                meta_content("googlebot"), F.lit("")))
+    lang = F.nullif(F.regexp_extract(
+        x, "(?is)<html\\b[^>]*\\blang\\s*=\\s*[\"']([^\"']*)[\"']", 1),
+        F.lit(""))
+    return (df.withColumn(
+        "canonical_url",
+        F.when(canon.isNotNull(),
+               resolve_reference(F.substring_index(canon, "#", 1),
+                                 F.col(base_col))))
+        .withColumn("noindex", robots.contains("noindex"))
+        .withColumn("nofollow", robots.contains("nofollow"))
+        .withColumn("og_title", meta_content("og:title"))
+        .withColumn("og_description", meta_content("og:description"))
+        .withColumn("html_lang", F.lower(lang)))
+
+
+# ---------------------------------------------------------------------------
 # magic-byte MIME sniffing
 # ---------------------------------------------------------------------------
 

@@ -427,3 +427,33 @@ def test_extract_anchors_alignment(spark):
     idx = {r.url: (r.n_anchors, r.anchor_texts) for r in
            web.anchor_index(web.extract_anchors(df)).collect()}
     assert idx["http://h.example/x"] == (1, "First Link")
+
+
+def test_page_meta(spark):
+    rows = [
+        (0, '<html lang="EN-us"><head><link href="/c1" rel="canonical">'
+            '<meta content="noindex, nofollow" name="robots">'
+            '<meta property="og:title" content="My Page"/>'
+            '<meta property="og:description" content="about things">'
+            "</head></html>"),
+        (1, '<html><head><link rel="canonical" '
+            'href="http://o.example/abs#f"></head></html>'),
+        (2, '<html><head><meta name="googlebot" content="NOINDEX">'
+            "</head></html>"),
+        (3, '<html><head><link rel="stylesheet" href="/s.css"></head>'
+            "<body>x</body></html>"),
+    ]
+    df = spark.createDataFrame(
+        [(i, h, "http://h.example/d/p.html") for i, h in rows],
+        "i int, html string, base_url string")
+    got = {r.i: (r.canonical_url, r.noindex, r.nofollow, r.og_title,
+                 r.og_description, r.html_lang)
+           for r in web.page_meta(df).collect()}
+    # attribute order is free: href-before-rel and content-before-name
+    # both land; fragment strips; relative canonical resolves
+    assert got[0] == ("http://h.example/c1", True, True, "My Page",
+                      "about things", "en-us")
+    assert got[1] == ("http://o.example/abs", False, False,
+                      None, None, None)
+    assert got[2] == (None, True, False, None, None, None)
+    assert got[3] == (None, False, False, None, None, None)

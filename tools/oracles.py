@@ -700,6 +700,25 @@ def build_oracle_sql() -> dict[str, str]:
                CAST(1 AS BIGINT), 'here'
         FROM documents WHERE lang = 'en' GROUP BY 1"""
 
+    # Page metadata (q_corpus_page_meta): six columns from the case
+    # arithmetic directly.
+    sqls["corpus_page_meta"] = """
+        SELECT doc_id,
+               CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN 'http://h' || CAST(doc_id % 7 AS INT)
+                 || '.example/c' || CAST(doc_id % 25 AS INT)
+               WHEN 1 THEN 'http://o' || CAST(doc_id % 5 AS INT)
+                 || '.example/abs' END AS canonical_url,
+               (doc_id % 4 = 0 OR doc_id % 4 = 2) AS noindex,
+               (doc_id % 4 = 0) AS nofollow,
+               CASE WHEN doc_id % 4 = 0
+                 THEN 'title ' || CAST(doc_id % 3 AS INT) END
+                 AS og_title,
+               CASE WHEN doc_id % 4 = 0 THEN 'about things' END
+                 AS og_description,
+               CASE WHEN doc_id % 4 = 0 THEN 'en-us' END AS html_lang
+        FROM documents WHERE lang = 'en'"""
+
     # Sitemap discovery (q_corpus_sitemap_discovery): the parity grid.
     sqls["corpus_sitemap_discovery"] = """
         WITH hs AS (
