@@ -5306,6 +5306,71 @@ def q_corpus_page_meta(spark, sf_dir):
         "og_description", "html_lang")
 
 
+def q_corpus_feed(spark, sf_dir):
+    """RSS/Atom feed parse (kg.web.parse_feed): even hosts serve an
+    RSS channel (two items, the first with a CDATA title and a
+    pubDate), odd hosts an Atom feed (one entry, attribute-form link,
+    <updated>).  ORACLE = the parity grid — CDATA unwrap, both link
+    forms, and both timestamp tags under check."""
+    from kg.web import parse_feed
+    hs = (_docs(spark, sf_dir)
+          .select((F.col("doc_id") % 7).cast("int").alias("hn"))
+          .distinct())
+    h = F.col("hn").cast("string")
+    rss = F.concat(
+        F.lit('<?xml version="1.0"?><rss version="2.0"><channel>'
+              "<title>B</title><item><title><![CDATA[Post "), h,
+        F.lit("]]></title><link>http://b"), h,
+        F.lit(".example/p1</link><pubDate>Mon, 01 Jan 2024 10:00:00 "
+              "GMT</pubDate></item><item><title>Two</title>"
+              "<link>http://b"), h,
+        F.lit(".example/p2</link></item></channel></rss>"))
+    atom = F.concat(
+        F.lit('<feed xmlns="http://www.w3.org/2005/Atom">'
+              "<title>A</title><entry><title>E"), h,
+        F.lit('</title><link href="http://a'), h,
+        F.lit('.example/e1"/><updated>2024-02-01T10:00:00Z</updated>'
+              "</entry></feed>"))
+    feeds = hs.select(
+        F.concat(F.lit("h"), h).alias("host"),
+        F.when(F.col("hn") % 2 == 0, rss).otherwise(atom)
+        .alias("feed"))
+    return parse_feed(feeds)
+
+
+def q_corpus_canonical_dedup(spark, sf_dir):
+    """Canonical-URL dedup — the composition page_meta exists for: the
+    server-declared rel=canonical collapses fetch-URL variants into
+    one group BEFORE any content pass.  doc_id%4 rotates a canonical
+    pointing at a shared per-host target (many docs collapse), an
+    absolute cross-site canonical, a canonical-less page (its own
+    fetch URL is the key), and a noindex page that must be EXCLUDED
+    before grouping.  One aggregate on the coalesced key.  ORACLE =
+    the modulus census of each group kind."""
+    from kg.web import page_meta
+    d = F.col("doc_id")
+    html = (F.when(d % 4 == 0, F.concat(
+        F.lit('<html><head><link rel="canonical" href="/c'),
+        (d % 10).cast("string"), F.lit('"></head></html>')))
+        .when(d % 4 == 1, F.concat(
+            F.lit('<html><head><link rel="canonical" href="http://o'),
+            (d % 5).cast("string"), F.lit('.example/abs"></head>'
+                                          "</html>")))
+        .when(d % 4 == 2, F.lit("<html><head></head></html>"))
+        .otherwise(F.lit('<html><head><meta name="robots" '
+                         'content="noindex"></head></html>')))
+    base = F.concat(F.lit("http://h"), (d % 7).cast("string"),
+                    F.lit(".example/p"), d.cast("string"))
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", html.alias("html"), base.alias("base_url"))
+    meta = page_meta(docs).filter(~F.col("noindex"))
+    return (meta.groupBy(F.coalesce("canonical_url", "base_url")
+                         .alias("group_url"))
+            .agg(F.count("*").cast("bigint").alias("n_pages"),
+                 F.count_distinct("base_url").cast("bigint")
+                 .alias("n_fetch_urls")))
+
+
 # R5 DRIVER WINDOW (STATUS.md §rotation, r5 entry).  The driver's
 # CORRECTNESS artifact certifies roughly the FIRST 50 entries of
 # queries() per round.  VERDICT r4 #1: fill the ENTIRE r5 window with
@@ -6309,6 +6374,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_svg": q_multimodal_svg,
         "corpus_anchor_index": q_corpus_anchor_index,
         "corpus_page_meta": q_corpus_page_meta,
+        "corpus_feed": q_corpus_feed,
+        "corpus_canonical_dedup": q_corpus_canonical_dedup,
     }
     # Hoist the r5 driver window to the front (see R5_WINDOW above);
     # everything else keeps its relative order behind it.

@@ -266,6 +266,8 @@ HEADLINE = [
     "multimodal_svg",        # SVG dims: attr vs viewBox fallback
     "corpus_anchor_index",   # per-target anchor-text aggregation
     "corpus_page_meta",      # canonical/meta-robots/OG extraction
+    "corpus_feed",           # RSS/Atom entry extraction
+    "corpus_canonical_dedup",  # rel=canonical collapse census
 ]
 
 

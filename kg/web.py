@@ -80,6 +80,54 @@ def parse_sitemap(df: DataFrame, xml_col: str = "sitemap",
         .alias("priority_milli"))
 
 
+def parse_feed(df: DataFrame, xml_col: str = "feed",
+               key_col: str = "host") -> DataFrame:
+    """RSS 2.0 / Atom feed parse — the third crawl-discovery channel
+    next to sitemaps and hyperlinks (feeds surface NEW urls with
+    timestamps, which is exactly what the recrawl scheduler wants).
+    Entry blocks are <item> (RSS) or <entry> (Atom); per entry: title
+    (CDATA unwrapped), the link (RSS's text form <link>url</link> OR
+    Atom's attribute form <link href="..."/> — both probed, text form
+    first), and the timestamp (<pubDate> RSS / <updated> Atom),
+    carried verbatim (RFC 822 vs RFC 3339 date parsing is the
+    consumer's localized concern).
+
+    Same regex block-walk rationale as parse_sitemap: feed XML is
+    flat machine output.  Returns (key_col, kind ∈ rss|atom,
+    entry_index, title, link, published).  Zero UDFs; one
+    regexp_extract_all + posexplode."""
+    x = F.col(xml_col)
+    kind = (F.when(x.rlike("(?is)<feed[\\s>]"), F.lit("atom"))
+            .when(x.rlike("(?is)<(rss|channel)[\\s>]"), F.lit("rss")))
+    entries = F.regexp_extract_all(
+        x, F.lit(r"(?is)<(?:item|entry)\b[^>]*>(.*?)</(?:item|entry)>"),
+        1)
+    out = (df.select(F.col(key_col), kind.alias("kind"),
+                     F.posexplode_outer(entries)
+                     .alias("entry_index", "entry"))
+           .filter(F.col("entry").isNotNull()))
+    ent = F.col("entry")
+
+    def tag_text(tag: str) -> Column:
+        raw = F.regexp_extract(ent, r"(?is)<" + tag
+                               + r"\b[^>]*>(.*?)</" + tag + ">", 1)
+        return F.nullif(F.trim(F.regexp_replace(
+            raw, r"(?s)^\s*<!\[CDATA\[(.*)\]\]>\s*$", "$1")),
+            F.lit(""))
+
+    link = F.coalesce(
+        tag_text("link"),
+        F.nullif(F.regexp_extract(
+            ent, "(?is)<link\\b[^>]*href\\s*=\\s*[\"']([^\"']*)[\"']",
+            1), F.lit("")))
+    published = F.coalesce(tag_text("pubDate"), tag_text("updated"))
+    return out.select(
+        key_col, "kind",
+        (F.col("entry_index") + 1).cast("int").alias("entry_index"),
+        tag_text("title").alias("title"), link.alias("link"),
+        published.alias("published"))
+
+
 # ---------------------------------------------------------------------------
 # HTTP/1.1 response envelope
 # ---------------------------------------------------------------------------

@@ -457,3 +457,29 @@ def test_page_meta(spark):
                       None, None, None)
     assert got[2] == (None, True, False, None, None, None)
     assert got[3] == (None, False, False, None, None, None)
+
+
+def test_parse_feed_rss_and_atom(spark):
+    rss = ('<?xml version="1.0"?><rss version="2.0"><channel>'
+           "<title>Blog</title>"
+           "<item><title><![CDATA[Post & One]]></title>"
+           "<link>http://b.example/p1</link>"
+           "<pubDate>Mon, 01 Jan 2024 10:00:00 GMT</pubDate></item>"
+           "<item><title>Post Two</title>"
+           "<link>http://b.example/p2</link></item>"
+           "</channel></rss>")
+    atom = ('<feed xmlns="http://www.w3.org/2005/Atom"><title>A</title>'
+            '<entry><title>E1</title><link href="http://a.example/e1"/>'
+            "<updated>2024-02-01T10:00:00Z</updated></entry></feed>")
+    df = spark.createDataFrame([("h0", rss), ("h1", atom)],
+                               "host string, feed string")
+    got = {(r.host, r.entry_index): (r.kind, r.title, r.link,
+                                     r.published)
+           for r in web.parse_feed(df).collect()}
+    assert got[("h0", 1)] == ("rss", "Post & One",
+                              "http://b.example/p1",
+                              "Mon, 01 Jan 2024 10:00:00 GMT")
+    assert got[("h0", 2)] == ("rss", "Post Two",
+                              "http://b.example/p2", None)
+    assert got[("h1", 1)] == ("atom", "E1", "http://a.example/e1",
+                              "2024-02-01T10:00:00Z")

@@ -719,6 +719,51 @@ def build_oracle_sql() -> dict[str, str]:
                CASE WHEN doc_id % 4 = 0 THEN 'en-us' END AS html_lang
         FROM documents WHERE lang = 'en'"""
 
+    # Feed parse (q_corpus_feed): the parity grid — CDATA unwrap, both
+    # link forms, both timestamp tags.
+    sqls["corpus_feed"] = """
+        WITH hs AS (
+          SELECT DISTINCT CAST(doc_id % 7 AS INT) AS hn
+          FROM documents WHERE lang = 'en')
+        SELECT 'h' || hn AS host, 'rss' AS kind,
+               CAST(1 AS INT) AS entry_index,
+               'Post ' || hn AS title,
+               'http://b' || hn || '.example/p1' AS link,
+               'Mon, 01 Jan 2024 10:00:00 GMT' AS published
+        FROM hs WHERE hn % 2 = 0
+        UNION ALL
+        SELECT 'h' || hn, 'rss', CAST(2 AS INT), 'Two',
+               'http://b' || hn || '.example/p2', NULL
+        FROM hs WHERE hn % 2 = 0
+        UNION ALL
+        SELECT 'h' || hn, 'atom', CAST(1 AS INT), 'E' || hn,
+               'http://a' || hn || '.example/e1',
+               '2024-02-01T10:00:00Z'
+        FROM hs WHERE hn % 2 = 1"""
+
+    # Canonical dedup (q_corpus_canonical_dedup): per-group census from
+    # the modulus arithmetic (fetch URLs are doc-unique, so
+    # n_fetch_urls == n_pages in every group).
+    sqls["corpus_canonical_dedup"] = """
+        WITH m AS (
+          SELECT doc_id, CAST(doc_id % 4 AS INT) AS r,
+                 CAST(doc_id % 7 AS INT) AS h7,
+                 CAST(doc_id % 10 AS INT) AS h10,
+                 CAST(doc_id % 5 AS INT) AS h5
+          FROM documents WHERE lang = 'en')
+        SELECT 'http://h' || h7 || '.example/c' || h10 AS group_url,
+               CAST(count(*) AS BIGINT) AS n_pages,
+               CAST(count(*) AS BIGINT) AS n_fetch_urls
+        FROM m WHERE r = 0 GROUP BY 1
+        UNION ALL
+        SELECT 'http://o' || h5 || '.example/abs',
+               CAST(count(*) AS BIGINT), CAST(count(*) AS BIGINT)
+        FROM m WHERE r = 1 GROUP BY 1
+        UNION ALL
+        SELECT 'http://h' || h7 || '.example/p' || doc_id,
+               CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+        FROM m WHERE r = 2"""
+
     # Sitemap discovery (q_corpus_sitemap_discovery): the parity grid.
     sqls["corpus_sitemap_discovery"] = """
         WITH hs AS (
