@@ -5371,6 +5371,52 @@ def q_corpus_canonical_dedup(spark, sf_dir):
                  .alias("n_fetch_urls")))
 
 
+def q_corpus_robots_directives(spark, sf_dir):
+    """Effective indexing directives — X-Robots-Tag (transport layer,
+    parse_http_response's extra_headers surface) merged with
+    <meta name=robots> (document layer, page_meta), most-restrictive
+    wins: doc_id%4 rotates a header-only noindex+nofollow, a meta-only
+    noindex, a header-noarchive + meta-nofollow mix (only nofollow
+    sticks), and an undirected page.  The ORACLE maps the case to the
+    effective flags and the per-flag source label."""
+    from kg.web import page_meta, parse_http_response
+    d = F.col("doc_id")
+    html = (F.when(d % 4 == 1,
+                   F.lit('<html><head><meta name="robots" '
+                         'content="noindex"></head></html>'))
+            .when(d % 4 == 2,
+                  F.lit('<html><head><meta name="robots" '
+                        'content="nofollow"></head></html>'))
+            .otherwise(F.lit("<html><head></head><body>x</body>"
+                             "</html>")))
+    hdr = (F.when(d % 4 == 0, F.lit("X-Robots-Tag: noindex, nofollow"
+                                    + "\r\n"))
+           .when(d % 4 == 2, F.lit("X-Robots-Tag: noarchive\r\n"))
+           .otherwise(F.lit("")))
+    resp = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"), hdr,
+        F.lit("Content-Length: "), F.length(html).cast("string"),
+        F.lit("\r\n\r\n"), html)
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", resp.alias("resp"),
+        F.concat(F.lit("http://h"), (d % 7).cast("string"),
+                 F.lit(".example/p")).alias("base_url"))
+    parsed = parse_http_response(docs,
+                                 extra_headers=("X-Robots-Tag",))
+    meta = page_meta(parsed.withColumn("html", F.col("body")))
+    h = F.lower(F.coalesce(F.col("hdr_x_robots_tag"), F.lit("")))
+    h_noindex, h_nofollow = h.contains("noindex"), h.contains("nofollow")
+    return meta.select(
+        "doc_id",
+        (h_noindex | F.col("noindex")).alias("noindex_eff"),
+        (h_nofollow | F.col("nofollow")).alias("nofollow_eff"),
+        F.when(h_noindex, F.lit("header"))
+        .when(F.col("noindex"), F.lit("meta")).alias("noindex_source"),
+        F.when(h_nofollow, F.lit("header"))
+        .when(F.col("nofollow"), F.lit("meta"))
+        .alias("nofollow_source"))
+
+
 # R5 DRIVER WINDOW (STATUS.md §rotation, r5 entry).  The driver's
 # CORRECTNESS artifact certifies roughly the FIRST 50 entries of
 # queries() per round.  VERDICT r4 #1: fill the ENTIRE r5 window with
@@ -6376,6 +6422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_page_meta": q_corpus_page_meta,
         "corpus_feed": q_corpus_feed,
         "corpus_canonical_dedup": q_corpus_canonical_dedup,
+        "corpus_robots_directives": q_corpus_robots_directives,
     }
     # Hoist the r5 driver window to the front (see R5_WINDOW above);
     # everything else keeps its relative order behind it.

@@ -268,6 +268,7 @@ HEADLINE = [
     "corpus_page_meta",      # canonical/meta-robots/OG extraction
     "corpus_feed",           # RSS/Atom entry extraction
     "corpus_canonical_dedup",  # rel=canonical collapse census
+    "corpus_robots_directives",  # X-Robots-Tag + meta merge
 ]
 
 

@@ -189,7 +189,8 @@ def _dechunk(body: Column, max_chunks: int) -> Column:
 
 
 def parse_http_response(df: DataFrame, resp_col: str = "resp",
-                        max_chunks: int = 8) -> DataFrame:
+                        max_chunks: int = 8,
+                        extra_headers: tuple[str, ...] = ()) -> DataFrame:
     """HTTP/1.1 response envelope parse (RFC 9112) — the layer between
     kg.corpus.parse_warc's record payload and strip_html's input: a
     WARC `response` record's payload IS an HTTP message, and the
@@ -234,16 +235,23 @@ def parse_http_response(df: DataFrame, resp_col: str = "resp",
     body = (F.when(chunked, dec["text"])
             .when(clen.isNotNull(), raw_body.substr(F.lit(1), clen))
             .otherwise(raw_body))
-    return (df.withColumn("status", status)
-            .withColumn("reason", reason)
-            .withColumn("mime", mime)
-            .withColumn("charset", charset)
-            .withColumn("content_length", clen)
-            .withColumn("transfer_encoding", tenc)
-            .withColumn("location", hval("Location"))
-            .withColumn("body", body)
-            .withColumn("body_ok",
-                        F.when(chunked, dec["ok"]).otherwise(F.lit(True))))
+    out = (df.withColumn("status", status)
+           .withColumn("reason", reason)
+           .withColumn("mime", mime)
+           .withColumn("charset", charset)
+           .withColumn("content_length", clen)
+           .withColumn("transfer_encoding", tenc)
+           .withColumn("location", hval("Location"))
+           .withColumn("body", body)
+           .withColumn("body_ok",
+                       F.when(chunked, dec["ok"]).otherwise(F.lit(True))))
+    # extra_headers: caller-named fields surfaced as hdr_<name> columns
+    # (dash → underscore, lowercased) — X-Robots-Tag, ETag,
+    # Last-Modified, … without widening the fixed schema for everyone
+    for name in extra_headers:
+        out = out.withColumn(
+            "hdr_" + name.lower().replace("-", "_"), hval(name))
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -483,3 +483,13 @@ def test_parse_feed_rss_and_atom(spark):
                               "http://b.example/p2", None)
     assert got[("h1", 1)] == ("atom", "E1", "http://a.example/e1",
                               "2024-02-01T10:00:00Z")
+
+
+def test_parse_http_response_extra_headers(spark):
+    resp = ("HTTP/1.1 200 OK\r\nX-Robots-Tag: noindex\r\n"
+            "ETag: \"abc\"\r\nContent-Length: 2\r\n\r\nokTRAIL")
+    df = spark.createDataFrame([(0, resp)], "i int, resp string")
+    r = web.parse_http_response(
+        df, extra_headers=("X-Robots-Tag", "ETag")).collect()[0]
+    assert r.hdr_x_robots_tag == "noindex"
+    assert r.hdr_etag == '"abc"' and r.body == "ok"

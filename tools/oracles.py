@@ -764,6 +764,20 @@ def build_oracle_sql() -> dict[str, str]:
                CAST(1 AS BIGINT), CAST(1 AS BIGINT)
         FROM m WHERE r = 2"""
 
+    # Effective robots directives (q_corpus_robots_directives): the
+    # case → flags + source labels directly.
+    sqls["corpus_robots_directives"] = """
+        SELECT doc_id,
+               (doc_id % 4 = 0 OR doc_id % 4 = 1) AS noindex_eff,
+               (doc_id % 4 = 0 OR doc_id % 4 = 2) AS nofollow_eff,
+               CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN 'header' WHEN 1 THEN 'meta' END
+                 AS noindex_source,
+               CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN 'header' WHEN 2 THEN 'meta' END
+                 AS nofollow_source
+        FROM documents WHERE lang = 'en'"""
+
     # Sitemap discovery (q_corpus_sitemap_discovery): the parity grid.
     sqls["corpus_sitemap_discovery"] = """
         WITH hs AS (
