@@ -493,3 +493,42 @@ def test_parse_http_response_extra_headers(spark):
         df, extra_headers=("X-Robots-Tag", "ETag")).collect()[0]
     assert r.hdr_x_robots_tag == "noindex"
     assert r.hdr_etag == '"abc"' and r.body == "ok"
+
+
+def test_percent_normalize_fuzz(spark):
+    """Seeded fuzz vs an independent Python referee implementing RFC
+    3986 §6.2.2.2 directly (decode unreserved escapes, uppercase the
+    rest, leave malformed alone)."""
+    import random
+    import string
+    rng = random.Random(7)
+    unreserved = set(string.ascii_letters + string.digits + "-._~")
+
+    def referee(s):
+        out, i = [], 0
+        while i < len(s):
+            c = s[i]
+            if c == "%" and i + 2 < len(s) + 1 \
+                    and all(x in string.hexdigits
+                            for x in s[i + 1:i + 3]) \
+                    and len(s[i + 1:i + 3]) == 2:
+                code = int(s[i + 1:i + 3], 16)
+                if chr(code) in unreserved:
+                    out.append(chr(code))
+                else:
+                    out.append("%" + s[i + 1:i + 3].upper())
+                i += 3
+            else:
+                out.append(c)
+                i += 1
+        return "".join(out)
+
+    alphabet = "ab%034FfZz-._~/?=&"
+    cases = []
+    for i in range(60):
+        n = rng.randint(0, 40)
+        s = "".join(rng.choice(alphabet) for _ in range(n))
+        cases.append((i, s, referee(s)))
+    df = spark.createDataFrame(cases, "i int, url string, want string")
+    for r in web.percent_normalize(df).collect():
+        assert r.url_pct == r.want, (r.i, r.url, r.url_pct, r.want)
