@@ -34,10 +34,20 @@ def _registry():
     return E
 
 
-def _ever_driver_checked() -> set[str]:
+WINDOW_ROUND = 5  # the round R5_WINDOW was queued FOR (window name R<N>_WINDOW)
+
+
+def _ever_driver_checked(before_round: int = WINDOW_ROUND) -> set[str]:
+    """Names with a driver CORRECTNESS row from a round BEFORE the window's
+    own round.  The window's purpose is 'never checked when queued': once
+    the driver consumes the window, its own artifact (CORRECTNESS_r05 for
+    R5_WINDOW) certifies exactly those rows — counting it would make the
+    guard self-invalidating the morning the artifact lands (VERDICT r5
+    What's-wrong #1)."""
     names: set[str] = set()
     for fn in sorted(os.listdir(REPO)):
-        if re.fullmatch(r"CORRECTNESS_r\d+\.json", fn):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", fn)
+        if m and int(m.group(1)) < before_round:
             with open(os.path.join(REPO, fn)) as f:
                 names |= set(json.load(f).keys())
     return names
