@@ -45,8 +45,23 @@ FULL_SPEC = PipelineSpec(name="full",
                                      "stopword", "sentiment"))
 
 def _docs(spark: SparkSession, sf_dir: str, lang: str | None = "en") -> DataFrame:
+    """Documents corpus, adaptively spread (kg.session.spread_input): the
+    driver's single-file, single-row-group parquet scans yield ONE
+    partition, so every per-row-heavy stage fused into the scan would run
+    on one core of local[N].  The spread sits ABOVE the lang filter, so
+    predicate pushdown to the scan is unchanged; at scale the scan already
+    has >= cores partitions and no Exchange is added (plan-level no-op)."""
+    from kg.session import spread_input
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return df.filter(F.col("lang") == lang) if lang else df
+    return spread_input(df.filter(F.col("lang") == lang) if lang else df)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings table, adaptively spread — same rationale as _docs (the
+    ANN/semantic-dedup family does heavy in-row vector arithmetic that
+    otherwise serializes on the one-partition scan)."""
+    from kg.session import spread_input
+    return spread_input(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def _read(name: str):
@@ -281,7 +296,7 @@ def q_dedup_simhash_fast(spark, sf_dir):
 
 
 def q_embedding_near_pairs(spark, sf_dir):
-    emb = _read("embeddings")(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
     a, b = emb.alias("a"), emb.alias("b")
     return (a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
             .withColumn("cos", kgsim.cosine_sim(F.col("a.embedding"),
@@ -293,7 +308,7 @@ def q_embedding_near_pairs(spark, sf_dir):
 
 
 def q_ann_cosine_topk(spark, sf_dir):
-    emb = _read("embeddings")(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
     queries = (emb.filter(F.col("vec_id") < 10)
                .select(F.col("vec_id").alias("query_id"), "embedding"))
     return kgsim.cosine_topk(emb, queries, k=5).select(
@@ -420,7 +435,7 @@ def q_multimodal_features(spark, sf_dir):
     mapInPandas decode/feature UDF; oracle predicts dims/sizes from vec_id."""
     import pandas as pd
     from kg import multimodal as mm
-    emb = _read("embeddings")(spark, sf_dir).select("vec_id")
+    emb = _emb(spark, sf_dir).select("vec_id")
 
     def gen(batches):
         for pdf in batches:
@@ -457,7 +472,7 @@ def q_multimodal_decode(spark, sf_dir):
     thing."""
     import pandas as pd
     from kg import multimodal as mm
-    emb = _read("embeddings")(spark, sf_dir).select("vec_id")
+    emb = _emb(spark, sf_dir).select("vec_id")
 
     def gen(batches):
         for pdf in batches:
@@ -511,7 +526,7 @@ def q_multimodal_jpeg(spark, sf_dir):
     import pandas as pd
     from kg import jpeg as kj
     from kg import multimodal as mm
-    emb = _read("embeddings")(spark, sf_dir).select("vec_id")
+    emb = _emb(spark, sf_dir).select("vec_id")
 
     def gen(batches):
         for pdf in batches:
@@ -561,7 +576,7 @@ def q_ann_lsh_topk(spark, sf_dir):
     mean "not oracle-able": the md5-seeded plane matrix is deterministic, so
     the DuckDB oracle mirrors bucket assignment and in-bucket ranking
     exactly (plane constants inlined as literals)."""
-    emb = _read("embeddings")(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
     queries = (emb.filter(F.col("vec_id") < 10)
                .select(F.col("vec_id").alias("query_id"), "embedding"))
     return kgsim.lsh_topk(emb, queries, k=5, n_planes=6,
@@ -574,7 +589,7 @@ def q_ann_ivf_topk(spark, sf_dir):
     (anchor choice, cell assignment, query routing, in-cell ranking) is
     mirrored exactly by the DuckDB oracle; the KMeans-trained ivf_topk
     keeps its pytest recall check (training can't be mirrored in SQL)."""
-    emb = _read("embeddings")(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
     queries = (emb.filter(F.col("vec_id") < 10)
                .select(F.col("vec_id").alias("query_id"), "embedding"))
     return kgsim.ivf_hash_topk(emb, queries, k=5, n_cells=8,
@@ -615,7 +630,7 @@ def q_text_emit_shards(spark, sf_dir):
 def q_ann_knn_classify(spark, sf_dir):
     """Majority-vote k-NN over exact cosine top-5
     (kg.similarity.knn_classify) against the embeddings label column."""
-    emb = _read("embeddings")(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
     queries = (emb.filter(F.col("vec_id") < 20)
                .select(F.col("vec_id").alias("query_id"), "embedding"))
     return kgsim.knn_classify(emb, queries, k=5)
@@ -842,7 +857,7 @@ def q_ann_centroids(spark, sf_dir):
     canonicalizer hashes scalar cells only (array cells crash its pandas
     sort_values — CORRECTNESS_r03) and concat_ws is order-preserving and
     deterministic, so the stringified column pins the identical content."""
-    cents = kgsim.label_centroids(_read("embeddings")(spark, sf_dir))
+    cents = kgsim.label_centroids(_emb(spark, sf_dir))
     return cents.select(
         "label", "n_members",
         F.concat_ws(",", F.col("centroid_micro")).alias("centroid_csv"))
@@ -853,7 +868,7 @@ def q_ann_nearest_centroid(spark, sf_dir):
     every vector classified by max cosine against the fitted centroids;
     rank-only output (the cosine float stays engine-internal, like
     ann_cosine_topk)."""
-    emb = _read("embeddings")(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
     cents = kgsim.label_centroids(emb)
     return kgsim.nearest_centroid(emb, cents).select(
         "vec_id", "predicted_label")
@@ -1399,7 +1414,7 @@ def q_ann_pq_topk(spark, sf_dir):
     codebook, exact integer-micro encode/table/ADC math so the DuckDB
     oracle replays codes and rankings bit-for-bit (the billion-scale ANN
     compression path — Jégou et al. 2011)."""
-    emb = _read("embeddings")(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
     queries = (emb.filter(F.col("vec_id") < 10)
                .select(F.col("vec_id").alias("query_id"), "embedding"))
     return kgsim.pq_topk(emb, queries, dim=EMB_DIM, k=5)
@@ -1412,7 +1427,7 @@ def q_ann_ivfpq_topk(spark, sf_dir):
     RESIDUAL product-quantization codes.  Exact integer micro math end
     to end, so the DuckDB oracle replays assignment, residuals, codes,
     tables, and rankings bit-for-bit."""
-    emb = _read("embeddings")(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
     queries = (emb.filter(F.col("vec_id") < 10)
                .select(F.col("vec_id").alias("query_id"), "embedding"))
     return kgsim.ivfpq_topk(emb, queries, dim=EMB_DIM, k=5)
@@ -1841,7 +1856,7 @@ def q_embedding_centroid_matrix(spark, sf_dir):
     one; exact integer micro centroids (sum div count, DECIMAL(38)
     staged), cos²·sign in ppm, |labels|²-bounded output."""
     from kg.embed import centroid_cosine_matrix
-    return centroid_cosine_matrix(_read("embeddings")(spark, sf_dir),
+    return centroid_cosine_matrix(_emb(spark, sf_dir),
                                   dim=EMB_DIM)
 
 
@@ -1850,7 +1865,7 @@ def q_ann_pq_rerank(spark, sf_dir):
     ADC shortlist of 20 per query, exact-cosine rerank to top-5 — the
     FAISS deployment recipe; the rerank join is candidate-sized, never
     a corpus scan, and the output carries both orderings' ranks."""
-    emb = _read("embeddings")(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
     queries = (emb.filter(F.col("vec_id") < 10)
                .select(F.col("vec_id").alias("query_id"), "embedding"))
     return kgsim.pq_rerank_topk(emb, queries, dim=EMB_DIM, k=5,
@@ -2860,7 +2875,7 @@ def q_ann_sq_topk(spark, sf_dir):
     dimension 256-level uniform quantization between corpus min/max,
     1 byte/dim; codes, dequantize, and asymmetric distances are exact
     integer micro math, so the oracle replays rankings bit-for-bit."""
-    emb = _read("embeddings")(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
     queries = (emb.filter(F.col("vec_id") < 10)
                .select(F.col("vec_id").alias("query_id"), "embedding"))
     return kgsim.sq_topk(emb, queries, dim=EMB_DIM, k=5)
@@ -3091,7 +3106,7 @@ def q_dedup_semantic(spark, sf_dir):
     threshold (0.4 — exercises both verdicts on this corpus).  The
     oracle replays anchors, assignment, and verdicts exactly."""
     from kg.dedup import semantic_dedup
-    emb = _read("embeddings")(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
     return semantic_dedup(emb, n_cells=8, threshold=0.4)
 
 
@@ -3174,7 +3189,7 @@ def q_ann_kmeans(spark, sf_dir):
     (unlike the float/seed-dependent pyspark.ml KMeans behind
     ivf_topk)."""
     from kg.similarity import kmeans_fit
-    emb = _read("embeddings")(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
     return kmeans_fit(emb, n_clusters=4, rounds=2)
 
 
@@ -3203,7 +3218,7 @@ def q_ann_recall_ivf(spark, sf_dir):
     per query — both rankers are the already-oracled ann_ivf_topk /
     ann_cosine_topk pipelines, embedded verbatim in the oracle."""
     import kg.similarity as kgsim
-    emb = _read("embeddings")(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
     qs = (emb.filter(F.col("vec_id") < 10)
           .select(F.col("vec_id").alias("query_id"), "embedding"))
     return kgsim.topk_recall(
@@ -3690,7 +3705,7 @@ def q_multimodal_audio(spark, sf_dir):
     stage (one pandas UDF per task — CLAUDE.md perf rule 1)."""
     import pandas as pd
     from kg import multimodal as mm
-    emb = _read("embeddings")(spark, sf_dir).select("vec_id")
+    emb = _emb(spark, sf_dir).select("vec_id")
 
     def gen(batches):
         for pdf in batches:
@@ -3745,7 +3760,7 @@ def q_ann_silhouette(spark, sf_dir):
     zero-shuffle distance map (shared kernel string with the
     assignment) + one k-row aggregate."""
     from kg.similarity import kmeans_silhouette
-    return kmeans_silhouette(_read("embeddings")(spark, sf_dir),
+    return kmeans_silhouette(_emb(spark, sf_dir),
                              n_clusters=4, rounds=2)
 
 
@@ -3870,7 +3885,7 @@ def q_multimodal_video(spark, sf_dir):
     stay the marked PIL/codec integration point (like JPEG)."""
     import pandas as pd
     from kg import multimodal as mm
-    emb = _read("embeddings")(spark, sf_dir).select("vec_id")
+    emb = _emb(spark, sf_dir).select("vec_id")
 
     def gen(batches):
         for pdf in batches:
@@ -3928,7 +3943,7 @@ def q_embedding_audit(spark, sf_dir):
     0 on a healthy lake) plus exact micro² norm statistics; the
     corpus_audit analog every ANN/SemDeDup batch runs first."""
     from kg.embed import embedding_audit
-    return embedding_audit(_read("embeddings")(spark, sf_dir), dim=64)
+    return embedding_audit(_emb(spark, sf_dir), dim=64)
 
 
 def q_corpus_outliers(spark, sf_dir):
@@ -4070,7 +4085,7 @@ def q_multimodal_ahash(spark, sf_dir):
     replays every sampled cell, the mean, and the nibble-hex assembly
     exactly."""
     from kg import multimodal as mm
-    emb = _read("embeddings")(spark, sf_dir).select("vec_id")
+    emb = _emb(spark, sf_dir).select("vec_id")
     return mm.extract_image_ahash(_gradient_media(emb))
 
 
@@ -4084,7 +4099,7 @@ def q_multimodal_dhash(spark, sf_dir):
     brightness-shift EXACT invariance and non-monotone separation are
     pytest-pinned."""
     from kg import multimodal as mm
-    emb = _read("embeddings")(spark, sf_dir).select("vec_id")
+    emb = _emb(spark, sf_dir).select("vec_id")
     return mm.extract_image_dhash(_gradient_media(emb))
 
 
@@ -4099,7 +4114,7 @@ def q_multimodal_qoi(spark, sf_dir):
     multimodal_decode convention)."""
     import pandas as pd
     from kg import multimodal as mm
-    emb = _read("embeddings")(spark, sf_dir).select("vec_id")
+    emb = _emb(spark, sf_dir).select("vec_id")
 
     def gen(batches):
         for pdf in batches:
@@ -4126,7 +4141,7 @@ def q_multimodal_ahash_pairs(spark, sf_dir):
     scale-constant; production runs band the full corpus."""
     from kg import multimodal as mm
     from kg.dedup import hex_hamming_pairs
-    emb = (_read("embeddings")(spark, sf_dir)
+    emb = (_emb(spark, sf_dir)
            .filter(F.col("vec_id") < 500).select("vec_id"))
     media = _gradient_media(emb)
     # drop '-' failure rows BEFORE banding: undecodable payloads all
@@ -4424,7 +4439,7 @@ def q_multimodal_tiff(spark, sf_dir):
     in vec_id → full oracle replay."""
     import pandas as pd
     from kg import multimodal as mm
-    emb = _read("embeddings")(spark, sf_dir).select("vec_id")
+    emb = _emb(spark, sf_dir).select("vec_id")
 
     def gen(batches):
         for pdf in batches:
@@ -4455,7 +4470,7 @@ def q_multimodal_webp(spark, sf_dir):
     so every cell is arithmetic in vec_id → full oracle replay."""
     import pandas as pd
     from kg import multimodal as mm
-    emb = _read("embeddings")(spark, sf_dir).select("vec_id")
+    emb = _emb(spark, sf_dir).select("vec_id")
 
     def gen(batches):
         for pdf in batches:
@@ -4635,7 +4650,7 @@ def q_ann_recall_matryoshka(spark, sf_dir):
     composes the already-oracled exact ranker with itself at two
     widths."""
     import kg.similarity as kgsim
-    emb = _read("embeddings")(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
     qs = (emb.filter(F.col("vec_id") < 10)
           .select(F.col("vec_id").alias("query_id"), "embedding"))
     emb16 = emb.select("vec_id",

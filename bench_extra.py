@@ -1,0 +1,83 @@
+"""Round-6 optimization harness (bench.py is FROZEN for the driver; this
+file carries the extra measurements the optimization round needs — guide
+§1.4 noop-sink isolation, §1.5 job labels, and .explain("formatted")
+capture for plans/r06/).
+
+Usage:
+    python bench_extra.py q1 q2 ...            # time the named queries
+    python bench_extra.py --explain SUFFIX q1  # write plans/r06/q1_SUFFIX.txt
+    SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS / SPARK_GRAFT_TRIALS as bench.py.
+
+Methodology identical to bench.py: construction INSIDE the timer (iterative
+operators run driver-side rounds at plan-build time), noop sink forces every
+column of every row, interleaved best-of-N trials.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    argv = sys.argv[1:]
+    explain_suffix = None
+    if argv and argv[0] == "--explain":
+        explain_suffix = argv[1]
+        argv = argv[2:]
+    names = argv
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "3"))
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from kg.session import get_spark
+    import __spark_entry__ as E
+
+    spark = get_spark(app="kg-bench-extra", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 8))
+    qs = E.queries()
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        raise SystemExit(f"unknown queries: {unknown}")
+
+    # same warm-up as bench.py
+    spark.range(1000).selectExpr("sum(id)").collect()
+    (qs["kg_annotate_full"](spark, sf_dir).limit(64)
+     .write.format("noop").mode("overwrite").save())
+
+    if explain_suffix is not None:
+        outdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "plans", "r06")
+        os.makedirs(outdir, exist_ok=True)
+        for name in names:
+            df = qs[name](spark, sf_dir)
+            txt = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted")
+            path = os.path.join(outdir, f"{name}_{explain_suffix}.txt")
+            with open(path, "w") as f:
+                f.write(txt)
+            print("wrote", path)
+        spark.stop()
+        return
+
+    timings: dict[str, float] = {}
+    for trial in range(trials):
+        for name in names:
+            spark.sparkContext.setJobDescription(f"{name} trial {trial}")
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
+            spark.sparkContext.setJobDescription(None)
+    spark.stop()
+    print(json.dumps({"sf_dir": sf_dir, "cpus": cpus, "trials": trials,
+                      "queries": timings,
+                      "total": round(sum(timings.values()), 3)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -544,8 +544,13 @@ def annotate_df(df: DataFrame, text_col: str = "content",
                 spec: PipelineSpec | None = None,
                 out_col: str = "sentences") -> DataFrame:
     """df + one nested `sentences` column.  Lazy — no job is triggered; the
-    UDF fuses into the enclosing stage (ArrowEvalPython node) with no shuffle."""
-    return df.withColumn(out_col, make_annotate_udf(spec)(F.col(text_col)))
+    UDF fuses into the enclosing stage (ArrowEvalPython node) with no shuffle
+    above it.  Input is adaptively spread first (kg.session.spread_input):
+    the annotator is CPU-bound pure Python, so a one-partition scan would
+    serialize the whole stage on one core."""
+    from kg.session import spread_input
+    return spread_input(df).withColumn(
+        out_col, make_annotate_udf(spec)(F.col(text_col)))
 
 
 # ---------------------------------------------------------------------------
@@ -629,7 +634,10 @@ def annotate_graph_df(df: DataFrame, text_col: str = "content",
                       out_col: str = "sentences",
                       threshold_col: str | None = None) -> DataFrame:
     """`threshold_col`: optional double column carrying a per-document
-    sentiment-probability-threshold override (null → spec default)."""
+    sentiment-probability-threshold override (null → spec default).
+    Input adaptively spread first — see annotate_df."""
+    from kg.session import spread_input
+    df = spread_input(df)
     if threshold_col is not None:
         return df.withColumn(out_col, make_graph_udf(spec, True)(
             F.col(text_col), F.col(threshold_col).cast("double")))
@@ -721,5 +729,6 @@ def extract_annotate_df(df: DataFrame, text_col: str = "content",
     fixture corpus (5.5s vs 5.7s, 50k files: tag structs dominate the Arrow
     payload there); the knob exists for long-document corpora where
     sentence text ≈ the document's own size again per batch."""
-    return df.withColumn(out_col, make_extract_annotate_udf(
+    from kg.session import spread_input
+    return spread_input(df).withColumn(out_col, make_extract_annotate_udf(
         spec, include_text)(F.col(text_col), F.col(lang_col)))

@@ -18,6 +18,41 @@ import os
 from pyspark.sql import SparkSession
 
 
+def spread_input(df, target: int | None = None):
+    """Adaptive input spread before CPU-bound per-row work (optimization
+    guide §2.2 "fewer, larger map tasks" inverse / §6 scan parallelism).
+
+    The driver's testdata tables are single parquet files with ONE row
+    group, so `spark.sql.files.maxPartitionBytes` / `minPartitionNum`
+    cannot split them: every scan yields exactly one partition and any
+    per-row-heavy stage fused into it (the annotate pandas UDF, in-row
+    HOF expression work) runs on ONE core of local[N].  When the planned
+    input has fewer partitions than the session's parallelism, round-robin
+    repartition so the per-row work uses every core; the exchange moves
+    each input byte once, which is negligible against per-row work that
+    costs orders of magnitude more than a byte copy.
+
+    Scale-adaptive by construction: at production scale the scan already
+    has >= parallelism partitions (100 TB / 128 MB ≈ 800k) and this
+    returns the frame UNCHANGED — no Exchange node is added at all.  The
+    decision is made at plan-construction time from the planned partition
+    count, not a constant tuned for local mode.  KG_SPREAD=0 disables;
+    KG_SPREAD_PARTS overrides the target.
+    """
+    if os.environ.get("KG_SPREAD", "1") == "0":
+        return df
+    try:
+        sc = df.sparkSession.sparkContext
+        target = target or int(os.environ.get("KG_SPREAD_PARTS", "0")) \
+            or sc.defaultParallelism
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df  # streaming frames etc.: leave untouched
+    if n >= target:
+        return df
+    return df.repartition(target)
+
+
 def get_spark(app: str = "kg", master: str | None = None,
               shuffle_partitions: int | None = None,
               extra: dict[str, str] | None = None) -> SparkSession:

@@ -41,14 +41,33 @@ def test_column_pruning_reaches_scan(spark, corpus_path):
     assert "commit" not in read_schema  # unused column pruned at the scan
 
 
+def _assert_spread_then_narrow(plan: str, n_udf: int = 1):
+    """r6 annotate plan shape: exactly one ArrowEvalPython; the ONLY
+    Exchange allowed is the adaptive round-robin input spread BELOW the
+    UDF (kg.session.spread_input — fires only when the scan has fewer
+    partitions than cores, never at scale).  Nothing may shuffle ABOVE
+    the UDF: plans print root-first, so every Exchange must appear
+    after the ArrowEvalPython line and be RoundRobin."""
+    import re
+    assert plan.count("ArrowEvalPython") == n_udf
+    udf_at = plan.index("ArrowEvalPython")
+    for m in re.finditer(r".*Exchange.*", plan):
+        if "ReusedExchange" in m.group(0):
+            continue
+        assert "roundrobin" in m.group(0).lower(), m.group(0)
+        assert m.start() > udf_at, (
+            "shuffle ABOVE the annotate UDF:\n" + m.group(0))
+
+
 def test_triples_plan_narrow_and_pruned(spark, corpus_path):
-    """The full annotate→triples pipeline over a parquet scan: no Exchange,
-    single ArrowEvalPython (one UDF execution), pruned scan."""
+    """The full annotate→triples pipeline over a parquet scan: single
+    ArrowEvalPython (one UDF execution), pruned scan, and no shuffle above
+    the UDF (the input-spread round-robin below it is the r6 adaptive
+    parallelism fix)."""
     df = spark.read.parquet(corpus_path)
     triples = annotate_to_triples(df)
     plan = _plan(triples)
-    assert "Exchange" not in plan
-    assert plan.count("ArrowEvalPython") == 1
+    _assert_spread_then_narrow(plan)
 
 
 def test_link_exact_broadcasts_dictionary(spark):
@@ -93,8 +112,7 @@ def test_annotate_lemma_ner_query_single_udf(spark, corpus_path):
     import __spark_entry__ as E
     df = E.q_kg_annotate_lemma_ner(spark, "/root/testdata/sf0.001")
     plan = _plan(df)
-    assert "Exchange" not in plan
-    assert plan.count("ArrowEvalPython") == 1
+    _assert_spread_then_narrow(plan)
 
 
 def test_asof_join_single_shuffle(spark):
