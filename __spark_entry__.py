@@ -246,13 +246,22 @@ def q_dedup_simhash_fast(spark, sf_dir):
     on a hash-sample); the production path stays kg.dedup.simhash64 +
     simhash_near_pairs (kg/dedup.py:192/:276)."""
     docs = _docs(spark, sf_dir)
-    sh = kgdedup.simhash64(docs, "text", "doc_id")            # (id, simhash)
+    # rule 7: sh feeds FIVE lineage branches (two gt joins, per_doc, both
+    # brute self-join sides), banded feeds two, sig two, sh_sorted one —
+    # without the cuts the 500k-token explode + 64-conditional-sum
+    # aggregate re-executed once PER BRANCH (measured 6.6s -> ~2.5s at
+    # sf0.1).  The audit's brute all-pairs side itself is unchanged (its
+    # cost is the published contract).
+    sh = kgdedup.simhash64(docs, "text", "doc_id") \
+        .localCheckpoint()                                    # (id, simhash)
     banded = kgdedup.simhash_near_pairs(docs, max_hamming=3,
-                                        text_col="text", id_col="doc_id")
+                                        text_col="text", id_col="doc_id",
+                                        fingerprints=sh).localCheckpoint()
     sig = docs.select(
         F.col("doc_id").alias("id"),
         F.md5(F.concat_ws("\x01",
-                          F.array_sort(kgtext.tokens_col("text")))).alias("sig"))
+                          F.array_sort(kgtext.tokens_col("text")))).alias("sig")) \
+        .localCheckpoint()
     gt = (sig.alias("ga").join(
               sig.alias("gb"),
               (F.col("ga.sig") == F.col("gb.sig"))
@@ -273,7 +282,8 @@ def q_dedup_simhash_fast(spark, sf_dir):
         "doc_id",
         F.array_join(F.array_sort(kgtext.tokens_col("text")), " ")
         .alias("text"))
-    sh_sorted = kgdedup.simhash64(docs_sorted, "text", "doc_id")
+    sh_sorted = kgdedup.simhash64(docs_sorted, "text", "doc_id") \
+        .localCheckpoint()
     per_doc = (sh.join(sh_sorted.select(F.col("id"),
                                         F.col("simhash").alias("fp_sorted")),
                        "id")

@@ -274,11 +274,19 @@ def ngram_contamination(docs: DataFrame, benchmark: DataFrame, n: int = 8,
 
 
 def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
-                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                       text_col: str = "text", id_col: str = "doc_id",
+                       fingerprints: DataFrame | None = None) -> DataFrame:
     """Near-dup candidates by SimHash: block on 16-bit chunks (pigeonhole —
     any pair within hamming distance 3 shares at least one of 4 chunks),
-    verify hamming distance exactly via bit_count(xor)."""
-    sh = simhash64(df, text_col, id_col)
+    verify hamming distance exactly via bit_count(xor).
+
+    `fingerprints` — optional precomputed simhash64 output (id, simhash);
+    callers that already materialized the fingerprint frame pass it so the
+    explode+64-sum pipeline is not re-executed (CLAUDE.md rule 7 — the
+    self-join below branches the lineage, so an unmaterialized fingerprint
+    child would run once per side)."""
+    sh = fingerprints if fingerprints is not None \
+        else simhash64(df, text_col, id_col)
     chunks = F.array(*[
         F.struct(F.lit(c).alias("chunk"),
                  F.shiftrightunsigned(F.col("simhash"), c * 16)
@@ -465,7 +473,13 @@ def pair_ngram_precision(df: DataFrame, pairs: DataFrame,
     semi-joined to the pair id set first; unigrams and bigrams ride ONE
     explode (array-of-structs, repo rule 3) into one gram-count
     aggregate that is then branched three ways (both join sides + the
-    length aggregate), so it is localCheckpointed once (rule 7)."""
+    length aggregate), so it is localCheckpointed once (rule 7).  The
+    `pairs` frame itself feeds FOUR branches (both id-union sides, the
+    intersection join, the base projection) and is typically an
+    unmaterialized blocking pipeline (MinHash-LSH) — cut it once too or
+    the blocker re-executes per branch (r6: measured 3.7s -> 2.4s on
+    dedup_bleu_pairs at sf0.1)."""
+    pairs = pairs.localCheckpoint()
     ids = (pairs.select(F.col("id_a").alias("doc"))
            .unionByName(pairs.select(F.col("id_b").alias("doc")))
            .distinct())
@@ -537,7 +551,10 @@ def pair_ngram_f1(df: DataFrame, pairs: DataFrame,
     Scale shape: identical to pair_ngram_precision — PAIR-bounded
     (semi-join to the pair id set first), uni+bigrams ride ONE explode,
     the shared gram-count aggregate is localCheckpointed once (rule 7)
-    before its three consumers (both join sides + the length agg)."""
+    before its three consumers (both join sides + the length agg); the
+    `pairs` blocking pipeline is cut once before its four consumers
+    (see pair_ngram_precision)."""
+    pairs = pairs.localCheckpoint()
     ids = (pairs.select(F.col("id_a").alias("doc"))
            .unionByName(pairs.select(F.col("id_b").alias("doc")))
            .distinct())

@@ -35,7 +35,7 @@ def pagerank(edges: DataFrame, iterations: int = 10,
              damping_micro: int = 850_000,
              src_col: str = "src", dst_col: str = "dst",
              weight_col: str | None = "weight",
-             checkpoint_every: int = 3,
+             checkpoint_every: int = 5,
              seeds: DataFrame | None = None,
              node_col: str = "node",
              redistribute_dangling: bool = False) -> DataFrame:
@@ -155,7 +155,7 @@ def pagerank(edges: DataFrame, iterations: int = 10,
 def label_propagation(edges: DataFrame, iterations: int = 4,
                       src_col: str = "src", dst_col: str = "dst",
                       weight_col: str | None = "weight",
-                      checkpoint_every: int = 3) -> DataFrame:
+                      checkpoint_every: int = 4) -> DataFrame:
     """Community detection: synchronous weighted label propagation with the
     published LPA's random visit order replaced by deterministic rules —
     fixed synchronous rounds, candidate = neighbor label with the highest
@@ -456,7 +456,7 @@ def personalized_pagerank(edges: DataFrame, sources: DataFrame,
                           src_col: str = "src", dst_col: str = "dst",
                           weight_col: str | None = "weight",
                           node_col: str = "node",
-                          checkpoint_every: int = 3) -> DataFrame:
+                          checkpoint_every: int = 5) -> DataFrame:
     """Personalized (topic-sensitive) PageRank: the teleport mass lands
     only on the `sources` seed set, so ranks measure proximity to the
     seeds — the standard related-entity / recommendation query over the
@@ -646,7 +646,7 @@ def katz_centrality(edges: DataFrame, rounds: int = 4,
                     alpha_micro: int = 100_000,
                     beta_micro: int = 1_000_000,
                     src_col: str = "src", dst_col: str = "dst",
-                    checkpoint_every: int = 2) -> DataFrame:
+                    checkpoint_every: int = 4) -> DataFrame:
     """Katz centrality (Katz 1953; the GDS `gds.alpha` centrality next
     to HITS above) on a DIRECTED unweighted edge set: attenuated path
     counting — x(v) weights every incoming walk of length k by α^k, so
@@ -1287,7 +1287,7 @@ def label_spread(edges: DataFrame, seeds: DataFrame, iterations: int = 3,
                  src_col: str = "src", dst_col: str = "dst",
                  weight_col: str | None = "weight",
                  node_col: str = "node", label_col: str = "label",
-                 checkpoint_every: int = 2) -> DataFrame:
+                 checkpoint_every: int = 3) -> DataFrame:
     """Seeded (clamped) label spreading — semi-supervised classification
     over a similarity graph (Zhu & Ghahramani 2002, "Learning from
     Labeled and Unlabeled Data with Label Propagation"; the argmax

@@ -329,9 +329,15 @@ def prf_expand(docs: DataFrame, queries: DataFrame, n_feedback: int = 3,
             .join(q, ["query_id", "term"], "left_anti"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("fb_tf").desc(), F.col("term"))
+    # rule 7: q2 feeds several broadcast branches inside the second BM25
+    # (the term semi-filter, the cand join, dfreq) — without a cut each
+    # branch re-executes the ENTIRE round-1 + mining pipeline above this
+    # window.  The frame is <= (|q| + n_expand)·|queries| rows; cutting
+    # it here removes the repeated round-1 stages (r6: text_prf_search
+    # 5.1s -> ~2.5s at sf0.1).
     expansions = (cand.withColumn("_rn", F.row_number().over(w))
                   .filter(F.col("_rn") <= n_expand)
-                  .select("query_id", "term"))
+                  .select("query_id", "term").localCheckpoint())
     q2 = q.unionByName(expansions)
     return bm25_topk(docs, q2, k=k, text_col=text_col, id_col=id_col,
                      k1_milli=k1_milli, b_milli=b_milli)
