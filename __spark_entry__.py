@@ -3320,7 +3320,7 @@ def q_embedding_top_pc(spark, sf_dir):
     bit-for-bit as unrolled MATERIALIZED CTEs.  The ABTT (Mu &
     Viswanath 2018) common-component score per vector."""
     from kg.embed import top_pc_projection
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     return top_pc_projection(emb, dim=64, rounds=3)
 
 
@@ -3343,7 +3343,7 @@ def q_embedding_zorder(spark, sf_dir):
     corpus per-dim min/max, bits interleaved Morton-style — the
     OPTIMIZE ZORDER BY clustering key, every cell exact integer."""
     from kg.materialize import zorder_keys
-    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = (_emb(spark, sf_dir)
            .select("vec_id",
                    F.element_at("embedding", 1).alias("e1"),
                    F.element_at("embedding", 2).alias("e2")))
@@ -3457,7 +3457,7 @@ def q_ann_kcenter(spark, sf_dir):
     nearest selected center + exact integer d²; the diversity-selection
     dual of SemDeDup's redundancy removal."""
     from kg.similarity import kcenter_select
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     return kcenter_select(emb, k=4)
 
 
@@ -3475,7 +3475,7 @@ def q_embedding_rp(spark, sf_dir):
     (vec_id, dim, val_micro); the md5-derived sign matrix is
     regenerated from (salt, j, i) in both engines, never stored."""
     from kg.embed import random_projection
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     return random_projection(emb, out_dims=8, in_dims=64)
 
 
@@ -4412,11 +4412,16 @@ def q_rel_join_estimate(spark, sf_dir):
     the skew statistic) alongside, exact audits riding per the
     ann_recall_ivf convention.  The md5 signs make every z exactly
     replayable — a full-hash sketch row, no bounded contract."""
+    from kg.session import spread_input
     from kg.sketch import ams_join_estimate
-    od = _read("orders")(spark, sf_dir).select(
-        F.col("o_orderkey").alias("key"))
-    li = _read("lineitem")(spark, sf_dir).select(
-        F.col("l_orderkey").alias("key"))
+    # spread AFTER the key projection: the sketch evaluates d=16 md5 signs
+    # per row (12M hashes over orders+lineitem), which serialized on the
+    # one-partition scans; the projection keeps the exchange narrow (keys
+    # only) and there are no filters to push down here.
+    od = spread_input(_read("orders")(spark, sf_dir).select(
+        F.col("o_orderkey").alias("key")))
+    li = spread_input(_read("lineitem")(spark, sf_dir).select(
+        F.col("l_orderkey").alias("key")))
     return ams_join_estimate(od, li, col="key", d=16)
 
 

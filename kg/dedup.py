@@ -225,10 +225,17 @@ def simhash_portable(df: DataFrame, text_col: str = "text",
     toks = (df.select(F.col(id_col).alias("id"),
                       F.explode(tokens_col(text_col)).alias("tok"))
             .withColumn("h", F.md5("tok")))
-    digit = [F.conv(F.substring("h", k + 1, 1), 16, 10).cast("int")
-             for k in range(16)]
+    # stage the 16 hex-digit values as named columns FIRST: each digit is
+    # read by 4 of the 64 bit sums, and conv(substring) inside every sum
+    # expression cost 64 conv evaluations per token instead of 16 (the
+    # multiply-referenced-alias staging rule the ivfpq rewrite recorded;
+    # CollapseProject keeps non-cheap aliases referenced >1x apart).
+    # Same arithmetic, same fingerprints.
+    toks = toks.select(
+        "id", *[F.conv(F.substring("h", k + 1, 1), 16, 10).cast("int")
+                .alias(f"d{k}") for k in range(16)])
     bit_sums = [
-        F.sum(F.when(F.shiftright(digit[i // 4], i % 4)
+        F.sum(F.when(F.shiftright(F.col(f"d{i // 4}"), i % 4)
                      .bitwiseAND(F.lit(1)) == 1,
                      F.lit(1)).otherwise(F.lit(-1))).alias(f"b{i}")
         for i in range(64)]

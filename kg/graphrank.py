@@ -100,7 +100,10 @@ def pagerank(edges: DataFrame, iterations: int = 10,
     e = raw.join(wsum, "src").unionByName(loops).persist()
 
     base_micro = MICRO - damping_micro
-    nodes_r = e.select(F.col("src").alias("node")).distinct()
+    # e's src set == nodes by construction (the zero-weight loops add
+    # EVERY node as a src), so reuse the already-built distinct instead
+    # of a second full distinct pass over the wider joined frame
+    nodes_r = nodes
     if seeds is None:
         init = F.lit(MICRO)
         base = F.lit(base_micro)

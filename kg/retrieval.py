@@ -382,7 +382,15 @@ def bm25_ndcg(docs: DataFrame, queries: DataFrame, k: int = 10,
     ranked = bm25_topk(docs, queries, k=k, text_col=text_col,
                        id_col=id_col)
     qd = queries.select("query_id", "term").distinct()
-    pres = (_positions(docs, text_col, id_col).drop("pos").distinct()
+    # distinct (doc, term) pairs WITHOUT a corpus-sized shuffle: dedup the
+    # token array per row first (array_distinct is in-row), so the exploded
+    # rows are already unique and the global .distinct() exchange the
+    # previous formulation paid is gone (guide §2.4 — a distinct on data
+    # that is already unique); the query-term semi-join then bounds the
+    # frame before the rel aggregate as before.
+    pres = (docs.select(F.col(id_col).alias("doc"),
+                        F.explode(F.array_distinct(tokens_col(text_col)))
+                        .alias("term"))
             .join(F.broadcast(qd.select("term").distinct()), "term"))
     rel = (pres.join(F.broadcast(qd), "term")
            .groupBy("query_id", "doc")

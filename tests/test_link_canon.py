@@ -77,6 +77,11 @@ EDGE_SETS = [
     [(f"n{i}", f"n{i+1}") for i in range(12)],           # chain
     [("a", "b"), ("c", "d"), ("b", "c"), ("x", "y")],    # merge late
     [("a", "a")],                                        # self loop
+    # 40-edge chain (reversed ids so the min sits at the FAR end):
+    # forces hash_to_min through several pointer-jump rounds (the r6
+    # path-compression branch fires from round 3 on) — without the jump
+    # this needs ~40 rounds, with it O(log)
+    [(f"c{40 - i:02d}", f"c{40 - i - 1:02d}") for i in range(40)],
 ]
 
 
