@@ -80,11 +80,11 @@ def pagerank(edges: DataFrame, iterations: int = 10,
     if redistribute_dangling and seeds is not None:
         raise ValueError("redistribute_dangling supports classic "
                          "(unseeded) PageRank only")
+    from pyspark.sql.window import Window as _W
     raw = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
         (F.col(weight_col) if weight_col else F.lit(1))
         .cast("bigint").alias("w"))
-    wsum = raw.groupBy("src").agg(F.sum("w").alias("wsum"))
     nodes = (raw.select(F.col("src").alias("node"))
              .union(raw.select(F.col("dst").alias("node"))).distinct())
     # zero-weight self-loop per node: every node then appears as a dst in
@@ -94,10 +94,17 @@ def pagerank(edges: DataFrame, iterations: int = 10,
                          F.col("node").alias("dst"),
                          F.lit(0).cast("bigint").alias("w"),
                          F.lit(1).cast("bigint").alias("wsum"))
+    # out-weight totals via an unordered window over the SAME src
+    # partitioning the rows already need — one exchange, where the r5
+    # groupBy(src)+join formulation paid the aggregate exchange AND a
+    # join (identical sums, guide §2.4 "two operations keyed the same
+    # way share one exchange")
+    withsum = raw.withColumn(
+        "wsum", F.sum("w").over(_W.partitionBy("src")))
     # persist (not localCheckpoint): persist gives a DETERMINISTIC release
     # point — the unpersist below — where checkpoint blocks would linger
     # until ContextCleaner GC in the long-lived shared session
-    e = raw.join(wsum, "src").unionByName(loops).persist()
+    e = withsum.select("src", "dst", "w", "wsum").unionByName(loops).persist()
 
     base_micro = MICRO - damping_micro
     # e's src set == nodes by construction (the zero-weight loops add
