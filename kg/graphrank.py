@@ -1099,8 +1099,15 @@ def textrank_keywords(df: DataFrame, window: int = 2, iterations: int = 4,
     partitioning by 'doc|word' co-locates each document's subgraph, so
     propagation never moves rows across documents.  The final top-k
     window partitions per document (document-sized groups)."""
+    # rule 7: pagerank branches its edge input (the persisted e, the
+    # nodes distinct for rank init) — the corpus-sized in-row pair build
+    # + two aggregates re-executed once per branch when passed lazily
+    # (the tag-graph queries already cut this via tag_cooccurrence_edges
+    # materialize=True; this path lacked the cut — r6: 6.5→4.7 s at
+    # sf0.1)
     edges = textrank_edges(df, window=window, text_col=text_col,
-                           id_col=id_col, stopwords=stopwords)
+                           id_col=id_col, stopwords=stopwords) \
+        .localCheckpoint()
     ranked = pagerank(edges, iterations=iterations,
                       damping_micro=damping_micro)
     from pyspark.sql import Window
