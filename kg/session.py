@@ -43,8 +43,16 @@ def spread_input(df, target: int | None = None):
         return df
     try:
         sc = df.sparkSession.sparkContext
+        # default target is parallelism/4, not full parallelism: a spread
+        # stage's scheduling cost grows with task count, and on this class
+        # of host a JVM+Python worker pair per task stops fitting past
+        # cores/4 (CLAUDE.md rule 5: 16 physical cores -> local[8] is the
+        # max useful level for UDF stages).  Interleaved A/B at sf0.1:
+        # target=cores/4 keeps ~all of the heavy-query win (dedup_recall
+        # 5.7->2.9s both at 8 and 32) while light vocabulary-shaped
+        # queries pay +0.1s instead of +0.7s.  KG_SPREAD_PARTS overrides.
         target = target or int(os.environ.get("KG_SPREAD_PARTS", "0")) \
-            or sc.defaultParallelism
+            or max(2, sc.defaultParallelism // 4)
         n = df.rdd.getNumPartitions()
     except Exception:
         return df  # streaming frames etc.: leave untouched
