@@ -18,6 +18,9 @@ import os
 from pyspark.sql import SparkSession
 
 
+_SPREAD_MEMO: dict[tuple[int, int], int] = {}
+
+
 def spread_input(df, target: int | None = None):
     """Adaptive input spread before CPU-bound per-row work (optimization
     guide §2.2 "fewer, larger map tasks" inverse / §6 scan parallelism).
@@ -53,7 +56,21 @@ def spread_input(df, target: int | None = None):
         # queries pay +0.1s instead of +0.7s.  KG_SPREAD_PARTS overrides.
         target = target or int(os.environ.get("KG_SPREAD_PARTS", "0")) \
             or max(2, sc.defaultParallelism // 4)
-        n = df.rdd.getNumPartitions()
+        # The planned-partition probe pays full physical planning (~25 ms
+        # via queryExecution().toRdd(); df.rdd adds a PythonRDD wrapper on
+        # top).  A bench/oracle run constructs the SAME reader frames
+        # hundreds of times, so memoize the count per (SparkContext,
+        # analyzed-plan semanticHash) — semantically equal plans scan the
+        # same files and plan the same partition count.  This caches plan
+        # METADATA only, never data or results; a stale/colliding entry
+        # could at worst mis-size the spread (performance), never change
+        # results.  semanticHash rides the already-cached analysis, ~free.
+        qe = df._jdf.queryExecution()
+        key = (id(sc), qe.analyzed().semanticHash())
+        n = _SPREAD_MEMO.get(key)
+        if n is None:
+            n = qe.toRdd().getNumPartitions()
+            _SPREAD_MEMO[key] = n
     except Exception:
         return df  # streaming frames etc.: leave untouched
     if n >= target:

@@ -1201,3 +1201,23 @@ def test_web_robots_delays_broadcast_group_join(spark):
     plan = _plan(robots_delays(df))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_spread_probe_memoized_and_decision_unchanged(spark, corpus_path):
+    """r6: spread_input memoizes the planned-partition probe per
+    (SparkContext, analyzed-plan semanticHash) — plan METADATA only.
+    Semantically equal frames must reuse one memo entry and still get
+    the identical spread decision (same partition count out), and a
+    frame that is already wide must stay untouched (no Exchange)."""
+    from kg import session as S
+    S._SPREAD_MEMO.clear()
+    a = S.spread_input(spark.read.parquet(corpus_path))
+    n_after_first = len(S._SPREAD_MEMO)
+    b = S.spread_input(spark.read.parquet(corpus_path))
+    assert n_after_first == 1
+    assert len(S._SPREAD_MEMO) == 1          # second probe hit the memo
+    assert a.rdd.getNumPartitions() == b.rdd.getNumPartitions()
+    # already-wide input: decision is "leave alone" (no repartition node)
+    wide = spark.range(0, 1000, 1, 64).toDF("doc_id")
+    out = S.spread_input(wide)
+    assert out.rdd.getNumPartitions() == 64
