@@ -24,8 +24,6 @@ unix micros / formatted strings (session tz pinned to UTC in kg.session).
 
 from __future__ import annotations
 
-import os
-
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
