@@ -1672,9 +1672,12 @@ def boruvka_msf(edges: DataFrame, rounds: int = 2, src_col: str = "src",
     precedent: deterministic result, recursive-CTE-replayable).
 
     Shape per round: two label joins onto the (checkpointed) canonical
-    edge set + one groupBy(component) struct-min + the contraction CC
-    on a frame with ≤ one row per component; comp and the round's
-    survivors are localCheckpointed before branching (perf rule 7)."""
+    edge set, fanned out to both endpoint components by ONE
+    array-of-structs explode (house rule 3 — no union branch, so the
+    inter-component edge set is never materialized), + one
+    groupBy(component) struct-min + the contraction CC on a frame with
+    ≤ one row per component; comp and the round's survivors are
+    localCheckpointed before branching (perf rule 7)."""
     from kg.canon import connected_components
     sign = -1 if maximum else 1
     pick = F.max("w") if maximum else F.min("w")
@@ -1697,12 +1700,21 @@ def boruvka_msf(edges: DataFrame, rounds: int = 2, src_col: str = "src",
               .filter(F.col("_cs") != F.col("_cd"))
               .select("a", "b", "w",
                       F.least("_cs", "_cd").alias("x"),
-                      F.greatest("_cs", "_cd").alias("y"))
-              .localCheckpoint())
+                      F.greatest("_cs", "_cd").alias("y")))
         s = F.struct((F.col("w") * sign).alias("k"), F.col("a"),
                      F.col("b"), F.col("w"), F.col("x"), F.col("y"))
-        cand = (ec.select(F.col("x").alias("c"), s.alias("s"))
-                .union(ec.select(F.col("y").alias("c"), s.alias("s"))))
+        # both candidate rows of an inter-component edge in ONE pass:
+        # array-of-structs + explode (house rule 3) — ec then has a
+        # single consumer, so the per-round ec checkpoint (an eager job
+        # materializing the FULL inter-component edge set) is gone and
+        # no branch re-executes the label joins.  Local A/B: neutral
+        # (best-of-6 within 0.02s); at scale it removes one edge-set
+        # write+read per round.
+        cand = (ec.select(F.explode(F.array(
+                    F.struct(F.col("x").alias("c"), s.alias("s")),
+                    F.struct(F.col("y").alias("c"), s.alias("s"))))
+                .alias("p"))
+                .select(F.col("p.c").alias("c"), F.col("p.s").alias("s")))
         chosen = (cand.groupBy("c").agg(F.min("s").alias("s"))
                   .select("s.a", "s.b", "s.w", "s.x", "s.y")
                   .distinct().localCheckpoint())
