@@ -1131,32 +1131,36 @@ def textrank_edges(df: DataFrame, window: int = 2,
     other centralities (hits/betweenness over the same word graphs).
 
     Pair building is IN-ROW — a transform over the token array at each
-    offset 1..window, never a positional self-join; then one aggregate
-    on (doc, a, b) and one symmetrizing re-aggregate (w(a,b) must equal
-    w(b,a), and each DIRECTION's count alone is not the unordered
-    co-occurrence count)."""
+    offset 1..window, never a positional self-join — and SYMMETRIZED
+    IN-ROW: each positional pair emits both orientations from the same
+    explode, so ONE (doc, a, b) aggregate yields the symmetric weights
+    directly (w(a,b) counts the unordered co-occurrences in both
+    orders).  The r5 formulation aggregated the forward direction and
+    re-aggregated a union with the swapped half — the union branched
+    the corpus-sized pair build, which Catalyst duplicated (no
+    ReusedExchange guarantee, rule 7): two Generates + two aggregates
+    over the corpus where this shape pays one of each."""
     from kg.textstats import STOPWORD_ARRAY, bind1, tokens_col
     stops = list(stopwords) if stopwords is not None else STOPWORD_ARRAY
 
     def pairs_at(t, j: int):
-        return F.filter(
+        fwd = F.filter(
             F.transform(t, lambda x, i: F.struct(
                 x.alias("a"), F.get(t, i + j).alias("b"))),
             lambda s: (s["b"].isNotNull() & (s["a"] != s["b"])
                        & ~s["a"].isin(stops) & ~s["b"].isin(stops)))
+        # both orientations from the one filtered array (in-row, one pass)
+        return F.flatten(F.transform(fwd, lambda s: F.array(
+            s, F.struct(s["b"].alias("a"), s["a"].alias("b")))))
 
     # token array bound once per row (bind1): F.get over the raw split()
     # expression inside the lambda is O(n²) on long documents
     allp = bind1(tokens_col(text_col), lambda t: F.flatten(
         F.array(*[pairs_at(t, j) for j in range(1, window + 1)])))
-    half = (df.select(F.col(id_col).alias("doc"), F.explode(allp).alias("p"))
-            .select("doc", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-            .groupBy("doc", "a", "b")
-            .agg(F.count("*").cast("bigint").alias("w")))
-    sym = (half.unionByName(half.select("doc", F.col("b").alias("a"),
-                                        F.col("a").alias("b"), "w"))
+    sym = (df.select(F.col(id_col).alias("doc"), F.explode(allp).alias("p"))
+           .select("doc", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
            .groupBy("doc", "a", "b")
-           .agg(F.sum("w").cast("bigint").alias("weight")))
+           .agg(F.count("*").cast("bigint").alias("weight")))
     return sym.select(
         F.concat_ws("|", "doc", "a").alias("src"),
         F.concat_ws("|", "doc", "b").alias("dst"), "weight")
