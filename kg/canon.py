@@ -21,9 +21,19 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def _symmetric(edges: DataFrame) -> DataFrame:
+    """Both orientations of every edge in ONE pass (house rule 3): a
+    union of the frame with its swap branches the edge lineage, so an
+    expensive un-checkpointed edge build (dedup_components' LSH pair
+    pipeline) executed TWICE inside the first materialization —
+    Catalyst gives no ReusedExchange guarantee for identical union
+    branches (rule 7).  Array-of-structs + explode scans the child
+    once; row multiset is identical."""
     e = edges.select(F.col("src"), F.col("dst"))
-    return e.union(e.select(F.col("dst").alias("src"),
-                            F.col("src").alias("dst")))
+    return (e.select(F.explode(F.array(
+                F.struct(F.col("src"), F.col("dst")),
+                F.struct(F.col("dst").alias("src"),
+                         F.col("src").alias("dst")))).alias("p"))
+            .select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst")))
 
 
 def connected_components(edges: DataFrame, max_iter: int = 50,

@@ -31,6 +31,30 @@ from pyspark.sql import DataFrame, functions as F
 MICRO = 1_000_000
 
 
+def _fan_both(e: DataFrame, a: str, b: str,
+              extra: tuple[str, ...] = ()) -> DataFrame:
+    """Both orientations of every (a, b[, extra]) row in ONE scan of
+    `e` (house rule 3): the union-of-swap shape branches the edge
+    lineage, so an unmaterialized caller frame (the strong-tie /
+    co-occurrence aggregate) executed once per branch — Catalyst gives
+    no ReusedExchange guarantee (rule 7) — and a checkpointed one paid
+    the guard job just to be scanned twice.  Row multiset is identical
+    to `e UNION e.swap`."""
+    xs = [F.col(c).alias(c) for c in extra]
+    return (e.select(F.explode(F.array(
+                F.struct(F.col(a).alias(a), F.col(b).alias(b), *xs),
+                F.struct(F.col(b).alias(a), F.col(a).alias(b), *xs)))
+            .alias("_p"))
+            .select(*[F.col(f"_p.{c}").alias(c) for c in (a, b, *extra)]))
+
+
+def _node_set(e: DataFrame, a: str, b: str) -> DataFrame:
+    """Distinct endpoint set in ONE scan of `e` (same rule-3/rule-7
+    rationale as _fan_both, for the union-of-two-projections node
+    derivation)."""
+    return e.select(F.explode(F.array(a, b)).alias("node")).distinct()
+
+
 def pagerank(edges: DataFrame, iterations: int = 10,
              damping_micro: int = 850_000,
              src_col: str = "src", dst_col: str = "dst",
@@ -85,8 +109,12 @@ def pagerank(edges: DataFrame, iterations: int = 10,
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
         (F.col(weight_col) if weight_col else F.lit(1))
         .cast("bigint").alias("w"))
-    nodes = (raw.select(F.col("src").alias("node"))
-             .union(raw.select(F.col("dst").alias("node"))).distinct())
+    # node set in ONE scan of raw (house rule 3): the union-of-two-
+    # projections shape re-executed raw's lineage per branch when the
+    # caller passed an unmaterialized edge frame (no ReusedExchange
+    # guarantee — rule 7)
+    nodes = (raw.select(F.explode(F.array("src", "dst")).alias("node"))
+             .distinct())
     # zero-weight self-loop per node: every node then appears as a dst in
     # the contribution aggregate (contributing exactly 0), which deletes
     # the dangling-node left-join — one fewer shuffle in EVERY round
@@ -191,8 +219,12 @@ def label_propagation(edges: DataFrame, iterations: int = 4,
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
         (F.col(weight_col) if weight_col else F.lit(1))
         .cast("bigint").alias("w"))
-    nodes = (raw.select(F.col("src").alias("node"))
-             .union(raw.select(F.col("dst").alias("node"))).distinct())
+    # node set in ONE scan of raw (house rule 3): the union-of-two-
+    # projections shape re-executed raw's lineage per branch when the
+    # caller passed an unmaterialized edge frame (no ReusedExchange
+    # guarantee — rule 7)
+    nodes = (raw.select(F.explode(F.array("src", "dst")).alias("node"))
+             .distinct())
     loops = nodes.select(F.col("node").alias("src"),
                          F.col("node").alias("dst"),
                          F.lit(0).cast("bigint").alias("w"))
@@ -441,11 +473,12 @@ def bfs_levels(edges: DataFrame, sources: DataFrame, max_depth: int = 4,
     the NEW frontier is checkpointed per round; the visited union's
     inputs are all already-checkpointed frames, so its lineage stays
     flat without re-materializing the settled set every round."""
-    # cut the input lineage ONCE before the symmetrize union branches it
-    # (perf rule 7: each union branch re-executes the upstream pipeline)
+    # one-scan symmetrize (_fan_both): no union branch, so the caller's
+    # edge lineage executes exactly once inside the sym checkpoint and
+    # the separate e0 guard checkpoint (an eager job) is gone
     e0 = edges.select(F.col(src_col).alias("a"),
-                      F.col(dst_col).alias("b")).localCheckpoint()
-    sym = (e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
+                      F.col(dst_col).alias("b"))
+    sym = (_fan_both(e0, "a", "b")
            .filter(F.col("a") != F.col("b")).distinct().localCheckpoint())
     visited = (sources.select(F.col(node_col).alias("node")).distinct()
                .withColumn("level", F.lit(0)).localCheckpoint())
@@ -499,8 +532,9 @@ def neighbor_jaccard(edges: DataFrame, src_col: str = "src",
     # cut the input lineage ONCE before the symmetrize union branches it
     # (perf rule 7) — callers pass pipeline-rooted edge frames
     e0 = edges.select(F.col(src_col).alias("n"),
-                      F.col(dst_col).alias("v")).localCheckpoint()
-    sym = (e0.union(e0.select(F.col("v").alias("n"), F.col("n").alias("v")))
+                      F.col(dst_col).alias("v"))
+    # one-scan symmetrize: the e0 guard checkpoint is gone (_fan_both)
+    sym = (_fan_both(e0, "n", "v")
            .filter(F.col("n") != F.col("v")).distinct())
     if max_neighbors_per_node is not None:
         sym = (sym.groupBy("n")
@@ -536,8 +570,9 @@ def multi_bfs(edges: DataFrame, sources: DataFrame, max_depth: int = 4,
     now on the composite (pivot, node) key); the settled set is only
     ever unioned from checkpointed frames."""
     e0 = edges.select(F.col(src_col).alias("a"),
-                      F.col(dst_col).alias("b")).localCheckpoint()
-    sym = (e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
+                      F.col(dst_col).alias("b"))
+    # one-scan symmetrize: the e0 guard checkpoint is gone (_fan_both)
+    sym = (_fan_both(e0, "a", "b")
            .filter(F.col("a") != F.col("b")).distinct().localCheckpoint())
     visited = (sources.select(F.col(pivot_col).alias("pivot"),
                               F.col(node_col).alias("node")).distinct()
@@ -574,9 +609,7 @@ def pivot_closeness(edges: DataFrame, n_pivots: int = 4,
     # and multi_bfs scans it again — a pipeline-rooted edge frame (the
     # strong-tie build) would otherwise re-execute per branch (rule 7)
     edges = edges.select(src_col, dst_col).localCheckpoint()
-    nodes = (edges.select(F.col(src_col).alias("node"))
-             .union(edges.select(F.col(dst_col).alias("node")))
-             .distinct())
+    nodes = _node_set(edges, src_col, dst_col)
     pivots = (nodes.orderBy(F.md5(F.col("node").cast("string")))
               .limit(n_pivots)
               .select(F.col("node").alias("pivot"), "node"))
@@ -694,8 +727,8 @@ def katz_centrality(edges: DataFrame, rounds: int = 4,
                         F.col(dst_col).alias("dst"))
            .distinct()
            .withColumn("w", F.lit(1).cast("bigint")))
-    nodes = (raw.select(F.col("src").alias("node"))
-             .union(raw.select(F.col("dst").alias("node"))).distinct())
+    # node set in ONE scan of raw (rule 3/7 — raw is unmaterialized)
+    nodes = _node_set(raw, "src", "dst")
     loops = nodes.select(F.col("node").alias("src"),
                          F.col("node").alias("dst"),
                          F.lit(0).cast("bigint").alias("w"))
@@ -885,8 +918,9 @@ def wl_signatures(edges: DataFrame, rounds: int = 2,
     the label frame (node-sized, ~25 B/row) is localCheckpointed per
     round because it feeds both the neighbor and self sides (rule 7)."""
     e0 = edges.select(F.col(src_col).alias("n"),
-                      F.col(dst_col).alias("v")).localCheckpoint()
-    sym = (e0.union(e0.select(F.col("v").alias("n"), F.col("n").alias("v")))
+                      F.col(dst_col).alias("v"))
+    # one-scan symmetrize: the e0 guard checkpoint is gone (_fan_both)
+    sym = (_fan_both(e0, "n", "v")
            .filter(F.col("n") != F.col("v")))
     sym = (sym.groupBy("n")
            .agg(F.slice(F.array_sort(F.collect_set("v")), 1,
@@ -939,10 +973,8 @@ def pivot_betweenness(edges: DataFrame, n_pivots: int = 2,
     frames are localCheckpointed because each feeds the next level AND
     the final union (rule 7)."""
     edges = edges.select(src_col, dst_col).localCheckpoint()
-    sym = (edges.select(F.col(src_col).alias("a"),
-                        F.col(dst_col).alias("b"))
-           .union(edges.select(F.col(dst_col).alias("a"),
-                               F.col(src_col).alias("b")))
+    sym = (_fan_both(edges.select(F.col(src_col).alias("a"),
+                                  F.col(dst_col).alias("b")), "a", "b")
            .filter(F.col("a") != F.col("b")).distinct().localCheckpoint())
     nodes = sym.select(F.col("a").alias("node")).distinct()
     pivots = (nodes.orderBy(F.md5(F.col("node").cast("string")))
@@ -1281,8 +1313,9 @@ def adamic_adar(edges: DataFrame, src_col: str = "src",
     oracle), wedge self-join on the shared-center key with the center's
     degree joined BEFORE the pair aggregate."""
     e0 = edges.select(F.col(src_col).alias("n"),
-                      F.col(dst_col).alias("v")).localCheckpoint()
-    sym = (e0.union(e0.select(F.col("v").alias("n"), F.col("n").alias("v")))
+                      F.col(dst_col).alias("v"))
+    # one-scan symmetrize: the e0 guard checkpoint is gone (_fan_both)
+    sym = (_fan_both(e0, "n", "v")
            .filter(F.col("n") != F.col("v")).distinct())
     if max_neighbors_per_node is not None:
         sym = (sym.groupBy("n")
@@ -1389,8 +1422,9 @@ def degree_assortativity(edges: DataFrame, src_col: str = "src",
     audit number (dedup/boilerplate failures show up as extreme
     positive assortativity of the tag graph's hub core)."""
     e0 = edges.select(F.col(src_col).alias("a"),
-                      F.col(dst_col).alias("b")).localCheckpoint()
-    sym = (e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
+                      F.col(dst_col).alias("b"))
+    # one-scan symmetrize: the e0 guard checkpoint is gone (_fan_both)
+    sym = (_fan_both(e0, "a", "b")
            .filter(F.col("a") != F.col("b")).distinct().localCheckpoint())
     deg = sym.groupBy("a").agg(F.count("*").cast("bigint").alias("deg"))
     per_edge = (sym
@@ -1763,8 +1797,9 @@ def sssp_bellman_ford(edges: DataFrame, sources: DataFrame, rounds: int = 4,
                        F.col(weight_col).cast("bigint").alias("w"))
           .filter(F.col("a") != F.col("b")))
     if not directed:
-        e0 = e0.union(e0.select(F.col("b").alias("a"),
-                                F.col("a").alias("b"), "w"))
+        # one-scan symmetrize carrying w (_fan_both): the union branch
+        # re-executed the caller's edge lineage per side (rule 7)
+        e0 = _fan_both(e0, "a", "b", extra=("w",))
     sym = e0.groupBy("a", "b").agg(F.min("w").alias("w")).localCheckpoint()
     dist = (sources.select(F.col(node_col).alias("node")).distinct()
             .withColumn("dist", F.lit(0).cast("bigint")).localCheckpoint())
@@ -1812,8 +1847,12 @@ def greedy_matching(edges: DataFrame, rounds: int = 3,
     for r in range(1, rounds + 1):
         s = F.struct((-F.col("w")).alias("k"), F.col("a"), F.col("b"),
                      F.col("w"))
-        inc = (e.select(F.col("a").alias("n"), s.alias("s"))
-               .union(e.select(F.col("b").alias("n"), s.alias("s"))))
+        # both incidence rows in ONE pass (rule 3 — no union branch)
+        inc = (e.select(F.explode(F.array(
+                   F.struct(F.col("a").alias("n"), s.alias("s")),
+                   F.struct(F.col("b").alias("n"), s.alias("s"))))
+               .alias("_p"))
+               .select(F.col("_p.n").alias("n"), F.col("_p.s").alias("s")))
         best = (inc.groupBy("n").agg(F.min("s").alias("s"))
                 .select("n", F.col("s.a").alias("ba"),
                         F.col("s.b").alias("bb")))
@@ -1858,9 +1897,7 @@ def pivot_eccentricity(edges: DataFrame, n_pivots: int = 4,
     round count never scales with pivot count) + one |pivots|-row
     aggregate."""
     edges = edges.select(src_col, dst_col).localCheckpoint()
-    nodes = (edges.select(F.col(src_col).alias("node"))
-             .union(edges.select(F.col(dst_col).alias("node")))
-             .distinct())
+    nodes = _node_set(edges, src_col, dst_col)
     pivots = (nodes.orderBy(F.md5(F.col("node").cast("string")))
               .limit(n_pivots)
               .select(F.col("node").alias("pivot"), "node"))
@@ -1898,10 +1935,10 @@ def jp_coloring(edges: DataFrame, rounds: int = 3,
     branches into the neighbor join, the winner filter, and the next
     round — perf rule 7).  Adjacency is built once.  No windows, no
     global order."""
-    adj = (edges.select(F.col(src_col).alias("n"),
-                        F.col(dst_col).alias("nbr"))
-           .union(edges.select(F.col(dst_col).alias("n"),
-                               F.col(src_col).alias("nbr")))
+    # one-scan symmetrize (_fan_both): the caller's edge lineage runs
+    # exactly once inside the adjacency checkpoint (rules 3 + 7)
+    adj = (_fan_both(edges.select(F.col(src_col).alias("n"),
+                                  F.col(dst_col).alias("nbr")), "n", "nbr")
            .filter(F.col("n") != F.col("nbr"))
            .distinct().localCheckpoint())
     pri = F.concat(F.md5(F.col("node").cast("string")),
@@ -1958,10 +1995,10 @@ def luby_mis(edges: DataFrame, rounds: int = 3,
     (Luby's lemma) and is localCheckpointed per round (it branches into
     the neighbor join, the winner filter, and the next round — perf
     rule 7).  Adjacency is built once.  No windows, no global order."""
-    adj = (edges.select(F.col(src_col).alias("n"),
-                        F.col(dst_col).alias("nbr"))
-           .union(edges.select(F.col(dst_col).alias("n"),
-                               F.col(src_col).alias("nbr")))
+    # one-scan symmetrize (_fan_both): the caller's edge lineage runs
+    # exactly once inside the adjacency checkpoint (rules 3 + 7)
+    adj = (_fan_both(edges.select(F.col(src_col).alias("n"),
+                                  F.col(dst_col).alias("nbr")), "n", "nbr")
            .filter(F.col("n") != F.col("nbr"))
            .distinct().localCheckpoint())
     pri = F.concat(F.md5(F.col("node").cast("string")),
@@ -2017,8 +2054,8 @@ def degree_gini(edges: DataFrame, src_col: str = "src",
     e = (edges.select(F.least(src_col, dst_col).alias("a"),
                       F.greatest(src_col, dst_col).alias("b"))
          .filter(F.col("a") != F.col("b")).distinct())
-    deg = (e.select(F.col("a").alias("node"))
-           .union(e.select(F.col("b").alias("node")))
+    # endpoints in ONE scan of e (rule 3/7 — e is unmaterialized)
+    deg = (e.select(F.explode(F.array("a", "b")).alias("node"))
            .groupBy("node").agg(F.count("*").cast("bigint").alias("deg")))
     bydeg = deg.groupBy("deg").agg(F.count("*").cast("bigint").alias("m"))
     w = (Window.orderBy("deg")
@@ -2076,8 +2113,9 @@ def link_prediction(edges: DataFrame, src_col: str = "src",
     pa.  Reference parity: scores tags the KG would MERGE or RELATE
     next (ga.nlp's cooccurrence graph consumers)."""
     e0 = edges.select(F.col(src_col).alias("n"),
-                      F.col(dst_col).alias("v")).localCheckpoint()
-    sym = (e0.union(e0.select(F.col("v").alias("n"), F.col("n").alias("v")))
+                      F.col(dst_col).alias("v"))
+    # one-scan symmetrize: the e0 guard checkpoint is gone (_fan_both)
+    sym = (_fan_both(e0, "n", "v")
            .filter(F.col("n") != F.col("v")).distinct())
     if max_neighbors_per_node is not None:
         sym = (sym.groupBy("n")
@@ -2135,7 +2173,9 @@ def khop_sample(edges: DataFrame, fanouts: tuple[int, ...] = (5, 3),
     the edge set.  Default seeds = every node (the full-graph export);
     pass a (node) frame for mini-batch seed sets."""
     e0 = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-    sym = (e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # one-scan symmetrize: the caller's (typically unmaterialized)
+    # strong-tie aggregate runs once, not once per union branch
+    sym = (_fan_both(e0, "a", "b")
            .filter(F.col("a") != F.col("b")).distinct())
     from pyspark.sql.window import Window
     w = Window.partitionBy("a").orderBy(
