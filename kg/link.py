@@ -228,9 +228,13 @@ def edit_verify_pairs(df: DataFrame, pairs: DataFrame,
     Scale shape: work is PAIR-bounded, never corpus-bounded — texts are
     semi-joined to the pair id set first, then two hash joins attach the
     (narrow, truncated) strings; the distance itself is a JVM built-in
-    inside whole-stage codegen, no Python."""
-    ids = (pairs.select(F.col("id_a").alias("doc"))
-           .unionByName(pairs.select(F.col("id_b").alias("doc")))
+    inside whole-stage codegen, no Python.  `pairs` feeds three
+    branches (the id set + the base projection) and is typically an
+    unmaterialized blocking pipeline (MinHash-LSH) — cut once, and
+    take both endpoint ids in ONE scan (rules 7 + 3; the
+    pair_ngram_precision precedent)."""
+    pairs = pairs.localCheckpoint()
+    ids = (pairs.select(F.explode(F.array("id_a", "id_b")).alias("doc"))
            .distinct())
     t = F.col(text_col)
     if prefix is not None:

@@ -250,10 +250,13 @@ def shortest_paths(edges: DataFrame, sources: DataFrame,
     localCheckpointed (it branches into the join and the settled
     union — perf rule 7).  Path strings grow with depth — bounded by
     max_depth, the same contract Cypher's *..k bound carries."""
-    adj = (edges.select(F.col(src_col).alias("x"),
-                        F.col(dst_col).alias("y"))
-           .union(edges.select(F.col(dst_col).alias("x"),
-                               F.col(src_col).alias("y")))
+    # both orientations in ONE scan (rule 3 — no union branch over the
+    # caller's edge frame)
+    adj = (edges.select(F.explode(F.array(
+               F.struct(F.col(src_col).alias("x"), F.col(dst_col).alias("y")),
+               F.struct(F.col(dst_col).alias("x"), F.col(src_col).alias("y"))))
+           .alias("_p"))
+           .select(F.col("_p.x").alias("x"), F.col("_p.y").alias("y"))
            .filter(F.col("x") != F.col("y"))
            .distinct().localCheckpoint())
     frontier = (sources.select(F.col(sources.columns[0]).alias("node"))
