@@ -687,13 +687,19 @@ def sq_topk(emb: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     Column-API form costs thousands of py4j calls)."""
     lm1 = levels - 1
     mv = emb.select(_micro_vec(F.col(vec_col)).alias("vm"))
-    row = mv.agg(
-        *[F.min(F.element_at("vm", d + 1)).alias(f"mn{d}")
-          for d in range(dim)],
-        *[F.max(F.element_at("vm", d + 1)).alias(f"mx{d}")
-          for d in range(dim)]).collect()[0]
-    mn = [int(row[f"mn{d}"]) for d in range(dim)]
-    span = [int(row[f"mx{d}"]) - mn[d] for d in range(dim)]
+    # per-dimension min/max as ONE posexplode + group aggregate instead
+    # of 2·d wide expressions: the wide form pays a d-expression codegen
+    # compile per call (the top_pc_fit finding — 3x at d=64); values are
+    # identical (same per-dim extrema)
+    rows = (mv.select(F.posexplode("vm").alias("pos", "x"))
+            .groupBy("pos")
+            .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+            .collect())
+    mn = [0] * dim
+    span = [0] * dim
+    for r in rows:
+        mn[r["pos"]] = int(r["mn"])
+        span[r["pos"]] = int(r["mx"]) - int(r["mn"])
     mn_sql, span_sql = _lit1_sql(mn), _lit1_sql(span)
 
     # codes then recon as STAGED named columns (CollapseProject keeps
