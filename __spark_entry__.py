@@ -3093,11 +3093,14 @@ def q_text_rrf_fusion(spark, sf_dir):
     the shared 3-query set, fused with 1e6 div (60+rank) integer RRF —
     ranks and fused scores replay exactly (both input rankers are
     integer-exact)."""
-    from kg.retrieval import bm25_topk, coverage_topk, rrf_fuse
+    from kg.retrieval import bm25_topk, coverage_topk, query_term_tf, rrf_fuse
     docs = _docs(spark, sf_dir)
     q = spark.createDataFrame(BM25_QUERIES, "query_id string, term string")
-    return rrf_fuse([bm25_topk(docs, q, k=10),
-                     coverage_topk(docs, q, k=10)], k0=60, k=10)
+    # both rankers consume the SAME query-term tf frame — one corpus
+    # pass, materialized once (rule 7)
+    tf = query_term_tf(docs, q).localCheckpoint()
+    return rrf_fuse([bm25_topk(docs, q, k=10, tf=tf),
+                     coverage_topk(docs, q, k=10, tf=tf)], k0=60, k=10)
 
 
 def q_text_lm_kn(spark, sf_dir):

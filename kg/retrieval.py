@@ -123,10 +123,28 @@ def _muldiv_sql(x: str, m: int, d: str) -> str:
     return (f"(({x}) div ({d})) * {m} + ((({x}) % ({d})) * {m}) div ({d})")
 
 
+def query_term_tf(docs: DataFrame, queries: DataFrame,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(doc, term, tf) over QUERY TERMS only — the shared first corpus
+    pass of the lexical rankers (explode + broadcast semi-filter + one
+    hash aggregate), exposed so composed retrieval queries (the nDCG
+    audit, RRF fusion) run it ONCE and inject it into every consumer
+    instead of re-running the corpus explode per ranker.  Rows are
+    distinct (doc, term) pairs by construction — also exactly the
+    term-presence frame graded relevance needs."""
+    q = queries.select("query_id", "term")
+    toks_q = (_positions(docs, text_col, id_col).drop("pos")
+              .join(F.broadcast(q.select("term").distinct()), "term"))
+    return toks_q.groupBy("doc", "term").agg(
+        F.count("*").cast("bigint").alias("tf"))
+
+
 def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
               text_col: str = "text", id_col: str = "doc_id",
               k1_milli: int = 1200, b_milli: int = 750,
-              materialize: bool = True) -> DataFrame:
+              materialize: bool = True,
+              tf: DataFrame | None = None) -> DataFrame:
     """BM25 top-k retrieval in exact integer milli-units.
 
     `queries` holds exploded query terms: (query_id, term) — duplicate
@@ -165,18 +183,19 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
     c0_micro = k1_milli * (1000 - b_milli)     # k1*(1-b) in micro-units
     c1 = k1_milli * b_milli                    # k1*b: micro when * dl/avgdl
     q = queries.select("query_id", "term")
-    # restrict to query terms BEFORE any aggregate: the only full-corpus
-    # passes are this broadcast semi-filter and the narrow dl map below —
-    # no vocabulary-sized aggregate ever materializes
-    toks_q = (_positions(docs, text_col, id_col).drop("pos")
-              .join(F.broadcast(q.select("term").distinct()), "term"))
-    tf = toks_q.groupBy("doc", "term").agg(
-        F.count("*").cast("bigint").alias("tf"))
-    if materialize:
-        # tf branches into dfreq and cand below; it is query-terms-only
-        # (tiny), so cut the lineage once rather than re-running the
-        # corpus scan per branch (CLAUDE.md rule 7)
-        tf = tf.localCheckpoint()
+    if tf is None:
+        # restrict to query terms BEFORE any aggregate: the only
+        # full-corpus passes are this broadcast semi-filter and the
+        # narrow dl map below — no vocabulary-sized aggregate ever
+        # materializes
+        tf = query_term_tf(docs, queries, text_col, id_col)
+        if materialize:
+            # tf branches into dfreq and cand below; it is
+            # query-terms-only (tiny), so cut the lineage once rather
+            # than re-running the corpus scan per branch (rule 7)
+            tf = tf.localCheckpoint()
+    # else: caller-provided (query_term_tf output, already materialized
+    # by the caller so several rankers share ONE corpus pass)
     # dl is a zero-shuffle narrow map over the source (size == sum(tf
     # over ALL terms) per doc by construction), not an aggregate of tf
     dl = docs.select(F.col(id_col).alias("doc"),
@@ -218,7 +237,8 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
 
 
 def coverage_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
-                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                  text_col: str = "text", id_col: str = "doc_id",
+                  tf: DataFrame | None = None) -> DataFrame:
     """Boolean-coverage-then-tf ranking: documents rank first by how many
     DISTINCT query terms they contain, then by the summed floor-log2 of
     each matched term's tf — the classic "AND-ish" lexical ranker that
@@ -235,10 +255,8 @@ def coverage_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
     terms bounds every aggregate to candidate size; one per-query
     window tops off."""
     q = queries.select("query_id", "term")
-    toks_q = (_positions(docs, text_col, id_col).drop("pos")
-              .join(F.broadcast(q.select("term").distinct()), "term"))
-    tf = toks_q.groupBy("doc", "term").agg(
-        F.count("*").cast("bigint").alias("tf"))
+    if tf is None:
+        tf = query_term_tf(docs, queries, text_col, id_col)
     scored = (tf.join(F.broadcast(q), "term")
               .groupBy("query_id", "doc")
               .agg((F.countDistinct("term") * F.lit(1_000_000)
@@ -379,20 +397,16 @@ def bm25_ndcg(docs: DataFrame, queries: DataFrame, k: int = 10,
     candidate frame); the ideal ranking's window partitions per query
     over candidates only.  Discounts join via a k-row broadcast."""
     spark = docs.sparkSession
+    # ONE corpus pass serves both the ranker and the relevance grades:
+    # query_term_tf's rows are exactly the distinct (doc, term ∈ query
+    # terms) presence pairs, so grading needs no second explode over
+    # the corpus (the r5 shape paid a full array_distinct + explode +
+    # semi-join pass here)
+    tf = query_term_tf(docs, queries, text_col, id_col).localCheckpoint()
     ranked = bm25_topk(docs, queries, k=k, text_col=text_col,
-                       id_col=id_col)
+                       id_col=id_col, tf=tf)
     qd = queries.select("query_id", "term").distinct()
-    # distinct (doc, term) pairs WITHOUT a corpus-sized shuffle: dedup the
-    # token array per row first (array_distinct is in-row), so the exploded
-    # rows are already unique and the global .distinct() exchange the
-    # previous formulation paid is gone (guide §2.4 — a distinct on data
-    # that is already unique); the query-term semi-join then bounds the
-    # frame before the rel aggregate as before.
-    pres = (docs.select(F.col(id_col).alias("doc"),
-                        F.explode(F.array_distinct(tokens_col(text_col)))
-                        .alias("term"))
-            .join(F.broadcast(qd.select("term").distinct()), "term"))
-    rel = (pres.join(F.broadcast(qd), "term")
+    rel = (tf.join(F.broadcast(qd), "term")
            .groupBy("query_id", "doc")
            .agg(F.countDistinct("term").cast("bigint").alias("rel"))
            .localCheckpoint())   # branches: dcg join + ideal window
@@ -400,9 +414,13 @@ def bm25_ndcg(docs: DataFrame, queries: DataFrame, k: int = 10,
         [(i + 1, d) for i, d in enumerate(NDCG_DISCOUNTS_MICRO[:k])],
         "rank int, disc bigint")
     gain = F.expr("shiftleft(cast(1 as bigint), cast(rel as int)) - 1")
-    dcg = (ranked.join(rel, (ranked.query_id == rel.query_id)
-                       & (ranked.doc_id == rel.doc))
-           .select(rel.query_id.alias("qid"), "rank", "rel")
+    # ranked and rel now share the checkpointed tf lineage — rename
+    # rel's keys so the join condition cannot be attribute-ambiguous
+    relr = rel.select(F.col("query_id").alias("rqid"),
+                      F.col("doc").alias("rdoc"), "rel")
+    dcg = (ranked.join(relr, (ranked.query_id == relr.rqid)
+                       & (ranked.doc_id == relr.rdoc))
+           .select(F.col("rqid").alias("qid"), "rank", "rel")
            .join(F.broadcast(disc), "rank")
            .groupBy("qid")
            .agg(F.sum(gain * F.col("disc")).cast("bigint")
