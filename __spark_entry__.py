@@ -849,7 +849,10 @@ def q_kg_tag_communities(spark, sf_dir):
     ann = annotate_graph_df(with_doc_key(_docs(spark, sf_dir), ("doc_id",)),
                             "text", TOK_SPEC)
     tags = explode_tags(explode_sentences(ann))
-    return label_propagation(tag_cooccurrence_edges(tags), iterations=4)
+    # edge aggregate checkpointed: LPA branches it (node set + adjacency
+    # persist) — rule 14
+    return label_propagation(tag_cooccurrence_edges(tags).localCheckpoint(),
+                             iterations=4)
 
 
 def q_text_lm_surprisal(spark, sf_dir):
@@ -892,7 +895,9 @@ def q_kg_tag_triangles(spark, sf_dir):
     ann = annotate_graph_df(with_doc_key(_docs(spark, sf_dir), ("doc_id",)),
                             "text", TOK_SPEC)
     tags = explode_tags(explode_sentences(ann))
-    return triangle_counts(tag_cooccurrence_edges(tags))
+    # edge aggregate checkpointed: the wedge build branches the simple
+    # edge set three ways (both join sides + the closing join) — rule 14
+    return triangle_counts(tag_cooccurrence_edges(tags).localCheckpoint())
 
 
 def q_kg_adjacency(spark, sf_dir):
@@ -952,7 +957,9 @@ def q_kg_tag_clustering(spark, sf_dir):
     ann = annotate_graph_df(with_doc_key(_docs(spark, sf_dir), ("doc_id",)),
                             "text", TOK_SPEC)
     tags = explode_tags(explode_sentences(ann))
-    return clustering_coefficients(tag_cooccurrence_edges(tags))
+    # same three-way wedge branching as kg_tag_triangles — rule 14
+    return clustering_coefficients(
+        tag_cooccurrence_edges(tags).localCheckpoint())
 
 
 def q_dedup_incremental(spark, sf_dir):
@@ -1390,7 +1397,12 @@ def q_kg_tag_ppr(spark, sf_dir):
     # re-executes the per-context pair-build aggregate — measured 7.95s
     # → 3.45s for the 5-round loop at sf0.1 (perf rule 7; t being
     # checkpointed protects the UDF, not the co-occurrence aggregate)
-    edges = tag_cooccurrence_edges(t, doc_col="ctx", tag_col="tag")
+    # t is already checkpointed (materialize=False skips the redundant
+    # re-checkpoint); cut the EDGE AGGREGATE instead — pagerank branches
+    # it (node set + e fill), re-running the per-context pair aggregate
+    # per branch on a lazy frame (rule 14)
+    edges = tag_cooccurrence_edges(t, doc_col="ctx", tag_col="tag",
+                                   materialize=False).localCheckpoint()
     seeds = (t.select(F.col("tag").alias("node")).distinct()
              .orderBy("node").limit(2))
     return (personalized_pagerank(edges, seeds, iterations=5)
@@ -3606,8 +3618,12 @@ def q_kg_tag_msf(spark, sf_dir):
     materialize=True on the edge build (perf rule 7: the forest loop
     branches the edge frame every round)."""
     from kg.graphrank import boruvka_msf, tag_cooccurrence_edges
+    # materialize=False: _tag_contexts is already checkpointed, and
+    # boruvka's canonical-edge checkpoint is the aggregate's single
+    # consumer — the default re-checkpoint of t was a redundant eager job
     edges = tag_cooccurrence_edges(_tag_contexts(spark, sf_dir),
-                                   doc_col="ctx", tag_col="tag")
+                                   doc_col="ctx", tag_col="tag",
+                                   materialize=False)
     return boruvka_msf(edges, rounds=2)
 
 
@@ -3656,7 +3672,10 @@ def q_kg_tag_sssp(spark, sf_dir):
     weighted completion of kg_tag_bfs (GDS dijkstra parity)."""
     from kg.graphrank import sssp_bellman_ford, tag_cooccurrence_edges
     t = _tag_contexts(spark, sf_dir)
-    edges = tag_cooccurrence_edges(t, doc_col="ctx", tag_col="tag")
+    # materialize=False: t is already checkpointed; sssp's symmetrize
+    # checkpoint is the single consumer of the aggregate (rule 14)
+    edges = tag_cooccurrence_edges(t, doc_col="ctx", tag_col="tag",
+                                   materialize=False)
     lens = edges.select("src", "dst",
                         F.expr("greatest(1000000 div weight, 1)")
                         .alias("length"))

@@ -302,7 +302,11 @@ def textrank_tags(docs: DataFrame, spec=None, iterations: int = 10,
                                 annotators=("tokenize", "stopword"))
     ann = annotate_graph_df(with_doc_key(docs, id_cols), text_col, spec)
     tags = explode_tags(explode_sentences(ann))
-    edges = tag_cooccurrence_edges(tags, doc_col="doc_key", tag_col="lemma")
+    # the internal materialize=True cut protects the UDF; the edge
+    # AGGREGATE still branches inside pagerank (node set + e fill), so
+    # cut it too — rule 14 (iterative operators take materialized edges)
+    edges = tag_cooccurrence_edges(tags, doc_col="doc_key",
+                                   tag_col="lemma").localCheckpoint()
     return pagerank(edges, iterations=iterations)
 
 
